@@ -1,0 +1,236 @@
+"""Deterministic synthetic fixtures (FIXTURES.md F1/F2) — no external data.
+
+Two generators:
+
+- ``synth_title_index`` / ``synth_pages``: a fully synthetic Common-Crawl-style
+  world with planted entity families, Zipfian anchor ambiguity (hot blocks for
+  skew tests), byte-identity traps (``&nbsp;``, curly quotes, ``_(qualifier)``
+  suffixes, pure-number anchors) and min_count boundary cases. Pages are generated
+  DISTRIBUTED via ``mapInPandas`` over ``spark.range``; every page's content is a
+  pure function of its page id (seeded ``random.Random(seed*page_id)``), so output
+  is identical at any partition count — required for the local[8] vs local[32]
+  equivalence check.
+
+- ``pages_from_documents``: derives a pages table of the north-rule shape
+  ``(url, warc_ts, html, text, lang)`` deterministically from the driver-provided
+  ``documents.parquet`` testdata, wrapping vocabulary words in wikilink markup.
+  Used by ``__spark_entry__`` so DuckDB oracles can recompute expected anchor
+  statistics straight from ``documents`` with plain SQL.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+# --- fully synthetic world -------------------------------------------------
+
+_SYLLABLES = [
+    "ac", "bel", "cor", "dan", "el", "far", "gol", "hul", "in", "jor",
+    "kel", "lum", "mar", "nor", "os", "pel", "quil", "ros", "sol", "tor",
+]
+
+# Byte-identity traps planted into some anchor surface forms
+# (reference normalize semantics, minimel/normalize.py:6-20).
+_TRAP_DECOR = [
+    ("", ""),
+    ("“", "”"),          # curly quotes -> BADCHARS, stripped
+    ("", "&nbsp;"),       # html nbsp -> space, stripped
+    ("", " (company)"),   # NOT stripped by normalize (only "_(" splits)
+]
+
+VARIANT_SUFFIXES = ["", " corp", " corporation", " co", " inc", " group"]
+
+
+def base_name(b: int) -> str:
+    """Deterministic pseudo-word for base-family ``b``."""
+    s = _SYLLABLES[b % len(_SYLLABLES)] + _SYLLABLES[(b // len(_SYLLABLES)) % len(_SYLLABLES)]
+    if b >= len(_SYLLABLES) ** 2:
+        s += _SYLLABLES[b % 7]
+    return s
+
+
+def entity_qid(b: int, k: int) -> int:
+    """qid for the k-th homonym entity of base family b."""
+    return 100000 + b * 100 + k
+
+
+def entity_title(b: int, k: int) -> str:
+    """Wikipedia-style underscored title, unique per entity."""
+    name = base_name(b).capitalize()
+    return f"{name}_({k})" if k else name
+
+
+def world(n_bases: int = 40, homonyms: int = 3, hot_base: int = 0, hot_homonyms: int = 12):
+    """Enumerate (base, k, qid, title). Base ``hot_base`` is the planted skew
+    family with ``hot_homonyms`` entities (a 'john smith' block)."""
+    out = []
+    for b in range(n_bases):
+        h = hot_homonyms if b == hot_base else homonyms
+        for k in range(h):
+            out.append((b, k, entity_qid(b, k), entity_title(b, k)))
+    return out
+
+
+def synth_title_index(
+    spark: SparkSession, n_bases: int = 40, homonyms: int = 3
+) -> DataFrame:
+    """F2 fixture: title -> qid dimension (reference D3, minimel/index.py:11-27)."""
+    rows = [(t, q) for _, _, q, t in world(n_bases, homonyms)]
+    return spark.createDataFrame(rows, schema="title string, qid long")
+
+
+def _gen_page(pid: int, seed: int, n_bases: int, homonyms: int) -> tuple:
+    rng = random.Random(seed * 1_000_003 + pid)
+    ents = world(n_bases, homonyms)
+    # page subject: cycle through entities so every entity has pages
+    b, k, qid, title = ents[pid % len(ents)]
+    name = base_name(b)
+    paragraphs = []
+    n_par = rng.randint(2, 5)
+    for _ in range(n_par):
+        words = []
+        n_links = rng.randint(1, 4)
+        for _ in range(n_links):
+            # mostly link to own-family entities (ambiguity), sometimes others
+            if rng.random() < 0.7:
+                ob, ok = b, rng.randrange(homonyms if b else 12)
+            else:
+                o = ents[rng.randrange(len(ents))]
+                ob, ok = o[0], o[1]
+            surface = base_name(ob) + VARIANT_SUFFIXES[rng.randrange(len(VARIANT_SUFFIXES))]
+            pre, post = _TRAP_DECOR[rng.randrange(len(_TRAP_DECOR))] if rng.random() < 0.15 else ("", "")
+            ot = entity_title(ob, ok)
+            words.append(f"[[{ot}|{pre}{surface}{post}]]")
+            words.extend(rng.choice(_SYLLABLES) for _ in range(rng.randint(2, 6)))
+        if rng.random() < 0.1:
+            words.append("[[1984]]")  # pure-number anchor: normalize must drop it
+        paragraphs.append(" ".join(words))
+    if rng.random() < 0.2:
+        paragraphs.insert(rng.randrange(len(paragraphs)), "{{infobox | junk=1}}")
+    if rng.random() < 0.1:
+        paragraphs.append("| table row junk")
+    text = "\n\n".join(paragraphs)
+    url = f"https://example.org/wiki/{title}?p={pid}"
+    ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=pid % 86400)
+    lang = ["en", "en", "en", "nl", "es"][pid % 5]
+    return (url, ts, text.encode("utf-8"), text, lang)
+
+
+_PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def synth_pages(
+    spark: SparkSession,
+    n_pages: int = 2000,
+    seed: int = 42,
+    n_bases: int = 40,
+    homonyms: int = 3,
+    partitions: int | None = None,
+) -> DataFrame:
+    """F1 fixture: Common-Crawl-style pages table, generated distributed."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_gen_page(int(pid), seed, n_bases, homonyms) for pid in pdf["id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in _PAGES_SCHEMA.fields])
+
+    rng = spark.range(n_pages, numPartitions=partitions)
+    return rng.mapInPandas(gen, schema=_PAGES_SCHEMA)
+
+
+# --- documents-derived pages (for DuckDB-oracle parity) ----------------------
+
+DOC_PAGES_NOTE = """Construction contract used by the DuckDB oracles:
+every whitespace word of documents.text whose length > 3 becomes a wikilink
+[[<Capitalized word>_<qid>|<word>]] with qid = 2*rank + (doc_id % 3 == 0),
+rank = dense alphabetical rank of the word within the document corpus vocabulary.
+Words of length <= 3 stay plain text. One paragraph per document."""
+
+
+def doc_vocab(docs: DataFrame) -> DataFrame:
+    """Vocabulary dimension: word -> base qid (dense alphabetical rank)."""
+    from pyspark.sql import Window
+
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.length("word") > 3)
+        .distinct()
+    )
+    w = Window.orderBy("word")
+    return words.withColumn("base_qid", F.dense_rank().over(w).cast("long"))
+
+
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic pages table from the driver's documents.parquet (see
+    DOC_PAGES_NOTE). Pure Spark built-ins, no UDF: the markup is assembled with
+    transform/concat over the word array, so Catalyst keeps it whole-stage."""
+    vocab = doc_vocab(docs)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+    )
+    linked = (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .withColumn(
+            "qid",
+            F.col("base_qid") * 2 + (F.col("doc_id") % 3 == 0).cast("long"),
+        )
+        .withColumn(
+            "out",
+            F.when(
+                F.col("base_qid").isNotNull(),
+                F.concat(
+                    F.lit("[["),
+                    F.initcap("word"),
+                    F.lit("_"),
+                    F.col("qid").cast("string"),
+                    F.lit("|"),
+                    F.col("word"),
+                    F.lit("]]"),
+                ),
+            ).otherwise(F.col("word")),
+        )
+    )
+    pages = (
+        linked.groupBy("doc_id", "lang")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "out"))).alias("toks"))
+        .select(
+            F.concat(F.lit("https://example.org/doc/"), F.col("doc_id")).alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+            F.encode(F.concat_ws(" ", F.transform("toks", lambda t: t["out"])), "utf-8").alias("html"),
+            F.concat_ws(" ", F.transform("toks", lambda t: t["out"])).alias("text"),
+            F.col("lang"),
+        )
+    )
+    return pages
+
+
+def doc_title_index(docs: DataFrame) -> DataFrame:
+    """title -> qid index matching pages_from_documents' link titles."""
+    vocab = doc_vocab(docs)
+    both = vocab.select(
+        F.explode(
+            F.array(
+                F.struct((F.col("base_qid") * 2).alias("qid")),
+                F.struct((F.col("base_qid") * 2 + 1).alias("qid")),
+            )
+        ).alias("s"),
+        "word",
+    )
+    return both.select(
+        F.concat(F.initcap("word"), F.lit("_"), F.col("s.qid").cast("string")).alias("title"),
+        F.col("s.qid").alias("qid"),
+    )

@@ -1,0 +1,106 @@
+"""Golden tests for the wikitext extraction semantics (reference
+minimel/get_paragraphs.py:17-78). Expectations hand-derived from the reference
+get_str/get_text/get_links/process_line bodies."""
+
+from minimel_spark.functions.wikitext import (
+    extract_page,
+    get_text,
+    iter_wikilinks,
+    parse_wikitext,
+)
+
+INDEX = {"Acme": 1, "Acme_(1)": 2, "Globex": 3, "New_york": 4}
+
+
+def test_get_text_plain():
+    assert get_text(parse_wikitext("hello world")) == "hello world"
+
+
+def test_get_text_wikilink_display():
+    assert get_text(parse_wikitext("see [[Acme|the acme corp]] now")) == "see the acme corp now"
+    assert get_text(parse_wikitext("see [[Acme]] now")) == "see Acme now"
+
+
+def test_get_text_template_dropped():
+    assert get_text(parse_wikitext("a {{cite|x=1}} b")) == "a  b"
+
+
+def test_get_text_wiki_markup_tag_unwrapped():
+    assert get_text(parse_wikitext("x ''[[Acme|acme]] inc'' y")) == "x acme inc y"
+    assert get_text(parse_wikitext("x '''bold''' y")) == "x bold y"
+
+
+def test_get_text_html_tag_dropped():
+    # html Tag nodes have no wiki_markup -> contribute nothing to text
+    assert get_text(parse_wikitext("a <ref>cite [[Acme|acme]]</ref> b")) == "a  b"
+
+
+def test_get_text_whitespace_collapse():
+    assert get_text(parse_wikitext("a\nb\tc ")) == "a b c"
+
+
+def test_links_canonicalization():
+    # lowercase first char is uppercased; spaces -> underscores
+    links = iter_wikilinks(parse_wikitext("[[acme]] [[new york|NYC]]"), INDEX)
+    assert links == [("acme", 1), ("NYC", 4)]
+
+
+def test_links_namespace_dropped():
+    assert iter_wikilinks(parse_wikitext("[[File:x.png|thumb]]"), INDEX) == []
+
+
+def test_links_inside_template_and_tag_counted():
+    links = iter_wikilinks(parse_wikitext("{{box|[[Acme|a]]}} <ref>[[Globex]]</ref>"), INDEX)
+    assert links == [("a", 1), ("Globex", 3)]
+
+
+def test_links_not_in_index_dropped():
+    assert iter_wikilinks(parse_wikitext("[[Unknown|u]]"), INDEX) == []
+
+
+def test_extract_page_junk_paragraphs():
+    mw = "{{infobox}}\n\ngood [[Acme|acme]] text\n\n| table junk [[Globex|g]]"
+    out = extract_page("Acme", mw, INDEX)
+    # template-only paragraph has empty text; | paragraph starts with BADSTART
+    assert len(out) == 1
+    links, text = out[0]
+    assert text == "good acme text"
+    # self-link enrichment: pagelabel "Acme" is in the page but not substring-
+    # present in this text's link labels; "Acme" not in "good acme text"
+    # (case-sensitive) so only the real link remains
+    assert links == {"acme": 1}
+
+
+def test_extract_page_redirect_and_empty():
+    assert extract_page("Acme", "#REDIRECT [[Globex]]", INDEX) == []
+    assert extract_page("Acme", None, INDEX) == []
+    assert extract_page("Acme", "", INDEX) == []
+
+
+def test_extract_page_self_link_enrichment():
+    # pagelabel = "Acme" (underscores -> spaces, "_(" qualifier cut happens on
+    # the *label*: "Acme_(1)" -> "Acme"); present in paragraph 2's text
+    mw = "intro [[Globex|g]] here\n\nlater Acme appears again [[Globex|g2]]"
+    out = extract_page("Acme_(1)", mw, INDEX)
+    assert len(out) == 2
+    assert out[0][0] == {"g": 3}
+    # enrichment added the page's own (label, qid) pair
+    assert out[1][0] == {"g2": 3, "Acme": 2}
+    assert out[1][1] == "later Acme appears again g2"
+
+
+def test_extract_page_enrichment_shadowed_by_link_label():
+    # a label containing the candidate substring blocks enrichment
+    mw = "intro [[Acme_(1)|Acme one]] x"
+    out = extract_page("Acme", mw, INDEX)
+    # pagelabel "Acme" is substring of link label "Acme one" -> not added
+    assert out[0][0] == {"Acme one": 2}
+
+
+def test_extract_page_cross_paragraph_link_memory():
+    # links seen in paragraph 1 are enrichment candidates in paragraph 2
+    mw = "alpha [[Globex|gx]] beta\n\ngamma gx delta"
+    out = extract_page("Nopage", mw, INDEX)
+    assert out[0][0] == {"gx": 3}
+    assert out[1][0] == {"gx": 3}
+    assert out[1][1] == "gamma gx delta"
