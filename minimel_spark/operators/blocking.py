@@ -1,0 +1,122 @@
+"""Blocking stage: records -> (record, block_key) pairs (SURVEY §7 stage 5;
+north rule: anchor-dictionary blocking ∪ MinHash-LSH shingle keys, salted, with
+per-block pair caps).
+
+Two key generators:
+
+- ``dictionary_blocks``: the normalized surface form itself is the block key
+  (the reference's anchor-dictionary semantics — mentions sharing a normalized
+  anchor are candidates, minimel/vectorize.py:117-122).
+- ``minhash_blocks``: MinHash-LSH band keys over char-3gram shingles
+  (minimel/clean.py:65-72 shingles). The minhash signature is computed entirely
+  JVM-side: ``array_min(transform(shingles, s -> xxhash64(seed_i, s)))`` per
+  hash function — no UDF, no shuffle; band key = hash of r consecutive minhashes.
+
+Skew handling (north rule, SURVEY §4):
+
+- ``cap_blocks`` bounds per-block pair counts: block sizes are counted first
+  (one cheap agg), and any block whose C(n,2) exceeds ``max_pairs_per_block`` is
+  sub-salted into ceil(n/target) deterministic sub-blocks via
+  ``pmod(xxhash64(rec_id), n_salts)``. This trades recall inside mega-blocks
+  (cross-salt pairs are lost) for a hard cost bound — the cap is deterministic
+  and partition-invariant, as the north rule requires. Callers that must not
+  lose recall can instead raise the cap and rely on AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions.udfs import shingles_udf
+
+
+def dictionary_blocks(records: DataFrame, key_col: str = "anchor") -> DataFrame:
+    """block_key = the normalized surface form (exact-key blocking)."""
+    return records.withColumn("block_key", F.concat(F.lit("d:"), F.col(key_col)))
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """array<long> MinHash signature, all JVM-side expressions."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_blocks(
+    records: DataFrame,
+    key_col: str = "anchor",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: emits one row per (record, band) with
+    block_key = 'm:<band_idx>:<hash of the band's minhash slice>'.
+    Records with no shingles (too short) produce no minhash blocks."""
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes
+    sh = records.withColumn("_sh", shingles_udf(F.col(key_col)))
+    sh = sh.where(F.size("_sh") > 0)
+    sig = sh.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"m:{b}:"),
+                F.xxhash64(
+                    F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                ).cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sig.withColumn("block_key", F.explode(band_keys))
+        .drop("_sh", "_sig")
+    )
+
+
+def union_blocks(*blocked: DataFrame) -> DataFrame:
+    """Union of block-key generators (same schema)."""
+    out = blocked[0]
+    for df in blocked[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def cap_blocks(
+    blocked: DataFrame,
+    rec_id_col: str = "rec_id",
+    max_pairs_per_block: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-block pair cap via sub-salting (see module doc).
+
+    One aggregation to size blocks, then a broadcast join of the (small)
+    oversized-block list back onto the stream; in-cap blocks pass through with
+    their key unchanged.
+    """
+    target_n = max(2, int(math.floor((1 + math.isqrt(1 + 8 * max_pairs_per_block)) / 2)))
+    sizes = blocked.groupBy("block_key").agg(F.count(F.lit(1)).alias("_bn"))
+    oversized = sizes.where(F.col("_bn") > target_n).withColumn(
+        "_nsalt", F.ceil(F.col("_bn") / target_n).cast("long")
+    )
+    return (
+        blocked.join(F.broadcast(oversized), "block_key", "left")
+        .withColumn(
+            "block_key",
+            F.when(
+                F.col("_nsalt").isNotNull(),
+                F.concat(
+                    F.col("block_key"),
+                    F.lit("#"),
+                    F.pmod(F.xxhash64(F.col(rec_id_col)), F.col("_nsalt")).cast("string"),
+                ),
+            ).otherwise(F.col("block_key")),
+        )
+        .drop("_bn", "_nsalt")
+    )

@@ -1,0 +1,207 @@
+"""Tests for the cleaning stage and transitive clustering, including the
+north-rule acceptance check: pairwise F1 >= 0.99 vs the reference clustering
+semantics (transitive closure of the thresholded cosine edge set,
+minimel/clean.py:87-126) on the deterministic synthetic fixture."""
+
+import math
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from minimel_spark.operators.clean import clean, rank_candidates
+from minimel_spark.operators.cluster import (
+    cluster_candidates,
+    connected_components,
+    similarity_edges,
+)
+from minimel_spark.operators.count import anchor_counts
+from minimel_spark.operators.extract import extract_paragraphs
+from minimel_spark.sources.synth import synth_pages, synth_title_index
+
+
+# ---------- connected components vs union-find oracle ----------
+
+def _cc_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    comps = {}
+    for n in parent:
+        comps.setdefault(find(n), set()).add(n)
+    return {n: min(ms) for ms in comps.values() for n in ms}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(rng.randint(20, 80))
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _cc_oracle(edges)
+
+
+def test_connected_components_chain(spark):
+    # worst case for naive propagation; large/small star handles in O(log n)
+    edges = [(f"c{i:02d}", f"c{i+1:02d}") for i in range(30)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert set(got.values()) == {"c00"}
+    assert len(got) == 31
+
+
+# ---------- fixture pipeline through clean ----------
+
+@pytest.fixture(scope="module")
+def fixture_counts(spark):
+    pages = synth_pages(spark, n_pages=400, seed=42, n_bases=12, homonyms=3)
+    index = synth_title_index(spark, n_bases=12, homonyms=3)
+    pars = extract_paragraphs(pages, index)
+    return anchor_counts(pars, min_count=1).cache(), index
+
+
+def test_clean_produces_ranked_ambiguous_candidates(spark, fixture_counts):
+    counts, index = fixture_counts
+    out = clean(counts, index, min_count=2).cache()
+    rows = out.collect()
+    assert rows
+    # every anchor's rank sequence starts at 1 and is dense
+    import collections
+
+    by_anchor = collections.defaultdict(list)
+    for r in rows:
+        by_anchor[r["anchor"]].append(r["rank"])
+    for a, ranks in by_anchor.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # weights are count+1 (no freqnorm)
+    assert all(r["weight"] >= 3 for r in rows)  # min_count=2 -> weight >= 3
+
+
+def test_clean_badents_removed(spark, fixture_counts):
+    counts, index = fixture_counts
+    some_qid = counts.select("qid").first()["qid"]
+    bad = spark.createDataFrame([(some_qid,)], "qid long")
+    out = clean(counts, index, badents=bad, min_count=2)
+    assert out.where(F.col("qid") == some_qid).count() == 0
+
+
+def test_clean_disambig_names_survive_filters(spark, fixture_counts):
+    counts, index = fixture_counts
+    # pick an ambiguous anchor, pretend it's a disambiguation page title
+    from minimel_spark.operators.clean import ambiguous_only
+
+    a = ambiguous_only(counts).first()
+    disambig = spark.createDataFrame(
+        [(a["anchor"].capitalize(), a["qid"])], "title string, qid long"
+    )
+    out = clean(counts, index, disambig=disambig, min_count=2)
+    assert out.where(F.col("anchor") == a["anchor"]).count() >= 1
+
+
+def test_quantile_top_shadowed(spark, fixture_counts):
+    counts, index = fixture_counts
+    full = clean(counts, index, min_count=2)
+    q = clean(counts, index, min_count=2, quantile_top_shadowed_q=0.5)
+    assert 0 < q.count() < full.count()
+    # every kept anchor retains its top candidate
+    kept_anchors = {r["anchor"] for r in q.collect()}
+    tops = {r["anchor"] for r in q.where(F.col("rank") == 1).collect()}
+    assert kept_anchors == tops
+
+
+# ---------- M4 cluster equivalence: pairwise F1 >= 0.99 ----------
+
+def _reference_cluster_closure(name_scores, threshold):
+    """Driver-side replica of the reference cluster() edge rule
+    (minimel/clean.py:87-114) with order-independent transitive closure."""
+    ns = {a: {e: math.log1p(c) for e, c in ec.items()} for a, ec in name_scores.items()}
+    ns = {
+        a: {e: c / t for t in [sum(v**2 for v in ec.values()) ** 0.5] for e, c in ec.items()}
+        for a, ec in ns.items()
+    }
+    id_anchors = {}
+    for a, es in ns.items():
+        for e in es:
+            id_anchors.setdefault(e, set()).add(a)
+    edges = []
+    for a, es in ns.items():
+        others = set.union(*[id_anchors[e] for e in es]) - {a}
+        for o in others:
+            shared = set(ns[o]) & set(es)
+            score = sum(ns[o][v] * es[v] for v in shared)
+            if score > threshold:
+                edges.append((a, o))
+    comp = _cc_oracle(edges)
+    return {a: comp.get(a, a) for a in ns}
+
+
+def _pairs(assign):
+    import itertools
+
+    by_c = {}
+    for a, c in assign.items():
+        by_c.setdefault(c, []).append(a)
+    out = set()
+    for ms in by_c.values():
+        out |= {tuple(sorted(p)) for p in itertools.combinations(ms, 2)}
+    return out
+
+
+def test_cluster_pairwise_f1_vs_reference(spark, fixture_counts):
+    counts, index = fixture_counts
+    cands = rank_candidates(
+        counts.where(F.col("cnt") >= 2).withColumn(
+            "weight", (F.col("cnt") + 1).cast("long")
+        )
+    )
+    # driver-side name_scores dict from the same candidates
+    rows = cands.collect()
+    name_scores = {}
+    for r in rows:
+        name_scores.setdefault(r["anchor"], {})[r["qid"]] = r["weight"]
+    ref = _reference_cluster_closure(name_scores, threshold=0.5)
+
+    membership, cluster_scores = cluster_candidates(cands, score_threshold=0.5)
+    got = {r["anchor"]: r["cluster_id"] for r in membership.collect()}
+    assert set(got) == set(ref)
+
+    ref_pairs, got_pairs = _pairs(ref), _pairs(got)
+    tp = len(ref_pairs & got_pairs)
+    prec = tp / len(got_pairs) if got_pairs else 1.0
+    rec = tp / len(ref_pairs) if ref_pairs else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    assert ref_pairs, "fixture produced no reference cluster pairs"
+    assert f1 >= 0.99, f"pairwise F1 {f1} < 0.99 (p={prec}, r={rec})"
+
+    # cluster_scores: per-cluster normalized weight sums are positive
+    cs = cluster_scores.collect()
+    assert cs and all(r["weight"] > 0 for r in cs)
+
+
+def test_pair_cap_limits_edges(spark, fixture_counts):
+    counts, index = fixture_counts
+    cands = rank_candidates(
+        counts.where(F.col("cnt") >= 2).withColumn(
+            "weight", (F.col("cnt") + 1).cast("long")
+        )
+    )
+    uncapped = similarity_edges(cands, 0.0).count()
+    capped = similarity_edges(cands, 0.0, max_anchors_per_entity=2).count()
+    assert capped < uncapped
