@@ -1,0 +1,181 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``brute_force_topk``: exact cosine top-k of every query against the corpus.
+  Queries are a SMALL dimension (broadcast as a numpy matrix); the corpus
+  streams through an Arrow-batched pandas UDF that does one numpy matmul per
+  batch, then a global top-k per query via window rank — the correctness
+  baseline.
+- ``lsh_topk``: random-hyperplane LSH buckets (deterministic seeded planes) +
+  exact re-rank inside buckets — the scale path (sub-linear candidates, recall
+  tunable via num_planes/num_tables).
+- ``embedding_dups``: all corpus pairs with cosine >= threshold via LSH-bucket
+  self-join + exact verify (embedding near-duplicate detection).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, Window
+
+TOPK_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType()),
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("sim", T.DoubleType()),
+])
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """-> (query_id, vec_id, sim, rank): exact cosine top-k per query.
+
+    Per-batch partial top-k inside the UDF keeps shuffle volume at
+    O(batches * queries * k), then one window finalizes the global top-k.
+    """
+    spark = corpus.sparkSession
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = _normalize_rows(np.array([r[1] for r in qrows], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def gen(batches):
+        ids, qm = bc.value
+        for pdf in batches:
+            cmat = _normalize_rows(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            )
+            sims = qm @ cmat.T  # (nq, batch)
+            nb = sims.shape[1]
+            kk = min(k, nb)
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q, out_v, out_s = [], [], []
+            vec_ids = pdf[id_col].to_numpy()
+            for qi in range(len(ids)):
+                out_q.extend([ids[qi]] * kk)
+                out_v.extend(vec_ids[top[qi]])
+                out_s.extend(sims[qi, top[qi]])
+            yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "sim": out_s})
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(gen, TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 12,
+    num_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id, bucket) rows: sign-pattern bucket per hash table (deterministic
+    seeded hyperplanes, computed in one numpy matmul per Arrow batch)."""
+    spark = df.sparkSession
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+    bc = spark.sparkContext.broadcast(planes)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("bucket", T.StringType()),
+    ])
+
+    def gen(batches):
+        pl = bc.value
+        pows = 1 << np.arange(num_planes, dtype=np.int64)
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            out_i, out_b = [], []
+            for t in range(num_tables):
+                signs = (mat @ pl[t].T) > 0  # (n, planes)
+                codes = (signs * pows).sum(axis=1)
+                out_i.extend(ids)
+                out_b.extend([f"{t}:{c}" for c in codes])
+            yield pd.DataFrame({"id": out_i, "bucket": out_b})
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+@F.pandas_udf(T.DoubleType())
+def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    ma = np.array(a.tolist(), dtype=np.float64)
+    mb = np.array(b.tolist(), dtype=np.float64)
+    num = (ma * mb).sum(axis=1)
+    den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    den[den == 0] = 1.0
+    return pd.Series(num / den)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 10,
+    num_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucket join + exact cosine re-rank."""
+    cb = hyperplane_buckets(corpus, dim, num_planes, num_tables, id_col=id_col, vec_col=vec_col)
+    qb = hyperplane_buckets(queries, dim, num_planes, num_tables, id_col=id_col, vec_col=vec_col)
+    cand = (
+        qb.select(F.col("id").alias("query_id"), "bucket")
+        .join(cb.select(F.col("id").alias("vec_id"), "bucket"), "bucket")
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
+        .withColumn("sim", cosine_udf("_qv", "_cv"))
+        .drop("_qv", "_cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_dups(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 10,
+    num_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH candidates + exact verify)."""
+    b = hyperplane_buckets(corpus, dim, num_planes, num_tables, id_col=id_col, vec_col=vec_col)
+    a = b.select(F.col("id").alias("id_a"), "bucket")
+    c = b.select(F.col("id").alias("id_b"), "bucket")
+    cand = a.join(c, "bucket").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", cosine_udf("_va", "_vb"))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

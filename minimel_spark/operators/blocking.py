@@ -38,13 +38,17 @@ def dictionary_blocks(records: DataFrame, key_col: str = "anchor") -> DataFrame:
     return records.withColumn("block_key", F.concat(F.lit("d:"), F.col(key_col)))
 
 
+def _seeded_hash(i: int):
+    # NB: a plain `lambda s, i=i:` would be mis-read by PySpark as a binary
+    # (element, index) lambda — the seed must be closed over, not defaulted.
+    return lambda s: F.xxhash64(F.lit(i), s)
+
+
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """array<long> MinHash signature, all JVM-side expressions."""
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(F.lit(i), s))
-            )
+            F.array_min(F.transform(shingles, _seeded_hash(i)))
             for i in range(num_hashes)
         ]
     )

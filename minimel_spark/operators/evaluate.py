@@ -1,0 +1,131 @@
+"""Evaluation stage (SURVEY §2 A10, J7, U2, X6 + the north-rule pairwise-F1).
+
+Reference: minimel/run.py:34-65 (get_scores): gold and prediction maps are
+aligned on the union of their keys per document (J7 full-outer join), missing
+sides become -1, then micro/macro precision/recall/F1.
+
+``pairwise_f1`` is the north-rule acceptance metric, computed DISTRIBUTED
+(never materializing the O(n²) pair sets): for cluster assignments P and G over
+the same records,
+  TP = Σ_{(p,g) cells} C(n_pg, 2);  P-pairs = Σ_p C(n_p, 2);  G-pairs = Σ_g C(n_g, 2)
+— three aggregations, no joins beyond the assignment join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def align_gold_pred(gold: DataFrame, pred: DataFrame) -> DataFrame:
+    """J7/U2 (run.py:52-57): full-outer join on (doc_id, name); missing -> -1.
+
+    gold: (doc_id, name, gold_qid); pred: (doc_id, name, pred_qid).
+    """
+    return (
+        gold.join(pred, ["doc_id", "name"], "full_outer")
+        .select(
+            "doc_id",
+            "name",
+            F.coalesce("gold_qid", F.lit(-1)).alias("gold_qid"),
+            F.coalesce("pred_qid", F.lit(-1)).alias("pred_qid"),
+        )
+    )
+
+
+def micro_scores(aligned: DataFrame) -> DataFrame:
+    """Micro-averaged P/R/F1 in the multiclass alignment convention the
+    reference inherits from sklearn (run.py:41-47): with every (doc, name) slot
+    labeled on both sides, micro P = R = F1 = accuracy over slots."""
+    return aligned.agg(
+        F.count(F.lit(1)).alias("support"),
+        F.avg((F.col("gold_qid") == F.col("pred_qid")).cast("double")).alias("micro_f1"),
+    )
+
+
+def macro_scores(aligned: DataFrame) -> DataFrame:
+    """Macro-averaged P/R/F1 over classes (qids), sklearn ``average='macro'``
+    semantics: per-class P/R/F1 with zero_division=0, unweighted mean over the
+    set of classes present in gold ∪ pred."""
+    classes = (
+        aligned.select(F.col("gold_qid").alias("qid"))
+        .union(aligned.select(F.col("pred_qid").alias("qid")))
+        .distinct()
+    )
+    tp = aligned.where(F.col("gold_qid") == F.col("pred_qid")).groupBy(
+        F.col("gold_qid").alias("qid")
+    ).agg(F.count(F.lit(1)).alias("tp"))
+    gold_n = aligned.groupBy(F.col("gold_qid").alias("qid")).agg(
+        F.count(F.lit(1)).alias("n_gold")
+    )
+    pred_n = aligned.groupBy(F.col("pred_qid").alias("qid")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    per_class = (
+        classes.join(tp, "qid", "left")
+        .join(gold_n, "qid", "left")
+        .join(pred_n, "qid", "left")
+        .select(
+            "qid",
+            # zero_division=0: absent class on either side scores 0, not error
+            F.coalesce(
+                F.try_divide(F.coalesce("tp", F.lit(0)), F.col("n_pred")), F.lit(0.0)
+            ).alias("p"),
+            F.coalesce(
+                F.try_divide(F.coalesce("tp", F.lit(0)), F.col("n_gold")), F.lit(0.0)
+            ).alias("r"),
+        )
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("p") + F.col("r")) > 0,
+                2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return per_class.agg(
+        F.avg("p").alias("macro_precision"),
+        F.avg("r").alias("macro_recall"),
+        F.avg("f1").alias("macro_f1"),
+    )
+
+
+def per_name_scores(aligned: DataFrame) -> DataFrame:
+    """X6 (run.py:59-63): per-name accuracy restricted to names with >1 distinct
+    gold label, sorted by support."""
+    multi = (
+        aligned.groupBy("name")
+        .agg(
+            F.count(F.lit(1)).alias("support"),
+            F.countDistinct("gold_qid").alias("n_gold"),
+            F.avg((F.col("gold_qid") == F.col("pred_qid")).cast("double")).alias("accuracy"),
+        )
+        .where(F.col("n_gold") > 1)
+        .drop("n_gold")
+    )
+    return multi.orderBy(F.desc("support"))
+
+
+def _pair_count(col):
+    return F.sum(col * (col - 1) / 2)
+
+
+def pairwise_f1(pred: DataFrame, gold: DataFrame) -> dict:
+    """North-rule metric: pairwise F1 between two clusterings of the same
+    records. pred: (rec_id, cluster_id); gold: (rec_id, cluster_id).
+    Distributed — O(n) aggregations, never enumerates pairs."""
+    both = pred.withColumnRenamed("cluster_id", "p").join(
+        gold.withColumnRenamed("cluster_id", "g"), "rec_id"
+    )
+    cell = both.groupBy("p", "g").agg(F.count(F.lit(1)).alias("n"))
+    tp = cell.agg(_pair_count(F.col("n"))).first()[0] or 0.0
+    pp = both.groupBy("p").agg(F.count(F.lit(1)).alias("n")).agg(
+        _pair_count(F.col("n"))
+    ).first()[0] or 0.0
+    gp = both.groupBy("g").agg(F.count(F.lit(1)).alias("n")).agg(
+        _pair_count(F.col("n"))
+    ).first()[0] or 0.0
+    precision = tp / pp if pp else 1.0
+    recall = tp / gp if gp else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"precision": precision, "recall": recall, "f1": f1, "tp_pairs": tp}

@@ -64,16 +64,16 @@ def pair_features(
 ) -> DataFrame:
     """Attach per-side names/contexts and compute the feature columns."""
     sides = records.select(
-        F.col(rec_id_col),
+        F.col(rec_id_col).alias("_rid"),
         F.col(name_col).alias("_name"),
         *( [F.col(text_col).alias("_text")] if text_col else [] ),
     ).withColumn("_sh", shingles_udf(F.col("_name")))
     a = sides.toDF(*[f"{c}_a" for c in sides.columns])
     b = sides.toDF(*[f"{c}_b" for c in sides.columns])
     df = (
-        pairs.join(a, pairs["rec_id_a"] == a[f"{rec_id_col}_a"])
-        .join(b, pairs["rec_id_b"] == b[f"{rec_id_col}_b"])
-        .drop(f"{rec_id_col}_a", f"{rec_id_col}_b")
+        pairs.join(a, pairs["rec_id_a"] == a["_rid_a"])
+        .join(b, pairs["rec_id_b"] == b["_rid_b"])
+        .drop("_rid_a", "_rid_b")
     )
     maxlen = F.greatest(F.length("_name_a"), F.length("_name_b"))
     df = (

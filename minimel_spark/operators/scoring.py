@@ -1,0 +1,163 @@
+"""Pair scoring + entity-linking predict cascade (SURVEY §2 L1, L2, L3, A12).
+
+L1 — the matcher. The reference trains VW ``csoaa_ldf`` cost-sensitive LR over
+per-(mention,candidate) example blocks (minimel/train.py:42-56) with cost 0 for
+gold and ``int(log(1+count))`` (balanced) or 1 for negatives
+(minimel/vectorize.py:89-100). The pairwise reduction of that objective is a
+weighted binary logistic regression over (mention, candidate) rows with
+label=is_gold and weightCol=cost — ``pyspark.ml.classification.LogisticRegression``
+trains it distributed (the reference trainer is single-process).
+
+L2 — the cascade (minimel/run.py:141-184): per (text, name) mention,
+  1. model-scored argmax over the candidate set   (if a model is given)
+  2. most-common-sense argmax over raw counts     (A12, run.py:172-174)
+  3. deterministic title-index lookup             (run.py:175-176)
+expressed as left joins + ``max_by`` aggregates + ``coalesce`` — one DataFrame
+plan, no driver loop.
+
+L3 — the recall upper bound (run.py:157-164).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+FEATURE_COLS = ["lev_sim", "jacc3", "jw", "cos_bow"]
+
+
+def train_pair_matcher(
+    labeled_features: DataFrame,
+    feature_cols: list[str] | None = None,
+    label_col: str = "is_match",
+    weight_col: str | None = None,
+    max_iter: int = 50,
+    reg_param: float = 0.0,
+):
+    """Train the logistic-regression matcher on labeled pair features.
+
+    Returns a fitted PipelineModel (assembler + LR). ``weight_col`` implements
+    the reference's balanced-cost scheme when provided.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feature_cols = feature_cols or FEATURE_COLS
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+    )
+    if weight_col:
+        lr = lr.setWeightCol(weight_col)
+    df = labeled_features.withColumn(label_col, F.col(label_col).cast("double"))
+    return Pipeline(stages=[assembler, lr]).fit(df)
+
+
+def score_pairs(model, features: DataFrame) -> DataFrame:
+    """Apply the matcher; adds ``score`` = P(match)."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(features)
+    return scored.withColumn(
+        "score", vector_to_array("probability").getItem(1)
+    ).drop("features", "rawPrediction", "probability", "prediction")
+
+
+def match_edges(scored: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Thresholded match decisions -> CC-ready edge list."""
+    return scored.where(F.col("score") > threshold).select(
+        F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst"), "score"
+    )
+
+
+# ---------------- entity-linking predict cascade (L2/L3/A12) ----------------
+
+
+def most_common_sense(counts: DataFrame) -> DataFrame:
+    """A12: anchor -> argmax-count qid (deterministic tie-break on smaller qid:
+    ``max_by`` over (cnt, -qid))."""
+    return counts.groupBy("anchor").agg(
+        F.expr("max_by(qid, struct(cnt, -qid))").alias("count_qid")
+    )
+
+
+def predict_cascade(
+    mentions: DataFrame,
+    counts: DataFrame | None = None,
+    scored_candidates: DataFrame | None = None,
+    title_index: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, name, anchor) -> (doc_id, name, pred_qid, tier).
+
+    ``mentions``: one row per mention with the raw surface ``name`` and the
+    normalized ``anchor``.
+    ``scored_candidates``: optional (doc_id, name, qid, score) from the model.
+    ``counts``: (anchor, qid, cnt) for the most-common-sense fallback.
+    ``title_index``: (title, qid) for the deterministic lookup fallback
+    (reference looks up ``name.replace(' ', '_')``, run.py:175-176).
+    """
+    out = mentions
+    if scored_candidates is not None:
+        best_model = scored_candidates.groupBy("doc_id", "name").agg(
+            F.expr("max_by(qid, struct(score, -qid))").alias("model_qid")
+        )
+        out = out.join(best_model, ["doc_id", "name"], "left")
+    else:
+        out = out.withColumn("model_qid", F.lit(None).cast("long"))
+    if counts is not None:
+        out = out.join(most_common_sense(counts), "anchor", "left")
+    else:
+        out = out.withColumn("count_qid", F.lit(None).cast("long"))
+    if title_index is not None:
+        lookup = title_index.select(
+            F.col("title"), F.col("qid").alias("index_qid")
+        )
+        out = out.join(
+            lookup,
+            F.regexp_replace(out["name"], " ", "_") == lookup["title"],
+            "left",
+        ).drop("title")
+    else:
+        out = out.withColumn("index_qid", F.lit(None).cast("long"))
+    return out.withColumn(
+        "pred_qid", F.coalesce("model_qid", "count_qid", "index_qid")
+    ).withColumn(
+        "tier",
+        F.when(F.col("model_qid").isNotNull(), "model")
+        .when(F.col("count_qid").isNotNull(), "count")
+        .when(F.col("index_qid").isNotNull(), "index")
+        .otherwise("nil"),
+    )
+
+
+def upperbound_predict(
+    mentions_with_gold: DataFrame,
+    counts: DataFrame,
+    title_index: DataFrame,
+) -> DataFrame:
+    """L3 (run.py:157-164): predict gold iff gold is reachable via candidates or
+    the title index — the recall ceiling of candidate generation."""
+    m = mentions_with_gold
+    in_counts = counts.select("anchor", "qid").distinct()
+    via_count = (
+        m.join(
+            in_counts,
+            (m["anchor"] == in_counts["anchor"]) & (m["gold_qid"] == in_counts["qid"]),
+            "left_semi",
+        )
+        .select("doc_id", "name", "gold_qid")
+        .withColumn("ub_qid", F.col("gold_qid"))
+    )
+    lookup = title_index.select("title", F.col("qid").alias("idx_qid"))
+    via_index = (
+        m.join(lookup, F.regexp_replace(m["name"], " ", "_") == lookup["title"])
+        .where(F.col("idx_qid") == F.col("gold_qid"))
+        .select("doc_id", "name", "gold_qid")
+        .withColumn("ub_qid", F.col("gold_qid"))
+    )
+    hits = via_count.unionByName(via_index).dropDuplicates(["doc_id", "name"])
+    return m.join(hits.select("doc_id", "name", "ub_qid"), ["doc_id", "name"], "left")

@@ -1,0 +1,89 @@
+"""Text-analysis operators over the documents table: token counting, quality
+scoring, language-ID, fingerprinting. Everything that ANSI SQL can express is
+built-in Spark expressions (JVM, whole-stage codegen, DuckDB-oracle-checkable);
+only language-ID and the rolling fingerprint are pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+from ..functions.textstats import detect_lang, rolling_fingerprint
+
+# BPE-ish word/number/punct segmentation (GPT-2-style coarse classes).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace and BPE-ish token counts + char count (all built-ins)."""
+    return docs.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)).alias("bpe_tokens"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is"),
+) -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length quality
+    features with a composite score in [0,1] (all built-in expressions)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
+    df = docs.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        n_words.alias("n_words"),
+        (n_stop / F.greatest(n_words, F.lit(1))).alias("stopword_ratio"),
+        (n_punct / F.greatest(F.length(text_col), F.lit(1))).alias("punct_ratio"),
+        (
+            (F.length(text_col) - F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\s"), 0)))
+            / F.greatest(n_words, F.lit(1))
+        ).alias("mean_word_len"),
+    )
+    # composite: favor some stopwords, low punctuation, sane word lengths
+    return df.withColumn(
+        "quality",
+        F.round(
+            F.least(F.col("stopword_ratio") * 4, F.lit(1.0)) * 0.4
+            + (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.3
+            + F.when((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10), 0.3).otherwise(0.0),
+            6,
+        ),
+    )
+
+
+_LANG_SCHEMA = T.StructType([
+    T.StructField("lang_pred", T.StringType()),
+    T.StructField("lang_conf", T.DoubleType()),
+])
+
+
+@F.pandas_udf(_LANG_SCHEMA)
+def detect_lang_udf(texts: pd.Series) -> pd.DataFrame:
+    rows = [detect_lang(t) for t in texts]
+    return pd.DataFrame(rows, columns=["lang_pred", "lang_conf"])
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    out = docs.select(id_col, detect_lang_udf(F.col(text_col)).alias("_l"))
+    return out.select(id_col, "_l.lang_pred", "_l.lang_conf")
+
+
+@F.pandas_udf(T.LongType())
+def fingerprint_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series([rolling_fingerprint(t) for t in texts])
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(id_col, fingerprint_udf(F.col(text_col)).alias("fingerprint"))

@@ -1,0 +1,198 @@
+"""End-to-end record-linkage pipeline (SURVEY §7): pages -> extraction ->
+anchor stats -> cleaning -> mention detection -> blocking -> pair scoring ->
+transitive clustering -> predictions, with checkpoint/resume and metrics at
+every stage.
+
+Mirrors the reference experiment DAG (minimel/experiment.py:72-318, §3 E2) but
+every stage is a distributed DataFrame job — the reference's driver-local
+stages (clean, train, run) are the single-node cliffs this removes.
+
+Matcher supervision is self-contained (no external gold): a candidate pair is
+a weak positive when both surface forms share the same argmax entity in the
+cleaned candidate table, negative otherwise — the pairwise reduction of the
+reference's cost scheme (gold cost 0, negatives cost int(log(1+count)),
+minimel/vectorize.py:89-100), with the balanced weight carried as weightCol.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.blocking import cap_blocks, dictionary_blocks, minhash_blocks, union_blocks
+from .operators.clean import clean
+from .operators.cluster import cluster_candidates, connected_components
+from .operators.count import anchor_counts
+from .operators.extract import extract_paragraphs
+from .operators.mentions import detect_mentions
+from .operators.pairs import candidate_pairs, pair_features
+from .operators.scoring import (
+    match_edges,
+    most_common_sense,
+    score_pairs,
+    train_pair_matcher,
+)
+from .sources.checkpoint import Checkpointer
+
+
+@dataclass
+class PipelineConfig:
+    language: str | None = None
+    min_count: int = 2
+    cluster_threshold: float = 0.5
+    match_threshold: float = 0.5
+    num_hashes: int = 12
+    bands: int = 6
+    max_pairs_per_block: int = 10_000
+    max_anchors_per_entity: int | None = None
+    balanced: bool = True
+    skip_prefixes: tuple = ()
+
+
+def weak_pair_labels(feats: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Label candidate pairs by shared argmax entity; weight = the reference's
+    balanced cost int(log(1+count)) on the negative side, 1 on positives."""
+    top = most_common_sense(
+        candidates.select("anchor", "qid", F.col("weight").alias("cnt"))
+    )
+    tot = candidates.groupBy("anchor").agg(F.sum("weight").alias("a_cnt"))
+    side = top.join(tot, "anchor")
+    a = side.select(
+        F.col("anchor").alias("name_a"),
+        F.col("count_qid").alias("top_a"),
+        F.col("a_cnt").alias("cnt_a"),
+    )
+    b = side.select(
+        F.col("anchor").alias("name_b"),
+        F.col("count_qid").alias("top_b"),
+        F.col("a_cnt").alias("cnt_b"),
+    )
+    return (
+        feats.join(a, "name_a", "left")
+        .join(b, "name_b", "left")
+        .withColumn(
+            "is_match",
+            (F.col("top_a").isNotNull() & (F.col("top_a") == F.col("top_b"))).cast("int"),
+        )
+        .withColumn(
+            "cost_weight",
+            F.when(F.col("is_match") == 1, F.lit(1.0)).otherwise(
+                F.floor(F.log(1 + F.coalesce(F.least("cnt_a", "cnt_b"), F.lit(1)))) + 1.0
+            ),
+        )
+        .drop("top_a", "top_b", "cnt_a", "cnt_b")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    title_index: DataFrame,
+    workdir: str | None = None,
+    config: PipelineConfig | None = None,
+    disambig: DataFrame | None = None,
+    badents: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the full pipeline; returns the stage tables."""
+    cfg = config or PipelineConfig()
+    ckpt = Checkpointer(spark, workdir, enabled=bool(workdir)) if workdir else Checkpointer(
+        spark, "/tmp/minimel_spark_noop", enabled=False
+    )
+    if workdir:
+        ckpt.write_manifest(vars(cfg))
+
+    paragraphs = ckpt.stage(
+        "paragraphs", lambda: extract_paragraphs(pages, title_index, cfg.skip_prefixes)
+    )
+    counts = ckpt.stage(
+        "anchor_counts",
+        lambda: anchor_counts(paragraphs, cfg.language, min_count=1),
+    )
+    candidates = ckpt.stage(
+        "candidates",
+        lambda: clean(
+            counts.where(F.col("cnt") >= cfg.min_count),
+            title_index,
+            disambig=disambig,
+            badents=badents,
+            language=cfg.language,
+            min_count=cfg.min_count,
+        ),
+    )
+
+    def _clusters():
+        membership, _ = cluster_candidates(
+            candidates, cfg.cluster_threshold, cfg.max_anchors_per_entity
+        )
+        return membership
+
+    name_clusters = ckpt.stage("name_clusters", _clusters)
+
+    mentions = ckpt.stage(
+        "mentions",
+        lambda: detect_mentions(paragraphs, candidates.select("anchor").distinct()),
+    )
+
+    def _records():
+        # ER records: one per detected mention surface; context = paragraph text
+        return (
+            mentions.join(paragraphs.select("url", "par_id", "text"), ["url", "par_id"])
+            .select(
+                F.concat_ws("#", "url", F.col("par_id").cast("string"), F.col("start").cast("string")).alias("rec_id"),
+                F.col("surface").alias("name"),
+                "text",
+            )
+        )
+
+    records = ckpt.stage("records", _records)
+
+    def _pairs():
+        blocked = union_blocks(
+            dictionary_blocks(records, key_col="name"),
+            minhash_blocks(records, key_col="name", num_hashes=cfg.num_hashes, bands=cfg.bands),
+        )
+        blocked = cap_blocks(blocked, max_pairs_per_block=cfg.max_pairs_per_block)
+        return candidate_pairs(blocked)
+
+    pairs = ckpt.stage("pairs", _pairs)
+    feats = ckpt.stage(
+        "pair_features", lambda: pair_features(pairs, records, name_col="name")
+    )
+
+    def _scored():
+        labeled = weak_pair_labels(feats, candidates)
+        train = labeled.where(F.col("is_match").isNotNull())
+        model = train_pair_matcher(
+            train,
+            weight_col="cost_weight" if cfg.balanced else None,
+        )
+        return score_pairs(model, feats)
+
+    scored = ckpt.stage("scored_pairs", _scored)
+
+    def _er():
+        edges = match_edges(scored, cfg.match_threshold)
+        cc = connected_components(edges)
+        return (
+            records.select("rec_id")
+            .join(cc.withColumnRenamed("node", "rec_id"), "rec_id", "left")
+            .select("rec_id", F.coalesce("component", "rec_id").alias("cluster_id"))
+        )
+
+    er_clusters = ckpt.stage("er_clusters", _er)
+
+    return {
+        "paragraphs": paragraphs,
+        "anchor_counts": counts,
+        "candidates": candidates,
+        "name_clusters": name_clusters,
+        "mentions": mentions,
+        "records": records,
+        "pairs": pairs,
+        "pair_features": feats,
+        "scored_pairs": scored,
+        "er_clusters": er_clusters,
+        "metrics": ckpt.metrics(),
+    }

@@ -1,0 +1,160 @@
+"""Tests for mention detection (M1), blocking keys, pair caps, and pairwise
+features."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from minimel_spark.functions.matcher import TrieMatcher
+from minimel_spark.functions.similarity import hashed_bow, jaro_winkler, sparse_cosine
+from minimel_spark.operators.blocking import (
+    cap_blocks,
+    dictionary_blocks,
+    minhash_blocks,
+    union_blocks,
+)
+from minimel_spark.operators.mentions import count_names, detect_mentions, nil_mentions
+from minimel_spark.operators.pairs import candidate_pairs, pair_features
+
+
+# ---------- matcher unit tests (reference mentions.py:16-31 semantics) ----------
+
+def test_trie_matcher_leftmost_longest():
+    m = TrieMatcher(["acme", "acme corp", "corp"])
+    assert list(m.find_matches("the acme corp inc")) == [(4, "acme corp")]
+
+
+def test_trie_matcher_word_boundaries():
+    m = TrieMatcher(["acme"])
+    assert list(m.find_matches("acme")) == [(0, "acme")]
+    assert list(m.find_matches("xacme")) == []
+    # consumed by the automaton but rejected by the boundary filter
+    assert list(m.find_matches("acmes")) == []
+    assert list(m.find_matches("acme, yes")) == [(0, "acme")]
+
+
+def test_trie_matcher_multiple_nonoverlapping():
+    m = TrieMatcher(["aa", "bb"])
+    assert list(m.find_matches("aa bb aa")) == [(0, "aa"), (3, "bb"), (6, "aa")]
+
+
+def test_jaro_winkler_known_values():
+    assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611, abs=1e-3)
+    assert jaro_winkler("dwayne", "duane") == pytest.approx(0.84, abs=1e-2)
+    assert jaro_winkler("same", "same") == 1.0
+    assert jaro_winkler("", "x") == 0.0
+
+
+def test_hashed_bow_cosine():
+    a = hashed_bow(["x", "y"])
+    assert sparse_cosine(a, a) == pytest.approx(1.0)
+    assert sparse_cosine(a, hashed_bow(["z", "w"])) == 0.0
+
+
+# ---------- Spark-side ----------
+
+@pytest.fixture(scope="module")
+def paragraphs(spark):
+    rows = [
+        ("u1", 0, "the acme corp bought globex today"),
+        ("u1", 1, "acme was founded long ago"),
+        ("u2", 0, "globex and acme corp merged"),
+        ("u2", 1, "nothing to see here"),
+    ]
+    return spark.createDataFrame(rows, "url string, par_id int, text string")
+
+
+@pytest.fixture(scope="module")
+def names(spark):
+    return spark.createDataFrame(
+        [("acme",), ("acme corp",), ("globex",)], "anchor string"
+    )
+
+
+def test_detect_mentions(spark, paragraphs, names):
+    got = {
+        (r["url"], r["par_id"], r["start"], r["surface"])
+        for r in detect_mentions(paragraphs, names).collect()
+    }
+    assert got == {
+        ("u1", 0, 4, "acme corp"),
+        ("u1", 0, 21, "globex"),
+        ("u1", 1, 0, "acme"),
+        ("u2", 0, 0, "globex"),
+        ("u2", 0, 11, "acme corp"),
+    }
+
+
+def test_count_names(spark, paragraphs, names):
+    got = {r["name"]: r["cnt"] for r in count_names(paragraphs, names).collect()}
+    assert got == {"acme corp": 2, "globex": 2, "acme": 1}
+
+
+def test_nil_mentions(spark, paragraphs, names):
+    links = spark.createDataFrame(
+        [("u1", 0, {"acme corp": 1})],
+        "url string, par_id int, links map<string,long>",
+    )
+    m = detect_mentions(paragraphs, names)
+    nil = nil_mentions(m, links)
+    surfaces = {(r["url"], r["par_id"], r["surface"]) for r in nil.collect()}
+    assert ("u1", 0, "acme corp") not in surfaces
+    assert ("u1", 0, "globex") in surfaces
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    rows = [
+        ("r1", "acme corp", "makers of anvils and rockets"),
+        ("r2", "acme corporation", "anvil and rocket maker"),
+        ("r3", "acme co", "makers of anvils"),
+        ("r4", "globex", "evil energy company"),
+        ("r5", "globex corp", "energy conglomerate"),
+        ("r6", "initech", "software company"),
+    ]
+    return spark.createDataFrame(rows, "rec_id string, anchor string, text string")
+
+
+def test_minhash_blocks_group_similar_names(spark, records):
+    blocked = minhash_blocks(records, num_hashes=12, bands=12)
+    pairs = candidate_pairs(blocked)
+    got = {(r["rec_id_a"], r["rec_id_b"]) for r in pairs.collect()}
+    assert ("r1", "r2") in got  # acme corp ~ acme corporation share bands
+    assert not any("r6" in p for p in got)  # initech shares no shingles
+
+
+def test_union_dictionary_and_minhash(spark, records):
+    blocked = union_blocks(
+        dictionary_blocks(records), minhash_blocks(records, num_hashes=12, bands=12)
+    )
+    assert blocked.where(F.col("block_key").startswith("d:")).count() == 6
+
+
+def test_cap_blocks_bounds_pairs(spark):
+    rows = [(f"r{i}", "hot") for i in range(100)] + [("x1", "cold"), ("x2", "cold")]
+    df = spark.createDataFrame(rows, "rec_id string, block_key string")
+    capped = cap_blocks(df, max_pairs_per_block=45)  # target block size ~10
+    sizes = capped.groupBy("block_key").count().collect()
+    assert max(r["count"] for r in sizes) <= 15
+    # cold block untouched
+    assert any(r["block_key"] == "cold" and r["count"] == 2 for r in sizes)
+    # capping is deterministic
+    c2 = cap_blocks(df.repartition(7), max_pairs_per_block=45)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, c2.collect()))
+
+
+def test_pair_features(spark, records):
+    blocked = union_blocks(
+        dictionary_blocks(records), minhash_blocks(records, num_hashes=12, bands=12)
+    )
+    pairs = candidate_pairs(blocked)
+    feats = pair_features(pairs, records, name_col="anchor").cache()
+    row = feats.where(
+        (F.col("rec_id_a") == "r1") & (F.col("rec_id_b") == "r2")
+    ).first()
+    assert row is not None
+    assert 0.8 < row["jw"] <= 1.0
+    assert 0 < row["jacc3"] < 1.0
+    assert 0 < row["lev_sim"] < 1.0
+    assert 0 < row["cos_bow"] < 1.0
+    cols = set(feats.columns)
+    assert {"lev_sim", "jacc3", "jw", "cos_bow"} <= cols

@@ -1,0 +1,167 @@
+"""End-to-end pipeline tests: full DAG on the synthetic fixture, checkpoint
+resume, scoring, evaluation metrics."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from minimel_spark.operators.evaluate import (
+    align_gold_pred,
+    macro_scores,
+    micro_scores,
+    pairwise_f1,
+)
+from minimel_spark.operators.scoring import (
+    predict_cascade,
+    score_pairs,
+    train_pair_matcher,
+)
+from minimel_spark.pipeline import PipelineConfig, run_pipeline
+from minimel_spark.sources.synth import synth_pages, synth_title_index
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("ckpt"))
+    pages = synth_pages(spark, n_pages=300, seed=42, n_bases=10, homonyms=3)
+    index = synth_title_index(spark, n_bases=10, homonyms=3)
+    cfg = PipelineConfig(min_count=2, bands=6, num_hashes=12)
+    out = run_pipeline(spark, pages, index, workdir=workdir, config=cfg)
+    return out, workdir, pages, index, cfg
+
+
+def test_pipeline_all_stages_produce_rows(pipeline_result):
+    out, *_ = pipeline_result
+    for stage in [
+        "paragraphs", "anchor_counts", "candidates", "name_clusters",
+        "mentions", "records", "pairs", "pair_features", "scored_pairs",
+        "er_clusters",
+    ]:
+        assert out[stage].count() > 0, f"stage {stage} empty"
+
+
+def test_pipeline_metrics_lineage(pipeline_result):
+    out, *_ = pipeline_result
+    m = out["metrics"]
+    assert m is not None
+    stages = {r["stage"] for r in m.select("stage").distinct().collect()}
+    assert "paragraphs" in stages and "er_clusters" in stages
+    cols = set(m.columns)
+    assert {"stage", "partition_id", "rows", "wall_secs"} <= cols
+
+
+def test_pipeline_resume_uses_checkpoints(spark, pipeline_result):
+    out, workdir, pages, index, cfg = pipeline_result
+    # second run must read committed stages, not recompute: feed EMPTY pages —
+    # if any stage recomputed, row counts would change
+    empty = pages.where(F.lit(False))
+    out2 = run_pipeline(spark, empty, index, workdir=workdir, config=cfg)
+    assert out2["er_clusters"].count() == out["er_clusters"].count()
+
+
+def test_er_clusters_group_same_entity_mentions(pipeline_result):
+    out, *_ = pipeline_result
+    clusters = out["er_clusters"]
+    n = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    assert n_clusters < n, "no merging happened at all"
+
+
+def test_scored_pairs_probability_range(pipeline_result):
+    out, *_ = pipeline_result
+    row = out["scored_pairs"].agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    ).first()
+    assert 0.0 <= row["lo"] <= row["hi"] <= 1.0
+
+
+# ---------- cascade + evaluation ----------
+
+def test_predict_cascade_tiers(spark):
+    mentions = spark.createDataFrame(
+        [
+            ("d1", "Acme", "acme"),       # via counts
+            ("d2", "Globex", "globex"),   # via index only
+            ("d3", "Unknown", "unknown"), # nil
+        ],
+        "doc_id string, name string, anchor string",
+    )
+    counts = spark.createDataFrame(
+        [("acme", 7, 10), ("acme", 8, 3)], "anchor string, qid long, cnt long"
+    )
+    index = spark.createDataFrame([("Globex", 9)], "title string, qid long")
+    got = {
+        r["doc_id"]: (r["pred_qid"], r["tier"])
+        for r in predict_cascade(mentions, counts=counts, title_index=index).collect()
+    }
+    assert got == {"d1": (7, "count"), "d2": (9, "index"), "d3": (None, "nil")}
+
+
+def test_predict_cascade_model_tier_wins(spark):
+    mentions = spark.createDataFrame(
+        [("d1", "Acme", "acme")], "doc_id string, name string, anchor string"
+    )
+    counts = spark.createDataFrame([("acme", 7, 10)], "anchor string, qid long, cnt long")
+    scored = spark.createDataFrame(
+        [("d1", "Acme", 8, 0.9), ("d1", "Acme", 7, 0.2)],
+        "doc_id string, name string, qid long, score double",
+    )
+    got = predict_cascade(mentions, counts=counts, scored_candidates=scored).first()
+    assert got["pred_qid"] == 8 and got["tier"] == "model"
+
+
+def test_micro_macro_scores(spark):
+    gold = spark.createDataFrame(
+        [("d1", "a", 1), ("d1", "b", 2), ("d2", "a", 1)],
+        "doc_id string, name string, gold_qid long",
+    )
+    pred = spark.createDataFrame(
+        [("d1", "a", 1), ("d1", "b", 3), ("d2", "c", 4)],
+        "doc_id string, name string, pred_qid long",
+    )
+    aligned = align_gold_pred(gold, pred)
+    # slots: (d1,a)=1/1 hit, (d1,b)=2/3 miss, (d2,a)=1/-1 miss, (d2,c)=-1/4 miss
+    micro = micro_scores(aligned).first()
+    assert micro["support"] == 4
+    assert micro["micro_f1"] == pytest.approx(0.25)
+    macro = macro_scores(aligned).first()
+    assert 0 <= macro["macro_f1"] <= 1
+
+
+def test_pairwise_f1_identical_and_split(spark):
+    gold = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("d", 2)], "rec_id string, cluster_id long"
+    )
+    same = pairwise_f1(gold, gold)
+    assert same["f1"] == 1.0
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 3), ("d", 2)], "rec_id string, cluster_id long"
+    )
+    split = pairwise_f1(pred, gold)
+    # gold pairs {ab,ac,bc}, pred pairs {ab} -> P=1, R=1/3
+    assert split["precision"] == 1.0
+    assert split["recall"] == pytest.approx(1 / 3)
+
+
+def test_matcher_learns_separable_labels(spark):
+    import random
+
+    rng = random.Random(0)
+    rows = []
+    for i in range(200):
+        match = i % 2 == 0
+        base = rng.random() * 0.3
+        f = (0.7 + base, 0.6 + base, 0.8 + base, 0.5 + base) if match else (
+            base, base, base, base
+        )
+        rows.append((f"a{i}", f"b{i}", 1, *f, int(match), 1.0))
+    df = spark.createDataFrame(
+        rows,
+        "rec_id_a string, rec_id_b string, n_blocks int, lev_sim double, "
+        "jacc3 double, jw double, cos_bow double, is_match int, w double",
+    )
+    model = train_pair_matcher(df, weight_col="w")
+    scored = score_pairs(model, df)
+    acc = scored.withColumn(
+        "hit", ((F.col("score") > 0.5).cast("int") == F.col("is_match")).cast("double")
+    ).agg(F.avg("hit")).first()[0]
+    assert acc > 0.95
