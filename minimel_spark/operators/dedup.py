@@ -149,11 +149,13 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
             out.append(0)
             continue
         acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
         for tok in toks:
-            h = zlib.crc32(tok.encode("utf-8")) | (
-                zlib.crc32(tok[::-1].encode("utf-8")) << 32
+            h = np.uint64(
+                zlib.crc32(tok.encode("utf-8"))
+                | (zlib.crc32(tok[::-1].encode("utf-8")) << 32)
             )
-            bits = (h >> np.arange(64)) & 1
+            bits = (h >> shifts) & np.uint64(1)
             acc += np.where(bits == 1, 1, -1)
         fp = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
         out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)  # to signed long
