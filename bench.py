@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline jobs at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+  {"metric": "candidate_pairs_scored_per_sec", "value": N, "unit": "pairs/sec",
+   "queries": {name: seconds, ...}, "sf": ..., ...}
+
+The headline metric is the north rule's candidate-pairs-scored/sec: the wall
+time of blocking -> capped pair generation -> feature UDFs -> LR training ->
+scoring, measured from materialized mention records to the scored-pair count.
+
+Scaling evidence (north rule: throughput efficiency >= 0.8 from N to 4N):
+SPARK_GRAFT_SCALING=1 re-runs the scoring segment at local[8] and local[32]
+on the same input and reports both throughputs + efficiency
+( (T8/T32) / 4 — i.e. speedup over the 4x core ratio ).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F
+
+from minimel_spark.operators.ann import brute_force_topk
+from minimel_spark.operators.blocking import (
+    cap_blocks,
+    dictionary_blocks,
+    minhash_blocks,
+    union_blocks,
+)
+from minimel_spark.operators.cluster import connected_components
+from minimel_spark.operators.count import anchor_counts
+from minimel_spark.operators.dedup import minhash_dups
+from minimel_spark.operators.extract import extract_paragraphs
+from minimel_spark.operators.mentions import detect_mentions
+from minimel_spark.operators.pairs import candidate_pairs, pair_features
+from minimel_spark.operators.scoring import match_edges, score_pairs, train_pair_matcher
+from minimel_spark.pipeline import weak_pair_labels
+from minimel_spark.session import get_spark
+from minimel_spark.sources.synth import doc_title_index, pages_from_documents
+
+MAX_PAIRS_PER_BLOCK = 5000
+
+
+def build_records(spark, sf_dir):
+    """pages -> paragraphs -> mentions -> ER records (rec_id, name, text),
+    plus the anchor count table. Returns (records, counts, timings)."""
+    t = {}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    pars = extract_paragraphs(pages_from_documents(docs), doc_title_index(docs))
+    pars = pars.persist()
+    n_pars = pars.count()
+    counts = anchor_counts(pars, min_count=1).persist()
+    counts.count()
+    t["extract_count"] = time.time() - t0
+
+    t0 = time.time()
+    mentions = detect_mentions(pars, counts.select("anchor").distinct())
+    # rec_id = 8-byte deterministic surrogate of the natural key: join/shuffle
+    # volume in pair generation is dominated by key bytes, and xxhash64 is
+    # partition-invariant (collision odds ~n^2/2^64 — nil at any realistic n).
+    records = (
+        mentions.join(pars.select("url", "par_id", "text"), ["url", "par_id"])
+        .select(
+            F.xxhash64("url", "par_id", "start").alias("rec_id"),
+            F.col("surface").alias("name"),
+            "text",
+        )
+        .persist()
+    )
+    n_rec = records.count()
+    t["mentions"] = time.time() - t0
+    return records, counts, n_pars, n_rec, t
+
+
+def score_segment(spark, records, counts):
+    """The north-metric segment: records -> blocks -> pairs -> features ->
+    train -> scored pairs. Returns (n_pairs, seconds)."""
+    t0 = time.time()
+    # Records with identical names share identical shingle sets, hence
+    # identical minhash band keys — the anchor-dictionary block is subsumed by
+    # LSH except for names too short to shingle, so emit dictionary keys only
+    # for those (one fewer redundant key per record in the pair self-join).
+    from minimel_spark.functions.udfs import shingles_udf
+
+    shingleless = records.where(F.size(shingles_udf(F.col("name"))) == 0)
+    blocked = union_blocks(
+        dictionary_blocks(shingleless, key_col="name"),
+        minhash_blocks(records, key_col="name", num_hashes=12, bands=6),
+    )
+    blocked = cap_blocks(blocked, max_pairs_per_block=MAX_PAIRS_PER_BLOCK)
+    pairs = candidate_pairs(blocked)
+    feats = pair_features(pairs, records, name_col="name").persist()
+    cands = counts.withColumn("weight", (F.col("cnt") + 1).cast("long")).select(
+        "anchor", "qid", "weight"
+    )
+    labeled = weak_pair_labels(feats, cands)
+    model = train_pair_matcher(labeled.where(F.col("is_match").isNotNull()))
+    scored = score_pairs(model, feats).persist()
+    n_pairs = scored.count()
+    sec = time.time() - t0
+    return scored, n_pairs, sec
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    q = {}
+    total0 = time.time()
+
+    records, counts, n_pars, n_rec, t_build = build_records(spark, sf_dir)
+    q.update(t_build)
+
+    scored, n_pairs, q["pairs_scored"] = score_segment(spark, records, counts)
+    pairs_per_sec = n_pairs / q["pairs_scored"] if q["pairs_scored"] else 0.0
+
+    t0 = time.time()
+    edges = match_edges(scored, 0.5)
+    cc = connected_components(edges)
+    n_clusters = cc.select("component").distinct().count()
+    q["cluster_cc"] = time.time() - t0
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    n_dups = minhash_dups(docs, threshold=0.9, n=1, num_hashes=16, bands=8).count()
+    q["dedup_minhash"] = time.time() - t0
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    n_ann = brute_force_topk(emb, emb.where(F.col("vec_id") < 64), k=10).count()
+    q["ann_topk"] = time.time() - t0
+
+    total = time.time() - total0
+    out = {
+        "metric": "candidate_pairs_scored_per_sec",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/sec",
+        "queries": {k: round(v, 2) for k, v in q.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "total_sec": round(total, 2),
+        "n_paragraphs": n_pars,
+        "n_records": n_rec,
+        "n_pairs_scored": n_pairs,
+        "n_clusters": n_clusters,
+        "n_dup_pairs": n_dups,
+        "n_ann_rows": n_ann,
+    }
+    spark.stop()
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        scaling = {}
+        for ncpu in (8, 32):
+            s = get_spark("bench-scale", master=f"local[{ncpu}]")
+            s.sparkContext.setLogLevel("ERROR")
+            recs, cnts, _, _, _ = build_records(s, sf_dir)
+            _, n_p, sec = score_segment(s, recs, cnts)
+            scaling[f"local{ncpu}"] = {
+                "pairs_per_sec": round(n_p / sec, 1),
+                "sec": round(sec, 2),
+                "n_pairs": n_p,
+            }
+            s.stop()
+        eff = (
+            scaling["local32"]["pairs_per_sec"]
+            / scaling["local8"]["pairs_per_sec"]
+            / 4.0
+        )
+        scaling["efficiency_8_to_32"] = round(eff, 3)
+        out["scaling"] = scaling
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -201,7 +201,12 @@ def extract_page(
         if text and not any(text.startswith(b) for b in BADSTART + skip):
             # Enrich: add known page self-links, shortest label first,
             # only when present in the text and not shadowed by a real link.
-            for s, e in sorted(all_links, key=lambda x: len(x[0])):
+            # The reference sorts by length only (get_paragraphs.py:73), which
+            # leaves ties to set iteration order — i.e. the per-process string
+            # hash seed; we total-order the key so driver and executors (and
+            # any parallelism level) agree. Same class of determinism delta as
+            # the dict(sorted(links)) note in the module docstring.
+            for s, e in sorted(all_links, key=lambda x: (len(x[0]), x[0], x[1])):
                 if (s in text) and not any(s in l for l, _ in links):
                     links.add((s, e))
             all_links |= links

@@ -7,15 +7,24 @@ deduplicated across block generators with a groupBy on the pair key. The join
 shuffles on ``block_key``; cap_blocks has already bounded per-key fan-out, and
 AQE skew-join covers residual imbalance.
 
-Features:
-- ``lev_sim``: Spark built-in ``levenshtein`` (JVM, whole-stage codegen);
-- ``jacc3``:  char-3gram Jaccard via array_intersect/array_union (JVM);
-- ``jw``:     Jaro-Winkler, Arrow-batched pandas UDF;
-- ``cos_bow``: hashed bag-of-words cosine over each record's context text,
-  Arrow-batched pandas UDF (reference hashvec cousin, vectorize.py:170-181).
+Feature computation is O(records + distinct-name-pairs), not O(pairs):
+
+- name-level features (``lev_sim``, ``jacc3``, ``jw``) are computed ONCE per
+  distinct (name_a, name_b) combination and joined back — within-block pairs
+  overwhelmingly repeat the same few surface-form combinations, so this turns
+  millions of per-pair UDF calls into thousands. ``lev_sim`` is the Spark
+  built-in ``levenshtein`` and ``jacc3`` is array_intersect/array_union (both
+  JVM whole-stage codegen); only Jaro-Winkler is a (tiny) pandas UDF.
+- ``cos_bow`` (hashed bag-of-words cosine over each record's context, the
+  reference hashvec cousin, minimel/vectorize.py:170-181) precomputes one
+  sparse map<int,double> + L2 norm PER RECORD in an Arrow-batched pandas UDF,
+  then evaluates the pair dot product JVM-side with ``aggregate`` over
+  ``map_keys`` — zero Python in the per-pair hot path.
 """
 
 from __future__ import annotations
+
+import zlib
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -23,8 +32,10 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
 from ..functions.normalize import vw_tok
-from ..functions.similarity import hashed_bow, jaro_winkler, sparse_cosine
+from ..functions.similarity import jaro_winkler
 from ..functions.udfs import shingles_udf
+
+BOW_DIM = 1 << 18
 
 
 @F.pandas_udf(T.DoubleType())
@@ -32,14 +43,17 @@ def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([jaro_winkler(x or "", y or "") for x, y in zip(a, b)])
 
 
-@F.pandas_udf(T.DoubleType())
-def bow_cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            sparse_cosine(hashed_bow(vw_tok(x or "")), hashed_bow(vw_tok(y or "")))
-            for x, y in zip(a, b)
-        ]
-    )
+@F.pandas_udf(T.MapType(T.IntegerType(), T.DoubleType()))
+def bow_udf(texts: pd.Series) -> pd.Series:
+    """Hashed bag-of-words (crc32 % 2^18 over vw_tok tokens) as a sparse map."""
+    out = []
+    for t in texts:
+        v: dict[int, float] = {}
+        for tok in vw_tok(t or ""):
+            h = zlib.crc32(tok.encode("utf-8")) % BOW_DIM
+            v[h] = v.get(h, 0.0) + 1.0
+        out.append(v)
+    return pd.Series(out)
 
 
 def candidate_pairs(blocked: DataFrame, rec_id_col: str = "rec_id") -> DataFrame:
@@ -55,32 +69,17 @@ def candidate_pairs(blocked: DataFrame, rec_id_col: str = "rec_id") -> DataFrame
     )
 
 
-def pair_features(
-    pairs: DataFrame,
-    records: DataFrame,
-    rec_id_col: str = "rec_id",
-    name_col: str = "name",
-    text_col: str | None = "text",
-) -> DataFrame:
-    """Attach per-side names/contexts and compute the feature columns."""
-    sides = records.select(
-        F.col(rec_id_col).alias("_rid"),
-        F.col(name_col).alias("_name"),
-        *( [F.col(text_col).alias("_text")] if text_col else [] ),
-    ).withColumn("_sh", shingles_udf(F.col("_name")))
-    a = sides.toDF(*[f"{c}_a" for c in sides.columns])
-    b = sides.toDF(*[f"{c}_b" for c in sides.columns])
-    df = (
-        pairs.join(a, pairs["rec_id_a"] == a["_rid_a"])
-        .join(b, pairs["rec_id_b"] == b["_rid_b"])
-        .drop("_rid_a", "_rid_b")
+def name_pair_features(name_pairs: DataFrame) -> DataFrame:
+    """(name_a, name_b) -> + lev_sim, jacc3, jw. Input should be distinct."""
+    df = name_pairs.withColumn("_sh_a", shingles_udf("name_a")).withColumn(
+        "_sh_b", shingles_udf("name_b")
     )
-    maxlen = F.greatest(F.length("_name_a"), F.length("_name_b"))
-    df = (
+    maxlen = F.greatest(F.length("name_a"), F.length("name_b"))
+    return (
         df.withColumn(
             "lev_sim",
             F.when(maxlen == 0, F.lit(1.0)).otherwise(
-                1.0 - F.levenshtein("_name_a", "_name_b") / maxlen
+                1.0 - F.levenshtein("name_a", "name_b") / maxlen
             ),
         )
         .withColumn(
@@ -92,18 +91,105 @@ def pair_features(
                 / F.size(F.array_union("_sh_a", "_sh_b"))
             ),
         )
-        .withColumn("jw", jw_udf("_name_a", "_name_b"))
+        .withColumn("jw", jw_udf("name_a", "name_b"))
+        .drop("_sh_a", "_sh_b")
     )
+
+
+def record_bow(
+    records: DataFrame, rec_id_col: str = "rec_id", text_col: str = "text"
+) -> DataFrame:
+    """(rec_id) -> (rec_id, bow map<int,double>, bow_norm): one UDF pass per
+    record; norms JVM-side."""
+    return records.select(
+        F.col(rec_id_col).alias("_rid"), bow_udf(F.col(text_col)).alias("bow")
+    ).withColumn(
+        "bow_norm",
+        F.sqrt(
+            F.aggregate(F.map_values("bow"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ),
+    )
+
+
+def _pair_cosine(bow_a, bow_b, norm_a, norm_b):
+    """JVM sparse-dot: iterate the (smaller would be better, but either) key
+    set of side a, look up side b. No Python involved."""
+    dot = F.aggregate(
+        F.map_keys(bow_a),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.element_at(bow_a, k) * F.coalesce(F.element_at(bow_b, k), F.lit(0.0)),
+    )
+    return F.when((norm_a == 0.0) | (norm_b == 0.0), F.lit(0.0)).otherwise(
+        dot / (norm_a * norm_b)
+    )
+
+
+def pair_features(
+    pairs: DataFrame,
+    records: DataFrame,
+    rec_id_col: str = "rec_id",
+    name_col: str = "name",
+    text_col: str | None = "text",
+) -> DataFrame:
+    """Attach per-side names/contexts and compute the feature columns.
+
+    Output: (rec_id_a, rec_id_b, n_blocks, name_a, name_b,
+             lev_sim, jacc3, jw, cos_bow).
+    """
+    ids = records.select(
+        F.col(rec_id_col).alias("_rid"), F.col(name_col).alias("_name")
+    )
+    df = (
+        pairs.join(
+            ids.select(F.col("_rid").alias("rec_id_a"), F.col("_name").alias("name_a")),
+            "rec_id_a",
+        )
+        .join(
+            ids.select(F.col("_rid").alias("rec_id_b"), F.col("_name").alias("name_b")),
+            "rec_id_b",
+        )
+    )
+    # name-level features once per distinct surface-form pair, broadcast back
+    name_feats = name_pair_features(
+        df.select("name_a", "name_b").distinct()
+    )
+    df = df.join(F.broadcast(name_feats), ["name_a", "name_b"])
     if text_col:
-        df = df.withColumn("cos_bow", bow_cosine_udf("_text_a", "_text_b"))
+        bows = record_bow(records, rec_id_col, text_col)
+        df = (
+            df.join(
+                bows.select(
+                    F.col("_rid").alias("rec_id_a"),
+                    F.col("bow").alias("_bow_a"),
+                    F.col("bow_norm").alias("_norm_a"),
+                ),
+                "rec_id_a",
+            )
+            .join(
+                bows.select(
+                    F.col("_rid").alias("rec_id_b"),
+                    F.col("bow").alias("_bow_b"),
+                    F.col("bow_norm").alias("_norm_b"),
+                ),
+                "rec_id_b",
+            )
+            .withColumn(
+                "cos_bow",
+                _pair_cosine(
+                    F.col("_bow_a"), F.col("_bow_b"), F.col("_norm_a"), F.col("_norm_b")
+                ),
+            )
+            .drop("_bow_a", "_bow_b", "_norm_a", "_norm_b")
+        )
     else:
         df = df.withColumn("cos_bow", F.lit(0.0))
     return df.select(
         "rec_id_a",
         "rec_id_b",
         "n_blocks",
-        F.col("_name_a").alias("name_a"),
-        F.col("_name_b").alias("name_b"),
+        "name_a",
+        "name_b",
         "lev_sim",
         "jacc3",
         "jw",

@@ -136,11 +136,15 @@ def run_pipeline(
     )
 
     def _records():
-        # ER records: one per detected mention surface; context = paragraph text
+        # ER records: one per detected mention surface; context = paragraph
+        # text. rec_id is an 8-byte deterministic surrogate of the natural key
+        # (url, par_id, start): pair-generation shuffle volume is dominated by
+        # key bytes, and xxhash64 is partition-invariant. Lineage columns stay
+        # joinable via the same hash.
         return (
             mentions.join(paragraphs.select("url", "par_id", "text"), ["url", "par_id"])
             .select(
-                F.concat_ws("#", "url", F.col("par_id").cast("string"), F.col("start").cast("string")).alias("rec_id"),
+                F.xxhash64("url", "par_id", "start").alias("rec_id"),
                 F.col("surface").alias("name"),
                 "text",
             )
@@ -149,8 +153,14 @@ def run_pipeline(
     records = ckpt.stage("records", _records)
 
     def _pairs():
+        # Identical names -> identical shingles -> identical minhash bands, so
+        # the anchor-dictionary block is subsumed by LSH except for names too
+        # short to shingle — emit dictionary keys only for those.
+        from .functions.udfs import shingles_udf
+
+        shingleless = records.where(F.size(shingles_udf(F.col("name"))) == 0)
         blocked = union_blocks(
-            dictionary_blocks(records, key_col="name"),
+            dictionary_blocks(shingleless, key_col="name"),
             minhash_blocks(records, key_col="name", num_hashes=cfg.num_hashes, bands=cfg.bands),
         )
         blocked = cap_blocks(blocked, max_pairs_per_block=cfg.max_pairs_per_block)
