@@ -34,7 +34,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from minimel_spark.operators.ann import brute_force_topk, embedding_dups, lsh_topk
 from minimel_spark.operators.blocking import dictionary_blocks
-from minimel_spark.operators.clean import anchor_stats, rank_candidates
+from minimel_spark.operators.clean import (
+    anchor_stats,
+    clean,
+    quantile_top_shadowed,
+    rank_candidates,
+)
 from minimel_spark.operators.cluster import connected_components, similarity_edges
 from minimel_spark.operators.count import anchor_counts, counts_to_map, fold_filter
 from minimel_spark.operators.dedup import (
@@ -43,7 +48,8 @@ from minimel_spark.operators.dedup import (
     ngram_jaccard_dups,
     simhash_dups,
 )
-from minimel_spark.operators.evaluate import align_gold_pred, micro_scores
+from minimel_spark.operators.ent_feats import entity_features
+from minimel_spark.operators.evaluate import align_gold_pred, macro_scores, micro_scores
 from minimel_spark.operators.extract import extract_paragraphs
 from minimel_spark.operators.mentions import count_names, detect_mentions, nil_mentions
 from minimel_spark.operators.multimodal import extract_features, synth_media
@@ -66,14 +72,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_CACHE: dict = {}  # (session id, sf_dir, stage) -> persisted DataFrame
+
+
 def _paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return extract_paragraphs(pages_from_documents(docs), doc_title_index(docs))
+    key = (id(spark), sf_dir, "paragraphs")
+    if key not in _CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        _CACHE[key] = extract_paragraphs(
+            pages_from_documents(docs), doc_title_index(docs)
+        ).persist()
+    return _CACHE[key]
 
 
 def _er_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(anchor, qid, cnt): the end-to-end extraction->normalize->count slice."""
-    return anchor_counts(_paragraphs(spark, sf_dir), min_count=1)
+    key = (id(spark), sf_dir, "counts")
+    if key not in _CACHE:
+        _CACHE[key] = anchor_counts(_paragraphs(spark, sf_dir), min_count=1).persist()
+    return _CACHE[key]
 
 
 def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,6 +318,140 @@ mcs AS (
 SELECT count(*)::BIGINT AS support,
        round(avg(CASE WHEN l.qid = m.qid THEN 1.0 ELSE 0.0 END), 6) AS micro_f1
 FROM links l JOIN mcs m ON m.anchor = l.word"""
+
+
+def q_er_eval_macro(spark, sf_dir):
+    pars = _paragraphs(spark, sf_dir)
+    gold = pars.select(
+        F.col("url").alias("doc_id"), F.explode("links").alias("name", "gold_qid")
+    )
+    m = (
+        _mentions(spark, sf_dir)
+        .select(F.col("url").alias("doc_id"), F.col("surface").alias("name"))
+        .distinct()
+        .withColumn("anchor", F.col("name"))
+    )
+    pred = predict_cascade(m, counts=_er_counts(spark, sf_dir)).select(
+        "doc_id", "name", "pred_qid"
+    )
+    aligned = align_gold_pred(gold, pred)
+    return macro_scores(aligned).select(
+        F.round("macro_precision", 6).alias("macro_precision"),
+        F.round("macro_recall", 6).alias("macro_recall"),
+        F.round("macro_f1", 6).alias("macro_f1"),
+    )
+
+
+SQL_ER_EVAL_MACRO = f"""WITH {_W},
+mcs AS (
+  SELECT anchor, qid FROM (
+    SELECT anchor, qid,
+           row_number() OVER (PARTITION BY anchor ORDER BY cnt DESC, qid ASC) AS rn
+    FROM counts) WHERE rn = 1),
+aligned AS (
+  SELECT l.qid AS gold_qid, m.qid AS pred_qid
+  FROM links l JOIN mcs m ON m.anchor = l.word),
+classes AS (
+  SELECT gold_qid AS q FROM aligned UNION SELECT pred_qid FROM aligned),
+tp AS (SELECT gold_qid AS q, count(*) AS tp FROM aligned
+       WHERE gold_qid = pred_qid GROUP BY 1),
+g AS (SELECT gold_qid AS q, count(*) AS n_gold FROM aligned GROUP BY 1),
+pr AS (SELECT pred_qid AS q, count(*) AS n_pred FROM aligned GROUP BY 1),
+per AS (
+  SELECT classes.q,
+         coalesce(coalesce(tp.tp, 0)::DOUBLE / pr.n_pred, 0.0) AS p,
+         coalesce(coalesce(tp.tp, 0)::DOUBLE / g.n_gold, 0.0) AS r
+  FROM classes LEFT JOIN tp USING (q) LEFT JOIN g USING (q) LEFT JOIN pr USING (q)),
+f AS (SELECT q, p, r,
+             CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END AS f1
+      FROM per)
+SELECT round(avg(p), 6) AS macro_precision, round(avg(r), 6) AS macro_recall,
+       round(avg(f1), 6) AS macro_f1
+FROM f"""
+
+
+def q_er_top_shadowed(spark, sf_dir):
+    """O2/O3 (clean.py:249-262): global top-quantile shadowed-candidate cut."""
+    ranked = rank_candidates(
+        _er_counts(spark, sf_dir)
+        .withColumn("weight", (F.col("cnt") + 1).cast("long"))
+        .select("anchor", "qid", "weight")
+    )
+    out = quantile_top_shadowed(ranked, quantile=0.5)
+    return out.select(
+        "anchor",
+        F.col("qid").cast("long").alias("qid"),
+        "weight",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+SQL_ER_TOP_SHADOWED = f"""WITH {_W},
+ranked AS (
+  SELECT anchor, qid, cnt + 1 AS weight,
+         row_number() OVER (PARTITION BY anchor
+                            ORDER BY cnt + 1 DESC, qid ASC)::BIGINT AS rank
+  FROM counts),
+shadowed AS (SELECT * FROM ranked WHERE rank > 1),
+kept AS (
+  SELECT anchor, qid, weight, rank FROM (
+    SELECT *, row_number() OVER (ORDER BY weight DESC, anchor DESC, qid DESC) AS rn
+    FROM shadowed)
+  WHERE rn <= (SELECT floor(0.5 * count(*)) FROM shadowed))
+SELECT anchor, qid, weight, rank FROM kept
+UNION ALL
+SELECT r.anchor, r.qid, r.weight, r.rank FROM ranked r
+WHERE r.rank = 1 AND r.anchor IN (SELECT anchor FROM kept)"""
+
+
+def q_er_clean_candidates(spark, sf_dir):
+    """Full cleaning stage E2E (A4-A7, J8, J9, O1; tokenscore shingle join is
+    UDF-backed — rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = _er_counts(spark, sf_dir)
+    out = clean(counts, doc_title_index(docs), min_count=1)
+    return out.select(
+        "anchor",
+        F.col("qid").cast("long").alias("qid"),
+        F.col("weight").cast("long").alias("weight"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ent_features(spark, sf_dir):
+    """J5/J6/A8/A9 over triples derived from lineitem (s=orderkey,
+    p=linenumber, o=partkey); entities = orderkeys with status F."""
+    li = _t(spark, sf_dir, "lineitem")
+    spo = li.select(
+        F.col("l_orderkey").alias("s"),
+        F.col("l_linenumber").cast("long").alias("p"),
+        F.col("l_partkey").alias("o"),
+    )
+    ents = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("s"))
+    )
+    out = entity_features(spo, ents, part=0.5)
+    return out.select(
+        F.col("s").cast("long").alias("s"),
+        "feats",
+        F.col("n_feats").cast("long").alias("n_feats"),
+    )
+
+
+SQL_ENT_FEATURES = """
+WITH spo AS (
+  SELECT l_orderkey AS s, l_linenumber::BIGINT AS p, l_partkey AS o FROM lineitem),
+ents AS (SELECT DISTINCT o_orderkey AS s FROM orders WHERE o_orderstatus = 'F'),
+j AS (SELECT spo.* FROM spo JOIN ents USING (s)),
+po AS (SELECT p, o, count(*) AS df FROM j GROUP BY 1, 2),
+t AS (SELECT quantile_cont(df, 0.5) AS t FROM po),
+kept AS (SELECT p, o FROM po, t WHERE df >= t.t),
+f AS (SELECT DISTINCT s, 'P' || p || 'Q' || o AS feat FROM j JOIN kept USING (p, o))
+SELECT s::BIGINT AS s, string_agg(feat, ' ' ORDER BY feat) AS feats,
+       count(*)::BIGINT AS n_feats
+FROM f GROUP BY s"""
 
 
 def q_er_fold_counts(spark, sf_dir):
@@ -983,7 +1134,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_nil_mentions": q_er_nil_mentions,
     "er_predict_cascade": q_er_predict_cascade,
     "er_eval_micro": q_er_eval_micro,
+    "er_eval_macro": q_er_eval_macro,
+    "er_top_shadowed": q_er_top_shadowed,
+    "er_clean_candidates": q_er_clean_candidates,
     "er_fold_counts": q_er_fold_counts,
+    "ent_features": q_ent_features,
     # clustering (M4, CC)
     "m4_similarity_edges": q_m4_similarity_edges,
     "cc_components": q_cc_components,
@@ -1030,6 +1185,9 @@ _ORACLES: dict[str, str] = {
     "er_nil_mentions": SQL_ER_NIL_MENTIONS,
     "er_predict_cascade": SQL_ER_PREDICT,
     "er_eval_micro": SQL_ER_EVAL_MICRO,
+    "er_eval_macro": SQL_ER_EVAL_MACRO,
+    "er_top_shadowed": SQL_ER_TOP_SHADOWED,
+    "ent_features": SQL_ENT_FEATURES,
     "m4_similarity_edges": SQL_M4_EDGES,
     "cc_components": SQL_CC,
     "pair_features": SQL_PAIR_FEATURES,

@@ -160,8 +160,12 @@ def main():
     spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        scale_cpus = [
+            int(x)
+            for x in os.environ.get("SPARK_GRAFT_SCALE_CPUS", "8,32").split(",")
+        ]
         scaling = {}
-        for ncpu in (8, 32):
+        for ncpu in scale_cpus:
             s = get_spark("bench-scale", master=f"local[{ncpu}]")
             s.sparkContext.setLogLevel("ERROR")
             recs, cnts, _, _, _ = build_records(s, sf_dir)
@@ -172,12 +176,13 @@ def main():
                 "n_pairs": n_p,
             }
             s.stop()
+        lo, hi = scale_cpus[0], scale_cpus[-1]
         eff = (
-            scaling["local32"]["pairs_per_sec"]
-            / scaling["local8"]["pairs_per_sec"]
-            / 4.0
+            scaling[f"local{hi}"]["pairs_per_sec"]
+            / scaling[f"local{lo}"]["pairs_per_sec"]
+            / (hi / lo)
         )
-        scaling["efficiency_8_to_32"] = round(eff, 3)
+        scaling[f"efficiency_{lo}_to_{hi}"] = round(eff, 3)
         out["scaling"] = scaling
 
     print(json.dumps(out))
