@@ -454,6 +454,29 @@ SELECT s::BIGINT AS s, string_agg(feat, ' ' ORDER BY feat) AS feats,
 FROM f GROUP BY s"""
 
 
+def q_er_pipeline_clusters(spark, sf_dir):
+    """Full ER pipeline E2E (extraction -> counts -> clean -> mentions ->
+    blocking -> pair scoring -> LR -> connected components); iterative + ML,
+    rows-only check. Bounded to 150 docs to keep the gate fast."""
+    from minimel_spark.pipeline import PipelineConfig, run_pipeline
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    pages = pages_from_documents(docs)
+    index = doc_title_index(docs)
+    out = run_pipeline(
+        spark,
+        pages,
+        index,
+        config=PipelineConfig(min_count=1, max_pairs_per_block=2000),
+    )
+    # one row per mention record: row COUNT is model-independent (stable for
+    # the driver's rows-only check even if borderline match scores flip)
+    return out["er_clusters"].select(
+        F.col("rec_id").cast("long").alias("rec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_er_fold_counts(spark, sf_dir):
     """X5 fold selector (xxhash64-based — no DuckDB equivalent; rows-only)."""
     pars = fold_filter(_paragraphs(spark, sf_dir), ["url", "par_id"], split=5, fold=0)
@@ -1137,6 +1160,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_eval_macro": q_er_eval_macro,
     "er_top_shadowed": q_er_top_shadowed,
     "er_clean_candidates": q_er_clean_candidates,
+    "er_pipeline_clusters": q_er_pipeline_clusters,
     "er_fold_counts": q_er_fold_counts,
     "ent_features": q_ent_features,
     # clustering (M4, CC)
