@@ -32,8 +32,14 @@ def fold_filter(df: DataFrame, keys, split: int | None, fold: int | None, keep: 
 
 def explode_anchors(paragraph_links: DataFrame, language: str | None = None) -> DataFrame:
     """(url, par_id, links, text) -> (url, par_id, anchor, qid) with normalized
-    anchors; dropped anchors (normalize -> null) are filtered out."""
-    norm = normalize_lang_udf(language)
+    anchors; dropped anchors (normalize -> null) are filtered out.
+
+    The UDF is marked nondeterministic ONLY to stop Catalyst pushing the
+    isNotNull filter into a second ArrowEvalPython node (it duplicated the
+    normalize call per row); the function itself is pure, so task re-execution
+    is safe. One UDF evaluation per anchor, verified via .explain.
+    """
+    norm = normalize_lang_udf(language).asNondeterministic()
     return (
         paragraph_links.select(
             "url", "par_id", F.explode("links").alias("anchor_raw", "qid")
