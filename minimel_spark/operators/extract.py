@@ -46,31 +46,46 @@ def page_title(url_col):
 
 
 def extract_paragraphs(
-    pages: DataFrame, title_index: DataFrame, skip: tuple[str, ...] = ()
+    pages: DataFrame,
+    title_index: DataFrame,
+    skip: tuple[str, ...] = (),
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) -> (url, par_id, links, text).
+    """pages(url, warc_ts, html, text, lang) -> (url, par_id, links, text
+    [, carry_cols...]).
 
     ``title_index`` must be a small dimension DataFrame[title string, qid long];
-    it is collected once and broadcast to executors.
+    it is collected once and broadcast to executors. ``carry_cols`` are page
+    columns replicated onto every output paragraph (e.g. ``warc_ts`` for
+    event-time streaming aggregations) — carried through the UDF so the stage
+    stays a single scan -> mapInPandas with no join back to pages.
     """
     spark = pages.sparkSession
     index = {r["title"]: int(r["qid"]) for r in title_index.collect()}
     bc = spark.sparkContext.broadcast(index)
     skip = tuple(skip)
+    carry_cols = tuple(carry_cols)
+    in_fields = {f.name: f for f in pages.schema.fields}
+    schema = T.StructType(
+        list(PARAGRAPH_SCHEMA.fields) + [in_fields[c] for c in carry_cols]
+    )
 
     def gen(batches):
         idx = bc.value
         for pdf in batches:
-            out_url, out_pid, out_links, out_text = [], [], [], []
-            for url, mwcode in zip(pdf["url"], pdf["text"]):
+            out = {"url": [], "par_id": [], "links": [], "text": []}
+            carry = {c: [] for c in carry_cols}
+            for row_i, (url, mwcode) in enumerate(zip(pdf["url"], pdf["text"])):
                 name = url.rsplit("/", 1)[-1].split("?")[0]
                 for i, (links, text) in enumerate(extract_page(name, mwcode, idx, skip)):
-                    out_url.append(url)
-                    out_pid.append(i)
-                    out_links.append(links)
-                    out_text.append(text)
-            yield pd.DataFrame(
-                {"url": out_url, "par_id": out_pid, "links": out_links, "text": out_text}
-            )
+                    out["url"].append(url)
+                    out["par_id"].append(i)
+                    out["links"].append(links)
+                    out["text"].append(text)
+                    for c in carry_cols:
+                        carry[c].append(pdf[c].iloc[row_i])
+            out.update(carry)
+            yield pd.DataFrame(out)
 
-    return pages.select("url", "text").mapInPandas(gen, schema=PARAGRAPH_SCHEMA)
+    cols = ["url", "text", *carry_cols]
+    return pages.select(*cols).mapInPandas(gen, schema=schema)

@@ -74,6 +74,17 @@ def match_edges(scored: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def audit_matcher(model, feature_cols: list[str] | None = None):
+    """L4 (minimel/audit.py:5-43): inspect the trained matcher — one row per
+    feature with its LR coefficient, plus the intercept under feature
+    '(intercept)'. Returns a list of (feature, coefficient) tuples."""
+    feature_cols = feature_cols or FEATURE_COLS
+    lr = model.stages[-1]
+    coefs = list(zip(feature_cols, [float(c) for c in lr.coefficients]))
+    coefs.append(("(intercept)", float(lr.intercept)))
+    return coefs
+
+
 # ---------------- entity-linking predict cascade (L2/L3/A12) ----------------
 
 

@@ -1,0 +1,120 @@
+"""Structured Streaming ingest + physical-plan assertions."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from minimel_spark.operators.count import anchor_counts
+from minimel_spark.operators.extract import extract_paragraphs
+from minimel_spark.plans import assert_scan_columns, count_plan_nodes
+from minimel_spark.sources.synth import synth_pages, synth_title_index
+from minimel_spark.streaming import (
+    stream_anchor_counts,
+    stream_pages,
+    windowed_mention_volume,
+)
+from minimel_spark.streaming.ingest import run_to_sink
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages_stream"))
+    synth_pages(spark, n_pages=120, seed=7).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_anchor_counts_equals_batch(spark, pages_dir, tmp_path):
+    """The streaming aggregation drained with availableNow must equal the
+    batch operator on the same files (same operators, same state)."""
+    index = synth_title_index(spark)
+    stream = stream_anchor_counts(stream_pages(spark, pages_dir), index)
+    q = run_to_sink(stream, str(tmp_path / "ckpt"), output_mode="complete")
+    q.awaitTermination(120)
+    got = {
+        (r["anchor"], r["qid"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM minimel_stream").collect()
+    }
+    batch = anchor_counts(
+        extract_paragraphs(spark.read.parquet(pages_dir), index), min_count=1
+    )
+    want = {(r["anchor"], r["qid"]): r["cnt"] for r in batch.collect()}
+    assert got == want
+
+
+def test_windowed_mention_volume_watermark(spark, pages_dir, tmp_path):
+    """Append-mode windows flush only once the watermark passes them: the
+    first drain (all events in hour 00) emits nothing; a second batch 12h
+    later advances the watermark and flushes hour-00 windows — and the
+    still-open 12h window stays unflushed."""
+    index = synth_title_index(spark)
+    src = str(tmp_path / "src")
+    synth_pages(spark, n_pages=120, seed=7).write.mode("overwrite").parquet(src)
+
+    def drain():
+        stream = windowed_mention_volume(
+            stream_pages(spark, src), index, window="1 hour", watermark="2 hours"
+        )
+        q = run_to_sink(
+            stream, str(tmp_path / "ckpt2"), out_path=str(tmp_path / "out"),
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    drain()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 0, "watermark has not passed the only open window yet"
+
+    late = synth_pages(spark, n_pages=20, seed=9).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 12 HOURS")
+    )
+    late.write.mode("append").parquet(src)
+    drain()
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert rows, "hour-00 windows must flush once the watermark passed them"
+    for r in rows:
+        assert r["window_start"].minute == 0 and r["window_start"].second == 0
+        assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
+        assert r["window_start"].hour == 0, "the 12h window is still open"
+        assert r["cnt"] >= 1
+
+
+def test_carry_cols_passthrough(spark):
+    pages = synth_pages(spark, n_pages=10, seed=3)
+    index = synth_title_index(spark)
+    pars = extract_paragraphs(pages, index, carry_cols=("warc_ts", "lang"))
+    assert {"url", "par_id", "links", "text", "warc_ts", "lang"} <= set(pars.columns)
+    joined = pars.select("url", "lang").distinct().join(
+        pages.select("url", F.col("lang").alias("lang2")), "url"
+    )
+    assert joined.where(F.col("lang") != F.col("lang2")).count() == 0
+
+
+# ---------- plan assertions (performance regressions fail loudly) ----------
+
+
+def test_anchor_counts_plan_single_udf_and_pruned_scan(spark, pages_dir):
+    index = synth_title_index(spark)
+    counts = anchor_counts(
+        extract_paragraphs(spark.read.parquet(pages_dir), index), min_count=2
+    )
+    # normalize UDF must be evaluated once (regression: Catalyst duplicated it
+    # into the pushed isNotNull filter)
+    assert count_plan_nodes(counts, "ArrowEvalPython") == 1
+    # column pruning must reach the parquet scan: url + text only
+    assert_scan_columns(counts, {"url", "text"})
+
+
+def test_pair_features_broadcasts_name_features(spark):
+    from minimel_spark.operators.pairs import candidate_pairs, pair_features
+
+    recs = spark.createDataFrame(
+        [(1, "acme corp", "x y"), (2, "acme co", "y z"), (3, "acme corp", "x")],
+        "rec_id long, name string, text string",
+    )
+    # a real (non-literal) key — a literal would constant-fold the equi-join
+    # into a cartesian product in the plan
+    blocked = recs.withColumn("block_key", F.substring("name", 1, 4))
+    feats = pair_features(candidate_pairs(blocked), recs)
+    assert count_plan_nodes(feats, "BroadcastHashJoin") >= 1
+    assert count_plan_nodes(feats, "CartesianProduct") == 0
