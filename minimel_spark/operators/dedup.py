@@ -101,11 +101,19 @@ def minhash_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs + exact Jaccard verification (scale path)."""
+    """MinHash-LSH candidate pairs + exact Jaccard verification (scale path).
+
+    Before the exact verify (which joins the full shingle arrays onto every
+    candidate pair), candidates are prefiltered on shingle-set SIZES alone:
+    J(A,B) >= t implies t <= |A|/|B| <= 1/t, so the size-ratio filter is
+    lossless and runs on two longs per pair instead of two arrays — at scale
+    the array join is the expensive part of verification.
+    """
     from .blocking import minhash_signature
 
     rows_per_band = num_hashes // bands
     sh = shingle_docs(docs, text_col, id_col, n).where(F.size("shingles") > 0)
+    sh = sh.withColumn("n_sh", F.size("shingles"))
     sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
     band_keys = F.array(
         *[
@@ -116,10 +124,20 @@ def minhash_dups(
             for b in range(bands)
         ]
     )
-    blocked = sig.select(id_col, F.explode(band_keys).alias("bk"))
-    a = blocked.select(F.col(id_col).alias("id_a"), "bk")
-    b = blocked.select(F.col(id_col).alias("id_b"), "bk")
-    cand = a.join(b, "bk").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    blocked = sig.select(id_col, "n_sh", F.explode(band_keys).alias("bk"))
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "bk")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "bk")
+    cand = (
+        a.join(b, "bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        # lossless size-ratio prefilter: intersection <= min size, union >=
+        # max size, so J <= min/max — drop pairs that cannot reach threshold
+        .where(
+            F.least("n_a", "n_b") >= threshold * F.greatest("n_a", "n_b")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
