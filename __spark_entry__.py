@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from minimel_spark.operators.ann import brute_force_topk, embedding_dups, lsh_topk
+from minimel_spark.operators.ann import (
+    brute_force_topk,
+    embedding_dups,
+    ivf_topk,
+    lsh_topk,
+)
 from minimel_spark.operators.blocking import dictionary_blocks
 from minimel_spark.operators.clean import (
     anchor_stats,
@@ -746,6 +751,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF top-k (k-means coarse quantizer + probed cells; approximate —
+    rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 16)
+    out = ivf_topk(emb, queries, dim=64, k=10, n_cells=8, n_probe=4)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
 def q_ann_embedding_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs via LSH buckets (rows-only check)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1177,6 +1196,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ANN
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ann_embedding_dups": q_ann_embedding_dups,
     # text analysis
     "text_token_stats": q_text_token_stats,

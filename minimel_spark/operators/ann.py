@@ -156,6 +156,103 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _lloyd(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic driver-side k-means on a (small) sample — the coarse
+    quantizer codebook. At corpus scale the codebook is always fit on a
+    sample; doing it in numpy keeps it partition-invariant."""
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer -> corpus rows assigned
+    to their nearest cell -> each query probes its n_probe nearest cells ->
+    exact cosine re-rank inside probed cells.
+
+    vs LSH: cells adapt to the data distribution (better recall per candidate
+    at the same fan-in); the codebook is a broadcast numpy matrix, cell
+    assignment is one matmul per Arrow batch, and the probe join is a plain
+    equi-join on cell id — all Catalyst-visible.
+    """
+    spark = corpus.sparkSession
+    sample = np.array(
+        [
+            r[1]
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cents = _lloyd(sample, n_cells)
+    bc = spark.sparkContext.broadcast(cents)
+    assign_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("cell", T.IntegerType())]
+    )
+
+    def assign(batches):
+        c = bc.value
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "cell": d.argmin(axis=1).astype("int32")}
+            )
+
+    corpus_cells = corpus.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+
+    probe_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("cell", T.IntegerType())]
+    )
+
+    def probe(batches):
+        c = bc.value
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cells = np.argsort(d, axis=1)[:, :n_probe]
+            ids = np.repeat(pdf[id_col].to_numpy(), cells.shape[1])
+            yield pd.DataFrame({"id": ids, "cell": cells.ravel().astype("int32")})
+
+    query_cells = queries.select(id_col, vec_col).mapInPandas(probe, probe_schema)
+
+    cand = (
+        query_cells.select(F.col("id").alias("query_id"), "cell")
+        .join(corpus_cells.select(F.col("id").alias("vec_id"), "cell"), "cell")
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
+        .withColumn("sim", cosine_udf("_qv", "_cv"))
+        .drop("_qv", "_cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_dups(
     corpus: DataFrame,
     dim: int,

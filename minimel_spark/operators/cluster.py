@@ -105,8 +105,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     prev_sig = None
     for _ in range(max_iter):
         ls = _large_star(cur)
-        sym = _symmetrize(ls)
-        ss = _small_star(sym)
+        # _small_star orients high->low itself, so feeding it the raw
+        # large-star output is equivalent to symmetrizing first — one fewer
+        # union+distinct shuffle per round.
+        ss = _small_star(ls)
         cur = _symmetrize(ss).localCheckpoint(eager=True)
         sig_row = cur.agg(
             F.count(F.lit(1)).alias("n"),

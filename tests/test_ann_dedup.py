@@ -1,0 +1,102 @@
+"""ANN (brute-force / LSH / IVF) + dedup operator tests."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from minimel_spark.operators.ann import brute_force_topk, ivf_topk, lsh_topk
+from minimel_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dups,
+    ngram_jaccard_dups,
+    simhash_dups,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def test_brute_force_topk_exact_and_self_first(spark, emb):
+    q = emb.where(F.col("vec_id") < 8)
+    got = brute_force_topk(emb, q, k=5)
+    top1 = {r["query_id"]: r["vec_id"] for r in got.where(F.col("rank") == 1).collect()}
+    assert top1 == {i: i for i in range(8)}, "each vector's nearest neighbor is itself"
+    assert got.groupBy("query_id").count().where(F.col("count") != 5).count() == 0
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    q = emb.where(F.col("vec_id") < 16)
+    exact = _topk_sets(brute_force_topk(emb, q, k=10))
+    approx = _topk_sets(ivf_topk(emb, q, dim=64, k=10, n_cells=8, n_probe=4))
+    recall = sum(len(exact[i] & approx.get(i, set())) for i in exact) / sum(
+        len(v) for v in exact.values()
+    )
+    assert recall >= 0.6, f"IVF recall {recall} too low for n_probe=4/8 cells"
+
+
+def test_ivf_partition_invariant(spark, emb):
+    q = emb.where(F.col("vec_id") < 4)
+    a = ivf_topk(emb.repartition(2), q, dim=64, k=5, n_cells=8, n_probe=2)
+    b = ivf_topk(emb.repartition(13), q, dim=64, k=5, n_cells=8, n_probe=2)
+    ra = sorted((r["query_id"], r["vec_id"], r["rank"]) for r in a.collect())
+    rb = sorted((r["query_id"], r["vec_id"], r["rank"]) for r in b.collect())
+    assert ra == rb
+
+
+def test_lsh_topk_subset_of_corpus(spark, emb):
+    q = emb.where(F.col("vec_id") < 4)
+    got = lsh_topk(emb, q, dim=64, k=5)
+    assert got.where(F.col("rank") > 5).count() == 0
+    assert got.count() > 0
+
+
+def test_exact_dedup_flags_identical_texts(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: (r["canonical_id"], r["is_duplicate"]) for r in exact_dedup(docs).collect()}
+    assert rows == {1: (1, False), 2: (1, True), 3: (3, False)}
+
+
+def test_ngram_jaccard_blocking_is_lossless(spark):
+    """Shared-shingle blocking must equal brute force for threshold > 0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox leaps"),
+            (3, "lorem ipsum dolor sit amet"),
+            (4, "the quick brown fox jumps"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_dups(docs, threshold=0.3, n=2, max_docs_per_shingle=None).collect()
+    }
+    # brute force by hand: docs 1,4 identical (J=1); 1-2 and 2-4 share 3 of 5
+    # distinct 2-grams each side -> J = 3/5
+    assert got[(1, 4)] == 1.0
+    assert got[(1, 2)] == got[(2, 4)] == round(3 / 5, 6)
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_minhash_verify_never_false_positive(spark, documents):
+    d = minhash_dups(documents, threshold=0.8, n=1)
+    assert d.where(F.col("jaccard") < 0.8).count() == 0
+
+
+def test_simhash_identical_texts_distance_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_dups(docs, max_hamming=64).collect()}
+    assert pairs.get((1, 2)) == 0

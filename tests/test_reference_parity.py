@@ -1,0 +1,88 @@
+"""Byte-identity property tests against the REFERENCE'S OWN code.
+
+The north rule requires byte-identical normalized anchors / tokens vs the
+reference. These tests load the reference functions *from /root/reference at
+test runtime* (read-only; nothing is copied into this repo) and compare them
+with this engine's implementations on hypothesis-generated adversarial
+strings. Skipped automatically when the reference checkout is absent.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from minimel_spark.functions.normalize import char_shingles, normalize, vw_tok
+
+REF = "/root/reference/minimel"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF), reason="reference checkout not available"
+)
+
+
+def _load_ref_normalize():
+    spec = importlib.util.spec_from_file_location(
+        "_ref_normalize", os.path.join(REF, "normalize.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.normalize
+
+
+def _exec_ref_function(filename: str, func_name: str, extra_globals: dict):
+    """Execute one top-level function definition from a reference source file
+    in an isolated namespace (the surrounding module has unimportable deps)."""
+    src = open(os.path.join(REF, filename)).read()
+    m = re.search(
+        rf"^def {func_name}\(.*?(?=^\S)", src, flags=re.M | re.S
+    )
+    assert m, f"{func_name} not found in {filename}"
+    ns = dict(extra_globals)
+    exec(compile(m.group(0), filename, "exec"), ns)
+    return ns[func_name]
+
+
+REF_NORMALIZE = _load_ref_normalize()
+REF_TOKENS = _exec_ref_function("clean.py", "tokens", {"re": re})
+REF_VW_TOK = _exec_ref_function(
+    "vectorize.py", "vw_tok", {"token_pattern": re.compile(r"(?u)\b\w+\b")}
+)
+
+# Adversarial alphabet: the BADCHARS set, html entities, underscores,
+# qualifiers, digits/dates, plus plain text and full unicode.
+_tricky = st.text(
+    alphabet="'\"〞「❜❞＂”‚〝»‟―‹›❛❮’‘〟❯„‛“❝«()_&; aA09-/—<>ü漢.#",
+    max_size=40,
+)
+_entities = st.sampled_from(
+    ["&nbsp;", "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&eacute;"]
+)
+_mixed = st.builds(
+    lambda parts: "".join(parts),
+    st.lists(st.one_of(_tricky, _entities, st.text(max_size=10)), max_size=6),
+)
+
+
+@settings(max_examples=300, derandomize=True)
+@given(st.one_of(_tricky, _mixed, st.text(max_size=60)))
+def test_normalize_byte_identical(a):
+    ours = normalize(a)
+    ref = list(REF_NORMALIZE(a))
+    assert ([ours] if ours is not None else []) == ref
+
+
+@settings(max_examples=200, derandomize=True)
+@given(st.one_of(_mixed, st.text(max_size=60)))
+def test_char_shingles_byte_identical(s):
+    assert char_shingles(s) == REF_TOKENS(s)
+
+
+@settings(max_examples=200, derandomize=True)
+@given(st.one_of(_mixed, st.text(max_size=60)))
+def test_vw_tok_byte_identical(s):
+    assert vw_tok(s) == REF_VW_TOK(s)
