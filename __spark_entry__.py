@@ -54,7 +54,12 @@ from minimel_spark.operators.dedup import (
     simhash_dups,
 )
 from minimel_spark.operators.ent_feats import entity_features
-from minimel_spark.operators.evaluate import align_gold_pred, macro_scores, micro_scores
+from minimel_spark.operators.evaluate import (
+    align_gold_pred,
+    macro_scores,
+    micro_scores,
+    per_name_scores,
+)
 from minimel_spark.operators.extract import extract_paragraphs
 from minimel_spark.operators.mentions import count_names, detect_mentions, nil_mentions
 from minimel_spark.operators.multimodal import extract_features, synth_media
@@ -373,6 +378,40 @@ f AS (SELECT q, p, r,
 SELECT round(avg(p), 6) AS macro_precision, round(avg(r), 6) AS macro_recall,
        round(avg(f1), 6) AS macro_f1
 FROM f"""
+
+
+def q_er_per_name_scores(spark, sf_dir):
+    """X6 per-name breakdown (run.py:59-63): accuracy per name restricted to
+    names with >1 distinct gold label."""
+    pars = _paragraphs(spark, sf_dir)
+    gold = pars.select(
+        F.col("url").alias("doc_id"), F.explode("links").alias("name", "gold_qid")
+    )
+    m = gold.select("doc_id", "name").withColumn("anchor", F.col("name"))
+    pred = predict_cascade(m, counts=_er_counts(spark, sf_dir)).select(
+        "doc_id", "name", "pred_qid"
+    )
+    aligned = align_gold_pred(gold, pred)
+    return per_name_scores(aligned).select(
+        "name",
+        F.col("support").cast("long").alias("support"),
+        F.round("accuracy", 6).alias("accuracy"),
+    )
+
+
+SQL_ER_PER_NAME = f"""WITH {_W},
+mcs AS (
+  SELECT anchor, qid FROM (
+    SELECT anchor, qid,
+           row_number() OVER (PARTITION BY anchor ORDER BY cnt DESC, qid ASC) AS rn
+    FROM counts) WHERE rn = 1),
+aligned AS (
+  SELECT l.word AS name, l.qid AS gold_qid, m.qid AS pred_qid
+  FROM links l JOIN mcs m ON m.anchor = l.word)
+SELECT name, count(*)::BIGINT AS support,
+       round(avg(CASE WHEN gold_qid = pred_qid THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+FROM aligned GROUP BY name
+HAVING count(DISTINCT gold_qid) > 1"""
 
 
 def q_er_top_shadowed(spark, sf_dir):
@@ -1177,6 +1216,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_predict_cascade": q_er_predict_cascade,
     "er_eval_micro": q_er_eval_micro,
     "er_eval_macro": q_er_eval_macro,
+    "er_per_name_scores": q_er_per_name_scores,
     "er_top_shadowed": q_er_top_shadowed,
     "er_clean_candidates": q_er_clean_candidates,
     "er_pipeline_clusters": q_er_pipeline_clusters,
@@ -1230,6 +1270,7 @@ _ORACLES: dict[str, str] = {
     "er_predict_cascade": SQL_ER_PREDICT,
     "er_eval_micro": SQL_ER_EVAL_MICRO,
     "er_eval_macro": SQL_ER_EVAL_MACRO,
+    "er_per_name_scores": SQL_ER_PER_NAME,
     "er_top_shadowed": SQL_ER_TOP_SHADOWED,
     "ent_features": SQL_ENT_FEATURES,
     "m4_similarity_edges": SQL_M4_EDGES,

@@ -178,6 +178,8 @@ def run_pipeline(
             train,
             weight_col="cost_weight" if cfg.balanced else None,
         )
+        if workdir:  # K5/D10: persist the matcher next to the checkpoints
+            model.write().overwrite().save(f"{workdir}/matcher_model")
         return score_pairs(model, feats)
 
     scored = ckpt.stage("scored_pairs", _scored)
