@@ -95,6 +95,91 @@ def extract_features(
     return media.select("media_id", "kind", "payload").mapInPandas(gen, _FEAT_SCHEMA)
 
 
+_RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, fake: bool = True
+) -> DataFrame:
+    """Image resize plumbing: (media_id, payload, …) -> resized payload with
+    updated typed metadata. The pixel op is STUBBED (no PIL here): the fake
+    path emits a deterministic sha-derived payload of plausible size so the
+    schema/batching/partitioning contract is real and testable."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "real resize requires PIL/opencv; pass fake=True"
+                    )
+                digest = hashlib.sha256((p or b"") + f"{width}x{height}".encode()).digest()
+                # deterministic stand-in payload, size ∝ target area
+                reps = max(1, (width * height) // (16 * len(digest)))
+                ids.append(mid)
+                payloads.append(digest * reps)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                }
+            )
+
+    imgs = media.where(F.col("kind") == "image")
+    return imgs.select("media_id", "payload").mapInPandas(gen, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("ts_ms", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, fake: bool = True
+) -> DataFrame:
+    """Video/audio frame sampling plumbing: one output row per sampled frame
+    at ``every_ms`` intervals across ``duration_ms`` (typed metadata drives
+    fan-out). Decode is STUBBED: fake frames are sha-derived from
+    (payload, ts) — deterministic at any parallelism."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "ts_ms": [], "payload": []}
+            for mid, p, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if not fake:
+                    raise NotImplementedError(
+                        "real frame extraction requires ffmpeg/opencv; pass fake=True"
+                    )
+                n = max(1, int(dur or 0) // every_ms)
+                for i in range(n):
+                    ts = i * every_ms
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(ts)
+                    out["payload"].append(
+                        hashlib.sha256((p or b"") + ts.to_bytes(8, "big")).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    vids = media.where(F.col("duration_ms").isNotNull())
+    return vids.select("media_id", "payload", "duration_ms").mapInPandas(
+        gen, _FRAME_SCHEMA
+    )
+
+
 def repartition_by_bytes(
     media: DataFrame, target_bytes_per_partition: int = 128 << 20
 ) -> DataFrame:
