@@ -1104,43 +1104,52 @@ SELECT DISTINCT o_custkey::BIGINT FROM orders WHERE o_orderpriority = '1-URGENT'
 
 
 def q_rel_sessionize(spark, sf_dir):
+    # NTZ -> TZ cast goes through the session timezone; all downstream values
+    # are RELATIVE (gaps, start offset from the user's first event), so any
+    # constant tz offset cancels and the oracle matches under any session tz.
     ev = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")  # parquet NTZ -> TZ (session tz = UTC)
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    df = ev.withColumn(
-        "is_new", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
-    ).withColumn(
-        "session_idx",
-        F.sum("is_new").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    df = (
+        ev.withColumn(
+            "is_new", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("first_us", F.min("us").over(Window.partitionBy("user_id")))
     )
     return df.groupBy("user_id", "session_idx").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.min(F.unix_micros(F.col("ts"))).alias("session_start_us"),
+        (F.min("us") - F.first("first_us")).cast("long").alias("session_start_rel_us"),
     ).select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("session_idx").cast("long").alias("session_idx"),
         "n_events",
-        "session_start_us",
+        "session_start_rel_us",
     )
 
 
 SQL_REL_SESSIONIZE = """
 WITH g AS (
   SELECT user_id, event_id, epoch_us(ts) AS us,
-         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap,
+         min(epoch_us(ts)) OVER (PARTITION BY user_id) AS first_us
   FROM events),
 s AS (
-  SELECT user_id, us,
+  SELECT user_id, us, first_us,
          sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY us, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
   FROM g)
 SELECT user_id::BIGINT AS user_id, session_idx::BIGINT AS session_idx,
-       count(*)::BIGINT AS n_events, min(us)::BIGINT AS session_start_us
+       count(*)::BIGINT AS n_events,
+       (min(us) - any_value(first_us))::BIGINT AS session_start_rel_us
 FROM s GROUP BY user_id, session_idx"""
 
 
