@@ -28,18 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import pyspark.sql.functions as F
 
 from minimel_spark.operators.ann import brute_force_topk
-from minimel_spark.operators.blocking import (
-    cap_blocks,
-    dictionary_blocks,
-    minhash_blocks,
-    union_blocks,
-)
+from minimel_spark.operators.blocking import surface_blocked_pairs
 from minimel_spark.operators.cluster import connected_components
 from minimel_spark.operators.count import anchor_counts
 from minimel_spark.operators.dedup import minhash_dups
 from minimel_spark.operators.extract import extract_paragraphs
 from minimel_spark.operators.mentions import detect_mentions
-from minimel_spark.operators.pairs import candidate_pairs, pair_features
+from minimel_spark.operators.pairs import pair_features
 from minimel_spark.operators.scoring import match_edges, score_pairs, train_pair_matcher
 from minimel_spark.pipeline import weak_pair_labels
 from minimel_spark.session import get_spark
@@ -84,19 +79,15 @@ def score_segment(spark, records, counts):
     """The north-metric segment: records -> blocks -> pairs -> features ->
     train -> scored pairs. Returns (n_pairs, seconds)."""
     t0 = time.time()
-    # Records with identical names share identical shingle sets, hence
-    # identical minhash band keys — the anchor-dictionary block is subsumed by
-    # LSH except for names too short to shingle, so emit dictionary keys only
-    # for those (one fewer redundant key per record in the pair self-join).
-    from minimel_spark.functions.udfs import shingles_udf
-
-    shingleless = records.where(F.size(shingles_udf(F.col("name"))) == 0)
-    blocked = union_blocks(
-        dictionary_blocks(shingleless, key_col="name"),
-        minhash_blocks(records, key_col="name", num_hashes=12, bands=6),
+    # Block keys are functions of the surface form, so blocking runs at NAME
+    # level (dictionary-sized) with bounded expansion to record pairs — see
+    # surface_blocked_pairs. Produces the same pair set as the generic
+    # cap_blocks + candidate_pairs path, without the multi-band duplicated
+    # self-join shuffle over all records.
+    pairs = surface_blocked_pairs(
+        records, key_col="name", num_hashes=12, bands=6,
+        max_pairs_per_block=MAX_PAIRS_PER_BLOCK,
     )
-    blocked = cap_blocks(blocked, max_pairs_per_block=MAX_PAIRS_PER_BLOCK)
-    pairs = candidate_pairs(blocked)
     feats = pair_features(pairs, records, name_col="name").persist()
     cands = counts.withColumn("weight", (F.col("cnt") + 1).cast("long")).select(
         "anchor", "qid", "weight"

@@ -28,7 +28,7 @@ from __future__ import annotations
 import math
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from ..functions.udfs import shingles_udf
 
@@ -91,6 +91,112 @@ def union_blocks(*blocked: DataFrame) -> DataFrame:
     for df in blocked[1:]:
         out = out.unionByName(df)
     return out
+
+
+def surface_blocked_pairs(
+    records: DataFrame,
+    key_col: str = "name",
+    rec_id_col: str = "rec_id",
+    num_hashes: int = 12,
+    bands: int = 6,
+    max_pairs_per_block: int = 10_000,
+) -> DataFrame:
+    """Candidate record pairs when every block key is a function of the
+    surface form (true for anchor-dictionary + LSH-on-name blocking).
+
+    Blocking runs at NAME level — the name dictionary is orders of magnitude
+    smaller than the record stream (10^6-10^8 names vs 10^12 records at web
+    scale), so band generation + the block self-join touch only the
+    dictionary. Record pairs are then produced by bounded expansion:
+
+    - SAME-NAME pairs: records salted per name into ceil(n/target) buckets
+      (target = largest block size with C(n,2) <= cap) and equi-joined on
+      (name, salt) — expansion is bounded BEFORE the join, and pairs are
+      produced exactly once (no multi-band duplicate shuffle + dedupe).
+    - CROSS-NAME pairs (names sharing an LSH band / dict key): the tiny
+      name-pair table joins each side's records, with each side's record list
+      deterministically capped to sqrt-cap records per name.
+
+    Same contract as cap_blocks + candidate_pairs (deterministic,
+    partition-invariant, per-block pair counts bounded by the cap); on
+    under-cap data the produced pair SET is identical to the generic path.
+    ``n_blocks`` = number of name-level keys proposing the pair (cross-name),
+    or the number of shared keys for same-name pairs (bands + dictionary).
+    """
+    names = records.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n_rec"))
+    names = names.withColumn("_n_sh", F.size(shingles_udf(F.col(key_col))))
+
+    # --- name-level blocks: dictionary for shingle-less names, LSH bands else
+    nb = union_blocks(
+        dictionary_blocks(names.where(F.col("_n_sh") == 0), key_col=key_col),
+        minhash_blocks(names, key_col=key_col, num_hashes=num_hashes, bands=bands),
+    ).select(key_col, "_n_rec", "_n_sh", "block_key")
+
+    # --- same-name pairs via per-name salting (bounded pre-join)
+    target_n = max(2, int(math.floor((1 + math.isqrt(1 + 8 * max_pairs_per_block)) / 2)))
+    multi = names.where(F.col("_n_rec") > 1).withColumn(
+        "_nsalt", F.ceil(F.col("_n_rec") / target_n).cast("long")
+    )
+    salted = records.join(
+        F.broadcast(multi.select(key_col, "_nsalt", "_n_sh")), key_col
+    ).withColumn("_salt", F.pmod(F.xxhash64(F.col(rec_id_col)), F.col("_nsalt")))
+    sa = salted.select(
+        F.col(key_col).alias("_k"),
+        "_salt",
+        "_n_sh",
+        F.col(rec_id_col).alias("rec_id_a"),
+    )
+    sb = salted.select(
+        F.col(key_col).alias("_k"), "_salt", F.col(rec_id_col).alias("rec_id_b")
+    )
+    same_pairs = (
+        sa.join(sb, ["_k", "_salt"])
+        .where(F.col("rec_id_a") < F.col("rec_id_b"))
+        .select(
+            "rec_id_a",
+            "rec_id_b",
+            # identical names share every name-level key: all bands, or the
+            # dictionary key when too short to shingle
+            F.when(F.col("_n_sh") > 0, F.lit(bands)).otherwise(F.lit(1)).alias("n_blocks"),
+        )
+    )
+
+    # --- cross-name pairs from the (tiny) name-level block self-join
+    a = nb.select(F.col(key_col).alias("_na"), "block_key")
+    b = nb.select(F.col(key_col).alias("_nb"), "block_key")
+    name_pairs = (
+        a.join(b, "block_key")
+        .where(F.col("_na") < F.col("_nb"))
+        .groupBy("_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("n_blocks"))
+    )
+    side_cap = max(2, int(math.isqrt(max_pairs_per_block)))
+    w = Window.partitionBy(key_col).orderBy(F.xxhash64(F.col(rec_id_col)))
+    capped = (
+        records.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= side_cap)
+        .select(F.col(key_col).alias("_k"), F.col(rec_id_col).alias("_rid"), "_rn")
+    )
+    cross_pairs = (
+        name_pairs.join(
+            capped.select(
+                F.col("_k").alias("_na"), F.col("_rid").alias("_rid_a")
+            ),
+            "_na",
+        )
+        .join(
+            capped.select(
+                F.col("_k").alias("_nb"), F.col("_rid").alias("_rid_b")
+            ),
+            "_nb",
+        )
+        .select(
+            F.least("_rid_a", "_rid_b").alias("rec_id_a"),
+            F.greatest("_rid_a", "_rid_b").alias("rec_id_b"),
+            "n_blocks",
+        )
+    )
+    return same_pairs.unionByName(cross_pairs)
 
 
 def cap_blocks(

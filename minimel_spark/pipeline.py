@@ -21,13 +21,13 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators.blocking import cap_blocks, dictionary_blocks, minhash_blocks, union_blocks
+from .operators.blocking import surface_blocked_pairs
 from .operators.clean import clean
 from .operators.cluster import cluster_candidates, connected_components
 from .operators.count import anchor_counts
 from .operators.extract import extract_paragraphs
 from .operators.mentions import detect_mentions
-from .operators.pairs import candidate_pairs, pair_features
+from .operators.pairs import pair_features
 from .operators.scoring import (
     match_edges,
     most_common_sense,
@@ -153,18 +153,17 @@ def run_pipeline(
     records = ckpt.stage("records", _records)
 
     def _pairs():
-        # Identical names -> identical shingles -> identical minhash bands, so
-        # the anchor-dictionary block is subsumed by LSH except for names too
-        # short to shingle — emit dictionary keys only for those.
-        from .functions.udfs import shingles_udf
-
-        shingleless = records.where(F.size(shingles_udf(F.col("name"))) == 0)
-        blocked = union_blocks(
-            dictionary_blocks(shingleless, key_col="name"),
-            minhash_blocks(records, key_col="name", num_hashes=cfg.num_hashes, bands=cfg.bands),
+        # Block keys (anchor dictionary ∪ LSH bands) are functions of the
+        # surface form, so blocking runs at name level with bounded expansion
+        # to record pairs — same pair set as the generic capped path, without
+        # the multi-band duplicated record self-join (surface_blocked_pairs).
+        return surface_blocked_pairs(
+            records,
+            key_col="name",
+            num_hashes=cfg.num_hashes,
+            bands=cfg.bands,
+            max_pairs_per_block=cfg.max_pairs_per_block,
         )
-        blocked = cap_blocks(blocked, max_pairs_per_block=cfg.max_pairs_per_block)
-        return candidate_pairs(blocked)
 
     pairs = ckpt.stage("pairs", _pairs)
     feats = ckpt.stage(
