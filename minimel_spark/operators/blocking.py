@@ -158,6 +158,10 @@ def surface_blocked_pairs(
             # identical names share every name-level key: all bands, or the
             # dictionary key when too short to shingle
             F.when(F.col("_n_sh") > 0, F.lit(bands)).otherwise(F.lit(1)).alias("n_blocks"),
+            # both surface forms are known at pair production — carrying them
+            # saves downstream feature joins back to the record table
+            F.col("_k").alias("name_a"),
+            F.col("_k").alias("name_b"),
         )
     )
 
@@ -194,6 +198,12 @@ def surface_blocked_pairs(
             F.least("_rid_a", "_rid_b").alias("rec_id_a"),
             F.greatest("_rid_a", "_rid_b").alias("rec_id_b"),
             "n_blocks",
+            F.when(F.col("_rid_a") <= F.col("_rid_b"), F.col("_na"))
+            .otherwise(F.col("_nb"))
+            .alias("name_a"),
+            F.when(F.col("_rid_a") <= F.col("_rid_b"), F.col("_nb"))
+            .otherwise(F.col("_na"))
+            .alias("name_b"),
         )
     )
     return same_pairs.unionByName(cross_pairs)

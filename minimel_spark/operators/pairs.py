@@ -137,19 +137,24 @@ def pair_features(
     Output: (rec_id_a, rec_id_b, n_blocks, name_a, name_b,
              lev_sim, jacc3, jw, cos_bow).
     """
-    ids = records.select(
-        F.col(rec_id_col).alias("_rid"), F.col(name_col).alias("_name")
-    )
-    df = (
-        pairs.join(
-            ids.select(F.col("_rid").alias("rec_id_a"), F.col("_name").alias("name_a")),
-            "rec_id_a",
+    if "name_a" in pairs.columns and "name_b" in pairs.columns:
+        # pair generator already carried both surface forms (the
+        # surface_blocked_pairs path) — no joins back to the record table
+        df = pairs
+    else:
+        ids = records.select(
+            F.col(rec_id_col).alias("_rid"), F.col(name_col).alias("_name")
         )
-        .join(
-            ids.select(F.col("_rid").alias("rec_id_b"), F.col("_name").alias("name_b")),
-            "rec_id_b",
+        df = (
+            pairs.join(
+                ids.select(F.col("_rid").alias("rec_id_a"), F.col("_name").alias("name_a")),
+                "rec_id_a",
+            )
+            .join(
+                ids.select(F.col("_rid").alias("rec_id_b"), F.col("_name").alias("name_b")),
+                "rec_id_b",
+            )
         )
-    )
     # name-level features once per distinct surface-form pair, broadcast back
     name_feats = name_pair_features(
         df.select("name_a", "name_b").distinct()

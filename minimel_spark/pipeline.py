@@ -16,7 +16,7 @@ minimel/vectorize.py:89-100), with the balanced weight carried as weightCol.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -49,6 +49,11 @@ class PipelineConfig:
     max_anchors_per_entity: int | None = None
     balanced: bool = True
     skip_prefixes: tuple = ()
+    # deterministic 1-in-N training sample for the matcher (None = all pairs):
+    # content-hashed, so partition-invariant; the 4-feature LR converges on a
+    # fraction of web-scale pair volumes and the LBFGS barriers stop
+    # dominating wall time
+    train_sample_mod: int | None = None
 
 
 def weak_pair_labels(feats: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -173,6 +178,10 @@ def run_pipeline(
     def _scored():
         labeled = weak_pair_labels(feats, candidates)
         train = labeled.where(F.col("is_match").isNotNull())
+        if cfg.train_sample_mod:
+            train = train.where(
+                F.pmod(F.xxhash64("rec_id_a", "rec_id_b"), F.lit(cfg.train_sample_mod)) == 0
+            )
         model = train_pair_matcher(
             train,
             weight_col="cost_weight" if cfg.balanced else None,
