@@ -449,8 +449,14 @@ WHERE r.rank = 1 AND r.anchor IN (SELECT anchor FROM kept)"""
 
 
 def q_er_clean_candidates(spark, sf_dir):
-    """Full cleaning stage E2E (A4-A7, J8, J9, O1; tokenscore shingle join is
-    UDF-backed — rows-only check)."""
+    """Full cleaning stage E2E (A4-A7, J8, J9, O1, U3).
+
+    Oracle-checkable on this corpus: every candidate qid's title is
+    '<Word>_<qid>', whose normalized form contains the anchor word itself, so
+    tokenscore = 1 for every anchor (>= the 0.1 threshold) and the
+    entropy/countratio/no-title flags provably never fire — clean() reduces to
+    ambiguous-only + weight + rank, which the SQL recomputes. Non-trivial
+    filter behavior is exercised by tests/test_clean_cluster.py."""
     docs = _t(spark, sf_dir, "documents")
     counts = _er_counts(spark, sf_dir)
     out = clean(counts, doc_title_index(docs), min_count=1)
@@ -460,6 +466,13 @@ def q_er_clean_candidates(spark, sf_dir):
         F.col("weight").cast("long").alias("weight"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+SQL_ER_CLEAN = f"""WITH {_W},
+amb AS (SELECT anchor FROM counts GROUP BY anchor HAVING count(*) > 1)
+SELECT anchor, qid, cnt + 1 AS weight,
+       row_number() OVER (PARTITION BY anchor ORDER BY cnt + 1 DESC, qid ASC)::BIGINT AS rank
+FROM counts JOIN amb USING (anchor)"""
 
 
 def q_ent_features(spark, sf_dir):
@@ -1281,6 +1294,7 @@ _ORACLES: dict[str, str] = {
     "er_eval_macro": SQL_ER_EVAL_MACRO,
     "er_per_name_scores": SQL_ER_PER_NAME,
     "er_top_shadowed": SQL_ER_TOP_SHADOWED,
+    "er_clean_candidates": SQL_ER_CLEAN,
     "ent_features": SQL_ENT_FEATURES,
     "m4_similarity_edges": SQL_M4_EDGES,
     "cc_components": SQL_CC,
