@@ -534,6 +534,32 @@ def q_er_pipeline_clusters(spark, sf_dir):
     )
 
 
+def q_er_upperbound(spark, sf_dir):
+    """L3 recall upper bound (run.py:157-164): predict gold iff gold is
+    reachable via candidate generation or the title index. On this corpus
+    every gold (anchor, qid) is in the count table by construction, so the
+    ceiling is exact — which is precisely what the oracle recomputes."""
+    from minimel_spark.operators.scoring import upperbound_predict
+
+    pars = _paragraphs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    gold = pars.select(
+        F.col("url").alias("doc_id"), F.explode("links").alias("name", "gold_qid")
+    ).withColumn("anchor", F.col("name"))
+    out = upperbound_predict(gold, _er_counts(spark, sf_dir), doc_title_index(docs))
+    return out.select(
+        "doc_id",
+        "name",
+        F.col("gold_qid").cast("long").alias("gold_qid"),
+        F.col("ub_qid").cast("long").alias("ub_qid"),
+    )
+
+
+SQL_ER_UPPERBOUND = f"""WITH {_W}
+SELECT {_URL} AS doc_id, word AS name, qid AS gold_qid, qid AS ub_qid
+FROM links"""
+
+
 def q_er_fold_counts(spark, sf_dir):
     """X5 fold selector (xxhash64-based — no DuckDB equivalent; rows-only)."""
     pars = fold_filter(_paragraphs(spark, sf_dir), ["url", "par_id"], split=5, fold=0)
@@ -1242,6 +1268,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_top_shadowed": q_er_top_shadowed,
     "er_clean_candidates": q_er_clean_candidates,
     "er_pipeline_clusters": q_er_pipeline_clusters,
+    "er_upperbound": q_er_upperbound,
     "er_fold_counts": q_er_fold_counts,
     "ent_features": q_ent_features,
     # clustering (M4, CC)
@@ -1295,6 +1322,7 @@ _ORACLES: dict[str, str] = {
     "er_per_name_scores": SQL_ER_PER_NAME,
     "er_top_shadowed": SQL_ER_TOP_SHADOWED,
     "er_clean_candidates": SQL_ER_CLEAN,
+    "er_upperbound": SQL_ER_UPPERBOUND,
     "ent_features": SQL_ENT_FEATURES,
     "m4_similarity_edges": SQL_M4_EDGES,
     "cc_components": SQL_CC,
