@@ -770,13 +770,44 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (crc32 fingerprints — rows-only check)."""
+    """SimHash near-dup pairs. Hash-checked: the md5-based fingerprint is
+    recomputed bit-for-bit in DuckDB and the oracle takes the BRUTE-FORCE
+    hamming<=8 join — so the gate fails if the (max_hamming+1)-band blocking
+    ever loses a pair (the old 4x16 banding was only complete for <=3)."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_dups(docs, max_hamming=8).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("hamming").cast("long").alias("hamming"),
     )
+
+
+SQL_DEDUP_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i::INT) & 1::UBIGINT = 1::UBIGINT
+                  THEN 1 ELSE -1 END) AS s
+  FROM th, range(64) r(i)
+  GROUP BY doc_id, i),
+fps AS (
+  SELECT doc_id,
+         coalesce(bit_or(CASE WHEN s > 0 THEN (1::UBIGINT << i::INT) END),
+                  0::UBIGINT) AS fp
+  FROM bits GROUP BY doc_id),
+f AS (
+  SELECT d.doc_id, coalesce(fps.fp, 0::UBIGINT) AS fp
+  FROM documents d LEFT JOIN fps USING (doc_id))
+SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 8"""
 
 
 # --------------------------------------------------------------------------
@@ -852,6 +883,135 @@ def q_ann_embedding_dups(spark, sf_dir):
         F.col("id_b").cast("long").alias("id_b"),
         F.round("sim", 6).alias("sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quantified recall gates for the approximate family (VERDICT r1 item 6).
+# Pattern: the TRUE pair/top-k set is SQL-expressible (exact Jaccard / exact
+# cosine), so the oracle pins n_true; the approximate operator's recall is
+# computed IN-QUERY against the exact result and emitted as a boolean the
+# oracle pins to `true` — the hash check fails if the approximate recall ever
+# drops below the floor, turning "rows-only" into a real quality gate. All
+# operators are deterministic (seeded planes / xxhash64), so the booleans are
+# stable across runs and parallelism levels.
+# --------------------------------------------------------------------------
+
+
+def _recall_row(true_pairs: DataFrame, found_pairs: DataFrame, keys: list[str],
+                floor: float, n_alias: str = "n_true") -> DataFrame:
+    hits = found_pairs.join(true_pairs, keys, "left_semi")
+    return (
+        true_pairs.agg(F.count(F.lit(1)).alias("_nt"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_nf")))
+        .select(
+            F.col("_nt").cast("long").alias(n_alias),
+            (F.col("_nf") >= F.lit(floor) * F.col("_nt")).alias("recall_ok"),
+        )
+    )
+
+
+def q_dedup_minhash_recall(spark, sf_dir):
+    """MinHash-LSH recall vs the exact (lossless-blocked) Jaccard join;
+    measured 1.0 at sf0.001/sf0.01, gate floor 0.95."""
+    docs = _t(spark, sf_dir, "documents")
+    true_p = ngram_jaccard_dups(
+        docs, threshold=0.9, n=1, max_docs_per_shingle=None
+    ).select("id_a", "id_b")
+    found = minhash_dups(docs, threshold=0.9, n=1, num_hashes=16, bands=8).select(
+        "id_a", "id_b"
+    )
+    return _recall_row(true_p, found, ["id_a", "id_b"], floor=0.95)
+
+
+SQL_DEDUP_MINHASH_RECALL = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                   x -> x <> '')) AS sh
+  FROM documents)
+SELECT count(*)::BIGINT AS n_true, true AS recall_ok
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(a.sh || b.sh)) >= 0.9"""
+
+
+def _topk_recall_row(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
+    hits = (
+        approx.join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_ne"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce("_h", F.lit(0)) / F.col("_ne")).alias("_recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        (F.avg("_recall") >= F.lit(floor)).alias("recall_ok"),
+    )
+
+
+def q_ann_lsh_recall(spark, sf_dir):
+    """Hyperplane-LSH recall@10 vs the exact cosine top-10; the embeddings
+    table is uniform random (worst case for LSH — no cluster structure), so
+    the gate runs a wide-recall point (4 planes x 16 tables, measured
+    0.91-0.93); floor 0.8."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 16)
+    exact = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    approx = lsh_topk(
+        emb, queries, dim=64, k=10, num_planes=4, num_tables=16
+    ).select("query_id", "vec_id")
+    return _topk_recall_row(exact, approx, floor=0.8)
+
+
+SQL_ANN_QUERYCOUNT = """
+SELECT count(*)::BIGINT AS n_queries, true AS recall_ok
+FROM embeddings WHERE vec_id < 16"""
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    """IVF recall@10 vs exact cosine top-10 (8 cells, 6 probed; measured
+    0.91-0.94); floor 0.8."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 16)
+    exact = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    approx = ivf_topk(
+        emb, queries, dim=64, k=10, n_cells=8, n_probe=6
+    ).select("query_id", "vec_id")
+    return _topk_recall_row(exact, approx, floor=0.8)
+
+
+def q_ann_embdup_recall(spark, sf_dir):
+    """Embedding near-dup recall vs the exact cosine>=0.35 pair set (the
+    exact set is num_planes=0 = single-bucket = full verify). Measured
+    0.977-0.985 at 4 planes x 24 tables; floor 0.9."""
+    emb = _t(spark, sf_dir, "embeddings")
+    true_p = embedding_dups(
+        emb, dim=64, threshold=0.35, num_planes=0, num_tables=1
+    ).select("id_a", "id_b")
+    found = embedding_dups(
+        emb, dim=64, threshold=0.35, num_planes=4, num_tables=24
+    ).select("id_a", "id_b")
+    return _recall_row(true_p, found, ["id_a", "id_b"], floor=0.9)
+
+
+SQL_ANN_EMBDUP_RECALL = """
+WITH n AS (
+  SELECT vec_id, embedding AS e,
+         sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE))) AS nrm
+  FROM embeddings)
+SELECT count(*)::BIGINT AS n_true, true AS recall_ok
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.e) + 1),
+               i -> a.e[i::INT]::DOUBLE * b.e[i::INT]::DOUBLE))
+      / (a.nrm * b.nrm) >= 0.35"""
 
 
 # --------------------------------------------------------------------------
@@ -1287,6 +1447,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_embedding_dups": q_ann_embedding_dups,
+    # recall gates for the approximate family
+    "dedup_minhash_recall": q_dedup_minhash_recall,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "ann_embdup_recall": q_ann_embdup_recall,
     # text analysis
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -1330,7 +1495,12 @@ _ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard_words": SQL_DEDUP_JACCARD_WORDS,
     "dedup_jaccard_3gram": SQL_DEDUP_JACCARD_3GRAM,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_bruteforce_topk": SQL_ANN_TOPK,
+    "dedup_minhash_recall": SQL_DEDUP_MINHASH_RECALL,
+    "ann_lsh_recall": SQL_ANN_QUERYCOUNT,
+    "ann_ivf_recall": SQL_ANN_QUERYCOUNT,
+    "ann_embdup_recall": SQL_ANN_EMBDUP_RECALL,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_language_id": SQL_TEXT_LANG,

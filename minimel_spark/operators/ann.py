@@ -193,11 +193,16 @@ def ivf_topk(
     equi-join on cell id — all Catalyst-visible.
     """
     spark = corpus.sparkSession
+    # Deterministic hash-sample for the codebook: ordering by xxhash64(id) and
+    # taking the first sample_size compiles to TakeOrderedAndProject (a
+    # per-partition size-k heap + driver merge, NOT a full sort) and is
+    # unbiased w.r.t. id order — an id-ordered limit would fit the codebook to
+    # whatever happens to sort first.
     sample = np.array(
         [
             r[1]
             for r in corpus.select(id_col, vec_col)
-            .orderBy(id_col)
+            .orderBy(F.xxhash64(F.col(id_col)))
             .limit(sample_size)
             .collect()
         ],

@@ -14,7 +14,7 @@ horizontally:
 6. entropy / countratio / tokenscore filters (A5-A7, J9) — window-normalized aggs
    + a shingle equi-join for the asymmetric Jaccard tokenscore
 7. per-anchor rank (O1) and the optional quantile_top_shadowed selection (O2/O3)
-   — rank window + global TakeOrderedAndProject
+   — rank window + per-weight cumulative threshold (no global sort+limit)
 
 Determinism deltas vs the reference (documented, required for the N vs 4N
 equivalence): ties in per-anchor candidate order are broken by ``qid`` ascending
@@ -37,13 +37,21 @@ def total_entity_counts(counts: DataFrame) -> DataFrame:
 
 
 def ambiguous_only(counts: DataFrame) -> DataFrame:
-    """P10 (clean.py:183-186): keep anchors with >1 candidate entity."""
-    w = Window.partitionBy("anchor")
-    return (
-        counts.withColumn("n_cand", F.size(F.collect_set("qid").over(w)))
+    """P10 (clean.py:183-186): keep anchors with >1 candidate entity.
+
+    Shaped as an aggregate + left-semi join rather than a per-row window
+    ``collect_set`` (which materializes the distinct-qid set for EVERY row of
+    an anchor — memory-hostile on a skewed anchor with 10^7 rows). The agg is
+    partial+final (map-side combine), the ambiguous-anchor list streams into a
+    semi join, and no per-row set is ever built.
+    """
+    multi = (
+        counts.groupBy("anchor")
+        .agg(F.count_distinct("qid").alias("n_cand"))
         .where(F.col("n_cand") > 1)
-        .drop("n_cand")
+        .select("anchor")
     )
+    return counts.join(multi, "anchor", "left_semi")
 
 
 def add_disambig(
@@ -221,14 +229,55 @@ def rank_candidates(cands: DataFrame) -> DataFrame:
 def quantile_top_shadowed(cands_ranked: DataFrame, quantile: float) -> DataFrame:
     """O2/O3 (clean.py:249-262): keep only the anchors whose shadowed (non-top)
     candidate counts are in the global top quantile; each kept anchor retains its
-    top candidate plus the qualifying shadowed candidates."""
+    top candidate plus the qualifying shadowed candidates.
+
+    The kept set is EXACTLY the top ``floor(quantile * n_shadowed)`` rows under
+    the reference's total order ``(weight, anchor, qid)`` descending
+    (clean.py:258-259), but computed scale-safely: a global
+    ``orderBy().limit(quantile*n)`` funnels billions of rows through one task at
+    web scale (TakeOrderedAndProject), so instead
+
+    1. aggregate shadowed rows per distinct weight (small table: one row per
+       distinct count value) and window-cumsum it to find the boundary weight —
+       every weight strictly above it is kept whole;
+    2. only rows AT the boundary weight are ranked (by ``anchor desc, qid
+       desc``) and cut to the remainder — a single-weight slice, not the
+       global table.
+
+    ``n_shadowed`` is folded into the same aggregation (no mid-plan driver
+    ``count()`` action recomputing the upstream plan).
+    """
     shadowed = cands_ranked.where(F.col("rank") > 1)
-    n = shadowed.count()
-    keep_n = int(quantile * n)
-    kept_shadow = (
-        shadowed.orderBy(F.desc("weight"), F.desc("anchor"), F.desc("qid"))
-        .limit(keep_n)
+    wn = shadowed.groupBy("weight").agg(F.count(F.lit(1)).alias("_wn"))
+    # cumulative rows at strictly-greater weights; total via an unbounded sum
+    w_desc = Window.orderBy(F.desc("weight"))
+    stats = wn.select(
+        "weight",
+        "_wn",
+        F.coalesce(
+            F.sum("_wn").over(w_desc.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_cum_gt"),
+        F.sum("_wn").over(
+            w_desc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_n"),
+    ).withColumn("_keep_n", F.floor(F.lit(float(quantile)) * F.col("_n")))
+    full_weights = stats.where(
+        F.col("_cum_gt") + F.col("_wn") <= F.col("_keep_n")
+    ).select("weight")
+    boundary = stats.where(
+        (F.col("_cum_gt") < F.col("_keep_n"))
+        & (F.col("_cum_gt") + F.col("_wn") > F.col("_keep_n"))
+    ).select("weight", (F.col("_keep_n") - F.col("_cum_gt")).alias("_take"))
+    kept_full = shadowed.join(F.broadcast(full_weights), "weight", "left_semi")
+    w_bnd = Window.partitionBy("weight").orderBy(F.desc("anchor"), F.desc("qid"))
+    kept_bnd = (
+        shadowed.join(F.broadcast(boundary), "weight")
+        .withColumn("_rn", F.row_number().over(w_bnd))
+        .where(F.col("_rn") <= F.col("_take"))
+        .drop("_rn", "_take")
     )
+    kept_shadow = kept_full.unionByName(kept_bnd).select(*shadowed.columns)
     tops = cands_ranked.where(F.col("rank") == 1).join(
         kept_shadow.select("anchor").distinct(), "anchor", "left_semi"
     )

@@ -10,8 +10,9 @@ All operate on a documents table ``(doc_id, text, ...)``:
 - ``minhash_dups``     — MinHash-LSH candidates (sub-linear) + exact verify;
   the scale path: recall < 1 tunable via (num_hashes, bands).
 - ``simhash``/``simhash_dups`` — 64-bit SimHash fingerprints; near-dups =
-  hamming distance ≤ k found via 4-band exact-match blocking (pigeonhole: any
-  pair with ≤3 differing bits shares at least one identical 16-bit band).
+  hamming distance ≤ k found via (k+1)-band exact-match blocking (pigeonhole:
+  any pair with ≤k differing bits shares at least one identical band), so the
+  blocked result EQUALS the brute-force hamming join at every k.
 - ``embedding_dups``   — cosine near-dups over an embedding column (see ann.py).
 
 Skew note: stop-shingle blowup (a shingle present in half the corpus) is capped
@@ -155,11 +156,22 @@ def minhash_dups(
 
 @F.pandas_udf(T.LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens (Arrow-batched, numpy bit-count)."""
-    import zlib
+    """64-bit SimHash over whitespace word tokens (Arrow-batched).
+
+    Token hash = first 8 bytes of md5 — chosen so the fingerprint is exactly
+    reproducible in ANSI SQL (``('0x' || substr(md5(tok),1,16))::UBIGINT``),
+    which is what upgrades the dedup_simhash gate from rows-only to a
+    hash-checked DuckDB oracle. Token hashes are memoized per batch (tokens
+    repeat heavily), so md5 runs once per distinct token, not once per
+    occurrence.
+    """
+    import hashlib
 
     import numpy as np
 
+    memo: dict[str, np.ndarray] = {}
+    shifts = np.arange(64, dtype=np.uint64)
+    pows = np.uint64(1) << shifts
     out = []
     for t in texts:
         toks = (t or "").lower().split()
@@ -167,15 +179,14 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
             out.append(0)
             continue
         acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
         for tok in toks:
-            h = np.uint64(
-                zlib.crc32(tok.encode("utf-8"))
-                | (zlib.crc32(tok[::-1].encode("utf-8")) << 32)
-            )
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        fp = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+            bits = memo.get(tok)
+            if bits is None:
+                h = np.uint64(int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16))
+                bits = np.where((h >> shifts) & np.uint64(1) == 1, 1, -1).astype(np.int64)
+                memo[tok] = bits
+            acc += bits
+        fp = int(((acc > 0).astype(np.uint64) * pows).sum())
         out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)  # to signed long
     return pd.Series(out)
 
@@ -189,17 +200,43 @@ def simhash_dups(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit band
-    blocking (complete for max_hamming <= 3 by pigeonhole)."""
+    """Near-dup pairs with hamming(simhash) <= max_hamming via band blocking.
+
+    Banding is pigeonhole-COMPLETE: the 64 bits are split into
+    ``max_hamming + 1`` near-equal bands (any pair differing in <= max_hamming
+    bits must agree on at least one whole band), so the result equals the
+    brute-force hamming join for every ``max_hamming`` — not just <= 3 as the
+    old fixed 4x16 layout guaranteed. ``n_bands`` can be raised beyond the
+    minimum to shrink blocks (more bands = narrower bands = more candidates);
+    values below ``max_hamming + 1`` are rejected rather than silently losing
+    recall.
+    """
+    # 64 1-bit bands is the finest split: complete for max_hamming <= 63
+    # (a pair differing in all 64 bits shares no band, but hamming-64 pairs
+    # are maximally different — not near-duplicates under any reading).
+    nb = n_bands if n_bands is not None else min(max_hamming + 1, 64)
+    if nb < min(max_hamming + 1, 64):
+        raise ValueError(
+            f"n_bands={nb} is incomplete for max_hamming={max_hamming}; "
+            f"pigeonhole requires at least max_hamming + 1 = {max_hamming + 1}"
+        )
+    if nb > 64:
+        raise ValueError(f"n_bands={nb} exceeds the 64 fingerprint bits")
+    base, rem = divmod(64, nb)
+    widths = [base + 1 if i < rem else base for i in range(nb)]
+    offsets = [sum(widths[:i]) for i in range(nb)]
     fp = simhash(docs, text_col, id_col)
     bands = F.array(
         *[
             F.concat(
                 F.lit(f"{i}:"),
-                F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"),
+                F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .cast("string"),
             )
-            for i in range(4)
+            for i in range(nb)
         ]
     )
     blocked = fp.select(id_col, "simhash", F.explode(bands).alias("bk"))

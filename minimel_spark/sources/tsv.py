@@ -69,7 +69,11 @@ def read_run_tsv(spark: SparkSession, path: str) -> DataFrame:
 
 def write_predictions_tsv(preds: DataFrame, path: str) -> None:
     """K6/D12: (doc_id, name, pred_qid) -> TSV lines
-    ``doc_id \\t {"name": qid, ...}`` (one row per doc, like run.py:291-300)."""
+    ``doc_id \\t {"name": qid, ...}`` (one row per doc, like run.py:291-300).
+
+    Written with the TEXT writer, not the CSV writer: Spark's CSV sink quotes
+    and backslash-escapes the JSON field (``"{\\"a\\":1}"``), which breaks any
+    reference-format consumer doing ``json.loads(line.split('\\t')[1])``."""
     rows = preds.groupBy("doc_id").agg(
         F.to_json(
             F.map_from_entries(
@@ -77,6 +81,6 @@ def write_predictions_tsv(preds: DataFrame, path: str) -> None:
             )
         ).alias("pred_json")
     )
-    rows.select("doc_id", "pred_json").write.mode("overwrite").option(
-        "sep", "\t"
-    ).csv(path)
+    rows.select(
+        F.concat_ws("\t", "doc_id", "pred_json").alias("value")
+    ).write.mode("overwrite").text(path)

@@ -48,7 +48,9 @@ def stream_anchor_counts(
     """Streaming twin of operators.count.anchor_counts: incremental
     (anchor, qid) counts over arriving pages. Use outputMode('update') —
     counts are monotone state, no watermark needed (keys are the anchor
-    dictionary, bounded)."""
+    dictionary, bounded). NOTE: as an unwatermarked aggregation this stream
+    cannot go to a parquet sink in append mode; ``run_to_sink`` routes
+    update/complete modes through a foreachBatch snapshot writer instead."""
     pars = extract_paragraphs(pages, title_index)
     return (
         explode_anchors(pars, language)
@@ -95,17 +97,34 @@ def run_to_sink(
     out_path: str | None = None,
     output_mode: str = "update",
     available_now: bool = True,
+    query_name: str = "minimel_stream",
 ):
-    """Start the query: parquet sink when ``out_path`` is given (append mode
-    required), else an in-memory table for tests. ``available_now`` drains all
-    currently-available files then stops — the batch-like backfill trigger."""
+    """Start the query; ``available_now`` drains all currently-available files
+    then stops — the batch-like backfill trigger.
+
+    Sink routing honors ``output_mode``:
+    - ``out_path`` + ``append``: direct parquet sink (stateless streams, or
+      watermarked aggregates whose windows finalize).
+    - ``out_path`` + ``update``/``complete``: unwatermarked aggregates (e.g.
+      ``stream_anchor_counts``) cannot use the parquet sink directly (Spark
+      raises at query start), so each micro-batch snapshot is written via
+      ``foreachBatch`` with mode=overwrite — the committed parquet is always
+      the latest full/updated state.
+    - no ``out_path``: in-memory table ``query_name`` for tests.
+    """
     writer = stream.writeStream.option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
     if out_path:
-        return writer.outputMode("append").format("parquet").option(
-            "path", out_path
-        ).start()
+        if output_mode == "append":
+            return writer.outputMode("append").format("parquet").option(
+                "path", out_path
+            ).start()
+
+        def _snapshot(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out_path)
+
+        return writer.outputMode(output_mode).foreachBatch(_snapshot).start()
     return writer.outputMode(output_mode).format("memory").queryName(
-        "minimel_stream"
+        query_name
     ).start()

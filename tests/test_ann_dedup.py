@@ -93,6 +93,36 @@ def test_minhash_verify_never_false_positive(spark, documents):
     assert d.where(F.col("jaccard") < 0.8).count() == 0
 
 
+def test_simhash_banding_complete_vs_bruteforce(spark, documents):
+    """(k+1)-band blocking must equal the brute-force hamming join — the old
+    4x16 layout silently missed pairs with 4-8 differing bits spread across
+    all four bands."""
+    from minimel_spark.operators.dedup import simhash
+
+    docs = documents.limit(80)
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(fps)
+    for k in (3, 8):
+        want = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= k
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_dups(docs, max_hamming=k).collect()
+        }
+        assert got == want, f"banding incomplete at max_hamming={k}"
+
+
+def test_simhash_rejects_incomplete_banding(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    # fewer bands than max_hamming+1 must be an error, not silent recall loss
+    with pytest.raises(ValueError):
+        simhash_dups(docs, max_hamming=8, n_bands=4)
+
+
 def test_simhash_identical_texts_distance_zero(spark):
     docs = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],

@@ -126,6 +126,25 @@ def test_quantile_top_shadowed(spark, fixture_counts):
     assert kept_anchors == tops
 
 
+def test_quantile_top_shadowed_no_global_sort_limit(spark, fixture_counts):
+    """Scale guard: the top-quantile cut must not compile to a global
+    TakeOrderedAndProject over the shadowed table — at web scale
+    keep_n = quantile * n_shadowed is billions of rows funneled through one
+    task. The per-weight threshold form sorts only the (tiny) distinct-weight
+    table and the single boundary-weight slice."""
+    from minimel_spark.operators.clean import quantile_top_shadowed, rank_candidates
+
+    counts, _ = fixture_counts
+    ranked = rank_candidates(
+        counts.withColumn("weight", (F.col("cnt") + 1).cast("long")).select(
+            "anchor", "qid", "weight"
+        )
+    )
+    out = quantile_top_shadowed(ranked, quantile=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+
+
 # ---------- M4 cluster equivalence: pairwise F1 >= 0.99 ----------
 
 def _reference_cluster_closure(name_scores, threshold):

@@ -42,6 +42,29 @@ def test_stream_anchor_counts_equals_batch(spark, pages_dir, tmp_path):
     assert got == want
 
 
+def test_unwatermarked_counts_to_parquet_sink(spark, pages_dir, tmp_path):
+    """stream_anchor_counts is an unwatermarked aggregation — routing it to a
+    parquet path must go through the foreachBatch snapshot path (a direct
+    append-mode parquet sink would raise AnalysisException at query start) and
+    land the same counts as the batch operator."""
+    index = synth_title_index(spark)
+    stream = stream_anchor_counts(stream_pages(spark, pages_dir), index)
+    out = str(tmp_path / "counts_out")
+    q = run_to_sink(
+        stream, str(tmp_path / "ckpt3"), out_path=out, output_mode="complete"
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        (r["anchor"], r["qid"]): r["cnt"] for r in spark.read.parquet(out).collect()
+    }
+    batch = anchor_counts(
+        extract_paragraphs(spark.read.parquet(pages_dir), index), min_count=1
+    )
+    want = {(r["anchor"], r["qid"]): r["cnt"] for r in batch.collect()}
+    assert got == want
+
+
 def test_windowed_mention_volume_watermark(spark, pages_dir, tmp_path):
     """Append-mode windows flush only once the watermark passes them: the
     first drain (all events in hour 00) emits nothing; a second batch 12h
@@ -56,7 +79,10 @@ def test_windowed_mention_volume_watermark(spark, pages_dir, tmp_path):
             stream_pages(spark, src), index, window="1 hour", watermark="2 hours"
         )
         q = run_to_sink(
-            stream, str(tmp_path / "ckpt2"), out_path=str(tmp_path / "out"),
+            stream,
+            str(tmp_path / "ckpt2"),
+            out_path=str(tmp_path / "out"),
+            output_mode="append",
         )
         q.awaitTermination(120)
         q.stop()
