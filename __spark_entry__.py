@@ -475,6 +475,112 @@ SELECT anchor, qid, cnt + 1 AS weight,
 FROM counts JOIN amb USING (anchor)"""
 
 
+def q_er_clean_strict(spark, sf_dir):
+    """Full cleaning stage on the STRICT world (sources/synth.py
+    STRICT_WORLD_NOTE): anchors and titles diverge, so the
+    entropy/countratio/tokenscore filters FIRE and the oracle recomputes the
+    whole chain — ambiguity, freqnorm weighting, anchor stats, the shingle
+    equi-join tokenscore, the bad-name rule, and the final rank (reference
+    minimel/clean.py:130-262). tests/test_clean_cluster.py asserts each
+    filter branch actually changes the output on this corpus."""
+    from minimel_spark.sources.synth import strict_clean_world
+
+    docs = _t(spark, sf_dir, "documents")
+    counts, titles = strict_clean_world(docs)
+    out = clean(counts, titles, min_count=1, freqnorm=True)
+    return out.select(
+        "anchor",
+        F.col("qid").cast("long").alias("qid"),
+        F.col("weight").cast("long").alias("weight"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SHINGLE_SQL = """list_distinct(flatten(list_transform(
+           list_filter(regexp_split_to_array(lower({col}), '\\W+'), x -> x <> ''),
+           w -> list_transform(range(1, greatest(length(w) - 2, 0) + 1),
+                               i -> substring(w, i::INT, 3)))))"""
+
+SQL_ER_CLEAN_STRICT = f"""
+WITH allwords AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+w4 AS (SELECT doc_id, word FROM allwords WHERE length(word) > 3),
+vocab AS (
+  SELECT word, dense_rank() OVER (ORDER BY word) AS base_qid
+  FROM (SELECT DISTINCT word FROM w4)),
+vcounts AS (
+  SELECT w.word AS anchor, (v.base_qid * 8 + w.doc_id % 8)::BIGINT AS qid,
+         count(*)::BIGINT AS cnt
+  FROM w4 w JOIN vocab v USING (word) GROUP BY 1, 2),
+planted AS (
+  SELECT 'qq' || doc_id AS anchor,
+         (10000000 + doc_id * 4 + d)::BIGINT AS qid,
+         (CASE WHEN d = 2 THEN 2 ELSE 1 END)::BIGINT AS cnt
+  FROM documents, range(3) r(d)
+  WHERE doc_id % 5 = 0),
+counts AS (SELECT * FROM vcounts UNION ALL SELECT * FROM planted),
+amb AS (SELECT anchor FROM counts GROUP BY anchor HAVING count(DISTINCT qid) > 1),
+totals AS (SELECT qid, sum(cnt) AS total_cnt FROM counts GROUP BY qid),
+cands AS (
+  SELECT c.anchor, c.qid, c.cnt,
+         (floor(c.cnt * t.total_cnt::DOUBLE
+                / max(t.total_cnt) OVER (PARTITION BY c.anchor)) + 1)::BIGINT AS weight
+  FROM counts c JOIN amb USING (anchor) JOIN totals t USING (qid)),
+titles AS (
+  SELECT CASE WHEN length(word) % 2 = 0 THEN {{rot}}
+              ELSE word END AS tw,
+         (base_qid * 8 + d)::BIGINT AS qid
+  FROM vocab, range(8) r(d)),
+tdim AS (SELECT DISTINCT tw || ' ' || qid AS norm_title, qid FROM titles),
+dcand AS (SELECT DISTINCT anchor, qid FROM cands),
+ash AS (
+  SELECT DISTINCT anchor, sh FROM (
+    SELECT anchor, unnest({_SHINGLE_SQL.format(col="anchor")}) AS sh
+    FROM (SELECT DISTINCT anchor FROM cands))),
+asz AS (SELECT anchor, count(*) AS n_sh FROM ash GROUP BY anchor),
+tsh AS (
+  SELECT DISTINCT qid, sh FROM (
+    SELECT qid, unnest({_SHINGLE_SQL.format(col="norm_title")}) AS sh FROM tdim)),
+matched AS (
+  SELECT c.anchor, c.qid, count(*) AS m
+  FROM dcand c
+  JOIN ash a ON a.anchor = c.anchor
+  JOIN tsh t ON t.qid = c.qid AND t.sh = a.sh
+  GROUP BY 1, 2),
+percand AS (
+  SELECT c.anchor, c.qid,
+         CASE WHEN z.n_sh IS NOT NULL AND z.n_sh > 0
+              THEN coalesce(m.m, 0)::DOUBLE / z.n_sh ELSE 0.0 END AS leftjacc
+  FROM dcand c
+  LEFT JOIN matched m ON m.anchor = c.anchor AND m.qid = c.qid
+  LEFT JOIN asz z ON z.anchor = c.anchor),
+tok AS (SELECT anchor, avg(leftjacc) AS tokenscore FROM percand GROUP BY anchor),
+stats AS (
+  SELECT anchor,
+         sum(-(weight::DOUBLE / t) * ln(weight::DOUBLE / t)) AS entropy,
+         count(*)::DOUBLE / any_value(t) AS countratio
+  FROM (SELECT anchor, weight, sum(weight) OVER (PARTITION BY anchor) AS t
+        FROM cands)
+  GROUP BY anchor),
+istitle AS (SELECT DISTINCT norm_title FROM tdim),
+bad AS (
+  SELECT s.anchor
+  FROM stats s
+  JOIN tok USING (anchor)
+  LEFT JOIN istitle it ON it.norm_title = s.anchor
+  WHERE CASE WHEN tok.tokenscore < 0.1
+             THEN (s.entropy > 1.0)
+                  OR (s.entropy <= 1.0 AND s.countratio > 0.5)
+             ELSE tok.tokenscore = 0 AND it.norm_title IS NULL END)
+SELECT anchor, qid, weight,
+       row_number() OVER (PARTITION BY anchor
+                          ORDER BY weight DESC, qid ASC)::BIGINT AS rank
+FROM cands
+WHERE anchor NOT IN (SELECT anchor FROM bad)""".format(
+    rot="translate(word, 'abcdefghijklmnopqrstuvwxyz', 'nopqrstuvwxyzabcdefghijklm')"
+)
+
+
 def q_ent_features(spark, sf_dir):
     """J5/J6/A8/A9 over triples derived from lineitem (s=orderkey,
     p=linenumber, o=partkey); entities = orderkeys with status F."""
@@ -1373,6 +1479,41 @@ FROM events GROUP BY 1, 2"""
 
 
 # --------------------------------------------------------------------------
+# Structured Streaming gate: the streaming hourly rollup drained with
+# availableNow must equal the batch aggregation — pinned by the SAME DuckDB
+# oracle as rel_hourly_events. (Watermark/late-data semantics are covered by
+# tests/test_streaming_plans.py; this gate proves stream==batch end to end
+# through a real readStream -> stateful agg -> memory sink query.)
+# --------------------------------------------------------------------------
+
+
+def q_stream_hourly_events(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from minimel_spark.streaming.ingest import (
+        run_to_sink,
+        stream_events,
+        stream_hourly_event_stats,
+    )
+
+    events = stream_events(spark, sf_dir, glob="events.parquet")
+    agg = stream_hourly_event_stats(events)
+    ckpt = tempfile.mkdtemp(prefix="minimel_stream_gate_")
+    q = run_to_sink(
+        agg, ckpt, output_mode="complete", query_name="stream_hourly_gate"
+    )
+    try:
+        assert q.awaitTermination(300), "streaming drain did not finish"
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    # materialize the final state: the memory sink table is session-scoped
+    out = spark.table("stream_hourly_gate")
+    return out.select("hour", "event_type", F.col("n").cast("long").alias("n"), "sum_value")
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (rows-only: synthetic media, fake decoder)
 # --------------------------------------------------------------------------
 
@@ -1427,6 +1568,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_per_name_scores": q_er_per_name_scores,
     "er_top_shadowed": q_er_top_shadowed,
     "er_clean_candidates": q_er_clean_candidates,
+    "er_clean_strict": q_er_clean_strict,
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "er_upperbound": q_er_upperbound,
     "er_fold_counts": q_er_fold_counts,
@@ -1468,6 +1610,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_except": q_rel_except,
     "rel_sessionize": q_rel_sessionize,
     "rel_hourly_events": q_rel_hourly_events,
+    # structured streaming (stream==batch, same oracle as rel_hourly_events)
+    "stream_hourly_events": q_stream_hourly_events,
     # multimodal plumbing
     "mm_features": q_mm_features,
 }
@@ -1487,6 +1631,7 @@ _ORACLES: dict[str, str] = {
     "er_per_name_scores": SQL_ER_PER_NAME,
     "er_top_shadowed": SQL_ER_TOP_SHADOWED,
     "er_clean_candidates": SQL_ER_CLEAN,
+    "er_clean_strict": SQL_ER_CLEAN_STRICT,
     "er_upperbound": SQL_ER_UPPERBOUND,
     "ent_features": SQL_ENT_FEATURES,
     "m4_similarity_edges": SQL_M4_EDGES,
@@ -1514,6 +1659,7 @@ _ORACLES: dict[str, str] = {
     "rel_except": SQL_REL_EXCEPT,
     "rel_sessionize": SQL_REL_SESSIONIZE,
     "rel_hourly_events": SQL_REL_HOURLY,
+    "stream_hourly_events": SQL_REL_HOURLY,
 }
 
 

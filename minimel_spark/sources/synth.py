@@ -218,6 +218,83 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
     return pages
 
 
+STRICT_WORLD_NOTE = """Construction contract for the STRICT clean() oracle
+(er_clean_strict): anchors and candidate titles DIVERGE so the
+entropy/countratio/tokenscore filters actually fire (on the plain
+documents-derived world tokenscore=1 by construction and they provably never
+do). counts: every word occurrence (length > 3) contributes to
+(anchor=word, qid = base_qid*8 + doc_id%8) — up to 8 near-uniform candidates
+per anchor, so entropy can exceed 1. titles: one per (word, d in 0..7) with
+qid = base_qid*8 + d; the title word is ROT13-scrambled when
+length(word) % 2 == 0 (shares no char-3gram with the anchor), verbatim
+otherwise — so tokenscore is 1 for odd-length anchors and ~0 for even-length
+ones. Additionally, every doc_id % 5 == 0 plants a rare anchor 'qq<doc_id>'
+with three candidates (cnt 1,1,2; qids 10M+doc_id*4+{0,1,2}, no titles):
+freqnorm weights come out (1,1,3), so entropy = 0.950 <= 1 and
+countratio = 0.6 > 0.5 with tokenscore 0 — the countratio branch of the
+bad-name rule, unreachable on the frequent vocabulary, fires on these.
+Every step is plain SQL, so DuckDB recomputes the full
+ambiguity -> freqnorm-weight -> entropy/countratio/tokenscore -> rank chain."""
+
+_ROT13 = "translate(word, 'abcdefghijklmnopqrstuvwxyz', 'nopqrstuvwxyzabcdefghijklm')"
+
+
+def strict_clean_world(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(counts, title_index) per STRICT_WORLD_NOTE — the adversarial fixture
+    for the non-degenerate clean() gate (reference minimel/clean.py:130-262)."""
+    vocab = doc_vocab(docs)
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.length("word") > 3)
+    counts = (
+        words.join(F.broadcast(vocab), "word")
+        .select(
+            F.col("word").alias("anchor"),
+            (F.col("base_qid") * 8 + F.col("doc_id") % 8).cast("long").alias("qid"),
+        )
+        .groupBy("anchor", "qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    planted = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select(
+            F.concat(F.lit("qq"), F.col("doc_id").cast("string")).alias("anchor"),
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("d"),
+        )
+        .select(
+            "anchor",
+            (F.lit(10_000_000) + F.col("doc_id") * 4 + F.col("d"))
+            .cast("long")
+            .alias("qid"),
+            F.when(F.col("d") == 2, F.lit(2)).otherwise(F.lit(1))
+            .cast("long")
+            .alias("cnt"),
+        )
+    )
+    counts = counts.unionByName(planted)
+    titles = (
+        vocab.select(
+            "word", "base_qid", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("d")
+        )
+        .withColumn(
+            "tw",
+            F.when(F.length("word") % 2 == 0, F.expr(_ROT13)).otherwise(
+                F.col("word")
+            ),
+        )
+        .select(
+            F.concat(
+                F.initcap("tw"),
+                F.lit("_"),
+                (F.col("base_qid") * 8 + F.col("d")).cast("string"),
+            ).alias("title"),
+            (F.col("base_qid") * 8 + F.col("d")).cast("long").alias("qid"),
+        )
+    )
+    return counts, titles
+
+
 def doc_title_index(docs: DataFrame) -> DataFrame:
     """title -> qid index matching pages_from_documents' link titles."""
     vocab = doc_vocab(docs)

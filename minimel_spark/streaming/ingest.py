@@ -91,6 +91,42 @@ def windowed_mention_volume(
     )
 
 
+EVENTS_DDL = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """File-source stream over events parquet. ``glob`` narrows the listing
+    (e.g. ``events.parquet`` when the directory holds many tables)."""
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(path)
+
+
+def stream_hourly_event_stats(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch hourly rollup (rel_hourly_events): counts
+    and value sums per (hour, event_type). Run in complete mode — drained with
+    availableNow the final state equals the batch aggregation exactly, which
+    is what the stream_hourly_events gate pins against the DuckDB oracle."""
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
 def run_to_sink(
     stream: DataFrame,
     checkpoint_dir: str,

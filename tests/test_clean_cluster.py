@@ -145,6 +145,32 @@ def test_quantile_top_shadowed_no_global_sort_limit(spark, fixture_counts):
     assert "TakeOrderedAndProject" not in plan
 
 
+def test_clean_strict_world_every_filter_fires(spark, sf_dir):
+    """On the strict world (synth.STRICT_WORLD_NOTE) each bad-name filter is
+    LIVE: moving any one threshold changes the output — i.e. the
+    er_clean_strict gate hash genuinely depends on entropy, countratio AND
+    tokenscore, unlike the degenerate documents world where none ever fired."""
+    from minimel_spark.sources.synth import strict_clean_world
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts, titles = strict_clean_world(docs)
+
+    def run(**kw):
+        out = clean(counts, titles, min_count=1, freqnorm=True, **kw)
+        return {(r["anchor"], r["qid"]) for r in out.collect()}
+
+    base = run()
+    # entropy branch disabled -> even-length frequent anchors come back
+    assert run(entropy_threshold=1e9) > base
+    # countratio branch disabled -> the planted rare 'qq*' anchors come back
+    no_cr = run(countratio_threshold=1e9)
+    assert no_cr > base
+    assert any(a.startswith("qq") for a, _ in no_cr - base)
+    # tokenscore gate widened -> even perfect-title anchors face the
+    # entropy test (entropy ~ ln 8 > 1 here) and get dropped
+    assert run(tokenscore_threshold=2.0) < base
+
+
 # ---------- M4 cluster equivalence: pairwise F1 >= 0.99 ----------
 
 def _reference_cluster_closure(name_scores, threshold):
