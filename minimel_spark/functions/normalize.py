@@ -7,11 +7,14 @@ normalized anchors), re-expressed for batch execution inside pandas UDFs:
 - ``vw_tok``               — reference ``minimel/vectorize.py:20-28``
 - ``char_shingles``        — reference ``minimel/clean.py:65-72`` (``tokens``)
 
-Stemming (reference ``minimel/normalize.py:57-110``) is gated behind optional
-imports: the snowball/MeCab/etc. libraries are not part of this engine's
-dependency set; ``normalize(..., language=...)`` raises cleanly if the stemmer
-backend is unavailable. All pipeline defaults use ``language=None`` (the
-reference's own default for its golden runs).
+Stemming (reference ``minimel/normalize.py:57-110``) mirrors the reference's
+full backend matrix — snowball (26 languages), simplemma (is), PersianStemmer
+(fa), MeCab (ja), spacy lemmas, ICU tokenization — each gated behind an
+optional import that raises a clear ImportError naming the package when
+absent (none ship in this engine's base dependency set). All pipeline
+defaults use ``language=None`` (the reference's own default for its golden
+runs); parity tests for the stemmed paths run only where the backends are
+installed.
 
 The whole chain deliberately stays a Python function rather than a Spark SQL
 expression chain: ``html.unescape`` has no Catalyst equivalent, and byte-identity
@@ -50,24 +53,98 @@ def normalize(a: str | None, language: str | None = None) -> str | None:
     return a if a else None
 
 
-def stem(text: str, code: str) -> str:
-    """Optional per-language stemming (reference minimel/normalize.py:57-110).
+def _tokenize(code: str):
+    """Reference tokenization for the stemmed paths (normalize.py:75): ICU
+    word segmentation when ``icu_tokenizer`` is installed, whitespace split
+    otherwise. For whitespace-delimited scripts the two are identical; for
+    unsegmented scripts (ja handled by MeCab anyway, th, zh) ICU is required
+    for reference parity — the fallback is documented, not silent: callers can
+    check ``has_icu``."""
+    try:  # pragma: no cover - optional dependency
+        from icu_tokenizer import Tokenizer  # type: ignore
 
-    Backends are optional dependencies; absent backends raise ImportError with a
-    clear message instead of silently changing semantics.
-    """
-    try:
-        import snowballstemmer  # type: ignore
-    except ImportError as e:  # pragma: no cover - env without stemmers
-        raise ImportError(
-            f"stemming for language {code!r} requires snowballstemmer; "
-            "install it or run with language=None"
-        ) from e
+        return Tokenizer(lang=code).tokenize
+    except ImportError:
+        return str.split
+
+
+def has_icu() -> bool:
+    try:  # pragma: no cover - optional dependency
+        import icu_tokenizer  # type: ignore  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _require(package: str, code: str):
+    raise ImportError(
+        f"stemming for language {code!r} requires {package}; "
+        "install it or run with language=None"
+    )
+
+
+def stem(text: str, code: str, spacy: bool = False) -> str:
+    """Per-language stemming/lemmatization, mirroring the reference backend
+    dispatch exactly (minimel/normalize.py:57-110): spacy lemmas when asked,
+    else snowball for the 26 mapped languages, simplemma for Icelandic,
+    PersianStemmer for Farsi, MeCab for Japanese, and plain (ICU) tokenization
+    for anything else. Every backend is an optional dependency; an absent one
+    raises ImportError with the package name instead of silently changing
+    semantics."""
+    if spacy:
+        global _SPACY_MODEL
+        try:  # pragma: no cover - optional dependency
+            import spacy as sp  # type: ignore
+        except ImportError:
+            _require("spacy", code)
+        if _SPACY_MODEL is None:
+            _SPACY_MODEL = sp.load(code)
+        return " ".join(token.lemma_ for token in _SPACY_MODEL(text))
+
+    tokenizer = _tokenize(code)
     lang = SNOWBALL_LANG.get(code)
-    if not lang:
-        raise ValueError(f"no stemmer mapping for language code {code!r}")
-    stemmer = _STEMMERS.setdefault(code, snowballstemmer.stemmer(lang))
-    return " ".join(stemmer.stemWords(text.split()))
+    if lang:
+        if code not in _STEMMERS:
+            try:
+                import snowballstemmer  # type: ignore
+            except ImportError:  # pragma: no cover - env without stemmers
+                _require("snowballstemmer", code)
+            _STEMMERS[code] = snowballstemmer.stemmer(lang)
+        return " ".join(_STEMMERS[code].stemWords(tokenizer(text)))
+    if code == "is":
+        if code not in _STEMMERS:
+            try:  # pragma: no cover - optional dependency
+                from simplemma import text_lemmatizer  # type: ignore
+            except ImportError:
+                _require("simplemma", code)
+            _STEMMERS[code] = text_lemmatizer
+        return " ".join(_STEMMERS[code](text, lang="is"))
+    if code == "fa":
+        if code not in _STEMMERS:
+            try:  # pragma: no cover - optional dependency
+                from PersianStemmer import PersianStemmer  # type: ignore
+            except ImportError:
+                _require("PersianStemmer", code)
+            _STEMMERS[code] = PersianStemmer()
+        return _STEMMERS[code].run(text)
+    if code == "ja":
+        if code not in _STEMMERS:
+            try:  # pragma: no cover - optional dependency
+                import MeCab  # type: ignore
+            except ImportError:
+                _require("MeCab (mecab-python3)", code)
+            _STEMMERS[code] = MeCab.Tagger()
+        if not text.strip():
+            return ""
+        analysis = _STEMMERS[code].parse(text).split("\n")[:-2]
+        columns = tuple(zip(*[line.split("\t") for line in analysis]))
+        try:
+            return " ".join(columns[2]).strip()
+        except IndexError:
+            return ""
+    # unmapped language: tokenize only (reference normalize.py:110)
+    return " ".join(tokenizer(text))
 
 
 # Reference minimel/normalize.py:23-50
@@ -82,6 +159,7 @@ SNOWBALL_LANG = {
 }
 
 _STEMMERS: dict[str, object] = {}  # executor-singleton cache (normalize.py:53)
+_SPACY_MODEL = None  # reference keeps ONE loaded spacy model (normalize.py:55)
 
 
 _TOKEN_RE = re.compile(r"(?u)\b\w+\b")

@@ -163,6 +163,35 @@ def _walk(nodes):
             yield from _walk(node.contents)
 
 
+def canonical_title(t: str) -> str | None:
+    """Reference title canonicalization (get_paragraphs.py:47-54): drop
+    Namespace: titles, uppercase the first char, spaces -> underscores.
+    Shared between the parse-time lookup and the pre-scan that feeds the
+    distributed title join (extract_paragraphs' over-budget path), so both
+    paths canonicalize byte-identically."""
+    if not t or _NS_RE.match(t):
+        return None
+    t = t[0].upper() + (t[1:] if len(t) > 1 else "")
+    return t.replace(" ", "_")
+
+
+_TARGET_RE = re.compile(r"\[\[([^\[\]|]*)")
+
+
+def candidate_titles(mwcode: str | None) -> set[str]:
+    """Flat pre-scan of every possible wikilink target in a page (nested links
+    keep their literal '[[Target' text in the source, so the regex sees them
+    too); canonicalized with the SAME helper the parser uses. A superset of
+    what the parser will look up — extra keys are harmless, missing keys would
+    break byte-identity, hence the shared canonicalization."""
+    out = set()
+    for t in _TARGET_RE.findall(mwcode or ""):
+        c = canonical_title(t)
+        if c:
+            out.add(c)
+    return out
+
+
 def iter_wikilinks(nodes: list, index) -> "list[tuple[str, int]]":
     """Reference get_links (minimel/get_paragraphs.py:47-54): canonicalize titles
     and keep those present in the title→qid index (a plain dict here, broadcast
@@ -170,13 +199,50 @@ def iter_wikilinks(nodes: list, index) -> "list[tuple[str, int]]":
     out = []
     for node in _walk(nodes):
         if isinstance(node, Wikilink):
-            t = node.title
-            if t and not _NS_RE.match(t):
-                t = t[0].upper() + (t[1:] if len(t) > 1 else "")
-                t = t.replace(" ", "_")
-                if t in index:
-                    disp = node.text if node.text is not None else node.title
-                    out.append((disp, index[t]))
+            t = canonical_title(node.title)
+            if t is not None and t in index:
+                disp = node.text if node.text is not None else node.title
+                out.append((disp, index[t]))
+    return out
+
+
+def get_list_links(mwcode: str | None, disambig_template: str | None = None) -> list[str]:
+    """Reference get_list_links (minimel/get_disambig.py:65-85): the wikilink
+    titles of LIST ITEMS — in raw wikitext, lines opening with '*' or '#'
+    (mwparserfromhell's ``li`` tags). For each list line the node right after
+    the marker contributes: a bare wikilink yields its title; a formatting
+    node (Tag/Template) yields every wikilink inside it. When
+    ``disambig_template`` is given, pages not containing that template yield
+    nothing (get_disambig.py:71-74)."""
+    if not mwcode:
+        return []
+    if disambig_template:
+        want = disambig_template.lower()
+        names = (
+            t.raw[2:-2].partition("|")[0].strip().lower()
+            for t in _walk(parse_wikitext(mwcode))
+            if isinstance(t, Template)
+        )
+        if not any(n == want for n in names):
+            return []
+    out: list[str] = []
+    for line in mwcode.splitlines():
+        stripped = line.lstrip()
+        if not stripped or stripped[0] not in "*#":
+            continue
+        item = stripped.lstrip("*#").lstrip()
+        for node in parse_wikitext(item):
+            if isinstance(node, Text):
+                if node.value.strip():
+                    break  # leading prose, not a link item
+                continue
+            if isinstance(node, Wikilink):
+                out.append(node.title)
+            elif isinstance(node, (Tag, Template)):
+                out.extend(
+                    n.title for n in _walk(node.contents) if isinstance(n, Wikilink)
+                )
+            break
     return out
 
 

@@ -114,8 +114,12 @@ def surface_blocked_pairs(
       (name, salt) — expansion is bounded BEFORE the join, and pairs are
       produced exactly once (no multi-band duplicate shuffle + dedupe).
     - CROSS-NAME pairs (names sharing an LSH band / dict key): the tiny
-      name-pair table joins each side's records, with each side's record list
-      deterministically capped to sqrt-cap records per name.
+      name-pair table joins each side's records. Caps are computed PER NAME
+      PAIR from the actual product n_a * n_b: under-cap pairs keep every
+      record on both sides (so the produced pair set really is identical to
+      the generic capped path on under-cap data), over-cap pairs shrink both
+      sides proportionally (cap_side = floor(n_side * sqrt(cap / (n_a*n_b))))
+      with a deterministic xxhash64 record ranking.
 
     Same contract as cap_blocks + candidate_pairs (deterministic,
     partition-invariant, per-block pair counts bounded by the cap); on
@@ -174,26 +178,72 @@ def surface_blocked_pairs(
         .groupBy("_na", "_nb")
         .agg(F.count(F.lit(1)).alias("n_blocks"))
     )
-    side_cap = max(2, int(math.isqrt(max_pairs_per_block)))
+    # per-PAIR caps from the actual block pair count n_a * n_b: under-cap
+    # pairs keep all records on both sides; over-cap pairs shrink both sides
+    # proportionally so cap_a * cap_b <= max_pairs_per_block
+    sizes = names.select(key_col, "_n_rec")
+    name_pairs = (
+        name_pairs.join(
+            F.broadcast(sizes.select(F.col(key_col).alias("_na"), F.col("_n_rec").alias("_nra"))),
+            "_na",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col(key_col).alias("_nb"), F.col("_n_rec").alias("_nrb"))),
+            "_nb",
+        )
+        .withColumn(
+            "_r",
+            F.sqrt(F.lit(float(max_pairs_per_block)) / (F.col("_nra") * F.col("_nrb"))),
+        )
+        .select(
+            "_na",
+            "_nb",
+            "n_blocks",
+            F.when(F.col("_r") >= 1, F.col("_nra"))
+            .otherwise(F.greatest(F.floor(F.col("_nra") * F.col("_r")), F.lit(1)))
+            .cast("long")
+            .alias("_cap_a"),
+            F.when(F.col("_r") >= 1, F.col("_nrb"))
+            .otherwise(F.greatest(F.floor(F.col("_nrb") * F.col("_r")), F.lit(1)))
+            .cast("long")
+            .alias("_cap_b"),
+        )
+    )
+    # each name's records are ranked once (deterministic hash order) and cut
+    # at the LARGEST cap any of its pairs needs; per-pair caps then filter at
+    # join time
+    need = (
+        name_pairs.select(F.col("_na").alias("_k"), F.col("_cap_a").alias("_need"))
+        .unionByName(
+            name_pairs.select(F.col("_nb").alias("_k"), F.col("_cap_b").alias("_need"))
+        )
+        .groupBy("_k")
+        .agg(F.max("_need").alias("_need"))
+    )
     w = Window.partitionBy(key_col).orderBy(F.xxhash64(F.col(rec_id_col)))
     capped = (
         records.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= side_cap)
+        .join(
+            F.broadcast(need.withColumnRenamed("_k", key_col)), key_col
+        )
+        .where(F.col("_rn") <= F.col("_need"))
         .select(F.col(key_col).alias("_k"), F.col(rec_id_col).alias("_rid"), "_rn")
     )
     cross_pairs = (
         name_pairs.join(
             capped.select(
-                F.col("_k").alias("_na"), F.col("_rid").alias("_rid_a")
+                F.col("_k").alias("_na"), F.col("_rid").alias("_rid_a"), F.col("_rn").alias("_rn_a")
             ),
             "_na",
         )
+        .where(F.col("_rn_a") <= F.col("_cap_a"))
         .join(
             capped.select(
-                F.col("_k").alias("_nb"), F.col("_rid").alias("_rid_b")
+                F.col("_k").alias("_nb"), F.col("_rid").alias("_rid_b"), F.col("_rn").alias("_rn_b")
             ),
             "_nb",
         )
+        .where(F.col("_rn_b") <= F.col("_cap_b"))
         .select(
             F.least("_rid_a", "_rid_b").alias("rec_id_a"),
             F.greatest("_rid_a", "_rid_b").alias("rec_id_b"),

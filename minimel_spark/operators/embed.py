@@ -1,0 +1,163 @@
+"""M6 embedding TRANSFORM: text -> array<double> (SURVEY §2 M6; reference
+minimel/vectorize.py:184-195 and run.py:22-31).
+
+The reference embeds paragraphs either with a pickled (sklearn) hashing
+vectorizer or with fasttext sentence vectors; round 1 covered similarity
+*search* (operators/ann.py) but had no operator producing embeddings from
+text. Three paths, mirroring the reference's options:
+
+- ``embed_hashed`` — the default, a hashing vectorizer re-expressed ENTIRELY
+  in JVM expressions (no UDF, whole-stage codegen): lowercase ``\\w+`` tokens,
+  md5-hash each token into one of ``dim`` buckets, count, L2-normalize.
+  The md5 bucket hash is deliberately SQL-reproducible
+  (``('0x'||substr(md5(tok),1,15))::UBIGINT % dim`` in DuckDB equals Spark's
+  ``conv(substr(md5(tok),1,15),16,10) % dim``), which is what gives the
+  text_embed_hashed gate a full value-hash oracle.
+- ``embed_with_fasttext`` — fasttext sentence vectors via an Arrow-batched
+  pandas UDF with the model as an executor singleton (reference run.py:22-31);
+  gated behind the optional fasttext import.
+- ``embed_with_vectorizer`` — a pickled sklearn vectorizer applied per batch
+  (reference vectorize.py:184-195); gated behind the optional import.
+
+Scale notes for ``embed_hashed``: one scan -> explode -> two hash
+aggregations keyed by the document id; the dense array is assembled with
+``transform(sequence(...))`` over a per-doc bucket map — no shuffle beyond
+the per-doc aggregation, no Python anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def embed_hashed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """(id, text) -> (id, embedding array<double>): L2-normalized hashed
+    bag-of-words. Empty/token-less documents get the zero vector."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '\\\\w+', 0)")
+    buckets = (
+        df.select(id_col, F.explode(toks).alias("_tok"))
+        .select(
+            id_col,
+            F.expr(
+                f"pmod(cast(conv(substr(md5(_tok), 1, 15), 16, 10) as bigint), {dim})"
+            ).alias("_b"),
+        )
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    )
+    vecs = (
+        buckets.groupBy(id_col)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("_m")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.element_at("_m", i.cast("long")), F.lit(0.0)),
+            ).alias("_v"),
+        )
+        .withColumn(
+            "_norm",
+            F.sqrt(F.aggregate("_v", F.lit(0.0), lambda acc, x: acc + x * x)),
+        )
+        .select(
+            id_col,
+            F.when(
+                F.col("_norm") > 0,
+                F.transform("_v", lambda x: x / F.col("_norm")),
+            )
+            .otherwise(F.col("_v"))
+            .alias(out_col),
+        )
+    )
+    zero = F.array_repeat(F.lit(0.0), dim)
+    return (
+        df.select(id_col)
+        .join(vecs, id_col, "left")
+        .select(id_col, F.coalesce(out_col, zero).alias(out_col))
+    )
+
+
+def embed_with_fasttext(
+    df: DataFrame,
+    model_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """fasttext sentence vectors (reference run.py:22-31). Requires the
+    optional ``fasttext`` package; the model loads ONCE per executor task
+    (iterator-form pandas UDF singleton) and batches flow through Arrow."""
+    try:  # pragma: no cover - optional dependency
+        import fasttext  # type: ignore # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "embed_with_fasttext requires the optional fasttext package"
+        ) from e
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(out_col, T.ArrayType(T.DoubleType())),
+    ])
+
+    def gen(batches):  # pragma: no cover - needs fasttext
+        import fasttext as ft
+
+        model = ft.load_model(model_path)
+        for pdf in batches:
+            vecs = [
+                [float(x) for x in model.get_sentence_vector(t or "")]
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: vecs})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def embed_with_vectorizer(
+    df: DataFrame,
+    vectorizer_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Pickled sklearn vectorizer transform (reference vectorize.py:184-195).
+    Requires the optional scikit-learn package; the pickle loads once per
+    executor task and ``transform`` runs per Arrow batch."""
+    try:  # pragma: no cover - optional dependency
+        import sklearn  # type: ignore # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "embed_with_vectorizer requires the optional scikit-learn package"
+        ) from e
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(out_col, T.ArrayType(T.DoubleType())),
+    ])
+
+    def gen(batches):  # pragma: no cover - needs sklearn
+        import pickle
+
+        with open(vectorizer_path, "rb") as f:
+            vec = pickle.load(f)
+        for pdf in batches:
+            m = vec.transform(list(pdf[text_col]))
+            dense = m.toarray() if hasattr(m, "toarray") else m
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: [list(map(float, r)) for r in dense]}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)

@@ -295,6 +295,124 @@ def strict_clean_world(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return counts, titles
 
 
+VARIANT_WORLD_NOTE = """Construction contract for the matcher-proving gate
+(er_matcher_planted): a surface-form-VARIANT-rich corpus where the LR matcher
+has real work to do (the documents world has no variants, so its weak labels
+are degenerate and LBFGS converges at iteration 0). Per entity i in
+0..n_entities-1 (qid = 1000+i):
+
+- base word w_i: 8 pseudo-random letters (digits of (i*2654435761) % 1e8
+  mapped 0-9 -> a-j) + a unique 3-letter suffix from i — 11 letters, unique
+  across entities, pure SQL expressions (no UDF, partition-invariant);
+- four surface variants: v0 = w; v1 = w||'inc' (alias suffix); v2 = w minus
+  its 3rd char (typo/deletion); v3 = w with chars 5,6 swapped
+  (transposition). Edits never touch the last-3-char suffix, so no variant
+  ever collides ACROSS entities;
+- per (variant, copy c in 0..copies-1) one page linking [[<Initcap(w)>_<qid>|v]]
+  followed by the entity's 4 context words (all 'z'-prefixed, unique per
+  entity -> cos_bow is high within an entity, ~0 across);
+- per variant one extra page linking the shared decoy title [[Zzdecoy_9999|v]]
+  (same context) so every anchor has TWO candidate qids — surviving clean()'s
+  ambiguity filter — with argmax = the true entity (cnt copies vs 1), which is
+  what makes the pipeline's weak labels discriminative: same-argmax pairs
+  (within entity) are positives, cross-entity blocked pairs negatives.
+
+Records per entity = 4*copies + 4 pages, one mention each. Full recovery =
+one cluster per entity containing exactly its 4*(copies+1) records — true only
+if the trained matcher separates variant pairs from cross-entity pairs, so the
+gate FAILS under a constant scorer (all-high merges entities via LSH-blocked
+cross pairs; all-low splits every record)."""
+
+_L = "'abcdefghij'"
+
+
+def _letters(col: str, width: int) -> str:
+    """SQL: digits of <col> lpad'ed to <width>, mapped 0-9 -> a-j."""
+    return f"translate(lpad(({col})::string, {width}, '0'), '0123456789', {_L})"
+
+
+def variant_world(
+    spark: SparkSession, n_entities: int = 40, copies: int = 2
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(pages, title_index, variant_dim) per VARIANT_WORLD_NOTE.
+
+    variant_dim = (name, entity_id) distinct — the gold mapping used by the
+    gate to score recovery (names are unique across entities by construction).
+    """
+    base = spark.range(n_entities).select(
+        F.col("id").alias("i"),
+        F.expr(
+            f"{_letters('id * 2654435761 % 100000000', 8)} || {_letters('id', 3)}"
+        ).alias("w"),
+        F.expr(
+            " || ' ' || ".join(
+                f"('z' || {_letters(f'(id * 31 + {j}) * 2654435761 % 1000000', 6)})"
+                for j in range(4)
+            )
+        ).alias("ctx"),
+    )
+    variants = base.select(
+        "i",
+        "w",
+        "ctx",
+        F.posexplode(
+            F.array(
+                F.col("w"),
+                F.concat(F.col("w"), F.lit("inc")),
+                F.concat(F.expr("substring(w, 1, 2)"), F.expr("substring(w, 4)")),
+                F.expr(
+                    "substring(w, 1, 4) || substring(w, 6, 1) || "
+                    "substring(w, 5, 1) || substring(w, 7)"
+                ),
+            )
+        ).alias("k", "name"),
+    )
+    title = F.concat(F.initcap("w"), F.lit("_"), (F.col("i") + 1000).cast("string"))
+    entity_pages = variants.select(
+        "i", "k", "name", "ctx", title.alias("t"),
+        F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("c"),
+    ).select(
+        F.concat(
+            F.lit("https://synth.local/e"), F.col("i").cast("string"),
+            F.lit("/v"), F.col("k").cast("string"),
+            F.lit("/c"), F.col("c").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("[["), F.col("t"), F.lit("|"), F.col("name"), F.lit("]] "),
+                 F.col("ctx")).alias("text"),
+        "i",
+    )
+    decoy_pages = variants.select(
+        F.concat(
+            F.lit("https://synth.local/e"), F.col("i").cast("string"),
+            F.lit("/v"), F.col("k").cast("string"), F.lit("/d"),
+        ).alias("url"),
+        F.concat(F.lit("[[Zzdecoy_9999|"), F.col("name"), F.lit("]] "),
+                 F.col("ctx")).alias("text"),
+        "i",
+    )
+    pages = (
+        entity_pages.unionByName(decoy_pages)
+        .select(
+            "url",
+            F.to_timestamp(F.lit("2024-06-01 00:00:00")).alias("warc_ts"),
+            F.encode("text", "utf-8").alias("html"),
+            "text",
+            F.lit("en").alias("lang"),
+        )
+    )
+    title_index = base.select(
+        title.alias("title"), (F.col("i") + 1000).cast("long").alias("qid")
+    ).unionByName(
+        spark.range(1).select(
+            F.lit("Zzdecoy_9999").alias("title"), F.lit(9999).cast("long").alias("qid")
+        )
+    )
+    variant_dim = variants.select(
+        "name", F.col("i").cast("long").alias("entity_id")
+    ).distinct()
+    return pages, title_index, variant_dim
+
+
 def doc_title_index(docs: DataFrame) -> DataFrame:
     """title -> qid index matching pages_from_documents' link titles."""
     vocab = doc_vocab(docs)

@@ -130,3 +130,44 @@ def test_simhash_identical_texts_distance_zero(spark):
     )
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_dups(docs, max_hamming=64).collect()}
     assert pairs.get((1, 2)) == 0
+
+
+def test_embed_hashed_unit_norm_and_determinism(spark, documents):
+    from minimel_spark.operators.embed import embed_hashed
+
+    emb = embed_hashed(documents.limit(50), dim=16)
+    rows = emb.collect()
+    assert all(len(r["embedding"]) == 16 for r in rows)
+    for r in rows:
+        n = sum(x * x for x in r["embedding"]) ** 0.5
+        assert n == pytest.approx(1.0, abs=1e-9) or n == 0.0
+    # partition-invariant (pure expressions)
+    again = {
+        r["doc_id"]: tuple(r["embedding"])
+        for r in embed_hashed(documents.limit(50).repartition(7), dim=16).collect()
+    }
+    assert {r["doc_id"]: tuple(r["embedding"]) for r in rows} == again
+
+
+def test_embed_hashed_feeds_ann(spark, documents):
+    """Text -> embedding -> exact cosine top-k end to end: a doc's nearest
+    neighbour under hashed-BoW cosine is itself-like content (sanity)."""
+    from minimel_spark.operators.embed import embed_hashed
+
+    emb = embed_hashed(documents.limit(100), dim=32).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    out = brute_force_topk(emb, emb.limit(5), k=3)
+    top1 = {r["query_id"]: r["vec_id"] for r in out.where("rank = 1").collect()}
+    assert all(q == v for q, v in top1.items())  # self-similarity = 1
+
+
+def test_embed_gated_backends_raise(spark, documents):
+    from minimel_spark.operators.embed import embed_with_fasttext, embed_with_vectorizer
+
+    for fn, pkg in ((embed_with_fasttext, "fasttext"), (embed_with_vectorizer, "scikit-learn")):
+        try:
+            __import__(pkg.replace("scikit-learn", "sklearn"))
+        except ImportError:
+            with pytest.raises(ImportError, match=pkg):
+                fn(documents, "/nonexistent/model")

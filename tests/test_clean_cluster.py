@@ -240,6 +240,40 @@ def test_cluster_pairwise_f1_vs_reference(spark, fixture_counts):
     assert cs and all(r["weight"] > 0 for r in cs)
 
 
+def test_variant_world_cluster_f1_vs_reference(spark):
+    """North-rule acceptance on the VARIANT corpus (synth.VARIANT_WORLD_NOTE):
+    name clusters must match the reference cluster() closure at pairwise
+    F1 >= 0.99, and the reference closure itself must equal the planted
+    entity partition (variants of one entity share its argmax qid; entities
+    only share the weak decoy qid, whose cross score 0.285 < 0.5)."""
+    from minimel_spark.operators.count import anchor_counts
+    from minimel_spark.operators.extract import extract_paragraphs
+    from minimel_spark.sources.synth import variant_world
+
+    pages, index, vdim = variant_world(spark, n_entities=20, copies=2)
+    counts = anchor_counts(extract_paragraphs(pages, index), min_count=1)
+    cands = clean(counts, index, min_count=1)
+    rows = cands.collect()
+    name_scores = {}
+    for r in rows:
+        name_scores.setdefault(r["anchor"], {})[r["qid"]] = r["weight"]
+    ref = _reference_cluster_closure(name_scores, threshold=0.5)
+
+    # the reference closure recovers the planted partition exactly
+    gold = {r["name"]: r["entity_id"] for r in vdim.collect()}
+    assert _pairs(ref) == _pairs({n: gold[n] for n in ref})
+
+    membership, _ = cluster_candidates(cands, score_threshold=0.5)
+    got = {r["anchor"]: r["cluster_id"] for r in membership.collect()}
+    ref_pairs, got_pairs = _pairs(ref), _pairs(got)
+    tp = len(ref_pairs & got_pairs)
+    prec = tp / len(got_pairs) if got_pairs else 1.0
+    rec = tp / len(ref_pairs) if ref_pairs else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    assert ref_pairs, "variant world produced no reference cluster pairs"
+    assert f1 >= 0.99, f"pairwise F1 {f1} < 0.99 (p={prec}, r={rec})"
+
+
 def test_pair_cap_limits_edges(spark, fixture_counts):
     counts, index = fixture_counts
     cands = rank_candidates(

@@ -53,6 +53,26 @@ def test_extract_matches_pure_function(spark, fixture_world):
     assert got == expected
 
 
+def test_extract_joined_path_equals_broadcast(spark, fixture_world):
+    """The over-budget title-index path (distributed title join + per-page
+    mini-dict) must be byte-identical to the broadcast-dict path — including
+    the pagename self-link enrichment and nested-link targets."""
+    from minimel_spark.operators.extract import extract_paragraphs_joined
+
+    pages, index = fixture_world
+    key = lambda r: (r["url"], r["par_id"])
+    want = {key(r): (sorted(r["links"].items()), r["text"])
+            for r in extract_paragraphs(pages, index).collect()}
+    got = {key(r): (sorted(r["links"].items()), r["text"])
+           for r in extract_paragraphs_joined(pages, index).collect()}
+    assert got == want
+    # the dispatch: a budget of 1 forces the joined path, same result
+    via_dispatch = {key(r): (sorted(r["links"].items()), r["text"])
+                    for r in extract_paragraphs(
+                        pages, index, max_broadcast_titles=1).collect()}
+    assert via_dispatch == want
+
+
 def test_anchor_counts_min_count_and_normalization(spark, fixture_world):
     pages, index = fixture_world
     pars = extract_paragraphs(pages, index).cache()

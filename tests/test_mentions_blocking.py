@@ -37,6 +37,33 @@ def test_trie_matcher_multiple_nonoverlapping():
     assert list(m.find_matches("aa bb aa")) == [(0, "aa"), (3, "bb"), (6, "aa")]
 
 
+def test_regex_matcher_equals_trie_matcher():
+    """RegexMatcher is the fast production fallback; TrieMatcher is the
+    executable spec — byte-identical outputs, including consumption of
+    boundary-rejected matches."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from minimel_spark.functions.matcher import RegexMatcher
+
+    alpha = "ab ."
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.text(alphabet="ab", min_size=1, max_size=5), min_size=1, max_size=8),
+        st.text(alphabet=alpha, max_size=40),
+    )
+    def check(names, text):
+        assert list(RegexMatcher(names).find_matches(text)) == list(
+            TrieMatcher(names).find_matches(text)
+        )
+
+    check()
+    # regex metacharacters in names must be escaped
+    m = RegexMatcher(["a.b", "a+b"])
+    assert list(m.find_matches("a.b axb a+b")) == [(0, "a.b"), (8, "a+b")]
+
+
 def test_jaro_winkler_known_values():
     assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611, abs=1e-3)
     assert jaro_winkler("dwayne", "duane") == pytest.approx(0.84, abs=1e-2)
@@ -82,6 +109,24 @@ def test_detect_mentions(spark, paragraphs, names):
         ("u2", 0, 0, "globex"),
         ("u2", 0, 11, "acme corp"),
     }
+
+
+def test_detect_mentions_chunked_equals_broadcast(spark, paragraphs, names):
+    """The over-budget dictionary path (per-chunk bounded scans + relational
+    span merge + greedy sweep) must reproduce the single-automaton output
+    exactly, including cross-chunk leftmost-longest resolution ('acme' and
+    'acme corp' land in different chunks of a 3-way split)."""
+    from minimel_spark.operators.mentions import detect_mentions_chunked
+
+    want = {
+        tuple(r) for r in detect_mentions(paragraphs, names).collect()
+    }
+    for n_chunks in (2, 3):
+        got = {
+            tuple(r)
+            for r in detect_mentions_chunked(paragraphs, names, n_chunks).collect()
+        }
+        assert got == want, f"chunked({n_chunks}) diverged from broadcast path"
 
 
 def test_count_names(spark, paragraphs, names):
@@ -158,3 +203,53 @@ def test_pair_features(spark, records):
     assert 0 < row["cos_bow"] < 1.0
     cols = set(feats.columns)
     assert {"lev_sim", "jacc3", "jw", "cos_bow"} <= cols
+
+
+def test_surface_blocked_pairs_under_cap_equals_generic_and_keeps_small_cross(spark):
+    """Docstring invariant of surface_blocked_pairs: on under-cap data the
+    produced pair SET equals the generic cap_blocks + candidate_pairs path.
+    In particular a 120-record name paired with a 1-record name
+    (C(121,2) << cap) must emit all 120 cross pairs — the old unconditional
+    sqrt-cap silently dropped records from every cross-name pair."""
+    from minimel_spark.operators.blocking import surface_blocked_pairs
+
+    rows = (
+        [(i, "alphabeta") for i in range(120)]
+        + [(1000, "alphabets")]
+        + [(2000 + i, "zzqx") for i in range(3)]
+    )
+    records = spark.createDataFrame(rows, "rec_id long, name string")
+    got = surface_blocked_pairs(
+        records, key_col="name", rec_id_col="rec_id",
+        num_hashes=12, bands=6, max_pairs_per_block=10_000,
+    )
+    got_pairs = {(r["rec_id_a"], r["rec_id_b"]) for r in got.collect()}
+
+    # the ADVICE scenario: every (alphabeta record, alphabets record) pair
+    cross = {(i, 1000) for i in range(120)}
+    assert cross <= got_pairs, "under-cap cross-name pairs were dropped"
+
+    # generic record-level path with the same key generators
+    blocked = union_blocks(
+        dictionary_blocks(
+            records.withColumn(
+                "_n_sh",
+                F.size(__import__("minimel_spark.functions.udfs", fromlist=["x"]).shingles_udf("name")),
+            ).where(F.col("_n_sh") == 0).drop("_n_sh"),
+            key_col="name",
+        ),
+        minhash_blocks(records, key_col="name", num_hashes=12, bands=6),
+    )
+    generic = candidate_pairs(cap_blocks(blocked, max_pairs_per_block=10_000))
+    want_pairs = {(r["rec_id_a"], r["rec_id_b"]) for r in generic.collect()}
+    assert got_pairs == want_pairs
+
+    # over-cap name pair: caps bound the emitted pair count
+    capped = surface_blocked_pairs(
+        records, key_col="name", rec_id_col="rec_id",
+        num_hashes=12, bands=6, max_pairs_per_block=50,
+    )
+    n_cross = capped.where(
+        (F.col("name_a") != F.col("name_b"))
+    ).count()
+    assert 0 < n_cross <= 50 * 2  # bands may propose both orientations pre-dedup

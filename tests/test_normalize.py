@@ -56,3 +56,55 @@ def test_char_shingles():
     assert char_shingles("ab") == set()
     # cut at " ,"
     assert char_shingles("acme , junk") == {"acm", "cme"}
+
+
+# ---------- stemming backend matrix (reference normalize.py:57-110) ----------
+
+def _installed(mod):
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+def test_stem_absent_backends_raise_with_package_name():
+    """Every gated backend must fail LOUDLY with the package name — never
+    silently change semantics."""
+    import pytest
+
+    from minimel_spark.functions.normalize import stem
+
+    cases = [
+        ("en", {}, "snowballstemmer"),   # snowball language
+        ("is", {}, "simplemma"),
+        ("fa", {}, "PersianStemmer"),
+        ("ja", {}, "MeCab"),
+        ("en", {"spacy": True}, "spacy"),
+    ]
+    for code, kw, pkg in cases:
+        if _installed(pkg if pkg != "MeCab (mecab-python3)" else "MeCab"):
+            continue
+        with pytest.raises(ImportError, match=pkg.split(" ")[0]):
+            stem("running quickly", code, **kw)
+
+
+def test_stem_snowball_parity_when_installed():
+    import pytest
+
+    if not _installed("snowballstemmer"):
+        pytest.skip("snowballstemmer not installed")
+    from minimel_spark.functions.normalize import stem
+
+    assert stem("running runs", "en") == "run run"
+
+
+def test_stem_unmapped_language_tokenizes_only_when_icu_installed():
+    import pytest
+
+    if not _installed("icu_tokenizer"):
+        pytest.skip("icu_tokenizer not installed")
+    from minimel_spark.functions.normalize import stem
+
+    # unmapped code: ICU tokenization only (reference normalize.py:110)
+    assert stem("hello world", "xx") == "hello world"

@@ -165,3 +165,46 @@ def test_matcher_learns_separable_labels(spark):
         "hit", ((F.col("score") > 0.5).cast("int") == F.col("is_match")).cast("double")
     ).agg(F.avg("hit")).first()[0]
     assert acc > 0.95
+
+
+def test_matcher_planted_recovery_fails_under_constant_scorer(spark):
+    """The er_matcher_planted gate genuinely depends on the TRAINED matcher:
+    on the variant world the real pipeline recovers every entity exactly,
+    while a constant-1 scorer merges entities through LSH-blocked cross pairs
+    (purity fails) and a constant-0 scorer splits every record (completeness
+    fails)."""
+    from minimel_spark.operators.cluster import connected_components
+    from minimel_spark.operators.scoring import match_edges
+    from minimel_spark.sources.synth import variant_world
+
+    pages, index, vdim = variant_world(spark, n_entities=12, copies=2)
+    out = run_pipeline(
+        spark, pages, index,
+        config=PipelineConfig(min_count=1, bands=12, num_hashes=12),
+    )
+    records = out["records"].select("rec_id", "name").cache()
+
+    def recovered_fraction(scored):
+        edges = match_edges(scored, 0.5)
+        cc = connected_components(edges)
+        clusters = (
+            records.select("rec_id")
+            .join(cc.withColumnRenamed("node", "rec_id"), "rec_id", "left")
+            .select("rec_id", F.coalesce("component", "rec_id").alias("cluster_id"))
+        )
+        j = records.join(clusters, "rec_id").join(vdim, "name")
+        per = j.groupBy("entity_id", "cluster_id").agg(F.count(F.lit(1)).alias("n"))
+        cs = j.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cs"))
+        tot = j.groupBy("entity_id").agg(F.count(F.lit(1)).alias("nr"))
+        ok = (
+            per.join(cs, "cluster_id").join(tot, "entity_id")
+            .withColumn("ok", (F.col("n") == F.col("cs")) & (F.col("n") == F.col("nr")))
+            .groupBy("entity_id").agg(F.max("ok").alias("recovered"))
+        )
+        rows = ok.collect()
+        return sum(r["recovered"] for r in rows) / len(rows)
+
+    assert recovered_fraction(out["scored_pairs"]) == 1.0
+    feats = out["pair_features"]
+    assert recovered_fraction(feats.withColumn("score", F.lit(1.0))) < 1.0
+    assert recovered_fraction(feats.withColumn("score", F.lit(0.0))) < 1.0

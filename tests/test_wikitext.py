@@ -104,3 +104,66 @@ def test_extract_page_cross_paragraph_link_memory():
     assert out[0][0] == {"gx": 3}
     assert out[1][0] == {"gx": 3}
     assert out[1][1] == "gamma gx delta"
+
+
+# ---------- P11: disambiguation list links (reference get_disambig.py:65-85) ----------
+
+def test_get_list_links_basic_and_formats():
+    from minimel_spark.functions.wikitext import get_list_links
+
+    text = (
+        "Acme may refer to:\n"
+        "* [[Acme_(0)]], a company\n"
+        "*[[Acme_(1)|the other one]]\n"
+        "# [[Other]] thing\n"
+        "* ''[[Styled_Link]]'' in italics\n"
+        "* plain text item, no link\n"
+        "not a list [[Nope]]\n"
+    )
+    assert get_list_links(text) == ["Acme_(0)", "Acme_(1)", "Other", "Styled_Link"]
+
+
+def test_get_list_links_template_gate():
+    from minimel_spark.functions.wikitext import get_list_links
+
+    with_tpl = "{{Disambiguation}}\n* [[A]]\n"
+    without = "* [[A]]\n"
+    assert get_list_links(with_tpl, disambig_template="disambiguation") == ["A"]
+    assert get_list_links(without, disambig_template="disambiguation") == []
+    assert get_list_links(without) == ["A"]
+
+
+def test_disambig_from_pages_operator(spark):
+    from minimel_spark.operators.disambig import disambig_from_pages
+
+    pages = spark.createDataFrame(
+        [
+            ("https://x/wiki/Acme", "{{dab}}\n* [[Acme_(0)]]\n* [[Acme_(1)]]\n* [[Missing]]"),
+            ("https://x/wiki/Plain", "no lists here [[Acme_(0)]]"),
+        ],
+        "url string, text string",
+    )
+    index = spark.createDataFrame(
+        [("Acme_(0)", 100), ("Acme_(1)", 101)], "title string, qid long"
+    )
+    got = {(r["title"], r["qid"]) for r in disambig_from_pages(pages, index).collect()}
+    assert got == {("Acme", 100), ("Acme", 101)}
+    gated = disambig_from_pages(pages, index, disambig_template="dab")
+    assert {(r["title"], r["qid"]) for r in gated.collect()} == {("Acme", 100), ("Acme", 101)}
+    none = disambig_from_pages(pages, index, disambig_template="other")
+    assert none.count() == 0
+
+
+def test_detect_mentions_ner_gated(spark):
+    import pytest
+
+    try:
+        import spacy  # noqa: F401
+        pytest.skip("spacy installed; gated-error path not applicable")
+    except ImportError:
+        pass
+    from minimel_spark.operators.mentions import detect_mentions_ner
+
+    pars = spark.createDataFrame([("u", 0, "x")], "url string, par_id int, text string")
+    with pytest.raises(ImportError, match="spacy"):
+        detect_mentions_ner(pars)
