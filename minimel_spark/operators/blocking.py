@@ -209,25 +209,14 @@ def surface_blocked_pairs(
             .alias("_cap_b"),
         )
     )
-    # each name's records are ranked once (deterministic hash order) and cut
-    # at the LARGEST cap any of its pairs needs; per-pair caps then filter at
-    # join time
-    need = (
-        name_pairs.select(F.col("_na").alias("_k"), F.col("_cap_a").alias("_need"))
-        .unionByName(
-            name_pairs.select(F.col("_nb").alias("_k"), F.col("_cap_b").alias("_need"))
-        )
-        .groupBy("_k")
-        .agg(F.max("_need").alias("_need"))
-    )
+    # each name's records are ranked once (deterministic hash order); the
+    # per-pair caps filter at join time. No pre-cut join: computing a
+    # per-name max-cap would re-evaluate the whole name-pair subplan (LSH
+    # banding included) a second time for marginal probe-side savings —
+    # under-cap pairs (the common case) keep every record anyway.
     w = Window.partitionBy(key_col).orderBy(F.xxhash64(F.col(rec_id_col)))
-    capped = (
-        records.withColumn("_rn", F.row_number().over(w))
-        .join(
-            F.broadcast(need.withColumnRenamed("_k", key_col)), key_col
-        )
-        .where(F.col("_rn") <= F.col("_need"))
-        .select(F.col(key_col).alias("_k"), F.col(rec_id_col).alias("_rid"), "_rn")
+    capped = records.withColumn("_rn", F.row_number().over(w)).select(
+        F.col(key_col).alias("_k"), F.col(rec_id_col).alias("_rid"), "_rn"
     )
     cross_pairs = (
         name_pairs.join(

@@ -90,6 +90,12 @@ def macro_scores(aligned: DataFrame) -> DataFrame:
     )
 
 
+def gold_distribution(aligned: DataFrame) -> DataFrame:
+    """A11 (reference run.py audit path): per-gold-entity support counts —
+    how often each gold qid occurs in the aligned evaluation set."""
+    return aligned.groupBy("gold_qid").agg(F.count(F.lit(1)).alias("support"))
+
+
 def per_name_scores(aligned: DataFrame) -> DataFrame:
     """X6 (run.py:59-63): per-name accuracy restricted to names with >1 distinct
     gold label, sorted by support."""

@@ -37,14 +37,24 @@ MENTION_SCHEMA = T.StructType([
 ])
 
 
-def detect_mentions(paragraphs: DataFrame, anchor_names: DataFrame) -> DataFrame:
+def detect_mentions(
+    paragraphs: DataFrame,
+    anchor_names: DataFrame,
+    max_broadcast_names: int | None = None,
+) -> DataFrame:
     """(url, par_id, .., text) x names(anchor) -> (url, par_id, start, surface).
 
     Matches run over ``text.lower()`` (reference count_name_lines,
     mentions.py:59), so surfaces come out lowercased like the dictionary.
+    When ``max_broadcast_names`` is set and the dictionary exceeds it, the
+    bounded-memory chunked path runs instead (contract-identical, see
+    ``detect_mentions_chunked``).
     """
     spark = paragraphs.sparkSession
     names = [r["anchor"] for r in anchor_names.select("anchor").distinct().collect()]
+    if max_broadcast_names is not None and len(names) > max_broadcast_names:
+        n_chunks = -(-len(names) // max_broadcast_names)
+        return detect_mentions_chunked(paragraphs, anchor_names, n_chunks)
     bc = spark.sparkContext.broadcast(names)
 
     def gen(batches):

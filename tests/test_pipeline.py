@@ -208,3 +208,45 @@ def test_matcher_planted_recovery_fails_under_constant_scorer(spark):
     feats = out["pair_features"]
     assert recovered_fraction(feats.withColumn("score", F.lit(1.0))) < 1.0
     assert recovered_fraction(feats.withColumn("score", F.lit(0.0))) < 1.0
+
+
+def test_gold_distribution_counts(spark):
+    from minimel_spark.operators.evaluate import gold_distribution
+
+    aligned = spark.createDataFrame(
+        [("d1", "a", 1, 1), ("d2", "a", 1, 2), ("d3", "b", 2, 2)],
+        "doc_id string, name string, gold_qid long, pred_qid long",
+    )
+    got = {r["gold_qid"]: r["support"] for r in gold_distribution(aligned).collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_audit_matcher_exposes_coefficients(spark):
+    from minimel_spark.operators.scoring import audit_matcher
+
+    rows = [
+        (f"a{i}", f"b{i}", 1, float(i % 2), float(i % 2), float(i % 2), float(i % 2), i % 2, 1.0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "rec_id_a string, rec_id_b string, n_blocks int, lev_sim double, "
+        "jacc3 double, jw double, cos_bow double, is_match int, w double",
+    )
+    model = train_pair_matcher(df, weight_col="w")
+    coefs = dict(audit_matcher(model))
+    assert set(coefs) == {"lev_sim", "jacc3", "jw", "cos_bow", "(intercept)"}
+    # perfectly correlated features: every feature coefficient pushes positive
+    assert all(c > 0 for k, c in coefs.items() if k != "(intercept)")
+
+
+def test_detect_mentions_autoroutes_to_chunked(spark):
+    from minimel_spark.operators.mentions import detect_mentions
+
+    pars = spark.createDataFrame(
+        [("u", 0, "alpha beta gamma")], "url string, par_id int, text string"
+    )
+    names = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], "anchor string")
+    want = {tuple(r) for r in detect_mentions(pars, names).collect()}
+    got = {tuple(r) for r in detect_mentions(pars, names, max_broadcast_names=1).collect()}
+    assert got == want and len(want) == 3
