@@ -187,3 +187,52 @@ def char_shingles(s: str, n: int = 3) -> set[str]:
         if w.strip()
         for i in range(len(w) - n + 1)
     }
+
+
+class TransLiterator:
+    """M8 analysis helper (reference minimel/vectorize.py:147-167): replace a
+    language's special characters with their snowball ``stringdef`` names so
+    VW feature tokens stay ASCII. The charmap comes from the language's
+    snowball ``.sbl`` source; pass it inline (``sbl_text``) or as a local file
+    (``sbl_path``) — the reference's live GitHub fetch is kept but gated
+    behind ``fetch=True`` + the optional requests dependency (no silent
+    network access)."""
+
+    def __init__(
+        self,
+        lang: str | None = None,
+        sbl_text: str | None = None,
+        sbl_path: str | None = None,
+        fetch: bool = False,
+    ):
+        if sbl_path is not None:
+            with open(sbl_path, encoding="utf-8") as f:
+                sbl_text = f.read()
+        if sbl_text is None and fetch:
+            try:  # pragma: no cover - optional dependency + network
+                import requests  # type: ignore
+            except ImportError as e:
+                raise ImportError("TransLiterator(fetch=True) requires requests") from e
+            url = (
+                "https://raw.githubusercontent.com/snowballstem/snowball/"
+                f"master/algorithms/{lang}.sbl"
+            )
+            resp = requests.get(url)  # pragma: no cover
+            sbl_text = resp.text if resp.ok else None  # pragma: no cover
+        self.charmap: dict[str, str] = {}
+        if sbl_text:
+            defs = [
+                line[9:].split(None, 1)
+                for line in sbl_text.splitlines()
+                if line.startswith("stringdef")
+            ]
+            # reference parse: "stringdef a'   '{U+00E1}'" -> char U+00E1 -> "a'"
+            self.charmap = {
+                f"\\u{code[4:-2]}".encode().decode("unicode_escape"): name
+                for name, code in defs
+            }
+
+    def code(self, text: str) -> str:
+        for a, b in self.charmap.items():
+            text = text.replace(a, b)
+        return text

@@ -108,3 +108,30 @@ def test_stem_unmapped_language_tokenizes_only_when_icu_installed():
 
     # unmapped code: ICU tokenization only (reference normalize.py:110)
     assert stem("hello world", "xx") == "hello world"
+
+
+def test_transliterator_charmap_and_code():
+    from minimel_spark.functions.normalize import TransLiterator
+
+    sbl = (
+        "routines ( mark_regions )\n"
+        "stringdef a'   '{U+00E1}'\n"
+        "stringdef e'   '{U+00E9}'\n"
+    )
+    tl = TransLiterator(sbl_text=sbl)
+    assert tl.charmap == {"á": "a'", "é": "e'"}
+    assert tl.code("café árbol") == "cafe' a'rbol"
+
+
+def test_transliterator_fetch_gated():
+    import pytest
+
+    from minimel_spark.functions.normalize import TransLiterator
+
+    try:
+        import requests  # noqa: F401
+        pytest.skip("requests installed; gated-error path not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="requests"):
+        TransLiterator(lang="spanish", fetch=True)

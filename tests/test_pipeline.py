@@ -250,3 +250,87 @@ def test_detect_mentions_autoroutes_to_chunked(spark):
     want = {tuple(r) for r in detect_mentions(pars, names).collect()}
     got = {tuple(r) for r in detect_mentions(pars, names, max_broadcast_names=1).collect()}
     assert got == want and len(want) == 3
+
+
+def test_render_diff_tp_fp_fn_and_overlap():
+    from minimel_spark.functions.render import render_diff
+
+    text = "acme bought globex today"
+    # exact agreement -> tp
+    out = render_diff(
+        text, {(0, 4): ("acme", 1)}, {(0, 4): ("acme", 1)}
+    )
+    assert '<a class="tp" href="https://www.wikidata.org/wiki/Q1">acme</a>' in out
+    assert out.endswith(" bought globex today")
+    # prediction only -> fp; gold only -> fn
+    out = render_diff(text, {(12, 18): ("globex", 2)}, {(0, 4): ("acme", 1)})
+    assert 'class="fp"' in out and 'class="fn"' in out
+    # overlapping disagreement -> bracketed [preds / golds]
+    out = render_diff(
+        text,
+        {(0, 11): ("acme bought", 3)},
+        {(0, 4): ("acme", 1)},
+    )
+    assert out.startswith("[")
+    assert " / " in out and 'class="fp"' in out and 'class="fn"' in out
+    # deterministic: same call twice
+    assert out == render_diff(
+        text, {(0, 11): ("acme bought", 3)}, {(0, 4): ("acme", 1)}
+    )
+
+
+def test_spotlight_predict_against_fake_endpoint(spark):
+    """L5 client end to end against an in-process fake Spotlight service:
+    XML built like the reference, URIs mapped to qids via the title index,
+    timeouts degrading to empty predictions."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from minimel_spark.operators.spotlight import annotation_xml, spotlight_predict
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"])).decode()
+            resources = []
+            if "Acme" in body:
+                resources.append(
+                    {"@URI": "http://dbpedia.org/resource/Acme_Corp", "@surfaceForm": "Acme"}
+                )
+            if "Globex" in body:
+                resources.append(
+                    {"@URI": "http://dbpedia.org/resource/Unknown_Page", "@surfaceForm": "Globex"}
+                )
+            payload = _json.dumps({"Resources": resources}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        endpoint = f"http://127.0.0.1:{srv.server_port}/rest/disambiguate"
+        docs = spark.createDataFrame(
+            [("d1", ["Acme", "Globex"], "Acme met Globex"), ("d2", [], "nothing")],
+            "doc_id string, names array<string>, text string",
+        )
+        index = spark.createDataFrame([("Acme_Corp", 42)], "title string, qid long")
+        got = {
+            (r["doc_id"], r["name"], r["pred_qid"])
+            for r in spotlight_predict(docs, endpoint, index).collect()
+        }
+        # Acme resolves through the index; Globex's URI is not in the index
+        assert got == {("d1", "Acme", 42)}
+    finally:
+        srv.shutdown()
+
+    # XML construction mirrors run_spotlight.py:52-62
+    xml = annotation_xml("Acme met Globex", ["Acme", "(bad[regex"])
+    assert '<surfaceForm name="Acme"    offset="0" />' in xml
+    assert "bad" not in xml
