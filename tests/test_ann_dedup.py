@@ -171,3 +171,15 @@ def test_embed_gated_backends_raise(spark, documents):
         except ImportError:
             with pytest.raises(ImportError, match=pkg):
                 fn(documents, "/nonexistent/model")
+
+
+def test_embed_hashed_empty_doc_zero_vector(spark):
+    from minimel_spark.operators.embed import embed_hashed
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "...")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["embedding"] for r in embed_hashed(docs, dim=8).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] == [0.0] * 8 and rows[3] == [0.0] * 8
+    assert sum(x * x for x in rows[1]) == pytest.approx(1.0)

@@ -63,3 +63,29 @@ def test_predictions_tsv_roundtrip(spark, tmp_path):
 def test_disambig_fixture(spark):
     d = disambig_fixture(spark, [("Mercury_(disambiguation)", 1)])
     assert d.columns == ["title", "qid"] and d.count() == 1
+
+
+def test_iceberg_plumbing_gated(spark):
+    """Iceberg helpers: capability probe is honest (no jar in this sandbox),
+    conf helper emits the standard catalog config, and read/write fail with
+    the runtime hint instead of an opaque ClassNotFound."""
+    import pytest
+
+    from minimel_spark.sources.iceberg import (
+        has_iceberg,
+        iceberg_session_conf,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    conf = iceberg_session_conf("c", "file:///tmp/w")
+    assert conf["spark.sql.catalog.c"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert conf["spark.sql.catalog.c.warehouse"] == "file:///tmp/w"
+    if has_iceberg(spark):
+        import pytest
+        pytest.skip("iceberg runtime present; gated-error path not applicable")
+    df = spark.range(1)
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        write_iceberg(df, "c.db.t")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_iceberg(spark, "c.db.t")
