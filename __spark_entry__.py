@@ -1355,11 +1355,29 @@ LEFT JOIN n ON n.doc_id = g.doc_id"""
 
 
 def q_text_fingerprints(spark, sf_dir):
-    """Rolling-hash fingerprints (mod 2^61-1 arithmetic — rows-only check)."""
+    """Rolling-hash fingerprints. Hash-checked: the Horner polynomial mod
+    2^61-1 is recomputed in DuckDB with HUGEINT list_reduce (verified
+    char-for-char equal to the Python implementation)."""
     docs = _t(spark, sf_dir, "documents")
     return fingerprints(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"), "fingerprint"
     )
+
+
+SQL_TEXT_FINGERPRINTS = """
+WITH n AS (
+  SELECT doc_id,
+         array_to_string(list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x <> ''), ' ') AS norm
+  FROM documents)
+SELECT doc_id::BIGINT AS doc_id,
+       list_reduce(
+         list_prepend(0::HUGEINT,
+           list_transform(range(1, length(norm) + 1),
+                          i -> unicode(substring(norm, i::INT, 1))::HUGEINT)),
+         (acc, c) -> (acc * 1000003 + c) % 2305843009213693951
+       )::BIGINT AS fingerprint
+FROM n"""
 
 
 # --------------------------------------------------------------------------
@@ -1781,6 +1799,7 @@ _ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_language_id": SQL_TEXT_LANG,
     "text_embed_hashed": SQL_TEXT_EMBED_HASHED,
+    "text_fingerprints": SQL_TEXT_FINGERPRINTS,
     "rel_pricing_summary": SQL_REL_PRICING,
     "rel_top_orders": SQL_REL_TOP_ORDERS,
     "rel_anti_join": SQL_REL_ANTI_JOIN,
