@@ -1663,8 +1663,12 @@ def q_stream_hourly_events(spark, sf_dir):
 
 
 def q_mm_features(spark, sf_dir):
+    """Multimodal decode -> features over GENUINE payloads: synth_media emits
+    real P6 PPM images and RIFF/WAV clips, and fake=False runs the actual
+    numpy/stdlib decoders (compressed codecs remain gated behind PIL/
+    soundfile). Rows-only: the pixel/sample math is not SQL-expressible."""
     media = synth_media(spark, n=64)
-    feats = extract_features(media, fake=True)
+    feats = extract_features(media, fake=False)
     return feats.select(
         "media_id",
         F.col("n_bytes").cast("long").alias("n_bytes"),

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed in Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (image/audio libraries are not in this environment):
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (sha-seeded feature
-vector) stands in — the Spark-side contract (schema, batch shape, partition
-sizing) is real and tested; swapping in PIL/soundfile is a one-function change.
+Decoding is REAL for the container formats that need no external libraries:
+P6 PPM images (header + raw RGB, parsed with numpy) and RIFF/WAV audio
+(stdlib ``wave`` + numpy) — ``synth_media`` emits genuine payloads of both,
+so ``extract_features(fake=False)`` runs an actual decode -> feature pass.
+Compressed codecs (PNG/JPEG/MP3/MP4) still raise ``NotImplementedError``
+naming the library they need (PIL/soundfile/ffmpeg are not in this
+environment); ``fake=True`` keeps the sha-seeded deterministic stand-in for
+contract tests that only exercise the Spark-side plumbing.
 
 Scale notes: binary payloads dominate row size, so ``repartition_by_bytes``
 sizes partitions by payload bytes (not row count) to keep Arrow batches within
@@ -15,6 +18,8 @@ executor memory — the knob that matters when rows are 10 KB–10 MB blobs.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 
 import numpy as np
 import pandas as pd
@@ -51,21 +56,108 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return v / (np.linalg.norm(v) or 1.0)
 
 
+def parse_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary P6 PPM into an (h, w, 3) uint8 array — pure numpy."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <w> <h> <maxval> then a single whitespace before pixel data
+    fields, i = [], 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, _maxval = fields
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return pix.reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAV (stdlib ``wave``) -> (mono float32 samples in [-1, 1],
+    sample_rate)."""
+    with wave.open(io.BytesIO(payload)) as wf:
+        nch, sw, rate, nframes = (
+            wf.getnchannels(), wf.getsampwidth(), wf.getframerate(), wf.getnframes()
+        )
+        raw = wf.readframes(nframes)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+    if sw == 1:
+        x = x - 128.0
+    x /= float(1 << (8 * sw - 1))
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic dense features from decoded pixels: 4x4x3 mean-pooled
+    color blocks (48) + 16-bin normalized grayscale histogram = 64 dims."""
+    h, w = img.shape[:2]
+    ys = (np.arange(4 + 1) * h) // 4
+    xs = (np.arange(4 + 1) * w) // 4
+    blocks = [
+        img[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+        .reshape(-1, 3)
+        .mean(axis=0)
+        for i in range(4)
+        for j in range(4)
+    ]
+    pooled = np.concatenate(blocks) / 255.0  # 48
+    gray = img.astype(np.float32).mean(axis=2)
+    hist, _ = np.histogram(gray, bins=16, range=(0, 256))
+    hist = hist.astype(np.float32) / max(gray.size, 1)  # 16
+    return np.concatenate([pooled, hist]).astype(np.float32)[:dim]
+
+
+def audio_features(x: np.ndarray, rate: int, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic dense features from decoded samples: 62 log-magnitude
+    spectrum bins + RMS + zero-crossing rate = 64 dims."""
+    if len(x) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    spec = np.abs(np.fft.rfft(x))
+    bins = np.array_split(spec, dim - 2)
+    logmag = np.array([np.log1p(b.mean()) if len(b) else 0.0 for b in bins])
+    rms = float(np.sqrt((x * x).mean()))
+    zcr = float((np.sign(x[1:]) != np.sign(x[:-1])).mean()) if len(x) > 1 else 0.0
+    return np.concatenate([logmag, [rms, zcr]]).astype(np.float32)[:dim]
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     if fake:
         return _fake_decode(payload)
+    if (payload or b"").startswith(b"P6"):
+        return image_features(parse_ppm(payload))
     raise NotImplementedError(
-        "real image decode requires PIL/opencv (not in this environment); "
-        "pass fake=True for the deterministic stand-in"
+        "real decode for compressed images (PNG/JPEG) requires PIL/opencv "
+        "(not in this environment); P6 PPM decodes natively, or pass "
+        "fake=True for the deterministic stand-in"
     )
 
 
 def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
     if fake:
         return _fake_decode(payload)
+    if (payload or b"").startswith(b"RIFF"):
+        return audio_features(*parse_wav(payload))
     raise NotImplementedError(
-        "real audio decode requires soundfile/librosa (not in this environment); "
-        "pass fake=True for the deterministic stand-in"
+        "real decode for compressed audio (MP3/OGG) requires soundfile/librosa "
+        "(not in this environment); RIFF/WAV decodes natively, or pass "
+        "fake=True for the deterministic stand-in"
     )
 
 
@@ -103,27 +195,42 @@ _RESIZE_SCHEMA = T.StructType([
 ])
 
 
+def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor resample of a P6 PPM — pure numpy index maps."""
+    img = parse_ppm(payload)
+    h, w = img.shape[:2]
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return encode_ppm(img[yi][:, xi])
+
+
 def resize_images(
     media: DataFrame, width: int = 224, height: int = 224, fake: bool = True
 ) -> DataFrame:
-    """Image resize plumbing: (media_id, payload, …) -> resized payload with
-    updated typed metadata. The pixel op is STUBBED (no PIL here): the fake
-    path emits a deterministic sha-derived payload of plausible size so the
-    schema/batching/partitioning contract is real and testable."""
+    """Image resize: (media_id, payload, …) -> resized payload with updated
+    typed metadata. REAL nearest-neighbor resampling for P6 PPM payloads;
+    compressed formats raise (no PIL here); the fake path keeps the
+    deterministic sha-derived stand-in for plumbing-only tests."""
 
     def gen(batches):
         for pdf in batches:
             ids, payloads = [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                if not fake:
+                if fake:
+                    digest = hashlib.sha256(
+                        (p or b"") + f"{width}x{height}".encode()
+                    ).digest()
+                    # deterministic stand-in payload, size ∝ target area
+                    reps = max(1, (width * height) // (16 * len(digest)))
+                    payloads.append(digest * reps)
+                elif (p or b"").startswith(b"P6"):
+                    payloads.append(resize_ppm(p, width, height))
+                else:
                     raise NotImplementedError(
-                        "real resize requires PIL/opencv; pass fake=True"
+                        "real resize for compressed images requires PIL/opencv; "
+                        "P6 PPM resizes natively, or pass fake=True"
                     )
-                digest = hashlib.sha256((p or b"") + f"{width}x{height}".encode()).digest()
-                # deterministic stand-in payload, size ∝ target area
-                reps = max(1, (width * height) // (16 * len(digest)))
                 ids.append(mid)
-                payloads.append(digest * reps)
             yield pd.DataFrame(
                 {
                     "media_id": ids,
@@ -191,23 +298,36 @@ def repartition_by_bytes(
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
-    import random
-
-    rng = random.Random(seed)
+    """Deterministic media table with GENUINE payloads: even rows are real P6
+    PPM images (seeded pixels), odd rows real RIFF/WAV clips (seeded int16
+    samples) — so ``extract_features(fake=False)`` / ``resize_images`` run an
+    actual decode, not a stand-in."""
     rows = []
     for i in range(n):
-        kind = ["image", "audio"][i % 2]
-        payload = bytes(rng.randrange(256) for _ in range(rng.randint(64, 512)))
-        rows.append(
-            (
-                f"m{i:04d}",
-                kind,
-                payload,
-                "image/png" if kind == "image" else "audio/wav",
-                64 if kind == "image" else None,
-                48 if kind == "image" else None,
-                None if kind == "image" else 1000,
+        rng = np.random.RandomState(seed * 1_000_003 + i)
+        if i % 2 == 0:
+            w, h = int(rng.randint(8, 17)), int(rng.randint(6, 13))
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            rows.append(
+                (f"m{i:04d}", "image", encode_ppm(img),
+                 "image/x-portable-pixmap", w, h, None)
             )
-        )
+        else:
+            rate = 8000
+            dur_ms = int(rng.randint(100, 500))
+            t = np.arange(int(rate * dur_ms / 1000))
+            freq = float(rng.randint(100, 1000))
+            x = (0.5 * np.sin(2 * np.pi * freq * t / rate)
+                 + 0.1 * rng.standard_normal(len(t)))
+            pcm = (np.clip(x, -1, 1) * 32767).astype(np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(rate)
+                wf.writeframes(pcm.tobytes())
+            rows.append(
+                (f"m{i:04d}", "audio", buf.getvalue(),
+                 "audio/wav", None, None, dur_ms)
+            )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

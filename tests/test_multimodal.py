@@ -47,15 +47,76 @@ def test_resize_images_contract(spark, media):
 
 
 def test_sample_frames_fanout(spark, media):
-    out = sample_frames(media, every_ms=250)
+    out = sample_frames(media, every_ms=100)
     got = {
         r["media_id"]: r["n"]
         for r in out.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    # synth audio rows have duration_ms=1000 -> 4 frames at 250ms
-    assert got and all(n == 4 for n in got.values())
+    want = {
+        r["media_id"]: max(1, r["duration_ms"] // 100)
+        for r in media.where(F.col("duration_ms").isNotNull()).collect()
+    }
+    assert got == want and got
     first = out.where((F.col("frame_idx") == 0)).first()
     assert first["ts_ms"] == 0
+
+
+def test_real_ppm_roundtrip_and_resize():
+    import numpy as np
+
+    from minimel_spark.operators.multimodal import encode_ppm, parse_ppm, resize_ppm
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    assert (parse_ppm(encode_ppm(img)) == img).all()
+    small = parse_ppm(resize_ppm(encode_ppm(img), width=2, height=3))
+    assert small.shape == (3, 2, 3)
+    # nearest-neighbor: top-left pixel survives
+    assert (small[0, 0] == img[0, 0]).all()
+
+
+def test_real_wav_roundtrip():
+    import io
+    import wave
+
+    import numpy as np
+
+    from minimel_spark.operators.multimodal import audio_features, parse_wav
+
+    pcm = (np.sin(2 * np.pi * 440 * np.arange(800) / 8000) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(pcm.tobytes())
+    x, rate = parse_wav(buf.getvalue())
+    assert rate == 8000 and len(x) == 800
+    assert abs(float(np.abs(x).max()) - 1.0) < 0.01
+    f = audio_features(x, rate)
+    assert len(f) == 64 and f[-2] > 0.5  # rms of a full-scale sine ~ 0.707
+
+
+def test_extract_features_real_decode(spark, media):
+    """fake=False runs the ACTUAL PPM/WAV decoders over synth_media's genuine
+    payloads — deterministic, 64-dim, and different from the fake stand-in."""
+    real = {r["media_id"]: r["feature"] for r in extract_features(media, fake=False).collect()}
+    fake = {r["media_id"]: r["feature"] for r in extract_features(media, fake=True).collect()}
+    assert len(real) == 32 and all(len(v) == 64 for v in real.values())
+    assert real != fake
+    again = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media.repartition(5), fake=False).collect()
+    }
+    assert real == again
+
+
+def test_resize_images_real(spark, media):
+    out = resize_images(media, width=4, height=4, fake=False)
+    rows = out.collect()
+    assert rows and all(r["width"] == 4 and r["height"] == 4 for r in rows)
+    from minimel_spark.operators.multimodal import parse_ppm
+
+    assert all(parse_ppm(bytes(r["payload"])).shape == (4, 4, 3) for r in rows)
 
 
 def test_repartition_by_bytes(spark, media):
