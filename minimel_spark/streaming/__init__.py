@@ -3,5 +3,6 @@ from .ingest import (  # noqa: F401
     stream_events,
     stream_hourly_event_stats,
     stream_pages,
+    stream_sessionize,
     windowed_mention_volume,
 )

@@ -127,6 +127,79 @@ def stream_hourly_event_stats(events: DataFrame) -> DataFrame:
     )
 
 
+SESSION_OUT_DDL = (
+    "user_id long, session_idx long, n_events long, session_start_rel_us long"
+)
+_SESSION_STATE_DDL = (
+    "last_us long, session_idx long, n_events long, "
+    "session_start_us long, first_us long"
+)
+
+
+def stream_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """O7's streaming twin as a CUSTOM STATEFUL operator
+    (``applyInPandasWithState``): per-user session assignment with a
+    ``gap_minutes`` inactivity cut, continuously updated as micro-batches
+    arrive. State per user = (last event time, open session index/stats,
+    first-ever event time); each batch emits the final stats of every session
+    it CLOSED plus the running stats of the still-open one (update mode —
+    downstream keeps the latest row per (user_id, session_idx)).
+
+    Semantics match the batch sessionize window query exactly when each
+    user's events arrive time-ordered ACROSS micro-batches (the log-rotation
+    pattern: files cut by time range); within a batch any order is fine (the
+    operator sorts). tests pin stream==batch on a 3-file, one-file-per-trigger
+    drain.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            last_us, sidx, n_ev, sess_start, first_us = state.get
+        else:
+            last_us, sidx, n_ev, sess_start, first_us = None, 0, 0, None, None
+        ev = pd.concat(list(pdfs))
+        ev = ev.sort_values(["us", "event_id"])
+        out = []
+        for us in ev["us"]:
+            us = int(us)
+            if first_us is None:
+                first_us = us
+            if last_us is None or us - last_us > gap_us:
+                if sess_start is not None:
+                    # previous session just closed: emit its final stats
+                    out.append((user_id, sidx, n_ev, sess_start - first_us))
+                sidx += 1
+                n_ev = 1
+                sess_start = us
+            else:
+                n_ev += 1
+            last_us = us
+        state.update((int(last_us), int(sidx), int(n_ev), int(sess_start), int(first_us)))
+        out.append((user_id, sidx, n_ev, sess_start - first_us))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_idx", "n_events", "session_start_rel_us"],
+        )
+
+    import pyspark.sql.functions as F  # noqa: F811 (local alias for clarity)
+
+    with_us = events.withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    ).select("user_id", "event_id", "us")
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_DDL,
+        stateStructType=_SESSION_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_sink(
     stream: DataFrame,
     checkpoint_dir: str,

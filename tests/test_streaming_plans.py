@@ -144,3 +144,65 @@ def test_pair_features_broadcasts_name_features(spark):
     feats = pair_features(candidate_pairs(blocked), recs)
     assert count_plan_nodes(feats, "BroadcastHashJoin") >= 1
     assert count_plan_nodes(feats, "CartesianProduct") == 0
+
+
+def test_stream_sessionize_stateful_equals_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-user sessions
+    carried ACROSS micro-batches (3 time-ranged files, one per trigger) must
+    equal the batch window sessionize on the union — including a session that
+    spans a file boundary and one split by the inactivity gap."""
+    import pyspark.sql.functions as F
+
+    from minimel_spark.streaming.ingest import run_to_sink, stream_sessionize
+
+    rows = []
+    # user 1: events at t=0m,10m (file A), 20m (file B: same session),
+    #         100m (file C: new session after the 30m gap)
+    # user 2: one event per file, each 40m apart -> 3 sessions
+    base = "2024-01-01 00:"
+    def ev(eid, user, minutes):
+        return (eid, f"2024-01-01 {minutes // 60:02d}:{minutes % 60:02d}:00", user)
+    files = [
+        [ev(1, 1, 0), ev(2, 1, 10), ev(10, 2, 0)],
+        [ev(3, 1, 20), ev(11, 2, 40)],
+        [ev(4, 1, 100), ev(12, 2, 80)],
+    ]
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    schema = "event_id long, ts_s string, user_id long"
+    all_rows = []
+    for i, batch in enumerate(files):
+        df = spark.createDataFrame(batch, schema).select(
+            "event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "user_id"
+        )
+        df.coalesce(1).write.parquet(str(src / f"f{i}"))
+        all_rows += batch
+
+    stream = stream_sessionize(
+        spark.readStream.schema("event_id long, ts timestamp_ntz, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*"),
+        gap_minutes=30,
+    )
+    q = run_to_sink(
+        stream, str(tmp_path / "sess_ckpt"), output_mode="update",
+        query_name="sess_stream",
+    )
+    q.awaitTermination(180)
+    q.stop()
+    # latest row per (user, session): n_events is monotone within a session
+    got = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["session_start_rel_us"])
+        for r in spark.sql(
+            "SELECT user_id, session_idx, max(n_events) AS n_events, "
+            "min(session_start_rel_us) AS session_start_rel_us "
+            "FROM sess_stream GROUP BY 1, 2"
+        ).collect()
+    }
+    assert got == {
+        (1, 1): (3, 0),                      # 0,10,20m -> one session of 3
+        (1, 2): (1, 100 * 60 * 1_000_000),   # 100m, new session
+        (2, 1): (1, 0),
+        (2, 2): (1, 40 * 60 * 1_000_000),
+        (2, 3): (1, 80 * 60 * 1_000_000),
+    }
