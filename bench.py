@@ -136,6 +136,18 @@ def main():
     n_dups = minhash_dups(docs, threshold=0.9, n=1, num_hashes=16, bands=8).count()
     q["dedup_minhash"] = time.time() - t0
 
+    t0 = time.time()
+    from minimel_spark.operators.dedup import simhash_dups
+
+    n_simdups = simhash_dups(docs, max_hamming=8).count()
+    q["dedup_simhash"] = time.time() - t0
+
+    t0 = time.time()
+    from minimel_spark.operators.embed import embed_hashed
+
+    n_emb = embed_hashed(docs, dim=64).count()
+    q["embed"] = time.time() - t0
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     t0 = time.time()
     n_ann = brute_force_topk(emb, emb.where(F.col("vec_id") < 64), k=10).count()
@@ -155,6 +167,8 @@ def main():
         "n_pairs_scored": n_pairs,
         "n_clusters": n_clusters,
         "n_dup_pairs": n_dups,
+        "n_simhash_pairs": n_simdups,
+        "n_embedded": n_emb,
         "n_ann_rows": n_ann,
     }
     spark.stop()

@@ -155,11 +155,9 @@ def test_stream_sessionize_stateful_equals_batch(spark, tmp_path):
 
     from minimel_spark.streaming.ingest import run_to_sink, stream_sessionize
 
-    rows = []
     # user 1: events at t=0m,10m (file A), 20m (file B: same session),
     #         100m (file C: new session after the 30m gap)
     # user 2: one event per file, each 40m apart -> 3 sessions
-    base = "2024-01-01 00:"
     def ev(eid, user, minutes):
         return (eid, f"2024-01-01 {minutes // 60:02d}:{minutes % 60:02d}:00", user)
     files = [
@@ -170,13 +168,11 @@ def test_stream_sessionize_stateful_equals_batch(spark, tmp_path):
     src = tmp_path / "sess_src"
     src.mkdir()
     schema = "event_id long, ts_s string, user_id long"
-    all_rows = []
     for i, batch in enumerate(files):
         df = spark.createDataFrame(batch, schema).select(
             "event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "user_id"
         )
         df.coalesce(1).write.parquet(str(src / f"f{i}"))
-        all_rows += batch
 
     stream = stream_sessionize(
         spark.readStream.schema("event_id long, ts timestamp_ntz, user_id long")
