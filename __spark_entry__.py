@@ -581,6 +581,57 @@ WHERE anchor NOT IN (SELECT anchor FROM bad)""".format(
 )
 
 
+def q_tsv_predictions_roundtrip(spark, sf_dir):
+    """K6/S8 (D12) gate: predictions written through the reference-format TSV
+    sink and read back as RAW TEXT lines must parse to the exact prediction
+    set — this pins the on-disk format itself (the round-1 CSV writer escaped
+    the JSON field, which only a raw-text reread can catch; reference
+    run.py:291-300)."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.types as T
+
+    from minimel_spark.sources.tsv import write_predictions_tsv
+
+    m = (
+        _mentions(spark, sf_dir)
+        .select(F.col("url").alias("doc_id"), F.col("surface").alias("name"))
+        .distinct()
+        .withColumn("anchor", F.col("name"))
+    )
+    pred = predict_cascade(m, counts=_er_counts(spark, sf_dir)).select(
+        "doc_id", "name", "pred_qid"
+    )
+    outdir = tempfile.mkdtemp(prefix="minimel_tsv_gate_")
+    try:
+        write_predictions_tsv(pred, outdir)
+        raw = spark.read.text(outdir)
+        parsed = raw.select(F.split("value", "\t").alias("p")).select(
+            F.col("p")[0].alias("doc_id"),
+            F.explode(
+                F.from_json(F.col("p")[1], T.MapType(T.StringType(), T.LongType()))
+            ).alias("name", "pred_qid"),
+        )
+        # materialize before the temp dir disappears
+        rows = parsed.collect()
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id string, name string, pred_qid long"
+    ).select("doc_id", "name", F.col("pred_qid").cast("long").alias("pred_qid"))
+
+
+SQL_TSV_ROUNDTRIP = f"""WITH {_W},
+mcs AS (
+  SELECT anchor, qid FROM (
+    SELECT anchor, qid,
+           row_number() OVER (PARTITION BY anchor ORDER BY cnt DESC, qid ASC) AS rn
+    FROM counts) WHERE rn = 1)
+SELECT DISTINCT {_URL} AS doc_id, l.word AS name, m.qid AS pred_qid
+FROM links l JOIN mcs m ON m.anchor = l.word"""
+
+
 def q_er_disambig_links(spark, sf_dir):
     """P11 E2E: deterministic disambiguation pages (one per document, list
     items = the document's vocabulary words as wikilinks) parsed by
@@ -1718,6 +1769,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_clean_candidates": q_er_clean_candidates,
     "er_clean_strict": q_er_clean_strict,
     "er_disambig_links": q_er_disambig_links,
+    "tsv_predictions_roundtrip": q_tsv_predictions_roundtrip,
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "er_matcher_planted": q_er_matcher_planted,
     "er_upperbound": q_er_upperbound,
@@ -1784,6 +1836,7 @@ _ORACLES: dict[str, str] = {
     "er_clean_candidates": SQL_ER_CLEAN,
     "er_clean_strict": SQL_ER_CLEAN_STRICT,
     "er_disambig_links": SQL_ER_DISAMBIG,
+    "tsv_predictions_roundtrip": SQL_TSV_ROUNDTRIP,
     "er_matcher_planted": SQL_ER_MATCHER_PLANTED,
     "er_upperbound": SQL_ER_UPPERBOUND,
     "ent_features": SQL_ENT_FEATURES,
