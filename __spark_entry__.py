@@ -234,6 +234,39 @@ SELECT {_URL} AS url, 0::BIGINT AS par_id,
 FROM pos JOIN (SELECT DISTINCT word FROM words WHERE length(word) > 3) d USING (word)"""
 
 
+def q_er_anchor_counts_joined(spark, sf_dir):
+    """The over-budget TITLE-INDEX path (extract_paragraphs_joined: per-page
+    candidate targets resolved by a distributed equi-join, no driver dict)
+    must produce the exact same anchor statistics — same oracle as
+    er_anchor_counts, so any byte-divergence of the joined path fails the
+    hash compare."""
+    docs = _t(spark, sf_dir, "documents")
+    pars = extract_paragraphs(
+        pages_from_documents(docs), doc_title_index(docs), max_broadcast_titles=1
+    )
+    return anchor_counts(pars, min_count=1).select(
+        "anchor",
+        F.col("qid").cast("long").alias("qid"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def q_er_mentions_chunked(spark, sf_dir):
+    """The over-budget DICTIONARY path (detect_mentions_chunked: bounded
+    per-chunk scans + relational span merge + greedy sweep) must reproduce
+    the single-automaton mentions exactly — same oracle as er_mentions."""
+    from minimel_spark.operators.mentions import detect_mentions_chunked
+
+    pars = _paragraphs(spark, sf_dir)
+    anchors = _er_counts(spark, sf_dir).select("anchor").distinct()
+    return detect_mentions_chunked(pars, anchors, n_chunks=3).select(
+        "url",
+        F.col("par_id").cast("long").alias("par_id"),
+        F.col("start").cast("long").alias("start"),
+        "surface",
+    )
+
+
 def q_er_mention_counts(spark, sf_dir):
     pars = _paragraphs(spark, sf_dir)
     anchors = _er_counts(spark, sf_dir).select("anchor").distinct()
@@ -1759,6 +1792,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_anchor_stats": q_er_anchor_stats,
     "er_rank_candidates": q_er_rank_candidates,
     "er_mentions": q_er_mentions,
+    "er_anchor_counts_joined": q_er_anchor_counts_joined,
+    "er_mentions_chunked": q_er_mentions_chunked,
     "er_mention_counts": q_er_mention_counts,
     "er_nil_mentions": q_er_nil_mentions,
     "er_predict_cascade": q_er_predict_cascade,
@@ -1826,6 +1861,8 @@ _ORACLES: dict[str, str] = {
     "er_anchor_stats": SQL_ER_ANCHOR_STATS,
     "er_rank_candidates": SQL_ER_RANK,
     "er_mentions": SQL_ER_MENTIONS,
+    "er_anchor_counts_joined": SQL_ER_ANCHOR_COUNTS,
+    "er_mentions_chunked": SQL_ER_MENTIONS,
     "er_mention_counts": SQL_ER_MENTION_COUNTS,
     "er_nil_mentions": SQL_ER_NIL_MENTIONS,
     "er_predict_cascade": SQL_ER_PREDICT,
