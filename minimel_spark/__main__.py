@@ -124,6 +124,9 @@ def cmd_predict(args) -> int:
     write_predictions_tsv(
         pred.where(F.col("pred_qid").isNotNull()).select("doc_id", "name", "pred_qid"),
         args.out,
+        # reference run.py:291-300 emits an 'id\t{}' line for EVERY input
+        # text, including those with zero resolved mentions
+        all_doc_ids=texts,
     )
     print(f"predictions tsv -> {args.out}")
     return 0

@@ -23,7 +23,6 @@ partition, mentions.py:55).
 from __future__ import annotations
 
 import re
-import sys
 
 
 class TrieMatcher:
@@ -74,14 +73,30 @@ def _trie_regex(node: dict) -> str:
     """Compile a trie node into a regex fragment whose GREEDY descent yields
     the longest match at each position: children first (sorted for
     determinism), with ``?`` when the node is also a terminal — the engine
-    prefers extending over accepting, which is exactly leftmost-longest."""
-    alts = []
-    for ch in sorted(k for k in node if k != ""):
-        alts.append(re.escape(ch) + _trie_regex(node[ch]))
-    if not alts:
-        return ""
-    body = alts[0] if len(alts) == 1 else "(?:" + "|".join(alts) + ")"
-    return "(?:" + body + ")?" if "" in node else body
+    prefers extending over accepting, which is exactly leftmost-longest.
+
+    Built with an explicit post-order stack, not recursion: trie depth equals
+    the longest name, and a single pathological megabyte-long entry must not
+    require (and permanently leak) a multi-million process-wide recursion
+    limit in the executor interpreter."""
+    frags: dict[int, str] = {}
+    stack: list[tuple[dict, bool]] = [(node, False)]
+    while stack:
+        nd, expanded = stack.pop()
+        children = sorted(k for k in nd if k != "")
+        if not expanded:
+            stack.append((nd, True))
+            for ch in children:
+                stack.append((nd[ch], False))
+            continue
+        alts = [re.escape(ch) + frags.pop(id(nd[ch])) for ch in children]
+        if not alts:
+            frag = ""
+        else:
+            body = alts[0] if len(alts) == 1 else "(?:" + "|".join(alts) + ")"
+            frag = "(?:" + body + ")?" if "" in nd else body
+        frags[id(nd)] = frag
+    return frags[id(node)]
 
 
 class RegexMatcher:
@@ -106,11 +121,6 @@ class RegexMatcher:
             for ch in name:
                 node = node.setdefault(ch, {})
             node[""] = True
-        # name length bounds recursion depth; allow long gazetteer entries
-        limit = sys.getrecursionlimit()
-        need = 4 * max((len(n) for n in names), default=0) + 100
-        if need > limit:
-            sys.setrecursionlimit(need)
         self.pattern = re.compile(_trie_regex(root)) if root else None
 
     def find_matches(self, text: str):

@@ -53,18 +53,30 @@ def normalize(a: str | None, language: str | None = None) -> str | None:
     return a if a else None
 
 
+# Language codes whose scripts carry no whitespace word boundaries: a
+# whitespace split is NOT a degraded approximation there, it silently changes
+# the semantics (one token per run of text), so an absent icu_tokenizer must
+# raise like every other missing backend does. ja never reaches the tokenizer
+# path (MeCab handles it first).
+ICU_REQUIRED = frozenset(
+    {"zh", "yue", "wuu", "lzh", "gan", "hak", "th", "lo", "km", "my", "bo", "dz"}
+)
+
+
 def _tokenize(code: str):
     """Reference tokenization for the stemmed paths (normalize.py:75): ICU
     word segmentation when ``icu_tokenizer`` is installed, whitespace split
     otherwise. For whitespace-delimited scripts the two are identical; for
-    unsegmented scripts (ja handled by MeCab anyway, th, zh) ICU is required
-    for reference parity — the fallback is documented, not silent: callers can
-    check ``has_icu``."""
+    unsegmented scripts (``ICU_REQUIRED``) the fallback would silently change
+    semantics, so a missing icu_tokenizer raises ImportError — same contract
+    as every other absent backend in this module."""
     try:  # pragma: no cover - optional dependency
         from icu_tokenizer import Tokenizer  # type: ignore
 
         return Tokenizer(lang=code).tokenize
     except ImportError:
+        if code in ICU_REQUIRED:
+            _require("icu_tokenizer", code)
         return str.split
 
 

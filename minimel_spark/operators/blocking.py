@@ -93,6 +93,12 @@ def union_blocks(*blocked: DataFrame) -> DataFrame:
     return out
 
 
+def _maybe_broadcast(df: DataFrame, use_broadcast: bool) -> DataFrame:
+    """Forced broadcast hint, or the plain DataFrame (shuffle join; AQE may
+    still choose broadcast from runtime stats) when the side is over budget."""
+    return F.broadcast(df) if use_broadcast else df
+
+
 def surface_blocked_pairs(
     records: DataFrame,
     key_col: str = "name",
@@ -100,6 +106,7 @@ def surface_blocked_pairs(
     num_hashes: int = 12,
     bands: int = 6,
     max_pairs_per_block: int = 10_000,
+    max_broadcast_names: int | None = 5_000_000,
 ) -> DataFrame:
     """Candidate record pairs when every block key is a function of the
     surface form (true for anchor-dictionary + LSH-on-name blocking).
@@ -126,9 +133,20 @@ def surface_blocked_pairs(
     under-cap data the produced pair SET is identical to the generic path.
     ``n_blocks`` = number of name-level keys proposing the pair (cross-name),
     or the number of shared keys for same-name pairs (bands + dictionary).
+
+    The name-dictionary side tables are only broadcast-HINTED while the
+    dictionary holds at most ``max_broadcast_names`` entries (one cheap count
+    on the persisted name table); past the budget the joins degrade to
+    shuffle joins instead of forcing a multi-GB broadcast (pass ``None`` to
+    always hint). The name table is persisted either way — it feeds four
+    separate subplans (bands, salting, sizes, ranking), so caching it avoids
+    re-running the records groupBy per consumer.
     """
     names = records.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n_rec"))
-    names = names.withColumn("_n_sh", F.size(shingles_udf(F.col(key_col))))
+    names = names.withColumn("_n_sh", F.size(shingles_udf(F.col(key_col)))).persist()
+    use_bcast = (
+        max_broadcast_names is None or names.count() <= max_broadcast_names
+    )
 
     # --- name-level blocks: dictionary for shingle-less names, LSH bands else
     nb = union_blocks(
@@ -142,7 +160,7 @@ def surface_blocked_pairs(
         "_nsalt", F.ceil(F.col("_n_rec") / target_n).cast("long")
     )
     salted = records.join(
-        F.broadcast(multi.select(key_col, "_nsalt", "_n_sh")), key_col
+        _maybe_broadcast(multi.select(key_col, "_nsalt", "_n_sh"), use_bcast), key_col
     ).withColumn("_salt", F.pmod(F.xxhash64(F.col(rec_id_col)), F.col("_nsalt")))
     sa = salted.select(
         F.col(key_col).alias("_k"),
@@ -184,27 +202,63 @@ def surface_blocked_pairs(
     sizes = names.select(key_col, "_n_rec")
     name_pairs = (
         name_pairs.join(
-            F.broadcast(sizes.select(F.col(key_col).alias("_na"), F.col("_n_rec").alias("_nra"))),
+            _maybe_broadcast(
+                sizes.select(F.col(key_col).alias("_na"), F.col("_n_rec").alias("_nra")),
+                use_bcast,
+            ),
             "_na",
         )
         .join(
-            F.broadcast(sizes.select(F.col(key_col).alias("_nb"), F.col("_n_rec").alias("_nrb"))),
+            _maybe_broadcast(
+                sizes.select(F.col(key_col).alias("_nb"), F.col("_n_rec").alias("_nrb")),
+                use_bcast,
+            ),
             "_nb",
         )
         .withColumn(
             "_r",
             F.sqrt(F.lit(float(max_pairs_per_block)) / (F.col("_nra") * F.col("_nrb"))),
         )
+        # raw proportional caps, clamped to >= 1 so tiny sides survive
+        .withColumn(
+            "_ca0",
+            F.greatest(F.floor(F.col("_nra") * F.col("_r")), F.lit(1)).cast("long"),
+        )
+        .withColumn(
+            "_cb0",
+            F.greatest(F.floor(F.col("_nrb") * F.col("_r")), F.lit(1)).cast("long"),
+        )
+        # the >=1 clamp can break cap_a*cap_b <= max_pairs_per_block on
+        # asymmetric pairs (e.g. n_a=120, n_b=1, cap=50: floor(120*r)=77 with
+        # the other side clamped to 1 -> 77 pairs). Re-derive each side
+        # against the other so the product is bounded by the cap EXACTLY:
+        # cap_a = min(ca0, floor(cap/cb0)) (>=1 because cb0 <= cap), then
+        # cap_b = min(cb0, floor(cap/cap_a)). cap_a*cap_b <= cap by
+        # construction, and under-cap pairs (_r >= 1) still keep every record.
+        .withColumn(
+            "_cap_a_c",
+            F.least(
+                F.col("_ca0"),
+                F.greatest(
+                    F.floor(F.lit(max_pairs_per_block) / F.col("_cb0")), F.lit(1)
+                ),
+            ).cast("long"),
+        )
         .select(
             "_na",
             "_nb",
             "n_blocks",
             F.when(F.col("_r") >= 1, F.col("_nra"))
-            .otherwise(F.greatest(F.floor(F.col("_nra") * F.col("_r")), F.lit(1)))
+            .otherwise(F.col("_cap_a_c"))
             .cast("long")
             .alias("_cap_a"),
             F.when(F.col("_r") >= 1, F.col("_nrb"))
-            .otherwise(F.greatest(F.floor(F.col("_nrb") * F.col("_r")), F.lit(1)))
+            .otherwise(
+                F.least(
+                    F.col("_cb0"),
+                    F.floor(F.lit(max_pairs_per_block) / F.col("_cap_a_c")),
+                )
+            )
             .cast("long")
             .alias("_cap_b"),
         )

@@ -37,24 +37,49 @@ MENTION_SCHEMA = T.StructType([
 ])
 
 
+# estimated driver/broadcast bytes per dictionary entry beyond its characters
+# (CPython str header ~49 B + list slot 8 B, rounded up)
+_PER_NAME_OVERHEAD = 64
+#: default broadcast budget — past this the chunked path auto-routes
+DEFAULT_BROADCAST_BYTES = 128 << 20
+
+
 def detect_mentions(
     paragraphs: DataFrame,
     anchor_names: DataFrame,
     max_broadcast_names: int | None = None,
+    max_broadcast_bytes: int | None = DEFAULT_BROADCAST_BYTES,
 ) -> DataFrame:
     """(url, par_id, .., text) x names(anchor) -> (url, par_id, start, surface).
 
     Matches run over ``text.lower()`` (reference count_name_lines,
     mentions.py:59), so surfaces come out lowercased like the dictionary.
-    When ``max_broadcast_names`` is set and the dictionary exceeds it, the
-    bounded-memory chunked path runs instead (contract-identical, see
-    ``detect_mentions_chunked``).
+
+    The dictionary is sized relationally FIRST (one count+sum(length) agg);
+    past the budget — ``max_broadcast_names`` entries if given, else the
+    ``max_broadcast_bytes`` estimate (default 128 MiB) — the bounded-memory
+    chunked path auto-routes (contract-identical, see
+    ``detect_mentions_chunked``). The driver never materializes more than one
+    chunk of names at a time on either path.
     """
     spark = paragraphs.sparkSession
-    names = [r["anchor"] for r in anchor_names.select("anchor").distinct().collect()]
-    if max_broadcast_names is not None and len(names) > max_broadcast_names:
-        n_chunks = -(-len(names) // max_broadcast_names)
-        return detect_mentions_chunked(paragraphs, anchor_names, n_chunks)
+    dn = anchor_names.select("anchor").distinct().persist()
+    try:
+        stats = dn.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.length("anchor")), F.lit(0)).alias("chars"),
+        ).first()
+        n, est_bytes = stats["n"], stats["chars"] + stats["n"] * _PER_NAME_OVERHEAD
+        n_chunks = 1
+        if max_broadcast_names is not None and n > max_broadcast_names:
+            n_chunks = -(-n // max_broadcast_names)
+        elif max_broadcast_names is None and max_broadcast_bytes is not None:
+            n_chunks = max(1, -(-est_bytes // max_broadcast_bytes))
+        if n_chunks > 1:
+            return detect_mentions_chunked(paragraphs, dn, n_chunks)
+        names = [r["anchor"] for r in dn.collect()]
+    finally:
+        dn.unpersist()
     bc = spark.sparkContext.broadcast(names)
 
     def gen(batches):
@@ -127,17 +152,34 @@ def detect_mentions_chunked(
     paragraphs: DataFrame, anchor_names: DataFrame, n_chunks: int
 ) -> DataFrame:
     """Contract-identical to ``detect_mentions`` for dictionaries beyond
-    broadcast budget: deterministic name chunks (sorted, striped), one scan
-    pass per chunk, relational max-merge of spans, then the exact greedy
-    leftmost-longest sweep + word-boundary filter per paragraph."""
-    names = sorted(r["anchor"] for r in anchor_names.select("anchor").distinct().collect())
-    chunks = [names[i::n_chunks] for i in range(n_chunks)]
+    broadcast budget: deterministic DataFrame-side name chunks
+    (``pmod(xxhash64(anchor), n_chunks)``), one scan pass per chunk,
+    relational max-merge of spans, then the exact greedy leftmost-longest
+    sweep + word-boundary filter per paragraph.
+
+    Memory contract: BOTH executor and driver hold at most ONE chunk of the
+    dictionary at a time — chunk membership is decided relationally and each
+    chunk is collected separately, so driver memory is O(|dict| / n_chunks),
+    not O(|dict|). The max-merge is associative, so the result is invariant
+    to how names land in chunks (pinned by er_mentions_chunked's hash being
+    identical to er_mentions)."""
+    dn = anchor_names.select("anchor").distinct().persist()
     spans = None
-    for c in chunks:
-        if not c:
-            continue
-        s = _scan_all_longest(paragraphs, c)
-        spans = s if spans is None else spans.unionByName(s)
+    try:
+        for i in range(n_chunks):
+            # one chunk at a time: filter relationally, collect ONLY the chunk
+            c = sorted(
+                r["anchor"]
+                for r in dn.where(
+                    F.pmod(F.xxhash64("anchor"), F.lit(n_chunks)) == i
+                ).collect()
+            )
+            if not c:
+                continue
+            s = _scan_all_longest(paragraphs, c)
+            spans = s if spans is None else spans.unionByName(s)
+    finally:
+        dn.unpersist()
     if spans is None:
         return paragraphs.sparkSession.createDataFrame([], MENTION_SCHEMA)
     merged = (

@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.StringType()),
@@ -287,14 +287,54 @@ def sample_frames(
     )
 
 
+def byte_pack_buckets(
+    media: DataFrame,
+    target_bytes_per_partition: int,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id_col, _byte_bucket): cumulative-payload-bytes bucketing. Rows are
+    ordered deterministically (xxhash64 of the id — i.e. byte-weighted round
+    robin, invariant to input partitioning) and cut into buckets of ~target
+    bytes each, so per-bucket bytes < target + the bucket's first blob.
+
+    The global cumsum window runs over a NARROW (id, nbytes) projection —
+    the single-task sort sees ~16 B/row, never the payloads themselves."""
+    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+    return (
+        media.select(
+            id_col, F.coalesce(F.length("payload"), F.lit(0)).alias("_nb")
+        )
+        .withColumn("_cum", F.sum("_nb").over(w))
+        .select(
+            id_col,
+            F.greatest(
+                F.floor((F.col("_cum") - 1) / F.lit(target_bytes_per_partition)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("_byte_bucket"),
+        )
+    )
+
+
 def repartition_by_bytes(
     media: DataFrame, target_bytes_per_partition: int = 128 << 20
 ) -> DataFrame:
-    """Repartition so each partition carries ~target payload bytes (one pass to
-    size, then a range repartition on a byte-weighted key)."""
-    total = media.agg(F.sum(F.length("payload"))).first()[0] or 0
-    nparts = max(1, int(total / target_bytes_per_partition) + 1)
-    return media.repartition(nparts, F.col("media_id"))
+    """Repartition so partitions carry byte-BOUNDED bucket loads: a cumsum of
+    payload bytes (``byte_pack_buckets``, narrow projection only) assigns each
+    blob a bucket holding < target + one blob of payload, and buckets become
+    the shuffle key — a handful of 100 MB blobs can no longer co-locate by id
+    hash and blow an Arrow batch. Placement of buckets onto partitions is
+    hash-based, so a partition may carry a small number of whole buckets
+    (collisions), but never a fraction of an overweight one."""
+    buckets = byte_pack_buckets(media, target_bytes_per_partition)
+    max_bucket = buckets.agg(F.max("_byte_bucket")).first()[0]
+    nparts = int(max_bucket or 0) + 1
+    return (
+        media.join(buckets, "media_id")
+        .repartition(nparts, F.col("_byte_bucket"))
+        .drop("_byte_bucket")
+    )
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:

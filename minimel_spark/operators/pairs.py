@@ -131,11 +131,19 @@ def pair_features(
     rec_id_col: str = "rec_id",
     name_col: str = "name",
     text_col: str | None = "text",
+    max_broadcast_name_pairs: int | None = 5_000_000,
 ) -> DataFrame:
     """Attach per-side names/contexts and compute the feature columns.
 
     Output: (rec_id_a, rec_id_b, n_blocks, name_a, name_b,
              lev_sim, jacc3, jw, cos_bow).
+
+    The distinct name-pair feature table is persisted (its subplan contains
+    the whole pair-generation join — never evaluate that twice) and only
+    broadcast-HINTED while it holds at most ``max_broadcast_name_pairs``
+    rows; past the budget (LSH-banded cross-name pairs at web scale) the
+    join back degrades to a shuffle join instead of a forced multi-GB
+    broadcast. ``None`` always hints.
     """
     if "name_a" in pairs.columns and "name_b" in pairs.columns:
         # pair generator already carried both surface forms (the
@@ -155,11 +163,14 @@ def pair_features(
                 "rec_id_b",
             )
         )
-    # name-level features once per distinct surface-form pair, broadcast back
-    name_feats = name_pair_features(
-        df.select("name_a", "name_b").distinct()
-    )
-    df = df.join(F.broadcast(name_feats), ["name_a", "name_b"])
+    # name-level features once per distinct surface-form pair, joined back
+    distinct_names = df.select("name_a", "name_b").distinct().persist()
+    name_feats = name_pair_features(distinct_names)
+    if max_broadcast_name_pairs is None or (
+        distinct_names.count() <= max_broadcast_name_pairs
+    ):
+        name_feats = F.broadcast(name_feats)
+    df = df.join(name_feats, ["name_a", "name_b"])
     if text_col:
         bows = record_bow(records, rec_id_col, text_col)
         df = (

@@ -54,6 +54,13 @@ class PipelineConfig:
     # fraction of web-scale pair volumes and the LBFGS barriers stop
     # dominating wall time
     train_sample_mod: int | None = None
+    # over-budget auto-routing (VERDICT r2 #3): past these entry budgets the
+    # production DAG degrades to the joined/chunked/shuffle twins instead of
+    # forcing unbounded broadcasts. detect_mentions additionally auto-chunks
+    # on its byte estimate even when max_broadcast_names is None.
+    max_broadcast_titles: int | None = 5_000_000
+    max_broadcast_names: int | None = None
+    max_broadcast_name_pairs: int | None = 5_000_000
 
 
 def weak_pair_labels(feats: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -109,7 +116,13 @@ def run_pipeline(
         ckpt.write_manifest(vars(cfg))
 
     paragraphs = ckpt.stage(
-        "paragraphs", lambda: extract_paragraphs(pages, title_index, cfg.skip_prefixes)
+        "paragraphs",
+        lambda: extract_paragraphs(
+            pages,
+            title_index,
+            cfg.skip_prefixes,
+            max_broadcast_titles=cfg.max_broadcast_titles,
+        ),
     )
     counts = ckpt.stage(
         "anchor_counts",
@@ -137,7 +150,11 @@ def run_pipeline(
 
     mentions = ckpt.stage(
         "mentions",
-        lambda: detect_mentions(paragraphs, candidates.select("anchor").distinct()),
+        lambda: detect_mentions(
+            paragraphs,
+            candidates.select("anchor").distinct(),
+            max_broadcast_names=cfg.max_broadcast_names,
+        ),
     )
 
     def _records():
@@ -168,11 +185,20 @@ def run_pipeline(
             num_hashes=cfg.num_hashes,
             bands=cfg.bands,
             max_pairs_per_block=cfg.max_pairs_per_block,
+            max_broadcast_names=cfg.max_broadcast_names
+            if cfg.max_broadcast_names is not None
+            else 5_000_000,
         )
 
     pairs = ckpt.stage("pairs", _pairs)
     feats = ckpt.stage(
-        "pair_features", lambda: pair_features(pairs, records, name_col="name")
+        "pair_features",
+        lambda: pair_features(
+            pairs,
+            records,
+            name_col="name",
+            max_broadcast_name_pairs=cfg.max_broadcast_name_pairs,
+        ),
     )
 
     def _scored():

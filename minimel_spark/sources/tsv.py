@@ -67,13 +67,20 @@ def read_run_tsv(spark: SparkSession, path: str) -> DataFrame:
     return raw.select("doc_id", F.from_json("gold_json", gold_t).alias("gold"), "text")
 
 
-def write_predictions_tsv(preds: DataFrame, path: str) -> None:
+def write_predictions_tsv(
+    preds: DataFrame, path: str, all_doc_ids: DataFrame | None = None
+) -> None:
     """K6/D12: (doc_id, name, pred_qid) -> TSV lines
     ``doc_id \\t {"name": qid, ...}`` (one row per doc, like run.py:291-300).
 
     Written with the TEXT writer, not the CSV writer: Spark's CSV sink quotes
     and backslash-escapes the JSON field (``"{\\"a\\":1}"``), which breaks any
-    reference-format consumer doing ``json.loads(line.split('\\t')[1])``."""
+    reference-format consumer doing ``json.loads(line.split('\\t')[1])``.
+
+    ``all_doc_ids`` (any DataFrame with a doc_id column) pins the reference's
+    one-line-per-input contract (run.py:291-300 emits ``id\\t{}`` even when
+    nothing resolved): docs absent from ``preds`` get an empty-dict line, so
+    line counts equal input counts and coverage math stays honest."""
     rows = preds.groupBy("doc_id").agg(
         F.to_json(
             F.map_from_entries(
@@ -81,6 +88,13 @@ def write_predictions_tsv(preds: DataFrame, path: str) -> None:
             )
         ).alias("pred_json")
     )
+    if all_doc_ids is not None:
+        rows = (
+            all_doc_ids.select("doc_id")
+            .distinct()
+            .join(rows, "doc_id", "left")
+            .withColumn("pred_json", F.coalesce("pred_json", F.lit("{}")))
+        )
     rows.select(
         F.concat_ws("\t", "doc_id", "pred_json").alias("value")
     ).write.mode("overwrite").text(path)

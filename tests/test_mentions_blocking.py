@@ -64,6 +64,23 @@ def test_regex_matcher_equals_trie_matcher():
     assert list(m.find_matches("a.b axb a+b")) == [(0, "a.b"), (8, "a+b")]
 
 
+def test_regex_matcher_pathological_name_no_recursion_limit_bump():
+    """ADVICE r2: a megabyte-scale gazetteer entry must compile via the
+    iterative trie build without touching the process-wide recursion limit."""
+    import sys
+
+    from minimel_spark.functions.matcher import RegexMatcher
+
+    before = sys.getrecursionlimit()
+    long_name = "x" * 100_000
+    m = RegexMatcher([long_name, "acme"])
+    assert sys.getrecursionlimit() == before
+    assert list(m.find_matches(f"see {long_name} and acme here")) == [
+        (4, long_name),
+        (4 + 100_000 + 5, "acme"),
+    ]
+
+
 def test_jaro_winkler_known_values():
     assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611, abs=1e-3)
     assert jaro_winkler("dwayne", "duane") == pytest.approx(0.84, abs=1e-2)
@@ -129,6 +146,39 @@ def test_detect_mentions_chunked_equals_broadcast(spark, paragraphs, names):
         assert got == want, f"chunked({n_chunks}) diverged from broadcast path"
 
 
+def test_chunked_driver_never_collects_full_dictionary(spark, paragraphs, monkeypatch):
+    """Scale contract (VERDICT r2 #1): the chunked path must decide chunk
+    membership relationally and collect at most ONE chunk of names per
+    .collect() — driver memory is O(|dict| / n_chunks), never O(|dict|)."""
+    from minimel_spark.operators.mentions import detect_mentions, detect_mentions_chunked
+
+    big = spark.createDataFrame([(f"name{i:04d}",) for i in range(100)], "anchor string")
+    # patch the CONCRETE class (pyspark 4 routes pyspark.sql.DataFrame to an
+    # abstract parent whose collect the classic subclass overrides)
+    _DF = type(big)
+    collected_sizes = []
+    orig = _DF.collect
+
+    def spy(self):
+        rows = orig(self)
+        if "anchor" in self.columns:
+            collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(_DF, "collect", spy)
+    n = detect_mentions_chunked(paragraphs, big, n_chunks=4).count()
+    assert n == 0  # no name0000..0099 appears in the fixture text
+    assert collected_sizes, "no dictionary collects observed"
+    # 100 names over 4 hash chunks: every collect far below the full dict
+    assert max(collected_sizes) < 100, collected_sizes
+    assert sum(collected_sizes) == 100  # each name collected exactly once
+
+    # auto-routing never collects the full dict either: budget forces 10 chunks
+    collected_sizes.clear()
+    detect_mentions(paragraphs, big, max_broadcast_names=10).count()
+    assert collected_sizes and max(collected_sizes) < 100, collected_sizes
+
+
 def test_count_names(spark, paragraphs, names):
     got = {r["name"]: r["cnt"] for r in count_names(paragraphs, names).collect()}
     assert got == {"acme corp": 2, "globex": 2, "acme": 1}
@@ -185,6 +235,36 @@ def test_cap_blocks_bounds_pairs(spark):
     # capping is deterministic
     c2 = cap_blocks(df.repartition(7), max_pairs_per_block=45)
     assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, c2.collect()))
+
+
+def test_broadcast_budget_fallbacks_match_broadcast_path(spark, records):
+    """VERDICT r2 #2: past the entry budget the forced broadcast hints in
+    surface_blocked_pairs / pair_features must degrade to shuffle joins with
+    IDENTICAL results. Force a 1-entry budget so every gated join takes the
+    fallback, and compare against the always-hint path."""
+    from minimel_spark.operators.blocking import surface_blocked_pairs
+
+    def run(bcast_names, bcast_pairs):
+        p = surface_blocked_pairs(
+            records, key_col="anchor", rec_id_col="rec_id",
+            num_hashes=12, bands=6, max_pairs_per_block=10_000,
+            max_broadcast_names=bcast_names,
+        )
+        f = pair_features(
+            p, records, name_col="anchor",
+            max_broadcast_name_pairs=bcast_pairs,
+        )
+        return {
+            (r["rec_id_a"], r["rec_id_b"]): (
+                round(r["lev_sim"], 9), round(r["jacc3"], 9),
+                round(r["jw"], 9), round(r["cos_bow"], 9),
+            )
+            for r in f.collect()
+        }
+
+    want = run(None, None)  # always-broadcast path
+    got = run(1, 1)  # every side table over budget -> shuffle joins
+    assert want and got == want
 
 
 def test_pair_features(spark, records):
@@ -249,7 +329,17 @@ def test_surface_blocked_pairs_under_cap_equals_generic_and_keeps_small_cross(sp
         records, key_col="name", rec_id_col="rec_id",
         num_hashes=12, bands=6, max_pairs_per_block=50,
     )
-    n_cross = capped.where(
-        (F.col("name_a") != F.col("name_b"))
-    ).count()
-    assert 0 < n_cross <= 50 * 2  # bands may propose both orientations pre-dedup
+    per_pair = (
+        capped.where(F.col("name_a") != F.col("name_b"))
+        .groupBy("name_a", "name_b")
+        .count()
+        .collect()
+    )
+    assert per_pair, "no cross-name pairs emitted"
+    # the cap invariant holds EXACTLY per name pair (cap_a * cap_b <= cap),
+    # even on asymmetric pairs where one side's proportional cap clamps to 1
+    for r in per_pair:
+        assert r["count"] <= 50, (r["name_a"], r["name_b"], r["count"])
+    ab = {(r["name_a"], r["name_b"]): r["count"] for r in per_pair}
+    # 120 x 1 at cap=50 -> cap_a=50, cap_b=1: exactly 50 pairs survive
+    assert ab[("alphabeta", "alphabets")] == 50

@@ -89,6 +89,24 @@ def test_stem_absent_backends_raise_with_package_name():
             stem("running quickly", code, **kw)
 
 
+def test_stem_unsegmented_script_requires_icu():
+    """ADVICE r2: scripts without whitespace word boundaries (zh, th, ...)
+    must NOT silently degrade to str.split — absent icu_tokenizer raises with
+    the package name, like every other gated backend."""
+    import pytest
+
+    from minimel_spark.functions.normalize import ICU_REQUIRED, stem
+
+    if _installed("icu_tokenizer"):
+        pytest.skip("icu_tokenizer installed; fallback path not reachable")
+    for code in ("zh", "th"):
+        assert code in ICU_REQUIRED
+        with pytest.raises(ImportError, match="icu_tokenizer"):
+            stem("你好世界", code)
+    # whitespace-delimited unmapped code still tokenizes via str.split
+    assert stem("hello world", "xx") == "hello world"
+
+
 def test_stem_snowball_parity_when_installed():
     import pytest
 

@@ -58,6 +58,22 @@ def test_pipeline_resume_uses_checkpoints(spark, pipeline_result):
     assert out2["er_clusters"].count() == out["er_clusters"].count()
 
 
+def test_pipeline_tiny_budgets_identical_clusters(spark, pipeline_result, tmp_path):
+    """VERDICT r2 #3: the over-budget twins are wired into PipelineConfig —
+    a run where EVERY broadcast budget forces the joined/chunked/shuffle
+    paths must produce byte-identical er_clusters."""
+    out, _, pages, index, cfg = pipeline_result
+    tiny = PipelineConfig(
+        min_count=2, bands=6, num_hashes=12,
+        max_broadcast_titles=1, max_broadcast_names=1,
+        max_broadcast_name_pairs=1,
+    )
+    out2 = run_pipeline(spark, pages, index, workdir=str(tmp_path / "ck2"), config=tiny)
+    want = sorted(map(tuple, out["er_clusters"].collect()))
+    got = sorted(map(tuple, out2["er_clusters"].collect()))
+    assert got == want
+
+
 def test_er_clusters_group_same_entity_mentions(pipeline_result):
     out, *_ = pipeline_result
     clusters = out["er_clusters"]

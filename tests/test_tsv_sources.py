@@ -58,6 +58,17 @@ def test_predictions_tsv_roundtrip(spark, tmp_path):
         "d1": '{"acme":7,"globex":9}',
         "d2": '{"acme":7}',
     }
+    # ADVICE r2: with the full input doc set, docs with zero resolved
+    # mentions still emit a reference-format 'id\t{}' line (run.py:291-300)
+    docs = spark.createDataFrame([("d1",), ("d2",), ("d3",)], "doc_id string")
+    write_predictions_tsv(preds, out, all_doc_ids=docs)
+    back = spark.read.option("sep", "\t").csv(out, schema="doc_id string, pred_json string")
+    got = {r["doc_id"]: r["pred_json"] for r in back.collect()}
+    assert got == {
+        "d1": '{"acme":7,"globex":9}',
+        "d2": '{"acme":7}',
+        "d3": "{}",
+    }
 
 
 def test_disambig_fixture(spark):
