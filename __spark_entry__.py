@@ -748,8 +748,17 @@ FROM f GROUP BY s"""
 
 def q_er_pipeline_clusters(spark, sf_dir):
     """Full ER pipeline E2E (extraction -> counts -> clean -> mentions ->
-    blocking -> pair scoring -> LR -> connected components); iterative + ML,
-    rows-only check. Bounded to 150 docs to keep the gate fast."""
+    blocking -> pair scoring -> LR -> connected components), quality-PINNED
+    (VERDICT r2 #5): one row (n_records, f1_ok) where f1_ok pins pairwise
+    F1 >= 0.99 — the north-rule number — between the produced clusters and
+    the surface-identity gold clustering of this fixed doc<150 world, and
+    n_records is recomputed exactly by the oracle (dictionary = ambiguous
+    anchors; records = their text occurrences). max_pairs_per_block is sized
+    ABOVE the largest same-name block (~C(280,2) here) so the cap's
+    intentional recall trade inside mega-blocks (covered by blocking tests)
+    does not fragment this world; measured precision 1.0, recall 1.0 without
+    fragmentation. F1 is computed with O(n) aggregations (never enumerating
+    pairs)."""
     from minimel_spark.pipeline import PipelineConfig, run_pipeline
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
@@ -759,14 +768,45 @@ def q_er_pipeline_clusters(spark, sf_dir):
         spark,
         pages,
         index,
-        config=PipelineConfig(min_count=1, max_pairs_per_block=2000),
+        config=PipelineConfig(min_count=1, max_pairs_per_block=120_000),
     )
-    # one row per mention record: row COUNT is model-independent (stable for
-    # the driver's rows-only check even if borderline match scores flip)
-    return out["er_clusters"].select(
-        F.col("rec_id").cast("long").alias("rec_id"),
-        F.col("cluster_id").cast("long").alias("cluster_id"),
+    pred = out["er_clusters"].withColumnRenamed("cluster_id", "p")
+    gold = out["mentions"].select(
+        F.xxhash64("url", "par_id", "start").alias("rec_id"),
+        F.xxhash64("surface").alias("g"),
     )
+    both = pred.join(gold, "rec_id")
+    cell = both.groupBy("p", "g").agg(F.count(F.lit(1)).alias("n"))
+
+    def _pairs(c):
+        return F.sum(c * (c - F.lit(1)) / 2)
+
+    tp = cell.agg(_pairs(F.col("n")).alias("tp"))
+    pp = (
+        cell.groupBy("p").agg(F.sum("n").alias("n")).agg(_pairs(F.col("n")).alias("pp"))
+    )
+    gp = (
+        cell.groupBy("g").agg(F.sum("n").alias("n")).agg(_pairs(F.col("n")).alias("gp"))
+    )
+    nrec = pred.agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    stats = nrec.crossJoin(tp).crossJoin(pp).crossJoin(gp)
+    prec = F.col("tp") / F.col("pp")
+    rec = F.col("tp") / F.col("gp")
+    f1 = 2 * prec * rec / (prec + rec)
+    return stats.select("n_records", (f1 >= 0.99).alias("f1_ok"))
+
+
+SQL_ER_PIPELINE = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE doc_id < 150),
+dict AS (
+  SELECT word FROM (
+    SELECT DISTINCT word, (doc_id % 3 = 0) AS grp
+    FROM w WHERE length(word) > 3) t
+  GROUP BY word HAVING count(*) > 1)
+SELECT count(*)::BIGINT AS n_records, true AS f1_ok
+FROM w JOIN dict USING (word)"""
 
 
 def q_er_matcher_planted(spark, sf_dir):
@@ -1220,7 +1260,12 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
       / len(list_distinct(a.sh || b.sh)) >= 0.9"""
 
 
-def _topk_recall_row(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
+def _topk_recall_row(
+    exact: DataFrame, approx: DataFrame, floor: float, per_query_floor: float
+) -> DataFrame:
+    """One row PER QUERY (VERDICT r2 #7): recall_ok pins each query above
+    ``per_query_floor`` (a catastrophically-bad query can't hide under the
+    mean) and avg_ok pins the mean above ``floor`` on every row."""
     hits = (
         approx.join(exact, ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")
@@ -1235,41 +1280,44 @@ def _topk_recall_row(exact: DataFrame, approx: DataFrame, floor: float) -> DataF
             (F.coalesce("_h", F.lit(0)) / F.col("_ne")).alias("_recall"),
         )
     )
-    return per_q.agg(
-        F.count(F.lit(1)).cast("long").alias("n_queries"),
-        (F.avg("_recall") >= F.lit(floor)).alias("recall_ok"),
+    return per_q.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        (F.col("_recall") >= F.lit(per_query_floor)).alias("recall_ok"),
+        (F.avg("_recall").over(Window.partitionBy()) >= F.lit(floor)).alias("avg_ok"),
     )
 
 
 def q_ann_lsh_recall(spark, sf_dir):
     """Hyperplane-LSH recall@10 vs the exact cosine top-10; the embeddings
     table is uniform random (worst case for LSH — no cluster structure), so
-    the gate runs a wide-recall point (4 planes x 16 tables, measured
-    0.91-0.93); floor 0.8."""
+    the gate runs a wide-recall point (4 planes x 16 tables, measured mean
+    0.91-0.93, per-query min 0.7); mean floor 0.8, per-query floor 0.5 (one
+    row per query — a bad query can't hide under the mean)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 16)
     exact = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
     approx = lsh_topk(
         emb, queries, dim=64, k=10, num_planes=4, num_tables=16
     ).select("query_id", "vec_id")
-    return _topk_recall_row(exact, approx, floor=0.8)
+    return _topk_recall_row(exact, approx, floor=0.8, per_query_floor=0.5)
 
 
 SQL_ANN_QUERYCOUNT = """
-SELECT count(*)::BIGINT AS n_queries, true AS recall_ok
+SELECT vec_id::BIGINT AS query_id, true AS recall_ok, true AS avg_ok
 FROM embeddings WHERE vec_id < 16"""
 
 
 def q_ann_ivf_recall(spark, sf_dir):
-    """IVF recall@10 vs exact cosine top-10 (8 cells, 6 probed; measured
-    0.91-0.94); floor 0.8."""
+    """IVF recall@10 vs exact cosine top-10 (8 cells, 6 probed; measured mean
+    0.91-0.94, per-query min 0.7); mean floor 0.8, per-query floor 0.5 (one
+    row per query)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 16)
     exact = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
     approx = ivf_topk(
         emb, queries, dim=64, k=10, n_cells=8, n_probe=6
     ).select("query_id", "vec_id")
-    return _topk_recall_row(exact, approx, floor=0.8)
+    return _topk_recall_row(exact, approx, floor=0.8, per_query_floor=0.5)
 
 
 def q_ann_embdup_recall(spark, sf_dir):
@@ -1741,6 +1789,43 @@ def q_stream_hourly_events(spark, sf_dir):
     return out.select("hour", "event_type", F.col("n").cast("long").alias("n"), "sum_value")
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """The CUSTOM STATEFUL streaming operator (applyInPandasWithState,
+    streaming/ingest.py stream_sessionize) drained with availableNow must
+    reproduce the batch sessionize exactly — pinned by the SAME DuckDB oracle
+    as rel_sessionize. Update-mode re-emits a session's running stats as it
+    grows, so the final state per (user, session) is the max-n_events row
+    (n_events is monotone within a session)."""
+    import shutil
+    import tempfile
+
+    from minimel_spark.streaming.ingest import (
+        run_to_sink,
+        stream_events,
+        stream_sessionize,
+    )
+
+    events = stream_events(spark, sf_dir, glob="events.parquet")
+    sess = stream_sessionize(events, gap_minutes=30)
+    ckpt = tempfile.mkdtemp(prefix="minimel_stream_sess_gate_")
+    q = run_to_sink(sess, ckpt, output_mode="update", query_name="stream_sess_gate")
+    try:
+        assert q.awaitTermination(300), "streaming drain did not finish"
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    out = spark.table("stream_sess_gate")
+    return out.groupBy("user_id", "session_idx").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.max("session_start_rel_us").cast("long").alias("session_start_rel_us"),
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events",
+        "session_start_rel_us",
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (rows-only: synthetic media, fake decoder)
 # --------------------------------------------------------------------------
@@ -1850,6 +1935,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_hourly_events": q_rel_hourly_events,
     # structured streaming (stream==batch, same oracle as rel_hourly_events)
     "stream_hourly_events": q_stream_hourly_events,
+    "stream_sessionize": q_stream_sessionize,
     # multimodal plumbing
     "mm_features": q_mm_features,
 }
@@ -1875,6 +1961,7 @@ _ORACLES: dict[str, str] = {
     "er_disambig_links": SQL_ER_DISAMBIG,
     "tsv_predictions_roundtrip": SQL_TSV_ROUNDTRIP,
     "er_matcher_planted": SQL_ER_MATCHER_PLANTED,
+    "er_pipeline_clusters": SQL_ER_PIPELINE,
     "er_upperbound": SQL_ER_UPPERBOUND,
     "ent_features": SQL_ENT_FEATURES,
     "m4_similarity_edges": SQL_M4_EDGES,
@@ -1905,6 +1992,7 @@ _ORACLES: dict[str, str] = {
     "rel_sessionize": SQL_REL_SESSIONIZE,
     "rel_hourly_events": SQL_REL_HOURLY,
     "stream_hourly_events": SQL_REL_HOURLY,
+    "stream_sessionize": SQL_REL_SESSIONIZE,
 }
 
 

@@ -72,7 +72,7 @@ def build_records(spark, sf_dir):
     )
     n_rec = records.count()
     t["mentions"] = time.time() - t0
-    return records, counts, n_pars, n_rec, t
+    return records, counts, pars, n_pars, n_rec, t
 
 
 def score_segment(spark, records, counts):
@@ -114,51 +114,80 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    # Best-of-N protocol (explicit, not prose): this box's wall-time noise on
+    # single runs is up to ~2x; exogenous load only ever SLOWS a run, so the
+    # per-segment minimum over SPARK_GRAFT_REPS repetitions is the
+    # noise-robust estimator. Headline `queries`/`value` carry the min;
+    # `queries_median` is reported alongside for honesty about spread.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
-    q = {}
+    times: dict[str, list[float]] = {}
+
+    def rec(name, sec):
+        times.setdefault(name, []).append(sec)
+
     total0 = time.time()
 
-    records, counts, n_pars, n_rec, t_build = build_records(spark, sf_dir)
-    q.update(t_build)
+    for i in range(reps):
+        records, counts, pars, n_pars, n_rec, t_build = build_records(spark, sf_dir)
+        for k, v in t_build.items():
+            rec(k, v)
+        scored, n_pairs, sec = score_segment(spark, records, counts)
+        rec("pairs_scored", sec)
 
-    scored, n_pairs, q["pairs_scored"] = score_segment(spark, records, counts)
-    pairs_per_sec = n_pairs / q["pairs_scored"] if q["pairs_scored"] else 0.0
-
-    t0 = time.time()
-    edges = match_edges(scored, 0.5)
-    cc = connected_components(edges)
-    n_clusters = cc.select("component").distinct().count()
-    q["cluster_cc"] = time.time() - t0
+        t0 = time.time()
+        edges = match_edges(scored, 0.5)
+        cc = connected_components(edges)
+        n_clusters = cc.select("component").distinct().count()
+        rec("cluster_cc", time.time() - t0)
+        # drop every cache between reps: CacheManager matches canonicalized
+        # plans, so a leftover cache would short-circuit the next rep's
+        # recompute and fake the timing
+        scored.unpersist()
+        if i < reps - 1:
+            records.unpersist()
+            counts.unpersist()
+            pars.unpersist()
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t0 = time.time()
-    n_dups = minhash_dups(docs, threshold=0.9, n=1, num_hashes=16, bands=8).count()
-    q["dedup_minhash"] = time.time() - t0
-
-    t0 = time.time()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     from minimel_spark.operators.dedup import simhash_dups
-
-    n_simdups = simhash_dups(docs, max_hamming=8).count()
-    q["dedup_simhash"] = time.time() - t0
-
-    t0 = time.time()
     from minimel_spark.operators.embed import embed_hashed
 
-    n_emb = embed_hashed(docs, dim=64).count()
-    q["embed"] = time.time() - t0
+    for _ in range(reps):
+        t0 = time.time()
+        n_dups = minhash_dups(docs, threshold=0.9, n=1, num_hashes=16, bands=8).count()
+        rec("dedup_minhash", time.time() - t0)
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    t0 = time.time()
-    n_ann = brute_force_topk(emb, emb.where(F.col("vec_id") < 64), k=10).count()
-    q["ann_topk"] = time.time() - t0
+        t0 = time.time()
+        n_simdups = simhash_dups(docs, max_hamming=8).count()
+        rec("dedup_simhash", time.time() - t0)
+
+        t0 = time.time()
+        n_emb = embed_hashed(docs, dim=64).count()
+        rec("embed", time.time() - t0)
+
+        t0 = time.time()
+        n_ann = brute_force_topk(emb, emb.where(F.col("vec_id") < 64), k=10).count()
+        rec("ann_topk", time.time() - t0)
+
+    q = {k: round(min(v), 2) for k, v in times.items()}
+    q_median = {
+        k: round(sorted(v)[len(v) // 2], 2) for k, v in times.items()
+    }
+    best_score_sec = min(times["pairs_scored"])
+    pairs_per_sec = n_pairs / best_score_sec if best_score_sec else 0.0
 
     total = time.time() - total0
     out = {
         "metric": "candidate_pairs_scored_per_sec",
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/sec",
-        "queries": {k: round(v, 2) for k, v in q.items()},
+        "queries": q,
+        "queries_median": q_median,
+        "reps": reps,
         "sf": sf,
         "cpus": cpus,
         "total_sec": round(total, 2),
@@ -187,7 +216,7 @@ def main():
         for ncpu in scale_cpus:
             s = get_spark("bench-scale", master=f"local[{ncpu}]")
             s.sparkContext.setLogLevel("ERROR")
-            recs, cnts, _, _, _ = build_records(s, sf_dir)
+            recs, cnts, _, _, _, _ = build_records(s, sf_dir)
             if mult > 1:
                 base = recs
                 copies = [base] + [

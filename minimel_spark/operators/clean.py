@@ -7,7 +7,7 @@ DataFrame op, so the whole stage shuffles on ``anchor``/``qid`` keys and scales
 horizontally:
 
 1. total entity counts (A4)                  — groupBy(qid).sum
-2. ambiguity filter (P10: len(ec)>1)         — window countDistinct per anchor
+2. ambiguity filter (P10: len(ec)>1)         — agg + left-semi join (no per-row window)
 3. disambiguation-page boosts (J2-adjacent)  — normalized union + full-outer sum
 4. bad-entity removal (J8)                   — left_anti broadcast join
 5. min_count + (optional) freqnorm weighting — filter + window max
