@@ -1210,6 +1210,46 @@ def q_ann_embedding_dups(spark, sf_dir):
     )
 
 
+def q_dedup_embed_hashed(spark, sf_dir):
+    """E2E semantic near-dup with a FULL exact oracle: documents ->
+    embed_hashed (the SQL-reproducible md5-bucket hashing vectorizer, M6) ->
+    exact cosine pair join (num_planes=0 = one bucket = exhaustive verify).
+    Complements ann_embdup_recall (approximate, recall-pinned): here EVERY
+    surviving pair's cosine is recomputed in DuckDB from the raw text.
+    Threshold 0.95 is boundary-safe on this corpus (no pair within 1e-7)."""
+    from minimel_spark.operators.embed import embed_hashed
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = embed_hashed(docs, dim=32).withColumnRenamed("doc_id", "vec_id")
+    dups = embedding_dups(emb, dim=32, threshold=0.95, num_planes=0, num_tables=1)
+    return dups.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
+SQL_DEDUP_EMBED_HASHED = """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+  FROM documents),
+b AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::UBIGINT % 32 AS bucket
+  FROM t),
+c AS (SELECT doc_id, bucket, count(*)::DOUBLE AS cnt FROM b GROUP BY 1, 2),
+n AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm FROM c GROUP BY 1),
+dot AS (
+  SELECT a.doc_id AS id_a, b2.doc_id AS id_b, sum(a.cnt * b2.cnt) AS d
+  FROM c a JOIN c b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+  GROUP BY 1, 2)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       round(d / (na.nrm * nb.nrm), 6) AS sim
+FROM dot
+JOIN n na ON na.doc_id = id_a
+JOIN n nb ON nb.doc_id = id_b
+WHERE d / (na.nrm * nb.nrm) >= 0.95"""
+
+
 # --------------------------------------------------------------------------
 # Quantified recall gates for the approximate family (VERDICT r1 item 6).
 # Pattern: the TRUE pair/top-k set is SQL-expressible (exact Jaccard / exact
@@ -1911,6 +1951,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_embedding_dups": q_ann_embedding_dups,
+    "dedup_embed_hashed": q_dedup_embed_hashed,
     # recall gates for the approximate family
     "dedup_minhash_recall": q_dedup_minhash_recall,
     "ann_lsh_recall": q_ann_lsh_recall,
@@ -1976,6 +2017,7 @@ _ORACLES: dict[str, str] = {
     "ann_lsh_recall": SQL_ANN_QUERYCOUNT,
     "ann_ivf_recall": SQL_ANN_QUERYCOUNT,
     "ann_embdup_recall": SQL_ANN_EMBDUP_RECALL,
+    "dedup_embed_hashed": SQL_DEDUP_EMBED_HASHED,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "text_language_id": SQL_TEXT_LANG,
