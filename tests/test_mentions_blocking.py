@@ -267,6 +267,39 @@ def test_broadcast_budget_fallbacks_match_broadcast_path(spark, records):
     assert want and got == want
 
 
+def test_broadcast_budget_changes_join_strategy(spark, records):
+    """Plan pin for the budget gate: under budget the name-side joins carry
+    the broadcast hint (BroadcastHashJoin); over budget they must NOT force
+    it (the multi join degrades to a non-broadcast strategy)."""
+    from minimel_spark.operators.blocking import surface_blocked_pairs
+
+    def plan(budget):
+        p = surface_blocked_pairs(
+            records, key_col="anchor", rec_id_col="rec_id",
+            max_broadcast_names=budget,
+        )
+        return p._jdf.queryExecution().executedPlan().toString()
+
+    under = plan(None)
+    assert "BroadcastHashJoin" in under
+    # with a 1-entry budget, the salted-records join (records x multi-name
+    # table) must not be a forced broadcast: AQE/stats may still broadcast
+    # TINY test tables, so pin the absence of the explicit hint at the
+    # logical level instead of the physical operator
+    p_over = surface_blocked_pairs(
+        records, key_col="anchor", rec_id_col="rec_id", max_broadcast_names=1
+    )
+    logical = p_over._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical  # hints are consumed/absent
+    logical_raw = p_over._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical_raw and "hint" not in logical_raw.lower()
+    # and the under-budget path really does place the hint logically
+    p_under = surface_blocked_pairs(
+        records, key_col="anchor", rec_id_col="rec_id", max_broadcast_names=None
+    )
+    assert "hint" in p_under._jdf.queryExecution().logical().toString().lower()
+
+
 def test_pair_features(spark, records):
     blocked = union_blocks(
         dictionary_blocks(records), minhash_blocks(records, num_hashes=12, bands=12)
