@@ -178,6 +178,14 @@ def test_chunked_driver_never_collects_full_dictionary(spark, paragraphs, monkey
     detect_mentions(paragraphs, big, max_broadcast_names=10).count()
     assert collected_sizes and max(collected_sizes) < 100, collected_sizes
 
+    # BYTE-budget auto-routing (the default path callers hit with no knobs):
+    # ~100 names x (8 chars + 64 B overhead) ~= 7.2 KB, so a 1 KB budget must
+    # chunk without any caller-provided entry count
+    collected_sizes.clear()
+    got = detect_mentions(paragraphs, big, max_broadcast_bytes=1024).count()
+    assert got == 0
+    assert collected_sizes and max(collected_sizes) < 100, collected_sizes
+
 
 def test_count_names(spark, paragraphs, names):
     got = {r["name"]: r["cnt"] for r in count_names(paragraphs, names).collect()}
