@@ -56,6 +56,29 @@ def bow_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _dense_bow_udf(dim: int):
+    """Dense variant of ``bow_udf``: crc32 % dim counts as a fixed-size
+    L2-normalized array. Same tokenization, coarser hash space — the
+    100-TB-scale trade: per-record payload is a constant 8*dim bytes
+    (vs ~16 B per distinct token) and the pair dot product becomes an O(dim)
+    ``zip_with`` instead of O(|a|*|b|) map probing."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def dense(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            v = np.zeros(dim)
+            for tok in vw_tok(t or ""):
+                v[zlib.crc32(tok.encode("utf-8")) % dim] += 1.0
+            n = float(np.sqrt((v * v).sum()))
+            out.append((v / n).tolist() if n else v.tolist())
+        return pd.Series(out)
+
+    return dense
+
+
 def candidate_pairs(blocked: DataFrame, rec_id_col: str = "rec_id") -> DataFrame:
     """(rec_id, block_key, ...) -> distinct (rec_id_a, rec_id_b, n_blocks) with
     rec_id_a < rec_id_b; n_blocks = how many blocks proposed the pair."""
@@ -132,6 +155,7 @@ def pair_features(
     name_col: str = "name",
     text_col: str | None = "text",
     max_broadcast_name_pairs: int | None = 5_000_000,
+    dense_bow_dim: int | None = None,
 ) -> DataFrame:
     """Attach per-side names/contexts and compute the feature columns.
 
@@ -144,6 +168,13 @@ def pair_features(
     rows; past the budget (LSH-banded cross-name pairs at web scale) the
     join back degrades to a shuffle join instead of a forced multi-GB
     broadcast. ``None`` always hints.
+
+    ``dense_bow_dim`` switches ``cos_bow`` from the exact sparse form
+    (crc32 % 2^18 maps, O(|a|*|b|) per-pair map probing) to a dense hashed
+    approximation at that dimension: constant 8*dim-byte payloads through
+    the pair shuffle and an O(dim) ``zip_with`` dot — the knob to reach for
+    when the feature join's shuffle volume, not compute, bounds throughput
+    (long contexts, 10^9+ pairs). Default None keeps the exact semantics.
     """
     if "name_a" in pairs.columns and "name_b" in pairs.columns:
         # pair generator already carried both surface forms (the
@@ -171,7 +202,25 @@ def pair_features(
     ):
         name_feats = F.broadcast(name_feats)
     df = df.join(name_feats, ["name_a", "name_b"])
-    if text_col:
+    if text_col and dense_bow_dim:
+        vecs = records.select(
+            F.col(rec_id_col).alias("_rid"),
+            _dense_bow_udf(dense_bow_dim)(F.col(text_col)).alias("_v"),
+        )
+        df = (
+            df.join(vecs.select(F.col("_rid").alias("rec_id_a"), F.col("_v").alias("_va")), "rec_id_a")
+            .join(vecs.select(F.col("_rid").alias("rec_id_b"), F.col("_v").alias("_vb")), "rec_id_b")
+            .withColumn(
+                "cos_bow",
+                F.aggregate(
+                    F.zip_with("_va", "_vb", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            .drop("_va", "_vb")
+        )
+    elif text_col:
         bows = record_bow(records, rec_id_col, text_col)
         df = (
             df.join(

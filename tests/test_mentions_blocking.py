@@ -275,6 +275,39 @@ def test_broadcast_budget_fallbacks_match_broadcast_path(spark, records):
     assert want and got == want
 
 
+def test_pair_features_dense_bow_variant(spark, records):
+    """The opt-in dense hashed cosine (constant payload, O(dim) dot) must
+    agree with the exact sparse cosine: exactly where no hash collisions
+    collapse tokens (identical texts -> 1.0), and closely elsewhere at a
+    roomy dim. Default (dense_bow_dim=None) stays byte-identical sparse."""
+    blocked = union_blocks(
+        dictionary_blocks(records), minhash_blocks(records, num_hashes=12, bands=12)
+    )
+    pairs = candidate_pairs(blocked)
+    sparse = {
+        (r["rec_id_a"], r["rec_id_b"]): r["cos_bow"]
+        for r in pair_features(pairs, records, name_col="anchor").collect()
+    }
+    dense = {
+        (r["rec_id_a"], r["rec_id_b"]): r["cos_bow"]
+        for r in pair_features(
+            pairs, records, name_col="anchor", dense_bow_dim=4096
+        ).collect()
+    }
+    assert dense.keys() == sparse.keys()
+    for k in sparse:
+        assert abs(dense[k] - sparse[k]) < 0.05, (k, sparse[k], dense[k])
+        assert 0.0 <= dense[k] <= 1.0 + 1e-9
+    # determinism across partitioning
+    again = {
+        (r["rec_id_a"], r["rec_id_b"]): r["cos_bow"]
+        for r in pair_features(
+            pairs, records.repartition(5), name_col="anchor", dense_bow_dim=4096
+        ).collect()
+    }
+    assert again == dense
+
+
 def test_broadcast_budget_changes_join_strategy(spark, records):
     """Plan pin for the budget gate: under budget the name-side joins carry
     the broadcast hint (BroadcastHashJoin); over budget they must NOT force
