@@ -61,6 +61,10 @@ class PipelineConfig:
     max_broadcast_titles: int | None = 5_000_000
     max_broadcast_names: int | None = None
     max_broadcast_name_pairs: int | None = 5_000_000
+    # None = exact sparse BoW cosine; an int (e.g. 64) switches pair scoring
+    # to the dense hashed approximation (constant payload, O(dim) dot) for
+    # shuffle-bound corpora — see pair_features(dense_bow_dim=...)
+    dense_bow_dim: int | None = None
 
 
 def weak_pair_labels(feats: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -198,6 +202,7 @@ def run_pipeline(
             records,
             name_col="name",
             max_broadcast_name_pairs=cfg.max_broadcast_name_pairs,
+            dense_bow_dim=cfg.dense_bow_dim,
         ),
     )
 
