@@ -508,6 +508,41 @@ SELECT anchor, qid, cnt + 1 AS weight,
 FROM counts JOIN amb USING (anchor)"""
 
 
+def q_er_log_gap_steps(spark, sf_dir):
+    """O5 log-gap step filter (reference clean.py:31-49 steps/filter_steps —
+    dead code in the reference, ported for 79/79 coverage): keep each
+    anchor's candidate prefix before the first relative log-gap > cutoff.
+    Cutoff 0.1 sits mid-distribution on this corpus (observed steps
+    0.084-0.113, nearest value 4e-4 away — boundary-safe), so the filter
+    genuinely fires for some anchors and passes others."""
+    from minimel_spark.operators.clean import log_gap_steps
+
+    out = log_gap_steps(_er_counts(spark, sf_dir), cutoff=0.1)
+    return out.select(
+        "anchor",
+        F.col("qid").cast("long").alias("qid"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+SQL_ER_LOG_GAP = f"""WITH {_W},
+r AS (
+  SELECT anchor, qid, cnt, ln(cnt) + 1 AS lg,
+         lag(ln(cnt) + 1) OVER (PARTITION BY anchor ORDER BY cnt DESC, qid ASC) AS plg
+  FROM counts),
+s AS (
+  SELECT anchor, qid, cnt,
+         CASE WHEN plg IS NULL THEN 0.0 ELSE (plg - lg) / plg END AS step
+  FROM r),
+f AS (
+  SELECT anchor, qid, cnt,
+         max(CASE WHEN step > 0.1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY anchor ORDER BY cnt DESC, qid ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS brk
+  FROM s)
+SELECT anchor, qid::BIGINT AS qid, cnt::BIGINT AS cnt FROM f WHERE brk = 0"""
+
+
 def q_er_clean_strict(spark, sf_dir):
     """Full cleaning stage on the STRICT world (sources/synth.py
     STRICT_WORLD_NOTE): anchors and titles diverge, so the
@@ -1928,6 +1963,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_top_shadowed": q_er_top_shadowed,
     "er_clean_candidates": q_er_clean_candidates,
     "er_clean_strict": q_er_clean_strict,
+    "er_log_gap_steps": q_er_log_gap_steps,
     "er_disambig_links": q_er_disambig_links,
     "tsv_predictions_roundtrip": q_tsv_predictions_roundtrip,
     "er_pipeline_clusters": q_er_pipeline_clusters,
@@ -1999,6 +2035,7 @@ _ORACLES: dict[str, str] = {
     "er_top_shadowed": SQL_ER_TOP_SHADOWED,
     "er_clean_candidates": SQL_ER_CLEAN,
     "er_clean_strict": SQL_ER_CLEAN_STRICT,
+    "er_log_gap_steps": SQL_ER_LOG_GAP,
     "er_disambig_links": SQL_ER_DISAMBIG,
     "tsv_predictions_roundtrip": SQL_TSV_ROUNDTRIP,
     "er_matcher_planted": SQL_ER_MATCHER_PLANTED,

@@ -220,6 +220,36 @@ def bad_names(
     return flagged
 
 
+def log_gap_steps(
+    counts: DataFrame, cutoff: float = 0.7, count_col: str = "cnt"
+) -> DataFrame:
+    """O5 (reference clean.py:31-49, ``steps``/``filter_steps`` — dead code
+    there, ported for completeness): per anchor, walk candidates in count
+    order and CUT the list at the first large relative log-gap — keep the
+    prefix before the first i where (log(c_i)+1 - log(c_i+1)-1) / (log(c_i)+1)
+    exceeds ``cutoff``; the gap row itself and everything after it drop.
+
+    Relational form: one lag window for the gap, one running-max window for
+    the break flag — both on the same (anchor, cnt desc, qid asc) ordering,
+    so a single shuffle. Determinism delta (documented, same as rank):
+    count ties break by qid ascending, where the reference inherits Counter
+    insertion order. (The reference body also references an undefined
+    ``count`` variable — this implements the evident intent.)"""
+    w = Window.partitionBy("anchor").orderBy(F.col(count_col).desc(), F.col("qid").asc())
+    lg = F.log(F.col(count_col)) + 1
+    plg = F.lag(lg).over(w)
+    step = F.when(plg.isNull(), F.lit(0.0)).otherwise((plg - lg) / plg)
+    return (
+        counts.withColumn("_brk", (step > cutoff).cast("int"))
+        .withColumn(
+            "_cut",
+            F.max("_brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .where(F.col("_cut") == 0)
+        .drop("_brk", "_cut")
+    )
+
+
 def rank_candidates(cands: DataFrame) -> DataFrame:
     """O1 (clean.py:242-246): per-anchor rank desc by weight, ties by qid asc."""
     w = Window.partitionBy("anchor").orderBy(F.desc("weight"), F.asc("qid"))

@@ -77,6 +77,33 @@ def fixture_counts(spark):
     return anchor_counts(pars, min_count=1).cache(), index
 
 
+def test_log_gap_steps_prefix_cut(spark):
+    """O5 (reference clean.py:31-49): the candidate list is cut at the FIRST
+    relative log-gap above the cutoff — the gap row and everything after it
+    drop, even if later gaps are small again."""
+    from minimel_spark.operators.clean import log_gap_steps
+
+    rows = [
+        # anchor 'a': 1000, 900 (tiny gap), 2 (huge gap -> cut), 1 (after cut)
+        ("a", 1, 1000), ("a", 2, 900), ("a", 3, 2), ("a", 4, 1),
+        # anchor 'b': no gap above cutoff -> all kept
+        ("b", 5, 50), ("b", 6, 40), ("b", 7, 30),
+        # anchor 'c': singleton (step 0) kept
+        ("c", 8, 7),
+    ]
+    df = spark.createDataFrame(rows, "anchor string, qid long, cnt long")
+    got = {(r["anchor"], r["qid"]) for r in log_gap_steps(df, cutoff=0.7).collect()}
+    assert got == {("a", 1), ("a", 2), ("b", 5), ("b", 6), ("b", 7), ("c", 8)}
+    # count ties break by qid ascending (determinism delta, documented):
+    # equal counts have step 0, so ties never cut — but order must be stable
+    tie = spark.createDataFrame(
+        [("t", 9, 5), ("t", 10, 5), ("t", 11, 1)], "anchor string, qid long, cnt long"
+    )
+    # (5 -> 1): step = (ln5+1 - ln1-1)/(ln5+1) = 0.617 < 0.7 -> kept
+    assert log_gap_steps(tie, cutoff=0.7).count() == 3
+    assert log_gap_steps(tie, cutoff=0.5).count() == 2  # cut fires on qid 11
+
+
 def test_clean_produces_ranked_ambiguous_candidates(spark, fixture_counts):
     counts, index = fixture_counts
     out = clean(counts, index, min_count=2).cache()
