@@ -921,11 +921,29 @@ FROM links"""
 
 
 def q_er_fold_counts(spark, sf_dir):
-    """X5 fold selector (xxhash64-based — no DuckDB equivalent; rows-only)."""
-    pars = fold_filter(_paragraphs(spark, sf_dir), ["url", "par_id"], split=5, fold=0)
+    """X5 fold selector, ORACLE-pinned via a partition invariant (VERDICT r3
+    #7): xxhash64 fold assignment has no DuckDB twin, but the fold FAMILY
+    does — running anchor_counts on each of the 5 folds separately and
+    summing across folds must reproduce the full-corpus anchor counts
+    EXACTLY. Completeness (a dropped paragraph -> some cnt too low) and
+    disjointness (a double-assigned paragraph -> some cnt too high) both
+    break the value hash against the er_anchor_counts oracle."""
+    pars = _paragraphs(spark, sf_dir)
+    per_fold = None
+    for f_i in range(5):
+        c = anchor_counts(
+            fold_filter(pars, ["url", "par_id"], split=5, fold=f_i, keep=True),
+            min_count=1,
+        )
+        per_fold = c if per_fold is None else per_fold.unionByName(c)
     return (
-        anchor_counts(pars, min_count=1)
-        .select("anchor", F.col("qid").cast("long").alias("qid"), F.col("cnt").cast("long").alias("cnt"))
+        per_fold.groupBy("anchor", "qid")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(
+            "anchor",
+            F.col("qid").cast("long").alias("qid"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
     )
 
 
@@ -1944,6 +1962,12 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Registry ORDER is part of the driver contract: the driver samples the FIRST
+# 50 entries for CORRECTNESS_r{N}.json. Round-4 rotation (VERDICT r3 #2): the
+# rel_* / stream_* / mm_features family (never driver-sampled in r1-r3) now
+# sits inside the first 50; ten er_* gates that already carry driver-green
+# rows from r3 (er_anchor_counts_joined ... er_disambig_links) rotate to the
+# tail. The full local sweep (scripts/check_entry.py) still runs all 60.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ER pipeline (SURVEY §2: P2, P6-P9, A1-A3, A5-A6, A12, O1, M1-M3, L2, A10/J7)
     "er_anchor_counts": q_er_anchor_counts,
@@ -1952,23 +1976,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_anchor_stats": q_er_anchor_stats,
     "er_rank_candidates": q_er_rank_candidates,
     "er_mentions": q_er_mentions,
-    "er_anchor_counts_joined": q_er_anchor_counts_joined,
-    "er_mentions_chunked": q_er_mentions_chunked,
     "er_mention_counts": q_er_mention_counts,
-    "er_nil_mentions": q_er_nil_mentions,
     "er_predict_cascade": q_er_predict_cascade,
     "er_eval_micro": q_er_eval_micro,
-    "er_eval_macro": q_er_eval_macro,
-    "er_per_name_scores": q_er_per_name_scores,
-    "er_top_shadowed": q_er_top_shadowed,
-    "er_clean_candidates": q_er_clean_candidates,
     "er_clean_strict": q_er_clean_strict,
     "er_log_gap_steps": q_er_log_gap_steps,
-    "er_disambig_links": q_er_disambig_links,
-    "tsv_predictions_roundtrip": q_tsv_predictions_roundtrip,
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "er_matcher_planted": q_er_matcher_planted,
-    "er_upperbound": q_er_upperbound,
     "er_fold_counts": q_er_fold_counts,
     "ent_features": q_ent_features,
     # clustering (M4, CC)
@@ -2015,6 +2029,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessionize": q_stream_sessionize,
     # multimodal plumbing
     "mm_features": q_mm_features,
+    # --- tail (positions 51-60): driver-green in r3, rotated past the cap ---
+    "er_anchor_counts_joined": q_er_anchor_counts_joined,
+    "er_mentions_chunked": q_er_mentions_chunked,
+    "er_nil_mentions": q_er_nil_mentions,
+    "er_eval_macro": q_er_eval_macro,
+    "er_per_name_scores": q_er_per_name_scores,
+    "er_top_shadowed": q_er_top_shadowed,
+    "er_clean_candidates": q_er_clean_candidates,
+    "tsv_predictions_roundtrip": q_tsv_predictions_roundtrip,
+    "er_upperbound": q_er_upperbound,
+    "er_disambig_links": q_er_disambig_links,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2041,6 +2066,9 @@ _ORACLES: dict[str, str] = {
     "er_matcher_planted": SQL_ER_MATCHER_PLANTED,
     "er_pipeline_clusters": SQL_ER_PIPELINE,
     "er_upperbound": SQL_ER_UPPERBOUND,
+    # fold partition invariant: sum of the 5 per-fold count tables == the
+    # full-corpus counts (see q_er_fold_counts)
+    "er_fold_counts": SQL_ER_ANCHOR_COUNTS,
     "ent_features": SQL_ENT_FEATURES,
     "m4_similarity_edges": SQL_M4_EDGES,
     "cc_components": SQL_CC,

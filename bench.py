@@ -145,11 +145,13 @@ def main():
         # drop every cache between reps: CacheManager matches canonicalized
         # plans, so a leftover cache would short-circuit the next rep's
         # recompute and fake the timing
+        # unconditional (ADVICE r3): the last rep's ER caches must not stay
+        # resident while the dedup/embed/ann segments below are timed —
+        # residual cache memory pressure would skew a cold-path measurement
         scored.unpersist()
-        if i < reps - 1:
-            records.unpersist()
-            counts.unpersist()
-            pars.unpersist()
+        records.unpersist()
+        counts.unpersist()
+        pars.unpersist()
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -56,11 +56,13 @@ def detect_mentions(
     mentions.py:59), so surfaces come out lowercased like the dictionary.
 
     The dictionary is sized relationally FIRST (one count+sum(length) agg);
-    past the budget — ``max_broadcast_names`` entries if given, else the
-    ``max_broadcast_bytes`` estimate (default 128 MiB) — the bounded-memory
-    chunked path auto-routes (contract-identical, see
-    ``detect_mentions_chunked``). The driver never materializes more than one
-    chunk of names at a time on either path.
+    past the budget — BOTH limits apply when both are set: the chunk count is
+    the max of the ``max_broadcast_names`` entry requirement and the
+    ``max_broadcast_bytes`` estimate requirement (default 128 MiB), so a
+    dictionary of few-but-huge names can't slip an oversized broadcast through
+    the entry gate. The bounded-memory chunked path auto-routes
+    (contract-identical, see ``detect_mentions_chunked``). The driver never
+    materializes more than one chunk of names at a time on either path.
     """
     spark = paragraphs.sparkSession
     dn = anchor_names.select("anchor").distinct().persist()
@@ -73,8 +75,8 @@ def detect_mentions(
         n_chunks = 1
         if max_broadcast_names is not None and n > max_broadcast_names:
             n_chunks = -(-n // max_broadcast_names)
-        elif max_broadcast_names is None and max_broadcast_bytes is not None:
-            n_chunks = max(1, -(-est_bytes // max_broadcast_bytes))
+        if max_broadcast_bytes is not None:
+            n_chunks = max(n_chunks, -(-est_bytes // max_broadcast_bytes))
         if n_chunks > 1:
             return detect_mentions_chunked(paragraphs, dn, n_chunks)
         names = [r["anchor"] for r in dn.collect()]

@@ -58,9 +58,14 @@ class PipelineConfig:
     # production DAG degrades to the joined/chunked/shuffle twins instead of
     # forcing unbounded broadcasts. detect_mentions additionally auto-chunks
     # on its byte estimate even when max_broadcast_names is None.
+    # NB the None semantics DIFFER by stage (ADVICE r3): for detect_mentions
+    # None means "byte-estimate auto-chunking"; for surface_blocked_pairs the
+    # separate blocking_broadcast_names budget applies, where None means
+    # "always add the broadcast hint".
     max_broadcast_titles: int | None = 5_000_000
     max_broadcast_names: int | None = None
     max_broadcast_name_pairs: int | None = 5_000_000
+    blocking_broadcast_names: int | None = 5_000_000
     # None = exact sparse BoW cosine; an int (e.g. 64) switches pair scoring
     # to the dense hashed approximation (constant payload, O(dim) dot) for
     # shuffle-bound corpora — see pair_features(dense_bow_dim=...)
@@ -189,9 +194,7 @@ def run_pipeline(
             num_hashes=cfg.num_hashes,
             bands=cfg.bands,
             max_pairs_per_block=cfg.max_pairs_per_block,
-            max_broadcast_names=cfg.max_broadcast_names
-            if cfg.max_broadcast_names is not None
-            else 5_000_000,
+            max_broadcast_names=cfg.blocking_broadcast_names,
         )
 
     pairs = ckpt.stage("pairs", _pairs)

@@ -66,7 +66,7 @@ def test_pipeline_tiny_budgets_identical_clusters(spark, pipeline_result, tmp_pa
     tiny = PipelineConfig(
         min_count=2, bands=6, num_hashes=12,
         max_broadcast_titles=1, max_broadcast_names=1,
-        max_broadcast_name_pairs=1,
+        max_broadcast_name_pairs=1, blocking_broadcast_names=1,
     )
     out2 = run_pipeline(spark, pages, index, workdir=str(tmp_path / "ck2"), config=tiny)
     want = sorted(map(tuple, out["er_clusters"].collect()))
