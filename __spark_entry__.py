@@ -788,12 +788,13 @@ def q_er_pipeline_clusters(spark, sf_dir):
     F1 >= 0.99 — the north-rule number — between the produced clusters and
     the surface-identity gold clustering of this fixed doc<150 world, and
     n_records is recomputed exactly by the oracle (dictionary = ambiguous
-    anchors; records = their text occurrences). max_pairs_per_block is sized
-    ABOVE the largest same-name block (~C(280,2) here) so the cap's
-    intentional recall trade inside mega-blocks (covered by blocking tests)
-    does not fragment this world; measured precision 1.0, recall 1.0 without
-    fragmentation. F1 is computed with O(n) aggregations (never enumerating
-    pairs)."""
+    anchors; records = their text occurrences). max_pairs_per_block is 2000 —
+    far BELOW the largest same-name block (~C(280,2) ≈ 39k pairs here), so
+    per-name salting FIRES on this world and the gate now also pins the r4
+    connectivity repair (salt-bucket representative chaining in
+    surface_blocked_pairs): without it, measured recall collapses to ~0.20
+    (r3 ran cap 120k to dodge exactly that). F1 is computed with O(n)
+    aggregations (never enumerating pairs)."""
     from minimel_spark.pipeline import PipelineConfig, run_pipeline
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
@@ -803,7 +804,7 @@ def q_er_pipeline_clusters(spark, sf_dir):
         spark,
         pages,
         index,
-        config=PipelineConfig(min_count=1, max_pairs_per_block=120_000),
+        config=PipelineConfig(min_count=1, max_pairs_per_block=2000),
     )
     pred = out["er_clusters"].withColumnRenamed("cluster_id", "p")
     gold = out["mentions"].select(
@@ -1920,24 +1921,83 @@ def q_stream_sessionize(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Multimodal plumbing (rows-only: synthetic media, fake decoder)
+# Multimodal decode gate — ORACLE-pinned (VERDICT r3 #5): the container
+# headers are SQL-parseable from the binary payload (ASCII P6 header; RIFF
+# chunk markers + little-endian data size), so the Python decoders' outputs
+# are cross-checked in-query against an INDEPENDENT JVM header parse and the
+# oracle pins the per-media-id booleans (+ the SQL-known media_id/kind grid).
 # --------------------------------------------------------------------------
 
 
 def q_mm_features(spark, sf_dir):
-    """Multimodal decode -> features over GENUINE payloads: synth_media emits
-    real P6 PPM images and RIFF/WAV clips, and fake=False runs the actual
-    numpy/stdlib decoders (compressed codecs remain gated behind PIL/
-    soundfile). Rows-only: the pixel/sample math is not SQL-expressible."""
+    """Multimodal decode over GENUINE payloads: synth_media emits real P6 PPM
+    images and RIFF/WAV clips; media_metadata runs the actual numpy/stdlib
+    decoders (fake=False path), and extract_features supplies n_bytes. Each
+    decoder fact is verified against a JVM-side parse of the raw bytes:
+
+    - image: regexp on the ASCII 'P6 <w> <h> <maxval>' prefix must equal the
+      decoded (width, height), pixels == w*h, and the payload length must be
+      exactly header + 3*w*h;
+    - audio: 'RIFF'/'WAVE' markers present, decoded samples == the RIFF data
+      chunk size (little-endian uint32 at offset 40) / 2 bytes per sample,
+      and payload length == 44-byte canonical header + data size.
+
+    The oracle recomputes the full (media_id, kind) grid and pins every
+    boolean true — a decoder regression now breaks the value hash."""
+    from minimel_spark.operators.multimodal import media_metadata
+
     media = synth_media(spark, n=64)
-    feats = extract_features(media, fake=False)
-    return feats.select(
-        "media_id",
-        F.col("n_bytes").cast("long").alias("n_bytes"),
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x), 4).alias(
-            "feature_sq_norm"
-        ),
+    meta = media_metadata(media)
+    feats = extract_features(media, fake=False).select(
+        "media_id", F.col("n_bytes").alias("_feat_nb")
     )
+    ppm = F.substring(F.col("payload"), 1, 32).cast("string")
+    hx = F.hex(F.substring("payload", 41, 4))
+    le_data = F.conv(
+        F.concat(
+            F.substring(hx, 7, 2), F.substring(hx, 5, 2),
+            F.substring(hx, 3, 2), F.substring(hx, 1, 2),
+        ),
+        16, 10,
+    ).cast("long")
+    hdr = media.select(
+        "media_id",
+        F.length("payload").alias("_len"),
+        F.regexp_extract(ppm, r"^P6\s+(\d+)\s+(\d+)\s+(\d+)", 1).alias("_w"),
+        F.regexp_extract(ppm, r"^P6\s+(\d+)\s+(\d+)\s+(\d+)", 2).alias("_h"),
+        (F.substring("payload", 1, 4) == F.lit(b"RIFF")).alias("_riff"),
+        (F.substring("payload", 9, 4) == F.lit(b"WAVE")).alias("_wave"),
+        le_data.alias("_data_sz"),
+    )
+    j = meta.join(hdr, "media_id").join(feats, "media_id")
+    img_hdr_len = F.length(
+        F.concat(F.lit("P6\n"), F.col("_w"), F.lit(" "), F.col("_h"), F.lit("\n255\n"))
+    )
+    header_ok = F.when(
+        F.col("kind") == "image",
+        (F.col("_w").cast("int") == F.col("width"))
+        & (F.col("_h").cast("int") == F.col("height"))
+        & (F.col("n_units") == F.col("width").cast("long") * F.col("height")),
+    ).otherwise(
+        F.col("_riff") & F.col("_wave") & (F.col("n_units") == F.col("_data_sz") / 2)
+    )
+    bytes_ok = F.when(
+        F.col("kind") == "image",
+        F.col("_len")
+        == img_hdr_len + 3 * F.col("_w").cast("long") * F.col("_h").cast("long"),
+    ).otherwise(F.col("_len") == 44 + F.col("_data_sz")) & (
+        F.col("_len") == F.col("_feat_nb")
+    ) & (F.col("_len") == F.col("n_bytes"))
+    return j.select(
+        "media_id", "kind", header_ok.alias("header_ok"), bytes_ok.alias("bytes_ok")
+    )
+
+
+SQL_MM_FEATURES = """
+SELECT 'm' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id,
+       CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       true AS header_ok, true AS bytes_ok
+FROM range(64) r(i)"""
 
 
 # --------------------------------------------------------------------------
@@ -2100,6 +2160,7 @@ _ORACLES: dict[str, str] = {
     "rel_hourly_events": SQL_REL_HOURLY,
     "stream_hourly_events": SQL_REL_HOURLY,
     "stream_sessionize": SQL_REL_SESSIONIZE,
+    "mm_features": SQL_MM_FEATURES,
 }
 
 
