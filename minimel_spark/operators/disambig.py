@@ -8,14 +8,18 @@ disambig dimension; this operator builds it from raw pages, so a user with
 wikitext disambiguation dumps gets the reference behavior end to end.
 
 Plan shape: one scan -> mapInPandas (the parser is the same from-scratch
-wikitext module extraction uses; the title index is the same broadcast dict,
-with the documented joined-path alternative in operators/extract.py when it
-outgrows broadcast budget). Output feeds ``clean(..., disambig=...)``.
+wikitext module extraction uses; the title index is the same broadcast dict).
+Past ``max_broadcast_titles`` the JOINED twin runs instead (VERDICT r3 #3,
+mirroring ``extract_paragraphs_joined``): the per-page candidate list-link
+titles are resolved by a DISTRIBUTED equi-join and the parse consumes a
+per-page mini-dict — the driver never collects the index. Output feeds
+``clean(..., disambig=...)``.
 """
 
 from __future__ import annotations
 
 import pandas as pd
+import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
@@ -31,10 +35,15 @@ def disambig_from_pages(
     pages: DataFrame,
     title_index: DataFrame,
     disambig_template: str | None = None,
+    max_broadcast_titles: int | None = None,
 ) -> DataFrame:
     """pages(url, .., text) -> (title, qid): one row per resolvable list link
     per disambiguation page; ``title`` is the disambiguation PAGE's name (the
-    reference keys its output by page), ``qid`` the linked entity."""
+    reference keys its output by page), ``qid`` the linked entity. When
+    ``max_broadcast_titles`` is set and the index is larger, routes to the
+    contract-identical ``disambig_from_pages_joined``."""
+    if max_broadcast_titles is not None and title_index.count() > max_broadcast_titles:
+        return disambig_from_pages_joined(pages, title_index, disambig_template)
     spark = pages.sparkSession
     index = {r["title"]: int(r["qid"]) for r in title_index.collect()}
     bc = spark.sparkContext.broadcast(index)
@@ -53,3 +62,60 @@ def disambig_from_pages(
             yield pd.DataFrame({"title": t_o, "qid": q_o})
 
     return pages.select("url", "text").mapInPandas(gen, DISAMBIG_SCHEMA)
+
+
+def disambig_from_pages_joined(
+    pages: DataFrame,
+    title_index: DataFrame,
+    disambig_template: str | None = None,
+) -> DataFrame:
+    """Contract-identical to the broadcast path for title indexes beyond
+    broadcast budget: a cheap pre-scan emits each page's candidate list-link
+    titles (canonicalized with the parser's own helper, so the mini-dict
+    contains every key the parse can look up), a distributed equi-join
+    resolves them, and the parse consumes a per-page map column. No
+    driver-side collect of the index at any scale."""
+    cand_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("title", T.StringType()),
+    ])
+
+    def scan(batches):
+        for pdf in batches:
+            u_o, t_o = [], []
+            for url, mwcode in zip(pdf["url"], pdf["text"]):
+                seen = set()
+                for t in get_list_links(mwcode, disambig_template):
+                    c = canonical_title(t)
+                    if c is not None and c not in seen:
+                        seen.add(c)
+                        u_o.append(url)
+                        t_o.append(c)
+            yield pd.DataFrame({"url": u_o, "title": t_o})
+
+    cand = pages.select("url", "text").mapInPandas(scan, cand_schema)
+    resolved = (
+        cand.join(title_index.select("title", "qid"), "title")
+        .groupBy("url")
+        .agg(
+            F.map_from_entries(
+                F.array_distinct(F.collect_list(F.struct("title", "qid")))
+            ).alias("_idx")
+        )
+    )
+    pages2 = pages.select("url", "text").join(resolved, "url", "left")
+
+    def gen(batches):
+        for pdf in batches:
+            t_o, q_o = [], []
+            for url, mwcode, idx in zip(pdf["url"], pdf["text"], pdf["_idx"]):
+                page = url.rsplit("/", 1)[-1].split("?")[0]
+                d = {k: int(v) for k, v in idx.items()} if idx is not None else {}
+                for t in get_list_links(mwcode, disambig_template):
+                    c = canonical_title(t)
+                    if c is not None and c in d:
+                        t_o.append(page)
+                        q_o.append(d[c])
+            yield pd.DataFrame({"title": t_o, "qid": q_o})
+
+    return pages2.mapInPandas(gen, DISAMBIG_SCHEMA)

@@ -343,6 +343,16 @@ def test_spotlight_predict_against_fake_endpoint(spark):
         }
         # Acme resolves through the index; Globex's URI is not in the index
         assert got == {("d1", "Acme", 42)}
+        # over-budget twin (VERDICT r3 #3): past max_broadcast_titles the
+        # index join degrades to a shuffle join with identical predictions —
+        # and there is no driver-side index collect on either path
+        got2 = {
+            (r["doc_id"], r["name"], r["pred_qid"])
+            for r in spotlight_predict(
+                docs, endpoint, index, max_broadcast_titles=0
+            ).collect()
+        }
+        assert got2 == got
     finally:
         srv.shutdown()
 
@@ -350,3 +360,35 @@ def test_spotlight_predict_against_fake_endpoint(spark):
     xml = annotation_xml("Acme met Globex", ["Acme", "(bad[regex"])
     assert '<surfaceForm name="Acme"    offset="0" />' in xml
     assert "bad" not in xml
+
+
+def test_pipeline_mega_block_cap_does_not_fragment_clusters(spark):
+    """VERDICT r3 #1 'done' criterion: a world with a same-name block FAR
+    above the pair cap (the 'megaword' anchor appears in all 120 docs ->
+    C(120,2) = 7140 >> cap 500) must still cluster at pairwise F1 >= 0.99
+    vs surface-identity gold — the salt-bucket representative chain repairs
+    the connectivity that the cap's salting splits (r3 measured recall ~0.20
+    here without it)."""
+    import random
+
+    from minimel_spark.operators.evaluate import pairwise_f1
+    from minimel_spark.sources.synth import doc_title_index, pages_from_documents
+
+    rng = random.Random(7)
+    words = sorted({f"w{rng.randrange(10**8):08d}" for _ in range(60)})
+    docs = []
+    for d in range(120):
+        ws = rng.sample(words, 6) + ["megaword"]
+        rng.shuffle(ws)
+        docs.append((d, " ".join(ws), "en"))
+    docs_df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    out = run_pipeline(
+        spark,
+        pages_from_documents(docs_df),
+        doc_title_index(docs_df),
+        config=PipelineConfig(min_count=1, max_pairs_per_block=500),
+    )
+    pred = out["er_clusters"]
+    gold = out["records"].select("rec_id", F.xxhash64("name").alias("cluster_id"))
+    m = pairwise_f1(pred, gold)
+    assert m["f1"] >= 0.99, m

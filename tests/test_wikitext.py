@@ -154,6 +154,48 @@ def test_disambig_from_pages_operator(spark):
     assert none.count() == 0
 
 
+def test_disambig_joined_path_matches_broadcast(spark, monkeypatch):
+    """VERDICT r3 #3: past max_broadcast_titles the joined twin must produce
+    the identical row MULTISET (duplicated list links stay duplicated) with
+    NO driver-side collect of the title index."""
+    from minimel_spark.operators.disambig import disambig_from_pages
+
+    pages = spark.createDataFrame(
+        [
+            ("https://x/wiki/Acme", "* [[Acme_(0)]]\n* [[Acme_(1)]]\n* [[Acme_(0)]]\n* [[Missing]]"),
+            ("https://x/wiki/Plain", "no lists here [[Acme_(0)]]"),
+        ],
+        "url string, text string",
+    )
+    index = spark.createDataFrame(
+        [("Acme_(0)", 100), ("Acme_(1)", 101)], "title string, qid long"
+    )
+    want = sorted(
+        (r["title"], r["qid"]) for r in disambig_from_pages(pages, index).collect()
+    )
+    assert want == [("Acme", 100), ("Acme", 100), ("Acme", 101)]
+
+    # spy on collect (on the CONCRETE classic subclass — patching the
+    # pyspark.sql.DataFrame base never intercepts): the joined path must
+    # never pull the index; the only collect is the test's own result read
+    real_collect = type(pages).collect
+    sizes = []
+
+    def spy(self):
+        rows = real_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(type(pages), "collect", spy)
+    got = sorted(
+        (r["title"], r["qid"])
+        for r in disambig_from_pages(pages, index, max_broadcast_titles=1).collect()
+    )
+    assert got == want
+    # only the final result collect (3 rows, by the test itself) happened
+    assert sizes == [3], sizes
+
+
 def test_detect_mentions_ner_gated(spark):
     import pytest
 
