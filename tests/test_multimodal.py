@@ -178,3 +178,27 @@ def test_repartition_by_bytes_packs_by_bytes_not_hash(spark):
     again = byte_pack_buckets(media.repartition(7), target)
     want = sorted(map(tuple, byte_pack_buckets(media, target).collect()))
     assert sorted(map(tuple, again.collect())) == want
+
+
+def test_byte_pack_buckets_no_single_partition_window(spark):
+    """VERDICT r3 #4: the cumsum must be a distributed prefix sum — the
+    physical plan may not funnel the projection through a single-partition
+    exchange (the old global Window.orderBy did, and Spark warned)."""
+    import pyspark.sql.functions as F
+
+    from minimel_spark.operators.multimodal import byte_pack_buckets
+
+    rows = [(f"x{i:04d}", bytes([i % 251]) * (100 + i)) for i in range(200)]
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = byte_pack_buckets(media, 4096)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    # the invariant the operator exists for still holds
+    per_bucket = (
+        out.join(media.select("media_id", F.length("payload").alias("nb")), "media_id")
+        .groupBy("_byte_bucket")
+        .agg(F.sum("nb").alias("bytes"), F.max("nb").alias("max_nb"))
+        .collect()
+    )
+    for r in per_bucket:
+        assert r["bytes"] - r["max_nb"] < 4096, dict(r.asDict())
