@@ -75,20 +75,27 @@ def build_records(spark, sf_dir):
     return records, counts, pars, n_pars, n_rec, t
 
 
-def score_segment(spark, records, counts):
+def score_segment(spark, records, counts, dense_bow=None):
     """The north-metric segment: records -> blocks -> pairs -> features ->
-    train -> scored pairs. Returns (n_pairs, seconds)."""
+    train -> scored pairs. Returns (n_pairs, seconds). ``dense_bow`` (None /
+    int / "auto", env SPARK_GRAFT_DENSE_BOW) opts the feature stage into the
+    dense hashed cosine — the headline run keeps the exact sparse default so
+    rounds stay like-for-like."""
     t0 = time.time()
     # Block keys are functions of the surface form, so blocking runs at NAME
     # level (dictionary-sized) with bounded expansion to record pairs — see
     # surface_blocked_pairs. Produces the same pair set as the generic
     # cap_blocks + candidate_pairs path, without the multi-band duplicated
     # self-join shuffle over all records.
+    stage_caches: list = []
     pairs = surface_blocked_pairs(
         records, key_col="name", num_hashes=12, bands=6,
-        max_pairs_per_block=MAX_PAIRS_PER_BLOCK,
+        max_pairs_per_block=MAX_PAIRS_PER_BLOCK, persisted_out=stage_caches,
     )
-    feats = pair_features(pairs, records, name_col="name").persist()
+    feats = pair_features(
+        pairs, records, name_col="name", persisted_out=stage_caches,
+        dense_bow_dim=dense_bow,
+    ).persist()
     cands = counts.withColumn("weight", (F.col("cnt") + 1).cast("long")).select(
         "anchor", "qid", "weight"
     )
@@ -102,10 +109,13 @@ def score_segment(spark, records, counts):
     scored = score_pairs(model, feats).persist()
     n_pairs = scored.count()
     sec = time.time() - t0
-    # drop the intermediate cache: a repeated segment run must recompute the
+    # drop the intermediate caches: a repeated segment run must recompute the
     # whole plan (Spark's CacheManager matches canonicalized plans, so a
-    # leftover feats cache would short-circuit a rerun and fake the timing)
+    # leftover feats/name-table cache would short-circuit a rerun and fake
+    # the timing)
     feats.unpersist()
+    for df in stage_caches:
+        df.unpersist()
     return scored, n_pairs, sec
 
 
@@ -120,6 +130,10 @@ def main():
     # noise-robust estimator. Headline `queries`/`value` carry the min;
     # `queries_median` is reported alongside for honesty about spread.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+    dense_raw = os.environ.get("SPARK_GRAFT_DENSE_BOW", "")
+    dense_bow = (
+        None if not dense_raw else ("auto" if dense_raw == "auto" else int(dense_raw))
+    )
 
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -134,7 +148,7 @@ def main():
         records, counts, pars, n_pars, n_rec, t_build = build_records(spark, sf_dir)
         for k, v in t_build.items():
             rec(k, v)
-        scored, n_pairs, sec = score_segment(spark, records, counts)
+        scored, n_pairs, sec = score_segment(spark, records, counts, dense_bow)
         rec("pairs_scored", sec)
 
         t0 = time.time()
@@ -192,6 +206,7 @@ def main():
         "reps": reps,
         "sf": sf,
         "cpus": cpus,
+        "dense_bow": dense_raw or None,
         "total_sec": round(total, 2),
         "n_paragraphs": n_pars,
         "n_records": n_rec,
@@ -235,7 +250,7 @@ def main():
             # per-level minimum wall time is the noise-robust estimator
             best, n_p = None, 0
             for _ in range(reps):
-                scored, n_p, sec = score_segment(s, recs, cnts)
+                scored, n_p, sec = score_segment(s, recs, cnts, dense_bow)
                 scored.unpersist()
                 best = sec if best is None else min(best, sec)
             scaling[f"local{ncpu}"] = {

@@ -117,6 +117,7 @@ def surface_blocked_pairs(
     bands: int = 6,
     max_pairs_per_block: int = 10_000,
     max_broadcast_names: int | None = 5_000_000,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Candidate record pairs when every block key is a function of the
     surface form (true for anchor-dictionary + LSH-on-name blocking).
@@ -156,10 +157,16 @@ def surface_blocked_pairs(
     shuffle joins instead of forcing a multi-GB broadcast (pass ``None`` to
     always hint). The name table is persisted either way — it feeds four
     separate subplans (bands, salting, sizes, ranking), so caching it avoids
-    re-running the records groupBy per consumer.
+    re-running the records groupBy per consumer. The cache must outlive the
+    returned lazy plan, so it cannot be unpersisted here; pass
+    ``persisted_out`` (a list) to receive it and unpersist once the
+    downstream job has materialized (ADVICE r3: otherwise caches accumulate
+    for the session across repeated pipeline invocations).
     """
     names = records.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n_rec"))
     names = names.withColumn("_n_sh", F.size(shingles_udf(F.col(key_col)))).persist()
+    if persisted_out is not None:
+        persisted_out.append(names)
     use_bcast = (
         max_broadcast_names is None or names.count() <= max_broadcast_names
     )

@@ -37,6 +37,16 @@ from ..functions.udfs import shingles_udf
 
 BOW_DIM = 1 << 18
 
+# dense_bow_dim="auto" knobs: the dense hashed cosine pays off once the
+# sparse per-record map payload (~16-20 B per distinct token, shuffled onto
+# BOTH sides of every pair) outweighs the constant 8*dim-byte dense array.
+# Measured on sf0.1 (r3): dim 64 = 1.7x feature-stage speedup on ~100-token
+# contexts, dim 256 = a LOSS (2 KB arrays beat by sparse maps) — so auto
+# selects dim 64 with a crossover at ~32 avg tokens/record (~= 512 B sparse
+# vs 512 B dense payload, before map overhead tips it).
+AUTO_DENSE_DIM = 64
+AUTO_DENSE_MIN_TOKENS = 32.0
+
 
 @F.pandas_udf(T.DoubleType())
 def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -155,7 +165,8 @@ def pair_features(
     name_col: str = "name",
     text_col: str | None = "text",
     max_broadcast_name_pairs: int | None = 5_000_000,
-    dense_bow_dim: int | None = None,
+    dense_bow_dim: int | str | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Attach per-side names/contexts and compute the feature columns.
 
@@ -175,7 +186,31 @@ def pair_features(
     the pair shuffle and an O(dim) ``zip_with`` dot — the knob to reach for
     when the feature join's shuffle volume, not compute, bounds throughput
     (long contexts, 10^9+ pairs). Default None keeps the exact semantics.
+    ``"auto"`` decides from the data: one cheap JVM agg estimates avg
+    tokens/record and picks dim ``AUTO_DENSE_DIM`` when it exceeds
+    ``AUTO_DENSE_MIN_TOKENS`` (the measured payload crossover — see the
+    constants above), else stays exact.
     """
+    if dense_bow_dim == "auto":
+        if text_col:
+            avg_toks = (
+                records.agg(
+                    F.avg(
+                        F.size(
+                            F.split(
+                                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                                r"\W+",
+                            )
+                        )
+                    )
+                ).first()[0]
+                or 0.0
+            )
+            dense_bow_dim = (
+                AUTO_DENSE_DIM if avg_toks >= AUTO_DENSE_MIN_TOKENS else None
+            )
+        else:
+            dense_bow_dim = None
     if "name_a" in pairs.columns and "name_b" in pairs.columns:
         # pair generator already carried both surface forms (the
         # surface_blocked_pairs path) — no joins back to the record table
@@ -194,8 +229,13 @@ def pair_features(
                 "rec_id_b",
             )
         )
-    # name-level features once per distinct surface-form pair, joined back
+    # name-level features once per distinct surface-form pair, joined back.
+    # The cache feeds the returned lazy plan, so it is handed to the caller
+    # via ``persisted_out`` for unpersist-after-materialize (ADVICE r3)
+    # rather than dropped here.
     distinct_names = df.select("name_a", "name_b").distinct().persist()
+    if persisted_out is not None:
+        persisted_out.append(distinct_names)
     name_feats = name_pair_features(distinct_names)
     if max_broadcast_name_pairs is None or (
         distinct_names.count() <= max_broadcast_name_pairs

@@ -68,8 +68,9 @@ class PipelineConfig:
     blocking_broadcast_names: int | None = 5_000_000
     # None = exact sparse BoW cosine; an int (e.g. 64) switches pair scoring
     # to the dense hashed approximation (constant payload, O(dim) dot) for
-    # shuffle-bound corpora — see pair_features(dense_bow_dim=...)
-    dense_bow_dim: int | None = None
+    # shuffle-bound corpora; "auto" picks from the measured avg-tokens
+    # crossover — see pair_features(dense_bow_dim=...)
+    dense_bow_dim: int | str | None = None
 
 
 def weak_pair_labels(feats: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -123,6 +124,11 @@ def run_pipeline(
     )
     if workdir:
         ckpt.write_manifest(vars(cfg))
+    # stage-internal caches (blocking name table, distinct name-pair table):
+    # unpersisted below once checkpoints materialize; on checkpoint-less
+    # (fully lazy) runs they are returned as "_persisted" for the caller to
+    # drop after its terminal action (ADVICE r3)
+    persisted: list = []
 
     paragraphs = ckpt.stage(
         "paragraphs",
@@ -195,6 +201,7 @@ def run_pipeline(
             bands=cfg.bands,
             max_pairs_per_block=cfg.max_pairs_per_block,
             max_broadcast_names=cfg.blocking_broadcast_names,
+            persisted_out=persisted,
         )
 
     pairs = ckpt.stage("pairs", _pairs)
@@ -206,6 +213,7 @@ def run_pipeline(
             name_col="name",
             max_broadcast_name_pairs=cfg.max_broadcast_name_pairs,
             dense_bow_dim=cfg.dense_bow_dim,
+            persisted_out=persisted,
         ),
     )
 
@@ -237,7 +245,15 @@ def run_pipeline(
 
     er_clusters = ckpt.stage("er_clusters", _er)
 
+    if workdir:
+        # every stage is parquet-committed by now, so the stage-internal
+        # caches have served their multi-consumer subplans — drop them
+        for df in persisted:
+            df.unpersist()
+        persisted = []
+
     return {
+        "_persisted": persisted,
         "paragraphs": paragraphs,
         "anchor_counts": counts,
         "candidates": candidates,

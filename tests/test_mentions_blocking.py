@@ -467,3 +467,34 @@ def test_salted_mega_block_stays_connected_under_cap(spark):
     )
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, pairs.collect()))
     pairs.unpersist()
+
+
+def test_pair_features_dense_bow_auto_select(spark, records):
+    """dense_bow_dim='auto' picks from the measured avg-token crossover: the
+    short-context fixture (<32 tokens/record) must stay byte-identical to
+    the exact sparse path; long contexts must match the explicit dense-64
+    output."""
+    blocked = union_blocks(
+        dictionary_blocks(records), minhash_blocks(records, num_hashes=12, bands=12)
+    )
+    pairs = candidate_pairs(blocked)
+
+    def feats(recs, dim):
+        return sorted(
+            (r["rec_id_a"], r["rec_id_b"], r["cos_bow"])
+            for r in pair_features(
+                pairs, recs, name_col="anchor", dense_bow_dim=dim
+            ).collect()
+        )
+
+    # short contexts: auto == exact sparse
+    assert feats(records, "auto") == feats(records, None)
+
+    # long contexts (>32 tokens): auto == explicit dense 64
+    long_recs = records.withColumn(
+        "text",
+        F.concat_ws(
+            " ", F.array([F.concat(F.col("text"), F.lit(f"x{i}")) for i in range(40)])
+        ),
+    )
+    assert feats(long_recs, "auto") == feats(long_recs, 64)
