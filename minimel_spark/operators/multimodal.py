@@ -342,6 +342,7 @@ def byte_pack_buckets(
     target_bytes_per_partition: int,
     id_col: str = "media_id",
     order_partitions: int = 256,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """(id_col, _byte_bucket): cumulative-payload-bytes bucketing. Rows are
     ordered deterministically (unsigned xxhash64 of the id — byte-weighted
@@ -362,7 +363,9 @@ def byte_pack_buckets(
     ``order_partitions`` so n_rows/order_partitions of those fit one task.
     Cost note: the projection is evaluated by both the subtotal job and the
     final plan (one extra column-pruned scan) — cache ``media`` upstream if
-    the payload scan dominates."""
+    the payload scan dominates. ``stats_out`` (a dict) receives
+    ``total_bytes`` and ``n_buckets`` computed from the subtotal pass, so
+    callers need no extra job to size the downstream repartition."""
     k = max(1, (order_partitions - 1).bit_length())
     nranges = 1 << k
     proj = (
@@ -381,6 +384,13 @@ def byte_pack_buckets(
         if rg in sub:
             offsets.append((rg, run))
             run += int(sub[rg])
+    if stats_out is not None:
+        # max bucket id = floor((total_bytes - 1) / target), so the count is
+        # known here — no extra job for callers sizing a repartition
+        stats_out["total_bytes"] = run
+        stats_out["n_buckets"] = (
+            max(0, (run - 1) // target_bytes_per_partition) + 1 if run > 0 else 1
+        )
     spark = media.sparkSession
     off = F.broadcast(
         spark.createDataFrame(offsets or [(0, 0)], "_rg long, _off long")
@@ -410,10 +420,12 @@ def repartition_by_bytes(
     the shuffle key — a handful of 100 MB blobs can no longer co-locate by id
     hash and blow an Arrow batch. Placement of buckets onto partitions is
     hash-based, so a partition may carry a small number of whole buckets
-    (collisions), but never a fraction of an overweight one."""
-    buckets = byte_pack_buckets(media, target_bytes_per_partition)
-    max_bucket = buckets.agg(F.max("_byte_bucket")).first()[0]
-    nparts = int(max_bucket or 0) + 1
+    (collisions), but never a fraction of an overweight one. The partition
+    count comes from the bucketing pass's own byte total (r4) — no extra
+    mid-plan job."""
+    stats: dict = {}
+    buckets = byte_pack_buckets(media, target_bytes_per_partition, stats_out=stats)
+    nparts = int(stats["n_buckets"])
     return (
         media.join(buckets, "media_id")
         .repartition(nparts, F.col("_byte_bucket"))
