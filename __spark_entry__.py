@@ -829,7 +829,15 @@ def q_er_pipeline_clusters(spark, sf_dir):
     prec = F.col("tp") / F.col("pp")
     rec = F.col("tp") / F.col("gp")
     f1 = 2 * prec * rec / (prec + rec)
-    return stats.select("n_records", (f1 >= 0.99).alias("f1_ok"))
+    result = stats.select("n_records", (f1 >= 0.99).alias("f1_ok"))
+    # materialize once, then drop the pipeline's stage-internal caches (this
+    # is a checkpoint-less run, so they are returned via "_persisted") —
+    # otherwise each gate invocation leaks them for the sweep's lifetime,
+    # and the driver's own toPandas would re-evaluate the whole plan anyway
+    rows = result.collect()
+    for cached in out.get("_persisted", []):
+        cached.unpersist()
+    return spark.createDataFrame(rows, result.schema)
 
 
 SQL_ER_PIPELINE = """
@@ -883,11 +891,16 @@ def q_er_matcher_planted(spark, sf_dir):
         .groupBy("entity_id")
         .agg(F.max("_ok").alias("recovered"))
     )
-    return tot.join(recovered, "entity_id").select(
+    result = tot.join(recovered, "entity_id").select(
         F.col("entity_id").cast("long").alias("entity_id"),
         F.col("n_records").cast("long").alias("n_records"),
         "recovered",
     )
+    # single evaluation + cache cleanup, same pattern as er_pipeline_clusters
+    rows = result.collect()
+    for cached in out.get("_persisted", []):
+        cached.unpersist()
+    return spark.createDataFrame(rows, result.schema)
 
 
 SQL_ER_MATCHER_PLANTED = """

@@ -83,6 +83,11 @@ def sweep(
                 macro_f1=float(ma["macro_f1"]),
             )
         rows.append(row)
+        # every metric for this combo is materialized into `row` by now, so
+        # the combo's stage-internal caches (returned on checkpoint-less
+        # runs) can be dropped before the next combo builds its own
+        for cached in out.get("_persisted", []):
+            cached.unpersist()
     df = spark.createDataFrame(rows)
     if workdir:
         df.coalesce(1).write.mode("overwrite").parquet(

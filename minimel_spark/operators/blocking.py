@@ -184,7 +184,13 @@ def surface_blocked_pairs(
     multi = names.where(F.col("_n_rec") > 1).withColumn(
         "_nsalt", F.ceil(F.col("_n_rec") / target_n).cast("long")
     )
-    salted = records.join(
+    # narrow (name, rec_id) base: `salted` is evaluated by three consumers
+    # (each side of the self-join + the repair reps agg below); projecting
+    # before the join guarantees no consumer ever drags wide record columns
+    # (text!) through the probe. The recompute-per-consumer is deliberate —
+    # at web scale this frame is records-sized, so caching it would cost
+    # more than three narrow columnar scans.
+    salted = records.select(key_col, rec_id_col).join(
         _maybe_broadcast(multi.select(key_col, "_nsalt", "_n_sh"), use_bcast), key_col
     ).withColumn("_salt", F.pmod(F.xxhash64(F.col(rec_id_col)), F.col("_nsalt")))
     sa = salted.select(

@@ -39,13 +39,20 @@ def disambig_from_pages(
 ) -> DataFrame:
     """pages(url, .., text) -> (title, qid): one row per resolvable list link
     per disambiguation page; ``title`` is the disambiguation PAGE's name (the
-    reference keys its output by page), ``qid`` the linked entity. When
-    ``max_broadcast_titles`` is set and the index is larger, routes to the
-    contract-identical ``disambig_from_pages_joined``."""
+    reference keys its output by page), ``qid`` the linked entity. A
+    duplicated title in the index resolves deterministically to its MINIMUM
+    qid on both paths (a plain dict build would keep whichever row collected
+    last — partition-order dependent). When ``max_broadcast_titles`` is set
+    and the index is larger, routes to the contract-identical
+    ``disambig_from_pages_joined``."""
     if max_broadcast_titles is not None and title_index.count() > max_broadcast_titles:
         return disambig_from_pages_joined(pages, title_index, disambig_template)
     spark = pages.sparkSession
-    index = {r["title"]: int(r["qid"]) for r in title_index.collect()}
+    index: dict[str, int] = {}
+    for r in title_index.collect():
+        t, q = r["title"], int(r["qid"])
+        if t not in index or q < index[t]:
+            index[t] = q
     bc = spark.sparkContext.broadcast(index)
 
     def gen(batches):
@@ -96,11 +103,16 @@ def disambig_from_pages_joined(
     cand = pages.select("url", "text").mapInPandas(scan, cand_schema)
     resolved = (
         cand.join(title_index.select("title", "qid"), "title")
+        # min-qid per title FIRST: map_from_entries raises on duplicate keys
+        # (mapKeyDedupPolicy=EXCEPTION), and array_distinct only collapses
+        # identical (title, qid) structs — a duplicated index title would
+        # otherwise crash the over-budget path that the broadcast path
+        # silently survives
+        .groupBy("url", "title")
+        .agg(F.min("qid").alias("qid"))
         .groupBy("url")
         .agg(
-            F.map_from_entries(
-                F.array_distinct(F.collect_list(F.struct("title", "qid")))
-            ).alias("_idx")
+            F.map_from_entries(F.collect_list(F.struct("title", "qid"))).alias("_idx")
         )
     )
     pages2 = pages.select("url", "text").join(resolved, "url", "left")

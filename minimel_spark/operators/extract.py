@@ -74,7 +74,14 @@ def extract_paragraphs(
     if max_broadcast_titles is not None and title_index.count() > max_broadcast_titles:
         return extract_paragraphs_joined(pages, title_index, skip, carry_cols)
     spark = pages.sparkSession
-    index = {r["title"]: int(r["qid"]) for r in title_index.collect()}
+    # min-qid on a duplicated title: a plain dict build keeps whichever row
+    # collected last (partition-order dependent); the joined twin aggregates
+    # min(qid) per title, so both paths resolve collisions identically
+    index: dict[str, int] = {}
+    for r in title_index.collect():
+        t, q = r["title"], int(r["qid"])
+        if t not in index or q < index[t]:
+            index[t] = q
     bc = spark.sparkContext.broadcast(index)
     skip = tuple(skip)
     carry_cols = tuple(carry_cols)
@@ -141,11 +148,15 @@ def extract_paragraphs_joined(
     cand = pages.select("url", "text").mapInPandas(scan, cand_schema)
     resolved = (
         cand.join(title_index.select("title", "qid"), "title")
+        # min-qid per title FIRST: map_from_entries raises on duplicate keys
+        # (mapKeyDedupPolicy=EXCEPTION) and array_distinct only collapses
+        # identical structs — a duplicated index title must resolve, not
+        # crash, and must resolve the same way the broadcast dict does
+        .groupBy("url", "title")
+        .agg(F.min("qid").alias("qid"))
         .groupBy("url")
         .agg(
-            F.map_from_entries(
-                F.array_distinct(F.collect_list(F.struct("title", "qid")))
-            ).alias("_idx")
+            F.map_from_entries(F.collect_list(F.struct("title", "qid"))).alias("_idx")
         )
     )
     pages2 = pages.select("url", "text", *carry_cols).join(resolved, "url", "left")

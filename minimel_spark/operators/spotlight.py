@@ -31,13 +31,6 @@ from pyspark.sql import DataFrame
 
 _URI_RE = re.compile(r"http://.*dbpedia\.org/resource/")
 
-SPOTLIGHT_SCHEMA = T.StructType([
-    T.StructField("doc_id", T.StringType()),
-    T.StructField("name", T.StringType()),
-    T.StructField("pred_qid", T.LongType()),
-])
-
-
 def annotation_xml(text: str, names: list[str]) -> str:
     """The reference's surfaceForm XML (run_spotlight.py:52-62): one entry per
     gold name found in the text (first regex occurrence; unsearchable
@@ -124,15 +117,19 @@ def spotlight_predict(
 ) -> DataFrame:
     """(doc_id, names array<string>, text) -> (doc_id, name, pred_qid): the
     external baseline's predictions, one row per resolved surface form.
-    ``title_index`` maps DBpedia resource names (title, assumed unique) ->
-    qid; unresolvable resources are dropped, like the reference's failed DAWG
-    lookups. The join is broadcast-HINTED while the index holds at most
-    ``max_broadcast_titles`` rows (one cheap count); past the budget it
-    degrades to a shuffle join — pass ``None`` to always hint."""
+    ``title_index`` maps DBpedia resource names (title) -> qid; a duplicated
+    title resolves deterministically to its MINIMUM qid (never a fan-out of
+    prediction rows), and unresolvable resources are dropped, like the
+    reference's failed DAWG lookups. The join is broadcast-HINTED while the
+    index holds at most ``max_broadcast_titles`` rows (one cheap count);
+    past the budget it degrades to a shuffle join — pass ``None`` to always
+    hint."""
     raw = spotlight_annotations(
         docs, endpoint, doc_id_col, names_col, text_col, timeout
     )
-    dim = title_index.select(F.col("title").alias("resource"), "qid")
+    dim = title_index.groupBy(F.col("title").alias("resource")).agg(
+        F.min("qid").alias("qid")
+    )
     if max_broadcast_titles is None or title_index.count() <= max_broadcast_titles:
         dim = F.broadcast(dim)
     return raw.join(dim, "resource").select(

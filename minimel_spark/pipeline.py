@@ -116,8 +116,11 @@ def run_pipeline(
     config: PipelineConfig | None = None,
     disambig: DataFrame | None = None,
     badents: DataFrame | None = None,
-) -> dict[str, DataFrame]:
-    """Run (or resume) the full pipeline; returns the stage tables."""
+) -> dict:
+    """Run (or resume) the full pipeline; returns the stage tables (plus the
+    non-DataFrame ``"_persisted"`` entry: on checkpoint-less runs, the list
+    of live stage-internal caches the caller should unpersist after its
+    terminal action — empty on checkpointed runs, which drop them here)."""
     cfg = config or PipelineConfig()
     ckpt = Checkpointer(spark, workdir, enabled=bool(workdir)) if workdir else Checkpointer(
         spark, "/tmp/minimel_spark_noop", enabled=False

@@ -120,3 +120,28 @@ def test_counts_to_map(spark, fixture_world):
     row = m.where(F.size(F.map_keys("qid_counts")) > 1).first()
     assert row is not None, "expected at least one ambiguous anchor"
     assert all(k.startswith("Q") for k in row["qid_counts"])
+
+
+def test_duplicate_index_titles_resolve_min_qid_both_paths(spark):
+    """A duplicated index title must resolve (not crash the joined twin's
+    map_from_entries under mapKeyDedupPolicy=EXCEPTION) and resolve
+    IDENTICALLY on both paths: minimum qid wins deterministically."""
+    pages = spark.createDataFrame(
+        [("https://x/doc/P", None, None, "see [[Acme]] here", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    index = spark.createDataFrame(
+        [("Acme", 999), ("Acme", 100), ("Acme", 500)], "title string, qid long"
+    )
+
+    def links(df):
+        return sorted(
+            (k, v)
+            for r in df.select(F.explode("links").alias("k", "v")).collect()
+            for k, v in [(r["k"], r["v"])]
+        )
+
+    broadcast_path = links(extract_paragraphs(pages, index))
+    joined_path = links(extract_paragraphs(pages, index, max_broadcast_titles=1))
+    assert broadcast_path == [("Acme", 100)]
+    assert joined_path == broadcast_path

@@ -336,7 +336,10 @@ def test_spotlight_predict_against_fake_endpoint(spark):
             [("d1", ["Acme", "Globex"], "Acme met Globex"), ("d2", [], "nothing")],
             "doc_id string, names array<string>, text string",
         )
-        index = spark.createDataFrame([("Acme_Corp", 42)], "title string, qid long")
+        # the duplicated title pins min-qid resolution (no row fan-out)
+        index = spark.createDataFrame(
+            [("Acme_Corp", 42), ("Acme_Corp", 77)], "title string, qid long"
+        )
         got = {
             (r["doc_id"], r["name"], r["pred_qid"])
             for r in spotlight_predict(docs, endpoint, index).collect()

@@ -209,3 +209,26 @@ def test_detect_mentions_ner_gated(spark):
     pars = spark.createDataFrame([("u", 0, "x")], "url string, par_id int, text string")
     with pytest.raises(ImportError, match="spacy"):
         detect_mentions_ner(pars)
+
+
+def test_disambig_duplicate_index_titles_resolve_min_qid_both_paths(spark):
+    """A duplicated index title must resolve to its minimum qid on BOTH the
+    broadcast and the joined disambig paths (the joined twin previously fed
+    duplicate keys to map_from_entries, which raises)."""
+    from minimel_spark.operators.disambig import disambig_from_pages
+
+    pages = spark.createDataFrame(
+        [("https://x/wiki/Acme", "* [[Acme_(0)]]")], "url string, text string"
+    )
+    index = spark.createDataFrame(
+        [("Acme_(0)", 999), ("Acme_(0)", 100)], "title string, qid long"
+    )
+    want = [("Acme", 100)]
+    got_b = [
+        (r["title"], r["qid"]) for r in disambig_from_pages(pages, index).collect()
+    ]
+    got_j = [
+        (r["title"], r["qid"])
+        for r in disambig_from_pages(pages, index, max_broadcast_titles=1).collect()
+    ]
+    assert got_b == want and got_j == want
