@@ -800,11 +800,16 @@ def q_er_pipeline_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
     pages = pages_from_documents(docs)
     index = doc_title_index(docs)
+    gate_caches: list = []
     out = run_pipeline(
         spark,
         pages,
         index,
-        config=PipelineConfig(min_count=1, max_pairs_per_block=2000),
+        # dense_bow_dim pinned to the exact sparse path: the oracle-compared
+        # gate world must not depend on the "auto" crossover's dim-64
+        # approximation (the production default since r5)
+        config=PipelineConfig(min_count=1, max_pairs_per_block=2000, dense_bow_dim=None),
+        persisted_out=gate_caches,
     )
     pred = out["er_clusters"].withColumnRenamed("cluster_id", "p")
     gold = out["mentions"].select(
@@ -831,11 +836,11 @@ def q_er_pipeline_clusters(spark, sf_dir):
     f1 = 2 * prec * rec / (prec + rec)
     result = stats.select("n_records", (f1 >= 0.99).alias("f1_ok"))
     # materialize once, then drop the pipeline's stage-internal caches (this
-    # is a checkpoint-less run, so they are returned via "_persisted") —
-    # otherwise each gate invocation leaks them for the sweep's lifetime,
-    # and the driver's own toPandas would re-evaluate the whole plan anyway
+    # is a checkpoint-less run, so they arrive via persisted_out) — otherwise
+    # each gate invocation leaks them for the sweep's lifetime, and the
+    # driver's own toPandas would re-evaluate the whole plan anyway
     rows = result.collect()
-    for cached in out.get("_persisted", []):
+    for cached in gate_caches:
         cached.unpersist()
     return spark.createDataFrame(rows, result.schema)
 
@@ -868,11 +873,14 @@ def q_er_matcher_planted(spark, sf_dir):
     from minimel_spark.sources.synth import variant_world
 
     pages, index, vdim = variant_world(spark, n_entities=40, copies=2)
+    gate_caches: list = []
     out = run_pipeline(
         spark,
         pages,
         index,
-        config=PipelineConfig(min_count=1, bands=12, num_hashes=12),
+        # exact sparse cos_bow pinned (see q_er_pipeline_clusters)
+        config=PipelineConfig(min_count=1, bands=12, num_hashes=12, dense_bow_dim=None),
+        persisted_out=gate_caches,
     )
     j = (
         out["records"].select("rec_id", "name")
@@ -898,7 +906,7 @@ def q_er_matcher_planted(spark, sf_dir):
     )
     # single evaluation + cache cleanup, same pattern as er_pipeline_clusters
     rows = result.collect()
-    for cached in out.get("_persisted", []):
+    for cached in gate_caches:
         cached.unpersist()
     return spark.createDataFrame(rows, result.schema)
 
@@ -942,7 +950,13 @@ def q_er_fold_counts(spark, sf_dir):
     EXACTLY. Completeness (a dropped paragraph -> some cnt too low) and
     disjointness (a double-assigned paragraph -> some cnt too high) both
     break the value hash against the er_anchor_counts oracle."""
-    pars = _paragraphs(spark, sf_dir)
+    # the five per-fold slices must go through fold_filter's actual WHERE
+    # clauses (collapsing them into one computed fold column would make the
+    # disjointness check tautological), so instead the shared extraction
+    # input is persisted for the gate's duration — the wikitext extraction
+    # runs once, not five times (ADVICE r4) — and the small result is
+    # collected so the cache can be dropped before returning.
+    pars = _paragraphs(spark, sf_dir).persist()
     per_fold = None
     for f_i in range(5):
         c = anchor_counts(
@@ -950,7 +964,7 @@ def q_er_fold_counts(spark, sf_dir):
             min_count=1,
         )
         per_fold = c if per_fold is None else per_fold.unionByName(c)
-    return (
+    result = (
         per_fold.groupBy("anchor", "qid")
         .agg(F.sum("cnt").alias("cnt"))
         .select(
@@ -959,6 +973,9 @@ def q_er_fold_counts(spark, sf_dir):
             F.col("cnt").cast("long").alias("cnt"),
         )
     )
+    rows = result.collect()
+    pars.unpersist()
+    return spark.createDataFrame(rows, result.schema)
 
 
 # --------------------------------------------------------------------------
@@ -1151,14 +1168,53 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH + exact verify (xxhash64 banding — rows-only check)."""
+    """MinHash-LSH + exact verify, FULL VALUE ORACLE since r5 (VERDICT r4
+    #3): the md5 hash family makes signatures, band keys, and therefore the
+    exact LSH candidate set reproducible in DuckDB — the oracle recomputes
+    the whole pipeline (shingles -> 16 md5-derived 60-bit min-hashes -> 8
+    md5 band keys -> band join + size-ratio prefilter -> exact Jaccard
+    verify), not just the verified values. The xx64 family remains the
+    perf default for non-oracle use; dedup_minhash_recall pins the measured
+    recall of the banding scheme itself against brute force."""
     docs = _t(spark, sf_dir, "documents")
-    d = minhash_dups(docs, threshold=0.9, n=1, num_hashes=16, bands=8)
+    d = minhash_dups(
+        docs, threshold=0.9, n=1, num_hashes=16, bands=8, hash_family="md5"
+    )
     return d.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.round("jaccard", 6).alias("jaccard"),
     )
+
+
+SQL_DEDUP_MINHASH = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                   x -> x <> '')) AS sh
+  FROM documents),
+s AS (SELECT doc_id, sh, len(sh) AS n_sh FROM w WHERE len(sh) > 0),
+sg AS (
+  SELECT doc_id, n_sh,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(sh,
+                  x -> ('0x' || substr(md5(i::VARCHAR || ':' || x), 1, 15))::UBIGINT))) AS sig
+  FROM s),
+bk AS (
+  SELECT doc_id, n_sh,
+         unnest(list_transform(range(0, 8),
+           b -> b::VARCHAR || ':' || md5(array_to_string(sig[b*2+1:b*2+2], ',')))) AS bk
+  FROM sg),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id
+  WHERE least(a.n_sh, b.n_sh) >= 0.9 * greatest(a.n_sh, b.n_sh)
+  GROUP BY 1, 2)
+SELECT c.id_a::BIGINT AS id_a, c.id_b::BIGINT AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+FROM cand c JOIN s a ON a.doc_id = c.id_a JOIN s b ON b.doc_id = c.id_b
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.9"""
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -1344,7 +1400,10 @@ def _recall_row(true_pairs: DataFrame, found_pairs: DataFrame, keys: list[str],
 
 def q_dedup_minhash_recall(spark, sf_dir):
     """MinHash-LSH recall vs the exact (lossless-blocked) Jaccard join;
-    measured 1.0 at sf0.001/sf0.01, gate floor 0.95."""
+    measured 1.0 at sf0.001/sf0.01, gate floor 0.95. Pins the xx64 hash
+    family — the perf default for non-oracle use — while the dedup_minhash
+    gate itself runs the md5 family under a full DuckDB value oracle, so
+    both families stay covered."""
     docs = _t(spark, sf_dir, "documents")
     true_p = ngram_jaccard_dups(
         docs, threshold=0.9, n=1, max_docs_per_shingle=None
@@ -2036,11 +2095,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
-# 50 entries for CORRECTNESS_r{N}.json. Round-4 rotation (VERDICT r3 #2): the
-# rel_* / stream_* / mm_features family (never driver-sampled in r1-r3) now
-# sits inside the first 50; ten er_* gates that already carry driver-green
-# rows from r3 (er_anchor_counts_joined ... er_disambig_links) rotate to the
-# tail. The full local sweep (scripts/check_entry.py) still runs all 60.
+# 50 entries for CORRECTNESS_r{N}.json. Round-5 rotation (VERDICT r4 #7,
+# continuing the r4 scheme so CONSECUTIVE driver files jointly cover all 60):
+# the ten er_* gates that sat past the cap in r4 (er_anchor_counts_joined ...
+# er_disambig_links, all driver-green in r3) rotate back inside the first 50;
+# ten gates with green r4 driver rows (text_token_stats ... text_embed_hashed,
+# rel_pricing_summary ... rel_full_outer_align) take the tail, so
+# union(CORRECTNESS_r04, CORRECTNESS_r05) = 60 distinct green queries. The
+# full local sweep (scripts/check_entry.py) still runs all 60.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ER pipeline (SURVEY §2: P2, P6-P9, A1-A3, A5-A6, A12, O1, M1-M3, L2, A10/J7)
     "er_anchor_counts": q_er_anchor_counts,
@@ -2080,29 +2142,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_embdup_recall": q_ann_embdup_recall,
-    # text analysis
-    "text_token_stats": q_text_token_stats,
-    "text_quality": q_text_quality,
-    "text_language_id": q_text_language_id,
-    "text_fingerprints": q_text_fingerprints,
-    "text_embed_hashed": q_text_embed_hashed,
-    # relational
-    "rel_pricing_summary": q_rel_pricing_summary,
-    "rel_top_orders": q_rel_top_orders,
-    "rel_anti_join": q_rel_anti_join,
-    "rel_semi_join": q_rel_semi_join,
-    "rel_full_outer_align": q_rel_full_outer_align,
-    "rel_percentile_brands": q_rel_percentile_brands,
-    "rel_entropy_segments": q_rel_entropy_segments,
-    "rel_except": q_rel_except,
-    "rel_sessionize": q_rel_sessionize,
-    "rel_hourly_events": q_rel_hourly_events,
-    # structured streaming (stream==batch, same oracle as rel_hourly_events)
-    "stream_hourly_events": q_stream_hourly_events,
-    "stream_sessionize": q_stream_sessionize,
-    # multimodal plumbing
-    "mm_features": q_mm_features,
-    # --- tail (positions 51-60): driver-green in r3, rotated past the cap ---
+    # er_* family rotated back inside the sampling window (r5; r3-green +
+    # r4-tail — see the rotation note above)
     "er_anchor_counts_joined": q_er_anchor_counts_joined,
     "er_mentions_chunked": q_er_mentions_chunked,
     "er_nil_mentions": q_er_nil_mentions,
@@ -2113,6 +2154,28 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tsv_predictions_roundtrip": q_tsv_predictions_roundtrip,
     "er_upperbound": q_er_upperbound,
     "er_disambig_links": q_er_disambig_links,
+    # relational
+    "rel_percentile_brands": q_rel_percentile_brands,
+    "rel_entropy_segments": q_rel_entropy_segments,
+    "rel_except": q_rel_except,
+    "rel_sessionize": q_rel_sessionize,
+    "rel_hourly_events": q_rel_hourly_events,
+    # structured streaming (stream==batch, same oracle as rel_hourly_events)
+    "stream_hourly_events": q_stream_hourly_events,
+    "stream_sessionize": q_stream_sessionize,
+    # multimodal plumbing
+    "mm_features": q_mm_features,
+    # --- tail (positions 51-60): driver-green in r4, rotated past the cap ---
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_language_id": q_text_language_id,
+    "text_fingerprints": q_text_fingerprints,
+    "text_embed_hashed": q_text_embed_hashed,
+    "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_top_orders": q_rel_top_orders,
+    "rel_anti_join": q_rel_anti_join,
+    "rel_semi_join": q_rel_semi_join,
+    "rel_full_outer_align": q_rel_full_outer_align,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2149,6 +2212,7 @@ _ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard_words": SQL_DEDUP_JACCARD_WORDS,
     "dedup_jaccard_3gram": SQL_DEDUP_JACCARD_3GRAM,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_bruteforce_topk": SQL_ANN_TOPK,
     "dedup_minhash_recall": SQL_DEDUP_MINHASH_RECALL,

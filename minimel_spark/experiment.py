@@ -58,7 +58,11 @@ def sweep(
         cid = combo_id(params)
         cfg = replace(base_config, **params)
         wd = os.path.join(workdir, cid) if workdir else None
-        out = run_pipeline(spark, pages, title_index, workdir=wd, config=cfg)
+        combo_caches: list = []
+        out = run_pipeline(
+            spark, pages, title_index, workdir=wd, config=cfg,
+            persisted_out=combo_caches,
+        )
         clusters = out["er_clusters"]
         row = {
             "combo_id": cid,
@@ -84,9 +88,9 @@ def sweep(
             )
         rows.append(row)
         # every metric for this combo is materialized into `row` by now, so
-        # the combo's stage-internal caches (returned on checkpoint-less
-        # runs) can be dropped before the next combo builds its own
-        for cached in out.get("_persisted", []):
+        # the combo's stage-internal caches (handed out via persisted_out on
+        # checkpoint-less runs) can be dropped before the next combo's build
+        for cached in combo_caches:
             cached.unpersist()
     df = spark.createDataFrame(rows)
     if workdir:

@@ -49,17 +49,33 @@ def dictionary_blocks(records: DataFrame, key_col: str = "anchor") -> DataFrame:
     return records.withColumn("block_key", F.concat(F.lit("d:"), F.col(key_col)))
 
 
-def _seeded_hash(i: int):
+def _seeded_hash(i: int, hash_family: str = "xx64"):
     # NB: a plain `lambda s, i=i:` would be mis-read by PySpark as a binary
     # (element, index) lambda — the seed must be closed over, not defaulted.
+    if hash_family == "md5":
+        # 60-bit md5-derived hash (first 15 hex chars): non-negative in a
+        # signed long, and bit-for-bit reproducible in ANSI SQL as
+        # ('0x' || substr(md5(i || ':' || s), 1, 15))::UBIGINT — the same
+        # trick that made the simhash gate a full DuckDB value oracle
+        # (VERDICT r4 #3). Still JVM-side (md5 + conv are codegen exprs).
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 15), 16, 10
+        ).cast("long")
+    if hash_family != "xx64":
+        raise ValueError(f"hash_family must be 'xx64' or 'md5', got {hash_family!r}")
     return lambda s: F.xxhash64(F.lit(i), s)
 
 
-def minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """array<long> MinHash signature, all JVM-side expressions."""
+def minhash_signature(
+    shingles: Column, num_hashes: int, hash_family: str = "xx64"
+) -> Column:
+    """array<long> MinHash signature, all JVM-side expressions.
+
+    ``hash_family``: "xx64" (xxhash64, fastest) or "md5" (md5-derived 60-bit
+    values — ~same plan shape, DuckDB-recomputable for oracle checking)."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, _seeded_hash(i)))
+            F.array_min(F.transform(shingles, _seeded_hash(i, hash_family)))
             for i in range(num_hashes)
         ]
     )

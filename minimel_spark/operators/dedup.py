@@ -101,6 +101,7 @@ def minhash_dups(
     bands: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_family: str = "xx64",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs + exact Jaccard verification (scale path).
 
@@ -109,22 +110,50 @@ def minhash_dups(
     J(A,B) >= t implies t <= |A|/|B| <= 1/t, so the size-ratio filter is
     lossless and runs on two longs per pair instead of two arrays — at scale
     the array join is the expensive part of verification.
+
+    ``hash_family``: "xx64" (xxhash64 signatures + xxhash64 band keys) or
+    "md5" (md5-derived 60-bit signatures + md5 band keys over the
+    comma-joined decimal slice). The md5 family exists so the ENTIRE LSH
+    candidate set — not just the verified Jaccard values — is reproducible
+    in ANSI SQL, turning the dedup_minhash gate into a full DuckDB value
+    oracle (VERDICT r4 #3, simhash precedent); both run fully JVM-side.
     """
     from .blocking import minhash_signature
 
     rows_per_band = num_hashes // bands
     sh = shingle_docs(docs, text_col, id_col, n).where(F.size("shingles") > 0)
     sh = sh.withColumn("n_sh", F.size("shingles"))
-    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
-    band_keys = F.array(
-        *[
-            F.concat(
-                F.lit(f"{b}:"),
-                F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).cast("string"),
-            )
-            for b in range(bands)
-        ]
+    sig = sh.withColumn(
+        "sig", minhash_signature(F.col("shingles"), num_hashes, hash_family)
     )
+    if hash_family == "md5":
+        band_keys = F.array(
+            *[
+                F.concat(
+                    F.lit(f"{b}:"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ),
+                )
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_keys = F.array(
+            *[
+                F.concat(
+                    F.lit(f"{b}:"),
+                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).cast("string"),
+                )
+                for b in range(bands)
+            ]
+        )
     blocked = sig.select(id_col, "n_sh", F.explode(band_keys).alias("bk"))
     a = blocked.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "bk")
     b = blocked.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "bk")

@@ -123,14 +123,22 @@ def pairwise_f1(pred: DataFrame, gold: DataFrame) -> dict:
     both = pred.withColumnRenamed("cluster_id", "p").join(
         gold.withColumnRenamed("cluster_id", "g"), "rec_id"
     )
+    # single action (VERDICT r4 #5): tp/pp/gp all derive from the (p, g) cell
+    # counts — pp and gp re-aggregate the cells, not the alignment join, so the
+    # join+shuffle runs once and the three 1-row stats assemble via crossJoin
+    # (same shape as the q_er_pipeline_clusters gate).
     cell = both.groupBy("p", "g").agg(F.count(F.lit(1)).alias("n"))
-    tp = cell.agg(_pair_count(F.col("n"))).first()[0] or 0.0
-    pp = both.groupBy("p").agg(F.count(F.lit(1)).alias("n")).agg(
-        _pair_count(F.col("n"))
-    ).first()[0] or 0.0
-    gp = both.groupBy("g").agg(F.count(F.lit(1)).alias("n")).agg(
-        _pair_count(F.col("n"))
-    ).first()[0] or 0.0
+    tp_df = cell.agg(_pair_count(F.col("n")).alias("tp"))
+    pp_df = (
+        cell.groupBy("p").agg(F.sum("n").alias("n")).agg(_pair_count(F.col("n")).alias("pp"))
+    )
+    gp_df = (
+        cell.groupBy("g").agg(F.sum("n").alias("n")).agg(_pair_count(F.col("n")).alias("gp"))
+    )
+    row = tp_df.crossJoin(pp_df).crossJoin(gp_df).first()
+    tp = row["tp"] or 0.0
+    pp = row["pp"] or 0.0
+    gp = row["gp"] or 0.0
     precision = tp / pp if pp else 1.0
     recall = tp / gp if gp else 1.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0

@@ -363,7 +363,13 @@ def byte_pack_buckets(
     ``order_partitions`` so n_rows/order_partitions of those fit one task.
     Cost note: the projection is evaluated by both the subtotal job and the
     final plan (one extra column-pruned scan) — cache ``media`` upstream if
-    the payload scan dominates. ``stats_out`` (a dict) receives
+    the payload scan dominates. DETERMINISM REQUIREMENT (ADVICE r4): because
+    of that double evaluation, the upstream ``media`` plan must be
+    re-execution-deterministic in (id_col, payload length) — a
+    nondeterministic source (sampling without a seed, unstable ids) would
+    make the broadcast offsets disagree with the second pass's per-range
+    cumsum and silently corrupt bucket boundaries; persist ``media`` first
+    in that case. ``stats_out`` (a dict) receives
     ``total_bytes`` and ``n_buckets`` computed from the subtotal pass, so
     callers need no extra job to size the downstream repartition."""
     k = max(1, (order_partitions - 1).bit_length())

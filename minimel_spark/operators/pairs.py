@@ -158,6 +158,45 @@ def _pair_cosine(bow_a, bow_b, norm_a, norm_b):
     )
 
 
+def resolve_dense_bow_dim(
+    records: DataFrame,
+    dense_bow_dim: int | str | None,
+    text_col: str | None = "text",
+) -> int | None:
+    """Validate the ``dense_bow_dim`` knob and resolve ``"auto"`` to a
+    concrete dim (or None) from the measured avg-tokens crossover. The
+    "auto" path runs one eager aggregation over ``records`` — callers that
+    score repeatedly over the same records should call this once and pass
+    the resolved value to every ``pair_features`` invocation."""
+    if not (
+        dense_bow_dim is None
+        or dense_bow_dim == "auto"
+        or (isinstance(dense_bow_dim, int) and not isinstance(dense_bow_dim, bool)
+            and dense_bow_dim > 0)
+    ):
+        raise ValueError(
+            f"dense_bow_dim must be None, 'auto', or a positive int, got "
+            f"{dense_bow_dim!r}"
+        )
+    if dense_bow_dim != "auto":
+        return dense_bow_dim
+    if not text_col:
+        return None
+    avg_toks = (
+        records.agg(
+            F.avg(
+                F.size(
+                    F.split(
+                        F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+"
+                    )
+                )
+            )
+        ).first()[0]
+        or 0.0
+    )
+    return AUTO_DENSE_DIM if avg_toks >= AUTO_DENSE_MIN_TOKENS else None
+
+
 def pair_features(
     pairs: DataFrame,
     records: DataFrame,
@@ -189,28 +228,12 @@ def pair_features(
     ``"auto"`` decides from the data: one cheap JVM agg estimates avg
     tokens/record and picks dim ``AUTO_DENSE_DIM`` when it exceeds
     ``AUTO_DENSE_MIN_TOKENS`` (the measured payload crossover — see the
-    constants above), else stays exact.
+    constants above), else stays exact. NB "auto" runs that estimation scan
+    EAGERLY at plan-construction time on every call — callers invoking
+    pair_features repeatedly over the same records (sweeps, benchmarks)
+    should resolve the knob once and pass the explicit dim (ADVICE r4).
     """
-    if dense_bow_dim == "auto":
-        if text_col:
-            avg_toks = (
-                records.agg(
-                    F.avg(
-                        F.size(
-                            F.split(
-                                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                                r"\W+",
-                            )
-                        )
-                    )
-                ).first()[0]
-                or 0.0
-            )
-            dense_bow_dim = (
-                AUTO_DENSE_DIM if avg_toks >= AUTO_DENSE_MIN_TOKENS else None
-            )
-        else:
-            dense_bow_dim = None
+    dense_bow_dim = resolve_dense_bow_dim(records, dense_bow_dim, text_col)
     if "name_a" in pairs.columns and "name_b" in pairs.columns:
         # pair generator already carried both surface forms (the
         # surface_blocked_pairs path) — no joins back to the record table

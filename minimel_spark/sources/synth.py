@@ -160,7 +160,15 @@ Words of length <= 3 stay plain text. One paragraph per document."""
 
 
 def doc_vocab(docs: DataFrame) -> DataFrame:
-    """Vocabulary dimension: word -> base qid (dense alphabetical rank)."""
+    """Vocabulary dimension: word -> base qid (dense alphabetical rank).
+
+    The rank is computed as a two-level distributed sort (VERDICT r4 #6, same
+    shape as ``byte_pack_buckets``): per-first-letter dense_rank plus a
+    broadcast literal map of cumulative prefix counts — no global
+    unpartitioned window, so fixture generation stays WARN-free while the
+    rank keeps the exact dense-alphabetical semantics the DuckDB oracles
+    recompute (binary string order is bytewise, so first-codepoint grouping
+    preserves the global order)."""
     from pyspark.sql import Window
 
     words = (
@@ -168,8 +176,27 @@ def doc_vocab(docs: DataFrame) -> DataFrame:
         .where(F.length("word") > 3)
         .distinct()
     )
-    w = Window.orderBy("word")
-    return words.withColumn("base_qid", F.dense_rank().over(w).cast("long"))
+    pref = F.substring(F.col("word"), 1, 1)
+    counts = sorted(
+        words.groupBy(pref.alias("_p")).agg(F.count(F.lit(1)).alias("_n")).collect(),
+        key=lambda r: r["_p"],
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.extend([F.lit(r["_p"]), F.lit(acc)])
+        acc += r["_n"]
+    if not offsets:
+        return words.withColumn("base_qid", F.lit(None).cast("long"))
+    off_map = F.create_map(*offsets)
+    w = Window.partitionBy("_p").orderBy("word")
+    return (
+        words.withColumn("_p", pref)
+        .withColumn(
+            "base_qid",
+            (F.dense_rank().over(w) + off_map[F.col("_p")]).cast("long"),
+        )
+        .drop("_p")
+    )
 
 
 def pages_from_documents(docs: DataFrame) -> DataFrame:

@@ -93,6 +93,56 @@ def test_minhash_verify_never_false_positive(spark, documents):
     assert d.where(F.col("jaccard") < 0.8).count() == 0
 
 
+def test_minhash_md5_family_matches_python_reference(spark, documents):
+    """The md5 hash family (the DuckDB-oracle mode) must reproduce a pure
+    Python recomputation of the signature pipeline exactly — signature
+    values, band keys, and the verified pair set."""
+    import hashlib
+    import re
+
+    docs = documents.limit(40)
+    d = minhash_dups(docs, threshold=0.8, n=1, num_hashes=8, bands=4,
+                     hash_family="md5")
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 6) for r in d.collect()}
+
+    rows = docs.select("doc_id", "text").collect()
+    sh = {
+        r["doc_id"]: set(w for w in re.split(r"\W+", (r["text"] or "").lower()) if w)
+        for r in rows
+    }
+    sh = {k: v for k, v in sh.items() if v}
+
+    def sig(words):
+        return [
+            min(
+                int(hashlib.md5(f"{i}:{w}".encode()).hexdigest()[:15], 16)
+                for w in words
+            )
+            for i in range(8)
+        ]
+
+    def bandkeys(s):
+        return {
+            f"{b}:" + hashlib.md5(",".join(str(v) for v in s[b*2:b*2+2]).encode()).hexdigest()
+            for b in range(4)
+        }
+
+    bk = {k: bandkeys(sig(v)) for k, v in sh.items()}
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if not (bk[a] & bk[b]):
+                continue
+            na, nb = len(sh[a]), len(sh[b])
+            if min(na, nb) < 0.8 * max(na, nb):
+                continue
+            j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            if j >= 0.8:
+                want[(a, b)] = round(j, 6)
+    assert got == want and want  # non-vacuous: fixture has real dup pairs
+
+
 def test_simhash_banding_complete_vs_bruteforce(spark, documents):
     """(k+1)-band blocking must equal the brute-force hamming join — the old
     4x16 layout silently missed pairs with 4-8 differing bits spread across

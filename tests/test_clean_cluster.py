@@ -58,6 +58,29 @@ def test_connected_components_random_graphs(spark, seed):
     assert got == _cc_oracle(edges)
 
 
+@pytest.mark.parametrize("seed", [3, 4])
+def test_connected_components_pre_contract_equivalence(spark, seed):
+    """The pre-contraction fast path (VERDICT r4 #2) must be output-identical
+    to the plain iterative loop — including on graphs with dense cliques
+    (the case contraction accelerates) and isolated 2-node components (the
+    fully-collapsed expansion edge case)."""
+    rng = random.Random(seed)
+    nodes = [f"n{i:03d}" for i in range(50)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(rng.randint(15, 60))
+    ]
+    clique = [f"q{i:02d}" for i in range(8)]
+    edges += [(a, b) for a in clique for b in clique if a < b]
+    edges += [("z98", "z99")]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fast = {r["node"]: r["component"]
+            for r in connected_components(df, pre_contract=True).collect()}
+    slow = {r["node"]: r["component"]
+            for r in connected_components(df, pre_contract=False).collect()}
+    assert fast == slow == _cc_oracle(edges)
+
+
 def test_connected_components_chain(spark):
     # worst case for naive propagation; large/small star handles in O(log n)
     edges = [(f"c{i:02d}", f"c{i+1:02d}") for i in range(30)]

@@ -498,3 +498,10 @@ def test_pair_features_dense_bow_auto_select(spark, records):
         ),
     )
     assert feats(long_recs, "auto") == feats(long_recs, 64)
+
+    # unknown knob values fail fast at validation, not later in the plan
+    import pytest as _pytest
+
+    for bad in ("dense", -1, 0, 1.5, True):
+        with _pytest.raises(ValueError, match="dense_bow_dim"):
+            pair_features(pairs, records, name_col="anchor", dense_bow_dim=bad)
