@@ -395,3 +395,28 @@ def test_pipeline_mega_block_cap_does_not_fragment_clusters(spark):
     gold = out["records"].select("rec_id", F.xxhash64("name").alias("cluster_id"))
     m = pairwise_f1(pred, gold)
     assert m["f1"] >= 0.99, m
+
+
+def test_doc_vocab_rank_dense_alphabetical_no_global_window(spark):
+    """doc_vocab's two-level rank (per-prefix window + broadcast offsets,
+    r5) must equal the dense alphabetical rank of the distinct vocabulary
+    AND keep the plan free of single-partition exchanges (the old global
+    Window.orderBy funneled the whole vocabulary through one task)."""
+    import pyspark.sql.functions as F
+
+    from minimel_spark.sources.synth import doc_vocab
+
+    texts = [
+        (0, "zebra apple banana apple xylophone", "en"),
+        (1, "banana cherry zebra quince", "en"),
+        (2, "apple cherry dates quince zebra", "en"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string, lang string")
+    out = doc_vocab(docs)
+    got = {r["word"]: r["base_qid"] for r in out.collect()}
+    vocab = sorted(
+        {w for _, t, _ in texts for w in t.split() if len(w) > 3}
+    )
+    assert got == {w: i + 1 for i, w in enumerate(vocab)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
