@@ -3,9 +3,13 @@
 ``entry(spark)`` — flagship ER slice on sf0.001.
 ``queries()``   — one entry per implemented operator family (SURVEY.md §2);
                   each callable takes (spark, sf_dir) and returns a DataFrame.
-``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted only for ops
-                  that are genuinely non-SQL-expressible: xxhash64-based LSH,
-                  iterative ML, rolling hashes — those get rows-only checks).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query. Since r5 EVERY
+                  registered query carries one (60/60): the last holdouts —
+                  seeded-hash LSH banding and float hyperplane/IVF candidate
+                  generation — run md5-derived hash families whose signatures,
+                  bucket codes, and strict-left-fold dot products are
+                  bit-for-bit reproducible in SQL (perf-default families keep
+                  separate recall oracles).
 
 All float outputs are rounded to 6 decimals ON BOTH SIDES, and all integral
 outputs are cast to BIGINT on both sides so the driver's schema + value-hash
@@ -1295,25 +1299,84 @@ FROM (SELECT query_id, vec_id, sim,
 WHERE rank <= 10"""
 
 
+def _lsh_buckets_sql(seed: int, num_tables: int, num_planes: int, dim: int,
+                     vec: str = "embedding") -> str:
+    """DuckDB expression: list of 'table:code' bucket strings recomputing
+    hyperplane_buckets' md5 hash family bit-for-bit — coefficients derived
+    in-SQL from the same md5 arithmetic (ann.md5_plane_coeff), dots as
+    list_reduce left folds matching Spark's F.aggregate order exactly."""
+    return (
+        f"list_transform(range(0, {num_tables}), t -> t::VARCHAR || ':' || "
+        f"(list_reduce(list_transform(range(0, {num_planes}), p -> CASE WHEN "
+        f"list_reduce(list_transform(range(1, {dim} + 1), i -> "
+        f"{vec}[i::INT]::DOUBLE * "
+        f"(('0x' || substr(md5('{seed}:' || t::VARCHAR || ':' || p::VARCHAR "
+        f"|| ':' || (i-1)::VARCHAR), 1, 15))::UBIGINT::DOUBLE "
+        f"/ 1152921504606846976.0 * 2 - 1)), (a, b) -> a + b) > 0 "
+        f"THEN (1::BIGINT << p::INT) ELSE 0 END), (a, b) -> a + b))::VARCHAR)"
+    )
+
+
+_SQL_COSINE = """list_sum(list_transform(range(1, 65),
+                  i -> qe.embedding[i::INT]::DOUBLE * ce.embedding[i::INT]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> qe.embedding[i::INT]::DOUBLE * qe.embedding[i::INT]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> ce.embedding[i::INT]::DOUBLE * ce.embedding[i::INT]::DOUBLE))))"""
+
+
 def q_ann_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH top-k (approximate — rows-only check)."""
+    """Hyperplane-LSH top-k, FULL VALUE ORACLE since r5: the md5 hash family
+    (DuckDB-reproducible U(-1,1) planes + strict left-fold dots, see
+    ann.hyperplane_buckets) makes the exact bucket codes — and therefore
+    the exact candidate set — recomputable in SQL; the oracle re-derives
+    buckets, bucket-join candidates, and the cosine re-rank. The np
+    (gaussian) family stays the perf default, its recall pinned by
+    ann_lsh_recall."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 16)
-    out = lsh_topk(emb, queries, dim=64, k=10)
+    out = lsh_topk(emb, queries, dim=64, k=10, hash_family="md5")
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("rank").cast("long").alias("rank"),
         F.round("sim", 6).alias("sim"),
     )
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH b AS (
+  SELECT vec_id, unnest({_lsh_buckets_sql(42, 6, 10, 64)}) AS bucket
+  FROM embeddings),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+  FROM b q JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id < 16
+  GROUP BY 1, 2),
+s AS (
+  SELECT cand.query_id, cand.vec_id,
+         {_SQL_COSINE} AS sim
+  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ce ON ce.vec_id = cand.vec_id)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, round(sim, 6) AS sim
+FROM (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM s)
+WHERE rank <= 10"""
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF top-k (k-means coarse quantizer + probed cells; approximate —
-    rows-only check)."""
+    """IVF top-k, FULL VALUE ORACLE since r5: the md5 family's codebook is
+    the n_cells corpus vectors with the smallest md5(id) (SQL-derivable,
+    unlike an iterative float k-means) and cell distances are strict
+    left-fold doubles, so assignment, probes, candidates, and the re-rank
+    are all recomputed in DuckDB. The Lloyd codebook stays the quality
+    default, pinned by ann_ivf_recall."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 16)
-    out = ivf_topk(emb, queries, dim=64, k=10, n_cells=8, n_probe=4)
+    out = ivf_topk(emb, queries, dim=64, k=10, n_cells=8, n_probe=4,
+                   hash_family="md5")
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -1322,15 +1385,74 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+SQL_ANN_IVF_TOPK = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS c,
+         embedding AS ce
+  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+d AS (
+  SELECT e.vec_id, cents.c,
+         list_reduce(list_transform(range(1, 65),
+           i -> (e.embedding[i::INT]::DOUBLE - cents.ce[i::INT]::DOUBLE)
+              * (e.embedding[i::INT]::DOUBLE - cents.ce[i::INT]::DOUBLE)),
+           (a, b) -> a + b) AS d
+  FROM embeddings e CROSS JOIN cents),
+assign AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM d)
+  WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS query_id, c FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM (SELECT * FROM d WHERE vec_id < 16))
+  WHERE rn <= 4),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probe p JOIN assign a ON a.c = p.c
+  GROUP BY 1, 2),
+s AS (
+  SELECT cand.query_id, cand.vec_id,
+         {_SQL_COSINE} AS sim
+  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ce ON ce.vec_id = cand.vec_id)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, round(sim, 6) AS sim
+FROM (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM s)
+WHERE rank <= 10"""
+
+
 def q_ann_embedding_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via LSH buckets (rows-only check)."""
+    """Embedding-cosine near-dup pairs via LSH buckets, FULL VALUE ORACLE
+    since r5 (md5 plane family — see q_ann_lsh_topk; np family recall
+    pinned by ann_embdup_recall)."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_dups(emb, dim=64, threshold=0.35, num_planes=8, num_tables=8)
+    out = embedding_dups(emb, dim=64, threshold=0.35, num_planes=8,
+                         num_tables=8, hash_family="md5")
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.round("sim", 6).alias("sim"),
     )
+
+
+SQL_ANN_EMBDUPS = f"""
+WITH b AS (
+  SELECT vec_id, unnest({_lsh_buckets_sql(42, 8, 8, 64)}) AS bucket
+  FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  GROUP BY 1, 2),
+s AS (
+  SELECT cand.id_a, cand.id_b,
+         {_SQL_COSINE} AS sim
+  FROM cand JOIN embeddings qe ON qe.vec_id = cand.id_a
+            JOIN embeddings ce ON ce.vec_id = cand.id_b)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, round(sim, 6) AS sim
+FROM s WHERE sim >= 0.35"""
 
 
 def q_dedup_embed_hashed(spark, sf_dir):
@@ -2214,6 +2336,9 @@ _ORACLES: dict[str, str] = {
     "dedup_jaccard_3gram": SQL_DEDUP_JACCARD_3GRAM,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_embedding_dups": SQL_ANN_EMBDUPS,
     "ann_bruteforce_topk": SQL_ANN_TOPK,
     "dedup_minhash_recall": SQL_DEDUP_MINHASH_RECALL,
     "ann_lsh_recall": SQL_ANN_QUERYCOUNT,

@@ -78,6 +78,32 @@ def brute_force_topk(
     )
 
 
+def md5_plane_coeff(seed: int, t: int, p: int, d: int) -> float:
+    """Deterministic U(-1, 1) hyperplane coefficient derived from md5 — the
+    same arithmetic (60-bit md5 prefix / 2^60 * 2 - 1, all IEEE-exact or
+    correctly-rounded ops) is reproducible in any engine with md5 + doubles,
+    which is what lets the md5 hash family's bucket codes be recomputed
+    bit-for-bit in DuckDB."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}:{t}:{p}:{d}".encode()).hexdigest()[:15], 16)
+    return h / 2**60 * 2 - 1
+
+
+def _fold_dot(vec, coeffs: list[float]):
+    """Strict left-to-right double fold of <vec, coeffs> (F.aggregate is a
+    left fold, matching DuckDB's list_reduce order — IEEE addition is
+    deterministic given order, so the two engines agree bit-for-bit; a
+    BLAS/numpy dot would not, and a sign flip near zero would change the
+    bucket code)."""
+    plane = F.array(*[F.lit(c) for c in coeffs])
+    return F.aggregate(
+        F.zip_with(vec, plane, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame,
     dim: int,
@@ -86,9 +112,36 @@ def hyperplane_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_family: str = "np",
 ) -> DataFrame:
-    """-> (id, bucket) rows: sign-pattern bucket per hash table (deterministic
-    seeded hyperplanes, computed in one numpy matmul per Arrow batch)."""
+    """-> (id, bucket) rows: sign-pattern bucket per hash table.
+
+    ``hash_family="np"`` (default): gaussian hyperplanes from a seeded numpy
+    RNG, one BLAS matmul per Arrow batch — the perf path.
+    ``hash_family="md5"``: U(-1,1) hyperplanes derived from md5 (see
+    ``md5_plane_coeff``) with the dot computed as a strict left fold of JVM
+    expressions — same plan shape (whole-stage codegen, no Python), chosen
+    so the ENTIRE bucket assignment is bit-for-bit reproducible in DuckDB
+    and the approximate ANN gates can carry full value oracles (the
+    dedup_minhash md5 precedent extended to float LSH). Uniform-cube
+    directions are mildly dimension-biased vs gaussian but remain
+    locality-sensitive for cosine; measured recall is pinned by the recall
+    gates either way."""
+    if hash_family == "md5":
+        vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        d = df.select(F.col(id_col).alias("id"), vec.alias("_v"))
+        buckets = []
+        for t in range(num_tables):
+            code = F.lit(0).cast("long")
+            for p in range(num_planes):
+                coeffs = [md5_plane_coeff(seed, t, p, i) for i in range(dim)]
+                code = code + F.when(
+                    _fold_dot(F.col("_v"), coeffs) > 0, F.lit(1 << p)
+                ).otherwise(F.lit(0))
+            buckets.append(F.concat(F.lit(f"{t}:"), code.cast("string")))
+        return d.select("id", F.explode(F.array(*buckets)).alias("bucket"))
+    if hash_family != "np":
+        raise ValueError(f"hash_family must be 'np' or 'md5', got {hash_family!r}")
     spark = df.sparkSession
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((num_tables, num_planes, dim))
@@ -134,10 +187,15 @@ def lsh_topk(
     num_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_family: str = "np",
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-bucket join + exact cosine re-rank."""
-    cb = hyperplane_buckets(corpus, dim, num_planes, num_tables, id_col=id_col, vec_col=vec_col)
-    qb = hyperplane_buckets(queries, dim, num_planes, num_tables, id_col=id_col, vec_col=vec_col)
+    """Approximate top-k: hyperplane-bucket join + exact cosine re-rank.
+    ``hash_family="md5"`` switches to the DuckDB-reproducible plane family
+    (see hyperplane_buckets) so the candidate set is oracle-checkable."""
+    cb = hyperplane_buckets(corpus, dim, num_planes, num_tables, id_col=id_col,
+                            vec_col=vec_col, hash_family=hash_family)
+    qb = hyperplane_buckets(queries, dim, num_planes, num_tables, id_col=id_col,
+                            vec_col=vec_col, hash_family=hash_family)
     cand = (
         qb.select(F.col("id").alias("query_id"), "bucket")
         .join(cb.select(F.col("id").alias("vec_id"), "bucket"), "bucket")
@@ -182,8 +240,9 @@ def ivf_topk(
     sample_size: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_family: str = "np",
 ) -> DataFrame:
-    """IVF approximate top-k: k-means coarse quantizer -> corpus rows assigned
+    """IVF approximate top-k: coarse quantizer -> corpus rows assigned
     to their nearest cell -> each query probes its n_probe nearest cells ->
     exact cosine re-rank inside probed cells.
 
@@ -191,8 +250,78 @@ def ivf_topk(
     at the same fan-in); the codebook is a broadcast numpy matrix, cell
     assignment is one matmul per Arrow batch, and the probe join is a plain
     equi-join on cell id — all Catalyst-visible.
+
+    ``hash_family="np"`` (default): Lloyd's k-means on a deterministic
+    hash-ordered sample — the quality path. ``hash_family="md5"``: the
+    codebook is the ``n_cells`` corpus vectors with the smallest
+    md5(id-as-string) (IVF-with-random-centroids, a standard cheap
+    quantizer), and squared distances are strict left-fold JVM doubles —
+    both choices exist so the ENTIRE cell assignment and probe set is
+    reproducible in DuckDB SQL (an iterative float k-means is not), giving
+    the ivf gate a full value oracle; quality of the default family stays
+    pinned by the recall gate.
     """
     spark = corpus.sparkSession
+    if hash_family == "md5":
+        cent_rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(n_cells)
+            .collect()
+        )
+        cents_f = [[float(x) for x in r[1]] for r in cent_rows]
+        vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+        def cell_dists(v):
+            return F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                v,
+                                F.array(*[F.lit(c) for c in cent]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("d"),
+                        F.lit(i).alias("c"),
+                    )
+                    for i, cent in enumerate(cents_f)
+                ]
+            )
+
+        corpus_cells = corpus.select(
+            F.col(id_col).alias("id"),
+            F.array_min(cell_dists(vec))["c"].alias("cell"),
+        )
+        query_cells = queries.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(cell_dists(vec)), 1, n_probe),
+                    lambda s: s["c"],
+                )
+            ).alias("cell"),
+        )
+        cand = (
+            query_cells.select(F.col("id").alias("query_id"), "cell")
+            .join(corpus_cells.select(F.col("id").alias("vec_id"), "cell"), "cell")
+            .select("query_id", "vec_id")
+            .distinct()
+        )
+        qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        cv = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+        scored = (
+            cand.join(F.broadcast(qv), "query_id")
+            .join(cv, "vec_id")
+            .withColumn("sim", cosine_udf("_qv", "_cv"))
+            .drop("_qv", "_cv")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+        return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    if hash_family != "np":
+        raise ValueError(f"hash_family must be 'np' or 'md5', got {hash_family!r}")
     # Deterministic hash-sample for the codebook: ordering by xxhash64(id) and
     # taking the first sample_size compiles to TakeOrderedAndProject (a
     # per-partition size-k heap + driver merge, NOT a full sort) and is
@@ -266,9 +395,12 @@ def embedding_dups(
     num_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_family: str = "np",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (LSH candidates + exact verify)."""
-    b = hyperplane_buckets(corpus, dim, num_planes, num_tables, id_col=id_col, vec_col=vec_col)
+    """Embedding-cosine near-duplicate pairs (LSH candidates + exact verify).
+    ``hash_family="md5"``: DuckDB-reproducible buckets (hyperplane_buckets)."""
+    b = hyperplane_buckets(corpus, dim, num_planes, num_tables, id_col=id_col,
+                           vec_col=vec_col, hash_family=hash_family)
     a = b.select(F.col("id").alias("id_a"), "bucket")
     c = b.select(F.col("id").alias("id_b"), "bucket")
     cand = a.join(c, "bucket").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()

@@ -24,6 +24,39 @@ def _topk_sets(df):
     return out
 
 
+def test_hyperplane_buckets_md5_matches_python_reference(spark, emb):
+    """The md5 plane family (the DuckDB-oracle mode) must reproduce a pure
+    Python strict-left-fold recomputation of every bucket code exactly —
+    coefficient derivation, fold order, and sign decisions all pinned."""
+    from minimel_spark.operators.ann import hyperplane_buckets, md5_plane_coeff
+
+    sub = emb.where(F.col("vec_id") < 64)
+    got = sorted(
+        (r["id"], r["bucket"])
+        for r in hyperplane_buckets(
+            sub, dim=64, num_planes=5, num_tables=3, hash_family="md5"
+        ).collect()
+    )
+    want = []
+    for r in sub.collect():
+        v = [float(x) for x in r["embedding"]]
+        for t in range(3):
+            code = 0
+            for p in range(5):
+                acc = 0.0
+                for i in range(64):
+                    acc = acc + v[i] * md5_plane_coeff(42, t, p, i)
+                if acc > 0:
+                    code += 1 << p
+            want.append((r["vec_id"], f"{t}:{code}"))
+    assert got == sorted(want)
+
+    with pytest.raises(ValueError, match="hash_family"):
+        hyperplane_buckets(sub, dim=64, hash_family="sha1")
+    with pytest.raises(ValueError, match="hash_family"):
+        ivf_topk(emb, emb.limit(1), dim=64, hash_family="crc")
+
+
 def test_brute_force_topk_exact_and_self_first(spark, emb):
     q = emb.where(F.col("vec_id") < 8)
     got = brute_force_topk(emb, q, k=5)
