@@ -190,8 +190,13 @@ def main():
 
     for _ in range(reps):
         t0 = time.time()
-        n_dups = minhash_dups(docs, threshold=0.9, n=1, num_hashes=16, bands=8).count()
+        mh_caches: list = []
+        n_dups = minhash_dups(
+            docs, threshold=0.9, n=1, num_hashes=16, bands=8, persisted_out=mh_caches
+        ).count()
         rec("dedup_minhash", time.time() - t0)
+        for c in mh_caches:
+            c.unpersist()
 
         t0 = time.time()
         n_simdups = simhash_dups(docs, max_hamming=8).count()

@@ -20,6 +20,8 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, Window
 
+from .util import ensure_min_parallelism
+
 TOPK_SCHEMA = T.StructType([
     T.StructField("query_id", T.LongType()),
     T.StructField("vec_id", T.LongType()),
@@ -70,7 +72,10 @@ def brute_force_topk(
                 out_s.extend(sims[qi, top[qi]])
             yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "sim": out_s})
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(gen, TOPK_SCHEMA)
+    partial = (
+        ensure_min_parallelism(corpus.select(id_col, vec_col), id_col)
+        .mapInPandas(gen, TOPK_SCHEMA)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w))
@@ -129,7 +134,9 @@ def hyperplane_buckets(
     gates either way."""
     if hash_family == "md5":
         vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        d = df.select(F.col(id_col).alias("id"), vec.alias("_v"))
+        d = ensure_min_parallelism(df, id_col).select(
+            F.col(id_col).alias("id"), vec.alias("_v")
+        )
         buckets = []
         for t in range(num_tables):
             code = F.lit(0).cast("long")
@@ -165,7 +172,9 @@ def hyperplane_buckets(
                 out_b.extend([f"{t}:{c}" for c in codes])
             yield pd.DataFrame({"id": out_i, "bucket": out_b})
 
-    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+    return ensure_min_parallelism(df.select(id_col, vec_col), id_col).mapInPandas(
+        gen, schema
+    )
 
 
 @F.pandas_udf(T.DoubleType())
@@ -291,7 +300,7 @@ def ivf_topk(
                 ]
             )
 
-        corpus_cells = corpus.select(
+        corpus_cells = ensure_min_parallelism(corpus, id_col).select(
             F.col(id_col).alias("id"),
             F.array_min(cell_dists(vec))["c"].alias("cell"),
         )
@@ -352,7 +361,9 @@ def ivf_topk(
                 {"id": pdf[id_col].to_numpy(), "cell": d.argmin(axis=1).astype("int32")}
             )
 
-    corpus_cells = corpus.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+    corpus_cells = ensure_min_parallelism(
+        corpus.select(id_col, vec_col), id_col
+    ).mapInPandas(assign, assign_schema)
 
     probe_schema = T.StructType(
         [T.StructField("id", T.LongType()), T.StructField("cell", T.IntegerType())]

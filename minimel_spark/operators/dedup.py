@@ -27,6 +27,8 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
+from .util import ensure_min_parallelism
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, text) -> (id, content_hash, canonical_id, is_duplicate): canonical =
@@ -61,9 +63,17 @@ def ngram_jaccard_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_docs_per_shingle: int | None = 1000,
+    persisted_out: list | None = None,
 ) -> DataFrame:
-    """Exact Jaccard >= threshold pairs via lossless shared-shingle blocking."""
-    sh = shingle_docs(docs, text_col, id_col, n)
+    """Exact Jaccard >= threshold pairs via lossless shared-shingle blocking.
+
+    The shingled table feeds three plan branches (blocking + both sides of
+    the exact verify); pass ``persisted_out`` (a list the caller unpersists)
+    to compute the shingling once instead of per branch."""
+    sh = shingle_docs(ensure_min_parallelism(docs, id_col), text_col, id_col, n)
+    if persisted_out is not None:
+        sh = sh.persist()
+        persisted_out.append(sh)
     exploded = sh.select(id_col, F.explode("shingles").alias("sh"))
     if max_docs_per_shingle:
         freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -102,6 +112,7 @@ def minhash_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_family: str = "xx64",
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs + exact Jaccard verification (scale path).
 
@@ -121,8 +132,14 @@ def minhash_dups(
     from .blocking import minhash_signature
 
     rows_per_band = num_hashes // bands
-    sh = shingle_docs(docs, text_col, id_col, n).where(F.size("shingles") > 0)
-    sh = sh.withColumn("n_sh", F.size("shingles"))
+    sh = shingle_docs(ensure_min_parallelism(docs, id_col), text_col, id_col, n)
+    sh = sh.where(F.size("shingles") > 0).withColumn("n_sh", F.size("shingles"))
+    if persisted_out is not None:
+        # the shingled table feeds four branches (both sides of the band join
+        # and both sides of the exact verify); persisting it computes the
+        # shingling once — the caller owns the unpersist
+        sh = sh.persist()
+        persisted_out.append(sh)
     sig = sh.withColumn(
         "sig", minhash_signature(F.col("shingles"), num_hashes, hash_family)
     )
@@ -221,6 +238,7 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    docs = ensure_min_parallelism(docs, id_col)
     return docs.select(id_col, simhash_udf(F.col(text_col)).alias("simhash"))
 
 

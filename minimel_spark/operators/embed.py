@@ -46,9 +46,12 @@ def embed_hashed(
     out of the same two aggregations — no extra join back to the input to
     restore missing ids (one fewer exchange at scale).
     """
+    from .util import ensure_min_parallelism
+
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '\\\\w+', 0)")
     buckets = (
-        df.select(id_col, F.explode_outer(toks).alias("_tok"))
+        ensure_min_parallelism(df, id_col)
+        .select(id_col, F.explode_outer(toks).alias("_tok"))
         .select(
             id_col,
             F.expr(

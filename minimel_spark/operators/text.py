@@ -12,6 +12,7 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
 from ..functions.textstats import detect_lang, rolling_fingerprint
+from .util import ensure_min_parallelism
 
 # BPE-ish word/number/punct segmentation (GPT-2-style coarse classes).
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -76,6 +77,7 @@ def detect_lang_udf(texts: pd.Series) -> pd.DataFrame:
 
 
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    docs = ensure_min_parallelism(docs, id_col)
     out = docs.select(id_col, detect_lang_udf(F.col(text_col)).alias("_l"))
     return out.select(id_col, "_l.lang_pred", "_l.lang_conf")
 
@@ -86,4 +88,5 @@ def fingerprint_udf(texts: pd.Series) -> pd.Series:
 
 
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    docs = ensure_min_parallelism(docs, id_col)
     return docs.select(id_col, fingerprint_udf(F.col(text_col)).alias("fingerprint"))

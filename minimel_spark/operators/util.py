@@ -1,0 +1,36 @@
+"""Input-parallelism guard shared by the scan-adjacent operators.
+
+The dedup / embedding / fingerprint operators do their heaviest work
+(shingling, per-token hashing, signature folds, per-batch matmuls) in the map
+stage directly over the input scan, so their parallelism equals the SCAN's
+split count. A small parquet file arrives as a single split, and a 32-core
+session then runs the entire map stage on one core — the classic
+small-input / big-compute pathology (measured: ``minhash_dups`` at sf0.1 is
+3.2× faster once the 5k-doc single-split input is spread across the cores).
+
+At production scale the input has far more splits than the cluster has slots
+(100 TB / 128 MiB ≈ 800k splits), so the guard below is an identity — it only
+inserts an exchange when the scan is narrower than the session, where the
+extra shuffle is cheap by construction (the input is small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition ``df`` across the session's cores when the plan gives
+    fewer partitions than the session has slots; identity otherwise.
+
+    Keyed by ``key_cols`` (hash partitioning) rather than round-robin:
+    round-robin repartition inserts a local sort on every row to stay
+    deterministic under task retries (wide text rows make that sort a new
+    bottleneck), while hash placement depends only on row content — outputs
+    stay parallelism-invariant and nothing is sorted.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *key_cols)

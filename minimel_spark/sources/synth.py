@@ -202,7 +202,15 @@ def doc_vocab(docs: DataFrame) -> DataFrame:
 def pages_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic pages table from the driver's documents.parquet (see
     DOC_PAGES_NOTE). Pure Spark built-ins, no UDF: the markup is assembled with
-    transform/concat over the word array, so Catalyst keeps it whole-stage."""
+    transform/concat over the word array, so Catalyst keeps it whole-stage.
+
+    The input scan is spread across the session's cores first: the explode +
+    markup assembly and everything downstream until the first shuffle
+    (including the paragraph-parse UDF) otherwise inherit the small file's
+    single split."""
+    from ..operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs, "doc_id")
     vocab = doc_vocab(docs)
     toks = docs.select(
         "doc_id",

@@ -266,3 +266,38 @@ def test_embed_hashed_empty_doc_zero_vector(spark):
     assert set(rows) == {1, 2, 3}
     assert rows[2] == [0.0] * 8 and rows[3] == [0.0] * 8
     assert sum(x * x for x in rows[1]) == pytest.approx(1.0)
+
+
+def test_ensure_min_parallelism_spreads_narrow_input(spark, documents):
+    """A 1-split input is hash-spread to the session's slots (row-identical);
+    an already-wide input passes through untouched (identity, no exchange)."""
+    from minimel_spark.operators.util import ensure_min_parallelism
+
+    narrow = documents.coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    spread = ensure_min_parallelism(narrow, "doc_id")
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r["doc_id"] for r in spread.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in documents.select("doc_id").collect()
+    )
+
+    wide = documents.repartition(spark.sparkContext.defaultParallelism + 4, "doc_id")
+    assert ensure_min_parallelism(wide, "doc_id") is wide
+
+
+def test_minhash_dups_persisted_out_same_rows(spark, documents):
+    """persisted_out only changes the cache lifecycle, never the pair set."""
+    plain = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_dups(documents, threshold=0.9, n=1).collect()
+    )
+    caches = []
+    cached = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_dups(
+            documents, threshold=0.9, n=1, persisted_out=caches
+        ).collect()
+    )
+    assert caches and plain == cached
+    for c in caches:
+        c.unpersist()
