@@ -103,9 +103,14 @@ def score_segment(spark, records, counts, dense_bow=None):
     )
     labeled = weak_pair_labels(feats, cands)
     train = labeled.where(F.col("is_match").isNotNull())
-    # deterministic 1/10 training sample: 4-feature LR converges identically
-    # on ~1M pairs, and the LBFGS barrier rounds stop dominating the segment's
-    # serial fraction at high parallelism
+    # deterministic 1/10 training sample. NB in THIS synthetic world every
+    # blocked pair is same-name, so the argmax weak labels are single-class
+    # and LBFGS converges immediately (measured: 0 iterations, constant
+    # scorer — which is also why every scored pair becomes a match edge
+    # below); the train stage here prices the fixed ML machinery (label
+    # joins, assembler, instance materialization, summary), not iteration
+    # compute. Real multi-class training with planted negatives is pinned
+    # by the er_matcher_planted oracle gate.
     train = train.where(F.pmod(F.xxhash64("rec_id_a", "rec_id_b"), F.lit(10)) == 0)
     model = train_pair_matcher(train)
     scored = score_pairs(model, feats).persist()

@@ -206,6 +206,7 @@ def pair_features(
     max_broadcast_name_pairs: int | None = 5_000_000,
     dense_bow_dim: int | str | None = None,
     persisted_out: list | None = None,
+    max_broadcast_vec_bytes: int | None = None,
 ) -> DataFrame:
     """Attach per-side names/contexts and compute the feature columns.
 
@@ -232,6 +233,16 @@ def pair_features(
     EAGERLY at plan-construction time on every call — callers invoking
     pair_features repeatedly over the same records (sweeps, benchmarks)
     should resolve the knob once and pass the explicit dim (ADVICE r4).
+
+    ``max_broadcast_vec_bytes`` (dense path only): when set, the per-record
+    vector table broadcasts to both pair-join sides while its exactly-known
+    payload (rows * dim * 8 B) fits the budget, turning two shuffles of the
+    pair table into map-side hash joins. Off (None) by default: on a real
+    cluster the broadcast saves two network shuffles of the much larger
+    pair table, but on a single box shuffles are memory-local and the
+    driver collect costs more than it saves (interleaved A/B at sf0.1:
+    broadcast 36.5-41.6 s vs shuffle 30.7-38.5 s), so enabling it is a
+    deployment decision, not a default.
     """
     dense_bow_dim = resolve_dense_bow_dim(records, dense_bow_dim, text_col)
     if "name_a" in pairs.columns and "name_b" in pairs.columns:
@@ -266,13 +277,28 @@ def pair_features(
         name_feats = F.broadcast(name_feats)
     df = df.join(name_feats, ["name_a", "name_b"])
     if text_col and dense_bow_dim:
+        # persisted: the vector table feeds BOTH join sides — without the
+        # cache the per-record embedding UDF runs twice over all records
         vecs = records.select(
             F.col(rec_id_col).alias("_rid"),
             _dense_bow_udf(dense_bow_dim)(F.col(text_col)).alias("_v"),
-        )
+        ).persist()
+        if persisted_out is not None:
+            persisted_out.append(vecs)
+        # the dense payload size is exactly known (rows * dim * 8 B), so the
+        # vector joins can be broadcast under a byte budget — removing TWO
+        # shuffles of the (much larger) pair table. Past the budget (real
+        # corpora: billions of records) both joins stay shuffle joins.
+        va = vecs.select(F.col("_rid").alias("rec_id_a"), F.col("_v").alias("_va"))
+        vb = vecs.select(F.col("_rid").alias("rec_id_b"), F.col("_v").alias("_vb"))
+        if (
+            max_broadcast_vec_bytes is not None
+            and vecs.count() * dense_bow_dim * 8 <= max_broadcast_vec_bytes
+        ):
+            va, vb = F.broadcast(va), F.broadcast(vb)
         df = (
-            df.join(vecs.select(F.col("_rid").alias("rec_id_a"), F.col("_v").alias("_va")), "rec_id_a")
-            .join(vecs.select(F.col("_rid").alias("rec_id_b"), F.col("_v").alias("_vb")), "rec_id_b")
+            df.join(va, "rec_id_a")
+            .join(vb, "rec_id_b")
             .withColumn(
                 "cos_bow",
                 F.aggregate(
@@ -284,7 +310,12 @@ def pair_features(
             .drop("_va", "_vb")
         )
     elif text_col:
-        bows = record_bow(records, rec_id_col, text_col)
+        # persisted for the same two-consumer reason as the dense path; the
+        # sparse maps' byte size is data-dependent (no cheap exact bound), so
+        # these joins are never force-broadcast
+        bows = record_bow(records, rec_id_col, text_col).persist()
+        if persisted_out is not None:
+            persisted_out.append(bows)
         df = (
             df.join(
                 bows.select(
