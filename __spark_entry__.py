@@ -956,11 +956,14 @@ def q_er_fold_counts(spark, sf_dir):
     break the value hash against the er_anchor_counts oracle."""
     # the five per-fold slices must go through fold_filter's actual WHERE
     # clauses (collapsing them into one computed fold column would make the
-    # disjointness check tautological), so instead the shared extraction
-    # input is persisted for the gate's duration — the wikitext extraction
-    # runs once, not five times (ADVICE r4) — and the small result is
-    # collected so the cache can be dropped before returning.
-    pars = _paragraphs(spark, sf_dir).persist()
+    # disjointness check tautological). _paragraphs() is already persisted
+    # session-wide by _CACHE, so the wikitext extraction runs once, not five
+    # times (ADVICE r4); do NOT re-persist or unpersist it here — that cache
+    # object is shared by every other er_* gate in the sweep, and dropping it
+    # would silently re-run the extraction per consumer for the rest of the
+    # session. The small result is collected so the five-way union plan is
+    # evaluated exactly once.
+    pars = _paragraphs(spark, sf_dir)
     per_fold = None
     for f_i in range(5):
         c = anchor_counts(
@@ -978,7 +981,6 @@ def q_er_fold_counts(spark, sf_dir):
         )
     )
     rows = result.collect()
-    pars.unpersist()
     return spark.createDataFrame(rows, result.schema)
 
 
@@ -1317,12 +1319,15 @@ def _lsh_buckets_sql(seed: int, num_tables: int, num_planes: int, dim: int,
     )
 
 
-_SQL_COSINE = """list_sum(list_transform(range(1, 65),
-                  i -> qe.embedding[i::INT]::DOUBLE * ce.embedding[i::INT]::DOUBLE))
-         / (sqrt(list_sum(list_transform(range(1, 65),
-                  i -> qe.embedding[i::INT]::DOUBLE * qe.embedding[i::INT]::DOUBLE)))
-            * sqrt(list_sum(list_transform(range(1, 65),
-                  i -> ce.embedding[i::INT]::DOUBLE * ce.embedding[i::INT]::DOUBLE))))"""
+# list_reduce (NOT list_sum): a guaranteed left fold, bit-identical to the
+# Spark side's ann.fold_cosine (F.aggregate) — rank/threshold decisions in
+# the md5 ANN gates therefore cannot flip on summation-order float noise.
+_SQL_COSINE = """list_reduce(list_transform(range(1, 65),
+                  i -> qe.embedding[i::INT]::DOUBLE * ce.embedding[i::INT]::DOUBLE), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> qe.embedding[i::INT]::DOUBLE * qe.embedding[i::INT]::DOUBLE), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> ce.embedding[i::INT]::DOUBLE * ce.embedding[i::INT]::DOUBLE), (x, y) -> x + y)))"""
 
 
 def q_ann_lsh_topk(spark, sf_dir):

@@ -187,6 +187,28 @@ def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(num / den)
 
 
+def fold_cosine(a, b):
+    """Strict left-to-right double-fold cosine of two float vectors — the
+    oracle-path twin of ``cosine_udf``. Every term is cast float->double
+    (exact) before multiplying and summed with ``F.aggregate`` (a left fold
+    whose 0.0 init is IEEE-exact to fold-without-init), so the result is
+    bit-identical to DuckDB's ``list_reduce(list_transform(...), (x,y)->x+y)``
+    over the same element order. ``cosine_udf`` (numpy pairwise summation,
+    different rounding at ~1e-16) stays the perf default; the md5 hash
+    families use THIS so the rank/threshold decisions hashed by the ANN
+    value oracles cannot flip on summation-order noise between engines."""
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    den = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+    return F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(dot(a, b) / den)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -213,10 +235,11 @@ def lsh_topk(
     )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     cv = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    sim = fold_cosine("_qv", "_cv") if hash_family == "md5" else cosine_udf("_qv", "_cv")
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "vec_id")
-        .withColumn("sim", cosine_udf("_qv", "_cv"))
+        .withColumn("sim", sim)
         .drop("_qv", "_cv")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -324,7 +347,7 @@ def ivf_topk(
         scored = (
             cand.join(F.broadcast(qv), "query_id")
             .join(cv, "vec_id")
-            .withColumn("sim", cosine_udf("_qv", "_cv"))
+            .withColumn("sim", fold_cosine("_qv", "_cv"))
             .drop("_qv", "_cv")
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -417,10 +440,11 @@ def embedding_dups(
     cand = a.join(c, "bucket").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
     va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    sim = fold_cosine("_va", "_vb") if hash_family == "md5" else cosine_udf("_va", "_vb")
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("sim", cosine_udf("_va", "_vb"))
+        .withColumn("sim", sim)
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

@@ -155,7 +155,11 @@ def connected_components(
         .select(F.col("_rs").alias("src"), F.col("_rd").alias("dst"))
         .where(F.col("src") != F.col("dst"))
     )
-    comp_rep = _cc_iterate(_symmetrize(contracted).localCheckpoint(eager=True), max_iter)
+    # ``contracted`` is already symmetric: sym holds both orientations of
+    # every edge, and contraction maps them to both orientations of the
+    # representative edge — so distinct() suffices; a _symmetrize here would
+    # double the shuffle input of the largest exchange on this path.
+    comp_rep = _cc_iterate(contracted.distinct().localCheckpoint(eager=True), max_iter)
     return (
         m.join(comp_rep.withColumnRenamed("node", "rep"), "rep", "left")
         .select(

@@ -213,8 +213,10 @@ def pair_features(
     Output: (rec_id_a, rec_id_b, n_blocks, name_a, name_b,
              lev_sim, jacc3, jw, cos_bow).
 
-    The distinct name-pair feature table is persisted (its subplan contains
-    the whole pair-generation join — never evaluate that twice) and only
+    The distinct name-pair feature table is persisted when ``persisted_out``
+    is passed (its subplan contains the whole pair-generation join — never
+    evaluate that twice on the hot path; without a receiver nothing is
+    pinned, so repeated no-receiver calls cannot leak caches) and only
     broadcast-HINTED while it holds at most ``max_broadcast_name_pairs``
     rows; past the budget (LSH-banded cross-name pairs at web scale) the
     join back degrades to a shuffle join instead of a forced multi-GB
@@ -264,11 +266,14 @@ def pair_features(
             )
         )
     # name-level features once per distinct surface-form pair, joined back.
-    # The cache feeds the returned lazy plan, so it is handed to the caller
-    # via ``persisted_out`` for unpersist-after-materialize (ADVICE r3)
-    # rather than dropped here.
-    distinct_names = df.select("name_a", "name_b").distinct().persist()
+    # Caches feed the returned lazy plan, so they are persisted ONLY when the
+    # caller passes ``persisted_out`` to own the unpersist-after-materialize
+    # lifecycle (ADVICE r3); with no receiver nothing is pinned (a persist
+    # with no owner would leak executor memory for the session — the same
+    # contract as minhash_dups/ngram_jaccard_dups).
+    distinct_names = df.select("name_a", "name_b").distinct()
     if persisted_out is not None:
+        distinct_names = distinct_names.persist()
         persisted_out.append(distinct_names)
     name_feats = name_pair_features(distinct_names)
     if max_broadcast_name_pairs is None or (
@@ -277,13 +282,15 @@ def pair_features(
         name_feats = F.broadcast(name_feats)
     df = df.join(name_feats, ["name_a", "name_b"])
     if text_col and dense_bow_dim:
-        # persisted: the vector table feeds BOTH join sides — without the
-        # cache the per-record embedding UDF runs twice over all records
+        # persisted (receiver-owned): the vector table feeds BOTH join sides
+        # — without the cache the per-record embedding UDF runs twice over
+        # all records, so callers on the hot path should pass persisted_out
         vecs = records.select(
             F.col(rec_id_col).alias("_rid"),
             _dense_bow_udf(dense_bow_dim)(F.col(text_col)).alias("_v"),
-        ).persist()
+        )
         if persisted_out is not None:
+            vecs = vecs.persist()
             persisted_out.append(vecs)
         # the dense payload size is exactly known (rows * dim * 8 B), so the
         # vector joins can be broadcast under a byte budget — removing TWO
@@ -310,11 +317,12 @@ def pair_features(
             .drop("_va", "_vb")
         )
     elif text_col:
-        # persisted for the same two-consumer reason as the dense path; the
-        # sparse maps' byte size is data-dependent (no cheap exact bound), so
-        # these joins are never force-broadcast
-        bows = record_bow(records, rec_id_col, text_col).persist()
+        # persisted (receiver-owned) for the same two-consumer reason as the
+        # dense path; the sparse maps' byte size is data-dependent (no cheap
+        # exact bound), so these joins are never force-broadcast
+        bows = record_bow(records, rec_id_col, text_col)
         if persisted_out is not None:
+            bows = bows.persist()
             persisted_out.append(bows)
         df = (
             df.join(
