@@ -301,3 +301,54 @@ def test_minhash_dups_persisted_out_same_rows(spark, documents):
     assert caches and plain == cached
     for c in caches:
         c.unpersist()
+
+
+def test_fold_cosine_bitwise_matches_duckdb(spark):
+    """The md5 ANN oracle contract (r5): ann.fold_cosine must agree with the
+    DuckDB list_reduce left-fold cosine BIT FOR BIT (no rounding) on float32
+    vectors, so rank/threshold decisions hashed by the ANN value oracles can
+    never flip on summation-order float noise between the two engines."""
+    import random
+
+    import duckdb
+    import numpy as np
+
+    from minimel_spark.operators.ann import fold_cosine
+
+    rng = random.Random(7)
+    dim = 9  # odd + small: summation-order differences would show if present
+    vecs = [
+        [float(np.float32(rng.uniform(-2, 2))) for _ in range(dim)]
+        for _ in range(20)
+    ]
+    pairs = [(i, j) for i in range(20) for j in range(20) if i < j]
+    df = spark.createDataFrame(
+        [(i, j, vecs[i], vecs[j]) for i, j in pairs],
+        "i long, j long, _va array<float>, _vb array<float>",
+    )
+    got = {
+        (r["i"], r["j"]): r["sim"]
+        for r in df.withColumn("sim", fold_cosine("_va", "_vb")).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v (id BIGINT, e FLOAT[])")
+    con.executemany("INSERT INTO v VALUES (?, ?)", list(enumerate(vecs)))
+    fold = (
+        "list_reduce(list_transform(range(1, {d} + 1), "
+        "k -> a.e[k::INT]::DOUBLE * b.e[k::INT]::DOUBLE), (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_transform(range(1, {d} + 1), "
+        "k -> a.e[k::INT]::DOUBLE * a.e[k::INT]::DOUBLE), (x, y) -> x + y))"
+        " * sqrt(list_reduce(list_transform(range(1, {d} + 1), "
+        "k -> b.e[k::INT]::DOUBLE * b.e[k::INT]::DOUBLE), (x, y) -> x + y)))"
+    ).format(d=dim)
+    want = {
+        (i, j): s
+        for i, j, s in con.execute(
+            f"SELECT a.id, b.id, {fold} FROM v a JOIN v b ON a.id < b.id"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        # bitwise: compare the exact double payloads, not approximate
+        assert got[k].hex() == want[k].hex(), (k, got[k], want[k])

@@ -505,3 +505,37 @@ def test_pair_features_dense_bow_auto_select(spark, records):
     for bad in ("dense", -1, 0, 1.5, True):
         with _pytest.raises(ValueError, match="dense_bow_dim"):
             pair_features(pairs, records, name_col="anchor", dense_bow_dim=bad)
+
+
+def test_pair_features_no_cache_without_receiver(spark):
+    """pair_features must not pin caches it cannot hand to an owner: with no
+    persisted_out receiver the call may not grow the session's persistent-RDD
+    set (r5 review — an ownerless persist leaks executor memory for the
+    session), and the feature rows must be identical either way."""
+    records = spark.createDataFrame(
+        [("r%d" % i, "name%d" % (i % 3), "some text tokens %d" % i) for i in range(12)],
+        "rec_id string, name string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("r0", "r3", 1), ("r1", "r4", 1), ("r2", "r5", 2)],
+        "rec_id_a string, rec_id_b string, n_blocks int",
+    )
+
+    def rows(df):
+        return sorted(
+            (r["rec_id_a"], r["rec_id_b"], round(r["cos_bow"], 9))
+            for r in df.collect()
+        )
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    plain = rows(pair_features(pairs, records, name_col="name"))
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+    caches: list = []
+    cached = rows(
+        pair_features(pairs, records, name_col="name", persisted_out=caches)
+    )
+    assert caches
+    for c in caches:
+        c.unpersist(blocking=True)
+    assert plain == cached
