@@ -2200,6 +2200,206 @@ FROM range(64) r(i)"""
 
 
 # --------------------------------------------------------------------------
+# Corpus curation (decontamination / repetition QC / canonicalization /
+# stratified sampling / heavy hitters) — the training-data steps downstream
+# of the dedup family; operators in minimel_spark/operators/corpus.py
+# --------------------------------------------------------------------------
+
+
+def q_corpus_decontaminate(spark, sf_dir):
+    """GPT-3-style exact n-gram decontamination: flag training docs sharing
+    any word 5-gram with a held-out benchmark slice (doc_id % 17 == 0).
+    One row per TRAIN doc, hit or not. The join key is the md5-60 of the
+    n-gram (8-byte exchange payload), recomputed identically by the oracle."""
+    from minimel_spark.operators.corpus import ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    out = ngram_decontaminate(train, bench, n=5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        "contaminated",
+    )
+
+
+SQL_CORPUS_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+                                      i -> array_to_string(ws[i:i+4], ' '))) AS ngs
+  FROM w),
+b AS (
+  SELECT DISTINCT ('0x' || substr(md5(ng), 1, 15))::UBIGINT::BIGINT AS gk
+  FROM (SELECT unnest(ngs) AS ng FROM g WHERE doc_id % 17 = 0)),
+hits AS (
+  SELECT doc_id, count(b.gk) AS n_contaminated
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(unnest(ngs)), 1, 15))::UBIGINT::BIGINT AS gk
+        FROM g WHERE doc_id % 17 <> 0) t
+  LEFT JOIN b USING (gk)
+  GROUP BY doc_id)
+SELECT g.doc_id::BIGINT AS doc_id, len(g.ngs)::BIGINT AS n_ngrams,
+       coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       coalesce(h.n_contaminated, 0) > 0 AS contaminated
+FROM g LEFT JOIN hits h USING (doc_id)
+WHERE g.doc_id % 17 <> 0"""
+
+
+def q_corpus_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition QC signals + flag."""
+    from minimel_spark.operators.corpus import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_stats(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+        F.round("dup_3gram_frac", 6).alias("dup_3gram_frac"),
+        F.round("top_word_share", 6).alias("top_word_share"),
+        "repetitive",
+    )
+
+
+SQL_CORPUS_REPETITION = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS ws
+  FROM documents),
+f AS (
+  SELECT doc_id, len(ws) AS n_words,
+         CASE WHEN len(ws) > 0
+              THEN 1.0 - len(list_distinct(ws))::DOUBLE / len(ws) ELSE 0.0 END AS d1,
+         CASE WHEN len(ws) >= 2
+              THEN 1.0 - len(list_distinct(list_transform(range(1, len(ws)),
+                       i -> array_to_string(ws[i:i+1], ' '))))::DOUBLE / (len(ws) - 1)
+              ELSE 0.0 END AS d2,
+         CASE WHEN len(ws) >= 3
+              THEN 1.0 - len(list_distinct(list_transform(range(1, len(ws) - 1),
+                       i -> array_to_string(ws[i:i+2], ' '))))::DOUBLE / (len(ws) - 2)
+              ELSE 0.0 END AS d3
+  FROM w),
+tw2 AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_share
+  FROM (SELECT doc_id, word, count(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS word FROM w) u GROUP BY 1, 2) cc
+  GROUP BY doc_id)
+SELECT f.doc_id::BIGINT AS doc_id, f.n_words::BIGINT AS n_words,
+       round(f.d1, 6) AS dup_word_frac,
+       round(f.d2, 6) AS dup_2gram_frac,
+       round(f.d3, 6) AS dup_3gram_frac,
+       round(coalesce(tw2.top_share, 0.0), 6) AS top_word_share,
+       (f.d2 > 0.4 OR coalesce(tw2.top_share, 0.0) > 0.3) AS repetitive
+FROM f LEFT JOIN tw2 ON f.doc_id = tw2.doc_id"""
+
+
+def q_corpus_canonical_docs(spark, sf_dir):
+    """Duplicate-cluster canonicalization: near-dup pairs (3-gram jaccard
+    >= 0.2, lossless shared-shingle blocking) -> connected components ->
+    min-id canonical per cluster, every doc mapped (singletons to
+    themselves). The kept corpus is the ~is_duplicate slice."""
+    from minimel_spark.operators.corpus import canonicalize_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_dups(docs, threshold=0.2, n=3, max_docs_per_shingle=None)
+    out = canonicalize_duplicates(docs, pairs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "is_duplicate",
+    )
+
+
+SQL_CORPUS_CANONICAL = """
+WITH RECURSIVE
+w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                                      i -> array_to_string(ws[i:i+2], ' '))) AS sh
+  FROM w),
+e AS (
+  SELECT a.doc_id AS sa, b.doc_id AS sb
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(a.sh || b.sh)) >= 0.2),
+sym AS (SELECT sa AS s, sb AS d FROM e UNION SELECT sb, sa FROM e),
+walk(n, c) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.d, walk.c FROM walk JOIN sym ON sym.s = walk.n),
+comp AS (SELECT n, min(c) AS component FROM walk GROUP BY n)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(comp.component, d.doc_id)::BIGINT AS canonical_id,
+       d.doc_id <> coalesce(comp.component, d.doc_id) AS is_duplicate
+FROM documents d LEFT JOIN comp ON comp.n = d.doc_id"""
+
+
+def q_corpus_sample_stratified(spark, sf_dir):
+    """Deterministic md5-uniform stratified sample: per-lang keep rates
+    {en: 0.5, es: 0.3, zh: 0.2}, unlisted strata dropped. Membership is
+    content-hashed — identical at any parallelism — and the oracle
+    recomputes every u bit-for-bit (exact power-of-two division)."""
+    from minimel_spark.operators.corpus import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, {"en": 0.5, "es": 0.3, "zh": 0.2}, strata_col="lang")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.round("u", 6).alias("u"),
+    )
+
+
+SQL_CORPUS_SAMPLE = """
+WITH r(lang, rate) AS (
+  VALUES ('en', 0.5::DOUBLE), ('es', 0.3::DOUBLE), ('zh', 0.2::DOUBLE)),
+u AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':s0'), 1, 8))::UBIGINT
+           / 4294967296.0 AS u
+  FROM documents)
+SELECT u.doc_id::BIGINT AS doc_id, u.lang, round(u.u, 6) AS u
+FROM u JOIN r USING (lang) WHERE u.u < r.rate"""
+
+
+def q_corpus_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-25 word bigrams (heavy hitters): one partial-agg
+    shuffle on md5-60 keys + TakeOrderedAndProject, total order by
+    (count desc, ngram asc)."""
+    from minimel_spark.operators.corpus import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    out = top_ngrams(docs, n=2, k=25)
+    return out.select("ngram", F.col("cnt").cast("long").alias("cnt"))
+
+
+SQL_CORPUS_TOP_NGRAMS = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS ws
+  FROM documents),
+g AS (
+  SELECT array_to_string(ws[i:i+1], ' ') AS ngram
+  FROM w, LATERAL unnest(range(1, greatest(len(ws) - 1, 0) + 1)) t(i)
+  WHERE len(ws) >= 2)
+SELECT ngram, count(*)::BIGINT AS cnt
+FROM g GROUP BY ngram
+ORDER BY cnt DESC, ngram ASC LIMIT 25"""
+
+
+# --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
 
@@ -2281,18 +2481,27 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tsv_predictions_roundtrip": q_tsv_predictions_roundtrip,
     "er_upperbound": q_er_upperbound,
     "er_disambig_links": q_er_disambig_links,
-    # relational
-    "rel_percentile_brands": q_rel_percentile_brands,
-    "rel_entropy_segments": q_rel_entropy_segments,
-    "rel_except": q_rel_except,
-    "rel_sessionize": q_rel_sessionize,
-    "rel_hourly_events": q_rel_hourly_events,
+    # corpus curation (NEW r5: decontamination, repetition QC,
+    # dup-cluster canonicalization, stratified sampling, heavy hitters) —
+    # placed inside the sampling window so they get driver rows immediately;
+    # the five rel_* gates they displace are r4-driver-green, so
+    # union(CORRECTNESS_r04, CORRECTNESS_r05) still covers every query
+    "corpus_decontaminate": q_corpus_decontaminate,
+    "corpus_repetition": q_corpus_repetition,
+    "corpus_canonical_docs": q_corpus_canonical_docs,
+    "corpus_sample_stratified": q_corpus_sample_stratified,
+    "corpus_top_ngrams": q_corpus_top_ngrams,
     # structured streaming (stream==batch, same oracle as rel_hourly_events)
     "stream_hourly_events": q_stream_hourly_events,
     "stream_sessionize": q_stream_sessionize,
     # multimodal plumbing
     "mm_features": q_mm_features,
-    # --- tail (positions 51-60): driver-green in r4, rotated past the cap ---
+    # --- tail (positions 51-65): driver-green in r4, rotated past the cap ---
+    "rel_percentile_brands": q_rel_percentile_brands,
+    "rel_entropy_segments": q_rel_entropy_segments,
+    "rel_except": q_rel_except,
+    "rel_sessionize": q_rel_sessionize,
+    "rel_hourly_events": q_rel_hourly_events,
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_language_id": q_text_language_id,
@@ -2368,6 +2577,11 @@ _ORACLES: dict[str, str] = {
     "stream_hourly_events": SQL_REL_HOURLY,
     "stream_sessionize": SQL_REL_SESSIONIZE,
     "mm_features": SQL_MM_FEATURES,
+    "corpus_decontaminate": SQL_CORPUS_DECONTAMINATE,
+    "corpus_repetition": SQL_CORPUS_REPETITION,
+    "corpus_canonical_docs": SQL_CORPUS_CANONICAL,
+    "corpus_sample_stratified": SQL_CORPUS_SAMPLE,
+    "corpus_top_ngrams": SQL_CORPUS_TOP_NGRAMS,
 }
 
 

@@ -190,6 +190,11 @@ def main():
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from minimel_spark.operators.corpus import (
+        ngram_decontaminate,
+        repetition_stats,
+        top_ngrams,
+    )
     from minimel_spark.operators.dedup import simhash_dups
     from minimel_spark.operators.embed import embed_hashed
 
@@ -214,6 +219,28 @@ def main():
         t0 = time.time()
         n_ann = brute_force_topk(emb, emb.where(F.col("vec_id") < 64), k=10).count()
         rec("ann_topk", time.time() - t0)
+
+        # corpus-curation family (operators/corpus.py, new r5): same split
+        # as the gates — doc_id % 17 == 0 is the held-out benchmark slice
+        t0 = time.time()
+        n_contam = (
+            ngram_decontaminate(
+                docs.where(F.col("doc_id") % 17 != 0),
+                docs.where(F.col("doc_id") % 17 == 0),
+                n=5,
+            )
+            .where("contaminated")
+            .count()
+        )
+        rec("corpus_decontaminate", time.time() - t0)
+
+        t0 = time.time()
+        n_repetitive = repetition_stats(docs).where("repetitive").count()
+        rec("corpus_repetition", time.time() - t0)
+
+        t0 = time.time()
+        n_top = top_ngrams(docs, n=2, k=25).count()
+        rec("corpus_top_ngrams", time.time() - t0)
 
     q = {k: round(min(v), 2) for k, v in times.items()}
     q_median = {
@@ -242,6 +269,9 @@ def main():
         "n_simhash_pairs": n_simdups,
         "n_embedded": n_emb,
         "n_ann_rows": n_ann,
+        "n_contaminated_docs": n_contam,
+        "n_repetitive_docs": n_repetitive,
+        "n_top_ngrams": n_top,
     }
     spark.stop()
 

@@ -1,0 +1,282 @@
+"""Corpus-curation operators for LLM training-data pipelines: benchmark
+decontamination, repetition-based quality filtering, duplicate-cluster
+canonicalization, deterministic stratified sampling, and corpus-wide n-gram
+heavy hitters.
+
+These have no counterpart in the reference (minimEL stops at entity linking);
+they are the operations a 100-TB pretraining-data pipeline runs next to the
+dedup/ANN family (`dedup.py`, `ann.py`). Everything here is built-in Spark
+expressions (JVM, whole-stage codegen) — no Python in any hot path — and every
+operator is deterministic and DuckDB-oracle-checkable, using the same
+md5-derived hash trick the dedup family uses (`dedup.py:126-151`): md5 is the
+one hash both engines can recompute bit-for-bit.
+
+Scale notes are inline per operator; the common theme is that each one is a
+single shuffle (or none) over keys that are either already 64-bit or hashed
+down to 64-bit before the exchange, so payload width — not row count — is
+what the plan optimizes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .cluster import connected_components
+from .util import ensure_min_parallelism
+
+# Word segmentation shared by every operator here (and by the DuckDB oracles:
+# regexp_split_to_array(lower(text), '\\W+') with empties filtered).
+_WORD_SPLIT = r"\W+"
+
+
+def _words(text_col: str) -> F.Column:
+    return F.filter(F.split(F.lower(F.col(text_col)), _WORD_SPLIT), lambda w: w != "")
+
+
+def _word_ngrams(words: F.Column, n: int) -> F.Column:
+    """All word n-grams (space-joined), [] when the doc is shorter than n.
+
+    The guard matters: ``F.sequence(1, size - n + 1)`` DESCENDS when
+    size < n (Spark sequences run backwards for start > stop), which would
+    fabricate out-of-range slices instead of yielding no n-grams.
+    """
+    if n == 1:
+        return words
+    count = F.size(words) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def md5_long60(col: F.Column) -> F.Column:
+    """First 60 bits of md5 as a non-negative BIGINT — the join-key compressor.
+
+    Reproducible in ANSI SQL as ``('0x' || substr(md5(x), 1, 15))::UBIGINT``,
+    same family as the md5 minhash signatures (`dedup.py:207-211`). 60 bits
+    keeps the value positive in a signed 64-bit column and makes collisions
+    negligible (~n²/2⁶¹) at any corpus size.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents sharing any word n-gram with a benchmark set
+    (the GPT-3/Llama-style exact n-gram decontamination filter; n=13 is the
+    published default).
+
+    Returns one row per train document: (doc_id, n_ngrams, n_contaminated,
+    contaminated) — n_contaminated counts the document's DISTINCT n-grams
+    that appear anywhere in the benchmark.
+
+    Scale: the join runs on the 60-bit md5 of each n-gram, not the n-gram
+    string, so the exchange moves 8-byte keys instead of ~100-byte texts
+    (the distinct-per-doc dedup happens BEFORE the explode-join, bounding
+    fan-out at words-per-doc per row). The benchmark side is distinct-ed to
+    one row per n-gram and left to AQE: benchmarks are small (MBs) next to
+    a 100-TB train side, so AQE plans the broadcast at runtime without the
+    driver having to collect or size anything. Train docs with no hits are
+    preserved by aggregating the left join, never re-scanning the corpus.
+    The train side gets the shared input-parallelism guard (`util.py`): the
+    n-gram/md5 map stage is the CPU cost here, and a small test file would
+    otherwise run it on one core.
+    """
+    train = ensure_min_parallelism(train, id_col)
+    tg = train.select(
+        id_col, F.array_distinct(_word_ngrams(_words(text_col), n)).alias("ngrams")
+    ).select(
+        id_col,
+        F.size("ngrams").alias("n_ngrams"),
+        F.explode_outer(F.transform(F.col("ngrams"), md5_long60)).alias("gk"),
+    )
+    bg = (
+        benchmark.select(F.explode(_word_ngrams(_words(text_col), n)).alias("ng"))
+        .select(md5_long60(F.col("ng")).alias("gk"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        tg.join(bg, "gk", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_ngrams").alias("n_ngrams"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_contaminated"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated") > 0)
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_2gram_frac: float = 0.4,
+    max_top_word_share: float = 0.3,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals + a `repetitive` flag.
+
+    Per doc: n_words, dup_word_frac / dup_2gram_frac / dup_3gram_frac
+    (fraction of n-gram OCCURRENCES that are repeats of an earlier one,
+    i.e. 1 − distinct/total), and top_word_share (most frequent word's share
+    of all words). `repetitive` fires on the two published-style thresholds.
+
+    Scale: the n-gram fractions are a pure map over each row (no shuffle);
+    top_word_share is the one aggregation — explode → per-(doc, word) count
+    → per-doc max/sum, a single partial-agg-friendly shuffle keyed by
+    (doc_id, word). No arrays are carried through the exchange. The input
+    is guarded once (`util.ensure_min_parallelism`) so both the map and the
+    agg branch inherit full-width parallelism on narrow test scans.
+    """
+    docs = ensure_min_parallelism(docs, id_col)
+    words = _words(text_col)
+    frac = {}
+    for n in (1, 2, 3):
+        ng = _word_ngrams(words, n)
+        total = F.size(ng)
+        frac[n] = F.when(
+            total > 0, 1.0 - F.size(F.array_distinct(ng)) / total
+        ).otherwise(F.lit(0.0))
+    base = docs.select(
+        id_col,
+        F.size(words).alias("n_words"),
+        frac[1].alias("dup_word_frac"),
+        frac[2].alias("dup_2gram_frac"),
+        frac[3].alias("dup_3gram_frac"),
+    )
+    per_word = (
+        docs.select(id_col, F.explode(words).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg((F.max("c") / F.sum("c")).alias("top_word_share"))
+    )
+    return (
+        base.join(per_word, id_col, "left")
+        .withColumn("top_word_share", F.coalesce("top_word_share", F.lit(0.0)))
+        .withColumn(
+            "repetitive",
+            (F.col("dup_2gram_frac") > max_dup_2gram_frac)
+            | (F.col("top_word_share") > max_top_word_share),
+        )
+    )
+
+
+def canonicalize_duplicates(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse a near-duplicate pair graph into a kept corpus: connected
+    components over (id_a, id_b) edges, canonical = min id per component,
+    every document mapped to its canonical (singletons to themselves).
+
+    This is the step after any of the dedup operators (`dedup.py`,
+    `ann.py:261`): they emit verified duplicate PAIRS; training-data curation
+    needs the transitive closure and one kept representative per group.
+    Returns (doc_id, canonical_id, is_duplicate); the deduplicated corpus is
+    the `~is_duplicate` slice.
+
+    Scale: `connected_components` pre-contracts locally-known connectivity
+    (`cluster.py:123`) so dup cliques — the common shape, since near-dup
+    groups are usually mutually similar — collapse before the iterative
+    loop; the final mapping is one left join keyed by doc id.
+    """
+    edges = dup_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges)
+    return (
+        docs.select(id_col)
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+        )
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float] | float,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling: keep a row iff its
+    md5-uniform u(id, salt) < fraction(stratum).
+
+    Unlike ``df.sample`` (RNG per task, changes with partitioning and
+    retries), membership here depends only on row CONTENT — the sample is
+    identical at any parallelism, resumable, and reproducible in SQL
+    (u = ('0x' || substr(md5(id || ':' || salt), 1, 8))::UBIGINT / 2^32).
+    A float applies one rate to every stratum; a dict gives per-stratum
+    rates, unlisted strata dropped — the per-lang rebalance a multilingual
+    pretraining mix needs.
+
+    Scale: pure map + one broadcast-sized join against the |strata|-row rate
+    table; no shuffle of the corpus, filter runs inside the scan's codegen
+    stage.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(2**32))
+    )
+    out = df.withColumn("u", u)
+    if isinstance(fractions, dict):
+        rates = df.sparkSession.createDataFrame(
+            [(k, float(v)) for k, v in sorted(fractions.items())],
+            f"{strata_col} string, _rate double",
+        )
+        out = out.join(F.broadcast(rates), strata_col)
+    else:
+        out = out.withColumn("_rate", F.lit(float(fractions)))
+    return out.where(F.col("u") < F.col("_rate")).drop("_rate")
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by occurrence count (heavy hitters),
+    ties broken by n-gram text so the result is a total order.
+
+    The exact corpus-frequency profile quality pipelines cut boilerplate
+    with (and the denominator for stop-n-gram lists like the blocking
+    caps in `blocking.py`).
+
+    Scale: explode → groupBy(ngram-key) is ONE shuffle with map-side partial
+    aggregation (counts combine before the exchange); the final top-k is
+    Spark's TakeOrderedAndProject — per-partition heaps of size k merged on
+    the driver, never a global sort. The group key is the md5-60 of the
+    n-gram with the text carried via max() (single-valued per key), so the
+    exchange moves 8-byte keys.
+    """
+    ng = (
+        ensure_min_parallelism(docs, id_col)
+        .select(F.explode(_word_ngrams(_words(text_col), n)).alias("ngram"))
+        .select(md5_long60(F.col("ngram")).alias("gk"), "ngram")
+    )
+    counts = ng.groupBy("gk").agg(
+        F.max("ngram").alias("ngram"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        counts.orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+        .select("ngram", "cnt")
+    )

@@ -1,0 +1,128 @@
+"""Corpus-curation operator tests: decontamination, repetition stats,
+duplicate canonicalization, stratified sampling, top-k n-grams."""
+
+import hashlib
+from collections import Counter
+
+import pyspark.sql.functions as F
+import pytest
+
+from minimel_spark.operators.corpus import (
+    canonicalize_duplicates,
+    md5_long60,
+    ngram_decontaminate,
+    repetition_stats,
+    stratified_sample,
+    top_ngrams,
+)
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pywords(t):
+    import re
+
+    return [w for w in re.split(r"\W+", t.lower()) if w]
+
+
+def _pyngrams(t, n):
+    ws = _pywords(t)
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+
+def test_md5_long60_matches_python(spark):
+    df = spark.createDataFrame([("alpha beta",), ("x",)], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", md5_long60(F.col("s")).alias("h")).collect()}
+    for s, h in got.items():
+        assert h == int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    train = _mkdocs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated words only here nothing shared at all"),
+            (3, "short"),
+        ],
+    )
+    bench = _mkdocs(spark, [(100, "we saw the quick brown fox jumps over a fence")])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_decontaminate(train, bench, n=5).collect()
+    }
+    assert set(out) == {1, 2, 3}  # every train doc present, hit or not
+    assert out[1]["contaminated"] and out[1]["n_contaminated"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_contaminated"] == 0
+    # doc 3 is shorter than n: zero n-grams, not contaminated, no fabricated
+    # descending-sequence slices
+    assert out[3]["n_ngrams"] == 0 and not out[3]["contaminated"]
+    # exact hit count: distinct 5-grams of doc1 that appear in the benchmark
+    b5 = set(_pyngrams("we saw the quick brown fox jumps over a fence", 5))
+    t5 = set(_pyngrams("the quick brown fox jumps over the lazy dog today", 5))
+    assert out[1]["n_contaminated"] == len(t5 & b5)
+
+
+def test_repetition_stats_matches_python(spark):
+    rows = [
+        (1, "a a a a b"),
+        (2, "one two three four five six"),
+        (3, ""),
+        (4, "x y x y x y x y"),
+    ]
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(_mkdocs(spark, rows)).collect()}
+    for doc_id, text in rows:
+        ws = _pywords(text)
+        got = out[doc_id]
+        assert got["n_words"] == len(ws)
+        for n, col in ((1, "dup_word_frac"), (2, "dup_2gram_frac"), (3, "dup_3gram_frac")):
+            ng = _pyngrams(text, n)
+            want = 1.0 - len(set(ng)) / len(ng) if ng else 0.0
+            assert got[col] == pytest.approx(want), (doc_id, col)
+        want_top = max(Counter(ws).values()) / len(ws) if ws else 0.0
+        assert got["top_word_share"] == pytest.approx(want_top)
+    assert out[4]["repetitive"] and not out[2]["repetitive"]
+
+
+def test_canonicalize_duplicates_transitive(spark):
+    docs = _mkdocs(spark, [(i, f"d{i}") for i in range(1, 8)])
+    # 1-2, 2-3 (transitive chain), 5-6; 4 and 7 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r.asDict() for r in canonicalize_duplicates(docs, pairs).collect()}
+    assert {d: o["canonical_id"] for d, o in out.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7,
+    }
+    kept = {d for d, o in out.items() if not o["is_duplicate"]}
+    assert kept == {1, 4, 5, 7}
+
+
+def test_stratified_sample_deterministic_and_content_hashed(spark, documents):
+    frac = {"en": 0.5, "zh": 0.1}
+    a = stratified_sample(documents, frac, strata_col="lang")
+    b = stratified_sample(documents.repartition(7), frac, strata_col="lang")
+    ra = sorted(r["doc_id"] for r in a.collect())
+    assert ra == sorted(r["doc_id"] for r in b.collect())  # partitioning-invariant
+    # membership is recomputable from content
+    for r in a.limit(20).collect():
+        u = int(hashlib.md5(f"{r['doc_id']}:s0".encode()).hexdigest()[:8], 16) / 2**32
+        assert u < frac[r["lang"]]
+        assert r["u"] == pytest.approx(u)
+    # unlisted strata are dropped
+    assert a.where(~F.col("lang").isin(*frac)).count() == 0
+    # scalar rate applies everywhere
+    n_all = stratified_sample(documents, 1.0, strata_col="lang").count()
+    assert n_all == documents.count()
+
+
+def test_top_ngrams_matches_python(spark):
+    rows = [(1, "a b a b c"), (2, "a b x y"), (3, "a b a b")]
+    got = [(r["ngram"], r["cnt"]) for r in top_ngrams(_mkdocs(spark, rows), n=2, k=3).collect()]
+    cnt = Counter()
+    for _, t in rows:
+        cnt.update(_pyngrams(t, 2))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == want
