@@ -280,3 +280,140 @@ def top_ngrams(
         .limit(k)
         .select("ngram", "cnt")
     )
+
+
+def dup_ngram_coverage(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    heavy_frac: float = 0.5,
+    max_docs_per_ngram: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document coverage by word n-grams that repeat across documents —
+    the repeated-substring signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), at n-gram rather than
+    suffix-array granularity.
+
+    For each document: n_words, covered_words (distinct word positions
+    lying inside at least one n-gram that occurs in >= min_docs distinct
+    documents), covered_frac, and a `dup_heavy` flag at `heavy_frac`. The
+    curation action is to drop or trim dup-heavy documents; unlike the
+    pairwise dedup family this measures HOW MUCH of each document is
+    boilerplate, not just whether a similar document exists.
+
+    Scale: three shuffles, all on narrow keys — (1) distinct (doc, gram-md5)
+    then count by 8-byte gram key to find the repeated grams; (2) the
+    occurrence table semi-joins that key set (AQE broadcasts it when small);
+    (3) distinct (doc, position) after exploding each hit into its n covered
+    positions, bounding that stage at n x hits rows of 16 bytes. Nothing
+    carries the gram STRING past the first md5 map. `max_docs_per_ngram`
+    optionally drops grams above a document-frequency ceiling (the
+    stop-shingle cap of `dedup.py`) — at web scale a handful of universal
+    boilerplate grams would otherwise dominate stage (3); capping them
+    UNDERCOUNTS coverage for exactly the documents the flag would already
+    catch, and the default (None) keeps exact semantics.
+    """
+    docs = ensure_min_parallelism(docs, id_col)
+    base = docs.select(
+        id_col, F.size(_words(text_col)).alias("n_words")
+    )
+    occ = docs.select(
+        id_col, F.posexplode(_word_ngrams(_words(text_col), n)).alias("pos", "ngram")
+    ).select(
+        id_col,
+        (F.col("pos") + 1).alias("start"),
+        md5_long60(F.col("ngram")).alias("gk"),
+    )
+    df_counts = (
+        occ.select(id_col, "gk")
+        .distinct()
+        .groupBy("gk")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    dup = df_counts.where(F.col("df") >= min_docs)
+    if max_docs_per_ngram is not None:
+        dup = dup.where(F.col("df") <= max_docs_per_ngram)
+    covered = (
+        occ.join(dup.select("gk"), "gk", "semi")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias(
+                "wpos"
+            ),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("covered_words"))
+    )
+    frac = F.when(
+        F.col("n_words") > 0, F.col("covered_words") / F.col("n_words")
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(covered, id_col, "left")
+        .withColumn("covered_words", F.coalesce("covered_words", F.lit(0)))
+        .withColumn("covered_frac", frac)
+        .withColumn("dup_heavy", F.col("covered_frac") >= heavy_frac)
+    )
+
+
+def vocab_oov(
+    docs: DataFrame,
+    vocab_size: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency vocabulary construction + per-document OOV stats —
+    the tokenizer-prep step: build the top-`vocab_size` word vocabulary by
+    corpus occurrence count (ties broken by word, a total order) and score
+    every document by how much of it falls outside that vocabulary.
+
+    Returns (doc_id, n_words, n_oov, oov_frac) with OOV counted WITH
+    multiplicity. High-OOV documents are the ones a fixed tokenizer would
+    shred into bytes — the standard pre-tokenizer corpus health check.
+
+    Scale: two partial-agg shuffles — corpus word counts keyed by the word
+    string (short keys, map-side combine collapses to |vocab| rows per
+    partition), and per-(doc, word) counts so the vocab join input is
+    distinct words per doc, not every token. The top-V cut is
+    TakeOrderedAndProject (per-partition heaps of size V, no global sort)
+    and the V-row vocabulary broadcasts exactly.
+    """
+    docs = ensure_min_parallelism(docs, id_col)
+    words = _words(text_col)
+    corpus_counts = (
+        docs.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = (
+        corpus_counts.orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    per_doc_word = (
+        docs.select(id_col, F.explode(words).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = (
+        per_doc_word.join(F.broadcast(vocab), "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), F.col("c")).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )
+    frac = F.when(
+        F.col("n_words") > 0, F.col("n_oov") / F.col("n_words")
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select(id_col)
+        .join(stats, id_col, "left")
+        .withColumn("n_words", F.coalesce("n_words", F.lit(0)))
+        .withColumn("n_oov", F.coalesce("n_oov", F.lit(0)))
+        .withColumn("oov_frac", frac)
+    )

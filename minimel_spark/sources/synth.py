@@ -159,7 +159,7 @@ rank = dense alphabetical rank of the word within the document corpus vocabulary
 Words of length <= 3 stay plain text. One paragraph per document."""
 
 
-def doc_vocab(docs: DataFrame) -> DataFrame:
+def doc_vocab(docs: DataFrame, truncate: bool = True) -> DataFrame:
     """Vocabulary dimension: word -> base qid (dense alphabetical rank).
 
     The rank is computed as a two-level distributed sort (VERDICT r4 #6, same
@@ -173,7 +173,16 @@ def doc_vocab(docs: DataFrame) -> DataFrame:
     of strictly-smaller prefixes — bounded |alphabet|^2 work on an already
     tiny frame, never a single-partition window or an eager
     plan-construction collect), so building the fixture plan costs no Spark
-    jobs (ADVICE-shaped fix, r5 review)."""
+    jobs (ADVICE-shaped fix, r5 review).
+
+    The result is handed back through a LAZY ``localCheckpoint``: the logical
+    plan becomes a single LogicalRDD leaf immediately (still zero jobs at
+    build time) and the vocab computes once on first use. Without this, every
+    consumer inlines the explode+distinct+window+triangle-join subtree at its
+    leaves, and the pipeline's self-joins (blocking, pair features, CC
+    symmetrize) DOUBLE that subtree per level — the mega-block pipeline test
+    hit ~100 MB task binaries whose deserialization alone took minutes
+    (r5 fix: plan-size blowup, found via a hung pytest + jstack)."""
     from pyspark.sql import Window
 
     words = (
@@ -190,12 +199,16 @@ def doc_vocab(docs: DataFrame) -> DataFrame:
         .agg(F.coalesce(F.sum("_m"), F.lit(0)).cast("long").alias("_off"))
     )
     w = Window.partitionBy("_p").orderBy("word")
-    return (
+    ranked = (
         words.withColumn("_p", pref)
         .join(F.broadcast(offsets), "_p")
         .withColumn("base_qid", (F.dense_rank().over(w) + F.col("_off")).cast("long"))
         .drop("_p", "_off")
     )
+    # truncate=False exposes the raw plan (used by the plan-shape pytest,
+    # which asserts no SinglePartition exchange INSIDE the vocab computation
+    # — the outer LogicalRDD leaf would hide it)
+    return ranked.localCheckpoint(eager=False) if truncate else ranked
 
 
 def pages_from_documents(docs: DataFrame) -> DataFrame:

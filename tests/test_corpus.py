@@ -126,3 +126,84 @@ def test_top_ngrams_matches_python(spark):
         cnt.update(_pyngrams(t, 2))
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert got == want
+
+
+def test_dup_ngram_coverage_matches_python(spark):
+    from minimel_spark.operators.corpus import dup_ngram_coverage
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "xx alpha beta gamma delta epsilon yy zz"),  # shares a 5-gram with 1
+        (3, "one two three four five six seven"),  # unique
+        (4, "one two three four five nine ten"),  # shares 'one..five' with 3
+        (5, "tiny"),  # shorter than n: zero grams
+    ]
+    n = 5
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dup_ngram_coverage(_mkdocs(spark, rows), n=n, heavy_frac=0.5).collect()
+    }
+    # brute-force reference
+    grams = {i: _pyngrams(t, n) for i, t in rows}
+    from collections import Counter as C
+
+    df = C()
+    for i, gs in grams.items():
+        for g in set(gs):
+            df[g] += 1
+    for i, t in rows:
+        ws = _pywords(t)
+        cov = set()
+        for s, g in enumerate(grams[i]):
+            if df[g] >= 2:
+                cov.update(range(s, s + n))
+        assert got[i]["n_words"] == len(ws)
+        assert got[i]["covered_words"] == len(cov)
+        frac = len(cov) / len(ws) if ws else 0.0
+        assert got[i]["covered_frac"] == pytest.approx(frac)
+        assert got[i]["dup_heavy"] == (frac >= 0.5)
+    # every doc present, including the sub-n one
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[5]["covered_words"] == 0 and not got[5]["dup_heavy"]
+
+
+def test_dup_ngram_coverage_cap_drops_frequent_grams(spark):
+    from minimel_spark.operators.corpus import dup_ngram_coverage
+
+    shared = "a b c d e"
+    rows = [(i, shared) for i in range(1, 5)] + [(9, "p q r s t")]
+    # df('a b c d e') = 4 > cap 3 -> dropped, nothing covered
+    out = dup_ngram_coverage(
+        _mkdocs(spark, rows), n=5, max_docs_per_ngram=3
+    )
+    assert out.agg(F.sum("covered_words")).first()[0] == 0
+
+
+def test_vocab_oov_matches_python(spark):
+    from minimel_spark.operators.corpus import vocab_oov
+
+    rows = [
+        (1, "a a a b b c rare1"),
+        (2, "a b c c rare2 rare2"),
+        (3, "a b"),
+        (4, ""),  # empty doc: 0/0 -> 0.0
+    ]
+    V = 3
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in vocab_oov(_mkdocs(spark, rows), vocab_size=V).collect()
+    }
+    cnt = Counter()
+    for _, t in rows:
+        cnt.update(_pywords(t))
+    vocab = set(
+        w for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    )
+    for i, t in rows:
+        ws = _pywords(t)
+        oov = sum(1 for w in ws if w not in vocab)
+        assert got[i]["n_words"] == len(ws)
+        assert got[i]["n_oov"] == oov
+        assert got[i]["oov_frac"] == pytest.approx(oov / len(ws) if ws else 0.0)
+    assert set(got) == {1, 2, 3, 4}
+    assert got[4]["n_words"] == 0 and got[4]["oov_frac"] == 0.0

@@ -418,5 +418,14 @@ def test_doc_vocab_rank_dense_alphabetical_no_global_window(spark):
         {w for _, t, _ in texts for w in t.split() if len(w) > 3}
     )
     assert got == {w: i + 1 for i, w in enumerate(vocab)}
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the default (truncated) result must be a single RDD-scan leaf — the
+    # r5 plan-blowup guard: consumers inline ONE leaf, not the whole
+    # explode+window+triangle-join subtree
+    plan_outer = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan_outer or "LogicalRDD" in plan_outer, plan_outer
+    # the raw (untruncated) computation must stay free of single-partition
+    # exchanges (the old global Window.orderBy funneled the vocabulary
+    # through one task)
+    raw = doc_vocab(docs, truncate=False)
+    plan = raw._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
