@@ -1573,11 +1573,13 @@ def _topk_recall_row(
             (F.coalesce("_h", F.lit(0)) / F.col("_ne")).alias("_recall"),
         )
     )
+    # the mean attaches via a broadcast 1-row aggregate, not a global
+    # (empty-partition) window — same result, no single-partition WindowExec
+    avg_df = per_q.agg((F.avg("_recall") >= F.lit(floor)).alias("avg_ok"))
     return per_q.select(
         F.col("query_id").cast("long").alias("query_id"),
         (F.col("_recall") >= F.lit(per_query_floor)).alias("recall_ok"),
-        (F.avg("_recall").over(Window.partitionBy()) >= F.lit(floor)).alias("avg_ok"),
-    )
+    ).crossJoin(F.broadcast(avg_df))
 
 
 def q_ann_lsh_recall(spark, sf_dir):
@@ -2573,6 +2575,98 @@ SELECT d.doc_id::BIGINT AS doc_id,
 FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id"""
 
 
+def q_corpus_pack_sequences(spark, sf_dir):
+    """Sequence packing (corpus.pack_sequences): documents concatenated in
+    (md5(doc_id), doc_id) order, token stream cut into budget-64 sequences.
+    Budget 64 < typical doc length here, so n_seqs > 1 rows are live. The
+    distributed two-level prefix sum must equal DuckDB's global window
+    cumsum bit for bit — the strongest check there is that the ORDER and
+    the SUM are both exact."""
+    from minimel_spark.operators.corpus import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences(docs, budget=64)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "start_tok",
+        "start_seq",
+        "start_off",
+        "n_seqs",
+    )
+
+
+SQL_CORPUS_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                         x -> x <> ''))::BIGINT AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS start_tok
+  FROM t)
+SELECT doc_id::BIGINT AS doc_id, n_tokens, start_tok,
+       (start_tok // 64)::BIGINT AS start_seq,
+       (start_tok % 64)::BIGINT AS start_off,
+       (CASE WHEN n_tokens = 0 THEN 0
+             ELSE (start_tok + n_tokens - 1) // 64 - start_tok // 64 + 1
+        END)::BIGINT AS n_seqs
+FROM c"""
+
+
+def q_stream_dedup_events(spark, sf_dir):
+    """Streaming exact dedup (streaming/ingest.py stream_exact_dedup):
+    TWO file streams over the same events parquet union into a stream where
+    every event arrives twice; dropDuplicatesWithinWatermark (2 h lateness
+    budget on ts) must emit each event_id exactly once, whether the
+    duplicate lands in the same micro-batch (in-batch dedup), a later batch
+    inside the watermark (state hit), or past it (late-drop). Oracle: the
+    plain events table."""
+    import shutil
+    import tempfile
+
+    from minimel_spark.streaming.ingest import (
+        run_to_sink,
+        stream_events,
+        stream_exact_dedup,
+    )
+
+    a = stream_events(spark, sf_dir, glob="events.parquet")
+    b = stream_events(spark, sf_dir, glob="events.parquet")
+    deduped = stream_exact_dedup(a.unionByName(b), key_cols=("event_id",))
+    out_dir = tempfile.mkdtemp(prefix="minimel_stream_dedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="minimel_stream_dedup_ckpt_")
+    q = run_to_sink(
+        deduped.select("event_id", "event_type", "user_id", "value"),
+        ckpt,
+        out_path=out_dir,
+        output_mode="append",
+        query_name="stream_dedup_gate",
+    )
+    try:
+        assert q.awaitTermination(300), "streaming drain did not finish"
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_id::BIGINT AS event_id, event_type,
+       user_id::BIGINT AS user_id, round(value, 6) AS value
+FROM events"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -2602,8 +2696,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # er_disambig_links, all driver-green in r3) rotate back inside the first 50;
 # EVERY gate displaced past the cap to make room for the eight new r5
 # corpus_* gates (text_*, rel_*, stream_*, mm_features) has a green r4
-# driver row, so union(CORRECTNESS_r04, CORRECTNESS_r05) covers all 68
-# queries. The full local sweep (scripts/check_entry.py) still runs all 68.
+# driver row, so union(CORRECTNESS_r04, CORRECTNESS_r05) covers all 70
+# queries. The full local sweep (scripts/check_entry.py) still runs all 70.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ER pipeline (SURVEY §2: P2, P6-P9, A1-A3, A5-A6, A12, O1, M1-M3, L2, A10/J7)
     "er_anchor_counts": q_er_anchor_counts,
@@ -2628,8 +2722,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pair_features": q_pair_features,
     # dedup
     "dedup_exact": q_dedup_exact,
-    "dedup_jaccard_words": q_dedup_jaccard_words,
-    "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     # ANN
@@ -2672,7 +2764,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pii_scrub": q_corpus_pii_scrub,
     "corpus_dup_coverage": q_corpus_dup_coverage,
     "corpus_vocab_oov": q_corpus_vocab_oov,
-    # --- tail (positions 51-68): driver-green in r4, rotated past the cap ---
+    # third batch (NEW r5): sequence packing + streaming dedup — in-window
+    # so they get driver rows immediately; the two gates they displace
+    # (dedup_jaccard_words, dedup_jaccard_3gram) are r4-driver-green
+    "corpus_pack_sequences": q_corpus_pack_sequences,
+    "stream_dedup_events": q_stream_dedup_events,
+    # --- tail (positions 51-70): driver-green in r4, rotated past the cap ---
     # structured streaming (stream==batch, same oracle as rel_hourly_events)
     "stream_hourly_events": q_stream_hourly_events,
     "stream_sessionize": q_stream_sessionize,
@@ -2693,6 +2790,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_anti_join": q_rel_anti_join,
     "rel_semi_join": q_rel_semi_join,
     "rel_full_outer_align": q_rel_full_outer_align,
+    "dedup_jaccard_words": q_dedup_jaccard_words,
+    "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2766,6 +2865,8 @@ _ORACLES: dict[str, str] = {
     "corpus_pii_scrub": SQL_CORPUS_PII,
     "corpus_dup_coverage": SQL_CORPUS_DUP_COVERAGE,
     "corpus_vocab_oov": SQL_CORPUS_VOCAB_OOV,
+    "corpus_pack_sequences": SQL_CORPUS_PACK,
+    "stream_dedup_events": SQL_STREAM_DEDUP,
 }
 
 

@@ -268,7 +268,7 @@ def quantile_top_shadowed(cands_ranked: DataFrame, quantile: float) -> DataFrame
     web scale (TakeOrderedAndProject), so instead
 
     1. aggregate shadowed rows per distinct weight (small table: one row per
-       distinct count value) and window-cumsum it to find the boundary weight —
+       distinct count value) and prefix-sum it to find the boundary weight —
        every weight strictly above it is kept whole;
     2. only rows AT the boundary weight are ranked (by ``anchor desc, qid
        desc``) and cut to the remainder — a single-weight slice, not the
@@ -276,22 +276,48 @@ def quantile_top_shadowed(cands_ranked: DataFrame, quantile: float) -> DataFrame
 
     ``n_shadowed`` is folded into the same aggregation (no mid-plan driver
     ``count()`` action recomputing the upstream plan).
+
+    The per-distinct-weight prefix sum itself is DISTRIBUTED (same two-level
+    shape as ``byte_pack_buckets``/``doc_vocab``): weights bucket by
+    ``floor(log2(weight))`` — order-preserving because weight is the
+    reference's ``int(cnt * factor) + 1`` >= 1 (clean.py:205-211) — the
+    within-bucket cumsum runs under a PARTITIONED window, and the <= 64-row
+    per-bucket subtotal table supplies cross-bucket offsets via a broadcast
+    triangle join and the global total via a broadcast 1-row aggregate. The
+    old global ``Window.orderBy(desc(weight))`` funneled every distinct
+    weight through one task (and WARNed on every run).
     """
     shadowed = cands_ranked.where(F.col("rank") > 1)
     wn = shadowed.groupBy("weight").agg(F.count(F.lit(1)).alias("_wn"))
-    # cumulative rows at strictly-greater weights; total via an unbounded sum
-    w_desc = Window.orderBy(F.desc("weight"))
-    stats = wn.select(
-        "weight",
-        "_wn",
-        F.coalesce(
-            F.sum("_wn").over(w_desc.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias("_cum_gt"),
-        F.sum("_wn").over(
-            w_desc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("_n"),
-    ).withColumn("_keep_n", F.floor(F.lit(float(quantile)) * F.col("_n")))
+    wn = wn.withColumn("_b", F.floor(F.log2("weight")).cast("long"))
+    bsub = wn.groupBy("_b").agg(F.sum("_wn").alias("_bn"))
+    offs = (
+        bsub.alias("a")
+        .join(bsub.alias("b"), F.col("b._b") > F.col("a._b"), "left")
+        .groupBy(F.col("a._b").alias("_b"))
+        .agg(F.coalesce(F.sum("b._bn"), F.lit(0)).alias("_off"))
+    )
+    tot = bsub.agg(F.sum("_bn").alias("_n"))
+    w_desc = Window.partitionBy("_b").orderBy(F.desc("weight"))
+    stats = (
+        wn.join(F.broadcast(offs), "_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "weight",
+            "_wn",
+            (
+                F.coalesce(
+                    F.sum("_wn").over(
+                        w_desc.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+                + F.col("_off")
+            ).alias("_cum_gt"),
+            "_n",
+        )
+        .withColumn("_keep_n", F.floor(F.lit(float(quantile)) * F.col("_n")))
+    )
     full_weights = stats.where(
         F.col("_cum_gt") + F.col("_wn") <= F.col("_keep_n")
     ).select("weight")

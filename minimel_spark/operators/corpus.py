@@ -20,7 +20,7 @@ what the plan optimizes.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from .cluster import connected_components
 from .util import ensure_min_parallelism
@@ -416,4 +416,75 @@ def vocab_oov(
         .withColumn("n_words", F.coalesce("n_words", F.lit(0)))
         .withColumn("n_oov", F.coalesce("n_oov", F.lit(0)))
         .withColumn("oov_frac", frac)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 1024,
+    n_ranges: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step between dedup and the
+    trainer in every pretraining pipeline (T5/GPT-style): documents are laid
+    end-to-end in a deterministic order and the token stream is cut into
+    fixed-``budget`` sequences. Returns, per document: n_tokens, the global
+    start offset in the concatenated stream (start_tok), the sequence it
+    starts in (start_seq = start_tok // budget), its offset inside that
+    sequence (start_off), and how many sequences it spans (n_seqs — 1 for
+    everything shorter than a budget remainder, 0 for empty docs).
+
+    The order is (md5_long60(doc_id), doc_id) — content-independent, total,
+    and recomputable bit-for-bit by the DuckDB oracle (unlike xxhash64, see
+    `byte_pack_buckets` which stays on the cheaper JVM hash for the
+    perf path). The global token prefix sum is DISTRIBUTED with the same
+    two-level shape as `byte_pack_buckets`/`quantile_top_shadowed`: the
+    uniform 60-bit hash space splits into ``n_ranges`` fixed bit-shift
+    ranges, the within-range cumsum runs under a PARTITIONED window, and the
+    <= n_ranges-row per-range subtotal table supplies cross-range offsets
+    via a broadcast triangle join — no collect, no single-partition
+    exchange, fully lazy. Size ``n_ranges`` so n_docs/n_ranges rows of
+    ~24 B fit one task at the target scale.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    k = max(1, (n_ranges - 1).bit_length())
+    docs = ensure_min_parallelism(docs, id_col)
+    t = docs.select(
+        id_col,
+        F.size(_words(text_col)).cast("long").alias("n_tokens"),
+        md5_long60(F.col(id_col).cast("string")).alias("_h"),
+    ).withColumn("_rg", F.shiftright("_h", 60 - k))
+    rsub = t.groupBy("_rg").agg(F.sum("n_tokens").alias("_rn"))
+    offs = (
+        rsub.alias("a")
+        .join(rsub.alias("b"), F.col("b._rg") < F.col("a._rg"), "left")
+        .groupBy(F.col("a._rg").alias("_rg"))
+        .agg(F.coalesce(F.sum("b._rn"), F.lit(0)).alias("_off"))
+    )
+    w = Window.partitionBy("_rg").orderBy("_h", id_col)
+    start = (
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        + F.col("_off")
+    ).alias("start_tok")
+    out = t.join(F.broadcast(offs), "_rg").select(id_col, "n_tokens", start)
+    b = F.lit(int(budget))
+    return out.select(
+        id_col,
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / b).cast("long").alias("start_seq"),
+        (F.col("start_tok") % b).alias("start_off"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / b)
+            - F.floor(F.col("start_tok") / b)
+            + 1
+        )
+        .cast("long")
+        .alias("n_seqs"),
     )

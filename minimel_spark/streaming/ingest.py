@@ -237,3 +237,32 @@ def run_to_sink(
     return writer.outputMode(output_mode).format("memory").queryName(
         query_name
     ).start()
+
+
+def stream_exact_dedup(
+    events: DataFrame, key_cols: tuple = ("event_id",), delay: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup — the unbounded-ingest twin of the batch dedup
+    family (`operators/dedup.py` exact_dups): drop records whose key was
+    already seen, keeping per-key state only until the watermark passes the
+    key's event time + ``delay`` (``dropDuplicatesWithinWatermark``), so
+    state is bounded by the lateness budget instead of the corpus size — a
+    plain streaming ``dropDuplicates`` would hold every key ever seen.
+
+    A record arriving after its duplicate's state was evicted is itself
+    below the watermark and dropped as late, so each key still emits at most
+    once; the trade is that a LEGITIMATE record delayed past ``delay`` is
+    dropped too — size the watermark to the ingest pipeline's real lateness.
+    Append-mode compatible: rows emit as they arrive (no window to finalize),
+    so this goes straight to a parquet sink.
+
+    Watermarks require a zoned TIMESTAMP; the parquet ``ts`` is
+    TIMESTAMP_NTZ, so it is cast first (stable: the session timezone is
+    pinned UTC in `minimel_spark.session`).
+    """
+    return (
+        events.withColumn("_wm_ts", F.col("ts").cast("timestamp"))
+        .withWatermark("_wm_ts", delay)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+        .drop("_wm_ts")
+    )

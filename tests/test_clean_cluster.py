@@ -193,6 +193,16 @@ def test_quantile_top_shadowed_no_global_sort_limit(spark, fixture_counts):
     out = quantile_top_shadowed(ranked, quantile=0.5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" not in plan
+    # and the distinct-weight prefix sum must be the two-level partitioned
+    # form, never a global single-partition window (r5: log2-bucketed
+    # within-bucket cumsum + broadcast triangle-join offsets). The only
+    # SinglePartition exchanges allowed are the 1-row scalar-aggregate
+    # reduces (the global total) — never a Sort/Window funnel.
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            above = " ".join(lines[max(0, i - 2) : i])
+            assert "Window" not in above and "Sort" not in above, plan
 
 
 def test_clean_strict_world_every_filter_fires(spark, sf_dir):

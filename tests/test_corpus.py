@@ -207,3 +207,66 @@ def test_vocab_oov_matches_python(spark):
         assert got[i]["oov_frac"] == pytest.approx(oov / len(ws) if ws else 0.0)
     assert set(got) == {1, 2, 3, 4}
     assert got[4]["n_words"] == 0 and got[4]["oov_frac"] == 0.0
+
+
+def test_pack_sequences_matches_python(spark):
+    from minimel_spark.operators.corpus import md5_long60, pack_sequences
+
+    rows = [
+        (1, "a b c d e f g"),  # 7 tokens
+        (2, "h i j"),  # 3
+        (3, ""),  # 0 — must not advance the stream
+        (4, "k l m n o p q r s t u v"),  # 12
+        (5, "w"),  # 1
+    ]
+    B = 5
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in pack_sequences(_mkdocs(spark, rows), budget=B).collect()
+    }
+    # python reference: same (md5_60(doc_id), doc_id) order, global cumsum
+    import hashlib
+
+    def h60(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    order = sorted(rows, key=lambda r: (h60(r[0]), r[0]))
+    cum = 0
+    for i, t in order:
+        tok = len(_pywords(t))
+        g = got[i]
+        assert g["n_tokens"] == tok
+        assert g["start_tok"] == cum
+        assert g["start_seq"] == cum // B
+        assert g["start_off"] == cum % B
+        want_seqs = 0 if tok == 0 else (cum + tok - 1) // B - cum // B + 1
+        assert g["n_seqs"] == want_seqs, (i, g, want_seqs)
+        cum += tok
+    assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    from minimel_spark.operators.corpus import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 9))) for i in range(1, 60)]
+    a = sorted(map(tuple, pack_sequences(_mkdocs(spark, rows), budget=7).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(_mkdocs(spark, rows).repartition(13), budget=7).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    from minimel_spark.operators.corpus import pack_sequences
+
+    rows = [(i, "x y z") for i in range(1, 20)]
+    out = pack_sequences(_mkdocs(spark, rows), budget=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            above = " ".join(lines[max(0, i - 2) : i])
+            assert "Window" not in above and "Sort" not in above, plan

@@ -202,3 +202,45 @@ def test_stream_sessionize_stateful_equals_batch(spark, tmp_path):
         (2, 2): (1, 40 * 60 * 1_000_000),
         (2, 3): (1, 80 * 60 * 1_000_000),
     }
+
+
+def test_stream_exact_dedup_emits_each_key_once(spark, tmp_path):
+    """Two file streams over the same events slice union into a
+    double-delivery stream; dropDuplicatesWithinWatermark must emit each
+    event_id exactly once and match the batch distinct."""
+    import pyspark.sql.functions as F
+
+    from minimel_spark.streaming.ingest import (
+        run_to_sink,
+        stream_events,
+        stream_exact_dedup,
+    )
+
+    src = str(tmp_path / "events_src")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("event_id"),
+        (F.timestamp_seconds(1_700_000_000 + F.col("id") * 60))
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        (F.col("id") % 7).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        (F.col("id") * 1.5).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    base.write.parquet(src)
+    dup = stream_events(spark, src).unionByName(stream_events(spark, src))
+    out = stream_exact_dedup(dup, key_cols=("event_id",), delay="1 hour")
+    sink = str(tmp_path / "dedup_out")
+    q = run_to_sink(
+        out.select("event_id", "user_id", "value"),
+        str(tmp_path / "dedup_ckpt"),
+        out_path=sink,
+        output_mode="append",
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    want = sorted(map(tuple, base.select("event_id", "user_id", "value").collect()))
+    assert got == want
