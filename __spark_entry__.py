@@ -2668,6 +2668,202 @@ FROM events"""
 
 
 # --------------------------------------------------------------------------
+# Web-snapshot curation gates (round 5): URL canonicalization, newest-
+# version-wins crawl dedup, per-domain quotas, snapshot diff — over the
+# deterministic multi-snapshot fixture synth.snapshot_pages (see
+# SNAPSHOT_PAGES_NOTE). The oracles rebuild the raw URLs from documents with
+# md5 arithmetic and re-canonicalize them with an INDEPENDENT regexp/list
+# chain in DuckDB, so the normalization semantics are value-pinned.
+# --------------------------------------------------------------------------
+
+# Shared oracle prelude: documents -> (doc_id, snapshot, url, warc_ts, text,
+# lang, canonical_url). Mirrors synth.snapshot_pages + web.canonical_url.
+_SQL_SNAPSHOT_CANON = """
+base AS (
+  SELECT doc_id, text, lang,
+         ('0x' || substr(md5('w:' || doc_id), 1, 15))::UBIGINT AS u
+  FROM documents),
+snaps AS (
+  SELECT b.*, s.snapshot,
+         ('0x' || substr(md5(b.doc_id || ':s' || s.snapshot), 1, 15))::UBIGINT AS v
+  FROM base b JOIN (VALUES (0::BIGINT), (1::BIGINT)) s(snapshot)
+    ON (s.snapshot = 0 AND b.u % 11 <> 0)
+    OR (s.snapshot = 1 AND b.u % 13 <> 0)),
+pages AS (
+  SELECT doc_id, snapshot,
+         (CASE WHEN v % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+         (CASE WHEN v % 3 = 0 THEN 'www.' ELSE '' END) ||
+         'h' || (u % 37) || '.example.org' ||
+         (CASE WHEN v % 5 = 0
+               THEN (CASE WHEN v % 2 = 0 THEN ':80' ELSE ':443' END)
+               ELSE '' END) ||
+         '/doc/' || doc_id || (CASE WHEN v % 7 = 0 THEN '/' ELSE '' END) ||
+         (CASE WHEN v % 2 = 0 THEN '?id=' || doc_id || '&utm_source=feed'
+               ELSE '?utm_campaign=x&ref=rss&id=' || doc_id END) ||
+         (CASE WHEN v % 11 = 0 THEN '#sec' || (v % 4) ELSE '' END) AS url,
+         (DATE '2024-01-01'
+          + ((u % 28)::BIGINT + snapshot * 45)::INT)::TIMESTAMP AS warc_ts,
+         CASE WHEN snapshot = 1 AND u % 4 = 0
+              THEN text || ' updated' ELSE text END AS text,
+         lang
+  FROM snaps),
+c1 AS (
+  SELECT *, regexp_replace(regexp_replace(url, '#.*', ''),
+                           '^[a-zA-Z][a-zA-Z0-9+.\\-]*://', '') AS rest
+  FROM pages),
+c2 AS (
+  SELECT *,
+         regexp_replace(regexp_replace(
+             lower(regexp_extract(rest, '^([^/?]*)', 1)),
+             '^www\\.', ''), ':(80|443)$', '') AS chost,
+         regexp_replace(rest, '^[^/?]*', '') AS pathq
+  FROM c1),
+c3 AS (
+  SELECT *,
+         regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS cpath,
+         array_to_string(list_sort(list_filter(
+             str_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+             p -> p <> '' AND NOT regexp_matches(
+                 p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)'))), '&') AS ckept
+  FROM c2),
+canon AS (
+  SELECT doc_id, snapshot, url, warc_ts, text, lang,
+         chost || cpath ||
+         (CASE WHEN ckept <> '' THEN '?' || ckept ELSE '' END) AS canonical_url
+  FROM c3)"""
+
+
+def q_web_canonical_urls(spark, sf_dir):
+    """URL canonicalization over the multi-snapshot crawl fixture: fragment /
+    scheme / www. / default-port / trailing-slash / tracking-param / param-
+    order noise all collapse to one canonical key per logical page. Pure
+    codegen expressions (operators/web.py:canonical_url); the oracle
+    re-canonicalizes the same raw URLs with an independent DuckDB
+    regexp/list chain."""
+    from minimel_spark.operators.web import canonical_url, url_domain
+    from minimel_spark.sources.synth import snapshot_pages
+
+    pages = snapshot_pages(_t(spark, sf_dir, "documents"))
+    canon = canonical_url(F.col("url"))
+    return pages.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("snapshot").cast("long").alias("snapshot"),
+        "url",
+        canon.alias("canonical_url"),
+        url_domain(canon).alias("domain"),
+    )
+
+
+SQL_WEB_CANONICAL = f"""
+WITH {_SQL_SNAPSHOT_CANON}
+SELECT doc_id::BIGINT AS doc_id, snapshot::BIGINT AS snapshot, url,
+       canonical_url,
+       regexp_extract(canonical_url, '^([^/?]*)', 1) AS domain
+FROM canon"""
+
+
+def q_web_latest_snapshot(spark, sf_dir):
+    """Newest-version-wins crawl dedup: ONE max_by hash aggregation per
+    canonical URL (no window/sort), ties total-ordered by raw URL. The
+    oracle takes the row_number-over-(ts desc, url desc) winner per
+    canonical key."""
+    from minimel_spark.operators.web import latest_snapshots
+    from minimel_spark.sources.synth import snapshot_pages
+
+    pages = snapshot_pages(_t(spark, sf_dir, "documents"))
+    out = latest_snapshots(pages)
+    return out.select(
+        "canonical_url",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("snapshot").cast("long").alias("snapshot"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("n_snapshots").cast("long").alias("n_snapshots"),
+    )
+
+
+SQL_WEB_LATEST = f"""
+WITH {_SQL_SNAPSHOT_CANON},
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY canonical_url
+                            ORDER BY warc_ts DESC, url DESC) AS rn,
+         count(*) OVER (PARTITION BY canonical_url) AS n_snapshots
+  FROM canon)
+SELECT canonical_url, doc_id::BIGINT AS doc_id, snapshot::BIGINT AS snapshot,
+       strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       n_snapshots::BIGINT AS n_snapshots
+FROM ranked WHERE rn = 1"""
+
+
+def q_web_domain_quota(spark, sf_dir):
+    """Per-domain quota (max 5 pages/host) over the deduped crawl: md5-rank
+    selection is content-hashed, so the kept set is identical at any
+    parallelism. One shuffle on the domain key."""
+    from minimel_spark.operators.web import domain_quota, latest_snapshots
+    from minimel_spark.sources.synth import snapshot_pages
+
+    latest = latest_snapshots(snapshot_pages(_t(spark, sf_dir, "documents")))
+    out = domain_quota(latest, max_per_domain=5)
+    return out.select(
+        "domain",
+        "canonical_url",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("domain_rank").cast("long").alias("domain_rank"),
+    )
+
+
+SQL_WEB_DOMAIN_QUOTA = f"""
+WITH {_SQL_SNAPSHOT_CANON},
+latest AS (
+  SELECT canonical_url, doc_id
+  FROM (SELECT canonical_url, doc_id,
+               row_number() OVER (PARTITION BY canonical_url
+                                  ORDER BY warc_ts DESC, url DESC) AS rn
+        FROM canon) WHERE rn = 1),
+rk AS (
+  SELECT regexp_extract(canonical_url, '^([^/?]*)', 1) AS domain,
+         canonical_url, doc_id,
+         row_number() OVER (
+             PARTITION BY regexp_extract(canonical_url, '^([^/?]*)', 1)
+             ORDER BY ('0x' || substr(md5(canonical_url), 1, 15))::UBIGINT,
+                      canonical_url) AS domain_rank
+  FROM latest)
+SELECT domain, canonical_url, doc_id::BIGINT AS doc_id,
+       domain_rank::BIGINT AS domain_rank
+FROM rk WHERE domain_rank <= 5"""
+
+
+def q_web_snapshot_diff(spark, sf_dir):
+    """Crawl-to-crawl diff: snapshot-0 vs snapshot-1 slices full-outer-joined
+    on the canonical key, every URL classified added / removed / changed /
+    unchanged by md5 text fingerprint. One join, codegen'd classifier."""
+    from minimel_spark.operators.web import canonical_url, snapshot_diff
+    from minimel_spark.sources.synth import snapshot_pages
+
+    pages = snapshot_pages(_t(spark, sf_dir, "documents")).select(
+        "snapshot",
+        canonical_url(F.col("url")).alias("canonical_url"),
+        F.md5(F.col("text")).alias("fingerprint"),
+    )
+    return snapshot_diff(
+        pages.where(F.col("snapshot") == 0),
+        pages.where(F.col("snapshot") == 1),
+    )
+
+
+SQL_WEB_SNAPSHOT_DIFF = f"""
+WITH {_SQL_SNAPSHOT_CANON}
+SELECT coalesce(o.canonical_url, n.canonical_url) AS canonical_url,
+       CASE WHEN o.canonical_url IS NULL THEN 'added'
+            WHEN n.canonical_url IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM (SELECT canonical_url, md5(text) AS fp FROM canon WHERE snapshot = 0) o
+FULL JOIN (SELECT canonical_url, md5(text) AS fp FROM canon WHERE snapshot = 1) n
+  ON o.canonical_url = n.canonical_url"""
+
+
+# --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
 
@@ -2730,11 +2926,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_embedding_dups": q_ann_embedding_dups,
     "dedup_embed_hashed": q_dedup_embed_hashed,
-    # recall gates for the approximate family
-    "dedup_minhash_recall": q_dedup_minhash_recall,
-    "ann_lsh_recall": q_ann_lsh_recall,
-    "ann_ivf_recall": q_ann_ivf_recall,
-    "ann_embdup_recall": q_ann_embdup_recall,
+    # web-snapshot curation (NEW r5, fourth batch): URL canonicalization,
+    # newest-version-wins dedup, domain quotas, snapshot diff — in-window so
+    # they get driver rows immediately; the four recall gates they displace
+    # (dedup_minhash_recall, ann_*_recall) are r4-driver-green, preserving
+    # union coverage across rounds
+    "web_canonical_urls": q_web_canonical_urls,
+    "web_latest_snapshot": q_web_latest_snapshot,
+    "web_domain_quota": q_web_domain_quota,
+    "web_snapshot_diff": q_web_snapshot_diff,
     # er_* family rotated back inside the sampling window (r5; r3-green +
     # r4-tail — see the rotation note above)
     "er_anchor_counts_joined": q_er_anchor_counts_joined,
@@ -2769,7 +2969,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (dedup_jaccard_words, dedup_jaccard_3gram) are r4-driver-green
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "stream_dedup_events": q_stream_dedup_events,
-    # --- tail (positions 51-70): driver-green in r4, rotated past the cap ---
+    # --- tail (positions 51+): driver-green in r4, rotated past the cap ---
+    # recall gates for the approximate family (r4-green; the primary
+    # approximate gates now carry full md5-mode value oracles in-window)
+    "dedup_minhash_recall": q_dedup_minhash_recall,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "ann_embdup_recall": q_ann_embdup_recall,
     # structured streaming (stream==batch, same oracle as rel_hourly_events)
     "stream_hourly_events": q_stream_hourly_events,
     "stream_sessionize": q_stream_sessionize,
@@ -2867,6 +3073,10 @@ _ORACLES: dict[str, str] = {
     "corpus_vocab_oov": SQL_CORPUS_VOCAB_OOV,
     "corpus_pack_sequences": SQL_CORPUS_PACK,
     "stream_dedup_events": SQL_STREAM_DEDUP,
+    "web_canonical_urls": SQL_WEB_CANONICAL,
+    "web_latest_snapshot": SQL_WEB_LATEST,
+    "web_domain_quota": SQL_WEB_DOMAIN_QUOTA,
+    "web_snapshot_diff": SQL_WEB_SNAPSHOT_DIFF,
 }
 
 

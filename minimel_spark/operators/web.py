@@ -1,0 +1,172 @@
+"""Web-snapshot curation operators (SURVEY §4 LLM-pipeline family, round 5):
+URL canonicalization, latest-snapshot-per-URL dedup, per-domain quotas, and
+snapshot diffing over Common-Crawl-style page tables
+``(url, warc_ts, html, text, lang)`` — the exact input shape the north rule
+names. The reference (bennokr/minimEL) consumes pre-extracted Wikipedia dumps
+and has no crawl-curation layer; these operators supply the upstream stages a
+100-TB Common-Crawl corpus needs before the ER pipeline (minimel/prepare.py's
+dump-selection role, re-expressed for crawl snapshots).
+
+Scale design (all JVM-side expressions; no UDF, no driver state):
+
+- ``canonical_url`` is a pure column expression (regexp + array ops inside
+  whole-stage codegen), so canonicalization adds zero shuffles and pushes
+  through any downstream partitioning.
+- ``latest_snapshots`` is ONE hash aggregation on the canonical key
+  (map-side partial ``max_by`` then final) — the standard newest-version-wins
+  crawl dedup, no window, no sort.
+- ``domain_quota`` ranks within domains by a content hash (md5-derived, so
+  the kept set is partition- and parallelism-invariant) — one shuffle on the
+  domain key; skewed mega-domains are bounded by the quota itself (the rank
+  filter drops the tail as soon as the per-key heap passes ``max_per_domain``
+  under AQE; for pathological single-domain corpora, pre-aggregate with
+  ``F.min_by`` top-k semantics or salt the rank as in blocking.cap_blocks).
+- ``snapshot_diff`` is ONE full-outer join on the canonical key, the
+  added/removed/changed classifier evaluated as codegen'd expressions.
+
+Every operator is DuckDB-oracle-checked bit-for-bit in ``__spark_entry__``
+(the canonicalization regex/array chain is recomputed independently in ANSI
+SQL), so the URL normalization semantics are pinned, not just exercised.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Tracking parameters dropped during canonicalization (the common
+# analytics/click-id families). Matched as a whole parameter name.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"
+
+
+def md5_rank(col: Column) -> Column:
+    """60-bit md5-derived content hash (first 15 hex chars, non-negative in a
+    signed long) — the deterministic, parallelism-invariant ordering key this
+    repo standardizes on because DuckDB recomputes it bit-for-bit as
+    ``('0x' || substr(md5(x), 1, 15))::UBIGINT`` (same family as
+    corpus.md5_long60 / blocking._seeded_hash('md5'))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL, entirely as codegen'd expressions.
+
+    Normalization (each step mirrors what crawl dedup pipelines key on):
+    fragment dropped; scheme dropped (http/https unified); host lowercased,
+    leading ``www.`` and default ports ``:80``/``:443`` stripped; trailing
+    slashes on the path stripped; tracking query parameters
+    (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``, ``ref``) removed and the
+    surviving parameters sorted bytewise so parameter order never splits a
+    page into two keys.
+
+    The result is ``host + path [+ '?' + sorted_kept_query]``. Pure column
+    expression: usable in any select/filter/groupBy without a shuffle.
+    """
+    nofrag = F.regexp_replace(url, r"#.*", "")
+    rest = F.regexp_replace(nofrag, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
+    host = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        host, path, F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit(""))
+    )
+
+
+def url_domain(canonical: Column) -> Column:
+    """Registered host of an already-canonical URL (everything before the
+    first '/' or '?')."""
+    return F.regexp_extract(canonical, r"^([^/?]*)", 1)
+
+
+def latest_snapshots(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Newest-version-wins crawl dedup: one row per canonical URL carrying the
+    payload of the latest snapshot (ties broken by the raw URL string so the
+    winner is total-ordered, hence parallelism-invariant).
+
+    Output: every input column (the latest snapshot's values) plus
+    ``canonical_url`` and ``n_snapshots``. Single hash aggregation —
+    ``max_by`` runs map-side partial then final, so at 10^12 rows this is one
+    shuffle of one (struct) value per canonical key, not a window sort.
+    """
+    payload = F.struct(
+        F.col(ts_col).alias("_ts"), F.col(url_col).alias("_u"), F.struct(*pages.columns).alias("_row")
+    )
+    agg = pages.groupBy(canonical_url(F.col(url_col)).alias("canonical_url")).agg(
+        F.max(payload).alias("_best"),
+        F.count(F.lit(1)).alias("n_snapshots"),
+    )
+    return agg.select(
+        "canonical_url",
+        F.col("_best._row.*"),
+        "n_snapshots",
+    )
+
+
+def domain_quota(
+    pages: DataFrame,
+    max_per_domain: int,
+    url_col: str = "canonical_url",
+) -> DataFrame:
+    """Per-domain document quota: keep at most ``max_per_domain`` pages per
+    registered host, chosen by md5-derived content-hash rank (URL tie-break)
+    so the kept set is deterministic at any parallelism — the per-domain cap
+    every crawl-curation pipeline applies so one mega-site cannot dominate
+    the training mix.
+
+    Adds ``domain`` and ``domain_rank`` (1-based) to the kept rows. One
+    shuffle on the domain key; the rank window partitions by domain, so no
+    single-partition sort exists at any scale.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy(
+        md5_rank(F.col(url_col)), F.col(url_col)
+    )
+    return (
+        pages.withColumn("domain", url_domain(F.col(url_col)))
+        .withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("domain_rank") <= max_per_domain)
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "canonical_url",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Crawl-to-crawl diff: classify every canonical URL present in either
+    snapshot as ``added`` (new only), ``removed`` (old only), ``changed``
+    (both, fingerprints differ) or ``unchanged``. ONE full-outer join on the
+    canonical key (the J7 gold⋈pred alignment shape, minimel/evaluate.py:60,
+    applied to crawl snapshots); the classifier is a codegen'd CASE.
+
+    Inputs must be one-row-per-canonical-URL (e.g. ``latest_snapshots``
+    output, or per-snapshot slices of it)."""
+    o = old.select(F.col(url_col), F.col(fp_col).alias("_fp_old"))
+    n = new.select(F.col(url_col), F.col(fp_col).alias("_fp_new"))
+    return o.join(n, url_col, "full_outer").select(
+        url_col,
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -265,6 +265,94 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
     return pages
 
 
+SNAPSHOT_PAGES_NOTE = """Construction contract for the crawl-snapshot fixture
+(web_* gates): every documents.parquet row spawns up to two crawl snapshots
+(s in {0, 1}) of one logical page, with md5-derived noise so URL
+canonicalization has real work to do. Per doc: u = md5-60('w:' || doc_id)
+(page-stable), v = md5-60(doc_id || ':s' || s) (snapshot-level noise).
+host = 'h' || (u % 37) || '.example.org'; raw url =
+scheme(v%2: http/https) :// [www. if v%3=0] host [default port if v%5=0]
+/doc/<doc_id> [trailing / if v%7=0] ? query(v%2 picks param order +
+utm_/ref tracking params) [#sec<v%4> if v%11=0]. All snapshots of a doc
+canonicalize to 'h<u%37>.example.org/doc/<doc_id>?id=<doc_id>'. Presence:
+s=0 exists unless u%11=0 ('added' in the diff), s=1 unless u%13=0
+('removed'). warc_ts = DATE 2024-01-01 + (u%28 + s*45) days (s=1 strictly
+newer). text: s=0 verbatim; s=1 appends ' updated' when u%4=0 ('changed').
+Every branch is md5 arithmetic + string concat, so DuckDB rebuilds the raw
+URLs bit-for-bit and the oracles canonicalize them independently."""
+
+
+def snapshot_pages(docs: DataFrame) -> DataFrame:
+    """(doc_id, snapshot, url, warc_ts, text, lang) per SNAPSHOT_PAGES_NOTE —
+    a deterministic multi-snapshot crawl slice of the north-rule page shape.
+    Pure built-in expressions (md5/conv/concat/date_add), no UDF; input scan
+    spread across cores like pages_from_documents."""
+    from ..operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs, "doc_id")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w:"), F.col("doc_id"))), 1, 15), 16, 10
+    ).cast("long")
+    rows = (
+        docs.withColumn("_u", u)
+        .select(
+            "doc_id", "text", "lang", "_u",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("snapshot"),
+        )
+        .where(
+            ((F.col("snapshot") == 0) & (F.col("_u") % 11 != 0))
+            | ((F.col("snapshot") == 1) & (F.col("_u") % 13 != 0))
+        )
+    )
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id"), F.lit(":s"), F.col("snapshot"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    rows = rows.withColumn("_v", v)
+    scheme = F.when(F.col("_v") % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+    www = F.when(F.col("_v") % 3 == 0, F.lit("www.")).otherwise(F.lit(""))
+    host = F.concat(F.lit("h"), (F.col("_u") % 37), F.lit(".example.org"))
+    port = F.when(
+        F.col("_v") % 5 == 0,
+        F.when(F.col("_v") % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/doc/"),
+        F.col("doc_id"),
+        F.when(F.col("_v") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = F.when(
+        F.col("_v") % 2 == 0,
+        F.concat(F.lit("?id="), F.col("doc_id"), F.lit("&utm_source=feed")),
+    ).otherwise(
+        F.concat(F.lit("?utm_campaign=x&ref=rss&id="), F.col("doc_id"))
+    )
+    frag = F.when(
+        F.col("_v") % 11 == 0, F.concat(F.lit("#sec"), (F.col("_v") % 4))
+    ).otherwise(F.lit(""))
+    return rows.select(
+        "doc_id",
+        F.col("snapshot").cast("long").alias("snapshot"),
+        F.concat(scheme, F.lit("://"), www, host, port, path, query, frag).alias("url"),
+        F.to_timestamp(
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                ((F.col("_u") % 28) + F.col("snapshot") * 45).cast("int"),
+            )
+        ).alias("warc_ts"),
+        F.when(
+            (F.col("snapshot") == 1) & (F.col("_u") % 4 == 0),
+            F.concat(F.col("text"), F.lit(" updated")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+
+
 STRICT_WORLD_NOTE = """Construction contract for the STRICT clean() oracle
 (er_clean_strict): anchors and candidate titles DIVERGE so the
 entropy/countratio/tokenscore filters actually fire (on the plain

@@ -1,0 +1,173 @@
+"""Web-snapshot curation tests: URL canonicalization semantics, newest-
+version-wins dedup, per-domain quotas, snapshot diff, and the determinism /
+plan-shape contracts the 100-TB path relies on."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from minimel_spark.operators.web import (
+    canonical_url,
+    domain_quota,
+    latest_snapshots,
+    snapshot_diff,
+    url_domain,
+)
+from minimel_spark.sources.synth import snapshot_pages
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+
+
+CANON_CASES = [
+    # fragment dropped
+    ("https://a.org/p#sec2", "a.org/p"),
+    # scheme unified (http == https), host lowercased
+    ("HTTP://A.ORG/p", "a.org/p"),
+    # www. and default ports stripped
+    ("https://www.a.org:443/p", "a.org/p"),
+    ("http://a.org:80/p", "a.org/p"),
+    # NON-default port kept
+    ("http://a.org:8080/p", "a.org:8080/p"),
+    # trailing slashes stripped (also multiple)
+    ("https://a.org/p/", "a.org/p"),
+    ("https://a.org/p///", "a.org/p"),
+    # bare host: empty path stays empty
+    ("https://a.org/", "a.org"),
+    ("https://a.org", "a.org"),
+    # tracking params dropped, survivors sorted, order-insensitive
+    ("https://a.org/p?b=2&a=1", "a.org/p?a=1&b=2"),
+    ("https://a.org/p?a=1&utm_source=x&b=2", "a.org/p?a=1&b=2"),
+    ("https://a.org/p?utm_campaign=x&ref=rss&id=7", "a.org/p?id=7"),
+    ("https://a.org/p?fbclid=abc&gclid=1&msclkid=2", "a.org/p"),
+    # 'ref' dropped only as a whole param name ('refresh' survives)
+    ("https://a.org/p?refresh=1&ref=x", "a.org/p?refresh=1"),
+    # empty query / dangling '?'
+    ("https://a.org/p?", "a.org/p"),
+    # query on bare host
+    ("https://www.a.org?id=1&utm_x=2", "a.org?id=1"),
+]
+
+
+def test_canonical_url_cases(spark):
+    got = _canon(spark, [u for u, _ in CANON_CASES])
+    for (u, want), g in zip(CANON_CASES, got):
+        assert g == want, f"{u!r}: got {g!r}, want {want!r}"
+
+
+def test_canonical_url_param_order_insensitive(spark):
+    a, b = _canon(
+        spark,
+        [
+            "https://www.a.org/p/?z=9&id=1&utm_source=feed#frag",
+            "http://a.org:80/p?id=1&z=9",
+        ],
+    )
+    assert a == b == "a.org/p?id=1&z=9"
+
+
+def test_url_domain(spark):
+    df = spark.createDataFrame(
+        [("a.org/p?x=1",), ("b.example.org",), ("c.org:8080/q",)], "c string"
+    )
+    got = [r["d"] for r in df.select(url_domain(F.col("c")).alias("d")).collect()]
+    assert got == ["a.org", "b.example.org", "c.org:8080"]
+
+
+@pytest.fixture(scope="module")
+def snap(spark, documents):
+    # filter, not limit: deterministic slice, and no GlobalLimit
+    # SinglePartition exchange polluting the plan-shape test below
+    return snapshot_pages(documents.where(F.col("doc_id") < 300)).persist()
+
+
+def test_snapshot_pages_canonical_collapses(spark, snap):
+    """All snapshots of a doc share one canonical URL, distinct across docs."""
+    c = snap.select(
+        "doc_id", canonical_url(F.col("url")).alias("c")
+    )
+    per_doc = c.groupBy("doc_id").agg(F.countDistinct("c").alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_doc)
+    n_docs = c.select("doc_id").distinct().count()
+    assert c.select("c").distinct().count() == n_docs
+
+
+def test_latest_snapshots_picks_newest(spark, snap):
+    out = latest_snapshots(snap)
+    # one row per canonical key
+    assert out.count() == out.select("canonical_url").distinct().count()
+    # the winner is the max warc_ts of its group: verify against a plain agg
+    expect = (
+        snap.select(canonical_url(F.col("url")).alias("canonical_url"), "warc_ts")
+        .groupBy("canonical_url")
+        .agg(F.max("warc_ts").alias("want_ts"), F.count(F.lit(1)).alias("want_n"))
+    )
+    j = out.join(expect, "canonical_url")
+    assert j.where(
+        (F.col("warc_ts") != F.col("want_ts"))
+        | (F.col("n_snapshots") != F.col("want_n"))
+    ).count() == 0
+
+
+def test_latest_snapshots_tie_breaks_by_url(spark):
+    rows = [
+        ("http://a.org/p?x=1", "2024-01-01 00:00:00", "t1"),
+        ("https://a.org/p/?x=1", "2024-01-01 00:00:00", "t2"),  # same ts, larger url
+    ]
+    df = spark.createDataFrame(rows, "url string, ts string, text string").select(
+        "url", F.to_timestamp("ts").alias("warc_ts"), "text"
+    )
+    out = latest_snapshots(df).collect()
+    assert len(out) == 1
+    assert out[0]["url"] == "https://a.org/p/?x=1"  # max url wins the ts tie
+    assert out[0]["n_snapshots"] == 2
+
+
+def test_domain_quota_cap_and_determinism(spark, snap):
+    latest = latest_snapshots(snap)
+    out = domain_quota(latest, max_per_domain=3)
+    per = out.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert per and all(r["n"] <= 3 for r in per)
+    # parallelism-invariant kept set: recompute on a repartitioned input
+    out2 = domain_quota(latest.repartition(17), max_per_domain=3)
+    a = {(r["domain"], r["canonical_url"]) for r in out.collect()}
+    b = {(r["domain"], r["canonical_url"]) for r in out2.collect()}
+    assert a == b
+
+
+def test_snapshot_diff_statuses(spark):
+    mk = lambda rows: spark.createDataFrame(rows, "canonical_url string, fingerprint string")
+    old = mk([("u1", "f1"), ("u2", "f2"), ("u3", "f3")])
+    new = mk([("u2", "f2x"), ("u3", "f3"), ("u4", "f4")])
+    got = {r["canonical_url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "u1": "removed",
+        "u2": "changed",
+        "u3": "unchanged",
+        "u4": "added",
+    }
+
+
+def test_snapshot_diff_covers_all_statuses_on_fixture(spark, snap):
+    pages = snap.select(
+        "snapshot",
+        canonical_url(F.col("url")).alias("canonical_url"),
+        F.md5(F.col("text")).alias("fingerprint"),
+    )
+    d = snapshot_diff(
+        pages.where(F.col("snapshot") == 0), pages.where(F.col("snapshot") == 1)
+    )
+    counts = {r["status"]: r["n"] for r in d.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"added", "removed", "changed", "unchanged"}
+
+
+def test_no_single_partition_exchange(spark, snap):
+    """The web family must stay scale-safe: no SinglePartition exchange in
+    latest_snapshots or domain_quota plans (the rank window partitions by
+    domain; the dedup is a hash agg)."""
+    latest = latest_snapshots(snap)
+    plan = domain_quota(latest, max_per_domain=5)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
