@@ -2863,6 +2863,119 @@ FULL JOIN (SELECT canonical_url, md5(text) AS fp FROM canon WHERE snapshot = 1) 
   ON o.canonical_url = n.canonical_url"""
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Arrival-time dedup against a persisted corpus LSH index
+    (operators/dedup.py minhash_index + incremental_minhash_dups): the
+    corpus is the md5-hash-stable 80% slice of documents, the 'new crawl
+    batch' the other 20%; band keys are computed for the new slice only and
+    probed against the index, and the exact-Jaccard verify shingles only the
+    matched corpus docs (left-semi). md5 hash family -> the ENTIRE pipeline
+    (slice membership, signatures, band keys, candidate join, size-ratio
+    prefilter, verify) is recomputed in DuckDB — full value oracle, same
+    family as dedup_minhash."""
+    from minimel_spark.operators.dedup import incremental_minhash_dups, minhash_index
+
+    docs = _t(spark, sf_dir, "documents")
+    is_new = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id"), F.lit(":inc"))), 1, 15), 16, 10
+        ).cast("long")
+        % 10
+        >= 8
+    )
+    corpus = docs.where(~is_new)
+    new = docs.where(is_new)
+    idx = minhash_index(corpus, n=1, num_hashes=16, bands=8, hash_family="md5")
+    out = incremental_minhash_dups(
+        new, idx, corpus, threshold=0.9, n=1, num_hashes=16, bands=8,
+        hash_family="md5",
+    )
+    return out.select(
+        F.col("id_new").cast("long").alias("id_new"),
+        F.col("id_old").cast("long").alias("id_old"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+SQL_DEDUP_INCREMENTAL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                   x -> x <> '')) AS sh
+  FROM documents),
+s AS (
+  SELECT doc_id, sh, len(sh) AS n_sh,
+         (('0x' || substr(md5(doc_id || ':inc'), 1, 15))::UBIGINT % 10 >= 8) AS is_new
+  FROM w WHERE len(sh) > 0),
+sg AS (
+  SELECT doc_id, n_sh, is_new,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(sh,
+                  x -> ('0x' || substr(md5(i::VARCHAR || ':' || x), 1, 15))::UBIGINT))) AS sig
+  FROM s),
+bk AS (
+  SELECT doc_id, n_sh, is_new,
+         unnest(list_transform(range(0, 8),
+           b -> b::VARCHAR || ':' || md5(array_to_string(sig[b*2+1:b*2+2], ',')))) AS bk
+  FROM sg),
+cand AS (
+  SELECT a.doc_id AS id_new, b.doc_id AS id_old
+  FROM bk a JOIN bk b ON a.bk = b.bk AND a.is_new AND NOT b.is_new
+  WHERE least(a.n_sh, b.n_sh) >= 0.9 * greatest(a.n_sh, b.n_sh)
+  GROUP BY 1, 2)
+SELECT c.id_new::BIGINT AS id_new, c.id_old::BIGINT AS id_old,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+FROM cand c JOIN s a ON a.doc_id = c.id_new JOIN s b ON b.doc_id = c.id_old
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.9"""
+
+
+def q_stream_latest_snapshot(spark, sf_dir):
+    """Streaming newest-version-wins dedup (streaming/ingest.py
+    stream_latest_snapshot) drained with availableNow must equal the batch
+    operator — pinned by the SAME DuckDB oracle as web_latest_snapshot. The
+    fixture arrives as TWO crawl-batch files (snapshot-0 rows, then
+    snapshot-1 rows) with maxFilesPerTrigger=1, so the winning state for
+    every re-crawled URL must MERGE across micro-batches; complete-mode
+    snapshots the full state each batch, so lost state would surface as
+    missing keys or stale winners."""
+    import shutil
+    import tempfile
+
+    from minimel_spark.sources.synth import snapshot_pages
+    from minimel_spark.streaming.ingest import run_to_sink, stream_latest_snapshot
+
+    pages = snapshot_pages(_t(spark, sf_dir, "documents"))
+    src = tempfile.mkdtemp(prefix="minimel_snap_src_")
+    pages.where(F.col("snapshot") == 0).coalesce(1).write.mode("append").parquet(src)
+    pages.where(F.col("snapshot") == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, snapshot bigint, url string, warc_ts timestamp, "
+            "text string, lang string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = stream_latest_snapshot(stream)
+    ckpt = tempfile.mkdtemp(prefix="minimel_snap_ckpt_")
+    q = run_to_sink(agg, ckpt, output_mode="complete", query_name="stream_latest_gate")
+    try:
+        assert q.awaitTermination(300), "streaming drain did not finish"
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+    out = spark.table("stream_latest_gate")
+    return out.select(
+        "canonical_url",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("snapshot").cast("long").alias("snapshot"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("n_snapshots").cast("long").alias("n_snapshots"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -2917,7 +3030,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pair generation + features (blocking, J3, M7-ish)
     "pair_features": q_pair_features,
     # dedup
-    "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     # ANN
@@ -2925,7 +3037,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_embedding_dups": q_ann_embedding_dups,
-    "dedup_embed_hashed": q_dedup_embed_hashed,
     # web-snapshot curation (NEW r5, fourth batch): URL canonicalization,
     # newest-version-wins dedup, domain quotas, snapshot diff — in-window so
     # they get driver rows immediately; the four recall gates they displace
@@ -2935,6 +3046,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_latest_snapshot": q_web_latest_snapshot,
     "web_domain_quota": q_web_domain_quota,
     "web_snapshot_diff": q_web_snapshot_diff,
+    # incremental corpus dedup + streaming newest-wins (NEW r5, fifth
+    # batch) — in-window; the two gates they displace (dedup_exact,
+    # dedup_embed_hashed) are r4-driver-green, preserving union coverage
+    "dedup_incremental": q_dedup_incremental,
+    "stream_latest_snapshot": q_stream_latest_snapshot,
     # er_* family rotated back inside the sampling window (r5; r3-green +
     # r4-tail — see the rotation note above)
     "er_anchor_counts_joined": q_er_anchor_counts_joined,
@@ -2976,6 +3092,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_embdup_recall": q_ann_embdup_recall,
+    # displaced r5 fifth batch (r4-green): exact dedup + embed-hashed E2E
+    "dedup_exact": q_dedup_exact,
+    "dedup_embed_hashed": q_dedup_embed_hashed,
     # structured streaming (stream==batch, same oracle as rel_hourly_events)
     "stream_hourly_events": q_stream_hourly_events,
     "stream_sessionize": q_stream_sessionize,
@@ -3077,6 +3196,10 @@ _ORACLES: dict[str, str] = {
     "web_latest_snapshot": SQL_WEB_LATEST,
     "web_domain_quota": SQL_WEB_DOMAIN_QUOTA,
     "web_snapshot_diff": SQL_WEB_SNAPSHOT_DIFF,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    # stream==batch: the drained newest-wins state must equal the batch
+    # latest-snapshot oracle
+    "stream_latest_snapshot": SQL_WEB_LATEST,
 }
 
 

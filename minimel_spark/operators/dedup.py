@@ -103,6 +103,46 @@ def ngram_jaccard_dups(
     )
 
 
+def _band_keys(num_hashes: int, bands: int, hash_family: str):
+    """band-key array expression over a ``sig`` column (see minhash_dups for
+    the hash_family contract)."""
+    rows_per_band = num_hashes // bands
+    if hash_family == "md5":
+        return F.array(
+            *[
+                F.concat(
+                    F.lit(f"{b}:"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ),
+                )
+                for b in range(bands)
+            ]
+        )
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Non-empty shingle sets + their sizes (shared by the batch and
+    incremental minhash paths)."""
+    sh = shingle_docs(ensure_min_parallelism(docs, id_col), text_col, id_col, n)
+    return sh.where(F.size("shingles") > 0).withColumn("n_sh", F.size("shingles"))
+
+
 def minhash_dups(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -131,9 +171,7 @@ def minhash_dups(
     """
     from .blocking import minhash_signature
 
-    rows_per_band = num_hashes // bands
-    sh = shingle_docs(ensure_min_parallelism(docs, id_col), text_col, id_col, n)
-    sh = sh.where(F.size("shingles") > 0).withColumn("n_sh", F.size("shingles"))
+    sh = _shingled(docs, text_col, id_col, n)
     if persisted_out is not None:
         # the shingled table feeds four branches (both sides of the band join
         # and both sides of the exact verify); persisting it computes the
@@ -143,34 +181,7 @@ def minhash_dups(
     sig = sh.withColumn(
         "sig", minhash_signature(F.col("shingles"), num_hashes, hash_family)
     )
-    if hash_family == "md5":
-        band_keys = F.array(
-            *[
-                F.concat(
-                    F.lit(f"{b}:"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ),
-                )
-                for b in range(bands)
-            ]
-        )
-    else:
-        band_keys = F.array(
-            *[
-                F.concat(
-                    F.lit(f"{b}:"),
-                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).cast("string"),
-                )
-                for b in range(bands)
-            ]
-        )
+    band_keys = _band_keys(num_hashes, bands, hash_family)
     blocked = sig.select(id_col, "n_sh", F.explode(band_keys).alias("bk"))
     a = blocked.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "bk")
     b = blocked.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "bk")
@@ -197,6 +208,106 @@ def minhash_dups(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_index(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xx64",
+) -> DataFrame:
+    """The persistent LSH index of a corpus: one (id, n_sh, bk) row per
+    (document, band). Compute ONCE per corpus and write it out (bucket the
+    stored table by ``bk`` so incremental probes co-locate without a
+    corpus-side shuffle); ``incremental_minhash_dups`` then dedups each new
+    crawl batch against it in O(|new| + matched buckets) — the corpus texts
+    and signatures are never rescanned. ~``bands`` skinny rows per document
+    (two longs + a short key), a few hundred bytes/doc at 10^12 scale."""
+    from .blocking import minhash_signature
+
+    sig = _shingled(docs, text_col, id_col, n).withColumn(
+        "sig", minhash_signature(F.col("shingles"), num_hashes, hash_family)
+    )
+    return sig.select(
+        id_col, "n_sh", F.explode(_band_keys(num_hashes, bands, hash_family)).alias("bk")
+    )
+
+
+def incremental_minhash_dups(
+    new_docs: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xx64",
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """NEW-vs-CORPUS near-dup pairs without rescanning the corpus: band keys
+    are computed for the new batch only and equi-joined against the stored
+    ``minhash_index`` (same n/num_hashes/bands/hash_family — the caller must
+    match the index build parameters); the lossless size-ratio prefilter
+    runs on the indexed n_sh longs, and the exact-Jaccard verify shingles
+    ONLY the corpus documents that matched a candidate (left-semi join
+    before shingling). Output: (id_new, id_old, jaccard) with
+    jaccard >= threshold.
+
+    This is the arrival-time dedup path a growing 100-TB corpus needs: cost
+    scales with the new batch + matched buckets, not the corpus. New-vs-new
+    duplicates inside the batch are the plain ``minhash_dups`` on
+    ``new_docs``; run both, then append the batch's index rows
+    (``minhash_index(new_docs, ...)``) to the stored table."""
+    from .blocking import minhash_signature
+
+    sh_new = _shingled(new_docs, text_col, id_col, n)
+    if persisted_out is not None:
+        # feeds the band probe and the verify's new side
+        sh_new = sh_new.persist()
+        persisted_out.append(sh_new)
+    sig = sh_new.withColumn(
+        "sig", minhash_signature(F.col("shingles"), num_hashes, hash_family)
+    )
+    probe = sig.select(
+        F.col(id_col).alias("id_new"),
+        F.col("n_sh").alias("n_new"),
+        F.explode(_band_keys(num_hashes, bands, hash_family)).alias("bk"),
+    )
+    cand = (
+        probe.join(
+            index.select(
+                F.col(id_col).alias("id_old"), F.col("n_sh").alias("n_old"), "bk"
+            ),
+            "bk",
+        )
+        .where(F.least("n_new", "n_old") >= threshold * F.greatest("n_new", "n_old"))
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    old_ids = cand.select(F.col("id_old").alias(id_col)).distinct()
+    sh_old = _shingled(corpus.join(old_ids, id_col, "left_semi"), text_col, id_col, n)
+    return (
+        cand.join(
+            sh_new.select(F.col(id_col).alias("id_new"), F.col("shingles").alias("sh_a")),
+            "id_new",
+        )
+        .join(
+            sh_old.select(F.col(id_col).alias("id_old"), F.col("shingles").alias("sh_b")),
+            "id_old",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_new", "id_old", "jaccard")
     )
 
 

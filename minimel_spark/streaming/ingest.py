@@ -239,6 +239,37 @@ def run_to_sink(
     ).start()
 
 
+def stream_latest_snapshot(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Streaming newest-version-wins crawl dedup — the unbounded-ingest twin
+    of ``operators/web.latest_snapshots``: as crawl batches arrive, keep one
+    row per canonical URL carrying the latest snapshot's payload (ties
+    broken by the raw URL, so the winner is total-ordered across
+    micro-batches too). Same ONE-hash-aggregation shape as the batch
+    operator, running as a stateful streaming agg: each micro-batch merges
+    its per-key max_by struct into state, so re-crawled URLs replace their
+    state row instead of appending.
+
+    State holds one struct per canonical URL — inherent for newest-wins
+    (every key may be re-crawled later), same unbounded-state contract as
+    ``stream_anchor_counts``; update/complete output mode with the
+    foreachBatch snapshot sink (``run_to_sink``), the committed parquet is
+    always the current deduped corpus."""
+    from ..operators.web import canonical_url
+
+    payload = F.struct(
+        F.col(ts_col).alias("_ts"),
+        F.col(url_col).alias("_u"),
+        F.struct(*pages.columns).alias("_row"),
+    )
+    return (
+        pages.groupBy(canonical_url(F.col(url_col)).alias("canonical_url"))
+        .agg(F.max(payload).alias("_best"), F.count(F.lit(1)).alias("n_snapshots"))
+        .select("canonical_url", F.col("_best._row.*"), "n_snapshots")
+    )
+
+
 def stream_exact_dedup(
     events: DataFrame, key_cols: tuple = ("event_id",), delay: str = "2 hours"
 ) -> DataFrame:

@@ -352,3 +352,35 @@ def test_fold_cosine_bitwise_matches_duckdb(spark):
     for k in got:
         # bitwise: compare the exact double payloads, not approximate
         assert got[k].hex() == want[k].hex(), (k, got[k], want[k])
+
+
+def test_incremental_minhash_equals_batch_cross_pairs(spark, documents):
+    """incremental_minhash_dups(new, index(corpus), corpus) must equal the
+    full-batch minhash_dups restricted to new-x-corpus pairs: same LSH
+    family, same banding, same verify — the incremental path may not lose
+    or invent a pair."""
+    import pyspark.sql.functions as F
+
+    from minimel_spark.operators.dedup import (
+        incremental_minhash_dups,
+        minhash_dups,
+        minhash_index,
+    )
+
+    docs = documents.where(F.col("doc_id") < 400)
+    is_new = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(5)) == 0
+    corpus, new = docs.where(~is_new), docs.where(is_new)
+    params = dict(threshold=0.9, n=1, num_hashes=16, bands=8)
+    idx = minhash_index(corpus, **{k: v for k, v in params.items() if k != "threshold"})
+    inc = {
+        (r["id_new"], r["id_old"], round(r["jaccard"], 9))
+        for r in incremental_minhash_dups(new, idx, corpus, **params).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    batch = set()
+    for r in minhash_dups(docs, **params).collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a in new_ids) != (b in new_ids):  # cross pairs only
+            n, o = (a, b) if a in new_ids else (b, a)
+            batch.add((n, o, round(r["jaccard"], 9)))
+    assert inc == batch and inc  # equal AND non-trivial

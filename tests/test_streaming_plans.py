@@ -244,3 +244,63 @@ def test_stream_exact_dedup_emits_each_key_once(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(sink).collect()))
     want = sorted(map(tuple, base.select("event_id", "user_id", "value").collect()))
     assert got == want
+
+
+def test_stream_latest_snapshot_merges_state_across_batches(spark, tmp_path):
+    """Newest-version-wins streaming dedup: two crawl-batch files arrive in
+    separate micro-batches (maxFilesPerTrigger=1); the complete-mode state
+    must merge winners across batches — equal to the batch latest_snapshots
+    on the union, including keys seen only in the first batch and keys whose
+    first-batch row beats the second-batch one."""
+    import pyspark.sql.functions as F
+
+    from minimel_spark.operators.web import latest_snapshots
+    from minimel_spark.streaming.ingest import run_to_sink, stream_latest_snapshot
+
+    src = str(tmp_path / "snap_src")
+    rows1 = [
+        # key a: batch-1 row LOSES to batch 2 (older ts)
+        ("https://a.org/p?x=1", "2024-01-01 00:00:00", "a1"),
+        # key b: batch-1 only — must survive into the final state
+        ("https://b.org/q", "2024-02-01 00:00:00", "b1"),
+        # key c: batch-1 row WINS over batch 2 (newer ts)
+        ("https://c.org/r", "2024-06-01 00:00:00", "c1"),
+    ]
+    rows2 = [
+        ("http://www.a.org/p/?x=1", "2024-03-01 00:00:00", "a2"),
+        ("https://c.org/r#frag", "2024-04-01 00:00:00", "c2"),
+        ("https://d.org/s", "2024-05-01 00:00:00", "d2"),
+    ]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "url string, ts string, text string"
+    ).select("url", F.to_timestamp("ts").alias("warc_ts"), "text")
+    mk(rows1).coalesce(1).write.mode("append").parquet(src)
+    mk(rows2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_to_sink(
+        stream_latest_snapshot(stream),
+        str(tmp_path / "snap_ckpt"),
+        output_mode="complete",
+        query_name="t_stream_latest",
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        r["canonical_url"]: (r["text"], r["n_snapshots"])
+        for r in spark.table("t_stream_latest").collect()
+    }
+    want = {
+        r["canonical_url"]: (r["text"], r["n_snapshots"])
+        for r in latest_snapshots(mk(rows1).unionByName(mk(rows2))).collect()
+    }
+    assert got == want
+    assert got["a.org/p?x=1"] == ("a2", 2)   # batch-2 winner via state merge
+    assert got["b.org/q"] == ("b1", 1)       # batch-1-only key retained
+    assert got["c.org/r"] == ("c1", 2)       # batch-1 winner retained
