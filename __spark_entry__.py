@@ -2976,6 +2976,91 @@ def q_stream_latest_snapshot(spark, sf_dir):
     )
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank (operators/graph.py) over a deterministic md5-derived link
+    graph on documents (3 candidate out-links per doc, dst = md5-60(doc:ej)
+    mod N, self-loops dropped, simple edges): 10 synchronous iterations,
+    damping 0.85, dangling mass redistributed uniformly. The oracle unrolls
+    the same 10 power-iteration steps as chained CTEs with ::DOUBLE
+    arithmetic — both engines run the identical IEEE double recurrence, and
+    the 6-decimal rounding sits ~7 orders above accumulation-order noise."""
+    from minimel_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.col("doc_id"), F.lit(f":e{j}"))),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % n
+                        for j in range(3)
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()  # scanned once per iteration
+    )
+    out = pagerank(edges, nodes, n_iter=10, damping=0.85)
+    edges.unpersist()  # ranks are checkpointed per round; plan no longer needs it
+    return out.select(
+        F.col("node").cast("long").alias("node"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _sql_pagerank(n_iter: int = 10) -> str:
+    """Unrolled power-iteration oracle: r0 .. r{n_iter} as chained CTEs,
+    each step the same recurrence as operators/graph.pagerank (explicit
+    ::DOUBLE literals so DuckDB doesn't run the constants in DECIMAL)."""
+    steps = []
+    for i in range(n_iter):
+        steps.append(f"""r{i + 1} AS MATERIALIZED (
+  SELECT d.doc_id AS node,
+         (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+         + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
+             + (SELECT coalesce(sum(r.rank), 0.0::DOUBLE)
+                FROM r{i} r LEFT JOIN deg ON r.node = deg.node
+                WHERE deg.node IS NULL) / (SELECT n FROM nn)) AS rank
+  FROM documents d
+  LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.deg) AS contrib
+             FROM r{i} r JOIN deg ON r.node = deg.node
+             JOIN edges e ON e.src = r.node
+             GROUP BY e.dst) c ON d.doc_id = c.node)""")
+    chained = ",\n".join(steps)
+    return f"""
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+e0 AS (
+  -- nn joined in: DuckDB forbids subqueries inside lambdas, a plain column
+  -- is fine
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, nn),
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+r0 AS MATERIALIZED (SELECT doc_id AS node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank
+       FROM documents),
+{chained}
+SELECT node::BIGINT AS node, round(rank, 6) AS rank FROM r{n_iter}"""
+
+
+SQL_GRAPH_PAGERANK = _sql_pagerank(10)
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -3031,7 +3116,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pair_features": q_pair_features,
     # dedup
     "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
     # ANN
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -3051,6 +3135,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup_embed_hashed) are r4-driver-green, preserving union coverage
     "dedup_incremental": q_dedup_incremental,
     "stream_latest_snapshot": q_stream_latest_snapshot,
+    # link-graph centrality (NEW r5, sixth batch) — in-window; displaces
+    # dedup_simhash (r4-driver-green), preserving union coverage
+    "graph_pagerank": q_graph_pagerank,
     # er_* family rotated back inside the sampling window (r5; r3-green +
     # r4-tail — see the rotation note above)
     "er_anchor_counts_joined": q_er_anchor_counts_joined,
@@ -3092,8 +3179,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_embdup_recall": q_ann_embdup_recall,
-    # displaced r5 fifth batch (r4-green): exact dedup + embed-hashed E2E
+    # displaced r5 fifth/sixth batch (r4-green): exact dedup, simhash,
+    # embed-hashed E2E
     "dedup_exact": q_dedup_exact,
+    "dedup_simhash": q_dedup_simhash,
     "dedup_embed_hashed": q_dedup_embed_hashed,
     # structured streaming (stream==batch, same oracle as rel_hourly_events)
     "stream_hourly_events": q_stream_hourly_events,
@@ -3197,6 +3286,7 @@ _ORACLES: dict[str, str] = {
     "web_domain_quota": SQL_WEB_DOMAIN_QUOTA,
     "web_snapshot_diff": SQL_WEB_SNAPSHOT_DIFF,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "graph_pagerank": SQL_GRAPH_PAGERANK,
     # stream==batch: the drained newest-wins state must equal the batch
     # latest-snapshot oracle
     "stream_latest_snapshot": SQL_WEB_LATEST,

@@ -1,0 +1,77 @@
+"""PageRank tests: closed-form checks on known graphs, dangling-mass
+handling, mass conservation, and parallelism invariance."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from minimel_spark.operators.graph import pagerank
+
+
+def _mk(spark, edge_list, node_ids):
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "node long")
+    return edges, nodes
+
+
+def _ranks(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    """On a directed cycle every node has the same rank = 1/N at every
+    iteration (the uniform distribution is stationary)."""
+    n = 5
+    edges, nodes = _mk(spark, [(i, (i + 1) % n) for i in range(n)], range(n))
+    got = _ranks(pagerank(edges, nodes, n_iter=7))
+    for v in got.values():
+        assert v == pytest.approx(1.0 / n, abs=1e-12)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Exact recurrence parity with an independent dense NumPy implementation
+    on a small asymmetric graph with a dangling node."""
+    import numpy as np
+
+    n, d, iters = 6, 0.85, 10
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 0), (4, 1), (4, 2)]
+    # node 5 is isolated (dangling, never linked); node 3 dangles nothing in,
+    # out-degree 1
+    edges, nodes = _mk(spark, edge_list, range(n))
+
+    deg = np.zeros(n)
+    for s, _ in edge_list:
+        deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = r[deg == 0].sum()
+        nxt += d * dangling / n
+        for s, t in edge_list:
+            nxt[t] += d * r[s] / deg[s]
+        r = nxt
+    got = _ranks(pagerank(edges, nodes, n_iter=iters, damping=d))
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], abs=1e-12), i
+
+
+def test_pagerank_conserves_mass(spark):
+    """Σ rank = 1 after any number of iterations (dangling redistribution
+    keeps the distribution normalized)."""
+    edges, nodes = _mk(spark, [(0, 1), (1, 2), (3, 1)], range(5))
+    total = sum(_ranks(pagerank(edges, nodes, n_iter=10)).values())
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_parallelism_invariant(spark):
+    """Repartitioned input produces the same 6-decimal ranks (accumulation-
+    order noise stays far below the gate's rounding)."""
+    edge_list = [(i, (i * 7 + 3) % 40) for i in range(40)] + [
+        (i, (i * 11 + 5) % 40) for i in range(40)
+    ]
+    edge_list = [(s, t) for s, t in edge_list if s != t]
+    edges, nodes = _mk(spark, edge_list, range(40))
+    a = _ranks(pagerank(edges, nodes, n_iter=10))
+    b = _ranks(pagerank(edges.repartition(13), nodes.repartition(7), n_iter=10))
+    assert {k: round(v, 6) for k, v in a.items()} == {
+        k: round(v, 6) for k, v in b.items()
+    }
