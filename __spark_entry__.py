@@ -1574,7 +1574,11 @@ def _topk_recall_row(
         )
     )
     # the mean attaches via a broadcast 1-row aggregate, not a global
-    # (empty-partition) window — same result, no single-partition WindowExec
+    # (empty-partition) window — same result, no single-partition WindowExec.
+    # per_q feeds BOTH the mean and the output rows: the lazy localCheckpoint
+    # computes the top-k join once and hands both consumers one RDD leaf
+    # (without it each consumer re-runs the full recall subplan — r5 review)
+    per_q = per_q.localCheckpoint(eager=False)
     avg_df = per_q.agg((F.avg("_recall") >= F.lit(floor)).alias("avg_ok"))
     return per_q.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -2874,15 +2878,10 @@ def q_dedup_incremental(spark, sf_dir):
     prefilter, verify) is recomputed in DuckDB — full value oracle, same
     family as dedup_minhash."""
     from minimel_spark.operators.dedup import incremental_minhash_dups, minhash_index
+    from minimel_spark.operators.util import md5_long60
 
     docs = _t(spark, sf_dir, "documents")
-    is_new = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("doc_id"), F.lit(":inc"))), 1, 15), 16, 10
-        ).cast("long")
-        % 10
-        >= 8
-    )
+    is_new = md5_long60(F.concat(F.col("doc_id"), F.lit(":inc"))) % 10 >= 8
     corpus = docs.where(~is_new)
     new = docs.where(is_new)
     idx = minhash_index(corpus, n=1, num_hashes=16, bands=8, hash_family="md5")
@@ -2985,6 +2984,7 @@ def q_graph_pagerank(spark, sf_dir):
     arithmetic — both engines run the identical IEEE double recurrence, and
     the 6-decimal rounding sits ~7 orders above accumulation-order noise."""
     from minimel_spark.operators.graph import pagerank
+    from minimel_spark.operators.util import md5_long60
 
     docs = _t(spark, sf_dir, "documents")
     n = docs.count()
@@ -2995,16 +2995,7 @@ def q_graph_pagerank(spark, sf_dir):
             F.explode(
                 F.array(
                     *[
-                        F.conv(
-                            F.substring(
-                                F.md5(F.concat(F.col("doc_id"), F.lit(f":e{j}"))),
-                                1,
-                                15,
-                            ),
-                            16,
-                            10,
-                        ).cast("long")
-                        % n
+                        md5_long60(F.concat(F.col("doc_id"), F.lit(f":e{j}"))) % n
                         for j in range(3)
                     ]
                 )
@@ -3088,10 +3079,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # continuing the r4 scheme so CONSECUTIVE driver files jointly cover all 60):
 # the ten er_* gates that sat past the cap in r4 (er_anchor_counts_joined ...
 # er_disambig_links, all driver-green in r3) rotate back inside the first 50;
-# EVERY gate displaced past the cap to make room for the eight new r5
-# corpus_* gates (text_*, rel_*, stream_*, mm_features) has a green r4
-# driver row, so union(CORRECTNESS_r04, CORRECTNESS_r05) covers all 70
-# queries. The full local sweep (scripts/check_entry.py) still runs all 70.
+# EVERY gate displaced past the cap to make room for the seventeen new r5
+# gates (corpus_*, web_*, dedup_incremental, stream_latest_snapshot,
+# stream_dedup_events, graph_pagerank) has a green r4 driver row, so
+# union(CORRECTNESS_r04, CORRECTNESS_r05) covers all 77 queries. The full
+# local sweep (scripts/check_entry.py) still runs all 77.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ER pipeline (SURVEY §2: P2, P6-P9, A1-A3, A5-A6, A12, O1, M1-M3, L2, A10/J7)
     "er_anchor_counts": q_er_anchor_counts,

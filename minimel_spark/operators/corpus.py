@@ -53,15 +53,9 @@ def _word_ngrams(words: F.Column, n: int) -> F.Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def md5_long60(col: F.Column) -> F.Column:
-    """First 60 bits of md5 as a non-negative BIGINT — the join-key compressor.
-
-    Reproducible in ANSI SQL as ``('0x' || substr(md5(x), 1, 15))::UBIGINT``,
-    same family as the md5 minhash signatures (`dedup.py:207-211`). 60 bits
-    keeps the value positive in a signed 64-bit column and makes collisions
-    negligible (~n²/2⁶¹) at any corpus size.
-    """
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+# canonical definition lives in util.py; re-exported here because the
+# corpus operators and their tests address it as corpus.md5_long60
+from .util import md5_long60  # noqa: E402,F401
 
 
 def ngram_decontaminate(
@@ -477,12 +471,16 @@ def pack_sequences(
         id_col,
         "n_tokens",
         "start_tok",
-        F.floor(F.col("start_tok") / b).cast("long").alias("start_seq"),
+        # integer division (DIV), not floor(double /): long/long in Spark is
+        # IEEE-double division, which silently mis-places sequence boundaries
+        # once start_tok exceeds 2^53 — the DuckDB oracle's // is exact, and
+        # at 10^12-doc token streams 2^53 is reachable
+        F.expr(f"start_tok DIV {int(budget)}").cast("long").alias("start_seq"),
         (F.col("start_tok") % b).alias("start_off"),
         F.when(F.col("n_tokens") == 0, F.lit(0))
         .otherwise(
-            F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / b)
-            - F.floor(F.col("start_tok") / b)
+            F.expr(f"(start_tok + n_tokens - 1) DIV {int(budget)}")
+            - F.expr(f"start_tok DIV {int(budget)}")
             + 1
         )
         .cast("long")

@@ -42,10 +42,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def _word_shingles(text_col, n: int = 3):
     """Word n-gram shingles as sorted distinct array, pure Spark expressions:
-    lowercase, split on non-word, sliding windows of n words re-joined."""
+    lowercase, split on non-word, sliding windows of n words re-joined.
+
+    Docs shorter than n words yield an EMPTY array via the when-guard:
+    without it, ``sequence(1, size - n + 1)`` DESCENDS to [1, 0] (Spark
+    sequences run backwards when start > stop) and ``slice(words, 0, n)``
+    throws INVALID_PARAMETER_VALUE.START — i.e. one short document in a
+    crawl batch would kill the whole dedup job (same hazard
+    corpus._word_ngrams guards)."""
     words = F.split(F.lower(text_col), r"\W+")
     words = F.filter(words, lambda w: w != "")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - n + 1, F.lit(0)))
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
     return F.array_distinct(grams)
 
@@ -290,6 +299,12 @@ def incremental_minhash_dups(
         .select("id_new", "id_old")
         .distinct()
     )
+    if persisted_out is not None:
+        # cand feeds the final verify join AND the left-semi that selects
+        # which corpus docs to shingle — without a cache the probe-vs-index
+        # LSH join (the dominant shuffle) would run twice (r5 review)
+        cand = cand.persist()
+        persisted_out.append(cand)
     old_ids = cand.select(F.col("id_old").alias(id_col)).distinct()
     sh_old = _shingled(corpus.join(old_ids, id_col, "left_semi"), text_col, id_col, n)
     return (

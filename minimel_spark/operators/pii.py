@@ -63,8 +63,9 @@ def pii_scrub(
         cur = F.regexp_replace(cur, pat, repl)
     # one select so the whole chain stays a single codegen'd projection
     out = docs.select(F.col(id_col), *count_cols, cur.alias("clean_text"))
-    total = None
+    # F.lit(0) seed: rules=[] is a legitimate pass-through (n_pii = 0), not
+    # an AttributeError on None.cast
+    total: F.Column = F.lit(0)
     for name, _, _ in rules:
-        c = F.col(f"n_{name}")
-        total = c if total is None else total + c
+        total = total + F.col(f"n_{name}")
     return out.withColumn("n_pii", total.cast("long"))

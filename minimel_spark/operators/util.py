@@ -1,4 +1,7 @@
-"""Input-parallelism guard shared by the scan-adjacent operators.
+"""Shared operator plumbing: the input-parallelism guard and the repo's
+canonical 60-bit md5 key (one definition — five call sites previously
+hand-rolled the same expression, a silent-divergence hazard for the
+cross-engine oracles).
 
 The dedup / embedding / fingerprint operators do their heaviest work
 (shingling, per-token hashing, signature folds, per-batch matmuls) in the map
@@ -16,7 +19,17 @@ extra shuffle is cheap by construction (the input is small).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def md5_long60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT — the deterministic,
+    parallelism-invariant key/rank this repo standardizes on, because DuckDB
+    recomputes it bit-for-bit as ``('0x' || substr(md5(x), 1, 15))::UBIGINT``
+    (same family as the md5 minhash signatures). 60 bits keeps the value
+    positive in a signed 64-bit column with ~n²/2⁶¹ collision odds."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def ensure_min_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:

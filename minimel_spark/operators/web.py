@@ -34,18 +34,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from .util import md5_long60
+
 # Tracking parameters dropped during canonicalization (the common
 # analytics/click-id families). Matched as a whole parameter name.
 TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"
-
-
-def md5_rank(col: Column) -> Column:
-    """60-bit md5-derived content hash (first 15 hex chars, non-negative in a
-    signed long) — the deterministic, parallelism-invariant ordering key this
-    repo standardizes on because DuckDB recomputes it bit-for-bit as
-    ``('0x' || substr(md5(x), 1, 15))::UBIGINT`` (same family as
-    corpus.md5_long60 / blocking._seeded_hash('md5'))."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def canonical_url(url: Column) -> Column:
@@ -137,7 +130,7 @@ def domain_quota(
     from pyspark.sql import Window
 
     w = Window.partitionBy("domain").orderBy(
-        md5_rank(F.col(url_col)), F.col(url_col)
+        md5_long60(F.col(url_col)), F.col(url_col)
     )
     return (
         pages.withColumn("domain", url_domain(F.col(url_col)))

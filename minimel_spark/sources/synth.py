@@ -287,12 +287,10 @@ def snapshot_pages(docs: DataFrame) -> DataFrame:
     a deterministic multi-snapshot crawl slice of the north-rule page shape.
     Pure built-in expressions (md5/conv/concat/date_add), no UDF; input scan
     spread across cores like pages_from_documents."""
-    from ..operators.util import ensure_min_parallelism
+    from ..operators.util import ensure_min_parallelism, md5_long60
 
     docs = ensure_min_parallelism(docs, "doc_id")
-    u = F.conv(
-        F.substring(F.md5(F.concat(F.lit("w:"), F.col("doc_id"))), 1, 15), 16, 10
-    ).cast("long")
+    u = md5_long60(F.concat(F.lit("w:"), F.col("doc_id")))
     rows = (
         docs.withColumn("_u", u)
         .select(
@@ -304,13 +302,7 @@ def snapshot_pages(docs: DataFrame) -> DataFrame:
             | ((F.col("snapshot") == 1) & (F.col("_u") % 13 != 0))
         )
     )
-    v = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("doc_id"), F.lit(":s"), F.col("snapshot"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    v = md5_long60(F.concat(F.col("doc_id"), F.lit(":s"), F.col("snapshot")))
     rows = rows.withColumn("_v", v)
     scheme = F.when(F.col("_v") % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
     www = F.when(F.col("_v") % 3 == 0, F.lit("www.")).otherwise(F.lit(""))

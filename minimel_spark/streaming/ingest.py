@@ -255,19 +255,15 @@ def stream_latest_snapshot(
     (every key may be re-crawled later), same unbounded-state contract as
     ``stream_anchor_counts``; update/complete output mode with the
     foreachBatch snapshot sink (``run_to_sink``), the committed parquet is
-    always the current deduped corpus."""
-    from ..operators.web import canonical_url
+    always the current deduped corpus.
 
-    payload = F.struct(
-        F.col(ts_col).alias("_ts"),
-        F.col(url_col).alias("_u"),
-        F.struct(*pages.columns).alias("_row"),
-    )
-    return (
-        pages.groupBy(canonical_url(F.col(url_col)).alias("canonical_url"))
-        .agg(F.max(payload).alias("_best"), F.count(F.lit(1)).alias("n_snapshots"))
-        .select("canonical_url", F.col("_best._row.*"), "n_snapshots")
-    )
+    DELEGATES to the batch operator: ``latest_snapshots`` is a pure
+    groupBy/agg/select, which Structured Streaming runs as a stateful agg on
+    a streaming input unchanged — one definition, so the stream==batch gate
+    contract (same DuckDB oracle) can never silently diverge (r5 review)."""
+    from ..operators.web import latest_snapshots
+
+    return latest_snapshots(pages, url_col=url_col, ts_col=ts_col)
 
 
 def stream_exact_dedup(

@@ -384,3 +384,36 @@ def test_incremental_minhash_equals_batch_cross_pairs(spark, documents):
             n, o = (a, b) if a in new_ids else (b, a)
             batch.add((n, o, round(r["jaccard"], 9)))
     assert inc == batch and inc  # equal AND non-trivial
+
+
+def test_minhash_survives_short_docs(spark):
+    """Docs shorter than n words must shingle to [] (skipped), not crash the
+    job: F.sequence(1, size-n+1) descends to [1, 0] without the guard and
+    slice(words, 0, n) throws (r5 review finding, reproduced)."""
+    from minimel_spark.operators.dedup import (
+        incremental_minhash_dups,
+        minhash_dups,
+        minhash_index,
+        shingle_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world"),                      # 2 words < n=3
+            (1, ""),                                  # empty
+            (2, "..."),                               # punctuation only
+            (3, "a proper document with many words"),
+            (4, "a proper document with many words"),  # exact dup of 3
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["shingles"] for r in shingle_docs(docs, n=3).collect()}
+    assert sh[0] == [] and sh[1] == [] and sh[2] == []
+    assert len(sh[3]) == 4  # 6 words -> 4 tri-grams
+    pairs = minhash_dups(docs, threshold=0.9, n=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 4)}
+    idx = minhash_index(docs.where("doc_id >= 3"), n=3)
+    inc = incremental_minhash_dups(
+        docs.where("doc_id < 3"), idx, docs.where("doc_id >= 3"), threshold=0.9, n=3
+    )
+    assert inc.count() == 0  # short docs probe nothing, and nothing crashes

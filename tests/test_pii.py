@@ -57,3 +57,16 @@ def test_pii_scrub_partitioning_invariant(spark, dirty):
     a = sorted(map(tuple, pii_scrub(dirty).collect()))
     b = sorted(map(tuple, pii_scrub(dirty.repartition(5)).collect()))
     assert a == b
+
+
+def test_pii_scrub_empty_rules_is_passthrough(spark):
+    """rules=[] is a legitimate no-op configuration: n_pii must be 0 and the
+    text unchanged (previously crashed on None.cast — r5 review finding)."""
+    from minimel_spark.operators.pii import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "mail me at a@b.org")], "doc_id long, text string"
+    )
+    out = pii_scrub(docs, rules=[]).collect()
+    assert out[0]["clean_text"] == "mail me at a@b.org"
+    assert out[0]["n_pii"] == 0
