@@ -3052,6 +3052,109 @@ SELECT node::BIGINT AS node, round(rank, 6) AS rank FROM r{n_iter}"""
 SQL_GRAPH_PAGERANK = _sql_pagerank(10)
 
 
+def q_dedup_passage_overlap(spark, sf_dir):
+    """Winnowing (MOSS) passage-overlap pairs: word 4-gram md5-60 rolling
+    hashes, min-in-window-of-5 fingerprint selection, pairs sharing >= 2
+    selected fingerprints. Catches a copied PARAGRAPH inside otherwise-
+    different documents — the passage-level complement of the whole-document
+    dedup family. Lossless variant (no stop-fingerprint cap) so the DuckDB
+    oracle recomputes the identical fingerprint sets."""
+    from minimel_spark.operators.dedup import passage_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = passage_overlap_pairs(
+        docs, k=4, window=5, min_shared=2, max_docs_per_fp=None
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )
+
+
+SQL_DEDUP_PASSAGE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 4
+              THEN list_transform(range(1, greatest(len(ws) - 3, 0) + 1),
+                     i -> ('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')),
+                                          1, 15))::UBIGINT)
+              ELSE [] END AS hs
+  FROM w),
+f AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(hs) >= 5
+                THEN list_transform(range(1, len(hs) - 5 + 2),
+                                    i -> list_min(hs[i:i+4]))
+                WHEN len(hs) >= 1 THEN [list_min(hs)]
+                ELSE [] END)) AS fp
+  FROM g),
+fd AS (SELECT DISTINCT doc_id, fp FROM f)
+SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+       count(*)::BIGINT AS n_shared
+FROM fd a JOIN fd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 top-5 documents per query term (Robertson/Lucene form, k1=1.2,
+    b=0.75); query terms = the 8 highest-document-frequency words of
+    length >= 4 (deterministic fixture, total order). Both engines evaluate
+    the identical IEEE double expression tree; the (score desc, doc_id asc)
+    rank tie-break is total."""
+    from minimel_spark.operators.retrieval import bm25_topk, top_df_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = top_df_terms(docs, m=8, min_len=4)
+    out = bm25_topk(docs, terms, k=5, k1=1.2, b=0.75)
+    return out.select(
+        "term",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        "rnk",
+    )
+
+
+SQL_TEXT_BM25 = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS ws
+  FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+qterms AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS df FROM dt WHERE len(term) >= 4 GROUP BY 1)
+  ORDER BY df DESC, term ASC LIMIT 8),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM tok JOIN qterms USING (term) GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT t.term, t.doc_id,
+         ln(1.0::DOUBLE + (s.n_docs - d.df + 0.5::DOUBLE)
+                          / (d.df + 0.5::DOUBLE))
+         * (t.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+            / (t.tf + 1.2::DOUBLE
+                      * ((1.0::DOUBLE - 0.75::DOUBLE)
+                         + 0.75::DOUBLE * dl.dl / s.avgdl))) AS score
+  FROM tf t JOIN dfq d USING (term) JOIN dl ON dl.doc_id = t.doc_id, stats s),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored)
+SELECT term, doc_id::BIGINT AS doc_id, round(score, 6) AS score,
+       rnk::BIGINT AS rnk
+FROM rk WHERE rnk <= 5"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -3079,11 +3182,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # continuing the r4 scheme so CONSECUTIVE driver files jointly cover all 60):
 # the ten er_* gates that sat past the cap in r4 (er_anchor_counts_joined ...
 # er_disambig_links, all driver-green in r3) rotate back inside the first 50;
-# EVERY gate displaced past the cap to make room for the seventeen new r5
-# gates (corpus_*, web_*, dedup_incremental, stream_latest_snapshot,
-# stream_dedup_events, graph_pagerank) has a green r4 driver row, so
-# union(CORRECTNESS_r04, CORRECTNESS_r05) covers all 77 queries. The full
-# local sweep (scripts/check_entry.py) still runs all 77.
+# EVERY gate displaced past the cap to make room for the nineteen new r5
+# gates (corpus_*, web_*, dedup_incremental, dedup_passage_overlap,
+# text_bm25_topk, stream_latest_snapshot, stream_dedup_events,
+# graph_pagerank) has a green r4 driver row, so
+# union(CORRECTNESS_r04, CORRECTNESS_r05) covers all 79 queries. The full
+# local sweep (scripts/check_entry.py) still runs all 79.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ER pipeline (SURVEY §2: P2, P6-P9, A1-A3, A5-A6, A12, O1, M1-M3, L2, A10/J7)
     "er_anchor_counts": q_er_anchor_counts,
@@ -3109,10 +3213,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dedup
     "dedup_minhash": q_dedup_minhash,
     # ANN
-    "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_embedding_dups": q_ann_embedding_dups,
     # web-snapshot curation (NEW r5, fourth batch): URL canonicalization,
     # newest-version-wins dedup, domain quotas, snapshot diff — in-window so
     # they get driver rows immediately; the four recall gates they displace
@@ -3130,6 +3232,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # link-graph centrality (NEW r5, sixth batch) — in-window; displaces
     # dedup_simhash (r4-driver-green), preserving union coverage
     "graph_pagerank": q_graph_pagerank,
+    # passage-level winnowing overlap + BM25 ranking (NEW r5, seventh
+    # batch) — in-window; displace ann_bruteforce_topk and
+    # ann_embedding_dups (both r4-driver-green)
+    "dedup_passage_overlap": q_dedup_passage_overlap,
+    "text_bm25_topk": q_text_bm25_topk,
     # er_* family rotated back inside the sampling window (r5; r3-green +
     # r4-tail — see the rotation note above)
     "er_anchor_counts_joined": q_er_anchor_counts_joined,
@@ -3171,10 +3278,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_embdup_recall": q_ann_embdup_recall,
-    # displaced r5 fifth/sixth batch (r4-green): exact dedup, simhash,
-    # embed-hashed E2E
+    # displaced r5 fifth/sixth/seventh batch (r4-green): exact dedup,
+    # simhash, embed-hashed E2E, brute-force ANN, embedding near-dups
     "dedup_exact": q_dedup_exact,
     "dedup_simhash": q_dedup_simhash,
+    "ann_bruteforce_topk": q_ann_bruteforce_topk,
+    "ann_embedding_dups": q_ann_embedding_dups,
     "dedup_embed_hashed": q_dedup_embed_hashed,
     # structured streaming (stream==batch, same oracle as rel_hourly_events)
     "stream_hourly_events": q_stream_hourly_events,
@@ -3279,6 +3388,8 @@ _ORACLES: dict[str, str] = {
     "web_snapshot_diff": SQL_WEB_SNAPSHOT_DIFF,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "graph_pagerank": SQL_GRAPH_PAGERANK,
+    "dedup_passage_overlap": SQL_DEDUP_PASSAGE,
+    "text_bm25_topk": SQL_TEXT_BM25,
     # stream==batch: the drained newest-wins state must equal the batch
     # latest-snapshot oracle
     "stream_latest_snapshot": SQL_WEB_LATEST,

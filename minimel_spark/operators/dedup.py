@@ -27,7 +27,7 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
-from .util import ensure_min_parallelism
+from .util import ensure_min_parallelism, md5_long60
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -323,6 +323,93 @@ def incremental_minhash_dups(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_new", "id_old", "jaccard")
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    scheme): word k-gram rolling hashes, one selected (minimum) hash per
+    sliding window of ``window`` consecutive k-grams, distinct per doc.
+
+    Guarantee: any shared word run of length >= window + k - 1 between two
+    documents shares at least one selected fingerprint — so passage-level
+    overlap is detectable from a tiny per-doc signature set instead of full
+    text comparison. Hashes are md5-60 (DuckDB-recomputable); selection is
+    min-in-window, computed as JVM array expressions over the hash array
+    (no shuffle until the output explode). Docs with fewer than
+    window + k - 1 words emit their global min hash when they have >= k
+    words (standard winnowing degenerates gracefully), else nothing.
+
+    Output: (id, fp) distinct — ~n_words/window rows per doc.
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\W+")
+    words = F.filter(words, lambda w: w != "")
+    gram_idx = F.when(
+        F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        gram_idx, lambda i: md5_long60(F.concat_ws(" ", F.slice(words, i, k)))
+    )
+    win_idx = F.when(
+        F.size(hashes) >= window, F.sequence(F.lit(1), F.size(hashes) - window + 1)
+    ).otherwise(
+        # degenerate short doc: one window over whatever k-grams exist
+        F.when(F.size(hashes) >= 1, F.array(F.lit(1))).otherwise(
+            F.array().cast("array<int>")
+        )
+    )
+    n_take = F.least(F.size(hashes), F.lit(window))
+    fps = F.array_distinct(
+        F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i, n_take)))
+    )
+    return (
+        ensure_min_parallelism(docs, id_col)
+        .select(id_col, F.explode(fps).alias("fp"))
+        .distinct()
+    )
+
+
+def passage_overlap_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 5,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs_per_fp: int | None = 1000,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints — the
+    passage-level contamination/plagiarism detector (near-dup operators catch
+    whole-document similarity; this catches a copied PARAGRAPH inside
+    otherwise-different documents).
+
+    One self-join on the fingerprint key + one count aggregation. Stop-
+    fingerprint cap (``max_docs_per_fp``): a fingerprint shared by more than
+    that many docs (boilerplate: headers, licenses) is dropped BEFORE the
+    self-join, bounding the per-key pair blowup exactly like the stop-shingle
+    cap in ngram_jaccard_dups — pass None for the lossless variant (the gate
+    does, so its DuckDB oracle needs no cap semantics).
+    """
+    fps = winnow_fingerprints(docs, k, window, text_col, id_col)
+    if max_docs_per_fp is not None:
+        sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+        fps = (
+            fps.join(sizes.where(F.col("_n") <= max_docs_per_fp), "fp", "left_semi")
+        )
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
 
 

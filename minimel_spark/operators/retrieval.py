@@ -1,0 +1,100 @@
+"""BM25 term-document ranking (SURVEY §4 LLM-pipeline family, round 5):
+the standard lexical retrieval score, used in training-data pipelines for
+query-targeted corpus selection (e.g. pulling domain-relevant documents for
+a fine-tuning mix) and as the quality baseline next to embedding ANN
+(`ann.py`). No counterpart in the reference; Spark-first new work.
+
+Scale design — three narrow aggregations, no windows over the corpus:
+- term frequencies: one (doc, term) shuffle with map-side partial counts;
+- document frequencies: one distinct-(doc, term) -> per-term count (the
+  (doc, term) table is reused for both, so the explode runs once);
+- document lengths + the global (N, avgdl) scalars: per-doc map-side sizes
+  and a broadcast 1-row aggregate — never a driver collect, never a
+  single-partition exchange.
+The per-(query-term, doc) score is a codegen'd expression over those joined
+longs; top-k per term is a rank window partitioned by term.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _words(text_col: str) -> F.Column:
+    # same segmentation contract as corpus.py (and the DuckDB oracles):
+    # lowercase, split on \W+, empties dropped
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda w: w != "")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query term by BM25 (Robertson/Lucene form):
+
+        score(t, d) = ln(1 + (N - df + 0.5)/(df + 0.5))
+                      * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    ``terms``: a (term) DataFrame of query terms (small — broadcast-joined
+    onto the term-frequency table, so only matching postings survive the
+    first join). Returns (term, doc_id, score, rnk) with rnk 1..k ordered by
+    (score desc, doc_id asc) — the doc_id tie-break makes the cut total and
+    parallelism-invariant.
+    """
+    base = docs.select(id_col, F.explode(_words(text_col)).alias("term")).join(
+        F.broadcast(terms.select("term").distinct()), "term"
+    )
+    tf = base.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = docs.select(id_col, F.size(_words(text_col)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    score = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        tf.join(df_, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select("term", id_col, score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def top_df_terms(docs: DataFrame, m: int = 8, min_len: int = 4,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The ``m`` highest-document-frequency terms of length >= ``min_len`` —
+    a deterministic query-term fixture generator (total order by
+    (df desc, term asc); TakeOrderedAndProject, no global sort)."""
+    dt = (
+        docs.select(id_col, F.explode(_words(text_col)).alias("term"))
+        .where(F.length("term") >= min_len)
+        .distinct()
+    )
+    return (
+        dt.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(m)
+        .select("term")
+    )

@@ -417,3 +417,44 @@ def test_minhash_survives_short_docs(spark):
         docs.where("doc_id < 3"), idx, docs.where("doc_id >= 3"), threshold=0.9, n=3
     )
     assert inc.count() == 0  # short docs probe nothing, and nothing crashes
+
+
+def test_winnowing_detects_copied_passage(spark):
+    """A paragraph copied between otherwise-different documents must share
+    winnowed fingerprints (guarantee: any shared run >= window+k-1 words
+    shares a selected fingerprint); unrelated docs share none."""
+    from minimel_spark.operators.dedup import passage_overlap_pairs, winnow_fingerprints
+
+    passage = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma " + passage + " delta epsilon zeta"),
+            (1, "one two three four five six " + passage),
+            (2, "completely different text about spark catalyst optimizer plans"),
+            (3, "tiny"),  # shorter than k: no fingerprints, no crash
+        ],
+        "doc_id long, text string",
+    )
+    pairs = passage_overlap_pairs(
+        docs, k=4, window=5, min_shared=2, max_docs_per_fp=None
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+    fps = winnow_fingerprints(docs, k=4, window=5)
+    assert fps.where(F.col("doc_id") == 3).count() == 0
+
+
+def test_winnowing_shift_invariant_guarantee(spark):
+    """The winnowing guarantee holds under arbitrary prefix shifts: the
+    shared 14-word passage (>= window+k-1 = 8) produces >= 1 common
+    fingerprint for every prefix length."""
+    from minimel_spark.operators.dedup import winnow_fingerprints
+
+    passage = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn"
+    rows = [(i, ("x%d " % i) * i + passage) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    by_doc: dict[int, set] = {}
+    for r in winnow_fingerprints(docs, k=4, window=5).collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    base = by_doc[0]
+    for i in range(1, 6):
+        assert base & by_doc[i], f"doc {i} shares no fingerprint with doc 0"
