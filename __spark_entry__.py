@@ -3155,6 +3155,55 @@ SELECT term, doc_id::BIGINT AS doc_id, round(score, 6) AS score,
 FROM rk WHERE rnk <= 5"""
 
 
+def q_stream_incremental_minhash(spark, sf_dir):
+    """Streaming incremental near-dup dedup for a growing corpus
+    (streaming/ingest.py stream_incremental_minhash): documents arrive as
+    TWO md5-interleaved crawl-batch files (maxFilesPerTrigger=1); each
+    micro-batch dedups within itself (minhash_dups) and against the
+    accumulated parquet LSH/shingle state (incremental_minhash_dups,
+    pre-shingled verify), then appends its own state. INVARIANT pinned by
+    the oracle: the union of per-batch pair outputs equals the whole-corpus
+    batch run — SAME DuckDB oracle as dedup_minhash (same md5 family and
+    parameters), so the batch split must not lose, invent, or duplicate a
+    single pair."""
+    import shutil
+    import tempfile
+
+    from minimel_spark.operators.util import md5_long60
+    from minimel_spark.streaming.ingest import stream_incremental_minhash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    half = md5_long60(F.concat(F.col("doc_id"), F.lit(":b"))) % 2
+    src = tempfile.mkdtemp(prefix="minimel_incmh_src_")
+    docs.where(half == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(half == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = tempfile.mkdtemp(prefix="minimel_incmh_state_")
+    pairs_dir = tempfile.mkdtemp(prefix="minimel_incmh_pairs_")
+    ckpt = tempfile.mkdtemp(prefix="minimel_incmh_ckpt_")
+    q = stream_incremental_minhash(
+        stream, state, pairs_dir, ckpt,
+        threshold=0.9, n=1, num_hashes=16, bands=8, hash_family="md5",
+    )
+    try:
+        assert q.awaitTermination(300), "streaming drain did not finish"
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+        # state/pairs_dir stay: the returned plan reads pairs_dir lazily
+    out = spark.read.parquet(pairs_dir)
+    return out.select(
+        F.least("id_new", "id_old").cast("long").alias("id_a"),
+        F.greatest("id_new", "id_old").cast("long").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -3182,16 +3231,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # continuing the r4 scheme so CONSECUTIVE driver files jointly cover all 60):
 # the ten er_* gates that sat past the cap in r4 (er_anchor_counts_joined ...
 # er_disambig_links, all driver-green in r3) rotate back inside the first 50;
-# EVERY gate displaced past the cap to make room for the nineteen new r5
+# EVERY gate displaced past the cap to make room for the twenty new r5
 # gates (corpus_*, web_*, dedup_incremental, dedup_passage_overlap,
-# text_bm25_topk, stream_latest_snapshot, stream_dedup_events,
-# graph_pagerank) has a green r4 driver row, so
-# union(CORRECTNESS_r04, CORRECTNESS_r05) covers all 79 queries. The full
-# local sweep (scripts/check_entry.py) still runs all 79.
+# text_bm25_topk, stream_latest_snapshot, stream_incremental_minhash,
+# stream_dedup_events, graph_pagerank) has a green r4 driver row, so
+# union(CORRECTNESS_r04, CORRECTNESS_r05) covers all 80 queries. The full
+# local sweep (scripts/check_entry.py) still runs all 80.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ER pipeline (SURVEY §2: P2, P6-P9, A1-A3, A5-A6, A12, O1, M1-M3, L2, A10/J7)
     "er_anchor_counts": q_er_anchor_counts,
-    "er_counts_map": q_er_counts_map,
     "er_most_common_sense": q_er_most_common_sense,
     "er_anchor_stats": q_er_anchor_stats,
     "er_rank_candidates": q_er_rank_candidates,
@@ -3237,6 +3285,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ann_embedding_dups (both r4-driver-green)
     "dedup_passage_overlap": q_dedup_passage_overlap,
     "text_bm25_topk": q_text_bm25_topk,
+    # streaming incremental minhash (NEW r5, eighth batch) — in-window;
+    # displaces er_counts_map (r4-driver-green)
+    "stream_incremental_minhash": q_stream_incremental_minhash,
     # er_* family rotated back inside the sampling window (r5; r3-green +
     # r4-tail — see the rotation note above)
     "er_anchor_counts_joined": q_er_anchor_counts_joined,
@@ -3278,8 +3329,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_embdup_recall": q_ann_embdup_recall,
-    # displaced r5 fifth/sixth/seventh batch (r4-green): exact dedup,
-    # simhash, embed-hashed E2E, brute-force ANN, embedding near-dups
+    # displaced r5 fifth/sixth/seventh/eighth batch (r4-green): exact
+    # dedup, simhash, embed-hashed E2E, brute-force ANN, embedding
+    # near-dups, counts-to-map rollup
+    "er_counts_map": q_er_counts_map,
     "dedup_exact": q_dedup_exact,
     "dedup_simhash": q_dedup_simhash,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
@@ -3390,6 +3443,8 @@ _ORACLES: dict[str, str] = {
     "graph_pagerank": SQL_GRAPH_PAGERANK,
     "dedup_passage_overlap": SQL_DEDUP_PASSAGE,
     "text_bm25_topk": SQL_TEXT_BM25,
+    # batch-split invariance: union of per-batch outputs == whole-corpus run
+    "stream_incremental_minhash": SQL_DEDUP_MINHASH,
     # stream==batch: the drained newest-wins state must equal the batch
     # latest-snapshot oracle
     "stream_latest_snapshot": SQL_WEB_LATEST,

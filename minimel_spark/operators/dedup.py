@@ -258,6 +258,7 @@ def incremental_minhash_dups(
     id_col: str = "doc_id",
     hash_family: str = "xx64",
     persisted_out: list | None = None,
+    pre_shingled: bool = False,
 ) -> DataFrame:
     """NEW-vs-CORPUS near-dup pairs without rescanning the corpus: band keys
     are computed for the new batch only and equi-joined against the stored
@@ -267,6 +268,10 @@ def incremental_minhash_dups(
     ONLY the corpus documents that matched a candidate (left-semi join
     before shingling). Output: (id_new, id_old, jaccard) with
     jaccard >= threshold.
+
+    ``pre_shingled``: when True, ``corpus`` is an (id, shingles) table (e.g.
+    the streaming state's docs table) instead of raw texts — the verify uses
+    the stored arrays directly, so corpus TEXT is never needed after ingest.
 
     This is the arrival-time dedup path a growing 100-TB corpus needs: cost
     scales with the new batch + matched buckets, not the corpus. New-vs-new
@@ -306,7 +311,12 @@ def incremental_minhash_dups(
         cand = cand.persist()
         persisted_out.append(cand)
     old_ids = cand.select(F.col("id_old").alias(id_col)).distinct()
-    sh_old = _shingled(corpus.join(old_ids, id_col, "left_semi"), text_col, id_col, n)
+    matched = corpus.join(old_ids, id_col, "left_semi")
+    sh_old = (
+        matched.select(id_col, "shingles")
+        if pre_shingled
+        else _shingled(matched, text_col, id_col, n)
+    )
     return (
         cand.join(
             sh_new.select(F.col(id_col).alias("id_new"), F.col("shingles").alias("sh_a")),

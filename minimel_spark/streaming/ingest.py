@@ -266,6 +266,101 @@ def stream_latest_snapshot(
     return latest_snapshots(pages, url_col=url_col, ts_col=ts_col)
 
 
+def stream_incremental_minhash(
+    docs_stream: DataFrame,
+    state_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xx64",
+    available_now: bool = True,
+):
+    """Streaming near-dup dedup for a GROWING corpus: each arriving crawl
+    batch is deduped (a) within itself via ``minhash_dups`` and (b) against
+    everything previously ingested via ``incremental_minhash_dups`` over the
+    accumulated LSH index, then its own index rows and shingle sets are
+    appended to the state. The state is two append-only parquet tables under
+    ``state_dir`` (``index/`` — the per-(doc, band) LSH rows; ``docs/`` —
+    (id, shingles) for the exact verify), committed by foreachBatch in
+    micro-batch order, so a restart resumes from the streaming checkpoint
+    with the state it had committed.
+
+    INVARIANT (the gate pins it): the union of per-batch pair outputs equals
+    the whole-corpus batch ``minhash_dups`` run, no matter how the stream is
+    split into micro-batches — within-batch pairs come from (a), cross-batch
+    pairs from (b), and no pair is produced twice because (b) only pairs the
+    new batch against STRICTLY EARLIER documents.
+
+    Scale: per micro-batch cost is O(batch + matched buckets) — the corpus
+    is never rescanned (the verify reads only the matched docs' shingle rows
+    from the state); the state grows by ~``bands`` skinny rows per ingested
+    doc. Returns the started StreamingQuery.
+    """
+    from ..operators.dedup import (
+        _band_keys,
+        _shingled,
+        incremental_minhash_dups,
+        minhash_dups,
+    )
+    from ..operators.blocking import minhash_signature
+
+    def _step(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            within = minhash_dups(
+                batch_df, threshold, n, num_hashes, bands, text_col, id_col,
+                hash_family,
+            ).select(
+                F.col("id_a").alias("id_new"),
+                F.col("id_b").alias("id_old"),
+                "jaccard",
+            )
+            try:
+                index = spark.read.parquet(f"{state_dir}/index")
+                seen = spark.read.parquet(f"{state_dir}/docs")
+            except Exception:  # first batch: no state yet
+                index, seen = None, None
+            if index is not None:
+                # the state's (id, shingles) rows ARE the corpus for the
+                # verify join — corpus text is never needed after ingest
+                cross = incremental_minhash_dups(
+                    batch_df, index, seen, threshold, n, num_hashes, bands,
+                    text_col, id_col, hash_family, pre_shingled=True,
+                )
+                pairs = within.unionByName(cross)
+            else:
+                pairs = within
+            pairs.write.mode("append").parquet(pairs_dir)
+            # commit this batch's state AFTER its pairs: on replay after a
+            # crash between the two writes, the batch re-runs against the
+            # same pre-batch state
+            sh = _shingled(batch_df, text_col, id_col, n)
+            sh.select(id_col, "shingles").write.mode("append").parquet(
+                f"{state_dir}/docs"
+            )
+            sig = sh.withColumn(
+                "sig", minhash_signature(F.col("shingles"), num_hashes, hash_family)
+            )
+            sig.select(
+                id_col,
+                "n_sh",
+                F.explode(_band_keys(num_hashes, bands, hash_family)).alias("bk"),
+            ).write.mode("append").parquet(f"{state_dir}/index")
+        finally:
+            batch_df.unpersist()
+
+    writer = docs_stream.writeStream.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.outputMode("update").foreachBatch(_step).start()
+
+
 def stream_exact_dedup(
     events: DataFrame, key_cols: tuple = ("event_id",), delay: str = "2 hours"
 ) -> DataFrame:

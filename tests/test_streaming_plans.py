@@ -304,3 +304,60 @@ def test_stream_latest_snapshot_merges_state_across_batches(spark, tmp_path):
     assert got["a.org/p?x=1"] == ("a2", 2)   # batch-2 winner via state merge
     assert got["b.org/q"] == ("b1", 1)       # batch-1-only key retained
     assert got["c.org/r"] == ("c1", 2)       # batch-1 winner retained
+
+
+def test_stream_incremental_minhash_batch_split_invariant(spark, tmp_path):
+    """Three crawl-batch files drained one micro-batch at a time: the union
+    of per-batch pair outputs (within-batch + vs-accumulated-state) must
+    equal the whole-corpus batch minhash_dups — no pair lost, invented, or
+    duplicated by the split."""
+    import pyspark.sql.functions as F
+
+    from minimel_spark.operators.dedup import minhash_dups
+    from minimel_spark.streaming.ingest import stream_incremental_minhash
+
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely unrelated text about query optimizers"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "another unrelated doc mentioning shuffle partitions"),
+        (5, "the quick brown fox jumps over a lazy dog"),
+    ]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):  # three interleaving batches
+        spark.createDataFrame(base[lo:hi], "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_incremental_minhash(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+        threshold=0.5,
+        n=2,
+        num_hashes=16,
+        bands=8,
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {
+        (min(r["id_new"], r["id_old"]), max(r["id_new"], r["id_old"]),
+         round(r["jaccard"], 9))
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_dups(docs, threshold=0.5, n=2).collect()
+    }
+    assert got == want and got  # equal AND non-trivial (>= the 0-1-3-5 clique)
+    # state grew per batch: 3 appends to docs and index each
+    assert spark.read.parquet(str(tmp_path / "state") + "/docs").count() == 6
