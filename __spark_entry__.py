@@ -3195,7 +3195,9 @@ def q_stream_incremental_minhash(spark, sf_dir):
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
-        # state/pairs_dir stay: the returned plan reads pairs_dir lazily
+        # state is never read after the drain; only pairs_dir stays (the
+        # returned plan reads it lazily)
+        shutil.rmtree(state, ignore_errors=True)
     out = spark.read.parquet(pairs_dir)
     return out.select(
         F.least("id_new", "id_old").cast("long").alias("id_a"),

@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from .cluster import connected_components
-from .util import ensure_min_parallelism
+from .util import ensure_min_parallelism, words_lower
 
 # Word segmentation shared by every operator here (and by the DuckDB oracles:
 # regexp_split_to_array(lower(text), '\\W+') with empties filtered).
@@ -31,7 +31,7 @@ _WORD_SPLIT = r"\W+"
 
 
 def _words(text_col: str) -> F.Column:
-    return F.filter(F.split(F.lower(F.col(text_col)), _WORD_SPLIT), lambda w: w != "")
+    return words_lower(F.col(text_col))
 
 
 def _word_ngrams(words: F.Column, n: int) -> F.Column:

@@ -27,7 +27,7 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
-from .util import ensure_min_parallelism, md5_long60
+from .util import ensure_min_parallelism, md5_long60, words_lower
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -50,8 +50,7 @@ def _word_shingles(text_col, n: int = 3):
     throws INVALID_PARAMETER_VALUE.START — i.e. one short document in a
     crawl batch would kill the whole dedup job (same hazard
     corpus._word_ngrams guards)."""
-    words = F.split(F.lower(text_col), r"\W+")
-    words = F.filter(words, lambda w: w != "")
+    words = words_lower(text_col)
     idx = F.when(
         F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - n + 1)
     ).otherwise(F.array().cast("array<int>"))
@@ -162,8 +161,14 @@ def minhash_dups(
     id_col: str = "doc_id",
     hash_family: str = "xx64",
     persisted_out: list | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs + exact Jaccard verification (scale path).
+
+    ``shingled``: optionally the precomputed ``_shingled(docs, ...)`` table
+    (id, shingles, n_sh) — callers running several minhash stages over the
+    same batch (the streaming incremental path) compute and persist it once;
+    the caller owns its lifecycle, so ``persisted_out`` is not engaged.
 
     Before the exact verify (which joins the full shingle arrays onto every
     candidate pair), candidates are prefiltered on shingle-set SIZES alone:
@@ -180,8 +185,8 @@ def minhash_dups(
     """
     from .blocking import minhash_signature
 
-    sh = _shingled(docs, text_col, id_col, n)
-    if persisted_out is not None:
+    sh = shingled if shingled is not None else _shingled(docs, text_col, id_col, n)
+    if shingled is None and persisted_out is not None:
         # the shingled table feeds four branches (both sides of the band join
         # and both sides of the exact verify); persisting it computes the
         # shingling once — the caller owns the unpersist
@@ -228,6 +233,7 @@ def minhash_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_family: str = "xx64",
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """The persistent LSH index of a corpus: one (id, n_sh, bk) row per
     (document, band). Compute ONCE per corpus and write it out (bucket the
@@ -238,7 +244,8 @@ def minhash_index(
     (two longs + a short key), a few hundred bytes/doc at 10^12 scale."""
     from .blocking import minhash_signature
 
-    sig = _shingled(docs, text_col, id_col, n).withColumn(
+    sh = shingled if shingled is not None else _shingled(docs, text_col, id_col, n)
+    sig = sh.withColumn(
         "sig", minhash_signature(F.col("shingles"), num_hashes, hash_family)
     )
     return sig.select(
@@ -259,6 +266,7 @@ def incremental_minhash_dups(
     hash_family: str = "xx64",
     persisted_out: list | None = None,
     pre_shingled: bool = False,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """NEW-vs-CORPUS near-dup pairs without rescanning the corpus: band keys
     are computed for the new batch only and equi-joined against the stored
@@ -280,8 +288,8 @@ def incremental_minhash_dups(
     (``minhash_index(new_docs, ...)``) to the stored table."""
     from .blocking import minhash_signature
 
-    sh_new = _shingled(new_docs, text_col, id_col, n)
-    if persisted_out is not None:
+    sh_new = shingled if shingled is not None else _shingled(new_docs, text_col, id_col, n)
+    if shingled is None and persisted_out is not None:
         # feeds the band probe and the verify's new side
         sh_new = sh_new.persist()
         persisted_out.append(sh_new)
@@ -300,6 +308,9 @@ def incremental_minhash_dups(
             ),
             "bk",
         )
+        # a re-crawled id present in both the batch and the index would
+        # otherwise self-pair (and later fan out the verify join) — r5 review
+        .where(F.col("id_new") != F.col("id_old"))
         .where(F.least("n_new", "n_old") >= threshold * F.greatest("n_new", "n_old"))
         .select("id_new", "id_old")
         .distinct()
@@ -358,8 +369,7 @@ def winnow_fingerprints(
 
     Output: (id, fp) distinct — ~n_words/window rows per doc.
     """
-    words = F.split(F.lower(F.col(text_col)), r"\W+")
-    words = F.filter(words, lambda w: w != "")
+    words = words_lower(F.col(text_col))
     gram_idx = F.when(
         F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - k + 1)
     ).otherwise(F.array().cast("array<int>"))
@@ -393,6 +403,7 @@ def passage_overlap_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_docs_per_fp: int | None = 1000,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowed fingerprints — the
     passage-level contamination/plagiarism detector (near-dup operators catch
@@ -407,11 +418,22 @@ def passage_overlap_pairs(
     does, so its DuckDB oracle needs no cap semantics).
     """
     fps = winnow_fingerprints(docs, k, window, text_col, id_col)
+    if persisted_out is not None:
+        # fps feeds both sides of the self-join (and the cap aggregation):
+        # persisting computes the winnowing hash arrays once
+        fps = fps.persist()
+        persisted_out.append(fps)
     if max_docs_per_fp is not None:
-        sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
-        fps = (
-            fps.join(sizes.where(F.col("_n") <= max_docs_per_fp), "fp", "left_semi")
+        # broadcast ANTI against the tiny over-cap set (boilerplate keys are
+        # few by definition) — a left_semi against the huge under-cap set
+        # would shuffle every fingerprint (same shape as the stop-shingle
+        # cap in ngram_jaccard_dups; r5 review)
+        oversized = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_docs_per_fp)
         )
+        fps = fps.join(F.broadcast(oversized), "fp", "left_anti")
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (

@@ -20,11 +20,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from .util import words_lower
+
 
 def _words(text_col: str) -> F.Column:
-    # same segmentation contract as corpus.py (and the DuckDB oracles):
-    # lowercase, split on \W+, empties dropped
-    return F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda w: w != "")
+    # the shared segmentation contract (util.words_lower == the oracles')
+    return words_lower(F.col(text_col))
 
 
 def bm25_topk(

@@ -23,6 +23,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+def words_lower(col: Column) -> Column:
+    """The repo-wide word segmentation contract (and the DuckDB oracles'):
+    lowercase, split on \W+, empties dropped. One definition — corpus,
+    retrieval, and the winnowing path all build on it, so the segmentation
+    can never silently drift between operators or engines."""
+    return F.filter(F.split(F.lower(col), r"\W+"), lambda w: w != "")
+
+
 def md5_long60(col: Column) -> Column:
     """First 60 bits of md5 as a non-negative BIGINT — the deterministic,
     parallelism-invariant key/rank this repo standardizes on, because DuckDB

@@ -302,20 +302,27 @@ def stream_incremental_minhash(
     doc. Returns the started StreamingQuery.
     """
     from ..operators.dedup import (
-        _band_keys,
         _shingled,
         incremental_minhash_dups,
         minhash_dups,
+        minhash_index,
     )
-    from ..operators.blocking import minhash_signature
 
-    def _step(batch_df: DataFrame, _batch_id: int) -> None:
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        # Every write lands in a batch=<id> subdirectory with mode=overwrite:
+        # foreachBatch is at-least-once, so a crash-replayed batch OVERWRITES
+        # its own previous (possibly partial) output instead of appending a
+        # second copy — this, not the write order, is what makes the
+        # pairs/state commits idempotent (r5 review). Readers see the union
+        # of batch dirs via partition discovery.
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
+        shingled = _shingled(batch_df, text_col, id_col, n).persist()
         try:
             within = minhash_dups(
                 batch_df, threshold, n, num_hashes, bands, text_col, id_col,
-                hash_family,
+                hash_family, shingled=shingled,
             ).select(
                 F.col("id_a").alias("id_new"),
                 F.col("id_b").alias("id_old"),
@@ -324,7 +331,11 @@ def stream_incremental_minhash(
             try:
                 index = spark.read.parquet(f"{state_dir}/index")
                 seen = spark.read.parquet(f"{state_dir}/docs")
-            except Exception:  # first batch: no state yet
+            except AnalysisException:
+                # ONLY path-not-found-shaped analysis errors mean "first
+                # batch"; transient FS/read failures propagate and fail the
+                # batch so the checkpoint retries it instead of silently
+                # skipping cross-batch dedup (r5 review)
                 index, seen = None, None
             if index is not None:
                 # the state's (id, shingles) rows ARE the corpus for the
@@ -332,28 +343,21 @@ def stream_incremental_minhash(
                 cross = incremental_minhash_dups(
                     batch_df, index, seen, threshold, n, num_hashes, bands,
                     text_col, id_col, hash_family, pre_shingled=True,
+                    shingled=shingled,
                 )
                 pairs = within.unionByName(cross)
             else:
                 pairs = within
-            pairs.write.mode("append").parquet(pairs_dir)
-            # commit this batch's state AFTER its pairs: on replay after a
-            # crash between the two writes, the batch re-runs against the
-            # same pre-batch state
-            sh = _shingled(batch_df, text_col, id_col, n)
-            sh.select(id_col, "shingles").write.mode("append").parquet(
-                f"{state_dir}/docs"
+            pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={batch_id}")
+            shingled.select(id_col, "shingles").write.mode("overwrite").parquet(
+                f"{state_dir}/docs/batch={batch_id}"
             )
-            sig = sh.withColumn(
-                "sig", minhash_signature(F.col("shingles"), num_hashes, hash_family)
-            )
-            sig.select(
-                id_col,
-                "n_sh",
-                F.explode(_band_keys(num_hashes, bands, hash_family)).alias("bk"),
-            ).write.mode("append").parquet(f"{state_dir}/index")
+            minhash_index(
+                batch_df, n, num_hashes, bands, text_col, id_col, hash_family,
+                shingled=shingled,
+            ).write.mode("overwrite").parquet(f"{state_dir}/index/batch={batch_id}")
         finally:
-            batch_df.unpersist()
+            shingled.unpersist()
 
     writer = docs_stream.writeStream.option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -349,15 +349,20 @@ def test_stream_incremental_minhash_batch_split_invariant(spark, tmp_path):
         assert q.awaitTermination(180)
     finally:
         q.stop()
+    rows = spark.read.parquet(str(tmp_path / "pairs")).collect()
     got = {
         (min(r["id_new"], r["id_old"]), max(r["id_new"], r["id_old"]),
          round(r["jaccard"], 9))
-        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+        for r in rows
     }
     want = {
         (r["id_a"], r["id_b"], round(r["jaccard"], 9))
         for r in minhash_dups(docs, threshold=0.5, n=2).collect()
     }
     assert got == want and got  # equal AND non-trivial (>= the 0-1-3-5 clique)
+    # the ROW COUNT must also match: a pair emitted by both the within-batch
+    # and cross-batch paths (or a double-appended batch) would collapse in
+    # the set compare but not here (r5 review)
+    assert len(rows) == len(want)
     # state grew per batch: 3 appends to docs and index each
     assert spark.read.parquet(str(tmp_path / "state") + "/docs").count() == 6
