@@ -3206,6 +3206,188 @@ def q_stream_incremental_minhash(spark, sf_dir):
     )
 
 
+def q_corpus_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM quality scoring (operators/lm.py): add-0.5
+    smoothed word-bigram cross-entropy / perplexity per document, model
+    trained on the corpus itself. Pure JVM plan — two count aggregations +
+    two md5-60-keyed joins + one per-doc aggregation. The oracle retrains
+    the same LM from the raw text in SQL and rescores every document."""
+    from minimel_spark.operators.lm import lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lm_perplexity(docs, alpha=0.5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
+SQL_CORPUS_LM_PERPLEXITY = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS ws
+  FROM documents),
+tu AS (
+  SELECT w AS wd, count(*)::BIGINT AS c1
+  FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w),
+v AS (SELECT count(*)::DOUBLE AS v FROM tu),
+sd AS (
+  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS ng, ws[i] AS w1
+  FROM w, LATERAL unnest(range(1, greatest(len(ws) - 1, 0) + 1)) t(i)
+  WHERE len(ws) >= 2),
+tb AS (SELECT ng, count(*)::BIGINT AS c2 FROM sd GROUP BY ng),
+sc AS (
+  SELECT sd.doc_id,
+         ln((coalesce(tb.c2, 0) + 0.5) / (coalesce(tu.c1, 0) + 0.5 * v.v)) AS lp
+  FROM sd LEFT JOIN tb USING (ng) LEFT JOIN tu ON tu.wd = sd.w1 CROSS JOIN v),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, -avg(lp) AS ce
+  FROM sc GROUP BY doc_id)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       round(p.ce, 6) AS cross_entropy,
+       round(exp(p.ce), 6) AS perplexity
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)"""
+
+
+# HLL layout constants shared by the gate and its oracle (p=8):
+# scale = alpha_256 * 256^2 * 2^53 embedded as ONE literal in both engines.
+_HLL_SCALE_P8 = repr(0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * float(1 << 53))
+
+
+def q_web_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-URL cardinality
+    (operators/sketch.py) over the crawl fixture, at two grouping levels so
+    BOTH estimator branches fire: per-host (~tens of URLs each -> the
+    linear-counting small-range correction) and corpus-wide (hundreds ->
+    the raw harmonic-mean estimate). The register sum is exact integer
+    arithmetic, so the oracle rebuilds every register AND the estimate
+    bit-for-bit from the raw rows; n_exact/rel_err report true accuracy."""
+    from minimel_spark.operators.sketch import hll_distinct
+    from minimel_spark.operators.web import canonical_url, url_domain
+    from minimel_spark.sources.synth import snapshot_pages
+
+    pages = snapshot_pages(_t(spark, sf_dir, "documents"))
+    canon = canonical_url(F.col("url"))
+    vals = pages.select(canon.alias("v"), url_domain(canon).alias("grp"))
+    both = vals.withColumn("level", F.lit("domain")).unionByName(
+        vals.select("v", F.lit("all").alias("grp"), F.lit("all").alias("level"))
+    )
+    out = hll_distinct(both, ["level", "grp"], "v", p=8)
+    return out.select(
+        "level",
+        "grp",
+        F.col("n_registers").cast("long").alias("n_registers"),
+        F.round("hll_estimate", 6).alias("hll_estimate"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round("rel_err", 6).alias("rel_err"),
+    )
+
+
+SQL_WEB_HLL = f"""
+WITH {_SQL_SNAPSHOT_CANON},
+vals AS (
+  SELECT 'domain' AS level, regexp_extract(canonical_url, '^([^/?]*)', 1) AS grp,
+         canonical_url AS v
+  FROM canon
+  UNION ALL
+  SELECT 'all', 'all', canonical_url FROM canon),
+hh AS (
+  SELECT level, grp, v,
+         ('0x' || substr(md5(v), 1, 15))::UBIGINT AS h
+  FROM vals),
+regs AS (
+  SELECT level, grp, (h >> 52) AS idx,
+         max(CASE WHEN (h % (1::UBIGINT << 52)) = 0 THEN 53
+                  ELSE 53 - length(bin((h % (1::UBIGINT << 52))::BIGINT))
+             END) AS mr
+  FROM hh GROUP BY level, grp, idx),
+agg AS (
+  SELECT level, grp, count(*)::BIGINT AS n_registers,
+         sum(1::BIGINT << (53 - mr))::BIGINT AS s
+  FROM regs GROUP BY level, grp),
+est AS (
+  SELECT level, grp, n_registers,
+         CASE WHEN {_HLL_SCALE_P8}
+                   / ((s + (256 - n_registers) * (1::BIGINT << 53))::DOUBLE)
+                   <= 640.0
+                   AND n_registers < 256
+              THEN 256.0 * ln(256.0 / (256 - n_registers)::DOUBLE)
+              ELSE {_HLL_SCALE_P8}
+                   / ((s + (256 - n_registers) * (1::BIGINT << 53))::DOUBLE)
+         END AS e
+  FROM agg),
+ex AS (SELECT level, grp, count(DISTINCT v)::BIGINT AS n_exact
+       FROM vals GROUP BY level, grp)
+SELECT est.level, est.grp, est.n_registers,
+       round(est.e, 6) AS hll_estimate, ex.n_exact,
+       round((est.e - ex.n_exact) / ex.n_exact, 6) AS rel_err
+FROM est JOIN ex ON est.level = ex.level AND est.grp = ex.grp"""
+
+
+def q_rel_bloom_semi_join(spark, sf_dir):
+    """Deterministic Bloom-filter semi-join pruning (operators/sketch.py):
+    high-balance customers build a 1024-bit / k=3 filter; every order is
+    probed map-side through three broadcast hash joins on the packed word
+    table — the fact side never shuffles (pytest pins the plan). n_bits is
+    deliberately small so false positives OCCUR and the gate verifies the
+    exact confusion counts: (bloom_pass, is_member) cells, where
+    (false, true) is impossible by the Bloom guarantee. The oracle repacks
+    the words with bit_or and re-probes every order in SQL."""
+    from minimel_spark.operators.sketch import bloom_build, bloom_semi_join
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    dim = (
+        cust.where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").cast("string").alias("key"))
+        .distinct()
+    )
+    bloom = bloom_build(dim, "key", n_bits=1024, k=3)
+    fact = orders.select("o_orderkey", F.col("o_custkey").cast("string").alias("key"))
+    flagged = bloom_semi_join(fact, "key", bloom, n_bits=1024, k=3)
+    member = dim.withColumn("is_member", F.lit(True))
+    return (
+        flagged.join(member, "key", "left")
+        .select(
+            "bloom_pass",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        )
+        .groupBy("bloom_pass", "is_member")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+SQL_REL_BLOOM = """
+WITH dim AS (
+  SELECT DISTINCT c_custkey::VARCHAR AS key FROM customer WHERE c_acctbal > 9000),
+dpos AS (
+  SELECT (('0x' || substr(md5('b' || j || ':' || key), 1, 15))::UBIGINT
+          % 1024) AS p
+  FROM dim, LATERAL unnest([1, 2, 3]) t(j)),
+words AS (
+  SELECT (p // 63)::BIGINT AS word_idx,
+         bit_or(1::BIGINT << (p % 63)::INT) AS word
+  FROM dpos GROUP BY 1),
+fpos AS (
+  SELECT o_orderkey, o_custkey::VARCHAR AS key,
+         (('0x' || substr(md5('b' || j || ':' || o_custkey::VARCHAR), 1, 15))::UBIGINT
+          % 1024) AS p
+  FROM orders, LATERAL unnest([1, 2, 3]) t(j)),
+probe AS (
+  SELECT o_orderkey, key,
+         bool_and(coalesce(
+           (w.word & (1::BIGINT << (fpos.p % 63)::INT)) != 0, false)) AS bloom_pass
+  FROM fpos LEFT JOIN words w ON w.word_idx = (fpos.p // 63)::BIGINT
+  GROUP BY o_orderkey, key)
+SELECT p.bloom_pass, (d.key IS NOT NULL) AS is_member, count(*)::BIGINT AS n
+FROM probe p LEFT JOIN dim d ON d.key = p.key
+GROUP BY 1, 2"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -3242,9 +3424,6 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ER pipeline (SURVEY §2: P2, P6-P9, A1-A3, A5-A6, A12, O1, M1-M3, L2, A10/J7)
     "er_anchor_counts": q_er_anchor_counts,
-    "er_most_common_sense": q_er_most_common_sense,
-    "er_anchor_stats": q_er_anchor_stats,
-    "er_rank_candidates": q_er_rank_candidates,
     "er_mentions": q_er_mentions,
     "er_mention_counts": q_er_mention_counts,
     "er_predict_cascade": q_er_predict_cascade,
@@ -3324,7 +3503,21 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (dedup_jaccard_words, dedup_jaccard_3gram) are r4-driver-green
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "stream_dedup_events": q_stream_dedup_events,
+    # ninth batch (NEW r5): bigram-LM perplexity quality scoring +
+    # deterministic HyperLogLog distinct sketch — in-window so they get
+    # driver rows immediately; the two gates they displace
+    # (er_most_common_sense, er_rank_candidates) are r4-driver-green and
+    # untouched by any r5 code change
+    "corpus_lm_perplexity": q_corpus_lm_perplexity,
+    "web_hll_distinct": q_web_hll_distinct,
+    # tenth batch (NEW r5): Bloom-filter semi-join pruning — in-window;
+    # displaces er_anchor_stats (r4-driver-green, untouched by r5 changes)
+    "rel_bloom_semi_join": q_rel_bloom_semi_join,
     # --- tail (positions 51+): driver-green in r4, rotated past the cap ---
+    # displaced ninth/tenth batch (r4-green, code untouched in r5)
+    "er_most_common_sense": q_er_most_common_sense,
+    "er_rank_candidates": q_er_rank_candidates,
+    "er_anchor_stats": q_er_anchor_stats,
     # recall gates for the approximate family (r4-green; the primary
     # approximate gates now carry full md5-mode value oracles in-window)
     "dedup_minhash_recall": q_dedup_minhash_recall,
@@ -3437,6 +3630,9 @@ _ORACLES: dict[str, str] = {
     "corpus_vocab_oov": SQL_CORPUS_VOCAB_OOV,
     "corpus_pack_sequences": SQL_CORPUS_PACK,
     "stream_dedup_events": SQL_STREAM_DEDUP,
+    "corpus_lm_perplexity": SQL_CORPUS_LM_PERPLEXITY,
+    "web_hll_distinct": SQL_WEB_HLL,
+    "rel_bloom_semi_join": SQL_REL_BLOOM,
     "web_canonical_urls": SQL_WEB_CANONICAL,
     "web_latest_snapshot": SQL_WEB_LATEST,
     "web_domain_quota": SQL_WEB_DOMAIN_QUOTA,

@@ -1,0 +1,216 @@
+"""Distributed cardinality sketches: a deterministic HyperLogLog.
+
+At 100-TB scale, exact per-group distinct counts (`count(distinct url)` per
+host, per crawl, per day) force a full shuffle of every distinct value; a
+HyperLogLog register table is a few hundred bytes per group and composes
+under union — the standard tool for crawl-frequency dashboards and join-size
+estimation. Spark's own `approx_count_distinct` IS HLL++, but its hash is not
+recomputable outside the JVM; this implementation derives the register index
+and rank from `util.md5_long60`, so a DuckDB oracle rebuilds every register —
+and therefore the exact estimate, bit for bit — from the raw rows (the same
+md5 trick the dedup/ANN oracle families use). No counterpart in the
+reference (minimEL).
+
+Layout of the 60-bit md5 hash, p index bits + 52 rank bits:
+
+    idx = h >> 52          (top p=8 bits -> register 0..255 when p=8)
+    rho = 53 - len(bin(h & (2^52 - 1)))   (leading-zero count + 1; 53 if 0)
+
+The register sum is kept in INTEGER space — sum of 2^(53 - M_j) as BIGINT is
+exact (each term <= 2^52, <= 2^p terms < 2^63 total), so both engines derive
+the estimate from the *same exact integer* with one identical float divide:
+no summation-order noise anywhere.
+
+Scale: one partial-aggregated groupBy on (group, register) — at most
+2^p rows per group survive the map side — then a per-group rollup. The
+companion exact count (for the gate's accuracy report) is the expensive
+half and exists only for verification; production callers take the sketch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .util import ensure_min_parallelism, md5_long60
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate of ``value_col``.
+
+    Returns (group_cols..., n_registers, hll_estimate[, n_exact, rel_err]):
+    ``n_registers`` is the number of non-zero registers, ``hll_estimate``
+    the Flajolet et al. estimate with the standard small-range (linear
+    counting) correction, and — when ``exact`` — the true distinct count
+    plus signed relative error, for accuracy gating. Standard error is
+    ~1.04/sqrt(2^p) (~6.5% at p=8).
+    """
+    if not 4 <= p <= 12:
+        raise ValueError(f"p must be in [4, 12], got {p}")
+    m = 1 << p
+    rem_bits = 60 - p
+    rho_max = rem_bits + 1
+    # alpha_m * m^2 * 2^rho_max as ONE Python float literal, embedded
+    # identically in both engines so the single divide is bit-identical
+    alpha_m = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else (
+        0.673 if m == 16 else 0.697 if m == 32 else 0.709
+    )
+    scale = alpha_m * m * m * float(1 << rho_max)
+
+    df = ensure_min_parallelism(df, *group_cols)
+    h = md5_long60(F.col(value_col))
+    rem = F.expr(f"_h & {(1 << rem_bits) - 1}")
+    rows = df.select(
+        *group_cols, h.alias("_h")
+    ).select(
+        *group_cols,
+        F.shiftright(F.col("_h"), rem_bits).alias("_idx"),
+        F.when(rem == 0, F.lit(rho_max))
+        .otherwise(F.lit(rho_max) - F.length(F.bin(rem)))
+        .alias("_rho"),
+    )
+    regs = rows.groupBy(*group_cols, "_idx").agg(F.max("_rho").alias("_m"))
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("n_registers"),
+        F.sum(F.expr(f"CAST(1 AS BIGINT) << ({rho_max} - _m)")).alias("_s"),
+    )
+    v0 = F.lit(m) - F.col("n_registers")
+    s_total = F.col("_s") + v0 * F.lit(1 << rho_max)
+    raw = F.lit(scale) / s_total.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v0 > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v0.cast("double")),
+    ).otherwise(raw)
+    out = agg.select(*group_cols, "n_registers", est.alias("hll_estimate"))
+    if not exact:
+        return out
+    truth = df.groupBy(*group_cols).agg(
+        F.countDistinct(value_col).alias("n_exact")
+    )
+    return out.join(truth, group_cols).select(
+        *group_cols,
+        "n_registers",
+        "hll_estimate",
+        "n_exact",
+        ((F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact")).alias(
+            "rel_err"
+        ),
+    )
+
+
+def bloom_build(
+    dim: DataFrame, key_col: str, n_bits: int = 1 << 17, k: int = 3
+) -> DataFrame:
+    """Build a Bloom filter over ``dim[key_col]`` as a packed word table
+    (word_idx BIGINT, word BIGINT) — the broadcast-able runtime filter for
+    `bloom_semi_join`.
+
+    Bit i of word w covers global bit position w*63 + i; words are 63 bits
+    so the mask `1 << (pos % 63)` never touches the sign bit (DuckDB raises
+    on BIGINT `1 << 63`, and the oracle must pack identically). Hash j of a
+    key is `md5_long60('bj:' || key) % n_bits` — deterministic and
+    recomputable in SQL. The table has at most ceil(n_bits/63) rows
+    (~2 KB per 2^17 bits), built with one partial-aggregated bit_or
+    shuffle over the (small) dim side.
+    """
+    if n_bits < 63 or k < 1:
+        raise ValueError(f"need n_bits >= 63 and k >= 1, got {n_bits}, {k}")
+    pos = [
+        (md5_long60(F.concat(F.lit(f"b{j}:"), F.col(key_col))) % n_bits).alias(
+            f"_p{j}"
+        )
+        for j in range(1, k + 1)
+    ]
+    positions = dim.select(
+        F.explode(F.array(*pos)).alias("pos")
+    )
+    return (
+        positions.select(
+            (F.col("pos") / 63).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias(
+                "_mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_mask").alias("word"))
+    )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    n_bits: int = 1 << 17,
+    k: int = 3,
+) -> DataFrame:
+    """Flag fact rows whose key *may* be in the Bloom filter (column
+    ``bloom_pass``; false = definitely absent, the rows a real pipeline
+    drops BEFORE the expensive shuffle join).
+
+    Plan shape — the reason this operator exists at 100 TB: the fact side
+    is scanned ONCE and flows through k broadcast hash joins on word_idx
+    (the filter table is KBs), entirely map-side: no shuffle, no explode
+    fan-out, no group-back. The dim side is touched only by `bloom_build`.
+    A plain semi-join would shuffle the full fact side on the key.
+    """
+    if n_bits < 63 or k < 1:
+        raise ValueError(f"need n_bits >= 63 and k >= 1, got {n_bits}, {k}")
+    out = fact
+    bits = []
+    for j in range(1, k + 1):
+        pos = md5_long60(F.concat(F.lit(f"b{j}:"), F.col(key_col))) % n_bits
+        out = out.withColumn(f"_pos{j}", pos).withColumn(
+            f"_wi{j}", (F.col(f"_pos{j}") / 63).cast("long")
+        )
+        w = bloom.select(
+            F.col("word_idx").alias(f"_wi{j}"), F.col("word").alias(f"_w{j}")
+        )
+        out = out.join(F.broadcast(w), f"_wi{j}", "left")
+        bits.append(
+            F.coalesce(
+                F.expr(
+                    f"(_w{j} & shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(_pos{j} % 63 AS INT))) != 0"
+                ),
+                F.lit(False),
+            )
+        )
+    cond = bits[0]
+    for b in bits[1:]:
+        cond = cond & b
+    return out.select(*fact.columns, cond.alias("bloom_pass"))
+
+
+def hll_reference(values, p: int = 8) -> float:
+    """Pure-Python HLL over md5, mirroring `hll_distinct` register-for-
+    register — the pytest cross-check that the Spark bit layout is the
+    intended algorithm (not just self-consistent)."""
+    import hashlib
+
+    m = 1 << p
+    rem_bits = 60 - p
+    rho_max = rem_bits + 1
+    alpha_m = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else (
+        0.673 if m == 16 else 0.697 if m == 32 else 0.709
+    )
+    regs = [0] * m
+    for v in set(values):
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        idx = h >> rem_bits
+        rem = h & ((1 << rem_bits) - 1)
+        rho = rho_max if rem == 0 else rho_max - rem.bit_length()
+        regs[idx] = max(regs[idx], rho)
+    s_total = sum(1 << (rho_max - r) for r in regs)
+    raw = (alpha_m * m * m * float(1 << rho_max)) / float(s_total)
+    v0 = regs.count(0)
+    if raw <= 2.5 * m and v0 > 0:
+        return m * math.log(m / v0)
+    return raw

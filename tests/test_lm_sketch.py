@@ -1,0 +1,241 @@
+"""Tests for the bigram-LM perplexity filter (operators/lm.py) and the
+deterministic HyperLogLog sketch (operators/sketch.py): pure-Python parity,
+edge cases, parallelism invariance, and accuracy bounds."""
+
+import math
+import re
+from collections import Counter
+
+import pyspark.sql.functions as F
+import pytest
+
+from minimel_spark.operators.lm import lm_perplexity
+from minimel_spark.operators.sketch import hll_distinct, hll_reference
+
+
+def _pywords(t):
+    return [w for w in re.split(r"\W+", t.lower()) if w]
+
+
+def _py_lm(rows, alpha=0.5, train_rows=None):
+    """Brute-force reference of lm_perplexity over (doc_id, text) tuples."""
+    train_rows = rows if train_rows is None else train_rows
+    uni, bi = Counter(), Counter()
+    for _, t in train_rows:
+        ws = _pywords(t)
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    v = len(uni)
+    out = {}
+    for d, t in rows:
+        ws = _pywords(t)
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            out[d] = (0, None, None)
+            continue
+        lps = [
+            math.log((bi[pr] + alpha) / (uni[pr[0]] + alpha * v)) for pr in pairs
+        ]
+        ce = -sum(lps) / len(lps)
+        out[d] = (len(pairs), ce, math.exp(ce))
+    return out
+
+
+ROWS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat sat on the cat"),
+    (3, "dogs bark loudly at night dogs bark"),
+    (4, "the the the the"),
+    (5, "single"),
+    (6, ""),
+    (7, "zebra quantum flux"),
+]
+
+
+def test_lm_perplexity_matches_python(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["cross_entropy"], r["perplexity"])
+        for r in lm_perplexity(df).collect()
+    }
+    want = _py_lm(ROWS)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        for i in (1, 2):
+            if want[d][i] is None:
+                assert got[d][i] is None, d
+            else:
+                assert got[d][i] == pytest.approx(want[d][i], rel=1e-12), d
+
+
+def test_lm_perplexity_separate_train(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    train = spark.createDataFrame(ROWS[:3], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["cross_entropy"])
+        for r in lm_perplexity(df, train=train).collect()
+    }
+    want = _py_lm(ROWS, train_rows=ROWS[:3])
+    for d in want:
+        assert got[d][0] == want[d][0]
+        if want[d][1] is not None:
+            assert got[d][1] == pytest.approx(want[d][1], rel=1e-12)
+    # fully-unseen doc scores strictly worse than an in-train doc
+    assert got[7][1] > got[1][1]
+
+
+def test_lm_perplexity_ranking_and_repetition(spark):
+    # a pathological repeated doc must be MORE predictable (lower ppl)
+    # than a typical one under self-scoring
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    ppl = {r["doc_id"]: r["perplexity"] for r in lm_perplexity(df).collect()}
+    assert ppl[4] < ppl[3]
+
+
+def test_lm_perplexity_rejects_bad_alpha(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        lm_perplexity(df, alpha=0.0)
+
+
+def test_lm_perplexity_parallelism_invariant(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    a = sorted(
+        (r["doc_id"], r["n_bigrams"], r["cross_entropy"])
+        for r in lm_perplexity(df.coalesce(1)).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_bigrams"], r["cross_entropy"])
+        for r in lm_perplexity(df.repartition(16, "doc_id")).collect()
+    )
+    for (da, na, ca), (db, nb, cb) in zip(a, b):
+        assert (da, na) == (db, nb)
+        if ca is None:
+            assert cb is None
+        else:
+            # partial-sum order may differ across partitionings; the gate
+            # rounds to 6 decimals, assert well inside that
+            assert ca == pytest.approx(cb, abs=1e-9)
+
+
+def test_hll_matches_python_reference(spark):
+    vals = [f"url-{i % 211}" for i in range(1000)]  # 211 distinct
+    df = spark.createDataFrame([(v,) for v in vals], "v string").withColumn(
+        "g", F.lit("all")
+    )
+    for p in (6, 8):
+        row = hll_distinct(df, ["g"], "v", p=p).collect()[0]
+        want = hll_reference(vals, p=p)
+        assert row["hll_estimate"] == pytest.approx(want, rel=1e-12), p
+        assert row["n_exact"] == 211
+
+
+def test_hll_accuracy_and_correction_branches(spark):
+    # small group (linear-counting branch) and large group (raw branch)
+    rows = [("small", f"s{i}") for i in range(30)] + [
+        ("large", f"l{i}") for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r["g"]: r for r in hll_distinct(df, ["g"], "v", p=8).collect()}
+    # sigma ~ 1.04/sqrt(256) = 6.5%; allow 4 sigma
+    assert abs(got["large"]["rel_err"]) < 0.26
+    assert abs(got["small"]["rel_err"]) < 0.26
+    # branch check: the small group genuinely used linear counting
+    m, v0 = 256, 256 - got["small"]["n_registers"]
+    assert got["small"]["hll_estimate"] == pytest.approx(
+        m * math.log(m / v0), rel=1e-12
+    )
+
+
+def test_hll_duplicate_and_parallelism_invariant(spark):
+    base = [("g1", f"x{i}") for i in range(400)]
+    df1 = spark.createDataFrame(base, "g string, v string")
+    # triplicate every value: HLL must be EXACTLY unchanged
+    df3 = spark.createDataFrame(base * 3, "g string, v string")
+    e1 = hll_distinct(df1, ["g"], "v").collect()[0]
+    e3 = hll_distinct(df3.repartition(16, "v"), ["g"], "v").collect()[0]
+    assert e1["hll_estimate"] == e3["hll_estimate"]
+    assert e1["n_registers"] == e3["n_registers"]
+
+
+def test_hll_rejects_bad_p(spark):
+    df = spark.createDataFrame([("g", "v")], "g string, v string")
+    with pytest.raises(ValueError):
+        hll_distinct(df, ["g"], "v", p=3)
+
+
+def _py_bloom_words(keys, n_bits, k):
+    """Reference packing of bloom_build's (word_idx, word) table."""
+    import hashlib
+
+    words = {}
+    for key in keys:
+        for j in range(1, k + 1):
+            h = int(hashlib.md5(f"b{j}:{key}".encode()).hexdigest()[:15], 16)
+            pos = h % n_bits
+            words[pos // 63] = words.get(pos // 63, 0) | (1 << (pos % 63))
+    return words
+
+
+def test_bloom_build_matches_python(spark):
+    from minimel_spark.operators.sketch import bloom_build
+
+    keys = [f"k{i}" for i in range(200)]
+    dim = spark.createDataFrame([(key,) for key in keys], "key string")
+    got = {
+        r["word_idx"]: r["word"]
+        for r in bloom_build(dim, "key", n_bits=1 << 10, k=3).collect()
+    }
+    assert got == _py_bloom_words(keys, 1 << 10, 3)
+
+
+def test_bloom_semi_join_no_false_negatives(spark):
+    from minimel_spark.operators.sketch import bloom_build, bloom_semi_join
+
+    members = [f"m{i}" for i in range(300)]
+    dim = spark.createDataFrame([(m,) for m in members], "key string")
+    fact = spark.createDataFrame(
+        [(i, members[i % 300] if i % 2 == 0 else f"out{i}") for i in range(2000)],
+        "row_id long, key string",
+    )
+    bloom = bloom_build(dim, "key", n_bits=1 << 14, k=3)
+    out = bloom_semi_join(fact, "key", bloom, n_bits=1 << 14, k=3).collect()
+    member_set = set(members)
+    fp = fn = 0
+    for r in out:
+        if r["key"] in member_set:
+            fn += not r["bloom_pass"]
+        else:
+            fp += r["bloom_pass"]
+    assert fn == 0  # the Bloom guarantee
+    # 300 keys * 3 hashes in 16384 bits -> fp ~ (1-e^-0.055)^3 ~ 1.5e-4;
+    # 1000 non-member probes -> expect ~0, allow a generous margin
+    assert fp <= 5
+
+
+def test_bloom_probe_plan_has_no_fact_shuffle(spark):
+    from minimel_spark.operators.sketch import bloom_build, bloom_semi_join
+
+    dim = spark.createDataFrame([(f"m{i}",) for i in range(50)], "key string")
+    fact = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(100)], "row_id long, key string"
+    )
+    bloom = bloom_build(dim, "key", n_bits=1 << 12, k=3)
+    out = bloom_semi_join(fact, "key", bloom, n_bits=1 << 12, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the fact side must reach the probe joins without an exchange:
+    # every join is a BroadcastHashJoin, never a shuffle join
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 3, plan
+
+
+def test_bloom_rejects_bad_params(spark):
+    from minimel_spark.operators.sketch import bloom_build, bloom_semi_join
+
+    df = spark.createDataFrame([("k",)], "key string")
+    with pytest.raises(ValueError):
+        bloom_build(df, "key", n_bits=10)
+    with pytest.raises(ValueError):
+        bloom_semi_join(df, "key", df, k=0)
