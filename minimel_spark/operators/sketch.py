@@ -65,7 +65,11 @@ def hll_distinct(
     )
     scale = alpha_m * m * m * float(1 << rho_max)
 
-    df = ensure_min_parallelism(df, *group_cols)
+    # spread by (group, value), NOT group alone: a constant/low-cardinality
+    # group (e.g. a corpus-wide sketch) hash-partitioned by key would land
+    # every row in one task; including the value keeps the map stage spread
+    # while the (group, register) partial agg still combines map-side
+    df = ensure_min_parallelism(df, *group_cols, value_col)
     h = md5_long60(F.col(value_col))
     rem = F.expr(f"_h & {(1 << rem_bits) - 1}")
     rows = df.select(
