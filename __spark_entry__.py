@@ -3052,6 +3052,76 @@ SELECT node::BIGINT AS node, round(rank, 6) AS rank FROM r{n_iter}"""
 SQL_GRAPH_PAGERANK = _sql_pagerank(10)
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Degree-ordered triangle counting + local clustering coefficient
+    (operators/graph.py triangle_counts) over the SAME md5-derived link
+    graph as graph_pagerank, taken undirected. Each wedge is enumerated
+    only at its lowest-(deg, node) apex — the skew-bounded node-iterator —
+    and the oracle recounts triangles independently with id-ordered 3-way
+    edge self-joins (order-free quantity, so the different enumeration
+    orders must agree exactly)."""
+    from minimel_spark.operators.graph import triangle_counts
+    from minimel_spark.operators.util import md5_long60
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    md5_long60(F.concat(F.col("doc_id"), F.lit(f":e{j}"))) % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    )
+    out = triangle_counts(edges, nodes)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("deg").cast("long").alias("deg"),
+        F.col("n_tri").cast("long").alias("n_tri"),
+        F.round("lcc", 6).alias("lcc"),
+    )
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, nn),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+deg AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+tri AS (
+  -- id-ordered enumeration: x < y < z, each triangle exactly once
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+pn AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY 1)
+SELECT d.doc_id::BIGINT AS node,
+       coalesce(deg.deg, 0)::BIGINT AS deg,
+       coalesce(pn.n_tri, 0)::BIGINT AS n_tri,
+       round(CASE WHEN coalesce(deg.deg, 0) >= 2
+             THEN 2.0 * coalesce(pn.n_tri, 0) / (deg.deg * (deg.deg - 1))
+             ELSE 0.0 END, 6) AS lcc
+FROM documents d
+LEFT JOIN deg ON deg.node = d.doc_id
+LEFT JOIN pn ON pn.node = d.doc_id"""
+
+
 def q_dedup_passage_overlap(spark, sf_dir):
     """Winnowing (MOSS) passage-overlap pairs: word 4-gram md5-60 rolling
     hashes, min-in-window-of-5 fingerprint selection, pairs sharing >= 2
@@ -3388,6 +3458,65 @@ FROM probe p LEFT JOIN dim d ON d.key = p.key
 GROUP BY 1, 2"""
 
 
+def q_corpus_cms_counts(spark, sf_dir):
+    """Count-min sketch frequency estimation (operators/sketch.py): a
+    4x2048 sketch over every corpus word bigram, point-queried for the
+    exact top-25 heavy hitters. The sketch is deliberately tight versus
+    the distinct-bigram count so collisions OCCUR and the min-over-rows
+    estimator does real work; the gate verifies the exact estimates and
+    that overcount >= 0 cell by cell (the CMS one-sided guarantee). The
+    oracle rebuilds the sketch and re-probes it entirely in SQL."""
+    from minimel_spark.operators.corpus import _word_ngrams, top_ngrams
+    from minimel_spark.operators.sketch import cms_build, cms_query
+    from minimel_spark.operators.util import words_lower
+
+    docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(_word_ngrams(words_lower(F.col("text")), 2)).alias("ng")
+    )
+    cms = cms_build(bg, "ng", d=4, w=2048)
+    top = top_ngrams(docs, n=2, k=25).select(
+        F.col("ngram"), F.col("cnt").cast("long").alias("cnt_true")
+    )
+    est = cms_query(top.select(F.col("ngram").alias("ng")), "ng", cms, d=4, w=2048)
+    return top.join(est, top["ngram"] == est["ng"]).select(
+        "ngram",
+        "cnt_true",
+        F.col("cnt_est").cast("long").alias("cnt_est"),
+        (F.col("cnt_est") - F.col("cnt_true")).cast("long").alias("overcount"),
+    )
+
+
+SQL_CORPUS_CMS = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS ws
+  FROM documents),
+g AS (
+  SELECT array_to_string(ws[i:i+1], ' ') AS ng
+  FROM w, LATERAL unnest(range(1, greatest(len(ws) - 1, 0) + 1)) t(i)
+  WHERE len(ws) >= 2),
+top AS (
+  SELECT ng AS ngram, count(*)::BIGINT AS cnt_true
+  FROM g GROUP BY ng ORDER BY cnt_true DESC, ngram ASC LIMIT 25),
+cells AS (
+  SELECT j, (('0x' || substr(md5('c' || j || ':' || ng), 1, 15))::UBIGINT
+             % 2048) AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM g, LATERAL unnest([1, 2, 3, 4]) t(j) GROUP BY 1, 2),
+probe AS (
+  SELECT ngram, min(coalesce(c.cnt, 0))::BIGINT AS cnt_est
+  FROM (SELECT ngram, j,
+               (('0x' || substr(md5('c' || j || ':' || ngram), 1, 15))::UBIGINT
+                % 2048) AS bucket
+        FROM top, LATERAL unnest([1, 2, 3, 4]) t(j)) p
+  LEFT JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+  GROUP BY ngram)
+SELECT t.ngram, t.cnt_true, p.cnt_est,
+       (p.cnt_est - t.cnt_true)::BIGINT AS overcount
+FROM top t JOIN probe p USING (ngram)"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -3425,11 +3554,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ER pipeline (SURVEY §2: P2, P6-P9, A1-A3, A5-A6, A12, O1, M1-M3, L2, A10/J7)
     "er_anchor_counts": q_er_anchor_counts,
     "er_mentions": q_er_mentions,
-    "er_mention_counts": q_er_mention_counts,
     "er_predict_cascade": q_er_predict_cascade,
     "er_eval_micro": q_er_eval_micro,
     "er_clean_strict": q_er_clean_strict,
-    "er_log_gap_steps": q_er_log_gap_steps,
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "er_matcher_planted": q_er_matcher_planted,
     "er_fold_counts": q_er_fold_counts,
@@ -3510,14 +3637,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # untouched by any r5 code change
     "corpus_lm_perplexity": q_corpus_lm_perplexity,
     "web_hll_distinct": q_web_hll_distinct,
-    # tenth batch (NEW r5): Bloom-filter semi-join pruning — in-window;
-    # displaces er_anchor_stats (r4-driver-green, untouched by r5 changes)
+    # tenth batch (NEW r5): Bloom-filter semi-join pruning, count-min
+    # sketch frequency estimation, triangle counting — in-window; displace
+    # er_anchor_stats, er_log_gap_steps and er_mention_counts (all three
+    # r4-driver-green, untouched by r5 changes)
     "rel_bloom_semi_join": q_rel_bloom_semi_join,
+    "corpus_cms_counts": q_corpus_cms_counts,
+    "graph_triangles": q_graph_triangles,
     # --- tail (positions 51+): driver-green in r4, rotated past the cap ---
     # displaced ninth/tenth batch (r4-green, code untouched in r5)
     "er_most_common_sense": q_er_most_common_sense,
     "er_rank_candidates": q_er_rank_candidates,
     "er_anchor_stats": q_er_anchor_stats,
+    "er_log_gap_steps": q_er_log_gap_steps,
+    "er_mention_counts": q_er_mention_counts,
     # recall gates for the approximate family (r4-green; the primary
     # approximate gates now carry full md5-mode value oracles in-window)
     "dedup_minhash_recall": q_dedup_minhash_recall,
@@ -3633,6 +3766,8 @@ _ORACLES: dict[str, str] = {
     "corpus_lm_perplexity": SQL_CORPUS_LM_PERPLEXITY,
     "web_hll_distinct": SQL_WEB_HLL,
     "rel_bloom_semi_join": SQL_REL_BLOOM,
+    "corpus_cms_counts": SQL_CORPUS_CMS,
+    "graph_triangles": SQL_GRAPH_TRIANGLES,
     "web_canonical_urls": SQL_WEB_CANONICAL,
     "web_latest_snapshot": SQL_WEB_LATEST,
     "web_domain_quota": SQL_WEB_DOMAIN_QUOTA,

@@ -40,6 +40,7 @@ def lm_perplexity(
     id_col: str = "doc_id",
     alpha: float = 0.5,
     train: DataFrame | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Score every document by add-alpha bigram cross-entropy / perplexity.
 
@@ -58,30 +59,46 @@ def lm_perplexity(
     Returns (id_col, n_bigrams, cross_entropy, perplexity); documents with
     fewer than two words keep a row with n_bigrams=0 and NULL scores.
     Unseen bigrams/contexts degrade smoothly via the smoothing (C=0).
+
+    The tokenized corpus feeds up to four plan branches (unigram counts,
+    bigram counts, the scored explode, and the vocabulary-size aggregate);
+    pass ``persisted_out`` (a list the caller unpersists) to tokenize and
+    scan once instead of per branch.
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
     docs = ensure_min_parallelism(docs, id_col)
-    train = docs if train is None else train
 
-    t_words = train.select(F.explode(words_lower(F.col(text_col))).alias("w"))
+    toks = docs.select(F.col(id_col), words_lower(F.col(text_col)).alias("_ws"))
+    if persisted_out is not None:
+        toks = toks.persist()
+        persisted_out.append(toks)
+    if train is None:
+        t_toks = toks.select("_ws")
+    else:
+        t_toks = train.select(words_lower(F.col(text_col)).alias("_ws"))
+
+    t_words = t_toks.select(F.explode("_ws").alias("w"))
     # Unigram counts keyed by md5-60 of the word (8-byte exchange).
     uni = t_words.groupBy(md5_long60(F.col("w")).alias("gk1")).agg(
         F.count("*").alias("c1")
     )
+    if persisted_out is not None:
+        # the unigram table feeds both the context join and the vocab-size
+        # aggregate; persist so the train side is aggregated once
+        uni = uni.persist()
+        persisted_out.append(uni)
     vocab = uni.agg(F.count("*").cast("double").alias("v"))
 
     bi = (
-        train.select(
-            F.explode(_word_ngrams(words_lower(F.col(text_col)), 2)).alias("ng")
-        )
+        t_toks.select(F.explode(_word_ngrams(F.col("_ws"), 2)).alias("ng"))
         .groupBy(md5_long60(F.col("ng")).alias("gk2"))
         .agg(F.count("*").alias("c2"))
     )
 
-    scored = docs.select(
+    scored = toks.select(
         F.col(id_col),
-        F.explode_outer(_word_ngrams(words_lower(F.col(text_col)), 2)).alias("ng"),
+        F.explode_outer(_word_ngrams(F.col("_ws"), 2)).alias("ng"),
     ).select(
         id_col,
         "ng",

@@ -193,6 +193,71 @@ def bloom_semi_join(
     return out.select(*fact.columns, cond.alias("bloom_pass"))
 
 
+def cms_build(
+    df: DataFrame, value_col: str, d: int = 4, w: int = 8192
+) -> DataFrame:
+    """Count-min sketch over ``df[value_col]``: d hash rows × w buckets,
+    returned as a (row_j, bucket, cnt) table of at most d*w rows.
+
+    The fixed-size summary for streaming/heavy-hitter frequency questions
+    a 100-TB pipeline can't answer with exact group-bys (the distinct-key
+    table itself is TBs): counts compose under addition across shards/
+    micro-batches, and a point query never *under*-estimates. Hash j of a
+    value is `md5_long60('c{j}:' || value) % w` — deterministic and
+    recomputable in SQL, like the Bloom/HLL layouts above.
+
+    Scale: one explode (d small constant) + one partial-aggregated groupBy
+    whose result is bounded by d*w regardless of input size.
+    """
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got {d}, {w}")
+    cells = [
+        F.struct(
+            F.lit(j).alias("row_j"),
+            (md5_long60(F.concat(F.lit(f"c{j}:"), F.col(value_col))) % w).alias(
+                "bucket"
+            ),
+        )
+        for j in range(1, d + 1)
+    ]
+    return (
+        df.select(F.explode(F.array(*cells)).alias("c"))
+        .groupBy(F.col("c.row_j").alias("row_j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_query(
+    queries: DataFrame, value_col: str, cms: DataFrame, d: int = 4, w: int = 8192
+) -> DataFrame:
+    """Point-estimate the frequency of every value in ``queries[value_col]``
+    against a `cms_build` sketch: min over the d hashed cells.
+
+    Guarantee: estimate >= true count, always (collisions only inflate).
+    Plan: the query side explodes to d rows and broadcast-joins the
+    (<= d*w row) sketch — map-side, no shuffle of the query side beyond
+    the final per-value min."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2, got {d}, {w}")
+    cells = [
+        F.struct(
+            F.lit(j).alias("row_j"),
+            (md5_long60(F.concat(F.lit(f"c{j}:"), F.col(value_col))) % w).alias(
+                "bucket"
+            ),
+        )
+        for j in range(1, d + 1)
+    ]
+    probe = queries.select(
+        F.col(value_col), F.explode(F.array(*cells)).alias("c")
+    ).select(value_col, F.col("c.row_j").alias("row_j"), F.col("c.bucket").alias("bucket"))
+    return (
+        probe.join(F.broadcast(cms), ["row_j", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cnt_est"))
+    )
+
+
 def hll_reference(values, p: int = 8) -> float:
     """Pure-Python HLL over md5, mirroring `hll_distinct` register-for-
     register — the pytest cross-check that the Spark bit layout is the

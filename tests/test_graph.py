@@ -75,3 +75,96 @@ def test_pagerank_parallelism_invariant(spark):
     assert {k: round(v, 6) for k, v in a.items()} == {
         k: round(v, 6) for k, v in b.items()
     }
+
+
+# --------------------------------------------------------------------------
+# triangle_counts
+# --------------------------------------------------------------------------
+
+from minimel_spark.operators.graph import triangle_counts  # noqa: E402
+
+
+def _tri(df):
+    return {r["node"]: (r["deg"], r["n_tri"], r["lcc"]) for r in df.collect()}
+
+
+def test_triangles_k4(spark):
+    """K4: every node has deg 3, sits in C(3,2)=3 triangles, lcc 1.0."""
+    edge_list = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges, nodes = _mk(spark, edge_list, range(4))
+    got = _tri(triangle_counts(edges, nodes))
+    assert got == {i: (3, 3, 1.0) for i in range(4)}
+
+
+def test_triangles_direction_loops_parallel_edges_erased(spark):
+    """Triangle 0-1-2 plus pendant 3: reversed duplicates, a self-loop and a
+    parallel edge must not change the undirected simple-graph answer; the
+    pendant and the isolated node 4 get n_tri=0, lcc=0.0."""
+    edge_list = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 2), (2, 3)]
+    edges, nodes = _mk(spark, edge_list, range(5))
+    got = _tri(triangle_counts(edges, nodes))
+    assert got[0] == (2, 1, 1.0)
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (3, 1, pytest.approx(1.0 / 3))
+    assert got[3] == (1, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+
+
+def _py_triangles(edge_list, node_ids):
+    """Brute-force reference: undirected simple graph, count per node."""
+    adj = {i: set() for i in node_ids}
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    out = {}
+    for v in node_ids:
+        nbrs = sorted(adj[v])
+        t = sum(
+            1
+            for i, x in enumerate(nbrs)
+            for y in nbrs[i + 1 :]
+            if y in adj[x]
+        )
+        d = len(nbrs)
+        out[v] = (d, t, 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0)
+    return out
+
+
+def test_triangles_match_bruteforce_random_graph(spark):
+    """md5-style deterministic pseudo-random graph vs the O(n*d^2)
+    brute force — exercises ties in the (deg, node) total order."""
+    import hashlib
+
+    n, m = 40, 180
+    edge_list = []
+    for k in range(m):
+        h = hashlib.md5(f"t{k}".encode()).hexdigest()
+        edge_list.append((int(h[:8], 16) % n, int(h[8:16], 16) % n))
+    edges, nodes = _mk(spark, edge_list, range(n))
+    got = _tri(triangle_counts(edges, nodes))
+    want = _py_triangles(edge_list, range(n))
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][:2] == want[v][:2], (v, got[v], want[v])
+        assert got[v][2] == pytest.approx(want[v][2], abs=1e-12)
+
+
+def test_triangles_parallelism_invariant(spark):
+    import hashlib
+
+    n, m = 30, 100
+    edge_list = []
+    for k in range(m):
+        h = hashlib.md5(f"p{k}".encode()).hexdigest()
+        edge_list.append((int(h[:8], 16) % n, int(h[8:16], 16) % n))
+    a = _tri(
+        triangle_counts(*_mk(spark, edge_list, range(n)))
+    )
+    b = _tri(
+        triangle_counts(
+            spark.createDataFrame(edge_list, "src long, dst long").repartition(17),
+            spark.createDataFrame([(i,) for i in range(n)], "node long").coalesce(1),
+        )
+    )
+    assert a == b

@@ -93,6 +93,33 @@ def test_lm_perplexity_ranking_and_repetition(spark):
     assert ppl[4] < ppl[3]
 
 
+def test_lm_perplexity_persisted_out_identical(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    caches = []
+    a = sorted(
+        (r["doc_id"], r["n_bigrams"], r["cross_entropy"])
+        for r in lm_perplexity(df, persisted_out=caches).collect()
+    )
+    assert len(caches) == 2  # tokenized corpus + unigram table
+    for c in caches:
+        c.unpersist()
+    b = sorted(
+        (r["doc_id"], r["n_bigrams"], r["cross_entropy"])
+        for r in lm_perplexity(df).collect()
+    )
+    for (da, na, ca), (db, nb, cb) in zip(a, b):
+        assert (da, na) == (db, nb)
+        if ca is None:
+            assert cb is None
+        else:
+            # plan shape (cached vs not) may change partial-sum order;
+            # the gate rounds to 6 decimals, assert well inside that
+            assert ca == pytest.approx(cb, abs=1e-9)
+    # the no-receiver call must not have pinned anything new
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == n_before
+
+
 def test_lm_perplexity_rejects_bad_alpha(spark):
     df = spark.createDataFrame(ROWS, "doc_id long, text string")
     with pytest.raises(ValueError):
@@ -229,6 +256,70 @@ def test_bloom_probe_plan_has_no_fact_shuffle(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") == 3, plan
+
+
+def _py_cms(values, d, w):
+    import hashlib
+    from collections import Counter
+
+    cells = Counter()
+    for v in values:
+        for j in range(1, d + 1):
+            h = int(hashlib.md5(f"c{j}:{v}".encode()).hexdigest()[:15], 16)
+            cells[(j, h % w)] += 1
+    return dict(cells)
+
+
+def test_cms_build_matches_python(spark):
+    from minimel_spark.operators.sketch import cms_build
+
+    vals = [f"v{i % 37}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        (r["row_j"], r["bucket"]): r["cnt"]
+        for r in cms_build(df, "v", d=3, w=64).collect()
+    }
+    assert got == _py_cms(vals, 3, 64)
+
+
+def test_cms_query_guarantee_and_exactness(spark):
+    from collections import Counter
+
+    from minimel_spark.operators.sketch import cms_build, cms_query
+
+    vals = [f"v{i % 101}" for i in range(2000)] + ["rare"] * 3
+    truth = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    qdf = spark.createDataFrame(
+        [(v,) for v in list(truth) + ["absent1", "absent2"]], "v string"
+    )
+    # tight sketch: collisions certain -> min over rows still never undercounts
+    tight = cms_query(qdf, "v", cms_build(df, "v", d=4, w=32), d=4, w=32)
+    for r in tight.collect():
+        assert r["cnt_est"] >= truth.get(r["v"], 0), r
+    # roomy sketch: 103 distinct values in 4x65536 cells -> exact w.h.p.
+    roomy = cms_query(qdf, "v", cms_build(df, "v", d=4, w=1 << 16), d=4, w=1 << 16)
+    for r in roomy.collect():
+        assert r["cnt_est"] == truth.get(r["v"], 0), r
+
+
+def test_cms_composes_under_addition(spark):
+    from minimel_spark.operators.sketch import cms_build
+
+    vals = [f"v{i % 11}" for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    half1 = spark.createDataFrame([(v,) for v in vals[:150]], "v string")
+    half2 = spark.createDataFrame([(v,) for v in vals[150:]], "v string")
+    whole = {
+        (r["row_j"], r["bucket"]): r["cnt"]
+        for r in cms_build(df, "v", d=2, w=128).collect()
+    }
+    summed = {}
+    for h in (half1, half2):
+        for r in cms_build(h, "v", d=2, w=128).collect():
+            k = (r["row_j"], r["bucket"])
+            summed[k] = summed.get(k, 0) + r["cnt"]
+    assert whole == summed
 
 
 def test_bloom_rejects_bad_params(spark):
