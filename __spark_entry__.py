@@ -2405,6 +2405,94 @@ FROM g GROUP BY ngram
 ORDER BY cnt DESC, ngram ASC LIMIT 25"""
 
 
+def q_corpus_sample_weighted(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (A-ES,
+    operators/corpus.py weighted_sample): top-8 docs PER LANGUAGE by
+    key = -ln(u_md5)/n_tokens — token-count weighting, so the expected
+    token mass of the sample tracks the corpus mix. Two-level bucketed
+    top-k (never a global sort); the oracle re-ranks every doc with the
+    identical IEEE key expression and a row_number window."""
+    from minimel_spark.operators.corpus import weighted_sample
+    from minimel_spark.operators.util import words_lower
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(words_lower(F.col("text"))).alias("n_tokens")
+    )
+    out = weighted_sample(
+        toks, k=8, weight_col="n_tokens", strata_col="lang", id_col="doc_id"
+    )
+    return out.select(
+        "lang",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("_key", 6).alias("key"),
+    )
+
+
+SQL_CORPUS_SAMPLE_WEIGHTED = """
+WITH w AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents),
+keyed AS (
+  SELECT doc_id, lang, n_tokens,
+         -ln((('0x' || substr(md5(doc_id || ':w0'), 1, 8))::UBIGINT + 0.5)
+             / 4294967296.0) / n_tokens AS key
+  FROM w WHERE n_tokens IS NOT NULL AND n_tokens > 0),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
+  FROM keyed)
+SELECT lang, doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens,
+       round(key, 6) AS key
+FROM r WHERE rn <= 8"""
+
+
+def q_corpus_pmi_collocations(spark, sf_dir):
+    """Top-25 bigram collocations by PMI with min_count=5
+    (operators/corpus.py pmi_collocations). Both engines evaluate the one
+    expression tree ln(((c12*Nu)*Nu)/((Nb*c1a)*c1b)) over exact integer
+    counts — identical IEEE ops in identical order, so round(…, 6) is
+    noise-free — and order by (pmi desc, ngram asc)."""
+    from minimel_spark.operators.corpus import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pmi_collocations(docs, min_count=5, k=25)
+    return out.select(
+        "ngram", F.col("cnt").cast("long").alias("cnt"),
+        F.round("pmi", 6).alias("pmi"),
+    )
+
+
+SQL_CORPUS_PMI = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS ws
+  FROM documents),
+u AS (SELECT unnest(ws) AS wd FROM w),
+uni AS (SELECT wd, count(*)::BIGINT AS c1 FROM u GROUP BY 1),
+nu AS (SELECT sum(c1)::DOUBLE AS nu FROM uni),
+nb AS (SELECT sum(greatest(len(ws) - 1, 0))::DOUBLE AS nb FROM w),
+g AS (
+  SELECT array_to_string(ws[i:i+1], ' ') AS ngram
+  FROM w, LATERAL unnest(range(1, greatest(len(ws) - 1, 0) + 1)) t(i)
+  WHERE len(ws) >= 2),
+bi AS (
+  SELECT ngram, count(*)::BIGINT AS c12
+  FROM g GROUP BY ngram HAVING count(*) >= 5),
+scored AS (
+  SELECT bi.ngram, bi.c12 AS cnt,
+         ln((bi.c12::DOUBLE * nu.nu * nu.nu)
+            / (nb.nb * ua.c1 * ub.c1)) AS pmi
+  FROM bi
+  CROSS JOIN nu CROSS JOIN nb
+  JOIN uni ua ON ua.wd = split_part(bi.ngram, ' ', 1)
+  JOIN uni ub ON ub.wd = split_part(bi.ngram, ' ', 2))
+SELECT ngram, cnt, round(pmi, 6) AS pmi
+FROM scored ORDER BY pmi DESC, ngram ASC LIMIT 25"""
+
+
 def q_corpus_pii_scrub(spark, sf_dir):
     """PII scrub (operators/pii.py): the corpus text is clean by
     construction, so the gate plants deterministic PII — an email on
@@ -3559,8 +3647,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_clean_strict": q_er_clean_strict,
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "er_matcher_planted": q_er_matcher_planted,
-    "er_fold_counts": q_er_fold_counts,
-    "ent_features": q_ent_features,
     # clustering (M4, CC)
     "m4_similarity_edges": q_m4_similarity_edges,
     "cc_components": q_cc_components,
@@ -3644,6 +3730,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_bloom_semi_join": q_rel_bloom_semi_join,
     "corpus_cms_counts": q_corpus_cms_counts,
     "graph_triangles": q_graph_triangles,
+    # eleventh batch (NEW r5): A-ES weighted sampling + PMI collocations —
+    # in-window; displace ent_features and er_fold_counts (both
+    # r4-driver-green, untouched by r5 changes)
+    "corpus_sample_weighted": q_corpus_sample_weighted,
+    "corpus_pmi_collocations": q_corpus_pmi_collocations,
     # --- tail (positions 51+): driver-green in r4, rotated past the cap ---
     # displaced ninth/tenth batch (r4-green, code untouched in r5)
     "er_most_common_sense": q_er_most_common_sense,
@@ -3651,6 +3742,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_anchor_stats": q_er_anchor_stats,
     "er_log_gap_steps": q_er_log_gap_steps,
     "er_mention_counts": q_er_mention_counts,
+    "er_fold_counts": q_er_fold_counts,
+    "ent_features": q_ent_features,
     # recall gates for the approximate family (r4-green; the primary
     # approximate gates now carry full md5-mode value oracles in-window)
     "dedup_minhash_recall": q_dedup_minhash_recall,
@@ -3768,6 +3861,8 @@ _ORACLES: dict[str, str] = {
     "rel_bloom_semi_join": SQL_REL_BLOOM,
     "corpus_cms_counts": SQL_CORPUS_CMS,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
+    "corpus_sample_weighted": SQL_CORPUS_SAMPLE_WEIGHTED,
+    "corpus_pmi_collocations": SQL_CORPUS_PMI,
     "web_canonical_urls": SQL_WEB_CANONICAL,
     "web_latest_snapshot": SQL_WEB_LATEST,
     "web_domain_quota": SQL_WEB_DOMAIN_QUOTA,

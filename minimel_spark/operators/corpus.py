@@ -486,3 +486,143 @@ def pack_sequences(
         .cast("long")
         .alias("n_seqs"),
     )
+
+
+def _md5_u01(id_col: str, salt: str) -> F.Column:
+    """md5-derived uniform in the OPEN interval (0,1): (v + 0.5) / 2^32 with
+    v the first 32 md5 bits of 'id:salt' — strictly inside, so ln(u) is
+    finite and nonzero on both engines. SQL twin:
+    ((('0x'||substr(md5(id||':'||salt),1,8))::UBIGINT + 0.5) / 4294967296.0)."""
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (v + F.lit(0.5)) / F.lit(float(2**32))
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "w0",
+    buckets: int = 32,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — k rows total
+    (or k per stratum), each row's inclusion probability proportional to
+    ``weight_col`` — via the Efraimidis–Spirakis A-ES scheme: rank every row
+    by key = -ln(u)/w ascending (u the content-derived md5 uniform) and keep
+    the k smallest. E[u^(1/w)] ordering == weighted sampling, exactly.
+
+    This is "sample TOKENS, not documents": weighting by token count makes
+    the expected token mass of the sample match the corpus mix, the knob
+    pretraining-data ablations actually want. Rows with weight <= 0 or NULL
+    are never selected. Like stratified_sample, membership depends only on
+    row content — identical at any parallelism, resumable, SQL-reproducible.
+
+    Scale: the selection is a two-level top-k, never a global sort. Level 1
+    computes a per-(stratum, md5-bucket) top-k over ``buckets`` salted
+    buckets (window over at most strata*buckets bounded partitions after ONE
+    shuffle of 16-byte rows); level 2 re-ranks the <= strata*buckets*k
+    survivors. A stratum with 10^10 rows therefore sorts buckets of
+    ~10^10/32 rows for a size-k heap each — bounded, parallel, skew-free —
+    instead of one 10^10-row sorted partition.
+    """
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    strata = [strata_col] if strata_col else []
+    key = -F.log(_md5_u01(id_col, salt)) / F.col(weight_col)
+    cand = (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_key", key)
+        .withColumn("_bkt", md5_long60(F.concat_ws(":", F.lit("b"), F.col(id_col).cast("string"))) % buckets)
+    )
+    w1 = Window.partitionBy(*strata, "_bkt").orderBy(F.asc("_key"), F.asc(id_col))
+    local = (
+        cand.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_bkt")
+    )
+    w2 = Window.partitionBy(*strata).orderBy(F.asc("_key"), F.asc(id_col))
+    return (
+        local.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k word-bigram collocations by pointwise mutual information:
+    PMI(w1,w2) = ln( P(w1,w2) / (P(w1) P(w2)) ) with bigram probability over
+    the bigram total and unigram probabilities over the token total,
+    restricted to bigrams seen >= min_count times (the standard guard — PMI
+    is maximized by hapaxes otherwise).
+
+    The collocation profile ("new york", "los angeles") drives tokenizer
+    vocab audits and boilerplate detection; PMI is also the building block
+    of word-association features. Computed as ONE double expression tree
+    ln(((c12*Nu)*Nu) / ((Nb*c1)*c2)) evaluated identically by Spark and the
+    DuckDB oracle — exact same IEEE ops in the same order.
+
+    Scale: two count aggregations (unigram, bigram) with map-side partials
+    over md5-60 keys; the bigram->unigram joins are vocab-sized x 2 (left to
+    AQE to broadcast); the two corpus totals ride in as 1-row broadcast
+    crossJoins; final top-k is per-partition heaps (TakeOrderedAndProject),
+    never a global sort.
+    """
+    if min_count < 1 or k < 1:
+        raise ValueError(f"need min_count >= 1 and k >= 1, got {min_count}, {k}")
+    toks = ensure_min_parallelism(docs, id_col).select(
+        F.col(id_col), _words(text_col).alias("_ws")
+    )
+    uni = (
+        toks.select(F.explode("_ws").alias("w"))
+        .groupBy(md5_long60(F.col("w")).alias("gk"))
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n_uni = uni.agg(F.sum("c1").cast("double").alias("_nu"))
+    # the bigram total is over ALL bigram tokens — the min_count guard only
+    # gates which bigrams are CANDIDATES, not the probability denominator.
+    # Sum max(len-1, 0) per doc instead of re-aggregating the bigram table:
+    # same exact count, one narrow scan instead of a second shuffle.
+    n_bi = toks.agg(
+        F.coalesce(
+            F.sum(F.greatest(F.size("_ws") - 1, F.lit(0))), F.lit(0)
+        )
+        .cast("double")
+        .alias("_nb")
+    )
+    bi = (
+        toks.select(F.explode(_word_ngrams(F.col("_ws"), 2)).alias("ng"))
+        .groupBy(md5_long60(F.col("ng")).alias("gk2"))
+        .agg(F.max("ng").alias("ngram"), F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    parts = F.split(F.col("ngram"), " ", 2)
+    scored = (
+        bi.withColumn("gk_a", md5_long60(parts.getItem(0)))
+        .withColumn("gk_b", md5_long60(parts.getItem(1)))
+        .join(uni.select(F.col("gk").alias("gk_a"), F.col("c1").alias("ca")), "gk_a")
+        .join(uni.select(F.col("gk").alias("gk_b"), F.col("c1").alias("cb")), "gk_b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "ngram",
+            F.col("c12").alias("cnt"),
+            F.log(
+                (F.col("c12").cast("double") * F.col("_nu") * F.col("_nu"))
+                / (F.col("_nb") * F.col("ca").cast("double") * F.col("cb"))
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("ngram")).limit(k)

@@ -270,3 +270,113 @@ def test_pack_sequences_no_single_partition_window(spark):
         if "Exchange SinglePartition" in line:
             above = " ".join(lines[max(0, i - 2) : i])
             assert "Window" not in above and "Sort" not in above, plan
+
+
+# --------------------------------------------------------------------------
+# weighted_sample (A-ES) + pmi_collocations
+# --------------------------------------------------------------------------
+
+from minimel_spark.operators.corpus import pmi_collocations, weighted_sample  # noqa: E402
+
+
+def _aes_key(doc_id, weight, salt="w0"):
+    import math
+
+    v = int(hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:8], 16)
+    u = (v + 0.5) / 2**32
+    return -math.log(u) / weight
+
+
+def test_weighted_sample_matches_python_topk(spark):
+    rows = [(i, f"l{i % 3}", float(1 + (i * 7) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    got = sorted(
+        r["doc_id"] for r in weighted_sample(df, k=10, weight_col="w").collect()
+    )
+    want = sorted(
+        i for i, _, w in sorted(rows, key=lambda r: (_aes_key(r[0], r[2]), r[0]))[:10]
+    )
+    assert got == want
+
+
+def test_weighted_sample_per_stratum_and_guards(spark):
+    rows = [(i, f"l{i % 3}", float(1 + i % 5)) for i in range(90)]
+    rows += [(900, "l0", 0.0), (901, "l1", None), (902, "l2", -2.0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    out = weighted_sample(df, k=4, weight_col="w", strata_col="lang").collect()
+    by_lang = Counter(r["lang"] for r in out)
+    assert by_lang == {"l0": 4, "l1": 4, "l2": 4}
+    picked = {r["doc_id"] for r in out}
+    assert picked.isdisjoint({900, 901, 902})
+    # per-stratum result == python top-k inside each stratum
+    for lang in ("l0", "l1", "l2"):
+        strat = [(i, w) for i, l, w in rows[:90] if l == lang]
+        want = {
+            i for i, w in sorted(strat, key=lambda t: (_aes_key(t[0], t[1]), t[0]))[:4]
+        }
+        assert {r["doc_id"] for r in out if r["lang"] == lang} == want
+
+
+def test_weighted_sample_heavier_rows_win_and_invariance(spark):
+    # two weight classes; the heavy class must dominate the sample
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    picked = {r["doc_id"] for r in weighted_sample(df, k=25, weight_col="w").collect()}
+    assert sum(1 for i in picked if i < 50) >= 20
+    # partitioning must not change membership
+    again = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df.repartition(13), k=25, weight_col="w", buckets=7
+        ).collect()
+    }
+    assert picked == again
+    with pytest.raises(ValueError):
+        weighted_sample(df, k=0, weight_col="w")
+
+
+def _py_pmi(texts, min_count, k):
+    import math
+    import re
+
+    uni, bi = Counter(), Counter()
+    n_bi = 0
+    for t in texts:
+        ws = [w for w in re.split(r"\W+", t.lower()) if w]
+        uni.update(ws)
+        grams = [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+        bi.update(grams)
+        n_bi += len(grams)
+    nu = float(sum(uni.values()))
+    out = []
+    for ng, c12 in bi.items():
+        if c12 < min_count:
+            continue
+        a, b = ng.split(" ", 1)
+        pmi = math.log((c12 * nu * nu) / (n_bi * uni[a] * uni[b]))
+        out.append((ng, c12, pmi))
+    out.sort(key=lambda t: (-t[2], t[0]))
+    return out[:k]
+
+
+def test_pmi_collocations_matches_python(spark):
+    texts = [
+        "new york is not old york but new york",
+        "los angeles and new york share nothing",
+        "the the the filler words the",
+        "los angeles los angeles",
+        "a b a b a b",
+    ] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["ngram"], r["cnt"], r["pmi"])
+        for r in pmi_collocations(df, min_count=3, k=8).collect()
+    ]
+    want = _py_pmi(texts, 3, 8)
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], abs=1e-12)
+    with pytest.raises(ValueError):
+        pmi_collocations(df, min_count=0)
