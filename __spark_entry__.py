@@ -1944,6 +1944,37 @@ t AS (SELECT quantile_cont(cnt, 0.8) AS t FROM c)
 SELECT p_brand, cnt FROM c, t WHERE cnt >= t.t"""
 
 
+def q_rel_exact_quantiles(spark, sf_dir):
+    """Exact distributed order statistics (operators/quantiles.py): the
+    8-point quantile profile of l_extendedprice via a range-partitioned
+    sort + broadcast-offset prefix sum + per-partition rank windows —
+    never a single-partition window, never an O(n) aggregation buffer
+    (Spark's exact `percentile` aggregate buffers the whole column; this
+    is the 10^12-row path). Rank semantics 1 + floor(q*(n-1)) shared
+    verbatim with the oracle's row_number window."""
+    from minimel_spark.operators.quantiles import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = exact_quantiles(
+        li, "l_extendedprice", [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    )
+    return out.select("q", F.col("rank").cast("long").alias("rank"), "value")
+
+
+SQL_REL_EXACT_QUANTILES = """
+WITH v AS (
+  SELECT l_extendedprice::DOUBLE AS value
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+n AS (SELECT count(*) AS n FROM v),
+r AS (SELECT value, row_number() OVER (ORDER BY value) AS rank FROM v),
+t AS (
+  SELECT q, (1 + floor(q * (n.n - 1)::DOUBLE))::BIGINT AS rank
+  FROM (SELECT unnest([0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+                      ::DOUBLE[]) AS q) s, n)
+SELECT t.q::DOUBLE AS q, t.rank, r.value
+FROM t JOIN r USING (rank)"""
+
+
 def q_rel_entropy_segments(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     cnts = cust.groupBy("c_mktsegment", "c_nationkey").agg(
@@ -3641,7 +3672,6 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ER pipeline (SURVEY §2: P2, P6-P9, A1-A3, A5-A6, A12, O1, M1-M3, L2, A10/J7)
     "er_anchor_counts": q_er_anchor_counts,
-    "er_mentions": q_er_mentions,
     "er_predict_cascade": q_er_predict_cascade,
     "er_eval_micro": q_er_eval_micro,
     "er_clean_strict": q_er_clean_strict,
@@ -3735,6 +3765,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r4-driver-green, untouched by r5 changes)
     "corpus_sample_weighted": q_corpus_sample_weighted,
     "corpus_pmi_collocations": q_corpus_pmi_collocations,
+    # twelfth batch (NEW r5): exact distributed quantiles — in-window;
+    # displaces er_mentions (r4-driver-green, mentions.py untouched in r5)
+    "rel_exact_quantiles": q_rel_exact_quantiles,
     # --- tail (positions 51+): driver-green in r4, rotated past the cap ---
     # displaced ninth/tenth batch (r4-green, code untouched in r5)
     "er_most_common_sense": q_er_most_common_sense,
@@ -3742,6 +3775,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_anchor_stats": q_er_anchor_stats,
     "er_log_gap_steps": q_er_log_gap_steps,
     "er_mention_counts": q_er_mention_counts,
+    "er_mentions": q_er_mentions,
     "er_fold_counts": q_er_fold_counts,
     "ent_features": q_ent_features,
     # recall gates for the approximate family (r4-green; the primary
@@ -3863,6 +3897,7 @@ _ORACLES: dict[str, str] = {
     "graph_triangles": SQL_GRAPH_TRIANGLES,
     "corpus_sample_weighted": SQL_CORPUS_SAMPLE_WEIGHTED,
     "corpus_pmi_collocations": SQL_CORPUS_PMI,
+    "rel_exact_quantiles": SQL_REL_EXACT_QUANTILES,
     "web_canonical_urls": SQL_WEB_CANONICAL,
     "web_latest_snapshot": SQL_WEB_LATEST,
     "web_domain_quota": SQL_WEB_DOMAIN_QUOTA,
