@@ -3196,13 +3196,17 @@ def q_graph_triangles(spark, sf_dir):
             )
         ).alias("dst"),
     )
-    out = triangle_counts(edges, nodes)
-    return out.select(
+    caches: list = []
+    out = triangle_counts(edges, nodes, persisted_out=caches).select(
         F.col("node").cast("long").alias("node"),
         F.col("deg").cast("long").alias("deg"),
         F.col("n_tri").cast("long").alias("n_tri"),
         F.round("lcc", 6).alias("lcc"),
     )
+    rows = out.collect()  # N-row result; materialize once, then drop caches
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 SQL_GRAPH_TRIANGLES = """

@@ -87,7 +87,9 @@ def pagerank(
     return ranks
 
 
-def triangle_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, nodes: DataFrame, persisted_out: list | None = None
+) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over the
     UNDIRECTED simple graph induced by ``edges`` (direction and parallel
     edges are erased; self-loops dropped).
@@ -107,8 +109,20 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     graph. The plan is three shuffles total (degree agg, apex self-join,
     closing-edge join) + one explode/agg for per-node attribution; no global
     sort, no driver state, no iteration.
+
+    ``und`` feeds two consumers, ``deg`` four and the oriented edge set
+    three — pass ``persisted_out`` (a list the caller unpersists) so each is
+    computed once instead of per branch; without a receiver the plan is
+    fully lazy (correct, but re-derives those subtrees per consumer).
     """
-    und = (
+
+    def _pin(df):
+        if persisted_out is not None:
+            df = df.persist()
+            persisted_out.append(df)
+        return df
+
+    und = _pin(
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .select(
@@ -116,7 +130,7 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    deg = (
+    deg = _pin(
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node")
@@ -133,9 +147,11 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     lo_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
-    oriented = ranked.select(
-        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
-        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    oriented = _pin(
+        ranked.select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
     )
     # wedges at the apex: (lo -> v, lo -> w), v before w in the SAME total
     # order the orientation used, so each wedge appears exactly once and its
