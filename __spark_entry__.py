@@ -3610,6 +3610,61 @@ def q_corpus_cms_counts(spark, sf_dir):
     )
 
 
+def q_stream_cms_counts(spark, sf_dir):
+    """Streaming count-min sketch: the SAME cms_build groupBy/agg as
+    corpus_cms_counts, run as a Structured Streaming stateful aggregate
+    over the corpus arriving as TWO parquet files (maxFilesPerTrigger=1, so
+    the cell counts must MERGE across micro-batches). Unlike the
+    unbounded-state streaming aggs (latest-snapshot, anchor counts), the
+    CMS state is FIXED at <= d*w rows no matter how long the stream runs —
+    the defining property of sketch-based streaming. The drained sketch is
+    then point-queried by the batch cms_query and must match the
+    whole-corpus DuckDB oracle bit-for-bit (sketch additivity, measured
+    exact)."""
+    import shutil
+    import tempfile
+
+    from minimel_spark.operators.corpus import _word_ngrams, top_ngrams
+    from minimel_spark.operators.sketch import cms_build, cms_query
+    from minimel_spark.operators.util import words_lower
+    from minimel_spark.streaming.ingest import run_to_sink
+
+    docs = _t(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="minimel_cms_src_")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    bg = stream.select(
+        F.explode(_word_ngrams(words_lower(F.col("text")), 2)).alias("ng")
+    )
+    sketch = cms_build(bg, "ng", d=4, w=2048)
+    ckpt = tempfile.mkdtemp(prefix="minimel_cms_ckpt_")
+    q = run_to_sink(sketch, ckpt, output_mode="complete", query_name="stream_cms_gate")
+    try:
+        assert q.awaitTermination(300), "streaming drain did not finish"
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+    cms = spark.table("stream_cms_gate")
+    top = top_ngrams(docs, n=2, k=25).select(
+        F.col("ngram"), F.col("cnt").cast("long").alias("cnt_true")
+    )
+    est = cms_query(top.select(F.col("ngram").alias("ng")), "ng", cms, d=4, w=2048)
+    return top.join(est, top["ngram"] == est["ng"]).select(
+        "ngram",
+        "cnt_true",
+        F.col("cnt_est").cast("long").alias("cnt_est"),
+        (F.col("cnt_est") - F.col("cnt_true")).cast("long").alias("overcount"),
+    )
+
+
 SQL_CORPUS_CMS = """
 WITH w AS (
   SELECT doc_id,
@@ -3676,7 +3731,6 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ER pipeline (SURVEY §2: P2, P6-P9, A1-A3, A5-A6, A12, O1, M1-M3, L2, A10/J7)
     "er_anchor_counts": q_er_anchor_counts,
-    "er_predict_cascade": q_er_predict_cascade,
     "er_eval_micro": q_er_eval_micro,
     "er_clean_strict": q_er_clean_strict,
     "er_pipeline_clusters": q_er_pipeline_clusters,
@@ -3769,9 +3823,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r4-driver-green, untouched by r5 changes)
     "corpus_sample_weighted": q_corpus_sample_weighted,
     "corpus_pmi_collocations": q_corpus_pmi_collocations,
-    # twelfth batch (NEW r5): exact distributed quantiles — in-window;
-    # displaces er_mentions (r4-driver-green, mentions.py untouched in r5)
+    # twelfth batch (NEW r5): exact distributed quantiles + streaming CMS —
+    # in-window; displace er_mentions and er_predict_cascade (both
+    # r4-driver-green, their operator files untouched in r5)
     "rel_exact_quantiles": q_rel_exact_quantiles,
+    "stream_cms_counts": q_stream_cms_counts,
     # --- tail (positions 51+): driver-green in r4, rotated past the cap ---
     # displaced ninth/tenth batch (r4-green, code untouched in r5)
     "er_most_common_sense": q_er_most_common_sense,
@@ -3780,6 +3836,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_log_gap_steps": q_er_log_gap_steps,
     "er_mention_counts": q_er_mention_counts,
     "er_mentions": q_er_mentions,
+    "er_predict_cascade": q_er_predict_cascade,
     "er_fold_counts": q_er_fold_counts,
     "ent_features": q_ent_features,
     # recall gates for the approximate family (r4-green; the primary
@@ -3902,6 +3959,9 @@ _ORACLES: dict[str, str] = {
     "corpus_sample_weighted": SQL_CORPUS_SAMPLE_WEIGHTED,
     "corpus_pmi_collocations": SQL_CORPUS_PMI,
     "rel_exact_quantiles": SQL_REL_EXACT_QUANTILES,
+    # stream==batch: the drained streaming sketch must equal the
+    # whole-corpus batch sketch (additivity), same oracle
+    "stream_cms_counts": SQL_CORPUS_CMS,
     "web_canonical_urls": SQL_WEB_CANONICAL,
     "web_latest_snapshot": SQL_WEB_LATEST,
     "web_domain_quota": SQL_WEB_DOMAIN_QUOTA,

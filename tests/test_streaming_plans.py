@@ -366,3 +366,48 @@ def test_stream_incremental_minhash_batch_split_invariant(spark, tmp_path):
     assert len(rows) == len(want)
     # state grew per batch: 3 appends to docs and index each
     assert spark.read.parquet(str(tmp_path / "state") + "/docs").count() == 6
+
+
+def test_stream_cms_sketch_equals_batch_and_state_bounded(spark, tmp_path):
+    """cms_build run as a streaming stateful agg across two micro-batches
+    must equal the batch sketch over the union (additivity), and the state
+    is bounded by d*w cells regardless of stream length."""
+    from minimel_spark.operators.sketch import cms_build
+
+    d_, w_ = 3, 64
+    rows = [(i, f"v{i % 37} v{(i * 7) % 23}") for i in range(300)]
+    src = str(tmp_path / "cms_src")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.where(F.col("doc_id") < 150).coalesce(1).write.mode("append").parquet(src)
+    df.where(F.col("doc_id") >= 150).coalesce(1).write.mode("append").parquet(src)
+
+    from minimel_spark.operators.util import words_lower
+
+    def grams(frame):
+        return frame.select(F.explode(words_lower(F.col("text"))).alias("v"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = cms_build(grams(stream), "v", d=d_, w=w_)
+    assert agg.isStreaming
+    q = run_to_sink(
+        agg, str(tmp_path / "cms_ckpt"), output_mode="complete",
+        query_name="cms_stream_t",
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r["row_j"], r["bucket"]): r["cnt"]
+        for r in spark.table("cms_stream_t").collect()
+    }
+    want = {
+        (r["row_j"], r["bucket"]): r["cnt"]
+        for r in cms_build(grams(df), "v", d=d_, w=w_).collect()
+    }
+    assert got == want
+    assert len(got) <= d_ * w_
