@@ -1975,6 +1975,53 @@ SELECT t.q::DOUBLE AS q, t.rank, r.value
 FROM t JOIN r USING (rank)"""
 
 
+def q_rel_skew_profile(spark, sf_dir):
+    """Key-skew profile (operators/diagnostics.py): the top-15 heaviest
+    (user_id, event_type) composite keys in events with exact counts,
+    share of all rows, ratio to the mean key load (the salting-decision
+    number) and cumulative head share. One count-payload shuffle + a
+    bounded top-N window; the oracle re-ranks the full count table in SQL
+    with the identical double expressions."""
+    from minimel_spark.operators.diagnostics import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    caches: list = []
+    out = key_skew_profile(
+        ev, ["user_id", "event_type"], top_n=15, persisted_out=caches
+    ).select(
+        F.col("rank").cast("long").alias("rank"),
+        "key",
+        "cnt",
+        F.round("share", 6).alias("share"),
+        F.round("x_mean", 6).alias("x_mean"),
+        F.round("cum_share", 6).alias("cum_share"),
+    )
+    rows = out.collect()  # 15-row result; materialize once, drop the cache
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_REL_SKEW_PROFILE = """
+WITH c AS (
+  SELECT concat_ws(chr(31), coalesce(user_id::VARCHAR, ''),
+                   coalesce(event_type, '')) AS key,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1),
+t AS (SELECT sum(cnt)::DOUBLE AS n_rows, count(*)::DOUBLE AS n_keys FROM c),
+top AS (
+  SELECT key, cnt,
+         row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank,
+         sum(cnt) OVER (ORDER BY cnt DESC, key ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c ORDER BY cnt DESC, key ASC LIMIT 15)
+SELECT rank::BIGINT AS rank, key, cnt,
+       round(cnt / t.n_rows, 6) AS share,
+       round(cnt * t.n_keys / t.n_rows, 6) AS x_mean,
+       round(cum / t.n_rows, 6) AS cum_share
+FROM top, t"""
+
+
 def q_rel_entropy_segments(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     cnts = cust.groupBy("c_mktsegment", "c_nationkey").agg(
@@ -3730,7 +3777,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # local sweep (scripts/check_entry.py) still runs all 80.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ER pipeline (SURVEY §2: P2, P6-P9, A1-A3, A5-A6, A12, O1, M1-M3, L2, A10/J7)
-    "er_anchor_counts": q_er_anchor_counts,
     "er_eval_micro": q_er_eval_micro,
     "er_clean_strict": q_er_clean_strict,
     "er_pipeline_clusters": q_er_pipeline_clusters,
@@ -3828,6 +3874,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r4-driver-green, their operator files untouched in r5)
     "rel_exact_quantiles": q_rel_exact_quantiles,
     "stream_cms_counts": q_stream_cms_counts,
+    # thirteenth batch (NEW r5): key-skew profiling — in-window; displaces
+    # er_anchor_counts (r4-driver-green; count/wikitext untouched in r5)
+    "rel_skew_profile": q_rel_skew_profile,
     # --- tail (positions 51+): driver-green in r4, rotated past the cap ---
     # displaced ninth/tenth batch (r4-green, code untouched in r5)
     "er_most_common_sense": q_er_most_common_sense,
@@ -3836,6 +3885,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_log_gap_steps": q_er_log_gap_steps,
     "er_mention_counts": q_er_mention_counts,
     "er_mentions": q_er_mentions,
+    "er_anchor_counts": q_er_anchor_counts,
     "er_predict_cascade": q_er_predict_cascade,
     "er_fold_counts": q_er_fold_counts,
     "ent_features": q_ent_features,
@@ -3962,6 +4012,7 @@ _ORACLES: dict[str, str] = {
     # stream==batch: the drained streaming sketch must equal the
     # whole-corpus batch sketch (additivity), same oracle
     "stream_cms_counts": SQL_CORPUS_CMS,
+    "rel_skew_profile": SQL_REL_SKEW_PROFILE,
     "web_canonical_urls": SQL_WEB_CANONICAL,
     "web_latest_snapshot": SQL_WEB_LATEST,
     "web_domain_quota": SQL_WEB_DOMAIN_QUOTA,

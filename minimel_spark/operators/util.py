@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 
 
 def words_lower(col: Column) -> Column:
-    """The repo-wide word segmentation contract (and the DuckDB oracles'):
+    r"""The repo-wide word segmentation contract (and the DuckDB oracles'):
     lowercase, split on \W+, empties dropped. One definition — corpus,
     retrieval, and the winnowing path all build on it, so the segmentation
     can never silently drift between operators or engines."""

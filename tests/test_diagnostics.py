@@ -1,0 +1,68 @@
+"""key_skew_profile: Python-Counter parity, composite/NULL keys, tie
+ordering, cache hand-off, and validation."""
+
+from collections import Counter
+
+import pytest
+
+from minimel_spark.operators.diagnostics import key_skew_profile
+
+
+def _want(keys, top_n):
+    c = Counter(keys)
+    n_rows, n_keys = float(len(keys)), float(len(c))
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    out, cum = [], 0
+    for i, (k, cnt) in enumerate(ordered, 1):
+        cum += cnt
+        out.append(
+            (i, k, cnt, cnt / n_rows, cnt * n_keys / n_rows, cum / n_rows)
+        )
+    return out
+
+
+def _got(df):
+    return [
+        (r["rank"], r["key"], r["cnt"], r["share"], r["x_mean"], r["cum_share"])
+        for r in df.orderBy("rank").collect()
+    ]
+
+
+def test_skew_profile_matches_python(spark):
+    keys = (["hot"] * 50 + ["warm"] * 20 + [f"k{i}" for i in range(30)]) * 2
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = _got(key_skew_profile(df, "k", top_n=5))
+    want = _want(keys, 5)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        for gi, wi in zip(g[3:], w[3:]):
+            assert gi == pytest.approx(wi, abs=1e-12)
+    assert len(got) == 5
+
+
+def test_skew_profile_composite_null_and_ties(spark):
+    rows = [(1, "a"), (1, "a"), (1, None), (2, "a"), (2, "b"), (2, "b")]
+    df = spark.createDataFrame(rows, "u long, t string")
+    got = _got(key_skew_profile(df, ["u", "t"], top_n=10))
+    # counts: 1\x1fa:2, 2\x1fb:2, 1\x1f:1, 2\x1fa:1 — ties broken by key asc
+    assert [(g[0], g[1], g[2]) for g in got] == [
+        (1, "1\x1fa", 2),
+        (2, "2\x1fb", 2),
+        (3, "1\x1f", 1),
+        (4, "2\x1fa", 1),
+    ]
+    assert got[-1][5] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_skew_profile_cache_handoff_and_validation(spark):
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "k long")
+    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    caches = []
+    a = _got(key_skew_profile(df, "k", top_n=3, persisted_out=caches))
+    assert len(caches) == 1
+    for c in caches:
+        c.unpersist()
+    assert a == _got(key_skew_profile(df.repartition(13), "k", top_n=3))
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == n_before
+    with pytest.raises(ValueError):
+        key_skew_profile(df, "k", top_n=0)
