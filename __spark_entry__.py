@@ -2536,11 +2536,15 @@ def q_corpus_pmi_collocations(spark, sf_dir):
     from minimel_spark.operators.corpus import pmi_collocations
 
     docs = _t(spark, sf_dir, "documents")
-    out = pmi_collocations(docs, min_count=5, k=25)
-    return out.select(
+    caches: list = []
+    out = pmi_collocations(docs, min_count=5, k=25, persisted_out=caches).select(
         "ngram", F.col("cnt").cast("long").alias("cnt"),
         F.round("pmi", 6).alias("pmi"),
     )
+    rows = out.collect()  # k-row result; materialize once, drop the cache
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 SQL_CORPUS_PMI = """
@@ -3141,6 +3145,27 @@ def q_stream_latest_snapshot(spark, sf_dir):
     )
 
 
+def _doc_link_edges(docs, n):
+    """The deterministic md5-derived link graph over documents — 3 candidate
+    out-links per doc, dst = md5-60(doc:ej) mod n — shared by BOTH graph
+    gates (pagerank, triangles) so their "SAME link graph" contract is one
+    definition that cannot silently desynchronize. Raw projection: callers
+    drop self-loops / parallel edges per their operator's semantics."""
+    from minimel_spark.operators.util import md5_long60
+
+    return docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    md5_long60(F.concat(F.col("doc_id"), F.lit(f":e{j}"))) % n
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    )
+
+
 def q_graph_pagerank(spark, sf_dir):
     """PageRank (operators/graph.py) over a deterministic md5-derived link
     graph on documents (3 candidate out-links per doc, dst = md5-60(doc:ej)
@@ -3150,23 +3175,12 @@ def q_graph_pagerank(spark, sf_dir):
     arithmetic — both engines run the identical IEEE double recurrence, and
     the 6-decimal rounding sits ~7 orders above accumulation-order noise."""
     from minimel_spark.operators.graph import pagerank
-    from minimel_spark.operators.util import md5_long60
 
     docs = _t(spark, sf_dir, "documents")
     n = docs.count()
     nodes = docs.select(F.col("doc_id").alias("node"))
     edges = (
-        docs.select(
-            F.col("doc_id").alias("src"),
-            F.explode(
-                F.array(
-                    *[
-                        md5_long60(F.concat(F.col("doc_id"), F.lit(f":e{j}"))) % n
-                        for j in range(3)
-                    ]
-                )
-            ).alias("dst"),
-        )
+        _doc_link_edges(docs, n)
         .where(F.col("src") != F.col("dst"))
         .distinct()
         .persist()  # scanned once per iteration
@@ -3227,22 +3241,11 @@ def q_graph_triangles(spark, sf_dir):
     edge self-joins (order-free quantity, so the different enumeration
     orders must agree exactly)."""
     from minimel_spark.operators.graph import triangle_counts
-    from minimel_spark.operators.util import md5_long60
 
     docs = _t(spark, sf_dir, "documents")
     n = docs.count()
     nodes = docs.select(F.col("doc_id").alias("node"))
-    edges = docs.select(
-        F.col("doc_id").alias("src"),
-        F.explode(
-            F.array(
-                *[
-                    md5_long60(F.concat(F.col("doc_id"), F.lit(f":e{j}"))) % n
-                    for j in range(3)
-                ]
-            )
-        ).alias("dst"),
-    )
+    edges = _doc_link_edges(docs, n)
     caches: list = []
     out = triangle_counts(edges, nodes, persisted_out=caches).select(
         F.col("node").cast("long").alias("node"),
@@ -3455,13 +3458,17 @@ def q_corpus_lm_perplexity(spark, sf_dir):
     from minimel_spark.operators.lm import lm_perplexity
 
     docs = _t(spark, sf_dir, "documents")
-    out = lm_perplexity(docs, alpha=0.5)
-    return out.select(
+    caches: list = []
+    out = lm_perplexity(docs, alpha=0.5, persisted_out=caches).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         F.round("cross_entropy", 6).alias("cross_entropy"),
         F.round("perplexity", 6).alias("perplexity"),
     )
+    rows = out.collect()  # N-row result; materialize once, drop the caches
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 SQL_CORPUS_LM_PERPLEXITY = """

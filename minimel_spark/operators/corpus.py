@@ -534,6 +534,8 @@ def weighted_sample(
     """
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
+    if buckets < 1:
+        raise ValueError(f"need buckets >= 1, got {buckets}")
     strata = [strata_col] if strata_col else []
     key = -F.log(_md5_u01(id_col, salt)) / F.col(weight_col)
     cand = (
@@ -561,6 +563,7 @@ def pmi_collocations(
     k: int = 25,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Top-k word-bigram collocations by pointwise mutual information:
     PMI(w1,w2) = ln( P(w1,w2) / (P(w1) P(w2)) ) with bigram probability over
@@ -578,13 +581,21 @@ def pmi_collocations(
     over md5-60 keys; the bigram->unigram joins are vocab-sized x 2 (left to
     AQE to broadcast); the two corpus totals ride in as 1-row broadcast
     crossJoins; final top-k is per-partition heaps (TakeOrderedAndProject),
-    never a global sort.
+    never a global sort. The tokenized corpus feeds three consumers — pass
+    ``persisted_out`` (a list the caller unpersists) to tokenize once;
+    without a receiver the plan is fully lazy and re-tokenizes per branch.
     """
     if min_count < 1 or k < 1:
         raise ValueError(f"need min_count >= 1 and k >= 1, got {min_count}, {k}")
     toks = ensure_min_parallelism(docs, id_col).select(
         F.col(id_col), _words(text_col).alias("_ws")
     )
+    # the tokenized corpus feeds three consumers (unigram counts, the
+    # bigram-total aggregate, bigram counts); a persisted_out receiver makes
+    # that one tokenization pass instead of three
+    if persisted_out is not None:
+        toks = toks.persist()
+        persisted_out.append(toks)
     uni = (
         toks.select(F.explode("_ws").alias("w"))
         .groupBy(md5_long60(F.col("w")).alias("gk"))

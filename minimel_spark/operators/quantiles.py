@@ -22,9 +22,11 @@ Scale design:
 - per-partition counts: one tiny aggregate (#partitions rows) collected to
   the driver; offsets broadcast back. Identical pattern (and rationale) to
   byte_pack_buckets' distributed prefix sum.
-- rank selection: row_number inside each already-sorted partition + offset,
-  semi-joined against the (|qs|)-row broadcast target table. Only rows AT
-  the target ranks survive the final exchange.
+- rank selection: the driver knows from the subtotal pass WHICH partitions
+  contain a target rank, so only those <= |qs| partitions' rows (each one
+  shuffle-partition-sized, independent of n) enter the row_number window's
+  hashpartitioning exchange; every other partition is pruned at the cache
+  scan. Only rows AT the target ranks survive the final joins.
 - ties are harmless: equal values may straddle partition boundaries and get
   arbitrary relative ranks, but every rank inside a tie run maps to the
   same VALUE, so the (q, rank, value) output is a pure function of the
@@ -86,9 +88,22 @@ def exact_quantiles(
         # rank semantics shared verbatim with the SQL oracle:
         # 1 + floor(q * (n-1)) in IEEE double
         targets = sorted({(float(q), 1 + int(math.floor(float(q) * (n - 1)))) for q in qs})
+        # only partitions that CONTAIN a target rank participate in the
+        # selection — the rank window below needs a hashpartitioning(_pid)
+        # exchange (the cached RangePartitioning does not satisfy it), and
+        # filtering first bounds that second exchange to <= |qs| partitions'
+        # rows (each one shuffle-partition-sized), independent of n. Without
+        # the filter the whole dataset would shuffle and sort twice.
+        target_pids = set()
+        for _, rank in targets:
+            for pid in sorted(sizes):
+                if offsets[pid] < rank <= offsets[pid] + sizes[pid]:
+                    target_pids.add(pid)
+                    break
         off_df = F.broadcast(
             spark.createDataFrame(
-                [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+                [(pid, offsets[pid]) for pid in sorted(target_pids)],
+                "_pid int, _off long",
             )
         )
         t_df = F.broadcast(
@@ -96,7 +111,8 @@ def exact_quantiles(
         )
         w = Window.partitionBy("_pid").orderBy(F.asc("value"))
         picked = (
-            ranged.withColumn("_rn", F.row_number().over(w))
+            ranged.where(F.col("_pid").isin([int(p) for p in target_pids]))
+            .withColumn("_rn", F.row_number().over(w))
             .join(off_df, "_pid")
             .select("value", (F.col("_off") + F.col("_rn")).alias("rank"))
             .join(t_df, "rank")

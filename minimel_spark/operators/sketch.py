@@ -208,9 +208,16 @@ def cms_build(
 
     Scale: one explode (d small constant) + one partial-aggregated groupBy
     whose result is bounded by d*w regardless of input size.
+
+    NULL values are EXCLUDED from the sketch (and from `cms_query` probes):
+    NULL concatenates to a NULL hash whose cells an equi-join probe could
+    never match (NULL != NULL), which would silently break the
+    never-undercount guarantee — so both sides drop NULLs up front and the
+    guarantee holds for every non-NULL value.
     """
     if d < 1 or w < 2:
         raise ValueError(f"need d >= 1 and w >= 2, got {d}, {w}")
+    df = df.where(F.col(value_col).isNotNull())
     cells = [
         F.struct(
             F.lit(j).alias("row_j"),
@@ -233,12 +240,14 @@ def cms_query(
     """Point-estimate the frequency of every value in ``queries[value_col]``
     against a `cms_build` sketch: min over the d hashed cells.
 
-    Guarantee: estimate >= true count, always (collisions only inflate).
+    Guarantee: estimate >= true count, always (collisions only inflate) —
+    for non-NULL values; NULLs are excluded on both sides (see cms_build).
     Plan: the query side explodes to d rows and broadcast-joins the
     (<= d*w row) sketch — map-side, no shuffle of the query side beyond
     the final per-value min."""
     if d < 1 or w < 2:
         raise ValueError(f"need d >= 1 and w >= 2, got {d}, {w}")
+    queries = queries.where(F.col(value_col).isNotNull())
     cells = [
         F.struct(
             F.lit(j).alias("row_j"),

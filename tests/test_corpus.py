@@ -380,3 +380,29 @@ def test_pmi_collocations_matches_python(spark):
         assert g[2] == pytest.approx(w[2], abs=1e-12)
     with pytest.raises(ValueError):
         pmi_collocations(df, min_count=0)
+
+
+def test_weighted_sample_rejects_bad_buckets(spark):
+    df = spark.createDataFrame([(1, 2.0)], "doc_id long, w double")
+    with pytest.raises(ValueError):
+        weighted_sample(df, k=1, weight_col="w", buckets=0)
+
+
+def test_pmi_collocations_persisted_out_identical(spark):
+    texts = ["new york new york", "new york is big", "a b a b"] * 4
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    caches = []
+    a = [(r["ngram"], r["cnt"], r["pmi"])
+         for r in pmi_collocations(df, min_count=2, k=5, persisted_out=caches).collect()]
+    assert len(caches) == 1
+    for c in caches:
+        c.unpersist()
+    b = [(r["ngram"], r["cnt"], r["pmi"])
+         for r in pmi_collocations(df, min_count=2, k=5).collect()]
+    assert [(x[0], x[1]) for x in a] == [(x[0], x[1]) for x in b]
+    for x, y in zip(a, b):
+        assert x[2] == pytest.approx(y[2], abs=1e-12)
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == n_before

@@ -330,3 +330,20 @@ def test_bloom_rejects_bad_params(spark):
         bloom_build(df, "key", n_bits=10)
     with pytest.raises(ValueError):
         bloom_semi_join(df, "key", df, k=0)
+
+
+def test_cms_excludes_nulls_on_both_sides(spark):
+    """NULL values are excluded from build AND probe — the never-undercount
+    guarantee holds for every non-NULL value, and a NULL probe row simply
+    returns no row instead of a silent 0-undercount."""
+    from minimel_spark.operators.sketch import cms_build, cms_query
+
+    df = spark.createDataFrame(
+        [("x",), (None,), ("x",), (None,), ("y",)], "v string"
+    )
+    cells = cms_build(df, "v", d=2, w=32)
+    assert cells.agg({"cnt": "sum"}).first()[0] == 2 * 3  # d * non-null rows
+    qdf = spark.createDataFrame([("x",), (None,), ("z",)], "v string")
+    got = {r["v"]: r["cnt_est"] for r in cms_query(qdf, "v", cells, d=2, w=32).collect()}
+    assert None not in got
+    assert got["x"] >= 2 and got["z"] >= 0
