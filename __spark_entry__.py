@@ -1975,6 +1975,85 @@ SELECT t.q::DOUBLE AS q, t.rank, r.value
 FROM t JOIN r USING (rank)"""
 
 
+def q_rel_funnel_steps(spark, sf_dir):
+    """Ordered-funnel conversion (operators/events.py funnel_steps):
+    view -> click -> purchase with a 200,000 s completion window chosen
+    INSIDE the corpus' time-to-convert spread (min 24.9 ks, max 1.38 Ms),
+    so the window constraint genuinely filters. Chained per-user filtered
+    min-aggregates — no per-user collect_list anywhere — with the prefix
+    caches handed out and dropped after materialization."""
+    from minimel_spark.operators.events import funnel_steps
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    caches: list = []
+    out = funnel_steps(
+        ev,
+        ["view", "click", "purchase"],
+        within_seconds=200_000,
+        persisted_out=caches,
+    ).select(
+        F.col("step_idx").cast("long").alias("step_idx"),
+        "step",
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+    rows = out.collect()  # k-row result; materialize once, drop the caches
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_REL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS tk, min(ts) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id AS u, s1.t1, min(e.ts) AS tk
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'click' AND e.ts > s1.tk GROUP BY 1, 2),
+s3 AS (
+  SELECT e.user_id AS u, s2.t1, min(e.ts) AS tk
+  FROM events e JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts > s2.tk GROUP BY 1, 2)
+SELECT 1::BIGINT AS step_idx, 'view' AS step,
+       (SELECT count(*) FROM s1
+        WHERE epoch_us(tk) - epoch_us(t1)
+              <= 200000::BIGINT * 1000000)::BIGINT AS n_users
+UNION ALL
+SELECT 2::BIGINT, 'click',
+       (SELECT count(*) FROM s2
+        WHERE epoch_us(tk) - epoch_us(t1) <= 200000::BIGINT * 1000000)::BIGINT
+UNION ALL
+SELECT 3::BIGINT, 'purchase',
+       (SELECT count(*) FROM s3
+        WHERE epoch_us(tk) - epoch_us(t1) <= 200000::BIGINT * 1000000)::BIGINT"""
+
+
+def q_rel_event_transitions(spark, sf_dir):
+    """First-order Markov transition counts (operators/events.py
+    event_transitions): lead() over the per-user total order
+    (ts, event_type, event_id) — deterministic under timestamp ties at any
+    parallelism — then one partial-aggregated pair count. The oracle runs
+    the identical window in SQL."""
+    from minimel_spark.operators.events import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    out = event_transitions(ev)
+    return out.select(
+        "from_type", "to_type", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+SQL_REL_TRANSITIONS = """
+WITH o AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY ts ASC, event_type ASC, event_id ASC) AS to_type
+  FROM events)
+SELECT from_type, to_type, count(*)::BIGINT AS cnt
+FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2"""
+
+
 def q_rel_skew_profile(spark, sf_dir):
     """Key-skew profile (operators/diagnostics.py): the top-15 heaviest
     (user_id, event_type) composite keys in events with exact counts,
@@ -3787,9 +3866,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_eval_micro": q_er_eval_micro,
     "er_clean_strict": q_er_clean_strict,
     "er_pipeline_clusters": q_er_pipeline_clusters,
-    "er_matcher_planted": q_er_matcher_planted,
     # clustering (M4, CC)
-    "m4_similarity_edges": q_m4_similarity_edges,
     "cc_components": q_cc_components,
     # pair generation + features (blocking, J3, M7-ish)
     "pair_features": q_pair_features,
@@ -3884,6 +3961,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # thirteenth batch (NEW r5): key-skew profiling — in-window; displaces
     # er_anchor_counts (r4-driver-green; count/wikitext untouched in r5)
     "rel_skew_profile": q_rel_skew_profile,
+    # fourteenth batch (NEW r5): event-sequence analytics — in-window;
+    # displace er_matcher_planted and m4_similarity_edges (both
+    # r4-driver-green; scoring.py untouched in r5, and cc_components stays
+    # in-window to cover the r5 cluster.py change)
+    "rel_funnel_steps": q_rel_funnel_steps,
+    "rel_event_transitions": q_rel_event_transitions,
     # --- tail (positions 51+): driver-green in r4, rotated past the cap ---
     # displaced ninth/tenth batch (r4-green, code untouched in r5)
     "er_most_common_sense": q_er_most_common_sense,
@@ -3892,6 +3975,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_log_gap_steps": q_er_log_gap_steps,
     "er_mention_counts": q_er_mention_counts,
     "er_mentions": q_er_mentions,
+    "er_matcher_planted": q_er_matcher_planted,
+    "m4_similarity_edges": q_m4_similarity_edges,
     "er_anchor_counts": q_er_anchor_counts,
     "er_predict_cascade": q_er_predict_cascade,
     "er_fold_counts": q_er_fold_counts,
@@ -4020,6 +4105,8 @@ _ORACLES: dict[str, str] = {
     # whole-corpus batch sketch (additivity), same oracle
     "stream_cms_counts": SQL_CORPUS_CMS,
     "rel_skew_profile": SQL_REL_SKEW_PROFILE,
+    "rel_funnel_steps": SQL_REL_FUNNEL,
+    "rel_event_transitions": SQL_REL_TRANSITIONS,
     "web_canonical_urls": SQL_WEB_CANONICAL,
     "web_latest_snapshot": SQL_WEB_LATEST,
     "web_domain_quota": SQL_WEB_DOMAIN_QUOTA,

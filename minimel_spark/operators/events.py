@@ -1,0 +1,119 @@
+"""Event-sequence analytics (SURVEY §4 LLM-pipeline family, round 5):
+ordered-funnel conversion and first-order transition (Markov) counts over
+an event log — the behavioral-analytics pair every clickstream/crawl-log
+pipeline runs next to sessionization (`rel_sessionize` /
+`stream_sessionize`). The reference (bennokr/minimEL) has no event layer;
+Spark-first new work.
+
+Scale design:
+- ``funnel_steps``: one filtered min-aggregate per step, each keyed by the
+  user — k-1 user-keyed shuffles over (user, timestamp) pairs, never a
+  per-user collect_list (a hot user with 10^7 events contributes one row
+  per step, not a 10^7-element array on one executor). Step k's aggregate
+  joins step k-1's per-user completion time, so "strictly after the
+  previous step" is an equi-join + filter, all JVM.
+- ``event_transitions``: lead() over (user ORDER BY ts, tiebreak) — the
+  state is per-user-partition and bounded by that user's events — then ONE
+  partial-aggregated pair count. Deterministic under timestamp ties via a
+  total tiebreak order (ts, event_type, event_id).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: for each prefix of ``steps``, how many users
+    completed it IN ORDER (each step strictly after the previous one's
+    earliest completion; greedy earliest-first matching, the standard
+    funnel semantics). ``within_seconds`` additionally requires the last
+    step to land within that span of the FIRST step's completion.
+
+    Returns (step_idx, step, n_users) with step_idx 1-based; n_users is
+    non-increasing in step_idx by construction.
+
+    Step k's per-user table chains on step k-1's, so without caching the
+    lazy plan re-derives the whole prefix per step (O(k^2) scans) — pass
+    ``persisted_out`` (a list the caller unpersists) to make it O(k).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if within_seconds is not None and within_seconds <= 0:
+        raise ValueError(f"within_seconds must be > 0, got {within_seconds}")
+    u, t = F.col(user_col), F.col(ts_col)
+    # per-user earliest completion time of each prefix, chained
+    prev: DataFrame | None = None  # (user, t_k, t_1)
+    counts = []
+    for i, step in enumerate(steps, 1):
+        hits = events.where(F.col(type_col) == step).select(
+            u.alias("_u"), t.alias("_ts")
+        )
+        if prev is None:
+            cur = hits.groupBy("_u").agg(F.min("_ts").alias("_tk"))
+            cur = cur.select("_u", "_tk", F.col("_tk").alias("_t1"))
+        else:
+            cur = (
+                hits.join(prev, "_u")
+                .where(F.col("_ts") > F.col("_tk"))
+                .groupBy("_u", "_t1")
+                .agg(F.min("_ts").alias("_tk"))
+                .select("_u", "_tk", "_t1")
+            )
+        if persisted_out is not None:
+            cur = cur.persist()
+            persisted_out.append(cur)
+        done = cur
+        if within_seconds is not None:
+            done = cur.where(
+                F.unix_micros(F.col("_tk")) - F.unix_micros(F.col("_t1"))
+                <= int(within_seconds) * 1_000_000
+            )
+        counts.append(
+            done.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).alias("step_idx"), F.lit(step).alias("step"), "n_users"
+            )
+        )
+        prev = cur
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition counts: for every consecutive pair of events
+    of the same user (ordered by timestamp, tie-broken by (type, id) so the
+    sequence — and therefore the counts — is a total order, deterministic
+    at any parallelism), count (from_type, to_type) occurrences.
+
+    Returns (from_type, to_type, cnt) — the empirical Markov transition
+    table behavioral models and bot-detection heuristics start from.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.asc(ts_col), F.asc(type_col), F.asc(id_col)
+    )
+    nxt = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    )
+    return (
+        nxt.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -1,0 +1,96 @@
+"""funnel_steps / event_transitions: Python parity on hand-built logs,
+ordering semantics, within-window filtering, cache hand-off, validation."""
+
+import datetime as dt
+
+import pytest
+
+from minimel_spark.operators.events import event_transitions, funnel_steps
+
+
+def _ts(minute):
+    return dt.datetime(2026, 1, 1, 0, minute)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, t, _ts(m)) for i, (u, t, m) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+
+
+def test_funnel_order_matters(spark):
+    rows = [
+        (1, "a", 0), (1, "b", 1), (1, "c", 2),   # completes in order
+        (2, "b", 0), (2, "a", 1), (2, "c", 2),   # b BEFORE a: stops at a
+        (3, "c", 0), (3, "b", 1), (3, "a", 2),   # reversed: stops at a
+        (4, "a", 0), (4, "c", 1),                # skips b: stops at a
+        (5, "a", 0), (5, "b", 1), (5, "b", 2),   # reaches b, no c
+    ]
+    out = {
+        (r["step_idx"], r["step"]): r["n_users"]
+        for r in funnel_steps(_ev(spark, rows), ["a", "b", "c"]).collect()
+    }
+    assert out == {(1, "a"): 5, (2, "b"): 2, (3, "c"): 1}
+
+
+def test_funnel_within_window_and_caches(spark):
+    rows = [
+        (1, "a", 0), (1, "b", 1), (1, "c", 2),    # span 2 min
+        (2, "a", 0), (2, "b", 1), (2, "c", 30),   # span 30 min
+    ]
+    ev = _ev(spark, rows)
+    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    caches = []
+    out = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_steps(
+            ev, ["a", "b", "c"], within_seconds=600, persisted_out=caches
+        ).collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 1}
+    assert len(caches) == 3
+    for c in caches:
+        c.unpersist()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == n_before
+    with pytest.raises(ValueError):
+        funnel_steps(ev, [])
+    with pytest.raises(ValueError):
+        funnel_steps(ev, ["a"], within_seconds=0)
+
+
+def test_funnel_greedy_earliest_semantics(spark):
+    # a@0, b@1 ... but ALSO a@5: greedy matches earliest a, so b@1 counts.
+    rows = [(1, "a", 0), (1, "b", 1), (1, "a", 5)]
+    out = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_steps(_ev(spark, rows), ["a", "b"]).collect()
+    }
+    assert out == {1: 1, 2: 1}
+
+
+def test_transitions_match_python_and_tiebreak(spark):
+    rows = [
+        (1, "a", 0), (1, "b", 1), (1, "a", 2),
+        (2, "b", 0), (2, "b", 1),
+        # user 3: two events at the SAME minute -> tiebreak (type, id):
+        # 'a' orders before 'z', so a->z, then z->c
+        (3, "a", 0), (3, "z", 0), (3, "c", 1),
+        (4, "solo", 0),
+    ]
+    got = {
+        (r["from_type"], r["to_type"]): r["cnt"]
+        for r in event_transitions(_ev(spark, rows)).collect()
+    }
+    assert got == {
+        ("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1,
+        ("a", "z"): 1, ("z", "c"): 1,
+    }
+
+
+def test_transitions_parallelism_invariant(spark):
+    rows = [(u, f"t{(u * 3 + m) % 4}", m) for u in range(20) for m in range(15)]
+    ev = _ev(spark, rows)
+    a = sorted(map(tuple, event_transitions(ev).collect()))
+    b = sorted(map(tuple, event_transitions(ev.repartition(17)).collect()))
+    assert a == b
