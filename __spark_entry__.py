@@ -2054,6 +2054,108 @@ SELECT from_type, to_type, count(*)::BIGINT AS cnt
 FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2"""
 
 
+def q_rel_asof_join(spark, sf_dir):
+    """Point-in-time join (operators/temporal.py asof_join): every error
+    event gains the latest same-user purchase at-or-before it. The Spark
+    side is the union + per-key running-last window (ONE shuffle, no join);
+    the oracle is DuckDB's native ASOF LEFT JOIN — an independent
+    algorithm, so a hash match checks the semantics, not the plan."""
+    from minimel_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    snaps = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(facts, snaps, ["user_id"], ["value"]).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_ts",
+        F.round("asof_value", 6).alias("asof_value"),
+    )
+
+
+SQL_REL_ASOF = """
+WITH f AS (SELECT event_id, user_id, ts FROM events WHERE event_type='error'),
+     s AS (SELECT user_id, ts, max(value) AS value
+           FROM events WHERE event_type='purchase' GROUP BY 1, 2)
+SELECT f.event_id, f.user_id, f.ts, s.ts AS asof_ts,
+       round(s.value, 6) AS asof_value
+FROM f ASOF LEFT JOIN s ON f.user_id = s.user_id AND f.ts >= s.ts"""
+
+
+def q_rel_range_join(spark, sf_dir):
+    """Interval containment via the bucketized equi-join
+    (operators/temporal.py range_join): 'incident windows' [ts, ts +
+    value*100 s] opened by error events with value > 15, matched to every
+    click inside them (no equi key — the pure range case the bucketizer
+    exists for), then a per-incident rollup. Both sides compute the bounds
+    as epoch-microsecond doubles, so the closed-range boundary comparison
+    is the identical IEEE expression in Spark and DuckDB."""
+    from minimel_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    incidents = ev.where(
+        (F.col("event_type") == "error") & (F.col("value") > 15)
+    ).select(
+        F.col("event_id").alias("iid"),
+        s.alias("s"),
+        (s + F.col("value") * 100).alias("e"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("pid"),
+        F.col("value").alias("cv"),
+        s.alias("p"),
+    )
+    rj = range_join(clicks, incidents, "p", "s", "e", bucket_seconds=3600.0)
+    return rj.groupBy("iid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.round(F.sum("cv"), 6).alias("click_value"),
+    )
+
+
+SQL_REL_RANGE = """
+WITH i AS (SELECT event_id AS iid, epoch_us(ts)/1e6 AS s,
+                  epoch_us(ts)/1e6 + value*100 AS e
+           FROM events WHERE event_type='error' AND value > 15),
+     c AS (SELECT value AS cv, epoch_us(ts)/1e6 AS p
+           FROM events WHERE event_type='click')
+SELECT iid, count(*)::BIGINT AS n_clicks, round(sum(cv), 6) AS click_value
+FROM c JOIN i ON c.p >= i.s AND c.p <= i.e
+GROUP BY iid"""
+
+
+def q_rel_scd2(spark, sf_dir):
+    """Type-2 slowly-changing dimension build (operators/temporal.py
+    scd2_build): each user's event_type stream collapsed into validity
+    intervals [valid_from, valid_to) with consecutive duplicates merged —
+    one per-key window pass. The oracle runs the identical
+    dedupe → lag-change-point → lead-close chain in SQL."""
+    from minimel_spark.operators.temporal import scd2_build
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 10 == 3)
+    snaps = ev.select("user_id", "ts", "event_type")
+    return scd2_build(snaps, ["user_id"], "ts", ["event_type"])
+
+
+SQL_REL_SCD2 = """
+WITH s AS (SELECT user_id, ts AS valid_from, max(event_type) AS event_type
+           FROM events WHERE user_id % 10 = 3 GROUP BY 1, 2),
+     c AS (SELECT *, lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY valid_from) AS prev
+           FROM s),
+     ch AS (SELECT user_id, event_type, valid_from FROM c
+            WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (
+         PARTITION BY user_id ORDER BY valid_from) AS valid_to
+FROM ch"""
+
+
 def q_rel_skew_profile(spark, sf_dir):
     """Key-skew profile (operators/diagnostics.py): the top-15 heaviest
     (user_id, event_type) composite keys in events with exact counts,
@@ -4018,6 +4120,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_full_outer_align": q_rel_full_outer_align,
     "dedup_jaccard_words": q_dedup_jaccard_words,
     "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
+    # temporal relational family (NEW r5, fifteenth batch) — tail-placed:
+    # every in-window slot is held by a gate needing its FIRST driver row
+    # (r5-new code) or an r4-tail er_* gate whose union coverage depends on
+    # an r5 row; these three are full-sweep + pytest verified this round
+    # and rotate into the window in r6
+    "rel_asof_join": q_rel_asof_join,
+    "rel_range_join": q_rel_range_join,
+    "rel_scd2": q_rel_scd2,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4120,6 +4230,11 @@ _ORACLES: dict[str, str] = {
     # stream==batch: the drained newest-wins state must equal the batch
     # latest-snapshot oracle
     "stream_latest_snapshot": SQL_WEB_LATEST,
+    # temporal relational family: DuckDB's native ASOF JOIN (independent
+    # algorithm) oracles the union+window implementation
+    "rel_asof_join": SQL_REL_ASOF,
+    "rel_range_join": SQL_REL_RANGE,
+    "rel_scd2": SQL_REL_SCD2,
 }
 
 

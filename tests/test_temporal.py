@@ -1,0 +1,195 @@
+"""asof_join / range_join / scd2_build: brute-force Python parity on
+randomized inputs, tie/tolerance/duplicate semantics, bucket-width
+invariance, span-guard validation, composition (scd2 + asof round-trip)."""
+
+import datetime as dt
+import random
+
+import pytest
+
+from minimel_spark.operators.temporal import asof_join, range_join, scd2_build
+
+
+def _ts(s):
+    return dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_asof_backward_inclusive_and_nulls(spark):
+    facts = spark.createDataFrame(
+        [(1, 1, _ts(5)), (2, 1, _ts(10)), (3, 1, _ts(2)), (4, 2, _ts(50))],
+        "fid long, k long, ts timestamp",
+    )
+    snaps = spark.createDataFrame(
+        [(1, _ts(5), 100.0), (1, _ts(9), 200.0), (2, _ts(60), 9.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        r["fid"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(facts, snaps, ["k"], ["v"]).collect()
+    }
+    assert out[1] == (_ts(5), 100.0)       # equal ts matches (inclusive)
+    assert out[2] == (_ts(9), 200.0)       # latest <=, not just any
+    assert out[3] == (None, None)          # nothing at or before
+    assert out[4] == (None, None)          # snapshot only in the future
+
+
+def test_asof_tolerance_and_same_instant_dedupe(spark):
+    facts = spark.createDataFrame(
+        [(1, 1, _ts(100))], "fid long, k long, ts timestamp"
+    )
+    snaps = spark.createDataFrame(
+        [(1, _ts(10), 1.0), (1, _ts(10), 7.0)],
+        "k long, ts timestamp, v double",
+    )
+    # duplicate same-instant snapshots collapse to the lexicographic max
+    row = asof_join(facts, snaps, ["k"], ["v"]).collect()[0]
+    assert row["asof_v"] == 7.0
+    # a 90-second-old match dies under a 60-second tolerance
+    row = asof_join(
+        facts, snaps, ["k"], ["v"], tolerance_seconds=60
+    ).collect()[0]
+    assert row["asof_v"] is None and row["asof_ts"] is None
+
+
+def test_asof_randomized_vs_bruteforce(spark):
+    rng = random.Random(11)
+    snaps = [
+        (k, _ts(rng.randrange(1000)), float(i))
+        for i, k in enumerate(rng.choices(range(5), k=60))
+    ]
+    facts = [
+        (i, k, _ts(rng.randrange(1000)))
+        for i, k in enumerate(rng.choices(range(6), k=80))
+    ]
+    sdf = spark.createDataFrame(snaps, "k long, ts timestamp, v double")
+    fdf = spark.createDataFrame(facts, "fid long, k long, ts timestamp")
+    got = {
+        r["fid"]: r["asof_v"]
+        for r in asof_join(fdf, sdf, ["k"], ["v"]).collect()
+    }
+    for fid, k, ts in facts:
+        elig = [(sts, v) for sk, sts, v in snaps if sk == k and sts <= ts]
+        want = max(elig)[1] if elig else None
+        assert got[fid] == want, fid
+
+
+def test_asof_validation(spark):
+    df = spark.createDataFrame([(1, _ts(0), 1.0)], "k long, ts timestamp, v double")
+    with pytest.raises(ValueError, match="on must"):
+        asof_join(df, df, [], ["v"])
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(df, df, ["k"], ["v"], tolerance_seconds=0)
+    with pytest.raises(ValueError, match="already exists"):
+        asof_join(df.withColumnRenamed("v", "asof_v"), df, ["k"], ["v"])
+
+
+def _brute_range(points, intervals):
+    return sorted(
+        (pid, iid)
+        for pid, p in points
+        for iid, s, e in intervals
+        if s <= p <= e
+    )
+
+
+def test_range_join_vs_bruteforce_and_width_invariance(spark):
+    rng = random.Random(7)
+    points = [(i, float(rng.randrange(0, 500))) for i in range(120)]
+    intervals = []
+    for i in range(40):
+        s = float(rng.randrange(0, 480))
+        intervals.append((i, s, s + rng.randrange(0, 60)))
+    pdf = spark.createDataFrame(points, "pid long, p double")
+    idf = spark.createDataFrame(intervals, "iid long, s double, e double")
+    want = _brute_range(points, intervals)
+    for width in (7.0, 64.0, 1000.0):
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in range_join(
+                pdf, idf, "p", "s", "e", bucket_seconds=width
+            ).collect()
+        )
+        assert got == want, width
+
+
+def test_range_join_keys_boundaries_and_guard(spark):
+    pdf = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 2, 10.0), (3, 1, 20.0001)],
+        "pid long, k long, p double",
+    )
+    idf = spark.createDataFrame(
+        [(7, 1, 10.0, 20.0)], "iid long, k long, s double, e double"
+    )
+    got = sorted(
+        r["pid"]
+        for r in range_join(
+            pdf, idf, "p", "s", "e", on=["k"], bucket_seconds=5.0
+        ).collect()
+    )
+    assert got == [1]  # key 2 filtered, 20.0001 outside the closed range
+    # span guard fires lazily at execution
+    with pytest.raises(Exception, match="max_span_seconds"):
+        range_join(
+            pdf, idf, "p", "s", "e", on=["k"], bucket_seconds=0.001,
+            max_span_seconds=1.0,
+        ).collect()
+    with pytest.raises(ValueError, match="ambiguous"):
+        range_join(pdf, idf.withColumnRenamed("iid", "pid"), "p", "s", "e")
+
+
+def test_scd2_collapse_and_asof_composition(spark):
+    snaps = spark.createDataFrame(
+        [
+            (1, _ts(0), "bronze"), (1, _ts(10), "bronze"),  # no change
+            (1, _ts(20), "gold"), (1, _ts(30), "gold"),
+            (1, _ts(40), "bronze"),                          # re-change
+            (2, _ts(5), "silver"),
+        ],
+        "k long, ts timestamp, tier string",
+    )
+    dim = scd2_build(snaps, ["k"], "ts", ["tier"])
+    rows = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["tier"])
+        for r in dim.collect()
+    )
+    assert rows == [
+        (1, _ts(0), _ts(20), "bronze"),
+        (1, _ts(20), _ts(40), "gold"),
+        (1, _ts(40), None, "bronze"),
+        (2, _ts(5), None, "silver"),
+    ]
+    # composition: asof over the raw snapshots == interval lookup in the dim
+    facts = spark.createDataFrame(
+        [(i, 1, _ts(t)) for i, t in enumerate([0, 15, 25, 39, 40, 99])],
+        "fid long, k long, ts timestamp",
+    )
+    via_asof = {
+        r["fid"]: r["asof_tier"]
+        for r in asof_join(facts, snaps, ["k"], ["tier"]).collect()
+    }
+    # close the dimension's open intervals at the query horizon — an
+    # unbounded interval must NOT be fed to the bucketizer (that lookup is
+    # asof_join's job); the half-open convention becomes [vf, vt - eps]
+    horizon = _ts(1000).timestamp()
+    via_dim = {
+        r["fid"]: r["tier"]
+        for r in range_join(
+            facts.withColumn("tsd", facts["ts"].cast("double")),
+            dim.select(
+                "k",
+                "tier",
+                dim["valid_from"].cast("double").alias("vf"),
+                (dim["valid_to"].cast("double") - 1e-6).alias("vt"),
+            ).fillna({"vt": horizon}),
+            "tsd", "vf", "vt", on=["k"], bucket_seconds=50.0,
+        ).collect()
+    }
+    assert via_dim == via_asof
+
+
+def test_scd2_validation(spark):
+    df = spark.createDataFrame([(1, _ts(0), "x")], "k long, ts timestamp, a string")
+    with pytest.raises(ValueError):
+        scd2_build(df, [], "ts", ["a"])
+    with pytest.raises(ValueError):
+        scd2_build(df, ["k"], "ts", [])
