@@ -2087,6 +2087,59 @@ SELECT f.event_id, f.user_id, f.ts, s.ts AS asof_ts,
 FROM f ASOF LEFT JOIN s ON f.user_id = s.user_id AND f.ts >= s.ts"""
 
 
+def q_stream_asof_join(spark, sf_dir):
+    """Streaming point-in-time enrichment (streaming/ingest.py
+    stream_asof_enrich): the error facts arrive as TWO micro-batch files
+    (split by event_id parity, maxFilesPerTrigger=1), each enriched
+    against the static purchase dimension and appended under batch=<id>.
+    Per-fact matches depend only on the dim, so the drained union must
+    equal the batch run — pinned by the SAME DuckDB ASOF JOIN oracle as
+    rel_asof_join (stream==batch, the repo's streaming contract)."""
+    import shutil
+    import tempfile
+
+    from minimel_spark.streaming.ingest import stream_asof_enrich
+
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    snaps = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    src = tempfile.mkdtemp(prefix="minimel_asof_src_")
+    facts.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    facts.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = tempfile.mkdtemp(prefix="minimel_asof_out_")
+    ckpt = tempfile.mkdtemp(prefix="minimel_asof_ckpt_")
+    q = stream_asof_enrich(stream, snaps, ["user_id"], ["value"], out_dir, ckpt)
+    try:
+        assert q.awaitTermination(300), "streaming drain did not finish"
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+        # out_dir stays: the returned plan reads it lazily (repo convention,
+        # see q_stream_incremental_minhash)
+    out = spark.read.parquet(f"{out_dir}/batch=0", f"{out_dir}/batch=1")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_ts",
+        F.round("asof_value", 6).alias("asof_value"),
+    )
+
+
 def q_rel_range_join(spark, sf_dir):
     """Interval containment via the bucketized equi-join
     (operators/temporal.py range_join): 'incident windows' [ts, ts +
@@ -4128,6 +4181,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_asof_join": q_rel_asof_join,
     "rel_range_join": q_rel_range_join,
     "rel_scd2": q_rel_scd2,
+    "stream_asof_join": q_stream_asof_join,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4235,6 +4289,9 @@ _ORACLES: dict[str, str] = {
     "rel_asof_join": SQL_REL_ASOF,
     "rel_range_join": SQL_REL_RANGE,
     "rel_scd2": SQL_REL_SCD2,
+    # stream==batch: drained per-micro-batch enrichment must equal the
+    # batch as-of join (same independent ASOF JOIN oracle)
+    "stream_asof_join": SQL_REL_ASOF,
 }
 
 

@@ -392,3 +392,55 @@ def stream_exact_dedup(
         .dropDuplicatesWithinWatermark(list(key_cols))
         .drop("_wm_ts")
     )
+
+
+def stream_asof_enrich(
+    facts_stream: DataFrame,
+    snapshots: DataFrame,
+    on: list,
+    value_cols: list,
+    out_dir: str,
+    checkpoint_dir: str,
+    fact_ts: str = "ts",
+    snap_ts: str = "ts",
+    tolerance_seconds: float | None = None,
+    available_now: bool = True,
+):
+    """Streaming point-in-time enrichment: each arriving micro-batch of
+    facts is as-of joined (`operators/temporal.py asof_join`) against a
+    STATIC, already-compacted snapshot dimension — the production shape
+    where the dim is a published table (feature store, SCD2 dimension) and
+    the facts are the unbounded side. Because each fact's match depends
+    only on the dim, the result is batch-split invariant: the union of
+    per-batch outputs equals one batch run over all facts (the gate pins
+    this against the same DuckDB ASOF JOIN oracle as `rel_asof_join`).
+
+    Crash-replay idempotent via the repo's batch=<id> overwrite convention:
+    a replayed micro-batch rewrites its own partition, never duplicates.
+
+    Scale: per-batch cost is O(|batch| + |compacted dim|) — the dim's
+    per-(key, ts) dedupe re-runs per batch, so pre-compact (or persist) a
+    large dim before passing it here; for a dim that itself updates,
+    re-plan per epoch or move the state into applyInPandasWithState.
+    Returns the started StreamingQuery.
+    """
+    from ..operators.temporal import asof_join
+
+    def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+        out = asof_join(
+            batch_df,
+            snapshots,
+            on,
+            value_cols,
+            fact_ts=fact_ts,
+            snap_ts=snap_ts,
+            tolerance_seconds=tolerance_seconds,
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    writer = facts_stream.writeStream.foreachBatch(_enrich).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -193,3 +193,49 @@ def test_scd2_validation(spark):
         scd2_build(df, [], "ts", ["a"])
     with pytest.raises(ValueError):
         scd2_build(df, ["k"], "ts", [])
+
+
+def test_stream_asof_enrich_equals_batch(spark, tmp_path):
+    """Two micro-batches of facts against a static dim == one batch run,
+    with tolerance applied inside each micro-batch identically."""
+    snaps = spark.createDataFrame(
+        [(1, _ts(10), 1.0), (1, _ts(50), 2.0), (2, _ts(5), 9.0)],
+        "k long, ts timestamp, v double",
+    )
+    facts = spark.createDataFrame(
+        [(i, k, _ts(t)) for i, (k, t) in enumerate(
+            [(1, 9), (1, 10), (1, 49), (1, 300), (2, 6), (3, 7)]
+        )],
+        "fid long, k long, ts timestamp",
+    )
+    src = str(tmp_path / "src")
+    facts.where(facts["fid"] % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    facts.where(facts["fid"] % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    from minimel_spark.streaming.ingest import stream_asof_enrich
+
+    stream = (
+        spark.readStream.schema("fid long, k long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_asof_enrich(
+        stream, snaps, ["k"], ["v"], out_dir, ckpt,
+        tolerance_seconds=100,
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(
+        (r["fid"], r["asof_ts"], r["asof_v"])
+        for r in spark.read.parquet(out_dir + "/batch=*").collect()
+    )
+    want = sorted(
+        (r["fid"], r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            facts, snaps, ["k"], ["v"], tolerance_seconds=100
+        ).collect()
+    )
+    assert got == want and len(got) == 6
