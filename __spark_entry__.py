@@ -2209,6 +2209,154 @@ SELECT user_id, event_type, valid_from,
 FROM ch"""
 
 
+def q_rel_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped multi-join analytics: segment-filtered customers ⋈
+    orders ⋈ lineitem, revenue per (order, date), top 10. The customer dim
+    is explicitly broadcast (segment filter cuts it ~5×; at production SF
+    it is the canonical broadcast side), the orders⋈lineitem join is the
+    one real shuffle, and the top-10 runs on the POST-aggregate rowset.
+    Revenue terms go through decimal(18,4) so Spark and DuckDB sum the
+    identical exact values (the rel_pricing_summary convention)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("l_orderkey").alias("orderkey"), "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("orderkey"))
+        .limit(10)
+        .select(
+            F.col("orderkey").cast("long").alias("orderkey"),
+            "o_orderdate",
+            F.round("revenue", 6).alias("revenue"),
+        )
+    )
+
+
+SQL_REL_SHIPPING_PRIORITY = """
+SELECT l_orderkey::BIGINT AS orderkey, o_orderdate,
+       round(sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE, 6)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate ASC, orderkey ASC
+LIMIT 10"""
+
+
+def q_rel_local_supplier(spark, sf_dir):
+    """TPC-H Q5-shaped six-way join: region ⋈ nation ⋈ (customer, supplier)
+    ⋈ orders ⋈ lineitem with the local-supplier constraint
+    (c_nationkey = s_nationkey), yearly revenue per nation. The three dims
+    (region→nation chain, supplier) broadcast; fact-side joins shuffle on
+    their keys and Catalyst/AQE order them. The co-nation constraint lands
+    as a join predicate, not a post-filter, so it prunes INSIDE the join."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    nr = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(nr, s["s_nationkey"] == nr["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 6).alias("revenue"))
+    )
+
+
+SQL_REL_LOCAL_SUPPLIER = """
+SELECT n_name,
+       round(sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE, 6)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name"""
+
+
+def q_rel_rollup_sales(spark, sf_dir):
+    """Multi-level aggregation via Spark's native rollup (region → nation →
+    grand total in ONE pass — partial aggregation replicates each input row
+    into its grouping sets map-side, so no per-level rescan). Account
+    balances go through decimal(18,4) for exact sums; grouping levels are
+    disambiguated by grouping_id, since a rollup NULL and a data NULL are
+    different things (A3's group-to-map rollup is the ER-side analogue)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dims = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+            "n_nationkey", "n_name", "r_name"
+        )
+    )
+    return (
+        c.join(dims, c["c_nationkey"] == dims["n_nationkey"])
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("acctbal"),
+        )
+        .select(
+            "r_name", "n_name", "gid", "n_cust", F.round("acctbal", 6).alias("acctbal")
+        )
+    )
+
+
+SQL_REL_ROLLUP_SALES = """
+SELECT r_name, n_name,
+       (grouping(r_name)*2 + grouping(n_name))::BIGINT AS gid,
+       count(*)::BIGINT AS n_cust,
+       round(sum(c_acctbal::DECIMAL(18,4))::DOUBLE, 6) AS acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)"""
+
+
 def q_rel_skew_profile(spark, sf_dir):
     """Key-skew profile (operators/diagnostics.py): the top-15 heaviest
     (user_id, event_type) composite keys in events with exact counts,
@@ -4182,6 +4330,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_range_join": q_rel_range_join,
     "rel_scd2": q_rel_scd2,
     "stream_asof_join": q_stream_asof_join,
+    "rel_shipping_priority": q_rel_shipping_priority,
+    "rel_local_supplier": q_rel_local_supplier,
+    "rel_rollup_sales": q_rel_rollup_sales,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4292,6 +4443,10 @@ _ORACLES: dict[str, str] = {
     # stream==batch: drained per-micro-batch enrichment must equal the
     # batch as-of join (same independent ASOF JOIN oracle)
     "stream_asof_join": SQL_REL_ASOF,
+    # classic multi-join analytics + native rollup
+    "rel_shipping_priority": SQL_REL_SHIPPING_PRIORITY,
+    "rel_local_supplier": SQL_REL_LOCAL_SUPPLIER,
+    "rel_rollup_sales": SQL_REL_ROLLUP_SALES,
 }
 
 
