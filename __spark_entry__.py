@@ -2315,6 +2315,50 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name"""
 
 
+def q_rel_bucketed_join(spark, sf_dir):
+    """Shuffle-free co-located join (sources/bucketed.py): orders and
+    customer are written bucketed by custkey (8 buckets, sorted within),
+    then joined via assert_colocated_join — which RAISES if the physical
+    plan contains any Exchange, so the scale property (no shuffle on a
+    bucketed key join, the only strategy when BOTH sides are huge) is
+    itself part of the driver-checked gate; the value hash then pins the
+    join's correctness against a plain SQL oracle."""
+    import tempfile
+
+    from minimel_spark.sources.bucketed import (
+        assert_colocated_join,
+        write_bucketed,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    base = tempfile.mkdtemp(prefix="minimel_bkt_")
+    write_bucketed(
+        o, "bkt_orders_gate", ["custkey"], 8,
+        path=f"{base}/orders", sort_cols=["custkey"],
+    )
+    write_bucketed(
+        c, "bkt_customer_gate", ["custkey"], 8,
+        path=f"{base}/customer", sort_cols=["custkey"],
+    )
+    joined = assert_colocated_join(
+        spark, "bkt_orders_gate", "bkt_customer_gate", ["custkey"]
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("totalprice"),
+    ).select("c_mktsegment", "n_orders", F.round("totalprice", 6).alias("totalprice"))
+
+
+SQL_REL_BUCKETED_JOIN = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice::DECIMAL(18,4))::DOUBLE, 6) AS totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment"""
+
+
 def q_rel_rollup_sales(spark, sf_dir):
     """Multi-level aggregation via Spark's native rollup (region → nation →
     grand total in ONE pass — partial aggregation replicates each input row
@@ -4333,6 +4377,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_shipping_priority": q_rel_shipping_priority,
     "rel_local_supplier": q_rel_local_supplier,
     "rel_rollup_sales": q_rel_rollup_sales,
+    "rel_bucketed_join": q_rel_bucketed_join,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4447,6 +4492,8 @@ _ORACLES: dict[str, str] = {
     "rel_shipping_priority": SQL_REL_SHIPPING_PRIORITY,
     "rel_local_supplier": SQL_REL_LOCAL_SUPPLIER,
     "rel_rollup_sales": SQL_REL_ROLLUP_SALES,
+    # plan-shape + value gate: Exchange-free bucketed join
+    "rel_bucketed_join": SQL_REL_BUCKETED_JOIN,
 }
 
 

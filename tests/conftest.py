@@ -24,3 +24,14 @@ def sf_dir():
 @pytest.fixture(scope="session")
 def documents(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def pinned_rdd_ids(spark):
+    """Ids of currently-registered persistent RDDs. Leak tests must compare
+    id SETS (assert no NEW ids remain), not global counts: Spark's
+    ContextCleaner asynchronously drops unreferenced caches from EARLIER
+    tests sharing the session, so a count taken before an operator and
+    re-read after can legitimately shrink (the source of full-suite-only
+    flakes). unpersist() removes from this registry synchronously (only
+    block deletion is async), so new-id checks are deterministic."""
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())

@@ -16,6 +16,8 @@ from minimel_spark.operators.corpus import (
     top_ngrams,
 )
 
+from conftest import pinned_rdd_ids
+
 
 def _mkdocs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
@@ -393,7 +395,7 @@ def test_pmi_collocations_persisted_out_identical(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    ids_before = pinned_rdd_ids(spark)
     caches = []
     a = [(r["ngram"], r["cnt"], r["pmi"])
          for r in pmi_collocations(df, min_count=2, k=5, persisted_out=caches).collect()]
@@ -405,4 +407,4 @@ def test_pmi_collocations_persisted_out_identical(spark):
     assert [(x[0], x[1]) for x in a] == [(x[0], x[1]) for x in b]
     for x, y in zip(a, b):
         assert x[2] == pytest.approx(y[2], abs=1e-12)
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == n_before
+    assert pinned_rdd_ids(spark) - ids_before == set()

@@ -7,6 +7,8 @@ import pytest
 
 from minimel_spark.operators.diagnostics import key_skew_profile
 
+from conftest import pinned_rdd_ids
+
 
 def _want(keys, top_n):
     c = Counter(keys)
@@ -56,13 +58,13 @@ def test_skew_profile_composite_null_and_ties(spark):
 
 def test_skew_profile_cache_handoff_and_validation(spark):
     df = spark.createDataFrame([(i % 7,) for i in range(100)], "k long")
-    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    ids_before = pinned_rdd_ids(spark)
     caches = []
     a = _got(key_skew_profile(df, "k", top_n=3, persisted_out=caches))
     assert len(caches) == 1
     for c in caches:
         c.unpersist()
     assert a == _got(key_skew_profile(df.repartition(13), "k", top_n=3))
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == n_before
+    assert pinned_rdd_ids(spark) - ids_before == set()
     with pytest.raises(ValueError):
         key_skew_profile(df, "k", top_n=0)

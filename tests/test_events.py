@@ -7,6 +7,8 @@ import pytest
 
 from minimel_spark.operators.events import event_transitions, funnel_steps
 
+from conftest import pinned_rdd_ids
+
 
 def _ts(minute):
     return dt.datetime(2026, 1, 1, 0, minute)
@@ -40,7 +42,7 @@ def test_funnel_within_window_and_caches(spark):
         (2, "a", 0), (2, "b", 1), (2, "c", 30),   # span 30 min
     ]
     ev = _ev(spark, rows)
-    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    ids_before = pinned_rdd_ids(spark)
     caches = []
     out = {
         r["step_idx"]: r["n_users"]
@@ -52,7 +54,7 @@ def test_funnel_within_window_and_caches(spark):
     assert len(caches) == 3
     for c in caches:
         c.unpersist()
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == n_before
+    assert pinned_rdd_ids(spark) - ids_before == set()
     with pytest.raises(ValueError):
         funnel_steps(ev, [])
     with pytest.raises(ValueError):

@@ -12,6 +12,8 @@ import pytest
 from minimel_spark.operators.lm import lm_perplexity
 from minimel_spark.operators.sketch import hll_distinct, hll_reference
 
+from conftest import pinned_rdd_ids
+
 
 def _pywords(t):
     return [w for w in re.split(r"\W+", t.lower()) if w]
@@ -95,7 +97,7 @@ def test_lm_perplexity_ranking_and_repetition(spark):
 
 def test_lm_perplexity_persisted_out_identical(spark):
     df = spark.createDataFrame(ROWS, "doc_id long, text string")
-    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    ids_before = pinned_rdd_ids(spark)
     caches = []
     a = sorted(
         (r["doc_id"], r["n_bigrams"], r["cross_entropy"])
@@ -117,7 +119,7 @@ def test_lm_perplexity_persisted_out_identical(spark):
             # the gate rounds to 6 decimals, assert well inside that
             assert ca == pytest.approx(cb, abs=1e-9)
     # the no-receiver call must not have pinned anything new
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == n_before
+    assert pinned_rdd_ids(spark) - ids_before == set()
 
 
 def test_lm_perplexity_rejects_bad_alpha(spark):

@@ -15,6 +15,8 @@ from minimel_spark.operators.blocking import (
 from minimel_spark.operators.mentions import count_names, detect_mentions, nil_mentions
 from minimel_spark.operators.pairs import candidate_pairs, pair_features
 
+from conftest import pinned_rdd_ids
+
 
 # ---------- matcher unit tests (reference mentions.py:16-31 semantics) ----------
 
@@ -527,9 +529,9 @@ def test_pair_features_no_cache_without_receiver(spark):
             for r in df.collect()
         )
 
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    ids_before = pinned_rdd_ids(spark)
     plain = rows(pair_features(pairs, records, name_col="name"))
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+    assert pinned_rdd_ids(spark) - ids_before == set()
 
     caches: list = []
     cached = rows(

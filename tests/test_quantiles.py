@@ -9,6 +9,8 @@ import pytest
 
 from minimel_spark.operators.quantiles import exact_quantiles
 
+from conftest import pinned_rdd_ids
+
 QS = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
 
 
@@ -45,11 +47,11 @@ def test_exact_quantiles_endpoints_nulls_ties(spark):
 def test_exact_quantiles_parallelism_invariant_and_no_leak(spark):
     vals = [float((i * 37) % 501) for i in range(3_000)]
     df = spark.createDataFrame([(v,) for v in vals], "x double")
-    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    ids_before = pinned_rdd_ids(spark)
     a = _got(exact_quantiles(df, "x", QS, num_partitions=3))
     b = _got(exact_quantiles(df.repartition(41), "x", QS, num_partitions=17))
     assert a == b == _want(vals, QS)
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == n_before
+    assert pinned_rdd_ids(spark) - ids_before == set()
 
 
 def test_exact_quantiles_empty_and_validation(spark):
