@@ -2315,6 +2315,57 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name"""
 
 
+def q_rel_zorder_keys(spark, sf_dir):
+    """Z-order layout keys (operators/layout.py): every event's (value,
+    user_id) pair rank-bucketed on EXACT quantile boundaries (the
+    rel_exact_quantiles rank definition, so DuckDB can recompute them bit
+    for bit) and Morton-interleaved at 3 bits/dim. The oracle rebuilds the
+    boundary table with window ranks and re-interleaves with integer bit
+    ops — a full value match proves the layout is a pure function of the
+    data, the property that makes a 100-TB zorder_write deterministic
+    under retry/parallelism."""
+    from minimel_spark.operators.layout import zorder_keys
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") % 5 == 0)
+    keyed, _ = zorder_keys(
+        ev.select("event_id", "value", "user_id"), ["value", "user_id"], bits=3
+    )
+    return keyed.select(
+        "event_id",
+        F.col("_zb_value").cast("long").alias("b_value"),
+        F.col("_zb_user_id").cast("long").alias("b_user"),
+        F.col("zkey").cast("long").alias("zkey"),
+    )
+
+
+def _sql_interleave3(b0: str, b1: str) -> str:
+    terms = []
+    for j in range(3):
+        terms.append(f"((({b0} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({b1} >> {j}) & 1) << {2 * j + 1})")
+    return " + ".join(terms)
+
+
+SQL_REL_ZORDER = f"""
+WITH e AS (SELECT event_id, value::DOUBLE AS v, user_id::DOUBLE AS u
+           FROM events WHERE event_id % 5 = 0),
+     n AS (SELECT count(*) AS n FROM e),
+     vr AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM e),
+     ur AS (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM e),
+     ks AS (SELECT k FROM range(1, 8) t(k)),
+     vb AS (SELECT vr.v AS b FROM ks JOIN n ON true
+            JOIN vr ON vr.rn = 1 + floor((ks.k/8.0)*(n.n-1))::BIGINT),
+     ub AS (SELECT ur.u AS b FROM ks JOIN n ON true
+            JOIN ur ON ur.rn = 1 + floor((ks.k/8.0)*(n.n-1))::BIGINT),
+     bk AS (SELECT e.event_id,
+                   (SELECT count(*) FROM vb WHERE vb.b <= e.v)::BIGINT AS b_value,
+                   (SELECT count(*) FROM ub WHERE ub.b <= e.u)::BIGINT AS b_user
+            FROM e)
+SELECT event_id, b_value, b_user,
+       ({_sql_interleave3('b_value', 'b_user')})::BIGINT AS zkey
+FROM bk"""
+
+
 def q_rel_bucketed_join(spark, sf_dir):
     """Shuffle-free co-located join (sources/bucketed.py): orders and
     customer are written bucketed by custkey (8 buckets, sorted within),
@@ -4378,6 +4429,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_local_supplier": q_rel_local_supplier,
     "rel_rollup_sales": q_rel_rollup_sales,
     "rel_bucketed_join": q_rel_bucketed_join,
+    "rel_zorder_keys": q_rel_zorder_keys,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4494,6 +4546,8 @@ _ORACLES: dict[str, str] = {
     "rel_rollup_sales": SQL_REL_ROLLUP_SALES,
     # plan-shape + value gate: Exchange-free bucketed join
     "rel_bucketed_join": SQL_REL_BUCKETED_JOIN,
+    # deterministic Morton layout keys (exact-quantile buckets + bit ops)
+    "rel_zorder_keys": SQL_REL_ZORDER,
 }
 
 
