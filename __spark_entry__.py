@@ -3269,6 +3269,48 @@ SELECT doc_id::BIGINT AS doc_id, n_tokens, start_tok,
 FROM c"""
 
 
+def q_corpus_mixture_sample(spark, sf_dir):
+    """Token-budget mixture sampling (operators/corpus.py mixture_sample):
+    greedy md5-ordered prefix per language until each stratum hits its
+    share of a 15,000-token budget (en 40%, the rest 15% each — budgets
+    sit well inside each language's supply at sf0.01 so every stratum's
+    cutoff actually fires). Oracle = the identical per-stratum cumulative
+    window over the same md5_long60 order in DuckDB."""
+    from minimel_spark.operators.corpus import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs,
+        {"en": 0.40, "de": 0.15, "zh": 0.15, "fr": 0.15, "es": 0.15},
+        total_tokens=15_000,
+    )
+    return out.select(
+        "stratum",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "tok_before",
+    )
+
+
+SQL_CORPUS_MIXTURE = """
+WITH t AS (
+  SELECT lang AS stratum, doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                         x -> x <> ''))::BIGINT AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+  FROM documents
+  WHERE lang IN ('en', 'de', 'zh', 'fr', 'es')),
+c AS (
+  SELECT stratum, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY stratum ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS tok_before
+  FROM t)
+SELECT stratum, doc_id::BIGINT AS doc_id, n_tokens, tok_before
+FROM c
+WHERE tok_before < (CASE stratum WHEN 'en' THEN 6000 ELSE 2250 END)"""
+
+
 def q_stream_dedup_events(spark, sf_dir):
     """Streaming exact dedup (streaming/ingest.py stream_exact_dedup):
     TWO file streams over the same events parquet union into a stream where
@@ -4430,6 +4472,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_rollup_sales": q_rel_rollup_sales,
     "rel_bucketed_join": q_rel_bucketed_join,
     "rel_zorder_keys": q_rel_zorder_keys,
+    # sixteenth batch (NEW r5): token-budget mixture sampling — tail-placed
+    # like the fifteenth batch (in-window slots all spoken for this round);
+    # full-sweep + pytest verified, rotates into the window in r6
+    "corpus_mixture_sample": q_corpus_mixture_sample,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4548,6 +4594,9 @@ _ORACLES: dict[str, str] = {
     "rel_bucketed_join": SQL_REL_BUCKETED_JOIN,
     # deterministic Morton layout keys (exact-quantile buckets + bit ops)
     "rel_zorder_keys": SQL_REL_ZORDER,
+    # token-budget mixture sampling: identical greedy md5-ordered prefix
+    # per stratum, cumulative window recomputed natively in DuckDB
+    "corpus_mixture_sample": SQL_CORPUS_MIXTURE,
 }
 
 

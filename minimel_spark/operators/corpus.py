@@ -637,3 +637,90 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("ngram")).limit(k)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_ranges: int = 256,
+) -> DataFrame:
+    """Token-budget corpus mixing — the data-mixing step between curation
+    and training: select a deterministic subset whose per-stratum token
+    mass hits the target mixture ``weights`` (normalized) of
+    ``total_tokens``. Selection within a stratum is the greedy prefix of
+    the (md5_long60(id), id) order — content-addressed, so membership is a
+    pure function of row content (parallelism / retry / re-run invariant),
+    and the LAST selected document may overshoot its stratum budget by a
+    fraction of one document (the standard greedy-prefix convention; the
+    alternative — undershoot — drops the boundary doc, pick by filtering
+    ``tok_before + n_tokens <= budget`` downstream if preferred).
+
+    Strata absent from ``weights`` are excluded entirely. Returns
+    (stratum, doc_id, n_tokens, tok_before) for selected docs, where
+    ``tok_before`` is the stratum-local token prefix sum before this doc.
+
+    Scale: the per-stratum prefix sum is the same two-level distributed
+    shape as `pack_sequences` — fixed bit-shift hash ranges, per-(stratum,
+    range) subtotals, broadcast triangle-join offsets, PARTITIONED
+    windows — no collect, no single-partition exchange; budgets ride a
+    literal map column, so nothing here is data-size-dependent except the
+    one scan + one bounded window pass.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights}")
+    if total_tokens <= 0:
+        raise ValueError(f"total_tokens must be positive, got {total_tokens}")
+    wsum = float(sum(weights.values()))
+    budgets = {s: int(round(w / wsum * total_tokens)) for s, w in weights.items()}
+    k = max(1, (n_ranges - 1).bit_length())
+    t = (
+        ensure_min_parallelism(docs, id_col)
+        .where(F.col(stratum_col).isin(list(weights)))
+        .select(
+            F.col(stratum_col).alias("stratum"),
+            id_col,
+            F.size(_words(text_col)).cast("long").alias("n_tokens"),
+            md5_long60(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .withColumn("_rg", F.shiftright("_h", 60 - k))
+    )
+    rsub = t.groupBy("stratum", "_rg").agg(F.sum("n_tokens").alias("_rn"))
+    offs = (
+        rsub.alias("a")
+        .join(
+            rsub.alias("b"),
+            (F.col("b.stratum") == F.col("a.stratum"))
+            & (F.col("b._rg") < F.col("a._rg")),
+            "left",
+        )
+        .groupBy(F.col("a.stratum").alias("stratum"), F.col("a._rg").alias("_rg"))
+        .agg(F.coalesce(F.sum("b._rn"), F.lit(0)).alias("_off"))
+    )
+    w = Window.partitionBy("stratum", "_rg").orderBy("_h", id_col)
+    budget_map = F.create_map(
+        *[F.lit(x) for s, b in sorted(budgets.items()) for x in (s, b)]
+    )
+    return (
+        t.join(F.broadcast(offs), ["stratum", "_rg"])
+        .select(
+            "stratum",
+            id_col,
+            "n_tokens",
+            (
+                F.coalesce(
+                    F.sum("n_tokens").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+                + F.col("_off")
+            ).alias("tok_before"),
+        )
+        .where(F.col("tok_before") < budget_map[F.col("stratum")])
+    )

@@ -408,3 +408,104 @@ def test_pmi_collocations_persisted_out_identical(spark):
     for x, y in zip(a, b):
         assert x[2] == pytest.approx(y[2], abs=1e-12)
     assert pinned_rdd_ids(spark) - ids_before == set()
+
+
+# --------------------------------------------------------------------------
+# mixture_sample (token-budget corpus mixing)
+# --------------------------------------------------------------------------
+
+from minimel_spark.operators.corpus import mixture_sample  # noqa: E402
+
+
+def _py_mixture(rows, weights, total_tokens):
+    """Reference greedy md5-ordered prefix per stratum."""
+    wsum = sum(weights.values())
+    budgets = {s: int(round(w / wsum * total_tokens)) for s, w in weights.items()}
+    picked = {}
+    for s in weights:
+        docs = [
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i, len(_pywords(t)))
+            for i, lang, t in rows
+            if lang == s
+        ]
+        docs.sort()
+        tok = 0
+        for _, i, n in docs:
+            if tok >= budgets[s]:
+                break
+            picked[i] = (s, n, tok)
+            tok += n
+    return picked
+
+
+def _mixrows():
+    texts = ["alpha beta gamma", "one two", "x y z w v", "solo", "p q r s"]
+    return [
+        (i, ("en", "de", "zh")[i % 3], texts[i % len(texts)] + f" t{i}")
+        for i in range(120)
+    ]
+
+
+def test_mixture_sample_matches_python(spark):
+    rows = _mixrows()
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    weights = {"en": 0.5, "de": 0.3, "zh": 0.2}
+    out = {
+        r["doc_id"]: (r["stratum"], r["n_tokens"], r["tok_before"])
+        for r in mixture_sample(df, weights, total_tokens=100).collect()
+    }
+    assert out == _py_mixture(rows, weights, 100)
+
+
+def test_mixture_sample_excludes_unlisted_strata_and_normalizes(spark):
+    rows = _mixrows()
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # weights need not sum to 1; 'zh' absent -> excluded entirely
+    out = mixture_sample(df, {"en": 2.0, "de": 2.0}, total_tokens=60).collect()
+    assert {r["stratum"] for r in out} == {"en", "de"}
+    got = {r["doc_id"]: (r["stratum"], r["n_tokens"], r["tok_before"]) for r in out}
+    assert got == _py_mixture(rows, {"en": 0.5, "de": 0.5}, 60)
+    # per-stratum selected token mass: every selected doc started under
+    # budget; total >= budget unless the stratum ran out of supply
+    for s in ("en", "de"):
+        toks = [r["tok_before"] for r in out if r["stratum"] == s]
+        assert all(t < 30 for t in toks)
+
+
+def test_mixture_sample_partitioning_invariant(spark):
+    rows = _mixrows()
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    weights = {"en": 0.4, "de": 0.4, "zh": 0.2}
+    a = sorted(
+        (r["doc_id"], r["tok_before"])
+        for r in mixture_sample(df, weights, total_tokens=90).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["tok_before"])
+        for r in mixture_sample(
+            df.repartition(13, "text"), weights, total_tokens=90
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_mixture_sample_no_single_partition_window(spark):
+    rows = _mixrows()
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = mixture_sample(df, {"en": 0.5, "de": 0.5}, total_tokens=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            above = " ".join(lines[max(0, i - 2) : i])
+            assert "Window" not in above and "Sort" not in above, plan
+
+
+def test_mixture_sample_guards(spark):
+    df = spark.createDataFrame([(1, "en", "a b")], "doc_id long, lang string, text string")
+    with pytest.raises(ValueError):
+        mixture_sample(df, {}, total_tokens=10)
+    with pytest.raises(ValueError):
+        mixture_sample(df, {"en": -1.0}, total_tokens=10)
+    with pytest.raises(ValueError):
+        mixture_sample(df, {"en": 1.0}, total_tokens=0)
