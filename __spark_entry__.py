@@ -1097,6 +1097,152 @@ SELECT na AS rec_id_a, nb AS rec_id_b, 1::BIGINT AS n_blocks,
 FROM p JOIN sh sa ON sa.name = p.na JOIN sh sb ON sb.name = p.nb"""
 
 
+def q_er_fs_em(spark, sf_dir):
+    """Fellegi-Sunter EM (operators/linkage.py): unsupervised m/u mixture
+    fit over binarized comparison patterns of the part-name pair features
+    (same pair universe as the pair_features gate). Features are ROUNDED to
+    6 dp before thresholding on both sides — the pair_features gate proves
+    Spark and DuckDB agree bit-for-bit at that precision, so the agreement
+    patterns are engine-identical; the EM itself is 3 fixed iterations from
+    fixed inits, unrolled into plain SQL aggregations in the oracle."""
+    from minimel_spark.operators.linkage import fellegi_sunter_em
+
+    part = _t(spark, sf_dir, "part")
+    records = part.select(F.col("p_name").alias("name")).distinct().withColumn(
+        "rec_id", F.col("name")
+    )
+    blocked = records.withColumn(
+        "block_key", F.regexp_extract("name", r"(\w+)$", 1)
+    )
+    pairs = candidate_pairs(blocked)
+    feats = pair_features(pairs, records, name_col="name", text_col=None).select(
+        F.round("lev_sim", 6).alias("lev_sim"),
+        F.round("jacc3", 6).alias("jacc3"),
+        F.round("jw", 6).alias("jw"),
+    )
+    out = fellegi_sunter_em(
+        feats, thresholds=_FS_THRESHOLDS, n_iter=_FS_N_ITER
+    )
+    return out.select(
+        "pattern",
+        "n_pairs",
+        F.round("p_match", 6).alias("p_match"),
+        F.round("log2_bf", 6).alias("log2_bf"),
+    )
+
+
+_FS_THRESHOLDS = {"lev_sim": 0.6, "jacc3": 0.4, "jw": 0.8}
+_FS_N_ITER = 3
+
+_FS_FEATS_CTE = """
+WITH r AS (SELECT DISTINCT p_name AS name FROM part),
+b AS (SELECT name, regexp_extract(name, '(\\w+)$', 1) AS bk FROM r),
+p AS (
+  SELECT a.name AS na, c.name AS nb
+  FROM b a JOIN b c ON a.bk = c.bk AND a.name < c.name),
+sh AS (
+  SELECT name,
+         list_distinct(flatten(list_transform(
+           list_filter(regexp_split_to_array(lower(name), '\\W+'), x -> x <> ''),
+           w -> list_transform(range(1, greatest(length(w) - 2, 0) + 1),
+                               i -> substring(w, i::INT, 3))))) AS s
+  FROM r),
+feats AS (
+  SELECT round(1.0 - levenshtein(na, nb)::DOUBLE / greatest(length(na), length(nb)), 6) AS lev_sim,
+         round(CASE WHEN len(sa.s) = 0 OR len(sb.s) = 0 THEN 0.0
+                    ELSE len(list_intersect(sa.s, sb.s))::DOUBLE
+                         / len(list_distinct(sa.s || sb.s)) END, 6) AS jacc3,
+         round(jaro_winkler_similarity(na, nb), 6) AS jw
+  FROM p JOIN sh sa ON sa.name = p.na JOIN sh sb ON sb.name = p.nb)"""
+
+
+def _fs_em_sql(
+    feats_cte: str,
+    thresholds: dict,
+    n_iter: int,
+    init_lambda: float = 0.5,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> str:
+    """Unroll the Fellegi-Sunter EM into pure SQL: the E/M steps are
+    aggregations over the (pattern, n) table, so ``n_iter`` iterations are
+    ``n_iter`` CTE pairs (e_k: per-pattern w/v under p_{k-1}; p_k: the
+    re-estimated single-row parameter set). Mirrors linkage._em exactly:
+    same bit order (sorted feature names), same 1e-6 clamps, float64."""
+    cols = sorted(thresholds)
+    f = len(cols)
+    g = [f"((pattern >> {i}) & 1)" for i in range(f)]
+
+    def clamp(x):
+        return f"least(greatest({x}, 1e-6), 1.0 - 1e-6)"
+
+    patbits = " + ".join(
+        f"(CASE WHEN {c} >= {thresholds[c]} THEN {1 << i} ELSE 0 END)"
+        for i, c in enumerate(cols)
+    )
+    parts = [
+        feats_cte.rstrip()
+        + f""",
+pat AS (SELECT ({patbits})::BIGINT AS pattern, count(*)::BIGINT AS n
+        FROM feats GROUP BY 1)""",
+        "p0 AS (SELECT "
+        + ", ".join(
+            [f"{init_lambda}::DOUBLE AS lam"]
+            + [f"{init_m}::DOUBLE AS m{i}" for i in range(f)]
+            + [f"{init_u}::DOUBLE AS u{i}" for i in range(f)]
+        )
+        + ")",
+    ]
+
+    def wv(params_suffix=""):
+        w = "lam" + "".join(
+            f" * (CASE WHEN {g[i]} = 1 THEN m{i} ELSE 1.0 - m{i} END)"
+            for i in range(f)
+        )
+        v = "(1.0 - lam)" + "".join(
+            f" * (CASE WHEN {g[i]} = 1 THEN u{i} ELSE 1.0 - u{i} END)"
+            for i in range(f)
+        )
+        return w, v
+
+    for it in range(1, n_iter + 1):
+        w, v = wv()
+        parts.append(
+            f"e{it} AS (SELECT pattern, n, {w} AS w, {v} AS v "
+            f"FROM pat CROSS JOIN p{it - 1})"
+        )
+        r = "(w / (w + v))"
+        fields = [clamp(f"sum({r} * n) / sum(n)") + " AS lam"]
+        fields += [
+            clamp(f"sum({r} * n * {g[i]}) / sum({r} * n)") + f" AS m{i}"
+            for i in range(f)
+        ]
+        fields += [
+            clamp(f"sum((1.0 - {r}) * n * {g[i]}) / sum((1.0 - {r}) * n)")
+            + f" AS u{i}"
+            for i in range(f)
+        ]
+        parts.append(f"p{it} AS (SELECT {', '.join(fields)} FROM e{it})")
+    w, v = wv()
+    bf = " + ".join(
+        f"log2((CASE WHEN {g[i]} = 1 THEN m{i} ELSE 1.0 - m{i} END)"
+        f" / (CASE WHEN {g[i]} = 1 THEN u{i} ELSE 1.0 - u{i} END))"
+        for i in range(f)
+    )
+    return (
+        ",\n".join(parts)
+        + f""",
+fin AS (SELECT pattern, n, {w} AS w, {v} AS v, {bf} AS bf
+        FROM pat CROSS JOIN p{n_iter})
+SELECT pattern, n AS n_pairs, round(w / (w + v), 6) AS p_match,
+       round(bf, 6) AS log2_bf
+FROM fin"""
+    )
+
+
+SQL_ER_FS_EM = _fs_em_sql(_FS_FEATS_CTE, _FS_THRESHOLDS, _FS_N_ITER)
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -4476,6 +4622,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # like the fifteenth batch (in-window slots all spoken for this round);
     # full-sweep + pytest verified, rotates into the window in r6
     "corpus_mixture_sample": q_corpus_mixture_sample,
+    # seventeenth batch (NEW r5): unsupervised Fellegi-Sunter EM linkage —
+    # tail-placed with the same rotation plan
+    "er_fs_em": q_er_fs_em,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4597,6 +4746,9 @@ _ORACLES: dict[str, str] = {
     # token-budget mixture sampling: identical greedy md5-ordered prefix
     # per stratum, cumulative window recomputed natively in DuckDB
     "corpus_mixture_sample": SQL_CORPUS_MIXTURE,
+    # Fellegi-Sunter: the EM unrolls into SQL aggregations over the
+    # pattern-count table (3 iterations = 3 CTE pairs, built by _fs_em_sql)
+    "er_fs_em": SQL_ER_FS_EM,
 }
 
 

@@ -1,0 +1,137 @@
+"""Fellegi-Sunter linkage tests: pattern binarization, EM parity with a
+pure-Python reference, posterior separation on planted data, broadcast
+scoring join, determinism, guards."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from minimel_spark.operators.linkage import (
+    _em,
+    comparison_patterns,
+    fellegi_sunter_em,
+    fs_score_pairs,
+)
+
+
+def _feats(spark, rows):
+    return spark.createDataFrame(rows, "a double, b double")
+
+
+THR = {"a": 0.5, "b": 0.5}
+
+
+def test_comparison_patterns_bits_and_nulls(spark):
+    df = _feats(spark, [(0.9, 0.9), (0.9, 0.1), (0.1, 0.9), (0.1, 0.1), (None, 0.9)])
+    got = [
+        (r["g_a"], r["g_b"], r["pattern"])
+        for r in comparison_patterns(df, THR).collect()
+    ]
+    # bit 0 = 'a' (sorted order), bit 1 = 'b'; NULL counts as disagreement
+    assert sorted(got) == sorted(
+        [(1, 1, 3), (1, 0, 1), (0, 1, 2), (0, 0, 0), (0, 1, 2)]
+    )
+
+
+def _planted(n_match=60, n_unmatch=240):
+    """Matches mostly agree on both features, unmatches mostly on neither."""
+    rows = []
+    for i in range(n_match):
+        rows.append((0.9 if i % 10 else 0.1, 0.9 if i % 8 else 0.1))
+    for i in range(n_unmatch):
+        rows.append((0.1 if i % 12 else 0.9, 0.1 if i % 9 else 0.9))
+    return rows
+
+
+def test_em_separates_planted_mixture(spark):
+    df = _feats(spark, _planted())
+    params = {
+        r["pattern"]: (r["n_pairs"], r["p_match"], r["log2_bf"])
+        for r in fellegi_sunter_em(df, THR, n_iter=20).collect()
+    }
+    assert set(params) == {0, 1, 2, 3}
+    # both-agree pattern must be confidently match, both-disagree confidently not
+    assert params[3][1] > 0.9
+    assert params[0][1] < 0.1
+    # log2 Bayes factor is monotone in p_match
+    ordered = sorted(params.values(), key=lambda t: t[1])
+    assert [x[2] for x in ordered] == sorted(x[2] for x in ordered)
+    # pattern counts are exact
+    assert sum(v[0] for v in params.values()) == 300
+
+
+def test_em_matches_python_reference(spark):
+    rows = _planted(40, 160)
+    df = _feats(spark, rows)
+    got = {
+        r["pattern"]: (r["p_match"], r["log2_bf"])
+        for r in fellegi_sunter_em(df, THR, n_iter=3).collect()
+    }
+    # independent reference: count patterns in python, run the same _em
+    counts = {}
+    for a, b in rows:
+        p = (1 if a >= 0.5 else 0) | ((1 if b >= 0.5 else 0) << 1)
+        counts[p] = counts.get(p, 0) + 1
+    lam, m, u = _em(counts, 2, 3, 0.5, 0.9, 0.1)
+    for p, n in counts.items():
+        w, v, bf = lam, 1.0 - lam, 0.0
+        for i in range(2):
+            g = (p >> i) & 1
+            mi = m[i] if g else 1.0 - m[i]
+            ui = u[i] if g else 1.0 - u[i]
+            w, v = w * mi, v * ui
+            bf += math.log2(mi / ui)
+        assert got[p][0] == pytest.approx(w / (w + v), abs=1e-12)
+        assert got[p][1] == pytest.approx(bf, abs=1e-9)
+
+
+def test_em_partitioning_invariant(spark):
+    rows = _planted()
+    a = sorted(
+        tuple(r) for r in fellegi_sunter_em(_feats(spark, rows), THR, 5).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in fellegi_sunter_em(
+            _feats(spark, rows).repartition(17), THR, 5
+        ).collect()
+    )
+    assert a == b
+
+
+def test_fs_score_pairs_broadcast_join(spark):
+    df = _feats(spark, _planted())
+    out = fs_score_pairs(df, THR, n_iter=3)
+    rows = out.collect()
+    assert len(rows) == 300
+    assert {"pattern", "p_match", "log2_bf", "g_a", "g_b"} <= set(out.columns)
+    # the params join must be a broadcast (pattern table <= 2^f rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # per-row posterior equals its pattern's posterior
+    by_pat = {}
+    for r in rows:
+        by_pat.setdefault(r["pattern"], set()).add(r["p_match"])
+    assert all(len(v) == 1 for v in by_pat.values())
+
+
+def test_em_clamps_degenerate_features(spark):
+    # feature 'b' always agrees -> u_b would hit 1 without the clamp
+    df = _feats(spark, [(0.9, 0.9)] * 5 + [(0.1, 0.9)] * 5)
+    rows = fellegi_sunter_em(df, THR, n_iter=10).collect()
+    for r in rows:
+        assert 0.0 < r["p_match"] < 1.0
+        assert math.isfinite(r["log2_bf"])
+
+
+def test_linkage_guards(spark):
+    df = _feats(spark, [(0.9, 0.9)])
+    with pytest.raises(ValueError):
+        comparison_patterns(df, {})
+    with pytest.raises(ValueError):
+        comparison_patterns(df, {f"c{i}": 0.5 for i in range(17)})
+    with pytest.raises(ValueError):
+        fellegi_sunter_em(df, THR, n_iter=0)
+    with pytest.raises(ValueError):
+        fellegi_sunter_em(df.where(F.lit(False)), THR)
