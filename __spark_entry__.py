@@ -1029,6 +1029,34 @@ def q_cc_components(spark, sf_dir):
     )
 
 
+def q_cc_incremental(spark, sf_dir):
+    """Incremental clustering maintenance (operators/cluster.py
+    incremental_components): the nation-chain edges are the 'historical'
+    graph — clustered once with connected_components — and the
+    mktsegment-chain edges arrive as a new batch folded in incrementally
+    (untouched components pass through an anti-join; only touched ones
+    re-enter the iterative loop). The oracle is the SAME full-closure
+    recursive CTE as cc_components: incremental == full recompute is
+    exactly the property the gate pins."""
+    from minimel_spark.operators.cluster import incremental_components
+
+    cust = _t(spark, sf_dir, "customer")
+    w1 = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w2 = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    e1 = cust.select(
+        F.col("c_custkey").alias("src"), F.lead("c_custkey").over(w1).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    e2 = cust.select(
+        F.col("c_custkey").alias("src"), F.lead("c_custkey").over(w2).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    prev = connected_components(e1)
+    out = incremental_components(prev, e2)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 SQL_CC = """
 WITH RECURSIVE
 e1 AS (
@@ -4625,6 +4653,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # seventeenth batch (NEW r5): unsupervised Fellegi-Sunter EM linkage —
     # tail-placed with the same rotation plan
     "er_fs_em": q_er_fs_em,
+    # eighteenth batch (NEW r5): incremental clustering maintenance —
+    # tail-placed with the same rotation plan
+    "cc_incremental": q_cc_incremental,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4749,6 +4780,9 @@ _ORACLES: dict[str, str] = {
     # Fellegi-Sunter: the EM unrolls into SQL aggregations over the
     # pattern-count table (3 iterations = 3 CTE pairs, built by _fs_em_sql)
     "er_fs_em": SQL_ER_FS_EM,
+    # incremental == full recompute: the incremental fold-in must hash-match
+    # the same full-closure recursive CTE that oracles cc_components
+    "cc_incremental": SQL_CC,
 }
 
 

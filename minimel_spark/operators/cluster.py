@@ -169,6 +169,45 @@ def connected_components(
     )
 
 
+def incremental_components(
+    prev: DataFrame, new_edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Fold a new edge batch into an existing clustering without
+    recomputing it: ``prev`` is (node, component) from a previous
+    ``connected_components`` run (component = min member id), ``new_edges``
+    is (src, dst) and may touch both known and brand-new nodes. Returns the
+    updated (node, component) table, identical to a full recompute over
+    closure(E_old ∪ E_new) — because closure(E_old ∪ E_new) ==
+    closure(star(CC(E_old)) ∪ E_new), and min-id component labels compose
+    (the merged component's label is the min of the merged members, which
+    is the min over the constituent old labels and new node ids).
+
+    Scale: this is the arrival-batch path for continuously-crawled ER —
+    only components actually TOUCHED by a new edge enter the iterative
+    loop. Untouched components pass through with one anti-join (no CC
+    rounds, no shuffle of their edge mass, which at web scale is ~all of
+    it), and the loop input is star edges (one per affected member) plus
+    the new batch, never the historical edge set.
+    """
+    ends = (
+        new_edges.select(F.col("src").alias("node"))
+        .union(new_edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    touched = (
+        prev.join(ends, "node", "left_semi").select("component").distinct()
+    )
+    affected = prev.join(touched, "component", "left_semi")
+    star = affected.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("src"), F.col("component").alias("dst")
+    )
+    merged = connected_components(
+        star.unionByName(new_edges.select("src", "dst")), max_iter=max_iter
+    )
+    untouched = prev.join(touched, "component", "left_anti")
+    return untouched.unionByName(merged)
+
+
 def cluster_candidates(
     candidates: DataFrame,
     score_threshold: float = 0.5,
