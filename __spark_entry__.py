@@ -1347,6 +1347,40 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.05"""
 
 
+def q_dedup_prefix_jaccard(spark, sf_dir):
+    """Prefix-filtered exact set-similarity join (operators/dedup.py
+    prefix_jaccard_dups): rarest-first df-ordered prefixes, prefix-token
+    candidate join + lossless size filter, exact verify. The oracle is the
+    BRUTE-FORCE all-pairs Jaccard over word bigrams at the same threshold —
+    hash-equality is the losslessness proof for the prefix filter."""
+    from minimel_spark.operators.dedup import prefix_jaccard_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    d = prefix_jaccard_dups(docs, threshold=0.5, n=2)
+    return d.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+SQL_DEDUP_PREFIX_JACCARD = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                      i -> array_to_string(ws[i:i+1], ' '))) AS sh
+  FROM w)
+SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.5"""
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH + exact verify, FULL VALUE ORACLE since r5 (VERDICT r4
     #3): the md5 hash family makes signatures, band keys, and therefore the
@@ -4656,6 +4690,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # eighteenth batch (NEW r5): incremental clustering maintenance —
     # tail-placed with the same rotation plan
     "cc_incremental": q_cc_incremental,
+    # nineteenth batch (NEW r5): prefix-filtered exact set-similarity
+    # join — tail-placed with the same rotation plan
+    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4783,6 +4820,9 @@ _ORACLES: dict[str, str] = {
     # incremental == full recompute: the incremental fold-in must hash-match
     # the same full-closure recursive CTE that oracles cc_components
     "cc_incremental": SQL_CC,
+    # brute-force all-pairs bigram Jaccard — hash-equality proves the
+    # prefix filter lossless
+    "dedup_prefix_jaccard": SQL_DEDUP_PREFIX_JACCARD,
 }
 
 

@@ -458,3 +458,101 @@ def test_winnowing_shift_invariant_guarantee(spark):
     base = by_doc[0]
     for i in range(1, 6):
         assert base & by_doc[i], f"doc {i} shares no fingerprint with doc 0"
+
+
+# --------------------------------------------------------------------------
+# prefix_jaccard_dups (prefix-filtered exact set-similarity join)
+# --------------------------------------------------------------------------
+
+from minimel_spark.operators.dedup import prefix_jaccard_dups  # noqa: E402
+
+
+def _brute_jaccard(texts, threshold, n):
+    import re
+
+    def grams(t):
+        ws = [w for w in re.split(r"\W+", t.lower()) if w]
+        return set(" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1))
+
+    sets = {i: grams(t) for i, t in texts}
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not sets[a] or not sets[b]:
+                continue
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_prefix_jaccard_lossless_vs_brute_force(spark, threshold):
+    """Randomized losslessness check at LOW thresholds too — the regime
+    where a naive prefix length would first go unsound."""
+    import random
+
+    rng = random.Random(threshold)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        (i, " ".join(rng.choices(vocab, k=rng.randrange(3, 14))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_jaccard_dups(df, threshold=threshold, n=1).collect()
+    }
+    want = _brute_jaccard(texts, threshold, 1)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_prefix_jaccard_bigrams_and_short_docs(spark):
+    texts = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),
+        (3, "zeta"),  # shorter than n -> no shingles, never crashes
+        (4, "alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_jaccard_dups(df, threshold=0.4, n=2).collect()
+    }
+    assert got == pytest.approx(_brute_jaccard(texts, 0.4, 2))
+
+
+def test_prefix_jaccard_candidate_stream_smaller_than_any_shingle(spark):
+    """The point of the operator: one hot token shared by every doc must
+    not explode the candidate join. With t=0.9 and 20-token docs the
+    prefix keeps ~3 tokens, so the hot token (max df) is excluded from
+    every prefix."""
+    rows = [
+        (i, "hot " + " ".join(f"u{i}_{j}" for j in range(19))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prefix_jaccard_dups(df, threshold=0.9, n=1)
+    assert out.count() == 0  # no real dups...
+    # ...and the brute-force agrees there are none
+    assert _brute_jaccard(rows, 0.9, 1) == {}
+
+
+def test_prefix_jaccard_partitioning_invariant_and_guards(spark):
+    rows = [(i, f"a b c d{i % 5} e{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        (r["id_a"], r["id_b"]) for r in prefix_jaccard_dups(df, 0.5).collect()
+    )
+    b = sorted(
+        (r["id_a"], r["id_b"])
+        for r in prefix_jaccard_dups(df.repartition(11, "text"), 0.5).collect()
+    )
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError):
+        prefix_jaccard_dups(df, threshold=0.0)
+    with pytest.raises(ValueError):
+        prefix_jaccard_dups(df, threshold=1.5)
