@@ -1125,6 +1125,44 @@ SELECT na AS rec_id_a, nb AS rec_id_b, 1::BIGINT AS n_blocks,
 FROM p JOIN sh sa ON sa.name = p.na JOIN sh sb ON sb.name = p.nb"""
 
 
+def q_er_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (operators/blocking.py
+    sorted_neighborhood_pairs): customers ordered by (acctbal, custkey),
+    window 4 — every pair within 3 positions of the global order. The
+    oracle recomputes the global rank with one window function and the
+    rank-distance self-join directly; hash equality pins both the
+    distributed rank (range partitions + broadcast offsets) and the
+    banded-bucket neighbor join."""
+    from minimel_spark.operators.blocking import sorted_neighborhood_pairs
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_acctbal").alias("k"), F.col("c_custkey").alias("rec_id")
+    )
+    caches: list = []
+    out = sorted_neighborhood_pairs(
+        cust, sort_key_col="k", window=4, persisted_out=caches
+    ).select(
+        F.col("rec_id_a").cast("long").alias("rec_id_a"),
+        F.col("rec_id_b").cast("long").alias("rec_id_b"),
+        "rank_a",
+        "rank_b",
+    )
+    rows = out.collect()  # ~n*window/|customer| rows; materialize, drop cache
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_ER_SORTED_NEIGHBORHOOD = """
+WITH r AS (
+  SELECT c_custkey AS id,
+         row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rnk
+  FROM customer)
+SELECT a.id::BIGINT AS rec_id_a, b.id::BIGINT AS rec_id_b,
+       a.rnk::BIGINT AS rank_a, b.rnk::BIGINT AS rank_b
+FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4"""
+
+
 def q_er_fs_em(spark, sf_dir):
     """Fellegi-Sunter EM (operators/linkage.py): unsupervised m/u mixture
     fit over binarized comparison patterns of the part-name pair features
@@ -4693,6 +4731,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # nineteenth batch (NEW r5): prefix-filtered exact set-similarity
     # join — tail-placed with the same rotation plan
     "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
+    # twentieth batch (NEW r5): sorted-neighborhood blocking — tail-placed
+    # with the same rotation plan
+    "er_sorted_neighborhood": q_er_sorted_neighborhood,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4823,6 +4864,8 @@ _ORACLES: dict[str, str] = {
     # brute-force all-pairs bigram Jaccard — hash-equality proves the
     # prefix filter lossless
     "dedup_prefix_jaccard": SQL_DEDUP_PREFIX_JACCARD,
+    # one-window global rank + rank-distance self-join recomputed natively
+    "er_sorted_neighborhood": SQL_ER_SORTED_NEIGHBORHOOD,
 }
 
 

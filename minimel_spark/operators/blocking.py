@@ -383,6 +383,88 @@ def surface_blocked_pairs(
     return same_pairs.unionByName(cross_pairs)
 
 
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    sort_key_col: str,
+    window: int = 5,
+    rec_id_col: str = "rec_id",
+    num_partitions: int | None = None,
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the classic ER alternative to key
+    blocking): records are globally ordered by (sort_key, rec_id) and every
+    pair within ``window`` positions becomes a candidate — robust to key
+    typos that break exact blocking, with a hard O(n * window) pair bound.
+
+    Returns (rec_id_a, rec_id_b, rank_a, rank_b) with rank_a < rank_b and
+    rank_b - rank_a < window; rank is the 1-based global order statistic.
+
+    Scale design — no global sort ever materializes on one node:
+    - ``repartitionByRange`` on (sort_key, rec_id) gives range-ordered
+      partitions; the global rank is local row_number + a broadcast
+      per-partition offset (the exact_quantiles two-pass shape — one
+      256-ish-row collect, not a SinglePartition exchange).
+    - neighbor pairs come from an equi-join on bucket floor((rank-1)/window)
+      where the higher-ranked side also probes its predecessor bucket: a
+      qualifying pair lands in the same or adjacent buckets, and exactly
+      one of the two emits matches, so no post-join dedup is needed.
+    - the ranged frame is persisted because the offset table is derived
+      from ITS materialized partitioning (a re-evaluation could legally
+      re-sample range bounds); pass ``persisted_out`` to unpersist after
+      the downstream job materializes (the surface_blocked_pairs contract).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    base = records.select(sort_key_col, rec_id_col)
+    if num_partitions:
+        ranged = base.repartitionByRange(
+            num_partitions, F.col(sort_key_col), F.col(rec_id_col)
+        )
+    else:
+        ranged = base.repartitionByRange(F.col(sort_key_col), F.col(rec_id_col))
+    ranged = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    if persisted_out is not None:
+        persisted_out.append(ranged)
+    sizes = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    spark = records.sparkSession
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    )
+    w_loc = Window.partitionBy("_pid").orderBy(sort_key_col, rec_id_col)
+    ranked = (
+        ranged.withColumn("_rn", F.row_number().over(w_loc))
+        .join(off_df, "_pid")
+        .select(
+            F.col(rec_id_col).alias("_rid"),
+            (F.col("_off") + F.col("_rn")).alias("_rank"),
+        )
+        .withColumn("_bk", F.floor((F.col("_rank") - 1) / window))
+    )
+    lo = ranked.select(
+        F.col("_rid").alias("rec_id_a"), F.col("_rank").alias("rank_a"), "_bk"
+    )
+    hi = ranked.select(
+        F.col("_rid").alias("rec_id_b"),
+        F.col("_rank").alias("rank_b"),
+        F.explode(F.array(F.col("_bk"), F.col("_bk") - 1)).alias("_bk"),
+    )
+    return (
+        lo.join(hi, "_bk")
+        .where(
+            (F.col("rank_a") < F.col("rank_b"))
+            & (F.col("rank_b") - F.col("rank_a") < window)
+        )
+        .select("rec_id_a", "rec_id_b", "rank_a", "rank_b")
+    )
+
+
 def cap_blocks(
     blocked: DataFrame,
     rec_id_col: str = "rec_id",

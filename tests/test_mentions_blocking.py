@@ -541,3 +541,85 @@ def test_pair_features_no_cache_without_receiver(spark):
     for c in caches:
         c.unpersist(blocking=True)
     assert plain == cached
+
+
+# --------------------------------------------------------------------------
+# sorted_neighborhood_pairs
+# --------------------------------------------------------------------------
+
+from minimel_spark.operators.blocking import sorted_neighborhood_pairs  # noqa: E402
+
+
+def _snp_rows(n=60):
+    # keys with heavy ties to exercise the (key, rec_id) tie-break
+    return [(float(i % 7), i) for i in range(n)]
+
+
+def _snp_ref(rows, window):
+    ranked = sorted(rows)  # (key, id) total order
+    out = set()
+    for i in range(len(ranked)):
+        for j in range(i + 1, min(i + window, len(ranked))):
+            out.add((ranked[i][1], ranked[j][1], i + 1, j + 1))
+    return out
+
+
+def test_sorted_neighborhood_matches_reference(spark):
+    rows = _snp_rows()
+    df = spark.createDataFrame(rows, "k double, rec_id long")
+    caches = []
+    got = {
+        (r["rec_id_a"], r["rec_id_b"], r["rank_a"], r["rank_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "k", window=4, persisted_out=caches
+        ).collect()
+    }
+    for c in caches:
+        c.unpersist()
+    assert got == _snp_ref(rows, 4)
+
+
+def test_sorted_neighborhood_partitioning_invariant(spark):
+    rows = _snp_rows(80)
+    df = spark.createDataFrame(rows, "k double, rec_id long")
+    outs = []
+    for d in (df, df.repartition(13, "rec_id")):
+        caches = []
+        outs.append(
+            sorted(
+                (r["rec_id_a"], r["rec_id_b"])
+                for r in sorted_neighborhood_pairs(
+                    d, "k", window=5, persisted_out=caches
+                ).collect()
+            )
+        )
+        for c in caches:
+            c.unpersist()
+    assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+def test_sorted_neighborhood_pair_budget_and_guards(spark):
+    rows = _snp_rows(50)
+    df = spark.createDataFrame(rows, "k double, rec_id long")
+    caches = []
+    n_pairs = sorted_neighborhood_pairs(df, "k", window=3, persisted_out=caches).count()
+    for c in caches:
+        c.unpersist()
+    # hard bound: each of the n records pairs with < window successors
+    assert n_pairs == 49 + 48  # distance 1 + distance 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sorted_neighborhood_pairs(df, "k", window=1)
+
+
+def test_sorted_neighborhood_cache_contract(spark):
+    rows = _snp_rows(30)
+    df = spark.createDataFrame(rows, "k double, rec_id long")
+    before = pinned_rdd_ids(spark)
+    caches = []
+    sorted_neighborhood_pairs(df, "k", window=3, persisted_out=caches).count()
+    assert len(caches) == 1
+    for c in caches:
+        c.unpersist()
+    assert pinned_rdd_ids(spark) - before == set()
