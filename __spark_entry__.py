@@ -1419,6 +1419,71 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.5"""
 
 
+def q_er_blocking_metrics(spark, sf_dir):
+    """Blocking-quality triple (operators/evaluate.py blocking_metrics):
+    candidate stream = the prefix-filtered bigram Jaccard>=0.5 pairs, gold
+    = exact-duplicate pairs (identical text). Exact dups have Jaccard 1, so
+    pairs_completeness must be exactly 1.0 — the gate pins that invariant
+    plus the reduction ratio and precision, all recomputed in SQL."""
+    from minimel_spark.operators.dedup import prefix_jaccard_dups
+    from minimel_spark.operators.evaluate import blocking_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    cand = prefix_jaccard_dups(docs, threshold=0.5, n=2).select(
+        F.col("id_a").alias("rec_id_a"), F.col("id_b").alias("rec_id_b")
+    )
+    gold = (
+        docs.alias("x")
+        .join(docs.alias("y"), F.col("x.text") == F.col("y.text"))
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("rec_id_a"),
+            F.col("y.doc_id").alias("rec_id_b"),
+        )
+    )
+    out = blocking_metrics(cand, gold, n_records=n)
+    return out.select(
+        "n_cand",
+        "n_gold",
+        "n_hit",
+        F.round("reduction_ratio", 6).alias("reduction_ratio"),
+        F.round("pairs_completeness", 6).alias("pairs_completeness"),
+        F.round("pairs_quality", 6).alias("pairs_quality"),
+    )
+
+
+SQL_ER_BLOCKING_METRICS = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                      i -> array_to_string(ws[i:i+1], ' '))) AS sh
+  FROM w),
+cand AS (
+  SELECT a.doc_id AS ra, b.doc_id AS rb
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.5),
+gold AS (
+  SELECT x.doc_id AS ra, y.doc_id AS rb
+  FROM documents x JOIN documents y ON x.text = y.text AND x.doc_id < y.doc_id),
+c AS (SELECT count(*)::BIGINT AS n_cand FROM cand),
+g AS (SELECT count(*)::BIGINT AS n_gold FROM gold),
+h AS (SELECT count(*)::BIGINT AS n_hit
+      FROM cand SEMI JOIN gold USING (ra, rb)),
+n AS (SELECT count(*)::DOUBLE AS nr FROM documents)
+SELECT n_cand, n_gold, n_hit,
+       round(1.0 - n_cand / (nr * (nr - 1) / 2), 6) AS reduction_ratio,
+       round(CASE WHEN n_gold > 0 THEN n_hit::DOUBLE / n_gold ELSE 1.0 END, 6)
+         AS pairs_completeness,
+       round(CASE WHEN n_cand > 0 THEN n_hit::DOUBLE / n_cand ELSE 1.0 END, 6)
+         AS pairs_quality
+FROM c, g, h, n"""
+
+
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH + exact verify, FULL VALUE ORACLE since r5 (VERDICT r4
     #3): the md5 hash family makes signatures, band keys, and therefore the
@@ -4734,6 +4799,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # twentieth batch (NEW r5): sorted-neighborhood blocking — tail-placed
     # with the same rotation plan
     "er_sorted_neighborhood": q_er_sorted_neighborhood,
+    # twenty-first batch (NEW r5): blocking-quality metrics — tail-placed
+    # with the same rotation plan
+    "er_blocking_metrics": q_er_blocking_metrics,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4866,6 +4934,9 @@ _ORACLES: dict[str, str] = {
     "dedup_prefix_jaccard": SQL_DEDUP_PREFIX_JACCARD,
     # one-window global rank + rank-distance self-join recomputed natively
     "er_sorted_neighborhood": SQL_ER_SORTED_NEIGHBORHOOD,
+    # reduction ratio / completeness / quality over SQL-recomputed
+    # candidate + gold pair sets
+    "er_blocking_metrics": SQL_ER_BLOCKING_METRICS,
 }
 
 

@@ -143,3 +143,49 @@ def pairwise_f1(pred: DataFrame, gold: DataFrame) -> dict:
     recall = tp / gp if gp else 1.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
     return {"precision": precision, "recall": recall, "f1": f1, "tp_pairs": tp}
+
+
+def blocking_metrics(
+    candidates: DataFrame, gold: DataFrame, n_records: int
+) -> DataFrame:
+    """Standard blocking-quality triple for an ER candidate-pair set:
+
+    - reduction_ratio: 1 - |candidates| / C(n_records, 2) — how much of the
+      quadratic pair space the blocker prunes;
+    - pairs_completeness: |candidates ∩ gold| / |gold| — recall of true
+      matched pairs (the blocker's ceiling on downstream recall);
+    - pairs_quality: |candidates ∩ gold| / |candidates| — precision of the
+      candidate stream.
+
+    Both inputs are (rec_id_a, rec_id_b) with rec_id_a < rec_id_b (callers
+    normalize orientation first). One row out. Distributed: an inner join
+    for the intersection and three counts assembled in a single plan — the
+    pair sets are never collected. Empty gold -> completeness 1.0; empty
+    candidates -> quality 1.0 (vacuous truth, matching the convention of
+    pairwise_f1's empty-side handling).
+    """
+    if n_records < 2:
+        raise ValueError(f"n_records must be >= 2, got {n_records}")
+    cand = candidates.select("rec_id_a", "rec_id_b")
+    g = gold.select("rec_id_a", "rec_id_b")
+    hit = cand.join(g, ["rec_id_a", "rec_id_b"], "left_semi")
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_gold = g.agg(F.count(F.lit(1)).alias("n_gold"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    total = float(n_records * (n_records - 1) / 2)
+    return (
+        n_cand.crossJoin(n_gold)
+        .crossJoin(n_hit)
+        .select(
+            "n_cand",
+            "n_gold",
+            "n_hit",
+            (1.0 - F.col("n_cand") / F.lit(total)).alias("reduction_ratio"),
+            F.when(F.col("n_gold") > 0, F.col("n_hit") / F.col("n_gold"))
+            .otherwise(F.lit(1.0))
+            .alias("pairs_completeness"),
+            F.when(F.col("n_cand") > 0, F.col("n_hit") / F.col("n_cand"))
+            .otherwise(F.lit(1.0))
+            .alias("pairs_quality"),
+        )
+    )

@@ -429,3 +429,49 @@ def test_doc_vocab_rank_dense_alphabetical_no_global_window(spark):
     raw = doc_vocab(docs, truncate=False)
     plan = raw._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# blocking_metrics
+# --------------------------------------------------------------------------
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "rec_id_a long, rec_id_b long")
+
+
+def test_blocking_metrics_values(spark):
+    from minimel_spark.operators.evaluate import blocking_metrics
+
+    cand = _pairs_df(spark, [(1, 2), (2, 3), (4, 5), (5, 6)])
+    gold = _pairs_df(spark, [(1, 2), (4, 5), (7, 8)])
+    row = blocking_metrics(cand, gold, n_records=10).first()
+    assert row["n_cand"] == 4 and row["n_gold"] == 3 and row["n_hit"] == 2
+    assert row["reduction_ratio"] == pytest.approx(1 - 4 / 45)
+    assert row["pairs_completeness"] == pytest.approx(2 / 3)
+    assert row["pairs_quality"] == pytest.approx(0.5)
+
+
+def test_blocking_metrics_empty_sides_and_guard(spark):
+    from minimel_spark.operators.evaluate import blocking_metrics
+
+    empty = _pairs_df(spark, []).where(F.lit(False))
+    cand = _pairs_df(spark, [(1, 2)])
+    r = blocking_metrics(cand, empty, n_records=5).first()
+    assert r["pairs_completeness"] == 1.0 and r["pairs_quality"] == 0.0
+    r2 = blocking_metrics(empty, cand, n_records=5).first()
+    assert r2["pairs_quality"] == 1.0 and r2["pairs_completeness"] == 0.0
+    assert r2["reduction_ratio"] == 1.0
+    with pytest.raises(ValueError):
+        blocking_metrics(cand, cand, n_records=1)
+
+
+def test_blocking_metrics_single_plan_single_action(spark):
+    from minimel_spark.operators.evaluate import blocking_metrics
+
+    cand = _pairs_df(spark, [(1, 2), (3, 4)])
+    gold = _pairs_df(spark, [(1, 2)])
+    out = blocking_metrics(cand, gold, n_records=6)
+    # one row, assembled via crossJoins of 1-row aggregates — no collect
+    # inside the operator
+    assert out.count() == 1
