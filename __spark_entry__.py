@@ -1163,6 +1163,54 @@ SELECT a.id::BIGINT AS rec_id_a, b.id::BIGINT AS rec_id_b,
 FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4"""
 
 
+def q_er_golden_records(spark, sf_dir):
+    """Survivorship (operators/golden.py golden_records): customers
+    collapsed per nation 'cluster' — acctbal by max, mktsegment by
+    deterministic mode (ties -> smallest value), name by first (smallest
+    member id). The oracle recomputes each rule natively (window mode,
+    arg_min, max) — value-hash pins the tie-breaking exactly."""
+    from minimel_spark.operators.golden import golden_records
+
+    cust = _t(spark, sf_dir, "customer")
+    records = cust.select(
+        F.col("c_custkey").alias("rec_id"), "c_name", "c_acctbal", "c_mktsegment"
+    )
+    membership = cust.select(
+        F.col("c_custkey").alias("rec_id"), F.col("c_nationkey").alias("cluster_id")
+    )
+    out = golden_records(
+        records,
+        membership,
+        rules={"c_acctbal": "max", "c_mktsegment": "mode", "c_name": "first"},
+    )
+    return out.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "n_members",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+        "c_name",
+    )
+
+
+SQL_ER_GOLDEN_RECORDS = """
+WITH j AS (
+  SELECT c_nationkey AS cl, c_custkey AS rid, c_name, c_acctbal, c_mktsegment
+  FROM customer),
+base AS (
+  SELECT cl, count(*)::BIGINT AS n_members,
+         round(max(c_acctbal), 2) AS c_acctbal,
+         arg_min(c_name, rid) AS c_name
+  FROM j GROUP BY cl),
+md AS (
+  SELECT cl, c_mktsegment FROM (
+    SELECT cl, c_mktsegment,
+           row_number() OVER (PARTITION BY cl
+                              ORDER BY count(*) DESC, c_mktsegment ASC) AS rn
+    FROM j GROUP BY cl, c_mktsegment) WHERE rn = 1)
+SELECT cl::BIGINT AS cluster_id, n_members, c_acctbal, c_mktsegment, c_name
+FROM base JOIN md USING (cl)"""
+
+
 def q_er_fs_em(spark, sf_dir):
     """Fellegi-Sunter EM (operators/linkage.py): unsupervised m/u mixture
     fit over binarized comparison patterns of the part-name pair features
@@ -4802,6 +4850,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # twenty-first batch (NEW r5): blocking-quality metrics — tail-placed
     # with the same rotation plan
     "er_blocking_metrics": q_er_blocking_metrics,
+    # twenty-second batch (NEW r5): golden-record survivorship —
+    # tail-placed with the same rotation plan
+    "er_golden_records": q_er_golden_records,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4937,6 +4988,8 @@ _ORACLES: dict[str, str] = {
     # reduction ratio / completeness / quality over SQL-recomputed
     # candidate + gold pair sets
     "er_blocking_metrics": SQL_ER_BLOCKING_METRICS,
+    # survivorship rules recomputed natively (window mode, arg_min, max)
+    "er_golden_records": SQL_ER_GOLDEN_RECORDS,
 }
 
 

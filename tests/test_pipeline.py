@@ -475,3 +475,72 @@ def test_blocking_metrics_single_plan_single_action(spark):
     # one row, assembled via crossJoins of 1-row aggregates — no collect
     # inside the operator
     assert out.count() == 1
+
+
+# --------------------------------------------------------------------------
+# golden_records (survivorship)
+# --------------------------------------------------------------------------
+
+
+def test_golden_records_rules_and_ties(spark):
+    from minimel_spark.operators.golden import golden_records
+
+    recs = spark.createDataFrame(
+        [
+            (1, "bb", "x", 5.0),
+            (2, "aa", "ww", 3.0),
+            (3, "bb", "yy", None),
+            (4, "aa", None, 1.0),
+            (10, "zz", "q", 9.0),
+        ],
+        "rec_id long, seg string, nm string, bal double",
+    )
+    mem = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 100), (10, 200)],
+        "rec_id long, cluster_id long",
+    )
+    out = {
+        r["cluster_id"]: r.asDict()
+        for r in golden_records(
+            recs,
+            mem,
+            rules={"seg": "mode", "nm": "longest", "bal": "max"},
+        ).collect()
+    }
+    # mode tie (aa x2 vs bb x2) -> smallest value "aa"
+    assert out[100]["seg"] == "aa"
+    # longest tie (ww, yy both len 2) -> smallest value "ww"
+    assert out[100]["nm"] == "ww"
+    assert out[100]["bal"] == 5.0
+    assert out[100]["n_members"] == 4
+    assert out[200] == {
+        "cluster_id": 200, "n_members": 1, "seg": "zz", "nm": "q", "bal": 9.0
+    }
+
+
+def test_golden_records_first_and_all_null(spark):
+    from minimel_spark.operators.golden import golden_records
+
+    recs = spark.createDataFrame(
+        [(7, None), (8, "late"), (9, None)], "rec_id long, v string"
+    )
+    mem = spark.createDataFrame(
+        [(7, 1), (8, 1), (9, 2)], "rec_id long, cluster_id long"
+    )
+    out = {
+        r["cluster_id"]: (r["v"], r["n_members"])
+        for r in golden_records(recs, mem, rules={"v": "first"}).collect()
+    }
+    # first non-null by smallest rec_id; all-null cluster survives as NULL
+    assert out == {1: ("late", 2), 2: (None, 1)}
+
+
+def test_golden_records_guards(spark):
+    from minimel_spark.operators.golden import golden_records
+
+    recs = spark.createDataFrame([(1, "a")], "rec_id long, v string")
+    mem = spark.createDataFrame([(1, 1)], "rec_id long, cluster_id long")
+    with pytest.raises(ValueError):
+        golden_records(recs, mem, rules={"v": "vote"})
+    with pytest.raises(ValueError):
+        golden_records(recs, mem, rules={"missing": "mode"})
