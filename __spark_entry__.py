@@ -154,6 +154,50 @@ def q_er_anchor_counts(spark, sf_dir):
 SQL_ER_ANCHOR_COUNTS = f"WITH {_W} SELECT anchor, qid, cnt FROM counts"
 
 
+def q_er_checkpoint_resume(spark, sf_dir):
+    """X3/X4 checkpoint-resume as a driver-checked gate (north rule:
+    'resumable from checkpoint with per-partition lineage + metrics'): the
+    anchor-counts stage is built and atomically committed once, then a
+    SECOND Checkpointer RESUMES it — its build closure raises, so a hash
+    match proves the resumed table is the committed bytes, not a
+    recompute. The per-partition lineage rows are audited in-gate (their
+    sum must equal the committed row count) before the result is returned;
+    oracle = the same SQL as er_anchor_counts."""
+    import shutil
+    import tempfile
+
+    from minimel_spark.sources.checkpoint import Checkpointer
+
+    base = tempfile.mkdtemp(prefix="ckpt_gate_")
+    try:
+        cp1 = Checkpointer(spark, base)
+        src = _er_counts(spark, sf_dir).select(
+            "anchor",
+            F.col("qid").cast("long").alias("qid"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        cp1.stage("anchor_counts", lambda: src)
+
+        def _must_not_recompute():
+            raise AssertionError("resume recomputed a committed stage")
+
+        cp2 = Checkpointer(spark, base)
+        out = cp2.stage("anchor_counts", _must_not_recompute)
+        rows = out.collect()
+        met = cp2.metrics()
+        assert met is not None, "lineage metrics missing"
+        lineage = met.where(F.col("stage") == "anchor_counts").agg(
+            F.sum("rows").alias("r"), F.count(F.lit(1)).alias("parts")
+        ).first()
+        assert lineage["r"] == len(rows), (
+            f"lineage rows {lineage['r']} != committed rows {len(rows)}"
+        )
+        assert lineage["parts"] >= 1
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_er_counts_map(spark, sf_dir):
     m = counts_to_map(_er_counts(spark, sf_dir))
     return m.select("anchor", F.to_json("qid_counts").alias("qid_counts_json"))
@@ -4853,6 +4897,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # twenty-second batch (NEW r5): golden-record survivorship —
     # tail-placed with the same rotation plan
     "er_golden_records": q_er_golden_records,
+    # twenty-third batch (NEW r5): checkpoint/resume + lineage audit as a
+    # value gate (north rule X3/X4) — tail-placed with the same rotation
+    # plan
+    "er_checkpoint_resume": q_er_checkpoint_resume,
 }
 
 _ORACLES: dict[str, str] = {
@@ -4990,6 +5038,9 @@ _ORACLES: dict[str, str] = {
     "er_blocking_metrics": SQL_ER_BLOCKING_METRICS,
     # survivorship rules recomputed natively (window mode, arg_min, max)
     "er_golden_records": SQL_ER_GOLDEN_RECORDS,
+    # resumed-from-checkpoint table must equal the direct anchor-counts
+    # oracle (and the build closure raising proves no recompute happened)
+    "er_checkpoint_resume": SQL_ER_ANCHOR_COUNTS,
 }
 
 
