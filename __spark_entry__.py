@@ -1101,6 +1101,58 @@ def q_cc_incremental(spark, sf_dir):
     )
 
 
+def q_stream_cc_incremental(spark, sf_dir):
+    """Streaming cluster maintenance (streaming/ingest.py
+    stream_incremental_components): the nation-chain and mktsegment-chain
+    edge sets arrive as two parquet files (maxFilesPerTrigger=1 → two
+    micro-batches); each batch folds into the persisted membership via
+    incremental_components snapshots. The final snapshot must hash-match
+    the full-closure recursive CTE over ALL edges — the same oracle as
+    cc_components/cc_incremental, and the result is split-invariant by the
+    incremental==full property, whatever batching the file source picks."""
+    import shutil
+    import tempfile
+
+    from minimel_spark.streaming.ingest import (
+        latest_membership,
+        stream_incremental_components,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    w1 = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w2 = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    e1 = cust.select(
+        F.col("c_custkey").alias("src"), F.lead("c_custkey").over(w1).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    e2 = cust.select(
+        F.col("c_custkey").alias("src"), F.lead("c_custkey").over(w2).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    src = tempfile.mkdtemp(prefix="minimel_inccc_src_")
+    e1.coalesce(1).write.mode("append").parquet(src)
+    e2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("src bigint, dst bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = tempfile.mkdtemp(prefix="minimel_inccc_state_")
+    ckpt = tempfile.mkdtemp(prefix="minimel_inccc_ckpt_")
+    q = stream_incremental_components(stream, state, ckpt)
+    try:
+        assert q.awaitTermination(300), "streaming drain did not finish"
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+    rows = latest_membership(spark, state).collect()
+    shutil.rmtree(state, ignore_errors=True)
+    out = spark.createDataFrame(rows, "node bigint, component bigint")
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 SQL_CC = """
 WITH RECURSIVE
 e1 AS (
@@ -4901,6 +4953,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # value gate (north rule X3/X4) — tail-placed with the same rotation
     # plan
     "er_checkpoint_resume": q_er_checkpoint_resume,
+    # twenty-fourth batch (NEW r5): streaming cluster maintenance —
+    # tail-placed with the same rotation plan
+    "stream_cc_incremental": q_stream_cc_incremental,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5041,6 +5096,9 @@ _ORACLES: dict[str, str] = {
     # resumed-from-checkpoint table must equal the direct anchor-counts
     # oracle (and the build closure raising proves no recompute happened)
     "er_checkpoint_resume": SQL_ER_ANCHOR_COUNTS,
+    # stream==batch: the drained membership snapshot must equal the
+    # full-closure recursive CTE over all edges
+    "stream_cc_incremental": SQL_CC,
 }
 
 

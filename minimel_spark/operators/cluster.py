@@ -204,8 +204,12 @@ def incremental_components(
     merged = connected_components(
         star.unionByName(new_edges.select("src", "dst")), max_iter=max_iter
     )
+    # the anti-join hoists its key first — re-select so the output column
+    # ORDER is the canonical (node, component) of connected_components
+    # (consumers that round-trip through parquet + positional schemas
+    # depend on it)
     untouched = prev.join(touched, "component", "left_anti")
-    return untouched.unionByName(merged)
+    return untouched.unionByName(merged).select("node", "component")
 
 
 def cluster_candidates(

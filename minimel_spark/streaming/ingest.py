@@ -365,6 +365,81 @@ def stream_incremental_minhash(
     return writer.outputMode("update").foreachBatch(_step).start()
 
 
+def stream_incremental_components(
+    edges_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous cluster maintenance: every arriving edge micro-batch is
+    folded into the persisted membership with
+    ``operators.cluster.incremental_components`` — untouched components are
+    carried over by its anti-join passthrough, only components touched by a
+    new edge re-enter the iterative loop. The streaming twin of the
+    cc_incremental gate, for the crawl that never stops.
+
+    State = one full membership snapshot per micro-batch under
+    ``state_dir/v=<batch_id>`` (membership changes WHOLESALE when
+    components merge, so snapshots, not appends). Each step reads the
+    newest COMMITTED snapshot with version < batch_id — so an
+    at-least-once replay of batch k recomputes from the same predecessor
+    state and overwrites its own v=k output, making the commit idempotent;
+    a snapshot counts as committed only once its _SUCCESS marker exists.
+    Returns the started StreamingQuery; read ``state_dir/v=<max>`` after
+    the drain for the final membership.
+    """
+    import os
+
+    from ..operators.cluster import connected_components, incremental_components
+
+    def _latest_before(batch_id: int) -> str | None:
+        if not os.path.isdir(state_dir):
+            return None
+        best = None
+        for d in os.listdir(state_dir):
+            if not d.startswith("v="):
+                continue
+            v = int(d.split("=", 1)[1])
+            if v < batch_id and os.path.exists(
+                os.path.join(state_dir, d, "_SUCCESS")
+            ):
+                best = v if best is None or v > best else best
+        return None if best is None else os.path.join(state_dir, f"v={best}")
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        edges = batch_df.select("src", "dst")
+        prev_path = _latest_before(batch_id)
+        if prev_path is None:
+            new = connected_components(edges)
+        else:
+            new = incremental_components(spark.read.parquet(prev_path), edges)
+        new.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v={batch_id}")
+        )
+
+    writer = edges_stream.writeStream.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.outputMode("update").foreachBatch(_step).start()
+
+
+def latest_membership(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Newest committed membership snapshot written by
+    ``stream_incremental_components``."""
+    import os
+
+    vs = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("v=")
+        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+    ]
+    if not vs:
+        raise FileNotFoundError(f"no committed membership under {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, f"v={max(vs)}"))
+
+
 def stream_exact_dedup(
     events: DataFrame, key_cols: tuple = ("event_id",), delay: str = "2 hours"
 ) -> DataFrame:

@@ -411,3 +411,49 @@ def test_stream_cms_sketch_equals_batch_and_state_bounded(spark, tmp_path):
     }
     assert got == want
     assert len(got) <= d_ * w_
+
+
+def test_stream_incremental_components_equals_batch(spark, tmp_path):
+    """Three edge micro-batches folded via snapshots == one full CC run,
+    including a cross-batch merge and brand-new nodes."""
+    from minimel_spark.operators.cluster import connected_components
+    from minimel_spark.streaming.ingest import (
+        latest_membership,
+        stream_incremental_components,
+    )
+
+    batches = [
+        [(1, 2), (3, 4), (10, 11)],
+        [(2, 3), (20, 21)],          # merges {1,2} with {3,4}
+        [(11, 20), (30, 31)],        # merges {10,11} with {20,21}; new nodes
+    ]
+    src = str(tmp_path / "edges")
+    for b in batches:
+        spark.createDataFrame(b, "src long, dst long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("src bigint, dst bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    q = stream_incremental_components(stream, state, str(tmp_path / "ckpt"))
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r["node"], r["component"])
+        for r in latest_membership(spark, state).collect()
+    }
+    all_edges = spark.createDataFrame(
+        [e for b in batches for e in b], "src long, dst long"
+    )
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(all_edges).collect()
+    }
+    assert got == want
+    # canonical column order survives the parquet round-trip
+    assert latest_membership(spark, state).columns == ["node", "component"]
