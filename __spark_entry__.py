@@ -1259,6 +1259,53 @@ SELECT a.id::BIGINT AS rec_id_a, b.id::BIGINT AS rec_id_b,
 FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4"""
 
 
+def q_rel_profile_columns(spark, sf_dir):
+    """Data profiling (operators/profile.py profile_columns): exact
+    per-column intake stats over customer — nulls, exact distinct, min/max
+    as strings, avg string length — all five columns in ONE aggregation
+    pass. Oracle recomputes every stat natively per column. Min/max are
+    string-cast on both sides; customer's doubles are 2-decimal values, so
+    the two engines' float formatting agrees (pinned by the hash)."""
+    from minimel_spark.operators.profile import profile_columns
+
+    cust = _t(spark, sf_dir, "customer")
+    out = profile_columns(cust)
+    return out.select(
+        "column",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_value",
+        "max_value",
+        # -1 sentinel for non-string columns: the compare harness sorts
+        # row tuples, and a column mixing NULLs with floats won't order
+        F.coalesce(F.round("avg_len", 6), F.lit(-1.0)).alias("avg_len"),
+    )
+
+
+def _profile_sql_one(col: str, is_str: bool) -> str:
+    avg = f"round(avg(length({col})), 6)" if is_str else "-1.0::DOUBLE"
+    return f"""
+SELECT '{col}' AS "column", count(*)::BIGINT AS n_rows,
+       (count(*) - count({col}))::BIGINT AS n_null,
+       count(DISTINCT {col})::BIGINT AS n_distinct,
+       min({col})::VARCHAR AS min_value, max({col})::VARCHAR AS max_value,
+       {avg} AS avg_len
+FROM customer"""
+
+
+SQL_REL_PROFILE = " UNION ALL ".join(
+    _profile_sql_one(c, s)
+    for c, s in [
+        ("c_acctbal", False),
+        ("c_custkey", False),
+        ("c_mktsegment", True),
+        ("c_name", True),
+        ("c_nationkey", False),
+    ]
+)
+
+
 def q_er_golden_records(spark, sf_dir):
     """Survivorship (operators/golden.py golden_records): customers
     collapsed per nation 'cluster' — acctbal by max, mktsegment by
@@ -4956,6 +5003,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # twenty-fourth batch (NEW r5): streaming cluster maintenance —
     # tail-placed with the same rotation plan
     "stream_cc_incremental": q_stream_cc_incremental,
+    # twenty-fifth batch (NEW r5): one-pass column profiling — tail-placed
+    # with the same rotation plan
+    "rel_profile_columns": q_rel_profile_columns,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5099,6 +5149,8 @@ _ORACLES: dict[str, str] = {
     # stream==batch: the drained membership snapshot must equal the
     # full-closure recursive CTE over all edges
     "stream_cc_incremental": SQL_CC,
+    # every stat recomputed natively per column
+    "rel_profile_columns": SQL_REL_PROFILE,
 }
 
 

@@ -68,3 +68,47 @@ def test_skew_profile_cache_handoff_and_validation(spark):
     assert pinned_rdd_ids(spark) - ids_before == set()
     with pytest.raises(ValueError):
         key_skew_profile(df, "k", top_n=0)
+
+
+# --------------------------------------------------------------------------
+# profile_columns (one-pass data profiling)
+# --------------------------------------------------------------------------
+
+
+def test_profile_columns_stats(spark):
+    from minimel_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa", 2.5),
+            (2, None, -10.0),
+            (3, "bbbb", 2.5),
+            (None, "aa", None),
+        ],
+        "k long, s string, v double",
+    )
+    got = {r["column"]: r.asDict() for r in profile_columns(df).collect()}
+    assert set(got) == {"k", "s", "v"}
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_null"] == 1
+    assert got["k"]["n_distinct"] == 3
+    assert got["k"]["min_value"] == "1" and got["k"]["max_value"] == "3"
+    assert got["k"]["avg_len"] is None  # non-string
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["avg_len"] == pytest.approx((2 + 4 + 2) / 3)
+    # numeric min/max are NATIVE-typed, not lexicographic
+    assert got["v"]["min_value"] == "-10.0" and got["v"]["max_value"] == "2.5"
+
+
+def test_profile_columns_one_pass_and_guards(spark):
+    from minimel_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    out = profile_columns(df, ["a"])
+    assert [r["column"] for r in out.collect()] == ["a"]
+    # single aggregation job: the plan has no join and scans once
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    with pytest.raises(ValueError):
+        profile_columns(df, [])
+    with pytest.raises(ValueError):
+        profile_columns(df, ["missing"])
