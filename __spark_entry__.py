@@ -4771,6 +4771,251 @@ FROM top t JOIN probe p USING (ngram)"""
 
 
 # --------------------------------------------------------------------------
+# Phonetic blocking, meta-blocking, cluster quality, transitive dedup
+# (round-5 ER-literature batch)
+# --------------------------------------------------------------------------
+
+# the variant world's name construction, mirrored in DuckDB (synth.py
+# variant_world: w = letters(i*2654435761 % 1e8, 8) || letters(i, 3);
+# variants v0=w, v1=w||'inc', v2=delete 3rd char, v3=swap chars 5,6)
+_VW_NAMES_SQL = """
+vw_base AS (
+  SELECT i,
+         translate(lpad((i * 2654435761 % 100000000)::VARCHAR, 8, '0'),
+                   '0123456789', 'abcdefghij')
+         || translate(lpad(i::VARCHAR, 3, '0'), '0123456789', 'abcdefghij')
+           AS w
+  FROM range(40) r(i)),
+vw_names AS (
+  SELECT i AS entity_id,
+         unnest([w, w || 'inc', substr(w, 1, 2) || substr(w, 4),
+                 substr(w, 1, 4) || substr(w, 6, 1) || substr(w, 5, 1)
+                 || substr(w, 7)]) AS name
+  FROM vw_base)"""
+
+
+def _vw_records(spark):
+    from minimel_spark.sources.synth import variant_world
+
+    _, _, vdim = variant_world(spark, n_entities=40, copies=2)
+    return vdim
+
+
+def q_er_phonetic_blocking(spark, sf_dir):
+    """Phonetic blocking (operators/blocking.py phonetic_blocks +
+    functions/phonetic.py): American Soundex keys over the variant world's
+    160 surface forms. The Spark side is a pure JVM expression chain
+    (upper/translate/regexp_replace); the oracle reproduces BOTH the name
+    construction AND the soundex chain in DuckDB SQL — hash-equality pins
+    the encoder bit-for-bit on 160 pseudo-random names (known-vector +
+    fuzz parity vs a pure-Python reference lives in pytest)."""
+    from minimel_spark.operators.blocking import phonetic_blocks
+
+    recs = _vw_records(spark).select(F.col("name").alias("rec_id"), "name")
+    return phonetic_blocks(recs).select("block_key", "rec_id")
+
+
+from minimel_spark.functions.phonetic import soundex_sql as _soundex_sql  # noqa: E402
+
+SQL_ER_PHONETIC_BLOCKING = f"""
+WITH {_VW_NAMES_SQL},
+u AS (
+  SELECT name, upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS u
+  FROM (SELECT DISTINCT name FROM vw_names))
+SELECT 'p:' || {_soundex_sql('u')} AS block_key, name AS rec_id FROM u"""
+
+
+def _vw_block_keys(recs):
+    """Redundancy-positive key union over variant-world names: soundex +
+    4-char prefix + 4-char suffix + first letter (the deliberate stop key
+    that block purging must drop: 160 names over <= 10 first letters
+    pigeonholes at least one block past any cap < 16)."""
+    from minimel_spark.operators.blocking import phonetic_blocks
+
+    pb = phonetic_blocks(recs)
+    pref = recs.select(
+        F.concat(F.lit("pre:"), F.substring("name", 1, 4)).alias("block_key"),
+        "rec_id",
+    )
+    suf = recs.select(
+        F.concat(F.lit("suf:"), F.expr("right(name, 4)")).alias("block_key"),
+        "rec_id",
+    )
+    l1 = recs.select(
+        F.concat(F.lit("l1:"), F.substring("name", 1, 1)).alias("block_key"),
+        "rec_id",
+    )
+    return pb.unionByName(pref).unionByName(suf).unionByName(l1)
+
+
+def q_er_meta_blocking(spark, sf_dir):
+    """Meta-blocking (operators/metablocking.py meta_blocking_pairs): the
+    variant world blocked on soundex + prefix + suffix + first-letter keys,
+    then block purging (cap 12 — the first-letter stop blocks MUST purge,
+    see _vw_block_keys) + CBS edge weighting + weighted node pruning. Edge
+    weights are integer block co-occurrence counts and the WNP threshold is
+    an exact-integer mean, so the DuckDB oracle — which recomputes the whole
+    purge/weight/prune pipeline relationally — matches bit-for-bit.
+    Within-entity variant pairs share 2-3 keys (suffix survives the edit
+    constructions by design) while cross-entity collisions share 1, so the
+    pruned pair list is dominated by true variant pairs."""
+    from minimel_spark.operators.metablocking import meta_blocking_pairs
+
+    recs = _vw_records(spark).select(F.col("name").alias("rec_id"), "name")
+    caches: list = []
+    out = meta_blocking_pairs(
+        _vw_block_keys(recs), max_block_size=12, persisted_out=caches
+    ).select("rec_id_a", "rec_id_b", F.round("weight", 6).alias("weight"))
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_ER_META_BLOCKING = f"""
+WITH {_VW_NAMES_SQL},
+recs AS (SELECT DISTINCT name FROM vw_names),
+u AS (SELECT name, upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS u
+      FROM recs),
+blocked AS (
+  SELECT DISTINCT block_key, rec_id FROM (
+    SELECT 'p:' || {_soundex_sql('u')} AS block_key, name AS rec_id FROM u
+    UNION ALL SELECT 'pre:' || substr(name, 1, 4), name FROM recs
+    UNION ALL SELECT 'suf:' || right(name, 4), name FROM recs
+    UNION ALL SELECT 'l1:' || substr(name, 1, 1), name FROM recs)),
+keep_blocks AS (
+  SELECT block_key FROM blocked GROUP BY block_key
+  HAVING count(*) BETWEEN 2 AND 12),
+b AS (SELECT blocked.* FROM blocked JOIN keep_blocks USING (block_key)),
+edges AS (
+  SELECT a.rec_id AS rec_id_a, c.rec_id AS rec_id_b,
+         count(*)::DOUBLE AS weight
+  FROM b a JOIN b c ON a.block_key = c.block_key AND a.rec_id < c.rec_id
+  GROUP BY 1, 2),
+node_w AS (
+  SELECT rid, avg(weight) AS thr FROM (
+    SELECT rec_id_a AS rid, weight FROM edges
+    UNION ALL SELECT rec_id_b, weight FROM edges)
+  GROUP BY rid)
+SELECT e.rec_id_a, e.rec_id_b, round(e.weight, 6) AS weight
+FROM edges e
+JOIN node_w na ON na.rid = e.rec_id_a
+JOIN node_w nb ON nb.rid = e.rec_id_b
+WHERE e.weight >= na.thr OR e.weight >= nb.thr"""
+
+
+def q_er_cluster_bcubed(spark, sf_dir):
+    """Cluster-quality metrics (operators/evaluate.py cluster_quality):
+    B-cubed P/R/F1 (Bagga & Baldwin 1998 / Amigó et al. 2009) + Adjusted
+    Rand Index (Hubert & Arabie 1985) between the suffix-key blocking-as-
+    clustering of the variant world (pred: names grouped by their last 4
+    chars — unites {v0, v2, v3} per entity, strands each v1 in a shared
+    'xinc' cluster) and the planted entity gold. Every sum feeding the
+    ratios is an exact integer sum over the (pred, gold) contingency cells,
+    so the oracle reproduces the metric arithmetic exactly."""
+    from minimel_spark.operators.evaluate import cluster_quality
+
+    vdim = _vw_records(spark)
+    pred = vdim.select(
+        F.col("name").alias("rec_id"), F.expr("right(name, 4)").alias("cluster_id")
+    )
+    gold = vdim.select(
+        F.col("name").alias("rec_id"),
+        F.col("entity_id").cast("string").alias("cluster_id"),
+    )
+    return cluster_quality(pred, gold).select(
+        "n_records",
+        F.round("bcubed_p", 6).alias("bcubed_p"),
+        F.round("bcubed_r", 6).alias("bcubed_r"),
+        F.round("bcubed_f1", 6).alias("bcubed_f1"),
+        F.round("ari", 6).alias("ari"),
+    )
+
+
+SQL_ER_CLUSTER_BCUBED = f"""
+WITH {_VW_NAMES_SQL},
+j AS (SELECT DISTINCT name AS rec_id, right(name, 4) AS p,
+             entity_id::VARCHAR AS g
+      FROM vw_names),
+cell AS (SELECT p, g, count(*) AS n FROM j GROUP BY p, g),
+psz AS (SELECT p, sum(n) AS np FROM cell GROUP BY p),
+gsz AS (SELECT g, sum(n) AS ng FROM cell GROUP BY g),
+core AS (
+  SELECT sum(n) AS n_records,
+         sum(n * n / np) AS sp, sum(n * n / ng) AS sr,
+         sum(n * (n - 1) / 2) AS idx
+  FROM cell JOIN psz USING (p) JOIN gsz USING (g)),
+ab AS (
+  SELECT (SELECT sum(np * (np - 1) / 2) FROM psz) AS a,
+         (SELECT sum(ng * (ng - 1) / 2) FROM gsz) AS b)
+SELECT n_records::BIGINT AS n_records,
+       round(sp / n_records, 6) AS bcubed_p,
+       round(sr / n_records, 6) AS bcubed_r,
+       round(2 * (sp / n_records) * (sr / n_records)
+             / (sp / n_records + sr / n_records), 6) AS bcubed_f1,
+       round((idx - a * b / (n_records * (n_records - 1) / 2))
+             / ((a + b) / 2 - a * b / (n_records * (n_records - 1) / 2)),
+             6) AS ari
+FROM core, ab"""
+
+
+def q_dedup_transitive_keep(spark, sf_dir):
+    """E2E fuzzy dedup with transitive clustering (operators/dedup.py
+    transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
+    bigrams, t=0.5 — the dedup_prefix_jaccard world) -> pre-contracted
+    large-star/small-star connected components -> one canonical survivor
+    (min doc_id) per cluster. The oracle recomputes the closure with a
+    recursive CTE over the brute-force all-pairs Jaccard edge set — the
+    full SlimPajama-style near-dedup recipe value-checked end to end."""
+    from minimel_spark.operators.dedup import transitive_dedup_keep
+
+    docs = _t(spark, sf_dir, "documents")
+    caches: list = []
+    out = transitive_dedup_keep(
+        docs, threshold=0.5, n=2, persisted_out=caches
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "is_kept",
+    )
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_DEDUP_TRANSITIVE_KEEP = """
+WITH RECURSIVE
+w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                      i -> array_to_string(ws[i:i+1], ' '))) AS sh
+  FROM w),
+e AS (
+  SELECT a.doc_id AS s, b.doc_id AS d
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(a.sh || b.sh)) >= 0.5),
+sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+walk(n, c) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.d, walk.c FROM walk JOIN sym ON sym.s = walk.n),
+comp AS (SELECT n AS doc_id, min(c) AS canonical_id FROM walk GROUP BY n),
+sizes AS (SELECT canonical_id, count(*) AS cluster_size FROM comp
+          GROUP BY canonical_id)
+SELECT comp.doc_id::BIGINT AS doc_id, canonical_id::BIGINT AS canonical_id,
+       cluster_size::BIGINT AS cluster_size,
+       comp.doc_id = canonical_id AS is_kept
+FROM comp JOIN sizes USING (canonical_id)"""
+
+
+# --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
 
@@ -5006,6 +5251,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # twenty-fifth batch (NEW r5): one-pass column profiling — tail-placed
     # with the same rotation plan
     "rel_profile_columns": q_rel_profile_columns,
+    # twenty-sixth batch (NEW r5): phonetic blocking, meta-blocking,
+    # cluster-quality metrics, transitive fuzzy dedup — tail-placed pending
+    # the end-of-round window re-pick
+    "er_phonetic_blocking": q_er_phonetic_blocking,
+    "er_meta_blocking": q_er_meta_blocking,
+    "er_cluster_bcubed": q_er_cluster_bcubed,
+    "dedup_transitive_keep": q_dedup_transitive_keep,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5151,6 +5403,10 @@ _ORACLES: dict[str, str] = {
     "stream_cc_incremental": SQL_CC,
     # every stat recomputed natively per column
     "rel_profile_columns": SQL_REL_PROFILE,
+    "er_phonetic_blocking": SQL_ER_PHONETIC_BLOCKING,
+    "er_meta_blocking": SQL_ER_META_BLOCKING,
+    "er_cluster_bcubed": SQL_ER_CLUSTER_BCUBED,
+    "dedup_transitive_keep": SQL_DEDUP_TRANSITIVE_KEEP,
 }
 
 

@@ -49,6 +49,59 @@ def dictionary_blocks(records: DataFrame, key_col: str = "anchor") -> DataFrame:
     return records.withColumn("block_key", F.concat(F.lit("d:"), F.col(key_col)))
 
 
+def token_blocks(
+    records: DataFrame, name_col: str = "name", id_col: str = "rec_id"
+) -> DataFrame:
+    """Schema-agnostic TOKEN blocking (Papadakis et al., "Blocking and
+    Filtering Techniques for Entity Resolution", CSUR 2020 §3.1): one block
+    per lowercased word token, record ∈ block iff its name contains the
+    token. Redundancy-positive — records sharing k tokens co-occur in k
+    blocks — which is exactly the signal :func:`meta_blocking_pairs` weights.
+
+    Output: distinct ``(block_key, id_col)``. Pure JVM (split + explode), one
+    narrow stage; the distinct is per-record-local cardinality (a name's own
+    repeated tokens), folded into the downstream shuffle.
+    """
+    return (
+        records.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(name_col)), r"[^a-z0-9]+")).alias(
+                "block_key"
+            ),
+        )
+        .where(F.col("block_key") != "")
+        .distinct()
+    )
+
+
+def phonetic_blocks(
+    records: DataFrame, name_col: str = "name", id_col: str = "rec_id"
+) -> DataFrame:
+    """PHONETIC token blocking: one block per Soundex code of each word token
+    (functions/phonetic.py — American Soundex as a pure JVM expression chain,
+    mirrored verbatim in the DuckDB oracle). Catches spelling variants byte
+    normalization can't ("Ashcraft"/"Ashcroft" → A261), at the cost of
+    coarser blocks than :func:`token_blocks`; compose both via
+    ``union_blocks`` for recall, then prune with ``meta_blocking_pairs``.
+
+    Output: distinct ``(block_key, id_col)`` with key prefix ``p:``.
+    """
+    from ..functions.phonetic import soundex_col
+
+    toks = records.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(name_col)), r"[^a-z]+")).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    return (
+        toks.select(
+            F.col(id_col),
+            F.concat(F.lit("p:"), soundex_col(F.col("_tok"))).alias("block_key"),
+        )
+        .where(F.col("block_key") != "p:")
+        .distinct()
+    )
+
+
 def _seeded_hash(i: int, hash_family: str = "xx64"):
     # NB: a plain `lambda s, i=i:` would be mis-read by PySpark as a binary
     # (element, index) lambda — the seed must be closed over, not defaulted.

@@ -633,3 +633,61 @@ def simhash_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def transitive_dedup_keep(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """E2E fuzzy dedup with TRANSITIVE clustering and one canonical survivor
+    per cluster — the full near-dedup recipe of the large LLM-corpus
+    pipelines (SlimPajama / BigCode "NearDedup": similarity pairs →
+    connected components → keep one doc per component), here over the EXACT
+    prefix-filtered Jaccard join so the whole thing is deterministic and
+    value-oracle-able end to end.
+
+    Pairwise dedup alone under-deletes: A~B and B~C with A≁C leaves {A,C}
+    both "kept" by any per-pair rule, yet they sit in one near-dup chain.
+    The transitive closure resolves exactly that — every chain collapses to
+    one survivor.
+
+    Output, one row per document that belongs to ANY duplicate cluster
+    (singletons pass through a dedup filter untouched, so they are not
+    listed): ``(doc_id, canonical_id, cluster_size, is_kept)`` where
+    ``canonical_id = min(doc_id)`` in the component (the component label
+    itself — stable under reruns, independent of partitioning) and
+    ``is_kept`` marks the survivor.
+
+    Scale: edge generation is :func:`prefix_jaccard_dups` (lossless prefix
+    filtering, no quadratic blow-up); clustering is the pre-contracted
+    large-star/small-star loop (operators/cluster.py) — O(log n) rounds on
+    the contracted graph; the survivor pick is one groupBy on the component
+    id. No driver-side state anywhere.
+    """
+    from .cluster import connected_components
+
+    edges = prefix_jaccard_dups(
+        docs,
+        threshold=threshold,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+        persisted_out=persisted_out,
+    )
+    comp = connected_components(
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("canonical_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_kept"),
+        )
+    )

@@ -145,6 +145,77 @@ def pairwise_f1(pred: DataFrame, gold: DataFrame) -> dict:
     return {"precision": precision, "recall": recall, "f1": f1, "tp_pairs": tp}
 
 
+def cluster_quality(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "rec_id",
+    pred_col: str = "cluster_id",
+    gold_col: str = "cluster_id",
+) -> DataFrame:
+    """B-cubed precision/recall/F1 + Adjusted Rand Index between two
+    clusterings of the same records — the standard ER cluster-evaluation
+    pair alongside :func:`pairwise_f1` (B-cubed: Bagga & Baldwin 1998, the
+    metric of record for coreference/ER since Amigó et al. 2009 showed it
+    satisfies all four clustering-metric constraints that pairwise F1 does
+    not; ARI: Hubert & Arabie 1985).
+
+    One row out: ``(n_records, bcubed_p, bcubed_r, bcubed_f1, ari)``.
+
+    Distributed: everything derives from the (pred, gold) contingency cells —
+    one alignment join + one groupBy, then three tiny aggregates assembled
+    with crossJoins in a single plan (the ``pairwise_f1`` shape). The cell
+    table is #pred-clusters × #gold-clusters at most, never the pair space.
+    All sums feeding the ratios are exact integer sums (counts, n², C(n,2)),
+    so the oracle reproduces them bit-for-bit; only the final few-term
+    divisions are floating point.
+
+    Degenerate guard: when both clusterings are trivial (ARI's max == its
+    expectation), ARI is defined as 1.0 if the index also equals the
+    expectation (identical trivial clusterings) else 0.0.
+    """
+    both = pred.select(F.col(id_col).alias("rec_id"), F.col(pred_col).alias("p")).join(
+        gold.select(F.col(id_col).alias("rec_id"), F.col(gold_col).alias("g")),
+        "rec_id",
+    )
+    cell = both.groupBy("p", "g").agg(F.count(F.lit(1)).alias("n"))
+    psz = cell.groupBy("p").agg(F.sum("n").alias("np"))
+    gsz = cell.groupBy("g").agg(F.sum("n").alias("ng"))
+    # per-cell n²/np and n²/ng: each division is exact-integer-over-exact-
+    # integer, summed per pred/gold cluster
+    core = (
+        cell.join(psz, "p")
+        .join(gsz, "g")
+        .agg(
+            F.sum("n").alias("n_records"),
+            F.sum(F.col("n") * F.col("n") / F.col("np")).alias("_sp"),
+            F.sum(F.col("n") * F.col("n") / F.col("ng")).alias("_sr"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("_idx"),
+        )
+    )
+    a_df = psz.agg(_pair_count(F.col("np")).alias("_a"))
+    b_df = gsz.agg(_pair_count(F.col("ng")).alias("_b"))
+    bp = F.col("_sp") / F.col("n_records")
+    br = F.col("_sr") / F.col("n_records")
+    tot = F.col("n_records") * (F.col("n_records") - 1) / 2
+    exp = F.col("_a") * F.col("_b") / tot
+    mx = (F.col("_a") + F.col("_b")) / 2
+    return (
+        core.crossJoin(a_df)
+        .crossJoin(b_df)
+        .select(
+            F.col("n_records").cast("long").alias("n_records"),
+            bp.alias("bcubed_p"),
+            br.alias("bcubed_r"),
+            (2 * bp * br / (bp + br)).alias("bcubed_f1"),
+            F.when(
+                mx != exp, (F.col("_idx") - exp) / (mx - exp)
+            )
+            .otherwise(F.when(F.col("_idx") == exp, F.lit(1.0)).otherwise(F.lit(0.0)))
+            .alias("ari"),
+        )
+    )
+
+
 def blocking_metrics(
     candidates: DataFrame, gold: DataFrame, n_records: int
 ) -> DataFrame:

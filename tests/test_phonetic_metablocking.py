@@ -1,0 +1,222 @@
+"""Phonetic blocking, meta-blocking, cluster-quality metrics, transitive
+fuzzy dedup — the round-5 ER-literature batch."""
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from minimel_spark.functions.phonetic import soundex_col, soundex_py, soundex_sql
+from minimel_spark.operators.blocking import phonetic_blocks, token_blocks
+from minimel_spark.operators.dedup import transitive_dedup_keep
+from minimel_spark.operators.evaluate import cluster_quality
+from minimel_spark.operators.metablocking import meta_blocking_pairs
+
+from conftest import pinned_rdd_ids
+
+KNOWN = {
+    "Robert": "R163",
+    "Rupert": "R163",
+    "Ashcraft": "A261",
+    "Ashcroft": "A261",
+    "Tymczak": "T522",
+    "Pfister": "P236",
+    "Honeyman": "H555",
+    "Jackson": "J250",
+    "Washington": "W252",
+    "Lee": "L000",
+    "Gutierrez": "G362",
+    "VanDeusen": "V532",
+    "Wheeler": "W460",
+    "Czarkowska": "C622",
+    "": "",
+    "42!?": "",
+    "o'brien": "O165",
+}
+
+FUZZ = [
+    "hw", "wh", "aeiouy", "BCDB", "xXzZ", "llama", "  spaced out  ",
+    "MacDonald", "mcdonald", "Schmidt", "Schneider", "lloyd", "PFEIFFER",
+    "café", "naïve", "Äpfel", "hhhh", "wwww", "a", "h", "w", "b2b",
+    "smith-jones", "O’Hara", "ALLRICHT", "Eberhard", "Heimbach",
+    "Hanselmann", "Hildebrand", "Casstevens", "Vandervoort", "Lukaschowsky",
+    "McDonnell", "McGee", "Oppenheimer", "Riedemanas", "Zita", "Zitzmeinn",
+]
+
+
+def test_soundex_known_vectors():
+    for name, want in KNOWN.items():
+        assert soundex_py(name) == want, name
+
+
+def test_soundex_spark_matches_python(spark):
+    names = list(KNOWN) + FUZZ
+    df = spark.createDataFrame([Row(name=n) for n in names])
+    got = {
+        r["name"]: r["sx"]
+        for r in df.select("name", soundex_col("name").alias("sx")).collect()
+    }
+    for n in names:
+        assert got[n] == soundex_py(n), n
+
+
+def test_soundex_duckdb_matches_python():
+    con = duckdb.connect()
+    names = [n for n in list(KNOWN) + FUZZ]
+    con.execute("CREATE TABLE t(name VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(n,) for n in names])
+    expr = soundex_sql("u")
+    rows = con.execute(
+        "WITH c AS (SELECT name, upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS u FROM t) "
+        f"SELECT name, {expr} FROM c"
+    ).fetchall()
+    for name, sx in rows:
+        assert sx == soundex_py(name), name
+
+
+def test_phonetic_blocks_groups_variants(spark):
+    df = spark.createDataFrame(
+        [
+            Row(rec_id=1, name="Ashcraft Holdings"),
+            Row(rec_id=2, name="ashcroft holdings"),
+            Row(rec_id=3, name="Tymczak"),
+        ]
+    )
+    rows = phonetic_blocks(df).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["block_key"], set()).add(r["rec_id"])
+    assert by_key["p:A261"] == {1, 2}
+    assert by_key["p:H435"] == {1, 2}  # holdings
+    assert by_key["p:T522"] == {3}
+
+
+def test_token_blocks(spark):
+    df = spark.createDataFrame(
+        [Row(rec_id=1, name="Red Fox-42"), Row(rec_id=2, name="red red hen")]
+    )
+    rows = token_blocks(df).collect()
+    got = {(r["block_key"], r["rec_id"]) for r in rows}
+    assert got == {
+        ("red", 1), ("fox", 1), ("42", 1), ("red", 2), ("hen", 2),
+    }
+
+
+def _mb_world(spark, with_stop: bool):
+    rows = [
+        ("b1", "r1"), ("b1", "r2"),
+        ("b2", "r1"), ("b2", "r2"),
+        ("b3", "r1"), ("b3", "r3"),
+        ("b4", "r1"), ("b4", "r4"),
+        ("b5", "r3"), ("b5", "r4"),
+        ("b6", "r3"), ("b6", "r4"),
+        ("lone", "r1"),  # singleton block: emits nothing
+    ]
+    if with_stop:
+        rows += [("stop", r) for r in ("r1", "r2", "r3", "r4")]
+    return spark.createDataFrame(rows, "block_key string, rec_id string")
+
+
+def test_meta_blocking_wnp_prunes_weak_hub_edges(spark):
+    before = pinned_rdd_ids(spark)
+    caches: list = []
+    out = meta_blocking_pairs(_mb_world(spark, False), persisted_out=caches)
+    got = {(r["rec_id_a"], r["rec_id_b"]): r["weight"] for r in out.collect()}
+    # edge weights: (r1,r2)=2 (r1,r3)=1 (r1,r4)=1 (r3,r4)=2
+    # node means: r1=4/3, r2=2, r3=1.5, r4=1.5 -> hub r1's weak spokes prune
+    assert got == {("r1", "r2"): 2.0, ("r3", "r4"): 2.0}
+    for c in caches:
+        c.unpersist()
+    assert not (pinned_rdd_ids(spark) - before)
+
+
+def test_meta_blocking_block_purging(spark):
+    caches: list = []
+    out = meta_blocking_pairs(
+        _mb_world(spark, True), max_block_size=3, persisted_out=caches
+    )
+    got = {(r["rec_id_a"], r["rec_id_b"]): r["weight"] for r in out.collect()}
+    # the 4-record stop block is purged -> identical to the no-stop world
+    assert got == {("r1", "r2"): 2.0, ("r3", "r4"): 2.0}
+    for c in caches:
+        c.unpersist()
+
+
+def test_meta_blocking_js_weighting(spark):
+    caches: list = []
+    out = meta_blocking_pairs(
+        _mb_world(spark, False), weighting="js", persisted_out=caches
+    )
+    got = {(r["rec_id_a"], r["rec_id_b"]): r["weight"] for r in out.collect()}
+    # retained-block counts: r1 in {b1,b2,b3,b4}=4, r2 in 2, r3 in 3, r4 in 3
+    # js(r1,r2)=2/(4+2-2)=0.5 js(r1,r3)=1/6 js(r1,r4)=1/6 js(r3,r4)=2/4=0.5
+    # means: r1=(0.5+1/6+1/6)/3=5/18, r2=0.5, r3=(1/6+0.5)/2=1/3, r4=1/3
+    assert set(got) == {("r1", "r2"), ("r3", "r4")}
+    assert got[("r1", "r2")] == pytest.approx(0.5)
+    for c in caches:
+        c.unpersist()
+
+
+def test_meta_blocking_rejects_unknown_weighting(spark):
+    with pytest.raises(ValueError, match="weighting"):
+        meta_blocking_pairs(_mb_world(spark, False), weighting="arcs")
+
+
+def test_cluster_quality_hand_example(spark):
+    # pred {1,2,3},{4,5},{6}; gold {1,2},{3,4,5},{6}
+    pred = spark.createDataFrame(
+        [(i, c) for i, c in [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c")]],
+        "rec_id long, cluster_id string",
+    )
+    gold = spark.createDataFrame(
+        [(i, c) for i, c in [(1, "x"), (2, "x"), (3, "y"), (4, "y"), (5, "y"), (6, "z")]],
+        "rec_id long, cluster_id string",
+    )
+    row = cluster_quality(pred, gold).first()
+    assert row["n_records"] == 6
+    assert row["bcubed_p"] == pytest.approx(7 / 9)
+    assert row["bcubed_r"] == pytest.approx(7 / 9)
+    assert row["bcubed_f1"] == pytest.approx(7 / 9)
+    # idx=2 a=4 b=4 tot=15 -> ari = (2 - 16/15) / (4 - 16/15)
+    assert row["ari"] == pytest.approx((2 - 16 / 15) / (4 - 16 / 15))
+
+
+def test_cluster_quality_identical_and_degenerate(spark):
+    pred = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "rec_id long, cluster_id string"
+    )
+    row = cluster_quality(pred, pred).first()
+    assert row["bcubed_f1"] == pytest.approx(1.0)
+    assert row["ari"] == pytest.approx(1.0)
+    # all-singletons vs all-singletons: max == exp == idx -> defined as 1.0
+    singles = spark.createDataFrame(
+        [(1, "s1"), (2, "s2"), (3, "s3")], "rec_id long, cluster_id string"
+    )
+    row = cluster_quality(singles, singles).first()
+    assert row["ari"] == pytest.approx(1.0)
+    assert row["bcubed_f1"] == pytest.approx(1.0)
+
+
+def test_transitive_dedup_keep_chain(spark):
+    docs = spark.createDataFrame(
+        [
+            (10, "x1 x2 x3 x4 x5"),
+            (11, "x2 x3 x4 x5 x6"),
+            (12, "x3 x4 x5 x6 x7"),
+            (13, "y1 y2 y3"),
+        ],
+        "doc_id long, text string",
+    )
+    caches: list = []
+    out = transitive_dedup_keep(
+        docs, threshold=0.6, n=1, persisted_out=caches
+    ).collect()
+    for c in caches:
+        c.unpersist()
+    rows = {r["doc_id"]: r for r in out}
+    # chain 10~11~12 (Jaccard 4/6 each) but 10 !~ 12 (3/7): one component
+    assert set(rows) == {10, 11, 12}  # singleton 13 not listed
+    for d in (10, 11, 12):
+        assert rows[d]["canonical_id"] == 10
+        assert rows[d]["cluster_size"] == 3
+        assert rows[d]["is_kept"] == (d == 10)
