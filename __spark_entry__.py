@@ -5015,6 +5015,31 @@ SELECT comp.doc_id::BIGINT AS doc_id, canonical_id::BIGINT AS canonical_id,
 FROM comp JOIN sizes USING (canonical_id)"""
 
 
+def q_er_edit_join(spark, sf_dir):
+    """Exact edit-distance similarity join (operators/pairs.py
+    edit_distance_join): every variant-world name pair with levenshtein <= 2
+    via the LOSSLESS q-gram count filter (length filter + multiset-gram
+    posting join + Gravano bound) and a codegen'd levenshtein verify. The
+    oracle is the BRUTE-FORCE all-pairs levenshtein join — hash-equality is
+    the losslessness proof at gate level (the short-stratum and
+    cross-stratum paths are fuzz-proven in pytest)."""
+    from minimel_spark.operators.pairs import edit_distance_join
+
+    recs = _vw_records(spark).select(F.col("name").alias("rec_id"), "name")
+    return edit_distance_join(recs, k=2, q=2).select(
+        "rec_id_a", "rec_id_b", "distance"
+    )
+
+
+SQL_ER_EDIT_JOIN = f"""
+WITH {_VW_NAMES_SQL},
+n AS (SELECT DISTINCT name FROM vw_names)
+SELECT a.name AS rec_id_a, b.name AS rec_id_b,
+       levenshtein(a.name, b.name)::BIGINT AS distance
+FROM n a JOIN n b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -5258,6 +5283,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_meta_blocking": q_er_meta_blocking,
     "er_cluster_bcubed": q_er_cluster_bcubed,
     "dedup_transitive_keep": q_dedup_transitive_keep,
+    "er_edit_join": q_er_edit_join,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5407,6 +5433,7 @@ _ORACLES: dict[str, str] = {
     "er_meta_blocking": SQL_ER_META_BLOCKING,
     "er_cluster_bcubed": SQL_ER_CLUSTER_BCUBED,
     "dedup_transitive_keep": SQL_DEDUP_TRANSITIVE_KEEP,
+    "er_edit_join": SQL_ER_EDIT_JOIN,
 }
 
 

@@ -220,3 +220,68 @@ def test_transitive_dedup_keep_chain(spark):
         assert rows[d]["canonical_id"] == 10
         assert rows[d]["cluster_size"] == 3
         assert rows[d]["is_kept"] == (d == 10)
+
+
+def _lev(a, b):
+    d = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, d[0] = d[:], i
+        for j, cb in enumerate(b, 1):
+            d[j] = min(d[j - 1] + 1, prev[j] + 1, prev[j - 1] + (ca != cb))
+    return d[-1]
+
+
+def test_edit_distance_join_lossless_vs_bruteforce(spark):
+    """Dense fuzz over a 2-letter alphabet: lengths 0-8 around the short-
+    stratum cut q*(k+1)=6, so the gram join, the short all-pairs pass, AND
+    the cross-stratum pairs all fire; result must equal brute force."""
+    import itertools
+    import random
+
+    from minimel_spark.operators.pairs import edit_distance_join
+
+    rng = random.Random(42)
+    names = list({
+        "".join(rng.choice("ab") for _ in range(rng.randint(0, 8)))
+        for _ in range(70)
+    })
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "rec_id long, name string"
+    )
+    got = {
+        (r["rec_id_a"], r["rec_id_b"]): r["distance"]
+        for r in edit_distance_join(df, k=2, q=2).collect()
+    }
+    want = {
+        (i, j): _lev(names[i], names[j])
+        for i, j in itertools.combinations(range(len(names)), 2)
+        if _lev(names[i], names[j]) <= 2
+    }
+    assert got == want
+
+
+def test_edit_distance_join_known_pairs(spark):
+    from minimel_spark.operators.pairs import edit_distance_join
+
+    df = spark.createDataFrame(
+        [(1, "robert"), (2, "rupert"), (3, "roberto"), (4, "zzzzzz")],
+        "rec_id long, name string",
+    )
+    got = {
+        (r["rec_id_a"], r["rec_id_b"]): r["distance"]
+        for r in edit_distance_join(df, k=2, q=2).collect()
+    }
+    # robert~rupert d=2, robert~roberto d=1; rupert~roberto d=3 excluded
+    assert got == {(1, 2): 2, (1, 3): 1}
+
+
+def test_edit_distance_join_validates_knobs(spark):
+    import pytest as _pt
+
+    from minimel_spark.operators.pairs import edit_distance_join
+
+    df = spark.createDataFrame([(1, "a")], "rec_id long, name string")
+    with _pt.raises(ValueError, match="k must"):
+        edit_distance_join(df, k=-1)
+    with _pt.raises(ValueError, match="q must"):
+        edit_distance_join(df, q=0)
