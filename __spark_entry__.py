@@ -5040,6 +5040,192 @@ FROM n a JOIN n b ON a.name < b.name
 WHERE levenshtein(a.name, b.name) <= 2"""
 
 
+def q_er_meta_pipeline(spark, sf_dir):
+    """E2E composition of the round-5 ER primitives: variant-world records
+    -> redundancy-positive blocking (soundex + prefix + suffix + stop key)
+    -> meta-blocking purge/weight/prune -> edit-distance match verify
+    (levenshtein <= 2) -> pre-contracted connected components (singletons
+    self-clustered) -> cluster_quality (B-cubed + ARI) against the planted
+    entity gold, plus the cluster count — ONE output row, every stage
+    recomputed relationally by the oracle (recursive-CTE closure for the
+    clustering). Pins that the primitives compose into a working
+    resolution pipeline, not just pass their unit gates."""
+    from minimel_spark.operators.cluster import connected_components
+    from minimel_spark.operators.evaluate import cluster_quality
+    from minimel_spark.operators.metablocking import meta_blocking_pairs
+
+    vdim = _vw_records(spark)
+    recs = vdim.select(F.col("name").alias("rec_id"), "name")
+    caches: list = []
+    kept = meta_blocking_pairs(
+        _vw_block_keys(recs), max_block_size=12, persisted_out=caches
+    )
+    match = kept.where(F.levenshtein("rec_id_a", "rec_id_b") <= 2)
+    comp = connected_components(
+        match.select(F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst"))
+    )
+    pred = (
+        recs.join(comp.withColumnRenamed("node", "rec_id"), "rec_id", "left")
+        .select(
+            "rec_id",
+            F.coalesce("component", "rec_id").alias("cluster_id"),
+        )
+    )
+    gold = vdim.select(
+        F.col("name").alias("rec_id"),
+        F.col("entity_id").cast("string").alias("cluster_id"),
+    )
+    n_clusters = pred.agg(
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters")
+    )
+    out = (
+        cluster_quality(pred, gold)
+        .crossJoin(n_clusters)
+        .select(
+            "n_records",
+            "n_clusters",
+            F.round("bcubed_p", 6).alias("bcubed_p"),
+            F.round("bcubed_r", 6).alias("bcubed_r"),
+            F.round("bcubed_f1", 6).alias("bcubed_f1"),
+            F.round("ari", 6).alias("ari"),
+        )
+    )
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_ER_META_PIPELINE = f"""
+WITH RECURSIVE {_VW_NAMES_SQL},
+recs AS (SELECT DISTINCT name FROM vw_names),
+u AS (SELECT name, upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS u
+      FROM recs),
+blocked AS (
+  SELECT DISTINCT block_key, rec_id FROM (
+    SELECT 'p:' || {_soundex_sql('u')} AS block_key, name AS rec_id FROM u
+    UNION ALL SELECT 'pre:' || substr(name, 1, 4), name FROM recs
+    UNION ALL SELECT 'suf:' || right(name, 4), name FROM recs
+    UNION ALL SELECT 'l1:' || substr(name, 1, 1), name FROM recs)),
+keep_blocks AS (
+  SELECT block_key FROM blocked GROUP BY block_key
+  HAVING count(*) BETWEEN 2 AND 12),
+b AS (SELECT blocked.* FROM blocked JOIN keep_blocks USING (block_key)),
+edges AS (
+  SELECT a.rec_id AS ra, c.rec_id AS rb, count(*)::DOUBLE AS weight
+  FROM b a JOIN b c ON a.block_key = c.block_key AND a.rec_id < c.rec_id
+  GROUP BY 1, 2),
+node_w AS (
+  SELECT rid, avg(weight) AS thr FROM (
+    SELECT ra AS rid, weight FROM edges
+    UNION ALL SELECT rb, weight FROM edges)
+  GROUP BY rid),
+kept AS (
+  SELECT e.ra, e.rb FROM edges e
+  JOIN node_w na ON na.rid = e.ra JOIN node_w nb ON nb.rid = e.rb
+  WHERE e.weight >= na.thr OR e.weight >= nb.thr),
+m AS (SELECT ra, rb FROM kept WHERE levenshtein(ra, rb) <= 2),
+sym AS (SELECT ra AS s, rb AS d FROM m UNION SELECT rb, ra FROM m),
+walk(n, c) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.d, walk.c FROM walk JOIN sym ON sym.s = walk.n),
+comp AS (SELECT n, min(c) AS cl FROM walk GROUP BY n),
+pred AS (
+  SELECT recs.name AS rec_id, coalesce(comp.cl, recs.name) AS p
+  FROM recs LEFT JOIN comp ON comp.n = recs.name),
+j AS (
+  SELECT pred.rec_id, pred.p, g.g FROM pred JOIN (
+    SELECT DISTINCT name AS rec_id, entity_id::VARCHAR AS g FROM vw_names) g
+  USING (rec_id)),
+cell AS (SELECT p, g, count(*) AS n FROM j GROUP BY p, g),
+psz AS (SELECT p, sum(n) AS np FROM cell GROUP BY p),
+gsz AS (SELECT g, sum(n) AS ng FROM cell GROUP BY g),
+core AS (
+  SELECT sum(n) AS n_records,
+         sum(n * n / np) AS sp, sum(n * n / ng) AS sr,
+         sum(n * (n - 1) / 2) AS idx
+  FROM cell JOIN psz USING (p) JOIN gsz USING (g)),
+ab AS (
+  SELECT (SELECT sum(np * (np - 1) / 2) FROM psz) AS a,
+         (SELECT sum(ng * (ng - 1) / 2) FROM gsz) AS b,
+         (SELECT count(DISTINCT p) FROM pred) AS n_clusters)
+SELECT n_records::BIGINT AS n_records, n_clusters::BIGINT AS n_clusters,
+       round(sp / n_records, 6) AS bcubed_p,
+       round(sr / n_records, 6) AS bcubed_r,
+       round(2 * (sp / n_records) * (sr / n_records)
+             / (sp / n_records + sr / n_records), 6) AS bcubed_f1,
+       round((idx - a * b / (n_records * (n_records - 1) / 2))
+             / ((a + b) / 2 - a * b / (n_records * (n_records - 1) / 2)),
+             6) AS ari
+FROM core, ab"""
+
+
+def q_corpus_dsir(spark, sf_dir):
+    """DSIR importance resampling weights (operators/corpus.py
+    dsir_importance; Xie et al. NeurIPS 2023): hashed unigram+bigram
+    profiles (md5_long60 % 4096 buckets), add-1 smoothed target (lang='en')
+    vs raw (all docs) bucket distributions, per-doc log-likelihood-ratio
+    weight. The oracle recomputes the buckets bit-for-bit and the smoothed
+    ln-ratio arithmetic natively (DuckDB ln, not its log10 log)."""
+    from minimel_spark.operators.corpus import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    caches: list = []
+    out = dsir_importance(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        num_buckets=4096,
+        alpha=1.0,
+        persisted_out=caches,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_feats",
+        F.round("logweight", 6).alias("logweight"),
+    )
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_CORPUS_DSIR = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS ws,
+         lang
+  FROM documents),
+g AS (
+  SELECT doc_id, lang, unnest(
+    list_concat(ws,
+      CASE WHEN len(ws) >= 2
+           THEN list_transform(range(1, len(ws)),
+                               i -> array_to_string(ws[i:i+1], ' '))
+           ELSE [] END)) AS gram
+  FROM w),
+db AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(gram), 1, 15))::UBIGINT % 4096 AS b,
+         count(*) AS c
+  FROM g GROUP BY 1, 2, 3),
+nt AS (SELECT b, sum(c)::DOUBLE AS nt FROM db WHERE lang = 'en' GROUP BY b),
+nr AS (SELECT b, sum(c)::DOUBLE AS nr FROM db GROUP BY b),
+tt AS (SELECT coalesce(sum(c), 0)::DOUBLE AS tt FROM db WHERE lang = 'en'),
+tr AS (SELECT coalesce(sum(c), 0)::DOUBLE AS tr FROM db),
+ratio AS (
+  SELECT b,
+         ln((coalesce(nt, 0.0) + 1.0) / (tt + 4096.0))
+         - ln((coalesce(nr, 0.0) + 1.0) / (tr + 4096.0)) AS lr
+  FROM nt FULL OUTER JOIN nr USING (b) CROSS JOIN tt CROSS JOIN tr),
+scored AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_feats, sum(c * lr) AS logweight
+  FROM db JOIN ratio USING (b) GROUP BY doc_id)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(s.n_feats, 0)::BIGINT AS n_feats,
+       round(coalesce(s.logweight, 0.0), 6) AS logweight
+FROM documents d LEFT JOIN scored s USING (doc_id)"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -5284,6 +5470,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_cluster_bcubed": q_er_cluster_bcubed,
     "dedup_transitive_keep": q_dedup_transitive_keep,
     "er_edit_join": q_er_edit_join,
+    "corpus_dsir": q_corpus_dsir,
+    "er_meta_pipeline": q_er_meta_pipeline,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5434,6 +5622,8 @@ _ORACLES: dict[str, str] = {
     "er_cluster_bcubed": SQL_ER_CLUSTER_BCUBED,
     "dedup_transitive_keep": SQL_DEDUP_TRANSITIVE_KEEP,
     "er_edit_join": SQL_ER_EDIT_JOIN,
+    "corpus_dsir": SQL_CORPUS_DSIR,
+    "er_meta_pipeline": SQL_ER_META_PIPELINE,
 }
 
 

@@ -724,3 +724,110 @@ def mixture_sample(
         )
         .where(F.col("tok_before") < budget_map[F.col("stratum")])
     )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    num_buckets: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every raw-corpus
+    document by how much more likely its hashed n-gram profile is under a
+    TARGET distribution than under the raw one — the standard recipe for
+    steering a web-scale pretraining mix toward a quality/domain target
+    without training a classifier.
+
+    Features are the paper's: unigrams + bigrams hashed into ``num_buckets``
+    buckets (here via the repo-canonical md5_long60 so the DuckDB oracle
+    recomputes every bucket bit-for-bit). Both corpora fit add-``alpha``
+    smoothed categorical distributions over the buckets; each raw doc's
+    importance log-weight is
+
+        log w(d) = Σ_b count_d[b] · (log p_target[b] − log p_raw[b]).
+
+    Output: ``(doc_id, n_feats, logweight)`` per raw doc (``n_feats`` = its
+    total hashed-gram count; empty docs score 0 with 0 feats). Feed
+    ``exp(logweight)`` (or a shifted/clamped version) to
+    :func:`weighted_sample` for the paper's Gumbel-top-k resampling step.
+
+    Scale: the two distribution fits are one groupBy each, ``num_buckets``
+    rows out — a fixed-size dimension joined (broadcast by AQE) onto the
+    per-(doc, bucket) count stream; one final groupBy sums per doc. No
+    driver state, no UDF, no global sort.
+    """
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (smoothing), got {alpha}")
+    from .util import md5_long60
+
+    def doc_buckets(df: DataFrame) -> DataFrame:
+        ws = _words(text_col)
+        grams = F.concat(_word_ngrams(ws, 1), _word_ngrams(ws, 2))
+        out = (
+            df.select(F.col(id_col), F.explode(grams).alias("_g"))
+            .select(id_col, (md5_long60(F.col("_g")) % num_buckets).alias("_b"))
+            .groupBy(id_col, "_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        # 2-3 consumers each (dist fit, total, and the raw scoring pass):
+        # persist when the caller manages lifecycle, else rely on recompute
+        if persisted_out is not None:
+            out = out.persist()
+            persisted_out.append(out)
+        return out
+
+    db_raw = doc_buckets(raw)
+    db_tgt = doc_buckets(target)
+
+    def dist(db: DataFrame, prob_col: str) -> DataFrame:
+        return db.groupBy("_b").agg(
+            F.sum("_c").cast("double").alias(prob_col)
+        )
+
+    # unseen buckets fall back to the smoothed floor log(alpha / (T + aB));
+    # the two 1-row corpus totals crossJoin onto the bucket dimension (at
+    # most num_buckets rows after the full outer), so coalesce() fills the
+    # floors without materializing unseen buckets or a global window
+    aB = F.lit(float(alpha * num_buckets))
+    ratio = (
+        dist(db_tgt, "_nt")
+        .join(dist(db_raw, "_nr"), "_b", "full_outer")
+        .crossJoin(db_tgt.agg(F.sum("_c").cast("double").alias("_tt")))
+        .crossJoin(db_raw.agg(F.sum("_c").cast("double").alias("_tr")))
+        .select(
+            "_b",
+            (
+                F.log(
+                    (F.coalesce("_nt", F.lit(0.0)) + F.lit(float(alpha)))
+                    / (F.col("_tt") + aB)
+                )
+                - F.log(
+                    (F.coalesce("_nr", F.lit(0.0)) + F.lit(float(alpha)))
+                    / (F.col("_tr") + aB)
+                )
+            ).alias("_lr"),
+        )
+    )
+    scored = (
+        db_raw.join(ratio, "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_feats"),
+            F.sum(F.col("_c") * F.col("_lr")).alias("logweight"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("logweight", F.lit(0.0)).alias("logweight"),
+        )
+    )

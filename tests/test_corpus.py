@@ -509,3 +509,47 @@ def test_mixture_sample_guards(spark):
         mixture_sample(df, {"en": -1.0}, total_tokens=10)
     with pytest.raises(ValueError):
         mixture_sample(df, {"en": 1.0}, total_tokens=0)
+
+
+def test_dsir_importance_hand_example(spark):
+    """Collision-free bucket space (2^20 >> 5 grams): logweight reduces to
+    sum over grams of the smoothed count log-ratio, hand-computable."""
+    import math
+
+    from minimel_spark.operators.corpus import dsir_importance
+
+    raw = spark.createDataFrame(
+        [(1, "cat sat"), (2, "dog ran"), (3, "")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame([(9, "cat sat")], "doc_id long, text string")
+    B = 1 << 20
+    caches: list = []
+    rows = {
+        r["doc_id"]: r
+        for r in dsir_importance(
+            raw, target, num_buckets=B, alpha=1.0, persisted_out=caches
+        ).collect()
+    }
+    for c in caches:
+        c.unpersist()
+    # d1 grams {cat, sat, 'cat sat'}: each in target once (Tt=3) and raw
+    # once (Tr=6) -> lr = ln(2/(3+B)) - ln(2/(6+B)) per gram
+    lw1 = 3 * (math.log(2 / (3 + B)) - math.log(2 / (6 + B)))
+    # d2 grams unseen in target -> lr = ln(1/(3+B)) - ln(2/(6+B))
+    lw2 = 3 * (math.log(1 / (3 + B)) - math.log(2 / (6 + B)))
+    assert rows[1]["n_feats"] == 3 and rows[2]["n_feats"] == 3
+    assert rows[1]["logweight"] == pytest.approx(lw1)
+    assert rows[2]["logweight"] == pytest.approx(lw2)
+    assert rows[3]["n_feats"] == 0 and rows[3]["logweight"] == 0.0
+    # target-like doc must outscore the off-target doc
+    assert rows[1]["logweight"] > rows[2]["logweight"]
+
+
+def test_dsir_importance_validates_knobs(spark):
+    from minimel_spark.operators.corpus import dsir_importance
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="num_buckets"):
+        dsir_importance(df, df, num_buckets=0)
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_importance(df, df, alpha=0.0)
