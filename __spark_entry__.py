@@ -5161,6 +5161,73 @@ SELECT n_records::BIGINT AS n_records, n_clusters::BIGINT AS n_clusters,
 FROM core, ab"""
 
 
+def q_er_fuzzy_ratios(spark, sf_dir):
+    """Order-insensitive fuzzy match features (operators/pairs.py
+    fuzzy_ratios — the fuzzywuzzy/RapidFuzz token_sort / token_set
+    classics) over the last-word-blocked part-name pairs (the pair_features
+    world, whose multi-word color names permute word order across records).
+    Pure JVM expression chains with exact DuckDB twins (list_sort /
+    list_intersect / levenshtein) — all three features value-hashed."""
+    from minimel_spark.operators.pairs import candidate_pairs, fuzzy_ratios
+
+    part = _t(spark, sf_dir, "part")
+    records = part.select(F.col("p_name").alias("name")).distinct().withColumn(
+        "rec_id", F.col("name")
+    )
+    blocked = records.withColumn(
+        "block_key", F.regexp_extract("name", r"(\w+)$", 1)
+    )
+    pairs = candidate_pairs(blocked).select(
+        "rec_id_a",
+        "rec_id_b",
+        F.col("rec_id_a").alias("name_a"),
+        F.col("rec_id_b").alias("name_b"),
+    )
+    return fuzzy_ratios(pairs).select(
+        "rec_id_a",
+        "rec_id_b",
+        F.round("ratio", 6).alias("ratio"),
+        F.round("token_sort_ratio", 6).alias("token_sort_ratio"),
+        F.round("token_set_ratio", 6).alias("token_set_ratio"),
+    )
+
+
+SQL_ER_FUZZY_RATIOS = """
+WITH r AS (SELECT DISTINCT p_name AS name FROM part),
+b AS (SELECT name, regexp_extract(name, '(\\w+)$', 1) AS bk FROM r),
+p AS (
+  SELECT a.name AS na, c.name AS nb
+  FROM b a JOIN b c ON a.bk = c.bk AND a.name < c.name),
+t AS (
+  SELECT name,
+         list_sort(list_filter(regexp_split_to_array(lower(name), '[^a-z0-9]+'),
+                               w -> w <> '')) AS tk
+  FROM r),
+f AS (
+  SELECT na, nb,
+         array_to_string(ta.tk, ' ') AS sa, array_to_string(tb.tk, ' ') AS sb,
+         array_to_string(list_sort(list_intersect(ta.tk, tb.tk)), ' ') AS sc
+  FROM p JOIN t ta ON ta.name = p.na JOIN t tb ON tb.name = p.nb)
+SELECT na AS rec_id_a, nb AS rec_id_b,
+       round(CASE WHEN greatest(length(na), length(nb)) = 0 THEN 1.0
+                  ELSE 1.0 - levenshtein(na, nb)::DOUBLE
+                             / greatest(length(na), length(nb)) END, 6)
+         AS ratio,
+       round(CASE WHEN greatest(length(sa), length(sb)) = 0 THEN 1.0
+                  ELSE 1.0 - levenshtein(sa, sb)::DOUBLE
+                             / greatest(length(sa), length(sb)) END, 6)
+         AS token_sort_ratio,
+       round(greatest(
+         CASE WHEN greatest(length(sc), length(sa)) = 0 THEN 1.0
+              ELSE 1.0 - levenshtein(sc, sa)::DOUBLE
+                         / greatest(length(sc), length(sa)) END,
+         CASE WHEN greatest(length(sc), length(sb)) = 0 THEN 1.0
+              ELSE 1.0 - levenshtein(sc, sb)::DOUBLE
+                         / greatest(length(sc), length(sb)) END), 6)
+         AS token_set_ratio
+FROM f"""
+
+
 def q_corpus_dsir(spark, sf_dir):
     """DSIR importance resampling weights (operators/corpus.py
     dsir_importance; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -5472,6 +5539,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_edit_join": q_er_edit_join,
     "corpus_dsir": q_corpus_dsir,
     "er_meta_pipeline": q_er_meta_pipeline,
+    "er_fuzzy_ratios": q_er_fuzzy_ratios,
 }
 
 _ORACLES: dict[str, str] = {
@@ -5624,6 +5692,7 @@ _ORACLES: dict[str, str] = {
     "er_edit_join": SQL_ER_EDIT_JOIN,
     "corpus_dsir": SQL_CORPUS_DSIR,
     "er_meta_pipeline": SQL_ER_META_PIPELINE,
+    "er_fuzzy_ratios": SQL_ER_FUZZY_RATIOS,
 }
 
 

@@ -477,3 +477,52 @@ def edit_distance_join(
         .where(F.col("distance") <= k)
         .select("rec_id_a", "rec_id_b", F.col("distance").cast("long").alias("distance"))
     )
+
+
+def fuzzy_ratios(
+    pairs: DataFrame,
+    name_a: str = "name_a",
+    name_b: str = "name_b",
+) -> DataFrame:
+    """Order-insensitive fuzzy name-match features (the fuzzywuzzy /
+    RapidFuzz classics, standard in ER feature stacks next to raw
+    Levenshtein/Jaro-Winkler):
+
+    - ``ratio``: plain normalized similarity 1 - lev/max_len;
+    - ``token_sort_ratio``: the same after lowercasing, tokenizing and
+      sorting tokens — word-order permutations ("smith john" vs
+      "john smith") score 1.0;
+    - ``token_set_ratio``: computed on the sorted COMMON-token string vs
+      each side's full sorted string, max of the two comparisons against
+      the intersection — robust when one name extends the other
+      ("acme corp" vs "acme corp holdings intl").
+
+    Everything is JVM expression chains (split / array_sort /
+    array_intersect / concat_ws / levenshtein) — no UDF — and each step
+    has an exact DuckDB twin (list_sort / list_intersect /
+    array_to_string / levenshtein), so the gate value-hashes all three
+    features. Appends the three columns to ``pairs``.
+    """
+
+    def norm_sim(a, b):
+        ml = F.greatest(F.length(a), F.length(b))
+        return F.when(ml == 0, F.lit(1.0)).otherwise(
+            1.0 - F.levenshtein(a, b) / ml
+        )
+
+    def toks(c):
+        return F.array_sort(
+            F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda w: w != "")
+        )
+
+    ta, tb = toks(F.col(name_a)), toks(F.col(name_b))
+    sa, sb = F.concat_ws(" ", ta), F.concat_ws(" ", tb)
+    common = F.concat_ws(" ", F.array_sort(F.array_intersect(ta, tb)))
+    return (
+        pairs.withColumn("ratio", norm_sim(F.col(name_a), F.col(name_b)))
+        .withColumn("token_sort_ratio", norm_sim(sa, sb))
+        .withColumn(
+            "token_set_ratio",
+            F.greatest(norm_sim(common, sa), norm_sim(common, sb)),
+        )
+    )

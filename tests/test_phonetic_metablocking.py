@@ -285,3 +285,31 @@ def test_edit_distance_join_validates_knobs(spark):
         edit_distance_join(df, k=-1)
     with _pt.raises(ValueError, match="q must"):
         edit_distance_join(df, q=0)
+
+
+def test_fuzzy_ratios_hand_examples(spark):
+    from minimel_spark.operators.pairs import fuzzy_ratios
+
+    df = spark.createDataFrame(
+        [
+            ("john smith", "smith john"),
+            ("acme corp", "acme corp holdings intl"),
+            ("", ""),
+            ("abc", "xyz"),
+        ],
+        "name_a string, name_b string",
+    )
+    rows = fuzzy_ratios(df).collect()
+    by = {(r["name_a"], r["name_b"]): r for r in rows}
+    r = by[("john smith", "smith john")]
+    assert r["ratio"] < 1.0
+    assert r["token_sort_ratio"] == pytest.approx(1.0)
+    assert r["token_set_ratio"] == pytest.approx(1.0)
+    r = by[("acme corp", "acme corp holdings intl")]
+    assert r["token_sort_ratio"] < 1.0
+    assert r["token_set_ratio"] == pytest.approx(1.0)  # common == shorter side
+    r = by[("", "")]
+    assert r["ratio"] == r["token_sort_ratio"] == r["token_set_ratio"] == 1.0
+    r = by[("abc", "xyz")]
+    assert r["ratio"] == pytest.approx(0.0)
+    assert r["token_set_ratio"] == pytest.approx(0.0)  # empty common vs full
