@@ -5228,6 +5228,81 @@ SELECT na AS rec_id_a, nb AS rec_id_b,
 FROM f"""
 
 
+def q_cc_churn(spark, sf_dir):
+    """Cluster-lifecycle accounting (operators/cluster.py cluster_churn)
+    across the cc_incremental world's arrival step: prev = components of
+    the nation-chain edges, new = components after the mktsegment-chain
+    batch merges in. Adding edges can only merge, so the gate's expected
+    shape is splits=0, vanished=0, stable+merged=n_prev — and the oracle
+    recomputes BOTH closures (two recursive CTEs) plus the full
+    classification arithmetic relationally."""
+    from minimel_spark.operators.cluster import cluster_churn
+
+    cust = _t(spark, sf_dir, "customer")
+    w1 = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w2 = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    e1 = cust.select(
+        F.col("c_custkey").alias("src"), F.lead("c_custkey").over(w1).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    e2 = cust.select(
+        F.col("c_custkey").alias("src"), F.lead("c_custkey").over(w2).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    prev = connected_components(e1)
+    new = connected_components(e1.unionByName(e2))
+    return cluster_churn(prev, new)
+
+
+SQL_CC_CHURN = """
+WITH RECURSIVE
+e1 AS (
+  SELECT c_custkey AS s,
+         lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS d
+  FROM customer),
+e2 AS (
+  SELECT c_custkey AS s,
+         lead(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS d
+  FROM customer),
+s1 AS (SELECT s, d FROM e1 WHERE d IS NOT NULL
+       UNION SELECT d, s FROM e1 WHERE d IS NOT NULL),
+sa AS (
+  SELECT s, d FROM (SELECT s, d FROM e1 WHERE d IS NOT NULL
+                    UNION SELECT s, d FROM e2 WHERE d IS NOT NULL) u
+  UNION
+  SELECT d, s FROM (SELECT s, d FROM e1 WHERE d IS NOT NULL
+                    UNION SELECT s, d FROM e2 WHERE d IS NOT NULL) u),
+w1(n, c) AS (
+  SELECT s, s FROM s1
+  UNION SELECT s1.d, w1.c FROM w1 JOIN s1 ON s1.s = w1.n),
+wa(n, c) AS (
+  SELECT s, s FROM sa
+  UNION SELECT sa.d, wa.c FROM wa JOIN sa ON sa.s = wa.n),
+prev AS (SELECT n AS rec_id, min(c) AS pc FROM w1 GROUP BY n),
+neww AS (SELECT n AS rec_id, min(c) AS nc FROM wa GROUP BY n),
+cell AS (
+  SELECT pc, nc, count(*) AS n FROM prev JOIN neww USING (rec_id)
+  GROUP BY pc, nc),
+fanin AS (SELECT nc, count(*) AS fi FROM cell GROUP BY nc),
+per_prev AS (
+  SELECT pc, count(*) AS fo, sum(n) AS tot,
+         min(struct_pack(a := -n, b := nc, m := n))['m'] AS maj,
+         max(fi) AS max_fi
+  FROM cell JOIN fanin USING (nc) GROUP BY pc),
+surv AS (
+  SELECT count(*) AS n_survived,
+         sum(CASE WHEN fo >= 2 THEN 1 ELSE 0 END) AS n_split,
+         sum(CASE WHEN fo = 1 AND max_fi >= 2 THEN 1 ELSE 0 END) AS n_merged,
+         sum(CASE WHEN fo = 1 AND max_fi = 1 THEN 1 ELSE 0 END) AS n_stable,
+         sum(tot - maj) AS moved_records
+  FROM per_prev)
+SELECT (SELECT count(DISTINCT pc) FROM prev)::BIGINT AS n_prev,
+       (SELECT count(DISTINCT nc) FROM neww)::BIGINT AS n_new,
+       n_stable::BIGINT AS n_stable, n_split::BIGINT AS n_split,
+       n_merged::BIGINT AS n_merged,
+       ((SELECT count(DISTINCT pc) FROM prev) - n_survived)::BIGINT AS n_vanished,
+       moved_records::BIGINT AS moved_records
+FROM surv"""
+
+
 def q_corpus_dsir(spark, sf_dir):
     """DSIR importance resampling weights (operators/corpus.py
     dsir_importance; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -5316,231 +5391,149 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
-# 50 entries for CORRECTNESS_r{N}.json. Round-5 rotation (VERDICT r4 #7,
-# continuing the r4 scheme so CONSECUTIVE driver files jointly cover all 60):
-# the ten er_* gates that sat past the cap in r4 (er_anchor_counts_joined ...
-# er_disambig_links, all driver-green in r3) rotate back inside the first 50;
-# EVERY gate displaced past the cap to make room for the twenty new r5
-# gates (corpus_*, web_*, dedup_incremental, dedup_passage_overlap,
-# text_bm25_topk, stream_latest_snapshot, stream_incremental_minhash,
-# stream_dedup_events, graph_pagerank) has a green r4 driver row, so
-# union(CORRECTNESS_r04, CORRECTNESS_r05) covers all 80 queries. The full
-# local sweep (scripts/check_entry.py) still runs all 80.
+# 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
+# r4 rotation scheme, VERDICT r4 item 7):
+# - window positions 1-10: the ten er_* gates absent from CORRECTNESS_r04
+#   (they sat past the r4 cap; all r3-driver-green) — this keeps
+#   union(CORRECTNESS_r04, CORRECTNESS_r05) = all 60 original queries,
+#   exactly the criterion the r4 verdict set;
+# - window positions 11-50: forty of the sixty round-5 gates that have
+#   never had a driver row, picked so every NEW operator family has at least
+#   one driver-checked representative;
+# - tail (51+): first the twenty round-5 gates whose family sibling is
+#   in-window (each green in the full local sweep, scripts/check_entry.py,
+#   and in pytest — sweep logs cover what the 50-row driver cap cannot),
+#   then every gate with a green historical driver row from r1-r4.
+_WINDOW: list[str] = [
+    "er_anchor_counts_joined",
+    "er_mentions_chunked",
+    "er_nil_mentions",
+    "er_eval_macro",
+    "er_per_name_scores",
+    "er_top_shadowed",
+    "er_clean_candidates",
+    "tsv_predictions_roundtrip",
+    "er_upperbound",
+    "er_disambig_links",
+    "web_canonical_urls",
+    "web_latest_snapshot",
+    "web_domain_quota",
+    "dedup_incremental",
+    "graph_pagerank",
+    "dedup_passage_overlap",
+    "text_bm25_topk",
+    "stream_incremental_minhash",
+    "corpus_decontaminate",
+    "corpus_pii_scrub",
+    "corpus_dup_coverage",
+    "corpus_pack_sequences",
+    "corpus_lm_perplexity",
+    "web_hll_distinct",
+    "rel_bloom_semi_join",
+    "corpus_sample_weighted",
+    "cc_churn",
+    "rel_exact_quantiles",
+    "stream_cms_counts",
+    "rel_funnel_steps",
+    "rel_asof_join",
+    "rel_scd2",
+    "corpus_mixture_sample",
+    "er_fs_em",
+    "cc_incremental",
+    "dedup_prefix_jaccard",
+    "er_sorted_neighborhood",
+    "er_blocking_metrics",
+    "er_golden_records",
+    "er_checkpoint_resume",
+    "stream_cc_incremental",
+    "rel_profile_columns",
+    "er_phonetic_blocking",
+    "er_meta_blocking",
+    "er_cluster_bcubed",
+    "dedup_transitive_keep",
+    "er_edit_join",
+    "corpus_dsir",
+    "er_meta_pipeline",
+    "er_fuzzy_ratios",
+]
+
+_TAIL: list[str] = [
+    "corpus_pmi_collocations",
+    "corpus_repetition",
+    "corpus_canonical_docs",
+    "corpus_sample_stratified",
+    "corpus_top_ngrams",
+    "corpus_cms_counts",
+    "corpus_vocab_oov",
+    "rel_shipping_priority",
+    "rel_local_supplier",
+    "rel_rollup_sales",
+    "rel_range_join",
+    "rel_bucketed_join",
+    "rel_zorder_keys",
+    "rel_skew_profile",
+    "rel_event_transitions",
+    "stream_latest_snapshot",
+    "stream_dedup_events",
+    "stream_asof_join",
+    "web_snapshot_diff",
+    "graph_triangles",
+    "er_eval_micro",
+    "er_clean_strict",
+    "er_pipeline_clusters",
+    "cc_components",
+    "pair_features",
+    "dedup_minhash",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "er_most_common_sense",
+    "er_rank_candidates",
+    "er_anchor_stats",
+    "er_log_gap_steps",
+    "er_mention_counts",
+    "er_mentions",
+    "er_matcher_planted",
+    "m4_similarity_edges",
+    "er_anchor_counts",
+    "er_predict_cascade",
+    "er_fold_counts",
+    "ent_features",
+    "dedup_minhash_recall",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    "ann_embdup_recall",
+    "er_counts_map",
+    "dedup_exact",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "ann_embedding_dups",
+    "dedup_embed_hashed",
+    "stream_hourly_events",
+    "stream_sessionize",
+    "mm_features",
+    "rel_percentile_brands",
+    "rel_entropy_segments",
+    "rel_except",
+    "rel_sessionize",
+    "rel_hourly_events",
+    "text_token_stats",
+    "text_quality",
+    "text_language_id",
+    "text_fingerprints",
+    "text_embed_hashed",
+    "rel_pricing_summary",
+    "rel_top_orders",
+    "rel_anti_join",
+    "rel_semi_join",
+    "rel_full_outer_align",
+    "dedup_jaccard_words",
+    "dedup_jaccard_3gram",
+]
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ER pipeline (SURVEY §2: P2, P6-P9, A1-A3, A5-A6, A12, O1, M1-M3, L2, A10/J7)
-    "er_eval_micro": q_er_eval_micro,
-    "er_clean_strict": q_er_clean_strict,
-    "er_pipeline_clusters": q_er_pipeline_clusters,
-    # clustering (M4, CC)
-    "cc_components": q_cc_components,
-    # pair generation + features (blocking, J3, M7-ish)
-    "pair_features": q_pair_features,
-    # dedup
-    "dedup_minhash": q_dedup_minhash,
-    # ANN
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    # web-snapshot curation (NEW r5, fourth batch): URL canonicalization,
-    # newest-version-wins dedup, domain quotas, snapshot diff — in-window so
-    # they get driver rows immediately; the four recall gates they displace
-    # (dedup_minhash_recall, ann_*_recall) are r4-driver-green, preserving
-    # union coverage across rounds
-    "web_canonical_urls": q_web_canonical_urls,
-    "web_latest_snapshot": q_web_latest_snapshot,
-    "web_domain_quota": q_web_domain_quota,
-    "web_snapshot_diff": q_web_snapshot_diff,
-    # incremental corpus dedup + streaming newest-wins (NEW r5, fifth
-    # batch) — in-window; the two gates they displace (dedup_exact,
-    # dedup_embed_hashed) are r4-driver-green, preserving union coverage
-    "dedup_incremental": q_dedup_incremental,
-    "stream_latest_snapshot": q_stream_latest_snapshot,
-    # link-graph centrality (NEW r5, sixth batch) — in-window; displaces
-    # dedup_simhash (r4-driver-green), preserving union coverage
-    "graph_pagerank": q_graph_pagerank,
-    # passage-level winnowing overlap + BM25 ranking (NEW r5, seventh
-    # batch) — in-window; displace ann_bruteforce_topk and
-    # ann_embedding_dups (both r4-driver-green)
-    "dedup_passage_overlap": q_dedup_passage_overlap,
-    "text_bm25_topk": q_text_bm25_topk,
-    # streaming incremental minhash (NEW r5, eighth batch) — in-window;
-    # displaces er_counts_map (r4-driver-green)
-    "stream_incremental_minhash": q_stream_incremental_minhash,
-    # er_* family rotated back inside the sampling window (r5; r3-green +
-    # r4-tail — see the rotation note above)
-    "er_anchor_counts_joined": q_er_anchor_counts_joined,
-    "er_mentions_chunked": q_er_mentions_chunked,
-    "er_nil_mentions": q_er_nil_mentions,
-    "er_eval_macro": q_er_eval_macro,
-    "er_per_name_scores": q_er_per_name_scores,
-    "er_top_shadowed": q_er_top_shadowed,
-    "er_clean_candidates": q_er_clean_candidates,
-    "tsv_predictions_roundtrip": q_tsv_predictions_roundtrip,
-    "er_upperbound": q_er_upperbound,
-    "er_disambig_links": q_er_disambig_links,
-    # corpus curation (NEW r5: decontamination, repetition QC,
-    # dup-cluster canonicalization, stratified sampling, heavy hitters) —
-    # placed inside the sampling window so they get driver rows immediately;
-    # the five rel_* gates they displace are r4-driver-green, so
-    # union(CORRECTNESS_r04, CORRECTNESS_r05) still covers every query
-    "corpus_decontaminate": q_corpus_decontaminate,
-    "corpus_repetition": q_corpus_repetition,
-    "corpus_canonical_docs": q_corpus_canonical_docs,
-    "corpus_sample_stratified": q_corpus_sample_stratified,
-    "corpus_top_ngrams": q_corpus_top_ngrams,
-    # corpus curation, second batch (NEW r5): PII scrub, repeated-n-gram
-    # coverage, vocabulary/OOV — in-window so they get driver rows
-    # immediately; the three gates they displace (stream_*, mm_features)
-    # are r4-driver-green, preserving union coverage across rounds
-    "corpus_pii_scrub": q_corpus_pii_scrub,
-    "corpus_dup_coverage": q_corpus_dup_coverage,
-    "corpus_vocab_oov": q_corpus_vocab_oov,
-    # third batch (NEW r5): sequence packing + streaming dedup — in-window
-    # so they get driver rows immediately; the two gates they displace
-    # (dedup_jaccard_words, dedup_jaccard_3gram) are r4-driver-green
-    "corpus_pack_sequences": q_corpus_pack_sequences,
-    "stream_dedup_events": q_stream_dedup_events,
-    # ninth batch (NEW r5): bigram-LM perplexity quality scoring +
-    # deterministic HyperLogLog distinct sketch — in-window so they get
-    # driver rows immediately; the two gates they displace
-    # (er_most_common_sense, er_rank_candidates) are r4-driver-green and
-    # untouched by any r5 code change
-    "corpus_lm_perplexity": q_corpus_lm_perplexity,
-    "web_hll_distinct": q_web_hll_distinct,
-    # tenth batch (NEW r5): Bloom-filter semi-join pruning, count-min
-    # sketch frequency estimation, triangle counting — in-window; displace
-    # er_anchor_stats, er_log_gap_steps and er_mention_counts (all three
-    # r4-driver-green, untouched by r5 changes)
-    "rel_bloom_semi_join": q_rel_bloom_semi_join,
-    "corpus_cms_counts": q_corpus_cms_counts,
-    "graph_triangles": q_graph_triangles,
-    # eleventh batch (NEW r5): A-ES weighted sampling + PMI collocations —
-    # in-window; displace ent_features and er_fold_counts (both
-    # r4-driver-green, untouched by r5 changes)
-    "corpus_sample_weighted": q_corpus_sample_weighted,
-    "corpus_pmi_collocations": q_corpus_pmi_collocations,
-    # twelfth batch (NEW r5): exact distributed quantiles + streaming CMS —
-    # in-window; displace er_mentions and er_predict_cascade (both
-    # r4-driver-green, their operator files untouched in r5)
-    "rel_exact_quantiles": q_rel_exact_quantiles,
-    "stream_cms_counts": q_stream_cms_counts,
-    # thirteenth batch (NEW r5): key-skew profiling — in-window; displaces
-    # er_anchor_counts (r4-driver-green; count/wikitext untouched in r5)
-    "rel_skew_profile": q_rel_skew_profile,
-    # fourteenth batch (NEW r5): event-sequence analytics — in-window;
-    # displace er_matcher_planted and m4_similarity_edges (both
-    # r4-driver-green; scoring.py untouched in r5, and cc_components stays
-    # in-window to cover the r5 cluster.py change)
-    "rel_funnel_steps": q_rel_funnel_steps,
-    "rel_event_transitions": q_rel_event_transitions,
-    # --- tail (positions 51+): driver-green in r4, rotated past the cap ---
-    # displaced ninth/tenth batch (r4-green, code untouched in r5)
-    "er_most_common_sense": q_er_most_common_sense,
-    "er_rank_candidates": q_er_rank_candidates,
-    "er_anchor_stats": q_er_anchor_stats,
-    "er_log_gap_steps": q_er_log_gap_steps,
-    "er_mention_counts": q_er_mention_counts,
-    "er_mentions": q_er_mentions,
-    "er_matcher_planted": q_er_matcher_planted,
-    "m4_similarity_edges": q_m4_similarity_edges,
-    "er_anchor_counts": q_er_anchor_counts,
-    "er_predict_cascade": q_er_predict_cascade,
-    "er_fold_counts": q_er_fold_counts,
-    "ent_features": q_ent_features,
-    # recall gates for the approximate family (r4-green; the primary
-    # approximate gates now carry full md5-mode value oracles in-window)
-    "dedup_minhash_recall": q_dedup_minhash_recall,
-    "ann_lsh_recall": q_ann_lsh_recall,
-    "ann_ivf_recall": q_ann_ivf_recall,
-    "ann_embdup_recall": q_ann_embdup_recall,
-    # displaced r5 fifth/sixth/seventh/eighth batch (r4-green): exact
-    # dedup, simhash, embed-hashed E2E, brute-force ANN, embedding
-    # near-dups, counts-to-map rollup
-    "er_counts_map": q_er_counts_map,
-    "dedup_exact": q_dedup_exact,
-    "dedup_simhash": q_dedup_simhash,
-    "ann_bruteforce_topk": q_ann_bruteforce_topk,
-    "ann_embedding_dups": q_ann_embedding_dups,
-    "dedup_embed_hashed": q_dedup_embed_hashed,
-    # structured streaming (stream==batch, same oracle as rel_hourly_events)
-    "stream_hourly_events": q_stream_hourly_events,
-    "stream_sessionize": q_stream_sessionize,
-    # multimodal plumbing
-    "mm_features": q_mm_features,
-    "rel_percentile_brands": q_rel_percentile_brands,
-    "rel_entropy_segments": q_rel_entropy_segments,
-    "rel_except": q_rel_except,
-    "rel_sessionize": q_rel_sessionize,
-    "rel_hourly_events": q_rel_hourly_events,
-    "text_token_stats": q_text_token_stats,
-    "text_quality": q_text_quality,
-    "text_language_id": q_text_language_id,
-    "text_fingerprints": q_text_fingerprints,
-    "text_embed_hashed": q_text_embed_hashed,
-    "rel_pricing_summary": q_rel_pricing_summary,
-    "rel_top_orders": q_rel_top_orders,
-    "rel_anti_join": q_rel_anti_join,
-    "rel_semi_join": q_rel_semi_join,
-    "rel_full_outer_align": q_rel_full_outer_align,
-    "dedup_jaccard_words": q_dedup_jaccard_words,
-    "dedup_jaccard_3gram": q_dedup_jaccard_3gram,
-    # temporal relational family (NEW r5, fifteenth batch) — tail-placed:
-    # every in-window slot is held by a gate needing its FIRST driver row
-    # (r5-new code) or an r4-tail er_* gate whose union coverage depends on
-    # an r5 row; these three are full-sweep + pytest verified this round
-    # and rotate into the window in r6
-    "rel_asof_join": q_rel_asof_join,
-    "rel_range_join": q_rel_range_join,
-    "rel_scd2": q_rel_scd2,
-    "stream_asof_join": q_stream_asof_join,
-    "rel_shipping_priority": q_rel_shipping_priority,
-    "rel_local_supplier": q_rel_local_supplier,
-    "rel_rollup_sales": q_rel_rollup_sales,
-    "rel_bucketed_join": q_rel_bucketed_join,
-    "rel_zorder_keys": q_rel_zorder_keys,
-    # sixteenth batch (NEW r5): token-budget mixture sampling — tail-placed
-    # like the fifteenth batch (in-window slots all spoken for this round);
-    # full-sweep + pytest verified, rotates into the window in r6
-    "corpus_mixture_sample": q_corpus_mixture_sample,
-    # seventeenth batch (NEW r5): unsupervised Fellegi-Sunter EM linkage —
-    # tail-placed with the same rotation plan
-    "er_fs_em": q_er_fs_em,
-    # eighteenth batch (NEW r5): incremental clustering maintenance —
-    # tail-placed with the same rotation plan
-    "cc_incremental": q_cc_incremental,
-    # nineteenth batch (NEW r5): prefix-filtered exact set-similarity
-    # join — tail-placed with the same rotation plan
-    "dedup_prefix_jaccard": q_dedup_prefix_jaccard,
-    # twentieth batch (NEW r5): sorted-neighborhood blocking — tail-placed
-    # with the same rotation plan
-    "er_sorted_neighborhood": q_er_sorted_neighborhood,
-    # twenty-first batch (NEW r5): blocking-quality metrics — tail-placed
-    # with the same rotation plan
-    "er_blocking_metrics": q_er_blocking_metrics,
-    # twenty-second batch (NEW r5): golden-record survivorship —
-    # tail-placed with the same rotation plan
-    "er_golden_records": q_er_golden_records,
-    # twenty-third batch (NEW r5): checkpoint/resume + lineage audit as a
-    # value gate (north rule X3/X4) — tail-placed with the same rotation
-    # plan
-    "er_checkpoint_resume": q_er_checkpoint_resume,
-    # twenty-fourth batch (NEW r5): streaming cluster maintenance —
-    # tail-placed with the same rotation plan
-    "stream_cc_incremental": q_stream_cc_incremental,
-    # twenty-fifth batch (NEW r5): one-pass column profiling — tail-placed
-    # with the same rotation plan
-    "rel_profile_columns": q_rel_profile_columns,
-    # twenty-sixth batch (NEW r5): phonetic blocking, meta-blocking,
-    # cluster-quality metrics, transitive fuzzy dedup — tail-placed pending
-    # the end-of-round window re-pick
-    "er_phonetic_blocking": q_er_phonetic_blocking,
-    "er_meta_blocking": q_er_meta_blocking,
-    "er_cluster_bcubed": q_er_cluster_bcubed,
-    "dedup_transitive_keep": q_dedup_transitive_keep,
-    "er_edit_join": q_er_edit_join,
-    "corpus_dsir": q_corpus_dsir,
-    "er_meta_pipeline": q_er_meta_pipeline,
-    "er_fuzzy_ratios": q_er_fuzzy_ratios,
+    name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 120
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -5693,6 +5686,7 @@ _ORACLES: dict[str, str] = {
     "corpus_dsir": SQL_CORPUS_DSIR,
     "er_meta_pipeline": SQL_ER_META_PIPELINE,
     "er_fuzzy_ratios": SQL_ER_FUZZY_RATIOS,
+    "cc_churn": SQL_CC_CHURN,
 }
 
 

@@ -247,3 +247,84 @@ def cluster_candidates(
         .agg(F.sum("nw").alias("weight"))
     )
     return membership, cluster_scores
+
+
+def cluster_churn(prev: DataFrame, new: DataFrame) -> DataFrame:
+    """Cluster-lifecycle accounting between two clusterings of overlapping
+    record sets — the monitoring metric for continuously-maintained ER
+    (:func:`incremental_components` / the streaming snapshot path): how many
+    clusters survived an arrival batch intact, how many split, how many were
+    absorbed into merges, and how much record mass moved.
+
+    Inputs are (node, component) tables. Per PREV cluster, classified over
+    the records present in BOTH clusterings:
+
+    - ``stable``   — members map to exactly one new cluster, and that new
+                     cluster contains no other surviving records;
+    - ``split``    — members spread over >= 2 new clusters;
+    - ``merged``   — members land in one new cluster that also absorbed
+                     records from other prev clusters;
+    - ``vanished`` — no member survives into ``new``.
+
+    (A cluster that splits AND each shard merges counts as ``split`` —
+    classification is by the prev cluster's own fan-out first.)
+
+    One row out: ``(n_prev, n_new, n_stable, n_split, n_merged, n_vanished,
+    moved_records)`` where ``moved_records`` counts surviving records whose
+    new cluster != the majority destination of their prev cluster (ties by
+    smallest new-cluster id, so the count is deterministic).
+
+    Distributed: one alignment join builds the (prev, new) contingency
+    cells; everything else is aggregation over cells — never the pair
+    space, no iteration, no driver state.
+    """
+    p = prev.select(F.col("node").alias("rec_id"), F.col("component").alias("pc"))
+    q = new.select(F.col("node").alias("rec_id"), F.col("component").alias("nc"))
+    cell = (
+        p.join(q, "rec_id")
+        .groupBy("pc", "nc")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # new-cluster fan-in (how many prev clusters feed each new cluster)
+    fanin = cell.groupBy("nc").agg(F.count(F.lit(1)).alias("_fi"))
+    # per prev cluster: fan-out, total survivors, majority destination mass
+    per_prev = (
+        cell.join(fanin, "nc")
+        .groupBy("pc")
+        .agg(
+            F.count(F.lit(1)).alias("_fo"),
+            F.sum("n").alias("_tot"),
+            # majority destination: min by (-n, nc) -> largest mass, ties to
+            # the smallest new-cluster id; nc only needs to be orderable
+            F.min(F.struct(-F.col("n"), F.col("nc"), F.col("n").alias("_mn")))[
+                "_mn"
+            ].alias("_maj"),
+            F.max("_fi").alias("_max_fi"),
+        )
+    )
+    surv = per_prev.agg(
+        F.count(F.lit(1)).alias("n_survived"),
+        F.sum(F.when(F.col("_fo") >= 2, 1).otherwise(0)).alias("n_split"),
+        F.sum(
+            F.when((F.col("_fo") == 1) & (F.col("_max_fi") >= 2), 1).otherwise(0)
+        ).alias("n_merged"),
+        F.sum(
+            F.when((F.col("_fo") == 1) & (F.col("_max_fi") == 1), 1).otherwise(0)
+        ).alias("n_stable"),
+        F.sum(F.col("_tot") - F.col("_maj")).alias("moved_records"),
+    )
+    n_prev = prev.agg(F.countDistinct("component").alias("n_prev"))
+    n_new = new.agg(F.countDistinct("component").alias("n_new"))
+    return (
+        n_prev.crossJoin(n_new)
+        .crossJoin(surv)
+        .select(
+            F.col("n_prev").cast("long").alias("n_prev"),
+            F.col("n_new").cast("long").alias("n_new"),
+            F.col("n_stable").cast("long").alias("n_stable"),
+            F.col("n_split").cast("long").alias("n_split"),
+            F.col("n_merged").cast("long").alias("n_merged"),
+            (F.col("n_prev") - F.col("n_survived")).cast("long").alias("n_vanished"),
+            F.col("moved_records").cast("long").alias("moved_records"),
+        )
+    )

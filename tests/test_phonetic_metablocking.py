@@ -313,3 +313,39 @@ def test_fuzzy_ratios_hand_examples(spark):
     r = by[("abc", "xyz")]
     assert r["ratio"] == pytest.approx(0.0)
     assert r["token_set_ratio"] == pytest.approx(0.0)  # empty common vs full
+
+
+def test_cluster_churn_hand_example(spark):
+    from minimel_spark.operators.cluster import cluster_churn
+
+    # prev: A={1,2,3} B={4,5} C={6} D={7} (D vanishes)
+    prev = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 200), (5, 200), (6, 300), (7, 400)],
+        "node long, component long",
+    )
+    # new: A splits {1,2}|{3}; B merges with C into one; 8 is brand new
+    new = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 30), (4, 20), (5, 20), (6, 20), (8, 80)],
+        "node long, component long",
+    )
+    row = cluster_churn(prev, new).first()
+    assert row["n_prev"] == 4 and row["n_new"] == 4
+    assert row["n_split"] == 1      # A
+    assert row["n_merged"] == 2     # B and C both land in the absorbing 20
+    assert row["n_stable"] == 0
+    assert row["n_vanished"] == 1   # D
+    # moved: A's minority shard {3} -> 1 record; B and C are each wholly in
+    # their majority destination
+    assert row["moved_records"] == 1
+
+
+def test_cluster_churn_identity(spark):
+    from minimel_spark.operators.cluster import cluster_churn
+
+    c = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "node long, component long"
+    )
+    row = cluster_churn(c, c).first()
+    assert row["n_stable"] == 2 and row["n_split"] == 0
+    assert row["n_merged"] == 0 and row["n_vanished"] == 0
+    assert row["moved_records"] == 0
