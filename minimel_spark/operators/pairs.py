@@ -451,22 +451,24 @@ def edit_distance_join(
         .select("rec_id_a", "rec_id_b", "_na", "_nb")
     )
 
-    # short stratum: all-pairs among strings below the lemma's floor
+    # short stratum: all-pairs among strings below the lemma's floor — as an
+    # EQUI join (hash, never a nested loop): side b explodes its 2k+1
+    # admissible partner lengths, side a joins on its own exact length, so
+    # every |la - lb| <= k pair matches exactly once
     sh = names.where(F.col("ln") < short_cut)
     sa = sh.select(
         F.col("rid").alias("rec_id_a"), F.col("nm").alias("_na"),
-        F.col("ln").alias("_la"),
+        F.col("ln").alias("_cl"),
     )
     sb = sh.select(
         F.col("rid").alias("rec_id_b"), F.col("nm").alias("_nb"),
-        F.col("ln").alias("_lb"),
+        F.explode(
+            F.sequence(F.greatest(F.col("ln") - k, F.lit(0)), F.col("ln") + k)
+        ).alias("_cl"),
     )
     cand_short = (
-        sa.join(
-            sb,
-            (sa["rec_id_a"] < sb["rec_id_b"])
-            & (F.abs(sa["_la"] - sb["_lb"]) <= k),
-        )
+        sa.join(sb, "_cl")
+        .where(F.col("rec_id_a") < F.col("rec_id_b"))
         .select("rec_id_a", "rec_id_b", "_na", "_nb")
     )
 

@@ -349,3 +349,39 @@ def test_cluster_churn_identity(spark):
     assert row["n_stable"] == 2 and row["n_split"] == 0
     assert row["n_merged"] == 0 and row["n_vanished"] == 0
     assert row["moved_records"] == 0
+
+
+def _assert_no_window_or_sort_funnel(df):
+    """Scale-shape pin shared by the round-5 ER batch: no SinglePartition
+    exchange feeding a Sort/Window (1-row scalar-aggregate reduces are the
+    only allowed single-partition points)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            above = " ".join(lines[max(0, i - 2) : i])
+            assert "Window" not in above and "Sort" not in above, plan
+    assert "TakeOrderedAndProject" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_round5_er_operator_plan_shapes(spark):
+    from minimel_spark.operators.corpus import dsir_importance
+    from minimel_spark.operators.pairs import edit_distance_join, fuzzy_ratios
+
+    recs = spark.createDataFrame(
+        [(i, f"name{i} corp") for i in range(40)], "rec_id long, name string"
+    )
+    _assert_no_window_or_sort_funnel(
+        meta_blocking_pairs(token_blocks(recs))
+    )
+    _assert_no_window_or_sort_funnel(edit_distance_join(recs, k=2, q=2))
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} common") for i in range(30)],
+        "doc_id long, text string",
+    )
+    _assert_no_window_or_sort_funnel(dsir_importance(docs, docs.limit(10)))
+    pairs = spark.createDataFrame(
+        [("a b", "b a")], "name_a string, name_b string"
+    )
+    _assert_no_window_or_sort_funnel(fuzzy_ratios(pairs))
