@@ -101,8 +101,11 @@ def meta_blocking_pairs(
             "rec_id_a", "rec_id_b", F.col("cbs").cast("double").alias("weight")
         )
 
-    edges = edges.persist()
+    # 3 consumers (two node-threshold unions + the final semi-filter):
+    # persist only when the caller manages the lifecycle — an unconditional
+    # persist would leak the cache for the session on fire-and-forget calls
     if persisted_out is not None:
+        edges = edges.persist()
         persisted_out.append(edges)
 
     # 3. WNP: per-node mean weight; edge survives if weight >= either

@@ -370,6 +370,7 @@ def edit_distance_join(
     q: int = 2,
     name_col: str = "name",
     id_col: str = "rec_id",
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Exact edit-distance similarity self-join: all pairs with
     ``levenshtein(a, b) <= k``, via the LOSSLESS q-gram count filter
@@ -430,6 +431,11 @@ def edit_distance_join(
         .groupBy("rid", "nm", "ln", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # both sides of the posting join scan the same gram table: persist when
+    # the caller manages the lifecycle
+    if persisted_out is not None:
+        grams = grams.persist()
+        persisted_out.append(grams)
     ga = grams.select(
         F.col("rid").alias("rec_id_a"), F.col("nm").alias("_na"),
         F.col("ln").alias("_la"), "gram", F.col("cnt").alias("_ca"),
