@@ -4804,10 +4804,11 @@ def _vw_records(spark):
 def q_er_phonetic_blocking(spark, sf_dir):
     """Phonetic blocking (operators/blocking.py phonetic_blocks +
     functions/phonetic.py): American Soundex keys over the variant world's
-    160 surface forms. The Spark side is a pure JVM expression chain
-    (upper/translate/regexp_replace); the oracle reproduces BOTH the name
-    construction AND the soundex chain in DuckDB SQL — hash-equality pins
-    the encoder bit-for-bit on 160 pseudo-random names (known-vector +
+    156 distinct surface forms (4 of the 160 constructed variants collide:
+    entities whose 5th and 6th letters match make v3 == v0). The Spark side
+    is a pure JVM expression chain (upper/translate/regexp_replace); the
+    oracle reproduces BOTH the name construction AND the soundex chain in
+    DuckDB SQL — hash-equality pins the encoder bit-for-bit (known-vector +
     fuzz parity vs a pure-Python reference lives in pytest)."""
     from minimel_spark.operators.blocking import phonetic_blocks
 
@@ -4828,8 +4829,8 @@ SELECT 'p:' || {_soundex_sql('u')} AS block_key, name AS rec_id FROM u"""
 def _vw_block_keys(recs):
     """Redundancy-positive key union over variant-world names: soundex +
     4-char prefix + 4-char suffix + first letter (the deliberate stop key
-    that block purging must drop: 160 names over <= 10 first letters
-    pigeonholes at least one block past any cap < 16)."""
+    that block purging must drop: 156 distinct names over <= 10 first
+    letters pigeonhole at least one block past any cap < 15)."""
     from minimel_spark.operators.blocking import phonetic_blocks
 
     pb = phonetic_blocks(recs)
