@@ -5229,6 +5229,82 @@ SELECT na AS rec_id_a, nb AS rec_id_b,
 FROM f"""
 
 
+def q_er_soft_tfidf(spark, sf_dir):
+    """Soft-TF-IDF (operators/pairs.py soft_tfidf; Cohen-Ravikumar-Fienberg
+    IIWeb 2003) over the last-word-blocked part-name pairs: corpus-IDF
+    weighted, Jaro-Winkler-soft-matched token similarity. The oracle
+    recomputes the tf/df/normalized-weight tables, the per-distinct-token-
+    pair JW (DuckDB's builtin — bit-compatible with the pandas-UDF JW above
+    the 0.85 cutoff: jw > 0.85 forces jaro > 0.75, inside both boost-
+    threshold conventions), the deterministic argmax, and the weighted sum."""
+    from minimel_spark.operators.pairs import candidate_pairs, soft_tfidf
+
+    part = _t(spark, sf_dir, "part")
+    records = part.select(F.col("p_name").alias("name")).distinct().withColumn(
+        "rec_id", F.col("name")
+    )
+    blocked = records.withColumn(
+        "block_key", F.regexp_extract("name", r"(\w+)$", 1)
+    )
+    pairs = candidate_pairs(blocked).select(
+        F.col("rec_id_a").alias("name_a"), F.col("rec_id_b").alias("name_b")
+    )
+    caches: list = []
+    out = soft_tfidf(
+        pairs, records, threshold=0.85, persisted_out=caches
+    ).select(
+        F.col("name_a").alias("rec_id_a"),
+        F.col("name_b").alias("rec_id_b"),
+        F.round("soft_tfidf", 6).alias("soft_tfidf"),
+    )
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_ER_SOFT_TFIDF = """
+WITH r AS (SELECT DISTINCT p_name AS name FROM part),
+b AS (SELECT name, regexp_extract(name, '(\\w+)$', 1) AS bk FROM r),
+p AS (
+  SELECT a.name AS na, c.name AS nb
+  FROM b a JOIN b c ON a.bk = c.bk AND a.name < c.name),
+tf AS (
+  SELECT name, tok, count(*) AS tf FROM (
+    SELECT name, unnest(list_filter(
+      regexp_split_to_array(lower(name), '[^a-z0-9]+'), x -> x <> '')) AS tok
+    FROM r) GROUP BY name, tok),
+dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nn AS (SELECT count(*)::DOUBLE AS n FROM r),
+u AS (
+  SELECT name, tok, tf * ln(1.0 + n / df) AS u
+  FROM tf JOIN dfq USING (tok) CROSS JOIN nn),
+z AS (SELECT name, sqrt(sum(u * u)) AS z FROM u GROUP BY name),
+w AS (
+  SELECT u.name, u.tok,
+         CASE WHEN z > 0 THEN u / z ELSE 0.0 END AS v
+  FROM u JOIN z ON z.name = u.name),
+tp AS (
+  SELECT DISTINCT wa.tok AS ta, wb.tok AS tb
+  FROM p JOIN w wa ON wa.name = p.na JOIN w wb ON wb.name = p.nb),
+jw AS (SELECT ta, tb, jaro_winkler_similarity(ta, tb) AS jw FROM tp),
+close AS (
+  SELECT p.na, p.nb, wa.tok AS ta, wa.v AS va,
+         min(struct_pack(a := -jw.jw, b := wb.tok,
+                         m := wb.v * jw.jw))['m'] AS c
+  FROM p
+  JOIN w wa ON wa.name = p.na
+  JOIN w wb ON wb.name = p.nb
+  JOIN jw ON jw.ta = wa.tok AND jw.tb = wb.tok
+  WHERE jw.jw > 0.85
+  GROUP BY p.na, p.nb, wa.tok, wa.v),
+scored AS (
+  SELECT na, nb, sum(va * c) AS s FROM close GROUP BY na, nb)
+SELECT p.na AS rec_id_a, p.nb AS rec_id_b,
+       round(coalesce(scored.s, 0.0), 6) AS soft_tfidf
+FROM p LEFT JOIN scored ON scored.na = p.na AND scored.nb = p.nb"""
+
+
 def q_cc_churn(spark, sf_dir):
     """Cluster-lifecycle accounting (operators/cluster.py cluster_churn)
     across the cc_incremental world's arrival step: prev = components of
@@ -5418,7 +5494,7 @@ _WINDOW: list[str] = [
     "er_disambig_links",
     "web_canonical_urls",
     "web_latest_snapshot",
-    "web_domain_quota",
+    "er_soft_tfidf",
     "dedup_incremental",
     "graph_pagerank",
     "dedup_passage_overlap",
@@ -5459,6 +5535,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "web_domain_quota",
     "corpus_pmi_collocations",
     "corpus_repetition",
     "corpus_canonical_docs",
@@ -5534,7 +5611,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 120
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 121
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -5688,6 +5765,7 @@ _ORACLES: dict[str, str] = {
     "er_meta_pipeline": SQL_ER_META_PIPELINE,
     "er_fuzzy_ratios": SQL_ER_FUZZY_RATIOS,
     "cc_churn": SQL_CC_CHURN,
+    "er_soft_tfidf": SQL_ER_SOFT_TFIDF,
 }
 
 

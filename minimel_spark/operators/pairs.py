@@ -534,3 +534,119 @@ def fuzzy_ratios(
             F.greatest(norm_sim(common, sa), norm_sim(common, sb)),
         )
     )
+
+
+def soft_tfidf(
+    pairs: DataFrame,
+    records: DataFrame,
+    threshold: float = 0.85,
+    name_col: str = "name",
+    name_a: str = "name_a",
+    name_b: str = "name_b",
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """Soft-TF-IDF (Cohen, Ravikumar & Fienberg, "A Comparison of String
+    Distance Metrics for Name-Matching Tasks", IIWeb 2003) — the hybrid
+    metric that beat both pure-token TF-IDF cosine and pure-edit
+    Jaro-Winkler in their benchmark, and remains the standard strong
+    baseline for multi-token name matching:
+
+        soft_tfidf(a, b) = Σ_{w ∈ close(a,b)} V(w, a) · V(match(w), b)
+                                             · jw(w, match(w))
+
+    where ``close`` = tokens of ``a`` with some token of ``b`` at
+    Jaro-Winkler > ``threshold``, ``match(w)`` = the argmax-JW partner
+    (ties broken by smallest partner token, deterministically), and
+    ``V(w, s)`` = the L2-normalized corpus-IDF token weight
+    ``tf(w, s) · ln(1 + N / df(w))`` over the ``records`` name corpus.
+
+    Distributed shape (everything O(distinct) where it can be):
+
+    - token DF and the per-name normalized weight table are corpus-side
+      joins computed once (``persisted_out`` receives the weight table —
+      it is consumed by both sides of every pair);
+    - JW runs ONCE per DISTINCT cross-pair token combination (the same
+      trick ``pair_features`` uses for whole names) — the pandas UDF
+      never sees the pair stream;
+    - per-pair token fan-out is |tokens(a)| × |tokens(b)|, bounded by
+      name length, grouped straight back down to one row per pair.
+
+    Asymmetric by definition (it iterates a's tokens); callers wanting a
+    symmetric feature take ``max``/``mean`` of both directions. Pairs with
+    no close token pair score 0.0. Appends ``soft_tfidf`` to ``pairs``.
+    """
+    if not 0.0 <= threshold < 1.0:
+        raise ValueError(f"threshold must be in [0, 1), got {threshold}")
+
+    def toks(c):
+        return F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda w: w != "")
+
+    names = records.select(F.col(name_col).alias("_nm")).distinct()
+    n_names = names.agg(F.count(F.lit(1)).alias("_n"))
+    tf = (
+        names.select("_nm", F.explode(toks(F.col("_nm"))).alias("_tok"))
+        .groupBy("_nm", "_tok")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    df_tbl = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    u = (
+        tf.join(df_tbl, "_tok")
+        .crossJoin(n_names)
+        .withColumn("_u", F.col("_tf") * F.log(1.0 + F.col("_n") / F.col("_df")))
+    )
+    norm = u.groupBy("_nm").agg(F.sqrt(F.sum(F.col("_u") * F.col("_u"))).alias("_z"))
+    w = (
+        u.join(norm, "_nm")
+        .select(
+            "_nm",
+            "_tok",
+            F.when(F.col("_z") > 0, F.col("_u") / F.col("_z"))
+            .otherwise(F.lit(0.0))
+            .alias("_v"),
+        )
+    )
+    if persisted_out is not None:
+        w = w.persist()
+        persisted_out.append(w)
+
+    pa = pairs.join(
+        w.select(
+            F.col("_nm").alias(name_a),
+            F.col("_tok").alias("_ta"),
+            F.col("_v").alias("_va"),
+        ),
+        name_a,
+    )
+    both = pa.join(
+        w.select(
+            F.col("_nm").alias(name_b),
+            F.col("_tok").alias("_tb"),
+            F.col("_v").alias("_vb"),
+        ),
+        name_b,
+    )
+    # JW once per DISTINCT (_ta, _tb): the UDF stream is the token-pair
+    # dictionary, not the pair stream
+    tok_pairs = both.select("_ta", "_tb").distinct().withColumn(
+        "_jw", jw_udf("_ta", "_tb")
+    )
+    close = (
+        both.join(tok_pairs, ["_ta", "_tb"])
+        .where(F.col("_jw") > threshold)
+        .groupBy(name_a, name_b, "_ta", "_va")
+        # argmax by jw, ties -> smallest partner token: min(struct(-jw, tb))
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_jw")).alias("_njw"),
+                    F.col("_tb"),
+                    (F.col("_vb") * F.col("_jw")).alias("_contrib"),
+                )
+            )["_contrib"].alias("_c")
+        )
+        .groupBy(name_a, name_b)
+        .agg(F.sum(F.col("_va") * F.col("_c")).alias("soft_tfidf"))
+    )
+    return pairs.join(close, [name_a, name_b], "left").withColumn(
+        "soft_tfidf", F.coalesce("soft_tfidf", F.lit(0.0))
+    )

@@ -385,3 +385,49 @@ def test_round5_er_operator_plan_shapes(spark):
         [("a b", "b a")], "name_a string, name_b string"
     )
     _assert_no_window_or_sort_funnel(fuzzy_ratios(pairs))
+
+
+def test_soft_tfidf_hand_example(spark):
+    import math
+
+    from minimel_spark.functions.similarity import jaro_winkler
+    from minimel_spark.operators.pairs import soft_tfidf
+
+    corpus = spark.createDataFrame(
+        [("acme corp",), ("acme corporation",), ("zeta inc",)], "name string"
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("acme corp", "acme corporation"),
+            ("acme corp", "zeta inc"),
+            ("acme corp", "acme corp"),
+        ],
+        "name_a string, name_b string",
+    )
+    caches: list = []
+    rows = {
+        (r["name_a"], r["name_b"]): r["soft_tfidf"]
+        for r in soft_tfidf(
+            pairs, corpus, threshold=0.85, persisted_out=caches
+        ).collect()
+    }
+    for c in caches:
+        c.unpersist()
+    # weights: u(tok) = tf * ln(1 + 3/df); df(acme)=2, df(corp)=df(corporation)=1
+    ua, uc = math.log(1 + 3 / 2), math.log(1 + 3 / 1)
+    z = math.hypot(ua, uc)  # same norm for both acme-names
+    jcc = jaro_winkler("corp", "corporation")
+    assert jcc > 0.85  # the cross-token match the metric exists for
+    want = (ua / z) * (ua / z) * 1.0 + (uc / z) * (uc / z) * jcc
+    assert rows[("acme corp", "acme corporation")] == pytest.approx(want)
+    assert rows[("acme corp", "zeta inc")] == 0.0
+    assert rows[("acme corp", "acme corp")] == pytest.approx(1.0)
+
+
+def test_soft_tfidf_validates_threshold(spark):
+    from minimel_spark.operators.pairs import soft_tfidf
+
+    df = spark.createDataFrame([("a", "b")], "name_a string, name_b string")
+    corpus = spark.createDataFrame([("a",)], "name string")
+    with pytest.raises(ValueError, match="threshold"):
+        soft_tfidf(df, corpus, threshold=1.0)
