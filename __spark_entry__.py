@@ -5305,6 +5305,152 @@ SELECT p.na AS rec_id_a, p.nb AS rec_id_b,
 FROM p LEFT JOIN scored ON scored.na = p.na AND scored.nb = p.nb"""
 
 
+def q_er_reciprocal_match(spark, sf_dir):
+    """One-to-one match selection (operators/scoring.py
+    reciprocal_best_pairs): last-word-blocked part-name pairs scored by
+    normalized levenshtein; a pair survives only if each side is the
+    other's best partner (ties by partner id, deterministic). The oracle
+    recomputes both per-node argmaxes with the same min-struct idiom and
+    re-applies the mutual condition."""
+    from minimel_spark.operators.pairs import candidate_pairs
+    from minimel_spark.operators.scoring import reciprocal_best_pairs
+
+    part = _t(spark, sf_dir, "part")
+    records = part.select(F.col("p_name").alias("name")).distinct().withColumn(
+        "rec_id", F.col("name")
+    )
+    blocked = records.withColumn(
+        "block_key", F.regexp_extract("name", r"(\w+)$", 1)
+    )
+    maxlen = F.greatest(F.length("rec_id_a"), F.length("rec_id_b"))
+    scored = candidate_pairs(blocked).select(
+        "rec_id_a",
+        "rec_id_b",
+        (1.0 - F.levenshtein("rec_id_a", "rec_id_b") / maxlen).alias("score"),
+    )
+    return reciprocal_best_pairs(scored).select(
+        "rec_id_a", "rec_id_b", F.round("score", 6).alias("score")
+    )
+
+
+SQL_ER_RECIPROCAL_MATCH = """
+WITH r AS (SELECT DISTINCT p_name AS name FROM part),
+b AS (SELECT name, regexp_extract(name, '(\\w+)$', 1) AS bk FROM r),
+e AS (
+  SELECT a.name AS na, c.name AS nb,
+         1.0 - levenshtein(a.name, c.name)::DOUBLE
+               / greatest(length(a.name), length(c.name)) AS s
+  FROM b a JOIN b c ON a.bk = c.bk AND a.name < c.name),
+sym AS (
+  SELECT na AS n, nb AS p, s FROM e
+  UNION ALL SELECT nb, na, s FROM e),
+best AS (
+  SELECT n, min(struct_pack(a := -s, b := p))['b'] AS bp
+  FROM sym GROUP BY n)
+SELECT e.na AS rec_id_a, e.nb AS rec_id_b, round(e.s, 6) AS score
+FROM e
+JOIN best ba ON ba.n = e.na JOIN best bb ON bb.n = e.nb
+WHERE ba.bp = e.nb AND bb.bp = e.na"""
+
+
+def q_er_pr_curve(spark, sf_dir):
+    """Threshold operating curve (operators/evaluate.py pr_curve) for the
+    meta-blocked variant-world pairs scored by normalized levenshtein and
+    labeled by the planted entities: exact cumulative tp/fp/fn per occupied
+    score bin (bins=20 — the cumulative pass is bounded by construction).
+    Oracle rebuilds the kept pair set, the labels, the binning, and the
+    cumulative window."""
+    from minimel_spark.operators.evaluate import pr_curve
+    from minimel_spark.operators.metablocking import meta_blocking_pairs
+
+    vdim = _vw_records(spark)
+    recs = vdim.select(F.col("name").alias("rec_id"), "name")
+    caches: list = []
+    kept = meta_blocking_pairs(
+        _vw_block_keys(recs), max_block_size=12, persisted_out=caches
+    )
+    ent = vdim.select("name", "entity_id")
+    maxlen = F.greatest(F.length("rec_id_a"), F.length("rec_id_b"))
+    scored = (
+        kept.join(ent.withColumnRenamed("name", "rec_id_a"), "rec_id_a")
+        .withColumnRenamed("entity_id", "_ea")
+        .join(ent.withColumnRenamed("name", "rec_id_b"), "rec_id_b")
+        .select(
+            (1.0 - F.levenshtein("rec_id_a", "rec_id_b") / maxlen).alias("score"),
+            (F.col("_ea") == F.col("entity_id")).alias("is_match"),
+        )
+    )
+    out = pr_curve(scored, bins=20).select(
+        F.round("threshold", 6).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+    )
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_ER_PR_CURVE = f"""
+WITH {_VW_NAMES_SQL},
+recs AS (SELECT DISTINCT name FROM vw_names),
+u AS (SELECT name, upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS u
+      FROM recs),
+blocked AS (
+  SELECT DISTINCT block_key, rec_id FROM (
+    SELECT 'p:' || {_soundex_sql('u')} AS block_key, name AS rec_id FROM u
+    UNION ALL SELECT 'pre:' || substr(name, 1, 4), name FROM recs
+    UNION ALL SELECT 'suf:' || right(name, 4), name FROM recs
+    UNION ALL SELECT 'l1:' || substr(name, 1, 1), name FROM recs)),
+keep_blocks AS (
+  SELECT block_key FROM blocked GROUP BY block_key
+  HAVING count(*) BETWEEN 2 AND 12),
+b AS (SELECT blocked.* FROM blocked JOIN keep_blocks USING (block_key)),
+edges AS (
+  SELECT a.rec_id AS ra, c.rec_id AS rb, count(*)::DOUBLE AS weight
+  FROM b a JOIN b c ON a.block_key = c.block_key AND a.rec_id < c.rec_id
+  GROUP BY 1, 2),
+node_w AS (
+  SELECT rid, avg(weight) AS thr FROM (
+    SELECT ra AS rid, weight FROM edges
+    UNION ALL SELECT rb, weight FROM edges)
+  GROUP BY rid),
+kept AS (
+  SELECT e.ra, e.rb FROM edges e
+  JOIN node_w na ON na.rid = e.ra JOIN node_w nb ON nb.rid = e.rb
+  WHERE e.weight >= na.thr OR e.weight >= nb.thr),
+ent AS (SELECT DISTINCT name, entity_id FROM vw_names),
+scored AS (
+  SELECT floor((1.0 - levenshtein(k.ra, k.rb)::DOUBLE
+                / greatest(length(k.ra), length(k.rb))) * 20) / 20
+           AS threshold,
+         (ea.entity_id = eb.entity_id) AS y
+  FROM kept k
+  JOIN ent ea ON ea.name = k.ra JOIN ent eb ON eb.name = k.rb),
+per_bin AS (
+  SELECT threshold,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+  FROM scored GROUP BY threshold),
+tot AS (SELECT sum(pos) AS tp_all FROM per_bin),
+cum AS (
+  SELECT threshold,
+         sum(pos) OVER (ORDER BY threshold DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         sum(neg) OVER (ORDER BY threshold DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+  FROM per_bin)
+SELECT round(threshold, 6) AS threshold, tp::BIGINT AS tp, fp::BIGINT AS fp,
+       (tp_all - tp)::BIGINT AS fn,
+       round(tp::DOUBLE / (tp + fp), 6) AS precision,
+       round(CASE WHEN tp_all > 0 THEN tp::DOUBLE / tp_all ELSE 1.0 END, 6)
+         AS recall
+FROM cum CROSS JOIN tot"""
+
+
 def q_cc_churn(spark, sf_dir):
     """Cluster-lifecycle accounting (operators/cluster.py cluster_churn)
     across the cc_incremental world's arrival step: prev = components of
@@ -5502,7 +5648,7 @@ _WINDOW: list[str] = [
     "stream_incremental_minhash",
     "corpus_decontaminate",
     "corpus_pii_scrub",
-    "corpus_dup_coverage",
+    "er_reciprocal_match",
     "corpus_pack_sequences",
     "corpus_lm_perplexity",
     "web_hll_distinct",
@@ -5511,7 +5657,7 @@ _WINDOW: list[str] = [
     "cc_churn",
     "rel_exact_quantiles",
     "stream_cms_counts",
-    "rel_funnel_steps",
+    "er_pr_curve",
     "rel_asof_join",
     "rel_scd2",
     "corpus_mixture_sample",
@@ -5535,6 +5681,8 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "corpus_dup_coverage",
+    "rel_funnel_steps",
     "web_domain_quota",
     "corpus_pmi_collocations",
     "corpus_repetition",
@@ -5611,7 +5759,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 121
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 123
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -5766,6 +5914,8 @@ _ORACLES: dict[str, str] = {
     "er_fuzzy_ratios": SQL_ER_FUZZY_RATIOS,
     "cc_churn": SQL_CC_CHURN,
     "er_soft_tfidf": SQL_ER_SOFT_TFIDF,
+    "er_reciprocal_match": SQL_ER_RECIPROCAL_MATCH,
+    "er_pr_curve": SQL_ER_PR_CURVE,
 }
 
 

@@ -14,7 +14,7 @@ the same records,
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def align_gold_pred(gold: DataFrame, pred: DataFrame) -> DataFrame:
@@ -258,5 +258,54 @@ def blocking_metrics(
             F.when(F.col("n_cand") > 0, F.col("n_hit") / F.col("n_cand"))
             .otherwise(F.lit(1.0))
             .alias("pairs_quality"),
+        )
+    )
+
+
+def pr_curve(
+    scored: DataFrame,
+    label_col: str = "is_match",
+    score_col: str = "score",
+    bins: int = 100,
+) -> DataFrame:
+    """Precision/recall operating curve for a scored pair stream against
+    boolean gold labels: one row per occupied score bin, with the counts a
+    classifier thresholding AT that bin's lower edge would see.
+
+    Scores are binned to ``floor(score * bins) / bins`` (fixed resolution,
+    so the cumulative pass runs over at most ``bins + 1`` rows — bounded by
+    construction, the same small-by-construction window exemption as the
+    per-distinct-weight cumsum in clean.py; the billions-of-pairs input is
+    reduced by ONE groupBy before any ordering happens). Output columns:
+    ``threshold, tp, fp, fn, precision, recall`` — exact integer counts,
+    divisions only at the end.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    binned = scored.select(
+        (F.floor(F.col(score_col) * bins) / bins).alias("threshold"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    per_bin = binned.groupBy("threshold").agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_pos"),
+        F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("_neg"),
+    )
+    total_pos = per_bin.agg(F.sum("_pos").alias("_tp_all"))
+    w = Window.orderBy(F.desc("threshold")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_bin.crossJoin(total_pos)
+        .withColumn("tp", F.sum("_pos").over(w).cast("long"))
+        .withColumn("fp", F.sum("_neg").over(w).cast("long"))
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            (F.col("_tp_all") - F.col("tp")).cast("long").alias("fn"),
+            (F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"),
+            F.when(F.col("_tp_all") > 0, F.col("tp") / F.col("_tp_all"))
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
         )
     )

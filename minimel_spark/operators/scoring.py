@@ -172,3 +172,47 @@ def upperbound_predict(
     )
     hits = via_count.unionByName(via_index).dropDuplicates(["doc_id", "name"])
     return m.join(hits.select("doc_id", "name", "ub_qid"), ["doc_id", "name"], "left")
+
+
+def reciprocal_best_pairs(
+    scored: DataFrame,
+    id_a: str = "rec_id_a",
+    id_b: str = "rec_id_b",
+    score_col: str = "score",
+) -> DataFrame:
+    """One-to-one match selection: keep a scored pair only if each side is
+    the other's best partner — the classic reciprocal-best-match rule for
+    ER problems with a one-entity-per-source constraint (each record may
+    match at most one partner), used as the deterministic, distributable
+    stand-in for globally-optimal bipartite assignment (Hungarian doesn't
+    shard; reciprocal-best is its standard large-scale surrogate and is
+    provably a subset of any maximum-weight matching's mutual-best edges).
+
+    Ties break by (score desc, partner id asc), so the selection is exact
+    and partition-invariant. Output: the surviving ``(id_a, id_b,
+    score_col)`` rows.
+
+    Distributed: symmetrize the edge list, one groupBy per node for the
+    argmax partner, one join back — never materializes anything bigger
+    than the edge list.
+    """
+    e = scored.select(id_a, id_b, score_col)
+    sym = e.select(
+        F.col(id_a).alias("_n"), F.col(id_b).alias("_p"), F.col(score_col).alias("_s")
+    ).unionByName(
+        e.select(
+            F.col(id_b).alias("_n"), F.col(id_a).alias("_p"),
+            F.col(score_col).alias("_s"),
+        )
+    )
+    best = sym.groupBy("_n").agg(
+        F.min(F.struct((-F.col("_s")).alias("_ns"), F.col("_p")))["_p"].alias("_bp")
+    )
+    return (
+        e.join(
+            best.select(F.col("_n").alias(id_a), F.col("_bp").alias("_ba")), id_a
+        )
+        .join(best.select(F.col("_n").alias(id_b), F.col("_bp").alias("_bb")), id_b)
+        .where((F.col("_ba") == F.col(id_b)) & (F.col("_bb") == F.col(id_a)))
+        .select(id_a, id_b, score_col)
+    )

@@ -431,3 +431,43 @@ def test_soft_tfidf_validates_threshold(spark):
     corpus = spark.createDataFrame([("a",)], "name string")
     with pytest.raises(ValueError, match="threshold"):
         soft_tfidf(df, corpus, threshold=1.0)
+
+
+def test_reciprocal_best_pairs(spark):
+    from minimel_spark.operators.scoring import reciprocal_best_pairs
+
+    scored = spark.createDataFrame(
+        [
+            ("a", "b", 0.9),   # mutual best
+            ("a", "c", 0.8),   # a's 2nd; c's best is a -> not reciprocal
+            ("c", "d", 0.7),   # c prefers a; d prefers c -> not reciprocal
+            ("e", "f", 0.5),   # mutual best (only edge)
+            ("g", "h", 0.6),   # tie with (g, i): partner asc -> h wins
+            ("g", "i", 0.6),
+        ],
+        "rec_id_a string, rec_id_b string, score double",
+    )
+    got = {
+        (r["rec_id_a"], r["rec_id_b"])
+        for r in reciprocal_best_pairs(scored).collect()
+    }
+    assert got == {("a", "b"), ("e", "f"), ("g", "h")}
+
+
+def test_pr_curve_hand_example(spark):
+    from minimel_spark.operators.evaluate import pr_curve
+
+    scored = spark.createDataFrame(
+        [(0.95, True), (0.85, True), (0.82, False), (0.45, True), (0.40, False)],
+        "score double, is_match boolean",
+    )
+    rows = {r["threshold"]: r for r in pr_curve(scored, bins=10).collect()}
+    # bins: 0.9 -> (1 pos), 0.8 -> (1 pos, 1 neg), 0.4 -> (1 pos, 1 neg)
+    assert rows[0.9]["tp"] == 1 and rows[0.9]["fp"] == 0 and rows[0.9]["fn"] == 2
+    assert rows[0.9]["precision"] == pytest.approx(1.0)
+    assert rows[0.8]["tp"] == 2 and rows[0.8]["fp"] == 1
+    assert rows[0.8]["recall"] == pytest.approx(2 / 3)
+    assert rows[0.4]["tp"] == 3 and rows[0.4]["fp"] == 2 and rows[0.4]["fn"] == 0
+    assert rows[0.4]["precision"] == pytest.approx(0.6)
+    with pytest.raises(ValueError, match="bins"):
+        pr_curve(scored, bins=0)
