@@ -4,7 +4,7 @@
 ``queries()``   — one entry per implemented operator family (SURVEY.md §2);
                   each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query. Since r5 EVERY
-                  registered query carries one (60/60): the last holdouts —
+                  registered query carries one (123/123): the last holdouts —
                   seeded-hash LSH banding and float hyperplane/IVF candidate
                   generation — run md5-derived hash families whose signatures,
                   bucket codes, and strict-left-fold dot products are
@@ -5620,10 +5620,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (they sat past the r4 cap; all r3-driver-green) — this keeps
 #   union(CORRECTNESS_r04, CORRECTNESS_r05) = all 60 original queries,
 #   exactly the criterion the r4 verdict set;
-# - window positions 11-50: forty of the sixty round-5 gates that have
+# - window positions 11-50: forty of the sixty-three round-5 gates that have
 #   never had a driver row, picked so every NEW operator family has at least
 #   one driver-checked representative;
-# - tail (51+): first the twenty round-5 gates whose family sibling is
+# - tail (51+): first the twenty-three round-5 gates whose family sibling is
 #   in-window (each green in the full local sweep, scripts/check_entry.py,
 #   and in pytest — sweep logs cover what the 50-row driver cap cannot),
 #   then every gate with a green historical driver row from r1-r4.
