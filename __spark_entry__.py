@@ -5451,6 +5451,47 @@ SELECT round(threshold, 6) AS threshold, tp::BIGINT AS tp, fp::BIGINT AS fp,
 FROM cum CROSS JOIN tot"""
 
 
+def q_dedup_overlap(spark, sf_dir):
+    """Overlap-coefficient (containment-style) dedup (operators/dedup.py
+    overlap_dups): |A∩B| / min(|A|,|B|) over word bigrams at t=0.8 — the
+    quote/boilerplate-subsumption case Jaccard misses. Lossless cap-free
+    run; the oracle is the brute-force all-pairs overlap join."""
+    from minimel_spark.operators.dedup import overlap_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    caches: list = []
+    out = overlap_dups(
+        docs, threshold=0.8, n=2, max_docs_per_shingle=None, persisted_out=caches
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("overlap", 6).alias("overlap"),
+    )
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_DEDUP_OVERLAP = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                      i -> array_to_string(ws[i:i+1], ' '))) AS sh
+  FROM w),
+f AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0)
+SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / least(len(a.sh), len(b.sh)), 6) AS overlap
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / least(len(a.sh), len(b.sh)) >= 0.8"""
+
+
 def q_cc_churn(spark, sf_dir):
     """Cluster-lifecycle accounting (operators/cluster.py cluster_churn)
     across the cc_incremental world's arrival step: prev = components of
@@ -5649,7 +5690,7 @@ _WINDOW: list[str] = [
     "corpus_decontaminate",
     "corpus_pii_scrub",
     "er_reciprocal_match",
-    "corpus_pack_sequences",
+    "dedup_overlap",
     "corpus_lm_perplexity",
     "web_hll_distinct",
     "rel_bloom_semi_join",
@@ -5681,6 +5722,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "corpus_pack_sequences",
     "corpus_dup_coverage",
     "rel_funnel_steps",
     "web_domain_quota",
@@ -5759,7 +5801,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 123
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 124
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -5914,6 +5956,7 @@ _ORACLES: dict[str, str] = {
     "er_fuzzy_ratios": SQL_ER_FUZZY_RATIOS,
     "cc_churn": SQL_CC_CHURN,
     "er_soft_tfidf": SQL_ER_SOFT_TFIDF,
+    "dedup_overlap": SQL_DEDUP_OVERLAP,
     "er_reciprocal_match": SQL_ER_RECIPROCAL_MATCH,
     "er_pr_curve": SQL_ER_PR_CURVE,
 }

@@ -691,3 +691,63 @@ def transitive_dedup_keep(
             (F.col("node") == F.col("component")).alias("is_kept"),
         )
     )
+
+
+def overlap_dups(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs_per_shingle: int | None = 1000,
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """Exact OVERLAP-coefficient (Szymkiewicz–Simpson) pairs:
+    |A ∩ B| / min(|A|, |B|) >= threshold — the containment-style measure
+    Jaccard systematically misses: a paragraph quoted inside a much larger
+    page scores near 1.0 here but near 0 on Jaccard (the union is dominated
+    by the big side). That asymmetry is exactly the boilerplate-subsumption
+    / quote-detection case in web-corpus dedup, where the right action is
+    usually "drop the contained fragment".
+
+    Same lossless shared-shingle blocking as :func:`ngram_jaccard_dups`
+    (any pair with positive overlap shares a shingle), same optional
+    stop-shingle cap (the one knob that trades recall for a hard posting
+    bound — identical caveat), exact verify JVM-side. Output:
+    ``(id_a, id_b, overlap)`` with ``id_a < id_b``.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = shingle_docs(ensure_min_parallelism(docs, id_col), text_col, id_col, n)
+    if persisted_out is not None:
+        sh = sh.persist()
+        persisted_out.append(sh)
+    exploded = sh.select(id_col, F.explode("shingles").alias("sh"))
+    if max_docs_per_shingle:
+        freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        exploded = exploded.join(
+            F.broadcast(freq.where(F.col("df") > max_docs_per_shingle)),
+            "sh",
+            "left_anti",
+        )
+    a = exploded.select(F.col(id_col).alias("id_a"), "sh")
+    b = exploded.select(F.col(id_col).alias("id_b"), "sh")
+    cand = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "overlap",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.least(F.size("sh_a"), F.size("sh_b")),
+        )
+        .where(F.col("overlap") >= threshold)
+        .select("id_a", "id_b", "overlap")
+    )

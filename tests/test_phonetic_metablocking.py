@@ -471,3 +471,22 @@ def test_pr_curve_hand_example(spark):
     assert rows[0.4]["precision"] == pytest.approx(0.6)
     with pytest.raises(ValueError, match="bins"):
         pr_curve(scored, bins=0)
+
+
+def test_overlap_dups_catches_containment_jaccard_misses(spark):
+    from minimel_spark.operators.dedup import ngram_jaccard_dups, overlap_dups
+
+    quote = "q1 q2 q3 q4 q5 q6"
+    page = quote + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, page), (3, "z1 z2 z3")], "doc_id long, text string"
+    )
+    ov = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in overlap_dups(docs, threshold=0.8, n=2).collect()
+    }
+    # the 5 quote bigrams are all inside the page -> overlap 1.0
+    assert ov == {(1, 2): pytest.approx(1.0)}
+    # Jaccard misses the same pair at any reasonable threshold
+    jc = ngram_jaccard_dups(docs, threshold=0.5, n=2).collect()
+    assert jc == []
