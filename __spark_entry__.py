@@ -4,7 +4,7 @@
 ``queries()``   — one entry per implemented operator family (SURVEY.md §2);
                   each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query. Since r5 EVERY
-                  registered query carries one (123/123): the last holdouts —
+                  registered query carries one (124/124): the last holdouts —
                   seeded-hash LSH banding and float hyperplane/IVF candidate
                   generation — run md5-derived hash families whose signatures,
                   bucket codes, and strict-left-fold dot products are
@@ -5218,13 +5218,17 @@ SELECT na AS rec_id_a, nb AS rec_id_b,
                   ELSE 1.0 - levenshtein(sa, sb)::DOUBLE
                              / greatest(length(sa), length(sb)) END, 6)
          AS token_sort_ratio,
-       round(greatest(
-         CASE WHEN greatest(length(sc), length(sa)) = 0 THEN 1.0
-              ELSE 1.0 - levenshtein(sc, sa)::DOUBLE
-                         / greatest(length(sc), length(sa)) END,
-         CASE WHEN greatest(length(sc), length(sb)) = 0 THEN 1.0
-              ELSE 1.0 - levenshtein(sc, sb)::DOUBLE
-                         / greatest(length(sc), length(sb)) END), 6)
+       round(CASE WHEN length(sa) = 0 OR length(sb) = 0 THEN
+                  CASE WHEN greatest(length(sa), length(sb)) = 0 THEN 1.0
+                       ELSE 1.0 - levenshtein(sa, sb)::DOUBLE
+                                  / greatest(length(sa), length(sb)) END
+             ELSE greatest(
+               CASE WHEN greatest(length(sc), length(sa)) = 0 THEN 1.0
+                    ELSE 1.0 - levenshtein(sc, sa)::DOUBLE
+                               / greatest(length(sc), length(sa)) END,
+               CASE WHEN greatest(length(sc), length(sb)) = 0 THEN 1.0
+                    ELSE 1.0 - levenshtein(sc, sb)::DOUBLE
+                               / greatest(length(sc), length(sb)) END) END, 6)
          AS token_set_ratio
 FROM f"""
 
@@ -5661,10 +5665,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (they sat past the r4 cap; all r3-driver-green) — this keeps
 #   union(CORRECTNESS_r04, CORRECTNESS_r05) = all 60 original queries,
 #   exactly the criterion the r4 verdict set;
-# - window positions 11-50: forty of the sixty-three round-5 gates that have
+# - window positions 11-50: forty of the sixty-four round-5 gates that have
 #   never had a driver row, picked so every NEW operator family has at least
 #   one driver-checked representative;
-# - tail (51+): first the twenty-three round-5 gates whose family sibling is
+# - tail (51+): first the twenty-four round-5 gates whose family sibling is
 #   in-window (each green in the full local sweep, scripts/check_entry.py,
 #   and in pytest — sweep logs cover what the 50-row driver cap cannot),
 #   then every gate with a green historical driver row from r1-r4.

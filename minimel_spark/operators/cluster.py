@@ -302,16 +302,28 @@ def cluster_churn(prev: DataFrame, new: DataFrame) -> DataFrame:
             F.max("_fi").alias("_max_fi"),
         )
     )
+    # coalesce: with DISJOINT record sets per_prev is empty and the sums
+    # would be NULL — the documented accounting is all-zero (+ n_vanished)
     surv = per_prev.agg(
         F.count(F.lit(1)).alias("n_survived"),
-        F.sum(F.when(F.col("_fo") >= 2, 1).otherwise(0)).alias("n_split"),
-        F.sum(
-            F.when((F.col("_fo") == 1) & (F.col("_max_fi") >= 2), 1).otherwise(0)
+        F.coalesce(
+            F.sum(F.when(F.col("_fo") >= 2, 1).otherwise(0)), F.lit(0)
+        ).alias("n_split"),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("_fo") == 1) & (F.col("_max_fi") >= 2), 1).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_merged"),
-        F.sum(
-            F.when((F.col("_fo") == 1) & (F.col("_max_fi") == 1), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when((F.col("_fo") == 1) & (F.col("_max_fi") == 1), 1).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_stable"),
-        F.sum(F.col("_tot") - F.col("_maj")).alias("moved_records"),
+        F.coalesce(F.sum(F.col("_tot") - F.col("_maj")), F.lit(0)).alias(
+            "moved_records"
+        ),
     )
     n_prev = prev.agg(F.countDistinct("component").alias("n_prev"))
     n_new = new.agg(F.countDistinct("component").alias("n_new"))

@@ -798,8 +798,18 @@ def dsir_importance(
     ratio = (
         dist(db_tgt, "_nt")
         .join(dist(db_raw, "_nr"), "_b", "full_outer")
-        .crossJoin(db_tgt.agg(F.sum("_c").cast("double").alias("_tt")))
-        .crossJoin(db_raw.agg(F.sum("_c").cast("double").alias("_tr")))
+        # coalesce: an EMPTY corpus must hit the smoothed floor (total 0),
+        # not propagate NULL through every log-ratio (the oracle coalesces)
+        .crossJoin(
+            db_tgt.agg(
+                F.coalesce(F.sum("_c"), F.lit(0)).cast("double").alias("_tt")
+            )
+        )
+        .crossJoin(
+            db_raw.agg(
+                F.coalesce(F.sum("_c"), F.lit(0)).cast("double").alias("_tr")
+            )
+        )
         .select(
             "_b",
             (

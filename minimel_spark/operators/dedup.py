@@ -64,6 +64,46 @@ def shingle_docs(
     return docs.select(id_col, _word_shingles(F.col(text_col), n).alias("shingles"))
 
 
+def _shared_shingle_verify_frame(
+    docs: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_docs_per_shingle: int | None,
+    persisted_out: list | None,
+) -> DataFrame:
+    """Common front half of the exact set-similarity joins: shingle, block
+    on shared shingles (lossless for ANY positive-overlap measure; the
+    optional stop-shingle cap is the one recall/cost knob), and re-attach
+    both full shingle sets for the exact verify. Returns
+    ``(id_a, id_b, sh_a, sh_b)`` with ``id_a < id_b`` — the caller applies
+    its similarity expression + threshold. One definition so the Jaccard
+    and overlap operators can never silently diverge in their blocking."""
+    sh = shingle_docs(ensure_min_parallelism(docs, id_col), text_col, id_col, n)
+    if persisted_out is not None:
+        sh = sh.persist()
+        persisted_out.append(sh)
+    exploded = sh.select(id_col, F.explode("shingles").alias("sh"))
+    if max_docs_per_shingle:
+        freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        exploded = exploded.join(
+            F.broadcast(freq.where(F.col("df") > max_docs_per_shingle)),
+            "sh",
+            "left_anti",
+        )
+    a = exploded.select(F.col(id_col).alias("id_a"), "sh")
+    b = exploded.select(F.col(id_col).alias("id_b"), "sh")
+    cand = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return cand.join(sa, "id_a").join(sb, "id_b")
+
+
 def ngram_jaccard_dups(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -78,30 +118,11 @@ def ngram_jaccard_dups(
     The shingled table feeds three plan branches (blocking + both sides of
     the exact verify); pass ``persisted_out`` (a list the caller unpersists)
     to compute the shingling once instead of per branch."""
-    sh = shingle_docs(ensure_min_parallelism(docs, id_col), text_col, id_col, n)
-    if persisted_out is not None:
-        sh = sh.persist()
-        persisted_out.append(sh)
-    exploded = sh.select(id_col, F.explode("shingles").alias("sh"))
-    if max_docs_per_shingle:
-        freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        exploded = exploded.join(
-            F.broadcast(freq.where(F.col("df") > max_docs_per_shingle)), "sh", "left_anti"
-        )
-    a = exploded.select(F.col(id_col).alias("id_a"), "sh")
-    b = exploded.select(F.col(id_col).alias("id_b"), "sh")
-    cand = (
-        a.join(b, "sh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    verify = _shared_shingle_verify_frame(
+        docs, n, text_col, id_col, max_docs_per_shingle, persisted_out
     )
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        verify.withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
             / F.size(F.array_union("sh_a", "sh_b")),
@@ -718,32 +739,11 @@ def overlap_dups(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = shingle_docs(ensure_min_parallelism(docs, id_col), text_col, id_col, n)
-    if persisted_out is not None:
-        sh = sh.persist()
-        persisted_out.append(sh)
-    exploded = sh.select(id_col, F.explode("shingles").alias("sh"))
-    if max_docs_per_shingle:
-        freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        exploded = exploded.join(
-            F.broadcast(freq.where(F.col("df") > max_docs_per_shingle)),
-            "sh",
-            "left_anti",
-        )
-    a = exploded.select(F.col(id_col).alias("id_a"), "sh")
-    b = exploded.select(F.col(id_col).alias("id_b"), "sh")
-    cand = (
-        a.join(b, "sh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    verify = _shared_shingle_verify_frame(
+        docs, n, text_col, id_col, max_docs_per_shingle, persisted_out
     )
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        verify.withColumn(
             "overlap",
             F.size(F.array_intersect("sh_a", "sh_b"))
             / F.least(F.size("sh_a"), F.size("sh_b")),

@@ -279,13 +279,17 @@ def pr_curve(
     reduced by ONE groupBy before any ordering happens). Output columns:
     ``threshold, tp, fp, fn, precision, recall`` — exact integer counts,
     divisions only at the end.
+
+    Rows with a NULL score or NULL label are EXCLUDED (an unlabeled pair
+    must not silently count as a false positive); callers evaluating a
+    left-joined gold column decide the NULL semantics explicitly first.
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
     binned = scored.select(
         (F.floor(F.col(score_col) * bins) / bins).alias("threshold"),
         F.col(label_col).cast("boolean").alias("_y"),
-    )
+    ).where(F.col("threshold").isNotNull() & F.col("_y").isNotNull())
     per_bin = binned.groupBy("threshold").agg(
         F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_pos"),
         F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("_neg"),

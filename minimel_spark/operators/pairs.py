@@ -396,8 +396,13 @@ def edit_distance_join(
       DISTINCT short strings — bounded by construction (|Σ|^(q(k+1)) values
       at most; in practice a sliver) and worth it for losslessness.
 
-    Verification is the built-in ``levenshtein`` (whole-stage codegen).
-    Output: ``(rec_id_a, rec_id_b, distance)`` with ``rec_id_a < rec_id_b``.
+    Every similarity stage runs over DISTINCT names; record pairs are
+    expanded from the verified name pairs at the end (plus the same-name
+    record groups at distance 0, which any exact join must emit), so
+    duplicate-heavy corpora pay quadratic cost only where the OUTPUT is
+    quadratic. Verification is the built-in ``levenshtein`` (whole-stage
+    codegen). Output: ``(rec_id_a, rec_id_b, distance)`` with
+    ``rec_id_a < rec_id_b``.
 
     Scale notes: the posting join is the standard q-gram method — hot grams
     dominate its fan-out exactly like hot shingles in ``ngram_jaccard_dups``;
@@ -413,22 +418,25 @@ def edit_distance_join(
         raise ValueError(f"q must be >= 1, got {q}")
     names = records.select(
         F.col(id_col).alias("rid"), F.col(name_col).alias("nm")
-    ).withColumn("ln", F.length("nm"))
+    )
+    # ALL similarity work runs over DISTINCT names — duplicate-heavy
+    # corpora (many records sharing one name) pay the quadratic cost only
+    # in the final expansion, which is output-sized by definition
+    dn = names.select("nm").distinct().withColumn("ln", F.length("nm"))
     short_cut = q * (k + 1)
 
     # posting-list join over multiset gram counts (strings with >= 1 gram);
     # the positional slice needs expr() — F.substring takes literal positions
     grams = (
-        names.where(F.col("ln") >= q)
+        dn.where(F.col("ln") >= q)
         .select(
-            "rid",
             "nm",
             "ln",
             F.explode(
                 F.expr(f"transform(sequence(1, ln - {q} + 1), i -> substr(nm, i, {q}))")
             ).alias("gram"),
         )
-        .groupBy("rid", "nm", "ln", "gram")
+        .groupBy("nm", "ln", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     # both sides of the posting join scan the same gram table: persist when
@@ -437,54 +445,71 @@ def edit_distance_join(
         grams = grams.persist()
         persisted_out.append(grams)
     ga = grams.select(
-        F.col("rid").alias("rec_id_a"), F.col("nm").alias("_na"),
-        F.col("ln").alias("_la"), "gram", F.col("cnt").alias("_ca"),
+        F.col("nm").alias("_na"), F.col("ln").alias("_la"),
+        "gram", F.col("cnt").alias("_ca"),
     )
     gb = grams.select(
-        F.col("rid").alias("rec_id_b"), F.col("nm").alias("_nb"),
-        F.col("ln").alias("_lb"), "gram", F.col("cnt").alias("_cb"),
+        F.col("nm").alias("_nb"), F.col("ln").alias("_lb"),
+        "gram", F.col("cnt").alias("_cb"),
     )
     bound = F.greatest("_la", "_lb") - F.lit(q - 1) - F.lit(k * q)
     cand_long = (
         ga.join(gb, "gram")
         .where(
-            (F.col("rec_id_a") < F.col("rec_id_b"))
+            (F.col("_na") < F.col("_nb"))
             & (F.abs(F.col("_la") - F.col("_lb")) <= k)
         )
-        .groupBy("rec_id_a", "rec_id_b", "_na", "_nb", "_la", "_lb")
+        .groupBy("_na", "_nb", "_la", "_lb")
         .agg(F.sum(F.least("_ca", "_cb")).alias("_common"))
         .where(F.col("_common") >= bound)
-        .select("rec_id_a", "rec_id_b", "_na", "_nb")
+        .select("_na", "_nb")
     )
 
-    # short stratum: all-pairs among strings below the lemma's floor — as an
-    # EQUI join (hash, never a nested loop): side b explodes its 2k+1
-    # admissible partner lengths, side a joins on its own exact length, so
-    # every |la - lb| <= k pair matches exactly once
-    sh = names.where(F.col("ln") < short_cut)
-    sa = sh.select(
-        F.col("rid").alias("rec_id_a"), F.col("nm").alias("_na"),
-        F.col("ln").alias("_cl"),
-    )
+    # short stratum: all-pairs among DISTINCT strings below the lemma's
+    # floor — as an EQUI join (hash, never a nested loop): side b explodes
+    # its 2k+1 admissible partner lengths, side a joins on its own exact
+    # length, so every |la - lb| <= k pair matches exactly once
+    sh = dn.where(F.col("ln") < short_cut)
+    sa = sh.select(F.col("nm").alias("_na"), F.col("ln").alias("_cl"))
     sb = sh.select(
-        F.col("rid").alias("rec_id_b"), F.col("nm").alias("_nb"),
+        F.col("nm").alias("_nb"),
         F.explode(
             F.sequence(F.greatest(F.col("ln") - k, F.lit(0)), F.col("ln") + k)
         ).alias("_cl"),
     )
     cand_short = (
         sa.join(sb, "_cl")
-        .where(F.col("rec_id_a") < F.col("rec_id_b"))
-        .select("rec_id_a", "rec_id_b", "_na", "_nb")
+        .where(F.col("_na") < F.col("_nb"))
+        .select("_na", "_nb")
     )
 
-    return (
+    name_pairs = (
         cand_long.unionByName(cand_short)
         .distinct()
         .withColumn("distance", F.levenshtein("_na", "_nb"))
         .where(F.col("distance") <= k)
-        .select("rec_id_a", "rec_id_b", F.col("distance").cast("long").alias("distance"))
     )
+    # expansion back to record pairs: cross-name pairs via two joins (each
+    # record pair appears exactly once since _na < _nb), plus the same-name
+    # groups at distance 0 (an exact join must emit those by definition)
+    ra = names.select(F.col("rid").alias("_ra"), F.col("nm").alias("_na"))
+    rb = names.select(F.col("rid").alias("_rb"), F.col("nm").alias("_nb"))
+    cross = (
+        name_pairs.join(ra, "_na")
+        .join(rb, "_nb")
+        .select(
+            F.least("_ra", "_rb").alias("rec_id_a"),
+            F.greatest("_ra", "_rb").alias("rec_id_b"),
+            F.col("distance").cast("long").alias("distance"),
+        )
+    )
+    same = (
+        names.select(F.col("rid").alias("rec_id_a"), "nm")
+        .join(names.select(F.col("rid").alias("rec_id_b"), "nm"), "nm")
+        .where(F.col("rec_id_a") < F.col("rec_id_b"))
+        .select("rec_id_a", "rec_id_b", F.lit(0).cast("long").alias("distance"))
+    )
+    return cross.unionByName(same)
 
 
 def fuzzy_ratios(
@@ -526,13 +551,17 @@ def fuzzy_ratios(
     ta, tb = toks(F.col(name_a)), toks(F.col(name_b))
     sa, sb = F.concat_ws(" ", ta), F.concat_ws(" ", tb)
     common = F.concat_ws(" ", F.array_sort(F.array_intersect(ta, tb)))
+    # a token-less side makes the common string trivially equal to it,
+    # which would score 1.0 against ANYTHING (a punctuation-only junk name
+    # must not emit a maximal containment signal) — fall back to the direct
+    # token-string comparison: '' vs '' -> 1.0, '' vs non-empty -> 0.0
+    token_set = F.when(
+        (sa == "") | (sb == ""), norm_sim(sa, sb)
+    ).otherwise(F.greatest(norm_sim(common, sa), norm_sim(common, sb)))
     return (
         pairs.withColumn("ratio", norm_sim(F.col(name_a), F.col(name_b)))
         .withColumn("token_sort_ratio", norm_sim(sa, sb))
-        .withColumn(
-            "token_set_ratio",
-            F.greatest(norm_sim(common, sa), norm_sim(common, sb)),
-        )
+        .withColumn("token_set_ratio", token_set)
     )
 
 

@@ -490,3 +490,79 @@ def test_overlap_dups_catches_containment_jaccard_misses(spark):
     # Jaccard misses the same pair at any reasonable threshold
     jc = ngram_jaccard_dups(docs, threshold=0.5, n=2).collect()
     assert jc == []
+
+
+def test_edit_distance_join_duplicate_names(spark):
+    """Duplicate-heavy input: similarity work runs per DISTINCT name; the
+    expansion must emit every record pair, including same-name groups at
+    distance 0."""
+    from minimel_spark.operators.pairs import edit_distance_join
+
+    df = spark.createDataFrame(
+        [(1, "robert"), (2, "robert"), (3, "rupert"), (4, "robert")],
+        "rec_id long, name string",
+    )
+    got = {
+        (r["rec_id_a"], r["rec_id_b"]): r["distance"]
+        for r in edit_distance_join(df, k=2, q=2).collect()
+    }
+    assert got == {
+        (1, 2): 0, (1, 4): 0, (2, 4): 0,          # same-name group
+        (1, 3): 2, (2, 3): 2, (3, 4): 2,          # cross-name expansion
+    }
+
+
+def test_fuzzy_ratios_tokenless_side_scores_zero(spark):
+    from minimel_spark.operators.pairs import fuzzy_ratios
+
+    df = spark.createDataFrame(
+        [("###", "acme corp"), ("!!", "--")], "name_a string, name_b string"
+    )
+    rows = {(r["name_a"], r["name_b"]): r for r in fuzzy_ratios(df).collect()}
+    # junk name vs real name: no maximal containment signal
+    assert rows[("###", "acme corp")]["token_set_ratio"] == 0.0
+    # both token-less: vacuously identical
+    assert rows[("!!", "--")]["token_set_ratio"] == 1.0
+
+
+def test_dsir_empty_target_uses_smoothed_floor(spark):
+    from minimel_spark.operators.corpus import dsir_importance
+
+    raw = spark.createDataFrame(
+        [(1, "cat sat"), (2, "dog ran")], "doc_id long, text string"
+    )
+    empty = raw.where(F.col("doc_id") < 0)
+    rows = {
+        r["doc_id"]: r
+        for r in dsir_importance(raw, empty, num_buckets=1 << 20).collect()
+    }
+    # every gram hits the target floor ln(1/(0+B)) minus its raw log-prob:
+    # finite, negative, NOT null/zero
+    import math
+    B = 1 << 20
+    per_gram = math.log(1 / (0 + B)) - math.log(2 / (6 + B))
+    for d in (1, 2):
+        assert rows[d]["logweight"] == pytest.approx(3 * per_gram)
+
+
+def test_cluster_churn_disjoint_records(spark):
+    from minimel_spark.operators.cluster import cluster_churn
+
+    prev = spark.createDataFrame([(1, 1), (2, 1)], "node long, component long")
+    new = spark.createDataFrame([(9, 9)], "node long, component long")
+    row = cluster_churn(prev, new).first()
+    assert row["n_vanished"] == 1 and row["n_stable"] == 0
+    assert row["n_split"] == 0 and row["n_merged"] == 0
+    assert row["moved_records"] == 0
+
+
+def test_pr_curve_excludes_null_rows(spark):
+    from minimel_spark.operators.evaluate import pr_curve
+
+    scored = spark.createDataFrame(
+        [(0.9, True), (0.8, None), (None, False)],
+        "score double, is_match boolean",
+    )
+    rows = pr_curve(scored, bins=10).collect()
+    assert len(rows) == 1
+    assert rows[0]["tp"] == 1 and rows[0]["fp"] == 0 and rows[0]["fn"] == 0
