@@ -4,7 +4,7 @@
 ``queries()``   — one entry per implemented operator family (SURVEY.md §2);
                   each callable takes (spark, sf_dir) and returns a DataFrame.
 ``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query. Since r5 EVERY
-                  registered query carries one (124/124): the last holdouts —
+                  registered query carries one (125/125): the last holdouts —
                   seeded-hash LSH banding and float hyperplane/IVF candidate
                   generation — run md5-derived hash families whose signatures,
                   bucket codes, and strict-left-fold dot products are
@@ -5571,6 +5571,107 @@ SELECT (SELECT count(DISTINCT pc) FROM prev)::BIGINT AS n_prev,
 FROM surv"""
 
 
+def q_er_cluster_cohesion(spark, sf_dir):
+    """Cluster cohesion audit (operators/cluster.py cluster_cohesion) over
+    the er_meta_pipeline world: clusters = components of the edit-verified
+    meta-blocked edges; scored stream = the kept meta-blocked pairs with
+    normalized-levenshtein scores. Per cluster: size, C(size,2), scored
+    within-cluster edges, coverage, min/avg score — the chain-vs-clique
+    audit. Oracle rebuilds the pipeline (recursive-CTE closure) and the
+    audit arithmetic relationally."""
+    from minimel_spark.operators.cluster import (
+        cluster_cohesion,
+        connected_components,
+    )
+    from minimel_spark.operators.metablocking import meta_blocking_pairs
+
+    recs = _vw_records(spark).select(F.col("name").alias("rec_id"), "name")
+    caches: list = []
+    kept = meta_blocking_pairs(
+        _vw_block_keys(recs), max_block_size=12, persisted_out=caches
+    )
+    maxlen = F.greatest(F.length("rec_id_a"), F.length("rec_id_b"))
+    scored = kept.select(
+        "rec_id_a",
+        "rec_id_b",
+        (1.0 - F.levenshtein("rec_id_a", "rec_id_b") / maxlen).alias("score"),
+    )
+    match = scored.where(F.levenshtein("rec_id_a", "rec_id_b") <= 2)
+    comp = connected_components(
+        match.select(F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst"))
+    )
+    out = cluster_cohesion(comp, scored).select(
+        "cluster_id",
+        "size",
+        "n_possible",
+        "n_scored",
+        F.round("edge_coverage", 6).alias("edge_coverage"),
+        F.round("min_score", 6).alias("min_score"),
+        F.round("avg_score", 6).alias("avg_score"),
+    )
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_ER_CLUSTER_COHESION = f"""
+WITH RECURSIVE {_VW_NAMES_SQL},
+recs AS (SELECT DISTINCT name FROM vw_names),
+u AS (SELECT name, upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS u
+      FROM recs),
+blocked AS (
+  SELECT DISTINCT block_key, rec_id FROM (
+    SELECT 'p:' || {_soundex_sql('u')} AS block_key, name AS rec_id FROM u
+    UNION ALL SELECT 'pre:' || substr(name, 1, 4), name FROM recs
+    UNION ALL SELECT 'suf:' || right(name, 4), name FROM recs
+    UNION ALL SELECT 'l1:' || substr(name, 1, 1), name FROM recs)),
+keep_blocks AS (
+  SELECT block_key FROM blocked GROUP BY block_key
+  HAVING count(*) BETWEEN 2 AND 12),
+b AS (SELECT blocked.* FROM blocked JOIN keep_blocks USING (block_key)),
+edges AS (
+  SELECT a.rec_id AS ra, c.rec_id AS rb, count(*)::DOUBLE AS weight
+  FROM b a JOIN b c ON a.block_key = c.block_key AND a.rec_id < c.rec_id
+  GROUP BY 1, 2),
+node_w AS (
+  SELECT rid, avg(weight) AS thr FROM (
+    SELECT ra AS rid, weight FROM edges
+    UNION ALL SELECT rb, weight FROM edges)
+  GROUP BY rid),
+kept AS (
+  SELECT e.ra, e.rb,
+         1.0 - levenshtein(e.ra, e.rb)::DOUBLE
+               / greatest(length(e.ra), length(e.rb)) AS s
+  FROM edges e
+  JOIN node_w na ON na.rid = e.ra JOIN node_w nb ON nb.rid = e.rb
+  WHERE e.weight >= na.thr OR e.weight >= nb.thr),
+m AS (SELECT ra, rb FROM kept WHERE levenshtein(ra, rb) <= 2),
+sym AS (SELECT ra AS s, rb AS d FROM m UNION SELECT rb, ra FROM m),
+walk(n, c) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.d, walk.c FROM walk JOIN sym ON sym.s = walk.n),
+comp AS (SELECT n, min(c) AS cl FROM walk GROUP BY n),
+sizes AS (
+  SELECT cl AS cluster_id, count(*) AS size FROM comp GROUP BY cl
+  HAVING count(*) >= 2),
+within AS (
+  SELECT ca.cl AS cluster_id, count(*) AS n_scored,
+         min(k.s) AS mn, avg(k.s) AS av
+  FROM kept k
+  JOIN comp ca ON ca.n = k.ra JOIN comp cb ON cb.n = k.rb
+  WHERE ca.cl = cb.cl
+  GROUP BY ca.cl)
+SELECT s.cluster_id, s.size::BIGINT AS size,
+       (s.size * (s.size - 1) / 2)::BIGINT AS n_possible,
+       coalesce(w.n_scored, 0)::BIGINT AS n_scored,
+       round(coalesce(w.n_scored, 0)::DOUBLE
+             / (s.size * (s.size - 1) / 2), 6) AS edge_coverage,
+       round(w.mn, 6) AS min_score, round(w.av, 6) AS avg_score
+FROM sizes s LEFT JOIN within w USING (cluster_id)"""
+
+
 def q_corpus_dsir(spark, sf_dir):
     """DSIR importance resampling weights (operators/corpus.py
     dsir_importance; Xie et al. NeurIPS 2023): hashed unigram+bigram
@@ -5665,10 +5766,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (they sat past the r4 cap; all r3-driver-green) — this keeps
 #   union(CORRECTNESS_r04, CORRECTNESS_r05) = all 60 original queries,
 #   exactly the criterion the r4 verdict set;
-# - window positions 11-50: forty of the sixty-four round-5 gates that have
+# - window positions 11-50: forty of the sixty-five round-5 gates that have
 #   never had a driver row, picked so every NEW operator family has at least
 #   one driver-checked representative;
-# - tail (51+): first the twenty-four round-5 gates whose family sibling is
+# - tail (51+): first the twenty-five round-5 gates whose family sibling is
 #   in-window (each green in the full local sweep, scripts/check_entry.py,
 #   and in pytest — sweep logs cover what the 50-row driver cap cannot),
 #   then every gate with a green historical driver row from r1-r4.
@@ -5695,7 +5796,7 @@ _WINDOW: list[str] = [
     "corpus_pii_scrub",
     "er_reciprocal_match",
     "dedup_overlap",
-    "corpus_lm_perplexity",
+    "er_cluster_cohesion",
     "web_hll_distinct",
     "rel_bloom_semi_join",
     "corpus_sample_weighted",
@@ -5726,6 +5827,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "corpus_lm_perplexity",
     "corpus_pack_sequences",
     "corpus_dup_coverage",
     "rel_funnel_steps",
@@ -5805,7 +5907,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 124
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 125
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -5961,6 +6063,7 @@ _ORACLES: dict[str, str] = {
     "cc_churn": SQL_CC_CHURN,
     "er_soft_tfidf": SQL_ER_SOFT_TFIDF,
     "dedup_overlap": SQL_DEDUP_OVERLAP,
+    "er_cluster_cohesion": SQL_ER_CLUSTER_COHESION,
     "er_reciprocal_match": SQL_ER_RECIPROCAL_MATCH,
     "er_pr_curve": SQL_ER_PR_CURVE,
 }

@@ -340,3 +340,73 @@ def cluster_churn(prev: DataFrame, new: DataFrame) -> DataFrame:
             F.col("moved_records").cast("long").alias("moved_records"),
         )
     )
+
+
+def cluster_cohesion(
+    assignments: DataFrame,
+    scored: DataFrame,
+    id_col: str = "node",
+    cluster_col: str = "component",
+    id_a: str = "rec_id_a",
+    id_b: str = "rec_id_b",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-cluster cohesion audit — the pre-ship check on transitive
+    clustering output: connected components happily chain A~B~C into one
+    cluster on two strong edges, so the question before an ER result
+    leaves the pipeline is "how well-supported is each cluster's interior?"
+
+    For every cluster of size >= 2, against the scored candidate-pair
+    stream:
+
+    - ``size`` and ``n_possible`` = C(size, 2);
+    - ``n_scored`` = scored pairs with BOTH endpoints in the cluster;
+    - ``edge_coverage`` = n_scored / n_possible (transitive chains score
+      low; near-cliques score ~1);
+    - ``min_score`` / ``avg_score`` over those within-cluster edges (NULL
+      when no edge was scored at all — a cluster held together purely by
+      upstream blocking is exactly what this audit exists to flag).
+
+    Distributed: two assignment joins onto the pair stream, one groupBy per
+    cluster, one size aggregate — never the pair space of the whole corpus,
+    no iteration.
+    """
+    a = assignments.select(
+        F.col(id_col).alias(id_a), F.col(cluster_col).alias("_ca")
+    )
+    b = assignments.select(
+        F.col(id_col).alias(id_b), F.col(cluster_col).alias("_cb")
+    )
+    within = (
+        scored.join(a, id_a)
+        .join(b, id_b)
+        .where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.min(score_col).alias("min_score"),
+            F.avg(score_col).alias("avg_score"),
+        )
+    )
+    sizes = (
+        assignments.groupBy(F.col(cluster_col).alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .where(F.col("size") >= 2)
+    )
+    return (
+        sizes.join(within, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "size",
+            (F.col("size") * (F.col("size") - 1) / 2).cast("long").alias(
+                "n_possible"
+            ),
+            F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+            (
+                F.coalesce("n_scored", F.lit(0))
+                / (F.col("size") * (F.col("size") - 1) / 2)
+            ).alias("edge_coverage"),
+            "min_score",
+            "avg_score",
+        )
+    )

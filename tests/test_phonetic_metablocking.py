@@ -566,3 +566,29 @@ def test_pr_curve_excludes_null_rows(spark):
     rows = pr_curve(scored, bins=10).collect()
     assert len(rows) == 1
     assert rows[0]["tp"] == 1 and rows[0]["fp"] == 0 and rows[0]["fn"] == 0
+
+
+def test_cluster_cohesion_flags_chains_and_unsupported(spark):
+    from minimel_spark.operators.cluster import cluster_cohesion
+
+    assign = spark.createDataFrame(
+        # cluster 1: triangle-able {1,2,3} but only a chain was scored;
+        # cluster 2: pair {4,5} fully scored; cluster 3: pair {6,7} with NO
+        # scored edge (blocking-only); singleton 8 excluded
+        [(1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 3), (7, 3), (8, 4)],
+        "node long, component long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.7), (4, 5, 0.8), (1, 4, 0.99)],
+        "rec_id_a long, rec_id_b long, score double",
+    )
+    rows = {r["cluster_id"]: r for r in cluster_cohesion(assign, scored).collect()}
+    assert set(rows) == {1, 2, 3}
+    c1 = rows[1]
+    assert c1["size"] == 3 and c1["n_possible"] == 3 and c1["n_scored"] == 2
+    assert c1["edge_coverage"] == pytest.approx(2 / 3)
+    assert c1["min_score"] == pytest.approx(0.7)
+    c2 = rows[2]
+    assert c2["edge_coverage"] == pytest.approx(1.0)
+    c3 = rows[3]
+    assert c3["n_scored"] == 0 and c3["min_score"] is None
