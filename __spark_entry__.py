@@ -5737,6 +5737,76 @@ SELECT d.doc_id::BIGINT AS doc_id,
 FROM documents d LEFT JOIN scored s USING (doc_id)"""
 
 
+def q_er_monge_elkan(spark, sf_dir):
+    """Monge-Elkan hybrid similarity (operators/pairs.py monge_elkan; Monge
+    & Elkan KDD 1996, thresholded inner metric per Jimenez et al. 2009)
+    over the last-word-blocked part-name pairs: per-token best-JW-match
+    average, both directions plus the symmetric mean. The oracle recomputes
+    the token multisets (positions via generate_subscripts), the
+    per-distinct-token-pair JW (DuckDB's builtin — bit-compatible above the
+    0.85 cutoff, same argument as the soft-TF-IDF gate), both directional
+    grouped argmax/mean passes, and the symmetrization."""
+    from minimel_spark.operators.pairs import candidate_pairs, monge_elkan
+
+    part = _t(spark, sf_dir, "part")
+    records = part.select(F.col("p_name").alias("name")).distinct().withColumn(
+        "rec_id", F.col("name")
+    )
+    blocked = records.withColumn(
+        "block_key", F.regexp_extract("name", r"(\w+)$", 1)
+    )
+    pairs = candidate_pairs(blocked).select(
+        F.col("rec_id_a").alias("name_a"), F.col("rec_id_b").alias("name_b")
+    )
+    return monge_elkan(pairs, threshold=0.85).select(
+        F.col("name_a").alias("rec_id_a"),
+        F.col("name_b").alias("rec_id_b"),
+        F.round("me_ab", 6).alias("me_ab"),
+        F.round("me_ba", 6).alias("me_ba"),
+        F.round("me_sym", 6).alias("me_sym"),
+    )
+
+
+SQL_ER_MONGE_ELKAN = """
+WITH r AS (SELECT DISTINCT p_name AS name FROM part),
+b AS (SELECT name, regexp_extract(name, '(\\w+)$', 1) AS bk FROM r),
+p AS (
+  SELECT a.name AS na, c.name AS nb
+  FROM b a JOIN b c ON a.bk = c.bk AND a.name < c.name),
+tok AS (
+  SELECT name,
+         unnest(list_filter(
+           regexp_split_to_array(lower(name), '[^a-z0-9]+'), x -> x <> '')) AS t,
+         generate_subscripts(list_filter(
+           regexp_split_to_array(lower(name), '[^a-z0-9]+'), x -> x <> ''), 1) AS i
+  FROM r),
+n AS (SELECT name, count(*) AS n FROM tok GROUP BY name),
+crossed AS (
+  SELECT p.na, p.nb, ta.i AS ia, ta.t AS ta, tb.i AS ib, tb.t AS tb
+  FROM p JOIN tok ta ON ta.name = p.na JOIN tok tb ON tb.name = p.nb),
+tp AS (SELECT DISTINCT ta, tb FROM crossed),
+jw AS (SELECT ta, tb, jaro_winkler_similarity(ta, tb) AS jw FROM tp),
+sims AS (
+  SELECT c.na, c.nb, c.ia, c.ib,
+         CASE WHEN jw.jw > 0.85 THEN jw.jw ELSE 0.0 END AS s
+  FROM crossed c JOIN jw ON jw.ta = c.ta AND jw.tb = c.tb),
+da AS (
+  SELECT na, nb, sum(best) / any_value(n.n) AS me_ab
+  FROM (SELECT na, nb, ia, max(s) AS best FROM sims GROUP BY na, nb, ia)
+  JOIN n ON n.name = na GROUP BY na, nb),
+db AS (
+  SELECT na, nb, sum(best) / any_value(n.n) AS me_ba
+  FROM (SELECT na, nb, ib, max(s) AS best FROM sims GROUP BY na, nb, ib)
+  JOIN n ON n.name = nb GROUP BY na, nb)
+SELECT p.na AS rec_id_a, p.nb AS rec_id_b,
+       round(coalesce(da.me_ab, 0.0), 6) AS me_ab,
+       round(coalesce(db.me_ba, 0.0), 6) AS me_ba,
+       round((coalesce(da.me_ab, 0.0) + coalesce(db.me_ba, 0.0)) / 2, 6) AS me_sym
+FROM p
+LEFT JOIN da ON da.na = p.na AND da.nb = p.nb
+LEFT JOIN db ON db.na = p.na AND db.nb = p.nb"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -5827,6 +5897,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_monge_elkan",
     "corpus_lm_perplexity",
     "corpus_pack_sequences",
     "corpus_dup_coverage",
@@ -5907,7 +5978,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 125
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 126
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -6066,6 +6137,7 @@ _ORACLES: dict[str, str] = {
     "er_cluster_cohesion": SQL_ER_CLUSTER_COHESION,
     "er_reciprocal_match": SQL_ER_RECIPROCAL_MATCH,
     "er_pr_curve": SQL_ER_PR_CURVE,
+    "er_monge_elkan": SQL_ER_MONGE_ELKAN,
 }
 
 

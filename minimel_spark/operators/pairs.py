@@ -679,3 +679,95 @@ def soft_tfidf(
     return pairs.join(close, [name_a, name_b], "left").withColumn(
         "soft_tfidf", F.coalesce("soft_tfidf", F.lit(0.0))
     )
+
+
+def monge_elkan(
+    pairs: DataFrame,
+    threshold: float = 0.85,
+    name_a: str = "name_a",
+    name_b: str = "name_b",
+) -> DataFrame:
+    """Monge-Elkan hybrid similarity (Monge & Elkan, "The field matching
+    problem", KDD 1996) with a Jaro-Winkler inner metric — the per-token
+    best-match average that handles re-ordered, abbreviated, and
+    partially-overlapping multi-token names where whole-string edit
+    distance fails:
+
+        me(a→b) = (1/|T(a)|) Σ_{w ∈ T(a)} max_{v ∈ T(b)} jw'(w, v)
+
+    where ``jw'(w, v) = jw(w, v) if jw(w, v) > threshold else 0`` — the
+    thresholded inner metric (the generalized-ME noise-suppression knob,
+    cf. Jimenez et al., "Generalized Monge-Elkan Method", CICLing 2009):
+    below-cutoff token matches contribute nothing instead of dragging the
+    mean toward junk alignments. T(·) is the token MULTISET (repeated
+    tokens each occupy a slot of the mean, per the original definition).
+    The metric is directional; the output carries both directions plus the
+    symmetric mean:
+
+        (``me_ab``, ``me_ba``, ``me_sym`` = (me_ab + me_ba) / 2)
+
+    appended to ``pairs``.
+
+    Distributed shape (same discipline as :func:`soft_tfidf`):
+
+    - the pandas-UDF Jaro-Winkler runs ONCE per DISTINCT cross-pair token
+      combination, never on the pair stream;
+    - per-pair fan-out is |T(a)| × |T(b)| rows (bounded by name length),
+      reduced by two grouped argmax passes — one per direction — straight
+      back to one row per pair;
+    - no windows, no sorts, no driver state; everything downstream of the
+      token-pair dictionary is JVM expression + groupBy.
+
+    The cutoff also makes the metric oracle-exact cross-engine: jw > 0.85
+    forces jaro > 0.75, inside both DuckDB's and this repo's
+    boost-threshold conventions, where the two implementations are
+    bit-compatible (the same argument the soft-TF-IDF gate pins).
+    """
+    if not 0.0 <= threshold < 1.0:
+        raise ValueError(f"threshold must be in [0, 1), got {threshold}")
+
+    def toks(c):
+        return F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda w: w != "")
+
+    base = pairs.select(
+        name_a,
+        name_b,
+        toks(F.col(name_a)).alias("_tsa"),
+        toks(F.col(name_b)).alias("_tsb"),
+    )
+    # positions keep multiset slots distinct through the grouped argmax
+    crossed = base.select(
+        name_a,
+        name_b,
+        F.size("_tsa").alias("_na"),
+        F.size("_tsb").alias("_nb"),
+        F.posexplode("_tsa").alias("_ia", "_ta"),
+    ).select(
+        name_a, name_b, "_na", "_nb", "_ia", "_ta",
+        F.posexplode(toks(F.col(name_b))).alias("_ib", "_tb"),
+    )
+    tok_pairs = crossed.select("_ta", "_tb").distinct().withColumn(
+        "_jw", jw_udf("_ta", "_tb")
+    )
+    sims = crossed.join(tok_pairs, ["_ta", "_tb"]).withColumn(
+        "_s", F.when(F.col("_jw") > threshold, F.col("_jw")).otherwise(F.lit(0.0))
+    )
+    dir_a = (
+        sims.groupBy(name_a, name_b, "_na", "_ia")
+        .agg(F.max("_s").alias("_best"))
+        .groupBy(name_a, name_b)
+        .agg((F.sum("_best") / F.min("_na")).alias("me_ab"))
+    )
+    dir_b = (
+        sims.groupBy(name_a, name_b, "_nb", "_ib")
+        .agg(F.max("_s").alias("_best"))
+        .groupBy(name_a, name_b)
+        .agg((F.sum("_best") / F.min("_nb")).alias("me_ba"))
+    )
+    return (
+        pairs.join(dir_a, [name_a, name_b], "left")
+        .join(dir_b, [name_a, name_b], "left")
+        .withColumn("me_ab", F.coalesce("me_ab", F.lit(0.0)))
+        .withColumn("me_ba", F.coalesce("me_ba", F.lit(0.0)))
+        .withColumn("me_sym", (F.col("me_ab") + F.col("me_ba")) / 2.0)
+    )

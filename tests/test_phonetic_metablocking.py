@@ -592,3 +592,52 @@ def test_cluster_cohesion_flags_chains_and_unsupported(spark):
     assert c2["edge_coverage"] == pytest.approx(1.0)
     c3 = rows[3]
     assert c3["n_scored"] == 0 and c3["min_score"] is None
+
+
+def test_monge_elkan_hand_example(spark):
+    from minimel_spark.functions.similarity import jaro_winkler
+    from minimel_spark.operators.pairs import monge_elkan
+
+    pairs = spark.createDataFrame(
+        [
+            ("acme corp", "corp acme"),
+            ("acme corp", "acme corporation"),
+            ("acme corp", "zeta inc"),
+        ],
+        "name_a string, name_b string",
+    )
+    rows = {
+        (r["name_a"], r["name_b"]): (r["me_ab"], r["me_ba"], r["me_sym"])
+        for r in monge_elkan(pairs, threshold=0.85).collect()
+    }
+    # word reorder: every token has an exact partner in both directions
+    assert rows[("acme corp", "corp acme")] == (1.0, 1.0, 1.0)
+    jcc = jaro_winkler("corp", "corporation")
+    assert jcc > 0.85
+    want = (1.0 + jcc) / 2
+    got = rows[("acme corp", "acme corporation")]
+    assert got[0] == pytest.approx(want)
+    assert got[1] == pytest.approx(want)  # jw is symmetric, same token sets
+    assert rows[("acme corp", "zeta inc")] == (0.0, 0.0, 0.0)
+
+
+def test_monge_elkan_multiset_and_asymmetry(spark):
+    from minimel_spark.operators.pairs import monge_elkan
+
+    pairs = spark.createDataFrame(
+        [("aaa bbb", "aaa aaa aaa")], "name_a string, name_b string"
+    )
+    (row,) = monge_elkan(pairs, threshold=0.85).collect()
+    # a-side: one exact match + one below-cutoff token -> mean (1+0)/2
+    assert row["me_ab"] == pytest.approx(0.5)
+    # b-side: all three multiset slots match 'aaa' exactly -> 1.0
+    assert row["me_ba"] == pytest.approx(1.0)
+    assert row["me_sym"] == pytest.approx(0.75)
+
+
+def test_monge_elkan_validates_threshold(spark):
+    from minimel_spark.operators.pairs import monge_elkan
+
+    df = spark.createDataFrame([("a", "b")], "name_a string, name_b string")
+    with pytest.raises(ValueError, match="threshold"):
+        monge_elkan(df, threshold=-0.1)
