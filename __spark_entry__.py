@@ -5807,6 +5807,111 @@ LEFT JOIN da ON da.na = p.na AND da.nb = p.nb
 LEFT JOIN db ON db.na = p.na AND db.nb = p.nb"""
 
 
+# both graph-iteration oracles share the md5 link graph taken undirected,
+# as a both-ways simple edge list (the adjacency the Spark operators build)
+_SQL_GRAPH_SYM = """
+nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, nn),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und)"""
+
+
+def q_graph_lpa(spark, sf_dir):
+    """Synchronous label-propagation communities (operators/graph.py
+    lpa_communities; Raghavan et al. 2007, deterministic sync variant with
+    min-label ties) over the SAME md5-derived link graph as the other two
+    graph gates: 5 rounds from own-id labels. The oracle unrolls the same
+    5 rounds as chained CTEs — neighbor-label count, min-struct argmax,
+    isolated-keep — an exact integer recurrence on both engines."""
+    from minimel_spark.operators.graph import lpa_communities
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    out = lpa_communities(_doc_link_edges(docs, n), nodes, n_iter=5)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
+def _sql_lpa(n_iter: int = 5) -> str:
+    """Unrolled synchronous-LPA oracle: l0 .. l{n_iter} as chained CTEs,
+    each round the same count/argmax/coalesce as operators/graph
+    lpa_communities (struct_pack(-count, label) min = most-frequent label,
+    smallest on ties; nodes without neighbors keep their label)."""
+    steps = []
+    for i in range(n_iter):
+        steps.append(f"""l{i + 1} AS MATERIALIZED (
+  SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
+  FROM l{i} p
+  LEFT JOIN (
+    SELECT node, min(struct_pack(a := -c, b := lbl))['b'] AS lbl
+    FROM (SELECT s.dst AS node, q.lbl, count(*) AS c
+          FROM sym s JOIN l{i} q ON q.node = s.src
+          GROUP BY s.dst, q.lbl)
+    GROUP BY node) b ON b.node = p.node)""")
+    chained = ",\n".join(steps)
+    return f"""
+WITH {_SQL_GRAPH_SYM},
+l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+{chained}
+SELECT node::BIGINT AS node, lbl::BIGINT AS community FROM l{n_iter}"""
+
+
+SQL_GRAPH_LPA = _sql_lpa(5)
+
+
+def q_graph_kcore(spark, sf_dir):
+    """k-core decomposition (operators/graph.py k_core) at k=4 over the
+    SAME md5-derived link graph: 8 synchronous peeling rounds — past the
+    measured fixpoint depth (6 rounds at sf0.01), and the operator's
+    pytest pins rounds-n == rounds-n+1 on a hand graph, so the flag is the
+    true 4-core. The oracle unrolls the same peel as chained CTEs (active
+    set -> both-endpoint semi-join -> degree filter), an exact integer
+    recurrence on both engines."""
+    from minimel_spark.operators.graph import k_core
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    out = k_core(_doc_link_edges(docs, n), nodes, k=4, n_iter=8)
+    return out.select(
+        F.col("node").cast("long").alias("node"), "in_core"
+    )
+
+
+def _sql_kcore(k: int = 4, n_iter: int = 8) -> str:
+    """Unrolled synchronous-peeling oracle: a0 .. a{n_iter} as chained
+    CTEs, each round keeping the nodes with >= k surviving neighbors."""
+    steps = []
+    for i in range(n_iter):
+        steps.append(f"""a{i + 1} AS MATERIALIZED (
+  SELECT s.src AS node
+  FROM sym s
+  JOIN a{i} p ON p.node = s.src
+  JOIN a{i} q ON q.node = s.dst
+  GROUP BY s.src HAVING count(*) >= {k})""")
+    chained = ",\n".join(steps)
+    return f"""
+WITH {_SQL_GRAPH_SYM},
+a0 AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+{chained}
+SELECT d.doc_id::BIGINT AS node, (a.node IS NOT NULL) AS in_core
+FROM documents d LEFT JOIN a{n_iter} a ON a.node = d.doc_id"""
+
+
+SQL_GRAPH_KCORE = _sql_kcore(4, 8)
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -5898,6 +6003,8 @@ _WINDOW: list[str] = [
 
 _TAIL: list[str] = [
     "er_monge_elkan",
+    "graph_lpa",
+    "graph_kcore",
     "corpus_lm_perplexity",
     "corpus_pack_sequences",
     "corpus_dup_coverage",
@@ -5978,7 +6085,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 126
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 128
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -6138,6 +6245,8 @@ _ORACLES: dict[str, str] = {
     "er_reciprocal_match": SQL_ER_RECIPROCAL_MATCH,
     "er_pr_curve": SQL_ER_PR_CURVE,
     "er_monge_elkan": SQL_ER_MONGE_ELKAN,
+    "graph_lpa": SQL_GRAPH_LPA,
+    "graph_kcore": SQL_GRAPH_KCORE,
 }
 
 

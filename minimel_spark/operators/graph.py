@@ -199,3 +199,105 @@ def triangle_counts(
             .alias("lcc"),
         )
     )
+
+
+def _symmetrized(edges: DataFrame) -> DataFrame:
+    """Undirected simple-graph adjacency as a directed both-ways edge list:
+    self-loops dropped, direction erased, parallel edges collapsed."""
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    return und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+
+def lpa_communities(
+    edges: DataFrame, nodes: DataFrame, n_iter: int = 5
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan, Albert
+    & Kumara 2007, the deterministic synchronous variant) over the
+    undirected simple graph induced by ``edges``: every node starts with
+    its own id as label, and each round simultaneously adopts the most
+    frequent label among its neighbors, ties broken by SMALLEST label —
+    both choices deterministic, so the result is a pure function of
+    (edges, nodes, n_iter), which is what lets DuckDB replay it exactly
+    (the classic asynchronous/random-order variant is neither
+    reproducible nor oracle-able). Isolated nodes keep their own label.
+    Returns (node, community) after exactly ``n_iter`` rounds.
+
+    Scale design: one shuffle per round (neighbor-label count grouped by
+    (node, label), reduced by the min-struct argmax to one row per node)
+    plus the nodes-side left join; ``localCheckpoint(eager=True)`` per
+    round truncates lineage exactly like the CC and PageRank loops.
+    Synchronous LPA can oscillate on bipartite structures — the fixed
+    round count bounds that by construction (callers wanting a fixpoint
+    check compare rounds n and n+1).
+    """
+    sym = _symmetrized(edges).localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(n_iter):
+        counted = (
+            sym.join(
+                labels.select(F.col("node").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        best = counted.groupBy("node").agg(
+            F.min(F.struct((-F.col("_c")).alias("_nc"), F.col("lbl")))[
+                "lbl"
+            ].alias("_new")
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("_new", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def k_core(
+    edges: DataFrame, nodes: DataFrame, k: int = 3, n_iter: int = 10
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling over the undirected
+    simple graph induced by ``edges``: each round simultaneously removes
+    every node whose degree WITHIN the surviving subgraph is < ``k``.
+    Returns (node, in_core) for every row of ``nodes`` after exactly
+    ``n_iter`` rounds — the fixed round count (not a convergence test)
+    keeps the result a pure function of the inputs for the DuckDB replay;
+    peeling is monotone, so once a round removes nothing the remaining
+    set IS the k-core, and callers can verify fixpoint by comparing
+    ``n_iter`` and ``n_iter + 1`` (the graph gate's pytest does).
+
+    Scale design: one shuffle per round — the active edge set is the
+    both-ways list semi-joined to the active nodes on BOTH endpoints, and
+    the per-src count feeds the >= k filter directly; no windows, no
+    driver state beyond the loop counter. ``localCheckpoint(eager=True)``
+    per round truncates lineage. Rounds-to-fixpoint is bounded by the
+    peeling depth (the graph's degeneracy ordering), typically tiny even
+    on web graphs; a celebrity node costs nothing special — counting is
+    a grouped aggregate, never a neighbor-list materialization.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sym = _symmetrized(edges).localCheckpoint(eager=True)
+    active = nodes.select("node")
+    for _ in range(n_iter):
+        active = (
+            sym.join(active.withColumnRenamed("node", "src"), "src")
+            .join(active.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .where(F.col("_deg") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    return nodes.select("node").join(
+        active.withColumn("in_core", F.lit(True)), "node", "left"
+    ).select("node", F.coalesce("in_core", F.lit(False)).alias("in_core"))

@@ -187,3 +187,72 @@ def test_triangles_persisted_out_identical_and_released(spark):
     assert not any(
         c.storageLevel.useMemory or c.storageLevel.useDisk for c in caches
     )
+
+
+def test_lpa_two_triangles_bridge(spark):
+    from minimel_spark.operators.graph import lpa_communities
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "node long")
+    got = {
+        r["node"]: r["community"]
+        for r in lpa_communities(edges, nodes, n_iter=6).collect()
+    }
+    # the two triangles settle into distinct communities despite the bridge
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+    # isolated node keeps its own label
+    assert got[7] == 7
+
+
+def test_lpa_deterministic_ties(spark):
+    from minimel_spark.operators.graph import lpa_communities
+
+    # single edge: both nodes adopt the partner's label, min-tie irrelevant;
+    # after 2 rounds labels swap back — fixed n_iter pins the oscillation
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,)], "node long")
+    one = {
+        r["node"]: r["community"]
+        for r in lpa_communities(edges, nodes, n_iter=1).collect()
+    }
+    assert one == {1: 2, 2: 1}
+    two = {
+        r["node"]: r["community"]
+        for r in lpa_communities(edges, nodes, n_iter=2).collect()
+    }
+    assert two == {1: 1, 2: 2}
+
+
+def test_k_core_peels_tail(spark):
+    from minimel_spark.operators.graph import k_core
+
+    # triangle {1,2,3} + path 3-4-5: 2-core = the triangle only
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "node long")
+    got = {
+        r["node"]: r["in_core"] for r in k_core(edges, nodes, k=2, n_iter=5).collect()
+    }
+    assert got == {1: True, 2: True, 3: True, 4: False, 5: False}
+    # peeling is monotone: one more round past fixpoint changes nothing
+    again = {
+        r["node"]: r["in_core"] for r in k_core(edges, nodes, k=2, n_iter=6).collect()
+    }
+    assert again == got
+
+
+def test_k_core_validates_k(spark):
+    import pytest
+
+    from minimel_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,)], "node long")
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(edges, nodes, k=0)
