@@ -5912,6 +5912,69 @@ FROM documents d LEFT JOIN a{n_iter} a ON a.node = d.doc_id"""
 SQL_GRAPH_KCORE = _sql_kcore(4, 8)
 
 
+def q_web_boilerplate(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal (operators/web.py
+    strip_boilerplate_lines) over the lined crawl fixture
+    (sources/synth.py lined_pages: corpus-wide nav + per-domain banner /
+    footer around 8-word-wrapped body lines): any line whose normalized
+    form appears in >= 5 distinct docs is stripped everywhere. The oracle
+    rebuilds the fixture's line structure natively and recomputes the
+    doc-frequency cut, the verbatim reassembly (string_agg ordered by
+    position), and the per-doc stats; it groups by the normalized line
+    itself where Spark groups by its md5-60 — hash equality also proves
+    no hash collision fired."""
+    from minimel_spark.operators.web import strip_boilerplate_lines
+    from minimel_spark.sources.synth import lined_pages
+
+    pages = lined_pages(_t(spark, sf_dir, "documents"))
+    caches: list = []
+    out = strip_boilerplate_lines(pages, min_docs=5, persisted_out=caches).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_WEB_BOILERPLATE = """
+WITH built AS (
+  SELECT doc_id,
+         list_concat(list_concat(
+           ['Home | About | Contact',
+            'Site news — domain ' || (doc_id % 25)],
+           list_transform(
+             range(0, greatest(cast(ceil(len(ws) / 8.0) AS INT), 1)),
+             i -> array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8), ' '))),
+           ['(c) 2024 example' || (doc_id % 25) || '.org — all rights reserved'])
+         AS ls
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+  FROM built),
+boiler AS (
+  SELECT lower(trim(line)) AS nrm
+  FROM lines WHERE lower(trim(line)) <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+kept AS (
+  SELECT * FROM lines
+  WHERE lower(trim(line)) = ''
+     OR lower(trim(line)) NOT IN (SELECT nrm FROM boiler)),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id::BIGINT AS doc_id,
+       coalesce(r.text, '') AS text,
+       t.n_lines::BIGINT AS n_lines,
+       (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -6005,6 +6068,7 @@ _TAIL: list[str] = [
     "er_monge_elkan",
     "graph_lpa",
     "graph_kcore",
+    "web_boilerplate",
     "corpus_lm_perplexity",
     "corpus_pack_sequences",
     "corpus_dup_coverage",
@@ -6085,7 +6149,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 128
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 129
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -6247,6 +6311,7 @@ _ORACLES: dict[str, str] = {
     "er_monge_elkan": SQL_ER_MONGE_ELKAN,
     "graph_lpa": SQL_GRAPH_LPA,
     "graph_kcore": SQL_GRAPH_KCORE,
+    "web_boilerplate": SQL_WEB_BOILERPLATE,
 }
 
 

@@ -163,3 +163,86 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+def strip_boilerplate_lines(
+    pages: DataFrame,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """Corpus-level line deduplication — the CCNet-style boilerplate
+    remover (Wenzek et al., "CCNet", LREC 2020 strip repeated paragraphs
+    by corpus hash count): a line whose normalized form (trimmed,
+    lowercased) appears in >= ``min_docs`` DISTINCT documents is
+    boilerplate (nav bars, cookie banners, copyright footers) and is
+    dropped from every document; all other lines are kept VERBATIM in
+    their original order. Whitespace-only lines are kept and never
+    counted (they would otherwise all collapse to one degenerate
+    "boilerplate" key). Returns one row per input page:
+
+        (id_col, text (cleaned), n_lines, n_removed)
+
+    — documents whose every line was boilerplate come back with
+    ``text = ''``, not dropped (downstream length/quality filters decide
+    their fate, not this operator).
+
+    Scale design: the line stream shuffles on a 60-bit md5 of the
+    normalized line, never the line text (a viral line's full bytes
+    would otherwise ride every shuffle row); the doc-frequency count is
+    a grouped COUNT(DISTINCT doc) per hash; membership is a LEFT ANTI
+    join against the (typically tiny, but unbounded — so never
+    broadcast-hinted; AQE may choose it from runtime stats) boilerplate
+    hash set; reassembly is one groupBy with an array_sort over (pos,
+    line) structs — per-document, so bounded by page size, no windows.
+    ``persisted_out`` receives the exploded line table (three consumers:
+    frequency count, anti join, per-doc totals).
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    norm = F.lower(F.trim(F.col("_line")))
+    lines = pages.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn(
+        "_key",
+        F.when(norm == "", F.lit(None).cast("long")).otherwise(md5_long60(norm)),
+    )
+    if persisted_out is not None:
+        lines = lines.persist()
+        persisted_out.append(lines)
+    boiler = (
+        lines.where(F.col("_key").isNotNull())
+        .groupBy("_key")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("_key")
+    )
+    kept = lines.join(boiler, "_key", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        pages.select(F.col(id_col).alias("_id"))
+        .join(totals, "_id")
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("_text", F.lit("")).alias("text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

@@ -556,3 +556,51 @@ def doc_title_index(docs: DataFrame) -> DataFrame:
         F.concat(F.initcap("word"), F.lit("_"), F.col("s.qid").cast("string")).alias("title"),
         F.col("s.qid").alias("qid"),
     )
+
+
+def lined_pages(docs: DataFrame) -> DataFrame:
+    """(doc_id, domain, text) with MULTI-LINE text — the line-structured
+    crawl fixture for boilerplate-removal operators. Deterministic pure
+    expressions over the documents table (replayed bit-for-bit by the
+    DuckDB oracles):
+
+    - ``domain`` = doc_id % 25 (25 synthetic hosts);
+    - line 1: a corpus-wide nav bar (identical on every page);
+    - line 2: a per-domain banner (identical across the domain's docs);
+    - body: the document's words re-wrapped 8 per line;
+    - last line: a per-domain copyright footer.
+
+    The nav/banner/footer lines are exactly what line-level dedup
+    (CCNet-style) must strip; the body lines are document content it must
+    keep (near-duplicate docs share body lines — whether those cross a
+    doc-frequency threshold is the operator's call, not the fixture's).
+    """
+    from ..operators.util import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs, "doc_id")
+    domain = (F.col("doc_id") % 25).cast("long")
+    words = F.split(F.col("text"), " ")
+    n_body = F.greatest(
+        F.ceil(F.size(words) / F.lit(8.0)).cast("int"), F.lit(1)
+    )
+    body = F.transform(
+        F.sequence(F.lit(0), n_body - 1),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
+    lines = F.concat(
+        F.array(
+            F.lit("Home | About | Contact"),
+            F.concat(F.lit("Site news — domain "), domain),
+        ),
+        body,
+        F.array(
+            F.concat(
+                F.lit("(c) 2024 example"), domain, F.lit(".org — all rights reserved")
+            )
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        domain.alias("domain"),
+        F.array_join(lines, "\n").alias("text"),
+    )

@@ -171,3 +171,54 @@ def test_no_single_partition_exchange(spark, snap):
     latest = latest_snapshots(snap)
     plan = domain_quota(latest, max_per_domain=5)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_strip_boilerplate_lines_hand_example(spark):
+    import pytest
+
+    from minimel_spark.operators.web import strip_boilerplate_lines
+
+    pages = spark.createDataFrame(
+        [
+            (1, "NAV BAR\nunique body one\n\nmore text\n(c) site"),
+            (2, "NAV BAR\nunique body two\n(c) site"),
+            (3, "nav bar \nanother body"),  # case/trim-folds into NAV BAR
+            (4, "NAV BAR\n(c) site"),  # all boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    caches: list = []
+    rows = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_lines(
+            pages, min_docs=2, persisted_out=caches
+        ).collect()
+    }
+    for c in caches:
+        c.unpersist()
+    # shared lines removed in every doc; blank + unique lines kept verbatim
+    assert rows[1]["text"] == "unique body one\n\nmore text"
+    assert (rows[1]["n_lines"], rows[1]["n_removed"]) == (5, 2)
+    assert rows[2]["text"] == "unique body two"
+    assert rows[3]["text"] == "another body"
+    # all-boilerplate doc survives with empty text, not dropped
+    assert rows[4]["text"] == ""
+    assert (rows[4]["n_lines"], rows[4]["n_removed"]) == (2, 2)
+    with pytest.raises(ValueError, match="min_docs"):
+        strip_boilerplate_lines(pages, min_docs=1)
+
+
+def test_lined_pages_shape(spark, documents):
+    from minimel_spark.sources.synth import lined_pages
+
+    out = lined_pages(documents.limit(30))
+    rows = out.collect()
+    assert len(rows) == 30
+    for r in rows:
+        ls = r["text"].split("\n")
+        assert ls[0] == "Home | About | Contact"
+        assert ls[1] == f"Site news — domain {r['domain']}"
+        assert ls[-1].startswith(f"(c) 2024 example{r['domain']}.org")
+        assert len(ls) >= 4  # at least one body line
+        # body lines re-wrap the words 8 per line
+        assert all(len(b.split(" ")) <= 8 for b in ls[2:-1])
