@@ -5975,6 +5975,91 @@ SELECT t.doc_id::BIGINT AS doc_id,
 FROM totals t LEFT JOIN rebuilt r USING (doc_id)"""
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """True stream-stream interval join (streaming/ingest.py
+    stream_interval_join): click→purchase attribution — both event streams
+    replay as TWO micro-batch files each (split by event_id parity,
+    maxFilesPerTrigger=1), so matches MUST cross micro-batch state; the
+    40-day watermark out-sizes the fixture's 30-day span, making the
+    drained append output provably equal to the batch interval join — which
+    the DuckDB oracle computes natively."""
+    import shutil
+    import tempfile
+
+    from minimel_spark.streaming.ingest import run_to_sink, stream_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    csrc = tempfile.mkdtemp(prefix="minimel_ivj_c_")
+    bsrc = tempfile.mkdtemp(prefix="minimel_ivj_b_")
+    for half in (0, 1):
+        clicks.where(F.col("event_id") % 2 == half).coalesce(1).write.mode(
+            "append"
+        ).parquet(csrc)
+        buys.where(F.col("event_id") % 2 == half).coalesce(1).write.mode(
+            "append"
+        ).parquet(bsrc)
+    cs = (
+        spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(csrc)
+    )
+    bs = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, ts timestamp_ntz, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bsrc)
+    )
+    joined = stream_interval_join(cs, bs, "user_id", within_seconds=3600)
+    out_dir = tempfile.mkdtemp(prefix="minimel_ivj_out_")
+    ckpt = tempfile.mkdtemp(prefix="minimel_ivj_ckpt_")
+    q = run_to_sink(joined, ckpt, out_path=out_dir, output_mode="append")
+    try:
+        assert q.awaitTermination(300), "streaming drain did not finish"
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(csrc, ignore_errors=True)
+        shutil.rmtree(bsrc, ignore_errors=True)
+    got = spark.read.parquet(out_dir).select(
+        "user_id",
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.unix_micros("l_ts").alias("click_us"),
+        F.unix_micros("r_ts").alias("purchase_us"),
+        F.round("lag_seconds", 6).alias("lag_seconds"),
+        F.round("r_value", 6).alias("value"),
+    )
+    rows = got.collect()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, got.schema)
+
+
+SQL_STREAM_INTERVAL_JOIN = """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase')
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(c.ts) AS click_us,
+       epoch_us(p.ts) AS purchase_us,
+       round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6) AS lag_seconds,
+       round(p.value, 6) AS value
+FROM c JOIN p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 3600 SECOND"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -6069,6 +6154,7 @@ _TAIL: list[str] = [
     "graph_lpa",
     "graph_kcore",
     "web_boilerplate",
+    "stream_interval_join",
     "corpus_lm_perplexity",
     "corpus_pack_sequences",
     "corpus_dup_coverage",
@@ -6149,7 +6235,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 129
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 130
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -6312,6 +6398,7 @@ _ORACLES: dict[str, str] = {
     "graph_lpa": SQL_GRAPH_LPA,
     "graph_kcore": SQL_GRAPH_KCORE,
     "web_boilerplate": SQL_WEB_BOILERPLATE,
+    "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
 }
 
 

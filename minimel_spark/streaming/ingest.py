@@ -519,3 +519,75 @@ def stream_asof_enrich(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key: str,
+    within_seconds: int,
+    delay: str = "40 days",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """True STREAM-STREAM inner join with an event-time interval condition —
+    the attribution shape (click→purchase, impression→conversion): a right
+    event matches a left event with the same ``key`` when it lands inside
+    ``[left_ts, left_ts + within_seconds]``. Both sides are unbounded, so
+    Spark buffers each in join state; the time bound in the condition PLUS
+    the two watermarks let it evict state once the other side's watermark
+    passes the last instant a match could still arrive — the state bound is
+    the watermark ``delay`` + ``within_seconds``, independent of stream
+    length. Inner join emits in append mode, so the result goes straight
+    to a parquet sink.
+
+    ``delay`` is the lateness budget: events later than it are dropped and
+    buffered partners evicted, trading completeness for bounded state —
+    size it to real pipeline lateness (the gate sizes it past its replay's
+    whole time range, making the drained output provably equal to the
+    batch join, which is what the DuckDB oracle pins). Output columns are
+    the key plus both sides' columns under ``left_prefix``/``right_prefix``
+    and ``lag_seconds`` (right minus left event time).
+
+    Scale: stream-stream join state shuffles on ``key`` exactly like the
+    batch equi join; skewed keys behave like any skewed shuffle join (salt
+    upstream if one key dominates). Watermarks require zoned timestamps —
+    TIMESTAMP_NTZ inputs are cast (session tz pinned UTC).
+    """
+    lt, rt = left_prefix + "ts", right_prefix + "ts"
+    left = left_stream.select(
+        F.col(key).alias("_lk"),
+        F.col(left_ts).cast("timestamp").alias(lt),
+        *[
+            F.col(c).alias(left_prefix + c)
+            for c in left_stream.columns
+            if c not in (key, left_ts)
+        ],
+    ).withWatermark(lt, delay)
+    right = right_stream.select(
+        F.col(key).alias("_rk"),
+        F.col(right_ts).cast("timestamp").alias(rt),
+        *[
+            F.col(c).alias(right_prefix + c)
+            for c in right_stream.columns
+            if c not in (key, right_ts)
+        ],
+    ).withWatermark(rt, delay)
+    cond = (
+        (F.col("_lk") == F.col("_rk"))
+        & (F.col(rt) >= F.col(lt))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {int(within_seconds)} SECOND"))
+    )
+    carried = [
+        left_prefix + c for c in left_stream.columns if c not in (key, left_ts)
+    ] + [right_prefix + c for c in right_stream.columns if c not in (key, right_ts)]
+    return (
+        left.join(right, cond, "inner")
+        .withColumn(
+            "lag_seconds",
+            (F.unix_micros(F.col(rt)) - F.unix_micros(F.col(lt))) / 1_000_000.0,
+        )
+        .select(F.col("_lk").alias(key), lt, rt, "lag_seconds", *carried)
+    )

@@ -457,3 +457,62 @@ def test_stream_incremental_components_equals_batch(spark, tmp_path):
     assert got == want
     # canonical column order survives the parquet round-trip
     assert latest_membership(spark, state).columns == ["node", "component"]
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval join drained over multi-micro-batch replays of
+    both sides equals the batch join — including a cross-batch match (click
+    in file 1, purchase in file 2)."""
+    import pyspark.sql.functions as F
+
+    from minimel_spark.streaming.ingest import run_to_sink, stream_interval_join
+
+    clicks = [
+        (1, 10, "2024-01-01 10:00:00"),
+        (2, 10, "2024-01-01 12:00:00"),
+        (3, 20, "2024-01-01 10:30:00"),
+    ]
+    buys = [
+        (101, 10, "2024-01-01 10:30:00", 5.0),   # within 1h of click 1
+        (102, 10, "2024-01-01 12:59:00", 7.0),   # within 1h of click 2
+        (103, 20, "2024-01-01 12:00:00", 9.0),   # outside any window
+        (104, 10, "2024-01-01 09:59:00", 3.0),   # before every click
+    ]
+    cdf = spark.createDataFrame(
+        clicks, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    bdf = spark.createDataFrame(
+        buys, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    csrc, bsrc = str(tmp_path / "c"), str(tmp_path / "b")
+    # two files per side -> cross-micro-batch state must do the matching
+    cdf.where("event_id = 1").coalesce(1).write.mode("append").parquet(csrc)
+    cdf.where("event_id > 1").coalesce(1).write.mode("append").parquet(csrc)
+    bdf.where("event_id <= 102").coalesce(1).write.mode("append").parquet(bsrc)
+    bdf.where("event_id > 102").coalesce(1).write.mode("append").parquet(bsrc)
+    cs = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(csrc)
+    )
+    bs = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp_ntz, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bsrc)
+    )
+    joined = stream_interval_join(cs, bs, "user_id", within_seconds=3600)
+    out = str(tmp_path / "out")
+    q = run_to_sink(
+        joined, str(tmp_path / "ckpt"), out_path=out, output_mode="append"
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r["l_event_id"], r["r_event_id"], r["lag_seconds"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 101, 1800.0), (2, 102, 3540.0)}
