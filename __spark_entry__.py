@@ -6060,6 +6060,72 @@ FROM c JOIN p
  AND p.ts <= c.ts + INTERVAL 3600 SECOND"""
 
 
+def q_corpus_nb_classify(spark, sf_dir):
+    """Multinomial Naive Bayes (operators/classify.py nb_classify):
+    documents trained on their lang labels and self-scored — the gate pins
+    the closed-form TRAINING COUNTS and INFERENCE ARITHMETIC (the fixture's
+    lang is independent of its text, so predictive power is pytest's
+    planted-world job, not this oracle's). The oracle recomputes priors,
+    smoothed per-(token, label) log-likelihoods, defaults, per-doc-label
+    sums, and the min-struct argmax natively; Spark groups tokens by their
+    md5-60 where DuckDB groups by the token itself, so hash equality also
+    proves no key collision fired."""
+    from minimel_spark.operators.classify import nb_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    caches: list = []
+    out = nb_classify(docs, docs, alpha=1.0, persisted_out=caches).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "pred",
+        F.round("score", 6).alias("score"),
+    )
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_CORPUS_NB = """
+WITH tr AS (
+  SELECT lang AS y,
+         unnest(list_filter(
+           regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS tok
+  FROM documents),
+ctk AS (SELECT y, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+ntok AS (SELECT y, count(*) AS n FROM tr GROUP BY 1),
+vocab AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM tr),
+dp AS (SELECT lang AS y, count(*) AS nd FROM documents GROUP BY 1),
+nd AS (SELECT count(*)::DOUBLE AS ndall FROM documents),
+stats AS (
+  SELECT dp.y, ln(dp.nd / nd.ndall) AS prior,
+         ln(1.0 / (coalesce(ntok.n, 0) + v)) AS dflt,
+         (coalesce(ntok.n, 0) + v) AS denom
+  FROM dp LEFT JOIN ntok ON ntok.y = dp.y CROSS JOIN vocab CROSS JOIN nd),
+ll AS (
+  SELECT ctk.y, ctk.tok, ln((ctk.c + 1.0) / s.denom) AS ll
+  FROM ctk JOIN stats s ON s.y = ctk.y),
+te AS (
+  SELECT doc_id, tok, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS tok
+    FROM documents) GROUP BY 1, 2),
+pl AS (
+  SELECT te.doc_id, s.y,
+         sum(te.tf * coalesce(ll.ll, s.dflt)) AS s
+  FROM te CROSS JOIN stats s
+  LEFT JOIN ll ON ll.y = s.y AND ll.tok = te.tok
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d.doc_id, s.y, s.prior + coalesce(pl.s, 0.0) AS score
+  FROM documents d CROSS JOIN stats s
+  LEFT JOIN pl ON pl.doc_id = d.doc_id AND pl.y = s.y)
+SELECT doc_id::BIGINT AS doc_id,
+       min(struct_pack(a := -score, b := y))['b'] AS pred,
+       round(max(score), 6) AS score
+FROM scored GROUP BY doc_id"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -6155,6 +6221,7 @@ _TAIL: list[str] = [
     "graph_kcore",
     "web_boilerplate",
     "stream_interval_join",
+    "corpus_nb_classify",
     "corpus_lm_perplexity",
     "corpus_pack_sequences",
     "corpus_dup_coverage",
@@ -6235,7 +6302,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 130
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 131
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -6399,6 +6466,7 @@ _ORACLES: dict[str, str] = {
     "graph_kcore": SQL_GRAPH_KCORE,
     "web_boilerplate": SQL_WEB_BOILERPLATE,
     "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
+    "corpus_nb_classify": SQL_CORPUS_NB,
 }
 
 
