@@ -5357,6 +5357,74 @@ JOIN best ba ON ba.n = e.na JOIN best bb ON bb.n = e.nb
 WHERE ba.bp = e.nb AND bb.bp = e.na"""
 
 
+def q_er_group_linkage(spark, sf_dir):
+    """Group linkage (operators/linkage.py group_linkage — On et al., ICDE
+    2007): entities-as-record-groups compared via reciprocal-best bipartite
+    matching over the scored pair stream, normalized Jaccard-style by
+    |G| + |H| - |M|. Records are distinct part names (grouped by their
+    minimum brand), pairs are last-word-blocked and scored by normalized
+    levenshtein. The oracle recomputes the orientation, both per-record
+    argmaxes, the mutual filter, and the group-size normalization."""
+    from minimel_spark.operators.linkage import group_linkage
+    from minimel_spark.operators.pairs import candidate_pairs
+
+    part = _t(spark, sf_dir, "part")
+    records = part.select(F.col("p_name").alias("name")).distinct().withColumn(
+        "rec_id", F.col("name")
+    )
+    blocked = records.withColumn(
+        "block_key", F.regexp_extract("name", r"(\w+)$", 1)
+    )
+    maxlen = F.greatest(F.length("rec_id_a"), F.length("rec_id_b"))
+    scored = candidate_pairs(blocked).select(
+        "rec_id_a",
+        "rec_id_b",
+        (1.0 - F.levenshtein("rec_id_a", "rec_id_b") / maxlen).alias("score"),
+    )
+    assignments = part.groupBy(F.col("p_name").alias("rec_id")).agg(
+        F.min("p_brand").alias("group_id")
+    )
+    return group_linkage(scored, assignments, threshold=0.5).select(
+        "group_a", "group_b", "n_matched", F.round("sim", 6).alias("sim")
+    )
+
+
+SQL_ER_GROUP_LINKAGE = """
+WITH r AS (SELECT DISTINCT p_name AS name FROM part),
+b AS (SELECT name, regexp_extract(name, '(\\w+)$', 1) AS bk FROM r),
+e0 AS (
+  SELECT a.name AS ra, c.name AS rb,
+         1.0 - levenshtein(a.name, c.name)::DOUBLE
+               / greatest(length(a.name), length(c.name)) AS s
+  FROM b a JOIN b c ON a.bk = c.bk AND a.name < c.name),
+asg AS (SELECT p_name AS rec_id, min(p_brand) AS g FROM part GROUP BY 1),
+sz AS (SELECT g, count(*) AS sz FROM asg GROUP BY g),
+ej AS (
+  SELECT e0.ra, e0.rb, e0.s, aa.g AS ga, ab.g AS gb
+  FROM e0 JOIN asg aa ON aa.rec_id = e0.ra
+          JOIN asg ab ON ab.rec_id = e0.rb
+  WHERE e0.s >= 0.5 AND aa.g <> ab.g),
+o AS (
+  SELECT least(ga, gb) AS g1, greatest(ga, gb) AS g2,
+         CASE WHEN ga < gb THEN ra ELSE rb END AS u,
+         CASE WHEN ga < gb THEN rb ELSE ra END AS v, s
+  FROM ej),
+bu AS (SELECT g1, g2, u, min(struct_pack(a := -s, b := v))['b'] AS bv
+       FROM o GROUP BY 1, 2, 3),
+bv AS (SELECT g1, g2, v, min(struct_pack(a := -s, b := u))['b'] AS bu
+       FROM o GROUP BY 1, 2, 3),
+m AS (
+  SELECT o.* FROM o
+  JOIN bu ON bu.g1 = o.g1 AND bu.g2 = o.g2 AND bu.u = o.u AND bu.bv = o.v
+  JOIN bv ON bv.g1 = o.g1 AND bv.g2 = o.g2 AND bv.v = o.v AND bv.bu = o.u),
+agg AS (SELECT g1, g2, count(*) AS n_matched, sum(s) AS msum
+        FROM m GROUP BY 1, 2)
+SELECT agg.g1 AS group_a, agg.g2 AS group_b,
+       n_matched::BIGINT AS n_matched,
+       round(msum / (s1.sz + s2.sz - n_matched), 6) AS sim
+FROM agg JOIN sz s1 ON s1.g = agg.g1 JOIN sz s2 ON s2.g = agg.g2"""
+
+
 def q_er_pr_curve(spark, sf_dir):
     """Threshold operating curve (operators/evaluate.py pr_curve) for the
     meta-blocked variant-world pairs scored by normalized levenshtein and
@@ -6216,6 +6284,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_group_linkage",
     "er_monge_elkan",
     "graph_lpa",
     "graph_kcore",
@@ -6302,7 +6371,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 131
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 132
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -6467,6 +6536,7 @@ _ORACLES: dict[str, str] = {
     "web_boilerplate": SQL_WEB_BOILERPLATE,
     "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
     "corpus_nb_classify": SQL_CORPUS_NB,
+    "er_group_linkage": SQL_ER_GROUP_LINKAGE,
 }
 
 

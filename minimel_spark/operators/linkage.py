@@ -173,3 +173,115 @@ def fs_score_pairs(
     return pat.join(
         F.broadcast(params.drop("n_pairs")), "pattern"
     )
+
+
+def group_linkage(
+    scored_pairs: DataFrame,
+    assignments: DataFrame,
+    threshold: float,
+    rec_a: str = "rec_id_a",
+    rec_b: str = "rec_id_b",
+    score_col: str = "score",
+) -> DataFrame:
+    """Group linkage (On, Koudas, Lee & Srivastava, "Group Linkage",
+    ICDE 2007): entities that are GROUPS of records (a brand's product
+    names, an author's paper bylines, a household's members) are compared
+    by matching their member records and normalizing:
+
+        sim(G, H) = Σ_{(u,v) ∈ M} score(u, v) / (|G| + |H| - |M|)
+
+    — the paper's BM_sim, a Jaccard-style normalization over a bipartite
+    matching M of cross-group record pairs with score >= ``threshold``.
+    The paper's M is the maximum-weight bipartite matching; the
+    distributable surrogate here is RECIPROCAL BEST matching (each side
+    the other's argmax, ties by smallest partner id — the same
+    deterministic rule as scoring.reciprocal_best_pairs), which is a
+    subset of some maximum matching on strict-inequality scores and
+    needs only two grouped argmax passes instead of augmenting paths.
+
+    Inputs: ``scored_pairs`` (rec_a, rec_b, score) in either orientation,
+    each unordered record pair at most once; ``assignments``
+    (rec_id, group_id) total over the records. Intra-group and
+    below-threshold pairs are ignored. Returns one row per group pair
+    with at least one matched record pair:
+
+        (group_a, group_b, n_matched, sim)   with group_a < group_b.
+
+    Scale design: two assignment joins attach group ids to the pair
+    stream; everything after is grouped aggregation keyed by the group
+    pair (two argmax passes, one mutual-check join, one final agg) plus a
+    broadcast-friendly group-size join — never a window, never the
+    record-pair cross product (the input IS the blocked pair stream).
+    """
+    sizes = assignments.groupBy(F.col("group_id")).agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    e = (
+        scored_pairs.select(
+            F.col(rec_a).alias("_ra"),
+            F.col(rec_b).alias("_rb"),
+            F.col(score_col).alias("_s"),
+        )
+        .where(F.col("_s") >= threshold)
+        .join(
+            assignments.select(
+                F.col("rec_id").alias("_ra"), F.col("group_id").alias("_ga")
+            ),
+            "_ra",
+        )
+        .join(
+            assignments.select(
+                F.col("rec_id").alias("_rb"), F.col("group_id").alias("_gb")
+            ),
+            "_rb",
+        )
+        .where(F.col("_ga") != F.col("_gb"))
+    )
+    # orient so _u belongs to the smaller group id: the group pair is then
+    # canonical and each record side has a fixed role in the two argmaxes
+    lo_first = F.col("_ga") < F.col("_gb")
+    e = e.select(
+        F.least("_ga", "_gb").alias("_g1"),
+        F.greatest("_ga", "_gb").alias("_g2"),
+        F.when(lo_first, F.col("_ra")).otherwise(F.col("_rb")).alias("_u"),
+        F.when(lo_first, F.col("_rb")).otherwise(F.col("_ra")).alias("_v"),
+        "_s",
+    )
+    best_u = e.groupBy("_g1", "_g2", "_u").agg(
+        F.min(F.struct((-F.col("_s")).alias("_ns"), F.col("_v")))["_v"].alias(
+            "_bv"
+        )
+    )
+    best_v = e.groupBy("_g1", "_g2", "_v").agg(
+        F.min(F.struct((-F.col("_s")).alias("_ns"), F.col("_u")))["_u"].alias(
+            "_bu"
+        )
+    )
+    matched = (
+        e.join(best_u, ["_g1", "_g2", "_u"])
+        .where(F.col("_v") == F.col("_bv"))
+        .join(best_v, ["_g1", "_g2", "_v"])
+        .where(F.col("_u") == F.col("_bu"))
+    )
+    agg = matched.groupBy("_g1", "_g2").agg(
+        F.count(F.lit(1)).alias("n_matched"), F.sum("_s").alias("_msum")
+    )
+    return (
+        agg.join(
+            sizes.select(F.col("group_id").alias("_g1"), F.col("_sz").alias("_s1")),
+            "_g1",
+        )
+        .join(
+            sizes.select(F.col("group_id").alias("_g2"), F.col("_sz").alias("_s2")),
+            "_g2",
+        )
+        .select(
+            F.col("_g1").alias("group_a"),
+            F.col("_g2").alias("group_b"),
+            "n_matched",
+            (
+                F.col("_msum")
+                / (F.col("_s1") + F.col("_s2") - F.col("n_matched"))
+            ).alias("sim"),
+        )
+    )

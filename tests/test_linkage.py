@@ -135,3 +135,95 @@ def test_linkage_guards(spark):
         fellegi_sunter_em(df, THR, n_iter=0)
     with pytest.raises(ValueError):
         fellegi_sunter_em(df.where(F.lit(False)), THR)
+
+
+# --------------------------------------------------------------------------
+# group linkage
+# --------------------------------------------------------------------------
+
+from minimel_spark.operators.linkage import group_linkage
+
+
+def _gl_inputs(spark, pairs, assigns):
+    scored = spark.createDataFrame(
+        pairs, "rec_id_a string, rec_id_b string, score double"
+    )
+    asg = spark.createDataFrame(assigns, "rec_id string, group_id string")
+    return scored, asg
+
+
+def test_group_linkage_reciprocal_matching_and_sim(spark):
+    # G1 = {a1, a2}, G2 = {b1, b2, b3}; one pair arrives reversed, one
+    # intra-group pair and one below-threshold pair must be ignored
+    scored, asg = _gl_inputs(
+        spark,
+        [
+            ("a1", "b1", 0.9),
+            ("b2", "a1", 0.8),  # reversed orientation
+            ("a2", "b2", 0.85),
+            ("a2", "b3", 0.2),  # below threshold
+            ("a1", "a2", 0.99),  # intra-group
+        ],
+        [("a1", "G1"), ("a2", "G1"), ("b1", "G2"), ("b2", "G2"), ("b3", "G2")],
+    )
+    rows = group_linkage(scored, asg, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["group_a"], r["group_b"]) == ("G1", "G2")
+    # reciprocal best: (a1,b1) at 0.9 and (a2,b2) at 0.85; (a1,b2) loses
+    # both argmaxes. sim = (0.9+0.85) / (2 + 3 - 2)
+    assert r["n_matched"] == 2
+    assert r["sim"] == pytest.approx((0.9 + 0.85) / 3, abs=1e-12)
+
+
+def test_group_linkage_tie_breaks_to_smallest_partner(spark):
+    # x1 ties between y1 and y2 -> deterministic partner y1; y2 stays
+    # unmatched (its best is x1 but x1's best is y1)
+    scored, asg = _gl_inputs(
+        spark,
+        [("x1", "y1", 0.7), ("x1", "y2", 0.7)],
+        [("x1", "GX"), ("y1", "GY"), ("y2", "GY")],
+    )
+    rows = group_linkage(scored, asg, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_matched"] == 1
+    assert r["sim"] == pytest.approx(0.7 / (1 + 2 - 1), abs=1e-12)
+
+
+def test_group_linkage_multiple_group_pairs_and_no_edge_groups(spark):
+    # three groups; GZ has no above-threshold cross edge -> no row for it
+    scored, asg = _gl_inputs(
+        spark,
+        [("a1", "b1", 0.9), ("a1", "c1", 0.6), ("b1", "c1", 0.3)],
+        [("a1", "GA"), ("b1", "GB"), ("c1", "GC"), ("c2", "GC")],
+    )
+    got = {
+        (r["group_a"], r["group_b"]): (r["n_matched"], r["sim"])
+        for r in group_linkage(scored, asg, threshold=0.5).collect()
+    }
+    assert set(got) == {("GA", "GB"), ("GA", "GC")}
+    assert got[("GA", "GB")][0] == 1
+    assert got[("GA", "GB")][1] == pytest.approx(0.9 / (1 + 1 - 1), abs=1e-12)
+    # GC has 2 members (c2 never scored) -> denominator 1 + 2 - 1
+    assert got[("GA", "GC")][1] == pytest.approx(0.6 / 2, abs=1e-12)
+
+
+def test_group_linkage_partitioning_invariant(spark):
+    pairs = [
+        (f"a{i}", f"b{j}", 0.5 + 0.01 * ((i * 7 + j) % 40))
+        for i in range(12)
+        for j in range(12)
+    ]
+    assigns = [(f"a{i}", f"G{i % 3}") for i in range(12)] + [
+        (f"b{j}", f"H{j % 4}") for j in range(12)
+    ]
+    scored, asg = _gl_inputs(spark, pairs, assigns)
+    one = sorted(tuple(r) for r in group_linkage(scored, asg, 0.6).collect())
+    other = sorted(
+        tuple(r)
+        for r in group_linkage(
+            scored.repartition(13), asg.repartition(7), 0.6
+        ).collect()
+    )
+    assert one == other and len(one) > 0
