@@ -5425,6 +5425,150 @@ SELECT agg.g1 AS group_a, agg.g2 AS group_b,
 FROM agg JOIN sz s1 ON s1.g = agg.g1 JOIN sz s2 ON s2.g = agg.g2"""
 
 
+def q_er_threshold_curve(spark, sf_dir):
+    """Clustering operating curve (operators/cluster.py threshold_curve):
+    per edge-score threshold, the transitive clustering's edge count,
+    linked-record count, cluster count, largest cluster, and asserted
+    within-cluster pair mass — computed by ONE full CC at the tightest
+    threshold plus incremental_components folds of each lower delta band.
+    Edges are last-word-blocked part-name pairs scored by normalized
+    levenshtein. The oracle recomputes every threshold's closure with a
+    threshold-parametrized recursive CTE."""
+    from minimel_spark.operators.cluster import threshold_curve
+    from minimel_spark.operators.pairs import candidate_pairs
+
+    part = _t(spark, sf_dir, "part")
+    records = part.select(F.col("p_name").alias("name")).distinct().withColumn(
+        "rec_id", F.col("name")
+    )
+    blocked = records.withColumn(
+        "block_key", F.regexp_extract("name", r"(\w+)$", 1)
+    )
+    maxlen = F.greatest(F.length("rec_id_a"), F.length("rec_id_b"))
+    scored = candidate_pairs(blocked).select(
+        F.col("rec_id_a").alias("src"),
+        F.col("rec_id_b").alias("dst"),
+        (1.0 - F.levenshtein("rec_id_a", "rec_id_b") / maxlen).alias("score"),
+    )
+    out = threshold_curve(scored, [0.9, 0.8, 0.7, 0.6, 0.5]).select(
+        F.round("threshold", 6).alias("threshold"),
+        "n_edges",
+        "n_records",
+        "n_clusters",
+        "largest",
+        "pairs_within",
+    )
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_ER_THRESHOLD_CURVE = """
+WITH RECURSIVE
+r AS (SELECT DISTINCT p_name AS name FROM part),
+b AS (SELECT name, regexp_extract(name, '(\\w+)$', 1) AS bk FROM r),
+e AS (
+  SELECT a.name AS ra, c.name AS rb,
+         1.0 - levenshtein(a.name, c.name)::DOUBLE
+               / greatest(length(a.name), length(c.name)) AS s
+  FROM b a JOIN b c ON a.bk = c.bk AND a.name < c.name),
+thr(t) AS (SELECT unnest([0.9, 0.8, 0.7, 0.6, 0.5])),
+et AS (SELECT thr.t, e.ra, e.rb FROM e JOIN thr ON e.s >= thr.t),
+sym AS (SELECT t, ra AS s, rb AS d FROM et
+        UNION SELECT t, rb, ra FROM et),
+walk(t, n, c) AS (
+  SELECT t, s, s FROM sym
+  UNION
+  SELECT sym.t, sym.d, walk.c
+  FROM walk JOIN sym ON sym.s = walk.n AND sym.t = walk.t),
+memb AS (SELECT t, n, min(c) AS c FROM walk GROUP BY 1, 2),
+sz AS (SELECT t, c, count(*) AS n FROM memb GROUP BY 1, 2),
+ec AS (SELECT thr.t, count(e.ra)::BIGINT AS n_edges
+       FROM thr LEFT JOIN e ON e.s >= thr.t GROUP BY 1),
+st AS (SELECT t, count(*)::BIGINT AS n_clusters, sum(n)::BIGINT AS n_records,
+              max(n)::BIGINT AS largest,
+              sum(n * (n - 1) / 2)::BIGINT AS pairs_within
+       FROM sz GROUP BY t)
+SELECT round(ec.t, 6) AS threshold, ec.n_edges,
+       coalesce(st.n_records, 0)::BIGINT AS n_records,
+       coalesce(st.n_clusters, 0)::BIGINT AS n_clusters,
+       coalesce(st.largest, 0)::BIGINT AS largest,
+       coalesce(st.pairs_within, 0)::BIGINT AS pairs_within
+FROM ec LEFT JOIN st ON st.t = ec.t"""
+
+
+def q_corpus_lsh_curve(spark, sf_dir):
+    """LSH design validator (operators/dedup.py lsh_tuning_curve): measured
+    band-collision rate vs the analytic 1-(1-s^r)^b S-curve per Jaccard bin,
+    md5 hash family so the ENTIRE curve — signatures, band keys, collisions,
+    bins — is recomputed by the oracle. Runs on a deterministic 1-in-5
+    doc_id sample (the curve is a bounded-sample diagnostic by design; at
+    corpus scale you sample, never enumerate all positive-overlap pairs)."""
+    from minimel_spark.operators.dedup import lsh_tuning_curve
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    caches: list = []
+    out = lsh_tuning_curve(
+        docs,
+        n=1,
+        num_hashes=16,
+        bands=8,
+        n_bins=10,
+        hash_family="md5",
+        max_docs_per_shingle=None,
+        persisted_out=caches,
+    ).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.round("sim_lo", 6).alias("sim_lo"),
+        "n_pairs",
+        "n_collide",
+        F.round("measured_rate", 6).alias("measured_rate"),
+        F.round("analytic_rate", 6).alias("analytic_rate"),
+    )
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_CORPUS_LSH_CURVE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                   x -> x <> '')) AS sh
+  FROM documents WHERE doc_id % 5 = 0),
+s AS (SELECT doc_id, sh FROM w WHERE len(sh) > 0),
+sg AS (
+  SELECT doc_id, sh,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(sh,
+                  x -> ('0x' || substr(md5(i::VARCHAR || ':' || x), 1, 15))::UBIGINT))) AS sig
+  FROM s),
+bks AS (
+  SELECT doc_id, sh,
+         list_transform(range(0, 8),
+           b -> b::VARCHAR || ':' || md5(array_to_string(sig[b*2+1:b*2+2], ','))) AS bk
+  FROM sg),
+tok AS (SELECT doc_id, unnest(sh) AS t FROM s),
+p AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pp AS (
+  SELECT len(list_intersect(x.sh, y.sh))::DOUBLE
+           / len(list_distinct(x.sh || y.sh)) AS j,
+         CASE WHEN len(list_intersect(x.bk, y.bk)) > 0 THEN 1 ELSE 0 END AS c
+  FROM p JOIN bks x ON x.doc_id = p.ia JOIN bks y ON y.doc_id = p.ib),
+bb AS (
+  SELECT least(floor(j * 10), 9)::BIGINT AS bin, j, c,
+         1.0 - pow(1.0 - pow(j, 2), 8) AS pr
+  FROM pp)
+SELECT bin, round(bin / 10.0, 6) AS sim_lo, count(*)::BIGINT AS n_pairs,
+       sum(c)::BIGINT AS n_collide,
+       round(sum(c)::DOUBLE / count(*), 6) AS measured_rate,
+       round(avg(pr), 6) AS analytic_rate
+FROM bb GROUP BY bin"""
+
+
 def q_er_pr_curve(spark, sf_dir):
     """Threshold operating curve (operators/evaluate.py pr_curve) for the
     meta-blocked variant-world pairs scored by normalized levenshtein and
@@ -6284,6 +6428,8 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_threshold_curve",
+    "corpus_lsh_curve",
     "er_group_linkage",
     "er_monge_elkan",
     "graph_lpa",
@@ -6371,7 +6517,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 132
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 134
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -6537,6 +6683,8 @@ _ORACLES: dict[str, str] = {
     "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
     "corpus_nb_classify": SQL_CORPUS_NB,
     "er_group_linkage": SQL_ER_GROUP_LINKAGE,
+    "er_threshold_curve": SQL_ER_THRESHOLD_CURVE,
+    "corpus_lsh_curve": SQL_CORPUS_LSH_CURVE,
 }
 
 

@@ -249,6 +249,88 @@ def cluster_candidates(
     return membership, cluster_scores
 
 
+def threshold_curve(
+    scored_edges: DataFrame,
+    thresholds: list[float],
+    src: str = "src",
+    dst: str = "dst",
+    score_col: str = "score",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Clustering operating curve over the edge-score threshold — THE
+    calibration artifact for transitive ER: connected components happily
+    chain everything into mega-clusters as the threshold drops, and this
+    reports exactly when. For each threshold t (over edges with
+    score >= t): number of qualifying edges, linked records, clusters,
+    the largest cluster, and the implied within-cluster pair mass
+    Σ C(size, 2) — the quantity that explodes first when t is too low
+    (it is the number of record pairs the clustering ASSERTS are matches,
+    whether or not they were ever scored).
+
+    Scale design: thresholds are processed DESCENDING and each step folds
+    only the DELTA edge band [t, prev_t) into the previous clustering via
+    :func:`incremental_components` — one full CC run at the tightest
+    threshold, then per-step work proportional to the touched components
+    plus the new band, never K full closures over the full edge set. Each
+    step's membership is eagerly localCheckpoint-ed so plans stay flat
+    across steps; per-threshold edge counts are ONE conditional-sum pass
+    over the edge stream. Records never enter: singletons (records with no
+    qualifying edge) are by definition not in any multi-record cluster.
+
+    Output: (threshold, n_edges, n_records, n_clusters, largest,
+    pairs_within), one row per distinct threshold, all-zero rows for
+    thresholds above the best edge score. Deterministic (min-id component
+    labels; stats are label-free aggregates).
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = sorted(set(float(t) for t in thresholds), reverse=True)
+    edges = scored_edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(score_col).alias("_s")
+    )
+    # all per-threshold edge counts in one scan
+    ecounts = edges.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("_s") >= t).cast("long")), F.lit(0)
+            ).alias(f"_e{i}")
+            for i, t in enumerate(ts)
+        ]
+    ).first()
+    out = None
+    prev_memb = None
+    prev_t = None
+    for i, t in enumerate(ts):
+        if prev_memb is None:
+            band = edges.where(F.col("_s") >= t).select("src", "dst")
+            memb = connected_components(band, max_iter=max_iter)
+        else:
+            band = edges.where(
+                (F.col("_s") >= t) & (F.col("_s") < prev_t)
+            ).select("src", "dst")
+            memb = incremental_components(prev_memb, band, max_iter=max_iter)
+        memb = memb.localCheckpoint(eager=True)
+        sz = memb.groupBy("component").agg(F.count(F.lit(1)).alias("_n"))
+        st = sz.agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_clusters"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n_records"),
+            F.coalesce(F.max("_n"), F.lit(0)).alias("largest"),
+            F.coalesce(
+                F.sum(F.col("_n") * (F.col("_n") - 1) / 2).cast("long"), F.lit(0)
+            ).alias("pairs_within"),
+        ).select(
+            F.lit(t).cast("double").alias("threshold"),
+            F.lit(int(ecounts[f"_e{i}"])).cast("long").alias("n_edges"),
+            F.col("n_records").cast("long").alias("n_records"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("largest").cast("long").alias("largest"),
+            "pairs_within",
+        )
+        out = st if out is None else out.unionByName(st)
+        prev_memb, prev_t = memb, t
+    return out
+
+
 def cluster_churn(prev: DataFrame, new: DataFrame) -> DataFrame:
     """Cluster-lifecycle accounting between two clusterings of overlapping
     record sets — the monitoring metric for continuously-maintained ER

@@ -456,6 +456,113 @@ def incremental_minhash_dups(
     )
 
 
+def lsh_tuning_curve(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "md5",
+    max_docs_per_shingle: int | None = 1000,
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """Measured-vs-analytic LSH S-curve — the design validator for the
+    (num_hashes, bands) choice before a 100-TB dedup run: per Jaccard-
+    similarity bin, the FRACTION of pairs the banding scheme actually
+    proposes as candidates next to the textbook collision probability
+    1 - (1 - s^r)^b (r = rows per band, b = bands; Leskovec-Rajaraman-
+    Ullman, MMDS ch. 3), evaluated at each pair's exact Jaccard and
+    averaged over the bin. A healthy scheme tracks the analytic curve;
+    systematic shortfall means the hash family or banding is broken, and
+    the curve shows directly where the recall knee sits relative to the
+    dedup threshold.
+
+    Evaluated over pairs sharing >= 1 shingle (lossless shared-shingle
+    blocking, optional stop-shingle cap — the same candidate space as
+    :func:`ngram_jaccard_dups`; zero-Jaccard pairs collide with
+    probability (1/2^60)-ish and carry no tuning signal). Per pair the
+    collision test is band-key set intersection on the two signature
+    arrays — no second LSH join. Everything is JVM expressions; with
+    ``hash_family="md5"`` the whole curve (signatures, band keys,
+    collisions, bins) is reproducible in ANSI SQL.
+
+    Output: (bin, sim_lo, n_pairs, n_collide, measured_rate,
+    analytic_rate), one row per OCCUPIED bin; bin = min(floor(s * n_bins),
+    n_bins - 1), sim_lo = bin / n_bins.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    rows_per_band = num_hashes // bands
+    if bands * rows_per_band != num_hashes:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    from .blocking import minhash_signature
+
+    sh = _shingled(docs, text_col, id_col, n)
+    sig = sh.withColumn(
+        "sig", minhash_signature(F.col("shingles"), num_hashes, hash_family)
+    ).withColumn("bks", _band_keys(num_hashes, bands, hash_family))
+    if persisted_out is not None:
+        # feeds the blocking explode and both sides of the pair join
+        sig = sig.persist()
+        persisted_out.append(sig)
+    exploded = sig.select(id_col, F.explode("shingles").alias("_sh"))
+    if max_docs_per_shingle:
+        oversized = (
+            exploded.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_docs_per_shingle)
+        )
+        exploded = exploded.join(F.broadcast(oversized), "_sh", "left_anti")
+    pairs = (
+        exploded.select(F.col(id_col).alias("id_a"), "_sh")
+        .join(exploded.select(F.col(id_col).alias("id_b"), "_sh"), "_sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("bks").alias("bk_a"),
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("bks").alias("bk_b"),
+    )
+    per_pair = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("_j"),
+            F.arrays_overlap("bk_a", "bk_b").cast("long").alias("_c"),
+        )
+        .select(
+            F.least(
+                F.floor(F.col("_j") * n_bins).cast("long"), F.lit(n_bins - 1)
+            ).alias("bin"),
+            "_j",
+            "_c",
+            (
+                1.0
+                - F.pow(1.0 - F.pow(F.col("_j"), F.lit(rows_per_band)), F.lit(bands))
+            ).alias("_p"),
+        )
+    )
+    return per_pair.groupBy("bin").agg(
+        (F.min("bin") / F.lit(float(n_bins))).alias("sim_lo"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_c").alias("n_collide"),
+        (F.sum("_c") / F.count(F.lit(1))).alias("measured_rate"),
+        F.avg("_p").alias("analytic_rate"),
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 4,

@@ -556,3 +556,97 @@ def test_prefix_jaccard_partitioning_invariant_and_guards(spark):
         prefix_jaccard_dups(df, threshold=0.0)
     with pytest.raises(ValueError):
         prefix_jaccard_dups(df, threshold=1.5)
+
+
+# --------------------------------------------------------------------------
+# LSH tuning curve
+# --------------------------------------------------------------------------
+
+from minimel_spark.operators.dedup import lsh_tuning_curve
+
+
+def _curve_docs(spark):
+    # identical pair (J=1), heavy-overlap pair, light-overlap pair
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon eta"),
+            (4, "alpha omega psi chi phi upsilon"),
+            (5, "lorem ipsum dolor sit amet foo"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_lsh_curve_identical_pair_always_collides(spark):
+    rows = lsh_tuning_curve(
+        _curve_docs(spark), n=1, num_hashes=16, bands=8, n_bins=10
+    ).collect()
+    by_bin = {r["bin"]: r for r in rows}
+    # J=1 pair lands in the top bin; identical shingle sets => identical
+    # signatures => every band collides, and the analytic rate at s=1 is 1
+    top = by_bin[9]
+    assert top["n_collide"] == top["n_pairs"] >= 1
+    assert top["measured_rate"] == 1.0
+    assert top["analytic_rate"] == pytest.approx(1.0)
+    # all rates are probabilities; bins are within range, sim_lo consistent
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert r["sim_lo"] == pytest.approx(r["bin"] / 10)
+        assert 0.0 <= r["measured_rate"] <= 1.0
+        assert 0.0 <= r["analytic_rate"] <= 1.0
+        assert r["n_collide"] <= r["n_pairs"]
+
+
+def test_lsh_curve_collision_matches_direct_banding(spark, documents):
+    """arrays_overlap on per-doc band keys must agree pairwise with the
+    band-join candidate set of minhash_dups (same params, md5 family)."""
+    docs = documents.limit(40)
+    caches: list = []
+    curve_pairs = lsh_tuning_curve(
+        docs, n=1, num_hashes=12, bands=6, n_bins=5,
+        max_docs_per_shingle=None, persisted_out=caches,
+    )
+    total = curve_pairs.agg(
+        F.sum("n_collide").alias("nc"), F.sum("n_pairs").alias("np")
+    ).first()
+    # candidate set from the real LSH join at threshold 0 (no size filter
+    # drops at t=0; verify keeps all since J >= 0 always)
+    cand = minhash_dups(
+        docs, threshold=0.0, n=1, num_hashes=12, bands=6, hash_family="md5"
+    ).count()
+    for c in caches:
+        c.unpersist()
+    assert total["nc"] == cand
+    assert total["np"] >= total["nc"]
+
+
+def test_lsh_curve_guards(spark):
+    with pytest.raises(ValueError):
+        lsh_tuning_curve(_curve_docs(spark), n_bins=0)
+    with pytest.raises(ValueError):
+        lsh_tuning_curve(_curve_docs(spark), num_hashes=16, bands=5)
+
+
+def test_lsh_curve_partitioning_invariant(spark, documents):
+    # counts are exactly invariant; the float rates are averages whose
+    # summation ORDER shifts with partitioning — compare at the 6-decimal
+    # precision the gates pin (ulp-level drift only)
+    def canon(df):
+        return sorted(
+            (
+                r["bin"],
+                r["sim_lo"],
+                r["n_pairs"],
+                r["n_collide"],
+                round(r["measured_rate"], 6),
+                round(r["analytic_rate"], 6),
+            )
+            for r in df.collect()
+        )
+
+    docs = documents.limit(30)
+    a = canon(lsh_tuning_curve(docs, n=1, num_hashes=8, bands=4))
+    b = canon(lsh_tuning_curve(docs.repartition(17), n=1, num_hashes=8, bands=4))
+    assert a == b and len(a) > 0

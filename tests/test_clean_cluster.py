@@ -428,3 +428,78 @@ def test_incremental_empty_prev(spark):
         for r in incremental_components(prev, _edges(spark, [(5, 6)])).collect()
     }
     assert got == {5: 5, 6: 5}
+
+
+# --------------------------------------------------------------------------
+# threshold operating curve
+# --------------------------------------------------------------------------
+
+from minimel_spark.operators.cluster import threshold_curve
+
+
+def _curve_edges(spark):
+    # two chains that merge as the threshold drops:
+    # t=0.9: {1,2}            t=0.7: {1,2,3} {4,5}      t=0.5: {1..5} + {6,7}
+    rows = [
+        (1, 2, 0.95),
+        (2, 3, 0.75),
+        (4, 5, 0.8),
+        (3, 4, 0.55),
+        (6, 7, 0.5),
+    ]
+    return spark.createDataFrame(rows, "src long, dst long, score double")
+
+
+def test_threshold_curve_values(spark):
+    got = {
+        r["threshold"]: (
+            r["n_edges"],
+            r["n_records"],
+            r["n_clusters"],
+            r["largest"],
+            r["pairs_within"],
+        )
+        for r in threshold_curve(_curve_edges(spark), [0.9, 0.7, 0.5]).collect()
+    }
+    assert got[0.9] == (1, 2, 1, 2, 1)
+    assert got[0.7] == (3, 5, 2, 3, 4)  # {1,2,3} {4,5}: C(3,2)+C(2,2)=3+1
+    assert got[0.5] == (5, 7, 2, 5, 11)  # {1..5} {6,7}: 10 + 1
+
+
+def test_threshold_curve_matches_full_recompute(spark):
+    # incremental folding must equal an independent full CC per threshold
+    edges = _curve_edges(spark)
+    curve = {
+        r["threshold"]: (r["n_records"], r["n_clusters"], r["largest"])
+        for r in threshold_curve(edges, [0.9, 0.7, 0.55, 0.5]).collect()
+    }
+    from minimel_spark.operators.cluster import connected_components
+
+    for t in (0.9, 0.7, 0.55, 0.5):
+        memb = connected_components(
+            edges.where(F.col("score") >= t).select("src", "dst")
+        )
+        sizes = [r["n"] for r in memb.groupBy("component").agg(
+            F.count(F.lit(1)).alias("n")).collect()]
+        assert curve[t] == (sum(sizes), len(sizes), max(sizes))
+
+
+def test_threshold_curve_empty_top_bin_and_guards(spark):
+    rows = threshold_curve(_curve_edges(spark), [0.99, 0.5]).collect()
+    by_t = {r["threshold"]: r for r in rows}
+    assert by_t[0.99]["n_edges"] == 0
+    assert by_t[0.99]["n_clusters"] == 0
+    assert by_t[0.99]["largest"] == 0
+    assert by_t[0.5]["n_records"] == 7
+    with pytest.raises(ValueError):
+        threshold_curve(_curve_edges(spark), [])
+
+
+def test_threshold_curve_partitioning_invariant(spark):
+    edges = _curve_edges(spark)
+    a = sorted(tuple(r) for r in threshold_curve(edges, [0.9, 0.6]).collect())
+    b = sorted(
+        tuple(r)
+        for r in threshold_curve(edges.repartition(11), [0.6, 0.9, 0.9]).collect()
+    )
+    assert a == b
