@@ -5496,6 +5496,78 @@ SELECT round(ec.t, 6) AS threshold, ec.n_edges,
 FROM ec LEFT JOIN st ON st.t = ec.t"""
 
 
+def q_er_articulation(spark, sf_dir):
+    """Cut-vertex audit (operators/cluster.py articulation_records): the
+    records whose removal splits their transitive cluster — the false-merge
+    review queue. Edges are last-word-blocked part-name pairs with
+    normalized levenshtein >= 0.6, clustered by connected components; the
+    per-cluster graph surgery runs in applyInPandas over size-capped
+    clusters. Oracle recomputes the closure, then re-walks it once per
+    (cluster, removed record) with a removal-parametrized recursive CTE and
+    flags records whose removal leaves >= 2 components."""
+    from minimel_spark.operators.cluster import (
+        articulation_records,
+        connected_components,
+    )
+    from minimel_spark.operators.pairs import candidate_pairs
+
+    part = _t(spark, sf_dir, "part")
+    records = part.select(F.col("p_name").alias("name")).distinct().withColumn(
+        "rec_id", F.col("name")
+    )
+    blocked = records.withColumn(
+        "block_key", F.regexp_extract("name", r"(\w+)$", 1)
+    )
+    maxlen = F.greatest(F.length("rec_id_a"), F.length("rec_id_b"))
+    edges = (
+        candidate_pairs(blocked)
+        .select(
+            "rec_id_a",
+            "rec_id_b",
+            (1.0 - F.levenshtein("rec_id_a", "rec_id_b") / maxlen).alias("score"),
+        )
+        .where(F.col("score") >= 0.6)
+    )
+    memb = connected_components(
+        edges.select(F.col("rec_id_a").alias("src"), F.col("rec_id_b").alias("dst"))
+    )
+    return articulation_records(memb, edges, max_cluster_size=64).select(
+        "cluster_id", "rec_id", "n_components_after"
+    )
+
+
+SQL_ER_ARTICULATION = """
+WITH RECURSIVE
+r AS (SELECT DISTINCT p_name AS name FROM part),
+b AS (SELECT name, regexp_extract(name, '(\\w+)$', 1) AS bk FROM r),
+ef AS (
+  SELECT a.name AS ra, c.name AS rb
+  FROM b a JOIN b c ON a.bk = c.bk AND a.name < c.name
+  WHERE 1.0 - levenshtein(a.name, c.name)::DOUBLE
+        / greatest(length(a.name), length(c.name)) >= 0.6),
+sym AS (SELECT ra AS s, rb AS d FROM ef UNION SELECT rb, ra FROM ef),
+walk(n, c) AS (
+  SELECT s, s FROM sym
+  UNION SELECT sym.d, walk.c FROM walk JOIN sym ON sym.s = walk.n),
+memb AS (SELECT n, min(c) AS c FROM walk GROUP BY n),
+sz AS (SELECT c, count(*) AS sz FROM memb GROUP BY c),
+elig AS (SELECT c FROM sz WHERE sz BETWEEN 3 AND 64),
+cand AS (SELECT m.c, m.n AS r FROM memb m JOIN elig USING (c)),
+ec AS (SELECT ma.c, ef.ra, ef.rb
+       FROM ef JOIN memb ma ON ma.n = ef.ra JOIN elig ON elig.c = ma.c),
+sym2 AS (SELECT c, ra AS s, rb AS d FROM ec UNION SELECT c, rb, ra FROM ec),
+walk2(c, r, n, reach) AS (
+  SELECT cand.c, cand.r, m.n, m.n
+  FROM cand JOIN memb m ON m.c = cand.c AND m.n <> cand.r
+  UNION
+  SELECT w.c, w.r, w.n, s2.d
+  FROM walk2 w JOIN sym2 s2 ON s2.c = w.c AND s2.s = w.reach AND s2.d <> w.r),
+lab AS (SELECT c, r, n, min(reach) AS lab FROM walk2 GROUP BY 1, 2, 3),
+aft AS (SELECT c, r, count(DISTINCT lab) AS n_after FROM lab GROUP BY 1, 2)
+SELECT c AS cluster_id, r AS rec_id, n_after::BIGINT AS n_components_after
+FROM aft WHERE n_after >= 2"""
+
+
 def q_corpus_lsh_curve(spark, sf_dir):
     """LSH design validator (operators/dedup.py lsh_tuning_curve): measured
     band-collision rate vs the analytic 1-(1-s^r)^b S-curve per Jaccard bin,
@@ -6428,6 +6500,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_articulation",
     "er_threshold_curve",
     "corpus_lsh_curve",
     "er_group_linkage",
@@ -6517,7 +6590,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 134
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 135
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -6685,6 +6758,7 @@ _ORACLES: dict[str, str] = {
     "er_group_linkage": SQL_ER_GROUP_LINKAGE,
     "er_threshold_curve": SQL_ER_THRESHOLD_CURVE,
     "corpus_lsh_curve": SQL_CORPUS_LSH_CURVE,
+    "er_articulation": SQL_ER_ARTICULATION,
 }
 
 

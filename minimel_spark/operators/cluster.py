@@ -424,6 +424,132 @@ def cluster_churn(prev: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+def articulation_records(
+    assignments: DataFrame,
+    scored: DataFrame,
+    max_cluster_size: int = 256,
+    id_col: str = "node",
+    cluster_col: str = "component",
+    id_a: str = "rec_id_a",
+    id_b: str = "rec_id_b",
+) -> DataFrame:
+    """Cut-vertex audit on transitive clusters — WHICH record glues a
+    cluster together: a row per (cluster, record) whose removal increases
+    the number of connected components of the cluster's within-edge graph
+    (the textbook articulation point). Transitive closure merges entities
+    through exactly these records (one bad mention chaining two real
+    entities), so they are the review queue for suspected false merges;
+    :func:`cluster_cohesion` says WHETHER a cluster is thin, this says
+    WHERE it breaks.
+
+    Only clusters with 3 <= size <= ``max_cluster_size`` are scanned:
+    size-2 clusters cannot have a cut vertex, and per-cluster work is
+    O(size * (size + edges)) — the naive remove-and-recount, chosen over
+    Tarjan deliberately: the cap makes the cost bound explicit and the
+    semantics directly re-computable by the DuckDB oracle (which re-walks
+    the closure once per candidate removal). Over-cap clusters are
+    SKIPPED, not sampled — at web scale giant components get the cohesion
+    audit, and anything needing per-record graph surgery should first be
+    brought under the cap by the upstream pair-cap/threshold knobs.
+
+    Isolated-member accounting: a record with no qualifying edge is its
+    own component; removing record r flags r only if the count of
+    components among the OTHER members strictly exceeds what it was with
+    r present (so removing an isolated or leaf record never flags it).
+
+    Distributed shape: two assignment joins scope the pair stream to
+    within-cluster edges, one groupBy bounds work per cluster, and the
+    per-cluster graph walk runs in ``applyInPandas`` (Arrow-batched, one
+    group per cluster — the per-partition imperative escape hatch Spark's
+    operator set genuinely lacks). Output: (cluster_id, rec_id,
+    n_components_after), deterministic and partition-invariant.
+    """
+    if max_cluster_size < 3:
+        raise ValueError(
+            f"max_cluster_size must be >= 3, got {max_cluster_size}"
+        )
+    dt = dict(assignments.dtypes)
+    out_schema = (
+        f"cluster_id {dt[cluster_col]}, rec_id {dt[id_col]}, "
+        "n_components_after long"
+    )
+    sizes = (
+        assignments.groupBy(F.col(cluster_col).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .where((F.col("_sz") >= 3) & (F.col("_sz") <= max_cluster_size))
+    )
+    memb = assignments.select(
+        F.col(id_col).alias("_a"), F.col(cluster_col).alias("_c")
+    ).join(sizes.select("_c"), "_c")
+    a = assignments.select(
+        F.col(id_col).alias(id_a), F.col(cluster_col).alias("_ca")
+    )
+    b = assignments.select(
+        F.col(id_col).alias(id_b), F.col(cluster_col).alias("_cb")
+    )
+    edges = (
+        scored.select(id_a, id_b)
+        .join(a, id_a)
+        .join(b, id_b)
+        .where(F.col("_ca") == F.col("_cb"))
+        .select(
+            F.col("_ca").alias("_c"),
+            F.col(id_a).alias("_a"),
+            F.col(id_b).alias("_b"),
+        )
+        .join(sizes.select("_c"), "_c")
+    )
+    rows = memb.select(
+        "_c", "_a", F.lit(None).cast(dt[id_col]).alias("_b"),
+        F.lit(1).alias("_is_member"),
+    ).unionByName(
+        edges.select("_c", "_a", "_b", F.lit(0).alias("_is_member"))
+    )
+
+    def _find(key, pdf):
+        import pandas as pd
+
+        members = sorted(pdf.loc[pdf["_is_member"] == 1, "_a"].tolist())
+        adj: dict = {m: set() for m in members}
+        for r in pdf.loc[pdf["_is_member"] == 0, ["_a", "_b"]].itertuples(
+            index=False
+        ):
+            ea, eb = r[0], r[1]
+            if ea in adj and eb in adj and ea != eb:
+                adj[ea].add(eb)
+                adj[eb].add(ea)
+
+        def ncomp(excl):
+            seen: set = set()
+            n = 0
+            for m in members:
+                if m == excl or m in seen:
+                    continue
+                n += 1
+                stack = [m]
+                seen.add(m)
+                while stack:
+                    u = stack.pop()
+                    for v in adj[u]:
+                        if v != excl and v not in seen:
+                            seen.add(v)
+                            stack.append(v)
+            return n
+
+        base = ncomp(None)
+        out = []
+        for rec in members:
+            before = base - (0 if adj[rec] else 1)
+            after = ncomp(rec)
+            if after > before:
+                out.append((key[0], rec, after))
+        return pd.DataFrame(
+            out, columns=["cluster_id", "rec_id", "n_components_after"]
+        )
+
+    return rows.groupBy("_c").applyInPandas(_find, out_schema)
+
+
 def cluster_cohesion(
     assignments: DataFrame,
     scored: DataFrame,

@@ -503,3 +503,93 @@ def test_threshold_curve_partitioning_invariant(spark):
         for r in threshold_curve(edges.repartition(11), [0.6, 0.9, 0.9]).collect()
     )
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# articulation records (cut-vertex audit)
+# --------------------------------------------------------------------------
+
+from minimel_spark.operators.cluster import articulation_records
+
+
+def _art_frames(spark, edges, assigns):
+    e = spark.createDataFrame(edges, "rec_id_a string, rec_id_b string")
+    a = spark.createDataFrame(assigns, "node string, component string")
+    return a, e
+
+
+def test_articulation_path_star_triangle(spark):
+    # path a-b-c (cut: b), triangle d-e-f (none), star g<-{h,i,j} (cut: g)
+    assigns = (
+        [("a", "A"), ("b", "A"), ("c", "A")]
+        + [("d", "D"), ("e", "D"), ("f", "D")]
+        + [("g", "G"), ("h", "G"), ("i", "G"), ("j", "G")]
+    )
+    edges = [
+        ("a", "b"), ("b", "c"),
+        ("d", "e"), ("e", "f"), ("d", "f"),
+        ("g", "h"), ("g", "i"), ("g", "j"),
+    ]
+    a, e = _art_frames(spark, edges, assigns)
+    got = {
+        (r["cluster_id"], r["rec_id"]): r["n_components_after"]
+        for r in articulation_records(a, e).collect()
+    }
+    assert got == {("A", "b"): 2, ("G", "g"): 3}
+
+
+def test_articulation_shared_vertex_and_leaf_never_flagged(spark):
+    # two triangles sharing vertex x: x is the only cut vertex; leaves of
+    # the triangles and the pendant leaf p (attached to x) are not flagged,
+    # but p makes x split into 3
+    assigns = [(n, "C") for n in ["x", "a", "b", "c", "d", "p"]]
+    edges = [
+        ("x", "a"), ("a", "b"), ("x", "b"),
+        ("x", "c"), ("c", "d"), ("x", "d"),
+        ("x", "p"),
+    ]
+    a, e = _art_frames(spark, edges, assigns)
+    got = {
+        (r["cluster_id"], r["rec_id"]): r["n_components_after"]
+        for r in articulation_records(a, e).collect()
+    }
+    assert got == {("C", "x"): 3}
+
+
+def test_articulation_isolated_member_not_flagged_and_base_adjusted(spark):
+    # cluster with an edgeless member z (e.g. blocking-only): base graph has
+    # 2 components ({a,b,c}, {z}); removing b still splits {a,c} -> flagged;
+    # removing z leaves 1 < 2 -> not flagged
+    assigns = [("a", "K"), ("b", "K"), ("c", "K"), ("z", "K")]
+    edges = [("a", "b"), ("b", "c")]
+    a, e = _art_frames(spark, edges, assigns)
+    got = {
+        (r["cluster_id"], r["rec_id"]): r["n_components_after"]
+        for r in articulation_records(a, e).collect()
+    }
+    assert got == {("K", "b"): 3}  # {a}, {c}, {z}
+
+
+def test_articulation_cap_and_size_filters(spark):
+    # size-2 cluster ignored; cluster over the cap skipped entirely
+    assigns = [("a", "S"), ("b", "S")] + [(f"n{i}", "BIG") for i in range(5)]
+    edges = [("a", "b")] + [(f"n{i}", f"n{i+1}") for i in range(4)]
+    a, e = _art_frames(spark, edges, assigns)
+    assert articulation_records(a, e, max_cluster_size=4).count() == 0
+    # with the cap raised the chain's interior is flagged
+    got = {r["rec_id"] for r in articulation_records(a, e, max_cluster_size=8).collect()}
+    assert got == {"n1", "n2", "n3"}
+    with pytest.raises(ValueError):
+        articulation_records(a, e, max_cluster_size=2)
+
+
+def test_articulation_partitioning_invariant(spark):
+    assigns = [(f"r{i}", "C") for i in range(10)]
+    edges = [(f"r{i}", f"r{i+1}") for i in range(9)] + [("r0", "r3")]
+    a, e = _art_frames(spark, edges, assigns)
+    one = sorted(tuple(r) for r in articulation_records(a, e).collect())
+    other = sorted(
+        tuple(r)
+        for r in articulation_records(a.repartition(7), e.repartition(5)).collect()
+    )
+    assert one == other and len(one) > 0
