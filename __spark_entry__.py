@@ -6410,6 +6410,160 @@ SELECT doc_id::BIGINT AS doc_id,
 FROM scored GROUP BY doc_id"""
 
 
+def q_er_cluster_alignment(spark, sf_dir):
+    """Entity-id continuity (operators/cluster.py stable_cluster_alignment)
+    over the cc_churn world run BACKWARDS: prev = components of the
+    nation+segment chain union, new = components of the nation chains only
+    — dropping the segment edges makes every merged mega-component SPLIT,
+    so the reciprocal-best rule has real work: only each prev component's
+    largest surviving shard inherits its id, the other shards come out
+    inherited=false. The oracle recomputes both closures (recursive CTEs),
+    the contingency cells, both struct-argmaxes, the mutuality filter, and
+    the size joins natively. NULL-free by construction: un-inherited rows
+    carry the (-1, 0, 0) sentinel triple on both sides so the harness's
+    mixed-type row sort stays total."""
+    from minimel_spark.operators.cluster import stable_cluster_alignment
+
+    cust = _t(spark, sf_dir, "customer")
+    w1 = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w2 = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    e1 = cust.select(
+        F.col("c_custkey").alias("src"), F.lead("c_custkey").over(w1).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    e2 = cust.select(
+        F.col("c_custkey").alias("src"), F.lead("c_custkey").over(w2).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    prev = connected_components(e1.unionByName(e2))
+    new = connected_components(e1)
+    return stable_cluster_alignment(prev, new).select(
+        "new_component",
+        F.coalesce("prev_component", F.lit(-1)).alias("prev_component"),
+        F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+        "new_size",
+        F.coalesce("prev_size", F.lit(0)).cast("long").alias("prev_size"),
+        "inherited",
+    )
+
+
+SQL_ER_CLUSTER_ALIGNMENT = """
+WITH RECURSIVE
+e1 AS (
+  SELECT c_custkey AS s,
+         lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS d
+  FROM customer),
+e2 AS (
+  SELECT c_custkey AS s,
+         lead(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS d
+  FROM customer),
+s1 AS (SELECT s, d FROM e1 WHERE d IS NOT NULL
+       UNION SELECT d, s FROM e1 WHERE d IS NOT NULL),
+sa AS (
+  SELECT s, d FROM (SELECT s, d FROM e1 WHERE d IS NOT NULL
+                    UNION SELECT s, d FROM e2 WHERE d IS NOT NULL) u
+  UNION
+  SELECT d, s FROM (SELECT s, d FROM e1 WHERE d IS NOT NULL
+                    UNION SELECT s, d FROM e2 WHERE d IS NOT NULL) u),
+w1(n, c) AS (
+  SELECT s, s FROM s1
+  UNION SELECT s1.d, w1.c FROM w1 JOIN s1 ON s1.s = w1.n),
+wa(n, c) AS (
+  SELECT s, s FROM sa
+  UNION SELECT sa.d, wa.c FROM wa JOIN sa ON sa.s = wa.n),
+prevt AS (SELECT n AS rec_id, min(c) AS pc FROM wa GROUP BY n),
+newt AS (SELECT n AS rec_id, min(c) AS nc FROM w1 GROUP BY n),
+cell AS (
+  SELECT pc, nc, count(*) AS ov FROM prevt JOIN newt USING (rec_id)
+  GROUP BY pc, nc),
+bd AS (SELECT pc, min(struct_pack(a := -ov, b := nc))['b'] AS bn
+       FROM cell GROUP BY pc),
+bs AS (SELECT nc, min(struct_pack(a := -ov, b := pc))['b'] AS bp
+       FROM cell GROUP BY nc),
+al AS (
+  SELECT cell.nc, cell.pc, cell.ov
+  FROM cell JOIN bd USING (pc) JOIN bs USING (nc)
+  WHERE cell.nc = bd.bn AND cell.pc = bs.bp),
+nsz AS (SELECT nc, count(*) AS new_size FROM newt GROUP BY nc),
+psz AS (SELECT pc, count(*) AS prev_size FROM prevt GROUP BY pc)
+SELECT nsz.nc::BIGINT AS new_component,
+       coalesce(al.pc, -1)::BIGINT AS prev_component,
+       coalesce(al.ov, 0)::BIGINT AS overlap,
+       nsz.new_size::BIGINT AS new_size,
+       coalesce(psz.prev_size, 0)::BIGINT AS prev_size,
+       al.pc IS NOT NULL AS inherited
+FROM nsz LEFT JOIN al USING (nc) LEFT JOIN psz ON al.pc = psz.pc"""
+
+
+def q_er_blocking_attribution(spark, sf_dir):
+    """Per-generator blocking attribution (operators/evaluate.py
+    blocking_attribution) over the variant world's redundancy-positive key
+    union (soundex 'p:' + 4-prefix 'pre:' + 4-suffix 'suf:' + first-letter
+    'l1:'); gold = within-entity variant pairs. The construction makes the
+    split meaningful: suffixes survive the edit variants by design (high
+    unique contribution), first-letter blocks are near-pure cost. The
+    oracle rebuilds names, all four key generators, the per-generator
+    distinct pair sets, the gold join, and the fan-out uniqueness count
+    natively."""
+    from minimel_spark.operators.evaluate import blocking_attribution
+
+    recs = _vw_records(spark).select(F.col("name").alias("rec_id"), "name")
+    vdim = _vw_records(spark)
+    gold = (
+        vdim.alias("x")
+        .join(vdim.alias("y"), F.col("x.entity_id") == F.col("y.entity_id"))
+        .where(F.col("x.name") < F.col("y.name"))
+        .select(
+            F.col("x.name").alias("rec_id_a"), F.col("y.name").alias("rec_id_b")
+        )
+        .distinct()
+    )
+    return blocking_attribution(_vw_block_keys(recs), gold).select(
+        "generator",
+        "n_pairs",
+        "n_gold_hit",
+        "n_unique_hits",
+        F.round("completeness", 6).alias("completeness"),
+    )
+
+
+SQL_ER_BLOCKING_ATTRIBUTION = f"""
+WITH {_VW_NAMES_SQL},
+recs AS (SELECT DISTINCT name FROM vw_names),
+u AS (SELECT name, upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS u
+      FROM recs),
+blocked AS (
+  SELECT DISTINCT block_key, rec_id FROM (
+    SELECT 'p:' || {{soundex}} AS block_key, name AS rec_id FROM u
+    UNION ALL SELECT 'pre:' || substr(name, 1, 4), name FROM recs
+    UNION ALL SELECT 'suf:' || right(name, 4), name FROM recs
+    UNION ALL SELECT 'l1:' || substr(name, 1, 1), name FROM recs)),
+bl AS (SELECT split_part(block_key, ':', 1) AS g, block_key AS k, rec_id AS r
+       FROM blocked),
+pairs AS (
+  SELECT DISTINCT a.g, a.r AS ra, b.r AS rb
+  FROM bl a JOIN bl b ON a.k = b.k AND a.r < b.r),
+gold AS (
+  SELECT DISTINCT x.name AS ra, y.name AS rb
+  FROM vw_names x JOIN vw_names y
+    ON x.entity_id = y.entity_id AND x.name < y.name),
+hits AS (SELECT g, ra, rb FROM pairs SEMI JOIN gold USING (ra, rb)),
+fanout AS (SELECT ra, rb, count(*) AS ng FROM hits GROUP BY ra, rb),
+pg AS (SELECT g, count(*) AS n_pairs FROM pairs GROUP BY g),
+hg AS (SELECT g, count(*) AS n_gold_hit FROM hits GROUP BY g),
+uq AS (SELECT hits.g, count(*) AS n_unique_hits
+       FROM hits JOIN fanout USING (ra, rb) WHERE fanout.ng = 1
+       GROUP BY hits.g),
+tot AS (SELECT count(*)::DOUBLE AS t FROM gold)
+SELECT pg.g AS generator,
+       pg.n_pairs::BIGINT AS n_pairs,
+       coalesce(hg.n_gold_hit, 0)::BIGINT AS n_gold_hit,
+       coalesce(uq.n_unique_hits, 0)::BIGINT AS n_unique_hits,
+       round(CASE WHEN tot.t > 0 THEN coalesce(hg.n_gold_hit, 0) / tot.t
+                  ELSE 1.0 END, 6) AS completeness
+FROM pg LEFT JOIN hg USING (g) LEFT JOIN uq USING (g), tot""".replace(
+    "{soundex}", _soundex_sql("u")
+)
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -6500,6 +6654,8 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_cluster_alignment",
+    "er_blocking_attribution",
     "er_articulation",
     "er_threshold_curve",
     "corpus_lsh_curve",
@@ -6590,7 +6746,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 135
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 137
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -6759,6 +6915,8 @@ _ORACLES: dict[str, str] = {
     "er_threshold_curve": SQL_ER_THRESHOLD_CURVE,
     "corpus_lsh_curve": SQL_CORPUS_LSH_CURVE,
     "er_articulation": SQL_ER_ARTICULATION,
+    "er_cluster_alignment": SQL_ER_CLUSTER_ALIGNMENT,
+    "er_blocking_attribution": SQL_ER_BLOCKING_ATTRIBUTION,
 }
 
 

@@ -550,6 +550,78 @@ def articulation_records(
     return rows.groupBy("_c").applyInPandas(_find, out_schema)
 
 
+def stable_cluster_alignment(prev: DataFrame, new: DataFrame) -> DataFrame:
+    """Entity-id continuity across clustering runs — the alignment table a
+    continuously-re-resolved corpus needs so downstream consumers keep
+    stable entity ids while the clustering itself churns: per NEW cluster,
+    which PREV cluster (if any) it is the rightful successor of.
+
+    Succession is RECIPROCAL-BEST shared-record overlap: prev cluster P and
+    new cluster C align iff C is P's argmax-overlap destination AND P is
+    C's argmax-overlap source (ties broken by the smaller counterpart id,
+    so the alignment is deterministic and — being mutual-argmax — one-to-one
+    in both directions). That is the same distributable surrogate for
+    max-weight bipartite matching as group_linkage/reciprocal_best_pairs:
+    a split keeps the id on the shard that retained the most records; a
+    merge keeps the id of the largest absorbed cluster; the leftovers are
+    new entities.
+
+    Output, one row per new cluster: (new_component, prev_component,
+    overlap, new_size, prev_size, inherited) — prev_component/overlap/
+    prev_size NULL and inherited false for clusters with no aligned
+    predecessor. Minting policy is the CALLER's (keep the prev entity id
+    where inherited, mint a namespace id otherwise — the docstring contract
+    deliberately does NOT reuse min-member labels as fresh entity ids:
+    member-derived ids can collide with a retired predecessor's id when
+    the naming record migrates).
+
+    Distributed: one alignment join builds (prev, new, overlap) contingency
+    cells, two grouped argmaxes + one mutual filter over the CELLS (cluster
+    cardinality, not records), plus two size aggregates. No iteration, no
+    driver state.
+    """
+    p = prev.select(F.col("node").alias("rec_id"), F.col("component").alias("pc"))
+    q = new.select(F.col("node").alias("rec_id"), F.col("component").alias("nc"))
+    cell = p.join(q, "rec_id").groupBy("pc", "nc").agg(
+        F.count(F.lit(1)).alias("overlap")
+    )
+    best_dst = cell.groupBy("pc").agg(
+        F.min(F.struct((-F.col("overlap")).alias("_no"), F.col("nc")))["nc"].alias(
+            "_bn"
+        )
+    )
+    best_src = cell.groupBy("nc").agg(
+        F.min(F.struct((-F.col("overlap")).alias("_no"), F.col("pc")))["pc"].alias(
+            "_bp"
+        )
+    )
+    aligned = (
+        cell.join(best_dst, "pc")
+        .where(F.col("nc") == F.col("_bn"))
+        .join(best_src, "nc")
+        .where(F.col("pc") == F.col("_bp"))
+        .select("nc", "pc", "overlap")
+    )
+    nsz = new.groupBy(F.col("component").alias("nc")).agg(
+        F.count(F.lit(1)).alias("new_size")
+    )
+    psz = prev.groupBy(F.col("component").alias("pc")).agg(
+        F.count(F.lit(1)).alias("prev_size")
+    )
+    return (
+        nsz.join(aligned, "nc", "left")
+        .join(psz, "pc", "left")
+        .select(
+            F.col("nc").alias("new_component"),
+            F.col("pc").alias("prev_component"),
+            "overlap",
+            "new_size",
+            "prev_size",
+            F.col("pc").isNotNull().alias("inherited"),
+        )
+    )
+
+
 def cluster_cohesion(
     assignments: DataFrame,
     scored: DataFrame,

@@ -262,6 +262,89 @@ def blocking_metrics(
     )
 
 
+def blocking_attribution(
+    blocked: DataFrame,
+    gold: DataFrame,
+    key_col: str = "block_key",
+    id_col: str = "rec_id",
+    generator_col: str | None = None,
+) -> DataFrame:
+    """Per-GENERATOR blocking attribution — which key generator in a
+    redundancy-positive union (dictionary ∪ LSH bands ∪ phonetic ∪ prefix …)
+    is actually earning its pair cost: :func:`blocking_metrics` scores the
+    union as a whole; this splits recall and cost by generator so a blocker
+    that proposes millions of pairs while every gold pair it finds is ALSO
+    found elsewhere can be dropped with zero recall loss.
+
+    ``blocked`` is (block_key, rec_id); the generator is ``generator_col``
+    when given, else the key's prefix before the first ':' (the repo-wide
+    key convention: 'd:', 'm:<band>:', 'p:', 'pre:' …). ``gold`` is
+    (rec_id_a, rec_id_b), a < b. Per generator:
+
+    - n_pairs       — distinct candidate pairs the generator proposes;
+    - n_gold_hit    — gold pairs among them (the generator's own recall);
+    - n_unique_hits — gold pairs found by NO other generator (its
+                      irreplaceable contribution: what recall would be
+                      lost by removing it);
+    - completeness  — n_gold_hit / |gold|.
+
+    Distributed: one block-key self-join per the union stream (keys of
+    different generators never collide thanks to the prefix, so one join
+    covers all generators), a distinct on (generator, pair), one semi-ish
+    gold join, one per-pair generator-count aggregate for uniqueness, and
+    a broadcastable |gold| count. Never the record cross product.
+    """
+    gen = (
+        F.col(generator_col)
+        if generator_col
+        else F.split(F.col(key_col), ":").getItem(0)
+    )
+    bl = blocked.select(gen.alias("_g"), F.col(key_col).alias("_k"), F.col(id_col).alias("_r"))
+    a = bl.select("_g", "_k", F.col("_r").alias("rec_id_a"))
+    b = bl.select("_k", F.col("_r").alias("rec_id_b"))
+    pairs = (
+        a.join(b, "_k")
+        .where(F.col("rec_id_a") < F.col("rec_id_b"))
+        .select("_g", "rec_id_a", "rec_id_b")
+        .distinct()
+    )
+    g = gold.select("rec_id_a", "rec_id_b")
+    hits = pairs.join(g, ["rec_id_a", "rec_id_b"], "left_semi")
+    # uniqueness: per covered gold pair, how many generators found it
+    fanout = hits.groupBy("rec_id_a", "rec_id_b").agg(
+        F.count(F.lit(1)).alias("_ng")
+    )
+    per_gen = (
+        pairs.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .join(
+            hits.groupBy("_g").agg(F.count(F.lit(1)).alias("n_gold_hit")),
+            "_g",
+            "left",
+        )
+        .join(
+            hits.join(fanout.where(F.col("_ng") == 1), ["rec_id_a", "rec_id_b"])
+            .groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("n_unique_hits")),
+            "_g",
+            "left",
+        )
+    )
+    n_gold = g.agg(F.count(F.lit(1)).alias("_tot"))
+    return per_gen.crossJoin(F.broadcast(n_gold)).select(
+        F.col("_g").alias("generator"),
+        "n_pairs",
+        F.coalesce("n_gold_hit", F.lit(0)).cast("long").alias("n_gold_hit"),
+        F.coalesce("n_unique_hits", F.lit(0)).cast("long").alias("n_unique_hits"),
+        F.when(
+            F.col("_tot") > 0,
+            F.coalesce("n_gold_hit", F.lit(0)) / F.col("_tot"),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("completeness"),
+    )
+
+
 def pr_curve(
     scored: DataFrame,
     label_col: str = "is_match",

@@ -641,3 +641,79 @@ def test_monge_elkan_validates_threshold(spark):
     df = spark.createDataFrame([("a", "b")], "name_a string, name_b string")
     with pytest.raises(ValueError, match="threshold"):
         monge_elkan(df, threshold=-0.1)
+
+
+# --------------------------------------------------------------------------
+# stable_cluster_alignment (entity-id continuity)
+# --------------------------------------------------------------------------
+
+
+def _asg(spark, rows):
+    return spark.createDataFrame(rows, "node long, component long")
+
+
+def test_stable_alignment_split_merge_new(spark):
+    from minimel_spark.operators.cluster import stable_cluster_alignment
+
+    # prev: P100={1,2,3} P200={4,5} P300={6}
+    prev = _asg(spark, [(1, 100), (2, 100), (3, 100), (4, 200), (5, 200), (6, 300)])
+    # new: P100 splits {1,2}|{3}; P200+P300 merge into {4,5,6}; {8} is new
+    new = _asg(spark, [(1, 10), (2, 10), (3, 30), (4, 20), (5, 20), (6, 20), (8, 80)])
+    out = {
+        r["new_component"]: r.asDict()
+        for r in stable_cluster_alignment(prev, new).collect()
+    }
+    # the split's majority shard inherits; the minority shard does not
+    assert out[10]["prev_component"] == 100 and out[10]["inherited"]
+    assert out[10]["overlap"] == 2 and out[10]["new_size"] == 2
+    assert out[10]["prev_size"] == 3
+    assert out[30]["prev_component"] is None and not out[30]["inherited"]
+    # the merge keeps the id of the largest absorbed cluster (200, overlap 2)
+    assert out[20]["prev_component"] == 200 and out[20]["overlap"] == 2
+    assert out[20]["new_size"] == 3 and out[20]["prev_size"] == 2
+    # brand-new cluster: nothing to inherit
+    assert out[80]["prev_component"] is None and not out[80]["inherited"]
+    assert out[80]["new_size"] == 1 and out[80]["prev_size"] is None
+
+
+def test_stable_alignment_tie_breaks_and_one_to_one(spark):
+    from minimel_spark.operators.cluster import stable_cluster_alignment
+
+    # every overlap is 1: P10 ties {C5, C6}, P20 ties {C5, C6}; both argmaxes
+    # break to the smaller counterpart id, so only (P10, C5) is mutual
+    prev = _asg(spark, [(1, 10), (2, 10), (3, 20), (4, 20)])
+    new = _asg(spark, [(1, 5), (3, 5), (2, 6), (4, 6)])
+    out = {
+        r["new_component"]: r["prev_component"]
+        for r in stable_cluster_alignment(prev, new).collect()
+    }
+    assert out == {5: 10, 6: None}
+
+
+def test_stable_alignment_identity_and_injectivity(spark):
+    from minimel_spark.operators.cluster import stable_cluster_alignment
+
+    prev = _asg(spark, [(1, 1), (2, 1), (3, 3), (4, 4)])
+    rows = stable_cluster_alignment(prev, prev).collect()
+    # identity run: every cluster inherits itself with overlap == size
+    for r in rows:
+        assert r["prev_component"] == r["new_component"] and r["inherited"]
+        assert r["overlap"] == r["new_size"] == r["prev_size"]
+    # mutual-argmax alignment is one-to-one: no prev id inherited twice
+    inh = [r["prev_component"] for r in rows if r["inherited"]]
+    assert len(inh) == len(set(inh))
+
+
+def test_stable_alignment_partitioning_invariant(spark):
+    from minimel_spark.operators.cluster import stable_cluster_alignment
+
+    prev = _asg(spark, [(i, i % 5) for i in range(40)])
+    new = _asg(spark, [(i, i % 7) for i in range(40)])
+    one = sorted(tuple(r) for r in stable_cluster_alignment(prev, new).collect())
+    two = sorted(
+        tuple(r)
+        for r in stable_cluster_alignment(
+            prev.repartition(7), new.repartition(3)
+        ).collect()
+    )
+    assert one == two

@@ -544,3 +544,90 @@ def test_golden_records_guards(spark):
         golden_records(recs, mem, rules={"v": "vote"})
     with pytest.raises(ValueError):
         golden_records(recs, mem, rules={"missing": "mode"})
+
+
+# --------------------------------------------------------------------------
+# blocking_attribution (per-generator recall / uniqueness)
+# --------------------------------------------------------------------------
+
+
+def _blocked_df(spark, rows):
+    return spark.createDataFrame(rows, "block_key string, rec_id long")
+
+
+def test_blocking_attribution_values(spark):
+    from minimel_spark.operators.evaluate import blocking_attribution
+
+    blocked = _blocked_df(
+        spark,
+        [
+            ("d:x", 1), ("d:x", 2), ("d:y", 2), ("d:y", 3),
+            ("m:1:a", 1), ("m:1:a", 2), ("m:1:a", 4),
+        ],
+    )
+    gold = _pairs_df(spark, [(1, 2), (2, 3), (1, 4), (5, 6)])
+    out = {
+        r["generator"]: r.asDict()
+        for r in blocking_attribution(blocked, gold).collect()
+    }
+    # d proposes {12, 23}; both gold; (2,3) found by d alone
+    assert out["d"]["n_pairs"] == 2 and out["d"]["n_gold_hit"] == 2
+    assert out["d"]["n_unique_hits"] == 1
+    assert out["d"]["completeness"] == pytest.approx(0.5)
+    # m proposes {12, 14, 24}; hits {12, 14}; (1,4) unique to m
+    assert out["m"]["n_pairs"] == 3 and out["m"]["n_gold_hit"] == 2
+    assert out["m"]["n_unique_hits"] == 1
+    assert out["m"]["completeness"] == pytest.approx(0.5)
+
+
+def test_blocking_attribution_dedups_within_generator(spark):
+    from minimel_spark.operators.evaluate import blocking_attribution
+
+    # two d-blocks propose the SAME pair -> counted once; a generator whose
+    # pairs hit no gold reports zeros, not NULLs
+    blocked = _blocked_df(
+        spark, [("d:x", 1), ("d:x", 2), ("d:y", 1), ("d:y", 2), ("p:z", 8), ("p:z", 9)]
+    )
+    gold = _pairs_df(spark, [(1, 2)])
+    out = {
+        r["generator"]: r.asDict()
+        for r in blocking_attribution(blocked, gold).collect()
+    }
+    assert out["d"]["n_pairs"] == 1 and out["d"]["n_gold_hit"] == 1
+    assert out["d"]["n_unique_hits"] == 1 and out["d"]["completeness"] == 1.0
+    assert out["p"]["n_pairs"] == 1 and out["p"]["n_gold_hit"] == 0
+    assert out["p"]["n_unique_hits"] == 0 and out["p"]["completeness"] == 0.0
+
+
+def test_blocking_attribution_generator_col_and_empty_gold(spark):
+    from minimel_spark.operators.evaluate import blocking_attribution
+
+    blocked = spark.createDataFrame(
+        [("k1", 1, "lsh"), ("k1", 2, "lsh")],
+        "block_key string, rec_id long, gen string",
+    )
+    gold = _pairs_df(spark, []).where(F.lit(False))
+    (row,) = blocking_attribution(
+        blocked, gold, generator_col="gen"
+    ).collect()
+    # empty gold: completeness degenerates to 1.0 (nothing to find)
+    assert row["generator"] == "lsh" and row["n_pairs"] == 1
+    assert row["n_gold_hit"] == 0 and row["completeness"] == 1.0
+
+
+def test_blocking_attribution_partitioning_invariant(spark):
+    from minimel_spark.operators.evaluate import blocking_attribution
+
+    blocked = _blocked_df(
+        spark,
+        [(f"{g}:{i % 4}", i % 13) for g in ("d", "m", "p") for i in range(40)],
+    )
+    gold = _pairs_df(spark, [(i, i + 1) for i in range(0, 12, 2)])
+    one = sorted(tuple(r) for r in blocking_attribution(blocked, gold).collect())
+    two = sorted(
+        tuple(r)
+        for r in blocking_attribution(
+            blocked.repartition(7), gold.repartition(3)
+        ).collect()
+    )
+    assert one == two
