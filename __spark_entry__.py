@@ -6564,6 +6564,47 @@ FROM pg LEFT JOIN hg USING (g) LEFT JOIN uq USING (g), tot""".replace(
 )
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    """Exact shared-substring spans (operators/dedup.py substring_dup_spans
+    — the distributed reframe of Lee et al. 2021 exact-substring dedup):
+    every maximal cross-document shared character run >= 30 chars, with
+    exact 0-based positions on both sides. Lossless (no gram cap) at this
+    scale; the oracle recomputes the full seed-and-merge natively — L-gram
+    explode, gram equi-join, diagonal grouping, rank-difference island
+    merge — so hash equality pins seeds, diagonals, AND span maximality."""
+    from minimel_spark.operators.dedup import substring_dup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dup_spans(docs, min_len=30, max_docs_per_gram=None).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("pos_a").cast("long").alias("pos_a"),
+        F.col("pos_b").cast("long").alias("pos_b"),
+        F.col("span_len").cast("long").alias("span_len"),
+    )
+
+
+SQL_DEDUP_SUBSTRING_SPANS = """
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(length(text) - 30 + 1, 0)),
+                i -> struct_pack(pos := i, g := substr(text, i + 1, 30)))) AS u
+  FROM documents),
+gr AS (SELECT doc_id, u['pos'] AS pos, u['g'] AS gm FROM g),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+  FROM gr a JOIN gr b ON a.gm = b.gm AND a.doc_id < b.doc_id),
+r AS (
+  SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+         row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+                            ORDER BY pos_a) AS rn
+  FROM m)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       min(pos_a)::BIGINT AS pos_a, min(pos_b)::BIGINT AS pos_b,
+       (count(*) + 29)::BIGINT AS span_len
+FROM r GROUP BY id_a, id_b, diag, pos_a - rn"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -6656,6 +6697,7 @@ _WINDOW: list[str] = [
 _TAIL: list[str] = [
     "er_cluster_alignment",
     "er_blocking_attribution",
+    "dedup_substring_spans",
     "er_articulation",
     "er_threshold_curve",
     "corpus_lsh_curve",
@@ -6746,7 +6788,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 137
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 138
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -6917,6 +6959,7 @@ _ORACLES: dict[str, str] = {
     "er_articulation": SQL_ER_ARTICULATION,
     "er_cluster_alignment": SQL_ER_CLUSTER_ALIGNMENT,
     "er_blocking_attribution": SQL_ER_BLOCKING_ATTRIBUTION,
+    "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
 }
 
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 import pandas as pd
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from .util import ensure_min_parallelism, md5_long60, words_lower
 
@@ -857,4 +857,189 @@ def overlap_dups(
         )
         .where(F.col("overlap") >= threshold)
         .select("id_a", "id_b", "overlap")
+    )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    min_len: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs_per_gram: int | None = 1000,
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """EXACT shared-substring spans between document pairs — the distributed
+    reframe of exact-substring training-data dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", which builds
+    one giant suffix array; a suffix array is inherently a single shared
+    address space, so the Spark-first shape is seed-and-merge instead):
+
+    1. every document emits its character L-grams (L = ``min_len``) with
+       their 0-based start positions — pure JVM array expressions, no UDF;
+    2. one equi-join on the gram finds all seed matches (a shared substring
+       of length S >= L produces exactly S - L + 1 consecutive seed matches
+       along one (id_a, id_b, pos_a - pos_b) diagonal);
+    3. per diagonal, consecutive runs collapse via the rank-difference
+       islands trick (row_number over pos_a; pos_a - rn is constant exactly
+       on a consecutive run) into MAXIMAL spans: (id_a, id_b, pos_a, pos_b,
+       span_len = run + L - 1).
+
+    The result is exact and complete: one row per maximal shared span of
+    length >= L per diagonal (periodic text that matches at several offsets
+    yields one row per offset, which is the correct answer, not a dup).
+
+    Scale: the gram stream inflates the corpus ~L× (each char starts one
+    gram) — that is the honest cost of exactness without a global suffix
+    array, bounded by choosing L (40-50 bytes is the published sweet spot)
+    and by ``max_docs_per_gram``: a gram occurring in more than that many
+    documents (boilerplate, license headers) is dropped via a broadcast
+    anti-join BEFORE the self-join, exactly like the stop-shingle cap in
+    :func:`ngram_jaccard_dups` — a capped gram can split a span that
+    crosses it into two reported spans (still exact positions, no false
+    matches); pass ``None`` for the lossless variant (the gate does). At
+    100 TB the join key would move to a 128-bit content hash of the gram
+    (collision-free in practice) to halve shuffle payload; here the gram
+    itself is the key so correctness is unconditional. The islands window
+    partitions by (id_a, id_b, diag) — bounded by the longer document,
+    never a global sort.
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    L = int(min_len)
+    grams = F.when(
+        F.length(F.col(text_col)) >= L,
+        F.expr(
+            f"transform(sequence(0, length({text_col}) - {L}), "
+            f"i -> struct(i as pos, substring({text_col}, i + 1, {L}) as g))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<pos:int,g:string>>"))
+    gr = (
+        ensure_min_parallelism(docs, id_col)
+        .select(F.col(id_col).alias("id"), F.explode(grams).alias("u"))
+        .select("id", F.col("u.pos").alias("pos"), F.col("u.g").alias("g"))
+    )
+    if max_docs_per_gram is not None:
+        if persisted_out is not None:
+            gr = gr.persist()
+            persisted_out.append(gr)
+        oversized = (
+            gr.groupBy("g")
+            .agg(F.countDistinct("id").alias("_n"))
+            .where(F.col("_n") > max_docs_per_gram)
+        )
+        gr = gr.join(F.broadcast(oversized), "g", "left_anti")
+    a = gr.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "g")
+    b = gr.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "g")
+    m = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a", "pos_b")
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    return (
+        m.withColumn("_grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "_grp")
+        .agg(
+            F.min("pos_a").alias("pos_a"),
+            F.min("pos_b").alias("pos_b"),
+            (F.count(F.lit(1)) + F.lit(L - 1)).alias("span_len"),
+        )
+        .select("id_a", "id_b", "pos_a", "pos_b", "span_len")
+    )
+
+
+def tfidf_cosine_dups(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """EXACT all-pairs TF-IDF cosine similarity join (Bayardo/Ma/Srikant
+    WWW'07 "Scaling Up All Pairs Similarity Search", re-expressed as
+    DataFrame ops): document pairs whose tf-idf unit vectors have cosine
+    >= ``threshold``. Unlike the unweighted Jaccard family this weighs rare
+    terms up — the standard similarity for fuzzy-duplicate web text.
+
+    Losslessness comes from the suffix-bound prefix filter: order each
+    doc's terms by descending corpus-max unit weight (mw); a term at
+    position p is a PREFIX term iff the remaining bound
+    Σ_{i>=p} nw_i * mw_i is still >= threshold. For any qualifying pair,
+    the shared terms cannot all sit in either side's sub-threshold suffix
+    (their maximum possible contribution is < t by construction), so every
+    qualifying pair shares >= 1 prefix term of each side — indexing ONLY
+    prefix terms (rare, high-weight, short posting lists) and probing with
+    full vectors finds every such pair; an exact sparse dot verifies.
+
+    Scale: one tf aggregation, one df aggregation + join, per-doc norm and
+    prefix-bound windows (partitioned by doc), the prefix-postings join
+    (the only pair-producing shuffle — bounded by prefix posting lists,
+    never the full inverted index squared), and two verify joins keyed on
+    (doc, term). N (the corpus size for idf) is one eager count at plan
+    time. Terms with df == N carry idf 0 and are dropped up front (they
+    contribute 0 to every dot product AND every norm).
+
+    Returns (id_a, id_b, cosine), id_a < id_b.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    n_docs = docs.count()
+    tok = (
+        ensure_min_parallelism(docs, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(words_lower(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfx = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    wt = (
+        tok.join(dfx, "tok")
+        .where(F.col("df") < F.lit(float(n_docs)))
+        .withColumn("w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+    wd = Window.partitionBy("id")
+    v = (
+        wt.withColumn("nm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(wd)))
+        .where(F.col("nm") > 0)
+        .select("id", "tok", (F.col("w") / F.col("nm")).alias("nw"))
+    )
+    mw = v.groupBy("tok").agg(F.max("nw").alias("mw"))
+    t = v.join(mw, "tok").select("id", "tok", "nw", "mw")
+    if persisted_out is not None:
+        # t feeds the prefix windows, the candidate join (both sides), and
+        # both verify joins — persist so tf/df/norm run once
+        t = t.persist()
+        persisted_out.append(t)
+    wo = Window.partitionBy("id").orderBy(F.desc("mw"), F.asc("tok"))
+    bound = (
+        F.sum(F.col("nw") * F.col("mw")).over(wd)
+        - F.coalesce(
+            F.sum(F.col("nw") * F.col("mw")).over(
+                wo.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        )
+    )
+    prefix = t.withColumn("_rb", bound).where(F.col("_rb") >= threshold)
+    cand = (
+        prefix.select(F.col("id").alias("_pa"), "tok")
+        .join(t.select(F.col("id").alias("_pb"), "tok"), "tok")
+        .where(F.col("_pa") != F.col("_pb"))
+        .select(
+            F.least("_pa", "_pb").alias("id_a"),
+            F.greatest("_pa", "_pb").alias("id_b"),
+        )
+        .distinct()
+    )
+    ta = t.select(F.col("id").alias("id_a"), "tok", F.col("nw").alias("_nwa"))
+    tb = t.select(F.col("id").alias("id_b"), "tok", F.col("nw").alias("_nwb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_nwa") * F.col("_nwb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )

@@ -650,3 +650,187 @@ def test_lsh_curve_partitioning_invariant(spark, documents):
     a = canon(lsh_tuning_curve(docs, n=1, num_hashes=8, bands=4))
     b = canon(lsh_tuning_curve(docs.repartition(17), n=1, num_hashes=8, bands=4))
     assert a == b and len(a) > 0
+
+
+# --------------------------------------------------------------------------
+# substring_dup_spans (exact shared-substring spans)
+# --------------------------------------------------------------------------
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_substring_spans_exact_positions(spark):
+    from minimel_spark.operators.dedup import substring_dup_spans
+
+    shared = "the quick brown fox jumps over the lazy dog again"  # 50 chars
+    docs = _docs_df(
+        spark,
+        ["AAAA " + shared + " BBBB", "xxxxxxxxxx " + shared + " yy"],
+    )
+    rows = substring_dup_spans(docs, min_len=30).collect()
+    # one maximal span; positions are the 0-based starts of the shared run
+    assert len(rows) == 1
+    (r,) = rows
+    assert r["id_a"] == 0 and r["id_b"] == 1
+    # " " + shared + " " is also common (both docs wrap it in spaces)
+    assert r["pos_a"] == 4 and r["pos_b"] == 10
+    assert r["span_len"] == len(shared) + 2
+
+
+def test_substring_spans_two_separate_spans(spark):
+    from minimel_spark.operators.dedup import substring_dup_spans
+
+    s1 = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"  # 40 chars
+    s2 = "ZYXWVUTSRQPONMLKJIHGFEDCBA9876543210zyxw"  # 40 chars
+    docs = _docs_df(spark, [s1 + "-----" + s2, s2 + "_____________" + s1])
+    rows = {
+        (r["pos_a"], r["pos_b"]): r["span_len"]
+        for r in substring_dup_spans(docs, min_len=30).collect()
+    }
+    assert rows == {(0, 53): 40, (45, 0): 40}
+
+
+def test_substring_spans_below_min_len_not_reported(spark):
+    from minimel_spark.operators.dedup import substring_dup_spans
+
+    docs = _docs_df(
+        spark, ["shared-prefix-0123456789" + "q" * 30, "shared-prefix-0123456789" + "w" * 30]
+    )
+    # common prefix is 24 chars < 30
+    assert substring_dup_spans(docs, min_len=30).count() == 0
+    # ... and exactly at the boundary it appears
+    assert substring_dup_spans(docs, min_len=24).count() == 1
+
+
+def test_substring_spans_periodic_text_multiple_diagonals(spark):
+    from minimel_spark.operators.dedup import substring_dup_spans
+
+    unit = "0123456789"
+    docs = _docs_df(spark, [unit * 4, "##" + unit * 3])
+    rows = substring_dup_spans(docs, min_len=10).collect()
+    # every alignment offset of the periodic run is its own maximal span
+    diags = {(r["pos_a"] - r["pos_b"]) for r in rows}
+    assert len(rows) == len(diags) >= 3
+    # the main diagonal carries the longest overlap: 30 shared chars
+    assert max(r["span_len"] for r in rows) == 30
+
+
+def test_substring_spans_cap_and_partitioning_invariance(spark, documents):
+    from minimel_spark.operators.dedup import substring_dup_spans
+
+    def spans(df, **kw):
+        return sorted(tuple(r) for r in substring_dup_spans(df, **kw).collect())
+
+    docs = documents.limit(40)
+    caches: list = []
+    one = spans(docs, min_len=25, max_docs_per_gram=None)
+    two = spans(docs.repartition(13), min_len=25, max_docs_per_gram=None)
+    assert one == two
+    # the cap only ever removes or splits spans, never invents matches:
+    # every capped seed position lies inside some uncapped span
+    capped = spans(docs, min_len=25, max_docs_per_gram=2, persisted_out=caches)
+    full = {(ia, ib) for ia, ib, *_ in one}
+    assert {(ia, ib) for ia, ib, *_ in capped} <= full
+    for c in caches:
+        c.unpersist()
+
+
+# --------------------------------------------------------------------------
+# tfidf_cosine_dups (exact weighted all-pairs similarity join)
+# --------------------------------------------------------------------------
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    from minimel_spark.operators.dedup import tfidf_cosine_dups
+
+    docs = _docs_df(
+        spark,
+        [
+            "alpha beta gamma delta",
+            "alpha beta gamma delta",
+            "completely different words here",
+        ],
+    )
+    rows = tfidf_cosine_dups(docs, threshold=0.5).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r["id_a"], r["id_b"]) == (0, 1)
+    assert r["cosine"] == pytest.approx(1.0)
+
+
+def test_tfidf_cosine_disjoint_and_stopword_only_docs(spark):
+    from minimel_spark.operators.dedup import tfidf_cosine_dups
+
+    # 'the' appears in every doc -> idf 0 -> dropped; the remaining tokens
+    # are disjoint, so no pair clears any positive threshold
+    docs = _docs_df(spark, ["the aa bb", "the cc dd", "the ee ff"])
+    assert tfidf_cosine_dups(docs, threshold=0.1).count() == 0
+
+
+def test_tfidf_cosine_validates_threshold(spark):
+    from minimel_spark.operators.dedup import tfidf_cosine_dups
+
+    docs = _docs_df(spark, ["a b"])
+    with pytest.raises(ValueError, match="threshold"):
+        tfidf_cosine_dups(docs, threshold=0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        tfidf_cosine_dups(docs, threshold=1.5)
+
+
+def test_tfidf_cosine_matches_bruteforce_and_partitioning(spark, documents):
+    """Losslessness: the prefix-filtered join equals a pure-Python brute
+    force over the same idf/normalization arithmetic, and the result is
+    partitioning-invariant."""
+    import math
+    import re
+    from collections import Counter
+
+    from minimel_spark.operators.dedup import tfidf_cosine_dups
+
+    docs = documents.limit(40).select("doc_id", "text")
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    n = len(rows)
+    toks = {
+        i: Counter(w for w in re.split(r"\W+", t.lower()) if w)
+        for i, t in rows.items()
+    }
+    df = Counter()
+    for c in toks.values():
+        df.update(set(c))
+    vecs = {}
+    for i, c in toks.items():
+        w = {t: tf * math.log(n / df[t]) for t, tf in c.items() if df[t] < n}
+        nm = math.sqrt(sum(x * x for x in w.values()))
+        if nm > 0:
+            vecs[i] = {t: x / nm for t, x in w.items()}
+    want = {}
+    ids = sorted(vecs)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                dot = sum(
+                    vx * vecs[y][t] for t, vx in vecs[x].items() if t in vecs[y]
+                )
+                if dot >= 0.5:
+                    want[(x, y)] = round(dot, 6)
+    caches: list = []
+    got = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 6)
+        for r in tfidf_cosine_dups(
+            docs, threshold=0.5, persisted_out=caches
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+    got2 = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 6)
+        for r in tfidf_cosine_dups(docs.repartition(13), threshold=0.5).collect()
+    }
+    assert got == got2
+    for c in caches:
+        c.unpersist()
