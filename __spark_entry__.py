@@ -6605,6 +6605,52 @@ SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
 FROM r GROUP BY id_a, id_b, diag, pos_a - rn"""
 
 
+def q_dedup_tfidf_cosine(spark, sf_dir):
+    """Exact all-pairs TF-IDF cosine join (operators/dedup.py
+    tfidf_cosine_dups — Bayardo et al. WWW'07 re-expressed relationally):
+    pairs with unit tf-idf cosine >= 0.85. The suffix-bound prefix filter
+    is LOSSLESS, so the DuckDB oracle is the plain brute force — tokens,
+    idf = ln(N/df), per-doc L2 normalize, shared-token dot — and hash
+    equality proves the filter dropped nothing. (Both engines sum floats
+    in different orders; at sf0.01 the nearest pair sits far further from
+    the 0.85 cut than the ~1-ulp disagreement, measured before pinning.)"""
+    from minimel_spark.operators.dedup import tfidf_cosine_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    caches: list = []
+    out = tfidf_cosine_dups(docs, threshold=0.85, persisted_out=caches).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_DEDUP_TFIDF_COSINE = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+t AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM w GROUP BY 1, 2),
+n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+dfx AS (SELECT tok, count(*)::DOUBLE AS df FROM t GROUP BY tok),
+wt AS (SELECT doc_id, tok, tf * ln(nd / df) AS w
+       FROM t JOIN dfx USING (tok) CROSS JOIN n WHERE df < nd),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM wt GROUP BY doc_id),
+v AS (SELECT wt.doc_id, tok, w / nm AS nw
+      FROM wt JOIN nrm USING (doc_id) WHERE nm > 0),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.nw * b.nw) AS c
+  FROM v a JOIN v b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, round(c, 6) AS cosine
+FROM p WHERE c >= 0.85"""
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -6698,6 +6744,7 @@ _TAIL: list[str] = [
     "er_cluster_alignment",
     "er_blocking_attribution",
     "dedup_substring_spans",
+    "dedup_tfidf_cosine",
     "er_articulation",
     "er_threshold_curve",
     "corpus_lsh_curve",
@@ -6788,7 +6835,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 138
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 139
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -6960,6 +7007,7 @@ _ORACLES: dict[str, str] = {
     "er_cluster_alignment": SQL_ER_CLUSTER_ALIGNMENT,
     "er_blocking_attribution": SQL_ER_BLOCKING_ATTRIBUTION,
     "dedup_substring_spans": SQL_DEDUP_SUBSTRING_SPANS,
+    "dedup_tfidf_cosine": SQL_DEDUP_TFIDF_COSINE,
 }
 
 
