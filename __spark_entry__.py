@@ -4316,6 +4316,89 @@ LEFT JOIN deg ON deg.node = d.doc_id
 LEFT JOIN pn ON pn.node = d.doc_id"""
 
 
+def q_graph_pivot_clusters(spark, sf_dir):
+    """Parallel pivot (KwikCluster) correlation clustering
+    (operators/cluster.pivot_clusters) over the SAME md5-derived link graph
+    as graph_pagerank/graph_triangles, taken undirected+simple, with every
+    document as a node (edge-free docs become singleton pivots). The
+    deliberate contrast gate to cc_components: transitive closure chains
+    A~B~C on two edges, pivot clustering only admits members DIRECTLY
+    adjacent to the pivot — the noise-conservative clustering for
+    classifier-scored ER edges. The md5-derived pivot rank
+    (md5('pivot' || node) || node) is recomputable in DuckDB, so the oracle
+    unrolls the exact per-round recurrence (min-active-neighbour-rank
+    pivots, arg-min-rank pivot assignment, active-set shrink) as chained
+    CTEs — 8 rounds, strictly more than the 4 the sf0.01 graph needs, and
+    the oracle's a9 active set drains to 0 so extra rounds are no-ops."""
+    from minimel_spark.operators.cluster import pivot_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = _doc_link_edges(docs, n).where(F.col("src") != F.col("dst")).distinct()
+    out = pivot_clusters(edges, nodes=nodes)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
+def _sql_pivot_clusters(rounds: int = 8) -> str:
+    """Unrolled KwikCluster oracle: the same per-round recurrence as
+    operators/cluster.pivot_clusters as chained CTEs. Rank strings
+    (md5 hex || decimal node id) compare bytewise-identically in DuckDB and
+    Spark; arg_min(dst, rk) mirrors F.min_by (ranks are unique per node, so
+    there are no ties to break)."""
+    parts = [
+        """
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, nn),
+sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst)),
+a1 AS MATERIALIZED (
+  SELECT doc_id AS node,
+         md5('pivot' || doc_id::VARCHAR) || doc_id::VARCHAR AS rk
+  FROM documents),
+l1 AS MATERIALIZED (SELECT src, dst FROM sym)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+mn{i} AS (SELECT l.src, min(a.rk) AS mn
+          FROM l{i} l JOIN a{i} a ON a.node = l.dst GROUP BY l.src),
+pv{i} AS MATERIALIZED (
+  SELECT a.node, a.rk FROM a{i} a LEFT JOIN mn{i} m ON a.node = m.src
+  WHERE m.mn IS NULL OR a.rk < m.mn),
+st{i} AS MATERIALIZED (
+  SELECT node, node AS cluster FROM pv{i}
+  UNION ALL
+  SELECT l.src AS node, arg_min(l.dst, p.rk) AS cluster
+  FROM l{i} l JOIN pv{i} p ON p.node = l.dst GROUP BY l.src),
+a{i + 1} AS MATERIALIZED (
+  SELECT a.node, a.rk FROM a{i} a ANTI JOIN st{i} s ON a.node = s.node),
+l{i + 1} AS MATERIALIZED (
+  SELECT l.src, l.dst FROM l{i} l
+  SEMI JOIN a{i + 1} x ON l.src = x.node
+  SEMI JOIN a{i + 1} y ON l.dst = y.node)""")
+    settled = "\n  UNION ALL\n  ".join(
+        f"SELECT node, cluster FROM st{i}" for i in range(1, rounds + 1)
+    )
+    parts.append(f"""
+SELECT node::BIGINT AS node, cluster::BIGINT AS cluster
+FROM ({settled})""")
+    return "".join(parts)
+
+
+SQL_GRAPH_PIVOT_CLUSTERS = _sql_pivot_clusters(8)
+
+
 def q_dedup_passage_overlap(spark, sf_dir):
     """Winnowing (MOSS) passage-overlap pairs: word 4-gram md5-60 rolling
     hashes, min-in-window-of-5 fingerprint selection, pairs sharing >= 2
@@ -6741,6 +6824,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "graph_pivot_clusters",
     "er_cluster_alignment",
     "er_blocking_attribution",
     "dedup_substring_spans",
@@ -6835,7 +6919,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 139
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 140
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -6996,6 +7080,7 @@ _ORACLES: dict[str, str] = {
     "er_pr_curve": SQL_ER_PR_CURVE,
     "er_monge_elkan": SQL_ER_MONGE_ELKAN,
     "graph_lpa": SQL_GRAPH_LPA,
+    "graph_pivot_clusters": SQL_GRAPH_PIVOT_CLUSTERS,
     "graph_kcore": SQL_GRAPH_KCORE,
     "web_boilerplate": SQL_WEB_BOILERPLATE,
     "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,

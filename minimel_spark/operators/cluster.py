@@ -690,3 +690,99 @@ def cluster_cohesion(
             "avg_score",
         )
     )
+
+
+def pivot_clusters(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    salt: str = "pivot",
+    max_iter: int = 60,
+) -> DataFrame:
+    """Parallel pivot CORRELATION clustering (KwikCluster, Ailon/Charikar/
+    Newman JACM'08, parallelized per Chierichetti/Dalvi/Kumar KDD'14):
+    (src, dst) similarity edges -> (node, cluster) where every cluster is a
+    radius-1 star around its pivot. The deliberate semantic contrast with
+    ``connected_components``: transitive closure chains A~B~C into one
+    entity on two edges; pivot clustering never does — a member is in a
+    cluster only if it is DIRECTLY adjacent to the pivot, which is the
+    conservative choice when edges carry classifier noise (KwikCluster is a
+    3-approximation to minimum-disagreement correlation clustering under a
+    uniformly random pivot order).
+
+    Determinism + oracle recomputability: the pivot order is the
+    lexicographic order of ``rk = md5(salt || node) || node`` — unique per
+    node (the appended node id breaks even md5 collisions), identical in
+    DuckDB, and distributed like the random permutation the approximation
+    guarantee wants. Rounds: every active node whose rank precedes all its
+    active neighbours becomes a pivot (adjacent pivots are impossible: each
+    would need the smaller rank); each active neighbour of >= 1 pivot joins
+    its minimum-rank adjacent pivot (that set cannot contain a pivot, same
+    argument); pivots + assigned deactivate. The globally minimum-rank
+    active node is always a pivot, so every round makes progress; with
+    md5-uniform ranks the active subgraph loses a constant edge fraction
+    per round whp (CDK Thm 3) -> O(log n) rounds.
+
+    Scale: per round two equi-join + grouped-min shuffles over the ACTIVE
+    subgraph only (which shrinks geometrically), one anti-join, two
+    semi-joins to shrink the edge set, all on locally-checkpointed frames —
+    never the full graph after round 1 and no driver-side state beyond the
+    per-round count.
+
+    ``nodes`` (optional, one ``node`` column) adds edge-free records, which
+    become singleton pivots in round 1.
+    """
+    rk = lambda c: F.concat(F.md5(F.concat(F.lit(salt), c.cast("string"))), c.cast("string"))  # noqa: E731
+    sym = _symmetrize(edges)
+    active = sym.select(F.col("src").alias("node"))
+    if nodes is not None:
+        active = active.union(nodes.select(F.col("node")))
+    active = (
+        active.distinct().withColumn("rk", rk(F.col("node"))).localCheckpoint(eager=True)
+    )
+    live = sym.localCheckpoint(eager=True)  # invariant: both endpoints active
+    parts: list[DataFrame] = []
+    for _ in range(max_iter):
+        # min active-neighbour rank per node (live's endpoints are all
+        # active, so this join is a pure rank lookup, not a liveness filter)
+        minn = (
+            live.join(
+                active.select(F.col("node").alias("dst"), F.col("rk").alias("rk_d")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("rk_d").alias("mn"))
+        )
+        piv = (
+            active.join(minn, active["node"] == minn["src"], "left")
+            .where(F.col("mn").isNull() | (F.col("rk") < F.col("mn")))
+            .select("node", "rk")
+        )
+        asg = (
+            live.join(
+                piv.select(F.col("node").alias("dst"), F.col("rk").alias("prk")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min_by("dst", "prk").alias("cluster"))
+            .select(F.col("src").alias("node"), "cluster")
+        )
+        settled = (
+            piv.select("node", F.col("node").alias("cluster"))
+            .unionByName(asg)
+            .localCheckpoint(eager=True)
+        )
+        parts.append(settled)
+        active = active.join(
+            settled.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        if active.isEmpty():
+            out = parts[0]
+            for p_ in parts[1:]:
+                out = out.unionByName(p_)
+            return out
+        live = (
+            live.join(active.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(active.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"pivot_clusters did not settle within {max_iter} rounds")

@@ -593,3 +593,93 @@ def test_articulation_partitioning_invariant(spark):
         for r in articulation_records(a.repartition(7), e.repartition(5)).collect()
     )
     assert one == other and len(one) > 0
+
+
+# ---------- pivot (KwikCluster) correlation clustering ----------
+
+def _pivot_oracle(edges, extra_nodes=(), salt="pivot"):
+    """Round-by-round pure-Python mirror of pivot_clusters: md5-ranked
+    parallel KwikCluster (Chierichetti/Dalvi/Kumar KDD'14)."""
+    import hashlib
+
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    rk = lambda v: hashlib.md5(f"{salt}{v}".encode()).hexdigest() + str(v)
+    active = set(adj) | set(extra_nodes)
+    assign = {}
+    while active:
+        piv = {
+            u
+            for u in active
+            if not any(v in active for v in adj.get(u, ()))
+            or rk(u) < min(rk(v) for v in adj.get(u, ()) if v in active)
+        }
+        settled = {u: u for u in piv}
+        for u in active - piv:
+            pn = [v for v in adj.get(u, ()) if v in piv]
+            if pn:
+                settled[u] = min(pn, key=rk)
+        assign.update(settled)
+        active -= set(settled)
+    return assign
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pivot_clusters_random_graphs(spark, seed):
+    from minimel_spark.operators.cluster import pivot_clusters
+
+    rng = random.Random(seed)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(rng.randint(20, 80))
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["cluster"] for r in pivot_clusters(df).collect()}
+    assert got == _pivot_oracle(edges)
+
+
+def test_pivot_clusters_star_property_vs_transitive_chain(spark):
+    """The semantic contrast with connected_components: every member must be
+    DIRECTLY adjacent to its pivot (radius-1 star), so a 30-edge chain —
+    one transitive component — must split into clusters of size <= 3
+    (a path node has degree <= 2: pivot + its direct neighbours)."""
+    from minimel_spark.operators.cluster import pivot_clusters
+
+    edges = [(f"c{i:02d}", f"c{i+1:02d}") for i in range(30)]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = pivot_clusters(df).collect()
+    assert len(rows) == 31
+    sizes = {}
+    for r in rows:
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
+        # star property: member is the pivot itself or directly adjacent
+        assert r["node"] == r["cluster"] or r["cluster"] in adj[r["node"]]
+    assert len(sizes) > 1 and max(sizes.values()) <= 3
+    # contrast: transitive closure chains the whole path into one component
+    assert connected_components(df).select("component").distinct().count() == 1
+
+
+def test_pivot_clusters_edge_free_nodes_and_partitioning(spark):
+    from minimel_spark.operators.cluster import pivot_clusters
+
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    nodes = spark.createDataFrame(
+        [("a",), ("iso1",), ("iso2",)], "node string"
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["cluster"] for r in pivot_clusters(df, nodes=nodes).collect()}
+    assert got == _pivot_oracle(edges, extra_nodes=["iso1", "iso2"])
+    assert got["iso1"] == "iso1" and got["iso2"] == "iso2"
+    other = {
+        r["node"]: r["cluster"]
+        for r in pivot_clusters(df.repartition(5), nodes=nodes.repartition(3)).collect()
+    }
+    assert got == other
