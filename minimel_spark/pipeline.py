@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators.blocking import surface_blocked_pairs
 from .operators.clean import clean
-from .operators.cluster import cluster_candidates, connected_components
+from .operators.cluster import (
+    cluster_candidates,
+    connected_components,
+    pivot_clusters,
+)
 from .operators.count import anchor_counts
 from .operators.extract import extract_paragraphs
 from .operators.mentions import detect_mentions
@@ -74,6 +78,14 @@ class PipelineConfig:
     # 0.70 -> 0.76, decided from the data not the env); oracle gate worlds
     # pin None to stay on the exact sparse semantics.
     dense_bow_dim: int | str | None = "auto"
+    # final entity-formation semantics over the match edges:
+    # "transitive" (default, the reference's closure semantics — chains
+    # A~B~C into one entity) or "pivot" (KwikCluster correlation
+    # clustering — radius-1 stars, so one noisy edge admits a record but
+    # never chains two entities; see operators/cluster.pivot_clusters).
+    # The pivot stage checkpoints under a method-suffixed name so a resume
+    # with a different method never silently replays the other semantics.
+    cluster_method: str = "transitive"
 
 
 def weak_pair_labels(feats: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -133,6 +145,11 @@ def run_pipeline(
     cache reuse for a leak-free default. Checkpointed runs drop them here
     once every stage is parquet-committed, as before."""
     cfg = config or PipelineConfig()
+    if cfg.cluster_method not in ("transitive", "pivot"):
+        raise ValueError(
+            f"cluster_method must be 'transitive' or 'pivot', got "
+            f"{cfg.cluster_method!r}"
+        )
     ckpt = Checkpointer(spark, workdir, enabled=bool(workdir)) if workdir else Checkpointer(
         spark, "/tmp/minimel_spark_noop", enabled=False
     )
@@ -250,6 +267,13 @@ def run_pipeline(
 
     def _er():
         edges = match_edges(scored, cfg.match_threshold)
+        if cfg.cluster_method == "pivot":
+            pc = pivot_clusters(
+                edges, nodes=records.select(F.col("rec_id").alias("node"))
+            )
+            return pc.select(
+                F.col("node").alias("rec_id"), F.col("cluster").alias("cluster_id")
+            )
         cc = connected_components(edges)
         return (
             records.select("rec_id")
@@ -257,7 +281,12 @@ def run_pipeline(
             .select("rec_id", F.coalesce("component", "rec_id").alias("cluster_id"))
         )
 
-    er_clusters = ckpt.stage("er_clusters", _er)
+    er_stage = (
+        "er_clusters"
+        if cfg.cluster_method == "transitive"
+        else f"er_clusters_{cfg.cluster_method}"
+    )
+    er_clusters = ckpt.stage(er_stage, _er)
 
     if workdir:
         # every stage is parquet-committed by now, so the stage-internal

@@ -74,6 +74,32 @@ def test_pipeline_tiny_budgets_identical_clusters(spark, pipeline_result, tmp_pa
     assert got == want
 
 
+def test_pipeline_pivot_cluster_method(spark, pipeline_result, tmp_path):
+    """cluster_method='pivot' swaps transitive closure for KwikCluster
+    stars over the SAME match edges: every record is assigned exactly once,
+    and every non-pivot member is DIRECTLY adjacent to its pivot in the
+    thresholded match-edge graph (the radius-1 guarantee transitive
+    closure deliberately does not give)."""
+    from minimel_spark.pipeline import match_edges
+
+    out, _, pages, index, cfg = pipeline_result
+    piv_cfg = PipelineConfig(min_count=2, bands=6, num_hashes=12, cluster_method="pivot")
+    out2 = run_pipeline(spark, pages, index, workdir=str(tmp_path / "ckp"), config=piv_cfg)
+    memb = {r["rec_id"]: r["cluster_id"] for r in out2["er_clusters"].collect()}
+    recs = {r["rec_id"] for r in out2["records"].select("rec_id").collect()}
+    assert set(memb) == recs
+    adj = {}
+    for r in match_edges(out2["scored_pairs"], piv_cfg.match_threshold).collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+        adj.setdefault(r["dst"], set()).add(r["src"])
+    for rec, cl in memb.items():
+        assert rec == cl or cl in adj.get(rec, ()), f"{rec} not adjacent to pivot {cl}"
+    # pivots label their own cluster, so every cluster id is a member of it
+    assert all(memb.get(cl) == cl for cl in set(memb.values()))
+    with pytest.raises(ValueError, match="cluster_method"):
+        run_pipeline(spark, pages, index, config=PipelineConfig(cluster_method="bogus"))
+
+
 def test_er_clusters_group_same_entity_mentions(pipeline_result):
     out, *_ = pipeline_result
     clusters = out["er_clusters"]
