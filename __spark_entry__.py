@@ -4343,15 +4343,14 @@ def q_graph_pivot_clusters(spark, sf_dir):
     )
 
 
-def _sql_pivot_clusters(rounds: int = 8) -> str:
-    """Unrolled KwikCluster oracle: the same per-round recurrence as
-    operators/cluster.pivot_clusters as chained CTEs. Rank strings
-    (md5 hex || decimal node id) compare bytewise-identically in DuckDB and
-    Spark; arg_min(dst, rk) mirrors F.min_by (ranks are unique per node, so
-    there are no ties to break)."""
+def _pivot_ctes(rounds: int) -> tuple[str, str]:
+    """Shared CTE text for the KwikCluster oracles: (cte_block, settled_union).
+    cte_block = link-graph prefix (nn/e0/sym) + rank init (a1/l1) + the
+    unrolled per-round recurrence; settled_union selects the full (node,
+    cluster) assignment. Used by both SQL_GRAPH_PIVOT_CLUSTERS and the
+    clustering-objective oracle so the recurrence text cannot drift."""
     parts = [
-        """
-WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+        """nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
 e0 AS (
   SELECT d.doc_id AS src,
          unnest(list_transform(range(0, 3), j ->
@@ -4390,13 +4389,110 @@ l{i + 1} AS MATERIALIZED (
     settled = "\n  UNION ALL\n  ".join(
         f"SELECT node, cluster FROM st{i}" for i in range(1, rounds + 1)
     )
-    parts.append(f"""
+    return "".join(parts), settled
+
+
+def _sql_pivot_clusters(rounds: int = 8) -> str:
+    """Unrolled KwikCluster oracle: the same per-round recurrence as
+    operators/cluster.pivot_clusters as chained CTEs. Rank strings
+    (md5 hex || decimal node id) compare bytewise-identically in DuckDB and
+    Spark; arg_min(dst, rk) mirrors F.min_by (ranks are unique per node, so
+    there are no ties to break)."""
+    ctes, settled = _pivot_ctes(rounds)
+    return f"""
+WITH {ctes}
 SELECT node::BIGINT AS node, cluster::BIGINT AS cluster
-FROM ({settled})""")
-    return "".join(parts)
+FROM ({settled})"""
 
 
 SQL_GRAPH_PIVOT_CLUSTERS = _sql_pivot_clusters(8)
+
+
+def q_graph_clustering_objective(spark, sf_dir):
+    """Correlation-clustering disagreement (cluster.py
+    clustering_disagreement) for BOTH entity-formation semantics on the
+    SAME md5 link graph: transitive closure (cc + singleton coalesce, the
+    er_clusters shape) vs pivot stars. The decision artifact behind
+    PipelineConfig.cluster_method — closure zeroes pos_cut but pays
+    neg_within on chained non-neighbours, pivot trades the other way; the
+    objective is exact integer counting (two edge joins + a size
+    aggregate, never pair enumeration), so the oracle recomputes it from
+    a recursive-CTE closure and the unrolled pivot recurrence over the
+    identical graph."""
+    from minimel_spark.operators.cluster import (
+        clustering_disagreement,
+        connected_components,
+        pivot_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = (
+        _doc_link_edges(docs, n).where(F.col("src") != F.col("dst")).distinct()
+        .persist()  # 2 clusterings + 2 objective joins read it
+    )
+    cc = connected_components(edges)
+    memb_t = nodes.join(cc, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("cl")
+    )
+    pv = pivot_clusters(edges, nodes=nodes)
+    out = clustering_disagreement(edges, memb_t, method="transitive").unionByName(
+        clustering_disagreement(edges, pv, method="pivot")
+    ).select(
+        "method",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.col("n_pos_edges").cast("long").alias("n_pos_edges"),
+        F.col("pos_cut").cast("long").alias("pos_cut"),
+        F.col("neg_within").cast("long").alias("neg_within"),
+        F.col("disagreement").cast("long").alias("disagreement"),
+    )
+    rows = out.collect()  # 2-row result; materialize once, then drop the cache
+    edges.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _sql_clustering_objective(rounds: int = 8) -> str:
+    """Both assignments rebuilt natively (recursive-CTE closure; the shared
+    unrolled pivot recurrence), then the identical integer objective:
+    pos_cut over the canonical a<b edge list, neg_within = sum C(size,2)
+    minus within-cluster edges."""
+    ctes, settled = _pivot_ctes(rounds)
+    per_method = []
+    for method, asg in (("transitive", "tasg"), ("pivot", "pasg")):
+        per_method.append(f"""
+SELECT '{method}' AS method,
+       s.n_nodes::BIGINT AS n_nodes,
+       s.n_clusters::BIGINT AS n_clusters,
+       e.n_pos_edges::BIGINT AS n_pos_edges,
+       e.pos_cut::BIGINT AS pos_cut,
+       (s.within_pairs - e.pos_within)::BIGINT AS neg_within,
+       (e.pos_cut + s.within_pairs - e.pos_within)::BIGINT AS disagreement
+FROM (SELECT count(*) AS n_clusters, sum(n) AS n_nodes,
+             sum(n * (n - 1) // 2) AS within_pairs
+      FROM (SELECT cl, count(*) AS n FROM {asg} GROUP BY 1)) s,
+     (SELECT count(*) AS n_pos_edges,
+             coalesce(sum(CASE WHEN x.cl <> y.cl THEN 1 END), 0) AS pos_cut,
+             coalesce(sum(CASE WHEN x.cl = y.cl THEN 1 END), 0) AS pos_within
+      FROM und u JOIN {asg} x ON u.a = x.node JOIN {asg} y ON u.b = y.node) e""")
+    both = "\nUNION ALL\n".join(per_method)
+    return f"""
+WITH RECURSIVE {ctes},
+und AS MATERIALIZED (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+walk(n, c) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT sym.dst, walk.c FROM walk JOIN sym ON sym.src = walk.n),
+tasg AS MATERIALIZED (
+  SELECT d.doc_id AS node, coalesce(w.c, d.doc_id) AS cl
+  FROM documents d
+  LEFT JOIN (SELECT n, min(c) AS c FROM walk GROUP BY n) w ON w.n = d.doc_id),
+pasg AS MATERIALIZED (SELECT node, cluster AS cl FROM ({settled}))
+{both}"""
+
+
+SQL_GRAPH_CLUSTERING_OBJECTIVE = _sql_clustering_objective(8)
 
 
 def q_dedup_passage_overlap(spark, sf_dir):
@@ -6825,6 +6921,7 @@ _WINDOW: list[str] = [
 
 _TAIL: list[str] = [
     "graph_pivot_clusters",
+    "graph_clustering_objective",
     "er_cluster_alignment",
     "er_blocking_attribution",
     "dedup_substring_spans",
@@ -6919,7 +7016,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 140
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 141
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -7081,6 +7178,7 @@ _ORACLES: dict[str, str] = {
     "er_monge_elkan": SQL_ER_MONGE_ELKAN,
     "graph_lpa": SQL_GRAPH_LPA,
     "graph_pivot_clusters": SQL_GRAPH_PIVOT_CLUSTERS,
+    "graph_clustering_objective": SQL_GRAPH_CLUSTERING_OBJECTIVE,
     "graph_kcore": SQL_GRAPH_KCORE,
     "web_boilerplate": SQL_WEB_BOILERPLATE,
     "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,

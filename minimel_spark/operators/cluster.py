@@ -786,3 +786,74 @@ def pivot_clusters(
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"pivot_clusters did not settle within {max_iter} rounds")
+
+
+def clustering_disagreement(
+    edges: DataFrame, assignment: DataFrame, method: str | None = None
+) -> DataFrame:
+    """Correlation-clustering objective for a clustering against the raw
+    similarity-edge evidence: disagreements = positive edges CUT across
+    clusters + co-clustered pairs with NO edge (Bansal/Blum/Chawla 2004).
+    The unsupervised counterpart to cluster_quality/pairwise_f1 — no gold
+    labels, just the edge set the clustering was built from — and the
+    quantity that ranks transitive closure vs pivot clustering on noisy
+    graphs: closure zeroes pos_cut but pays neg_within on every chained
+    non-neighbour pair; pivot stars do the reverse trade.
+
+    ``assignment`` must cover every edge endpoint (inner joins drop
+    unassigned endpoints silently otherwise — assignments from
+    connected_components + singleton coalesce or pivot_clusters with
+    ``nodes=`` satisfy this by construction).
+
+    One row out: (method?, n_nodes, n_clusters, n_pos_edges, pos_cut,
+    neg_within, disagreement).
+
+    Scale: never enumerates co-clustered pairs — neg_within is
+    Σ C(size, 2) − pos_within, so the whole objective is two equi-joins
+    over the edge list plus a cluster-size aggregate: O(E) + O(V), no
+    quadratic term, cluster sizes only ever aggregated.
+    """
+    a = assignment.select(
+        F.col(assignment.columns[0]).alias("node"),
+        F.col(assignment.columns[1]).alias("cl"),
+    )
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ej = und.join(a.select(F.col("node").alias("a"), F.col("cl").alias("ca")), "a").join(
+        a.select(F.col("node").alias("b"), F.col("cl").alias("cb")), "b"
+    )
+    estats = ej.agg(
+        F.count(F.lit(1)).alias("n_pos_edges"),
+        F.sum((F.col("ca") != F.col("cb")).cast("long")).alias("pos_cut"),
+        F.sum((F.col("ca") == F.col("cb")).cast("long")).alias("pos_within"),
+    )
+    cstats = (
+        a.groupBy("cl")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("n").alias("n_nodes"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("within_pairs"),
+        )
+    )
+    out = (
+        cstats.crossJoin(estats)
+        .withColumn("n_pos_edges", F.coalesce("n_pos_edges", F.lit(0)))
+        .withColumn("pos_cut", F.coalesce("pos_cut", F.lit(0)))
+        .withColumn(
+            "neg_within", F.col("within_pairs") - F.coalesce("pos_within", F.lit(0))
+        )
+        .withColumn("disagreement", F.col("pos_cut") + F.col("neg_within"))
+        .select(
+            "n_nodes", "n_clusters", "n_pos_edges", "pos_cut", "neg_within",
+            "disagreement",
+        )
+    )
+    if method is not None:
+        out = out.select(F.lit(method).alias("method"), "*")
+    return out

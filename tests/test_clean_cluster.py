@@ -683,3 +683,92 @@ def test_pivot_clusters_edge_free_nodes_and_partitioning(spark):
         for r in pivot_clusters(df.repartition(5), nodes=nodes.repartition(3)).collect()
     }
     assert got == other
+
+
+# ---------- correlation-clustering disagreement objective ----------
+
+def _disagreement_oracle(edges, assign):
+    """Brute-force pair enumeration (the thing the operator must never do)."""
+    import itertools
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    pos_cut = sum(1 for a, b in und if assign[a] != assign[b])
+    neg_within = sum(
+        1
+        for a, b in itertools.combinations(sorted(assign), 2)
+        if assign[a] == assign[b] and (a, b) not in und
+    )
+    return pos_cut, neg_within
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_clustering_disagreement_vs_bruteforce(spark, seed):
+    from minimel_spark.operators.cluster import (
+        clustering_disagreement,
+        pivot_clusters,
+    )
+
+    rng = random.Random(seed)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node string")
+    for method, assign_df in (
+        ("pivot", pivot_clusters(df, nodes=ndf)),
+        (
+            "transitive",
+            ndf.join(
+                connected_components(df).withColumnRenamed("component", "cl"),
+                "node",
+                "left",
+            ).select("node", F.coalesce("cl", "node").alias("cl")),
+        ),
+    ):
+        assign = {r[0]: r[1] for r in assign_df.collect()}
+        row = clustering_disagreement(df, assign_df, method=method).first()
+        pos_cut, neg_within = _disagreement_oracle(edges, assign)
+        assert row["method"] == method
+        assert row["n_nodes"] == 30
+        assert (row["pos_cut"], row["neg_within"]) == (pos_cut, neg_within)
+        assert row["disagreement"] == pos_cut + neg_within
+    # transitive closure by construction never cuts a positive edge
+    assert (
+        clustering_disagreement(
+            df,
+            ndf.join(
+                connected_components(df).withColumnRenamed("component", "cl"),
+                "node",
+                "left",
+            ).select("node", F.coalesce("cl", "node").alias("cl")),
+        ).first()["pos_cut"]
+        == 0
+    )
+
+
+def test_clustering_disagreement_chain_tradeoff(spark):
+    """On a 10-node path: closure pays every chained non-neighbour pair
+    (C(10,2) - 9 = 36 neg_within), pivot stars pay cut edges instead —
+    and the pivot objective must be strictly better on this shape."""
+    from minimel_spark.operators.cluster import (
+        clustering_disagreement,
+        pivot_clusters,
+    )
+
+    edges = [(f"c{i}", f"c{i+1}") for i in range(9)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    closure = df.selectExpr("src as node").union(df.selectExpr("dst")).distinct() \
+        .withColumn("cl", F.lit("c0"))
+    t = clustering_disagreement(df, closure).first()
+    assert (t["pos_cut"], t["neg_within"]) == (0, 45 - 9)
+    p = clustering_disagreement(df, pivot_clusters(df)).first()
+    assert p["disagreement"] < t["disagreement"]
+
+
+def test_clustering_disagreement_empty_edges(spark):
+    from minimel_spark.operators.cluster import clustering_disagreement
+
+    df = spark.createDataFrame([], "src string, dst string")
+    assign = spark.createDataFrame([("a", "x"), ("b", "x")], "node string, cl string")
+    row = clustering_disagreement(df, assign).first()
+    assert (row["n_pos_edges"], row["pos_cut"], row["neg_within"]) == (0, 0, 1)
