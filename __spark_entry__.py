@@ -4343,14 +4343,8 @@ def q_graph_pivot_clusters(spark, sf_dir):
     )
 
 
-def _pivot_ctes(rounds: int) -> tuple[str, str]:
-    """Shared CTE text for the KwikCluster oracles: (cte_block, settled_union).
-    cte_block = link-graph prefix (nn/e0/sym) + rank init (a1/l1) + the
-    unrolled per-round recurrence; settled_union selects the full (node,
-    cluster) assignment. Used by both SQL_GRAPH_PIVOT_CLUSTERS and the
-    clustering-objective oracle so the recurrence text cannot drift."""
-    parts = [
-        """nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+# link-graph prefix shared by every doc-graph oracle: nn/e0/sym
+_SQL_LINK_GRAPH_CTES = """nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
 e0 AS (
   SELECT d.doc_id AS src,
          unnest(list_transform(range(0, 3), j ->
@@ -4361,13 +4355,16 @@ sym AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
     SELECT src, dst FROM e0 WHERE src <> dst
     UNION ALL
-    SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst)),
-a1 AS MATERIALIZED (
-  SELECT doc_id AS node,
-         md5('pivot' || doc_id::VARCHAR) || doc_id::VARCHAR AS rk
-  FROM documents),
-l1 AS MATERIALIZED (SELECT src, dst FROM sym)"""
-    ]
+    SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst))"""
+
+
+def _pivot_round_ctes(rounds: int) -> tuple[str, str]:
+    """The generic unrolled KwikCluster recurrence: consumes whatever ``a1``
+    (node, rk) and ``l1`` (symmetric src, dst with active endpoints) the
+    caller's CTEs define, yields mn/pv/st/a/l chains and the settled-union
+    select. Shared by the plain, objective, and constrained oracles so the
+    recurrence text cannot drift between them."""
+    parts = []
     for i in range(1, rounds + 1):
         parts.append(f""",
 mn{i} AS (SELECT l.src, min(a.rk) AS mn
@@ -4390,6 +4387,24 @@ l{i + 1} AS MATERIALIZED (
         f"SELECT node, cluster FROM st{i}" for i in range(1, rounds + 1)
     )
     return "".join(parts), settled
+
+
+def _pivot_ctes(rounds: int) -> tuple[str, str]:
+    """(cte_block, settled_union) for pivot clustering over the md5 doc link
+    graph with every document active: link-graph prefix + doc-rank a1/l1 +
+    the generic recurrence."""
+    rounds_sql, settled = _pivot_round_ctes(rounds)
+    block = (
+        _SQL_LINK_GRAPH_CTES
+        + """,
+a1 AS MATERIALIZED (
+  SELECT doc_id AS node,
+         md5('pivot' || doc_id::VARCHAR) || doc_id::VARCHAR AS rk
+  FROM documents),
+l1 AS MATERIALIZED (SELECT src, dst FROM sym)"""
+        + rounds_sql
+    )
+    return block, settled
 
 
 def _sql_pivot_clusters(rounds: int = 8) -> str:
@@ -4493,6 +4508,134 @@ pasg AS MATERIALIZED (SELECT node, cluster AS cl FROM ({settled}))
 
 
 SQL_GRAPH_CLUSTERING_OBJECTIVE = _sql_clustering_objective(8)
+
+
+def q_er_constrained_clusters(spark, sf_dir):
+    """Constraint-aware entity formation (cluster.py
+    constrained_pivot_clusters — Wagstaff-style instance constraints, the
+    production-ER human-feedback loop) on the md5 link graph with
+    md5-derived reviewer labels: docs with md5-60(doc:ml) % 17 == 0 emit a
+    must-link to md5-60(doc:mlp) % N, docs with md5-60(doc:cl) % 13 == 0 a
+    cannot-link to md5-60(doc:clp) % N (feasible by construction on this
+    fixture — no cannot-link lands inside a must-group; the operator
+    raises otherwise, which would fail this gate loudly). The oracle
+    recomposes every step natively: recursive-CTE must-link closure,
+    rep contraction, canonical cannot-pair edge drop, the SHARED unrolled
+    pivot recurrence over the contracted graph, larger-rank eviction of
+    residual same-pivot violators, and member expansion."""
+    from minimel_spark.operators.cluster import constrained_pivot_clusters
+    from minimel_spark.operators.util import md5_long60
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = _doc_link_edges(docs, n).where(F.col("src") != F.col("dst")).distinct()
+
+    def _pairs(gate_tag, dst_tag, mod):
+        return (
+            docs.where(
+                md5_long60(F.concat(F.col("doc_id"), F.lit(gate_tag))) % mod == 0
+            )
+            .select(
+                F.col("doc_id").alias("src"),
+                (md5_long60(F.concat(F.col("doc_id"), F.lit(dst_tag))) % n).alias(
+                    "dst"
+                ),
+            )
+            .where(F.col("src") != F.col("dst"))
+        )
+
+    out = constrained_pivot_clusters(
+        edges,
+        must_link=_pairs(":ml", ":mlp", 17),
+        cannot_link=_pairs(":cl", ":clp", 13),
+        nodes=nodes,
+    )
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
+def _sql_constrained_clusters(rounds: int = 8) -> str:
+    """Native recomposition of constrained_pivot_clusters over the doc link
+    graph: closure -> contract -> drop -> pivot (shared recurrence) ->
+    evict -> expand. Infeasible cannot-pairs (inside a must-group) are
+    dropped by the cs <> cd filter — the Spark side raises instead, so the
+    fixture is constructed feasible and any drift fails the hash."""
+    rounds_sql, settled = _pivot_round_ctes(rounds)
+    return f"""
+WITH RECURSIVE {_SQL_LINK_GRAPH_CTES},
+mlf AS (
+  SELECT src, dst FROM (
+    SELECT d.doc_id AS src,
+           (('0x' || substr(md5(d.doc_id || ':mlp'), 1, 15))::UBIGINT
+            % nn.n)::BIGINT AS dst
+    FROM documents d, nn
+    WHERE ('0x' || substr(md5(d.doc_id || ':ml'), 1, 15))::UBIGINT % 17 = 0)
+  WHERE src <> dst),
+msym AS (SELECT src, dst FROM mlf UNION SELECT dst, src FROM mlf),
+mwalk(x, c) AS (
+  SELECT src, src FROM msym
+  UNION
+  SELECT msym.dst, mwalk.c FROM mwalk JOIN msym ON msym.src = mwalk.x),
+mrep AS MATERIALIZED (SELECT x AS node, min(c) AS rep FROM mwalk GROUP BY x),
+clr AS MATERIALIZED (
+  SELECT DISTINCT least(cs, cd) AS ca, greatest(cs, cd) AS cb FROM (
+    SELECT coalesce(ms.rep, c.src) AS cs, coalesce(md.rep, c.dst) AS cd
+    FROM (
+      SELECT src, dst FROM (
+        SELECT d.doc_id AS src,
+               (('0x' || substr(md5(d.doc_id || ':clp'), 1, 15))::UBIGINT
+                % nn.n)::BIGINT AS dst
+        FROM documents d, nn
+        WHERE ('0x' || substr(md5(d.doc_id || ':cl'), 1, 15))::UBIGINT % 13 = 0)
+      WHERE src <> dst) c
+    LEFT JOIN mrep ms ON ms.node = c.src
+    LEFT JOIN mrep md ON md.node = c.dst)
+  WHERE cs <> cd),
+sed AS MATERIALIZED (
+  SELECT DISTINCT csrc AS src, cdst AS dst FROM (
+    SELECT coalesce(ms.rep, s.src) AS csrc, coalesce(md.rep, s.dst) AS cdst
+    FROM sym s
+    LEFT JOIN mrep ms ON ms.node = s.src
+    LEFT JOIN mrep md ON md.node = s.dst)
+  WHERE csrc <> cdst),
+l1 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM sed e
+  ANTI JOIN clr ON least(e.src, e.dst) = clr.ca
+               AND greatest(e.src, e.dst) = clr.cb),
+act AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM sed
+    UNION ALL SELECT dst FROM sed
+    UNION ALL
+    SELECT coalesce(m.rep, d.doc_id) FROM documents d
+    LEFT JOIN mrep m ON m.node = d.doc_id
+    UNION ALL SELECT rep FROM mrep)),
+a1 AS MATERIALIZED (
+  SELECT node, md5('pivot' || node::VARCHAR) || node::VARCHAR AS rk FROM act){rounds_sql},
+pasg AS MATERIALIZED (SELECT node, cluster FROM ({settled})),
+viol AS MATERIALIZED (
+  SELECT DISTINCT CASE
+    WHEN md5('pivot' || ca::VARCHAR) || ca::VARCHAR
+       > md5('pivot' || cb::VARCHAR) || cb::VARCHAR THEN ca ELSE cb END AS node
+  FROM clr
+  JOIN pasg x ON x.node = clr.ca
+  JOIN pasg y ON y.node = clr.cb
+  WHERE x.cluster = y.cluster),
+easg AS MATERIALIZED (
+  SELECT p.node, p.cluster FROM pasg p ANTI JOIN viol v ON p.node = v.node
+  UNION ALL
+  SELECT node, node FROM viol)
+SELECT m.node::BIGINT AS node, e.cluster::BIGINT AS cluster
+FROM mrep m JOIN easg e ON e.node = m.rep
+UNION ALL
+SELECT e.node::BIGINT AS node, e.cluster::BIGINT AS cluster
+FROM easg e ANTI JOIN (SELECT DISTINCT rep FROM mrep) r ON e.node = r.rep"""
+
+
+SQL_ER_CONSTRAINED_CLUSTERS = _sql_constrained_clusters(8)
 
 
 def q_dedup_passage_overlap(spark, sf_dir):
@@ -6922,6 +7065,7 @@ _WINDOW: list[str] = [
 _TAIL: list[str] = [
     "graph_pivot_clusters",
     "graph_clustering_objective",
+    "er_constrained_clusters",
     "er_cluster_alignment",
     "er_blocking_attribution",
     "dedup_substring_spans",
@@ -7016,7 +7160,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 141
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 142
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -7179,6 +7323,7 @@ _ORACLES: dict[str, str] = {
     "graph_lpa": SQL_GRAPH_LPA,
     "graph_pivot_clusters": SQL_GRAPH_PIVOT_CLUSTERS,
     "graph_clustering_objective": SQL_GRAPH_CLUSTERING_OBJECTIVE,
+    "er_constrained_clusters": SQL_ER_CONSTRAINED_CLUSTERS,
     "graph_kcore": SQL_GRAPH_KCORE,
     "web_boilerplate": SQL_WEB_BOILERPLATE,
     "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,

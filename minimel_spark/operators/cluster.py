@@ -857,3 +857,141 @@ def clustering_disagreement(
     if method is not None:
         out = out.select(F.lit(method).alias("method"), "*")
     return out
+
+
+def constrained_pivot_clusters(
+    edges: DataFrame,
+    must_link: DataFrame | None = None,
+    cannot_link: DataFrame | None = None,
+    nodes: DataFrame | None = None,
+    salt: str = "pivot",
+    max_iter: int = 60,
+) -> DataFrame:
+    """Pivot clustering under reviewer constraints (Wagstaff & Cardie 2000
+    instance-level constraints, the production-ER feedback loop): records a
+    human confirmed as the same entity (``must_link``) always co-cluster,
+    pairs confirmed distinct (``cannot_link``) never do. Both constraint
+    frames are (src, dst) like ``edges`` and are typically tiny (human
+    labels) next to the classifier edge set.
+
+    Semantics by composition of the verified parts:
+    1. must-link groups are the CONNECTED COMPONENTS of the must-link edge
+       set (confirmations are transitive by definition — unlike classifier
+       edges); each group contracts to its min-id super-node.
+    2. a cannot-link pair inside one must-group is an infeasible labelling
+       — surfaced as a ValueError naming the offending groups, never
+       silently dropped.
+    3. classifier edges map to super-node edges; super-edges that collide
+       with a cannot-link super-pair are removed (the constraint overrides
+       the classifier score), then pivot clustering runs on the contracted
+       graph. Pivot stars (unlike transitive closure) also cannot leak a
+       cannot-link pair back in transitively: dropping the direct
+       super-edge is sufficient because membership requires DIRECT
+       adjacency to the pivot... except when the two forbidden super-nodes
+       are both non-pivot members adjacent to a shared pivot. That residual
+       case is resolved deterministically after the fact: of the two
+       members, the one with the larger pivot rank is evicted to a fresh
+       singleton cluster (iterating evictions is unnecessary — singletons
+       violate nothing).
+    4. super-node assignments expand back to records.
+
+    Determinism: inherits pivot_clusters' md5 ranks; eviction uses the same
+    rank, so the whole operator is partition-invariant.
+    """
+    spark_edges = edges.select("src", "dst")
+    if must_link is not None:
+        ml = connected_components(must_link.select("src", "dst"))
+        # rep(node) = must-group min id for grouped nodes, identity otherwise
+    else:
+        ml = None
+
+    def _to_rep(df, col):
+        if ml is None:
+            return df.withColumn(f"_r_{col}", F.col(col))
+        return df.join(
+            ml.select(F.col("node").alias(col), F.col("component").alias(f"_r_{col}")),
+            col,
+            "left",
+        ).withColumn(f"_r_{col}", F.coalesce(f"_r_{col}", F.col(col)))
+
+    if cannot_link is not None:
+        cl = _to_rep(_to_rep(cannot_link.select("src", "dst"), "src"), "dst").select(
+            F.least("_r_src", "_r_dst").alias("_ca"),
+            F.greatest("_r_src", "_r_dst").alias("_cb"),
+        ).distinct()
+        bad = cl.where(F.col("_ca") == F.col("_cb"))
+        bad_rows = bad.limit(5).collect()
+        if bad_rows:
+            groups = ", ".join(str(r["_ca"]) for r in bad_rows)
+            raise ValueError(
+                f"infeasible constraints: cannot-link pair(s) inside "
+                f"must-link group(s) {groups}"
+            )
+        cl = cl.localCheckpoint(eager=True)  # tiny; read by edge drop + eviction
+    else:
+        cl = None
+
+    sup = _to_rep(_to_rep(spark_edges, "src"), "dst").select(
+        F.col("_r_src").alias("src"), F.col("_r_dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    sup_nodes = None
+    if cl is not None:
+        # endpoints whose EVERY edge is constraint-dropped must still come
+        # out (as singletons), so pin the pre-drop endpoint set as nodes
+        sup_nodes = sup.select(F.col("src").alias("node")).union(
+            sup.select(F.col("dst").alias("node"))
+        )
+        keyed = sup.withColumn("_ca", F.least("src", "dst")).withColumn(
+            "_cb", F.greatest("src", "dst")
+        )
+        sup = keyed.join(cl, ["_ca", "_cb"], "left_anti").select("src", "dst")
+
+    if nodes is not None:
+        rep_nodes = _to_rep(nodes.select(F.col("node")), "node").select(
+            F.col("_r_node").alias("node")
+        )
+        sup_nodes = rep_nodes if sup_nodes is None else sup_nodes.union(rep_nodes)
+    if ml is not None:
+        comp_nodes = ml.select(F.col("component").alias("node"))
+        sup_nodes = (
+            comp_nodes if sup_nodes is None else sup_nodes.union(comp_nodes)
+        )
+    assign = pivot_clusters(sup, nodes=sup_nodes, salt=salt, max_iter=max_iter)
+
+    if cl is not None:
+        # residual same-pivot collisions: evict the larger-rank member
+        rk = lambda c: F.concat(  # noqa: E731
+            F.md5(F.concat(F.lit(salt), c.cast("string"))), c.cast("string")
+        )
+        viol = (
+            cl.join(
+                assign.select(F.col("node").alias("_ca"), F.col("cluster").alias("_k1")),
+                "_ca",
+            )
+            .join(
+                assign.select(F.col("node").alias("_cb"), F.col("cluster").alias("_k2")),
+                "_cb",
+            )
+            .where(F.col("_k1") == F.col("_k2"))
+            .select(
+                F.when(rk(F.col("_ca")) > rk(F.col("_cb")), F.col("_ca"))
+                .otherwise(F.col("_cb"))
+                .alias("node")
+            )
+            .distinct()
+        )
+        assign = assign.join(viol, "node", "left_anti").unionByName(
+            viol.select("node", F.col("node").alias("cluster"))
+        )
+
+    if ml is None:
+        return assign
+    # expand super-nodes back to member records (non-grouped nodes pass
+    # through: their rep is themselves, absent from ml)
+    grouped = ml.join(
+        assign.select(F.col("node").alias("component"), "cluster"), "component"
+    ).select("node", "cluster")
+    solo = assign.join(
+        ml.select(F.col("component").alias("node")).distinct(), "node", "left_anti"
+    )
+    return solo.unionByName(grouped)

@@ -772,3 +772,103 @@ def test_clustering_disagreement_empty_edges(spark):
     assign = spark.createDataFrame([("a", "x"), ("b", "x")], "node string, cl string")
     row = clustering_disagreement(df, assign).first()
     assert (row["n_pos_edges"], row["pos_cut"], row["neg_within"]) == (0, 0, 1)
+
+
+# ---------- constrained pivot clustering ----------
+
+def test_constrained_pivot_no_constraints_identical(spark):
+    from minimel_spark.operators.cluster import (
+        constrained_pivot_clusters,
+        pivot_clusters,
+    )
+
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    want = sorted(map(tuple, pivot_clusters(df).collect()))
+    got = sorted(map(tuple, constrained_pivot_clusters(df).collect()))
+    assert got == want
+
+
+def test_constrained_pivot_must_link_is_transitive(spark):
+    from minimel_spark.operators.cluster import constrained_pivot_clusters
+
+    edges = spark.createDataFrame([("a", "z")], "src string, dst string")
+    ml = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    got = {r["node"]: r["cluster"] for r in
+           constrained_pivot_clusters(edges, must_link=ml).collect()}
+    # a, b, c confirmed-same: one cluster regardless of classifier edges
+    assert got["a"] == got["b"] == got["c"]
+    assert set(got) == {"a", "b", "c", "z"}
+
+
+def test_constrained_pivot_cannot_link_severs_direct_edge(spark):
+    from minimel_spark.operators.cluster import (
+        constrained_pivot_clusters,
+        pivot_clusters,
+    )
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    clk = spark.createDataFrame([("b", "a")], "src string, dst string")
+    base = {r["node"]: r["cluster"] for r in pivot_clusters(edges).collect()}
+    assert base["a"] == base["b"]  # classifier would merge them
+    got = {r["node"]: r["cluster"] for r in
+           constrained_pivot_clusters(edges, cannot_link=clk).collect()}
+    assert got["a"] != got["b"]
+
+
+def test_constrained_pivot_residual_shared_pivot_eviction(spark):
+    """x5 outranks x14 and x8 (md5 pivot order), so unconstrained both join
+    pivot x5; cannot-link(x14, x8) has no direct edge to drop — the
+    larger-rank member (x8) must be deterministically evicted to a
+    singleton while x14 stays with the pivot."""
+    from minimel_spark.operators.cluster import (
+        constrained_pivot_clusters,
+        pivot_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [("x5", "x14"), ("x5", "x8")], "src string, dst string"
+    )
+    base = {r["node"]: r["cluster"] for r in pivot_clusters(edges).collect()}
+    assert base == {"x5": "x5", "x14": "x5", "x8": "x5"}
+    clk = spark.createDataFrame([("x14", "x8")], "src string, dst string")
+    got = {r["node"]: r["cluster"] for r in
+           constrained_pivot_clusters(edges, cannot_link=clk).collect()}
+    assert got == {"x5": "x5", "x14": "x5", "x8": "x8"}
+
+
+def test_constrained_pivot_infeasible_raises(spark):
+    from minimel_spark.operators.cluster import constrained_pivot_clusters
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    ml = spark.createDataFrame([("a", "b")], "src string, dst string")
+    clk = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="infeasible"):
+        constrained_pivot_clusters(edges, must_link=ml, cannot_link=clk)
+
+
+def test_constrained_pivot_cross_group_cannot_link_and_expand(spark):
+    """Two must-groups linked by classifier edges but forbidden by a
+    cannot-link between ANY pair of their members: the super-edge drops,
+    groups stay separate clusters, and every record expands back."""
+    from minimel_spark.operators.cluster import constrained_pivot_clusters
+
+    edges = spark.createDataFrame(
+        [("a1", "b1"), ("a2", "b2")], "src string, dst string"
+    )
+    ml = spark.createDataFrame(
+        [("a1", "a2"), ("b1", "b2")], "src string, dst string"
+    )
+    clk = spark.createDataFrame([("a2", "b1")], "src string, dst string")
+    got = {r["node"]: r["cluster"] for r in
+           constrained_pivot_clusters(edges, must_link=ml, cannot_link=clk).collect()}
+    assert set(got) == {"a1", "a2", "b1", "b2"}
+    assert got["a1"] == got["a2"] and got["b1"] == got["b2"]
+    assert got["a1"] != got["b1"]
+    # without the constraint the same input merges all four
+    merged = {r["node"]: r["cluster"] for r in
+              constrained_pivot_clusters(edges, must_link=ml).collect()}
+    assert len(set(merged.values())) == 1
