@@ -40,6 +40,7 @@ def cmd_pipeline(args) -> int:
         cluster_threshold=args.cluster_threshold,
         match_threshold=args.match_threshold,
         max_pairs_per_block=args.max_pairs_per_block,
+        cluster_method=args.cluster_method,
     )
     out = run_pipeline(spark, pages, index, workdir=args.workdir, config=cfg)
     n = out["er_clusters"].count()
@@ -216,6 +217,12 @@ def main(argv=None) -> int:
     pp.add_argument("--cluster-threshold", type=float, default=0.5)
     pp.add_argument("--match-threshold", type=float, default=0.5)
     pp.add_argument("--max-pairs-per-block", type=int, default=10_000)
+    pp.add_argument(
+        "--cluster-method",
+        choices=["transitive", "pivot"],
+        default="transitive",
+        help="entity formation: transitive closure or pivot (KwikCluster) stars",
+    )
     pp.set_defaults(fn=cmd_pipeline)
 
     pc = sub.add_parser("count", help="extraction + anchor statistics only")
