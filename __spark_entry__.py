@@ -4638,6 +4638,46 @@ FROM easg e ANTI JOIN (SELECT DISTINCT rep FROM mrep) r ON e.node = r.rep"""
 SQL_ER_CONSTRAINED_CLUSTERS = _sql_constrained_clusters(8)
 
 
+def q_er_review_queue(spark, sf_dir):
+    """Uncertainty sampling (operators/scoring.review_queue) over the
+    pair_features world: the 40 candidate pairs with jacc3 closest to 0.5
+    — the selection step that turns matcher scores into the
+    must/cannot-link labels er_constrained_clusters consumes. Rounding to
+    6 decimals happens BEFORE the uncertainty rank on both sides so the
+    two engines order identical values; (uncertainty, rec_id_a, rec_id_b)
+    is a total order. The Spark plan is TakeOrderedAndProject (pinned by
+    test), never a global sort."""
+    from minimel_spark.operators.pairs import candidate_pairs, pair_features
+    from minimel_spark.operators.scoring import review_queue
+
+    part = _t(spark, sf_dir, "part")
+    records = part.select(F.col("p_name").alias("name")).distinct().withColumn(
+        "rec_id", F.col("name")
+    )
+    blocked = records.withColumn(
+        "block_key", F.regexp_extract("name", r"(\w+)$", 1)
+    )
+    pairs = candidate_pairs(blocked)
+    feats = pair_features(pairs, records, name_col="name", text_col=None).select(
+        "rec_id_a", "rec_id_b", F.round("jacc3", 6).alias("score")
+    )
+    return review_queue(feats, k=40).select(
+        "rec_id_a",
+        "rec_id_b",
+        "score",
+        F.round("uncertainty", 6).alias("uncertainty"),
+    )
+
+
+SQL_ER_REVIEW_QUEUE_TMPL = """
+WITH pf AS ({pair_features})
+SELECT rec_id_a, rec_id_b, jacc3 AS score,
+       round(abs(jacc3 - 0.5), 6) AS uncertainty
+FROM pf
+ORDER BY abs(jacc3 - 0.5), rec_id_a, rec_id_b
+LIMIT 40"""
+
+
 def q_dedup_passage_overlap(spark, sf_dir):
     """Winnowing (MOSS) passage-overlap pairs: word 4-gram md5-60 rolling
     hashes, min-in-window-of-5 fingerprint selection, pairs sharing >= 2
@@ -7066,6 +7106,7 @@ _TAIL: list[str] = [
     "graph_pivot_clusters",
     "graph_clustering_objective",
     "er_constrained_clusters",
+    "er_review_queue",
     "er_cluster_alignment",
     "er_blocking_attribution",
     "dedup_substring_spans",
@@ -7160,7 +7201,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 142
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 143
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -7324,6 +7365,9 @@ _ORACLES: dict[str, str] = {
     "graph_pivot_clusters": SQL_GRAPH_PIVOT_CLUSTERS,
     "graph_clustering_objective": SQL_GRAPH_CLUSTERING_OBJECTIVE,
     "er_constrained_clusters": SQL_ER_CONSTRAINED_CLUSTERS,
+    "er_review_queue": SQL_ER_REVIEW_QUEUE_TMPL.format(
+        pair_features=SQL_PAIR_FEATURES
+    ),
     "graph_kcore": SQL_GRAPH_KCORE,
     "web_boilerplate": SQL_WEB_BOILERPLATE,
     "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,

@@ -216,3 +216,34 @@ def reciprocal_best_pairs(
         .where((F.col("_ba") == F.col(id_b)) & (F.col("_bb") == F.col(id_a)))
         .select(id_a, id_b, score_col)
     )
+
+
+def review_queue(
+    scored: DataFrame,
+    k: int,
+    score_col: str = "score",
+    key_cols: tuple = ("rec_id_a", "rec_id_b"),
+    band: tuple | None = None,
+) -> DataFrame:
+    """Uncertainty sampling for the human-review loop: the k scored pairs
+    the matcher is LEAST sure about (|score - 0.5| ascending, key columns
+    as the deterministic tie-break) — the pairs whose labels buy the most
+    constraint value per review (Settles 2009 §3.1), feeding
+    must_link/cannot_link into constrained_pivot_clusters. ``band``
+    (lo, hi) optionally pre-filters to a score window so reviewers never
+    see confident pairs at all.
+
+    Scale: a global ORDER BY ... LIMIT k compiles to
+    TakeOrderedAndProject — per-partition top-k heaps merged at the
+    driver, k rows of driver memory, no global sort — so this is safe to
+    point at the full scored-pair table. Deterministic: (uncertainty,
+    *keys) is a total order because key pairs are unique.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    out = scored
+    if band is not None:
+        lo, hi = band
+        out = out.where((F.col(score_col) >= lo) & (F.col(score_col) <= hi))
+    out = out.withColumn("uncertainty", F.abs(F.col(score_col) - F.lit(0.5)))
+    return out.orderBy("uncertainty", *key_cols).limit(k)

@@ -657,3 +657,37 @@ def test_blocking_attribution_partitioning_invariant(spark):
         ).collect()
     )
     assert one == two
+
+
+# ---------- review queue (uncertainty sampling) ----------
+
+def test_review_queue_picks_most_uncertain_with_deterministic_ties(spark):
+    from minimel_spark.operators.scoring import review_queue
+
+    rows = [("a", "b", 0.5), ("c", "d", 0.9), ("e", "f", 0.45),
+            ("g", "h", 0.55), ("i", "j", 0.1), ("a", "z", 0.5)]
+    df = spark.createDataFrame(rows, "rec_id_a string, rec_id_b string, score double")
+    got = [(r["rec_id_a"], r["rec_id_b"]) for r in review_queue(df, k=3).collect()]
+    # 0.5-ties resolve by key order: (a,b) before (a,z); then 0.45/0.55 tie
+    assert got == [("a", "b"), ("a", "z"), ("e", "f")]
+    banded = review_queue(df, k=10, band=(0.4, 0.6)).collect()
+    assert {(r["rec_id_a"], r["rec_id_b"]) for r in banded} == {
+        ("a", "b"), ("a", "z"), ("e", "f"), ("g", "h")
+    }
+    with pytest.raises(ValueError, match="k must be positive"):
+        review_queue(df, k=0)
+
+
+def test_review_queue_plan_is_take_ordered(spark):
+    """The global top-k must compile to TakeOrderedAndProject (per-partition
+    heaps), never a full Sort — the property that makes it safe on the
+    complete scored-pair table."""
+    from minimel_spark.operators.scoring import review_queue
+
+    df = spark.range(1000).selectExpr(
+        "cast(id as string) rec_id_a",
+        "cast(id + 1 as string) rec_id_b",
+        "id / 1000.0 score",
+    )
+    plan = review_queue(df, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
