@@ -4510,6 +4510,35 @@ pasg AS MATERIALIZED (SELECT node, cluster AS cl FROM ({settled}))
 SQL_GRAPH_CLUSTERING_OBJECTIVE = _sql_clustering_objective(8)
 
 
+def _md5_constraint_pairs(docs, n, gate_tag, dst_tag, mod):
+    """Deterministic md5-derived reviewer-label pairs over documents,
+    shared by the constrained-clustering and constraint-audit gates so the
+    fixture definition cannot drift: docs with md5-60(doc||gate_tag) % mod
+    == 0 emit (doc_id, md5-60(doc||dst_tag) % n), self-pairs dropped."""
+    from minimel_spark.operators.util import md5_long60
+
+    return (
+        docs.where(md5_long60(F.concat(F.col("doc_id"), F.lit(gate_tag))) % mod == 0)
+        .select(
+            F.col("doc_id").alias("src"),
+            (md5_long60(F.concat(F.col("doc_id"), F.lit(dst_tag))) % n).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+
+
+def _sql_md5_constraint_pairs(gate_tag: str, dst_tag: str, mod: int) -> str:
+    """The DuckDB twin of _md5_constraint_pairs (assumes the nn CTE)."""
+    return f"""SELECT src, dst FROM (
+    SELECT d.doc_id AS src,
+           (('0x' || substr(md5(d.doc_id || '{dst_tag}'), 1, 15))::UBIGINT
+            % nn.n)::BIGINT AS dst
+    FROM documents d, nn
+    WHERE ('0x' || substr(md5(d.doc_id || '{gate_tag}'), 1, 15))::UBIGINT
+          % {mod} = 0)
+  WHERE src <> dst"""
+
+
 def q_er_constrained_clusters(spark, sf_dir):
     """Constraint-aware entity formation (cluster.py
     constrained_pivot_clusters — Wagstaff-style instance constraints, the
@@ -4524,31 +4553,15 @@ def q_er_constrained_clusters(spark, sf_dir):
     pivot recurrence over the contracted graph, larger-rank eviction of
     residual same-pivot violators, and member expansion."""
     from minimel_spark.operators.cluster import constrained_pivot_clusters
-    from minimel_spark.operators.util import md5_long60
 
     docs = _t(spark, sf_dir, "documents")
     n = docs.count()
     nodes = docs.select(F.col("doc_id").alias("node"))
     edges = _doc_link_edges(docs, n).where(F.col("src") != F.col("dst")).distinct()
-
-    def _pairs(gate_tag, dst_tag, mod):
-        return (
-            docs.where(
-                md5_long60(F.concat(F.col("doc_id"), F.lit(gate_tag))) % mod == 0
-            )
-            .select(
-                F.col("doc_id").alias("src"),
-                (md5_long60(F.concat(F.col("doc_id"), F.lit(dst_tag))) % n).alias(
-                    "dst"
-                ),
-            )
-            .where(F.col("src") != F.col("dst"))
-        )
-
     out = constrained_pivot_clusters(
         edges,
-        must_link=_pairs(":ml", ":mlp", 17),
-        cannot_link=_pairs(":cl", ":clp", 13),
+        must_link=_md5_constraint_pairs(docs, n, ":ml", ":mlp", 17),
+        cannot_link=_md5_constraint_pairs(docs, n, ":cl", ":clp", 13),
         nodes=nodes,
     )
     return out.select(
@@ -4567,13 +4580,7 @@ def _sql_constrained_clusters(rounds: int = 8) -> str:
     return f"""
 WITH RECURSIVE {_SQL_LINK_GRAPH_CTES},
 mlf AS (
-  SELECT src, dst FROM (
-    SELECT d.doc_id AS src,
-           (('0x' || substr(md5(d.doc_id || ':mlp'), 1, 15))::UBIGINT
-            % nn.n)::BIGINT AS dst
-    FROM documents d, nn
-    WHERE ('0x' || substr(md5(d.doc_id || ':ml'), 1, 15))::UBIGINT % 17 = 0)
-  WHERE src <> dst),
+  {_sql_md5_constraint_pairs(':ml', ':mlp', 17)}),
 msym AS (SELECT src, dst FROM mlf UNION SELECT dst, src FROM mlf),
 mwalk(x, c) AS (
   SELECT src, src FROM msym
@@ -4584,13 +4591,7 @@ clr AS MATERIALIZED (
   SELECT DISTINCT least(cs, cd) AS ca, greatest(cs, cd) AS cb FROM (
     SELECT coalesce(ms.rep, c.src) AS cs, coalesce(md.rep, c.dst) AS cd
     FROM (
-      SELECT src, dst FROM (
-        SELECT d.doc_id AS src,
-               (('0x' || substr(md5(d.doc_id || ':clp'), 1, 15))::UBIGINT
-                % nn.n)::BIGINT AS dst
-        FROM documents d, nn
-        WHERE ('0x' || substr(md5(d.doc_id || ':cl'), 1, 15))::UBIGINT % 13 = 0)
-      WHERE src <> dst) c
+      {_sql_md5_constraint_pairs(':cl', ':clp', 13)}) c
     LEFT JOIN mrep ms ON ms.node = c.src
     LEFT JOIN mrep md ON md.node = c.dst)
   WHERE cs <> cd),
@@ -4667,6 +4668,64 @@ def q_er_review_queue(spark, sf_dir):
         "score",
         F.round("uncertainty", 6).alias("uncertainty"),
     )
+
+
+def q_er_constraint_audit(spark, sf_dir):
+    """Constraint-violation audit (cluster.py constraint_violations) of the
+    UNCONSTRAINED pivot clustering against the same md5 reviewer labels
+    er_constrained_clusters enforces — the monitoring artifact that says
+    when a standing clustering has drifted from the label set and a
+    constrained re-cluster is due. Non-empty by construction here (the
+    unconstrained stars co-cluster some cannot-pairs and split some
+    must-pairs); the oracle recomputes the pivot assignment from the
+    shared recurrence and re-audits natively."""
+    from minimel_spark.operators.cluster import (
+        constraint_violations,
+        pivot_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = _doc_link_edges(docs, n).where(F.col("src") != F.col("dst")).distinct()
+    assign = pivot_clusters(edges, nodes=nodes)
+    out = constraint_violations(
+        assign,
+        must_link=_md5_constraint_pairs(docs, n, ":ml", ":mlp", 17),
+        cannot_link=_md5_constraint_pairs(docs, n, ":cl", ":clp", 13),
+    )
+    return out.select(
+        "kind",
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("cluster_src").cast("long").alias("cluster_src"),
+        F.col("cluster_dst").cast("long").alias("cluster_dst"),
+    )
+
+
+def _sql_constraint_audit(rounds: int = 8) -> str:
+    ctes, settled = _pivot_ctes(rounds)
+    return f"""
+WITH {ctes},
+pasg AS MATERIALIZED (SELECT node, cluster FROM ({settled})),
+mlc AS (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM ({_sql_md5_constraint_pairs(':ml', ':mlp', 17)})),
+clc AS (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM ({_sql_md5_constraint_pairs(':cl', ':clp', 13)}))
+SELECT 'must_link' AS kind, m.src::BIGINT AS src, m.dst::BIGINT AS dst,
+       x.cluster::BIGINT AS cluster_src, y.cluster::BIGINT AS cluster_dst
+FROM mlc m JOIN pasg x ON x.node = m.src JOIN pasg y ON y.node = m.dst
+WHERE x.cluster <> y.cluster
+UNION ALL
+SELECT 'cannot_link', c.src::BIGINT, c.dst::BIGINT,
+       x.cluster::BIGINT, y.cluster::BIGINT
+FROM clc c JOIN pasg x ON x.node = c.src JOIN pasg y ON y.node = c.dst
+WHERE x.cluster = y.cluster"""
+
+
+SQL_ER_CONSTRAINT_AUDIT = _sql_constraint_audit(8)
 
 
 SQL_ER_REVIEW_QUEUE_TMPL = """
@@ -7107,6 +7166,7 @@ _TAIL: list[str] = [
     "graph_clustering_objective",
     "er_constrained_clusters",
     "er_review_queue",
+    "er_constraint_audit",
     "er_cluster_alignment",
     "er_blocking_attribution",
     "dedup_substring_spans",
@@ -7201,7 +7261,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 143
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 144
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -7368,6 +7428,7 @@ _ORACLES: dict[str, str] = {
     "er_review_queue": SQL_ER_REVIEW_QUEUE_TMPL.format(
         pair_features=SQL_PAIR_FEATURES
     ),
+    "er_constraint_audit": SQL_ER_CONSTRAINT_AUDIT,
     "graph_kcore": SQL_GRAPH_KCORE,
     "web_boilerplate": SQL_WEB_BOILERPLATE,
     "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,

@@ -995,3 +995,72 @@ def constrained_pivot_clusters(
         ml.select(F.col("component").alias("node")).distinct(), "node", "left_anti"
     )
     return solo.unionByName(grouped)
+
+
+def constraint_violations(
+    assignment: DataFrame,
+    must_link: DataFrame | None = None,
+    cannot_link: DataFrame | None = None,
+) -> DataFrame:
+    """Audit an EXISTING clustering against reviewer constraints: one row
+    per violated constraint — a must-link pair split across clusters, or a
+    cannot-link pair co-clustered. The monitoring counterpart to
+    constrained_pivot_clusters (which PREVENTS violations at formation
+    time): run it over last run's clusters when new labels arrive to
+    decide whether a re-cluster is due, or over a transitive clustering —
+    which cannot enforce cannot-links at all — to quantify what switching
+    to the constrained path would fix.
+
+    ``assignment`` is (node, cluster); constraint endpoints absent from it
+    count as singleton clusters of themselves (the pipeline's coalesce
+    convention), so a must-link to an unassigned record IS a violation.
+
+    Output: (kind, src, dst, cluster_src, cluster_dst), src < dst
+    canonical, one row per distinct violated pair. Two equi-joins per
+    constraint frame against the assignment — constraint tables are
+    human-label-sized, so at web scale these are broadcast joins against
+    the big assignment.
+    """
+    a = assignment.select(
+        F.col(assignment.columns[0]).alias("node"),
+        F.col(assignment.columns[1]).alias("cl"),
+    )
+
+    def _audit(pairs, kind, bad_when_equal):
+        canon = (
+            pairs.select(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        joined = (
+            canon.join(a.select(F.col("node").alias("src"), F.col("cl").alias("_cs")), "src", "left")
+            .join(a.select(F.col("node").alias("dst"), F.col("cl").alias("_cd")), "dst", "left")
+            .select(
+                "src",
+                "dst",
+                F.coalesce("_cs", F.col("src")).alias("cluster_src"),
+                F.coalesce("_cd", F.col("dst")).alias("cluster_dst"),
+            )
+        )
+        cond = (
+            (F.col("cluster_src") == F.col("cluster_dst"))
+            if bad_when_equal
+            else (F.col("cluster_src") != F.col("cluster_dst"))
+        )
+        return joined.where(cond).select(
+            F.lit(kind).alias("kind"), "src", "dst", "cluster_src", "cluster_dst"
+        )
+
+    parts = []
+    if must_link is not None:
+        parts.append(_audit(must_link.select("src", "dst"), "must_link", False))
+    if cannot_link is not None:
+        parts.append(_audit(cannot_link.select("src", "dst"), "cannot_link", True))
+    if not parts:
+        raise ValueError("pass at least one of must_link / cannot_link")
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out

@@ -872,3 +872,57 @@ def test_constrained_pivot_cross_group_cannot_link_and_expand(spark):
     merged = {r["node"]: r["cluster"] for r in
               constrained_pivot_clusters(edges, must_link=ml).collect()}
     assert len(set(merged.values())) == 1
+
+
+# ---------- constraint-violation audit ----------
+
+def test_constraint_violations_kinds_and_coalesce(spark):
+    from minimel_spark.operators.cluster import constraint_violations
+
+    assign = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k2")], "node string, cl string"
+    )
+    ml = spark.createDataFrame(
+        [("a", "c"), ("a", "b"), ("b", "zz")], "src string, dst string"
+    )
+    clk = spark.createDataFrame(
+        [("b", "a"), ("a", "c"), ("d", "d")], "src string, dst string"
+    )
+    rows = {
+        (r["kind"], r["src"], r["dst"]): (r["cluster_src"], r["cluster_dst"])
+        for r in constraint_violations(assign, must_link=ml, cannot_link=clk).collect()
+    }
+    # (a,c) split across k1/k2 violates must; (a,b) co-clustered is fine;
+    # (b,zz): zz unassigned -> singleton 'zz' -> violated must
+    # cannot (a,b) co-clustered in k1 violates; cannot (a,c) split is fine;
+    # self-pair (d,d) dropped
+    assert rows == {
+        ("must_link", "a", "c"): ("k1", "k2"),
+        ("must_link", "b", "zz"): ("k1", "zz"),
+        ("cannot_link", "a", "b"): ("k1", "k1"),
+    }
+    with pytest.raises(ValueError, match="at least one"):
+        constraint_violations(assign)
+
+
+def test_constrained_output_audits_clean(spark):
+    """The formation-time operator and the audit must agree: auditing
+    constrained_pivot_clusters' own output against the same constraints
+    finds zero violations."""
+    from minimel_spark.operators.cluster import (
+        constrained_pivot_clusters,
+        constraint_violations,
+    )
+
+    rng = random.Random(11)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ml = spark.createDataFrame([("n01", "n02"), ("n03", "n04")], "src string, dst string")
+    clk = spark.createDataFrame(
+        [(a, b) for a, b in edges[:6] if {a, b} not in ({"n01", "n02"}, {"n03", "n04"})][:4],
+        "src string, dst string",
+    )
+    out = constrained_pivot_clusters(df, must_link=ml, cannot_link=clk)
+    assert constraint_violations(out, must_link=ml, cannot_link=clk).count() == 0
