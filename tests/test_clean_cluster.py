@@ -926,3 +926,73 @@ def test_constrained_output_audits_clean(spark):
     )
     out = constrained_pivot_clusters(df, must_link=ml, cannot_link=clk)
     assert constraint_violations(out, must_link=ml, cannot_link=clk).count() == 0
+
+
+def test_constraint_loop_end_to_end(spark):
+    """The full human-in-the-loop arc on a controlled two-entity world:
+    noisy scores -> transitive closure chains both entities through one
+    bridge false-positive (pairwise F1 0.6) -> review_queue surfaces the
+    bridge among the most uncertain pairs -> gold-derived labels ->
+    constrained_pivot_clusters recovers the exact entities (F1 1.0) ->
+    constraint_violations audits clean."""
+    from minimel_spark.operators.cluster import (
+        connected_components,
+        constrained_pivot_clusters,
+        constraint_violations,
+    )
+    from minimel_spark.operators.evaluate import pairwise_f1
+    from minimel_spark.operators.scoring import match_edges, review_queue
+
+    gold_entity = {f"a{i}": "A" for i in range(1, 5)}
+    gold_entity.update({f"b{i}": "B" for i in range(1, 5)})
+    scores = [
+        # entity A: near-clique of confident matches, one uncertain miss
+        ("a1", "a2", 0.9), ("a2", "a3", 0.8), ("a3", "a4", 0.85),
+        ("a1", "a3", 0.75), ("a1", "a4", 0.45),
+        # entity B: clique of confident matches
+        ("b1", "b2", 0.9), ("b2", "b3", 0.8), ("b3", "b4", 0.85),
+        ("b1", "b3", 0.7), ("b1", "b4", 0.7), ("b2", "b4", 0.75),
+        # the chaining error: one barely-above-threshold bridge
+        ("a1", "b1", 0.55),
+        # a confident non-match for queue contrast
+        ("a2", "b2", 0.05),
+    ]
+    scored = spark.createDataFrame(
+        scores, "rec_id_a string, rec_id_b string, score double"
+    )
+    gold = spark.createDataFrame(
+        list(gold_entity.items()), "rec_id string, cluster_id string"
+    )
+    edges = match_edges(scored, 0.5)
+
+    # 1. unconstrained transitive closure: the bridge chains A and B
+    cc = connected_components(edges)
+    closure = gold.select("rec_id").join(
+        cc.withColumnRenamed("node", "rec_id"), "rec_id", "left"
+    ).select("rec_id", F.coalesce("component", "rec_id").alias("cluster_id"))
+    before = pairwise_f1(closure, gold)
+    assert before["precision"] < 0.5 and before["recall"] == 1.0
+    assert before["f1"] == pytest.approx(0.6)
+
+    # 2. the review queue surfaces the bridge among the top-3 uncertain
+    queue = review_queue(scored, k=3).collect()
+    picked = {(r["rec_id_a"], r["rec_id_b"]) for r in queue}
+    assert ("a1", "b1") in picked
+
+    # 3. simulated reviewer: label the queue from gold
+    must = [(a, b) for a, b in picked if gold_entity[a] == gold_entity[b]]
+    cannot = [(a, b) for a, b in picked if gold_entity[a] != gold_entity[b]]
+    assert must and cannot
+    ml = spark.createDataFrame(must, "src string, dst string")
+    clk = spark.createDataFrame(cannot, "src string, dst string")
+
+    # 4. constrained re-cluster recovers the exact entities
+    out = constrained_pivot_clusters(edges, must_link=ml, cannot_link=clk)
+    after = pairwise_f1(
+        out.select(F.col("node").alias("rec_id"), F.col("cluster").alias("cluster_id")),
+        gold,
+    )
+    assert after["f1"] == 1.0
+
+    # 5. and audits clean against the labels that produced it
+    assert constraint_violations(out, must_link=ml, cannot_link=clk).count() == 0
