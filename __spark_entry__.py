@@ -5381,6 +5381,55 @@ SELECT n_records::BIGINT AS n_records,
 FROM core, ab"""
 
 
+def q_er_cluster_nmi(spark, sf_dir):
+    """Information-theoretic cluster comparison (operators/evaluate.py
+    clustering_information): NMI (Strehl & Ghosh 2002, sqrt normalization)
+    and Variation of Information (Meilă 2007) between the SAME pair of
+    clusterings er_cluster_bcubed scores — the suffix-key blocking-as-
+    clustering of the variant world vs the planted entity gold — so the
+    four standard external metric families (pairwise F1, B-cubed, ARI,
+    NMI/VI) are all pinned on one comparison. Everything reduces to four
+    scalar sums over the contingency (N, Σ n·ln n, Σ a·ln a, Σ b·ln b);
+    the oracle recomputes the identical decomposition in DuckDB."""
+    from minimel_spark.operators.evaluate import clustering_information
+
+    vdim = _vw_records(spark)
+    pred = vdim.select(
+        F.col("name").alias("rec_id"), F.expr("right(name, 4)").alias("cluster_id")
+    )
+    gold = vdim.select(
+        F.col("name").alias("rec_id"),
+        F.col("entity_id").cast("string").alias("cluster_id"),
+    )
+    return clustering_information(pred, gold).select(
+        "n_records",
+        *(F.round(c, 6).alias(c) for c in ["h_pred", "h_gold", "mi", "nmi", "vi"]),
+    )
+
+
+SQL_ER_CLUSTER_NMI = f"""
+WITH {_VW_NAMES_SQL},
+j AS (SELECT DISTINCT name AS rec_id, right(name, 4) AS p,
+             entity_id::VARCHAR AS g
+      FROM vw_names),
+cell AS (SELECT p, g, count(*) AS n FROM j GROUP BY p, g),
+psz AS (SELECT p, sum(n) AS np FROM cell GROUP BY p),
+gsz AS (SELECT g, sum(n) AS ng FROM cell GROUP BY g),
+core AS (SELECT sum(n) AS nr, sum(n * ln(n)) AS sc FROM cell),
+pa AS (SELECT sum(np * ln(np)) AS sa FROM psz),
+gb AS (SELECT sum(ng * ln(ng)) AS sb FROM gsz),
+m AS (
+  SELECT nr, ln(nr) - sa / nr AS hp, ln(nr) - sb / nr AS hg,
+         ln(nr) + (sc - sa - sb) / nr AS mi
+  FROM core, pa, gb)
+SELECT nr::BIGINT AS n_records,
+       round(hp, 6) AS h_pred, round(hg, 6) AS h_gold, round(mi, 6) AS mi,
+       round(CASE WHEN hp * hg > 0 THEN mi / sqrt(hp * hg)
+                  WHEN hp = 0 AND hg = 0 THEN 1.0 ELSE 0.0 END, 6) AS nmi,
+       round(hp + hg - 2 * mi, 6) AS vi
+FROM m"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -7162,6 +7211,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_cluster_nmi",
     "graph_pivot_clusters",
     "graph_clustering_objective",
     "er_constrained_clusters",
@@ -7261,7 +7311,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 144
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 145
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -7409,6 +7459,7 @@ _ORACLES: dict[str, str] = {
     "er_phonetic_blocking": SQL_ER_PHONETIC_BLOCKING,
     "er_meta_blocking": SQL_ER_META_BLOCKING,
     "er_cluster_bcubed": SQL_ER_CLUSTER_BCUBED,
+    "er_cluster_nmi": SQL_ER_CLUSTER_NMI,
     "dedup_transitive_keep": SQL_DEDUP_TRANSITIVE_KEEP,
     "er_edit_join": SQL_ER_EDIT_JOIN,
     "corpus_dsir": SQL_CORPUS_DSIR,

@@ -216,6 +216,74 @@ def cluster_quality(
     )
 
 
+def clustering_information(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "rec_id",
+    pred_col: str = "cluster_id",
+    gold_col: str = "cluster_id",
+) -> DataFrame:
+    """Information-theoretic clustering comparison: Normalized Mutual
+    Information (Strehl & Ghosh 2002, sqrt normalization) and Variation of
+    Information (Meilă 2007) between two clusterings of the same records —
+    the complement to :func:`cluster_quality`'s B-cubed/ARI (set-overlap
+    metrics) and :func:`pairwise_f1` (the north-rule pair metric). VI is a
+    true metric on clusterings (triangle inequality), which makes it the
+    right distance for monitoring drift between e.g. the pipeline's
+    ``transitive`` and ``pivot`` cluster_method outputs.
+
+    One row out:
+    ``(n_records, h_pred, h_gold, mi, nmi, vi)`` — entropies in nats.
+
+    Distributed: everything reduces to four scalar sums over the (pred,
+    gold) contingency — N, Σ n·ln n over cells, Σ a·ln a over pred sizes,
+    Σ b·ln b over gold sizes — via the decomposition
+    ``MI = ln N + (Σ n ln n − Σ a ln a − Σ b ln b) / N`` and
+    ``H = ln N − Σ s ln s / N``. One alignment join + one groupBy; the cell
+    table is #pred × #gold clusters at most, never the pair space; the three
+    tiny aggregates assemble in a single plan (the ``pairwise_f1`` shape).
+
+    Degenerate guard: NMI's denominator √(H(P)·H(G)) is 0 when either
+    clustering is trivial (all-one-cluster or all-singletons-with-one-
+    record). NMI is defined as 1.0 when BOTH entropies are 0 (two trivial,
+    hence identical-information clusterings) else 0.0 when exactly one is.
+    """
+    both = pred.select(F.col(id_col).alias("rec_id"), F.col(pred_col).alias("p")).join(
+        gold.select(F.col(id_col).alias("rec_id"), F.col(gold_col).alias("g")),
+        "rec_id",
+    )
+    cell = both.groupBy("p", "g").agg(F.count(F.lit(1)).alias("n"))
+    psz = cell.groupBy("p").agg(F.sum("n").alias("np"))
+    gsz = cell.groupBy("g").agg(F.sum("n").alias("ng"))
+    core = cell.agg(
+        F.sum("n").alias("n_records"),
+        F.sum(F.col("n") * F.log(F.col("n"))).alias("_sc"),
+    )
+    a_df = psz.agg(F.sum(F.col("np") * F.log(F.col("np"))).alias("_sa"))
+    b_df = gsz.agg(F.sum(F.col("ng") * F.log(F.col("ng"))).alias("_sb"))
+    n = F.col("n_records")
+    h_pred = F.log(n) - F.col("_sa") / n
+    h_gold = F.log(n) - F.col("_sb") / n
+    mi = F.log(n) + (F.col("_sc") - F.col("_sa") - F.col("_sb")) / n
+    denom = F.sqrt(h_pred * h_gold)
+    return (
+        core.crossJoin(a_df)
+        .crossJoin(b_df)
+        .select(
+            n.cast("long").alias("n_records"),
+            h_pred.alias("h_pred"),
+            h_gold.alias("h_gold"),
+            mi.alias("mi"),
+            F.when(denom > 0, mi / denom)
+            .otherwise(
+                F.when((h_pred == 0) & (h_gold == 0), F.lit(1.0)).otherwise(F.lit(0.0))
+            )
+            .alias("nmi"),
+            (h_pred + h_gold - 2 * mi).alias("vi"),
+        )
+    )
+
+
 def blocking_metrics(
     candidates: DataFrame, gold: DataFrame, n_records: int
 ) -> DataFrame:

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from minimel_spark.functions.phonetic import soundex_col, soundex_py, soundex_sql
 from minimel_spark.operators.blocking import phonetic_blocks, token_blocks
 from minimel_spark.operators.dedup import transitive_dedup_keep
-from minimel_spark.operators.evaluate import cluster_quality
+from minimel_spark.operators.evaluate import cluster_quality, clustering_information
 from minimel_spark.operators.metablocking import meta_blocking_pairs
 
 from conftest import pinned_rdd_ids
@@ -195,6 +195,57 @@ def test_cluster_quality_identical_and_degenerate(spark):
     row = cluster_quality(singles, singles).first()
     assert row["ari"] == pytest.approx(1.0)
     assert row["bcubed_f1"] == pytest.approx(1.0)
+
+
+def test_clustering_information_hand_example(spark):
+    import math
+
+    # pred {1,2,3},{4,5},{6}; gold {1,2},{3,4,5},{6}
+    pred = spark.createDataFrame(
+        [(i, c) for i, c in [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c")]],
+        "rec_id long, cluster_id string",
+    )
+    gold = spark.createDataFrame(
+        [(i, c) for i, c in [(1, "x"), (2, "x"), (3, "y"), (4, "y"), (5, "y"), (6, "z")]],
+        "rec_id long, cluster_id string",
+    )
+    row = clustering_information(pred, gold).first()
+    # H(P) = H(G) = ln6 - (3ln3 + 2ln2)/6; MI = ln6 - ln3 = ln2 (by hand)
+    h = math.log(6) - (3 * math.log(3) + 2 * math.log(2)) / 6
+    assert row["n_records"] == 6
+    assert row["h_pred"] == pytest.approx(h)
+    assert row["h_gold"] == pytest.approx(h)
+    assert row["mi"] == pytest.approx(math.log(2))
+    assert row["nmi"] == pytest.approx(math.log(2) / h)
+    assert row["vi"] == pytest.approx(2 * h - 2 * math.log(2))
+    # symmetry: swapping the clusterings swaps the entropies, fixes mi/nmi/vi
+    rsw = clustering_information(gold, pred).first()
+    assert rsw["h_pred"] == pytest.approx(row["h_gold"])
+    assert rsw["h_gold"] == pytest.approx(row["h_pred"])
+    assert rsw["mi"] == pytest.approx(row["mi"])
+    assert rsw["nmi"] == pytest.approx(row["nmi"])
+    assert rsw["vi"] == pytest.approx(row["vi"])
+
+
+def test_clustering_information_identical_and_trivial(spark):
+    pred = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "rec_id long, cluster_id string"
+    )
+    row = clustering_information(pred, pred).first()
+    assert row["nmi"] == pytest.approx(1.0)
+    assert row["vi"] == pytest.approx(0.0, abs=1e-12)
+    # both trivial (one big cluster each): zero entropy on both sides -> 1.0
+    one = spark.createDataFrame(
+        [(1, "o"), (2, "o"), (3, "o")], "rec_id long, cluster_id string"
+    )
+    row = clustering_information(one, one).first()
+    assert row["h_pred"] == pytest.approx(0.0, abs=1e-12)
+    assert row["nmi"] == pytest.approx(1.0)
+    assert row["vi"] == pytest.approx(0.0, abs=1e-12)
+    # exactly one trivial: no shared information is extractable -> 0.0
+    row = clustering_information(one, pred).first()
+    assert row["nmi"] == pytest.approx(0.0)
+    assert row["vi"] == pytest.approx(row["h_gold"])
 
 
 def test_transitive_dedup_keep_chain(spark):
