@@ -5430,6 +5430,179 @@ SELECT nr::BIGINT AS n_records,
 FROM m"""
 
 
+def _td_claims(spark):
+    """Truth-discovery claim fixture: 6 sources of planted reliability
+    (p_correct 0.95/0.80/0.65/0.50/0.20/0.20) each assert ONE surface form
+    per variant-world entity — the true variant v0 with probability p, else
+    an md5-selected wrong variant. Fully deterministic (md5 uniforms), 240
+    rows (the crossJoin is the 40×6 fixture grid, not a data-scale path),
+    and reproduced verbatim by the oracle's td_* CTEs."""
+    from minimel_spark.sources.synth import _letters
+
+    base = spark.range(40).select(
+        F.col("id").alias("object_id"),
+        F.expr(
+            f"{_letters('id * 2654435761 % 100000000', 8)} || {_letters('id', 3)}"
+        ).alias("w"),
+    )
+    vs = base.select(
+        "object_id",
+        F.array(
+            F.col("w"),
+            F.concat(F.col("w"), F.lit("inc")),
+            F.expr("substring(w, 1, 2) || substring(w, 4)"),
+            F.expr(
+                "substring(w, 1, 4) || substring(w, 6, 1) || "
+                "substring(w, 5, 1) || substring(w, 7)"
+            ),
+        ).alias("vs"),
+    )
+    src = spark.createDataFrame(
+        [(0, 0.95), (1, 0.80), (2, 0.65), (3, 0.50), (4, 0.20), (5, 0.20)],
+        "source_id long, p double",
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("td"), F.col("source_id"), F.col("object_id")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    k = (
+        F.when(u < F.col("p"), F.lit(1))
+        .otherwise(F.lit(2) + (F.floor(u * 1000) % 3))
+        .cast("int")
+    )
+    return vs.crossJoin(src).select(
+        "source_id", "object_id", F.element_at(F.col("vs"), k).alias("value")
+    )
+
+
+def _td_sql_rounds(n: int = 3) -> str:
+    """Unrolled trust/confidence recurrence: one conf + one trust CTE per
+    round, mirroring fusion.py's loop body exactly (noisy-or via
+    1 − exp(Σ ln(1 − min(t, 1−1e-9))); trust = mean conf of own claims)."""
+    parts = []
+    prev = "td_t0"
+    for r in range(1, n + 1):
+        parts.append(
+            f"td_c{r} AS (SELECT e, value, count(*) AS ns,\n"
+            f"  1 - exp(sum(ln(1 - least(t, 1 - 1e-9)))) AS conf\n"
+            f"  FROM td_cl JOIN {prev} USING (s) GROUP BY e, value)"
+        )
+        parts.append(
+            f"td_t{r} AS (SELECT s, avg(conf) AS t, count(*) AS n_claims\n"
+            f"  FROM td_cl JOIN td_c{r} USING (e, value) GROUP BY s)"
+        )
+        prev = f"td_t{r}"
+    return ",\n".join(parts)
+
+
+_SQL_TD_CTES = f"""
+td_base AS (
+  SELECT i,
+         translate(lpad((i * 2654435761 % 100000000)::VARCHAR, 8, '0'),
+                   '0123456789', 'abcdefghij')
+         || translate(lpad(i::VARCHAR, 3, '0'), '0123456789', 'abcdefghij') AS w
+  FROM range(40) r(i)),
+td_vars AS (
+  SELECT i AS e,
+         [w, w || 'inc', substr(w, 1, 2) || substr(w, 4),
+          substr(w, 1, 4) || substr(w, 6, 1) || substr(w, 5, 1)
+          || substr(w, 7)] AS vs
+  FROM td_base),
+td_src(s, p) AS (VALUES (0, 0.95), (1, 0.80), (2, 0.65), (3, 0.50),
+                        (4, 0.20), (5, 0.20)),
+td_cl AS (
+  SELECT s, e,
+         vs[CASE WHEN u < p THEN 1
+                 ELSE (2 + (floor(u * 1000)::BIGINT % 3))::INT END] AS value
+  FROM (
+    SELECT s, p, e, vs,
+           ('0x' || substr(md5('td:' || s::VARCHAR || ':' || e::VARCHAR),
+                           1, 8))::UBIGINT / 4294967296.0 AS u
+    FROM td_vars CROSS JOIN td_src)),
+td_t0 AS (SELECT s, 0.8::DOUBLE AS t FROM td_src),
+{_td_sql_rounds(3)}"""
+
+
+def q_er_truth_discovery(spark, sf_dir):
+    """Truth discovery / data fusion (operators/fusion.py truth_discovery):
+    3 rounds of the TruthFinder-style trust/confidence recurrence over the
+    _td_claims fixture — per variant-world entity the resolved surface form,
+    its noisy-or confidence, and its supporter count. The oracle unrolls all
+    three (conf, trust) updates as CTEs and re-ranks with the identical
+    round-9-then-value argmax, so the whole fixed-point computation is
+    value-checked end to end. No reference counterpart (minimEL resolves
+    mentions, not conflicting source claims) — the fusion stage downstream
+    of clustering + survivorship."""
+    from minimel_spark.operators.fusion import truth_discovery
+
+    caches: list = []
+    facts, _ = truth_discovery(
+        _td_claims(spark), n_rounds=3, init_trust=0.8, persisted_out=caches
+    )
+    out = facts.select(
+        F.col("object_id").cast("long").alias("object_id"),
+        "value",
+        F.round("confidence", 6).alias("confidence"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+    )
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_ER_TRUTH_DISCOVERY = f"""
+WITH {_SQL_TD_CTES}
+SELECT e::BIGINT AS object_id, value, round(conf, 6) AS confidence,
+       ns::BIGINT AS n_sources
+FROM (SELECT *, row_number() OVER (PARTITION BY e
+                                   ORDER BY round(conf, 9) DESC, value) AS rn
+      FROM td_c3)
+WHERE rn = 1"""
+
+
+def q_er_source_trust(spark, sf_dir):
+    """The trust half of truth discovery: final per-source learned trust
+    after the same 3 rounds — the planted reliability order
+    (0.95 > 0.80 > 0.65 > 0.50 > 0.20 ≈ 0.20) must be recovered from
+    agreement alone. Same unrolled oracle CTEs as er_truth_discovery
+    (shared _SQL_TD_CTES, so the two gates cannot drift)."""
+    from minimel_spark.operators.fusion import truth_discovery
+
+    caches: list = []
+    _, trusts = truth_discovery(
+        _td_claims(spark), n_rounds=3, init_trust=0.8, persisted_out=caches
+    )
+    out = trusts.select(
+        F.col("source_id").cast("long").alias("source_id"),
+        F.round("trust", 6).alias("trust"),
+        F.col("n_claims").cast("long").alias("n_claims"),
+    )
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+SQL_ER_SOURCE_TRUST = f"""
+WITH {_SQL_TD_CTES}
+SELECT s::BIGINT AS source_id, round(t, 6) AS trust,
+       n_claims::BIGINT AS n_claims
+FROM td_t3"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -7211,6 +7384,8 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_truth_discovery",
+    "er_source_trust",
     "er_cluster_nmi",
     "graph_pivot_clusters",
     "graph_clustering_objective",
@@ -7311,7 +7486,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 145
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 147
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -7460,6 +7635,8 @@ _ORACLES: dict[str, str] = {
     "er_meta_blocking": SQL_ER_META_BLOCKING,
     "er_cluster_bcubed": SQL_ER_CLUSTER_BCUBED,
     "er_cluster_nmi": SQL_ER_CLUSTER_NMI,
+    "er_truth_discovery": SQL_ER_TRUTH_DISCOVERY,
+    "er_source_trust": SQL_ER_SOURCE_TRUST,
     "dedup_transitive_keep": SQL_DEDUP_TRANSITIVE_KEEP,
     "er_edit_join": SQL_ER_EDIT_JOIN,
     "corpus_dsir": SQL_CORPUS_DSIR,

@@ -1,0 +1,105 @@
+"""Truth-discovery (operators/fusion.py) unit tests: one-round hand
+arithmetic, the trust-learning behaviour that distinguishes fusion from
+majority vote, tie-breaking, dedup, and validation."""
+
+import math
+
+import pytest
+
+from minimel_spark.operators.fusion import truth_discovery
+
+
+def _claims(spark, rows):
+    return spark.createDataFrame(
+        rows, "source_id string, object_id string, value string"
+    )
+
+
+def test_one_round_hand_arithmetic(spark):
+    # o1: A and B assert v1, C asserts v2. init trust 0.8 everywhere.
+    c = _claims(spark, [("A", "o1", "v1"), ("B", "o1", "v1"), ("C", "o1", "v2")])
+    caches: list = []
+    facts, trusts = truth_discovery(c, n_rounds=1, init_trust=0.8, persisted_out=caches)
+    f = facts.collect()
+    t = {r["source_id"]: r for r in trusts.collect()}
+    for cache in caches:
+        cache.unpersist()
+    assert len(f) == 1
+    row = f[0]
+    # conf(v1) = 1 - 0.2*0.2 = 0.96; conf(v2) = 1 - 0.2 = 0.8
+    assert row["value"] == "v1"
+    assert row["confidence"] == pytest.approx(0.96)
+    assert row["n_sources"] == 2
+    # trust after round 1 = mean confidence of own claims
+    assert t["A"]["trust"] == pytest.approx(0.96)
+    assert t["B"]["trust"] == pytest.approx(0.96)
+    assert t["C"]["trust"] == pytest.approx(0.8)
+    assert t["A"]["n_claims"] == 1
+
+
+def test_reliable_source_beats_tied_vote(spark):
+    # A is corroborated by B on o1-o3; C is alone (wrong) on those objects.
+    # On o4 the vote is 1-1 (A: x, C: y) — a majority rule cannot decide,
+    # but learned trust(A) > trust(C) makes x win from round 2 on.
+    rows = []
+    for o in ["o1", "o2", "o3"]:
+        rows += [("A", o, "t"), ("B", o, "t"), ("C", o, "w")]
+    rows += [("A", "o4", "x"), ("C", "o4", "y")]
+    caches: list = []
+    facts, trusts = truth_discovery(
+        _claims(spark, rows), n_rounds=3, init_trust=0.8, persisted_out=caches
+    )
+    got = {r["object_id"]: r["value"] for r in facts.collect()}
+    t = {r["source_id"]: r["trust"] for r in trusts.collect()}
+    for cache in caches:
+        cache.unpersist()
+    assert got["o4"] == "x"
+    assert t["A"] > t["C"]
+    for o in ["o1", "o2", "o3"]:
+        assert got[o] == "t"
+
+
+def test_tie_breaks_on_smaller_value_and_dedup(spark):
+    # identical single-source support for both values -> equal confidence ->
+    # ascending-value tie-break; duplicate assertions count once.
+    c = _claims(
+        spark,
+        [
+            ("A", "o1", "vb"),
+            ("A", "o1", "vb"),  # duplicate claim, deduplicated
+            ("B", "o1", "va"),
+        ],
+    )
+    caches: list = []
+    facts, trusts = truth_discovery(c, n_rounds=2, persisted_out=caches)
+    row = facts.collect()[0]
+    n_claims = {r["source_id"]: r["n_claims"] for r in trusts.collect()}
+    for cache in caches:
+        cache.unpersist()
+    assert row["value"] == "va"
+    assert row["n_sources"] == 1
+    assert n_claims["A"] == 1
+
+
+def test_noisy_or_matches_formula_across_rounds(spark):
+    # two independent sources, one object, agreeing: closed-form recurrence
+    # t_{k+1} = 1 - (1 - t_k)^2 (their trusts stay equal by symmetry).
+    c = _claims(spark, [("A", "o1", "v"), ("B", "o1", "v")])
+    t = 0.8
+    for _ in range(3):
+        t = 1 - (1 - t) ** 2
+    caches: list = []
+    facts, _ = truth_discovery(c, n_rounds=3, init_trust=0.8, persisted_out=caches)
+    row = facts.collect()[0]
+    for cache in caches:
+        cache.unpersist()
+    assert row["confidence"] == pytest.approx(t, rel=1e-12)
+    assert math.isfinite(row["confidence"])
+
+
+def test_validation(spark):
+    c = _claims(spark, [("A", "o1", "v")])
+    with pytest.raises(ValueError, match="n_rounds"):
+        truth_discovery(c, n_rounds=0)
+    with pytest.raises(ValueError, match="init_trust"):
+        truth_discovery(c, init_trust=1.0)
