@@ -1500,6 +1500,55 @@ FROM fin"""
 SQL_ER_FS_EM = _fs_em_sql(_FS_FEATS_CTE, _FS_THRESHOLDS, _FS_N_ITER)
 
 
+def q_er_tf_adjust(spark, sf_dir):
+    """Term-frequency-adjusted exact-match weights (operators/linkage.py
+    tf_adjusted_exact_weight — Winkler 1988 value-specific rates, Splink's
+    'term frequency adjustments'): part records blocked on their FIRST
+    word, the exact-match comparison on their LAST word — a ~92-value
+    dimension with skewed frequencies, so agreeing on a rare color is
+    worth measurably more log2-evidence than a common one. The oracle
+    recomputes tf, ū = Σ tf², and both weight branches natively."""
+    from minimel_spark.operators.linkage import tf_adjusted_exact_weight
+    from minimel_spark.operators.pairs import candidate_pairs
+
+    part = _t(spark, sf_dir, "part")
+    recs = (
+        part.select(F.col("p_name").alias("rec_id"))
+        .distinct()
+        .select("rec_id", F.regexp_extract("rec_id", r"(\w+)$", 1).alias("surname"))
+    )
+    blocked = recs.select(
+        "rec_id", F.regexp_extract("rec_id", r"^(\w+)", 1).alias("block_key")
+    )
+    pairs = candidate_pairs(blocked).select("rec_id_a", "rec_id_b")
+    return tf_adjusted_exact_weight(pairs, recs, "surname", m_exact=0.95).select(
+        "rec_id_a",
+        "rec_id_b",
+        "agree",
+        F.round("tf", 6).alias("tf"),
+        F.round("tf_weight", 6).alias("tf_weight"),
+    )
+
+
+SQL_ER_TF_ADJUST = """
+WITH r AS (SELECT DISTINCT p_name AS name FROM part),
+rv AS (SELECT name, regexp_extract(name, '(\\w+)$', 1) AS v,
+              regexp_extract(name, '^(\\w+)', 1) AS bk
+       FROM r),
+tf AS (SELECT v, count(*) AS nv FROM rv GROUP BY v),
+scal AS (SELECT sum(nv)::DOUBLE AS n,
+                sum(nv * nv)::DOUBLE / (sum(nv)::DOUBLE * sum(nv)) AS ubar
+         FROM tf),
+p AS (
+  SELECT a.name AS rec_id_a, c.name AS rec_id_b, a.v AS va, c.v AS vb
+  FROM rv a JOIN rv c ON a.bk = c.bk AND a.name < c.name)
+SELECT rec_id_a, rec_id_b, va = vb AS agree,
+       round(CASE WHEN va = vb THEN nv / n END, 6) AS tf,
+       round(CASE WHEN va = vb THEN log2(0.95 / (nv / n))
+                  WHEN ubar < 1 THEN log2((1 - 0.95) / (1 - ubar)) END, 6) AS tf_weight
+FROM p LEFT JOIN tf ON tf.v = p.va, scal"""
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -7384,6 +7433,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_tf_adjust",
     "er_truth_discovery",
     "er_source_trust",
     "er_cluster_nmi",
@@ -7486,7 +7536,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 147
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 148
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -7636,6 +7686,7 @@ _ORACLES: dict[str, str] = {
     "er_cluster_bcubed": SQL_ER_CLUSTER_BCUBED,
     "er_cluster_nmi": SQL_ER_CLUSTER_NMI,
     "er_truth_discovery": SQL_ER_TRUTH_DISCOVERY,
+    "er_tf_adjust": SQL_ER_TF_ADJUST,
     "er_source_trust": SQL_ER_SOURCE_TRUST,
     "dedup_transitive_keep": SQL_DEDUP_TRANSITIVE_KEEP,
     "er_edit_join": SQL_ER_EDIT_JOIN,

@@ -175,6 +175,84 @@ def fs_score_pairs(
     )
 
 
+def tf_adjusted_exact_weight(
+    pairs: DataFrame,
+    records: DataFrame,
+    value_col: str,
+    m_exact: float = 0.95,
+    rec_id_col: str = "rec_id",
+    rec_a: str = "rec_id_a",
+    rec_b: str = "rec_id_b",
+) -> DataFrame:
+    """Term-frequency-adjusted match weight for an EXACT-match comparison
+    (Winkler 1988's value-specific outcome rates; the feature Splink ships
+    as "term frequency adjustments"): agreeing on a RARE value is far
+    stronger match evidence than agreeing on a common one, so the
+    agreement u-probability is replaced per pair by the term frequency of
+    the shared value:
+
+      agree on v:  log2(m / tf(v)),          tf(v) = n_v / N
+      disagree:    log2((1 − m) / (1 − ū)),  ū = Σ_v tf(v)²   (chance
+                   agreement rate of two random records)
+
+    with ``m = m_exact`` the assumed P(agree | match). Add the result to a
+    base Fellegi-Sunter weight (``fs_score_pairs``) built WITHOUT this
+    comparison, or use standalone as a frequency-aware exact-match scorer.
+
+    Output: ``pairs`` + (agree, tf, tf_weight). NULL values never agree
+    (two NULLs disagree); tf is NULL on disagreeing pairs; tf_weight is
+    NULL if every record shares one value (ū = 1 — disagreement impossible,
+    the comparison carries no signal).
+
+    Scale: the tf table lives on the value dimension (≪ records) and joins
+    the pair stream by equality; N and ū are 1-row aggregates crossJoined
+    as constants; two record-value attach joins on the rec ids. No windows,
+    no collects, nothing pair-quadratic beyond the input pair stream.
+    """
+    if not (0.0 < m_exact < 1.0):
+        raise ValueError(f"m_exact must be in (0, 1), got {m_exact}")
+    rec = records.select(
+        F.col(rec_id_col).alias("_rid"), F.col(value_col).alias("_v")
+    )
+    tfv = (
+        rec.where(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_nv"))
+    )
+    scal = (
+        tfv.agg(
+            F.sum("_nv").alias("_n"),
+            F.sum(F.col("_nv") * F.col("_nv")).alias("_s2"),
+        )
+        .select("_n", (F.col("_s2") / (F.col("_n") * F.col("_n"))).alias("_ubar"))
+    )
+    va = rec.select(F.col("_rid").alias(rec_a), F.col("_v").alias("_va"))
+    vb = rec.select(F.col("_rid").alias(rec_b), F.col("_v").alias("_vb"))
+    agree = F.col("_va").isNotNull() & (F.col("_va") == F.col("_vb"))
+    out = (
+        pairs.join(va, rec_a)
+        .join(vb, rec_b)
+        .withColumn("agree", F.coalesce(agree, F.lit(False)))
+        .join(
+            tfv.select(F.col("_v").alias("_va"), "_nv"),
+            "_va",
+            "left",
+        )
+        .crossJoin(F.broadcast(scal))
+    )
+    tf = F.col("_nv") / F.col("_n")
+    m = F.lit(float(m_exact))
+    w = F.when(F.col("agree"), F.log2(m / tf)).otherwise(
+        F.when(F.col("_ubar") < 1.0, F.log2((1.0 - m) / (1.0 - F.col("_ubar"))))
+    )
+    return out.select(
+        *[c for c in pairs.columns],
+        "agree",
+        F.when(F.col("agree"), tf).alias("tf"),
+        w.alias("tf_weight"),
+    )
+
+
 def group_linkage(
     scored_pairs: DataFrame,
     assignments: DataFrame,

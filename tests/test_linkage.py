@@ -227,3 +227,65 @@ def test_group_linkage_partitioning_invariant(spark):
         ).collect()
     )
     assert one == other and len(one) > 0
+
+
+def _tf_world(spark):
+    # values: "smith" x3, "jones" x2, "zu" x1, one NULL record
+    recs = spark.createDataFrame(
+        [
+            (1, "smith"), (2, "smith"), (3, "smith"),
+            (4, "jones"), (5, "jones"), (6, "zu"), (7, None),
+        ],
+        "rec_id long, surname string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (4, 5), (1, 4), (6, 7), (3, 6)],
+        "rec_id_a long, rec_id_b long",
+    )
+    return recs, pairs
+
+
+def test_tf_adjusted_exact_weight_values(spark):
+    from minimel_spark.operators.linkage import tf_adjusted_exact_weight
+
+    recs, pairs = _tf_world(spark)
+    out = {
+        (r["rec_id_a"], r["rec_id_b"]): r
+        for r in tf_adjusted_exact_weight(
+            pairs, recs, "surname", m_exact=0.95
+        ).collect()
+    }
+    # N = 6 non-null; tf(smith)=3/6, tf(jones)=2/6; ubar = (9+4+1)/36
+    ubar = 14 / 36
+    assert out[(1, 2)]["agree"] and out[(1, 2)]["tf"] == pytest.approx(0.5)
+    assert out[(1, 2)]["tf_weight"] == pytest.approx(math.log2(0.95 / 0.5))
+    assert out[(4, 5)]["tf_weight"] == pytest.approx(math.log2(0.95 / (2 / 6)))
+    # agreeing on the rarer value is worth strictly more evidence
+    assert out[(4, 5)]["tf_weight"] > out[(1, 2)]["tf_weight"]
+    # disagreement pays the global chance-agreement rate
+    assert not out[(1, 4)]["agree"]
+    assert out[(1, 4)]["tf"] is None
+    assert out[(1, 4)]["tf_weight"] == pytest.approx(
+        math.log2(0.05 / (1 - ubar))
+    )
+    # NULL never agrees, and still gets the disagreement weight
+    assert not out[(6, 7)]["agree"]
+    assert out[(6, 7)]["tf_weight"] == pytest.approx(
+        math.log2(0.05 / (1 - ubar))
+    )
+    assert not out[(3, 6)]["agree"]
+
+
+def test_tf_adjusted_exact_weight_degenerate_and_guard(spark):
+    from minimel_spark.operators.linkage import tf_adjusted_exact_weight
+
+    # every record shares one value: agree branch still finite
+    # (log2(m / 1) = log2 m), disagreement is impossible -> NULL weight
+    recs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x")], "rec_id long, surname string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "rec_id_a long, rec_id_b long")
+    row = tf_adjusted_exact_weight(pairs, recs, "surname").collect()[0]
+    assert row["agree"] and row["tf_weight"] == pytest.approx(math.log2(0.95))
+    with pytest.raises(ValueError, match="m_exact"):
+        tf_adjusted_exact_weight(pairs, recs, "surname", m_exact=1.0)
