@@ -5652,6 +5652,67 @@ SELECT s::BIGINT AS source_id, round(t, 6) AS trust,
 FROM td_t3"""
 
 
+def q_er_calibration(spark, sf_dir):
+    """Matcher-score calibration (operators/evaluate.py score_calibration):
+    reliability bins + ECE over a deterministic md5 world where the score
+    is uniform but the TRUE match probability is score² — a genuinely
+    miscalibrated scorer, so every bin's gap and the ECE are non-trivially
+    non-zero. The oracle recomputes the uniforms, the squared-probability
+    labels, the binning (score 1.0 → top bin), and both aggregate levels
+    natively."""
+    from minimel_spark.operators.evaluate import score_calibration
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _u(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+        )
+
+    scored = docs.select(
+        _u(":cal1").alias("score"),
+        (_u(":cal2") < _u(":cal1") * _u(":cal1")).alias("label"),
+    )
+    out = score_calibration(scored, n_bins=10)
+    return out.select(
+        "bin",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round("mean_score", 6).alias("mean_score"),
+        F.round("match_rate", 6).alias("match_rate"),
+        F.round("abs_gap", 6).alias("abs_gap"),
+        F.round("ece", 6).alias("ece"),
+    )
+
+
+SQL_ER_CALIBRATION = """
+WITH s AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR || ':cal1'), 1, 8))::UBIGINT
+           / 4294967296.0 AS score,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':cal2'), 1, 8))::UBIGINT
+           / 4294967296.0 AS u2
+  FROM documents),
+b AS (SELECT least(floor(score * 10), 9)::INT AS bin, score,
+             CASE WHEN u2 < score * score THEN 1.0 ELSE 0.0 END AS l
+      FROM s),
+per AS (
+  SELECT bin, count(*) AS n_pairs, avg(score) AS mean_score,
+         avg(l) AS match_rate,
+         abs(avg(l) - avg(score)) AS abs_gap
+  FROM b GROUP BY bin),
+e AS (SELECT sum(n_pairs * abs_gap) / sum(n_pairs) AS ece FROM per)
+SELECT bin, n_pairs::BIGINT AS n_pairs, round(mean_score, 6) AS mean_score,
+       round(match_rate, 6) AS match_rate, round(abs_gap, 6) AS abs_gap,
+       round(ece, 6) AS ece
+FROM per, e"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -7433,6 +7494,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_calibration",
     "er_tf_adjust",
     "er_truth_discovery",
     "er_source_trust",
@@ -7536,7 +7598,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 148
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 149
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -7687,6 +7749,7 @@ _ORACLES: dict[str, str] = {
     "er_cluster_nmi": SQL_ER_CLUSTER_NMI,
     "er_truth_discovery": SQL_ER_TRUTH_DISCOVERY,
     "er_tf_adjust": SQL_ER_TF_ADJUST,
+    "er_calibration": SQL_ER_CALIBRATION,
     "er_source_trust": SQL_ER_SOURCE_TRUST,
     "dedup_transitive_keep": SQL_DEDUP_TRANSITIVE_KEEP,
     "er_edit_join": SQL_ER_EDIT_JOIN,

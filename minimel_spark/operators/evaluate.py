@@ -284,6 +284,55 @@ def clustering_information(
     )
 
 
+def score_calibration(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error (Naeini et al.
+    AAAI 2015) for a matcher's scores against binary labels — the check
+    that decides whether a score of 0.9 may be READ as "90% match
+    probability" (it usually may not; LR matchers over-separate), which
+    matters the moment scores feed review-queue prioritization or
+    cost-based clerical thresholds instead of a single cut.
+
+    Output: one row per occupied equal-width score bin —
+    ``(bin, n_pairs, mean_score, match_rate, abs_gap, ece)`` where
+    ``abs_gap = |match_rate − mean_score|`` and ``ece`` (constant across
+    rows) is the n-weighted mean gap Σ (n_b/N)·gap_b.
+
+    Distributed: one groupBy on the bin id (≤ n_bins rows out of any pair
+    count), then a 1-row weighted aggregate crossJoined back as the
+    constant — the score stream is reduced before anything global happens.
+    Scores are assumed in [0, 1]; score == 1.0 lands in the top bin.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    b = scored.select(
+        F.least(F.floor(F.col(score_col) * n_bins), F.lit(n_bins - 1))
+        .cast("int")
+        .alias("bin"),
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("double").alias("_l"),
+    )
+    per = (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.avg("_s").alias("mean_score"),
+            F.avg("_l").alias("match_rate"),
+        )
+        .withColumn("abs_gap", F.abs(F.col("match_rate") - F.col("mean_score")))
+    )
+    ece = per.agg(
+        (F.sum(F.col("n_pairs") * F.col("abs_gap")) / F.sum("n_pairs")).alias("ece")
+    )
+    return per.crossJoin(F.broadcast(ece)).select(
+        "bin", "n_pairs", "mean_score", "match_rate", "abs_gap", "ece"
+    )
+
+
 def blocking_metrics(
     candidates: DataFrame, gold: DataFrame, n_records: int
 ) -> DataFrame:

@@ -768,3 +768,45 @@ def test_stable_alignment_partitioning_invariant(spark):
         ).collect()
     )
     assert one == two
+
+
+def test_score_calibration_hand_example(spark):
+    from minimel_spark.operators.evaluate import score_calibration
+
+    scored = spark.createDataFrame(
+        [
+            (0.05, 0), (0.15, 0), (0.12, 1),   # bins 0 and 1
+            (0.95, 1), (0.92, 0),              # bin 9
+            (1.0, 1),                          # score 1.0 -> top bin, not bin 10
+        ],
+        "score double, label int",
+    )
+    rows = {r["bin"]: r for r in score_calibration(scored, n_bins=10).collect()}
+    assert set(rows) == {0, 1, 9}
+    assert rows[0]["n_pairs"] == 1 and rows[0]["match_rate"] == pytest.approx(0.0)
+    assert rows[1]["match_rate"] == pytest.approx(0.5)
+    b9 = rows[9]
+    assert b9["n_pairs"] == 3
+    assert b9["mean_score"] == pytest.approx((0.95 + 0.92 + 1.0) / 3)
+    assert b9["match_rate"] == pytest.approx(2 / 3)
+    # ece = weighted mean gap, identical constant on every row
+    gaps = {b: abs(rows[b]["match_rate"] - rows[b]["mean_score"]) for b in rows}
+    ece = sum(rows[b]["n_pairs"] * gaps[b] for b in rows) / 6
+    for b in rows:
+        assert rows[b]["ece"] == pytest.approx(ece)
+        assert rows[b]["abs_gap"] == pytest.approx(gaps[b])
+
+
+def test_score_calibration_perfectly_calibrated_and_guard(spark):
+    from minimel_spark.operators.evaluate import score_calibration
+
+    # constant score 0.5 with exactly half the labels positive: gap 0, ece 0
+    scored = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "score double, label int"
+    )
+    row = score_calibration(scored, n_bins=4).collect()
+    assert len(row) == 1 and row[0]["bin"] == 2
+    assert row[0]["abs_gap"] == pytest.approx(0.0)
+    assert row[0]["ece"] == pytest.approx(0.0)
+    with pytest.raises(ValueError, match="n_bins"):
+        score_calibration(scored, n_bins=0)
