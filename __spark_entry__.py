@@ -5652,6 +5652,71 @@ SELECT s::BIGINT AS source_id, round(t, 6) AS trust,
 FROM td_t3"""
 
 
+def q_rel_psi_drift(spark, sf_dir):
+    """Distribution drift monitor (operators/diagnostics.py
+    distribution_drift): PSI between the click and view event-value
+    distributions — bins equal-width over the REFERENCE (view) min/max, so
+    click's larger maximum exercises the clamp-into-edge-bin path; empty
+    bins floor at the 1e-4 continuity correction. The production monitor
+    for matcher-score drift between runs (the distribution sibling of
+    cc_churn's assignment drift). Oracle recomputes range, binning, both
+    histograms, the eps floor, and both aggregate levels natively."""
+    from minimel_spark.operators.diagnostics import distribution_drift
+
+    ev = _t(spark, sf_dir, "events")
+    cur = ev.where(F.col("event_type") == "click").select("value")
+    ref = ev.where(F.col("event_type") == "view").select("value")
+    out = distribution_drift(cur, ref, "value", n_bins=10)
+    return out.select(
+        "bin",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("psi_term", 6).alias("psi_term"),
+        F.round("psi", 6).alias("psi"),
+    )
+
+
+SQL_REL_PSI_DRIFT = """
+WITH rng AS (
+  SELECT min(value) AS lo, max(value) AS hi
+  FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+curb AS (
+  SELECT CASE WHEN hi > lo
+              THEN least(greatest(floor((value - lo) / ((hi - lo) / 10)), 0), 9)
+              ELSE 0 END::INT AS bin
+  FROM events, rng WHERE event_type = 'click' AND value IS NOT NULL),
+refb AS (
+  SELECT CASE WHEN hi > lo
+              THEN least(greatest(floor((value - lo) / ((hi - lo) / 10)), 0), 9)
+              ELSE 0 END::INT AS bin
+  FROM events, rng WHERE event_type = 'view' AND value IS NOT NULL),
+j AS (
+  SELECT b.bin,
+         coalesce(c.n, 0) AS n_cur, coalesce(r.n, 0) AS n_ref
+  FROM (SELECT i::INT AS bin FROM range(10) t(i)) b
+  LEFT JOIN (SELECT bin, count(*) AS n FROM curb GROUP BY bin) c USING (bin)
+  LEFT JOIN (SELECT bin, count(*) AS n FROM refb GROUP BY bin) r USING (bin)),
+tot AS (SELECT sum(n_cur)::DOUBLE AS tc, sum(n_ref)::DOUBLE AS tr FROM j),
+terms AS (
+  SELECT bin, n_cur, n_ref,
+         n_cur / tc AS p_cur, n_ref / tr AS p_ref,
+         (greatest(n_cur / tc, 1e-4) - greatest(n_ref / tr, 1e-4))
+           * ln(greatest(n_cur / tc, 1e-4) / greatest(n_ref / tr, 1e-4)) AS psi_term,
+         lo + bin * ((hi - lo) / 10) AS blo,
+         lo + (bin + 1) * ((hi - lo) / 10) AS bhi
+  FROM j, tot, rng)
+SELECT bin, round(blo, 6) AS lo, round(bhi, 6) AS hi,
+       n_cur::BIGINT AS n_cur, n_ref::BIGINT AS n_ref,
+       round(p_cur, 6) AS p_cur, round(p_ref, 6) AS p_ref,
+       round(psi_term, 6) AS psi_term,
+       round((SELECT sum(psi_term) FROM terms), 6) AS psi
+FROM terms"""
+
+
 def q_er_calibration(spark, sf_dir):
     """Matcher-score calibration (operators/evaluate.py score_calibration):
     reliability bins + ECE over a deterministic md5 world where the score
@@ -7494,6 +7559,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "rel_psi_drift",
     "er_calibration",
     "er_tf_adjust",
     "er_truth_discovery",
@@ -7598,7 +7664,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 149
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 150
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -7750,6 +7816,7 @@ _ORACLES: dict[str, str] = {
     "er_truth_discovery": SQL_ER_TRUTH_DISCOVERY,
     "er_tf_adjust": SQL_ER_TF_ADJUST,
     "er_calibration": SQL_ER_CALIBRATION,
+    "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_source_trust": SQL_ER_SOURCE_TRUST,
     "dedup_transitive_keep": SQL_DEDUP_TRANSITIVE_KEEP,
     "er_edit_join": SQL_ER_EDIT_JOIN,

@@ -82,3 +82,95 @@ def key_skew_profile(
             (F.sum("cnt").over(cum) / F.col("_n_rows")).alias("cum_share"),
         )
     )
+
+
+def distribution_drift(
+    current: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index + KL drift between a CURRENT numeric
+    distribution and a REFERENCE one (the credit-scoring PSI, the standard
+    production monitor for "did my matcher-score / feature distribution
+    move since the model was fit" — PSI < 0.1 stable, 0.1-0.25 drifting,
+    > 0.25 retrain). The monitoring sibling of ``cluster_churn`` (which
+    tracks assignment drift): this tracks the SCORE distribution feeding
+    the thresholds.
+
+    Bins are equal-width over the REFERENCE min/max (the fit-time frame);
+    current values outside that range clamp into the edge bins — exactly
+    the "new data walked off the training support" signal PSI is meant to
+    catch. A degenerate reference (min == max) puts everything in bin 0.
+    Empty-bin proportions are floored at ``eps`` (the standard PSI
+    continuity correction) before the log terms.
+
+    Output: one row per bin (ALL ``n_bins`` bins, occupied or not):
+    ``(bin, lo, hi, n_cur, n_ref, p_cur, p_ref, psi_term, psi)`` with
+    ``psi_term = (p'_cur − p'_ref)·ln(p'_cur/p'_ref)`` and ``psi`` its sum,
+    constant across rows.
+
+    Distributed: the reference range is one 2-value aggregate crossJoined
+    as a constant; each side reduces to ≤ n_bins rows via one groupBy
+    before the tiny bins-frame joins; nothing global touches the row
+    streams. Deterministic: identical IEEE bin arithmetic on both engines,
+    no sampling.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    spark = current.sparkSession
+    rng = reference.agg(
+        F.min(F.col(value_col)).alias("_lo"), F.max(F.col(value_col)).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / n_bins
+
+    def _binned(df, name):
+        b = F.when(F.col("_hi") > F.col("_lo"),
+                   F.least(
+                       F.greatest(
+                           F.floor((F.col(value_col) - F.col("_lo")) / width),
+                           F.lit(0),
+                       ),
+                       F.lit(n_bins - 1),
+                   )).otherwise(F.lit(0)).cast("int")
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .crossJoin(F.broadcast(rng))
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    cur = _binned(current, "n_cur")
+    ref = _binned(reference, "n_ref")
+    j = (
+        bins.join(cur, "bin", "left")
+        .join(ref, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        )
+    )
+    tot = j.agg(F.sum("n_cur").alias("_tc"), F.sum("n_ref").alias("_tr"))
+    e = F.lit(float(eps))
+    p_cur = F.greatest(F.col("n_cur") / F.col("_tc"), e)
+    p_ref = F.greatest(F.col("n_ref") / F.col("_tr"), e)
+    out = (
+        j.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "bin",
+            (F.col("_lo") + F.col("bin") * width).alias("lo"),
+            (F.col("_lo") + (F.col("bin") + 1) * width).alias("hi"),
+            "n_cur",
+            "n_ref",
+            (F.col("n_cur") / F.col("_tc")).alias("p_cur"),
+            (F.col("n_ref") / F.col("_tr")).alias("p_ref"),
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+        )
+    )
+    psi = out.agg(F.sum("psi_term").alias("psi"))
+    return out.crossJoin(F.broadcast(psi))

@@ -112,3 +112,43 @@ def test_profile_columns_one_pass_and_guards(spark):
         profile_columns(df, [])
     with pytest.raises(ValueError):
         profile_columns(df, ["missing"])
+
+
+def test_distribution_drift_hand_example(spark):
+    import math
+
+    from minimel_spark.operators.diagnostics import distribution_drift
+
+    # reference range [0, 10], 2 bins of width 5
+    ref = spark.createDataFrame(
+        [(0.0,), (2.0,), (4.0,), (10.0,)], "v double"
+    )  # bins: 0,0,0,1 -> q = (3/4, 1/4)
+    cur = spark.createDataFrame(
+        [(-5.0,), (1.0,), (6.0,), (7.0,), (12.0,)], "v double"
+    )  # -5 clamps to bin 0, 12 clamps to bin 1 -> p = (2/5, 3/5)
+    rows = {r["bin"]: r for r in distribution_drift(cur, ref, "v", n_bins=2).collect()}
+    assert rows[0]["n_cur"] == 2 and rows[0]["n_ref"] == 3
+    assert rows[1]["n_cur"] == 3 and rows[1]["n_ref"] == 1
+    assert rows[0]["lo"] == pytest.approx(0.0) and rows[0]["hi"] == pytest.approx(5.0)
+    psi = (0.4 - 0.75) * math.log(0.4 / 0.75) + (0.6 - 0.25) * math.log(0.6 / 0.25)
+    assert rows[0]["psi"] == pytest.approx(psi)
+    assert rows[1]["psi"] == pytest.approx(psi)
+    assert rows[0]["psi_term"] + rows[1]["psi_term"] == pytest.approx(psi)
+
+
+def test_distribution_drift_identical_empty_bin_and_degenerate(spark):
+    from minimel_spark.operators.diagnostics import distribution_drift
+
+    d = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    rows = distribution_drift(d, d, "v", n_bins=4).collect()
+    assert len(rows) == 4  # every bin emitted, occupied or not
+    assert all(r["psi"] == pytest.approx(0.0, abs=1e-12) for r in rows)
+    # empty bins on both sides floor to eps -> zero term, not NaN
+    assert all(r["psi_term"] == pytest.approx(0.0, abs=1e-12) for r in rows)
+    # degenerate reference (min == max): everything lands in bin 0
+    one = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    rows = {r["bin"]: r for r in distribution_drift(d, one, "v", n_bins=3).collect()}
+    assert rows[0]["n_cur"] == 3 and rows[0]["n_ref"] == 2
+    assert rows[1]["n_cur"] == 0
+    with pytest.raises(ValueError, match="n_bins"):
+        distribution_drift(d, d, "v", n_bins=0)
