@@ -5465,17 +5465,25 @@ cell AS (SELECT p, g, count(*) AS n FROM j GROUP BY p, g),
 psz AS (SELECT p, sum(n) AS np FROM cell GROUP BY p),
 gsz AS (SELECT g, sum(n) AS ng FROM cell GROUP BY g),
 core AS (SELECT sum(n) AS nr, sum(n * ln(n)) AS sc FROM cell),
-pa AS (SELECT sum(np * ln(np)) AS sa FROM psz),
-gb AS (SELECT sum(ng * ln(ng)) AS sb FROM gsz),
+pa AS (SELECT sum(np * ln(np)) AS sa, count(*) AS kp FROM psz),
+gb AS (SELECT sum(ng * ln(ng)) AS sb, count(*) AS kg FROM gsz),
 m AS (
-  SELECT nr, ln(nr) - sa / nr AS hp, ln(nr) - sb / nr AS hg,
-         ln(nr) + (sc - sa - sb) / nr AS mi
+  SELECT nr,
+         CASE WHEN kp = 1 OR nr <= 1 THEN 0.0
+              ELSE greatest(ln(nr) - sa / nr, 0.0) END AS hp,
+         CASE WHEN kg = 1 OR nr <= 1 THEN 0.0
+              ELSE greatest(ln(nr) - sb / nr, 0.0) END AS hg,
+         CASE WHEN kp = 1 OR kg = 1 OR nr <= 1 THEN 0.0
+              ELSE greatest(ln(nr) + (sc - sa - sb) / nr, 0.0) END AS mi,
+         (kp = 1 OR nr <= 1) AS tp, (kg = 1 OR nr <= 1) AS tg
   FROM core, pa, gb)
 SELECT nr::BIGINT AS n_records,
        round(hp, 6) AS h_pred, round(hg, 6) AS h_gold, round(mi, 6) AS mi,
-       round(CASE WHEN hp * hg > 0 THEN mi / sqrt(hp * hg)
-                  WHEN hp = 0 AND hg = 0 THEN 1.0 ELSE 0.0 END, 6) AS nmi,
-       round(hp + hg - 2 * mi, 6) AS vi
+       round(CASE WHEN tp AND tg THEN 1.0
+                  WHEN tp OR tg THEN 0.0
+                  WHEN sqrt(hp * hg) > 0 THEN mi / sqrt(hp * hg)
+                  ELSE 0.0 END, 6) AS nmi,
+       round(greatest(hp + hg - 2 * mi, 0.0), 6) AS vi
 FROM m"""
 
 
@@ -5763,7 +5771,7 @@ WITH s AS (
          ('0x' || substr(md5(doc_id::VARCHAR || ':cal2'), 1, 8))::UBIGINT
            / 4294967296.0 AS u2
   FROM documents),
-b AS (SELECT least(floor(score * 10), 9)::INT AS bin, score,
+b AS (SELECT least(greatest(floor(score * 10), 0), 9)::INT AS bin, score,
              CASE WHEN u2 < score * score THEN 1.0 ELSE 0.0 END AS l
       FROM s),
 per AS (

@@ -104,7 +104,10 @@ def distribution_drift(
     the "new data walked off the training support" signal PSI is meant to
     catch. A degenerate reference (min == max) puts everything in bin 0.
     Empty-bin proportions are floored at ``eps`` (the standard PSI
-    continuity correction) before the log terms.
+    continuity correction) before the log terms. If EITHER side has no
+    non-null values at all, ``psi_term``/``psi`` (and the p of that side)
+    come back NULL rather than a fabricated drift number — a monitoring
+    consumer must read NULL psi as "no data", not "retrain".
 
     Output: one row per bin (ALL ``n_bins`` bins, occupied or not):
     ``(bin, lo, hi, n_cur, n_ref, p_cur, p_ref, psi_term, psi)`` with
@@ -158,6 +161,7 @@ def distribution_drift(
     e = F.lit(float(eps))
     p_cur = F.greatest(F.col("n_cur") / F.col("_tc"), e)
     p_ref = F.greatest(F.col("n_ref") / F.col("_tr"), e)
+    both_sides = (F.col("_tc") > 0) & (F.col("_tr") > 0)
     out = (
         j.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(rng))
@@ -167,9 +171,11 @@ def distribution_drift(
             (F.col("_lo") + (F.col("bin") + 1) * width).alias("hi"),
             "n_cur",
             "n_ref",
-            (F.col("n_cur") / F.col("_tc")).alias("p_cur"),
-            (F.col("n_ref") / F.col("_tr")).alias("p_ref"),
-            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+            F.when(F.col("_tc") > 0, F.col("n_cur") / F.col("_tc")).alias("p_cur"),
+            F.when(F.col("_tr") > 0, F.col("n_ref") / F.col("_tr")).alias("p_ref"),
+            F.when(both_sides, (p_cur - p_ref) * F.log(p_cur / p_ref)).alias(
+                "psi_term"
+            ),
         )
     )
     psi = out.agg(F.sum("psi_term").alias("psi"))

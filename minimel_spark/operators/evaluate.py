@@ -243,10 +243,16 @@ def clustering_information(
     table is #pred × #gold clusters at most, never the pair space; the three
     tiny aggregates assemble in a single plan (the ``pairwise_f1`` shape).
 
-    Degenerate guard: NMI's denominator √(H(P)·H(G)) is 0 when either
-    clustering is trivial (all-one-cluster or all-singletons-with-one-
-    record). NMI is defined as 1.0 when BOTH entropies are 0 (two trivial,
-    hence identical-information clusterings) else 0.0 when exactly one is.
+    Degenerate guard — STRUCTURAL, not float: a clustering's entropy is
+    exactly 0 iff it has one cluster (or ≤ 1 records); that integer fact is
+    what gates the special cases, because the float expression
+    ``ln N − (Σ s ln s)/N`` does NOT cancel to exactly 0 for many N (e.g.
+    N=6 leaves ±2e-16, enough to flip an exact ``== 0`` test or push the
+    sqrt negative into NaN). When a side is trivial, its entropy and the MI
+    are pinned to exact 0.0; NMI is 1.0 when BOTH are trivial (identical
+    information: none) else 0.0 when exactly one is. Non-degenerate
+    entropies/MI/VI are clamped at 0 (they are mathematically ≥ 0; floats
+    can undershoot by an ulp).
     """
     both = pred.select(F.col(id_col).alias("rec_id"), F.col(pred_col).alias("p")).join(
         gold.select(F.col(id_col).alias("rec_id"), F.col(gold_col).alias("g")),
@@ -259,12 +265,28 @@ def clustering_information(
         F.sum("n").alias("n_records"),
         F.sum(F.col("n") * F.log(F.col("n"))).alias("_sc"),
     )
-    a_df = psz.agg(F.sum(F.col("np") * F.log(F.col("np"))).alias("_sa"))
-    b_df = gsz.agg(F.sum(F.col("ng") * F.log(F.col("ng"))).alias("_sb"))
+    a_df = psz.agg(
+        F.sum(F.col("np") * F.log(F.col("np"))).alias("_sa"),
+        F.count(F.lit(1)).alias("_kp"),
+    )
+    b_df = gsz.agg(
+        F.sum(F.col("ng") * F.log(F.col("ng"))).alias("_sb"),
+        F.count(F.lit(1)).alias("_kg"),
+    )
     n = F.col("n_records")
-    h_pred = F.log(n) - F.col("_sa") / n
-    h_gold = F.log(n) - F.col("_sb") / n
-    mi = F.log(n) + (F.col("_sc") - F.col("_sa") - F.col("_sb")) / n
+    triv_p = (F.col("_kp") == 1) | (n <= 1)
+    triv_g = (F.col("_kg") == 1) | (n <= 1)
+    h_pred = F.when(triv_p, F.lit(0.0)).otherwise(
+        F.greatest(F.log(n) - F.col("_sa") / n, F.lit(0.0))
+    )
+    h_gold = F.when(triv_g, F.lit(0.0)).otherwise(
+        F.greatest(F.log(n) - F.col("_sb") / n, F.lit(0.0))
+    )
+    mi = F.when(triv_p | triv_g, F.lit(0.0)).otherwise(
+        F.greatest(
+            F.log(n) + (F.col("_sc") - F.col("_sa") - F.col("_sb")) / n, F.lit(0.0)
+        )
+    )
     denom = F.sqrt(h_pred * h_gold)
     return (
         core.crossJoin(a_df)
@@ -274,12 +296,14 @@ def clustering_information(
             h_pred.alias("h_pred"),
             h_gold.alias("h_gold"),
             mi.alias("mi"),
-            F.when(denom > 0, mi / denom)
+            F.when(triv_p & triv_g, F.lit(1.0))
             .otherwise(
-                F.when((h_pred == 0) & (h_gold == 0), F.lit(1.0)).otherwise(F.lit(0.0))
+                F.when(triv_p | triv_g, F.lit(0.0)).otherwise(
+                    F.when(denom > 0, mi / denom).otherwise(F.lit(0.0))
+                )
             )
             .alias("nmi"),
-            (h_pred + h_gold - 2 * mi).alias("vi"),
+            F.greatest(h_pred + h_gold - 2 * mi, F.lit(0.0)).alias("vi"),
         )
     )
 
@@ -305,12 +329,17 @@ def score_calibration(
     Distributed: one groupBy on the bin id (≤ n_bins rows out of any pair
     count), then a 1-row weighted aggregate crossJoined back as the
     constant — the score stream is reduced before anything global happens.
-    Scores are assumed in [0, 1]; score == 1.0 lands in the top bin.
+    Scores are expected in [0, 1]; values outside clamp into the edge bins
+    (score == 1.0 and above land in the top bin, negatives in bin 0), so a
+    not-yet-squashed scorer cannot silently emit out-of-range bin ids.
     """
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     b = scored.select(
-        F.least(F.floor(F.col(score_col) * n_bins), F.lit(n_bins - 1))
+        F.least(
+            F.greatest(F.floor(F.col(score_col) * n_bins), F.lit(0)),
+            F.lit(n_bins - 1),
+        )
         .cast("int")
         .alias("bin"),
         F.col(score_col).alias("_s"),

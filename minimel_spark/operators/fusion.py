@@ -64,7 +64,11 @@ def truth_discovery(
       source's deduplicated claim count.
 
     A source asserting the same (object, value) repeatedly counts once
-    (claims are deduplicated on the triple).
+    (claims are deduplicated on the triple). NULL-valued claims are
+    non-claims and are dropped up front — they can neither corroborate
+    anything nor earn trust (without this, a NULL claim would form a
+    confidence group but silently vanish from the trust update's equi-join,
+    skewing n_claims and erasing all-NULL sources from later rounds).
     """
     if n_rounds < 1:
         raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
@@ -76,6 +80,7 @@ def truth_discovery(
             F.col(object_col).alias("object_id"),
             F.col(value_col).alias("value"),
         )
+        .where(F.col("value").isNotNull())
         .distinct()
         .persist()
     )

@@ -199,10 +199,13 @@ def tf_adjusted_exact_weight(
     base Fellegi-Sunter weight (``fs_score_pairs``) built WITHOUT this
     comparison, or use standalone as a frequency-aware exact-match scorer.
 
-    Output: ``pairs`` + (agree, tf, tf_weight). NULL values never agree
-    (two NULLs disagree); tf is NULL on disagreeing pairs; tf_weight is
-    NULL if every record shares one value (ū = 1 — disagreement impossible,
-    the comparison carries no signal).
+    Output: ``pairs`` + (agree, tf, tf_weight) — EVERY input pair survives
+    (record attachment is a left join). NULL values never agree (two NULLs
+    disagree), and a pair whose rec id has no ``records`` row behaves
+    exactly like a NULL value: agree false, disagreement weight. tf is
+    NULL on disagreeing pairs; tf_weight is NULL if every record shares
+    one value (ū = 1 — disagreement impossible, the comparison carries no
+    signal).
 
     Scale: the tf table lives on the value dimension (≪ records) and joins
     the pair stream by equality; N and ū are 1-row aggregates crossJoined
@@ -230,8 +233,8 @@ def tf_adjusted_exact_weight(
     vb = rec.select(F.col("_rid").alias(rec_b), F.col("_v").alias("_vb"))
     agree = F.col("_va").isNotNull() & (F.col("_va") == F.col("_vb"))
     out = (
-        pairs.join(va, rec_a)
-        .join(vb, rec_b)
+        pairs.join(va, rec_a, "left")
+        .join(vb, rec_b, "left")
         .withColumn("agree", F.coalesce(agree, F.lit(False)))
         .join(
             tfv.select(F.col("_v").alias("_va"), "_nv"),

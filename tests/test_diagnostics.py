@@ -152,3 +152,18 @@ def test_distribution_drift_identical_empty_bin_and_degenerate(spark):
     assert rows[1]["n_cur"] == 0
     with pytest.raises(ValueError, match="n_bins"):
         distribution_drift(d, d, "v", n_bins=0)
+
+
+def test_distribution_drift_empty_reference_yields_null_psi(spark):
+    from minimel_spark.operators.diagnostics import distribution_drift
+
+    cur = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    empty = spark.createDataFrame([(None,)], "v double")
+    rows = distribution_drift(cur, empty, "v", n_bins=3).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["psi"] is None and r["psi_term"] is None and r["p_ref"] is None
+    # and symmetrically: an empty current side must not fabricate drift
+    rows = distribution_drift(empty, cur, "v", n_bins=3).collect()
+    for r in rows:
+        assert r["psi"] is None and r["p_cur"] is None

@@ -103,3 +103,21 @@ def test_validation(spark):
         truth_discovery(c, n_rounds=0)
     with pytest.raises(ValueError, match="init_trust"):
         truth_discovery(c, init_trust=1.0)
+
+
+def test_null_claims_are_dropped(spark):
+    c = spark.createDataFrame(
+        [("A", "o1", "v"), ("A", "o2", None), ("B", "o3", None)],
+        "source_id string, object_id string, value string",
+    )
+    caches: list = []
+    facts, trusts = truth_discovery(c, n_rounds=2, persisted_out=caches)
+    f = facts.collect()
+    t = {r["source_id"]: r for r in trusts.collect()}
+    for cache in caches:
+        cache.unpersist()
+    # the NULL claims neither resolve objects nor count as claims
+    assert {r["object_id"] for r in f} == {"o1"}
+    assert t["A"]["n_claims"] == 1
+    # a source asserting ONLY NULLs asserted nothing: absent, not trust-skewed
+    assert "B" not in t

@@ -289,3 +289,22 @@ def test_tf_adjusted_exact_weight_degenerate_and_guard(spark):
     assert row["agree"] and row["tf_weight"] == pytest.approx(math.log2(0.95))
     with pytest.raises(ValueError, match="m_exact"):
         tf_adjusted_exact_weight(pairs, recs, "surname", m_exact=1.0)
+
+
+def test_tf_adjusted_exact_weight_keeps_unmatched_pairs(spark):
+    from minimel_spark.operators.linkage import tf_adjusted_exact_weight
+
+    recs, _ = _tf_world(spark)
+    pairs = spark.createDataFrame(
+        [(1, 99), (98, 99)], "rec_id_a long, rec_id_b long"
+    )  # 98/99 have no records row
+    out = {
+        (r["rec_id_a"], r["rec_id_b"]): r
+        for r in tf_adjusted_exact_weight(pairs, recs, "surname").collect()
+    }
+    assert set(out) == {(1, 99), (98, 99)}  # every input pair survives
+    ubar = 14 / 36
+    for k in out:
+        assert not out[k]["agree"]
+        assert out[k]["tf"] is None
+        assert out[k]["tf_weight"] == pytest.approx(math.log2(0.05 / (1 - ubar)))

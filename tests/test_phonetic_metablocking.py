@@ -810,3 +810,39 @@ def test_score_calibration_perfectly_calibrated_and_guard(spark):
     assert row[0]["ece"] == pytest.approx(0.0)
     with pytest.raises(ValueError, match="n_bins"):
         score_calibration(scored, n_bins=0)
+
+
+def test_clustering_information_trivial_guard_is_structural(spark):
+    # N=6: ln(6) - (6*ln 6)/6 is a ±2e-16 residual in doubles, NOT exact 0 —
+    # the guard must key on cluster COUNTS, not float-zero entropy.
+    one6 = spark.createDataFrame(
+        [(i, "o") for i in range(6)], "rec_id long, cluster_id string"
+    )
+    row = clustering_information(one6, one6).first()
+    assert row["h_pred"] == 0.0 and row["h_gold"] == 0.0
+    assert row["nmi"] == pytest.approx(1.0)
+    assert row["vi"] == pytest.approx(0.0, abs=1e-12)
+    # exactly one trivial side at N=6: 0.0, not NaN (sqrt of a negative ulp)
+    import math
+
+    two6 = spark.createDataFrame(
+        [(i, "a" if i < 3 else "b") for i in range(6)],
+        "rec_id long, cluster_id string",
+    )
+    row = clustering_information(one6, two6).first()
+    assert not math.isnan(row["nmi"])
+    assert row["nmi"] == pytest.approx(0.0)
+    assert row["mi"] == 0.0
+    assert row["vi"] == pytest.approx(row["h_gold"])
+
+
+def test_score_calibration_clamps_negative_scores(spark):
+    from minimel_spark.operators.evaluate import score_calibration
+
+    scored = spark.createDataFrame(
+        [(-0.05, 0), (0.02, 0), (1.3, 1)], "score double, label int"
+    )
+    rows = {r["bin"]: r for r in score_calibration(scored, n_bins=10).collect()}
+    assert set(rows) == {0, 9}  # no bin -1, no bin 10
+    assert rows[0]["n_pairs"] == 2
+    assert rows[9]["n_pairs"] == 1
