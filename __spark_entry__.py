@@ -1364,6 +1364,20 @@ def q_er_fs_em(spark, sf_dir):
     fixed inits, unrolled into plain SQL aggregations in the oracle."""
     from minimel_spark.operators.linkage import fellegi_sunter_em
 
+    out = fellegi_sunter_em(
+        _fs_feats(spark, sf_dir), thresholds=_FS_THRESHOLDS, n_iter=_FS_N_ITER
+    )
+    return out.select(
+        "pattern",
+        "n_pairs",
+        F.round("p_match", 6).alias("p_match"),
+        F.round("log2_bf", 6).alias("log2_bf"),
+    )
+
+
+def _fs_feats(spark, sf_dir):
+    """The shared part-name pair-feature frame behind er_fs_em and
+    er_fs_waterfall (one definition so the two gates cannot drift)."""
     part = _t(spark, sf_dir, "part")
     records = part.select(F.col("p_name").alias("name")).distinct().withColumn(
         "rec_id", F.col("name")
@@ -1372,18 +1386,32 @@ def q_er_fs_em(spark, sf_dir):
         "block_key", F.regexp_extract("name", r"(\w+)$", 1)
     )
     pairs = candidate_pairs(blocked)
-    feats = pair_features(pairs, records, name_col="name", text_col=None).select(
+    return pair_features(pairs, records, name_col="name", text_col=None).select(
         F.round("lev_sim", 6).alias("lev_sim"),
         F.round("jacc3", 6).alias("jacc3"),
         F.round("jw", 6).alias("jw"),
     )
-    out = fellegi_sunter_em(
-        feats, thresholds=_FS_THRESHOLDS, n_iter=_FS_N_ITER
+
+
+def q_er_fs_waterfall(spark, sf_dir):
+    """Match-weight waterfall explanations (operators/linkage.py
+    fs_waterfall — the data behind Splink's waterfall chart, the artifact
+    a clerical reviewer reads to see WHY a pair scored where it did): per
+    observed comparison pattern, the signed log2(P(g|M)/P(g|U))
+    contribution of each feature under the SAME EM fit as er_fs_em, with
+    the pattern total (= er_fs_em's log2_bf; pytest pins Σ contributions
+    == total). Oracle shares the er_fs_em prologue (_fs_em_prologue) and
+    unpivots the per-feature terms with UNION ALL."""
+    from minimel_spark.operators.linkage import fs_waterfall
+
+    out = fs_waterfall(
+        _fs_feats(spark, sf_dir), thresholds=_FS_THRESHOLDS, n_iter=_FS_N_ITER
     )
     return out.select(
         "pattern",
-        "n_pairs",
-        F.round("p_match", 6).alias("p_match"),
+        "feature",
+        "agree",
+        F.round("contribution", 6).alias("contribution"),
         F.round("log2_bf", 6).alias("log2_bf"),
     )
 
@@ -1413,19 +1441,19 @@ feats AS (
   FROM p JOIN sh sa ON sa.name = p.na JOIN sh sb ON sb.name = p.nb)"""
 
 
-def _fs_em_sql(
+def _fs_em_prologue(
     feats_cte: str,
     thresholds: dict,
     n_iter: int,
     init_lambda: float = 0.5,
     init_m: float = 0.9,
     init_u: float = 0.1,
-) -> str:
-    """Unroll the Fellegi-Sunter EM into pure SQL: the E/M steps are
-    aggregations over the (pattern, n) table, so ``n_iter`` iterations are
-    ``n_iter`` CTE pairs (e_k: per-pattern w/v under p_{k-1}; p_k: the
-    re-estimated single-row parameter set). Mirrors linkage._em exactly:
-    same bit order (sorted feature names), same 1e-6 clamps, float64."""
+):
+    """Shared CTE chain for the FS-EM oracles (through p{n_iter}); returns
+    (prologue_sql, g-bit expressions, sorted cols, bf expression, wv builder)
+    so the EM-table and waterfall oracles fit the SAME unrolled model and
+    cannot drift. Mirrors linkage._em exactly: same bit order (sorted
+    feature names), same 1e-6 clamps, float64."""
     cols = sorted(thresholds)
     f = len(cols)
     g = [f"((pattern >> {i}) & 1)" for i in range(f)]
@@ -1480,14 +1508,29 @@ pat AS (SELECT ({patbits})::BIGINT AS pattern, count(*)::BIGINT AS n
             for i in range(f)
         ]
         parts.append(f"p{it} AS (SELECT {', '.join(fields)} FROM e{it})")
-    w, v = wv()
     bf = " + ".join(
         f"log2((CASE WHEN {g[i]} = 1 THEN m{i} ELSE 1.0 - m{i} END)"
         f" / (CASE WHEN {g[i]} = 1 THEN u{i} ELSE 1.0 - u{i} END))"
         for i in range(f)
     )
+    return ",\n".join(parts), g, cols, bf, wv
+
+
+def _fs_em_sql(
+    feats_cte: str,
+    thresholds: dict,
+    n_iter: int,
+    init_lambda: float = 0.5,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> str:
+    """Unrolled FS-EM per-pattern parameter table (see _fs_em_prologue)."""
+    pro, g, cols, bf, wv = _fs_em_prologue(
+        feats_cte, thresholds, n_iter, init_lambda, init_m, init_u
+    )
+    w, v = wv()
     return (
-        ",\n".join(parts)
+        pro
         + f""",
 fin AS (SELECT pattern, n, {w} AS w, {v} AS v, {bf} AS bf
         FROM pat CROSS JOIN p{n_iter})
@@ -1497,7 +1540,34 @@ FROM fin"""
     )
 
 
+def _fs_waterfall_sql(
+    feats_cte: str,
+    thresholds: dict,
+    n_iter: int,
+    init_lambda: float = 0.5,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> str:
+    """Unrolled per-(pattern, feature) waterfall contributions under the
+    SAME fitted model as _fs_em_sql (shared prologue)."""
+    pro, g, cols, bf, _ = _fs_em_prologue(
+        feats_cte, thresholds, n_iter, init_lambda, init_m, init_u
+    )
+    selects = []
+    for i, c in enumerate(cols):
+        mterm = f"(CASE WHEN {g[i]} = 1 THEN m{i} ELSE 1.0 - m{i} END)"
+        uterm = f"(CASE WHEN {g[i]} = 1 THEN u{i} ELSE 1.0 - u{i} END)"
+        selects.append(
+            f"SELECT pattern, '{c}' AS feature, {g[i]} = 1 AS agree,\n"
+            f"  round(log2({mterm} / {uterm}), 6) AS contribution,\n"
+            f"  round({bf}, 6) AS log2_bf\n"
+            f"FROM pat CROSS JOIN p{n_iter}"
+        )
+    return pro + "\n" + "\nUNION ALL\n".join(selects)
+
+
 SQL_ER_FS_EM = _fs_em_sql(_FS_FEATS_CTE, _FS_THRESHOLDS, _FS_N_ITER)
+SQL_ER_FS_WATERFALL = _fs_waterfall_sql(_FS_FEATS_CTE, _FS_THRESHOLDS, _FS_N_ITER)
 
 
 def q_er_tf_adjust(spark, sf_dir):
@@ -7567,6 +7637,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_fs_waterfall",
     "rel_psi_drift",
     "er_calibration",
     "er_tf_adjust",
@@ -7672,7 +7743,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 150
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 151
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -7825,6 +7896,7 @@ _ORACLES: dict[str, str] = {
     "er_tf_adjust": SQL_ER_TF_ADJUST,
     "er_calibration": SQL_ER_CALIBRATION,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
+    "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,
     "dedup_transitive_keep": SQL_DEDUP_TRANSITIVE_KEEP,
     "er_edit_join": SQL_ER_EDIT_JOIN,

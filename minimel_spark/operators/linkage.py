@@ -104,6 +104,21 @@ def _em(counts, f, n_iter, init_lambda, init_m, init_u):
     return lam, m, u
 
 
+def _fit(features, thresholds, n_iter, init_lambda, init_m, init_u):
+    """Shared fit path for fellegi_sunter_em / fs_waterfall: one distributed
+    pattern-count aggregation, then the driver-side EM over ≤ 2^f rows."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    cols = sorted(thresholds)
+    pat = comparison_patterns(features, thresholds)
+    rows = pat.groupBy("pattern").agg(F.count(F.lit(1)).alias("n_pairs")).collect()
+    counts = {int(r["pattern"]): int(r["n_pairs"]) for r in rows}
+    if not counts:
+        raise ValueError("features is empty — nothing to fit")
+    lam, m, u = _em(counts, len(cols), n_iter, init_lambda, init_m, init_u)
+    return cols, counts, lam, m, u
+
+
 def fellegi_sunter_em(
     features: DataFrame,
     thresholds: dict[str, float],
@@ -125,16 +140,10 @@ def fellegi_sunter_em(
     the output is a pure function of the pattern counts (deterministic,
     parallelism-invariant, SQL-unrollable for oracle checking).
     """
-    if n_iter < 1:
-        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    cols = sorted(thresholds)
+    cols, counts, lam, m, u = _fit(
+        features, thresholds, n_iter, init_lambda, init_m, init_u
+    )
     f = len(cols)
-    pat = comparison_patterns(features, thresholds)
-    rows = pat.groupBy("pattern").agg(F.count(F.lit(1)).alias("n_pairs")).collect()
-    counts = {int(r["pattern"]): int(r["n_pairs"]) for r in rows}
-    if not counts:
-        raise ValueError("features is empty — nothing to fit")
-    lam, m, u = _em(counts, f, n_iter, init_lambda, init_m, init_u)
     out = []
     for p in sorted(counts):
         w = lam
@@ -172,6 +181,54 @@ def fs_score_pairs(
     pat = comparison_patterns(features, thresholds)
     return pat.join(
         F.broadcast(params.drop("n_pairs")), "pattern"
+    )
+
+
+def fs_waterfall(
+    features: DataFrame,
+    thresholds: dict[str, float],
+    n_iter: int = 3,
+    init_lambda: float = 0.5,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> DataFrame:
+    """Per-feature signed match-weight contributions for every observed
+    comparison pattern — the data behind Splink's "waterfall chart"
+    explanations, and the artifact a clerical reviewer reads to see WHY a
+    pair scored high ("surname agreed: +6.1 bits; city disagreed: −1.8").
+
+    Output: one row per (pattern, feature) —
+    ``(pattern, feature, agree, contribution, log2_bf)`` with
+    ``contribution = log2(P(g_i|M) / P(g_i|U))`` under the same EM fit as
+    :func:`fellegi_sunter_em`, and ``log2_bf`` the pattern's total weight
+    (Σ contributions over its features, identical to the EM table's
+    column — pytest pins the equality).
+
+    Scale: shares `_fit`'s one distributed pattern-count aggregation; the
+    expansion is driver-side over ≤ 2^f × f rows (f ≤ 16), the same bounded
+    collect-the-subtotals pattern as the EM itself. To explain the full
+    pair stream, join this ≤ 2^f·f-row table to ``comparison_patterns`` on
+    pattern — a forced-broadcast-sized dimension.
+    """
+    cols, counts, lam, m, u = _fit(
+        features, thresholds, n_iter, init_lambda, init_m, init_u
+    )
+    out = []
+    for p in sorted(counts):
+        contribs = []
+        for i, c in enumerate(cols):
+            g = (p >> i) & 1
+            mi = m[i] if g else (1.0 - m[i])
+            ui = u[i] if g else (1.0 - u[i])
+            contribs.append((c, bool(g), math.log2(mi / ui)))
+        total = sum(cv for _, _, cv in contribs)
+        for feat, agree, cv in contribs:
+            out.append((p, feat, agree, cv, total))
+    spark = features.sparkSession
+    return spark.createDataFrame(
+        out,
+        "pattern long, feature string, agree boolean, "
+        "contribution double, log2_bf double",
     )
 
 

@@ -308,3 +308,29 @@ def test_tf_adjusted_exact_weight_keeps_unmatched_pairs(spark):
         assert not out[k]["agree"]
         assert out[k]["tf"] is None
         assert out[k]["tf_weight"] == pytest.approx(math.log2(0.05 / (1 - ubar)))
+
+
+def test_fs_waterfall_sums_to_em_weight(spark):
+    from minimel_spark.operators.linkage import fs_waterfall
+
+    df = _feats(spark, _planted())
+    em = {
+        r["pattern"]: r["log2_bf"]
+        for r in fellegi_sunter_em(df, THR, n_iter=20).collect()
+    }
+    rows = fs_waterfall(df, THR, n_iter=20).collect()
+    # one row per (pattern, feature); agree bits decode the pattern
+    per = {}
+    for r in rows:
+        per.setdefault(r["pattern"], []).append(r)
+        bit = {"a": 0, "b": 1}[r["feature"]]
+        assert r["agree"] == bool((r["pattern"] >> bit) & 1)
+        assert r["log2_bf"] == pytest.approx(em[r["pattern"]])
+    assert set(per) == set(em)
+    for p, rs in per.items():
+        assert len(rs) == 2
+        assert sum(r["contribution"] for r in rs) == pytest.approx(em[p])
+    # agreement contributes positive evidence, disagreement negative
+    # (on this well-separated planted mixture)
+    for r in rows:
+        assert (r["contribution"] > 0) == r["agree"]
