@@ -5856,6 +5856,69 @@ SELECT bin, n_pairs::BIGINT AS n_pairs, round(mean_score, 6) AS mean_score,
 FROM per, e"""
 
 
+def q_er_roc_auc(spark, sf_dir):
+    """Exact rank-based ROC-AUC (operators/evaluate.py roc_auc — the
+    Mann-Whitney identity with midrank tie correction, computed via the
+    byte_pack_buckets-style distributed prefix sum over distinct scores):
+    run on the SAME miscalibrated md5 world as er_calibration (uniform
+    score, true match probability score²), where ranking quality is good
+    (AUC well above 0.5) even though calibration is bad — the pair of
+    gates pins that the two metrics measure different things. The oracle
+    recomputes the uniforms, labels, per-distinct-score reduction,
+    midranks, and the rank-sum AUC natively."""
+    from minimel_spark.operators.evaluate import roc_auc
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _u(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+        )
+
+    scored = docs.select(
+        _u(":cal1").alias("score"),
+        (_u(":cal2") < _u(":cal1") * _u(":cal1")).alias("label"),
+    )
+    out = roc_auc(scored, label_col="label", score_col="score")
+    return out.select(
+        "n_pos",
+        "n_neg",
+        F.round("auc", 6).alias("auc"),
+        F.round("gini", 6).alias("gini"),
+    )
+
+
+SQL_ER_ROC_AUC = """
+WITH s AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR || ':cal1'), 1, 8))::UBIGINT
+           / 4294967296.0 AS score,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':cal2'), 1, 8))::UBIGINT
+           / 4294967296.0 AS u2
+  FROM documents),
+d AS (SELECT score,
+             sum(CASE WHEN u2 < score * score THEN 1 ELSE 0 END) AS np,
+             count(*) AS n
+      FROM s GROUP BY score),
+r AS (SELECT np, n,
+             sum(n) OVER (ORDER BY score) - (n - 1) / 2.0 AS midrank
+      FROM d),
+a AS (SELECT sum(np)::BIGINT AS n_pos, (sum(n) - sum(np))::BIGINT AS n_neg,
+             sum(np * midrank) AS rp
+      FROM r)
+SELECT n_pos, n_neg,
+       round((rp - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc,
+       round(2 * ((rp - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)) - 1, 6)
+         AS gini
+FROM a"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -7637,6 +7700,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_roc_auc",
     "er_fs_waterfall",
     "rel_psi_drift",
     "er_calibration",
@@ -7743,7 +7807,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 151
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 152
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -7895,6 +7959,7 @@ _ORACLES: dict[str, str] = {
     "er_truth_discovery": SQL_ER_TRUTH_DISCOVERY,
     "er_tf_adjust": SQL_ER_TF_ADJUST,
     "er_calibration": SQL_ER_CALIBRATION,
+    "er_roc_auc": SQL_ER_ROC_AUC,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,

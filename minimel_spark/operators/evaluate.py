@@ -542,3 +542,99 @@ def pr_curve(
             .alias("recall"),
         )
     )
+
+
+def roc_auc(
+    scored: DataFrame,
+    label_col: str = "is_match",
+    score_col: str = "score",
+    order_partitions: int = 256,
+) -> DataFrame:
+    """Exact ROC-AUC for a scored pair stream against boolean gold labels,
+    via the Mann-Whitney rank-sum identity with midrank tie correction:
+
+        AUC = (Σ_{positives} midrank − P(P+1)/2) / (P·N)
+
+    which equals P(score⁺ > score⁻) + ½·P(score⁺ = score⁻) — the
+    threshold-free companion number to ``pr_curve`` (AUC summarizes ranking
+    quality; the curve shows the operating points). Output: ONE row
+    ``(n_pos, n_neg, auc, gini)`` with ``gini = 2·AUC − 1``; ``auc`` is
+    NULL when either class is empty (undefined, never silently 0.5).
+
+    Distributed exactly like ``byte_pack_buckets``' prefix sum
+    (multimodal.py): the pair stream is first reduced by ONE groupBy to at
+    most one row per DISTINCT score (n_pos, n_neg per score); the midrank
+    cumsum over those rows then runs as parallel per-range windows — scores
+    are cut into ``order_partitions`` FIXED equal-width ranges of [0, 1]
+    (out-of-range scores clamp into the edge ranges, which preserves global
+    score order since the range id is monotone in the score), per-range
+    count subtotals are one tiny collect (≤ ``order_partitions`` rows), and
+    each range's window gets its global prefix offset broadcast-joined on.
+    No global sort, no single-partition window, no O(P·N) pair comparison.
+    DETERMINISM REQUIREMENT: the per-score aggregate is evaluated by both
+    the subtotal job and the final plan — the upstream ``scored`` plan must
+    be re-execution-deterministic in (score, label); persist it first if
+    not. Rows with a NULL score or label are EXCLUDED (same contract as
+    ``pr_curve``)."""
+    k = max(1, (order_partitions - 1).bit_length())
+    nranges = 1 << k
+    per = (
+        scored.select(
+            F.col(score_col).cast("double").alias("_s"),
+            F.col(label_col).cast("boolean").alias("_y"),
+        )
+        .where(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+        .groupBy("_s")
+        .agg(
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_np"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .withColumn(
+            "_rg",
+            F.least(
+                F.greatest(F.floor(F.col("_s") * nranges), F.lit(0)),
+                F.lit(nranges - 1),
+            ).cast("long"),
+        )
+    )
+    sub = {
+        r["_rg"]: r["_n"]
+        for r in per.groupBy("_rg").agg(F.sum("_n").alias("_n")).collect()
+    }
+    run, offsets = 0, []
+    for rg in range(nranges):
+        if rg in sub:
+            offsets.append((rg, run))
+            run += int(sub[rg])
+    spark = scored.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_rg long, _off long")
+    )
+    w = Window.partitionBy("_rg").orderBy("_s")
+    ranked = (
+        per.join(off, "_rg")
+        .withColumn("_cum", F.col("_off") + F.sum("_n").over(w))
+        .select(
+            "_np",
+            "_n",
+            # midrank of the tied group ending at _cum: mean of ranks
+            # (_cum - _n + 1) .. _cum
+            (F.col("_cum") - (F.col("_n") - 1) / F.lit(2.0)).alias("_midrank"),
+        )
+    )
+    agg = ranked.agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        (F.sum("_n") - F.sum("_np")).cast("long").alias("n_neg"),
+        F.sum(F.col("_np") * F.col("_midrank")).alias("_rank_pos"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        (F.col("_rank_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0))
+        / (F.col("n_pos") * F.col("n_neg")),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        auc.alias("auc"),
+        (2 * auc - 1).alias("gini"),
+    )

@@ -846,3 +846,55 @@ def test_score_calibration_clamps_negative_scores(spark):
     assert set(rows) == {0, 9}  # no bin -1, no bin 10
     assert rows[0]["n_pairs"] == 2
     assert rows[9]["n_pairs"] == 1
+
+
+def test_roc_auc_hand_example(spark):
+    from minimel_spark.operators.evaluate import roc_auc
+
+    # scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3}. Midranks over
+    # sorted [0.3, 0.5, 0.7, 0.7, 0.9]: 0.3→1, 0.5→2, 0.7→3.5, 0.9→5.
+    # rank_pos = 2 + 3.5 + 5 = 10.5; AUC = (10.5 - 6) / (3*2) = 0.75.
+    scored = spark.createDataFrame(
+        [(0.9, True), (0.7, True), (0.5, True), (0.7, False), (0.3, False)],
+        "score double, is_match boolean",
+    )
+    row = roc_auc(scored).collect()[0]
+    assert row["n_pos"] == 3 and row["n_neg"] == 2
+    assert abs(row["auc"] - 0.75) < 1e-12
+    assert abs(row["gini"] - 0.5) < 1e-12
+
+
+def test_roc_auc_perfect_and_random(spark):
+    from minimel_spark.operators.evaluate import roc_auc
+
+    perfect = spark.createDataFrame(
+        [(0.9, True), (0.8, True), (0.2, False), (0.1, False)],
+        "score double, is_match boolean",
+    )
+    assert roc_auc(perfect).collect()[0]["auc"] == 1.0
+    # all scores tied -> pure midrank -> 0.5 exactly
+    tied = spark.createDataFrame(
+        [(0.5, True), (0.5, False), (0.5, True), (0.5, False)],
+        "score double, is_match boolean",
+    )
+    assert roc_auc(tied).collect()[0]["auc"] == 0.5
+
+
+def test_roc_auc_degenerate_and_nulls(spark):
+    from minimel_spark.operators.evaluate import roc_auc
+
+    # one class only -> NULL auc (undefined, not 0.5)
+    onesided = spark.createDataFrame(
+        [(0.9, True), (0.1, True)], "score double, is_match boolean"
+    )
+    row = roc_auc(onesided).collect()[0]
+    assert row["auc"] is None and row["gini"] is None
+    # NULL rows excluded, out-of-range scores clamp into edge ranges
+    # without disturbing the rank order
+    mixed = spark.createDataFrame(
+        [(1.7, True), (None, True), (0.4, None), (-0.3, False), (0.5, False)],
+        "score double, is_match boolean",
+    )
+    row = roc_auc(mixed).collect()[0]
+    assert row["n_pos"] == 1 and row["n_neg"] == 2
+    assert row["auc"] == 1.0
