@@ -1619,6 +1619,70 @@ SELECT rec_id_a, rec_id_b, va = vb AS agree,
 FROM p LEFT JOIN tf ON tf.v = p.va, scal"""
 
 
+def q_er_match_passes(spark, sf_dir):
+    """Deterministic multi-pass rule cascade (operators/linkage.py
+    match_passes — the FEBRL/fastLink 'match passes' waterfall): part
+    pairs blocked on brand, claimed by the FIRST of three ordered rules
+    (exact type+size, type-family + size band, price band) or left
+    unclaimed. The oracle replays the same first-match-wins CASE chain
+    natively — pass priority, the no-match NULL path, and the rule-name
+    attachment all value-checked."""
+    from minimel_spark.operators.linkage import match_passes
+
+    part = _t(spark, sf_dir, "part")
+
+    def side(suf):
+        return part.select(
+            F.col("p_partkey").alias(f"id_{suf}"),
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias(f"type_{suf}"),
+            F.col("p_size").alias(f"size_{suf}"),
+            F.col("p_retailprice").alias(f"price_{suf}"),
+        )
+
+    pairs = (
+        side("a")
+        .join(side("b"), "brand")
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    rules = [
+        ("type_and_size", "type_a = type_b AND size_a = size_b"),
+        (
+            "family_size_band",
+            "split(type_a, ' ')[0] = split(type_b, ' ')[0] "
+            "AND abs(size_a - size_b) <= 1",
+        ),
+        ("price_band", "abs(price_a - price_b) < 5.0"),
+    ]
+    out = match_passes(pairs, rules)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("pass_idx").cast("long").alias("pass_idx"),
+        "matched_rule",
+    )
+
+
+SQL_ER_MATCH_PASSES = """
+WITH p AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         a.p_type AS ta, b.p_type AS tb,
+         a.p_size AS sa, b.p_size AS sb,
+         a.p_retailprice AS pa, b.p_retailprice AS pb
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
+SELECT id_a, id_b,
+       CASE WHEN ta = tb AND sa = sb THEN 1
+            WHEN string_split(ta, ' ')[1] = string_split(tb, ' ')[1]
+                 AND abs(sa - sb) <= 1 THEN 2
+            WHEN abs(pa - pb) < 5.0 THEN 3 END::BIGINT AS pass_idx,
+       CASE WHEN ta = tb AND sa = sb THEN 'type_and_size'
+            WHEN string_split(ta, ' ')[1] = string_split(tb, ' ')[1]
+                 AND abs(sa - sb) <= 1 THEN 'family_size_band'
+            WHEN abs(pa - pb) < 5.0 THEN 'price_band' END AS matched_rule
+FROM p"""
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -7700,6 +7764,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_match_passes",
     "er_roc_auc",
     "er_fs_waterfall",
     "rel_psi_drift",
@@ -7807,7 +7872,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 152
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 153
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -7960,6 +8025,7 @@ _ORACLES: dict[str, str] = {
     "er_tf_adjust": SQL_ER_TF_ADJUST,
     "er_calibration": SQL_ER_CALIBRATION,
     "er_roc_auc": SQL_ER_ROC_AUC,
+    "er_match_passes": SQL_ER_MATCH_PASSES,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,

@@ -423,3 +423,49 @@ def group_linkage(
             ).alias("sim"),
         )
     )
+
+
+def match_passes(
+    pairs: DataFrame,
+    rules: list[tuple[str, object]],
+    idx_col: str = "pass_idx",
+    rule_col: str = "matched_rule",
+) -> DataFrame:
+    """Deterministic multi-pass linkage cascade — the classic
+    rule-waterfall front end of FEBRL / fastLink / production MDM systems:
+    an ORDERED list of ``(rule_name, boolean condition)`` passes where the
+    FIRST matching rule claims the pair (a pair matched by pass 1 is never
+    re-litigated by pass 2), and pairs matching no rule stay unclaimed.
+
+    ``rules`` conditions are SQL-expression strings (or Columns) over the
+    pair frame's own columns. Output: ``pairs`` plus ``idx_col`` (1-based
+    index of the claiming pass, NULL if none) and ``rule_col`` (its name,
+    NULL if none).
+
+    This is the deterministic complement to the probabilistic scorers
+    (``fellegi_sunter_em`` / the LR matcher): production linkage runs the
+    cheap certain rules first and sends only the residue to the expensive
+    model — the pass index IS that routing decision.
+
+    Scale: a pure projection — each condition is evaluated exactly once
+    per row inside one whole-stage-codegen ``CASE`` chain (the rule name
+    is attached by indexing a literal array with the pass index, not by a
+    second chain), no shuffle, no UDF, nothing beyond the input pair
+    stream."""
+    if not rules:
+        raise ValueError("match_passes needs at least one rule")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {names}")
+    idx = F.lit(None).cast("int")
+    for i in range(len(rules) - 1, -1, -1):
+        cond = rules[i][1]
+        c = F.expr(cond) if isinstance(cond, str) else cond
+        idx = F.when(c, F.lit(i + 1)).otherwise(idx)
+    return pairs.withColumn(idx_col, idx).withColumn(
+        rule_col,
+        F.when(
+            F.col(idx_col).isNotNull(),
+            F.element_at(F.array(*[F.lit(n) for n in names]), F.col(idx_col)),
+        ),
+    )

@@ -334,3 +334,46 @@ def test_fs_waterfall_sums_to_em_weight(spark):
     # (on this well-separated planted mixture)
     for r in rows:
         assert (r["contribution"] > 0) == r["agree"]
+
+
+def test_match_passes_first_match_wins(spark):
+    from minimel_spark.operators.linkage import match_passes
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "x", "x", 5, 5),   # matches rule 1 AND rule 2 -> rule 1
+            (1, 3, "x", "y", 5, 5),   # only rule 2
+            (1, 4, "x", "y", 5, 9),   # nothing
+        ],
+        "id_a long, id_b long, ta string, tb string, sa int, sb int",
+    )
+    rules = [
+        ("exact_type", "ta = tb"),
+        ("same_size", "sa = sb"),
+    ]
+    rows = {
+        (r["id_a"], r["id_b"]): r for r in match_passes(pairs, rules).collect()
+    }
+    assert rows[(1, 2)]["pass_idx"] == 1
+    assert rows[(1, 2)]["matched_rule"] == "exact_type"
+    assert rows[(1, 3)]["pass_idx"] == 2
+    assert rows[(1, 3)]["matched_rule"] == "same_size"
+    assert rows[(1, 4)]["pass_idx"] is None
+    assert rows[(1, 4)]["matched_rule"] is None
+
+
+def test_match_passes_guards(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.linkage import match_passes
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError):
+        match_passes(pairs, [])
+    with _pytest.raises(ValueError):
+        match_passes(pairs, [("r", "id_a = id_b"), ("r", "id_a < id_b")])
+    # Column conditions work too
+    import pyspark.sql.functions as F
+
+    out = match_passes(pairs, [("lt", F.col("id_a") < F.col("id_b"))]).collect()
+    assert out[0]["matched_rule"] == "lt"
