@@ -1683,6 +1683,68 @@ SELECT id_a, id_b,
 FROM p"""
 
 
+def q_er_u_estimate(spark, sf_dir):
+    """u-probability estimation from deterministic random pairs
+    (operators/linkage.py estimate_u — Splink's
+    estimate_u_using_random_sampling, re-expressed as LINEAR md5-adjacency
+    pairing instead of a sampled cartesian join): customers paired by
+    md5-rank adjacency within 16 hash buckets, per-feature agreement rates
+    on nation key, market segment, and a 1000-unit balance band. The
+    oracle replays the identical pairing (same md5 keys, same bucket
+    windows, same odd-rank lead pairing) and both aggregate levels."""
+    from minimel_spark.operators.linkage import estimate_u
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    )
+    out = estimate_u(
+        cust,
+        [("nation", "nation"), ("segment", "segment"), ("bal_band", "bal_band")],
+        n_buckets=16,
+    )
+    return out.select(
+        "feature",
+        "n_pairs",
+        "n_agree",
+        F.round("u", 6).alias("u"),
+    )
+
+
+SQL_ER_U_ESTIMATE = """
+WITH r AS (
+  SELECT c_custkey AS id, c_nationkey AS f1, c_mktsegment AS f2,
+         floor(c_acctbal / 1000) AS f3,
+         md5(c_custkey::VARCHAR || ':u') AS rk
+  FROM customer),
+b AS (
+  SELECT *, substr(rk, 1, 1) AS bk,
+         row_number() OVER (PARTITION BY substr(rk, 1, 1) ORDER BY rk, id) AS rn
+  FROM r),
+p AS (
+  SELECT rn, f1, f2, f3,
+         lead(f1) OVER w AS g1, lead(f2) OVER w AS g2, lead(f3) OVER w AS g3,
+         lead(id) OVER w AS id2
+  FROM b WINDOW w AS (PARTITION BY bk ORDER BY rk, id)),
+q AS (SELECT * FROM p WHERE rn % 2 = 1 AND id2 IS NOT NULL)
+SELECT 'nation' AS feature, count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN f1 = g1 THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+       round(sum(CASE WHEN f1 = g1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS u
+FROM q
+UNION ALL
+SELECT 'segment', count(*)::BIGINT,
+       sum(CASE WHEN f2 = g2 THEN 1 ELSE 0 END)::BIGINT,
+       round(sum(CASE WHEN f2 = g2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+FROM q
+UNION ALL
+SELECT 'bal_band', count(*)::BIGINT,
+       sum(CASE WHEN f3 = g3 THEN 1 ELSE 0 END)::BIGINT,
+       round(sum(CASE WHEN f3 = g3 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+FROM q"""
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -7764,6 +7826,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_u_estimate",
     "er_match_passes",
     "er_roc_auc",
     "er_fs_waterfall",
@@ -7872,7 +7935,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 153
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 154
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -8026,6 +8089,7 @@ _ORACLES: dict[str, str] = {
     "er_calibration": SQL_ER_CALIBRATION,
     "er_roc_auc": SQL_ER_ROC_AUC,
     "er_match_passes": SQL_ER_MATCH_PASSES,
+    "er_u_estimate": SQL_ER_U_ESTIMATE,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,

@@ -469,3 +469,97 @@ def match_passes(
             F.element_at(F.array(*[F.lit(n) for n in names]), F.col(idx_col)),
         ),
     )
+
+
+def estimate_u(
+    records: DataFrame,
+    features: list[tuple[str, str]],
+    id_col: str = "rec_id",
+    salt: str = ":u",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """u-probability estimation from random record pairs — Splink's
+    ``estimate_u_using_random_sampling``: because true matches are
+    vanishingly rare among uniformly random pairs, the per-feature
+    agreement rate on random pairs IS the Fellegi-Sunter u probability
+    (P(agree | non-match)), the denominator of every match weight. This is
+    the standard way to pin u without labels; ``fellegi_sunter_em`` then
+    only has to learn m and λ.
+
+    ``features`` is a list of ``(feature_name, column_name)`` equality
+    comparisons over ``records``' own columns (derive banded/normalized
+    columns upstream). NULL never agrees (same rule as
+    ``tf_adjusted_exact_weight``). Output: one row per feature —
+    ``(feature, n_pairs, n_agree, u)``.
+
+    Deterministic LINEAR pairing, not a sampled cartesian join: each
+    record gets an md5 rank key, records are cut into ``n_buckets`` hash
+    buckets, and within a bucket consecutive rank neighbours are paired
+    (odd leftovers dropped). Adjacent records in a cryptographic-hash
+    order are uniformly random pairs, each record is used at most once
+    (independent pairs, n/2 of them), and the whole thing is one
+    partitioned window + one aggregation — no quadratic sample blow-up,
+    no global sort, parallelism-invariant, and replayable in SQL (the
+    oracle recomputes the same pairing)."""
+    if not features:
+        raise ValueError("estimate_u needs at least one feature")
+    names = [n for n, _ in features]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate feature names: {names}")
+    keyed = records.select(
+        *[F.col(c).alias(f"_f{i}") for i, (_, c) in enumerate(features)],
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))).alias("_rk"),
+        F.col(id_col).alias("_id"),
+    ).withColumn("_bk", F.substring("_rk", 1, _bucket_hex_len(n_buckets)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_bk").orderBy("_rk", "_id")
+    paired = (
+        keyed.select(
+            "*",
+            F.row_number().over(w).alias("_rn"),
+            *[
+                F.lead(f"_f{i}", 1).over(w).alias(f"_g{i}")
+                for i in range(len(features))
+            ],
+            F.lead("_id", 1).over(w).alias("_id2"),
+        )
+        .where((F.col("_rn") % 2 == 1) & F.col("_id2").isNotNull())
+    )
+    agg = paired.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                F.when(F.col(f"_f{i}") == F.col(f"_g{i}"), 1).otherwise(0)
+            ).alias(f"_a{i}")
+            for i in range(len(features))
+        ],
+    )
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("feature"), F.col(f"_a{i}").alias("n_agree")
+                )
+                for i, n in enumerate(names)
+            ]
+        )
+    )
+    return agg.select(kv.alias("_kv"), F.col("_n")).select(
+        F.col("_kv.feature").alias("feature"),
+        F.col("_n").cast("long").alias("n_pairs"),
+        F.col("_kv.n_agree").cast("long").alias("n_agree"),
+        (F.col("_kv.n_agree") / F.col("_n")).alias("u"),
+    )
+
+
+def _bucket_hex_len(n_buckets: int) -> int:
+    """Hex-prefix length whose bucket count is closest-above n_buckets
+    (16^k buckets); pairing stays uniform for any choice, this only sizes
+    the window partitions."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    k = 1
+    while 16**k < n_buckets:
+        k += 1
+    return k

@@ -377,3 +377,50 @@ def test_match_passes_guards(spark):
 
     out = match_passes(pairs, [("lt", F.col("id_a") < F.col("id_b"))]).collect()
     assert out[0]["matched_rule"] == "lt"
+
+
+def test_estimate_u_constant_and_distinct_features(spark):
+    from minimel_spark.operators.linkage import estimate_u
+
+    recs = spark.createDataFrame(
+        [(i, "same", i, None) for i in range(1, 101)],
+        "rec_id long, konst string, uniq long, missing string",
+    )
+    rows = {
+        r["feature"]: r
+        for r in estimate_u(
+            recs,
+            [("konst", "konst"), ("uniq", "uniq"), ("missing", "missing")],
+            n_buckets=16,
+        ).collect()
+    }
+    n = rows["konst"]["n_pairs"]
+    assert 0 < n <= 50
+    # constant feature always agrees, distinct never, NULL never
+    assert rows["konst"]["n_agree"] == n and rows["konst"]["u"] == 1.0
+    assert rows["uniq"]["n_agree"] == 0 and rows["uniq"]["u"] == 0.0
+    assert rows["missing"]["n_agree"] == 0 and rows["missing"]["u"] == 0.0
+    # all features see the SAME pairing
+    assert rows["uniq"]["n_pairs"] == n and rows["missing"]["n_pairs"] == n
+
+
+def test_estimate_u_deterministic_and_guards(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.linkage import estimate_u
+
+    recs = spark.createDataFrame(
+        [(i, i % 7) for i in range(1, 201)], "rec_id long, band long"
+    )
+    a = sorted(map(tuple, estimate_u(recs, [("band", "band")]).collect()))
+    b = sorted(map(tuple, estimate_u(recs, [("band", "band")]).collect()))
+    assert a == b
+    # a 7-value uniform feature should agree ~1/7 of the time
+    u = a[0][3]
+    assert 0.02 < u < 0.35
+    with _pytest.raises(ValueError):
+        estimate_u(recs, [])
+    with _pytest.raises(ValueError):
+        estimate_u(recs, [("x", "band"), ("x", "band")])
+    with _pytest.raises(ValueError):
+        estimate_u(recs, [("band", "band")], n_buckets=0)
