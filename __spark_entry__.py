@@ -1745,6 +1745,62 @@ SELECT 'bal_band', count(*)::BIGINT,
 FROM q"""
 
 
+def q_er_pprl_clk(spark, sf_dir):
+    """Privacy-preserving linkage via CLK Bloom filters (operators/pprl.py
+    clk_encode + clk_dice_pairs — Schnell, Bachteler & Reiher 2009): part
+    names blocked on their first word, encoded as padded-bigram md5 Bloom
+    filters (m=128, k=4), compared by the Dice coefficient of their
+    set-bit arrays. The oracle re-derives every bit position (same md5
+    hash family), both filter popcounts, the intersection size, and the
+    Dice value natively — the full PPRL comparison value-checked
+    bit-position for bit-position."""
+    from minimel_spark.operators.pairs import candidate_pairs
+    from minimel_spark.operators.pprl import clk_dice_pairs, clk_encode
+
+    part = _t(spark, sf_dir, "part")
+    recs = part.select(F.col("p_name").alias("name")).distinct()
+    blocked = recs.select(
+        F.col("name").alias("rec_id"),
+        F.regexp_extract("name", r"^(\w+)", 1).alias("block_key"),
+    )
+    pairs = candidate_pairs(blocked).select("rec_id_a", "rec_id_b")
+    enc = clk_encode(recs, "name", id_col="name", m=128, k=4, q=2)
+    out = clk_dice_pairs(enc, pairs, id_a="rec_id_a", id_b="rec_id_b")
+    return out.select(
+        "rec_id_a",
+        "rec_id_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round("dice", 6).alias("dice"),
+    )
+
+
+SQL_ER_PPRL_CLK = """
+WITH r AS (SELECT DISTINCT p_name AS name FROM part),
+s AS (SELECT name, '_' || lower(name) || '_' AS s2,
+             regexp_extract(name, '^(\\w+)', 1) AS bk
+      FROM r),
+e AS (
+  SELECT name, bk,
+         list_sort(list_distinct(flatten(list_transform(
+           list_transform(range(1, greatest(length(s2) - 1, 0) + 1),
+                          i -> s2[i:i+1]),
+           g -> list_transform(range(1, 5),
+                j -> (('0x' || substr(md5(j::VARCHAR || ':' || g || ':clk'),
+                       1, 8))::UBIGINT % 128)::BIGINT)
+         )))) AS clk
+  FROM s)
+SELECT a.name AS rec_id_a, b.name AS rec_id_b,
+       len(a.clk)::BIGINT AS n_a, len(b.clk)::BIGINT AS n_b,
+       len(list_intersect(a.clk, b.clk))::BIGINT AS n_common,
+       round(CASE WHEN len(a.clk) + len(b.clk) > 0
+                  THEN 2.0 * len(list_intersect(a.clk, b.clk))
+                       / (len(a.clk) + len(b.clk))
+                  ELSE 0.0 END, 6) AS dice
+FROM e a JOIN e b ON a.bk = b.bk AND a.name < b.name"""
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -7826,6 +7882,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_pprl_clk",
     "er_u_estimate",
     "er_match_passes",
     "er_roc_auc",
@@ -7935,7 +7992,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 154
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 155
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -8090,6 +8147,7 @@ _ORACLES: dict[str, str] = {
     "er_roc_auc": SQL_ER_ROC_AUC,
     "er_match_passes": SQL_ER_MATCH_PASSES,
     "er_u_estimate": SQL_ER_U_ESTIMATE,
+    "er_pprl_clk": SQL_ER_PPRL_CLK,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,
