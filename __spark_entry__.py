@@ -1566,8 +1566,66 @@ def _fs_waterfall_sql(
     return pro + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def q_er_fs_audit(spark, sf_dir):
+    """FS conditional-independence goodness-of-fit audit
+    (operators/linkage.py fs_fit_audit): observed vs fitted-mixture
+    expected counts per comparison pattern of the SAME part-name world and
+    EM fit as er_fs_em (shared _fs_feats / _fit / _fs_em_prologue — the
+    three FS gates cannot drift), with Pearson residuals, the collapsed
+    unobserved-mass row (pattern = -1), and the all-cells chi-square. The
+    oracle extends the shared unrolled-EM prologue with the expected-count
+    and residual algebra natively."""
+    from minimel_spark.operators.linkage import fs_fit_audit
+
+    out = fs_fit_audit(
+        _fs_feats(spark, sf_dir), thresholds=_FS_THRESHOLDS, n_iter=_FS_N_ITER
+    )
+    return out.select(
+        "pattern",
+        "n_pairs",
+        F.round("expected", 6).alias("expected"),
+        F.round("pearson_resid", 6).alias("pearson_resid"),
+        F.round("chi2", 6).alias("chi2"),
+    )
+
+
+def _fs_fit_audit_sql(
+    feats_cte: str,
+    thresholds: dict,
+    n_iter: int,
+    init_lambda: float = 0.5,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> str:
+    """Unrolled observed-vs-expected pattern audit under the SAME fitted
+    model as _fs_em_sql (shared prologue)."""
+    pro, g, cols, bf, wv = _fs_em_prologue(
+        feats_cte, thresholds, n_iter, init_lambda, init_m, init_u
+    )
+    w, v = wv()
+    f = len(cols)
+    return (
+        pro
+        + f""",
+fin AS (SELECT pattern, n, ({w}) + ({v}) AS pp FROM pat CROSS JOIN p{n_iter}),
+tot AS (SELECT sum(n)::DOUBLE AS ntot, sum(pp) AS psum, count(*) AS k FROM fin),
+obs AS (SELECT pattern, n, ntot * pp AS e FROM fin, tot),
+unobs AS (SELECT -1::BIGINT AS pattern, 0::BIGINT AS n,
+                 greatest(ntot * (1.0 - psum), 0.0) AS e
+          FROM tot WHERE k < {1 << f}),
+allr AS (SELECT * FROM obs UNION ALL SELECT * FROM unobs),
+c AS (SELECT sum((n - e) * (n - e) / e) AS chi2 FROM allr WHERE e > 0)
+SELECT pattern, n AS n_pairs, round(e, 6) AS expected,
+       round(CASE WHEN e > 0 THEN (n - e) / sqrt(e) ELSE 0.0 END, 6)
+         AS pearson_resid,
+       round(chi2, 6) AS chi2
+FROM allr, c"""
+    )
+
+
 SQL_ER_FS_EM = _fs_em_sql(_FS_FEATS_CTE, _FS_THRESHOLDS, _FS_N_ITER)
 SQL_ER_FS_WATERFALL = _fs_waterfall_sql(_FS_FEATS_CTE, _FS_THRESHOLDS, _FS_N_ITER)
+SQL_ER_FS_AUDIT = _fs_fit_audit_sql(_FS_FEATS_CTE, _FS_THRESHOLDS, _FS_N_ITER)
 
 
 def q_er_tf_adjust(spark, sf_dir):
@@ -7882,6 +7940,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_fs_audit",
     "er_pprl_clk",
     "er_u_estimate",
     "er_match_passes",
@@ -7992,7 +8051,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 155
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 156
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -8148,6 +8207,7 @@ _ORACLES: dict[str, str] = {
     "er_match_passes": SQL_ER_MATCH_PASSES,
     "er_u_estimate": SQL_ER_U_ESTIMATE,
     "er_pprl_clk": SQL_ER_PPRL_CLK,
+    "er_fs_audit": SQL_ER_FS_AUDIT,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,

@@ -563,3 +563,58 @@ def _bucket_hex_len(n_buckets: int) -> int:
     while 16**k < n_buckets:
         k += 1
     return k
+
+
+def fs_fit_audit(
+    features: DataFrame,
+    thresholds: dict[str, float],
+    n_iter: int = 3,
+    init_lambda: float = 0.5,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> DataFrame:
+    """Goodness-of-fit audit for the Fellegi-Sunter EM — the standard
+    check on FS's conditional-independence assumption (features
+    independent given match status): per OBSERVED comparison pattern, the
+    observed pair count against the fitted mixture's expected count
+    ``N·(λ·Π P(gᵢ|M) + (1−λ)·Π P(gᵢ|U))``, the Pearson residual
+    ``(obs − exp)/√exp``, and the total chi-square (constant column).
+    Large residuals flag correlated features (e.g. two string metrics on
+    the same field), the classic reason FS weights mis-rank pairs even
+    when the EM converged. Unobserved patterns are collapsed into one
+    ``pattern = -1`` row (obs 0, the remaining expected mass) so the
+    chi-square covers all 2^f cells.
+
+    Same fit path as ``fellegi_sunter_em`` / ``fs_waterfall`` (shared
+    ``_fit``): one distributed pattern-count aggregation, then O(2^f)
+    driver-side arithmetic — deterministic and SQL-unrollable."""
+    cols, counts, lam, m, u = _fit(
+        features, thresholds, n_iter, init_lambda, init_m, init_u
+    )
+    f = len(cols)
+    total = float(sum(counts.values()))
+    rows = []
+    psum = 0.0
+    chi2 = 0.0
+    for p in sorted(counts):
+        w = lam
+        v = 1.0 - lam
+        for i in range(f):
+            g = (p >> i) & 1
+            w *= m[i] if g else (1.0 - m[i])
+            v *= u[i] if g else (1.0 - u[i])
+        pp = w + v
+        e = total * pp
+        chi2 += (counts[p] - e) ** 2 / e
+        psum += pp
+        rows.append([p, counts[p], e, (counts[p] - e) / math.sqrt(e)])
+    if len(counts) < (1 << f):
+        e = max(total * (1.0 - psum), 0.0)
+        chi2 += e  # (0 - e)^2 / e
+        rows.append([-1, 0, e, -math.sqrt(e) if e > 0 else 0.0])
+    spark = features.sparkSession
+    return spark.createDataFrame(
+        [r + [chi2] for r in rows],
+        "pattern long, n_pairs long, expected double, "
+        "pearson_resid double, chi2 double",
+    )

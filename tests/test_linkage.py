@@ -424,3 +424,38 @@ def test_estimate_u_deterministic_and_guards(spark):
         estimate_u(recs, [("x", "band"), ("x", "band")])
     with _pytest.raises(ValueError):
         estimate_u(recs, [("band", "band")], n_buckets=0)
+
+
+def test_fs_fit_audit_invariants(spark):
+    import math
+
+    from minimel_spark.operators.linkage import fs_fit_audit
+
+    # planted two-feature world: half clear matches, half clear non-matches
+    rows = [(0.9, 0.85) for _ in range(40)] + [(0.1, 0.2) for _ in range(60)]
+    rows += [(0.9, 0.2) for _ in range(5)]  # a correlated-breaking corner
+    feats = spark.createDataFrame(rows, "s1 double, s2 double")
+    out = fs_fit_audit(feats, {"s1": 0.5, "s2": 0.5}, n_iter=3).collect()
+    n_total = sum(r["n_pairs"] for r in out)
+    assert n_total == 105
+    # expected counts sum to N across ALL cells (unobserved row included)
+    assert abs(sum(r["expected"] for r in out) - 105.0) < 1e-6
+    # chi2 constant column == recomputed from the rows themselves
+    chi2 = out[0]["chi2"]
+    recomputed = sum(
+        (r["n_pairs"] - r["expected"]) ** 2 / r["expected"]
+        for r in out
+        if r["expected"] > 0
+    )
+    assert abs(chi2 - recomputed) < 1e-9
+    assert all(abs(r["chi2"] - chi2) < 1e-12 for r in out)
+    # residual sign matches over/under-prediction
+    for r in out:
+        if r["pattern"] >= 0 and r["expected"] > 0:
+            expect_sign = (r["n_pairs"] - r["expected"]) / math.sqrt(r["expected"])
+            assert abs(r["pearson_resid"] - expect_sign) < 1e-9
+    # the unobserved-mass row is present (pattern 2 = s1 agrees alone is
+    # observed here, so only check shape) and counts nothing observed
+    unobs = [r for r in out if r["pattern"] == -1]
+    for r in unobs:
+        assert r["n_pairs"] == 0 and r["pearson_resid"] <= 0
