@@ -1859,6 +1859,69 @@ SELECT a.name AS rec_id_a, b.name AS rec_id_b,
 FROM e a JOIN e b ON a.bk = b.bk AND a.name < b.name"""
 
 
+def q_er_geo_join(spark, sf_dir):
+    """Grid-blocked geospatial distance self-join (operators/geo.py
+    grid_distance_join): customers placed at md5-derived lat/lon
+    (|lat| <= 60), all pairs within 100 km via 2-degree grid cells with
+    3x3 neighbor replication and longitude wraparound, exact haversine
+    filter. The oracle is the BRUTE-FORCE all-pairs haversine join — a
+    value-hash match therefore proves not just the distance arithmetic
+    but the blocking's completeness (no qualifying pair escapes the
+    neighborhood)."""
+    from minimel_spark.operators.geo import grid_distance_join
+
+    cust = _t(spark, sf_dir, "customer")
+
+    def _u(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+        )
+
+    recs = cust.select(
+        F.col("c_custkey").alias("rec_id"),
+        (_u(":lat") * 120 - 60).alias("lat"),
+        (_u(":lon") * 360 - 180).alias("lon"),
+    )
+    out = grid_distance_join(
+        recs, radius_km=100.0, cell_deg=2.0, max_abs_lat=60.0
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("distance_km", 6).alias("distance_km"),
+    )
+
+
+SQL_ER_GEO_JOIN = """
+WITH c AS (
+  SELECT c_custkey AS id,
+         ('0x' || substr(md5(c_custkey::VARCHAR || ':lat'), 1, 8))::UBIGINT
+           / 4294967296.0 * 120 - 60 AS lat,
+         ('0x' || substr(md5(c_custkey::VARCHAR || ':lon'), 1, 8))::UBIGINT
+           / 4294967296.0 * 360 - 180 AS lon
+  FROM customer),
+p AS (
+  SELECT a.id AS ia, b.id AS ib,
+         sin(radians(b.lat - a.lat) / 2) AS sa,
+         sin(radians(b.lon - a.lon) / 2) AS so,
+         cos(radians(a.lat)) * cos(radians(b.lat)) AS cc
+  FROM c a JOIN c b ON a.id < b.id),
+d AS (SELECT ia, ib,
+             2 * 6371.0088 * asin(sqrt(least(sa * sa + cc * so * so, 1.0))) AS km
+      FROM p)
+SELECT ia::BIGINT AS id_a, ib::BIGINT AS id_b, round(km, 6) AS distance_km
+FROM d WHERE km <= 100"""
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -7940,6 +8003,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_geo_join",
     "er_fs_audit",
     "er_pprl_clk",
     "er_u_estimate",
@@ -8051,7 +8115,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 156
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 157
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -8208,6 +8272,7 @@ _ORACLES: dict[str, str] = {
     "er_u_estimate": SQL_ER_U_ESTIMATE,
     "er_pprl_clk": SQL_ER_PPRL_CLK,
     "er_fs_audit": SQL_ER_FS_AUDIT,
+    "er_geo_join": SQL_ER_GEO_JOIN,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,
