@@ -1922,6 +1922,88 @@ SELECT ia::BIGINT AS id_a, ib::BIGINT AS id_b, round(km, 6) AS distance_km
 FROM d WHERE km <= 100"""
 
 
+def q_er_nbr_evidence(spark, sf_dir):
+    """One-step collective-ER neighborhood evidence (operators/graph.py
+    neighborhood_evidence — Bhattacharya & Getoor's relational signal /
+    the classic link-prediction features): customer pairs blocked on
+    (nation, segment), each pair scored by its shared distinct-supplier
+    neighborhood in the orders⋈lineitem bipartite graph — common-neighbor
+    count, neighborhood Jaccard, and Adamic-Adar (rare shared suppliers
+    weigh more). The oracle recomputes the deduplicated link table, both
+    degrees, the intersection, and the 1/ln(deg) sum natively, including
+    the zero-shared left-join path."""
+    from minimel_spark.operators.graph import neighborhood_evidence
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        cust.select(
+            F.col("c_custkey").alias("id_a"),
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .join(
+            cust.select(
+                F.col("c_custkey").alias("id_b"),
+                F.col("c_nationkey").alias("nat"),
+                F.col("c_mktsegment").alias("seg"),
+            ),
+            ["nat", "seg"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    links = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("rec_id"), F.col("l_suppkey").alias("nbr_id")
+    )
+    out = neighborhood_evidence(pairs, links)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "n_a",
+        "n_b",
+        "n_shared",
+        F.round("jacc_nbr", 6).alias("jacc_nbr"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
+
+
+SQL_ER_NBR_EVIDENCE = """
+WITH l AS (
+  SELECT DISTINCT o.o_custkey AS rec, li.l_suppkey AS z
+  FROM orders o JOIN lineitem li ON li.l_orderkey = o.o_orderkey),
+degr AS (SELECT rec, count(*) AS d FROM l GROUP BY rec),
+degz AS (SELECT z, count(*) AS dz FROM l GROUP BY z),
+p AS (
+  SELECT a.c_custkey AS ia, b.c_custkey AS ib
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey),
+sh AS (
+  SELECT p.ia, p.ib, count(*) AS ns, sum(1.0 / ln(dz)) AS aa
+  FROM p
+  JOIN l la ON la.rec = p.ia
+  JOIN l lb ON lb.rec = p.ib AND lb.z = la.z
+  JOIN degz ON degz.z = la.z
+  GROUP BY p.ia, p.ib)
+SELECT p.ia::BIGINT AS id_a, p.ib::BIGINT AS id_b,
+       coalesce(da.d, 0)::BIGINT AS n_a,
+       coalesce(db.d, 0)::BIGINT AS n_b,
+       coalesce(sh.ns, 0)::BIGINT AS n_shared,
+       round(CASE WHEN coalesce(da.d, 0) + coalesce(db.d, 0)
+                       - coalesce(sh.ns, 0) > 0
+                  THEN coalesce(sh.ns, 0)::DOUBLE
+                       / (coalesce(da.d, 0) + coalesce(db.d, 0)
+                          - coalesce(sh.ns, 0))
+                  ELSE 0.0 END, 6) AS jacc_nbr,
+       round(coalesce(sh.aa, 0.0), 6) AS adamic_adar
+FROM p
+LEFT JOIN degr da ON da.rec = p.ia
+LEFT JOIN degr db ON db.rec = p.ib
+LEFT JOIN sh ON sh.ia = p.ia AND sh.ib = p.ib"""
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -8003,6 +8085,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_nbr_evidence",
     "er_geo_join",
     "er_fs_audit",
     "er_pprl_clk",
@@ -8115,7 +8198,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 157
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 158
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -8273,6 +8356,7 @@ _ORACLES: dict[str, str] = {
     "er_pprl_clk": SQL_ER_PPRL_CLK,
     "er_fs_audit": SQL_ER_FS_AUDIT,
     "er_geo_join": SQL_ER_GEO_JOIN,
+    "er_nbr_evidence": SQL_ER_NBR_EVIDENCE,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,

@@ -301,3 +301,81 @@ def k_core(
     return nodes.select("node").join(
         active.withColumn("in_core", F.lit(True)), "node", "left"
     ).select("node", F.coalesce("in_core", F.lit(False)).alias("in_core"))
+
+
+def neighborhood_evidence(
+    pairs: DataFrame,
+    links: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    rec_col: str = "rec_id",
+    nbr_col: str = "nbr_id",
+) -> DataFrame:
+    """One-step collective-ER evidence (Bhattacharya & Getoor's relational
+    signal; also the classic link-prediction feature set): for each
+    candidate record pair, how much NEIGHBORHOOD the two records share in
+    a bipartite link table (customer→supplier, author→venue, page→host…).
+
+    Output: ``pairs`` keys + ``n_a``/``n_b`` (distinct neighbor degrees),
+    ``n_shared`` (common neighbors), ``jacc_nbr`` (|∩|/|∪|, 0.0 when both
+    neighborhoods are empty) and ``adamic_adar``
+    (Σ_{z∈∩} 1/ln(deg(z)) — rare shared neighbors weigh more; a shared
+    neighbor always has degree ≥ 2 in the deduplicated link table, so the
+    log never vanishes). Pairs with no shared neighbor get zeros, not
+    dropped — the evidence column composes with the string-similarity
+    features in pairs.py by a plain join.
+
+    Scale: ``links`` is deduplicated once, degrees are two small
+    aggregations, shared neighbors come from two id-equi joins
+    (pairs⋈links on a, then on (b, neighbor)) and ONE groupBy on the pair
+    key — the same blocked-pair discipline as every comparison operator
+    here; nothing is all-pairs and the fan-out is bounded by true degree."""
+    l = links.select(
+        F.col(rec_col).alias("_rec"), F.col(nbr_col).alias("_nbr")
+    ).distinct()
+    deg_rec = l.groupBy("_rec").agg(F.count(F.lit(1)).alias("_deg"))
+    deg_nbr = l.groupBy("_nbr").agg(F.count(F.lit(1)).alias("_dz"))
+    base = pairs.select(id_a, id_b)
+    shared = (
+        base.join(
+            l.select(F.col("_rec").alias(id_a), F.col("_nbr").alias("_z")), id_a
+        )
+        .join(
+            l.select(F.col("_rec").alias(id_b), F.col("_nbr").alias("_z")),
+            [id_b, "_z"],
+        )
+        .join(deg_nbr.withColumnRenamed("_nbr", "_z"), "_z")
+        .groupBy(id_a, id_b)
+        .agg(
+            F.count(F.lit(1)).alias("_n_shared"),
+            F.sum(1.0 / F.log("_dz")).alias("_aa"),
+        )
+    )
+    out = (
+        base.join(
+            deg_rec.select(F.col("_rec").alias(id_a), F.col("_deg").alias("_na")),
+            id_a,
+            "left",
+        )
+        .join(
+            deg_rec.select(F.col("_rec").alias(id_b), F.col("_deg").alias("_nb")),
+            id_b,
+            "left",
+        )
+        .join(shared, [id_a, id_b], "left")
+    )
+    na = F.coalesce(F.col("_na"), F.lit(0))
+    nb = F.coalesce(F.col("_nb"), F.lit(0))
+    ns = F.coalesce(F.col("_n_shared"), F.lit(0))
+    union = na + nb - ns
+    return out.select(
+        id_a,
+        id_b,
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        ns.cast("long").alias("n_shared"),
+        F.when(union > 0, ns.cast("double") / union)
+        .otherwise(F.lit(0.0))
+        .alias("jacc_nbr"),
+        F.coalesce(F.col("_aa"), F.lit(0.0)).alias("adamic_adar"),
+    )

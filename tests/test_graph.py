@@ -256,3 +256,40 @@ def test_k_core_validates_k(spark):
     nodes = spark.createDataFrame([(1,), (2,)], "node long")
     with pytest.raises(ValueError, match="k must be"):
         k_core(edges, nodes, k=0)
+
+
+def test_neighborhood_evidence_hand_example(spark):
+    import math
+
+    from minimel_spark.operators.graph import neighborhood_evidence
+
+    # a: {x, y}; b: {y, z}; c: {} — y is shared by a,b (deg 2)
+    links = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "y"), (2, "z"), (1, "y")],  # dup link dropped
+        "rec_id long, nbr_id string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r
+        for r in neighborhood_evidence(pairs, links).collect()
+    }
+    r12 = rows[(1, 2)]
+    assert (r12["n_a"], r12["n_b"], r12["n_shared"]) == (2, 2, 1)
+    assert abs(r12["jacc_nbr"] - 1 / 3) < 1e-12
+    assert abs(r12["adamic_adar"] - 1 / math.log(2)) < 1e-12
+    # record 3 has no links at all: zeros, not dropped
+    r13 = rows[(1, 3)]
+    assert (r13["n_a"], r13["n_b"], r13["n_shared"]) == (2, 0, 0)
+    assert r13["jacc_nbr"] == 0.0 and r13["adamic_adar"] == 0.0
+
+
+def test_neighborhood_evidence_empty_both_sides(spark):
+    from minimel_spark.operators.graph import neighborhood_evidence
+
+    links = spark.createDataFrame([(9, "q")], "rec_id long, nbr_id string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    row = neighborhood_evidence(pairs, links).collect()[0]
+    # both neighborhoods empty -> union 0 -> jaccard 0.0 (guarded)
+    assert row["jacc_nbr"] == 0.0 and row["n_shared"] == 0
