@@ -6304,6 +6304,74 @@ SELECT n_pos, n_neg,
 FROM a"""
 
 
+def q_er_brier(spark, sf_dir):
+    """Brier score + Murphy decomposition (operators/evaluate.py
+    brier_decomposition) on the SAME miscalibrated md5 world as
+    er_calibration and er_roc_auc — the trio separates ranking quality
+    (AUC high), calibration (ECE/reliability bad), and the proper-score
+    total (brier) on one fixture. The oracle recomputes the bins, both
+    aggregate levels, and the identity-residual ``within_bin`` natively."""
+    from minimel_spark.operators.evaluate import brier_decomposition
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _u(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+        )
+
+    scored = docs.select(
+        _u(":cal1").alias("score"),
+        (_u(":cal2") < _u(":cal1") * _u(":cal1")).alias("label"),
+    )
+    out = brier_decomposition(scored, n_bins=10)
+    return out.select(
+        "n",
+        F.round("base_rate", 6).alias("base_rate"),
+        F.round("brier", 6).alias("brier"),
+        F.round("reliability", 6).alias("reliability"),
+        F.round("resolution", 6).alias("resolution"),
+        F.round("uncertainty", 6).alias("uncertainty"),
+        F.round("within_bin", 6).alias("within_bin"),
+    )
+
+
+SQL_ER_BRIER = """
+WITH s AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR || ':cal1'), 1, 8))::UBIGINT
+           / 4294967296.0 AS score,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':cal2'), 1, 8))::UBIGINT
+                   / 4294967296.0
+                   < (('0x' || substr(md5(doc_id::VARCHAR || ':cal1'), 1, 8))::UBIGINT
+                      / 4294967296.0)
+                     * (('0x' || substr(md5(doc_id::VARCHAR || ':cal1'), 1, 8))::UBIGINT
+                        / 4294967296.0)
+              THEN 1.0 ELSE 0.0 END AS l
+  FROM documents),
+b AS (SELECT least(greatest(floor(score * 10), 0), 9)::INT AS bin, score, l FROM s),
+gl AS (SELECT count(*)::DOUBLE AS nn, avg(l) AS ybar,
+                avg((score - l) * (score - l)) AS brier
+         FROM b),
+per AS (SELECT bin, count(*) AS nb, avg(score) AS pb, avg(l) AS yb
+        FROM b GROUP BY bin),
+parts AS (
+  SELECT sum(nb * (pb - yb) * (pb - yb)) / any_value(nn) AS rel,
+         sum(nb * (yb - ybar) * (yb - ybar)) / any_value(nn) AS res
+  FROM per, gl)
+SELECT nn::BIGINT AS n, round(ybar, 6) AS base_rate, round(brier, 6) AS brier,
+       round(rel, 6) AS reliability, round(res, 6) AS resolution,
+       round(ybar * (1.0 - ybar), 6) AS uncertainty,
+       round(brier - (rel - res + ybar * (1.0 - ybar)), 6) AS within_bin
+FROM gl, parts"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -8085,6 +8153,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_brier",
     "er_nbr_evidence",
     "er_geo_join",
     "er_fs_audit",
@@ -8198,7 +8267,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 158
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 159
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -8357,6 +8426,7 @@ _ORACLES: dict[str, str] = {
     "er_fs_audit": SQL_ER_FS_AUDIT,
     "er_geo_join": SQL_ER_GEO_JOIN,
     "er_nbr_evidence": SQL_ER_NBR_EVIDENCE,
+    "er_brier": SQL_ER_BRIER,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,

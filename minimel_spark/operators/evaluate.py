@@ -638,3 +638,80 @@ def roc_auc(
         auc.alias("auc"),
         (2 * auc - 1).alias("gini"),
     )
+
+
+def brier_decomposition(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition — the
+    proper-scoring-rule companion to ``score_calibration``'s ECE and
+    ``roc_auc``'s ranking number: one row
+    ``(n, base_rate, brier, reliability, resolution, uncertainty,
+    within_bin)`` where, over the same clamped equal-width score bins as
+    ``score_calibration``,
+
+    - ``brier``       = mean (score − label)²   (exact, unbinned)
+    - ``reliability`` = Σ n_b·(p̄_b − ȳ_b)² / N  (calibration error — lower better)
+    - ``resolution``  = Σ n_b·(ȳ_b − ȳ)² / N    (discrimination — higher better)
+    - ``uncertainty`` = ȳ·(1 − ȳ)               (irreducible base-rate variance)
+    - ``within_bin``  = brier − (reliability − resolution + uncertainty),
+      the within-bin forecast-variance residual — exactly 0 when scores
+      are constant per bin, so the Murphy identity is emitted as data,
+      not assumed.
+
+    Distributed: ONE groupBy on the bin id (≤ n_bins rows) plus ONE global
+    1-row aggregate, crossJoined — same reduction discipline as
+    ``score_calibration``. Rows with NULL score or label are excluded."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    b = scored.select(
+        F.least(
+            F.greatest(F.floor(F.col(score_col) * n_bins), F.lit(0)),
+            F.lit(n_bins - 1),
+        )
+        .cast("int")
+        .alias("_bin"),
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("double").alias("_l"),
+    ).where(F.col("_s").isNotNull() & F.col("_l").isNotNull())
+    glob = b.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_l").alias("_ybar"),
+        F.avg((F.col("_s") - F.col("_l")) * (F.col("_s") - F.col("_l"))).alias(
+            "_brier"
+        ),
+    )
+    per = b.groupBy("_bin").agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.avg("_s").alias("_pb"),
+        F.avg("_l").alias("_yb"),
+    )
+    parts = per.crossJoin(F.broadcast(glob)).agg(
+        (
+            F.sum(
+                F.col("_nb") * (F.col("_pb") - F.col("_yb")) * (F.col("_pb") - F.col("_yb"))
+            )
+            / F.first("_n")
+        ).alias("_rel"),
+        (
+            F.sum(
+                F.col("_nb") * (F.col("_yb") - F.col("_ybar")) * (F.col("_yb") - F.col("_ybar"))
+            )
+            / F.first("_n")
+        ).alias("_res"),
+    )
+    unc = F.col("_ybar") * (1.0 - F.col("_ybar"))
+    return glob.crossJoin(F.broadcast(parts)).select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_ybar").alias("base_rate"),
+        F.col("_brier").alias("brier"),
+        F.col("_rel").alias("reliability"),
+        F.col("_res").alias("resolution"),
+        unc.alias("uncertainty"),
+        (F.col("_brier") - (F.col("_rel") - F.col("_res") + unc)).alias(
+            "within_bin"
+        ),
+    )

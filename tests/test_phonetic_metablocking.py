@@ -898,3 +898,43 @@ def test_roc_auc_degenerate_and_nulls(spark):
     row = roc_auc(mixed).collect()[0]
     assert row["n_pos"] == 1 and row["n_neg"] == 2
     assert row["auc"] == 1.0
+
+
+def test_brier_decomposition_identities(spark):
+    from minimel_spark.operators.evaluate import brier_decomposition
+
+    # constant-per-bin forecasts -> within_bin exactly 0 and the Murphy
+    # identity brier = rel - res + unc holds to machine precision
+    rows = (
+        [(0.05, True)] * 2 + [(0.05, False)] * 8
+        + [(0.95, True)] * 9 + [(0.95, False)] * 1
+    )
+    scored = spark.createDataFrame(rows, "score double, label boolean")
+    r = brier_decomposition(scored, n_bins=10).collect()[0]
+    assert r["n"] == 20
+    assert abs(r["base_rate"] - 11 / 20) < 1e-12
+    assert abs(r["within_bin"]) < 1e-12
+    assert abs(
+        r["brier"] - (r["reliability"] - r["resolution"] + r["uncertainty"])
+    ) < 1e-12
+    # hand brier: bin1 p=.05 y=.2; bin10 p=.95 y=.9
+    expected_brier = (
+        2 * 0.95**2 + 8 * 0.05**2 + 9 * 0.05**2 + 1 * 0.95**2
+    ) / 20
+    assert abs(r["brier"] - expected_brier) < 1e-12
+
+
+def test_brier_perfect_forecaster_and_guard(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.evaluate import brier_decomposition
+
+    perfect = spark.createDataFrame(
+        [(1.0, True)] * 3 + [(0.0, False)] * 7, "score double, label boolean"
+    )
+    r = brier_decomposition(perfect, n_bins=10).collect()[0]
+    assert r["brier"] == 0.0 and r["reliability"] == 0.0
+    # perfect forecaster's resolution equals uncertainty
+    assert abs(r["resolution"] - r["uncertainty"]) < 1e-12
+    with _pytest.raises(ValueError):
+        brier_decomposition(perfect, n_bins=0)
