@@ -6372,6 +6372,67 @@ SELECT nn::BIGINT AS n, round(ybar, 6) AS base_rate, round(brier, 6) AS brier,
 FROM gl, parts"""
 
 
+def q_er_transitivity(spark, sf_dir):
+    """Transitivity audit of a matcher's edge set (operators/graph.py
+    transitivity_audit): part-name pairs blocked on their LAST word become
+    match edges at normalized-Levenshtein >= 0.65; the audit reports all
+    2-paths (from the degree distribution alone), closed-wedge instances
+    (3x triangles via the degree-ordered enumerator), open wedges — the
+    decisions clustering must overrule — and the global clustering
+    coefficient. The oracle recomputes edges, degrees, Sum C(deg,2), and
+    the triangle join natively."""
+    from minimel_spark.operators.graph import transitivity_audit
+
+    part = _t(spark, sf_dir, "part")
+    recs = part.select(F.col("p_name").alias("name")).distinct()
+    blocked = recs.select(
+        "name", F.regexp_extract("name", r"(\w+)$", 1).alias("bk")
+    )
+    pairs = (
+        blocked.select(F.col("name").alias("src"), "bk")
+        .join(blocked.select(F.col("name").alias("dst"), "bk"), "bk")
+        .where(F.col("src") < F.col("dst"))
+    )
+    lev_sim = 1.0 - F.levenshtein("src", "dst") / F.greatest(
+        F.length("src"), F.length("dst")
+    )
+    edges = pairs.where(lev_sim >= 0.65).select("src", "dst")
+    return transitivity_audit(edges).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_closed",
+        "n_open",
+        F.round("transitivity", 6).alias("transitivity"),
+    )
+
+
+SQL_ER_TRANSITIVITY = """
+WITH r AS (SELECT DISTINCT p_name AS name FROM part),
+b AS (SELECT name, regexp_extract(name, '(\\w+)$', 1) AS bk FROM r),
+e AS (SELECT a.name AS a, c.name AS b
+      FROM b a JOIN b c ON a.bk = c.bk AND a.name < c.name
+      WHERE 1.0 - levenshtein(a.name, c.name)::DOUBLE
+            / greatest(length(a.name), length(c.name)) >= 0.65),
+deg AS (SELECT node, count(*) AS d
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node),
+w AS (SELECT count(*)::BIGINT AS n_nodes,
+             (sum(d * (d - 1)) / 2)::BIGINT AS n_wedges
+      FROM deg),
+m AS (SELECT count(*)::BIGINT AS n_edges FROM e),
+tri AS (SELECT count(*)::BIGINT AS t
+        FROM e ab JOIN e bc ON ab.b = bc.a
+        JOIN e ac ON ac.a = ab.a AND ac.b = bc.b)
+SELECT n_nodes, n_edges, n_wedges,
+       (3 * t)::BIGINT AS n_closed,
+       (n_wedges - 3 * t)::BIGINT AS n_open,
+       round(CASE WHEN n_wedges > 0
+                  THEN (3 * t)::DOUBLE / n_wedges ELSE 0.0 END, 6)
+         AS transitivity
+FROM w, m, tri"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -8153,6 +8214,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_transitivity",
     "er_brier",
     "er_nbr_evidence",
     "er_geo_join",
@@ -8267,7 +8329,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 159
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 160
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -8427,6 +8489,7 @@ _ORACLES: dict[str, str] = {
     "er_geo_join": SQL_ER_GEO_JOIN,
     "er_nbr_evidence": SQL_ER_NBR_EVIDENCE,
     "er_brier": SQL_ER_BRIER,
+    "er_transitivity": SQL_ER_TRANSITIVITY,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,

@@ -379,3 +379,76 @@ def neighborhood_evidence(
         .alias("jacc_nbr"),
         F.coalesce(F.col("_aa"), F.lit(0.0)).alias("adamic_adar"),
     )
+
+
+def transitivity_audit(edges: DataFrame) -> DataFrame:
+    """Global transitivity audit of a match-decision edge set — the ER
+    consistency check that motivates correlation clustering: a pairwise
+    matcher that says a~b and b~c but NOT a~c produces an open wedge, and
+    every open wedge is a decision some clustering step must overrule.
+    One row: ``(n_nodes, n_edges, n_wedges, n_closed, n_open,
+    transitivity)`` where ``n_wedges = Σ_v C(deg(v), 2)`` (all 2-paths),
+    ``n_closed = 3·triangles`` (wedge instances whose closing edge
+    exists), ``n_open`` their difference, and ``transitivity`` the global
+    clustering coefficient ``n_closed / n_wedges`` (0.0 on a wedge-free
+    graph).
+
+    Scale: the wedge count comes from the DEGREE DISTRIBUTION alone (one
+    aggregate — no wedge is enumerated), and the triangle total reuses
+    ``triangle_counts``' degree-ordered enumeration (m^1.5-bounded, the
+    Suri-Vassilvitskii bound) — so the audit never materializes the
+    quadratic neighbor pairs of a hub node."""
+    caches: list = []
+    try:
+        und = (
+            edges.select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
+            .persist()
+        )
+        caches.append(und)
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionAll(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        base = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+            .cast("long")
+            .alias("n_wedges"),
+        )
+        m = und.agg(F.count(F.lit(1)).alias("n_edges"))
+        nodes = deg.select("node")
+        tri = triangle_counts(
+            und.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            nodes,
+            persisted_out=caches,
+        ).agg(F.sum("n_tri").cast("long").alias("_tri3"))
+        out = (
+            base.crossJoin(F.broadcast(m))
+            .crossJoin(F.broadcast(tri))
+            .select(
+                "n_nodes",
+                F.col("n_edges").cast("long").alias("n_edges"),
+                "n_wedges",
+                F.col("_tri3").alias("n_closed"),
+                (F.col("n_wedges") - F.col("_tri3")).alias("n_open"),
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.col("_tri3").cast("double") / F.col("n_wedges"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("transitivity"),
+            )
+        )
+        rows = out.collect()
+        return edges.sparkSession.createDataFrame(rows, out.schema)
+    finally:
+        for c in caches:
+            c.unpersist()

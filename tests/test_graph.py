@@ -293,3 +293,27 @@ def test_neighborhood_evidence_empty_both_sides(spark):
     row = neighborhood_evidence(pairs, links).collect()[0]
     # both neighborhoods empty -> union 0 -> jaccard 0.0 (guarded)
     assert row["jacc_nbr"] == 0.0 and row["n_shared"] == 0
+
+
+def test_transitivity_audit_hand_graph(spark):
+    from minimel_spark.operators.graph import transitivity_audit
+
+    # triangle 1-2-3 plus a pendant 3-4: wedges = C(2,2 at 1,2)=1+1,
+    # at 3 deg=3 -> 3 wedges, at 4 deg=1 -> 0  => 5 wedges, 3 closed
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (3, 4), (4, 3), (5, 5)],
+        "src long, dst long",
+    )
+    r = transitivity_audit(edges).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_edges"] == 4  # dups/self-loop erased
+    assert r["n_wedges"] == 5
+    assert r["n_closed"] == 3 and r["n_open"] == 2
+    assert abs(r["transitivity"] - 0.6) < 1e-12
+
+
+def test_transitivity_audit_wedge_free(spark):
+    from minimel_spark.operators.graph import transitivity_audit
+
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    r = transitivity_audit(edges).collect()[0]
+    assert r["n_wedges"] == 0 and r["transitivity"] == 0.0
