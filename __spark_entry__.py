@@ -6433,6 +6433,102 @@ SELECT n_nodes, n_edges, n_wedges,
 FROM w, m, tri"""
 
 
+def q_rel_schema_match(spark, sf_dir):
+    """Instance-based schema matching (operators/profile.py
+    column_value_overlap): the full customer×supplier column-pair matrix
+    of distinct-value overlap — nationkey↔nationkey shows near-total
+    containment (the join-key signal), custkey↔suppkey shows the
+    small-table-subset containment, names are disjoint. Balances are
+    compared as integer cents (float→string casts are not
+    engine-portable, per the operator contract). The oracle recomputes
+    both unpivoted distinct sets, the overlap join, and all three ratios
+    natively, including the zero-overlap rows."""
+    from minimel_spark.operators.profile import column_value_overlap
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("c_bal_cents"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.floor(F.col("s_acctbal") * 100).cast("long").alias("s_bal_cents"),
+    )
+    out = column_value_overlap(cust, supp)
+    return out.select(
+        "col_left",
+        "col_right",
+        "n_left",
+        "n_right",
+        "n_common",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("contain_left", 6).alias("contain_left"),
+        F.round("contain_right", 6).alias("contain_right"),
+    )
+
+
+def _schema_match_sql() -> str:
+    lcols = {
+        "c_custkey": "c_custkey::VARCHAR",
+        "c_name": "c_name",
+        "c_nationkey": "c_nationkey::VARCHAR",
+        "c_mktsegment": "c_mktsegment",
+        "c_bal_cents": "floor(c_acctbal * 100)::BIGINT::VARCHAR",
+    }
+    rcols = {
+        "s_suppkey": "s_suppkey::VARCHAR",
+        "s_name": "s_name",
+        "s_nationkey": "s_nationkey::VARCHAR",
+        "s_bal_cents": "floor(s_acctbal * 100)::BIGINT::VARCHAR",
+    }
+    lv = "\n  UNION ALL\n".join(
+        f"  SELECT DISTINCT '{c}' AS cl, {e} AS v FROM customer WHERE {e} IS NOT NULL"
+        for c, e in lcols.items()
+    )
+    rv = "\n  UNION ALL\n".join(
+        f"  SELECT DISTINCT '{c}' AS cr, {e} AS v FROM supplier WHERE {e} IS NOT NULL"
+        for c, e in rcols.items()
+    )
+    pairs = ",\n    ".join(
+        f"('{a}', '{b}')" for a in lcols for b in rcols
+    )
+    return f"""
+WITH lv AS (
+{lv}),
+rv AS (
+{rv}),
+dl AS (SELECT cl, count(*) AS nl FROM lv GROUP BY cl),
+dr AS (SELECT cr, count(*) AS nr FROM rv GROUP BY cr),
+iv AS (SELECT cl, cr, count(*) AS nc FROM lv JOIN rv USING (v) GROUP BY cl, cr),
+pairs(cl, cr) AS (VALUES
+    {pairs})
+SELECT pairs.cl AS col_left, pairs.cr AS col_right,
+       coalesce(nl, 0)::BIGINT AS n_left,
+       coalesce(nr, 0)::BIGINT AS n_right,
+       coalesce(nc, 0)::BIGINT AS n_common,
+       round(CASE WHEN coalesce(nl, 0) + coalesce(nr, 0) - coalesce(nc, 0) > 0
+                  THEN coalesce(nc, 0)::DOUBLE
+                       / (coalesce(nl, 0) + coalesce(nr, 0) - coalesce(nc, 0))
+                  ELSE 0.0 END, 6) AS jaccard,
+       round(CASE WHEN coalesce(nl, 0) > 0
+                  THEN coalesce(nc, 0)::DOUBLE / nl ELSE 0.0 END, 6)
+         AS contain_left,
+       round(CASE WHEN coalesce(nr, 0) > 0
+                  THEN coalesce(nc, 0)::DOUBLE / nr ELSE 0.0 END, 6)
+         AS contain_right
+FROM pairs
+LEFT JOIN dl ON dl.cl = pairs.cl
+LEFT JOIN dr ON dr.cr = pairs.cr
+LEFT JOIN iv ON iv.cl = pairs.cl AND iv.cr = pairs.cr"""
+
+
+SQL_REL_SCHEMA_MATCH = _schema_match_sql()
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -8214,6 +8310,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "rel_schema_match",
     "er_transitivity",
     "er_brier",
     "er_nbr_evidence",
@@ -8329,7 +8426,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 160
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 161
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -8490,6 +8587,7 @@ _ORACLES: dict[str, str] = {
     "er_nbr_evidence": SQL_ER_NBR_EVIDENCE,
     "er_brier": SQL_ER_BRIER,
     "er_transitivity": SQL_ER_TRANSITIVITY,
+    "rel_schema_match": SQL_REL_SCHEMA_MATCH,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,

@@ -68,3 +68,92 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
         ]
     )
     return one.select(F.explode(per_col).alias("s")).select("s.*")
+
+
+def column_value_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Instance-based schema matching: for every (left column, right
+    column) pair, how much their DISTINCT VALUE sets overlap — the signal
+    data-integration systems use to propose join keys and column
+    correspondences before any ER runs (a column pair with high
+    containment is a candidate foreign key; high Jaccard a candidate
+    shared identifier).
+
+    Output: one row per column pair —
+    ``(col_left, col_right, n_left, n_right, n_common, jaccard,
+    contain_left, contain_right)`` over string-cast distinct non-NULL
+    values (``contain_left = |∩|/|left|``, the asymmetric
+    subset-of signal). Pairs with no overlap are emitted with zeros, so
+    the output is always the full |L|×|R| matrix.
+
+    Scale: each side is unpivoted in ONE scan (explode of a per-row
+    struct array), reduced to distinct (column, value) — at most
+    n_cols × n_distinct rows; the overlap join fans out at most
+    n_cols² per value because values are distinct per column. Two small
+    degree aggregates and one groupBy finish it. Cast integer/string
+    columns only if results must be engine-portable (float→string
+    formatting differs across engines)."""
+    if left_cols is None:
+        left_cols = list(left.columns)
+    if right_cols is None:
+        right_cols = list(right.columns)
+    if not left_cols or not right_cols:
+        raise ValueError("both column lists must be non-empty")
+
+    def _unpivot(df, cols, key):
+        return (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias(key),
+                                F.col(c).cast("string").alias("_v"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("_s")
+            )
+            .select(f"_s.{key}", "_s._v")
+            .where(F.col("_v").isNotNull())
+            .distinct()
+        )
+
+    lv = _unpivot(left, left_cols, "col_left")
+    rv = _unpivot(right, right_cols, "col_right")
+    deg_l = lv.groupBy("col_left").agg(F.count(F.lit(1)).alias("n_left"))
+    deg_r = rv.groupBy("col_right").agg(F.count(F.lit(1)).alias("n_right"))
+    inter = (
+        lv.join(rv, "_v")
+        .groupBy("col_left", "col_right")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+    )
+    spark = left.sparkSession
+    pairs = spark.createDataFrame(
+        [(a, b) for a in left_cols for b in right_cols],
+        "col_left string, col_right string",
+    )
+    out = (
+        pairs.join(deg_l, "col_left", "left")
+        .join(deg_r, "col_right", "left")
+        .join(inter, ["col_left", "col_right"], "left")
+    )
+    nl = F.coalesce(F.col("n_left"), F.lit(0))
+    nr = F.coalesce(F.col("n_right"), F.lit(0))
+    nc = F.coalesce(F.col("_nc"), F.lit(0))
+    union = nl + nr - nc
+    return out.select(
+        "col_left",
+        "col_right",
+        nl.cast("long").alias("n_left"),
+        nr.cast("long").alias("n_right"),
+        nc.cast("long").alias("n_common"),
+        F.when(union > 0, nc.cast("double") / union).otherwise(0.0).alias("jaccard"),
+        F.when(nl > 0, nc.cast("double") / nl).otherwise(0.0).alias("contain_left"),
+        F.when(nr > 0, nc.cast("double") / nr).otherwise(0.0).alias("contain_right"),
+    )

@@ -61,3 +61,40 @@ def test_exact_quantiles_empty_and_validation(spark):
         exact_quantiles(df, "x", [])
     with pytest.raises(ValueError):
         exact_quantiles(df, "x", [1.5])
+
+
+def test_column_value_overlap_hand_example(spark):
+    from minimel_spark.operators.profile import column_value_overlap
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b"), (3, None)], "k long, s string"
+    )
+    right = spark.createDataFrame(
+        [(2, "b"), (3, "z"), (4, "b")], "k long, t string"
+    )
+    rows = {
+        (r["col_left"], r["col_right"]): r
+        for r in column_value_overlap(left, right).collect()
+    }
+    assert len(rows) == 4  # full 2x2 matrix, zero-overlap rows included
+    kk = rows[("k", "k")]
+    # {1,2,3} vs {2,3,4}: common {2,3}
+    assert (kk["n_left"], kk["n_right"], kk["n_common"]) == (3, 3, 2)
+    assert abs(kk["jaccard"] - 0.5) < 1e-12
+    st = rows[("s", "t")]
+    # {a,b} vs {b,z}: common {b}; NULL excluded on the left
+    assert (st["n_left"], st["n_right"], st["n_common"]) == (2, 2, 1)
+    assert abs(st["contain_left"] - 0.5) < 1e-12
+    # cross-typed pair k vs t: string-cast values don't collide
+    assert rows[("k", "t")]["n_common"] == 0
+    assert rows[("k", "t")]["jaccard"] == 0.0
+
+
+def test_column_value_overlap_guard(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.profile import column_value_overlap
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError):
+        column_value_overlap(df, df, left_cols=[])
