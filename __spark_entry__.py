@@ -6529,6 +6529,77 @@ LEFT JOIN iv ON iv.cl = pairs.cl AND iv.cr = pairs.cr"""
 SQL_REL_SCHEMA_MATCH = _schema_match_sql()
 
 
+def q_er_crosswalk_audit(spark, sf_dir):
+    """Crosswalk cardinality audit (operators/golden.py crosswalk_audit):
+    an md5-thinned sample of the supplier→part link table (p=0.005 keeps
+    all four classes populated at sf0.01) classified into 1:1 / 1:n /
+    n:1 / n:m by endpoint degrees — the safety check before anyone joins
+    through an id mapping. The oracle recomputes the sample, both degree
+    tables, the classification, the zero-filled class frame, and the link
+    shares natively."""
+    from minimel_spark.operators.golden import crosswalk_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_suppkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_partkey").cast("string"),
+                        F.lit(":xw"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    mapping = li.where(u < 0.005).select(
+        F.col("l_suppkey").alias("src_id"), F.col("l_partkey").alias("dst_id")
+    )
+    out = crosswalk_audit(mapping)
+    return out.select(
+        "link_class",
+        "n_links",
+        "n_src",
+        "n_dst",
+        F.round("pct_links", 6).alias("pct_links"),
+    )
+
+
+SQL_ER_CROSSWALK_AUDIT = """
+WITH l AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS d FROM lineitem
+  WHERE ('0x' || substr(md5(l_suppkey::VARCHAR || ':' || l_partkey::VARCHAR
+                            || ':xw'), 1, 8))::UBIGINT / 4294967296.0 < 0.005),
+ds AS (SELECT s, count(*) AS a FROM l GROUP BY s),
+dd AS (SELECT d, count(*) AS b FROM l GROUP BY d),
+cls AS (
+  SELECT s, d,
+         CASE WHEN a = 1 AND b = 1 THEN '1:1'
+              WHEN a > 1 AND b = 1 THEN '1:n'
+              WHEN a = 1 AND b > 1 THEN 'n:1'
+              ELSE 'n:m' END AS c
+  FROM l JOIN ds USING (s) JOIN dd USING (d)),
+per AS (SELECT c, count(*) AS n_links, count(DISTINCT s) AS n_src,
+               count(DISTINCT d) AS n_dst
+        FROM cls GROUP BY c),
+tot AS (SELECT sum(n_links)::DOUBLE AS t FROM per),
+frame(c) AS (VALUES ('1:1'), ('1:n'), ('n:1'), ('n:m'))
+SELECT frame.c AS link_class,
+       coalesce(n_links, 0)::BIGINT AS n_links,
+       coalesce(n_src, 0)::BIGINT AS n_src,
+       coalesce(n_dst, 0)::BIGINT AS n_dst,
+       round(CASE WHEN t > 0 THEN coalesce(n_links, 0) / t ELSE 0.0 END, 6)
+         AS pct_links
+FROM frame LEFT JOIN per ON per.c = frame.c, tot"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -8310,6 +8381,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_crosswalk_audit",
     "rel_schema_match",
     "er_transitivity",
     "er_brier",
@@ -8426,7 +8498,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 161
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 162
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -8588,6 +8660,7 @@ _ORACLES: dict[str, str] = {
     "er_brier": SQL_ER_BRIER,
     "er_transitivity": SQL_ER_TRANSITIVITY,
     "rel_schema_match": SQL_REL_SCHEMA_MATCH,
+    "er_crosswalk_audit": SQL_ER_CROSSWALK_AUDIT,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,

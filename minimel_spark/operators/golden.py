@@ -95,3 +95,69 @@ def golden_records(
             won = joined.groupBy(cluster_col).agg(agg.alias(a))
         out = out.join(won, cluster_col, "left")
     return out
+
+
+def crosswalk_audit(
+    mapping: DataFrame, src_col: str = "src_id", dst_col: str = "dst_id"
+) -> DataFrame:
+    """Cardinality audit of an id crosswalk (the mapping table an ER run
+    or a vendor feed produces between two id spaces) — the check that runs
+    BEFORE anyone joins through it: every distinct link is classified by
+    the degrees of its two endpoints into ``1:1`` (safe join key),
+    ``1:n`` / ``n:1`` (fan-out in one direction — aggregation needed), or
+    ``n:m`` (ambiguous — the links clustering must adjudicate).
+
+    Output: one row per class —
+    ``(link_class, n_links, n_src, n_dst, pct_links)`` with ``n_src`` /
+    ``n_dst`` the distinct endpoint counts inside the class and
+    ``pct_links`` the class share of all links. Classes are always all
+    four rows (zero-filled), so downstream checks can key on them.
+
+    Scale: dedup + two degree aggregations + one classify-and-count —
+    three shuffles on the link table, nothing else."""
+    links = mapping.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).distinct()
+    deg_s = links.groupBy("_s").agg(F.count(F.lit(1)).alias("_ds"))
+    deg_d = links.groupBy("_d").agg(F.count(F.lit(1)).alias("_dd"))
+    cls = (
+        links.join(deg_s, "_s")
+        .join(deg_d, "_d")
+        .select(
+            "_s",
+            "_d",
+            F.when((F.col("_ds") == 1) & (F.col("_dd") == 1), "1:1")
+            .when((F.col("_ds") > 1) & (F.col("_dd") == 1), "1:n")
+            .when((F.col("_ds") == 1) & (F.col("_dd") > 1), "n:1")
+            .otherwise("n:m")
+            .alias("link_class"),
+        )
+    )
+    # NOTE on degree orientation: _ds counts dst ids per src — a src with
+    # _ds > 1 fans OUT, so the class reads src:dst as 1:n.
+    per = cls.groupBy("link_class").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("_s").alias("n_src"),
+        F.countDistinct("_d").alias("n_dst"),
+    )
+    spark = mapping.sparkSession
+    all_classes = spark.createDataFrame(
+        [("1:1",), ("1:n",), ("n:1",), ("n:m",)], "link_class string"
+    )
+    tot = per.agg(F.sum("n_links").alias("_tot"))
+    return (
+        all_classes.join(per, "link_class", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "link_class",
+            F.coalesce("n_links", F.lit(0)).cast("long").alias("n_links"),
+            F.coalesce("n_src", F.lit(0)).cast("long").alias("n_src"),
+            F.coalesce("n_dst", F.lit(0)).cast("long").alias("n_dst"),
+            F.when(
+                F.col("_tot") > 0,
+                F.coalesce("n_links", F.lit(0)).cast("double") / F.col("_tot"),
+            )
+            .otherwise(0.0)
+            .alias("pct_links"),
+        )
+    )

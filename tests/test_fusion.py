@@ -121,3 +121,37 @@ def test_null_claims_are_dropped(spark):
     assert t["A"]["n_claims"] == 1
     # a source asserting ONLY NULLs asserted nothing: absent, not trust-skewed
     assert "B" not in t
+
+
+def test_crosswalk_audit_hand_example(spark):
+    from minimel_spark.operators.golden import crosswalk_audit
+
+    mapping = spark.createDataFrame(
+        [
+            ("a", "x"), ("a", "x"),          # dup link -> one 1:1
+            ("b", "y"), ("b", "z"),          # 1:n fan-out
+            ("c", "w"), ("d", "w"),          # n:1 fan-in
+            ("e", "u"), ("e", "v"), ("f", "u"),  # n:m tangle
+        ],
+        "src_id string, dst_id string",
+    )
+    rows = {r["link_class"]: r for r in crosswalk_audit(mapping).collect()}
+    assert set(rows) == {"1:1", "1:n", "n:1", "n:m"}
+    # per-link classes: a→x 1:1; b→y, b→z, e→v 1:n; c→w, d→w, f→u n:1;
+    # e→u (both endpoints deg 2) n:m
+    assert rows["1:1"]["n_links"] == 1
+    assert rows["1:n"]["n_links"] == 3 and rows["1:n"]["n_src"] == 2
+    assert rows["n:1"]["n_links"] == 3 and rows["n:1"]["n_dst"] == 2
+    assert rows["n:m"]["n_links"] == 1
+    total = sum(r["n_links"] for r in rows.values())
+    assert abs(sum(r["pct_links"] for r in rows.values()) - 1.0) < 1e-9
+    assert total == 8
+
+
+def test_crosswalk_audit_empty(spark):
+    from minimel_spark.operators.golden import crosswalk_audit
+
+    empty = spark.createDataFrame([], "src_id string, dst_id string")
+    rows = crosswalk_audit(empty).collect()
+    assert len(rows) == 4
+    assert all(r["n_links"] == 0 and r["pct_links"] == 0.0 for r in rows)
