@@ -6600,6 +6600,106 @@ SELECT frame.c AS link_class,
 FROM frame LEFT JOIN per ON per.c = frame.c, tot"""
 
 
+def q_er_auction_match(spark, sf_dir):
+    """Globally-optimized 1:1 linkage by synchronous auction
+    (operators/assignment.py auction_assignment — Bertsekas' distributed
+    substitute for the Hungarian algorithm): ~50 md5-sampled parts bid for
+    suppliers over an md5-thinned scored edge list, 6 fixed rounds at
+    ε=0.01 with deterministic tie-breaks. The oracle UNROLLS all six
+    auction rounds in SQL — bids, evictions, price ascents — the same
+    unrolled-iteration technique as the FS-EM oracle, so every
+    intermediate market state is value-checked, not just the final
+    assignment."""
+    from minimel_spark.operators.assignment import auction_assignment
+
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+
+    def _u(expr, salt):
+        return (
+            F.conv(F.substring(F.md5(F.concat(expr, F.lit(salt))), 1, 8), 16, 10)
+            .cast("double")
+            / F.lit(4294967296.0)
+        )
+
+    bidders = part.where(
+        _u(F.col("p_partkey").cast("string"), ":auc_b") < 0.025
+    ).select(F.col("p_partkey").alias("bidder"))
+    pairkey = F.concat(
+        F.col("bidder").cast("string"), F.lit(":"), F.col("item").cast("string")
+    )
+    edges = (
+        bidders.crossJoin(supp.select(F.col("s_suppkey").alias("item")))
+        .where(_u(pairkey, ":auc_e") < 0.3)
+        .select("bidder", "item", _u(pairkey, ":auc_s").alias("score"))
+    )
+    out = auction_assignment(edges, n_rounds=6, eps=0.01)
+    return out.select(
+        F.col("bidder").cast("long").alias("bidder"),
+        F.col("item").cast("long").alias("item"),
+        F.round("score", 6).alias("score"),
+        F.round("price", 6).alias("price"),
+    )
+
+
+def _auction_sql(n_rounds: int, eps: float) -> str:
+    parts = [
+        """e AS MATERIALIZED (
+  SELECT p.p_partkey AS bidder, s.s_suppkey AS item,
+         ('0x' || substr(md5(p.p_partkey::VARCHAR || ':' || s.s_suppkey::VARCHAR
+                             || ':auc_s'), 1, 8))::UBIGINT / 4294967296.0 AS score
+  FROM part p CROSS JOIN supplier s
+  WHERE ('0x' || substr(md5(p.p_partkey::VARCHAR || ':auc_b'), 1, 8))::UBIGINT
+          / 4294967296.0 < 0.025
+    AND ('0x' || substr(md5(p.p_partkey::VARCHAR || ':' || s.s_suppkey::VARCHAR
+                            || ':auc_e'), 1, 8))::UBIGINT / 4294967296.0 < 0.3)""",
+        "a0 AS (SELECT NULL::BIGINT AS bidder, NULL::BIGINT AS item WHERE FALSE)",
+        "p0 AS (SELECT NULL::BIGINT AS item, NULL::DOUBLE AS price WHERE FALSE)",
+    ]
+    for t in range(1, n_rounds + 1):
+        parts.append(
+            f"""u{t} AS (SELECT * FROM e
+  WHERE bidder NOT IN (SELECT bidder FROM a{t - 1})),
+v{t} AS MATERIALIZED (SELECT u.bidder, u.item,
+                u.score - coalesce(p.price, 0.0) AS v,
+                coalesce(p.price, 0.0) AS pr,
+                row_number() OVER (PARTITION BY u.bidder
+                  ORDER BY u.score - coalesce(p.price, 0.0) DESC, u.item ASC)
+                  AS rn
+         FROM u{t} u LEFT JOIN p{t - 1} p USING (item)),
+b{t} AS (SELECT b1.bidder, b1.item,
+                b1.pr + b1.v - coalesce(b2.v, b1.v) + {eps} AS bid
+         FROM (SELECT * FROM v{t} WHERE rn = 1) b1
+         LEFT JOIN (SELECT bidder, v FROM v{t} WHERE rn = 2) b2
+           USING (bidder)),
+w{t} AS (SELECT bidder, item, bid FROM (
+           SELECT bidder, item, bid,
+                  row_number() OVER (PARTITION BY item
+                    ORDER BY bid DESC, bidder ASC) AS wrn
+           FROM b{t}) WHERE wrn = 1),
+p{t} AS MATERIALIZED (SELECT item, price FROM p{t - 1}
+         WHERE item NOT IN (SELECT item FROM w{t})
+         UNION ALL SELECT item, bid FROM w{t}),
+a{t} AS MATERIALIZED (SELECT bidder, item FROM a{t - 1}
+         WHERE item NOT IN (SELECT item FROM w{t})
+         UNION ALL SELECT bidder, item FROM w{t})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT a.bidder::BIGINT AS bidder, a.item::BIGINT AS item,
+       round(e.score, 6) AS score,
+       round(coalesce(p.price, 0.0), 6) AS price
+FROM a{n_rounds} a
+JOIN e USING (bidder, item)
+LEFT JOIN p{n_rounds} p USING (item)"""
+    )
+
+
+SQL_ER_AUCTION_MATCH = _auction_sql(6, 0.01)
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -8381,6 +8481,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_auction_match",
     "er_crosswalk_audit",
     "rel_schema_match",
     "er_transitivity",
@@ -8498,7 +8599,7 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 162
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 163
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -8661,6 +8762,7 @@ _ORACLES: dict[str, str] = {
     "er_transitivity": SQL_ER_TRANSITIVITY,
     "rel_schema_match": SQL_REL_SCHEMA_MATCH,
     "er_crosswalk_audit": SQL_ER_CROSSWALK_AUDIT,
+    "er_auction_match": SQL_ER_AUCTION_MATCH,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,
