@@ -990,6 +990,28 @@ SELECT {_URL} AS doc_id, word AS name, qid AS gold_qid, qid AS ub_qid
 FROM links"""
 
 
+def q_er_best_threshold(spark, sf_dir):
+    """F1-optimal operating point (operators/evaluate.py best_threshold)
+    selected from the SAME meta-blocked planted-entity curve as
+    er_pr_curve (the gate literally composes on q_er_pr_curve's output,
+    so the two cannot drift): the argmax-F1 row with ties broken toward
+    the higher threshold. The oracle wraps the full pr-curve SQL as a
+    subquery and replays the argmax."""
+    from minimel_spark.operators.evaluate import best_threshold
+
+    curve = q_er_pr_curve(spark, sf_dir)
+    out = best_threshold(curve)
+    return out.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "precision",
+        "recall",
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 def q_er_fold_counts(spark, sf_dir):
     """X5 fold selector, ORACLE-pinned via a partition invariant (VERDICT r3
     #7): xxhash64 fold assignment has no DuckDB twin, but the fold FAMILY
@@ -8481,6 +8503,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_best_threshold",
     "er_auction_match",
     "er_crosswalk_audit",
     "rel_schema_match",
@@ -8599,7 +8622,15 @@ _TAIL: list[str] = [
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: globals()[f"q_{name}"] for name in _WINDOW + _TAIL
 }
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 163
+SQL_ER_BEST_THRESHOLD = f"""
+SELECT threshold, tp, fp, fn, precision, recall, round(f1, 6) AS f1
+FROM (SELECT *, CASE WHEN precision + recall > 0
+                     THEN 2 * precision * recall / (precision + recall)
+                     ELSE 0.0 END AS f1
+      FROM ({SQL_ER_PR_CURVE}) c)
+ORDER BY f1 DESC, threshold DESC LIMIT 1"""
+
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 164
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -8763,6 +8794,7 @@ _ORACLES: dict[str, str] = {
     "rel_schema_match": SQL_REL_SCHEMA_MATCH,
     "er_crosswalk_audit": SQL_ER_CROSSWALK_AUDIT,
     "er_auction_match": SQL_ER_AUCTION_MATCH,
+    "er_best_threshold": SQL_ER_BEST_THRESHOLD,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,

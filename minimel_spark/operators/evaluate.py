@@ -715,3 +715,29 @@ def brier_decomposition(
             "within_bin"
         ),
     )
+
+
+def best_threshold(
+    curve: DataFrame,
+    precision_col: str = "precision",
+    recall_col: str = "recall",
+    threshold_col: str = "threshold",
+) -> DataFrame:
+    """F1-optimal operating point from a ``pr_curve`` output: ONE row —
+    the curve row maximizing F1 = 2PR/(P+R), ties broken toward the
+    HIGHER threshold (prefer precision when F1 is equal) — the number a
+    pipeline actually deploys after staring at the curve. Composes with
+    ``pr_curve``: callers control rounding/binning there; this is a
+    bounded argmax over the (≤ bins+1)-row curve via one struct-max
+    aggregate, no sort, no window."""
+    p, r = F.col(precision_col), F.col(recall_col)
+    c = curve.withColumn(
+        "f1", F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    )
+    rest = [
+        col
+        for col in c.columns
+        if col not in ("f1", threshold_col)
+    ]
+    s = c.agg(F.max(F.struct("f1", threshold_col, *rest)).alias("_s"))
+    return s.select("_s.*")

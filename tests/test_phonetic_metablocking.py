@@ -938,3 +938,25 @@ def test_brier_perfect_forecaster_and_guard(spark):
     assert abs(r["resolution"] - r["uncertainty"]) < 1e-12
     with _pytest.raises(ValueError):
         brier_decomposition(perfect, n_bins=0)
+
+
+def test_best_threshold_argmax_and_ties(spark):
+    from minimel_spark.operators.evaluate import best_threshold, pr_curve
+
+    scored = spark.createDataFrame(
+        [(0.9, True), (0.8, True), (0.7, False), (0.6, True), (0.2, False)],
+        "score double, is_match boolean",
+    )
+    curve = pr_curve(scored, bins=10)
+    row = best_threshold(curve).collect()[0]
+    # at t=0.6: tp=3 fp=1 fn=0 -> p=0.75, r=1, f1=6/7 (beats t=0.8's 0.8)
+    assert abs(row["threshold"] - 0.6) < 1e-12
+    assert row["tp"] == 3 and row["fp"] == 1 and row["fn"] == 0
+    assert abs(row["f1"] - 6 / 7) < 1e-12
+    # tie case: two rows with identical f1 -> higher threshold wins
+    tie = spark.createDataFrame(
+        [(0.9, 1.0, 0.5), (0.4, 0.5, 1.0)],
+        "threshold double, precision double, recall double",
+    )
+    t = best_threshold(tie).collect()[0]
+    assert t["threshold"] == 0.9
