@@ -1012,6 +1012,97 @@ def q_er_best_threshold(spark, sf_dir):
     )
 
 
+def q_er_learn_blocking(spark, sf_dir):
+    """Greedy blocking-scheme learning (operators/evaluate.py
+    learn_blocking_rules — the Dedupe.io recipe): over the variant world's
+    labeled pair universe (same entity OR same first letter), pick 3 of 4
+    candidate predicates (same soundex / 4-prefix / 4-suffix / first
+    letter) maximizing newly-covered matches per round, reporting each
+    pick's marginal and cumulative coverage and comparison cost. The
+    oracle replays the greedy trace round by round over an unpivoted
+    (pair, rule, flag) table — selection, eviction of covered pairs, and
+    the cost frontier all value-checked."""
+    from minimel_spark.functions.phonetic import soundex_col
+    from minimel_spark.operators.evaluate import learn_blocking_rules
+
+    vdim = _vw_records(spark)
+    recs = vdim.select("name", "entity_id").distinct()
+    a = recs.select(F.col("name").alias("na"), F.col("entity_id").alias("ea"))
+    b = recs.select(F.col("name").alias("nb"), F.col("entity_id").alias("eb"))
+    pairs = a.join(
+        b,
+        (F.col("na") < F.col("nb"))
+        & (
+            (F.col("ea") == F.col("eb"))
+            | (F.substring("na", 1, 1) == F.substring("nb", 1, 1))
+        ),
+    ).select(
+        (F.col("ea") == F.col("eb")).alias("is_match"),
+        (soundex_col(F.col("na")) == soundex_col(F.col("nb"))).alias("r_sdx"),
+        (F.substring("na", 1, 4) == F.substring("nb", 1, 4)).alias("r_pre4"),
+        (F.expr("right(na, 4)") == F.expr("right(nb, 4)")).alias("r_suf4"),
+        (F.substring("na", 1, 1) == F.substring("nb", 1, 1)).alias("r_l1"),
+    )
+    return learn_blocking_rules(
+        pairs, ["r_l1", "r_pre4", "r_sdx", "r_suf4"], n_rules=3
+    )
+
+
+def _learn_blocking_sql(n_rules: int) -> str:
+    clean = "upper(regexp_replace(name, '[^A-Za-z]', '', 'g'))"
+    rules = ["r_l1", "r_pre4", "r_sdx", "r_suf4"]
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT na, nb, is_match, '{r}' AS rule, {r} AS flag FROM pr0"
+        for r in rules
+    )
+    parts = [
+        _VW_NAMES_SQL,
+        f"""ent AS (SELECT DISTINCT name, entity_id, {_soundex_sql(clean)} AS sdx
+       FROM vw_names)""",
+        """pr0 AS MATERIALIZED (
+  SELECT a.name AS na, b.name AS nb, a.entity_id = b.entity_id AS is_match,
+         a.sdx = b.sdx AS r_sdx,
+         substr(a.name, 1, 4) = substr(b.name, 1, 4) AS r_pre4,
+         right(a.name, 4) = right(b.name, 4) AS r_suf4,
+         substr(a.name, 1, 1) = substr(b.name, 1, 1) AS r_l1
+  FROM ent a JOIN ent b ON a.name < b.name
+  WHERE a.entity_id = b.entity_id
+     OR substr(a.name, 1, 1) = substr(b.name, 1, 1))""",
+        f"pr AS MATERIALIZED (\n  {unpivot})",
+        "sel0 AS (SELECT NULL::VARCHAR AS rule, 0::BIGINT AS m, 0::BIGINT AS p, "
+        "0::BIGINT AS round WHERE FALSE)",
+        "cov0 AS (SELECT NULL::VARCHAR AS na, NULL::VARCHAR AS nb WHERE FALSE)",
+    ]
+    for t in range(1, n_rules + 1):
+        parts.append(
+            f"""c{t} AS (
+  SELECT pr.rule,
+         sum(CASE WHEN pr.flag AND pr.is_match AND cov.na IS NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS m,
+         sum(CASE WHEN pr.flag AND cov.na IS NULL THEN 1 ELSE 0 END)::BIGINT AS p
+  FROM pr LEFT JOIN cov{t - 1} cov ON cov.na = pr.na AND cov.nb = pr.nb
+  WHERE pr.rule NOT IN (SELECT rule FROM sel{t - 1} WHERE rule IS NOT NULL)
+  GROUP BY pr.rule),
+s{t} AS MATERIALIZED (SELECT {t}::BIGINT AS round, rule, m, p FROM c{t}
+        ORDER BY m DESC, rule ASC LIMIT 1),
+sel{t} AS MATERIALIZED (SELECT rule, m, p, round FROM sel{t - 1}
+         UNION ALL SELECT rule, m, p, round FROM s{t}),
+cov{t} AS MATERIALIZED (SELECT DISTINCT pr.na, pr.nb
+         FROM pr JOIN sel{t} USING (rule) WHERE pr.flag)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+tot AS (SELECT sum(CASE WHEN is_match THEN 1 ELSE 0 END)::BIGINT AS t FROM pr0)
+SELECT round, rule, m AS new_matches, p AS new_pairs,
+       (sum(m) OVER (ORDER BY round))::BIGINT AS cum_matches,
+       (sum(p) OVER (ORDER BY round))::BIGINT AS cum_pairs,
+       t AS total_matches
+FROM sel{n_rules}, tot WHERE rule IS NOT NULL"""
+    )
+
+
 def q_er_fold_counts(spark, sf_dir):
     """X5 fold selector, ORACLE-pinned via a partition invariant (VERDICT r3
     #7): xxhash64 fold assignment has no DuckDB twin, but the fold FAMILY
@@ -8435,6 +8526,9 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+SQL_ER_LEARN_BLOCKING = _learn_blocking_sql(3)
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -8503,6 +8597,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_learn_blocking",
     "er_best_threshold",
     "er_auction_match",
     "er_crosswalk_audit",
@@ -8630,7 +8725,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 164
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 165
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -8795,6 +8890,7 @@ _ORACLES: dict[str, str] = {
     "er_crosswalk_audit": SQL_ER_CROSSWALK_AUDIT,
     "er_auction_match": SQL_ER_AUCTION_MATCH,
     "er_best_threshold": SQL_ER_BEST_THRESHOLD,
+    "er_learn_blocking": SQL_ER_LEARN_BLOCKING,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,

@@ -741,3 +741,71 @@ def best_threshold(
     ]
     s = c.agg(F.max(F.struct("f1", threshold_col, *rest)).alias("_s"))
     return s.select("_s.*")
+
+
+def learn_blocking_rules(
+    pairs: DataFrame,
+    rule_cols: list[str],
+    label_col: str = "is_match",
+    n_rules: int = 3,
+) -> DataFrame:
+    """Greedy disjunctive blocking-scheme learning (the Dedupe.io /
+    BSL-style recipe): given LABELED candidate pairs and boolean rule
+    columns ("same soundex", "same 4-prefix", …), pick ``n_rules`` rules
+    one at a time, each maximizing the number of NOT-YET-COVERED match
+    pairs it blocks (ties → lexicographically smaller rule name), and
+    report the marginal and cumulative coverage/cost of each pick:
+
+    ``(round, rule, new_matches, new_pairs, cum_matches, cum_pairs,
+    total_matches)`` — ``new_pairs`` is the comparison budget the rule
+    adds (its not-yet-covered pairs, match or not), so the output is the
+    coverage/cost frontier a pipeline reads to decide where to stop.
+
+    Distributed: each greedy round is ONE aggregation pass over the pair
+    stream (a conditional sum per remaining rule — f columns, not f
+    jobs) collected as a single row; the coverage predicate grows by one
+    OR-term per pick. Driver state is O(n_rules); determinism comes from
+    the fixed tie-break, so the greedy trace is SQL-replayable round by
+    round."""
+    if not rule_cols:
+        raise ValueError("rule_cols must be non-empty")
+    if len(set(rule_cols)) != len(rule_cols):
+        raise ValueError(f"duplicate rule columns: {rule_cols}")
+    if not 1 <= n_rules <= len(rule_cols):
+        raise ValueError(
+            f"n_rules must be in [1, {len(rule_cols)}], got {n_rules}"
+        )
+    lab = F.coalesce(F.col(label_col).cast("boolean"), F.lit(False))
+    flags = {r: F.coalesce(F.col(r).cast("boolean"), F.lit(False)) for r in rule_cols}
+    selected: list[str] = []
+    covered = F.lit(False)
+    rows = []
+    cum_m = cum_p = 0
+    total_matches: int | None = None
+    for t in range(1, n_rules + 1):
+        remaining = [r for r in rule_cols if r not in selected]
+        aggs = [
+            F.sum(F.when(flags[r] & lab & ~covered, 1).otherwise(0)).alias(f"_m_{r}")
+            for r in remaining
+        ] + [
+            F.sum(F.when(flags[r] & ~covered, 1).otherwise(0)).alias(f"_p_{r}")
+            for r in remaining
+        ]
+        if total_matches is None:
+            aggs.append(F.sum(F.when(lab, 1).otherwise(0)).alias("_tot"))
+        stat = pairs.agg(*aggs).collect()[0]
+        if total_matches is None:
+            total_matches = int(stat["_tot"] or 0)
+        pick = sorted(remaining, key=lambda r: (-int(stat[f"_m_{r}"] or 0), r))[0]
+        new_m = int(stat[f"_m_{pick}"] or 0)
+        new_p = int(stat[f"_p_{pick}"] or 0)
+        cum_m += new_m
+        cum_p += new_p
+        rows.append((t, pick, new_m, new_p, cum_m, cum_p, total_matches))
+        selected.append(pick)
+        covered = covered | flags[pick]
+    return pairs.sparkSession.createDataFrame(
+        rows,
+        "round long, rule string, new_matches long, new_pairs long, "
+        "cum_matches long, cum_pairs long, total_matches long",
+    )

@@ -960,3 +960,46 @@ def test_best_threshold_argmax_and_ties(spark):
     )
     t = best_threshold(tie).collect()[0]
     assert t["threshold"] == 0.9
+
+
+def test_learn_blocking_rules_greedy_trace(spark):
+    from minimel_spark.operators.evaluate import learn_blocking_rules
+
+    # rule a covers matches {1,2}; rule b covers {2,3,4}; rule c covers {1}
+    # greedy: b first (3 new), then a (1 new: match 1), then c (0 new)
+    rows = [
+        # (is_match, a, b, c)
+        (True, True, False, True),    # m1
+        (True, True, True, False),    # m2
+        (True, False, True, False),   # m3
+        (True, False, True, False),   # m4
+        (False, True, True, False),   # non-match noise
+        (False, False, False, False),
+    ]
+    pairs = spark.createDataFrame(rows, "is_match boolean, a boolean, b boolean, c boolean")
+    out = {r["round"]: r for r in learn_blocking_rules(pairs, ["a", "b", "c"], n_rules=3).collect()}
+    assert out[1]["rule"] == "b" and out[1]["new_matches"] == 3
+    assert out[1]["new_pairs"] == 4  # 3 matches + 1 noise pair
+    assert out[2]["rule"] == "a" and out[2]["new_matches"] == 1
+    assert out[2]["new_pairs"] == 1  # the noise pair was already covered by b
+    assert out[3]["rule"] == "c" and out[3]["new_matches"] == 0
+    assert out[3]["cum_matches"] == 4 and out[3]["total_matches"] == 4
+
+
+def test_learn_blocking_rules_tiebreak_and_guards(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.evaluate import learn_blocking_rules
+
+    pairs = spark.createDataFrame(
+        [(True, True, True)], "is_match boolean, z boolean, a boolean"
+    )
+    # equal coverage -> lexicographically smaller rule name first
+    out = learn_blocking_rules(pairs, ["z", "a"], n_rules=2).collect()
+    assert out[0]["rule"] == "a" and out[1]["rule"] == "z"
+    with _pytest.raises(ValueError):
+        learn_blocking_rules(pairs, [], n_rules=1)
+    with _pytest.raises(ValueError):
+        learn_blocking_rules(pairs, ["a", "a"], n_rules=1)
+    with _pytest.raises(ValueError):
+        learn_blocking_rules(pairs, ["a"], n_rules=2)
