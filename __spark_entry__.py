@@ -1103,6 +1103,54 @@ FROM sel{n_rules}, tot WHERE rule IS NOT NULL"""
     )
 
 
+def q_er_medoids(spark, sf_dir):
+    """Medoid canonicalization (operators/golden.py cluster_medoids — the
+    pick-a-real-record golden-record strategy): parts grouped by their
+    first name word elect the member minimizing total Levenshtein distance
+    to the group (ties to the smaller part key); singleton groups elect
+    themselves at distance 0. The oracle replays the within-cluster
+    pairwise distance sums and the (sum, id) argmin natively."""
+    from minimel_spark.operators.golden import cluster_medoids
+
+    part = _t(spark, sf_dir, "part")
+    asg = part.select(
+        F.col("p_partkey").alias("rec_id"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("cluster_id"),
+        F.col("p_name").alias("name"),
+    )
+    out = cluster_medoids(asg)
+    return out.select(
+        "cluster_id",
+        F.col("medoid_id").cast("long").alias("medoid_id"),
+        "medoid_name",
+        "sum_dist",
+        "cluster_size",
+    )
+
+
+SQL_ER_MEDOIDS = """
+WITH a AS (
+  SELECT p_partkey AS id, p_name AS nm,
+         regexp_extract(p_name, '^(\\w+)', 1) AS c
+  FROM part),
+s AS (
+  SELECT x.c, x.id, sum(levenshtein(x.nm, y.nm)) AS sd
+  FROM a x JOIN a y ON x.c = y.c AND x.id <> y.id
+  GROUP BY x.c, x.id),
+pm AS (
+  SELECT a.c, a.id, a.nm, coalesce(s.sd, 0) AS sd
+  FROM a LEFT JOIN s ON s.c = a.c AND s.id = a.id),
+sz AS (SELECT c, count(*) AS n FROM a GROUP BY c),
+el AS (
+  SELECT c, id, nm, sd,
+         row_number() OVER (PARTITION BY c ORDER BY sd ASC, id ASC) AS rn
+  FROM pm)
+SELECT el.c AS cluster_id, el.id::BIGINT AS medoid_id, el.nm AS medoid_name,
+       el.sd::BIGINT AS sum_dist, sz.n::BIGINT AS cluster_size
+FROM el JOIN sz ON sz.c = el.c
+WHERE el.rn = 1"""
+
+
 def q_er_fold_counts(spark, sf_dir):
     """X5 fold selector, ORACLE-pinned via a partition invariant (VERDICT r3
     #7): xxhash64 fold assignment has no DuckDB twin, but the fold FAMILY
@@ -8597,6 +8645,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_medoids",
     "er_learn_blocking",
     "er_best_threshold",
     "er_auction_match",
@@ -8725,7 +8774,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 165
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 166
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -8891,6 +8940,7 @@ _ORACLES: dict[str, str] = {
     "er_auction_match": SQL_ER_AUCTION_MATCH,
     "er_best_threshold": SQL_ER_BEST_THRESHOLD,
     "er_learn_blocking": SQL_ER_LEARN_BLOCKING,
+    "er_medoids": SQL_ER_MEDOIDS,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,

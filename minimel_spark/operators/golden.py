@@ -161,3 +161,61 @@ def crosswalk_audit(
             .alias("pct_links"),
         )
     )
+
+
+def cluster_medoids(
+    assignments: DataFrame,
+    id_col: str = "rec_id",
+    cluster_col: str = "cluster_id",
+    name_col: str = "name",
+) -> DataFrame:
+    """Medoid canonicalization — the OTHER golden-record strategy: instead
+    of assembling a synthetic best-of-fields record (``golden_records``),
+    elect the REAL member record minimizing total Levenshtein distance to
+    its cluster (ties → smaller record id), so the canonical value is
+    guaranteed to exist verbatim in the source data (the usual compliance
+    requirement that rules field-wise survivorship out).
+
+    Input: ``(id_col, cluster_col, name_col)`` assignments. Output: one
+    row per cluster — ``(cluster_id, medoid_id, medoid_name, sum_dist,
+    cluster_size)``; singletons elect themselves with ``sum_dist`` 0.
+
+    Scale: the pairwise pass is a within-cluster self-join — quadratic in
+    CLUSTER size only, the same bounded-block discipline as every
+    comparison here (resolved entity clusters are small by nature; cap
+    upstream via ``max_pairs_per_block`` blocking if a mega-cluster can
+    exist). One groupBy sums each member's distances, one struct-min per
+    cluster elects the medoid."""
+    a = assignments.select(
+        F.col(cluster_col).alias("cluster_id"),
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_nm"),
+    )
+    b = assignments.select(
+        F.col(cluster_col).alias("cluster_id"),
+        F.col(id_col).alias("_id2"),
+        F.col(name_col).alias("_nm2"),
+    )
+    sums = (
+        a.join(b, "cluster_id")
+        .where(F.col("_id") != F.col("_id2"))
+        .groupBy("cluster_id", "_id")
+        .agg(F.sum(F.levenshtein("_nm", "_nm2")).alias("_sd"))
+    )
+    per_member = a.join(sums, ["cluster_id", "_id"], "left").select(
+        "cluster_id",
+        "_id",
+        "_nm",
+        F.coalesce(F.col("_sd"), F.lit(0)).cast("long").alias("_sd"),
+    )
+    size = a.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    elected = per_member.groupBy("cluster_id").agg(
+        F.min(F.struct("_sd", "_id", "_nm")).alias("_m")
+    )
+    return elected.join(size, "cluster_id").select(
+        "cluster_id",
+        F.col("_m._id").alias("medoid_id"),
+        F.col("_m._nm").alias("medoid_name"),
+        F.col("_m._sd").alias("sum_dist"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )

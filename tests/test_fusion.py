@@ -155,3 +155,35 @@ def test_crosswalk_audit_empty(spark):
     rows = crosswalk_audit(empty).collect()
     assert len(rows) == 4
     assert all(r["n_links"] == 0 and r["pct_links"] == 0.0 for r in rows)
+
+
+def test_cluster_medoids_hand_example(spark):
+    from minimel_spark.operators.golden import cluster_medoids
+
+    asg = spark.createDataFrame(
+        [
+            (1, "c1", "smith"),
+            (2, "c1", "smyth"),   # dist 1 to smith, 2 to smithe
+            (3, "c1", "smithe"),  # smith: 1+1=2, smyth: 1+2=3, smithe: 1+2=3
+            (9, "c2", "alone"),
+        ],
+        "rec_id long, cluster_id string, name string",
+    )
+    rows = {r["cluster_id"]: r for r in cluster_medoids(asg).collect()}
+    assert rows["c1"]["medoid_id"] == 1 and rows["c1"]["medoid_name"] == "smith"
+    assert rows["c1"]["sum_dist"] == 2 and rows["c1"]["cluster_size"] == 3
+    # singleton elects itself at distance zero
+    assert rows["c2"]["medoid_id"] == 9 and rows["c2"]["sum_dist"] == 0
+    assert rows["c2"]["cluster_size"] == 1
+
+
+def test_cluster_medoids_tiebreak(spark):
+    from minimel_spark.operators.golden import cluster_medoids
+
+    # two identical names: equal sums -> smaller id wins
+    asg = spark.createDataFrame(
+        [(7, "c", "same"), (3, "c", "same")],
+        "rec_id long, cluster_id string, name string",
+    )
+    row = cluster_medoids(asg).collect()[0]
+    assert row["medoid_id"] == 3 and row["sum_dist"] == 0
