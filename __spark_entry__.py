@@ -1151,6 +1151,42 @@ FROM el JOIN sz ON sz.c = el.c
 WHERE el.rn = 1"""
 
 
+def q_rel_powerlaw_fit(spark, sf_dir):
+    """Power-law exponent fit (operators/diagnostics.py powerlaw_alpha —
+    the Clauset-Shalizi-Newman discrete MLE): Zipf alpha of the documents
+    word-frequency distribution at xmin=2 with its standard error — the
+    pre-flight that decides whether a key distribution's head forces
+    salting before a big join. The oracle recomputes the word counts, the
+    xmin filter, and the alpha/se algebra natively."""
+    from minimel_spark.operators.diagnostics import powerlaw_alpha
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), r"\W+")).alias("w")
+    ).where(F.col("w") != "")
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    out = powerlaw_alpha(counts, xmin=2)
+    return out.select(
+        "n_values",
+        "xmin",
+        F.round("alpha", 6).alias("alpha"),
+        F.round("se", 6).alias("se"),
+    )
+
+
+SQL_REL_POWERLAW_FIT = """
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+c AS (SELECT w, count(*)::DOUBLE AS cnt FROM w GROUP BY w),
+a AS (SELECT count(*) AS n, sum(ln(cnt / 1.5)) AS lsum FROM c WHERE cnt >= 2)
+SELECT n::BIGINT AS n_values, 2::BIGINT AS xmin,
+       round(1.0 + (n / lsum), 6) AS alpha,
+       round((n / lsum) / sqrt(n), 6) AS se
+FROM a"""
+
+
 def q_er_fold_counts(spark, sf_dir):
     """X5 fold selector, ORACLE-pinned via a partition invariant (VERDICT r3
     #7): xxhash64 fold assignment has no DuckDB twin, but the fold FAMILY
@@ -8645,6 +8681,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "rel_powerlaw_fit",
     "er_medoids",
     "er_learn_blocking",
     "er_best_threshold",
@@ -8774,7 +8811,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 166
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 167
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -8941,6 +8978,7 @@ _ORACLES: dict[str, str] = {
     "er_best_threshold": SQL_ER_BEST_THRESHOLD,
     "er_learn_blocking": SQL_ER_LEARN_BLOCKING,
     "er_medoids": SQL_ER_MEDOIDS,
+    "rel_powerlaw_fit": SQL_REL_POWERLAW_FIT,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,

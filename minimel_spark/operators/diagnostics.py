@@ -180,3 +180,40 @@ def distribution_drift(
     )
     psi = out.agg(F.sum("psi_term").alias("psi"))
     return out.crossJoin(F.broadcast(psi))
+
+
+def powerlaw_alpha(
+    counts: DataFrame, count_col: str = "cnt", xmin: int = 1
+) -> DataFrame:
+    """Discrete power-law exponent fit (Clauset-Shalizi-Newman 2009 MLE
+    approximation) over a frequency table — the blocking-feasibility
+    pre-flight: key frequencies with α near 2 have a heavy head (salting /
+    per-block caps mandatory, see blocking.py), α well above 3 means the
+    head is tame. One row:
+
+    ``(n_values, xmin, alpha, se)`` with
+    ``alpha = 1 + n / Σ ln(x_i / (xmin − 0.5))`` over values ``x_i ≥
+    xmin`` and ``se = (alpha − 1)/√n`` (the CSN standard error).
+
+    Scale: one filtered aggregate over the counts table — which is itself
+    already the reduced output of a groupBy; nothing touches row-level
+    data. Raises if no value reaches ``xmin`` (a fit over nothing is a
+    bug, not a number)."""
+    if xmin < 1:
+        raise ValueError(f"xmin must be >= 1, got {xmin}")
+    x = F.col(count_col).cast("double")
+    agg = counts.where(x >= float(xmin)).agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(F.log(x / (xmin - 0.5))).alias("_lsum"),
+    )
+    row = agg.collect()[0]
+    n = int(row["n_values"] or 0)
+    if n == 0:
+        raise ValueError(f"no frequencies >= xmin={xmin} to fit")
+    lsum = float(row["_lsum"])
+    ratio = n / lsum  # α − 1, kept as one expression for SQL replayability
+    spark = counts.sparkSession
+    return spark.createDataFrame(
+        [(n, xmin, 1.0 + ratio, ratio / n**0.5)],
+        "n_values long, xmin long, alpha double, se double",
+    )

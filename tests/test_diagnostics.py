@@ -167,3 +167,30 @@ def test_distribution_drift_empty_reference_yields_null_psi(spark):
     rows = distribution_drift(empty, cur, "v", n_bins=3).collect()
     for r in rows:
         assert r["psi"] is None and r["p_cur"] is None
+
+
+def test_powerlaw_alpha_known_value(spark):
+    import math
+
+    from minimel_spark.operators.diagnostics import powerlaw_alpha
+
+    counts = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 4), ("d", 8)], "k string, cnt long"
+    )
+    row = powerlaw_alpha(counts, xmin=2).collect()[0]
+    assert row["n_values"] == 3  # the count-1 key is below xmin
+    lsum = sum(math.log(x / 1.5) for x in (2, 4, 8))
+    assert abs(row["alpha"] - (1 + 3 / lsum)) < 1e-12
+    assert abs(row["se"] - (3 / lsum) / math.sqrt(3)) < 1e-12
+
+
+def test_powerlaw_alpha_guards(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.diagnostics import powerlaw_alpha
+
+    counts = spark.createDataFrame([("a", 1)], "k string, cnt long")
+    with _pytest.raises(ValueError):
+        powerlaw_alpha(counts, xmin=0)
+    with _pytest.raises(ValueError, match="no frequencies"):
+        powerlaw_alpha(counts, xmin=5)
