@@ -1187,6 +1187,76 @@ SELECT n::BIGINT AS n_values, 2::BIGINT AS xmin,
 FROM a"""
 
 
+def q_er_conflict_report(spark, sf_dir):
+    """Survivorship conflict audit (operators/golden.py conflict_report):
+    per (first-word part cluster, attribute) — value presence, distinct
+    counts, the mode with golden_records' exact (count desc, value asc)
+    tie-break, its share, and the conflict flag the MDM steward reads
+    before trusting survivorship. The oracle recomputes the unpivot, the
+    value counts, the mode window, and the zero-filled cluster×attr
+    frame natively."""
+    from minimel_spark.operators.golden import conflict_report
+
+    part = _t(spark, sf_dir, "part")
+    recs = part.select(
+        F.col("p_partkey").alias("rec_id"),
+        F.col("p_brand").alias("brand"),
+        F.split(F.col("p_type"), " ")[0].alias("family"),
+        F.col("p_size").cast("string").alias("size"),
+    )
+    membership = part.select(
+        F.col("p_partkey").alias("rec_id"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("cluster_id"),
+    )
+    out = conflict_report(recs, membership, ["brand", "family", "size"])
+    return out.select(
+        "cluster_id",
+        "attr",
+        "n_members",
+        "n_present",
+        "n_distinct",
+        "majority_value",
+        F.round("majority_share", 6).alias("majority_share"),
+        "is_conflict",
+    )
+
+
+SQL_ER_CONFLICT_REPORT = """
+WITH r AS (
+  SELECT p_partkey AS id, regexp_extract(p_name, '^(\\w+)', 1) AS c,
+         p_brand AS brand, string_split(p_type, ' ')[1] AS family,
+         p_size::VARCHAR AS size
+  FROM part),
+m AS (SELECT c AS cluster_id, count(*) AS n_members FROM r GROUP BY c),
+u AS (
+  SELECT c AS cluster_id, 'brand' AS attr, brand AS v FROM r
+  UNION ALL SELECT c, 'family', family FROM r
+  UNION ALL SELECT c, 'size', size FROM r),
+vals AS (SELECT cluster_id, attr, v, count(*) AS cnt
+         FROM u WHERE v IS NOT NULL GROUP BY cluster_id, attr, v),
+mv AS (SELECT cluster_id, attr, v, cnt,
+              row_number() OVER (PARTITION BY cluster_id, attr
+                                 ORDER BY cnt DESC, v ASC) AS rn
+       FROM vals),
+agg AS (SELECT cluster_id, attr, sum(cnt) AS n_present,
+               count(*) AS n_distinct
+        FROM vals GROUP BY cluster_id, attr),
+frame AS (SELECT m.cluster_id, m.n_members, t.attr
+          FROM m, (VALUES ('brand'), ('family'), ('size')) t(attr))
+SELECT frame.cluster_id, frame.attr, frame.n_members::BIGINT AS n_members,
+       coalesce(agg.n_present, 0)::BIGINT AS n_present,
+       coalesce(agg.n_distinct, 0)::BIGINT AS n_distinct,
+       mv.v AS majority_value,
+       round(CASE WHEN agg.n_present > 0
+                  THEN mv.cnt::DOUBLE / agg.n_present END, 6)
+         AS majority_share,
+       coalesce(agg.n_distinct, 0) >= 2 AS is_conflict
+FROM frame
+LEFT JOIN agg ON agg.cluster_id = frame.cluster_id AND agg.attr = frame.attr
+LEFT JOIN (SELECT * FROM mv WHERE rn = 1) mv
+  ON mv.cluster_id = frame.cluster_id AND mv.attr = frame.attr"""
+
+
 def q_er_fold_counts(spark, sf_dir):
     """X5 fold selector, ORACLE-pinned via a partition invariant (VERDICT r3
     #7): xxhash64 fold assignment has no DuckDB twin, but the fold FAMILY
@@ -8681,6 +8751,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_conflict_report",
     "rel_powerlaw_fit",
     "er_medoids",
     "er_learn_blocking",
@@ -8811,7 +8882,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 167
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 168
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -8979,6 +9050,7 @@ _ORACLES: dict[str, str] = {
     "er_learn_blocking": SQL_ER_LEARN_BLOCKING,
     "er_medoids": SQL_ER_MEDOIDS,
     "rel_powerlaw_fit": SQL_REL_POWERLAW_FIT,
+    "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,

@@ -219,3 +219,79 @@ def cluster_medoids(
         F.col("_m._sd").alias("sum_dist"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
+
+
+def conflict_report(
+    records: DataFrame,
+    membership: DataFrame,
+    attrs: list[str],
+    rec_id_col: str = "rec_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Survivorship conflict audit — the report an MDM steward reads
+    BEFORE trusting ``golden_records``' picks: for every (cluster,
+    attribute), how contested the values are. One row per cluster×attr:
+
+    ``(cluster_id, attr, n_members, n_present, n_distinct, majority_value,
+    majority_share, is_conflict)`` — ``majority_value`` is the mode with
+    the same (count desc, value asc) tie-break golden_records' ``mode``
+    rule survives (so the report explains exactly what that rule will
+    pick), ``majority_share = mode_count / n_present`` (NULL when no
+    value is present), ``is_conflict`` true when ≥ 2 distinct non-NULL
+    values exist. NULLs never count as values.
+
+    Scale: one unpivot projection (explode of attr structs — attrs are
+    string-cast; keep floats out, same portability contract as
+    column_value_overlap), one (cluster, attr, value) count, two bounded
+    rollups. Nothing beyond the membership join touches row width."""
+    if not attrs:
+        raise ValueError("attrs must be non-empty")
+    missing = [a for a in attrs if a not in records.columns]
+    if missing:
+        raise ValueError(f"attributes not in records: {missing}")
+    joined = records.join(membership.select(rec_id_col, cluster_col), rec_id_col)
+    unp = joined.select(
+        F.col(cluster_col).alias("cluster_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("attr"),
+                        F.col(a).cast("string").alias("_v"),
+                    )
+                    for a in attrs
+                ]
+            )
+        ).alias("_s"),
+    ).select("cluster_id", "_s.attr", "_s._v")
+    members = joined.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members")
+    ).withColumnRenamed(cluster_col, "cluster_id")
+    vals = (
+        unp.where(F.col("_v").isNotNull())
+        .groupBy("cluster_id", "attr", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per = vals.groupBy("cluster_id", "attr").agg(
+        F.sum("_c").alias("n_present"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.min(F.struct((-F.col("_c")).alias("_nc"), F.col("_v").alias("_v"))).alias(
+            "_m"
+        ),
+    )
+    frame = members.crossJoin(
+        records.sparkSession.createDataFrame([(a,) for a in attrs], "attr string")
+    )
+    return frame.join(per, ["cluster_id", "attr"], "left").select(
+        "cluster_id",
+        "attr",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.coalesce("n_present", F.lit(0)).cast("long").alias("n_present"),
+        F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+        F.col("_m._v").alias("majority_value"),
+        F.when(
+            F.col("n_present") > 0,
+            (-F.col("_m._nc")).cast("double") / F.col("n_present"),
+        ).alias("majority_share"),
+        (F.coalesce("n_distinct", F.lit(0)) >= 2).alias("is_conflict"),
+    )

@@ -187,3 +187,51 @@ def test_cluster_medoids_tiebreak(spark):
     )
     row = cluster_medoids(asg).collect()[0]
     assert row["medoid_id"] == 3 and row["sum_dist"] == 0
+
+
+def test_conflict_report_hand_example(spark):
+    from minimel_spark.operators.golden import conflict_report
+
+    recs = spark.createDataFrame(
+        [
+            (1, "acme", "10"),
+            (2, "acme", "12"),
+            (3, "akme", None),
+            (9, "solo", "5"),
+        ],
+        "rec_id long, brand string, size string",
+    )
+    mem = spark.createDataFrame(
+        [(1, "c1"), (2, "c1"), (3, "c1"), (9, "c2")],
+        "rec_id long, cluster_id string",
+    )
+    rows = {
+        (r["cluster_id"], r["attr"]): r
+        for r in conflict_report(recs, mem, ["brand", "size"]).collect()
+    }
+    b = rows[("c1", "brand")]
+    assert (b["n_members"], b["n_present"], b["n_distinct"]) == (3, 3, 2)
+    assert b["majority_value"] == "acme"
+    assert abs(b["majority_share"] - 2 / 3) < 1e-12
+    assert b["is_conflict"]
+    s = rows[("c1", "size")]
+    assert s["n_present"] == 2 and s["n_distinct"] == 2  # NULL not a value
+    assert s["majority_value"] == "10"  # tie -> value asc, like golden mode
+    solo = rows[("c2", "brand")]
+    assert not solo["is_conflict"] and solo["majority_share"] == 1.0
+
+
+def test_conflict_report_all_null_and_guards(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.golden import conflict_report
+
+    recs = spark.createDataFrame([(1, None)], "rec_id long, brand string")
+    mem = spark.createDataFrame([(1, "c")], "rec_id long, cluster_id string")
+    row = conflict_report(recs, mem, ["brand"]).collect()[0]
+    assert row["n_present"] == 0 and row["majority_value"] is None
+    assert row["majority_share"] is None and not row["is_conflict"]
+    with _pytest.raises(ValueError):
+        conflict_report(recs, mem, [])
+    with _pytest.raises(ValueError, match="not in records"):
+        conflict_report(recs, mem, ["nope"])
