@@ -1895,6 +1895,178 @@ SQL_ER_FS_WATERFALL = _fs_waterfall_sql(_FS_FEATS_CTE, _FS_THRESHOLDS, _FS_N_ITE
 SQL_ER_FS_AUDIT = _fs_fit_audit_sql(_FS_FEATS_CTE, _FS_THRESHOLDS, _FS_N_ITER)
 
 
+def _weak_votes(spark, sf_dir):
+    """Three labeling functions over the shared part-name pair features
+    (_fs_feats, rounded to 6 dp on both engines): a JW heuristic, a
+    Levenshtein heuristic, and a shingle heuristic, each voting
+    +1 / -1 / abstain."""
+    feats = _fs_feats(spark, sf_dir)
+    return feats.select(
+        F.when(F.col("jw") >= 0.85, 1)
+        .when(F.col("jw") <= 0.5, -1)
+        .otherwise(0)
+        .alias("lf_jw"),
+        F.when(F.col("lev_sim") >= 0.75, 1)
+        .when(F.col("lev_sim") <= 0.45, -1)
+        .otherwise(0)
+        .alias("lf_lev"),
+        F.when(F.col("jacc3") >= 0.6, 1)
+        .when(F.col("jacc3") == 0.0, -1)
+        .otherwise(0)
+        .alias("lf_jacc"),
+    )
+
+
+_WEAK_LFS = ["lf_jw", "lf_lev", "lf_jacc"]
+_WEAK_N_ITER = 5
+
+
+def q_er_weak_labels(spark, sf_dir):
+    """Snorkel-style weak-supervision label model (operators/weaklabel.py
+    weak_label_model — data-programming EM over trit-vote patterns):
+    three heuristic labeling functions vote +1/-1/abstain on the
+    part-name pairs, the model learns lambda and per-LF accuracies from
+    agreement alone, and emits the per-pattern posterior that becomes the
+    probabilistic training label. The oracle unrolls all five EM rounds
+    in SQL over the trit-pattern counts — closed-form propensities,
+    per-round accuracy updates, clamps — the FS-EM oracle technique
+    generalized from bits to trits."""
+    from minimel_spark.operators.weaklabel import weak_label_model
+
+    out = weak_label_model(
+        _weak_votes(spark, sf_dir), _WEAK_LFS, n_iter=_WEAK_N_ITER
+    )
+    return out.select(
+        "pattern", "n_pairs", F.round("p_match", 6).alias("p_match")
+    )
+
+
+def q_er_weak_lf_stats(spark, sf_dir):
+    """Per-LF diagnostics under the SAME weak-supervision fit as
+    er_weak_labels (shared weaklabel._fit — the two gates cannot drift):
+    learned propensity and accuracy per labeling function plus the shared
+    class prior. Oracle shares the unrolled trit-EM prologue."""
+    from minimel_spark.operators.weaklabel import weak_lf_stats
+
+    out = weak_lf_stats(
+        _weak_votes(spark, sf_dir), _WEAK_LFS, n_iter=_WEAK_N_ITER
+    )
+    return out.select(
+        "lf",
+        F.round("propensity", 6).alias("propensity"),
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("lam", 6).alias("lam"),
+    )
+
+
+def _weak_em_prologue(feats_cte: str, n_iter: int) -> str:
+    """Unrolled trit-EM CTE chain shared by the weak-label oracles.
+    Mirrors weaklabel._em exactly: closed-form clamped propensities,
+    lambda0 = 0.5, acc0 = 0.7, per-round clamped updates with the
+    den-zero keep-previous guard."""
+    f = 3
+    cases = [
+        "CASE WHEN jw >= 0.85 THEN 1 WHEN jw <= 0.5 THEN -1 ELSE 0 END",
+        "CASE WHEN lev_sim >= 0.75 THEN 1 WHEN lev_sim <= 0.45 THEN -1 "
+        "ELSE 0 END",
+        "CASE WHEN jacc3 >= 0.6 THEN 1 WHEN jacc3 = 0 THEN -1 ELSE 0 END",
+    ]
+
+    def clamp(x):
+        return f"least(greatest({x}, 1e-6), 1.0 - 1e-6)"
+
+    def trit(i):
+        return f"((pattern // {3 ** i}) % 3)"
+
+    tritv = "(CASE WHEN v{i} = 1 THEN 1 WHEN v{i} = -1 THEN 2 ELSE 0 END)"
+    patbits = " + ".join(
+        f"{tritv.format(i=i)} * {3 ** i}" for i in range(f)
+    )
+    props = ", ".join(
+        clamp(
+            f"sum(CASE WHEN {trit(i)} <> 0 THEN n ELSE 0 END)::DOUBLE / sum(n)"
+        )
+        + f" AS prop{i}"
+        for i in range(f)
+    )
+    parts = [
+        feats_cte.rstrip()
+        + f""",
+votes AS (SELECT {cases[0]} AS v0, {cases[1]} AS v1, {cases[2]} AS v2
+          FROM feats),
+pat AS (SELECT ({patbits})::BIGINT AS pattern, count(*)::BIGINT AS n
+        FROM votes GROUP BY 1)""",
+        f"pp AS (SELECT {props} FROM pat)",
+        "p0 AS (SELECT 0.5::DOUBLE AS lam, "
+        + ", ".join(f"0.7::DOUBLE AS a{i}" for i in range(f))
+        + ", "
+        + ", ".join(f"prop{i}" for i in range(f))
+        + " FROM pp)",
+    ]
+
+    def wv():
+        w = "lam" + "".join(
+            f" * (CASE {trit(i)} WHEN 0 THEN 1.0 - prop{i} "
+            f"WHEN 1 THEN prop{i} * a{i} ELSE prop{i} * (1.0 - a{i}) END)"
+            for i in range(f)
+        )
+        v = "(1.0 - lam)" + "".join(
+            f" * (CASE {trit(i)} WHEN 0 THEN 1.0 - prop{i} "
+            f"WHEN 1 THEN prop{i} * (1.0 - a{i}) ELSE prop{i} * a{i} END)"
+            for i in range(f)
+        )
+        return w, v
+
+    for it in range(1, n_iter + 1):
+        w, v = wv()
+        parts.append(
+            f"e{it} AS (SELECT pattern, n, {w} AS w, {v} AS v, "
+            + ", ".join([f"a{i}" for i in range(f)] + [f"prop{i}" for i in range(f)])
+            + f" FROM pat CROSS JOIN p{it - 1})"
+        )
+        r = "(w / (w + v))"
+        fields = [clamp(f"sum({r} * n) / sum(n)") + " AS lam"]
+        for i in range(f):
+            num = (
+                f"sum(CASE {trit(i)} WHEN 1 THEN {r} * n "
+                f"WHEN 2 THEN (1.0 - {r}) * n ELSE 0 END)"
+            )
+            den = f"sum(CASE WHEN {trit(i)} <> 0 THEN n ELSE 0 END)"
+            fields.append(
+                f"CASE WHEN {den} > 0 THEN {clamp(f'{num} / {den}')} "
+                f"ELSE any_value(a{i}) END AS a{i}"
+            )
+        fields += [f"any_value(prop{i}) AS prop{i}" for i in range(f)]
+        parts.append(f"p{it} AS (SELECT {', '.join(fields)} FROM e{it})")
+    return ",\n".join(parts), wv
+
+
+def _weak_labels_sql(feats_cte: str, n_iter: int) -> str:
+    pro, wv = _weak_em_prologue(feats_cte, n_iter)
+    w, v = wv()
+    return (
+        pro
+        + f""",
+fin AS (SELECT pattern, n, {w} AS w, {v} AS v FROM pat CROSS JOIN p{n_iter})
+SELECT pattern, n AS n_pairs, round(w / (w + v), 6) AS p_match
+FROM fin"""
+    )
+
+
+def _weak_stats_sql(feats_cte: str, n_iter: int) -> str:
+    pro, _ = _weak_em_prologue(feats_cte, n_iter)
+    selects = [
+        f"SELECT '{lf}' AS lf, round(prop{i}, 6) AS propensity, "
+        f"round(a{i}, 6) AS accuracy, round(lam, 6) AS lam FROM p{n_iter}"
+        for i, lf in enumerate(["lf_jw", "lf_lev", "lf_jacc"])
+    ]
+    return pro + "\n" + "\nUNION ALL\n".join(selects)
+
+
+SQL_ER_WEAK_LABELS = _weak_labels_sql(_FS_FEATS_CTE, _WEAK_N_ITER)
+SQL_ER_WEAK_LF_STATS = _weak_stats_sql(_FS_FEATS_CTE, _WEAK_N_ITER)
+
+
 def q_er_tf_adjust(spark, sf_dir):
     """Term-frequency-adjusted exact-match weights (operators/linkage.py
     tf_adjusted_exact_weight — Winkler 1988 value-specific rates, Splink's
@@ -8751,6 +8923,8 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_weak_labels",
+    "er_weak_lf_stats",
     "er_conflict_report",
     "rel_powerlaw_fit",
     "er_medoids",
@@ -8882,7 +9056,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 168
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 170
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -9051,6 +9225,8 @@ _ORACLES: dict[str, str] = {
     "er_medoids": SQL_ER_MEDOIDS,
     "rel_powerlaw_fit": SQL_REL_POWERLAW_FIT,
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
+    "er_weak_labels": SQL_ER_WEAK_LABELS,
+    "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,
