@@ -2038,11 +2038,11 @@ pat AS (SELECT ({patbits})::BIGINT AS pattern, count(*)::BIGINT AS n
             )
         fields += [f"any_value(prop{i}) AS prop{i}" for i in range(f)]
         parts.append(f"p{it} AS (SELECT {', '.join(fields)} FROM e{it})")
-    return ",\n".join(parts), wv
+    return ",\n".join(parts), wv, cases, patbits
 
 
 def _weak_labels_sql(feats_cte: str, n_iter: int) -> str:
-    pro, wv = _weak_em_prologue(feats_cte, n_iter)
+    pro, wv, _, _ = _weak_em_prologue(feats_cte, n_iter)
     w, v = wv()
     return (
         pro
@@ -2054,7 +2054,7 @@ FROM fin"""
 
 
 def _weak_stats_sql(feats_cte: str, n_iter: int) -> str:
-    pro, _ = _weak_em_prologue(feats_cte, n_iter)
+    pro, _, _, _ = _weak_em_prologue(feats_cte, n_iter)
     selects = [
         f"SELECT '{lf}' AS lf, round(prop{i}, 6) AS propensity, "
         f"round(a{i}, 6) AS accuracy, round(lam, 6) AS lam FROM p{n_iter}"
@@ -2065,6 +2065,75 @@ def _weak_stats_sql(feats_cte: str, n_iter: int) -> str:
 
 SQL_ER_WEAK_LABELS = _weak_labels_sql(_FS_FEATS_CTE, _WEAK_N_ITER)
 SQL_ER_WEAK_LF_STATS = _weak_stats_sql(_FS_FEATS_CTE, _WEAK_N_ITER)
+
+
+def q_er_weak_truth(spark, sf_dir):
+    """Weak-supervision capstone: the label model's posterior vs PLANTED
+    truth. The same three LFs vote on first-letter-blocked variant-world
+    pairs, the trit-EM fits WITHOUT seeing gold, and each vote pattern's
+    learned p_match is emitted next to the true match rate the planted
+    entities define — the per-pattern calibration table that decides
+    whether weak labels may train the matcher. The oracle rebuilds the
+    variant names, the pair features, the votes, the unrolled EM, and the
+    gold rates natively."""
+    from minimel_spark.operators.pairs import candidate_pairs, pair_features
+    from minimel_spark.operators.weaklabel import (
+        vote_patterns,
+        weak_label_model,
+    )
+
+    vdim = _vw_records(spark)
+    recs = vdim.select("name", "entity_id").distinct().withColumn(
+        "rec_id", F.col("name")
+    )
+    blocked = recs.select(
+        "rec_id", F.substring("name", 1, 1).alias("block_key")
+    )
+    pairs = candidate_pairs(blocked)
+    feats = pair_features(pairs, recs, name_col="name", text_col=None)
+    ent = recs.select(F.col("rec_id").alias("rec_id_a"),
+                      F.col("entity_id").alias("_ea"))
+    entb = recs.select(F.col("rec_id").alias("rec_id_b"),
+                       F.col("entity_id").alias("_eb"))
+    fy = (
+        feats.join(ent, "rec_id_a")
+        .join(entb, "rec_id_b")
+        .select(
+            F.round("lev_sim", 6).alias("lev_sim"),
+            F.round("jacc3", 6).alias("jacc3"),
+            F.round("jw", 6).alias("jw"),
+            (F.col("_ea") == F.col("_eb")).alias("y"),
+        )
+    )
+    votes = fy.select(
+        F.when(F.col("jw") >= 0.85, 1)
+        .when(F.col("jw") <= 0.5, -1)
+        .otherwise(0)
+        .alias("lf_jw"),
+        F.when(F.col("lev_sim") >= 0.75, 1)
+        .when(F.col("lev_sim") <= 0.45, -1)
+        .otherwise(0)
+        .alias("lf_lev"),
+        F.when(F.col("jacc3") >= 0.6, 1)
+        .when(F.col("jacc3") == 0.0, -1)
+        .otherwise(0)
+        .alias("lf_jacc"),
+        "y",
+    )
+    model = weak_label_model(
+        votes.select(*_WEAK_LFS), _WEAK_LFS, n_iter=_WEAK_N_ITER
+    )
+    truth = (
+        vote_patterns(votes, _WEAK_LFS)
+        .groupBy("pattern")
+        .agg(F.avg(F.col("y").cast("double")).alias("true_rate"))
+    )
+    return model.join(truth, "pattern").select(
+        "pattern",
+        "n_pairs",
+        F.round("p_match", 6).alias("p_match"),
+        F.round("true_rate", 6).alias("true_rate"),
+    )
 
 
 def q_er_tf_adjust(spark, sf_dir):
@@ -8854,6 +8923,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 SQL_ER_LEARN_BLOCKING = _learn_blocking_sql(3)
 
+_VW_WEAK_FEATS_CTE = f"""
+WITH {_VW_NAMES_SQL},
+r AS (SELECT DISTINCT name, entity_id FROM vw_names),
+b AS (SELECT name, entity_id, substr(name, 1, 1) AS bk FROM r),
+p AS (
+  SELECT a.name AS na, c.name AS nb, a.entity_id = c.entity_id AS y
+  FROM b a JOIN b c ON a.bk = c.bk AND a.name < c.name),
+sh AS (
+  SELECT name,
+         list_distinct(flatten(list_transform(
+           list_filter(regexp_split_to_array(lower(name), '\\W+'), x -> x <> ''),
+           w -> list_transform(range(1, greatest(length(w) - 2, 0) + 1),
+                               i -> substring(w, i::INT, 3))))) AS s
+  FROM r),
+feats AS (
+  SELECT round(1.0 - levenshtein(na, nb)::DOUBLE / greatest(length(na), length(nb)), 6) AS lev_sim,
+         round(CASE WHEN len(sa.s) = 0 OR len(sb.s) = 0 THEN 0.0
+                    ELSE len(list_intersect(sa.s, sb.s))::DOUBLE
+                         / len(list_distinct(sa.s || sb.s)) END, 6) AS jacc3,
+         round(jaro_winkler_similarity(na, nb), 6) AS jw,
+         y
+  FROM p JOIN sh sa ON sa.name = p.na JOIN sh sb ON sb.name = p.nb)"""
+
+
+def _weak_truth_sql(n_iter: int) -> str:
+    pro, wv, cases, patbits = _weak_em_prologue(_VW_WEAK_FEATS_CTE, n_iter)
+    w, v = wv()
+    return (
+        pro
+        + f""",
+votesy AS (SELECT {cases[0]} AS v0, {cases[1]} AS v1, {cases[2]} AS v2, y
+           FROM feats),
+paty AS (SELECT ({patbits})::BIGINT AS pattern,
+                avg(CASE WHEN y THEN 1.0 ELSE 0.0 END) AS true_rate
+         FROM votesy GROUP BY 1),
+fin AS (SELECT pattern, n, {w} AS w, {v} AS v FROM pat CROSS JOIN p{n_iter})
+SELECT fin.pattern, fin.n AS n_pairs, round(w / (w + v), 6) AS p_match,
+       round(paty.true_rate, 6) AS true_rate
+FROM fin JOIN paty ON paty.pattern = fin.pattern"""
+    )
+
+
+SQL_ER_WEAK_TRUTH = _weak_truth_sql(_WEAK_N_ITER)
+
+
 
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
@@ -8923,6 +9037,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_weak_truth",
     "er_weak_labels",
     "er_weak_lf_stats",
     "er_conflict_report",
@@ -9056,7 +9171,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 170
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 171
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -9227,6 +9342,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_weak_truth": SQL_ER_WEAK_TRUTH,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,
     "er_source_trust": SQL_ER_SOURCE_TRUST,

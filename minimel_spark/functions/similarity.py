@@ -43,8 +43,21 @@ def jaro(s1: str, s2: str) -> float:
     return (matches / n1 + matches / n2 + (matches - t) / matches) / 3
 
 
-def jaro_winkler(s1: str, s2: str, prefix_scale: float = 0.1, max_prefix: int = 4) -> float:
+def jaro_winkler(
+    s1: str,
+    s2: str,
+    prefix_scale: float = 0.1,
+    max_prefix: int = 4,
+    boost_threshold: float = 0.7,
+) -> float:
+    """Winkler 1990 semantics: the common-prefix boost applies ONLY when
+    the Jaro similarity exceeds ``boost_threshold`` (0.7 standard) — the
+    same rule DuckDB's ``jaro_winkler_similarity`` implements, which is
+    what makes the jw feature oracle-checkable on worlds where blocked
+    pairs share a prefix but score below the threshold."""
     j = jaro(s1, s2)
+    if j <= boost_threshold:
+        return j
     prefix = 0
     for a, b in zip(s1[:max_prefix], s2[:max_prefix]):
         if a != b:

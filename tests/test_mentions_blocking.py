@@ -623,3 +623,30 @@ def test_sorted_neighborhood_cache_contract(spark):
     for c in caches:
         c.unpersist()
     assert pinned_rdd_ids(spark) - before == set()
+
+
+def test_jaro_winkler_boost_threshold_matches_duckdb():
+    """Winkler's prefix boost applies only above jaro 0.7 (the standard
+    rule and DuckDB's) — a shared first letter on a dissimilar pair must
+    NOT lift the score. Fuzzed bit-for-bit against DuckDB."""
+    import itertools
+    import random
+
+    import duckdb
+
+    # a dissimilar pair sharing a prefix: jaro < 0.7 -> NO boost
+    con = duckdb.connect()
+    a, b = "feedfhgbaabinc", "fjgidhjgadg"
+    d = con.sql("SELECT jaro_winkler_similarity(?, ?)", params=[a, b]).fetchone()[0]
+    assert jaro_winkler(a, b) == pytest.approx(d, abs=1e-15)
+    assert jaro_winkler(a, b) < 0.7  # and indeed unboosted
+    random.seed(7)
+    names = [
+        "".join(random.choice("abcdefg") for _ in range(random.randint(3, 14)))
+        for _ in range(35)
+    ] + ["smith", "smyth", "dixon", "dicksonx", "a", "ab", "", "abcdefgh"]
+    for x, y in itertools.combinations(names, 2):
+        d = con.sql(
+            "SELECT jaro_winkler_similarity(?, ?)", params=[x, y]
+        ).fetchone()[0]
+        assert jaro_winkler(x, y) == pytest.approx(d, abs=1e-12), (x, y)
