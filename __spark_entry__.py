@@ -7208,6 +7208,172 @@ LEFT JOIN p{n_rounds} p USING (item)"""
 SQL_ER_AUCTION_MATCH = _auction_sql(6, 0.01)
 
 
+def q_er_stable_marriage(spark, sf_dir):
+    """Proposer-optimal stable matching by synchronous Gale-Shapley
+    deferred acceptance (operators/assignment.py stable_marriage — the
+    pair-by-pair-defensible complement to the welfare-optimizing
+    auction): ~50 md5-sampled parts court suppliers over an md5-thinned
+    scored edge list, 8 fixed rounds with deterministic tie-breaks on
+    both sides. The oracle UNROLLS all eight deferred-acceptance rounds
+    in SQL — proposals, keep-the-best, the growing rejection log — the
+    same unrolled-iteration technique as the auction / FS-EM oracles, so
+    every intermediate engagement state is value-checked, not just the
+    final matching."""
+    from minimel_spark.operators.assignment import stable_marriage
+
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+
+    def _u(expr, salt):
+        return (
+            F.conv(F.substring(F.md5(F.concat(expr, F.lit(salt))), 1, 8), 16, 10)
+            .cast("double")
+            / F.lit(4294967296.0)
+        )
+
+    proposers = part.where(
+        _u(F.col("p_partkey").cast("string"), ":sm_b") < 0.025
+    ).select(F.col("p_partkey").alias("proposer"))
+    pairkey = F.concat(
+        F.col("proposer").cast("string"),
+        F.lit(":"),
+        F.col("acceptor").cast("string"),
+    )
+    edges = (
+        proposers.crossJoin(supp.select(F.col("s_suppkey").alias("acceptor")))
+        .where(_u(pairkey, ":sm_e") < 0.3)
+        .select("proposer", "acceptor", _u(pairkey, ":sm_s").alias("score"))
+    )
+    out = stable_marriage(edges, n_rounds=8)
+    return out.select(
+        F.col("proposer").cast("long").alias("proposer"),
+        F.col("acceptor").cast("long").alias("acceptor"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _stable_marriage_sql(n_rounds: int) -> str:
+    parts = [
+        """e AS MATERIALIZED (
+  SELECT p.p_partkey AS proposer, s.s_suppkey AS acceptor,
+         ('0x' || substr(md5(p.p_partkey::VARCHAR || ':' || s.s_suppkey::VARCHAR
+                             || ':sm_s'), 1, 8))::UBIGINT / 4294967296.0 AS score
+  FROM part p CROSS JOIN supplier s
+  WHERE ('0x' || substr(md5(p.p_partkey::VARCHAR || ':sm_b'), 1, 8))::UBIGINT
+          / 4294967296.0 < 0.025
+    AND ('0x' || substr(md5(p.p_partkey::VARCHAR || ':' || s.s_suppkey::VARCHAR
+                            || ':sm_e'), 1, 8))::UBIGINT / 4294967296.0 < 0.3)""",
+        "g0 AS (SELECT NULL::BIGINT AS proposer, NULL::BIGINT AS acceptor, "
+        "NULL::DOUBLE AS score WHERE FALSE)",
+        "x0 AS (SELECT NULL::BIGINT AS proposer, NULL::BIGINT AS acceptor "
+        "WHERE FALSE)",
+    ]
+    for t in range(1, n_rounds + 1):
+        parts.append(
+            f"""f{t} AS (SELECT * FROM e
+  WHERE proposer NOT IN (SELECT proposer FROM g{t - 1})),
+c{t} AS (SELECT f.* FROM f{t} f
+  LEFT JOIN x{t - 1} x
+    ON f.proposer = x.proposer AND f.acceptor = x.acceptor
+  WHERE x.proposer IS NULL),
+q{t} AS (SELECT proposer, acceptor, score FROM (
+           SELECT *, row_number() OVER (PARTITION BY proposer
+                       ORDER BY score DESC, acceptor ASC) AS rn
+           FROM c{t}) WHERE rn = 1),
+pl{t} AS MATERIALIZED (SELECT * FROM g{t - 1} UNION ALL SELECT * FROM q{t}),
+rk{t} AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY acceptor
+                         ORDER BY score DESC, proposer ASC) AS wrn
+         FROM pl{t}),
+g{t} AS MATERIALIZED (SELECT proposer, acceptor, score
+         FROM rk{t} WHERE wrn = 1),
+x{t} AS MATERIALIZED (SELECT proposer, acceptor FROM x{t - 1}
+         UNION ALL SELECT proposer, acceptor FROM rk{t} WHERE wrn > 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT proposer::BIGINT AS proposer, acceptor::BIGINT AS acceptor,
+       round(score, 6) AS score
+FROM g{n_rounds}"""
+    )
+
+
+SQL_ER_STABLE_MARRIAGE = _stable_marriage_sql(8)
+
+
+def q_er_canopy(spark, sf_dir):
+    """Rare-token canopy blocking (operators/blocking.py
+    rare_token_canopies — the deterministic rare-token form of McCallum/
+    Nigam/Ungar canopies) over a synthetic Zipf-skewed token world (the
+    stock tables' name vocabularies are uniform, so the stop-token path
+    would be vacuous on them): 3000 records × 3 tokens, token id drawn by
+    the integer skew map ``1024 DIV (1 + md5_u32 % 1024)`` — exact in both
+    engines, no float pow — giving a ~64-token power-law vocabulary whose
+    head token covers ~half of all draws. Stop tokens (df > 50) are
+    dropped, every surviving record joins the canopy of its rarest
+    remaining token, and the gate reports each canopy's df, member count,
+    and within-canopy pair count. The oracle replays tokenize → df →
+    stop-filter → per-record (df, token) argmin → canopy rollup natively
+    in SQL, so assignment and cost accounting are both value-checked."""
+    from minimel_spark.operators.blocking import rare_token_canopies
+
+    def tok(j):
+        return (
+            f"concat('t', CAST(1024 DIV (1 + CAST(conv(substring(md5("
+            f"concat(CAST(id AS STRING), ':{j}:cnp')), 1, 8), 16, 10) "
+            f"AS BIGINT) % 1024) AS STRING))"
+        )
+
+    recs = spark.range(3000).select(
+        F.col("id").alias("rec_id"),
+        F.expr(
+            f"concat_ws(' ', {tok(0)}, {tok(1)}, {tok(2)})"
+        ).alias("name"),
+    )
+    asg = rare_token_canopies(recs, max_df=50)
+    return (
+        asg.groupBy("canopy_token", "token_df")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .withColumn(
+            "n_pairs",
+            F.expr("CAST(n_records * (n_records - 1) DIV 2 AS BIGINT)"),
+        )
+    )
+
+
+def _canopy_tok_sql(j: int) -> str:
+    return (
+        f"'t' || (1024 // (1 + ('0x' || substr(md5(id::VARCHAR || ':{j}:cnp'),"
+        f" 1, 8))::UBIGINT % 1024))::VARCHAR"
+    )
+
+
+SQL_ER_CANOPY = f"""
+WITH recs AS MATERIALIZED (
+  SELECT id AS rec_id,
+         {_canopy_tok_sql(0)} || ' ' || {_canopy_tok_sql(1)} || ' ' ||
+         {_canopy_tok_sql(2)} AS name
+  FROM range(3000) t(id)),
+toks AS MATERIALIZED (
+  SELECT rec_id, token FROM (
+    SELECT rec_id,
+           unnest(list_distinct(
+             regexp_split_to_array(lower(name), '[^a-z0-9]+'))) AS token
+    FROM recs) u
+  WHERE token <> ''),
+dfc AS (SELECT token, count(*)::BIGINT AS token_df FROM toks
+        GROUP BY token HAVING count(*) <= 50),
+asg AS (SELECT rec_id, token, token_df FROM (
+  SELECT t.rec_id, t.token, d.token_df,
+         row_number() OVER (PARTITION BY t.rec_id
+           ORDER BY d.token_df ASC, t.token ASC) AS rn
+  FROM toks t JOIN dfc d USING (token)) WHERE rn = 1)
+SELECT token AS canopy_token, token_df, count(*)::BIGINT AS n_records,
+       ((count(*) * (count(*) - 1)) // 2)::BIGINT AS n_pairs
+FROM asg GROUP BY token, token_df"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -9037,6 +9203,8 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_canopy",
+    "er_stable_marriage",
     "er_weak_truth",
     "er_weak_labels",
     "er_weak_lf_stats",
@@ -9171,7 +9339,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 171
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 173
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -9342,6 +9510,8 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_canopy": SQL_ER_CANOPY,
+    "er_stable_marriage": SQL_ER_STABLE_MARRIAGE,
     "er_weak_truth": SQL_ER_WEAK_TRUTH,
     "rel_psi_drift": SQL_REL_PSI_DRIFT,
     "er_fs_waterfall": SQL_ER_FS_WATERFALL,

@@ -127,3 +127,88 @@ def auction_assignment(
             F.coalesce(F.col("price"), F.lit(0.0)).alias("price"),
         )
     )
+
+
+def stable_marriage(
+    edges: DataFrame,
+    n_rounds: int = 8,
+    proposer_col: str = "proposer",
+    acceptor_col: str = "acceptor",
+    score_col: str = "score",
+) -> DataFrame:
+    """Proposer-optimal stable matching by synchronous Gale-Shapley
+    deferred acceptance (Gale & Shapley 1962) over a scored bipartite
+    edge list: each round, every free proposer proposes to its
+    best-scoring acceptor it has not yet been rejected by; each acceptor
+    keeps the best of (current fiancé ∪ new proposals) and rejects the
+    rest, freeing any evicted fiancé. Unlike the auction (which optimizes
+    TOTAL value within n·ε) the fixed point here is a STABLE matching —
+    no unmatched (proposer, acceptor) pair prefers each other over their
+    assigned partners — the guarantee record-linkage wants when a
+    crosswalk must be defensible pair-by-pair rather than only in
+    aggregate. Complements ``auction_assignment`` (welfare-optimal) and
+    ``scoring.reciprocal_best_pairs`` (single-round mutual-best).
+
+    Preferences on both sides derive from ``score_col`` with
+    deterministic tie-breaks (proposer prefers higher score then smaller
+    acceptor id; acceptor prefers higher score then smaller proposer id),
+    so with a FIXED round count the result is a pure function of the edge
+    list — parallelism-invariant and SQL-unrollable round by round for
+    oracle checking (the same technique as the auction / FS-EM oracles).
+    GS terminates after at most |edges| proposals; at fixed ``n_rounds``
+    the standing engagement after the last round is returned, which
+    equals the true fixed point whenever the longest rejection chain fits
+    in the budget.
+
+    Scale design: one round = one anti-join (who is free), one anti-join
+    against the rejection log, one top-1-per-proposer window and one
+    top-1-per-acceptor window (both reduce before anything global), and
+    two bounded upserts. The rejection log grows monotonically but is
+    bounded by |edges|; engagement state is bounded by the smaller side.
+    Both states are ``localCheckpoint``-ed per round exactly like the
+    connected-components loop, so plans don't grow with the round count.
+
+    Returns one row per engaged pair: ``(proposer, acceptor, score)``.
+    """
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(proposer_col).alias("proposer"),
+        F.col(acceptor_col).alias("acceptor"),
+        F.col(score_col).cast("double").alias("score"),
+    )
+    p_t = e.schema["proposer"].dataType
+    a_t = e.schema["acceptor"].dataType
+    empty_pairs = spark.createDataFrame(
+        [], "proposer long, acceptor long, score double"
+    ).select(
+        F.col("proposer").cast(p_t),
+        F.col("acceptor").cast(a_t),
+        "score",
+    )
+    engaged = empty_pairs
+    rejected = empty_pairs.select("proposer", "acceptor")
+    w_prop = Window.partitionBy("proposer").orderBy(
+        F.desc("score"), F.asc("acceptor")
+    )
+    w_acc = Window.partitionBy("acceptor").orderBy(
+        F.desc("score"), F.asc("proposer")
+    )
+    for _ in range(n_rounds):
+        free = e.join(engaged.select("proposer"), "proposer", "left_anti")
+        viable = free.join(rejected, ["proposer", "acceptor"], "left_anti")
+        proposals = (
+            viable.withColumn("_rn", F.row_number().over(w_prop))
+            .where(F.col("_rn") == 1)
+            .select("proposer", "acceptor", "score")
+        )
+        pool = engaged.unionByName(proposals)
+        ranked = pool.withColumn("_wrn", F.row_number().over(w_acc))
+        winners = ranked.where(F.col("_wrn") == 1).select(
+            "proposer", "acceptor", "score"
+        )
+        losers = ranked.where(F.col("_wrn") > 1).select("proposer", "acceptor")
+        engaged = winners.localCheckpoint(eager=True)
+        rejected = rejected.unionByName(losers).localCheckpoint(eager=True)
+    return engaged

@@ -549,3 +549,55 @@ def cap_blocks(
         )
         .drop("_bn", "_nsalt")
     )
+
+
+def rare_token_canopies(
+    records: DataFrame,
+    name_col: str = "name",
+    id_col: str = "rec_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Rare-token CANOPY assignment (the cheap-distance canopy idea of
+    McCallum, Nigam & Ungar, KDD 2000, in its deterministic rare-token
+    form used for author disambiguation): every record joins exactly ONE
+    canopy — that of its globally rarest name token (minimum document
+    frequency, ties to the lexicographically smallest token). Where
+    :func:`token_blocks` is redundancy-positive (k tokens → k blocks,
+    C(df,2) pairs each), the rare-token canopy is a PARTITION of the
+    record set whose block sizes are bounded by the rarest-token df —
+    the cheapest way to get near-linear comparison counts out of token
+    evidence before any pair is scored.
+
+    ``max_df`` drops stop tokens (df > max_df) BEFORE the argmin — the
+    head of the Zipf curve never anchors a canopy, and a record whose
+    every token is a stop token is excluded entirely (no canopy row).
+
+    Scale: tokenize+explode is narrow; the df count is a map-side
+    combinable groupBy over the token vocabulary (Zipf-headed, but the
+    aggregate is tiny); the argmin is a bounded per-record window over
+    that record's own ≤|tokens| rows. No pair is ever materialized here.
+    Deterministic and parallelism-invariant: (df, token) is a total
+    order per record.
+
+    Output: one row per assigned record —
+    ``(id_col, canopy_token, token_df)``.
+    """
+    toks = (
+        records.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col(name_col)), r"[^a-z0-9]+"))
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    dfc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("token_df"))
+    if max_df is not None:
+        dfc = dfc.where(F.col("token_df") <= max_df)
+    w = Window.partitionBy(id_col).orderBy(F.asc("token_df"), F.asc("token"))
+    return (
+        toks.join(dfc, "token")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("token").alias("canopy_token"), "token_df")
+    )

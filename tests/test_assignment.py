@@ -1,8 +1,8 @@
-"""Tests for auction assignment (operators/assignment.py)."""
+"""Tests for auction assignment and stable marriage (operators/assignment.py)."""
 
 import pytest
 
-from minimel_spark.operators.assignment import auction_assignment
+from minimel_spark.operators.assignment import auction_assignment, stable_marriage
 
 
 def test_auction_beats_greedy(spark):
@@ -57,3 +57,65 @@ def test_auction_deterministic_and_partial(spark):
         auction_assignment(edges, n_rounds=0)
     with pytest.raises(ValueError):
         auction_assignment(edges, eps=0.0)
+
+
+def test_stable_marriage_textbook_instance(spark):
+    # Classic 3x3 where proposer-optimal and acceptor-optimal matchings
+    # differ. Scores encode preference ranks (higher = more preferred).
+    # Proposers: 1 prefers A>B>C, 2 prefers B>A>C, 3 prefers A>B>C.
+    # Acceptor scores: A prefers 2>1>3, B prefers 1>2>3, C anything.
+    # GS with proposers proposing: 1->A, 2->B, 3->A; A keeps... the
+    # matching must be stable — verify no blocking pair by brute force.
+    scores = {
+        (1, 10): 3.0, (1, 20): 2.0, (1, 30): 1.0,
+        (2, 10): 2.5, (2, 20): 3.5, (2, 30): 1.5,
+        (3, 10): 3.2, (3, 20): 2.2, (3, 30): 1.2,
+    }
+    edges = spark.createDataFrame(
+        [(p, a, s) for (p, a), s in scores.items()],
+        "proposer long, acceptor long, score double",
+    )
+    out = {
+        (r["proposer"], r["acceptor"])
+        for r in stable_marriage(edges, n_rounds=8).collect()
+    }
+    assert len(out) == 3
+    matched_p = {p: a for p, a in out}
+    matched_a = {a: p for p, a in out}
+    # no blocking pair: an unmatched (p, a) where p prefers a over his
+    # partner AND a prefers p over her partner
+    for (p, a), s in scores.items():
+        if matched_p[p] == a:
+            continue
+        p_prefers = s > scores[(p, matched_p[p])]
+        a_prefers = s > scores[(matched_a[a], a)]
+        assert not (p_prefers and a_prefers), f"blocking pair {(p, a)}"
+
+
+def test_stable_marriage_eviction_chain(spark):
+    # 2 proposers, 1 contested acceptor: proposer 2 evicts proposer 1,
+    # who falls back to his second choice — needs >1 round to settle.
+    edges = spark.createDataFrame(
+        [(1, 10, 9.0), (1, 20, 1.0), (2, 10, 9.5)],
+        "proposer long, acceptor long, score double",
+    )
+    out = {
+        (r["proposer"], r["acceptor"])
+        for r in stable_marriage(edges, n_rounds=4).collect()
+    }
+    assert out == {(2, 10), (1, 20)}
+
+
+def test_stable_marriage_deterministic_ties_and_partial(spark):
+    # equal scores: acceptor tie-breaks to the smaller proposer id; the
+    # loser has nowhere else to go and stays unmatched
+    edges = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 1.0)],
+        "proposer long, acceptor long, score double",
+    )
+    a = sorted(map(tuple, stable_marriage(edges, n_rounds=3).collect()))
+    b = sorted(map(tuple, stable_marriage(edges, n_rounds=3).collect()))
+    assert a == b
+    assert len(a) == 1 and a[0][:2] == (1, 10)
+    with pytest.raises(ValueError):
+        stable_marriage(edges, n_rounds=0)

@@ -650,3 +650,44 @@ def test_jaro_winkler_boost_threshold_matches_duckdb():
             "SELECT jaro_winkler_similarity(?, ?)", params=[x, y]
         ).fetchone()[0]
         assert jaro_winkler(x, y) == pytest.approx(d, abs=1e-12), (x, y)
+
+
+def test_rare_token_canopies_argmin_and_stop_tokens(spark):
+    from minimel_spark.operators.blocking import rare_token_canopies
+
+    recs = spark.createDataFrame(
+        [
+            (1, "alpha beta common"),
+            (2, "alpha gamma common"),
+            (3, "beta gamma common"),
+            (4, "common common common"),
+            (5, "delta common"),
+        ],
+        "rec_id long, name string",
+    )
+    # dfs: alpha=2 beta=2 gamma=2 delta=1 common=4; max_df=3 drops 'common'
+    out = {
+        r["rec_id"]: (r["canopy_token"], r["token_df"])
+        for r in rare_token_canopies(recs, max_df=3).collect()
+    }
+    # rec 4 has only stop tokens -> excluded entirely
+    assert 4 not in out and len(out) == 4
+    assert out[5] == ("delta", 1)  # rarest available
+    # ties on df=2 break to the lexicographically smallest token
+    assert out[1] == ("alpha", 2)
+    assert out[2] == ("alpha", 2)
+    assert out[3] == ("beta", 2)
+
+
+def test_rare_token_canopies_partition_of_records(spark):
+    from minimel_spark.operators.blocking import rare_token_canopies
+
+    recs = spark.range(200).selectExpr(
+        "id AS rec_id",
+        "concat('w', CAST(id % 7 AS STRING), ' w', CAST(id % 13 AS STRING), 'x')"
+        " AS name",
+    )
+    out = rare_token_canopies(recs)
+    # single assignment: exactly one canopy row per record, no max_df -> all kept
+    assert out.count() == 200
+    assert out.select("rec_id").distinct().count() == 200
