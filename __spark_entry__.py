@@ -7374,6 +7374,76 @@ SELECT token AS canopy_token, token_df, count(*)::BIGINT AS n_records,
 FROM asg GROUP BY token, token_df"""
 
 
+def q_er_progressive(spark, sf_dir):
+    """Progressive (pay-as-you-go) ER schedule audit (operators/
+    evaluate.py progressive_size_curve — Whang et al. TKDE 2013):
+    first-letter ∪ 4-prefix blocks over the variant world, processed
+    smallest-size-first, one curve row per block-size tier with the added
+    comparison cost, the DISTINCT gold pairs first reachable at that tier
+    (min-size attribution so the cumulative never double counts), and the
+    cumulative recall against all same-entity pairs. The oracle replays
+    block sizing, the within-block same-entity self-join, the min-size
+    attribution, and the cumulative window natively in SQL."""
+    from minimel_spark.operators.evaluate import progressive_size_curve
+
+    recs = _vw_records(spark).select(
+        F.col("name").alias("rec_id"), "entity_id"
+    ).distinct()
+    blocked = (
+        recs.select(
+            F.concat(F.lit("l1:"), F.substring("rec_id", 1, 1)).alias(
+                "block_key"
+            ),
+            "rec_id",
+        )
+        .unionByName(
+            recs.select(
+                F.concat(F.lit("p4:"), F.substring("rec_id", 1, 4)).alias(
+                    "block_key"
+                ),
+                "rec_id",
+            )
+        )
+        .distinct()
+    )
+    return progressive_size_curve(blocked, recs)
+
+
+SQL_ER_PROGRESSIVE = f"""
+WITH {_VW_NAMES_SQL.strip().lstrip()},
+recs AS MATERIALIZED (SELECT DISTINCT name, entity_id FROM vw_names),
+blk AS MATERIALIZED (
+  SELECT 'l1:' || substr(name, 1, 1) AS k, name AS id FROM recs
+  UNION
+  SELECT 'p4:' || substr(name, 1, 4) AS k, name AS id FROM recs),
+sizes AS MATERIALIZED (SELECT k, count(*)::BIGINT AS n FROM blk GROUP BY k),
+per_size AS (SELECT n AS block_size, count(*)::BIGINT AS n_blocks,
+                    (sum(n * (n - 1) // 2))::BIGINT AS new_pairs
+             FROM sizes GROUP BY n),
+lab AS (SELECT b.k, b.id, r.entity_id AS e
+        FROM blk b JOIN recs r ON b.id = r.name),
+fs AS (SELECT a._a, a._b, min(s.n) AS block_size FROM (
+         SELECT l.k, l.id AS _a, r.id AS _b
+         FROM lab l JOIN lab r ON l.k = r.k AND l.id < r.id AND l.e = r.e) a
+       JOIN sizes s ON a.k = s.k GROUP BY a._a, a._b),
+per_first AS (SELECT block_size, count(*)::BIGINT AS new_matches
+              FROM fs GROUP BY block_size),
+tot AS (SELECT (sum(m * (m - 1) // 2))::BIGINT AS t FROM (
+          SELECT count(*)::BIGINT AS m FROM recs GROUP BY entity_id) u),
+curve AS (SELECT block_size,
+                 coalesce(n_blocks, 0)::BIGINT AS n_blocks,
+                 coalesce(new_pairs, 0)::BIGINT AS new_pairs,
+                 coalesce(new_matches, 0)::BIGINT AS new_matches
+          FROM per_size FULL OUTER JOIN per_first USING (block_size))
+SELECT block_size, n_blocks, new_pairs, new_matches,
+       (sum(new_pairs) OVER (ORDER BY block_size))::BIGINT AS cum_pairs,
+       (sum(new_matches) OVER (ORDER BY block_size))::BIGINT AS cum_matches,
+       CASE WHEN t > 0
+            THEN round((sum(new_matches) OVER (ORDER BY block_size)) / t, 6)
+            ELSE 1.0 END AS cum_recall
+FROM curve, tot"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -9203,6 +9273,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_progressive",
     "er_canopy",
     "er_stable_marriage",
     "er_weak_truth",
@@ -9339,7 +9410,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 173
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 174
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -9510,6 +9581,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_progressive": SQL_ER_PROGRESSIVE,
     "er_canopy": SQL_ER_CANOPY,
     "er_stable_marriage": SQL_ER_STABLE_MARRIAGE,
     "er_weak_truth": SQL_ER_WEAK_TRUTH,

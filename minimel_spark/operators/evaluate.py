@@ -809,3 +809,87 @@ def learn_blocking_rules(
         "round long, rule string, new_matches long, new_pairs long, "
         "cum_matches long, cum_pairs long, total_matches long",
     )
+
+
+def progressive_size_curve(
+    blocked: DataFrame,
+    gold: DataFrame,
+    key_col: str = "block_key",
+    id_col: str = "rec_id",
+    entity_col: str = "entity_id",
+) -> DataFrame:
+    """Progressive (pay-as-you-go) ER schedule audit — Whang et al., "Pay-
+    As-You-Go Entity Resolution" (TKDE 2013) / Papenbrock et al.'s
+    progressive dedup: process blocks SMALLEST FIRST (small blocks are the
+    cheap, match-dense ones under Zipfian keys) and report how much recall
+    each block-size tier buys per comparison, so a budgeted run knows where
+    to stop. One output row per DISTINCT BLOCK SIZE, in schedule order:
+
+    ``block_size, n_blocks, new_pairs, new_matches, cum_pairs,
+    cum_matches, cum_recall``
+
+    where ``new_pairs`` is the comparison cost added by that tier
+    (sum of C(n,2) over its blocks — re-comparisons across blocks are
+    charged again, the real cost model), ``new_matches`` counts DISTINCT
+    gold pairs first reachable at that tier (a pair co-blocked at several
+    sizes is credited only to its smallest — min-size attribution, so the
+    cumulative never double counts), and ``cum_recall`` divides by ALL
+    gold pairs (sum of C(m,2) over entities), so unblocked matches
+    depress the asymptote exactly as :func:`blocking_metrics` would.
+
+    Scale: the only pair-shaped intermediate is the within-block
+    same-entity self-join — the same shape (and the same cap_blocks
+    guard applies upstream) as candidate generation itself; everything
+    else is groupBy-reduced before the single cumulative window, which
+    runs over at most max-block-size rows (the small-by-construction
+    window exemption, as in :func:`pr_curve`).
+    """
+    b = blocked.select(F.col(key_col).alias("_k"), F.col(id_col).alias("_id")).distinct()
+    sizes = b.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
+    per_size = sizes.groupBy(F.col("_n").alias("block_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.expr("_n * (_n - 1) DIV 2")).cast("long").alias("new_pairs"),
+    )
+    g = gold.select(F.col(id_col).alias("_id"), F.col(entity_col).alias("_e"))
+    lab = b.join(g, "_id")
+    left = lab.select("_k", F.col("_id").alias("_a"), F.col("_e").alias("_ea"))
+    right = lab.select("_k", F.col("_id").alias("_b"), F.col("_e").alias("_eb"))
+    first_size = (
+        left.join(right, "_k")
+        .where((F.col("_a") < F.col("_b")) & (F.col("_ea") == F.col("_eb")))
+        .join(sizes, "_k")
+        .groupBy("_a", "_b")
+        .agg(F.min("_n").alias("block_size"))
+    )
+    per_first = first_size.groupBy("block_size").agg(
+        F.count(F.lit(1)).cast("long").alias("new_matches")
+    )
+    total = g.groupBy("_e").agg(F.count(F.lit(1)).alias("_m")).agg(
+        F.sum(F.expr("_m * (_m - 1) DIV 2")).cast("long").alias("_total_matches")
+    )
+    curve = (
+        per_size.join(per_first, "block_size", "full_outer")
+        .na.fill(0, ["n_blocks", "new_pairs", "new_matches"])
+    )
+    w = Window.orderBy("block_size").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        curve.crossJoin(total)
+        .withColumn("cum_pairs", F.sum("new_pairs").over(w).cast("long"))
+        .withColumn("cum_matches", F.sum("new_matches").over(w).cast("long"))
+        .select(
+            "block_size",
+            "n_blocks",
+            "new_pairs",
+            "new_matches",
+            "cum_pairs",
+            "cum_matches",
+            F.when(
+                F.col("_total_matches") > 0,
+                F.round(F.col("cum_matches") / F.col("_total_matches"), 6),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("cum_recall"),
+        )
+    )

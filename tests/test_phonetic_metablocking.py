@@ -1003,3 +1003,54 @@ def test_learn_blocking_rules_tiebreak_and_guards(spark):
         learn_blocking_rules(pairs, ["a", "a"], n_rules=1)
     with _pytest.raises(ValueError):
         learn_blocking_rules(pairs, ["a"], n_rules=2)
+
+
+def test_progressive_size_curve_attribution_and_recall(spark):
+    from minimel_spark.operators.evaluate import progressive_size_curve
+
+    # entities: {1,2} match, {3,4} match, 5 alone. Blocks: size-2 block b1
+    # holds the (1,2) match; size-3 block b2 holds (3,4) AND re-holds
+    # (1,2)? no — b2 = {1,3,4}: contains (3,4) match only. b3 (size 4)
+    # re-contains (3,4) — must NOT be credited twice.
+    blocked = spark.createDataFrame(
+        [("b1", 1), ("b1", 2),
+         ("b2", 1), ("b2", 3), ("b2", 4),
+         ("b3", 2), ("b3", 3), ("b3", 4), ("b3", 5)],
+        "block_key string, rec_id long",
+    )
+    gold = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20), (5, 30)],
+        "rec_id long, entity_id long",
+    )
+    rows = {
+        r["block_size"]: r
+        for r in progressive_size_curve(blocked, gold).collect()
+    }
+    assert set(rows) == {2, 3, 4}
+    # tier 2: one block, C(2,2)=1 pair, finds the (1,2) match
+    assert rows[2]["n_blocks"] == 1 and rows[2]["new_pairs"] == 1
+    assert rows[2]["new_matches"] == 1
+    # tier 3: 3 pairs cost, first finds (3,4)
+    assert rows[3]["new_pairs"] == 3 and rows[3]["new_matches"] == 1
+    # tier 4: 6 more pairs, (3,4) already credited at size 3 -> 0 new
+    assert rows[4]["new_pairs"] == 6 and rows[4]["new_matches"] == 0
+    # denominator = 2 gold pairs; monotone cumulative recall 0.5 -> 1.0
+    assert rows[2]["cum_recall"] == 0.5
+    assert rows[3]["cum_recall"] == 1.0 == rows[4]["cum_recall"]
+    assert rows[4]["cum_pairs"] == 10
+
+
+def test_progressive_size_curve_unblocked_matches_cap_recall(spark):
+    from minimel_spark.operators.evaluate import progressive_size_curve
+
+    # the (5,6) match never co-occurs in a block: asymptote stays at 1/2
+    blocked = spark.createDataFrame(
+        [("b1", 1), ("b1", 2), ("b2", 5), ("b3", 6)],
+        "block_key string, rec_id long",
+    )
+    gold = spark.createDataFrame(
+        [(1, 10), (2, 10), (5, 20), (6, 20)],
+        "rec_id long, entity_id long",
+    )
+    out = progressive_size_curve(blocked, gold).orderBy("block_size").collect()
+    assert out[-1]["cum_recall"] == 0.5
