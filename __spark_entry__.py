@@ -7444,6 +7444,109 @@ SELECT block_size, n_blocks, new_pairs, new_matches,
 FROM curve, tot"""
 
 
+def q_er_ds_fusion(spark, sf_dir):
+    """Dempster-Shafer evidential fusion of pair comparators (operators/
+    fusion.py dempster_shafer_fusion — the belief-function complement to
+    Fellegi-Sunter): over the variant world's same-first-letter pair
+    universe, three CASE-literal comparators (4-prefix, 4-suffix, length
+    gap ≤ 1) each assign mass to {match}/{nonmatch} with an explicit
+    ignorance reserve, combined by Dempster's rule in closed form. The
+    oracle mirrors the product fold term by term — same literals, same
+    association order — so belief, plausibility, residual ignorance, and
+    burned conflict are all value-checked per pair."""
+    from minimel_spark.operators.fusion import dempster_shafer_fusion
+
+    recs = _vw_records(spark).select("name", "entity_id").distinct()
+    a = recs.select(F.col("name").alias("na"), F.col("entity_id").alias("ea"))
+    b = recs.select(F.col("name").alias("nb"), F.col("entity_id").alias("eb"))
+    pr = (
+        a.join(
+            b,
+            (F.col("na") < F.col("nb"))
+            & (F.substring("na", 1, 1) == F.substring("nb", 1, 1)),
+        )
+        .select(
+            "na",
+            "nb",
+            (F.col("ea") == F.col("eb")).alias("is_match"),
+            F.when(
+                F.substring("na", 1, 4) == F.substring("nb", 1, 4),
+                F.lit(0.7),
+            )
+            .otherwise(F.lit(0.1))
+            .alias("m1"),
+            F.when(
+                F.substring("na", 1, 4) == F.substring("nb", 1, 4),
+                F.lit(0.05),
+            )
+            .otherwise(F.lit(0.6))
+            .alias("n1"),
+            F.when(F.expr("right(na, 4)") == F.expr("right(nb, 4)"), F.lit(0.6))
+            .otherwise(F.lit(0.05))
+            .alias("m2"),
+            F.when(F.expr("right(na, 4)") == F.expr("right(nb, 4)"), F.lit(0.1))
+            .otherwise(F.lit(0.5))
+            .alias("n2"),
+            F.when(
+                F.abs(F.length("na") - F.length("nb")) <= 1, F.lit(0.3)
+            )
+            .otherwise(F.lit(0.02))
+            .alias("m3"),
+            F.when(
+                F.abs(F.length("na") - F.length("nb")) <= 1, F.lit(0.2)
+            )
+            .otherwise(F.lit(0.8))
+            .alias("n3"),
+        )
+    )
+    out = dempster_shafer_fusion(pr, [("m1", "n1"), ("m2", "n2"), ("m3", "n3")])
+    return out.select(
+        "na",
+        "nb",
+        "is_match",
+        F.round("bel_match", 6).alias("bel_match"),
+        F.round("pl_match", 6).alias("pl_match"),
+        F.round("m_theta", 6).alias("m_theta"),
+        F.round("conflict", 6).alias("conflict"),
+    )
+
+
+SQL_ER_DS_FUSION = f"""
+WITH {_VW_NAMES_SQL.strip()},
+recs AS MATERIALIZED (SELECT DISTINCT name, entity_id FROM vw_names),
+pr AS MATERIALIZED (
+  SELECT a.name AS na, b.name AS nb,
+         a.entity_id = b.entity_id AS is_match,
+         CASE WHEN substr(a.name, 1, 4) = substr(b.name, 1, 4)
+              THEN 0.7 ELSE 0.1 END AS m1,
+         CASE WHEN substr(a.name, 1, 4) = substr(b.name, 1, 4)
+              THEN 0.05 ELSE 0.6 END AS n1,
+         CASE WHEN right(a.name, 4) = right(b.name, 4)
+              THEN 0.6 ELSE 0.05 END AS m2,
+         CASE WHEN right(a.name, 4) = right(b.name, 4)
+              THEN 0.1 ELSE 0.5 END AS n2,
+         CASE WHEN abs(length(a.name) - length(b.name)) <= 1
+              THEN 0.3 ELSE 0.02 END AS m3,
+         CASE WHEN abs(length(a.name) - length(b.name)) <= 1
+              THEN 0.2 ELSE 0.8 END AS n3
+  FROM recs a JOIN recs b
+    ON a.name < b.name AND substr(a.name, 1, 1) = substr(b.name, 1, 1)),
+c AS (
+  SELECT na, nb, is_match,
+         1.0 * (m1 + (1.0 - m1 - n1)) * (m2 + (1.0 - m2 - n2))
+             * (m3 + (1.0 - m3 - n3)) AS pm,
+         1.0 * (n1 + (1.0 - m1 - n1)) * (n2 + (1.0 - m2 - n2))
+             * (n3 + (1.0 - m3 - n3)) AS pn,
+         1.0 * (1.0 - m1 - n1) * (1.0 - m2 - n2) * (1.0 - m3 - n3) AS pt
+  FROM pr)
+SELECT na, nb, is_match,
+       round((pm - pt) / (((pm - pt) + (pn - pt)) + pt), 6) AS bel_match,
+       round(((pm - pt) + pt) / (((pm - pt) + (pn - pt)) + pt), 6) AS pl_match,
+       round(pt / (((pm - pt) + (pn - pt)) + pt), 6) AS m_theta,
+       round(1.0 - (((pm - pt) + (pn - pt)) + pt), 6) AS conflict
+FROM c"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -9273,6 +9376,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_ds_fusion",
     "er_progressive",
     "er_canopy",
     "er_stable_marriage",
@@ -9410,7 +9514,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 174
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 175
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -9581,6 +9685,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_ds_fusion": SQL_ER_DS_FUSION,
     "er_progressive": SQL_ER_PROGRESSIVE,
     "er_canopy": SQL_ER_CANOPY,
     "er_stable_marriage": SQL_ER_STABLE_MARRIAGE,

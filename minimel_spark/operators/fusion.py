@@ -120,3 +120,58 @@ def truth_discovery(
         F.col("_w._n").alias("n_sources"),
     )
     return facts, trust.select("source_id", "trust", "n_claims")
+
+
+def dempster_shafer_fusion(
+    pairs: DataFrame,
+    sources: list[tuple[str, str]],
+) -> DataFrame:
+    """Combine per-comparator match evidence on each candidate pair by
+    Dempster's rule of combination (Shafer 1976) — the evidential
+    complement to Fellegi-Sunter: where FS multiplies likelihood ratios
+    under a two-class model, Dempster-Shafer lets every comparator keep
+    an explicit UNCERTAINTY reserve, so a weak comparator abstains
+    instead of voting, and disagreement shows up as a measurable
+    CONFLICT instead of silently cancelling.
+
+    Each source ``(mass_match_col, mass_nonmatch_col)`` carries a basic
+    probability assignment over the frame {match, nonmatch}: mass on
+    {match}, mass on {nonmatch}, and the remainder ``1 - m - n`` on the
+    whole frame Θ (ignorance). Because every focal element is a singleton
+    or Θ, the k-source combination has the closed form
+
+        m(M) ∝ Π(mᵢ + θᵢ) − Π θᵢ      m(N) ∝ Π(nᵢ + θᵢ) − Π θᵢ
+        m(Θ) ∝ Π θᵢ                   K (conflict) = 1 − Z
+
+    with Z the unnormalized total — so the fold is pure column
+    arithmetic, no per-row UDF and no iteration, and the SQL oracle can
+    mirror it term by term. Appends:
+
+    - ``bel_match``: normalized belief in {match} (lower bound),
+    - ``pl_match``: plausibility of {match} (upper bound, bel + m(Θ)),
+    - ``m_theta``: normalized residual ignorance,
+    - ``conflict``: the mass the sources burned disagreeing.
+
+    Scale: embarrassingly parallel row-local arithmetic over the scored
+    pair stream — whole-stage-codegen'd, shuffle-free, safe at any pair
+    count. Masses must satisfy m, n ≥ 0 and m + n ≤ 1 per source; the
+    caller owns that contract (CASE-mapped literals in practice).
+    """
+    if not sources:
+        raise ValueError("sources must be a non-empty list")
+    pm, pn, pt = F.lit(1.0), F.lit(1.0), F.lit(1.0)
+    for mcol, ncol in sources:
+        m, n = F.col(mcol), F.col(ncol)
+        t = F.lit(1.0) - m - n
+        pm = pm * (m + t)
+        pn = pn * (n + t)
+        pt = pt * t
+    m_match = pm - pt
+    m_non = pn - pt
+    z = m_match + m_non + pt
+    return (
+        pairs.withColumn("bel_match", m_match / z)
+        .withColumn("pl_match", (m_match + pt) / z)
+        .withColumn("m_theta", pt / z)
+        .withColumn("conflict", F.lit(1.0) - z)
+    )

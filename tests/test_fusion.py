@@ -235,3 +235,56 @@ def test_conflict_report_all_null_and_guards(spark):
         conflict_report(recs, mem, [])
     with _pytest.raises(ValueError, match="not in records"):
         conflict_report(recs, mem, ["nope"])
+
+
+def test_dempster_rule_hand_arithmetic(spark):
+    from minimel_spark.operators.fusion import dempster_shafer_fusion
+
+    # two sources: m1=(0.6,0.1,theta 0.3), m2=(0.5,0.2,theta 0.3)
+    # unnormalized: m(M)=0.6*0.5+0.6*0.3+0.3*0.5=0.63; closed form
+    # (0.9*0.8)-0.09=0.63; m(N)=(0.4*0.5)-0.09=0.11; m(T)=0.09
+    # Z=0.83, K=0.17; bel=0.63/0.83, pl=(0.63+0.09)/0.83
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.6, 0.1, 0.5, 0.2)],
+        "a long, b long, m1 double, n1 double, m2 double, n2 double",
+    )
+    r = dempster_shafer_fusion(pairs, [("m1", "n1"), ("m2", "n2")]).collect()[0]
+    assert abs(r["bel_match"] - 0.63 / 0.83) < 1e-12
+    assert abs(r["pl_match"] - 0.72 / 0.83) < 1e-12
+    assert abs(r["m_theta"] - 0.09 / 0.83) < 1e-12
+    assert abs(r["conflict"] - 0.17) < 1e-12
+
+
+def test_dempster_vacuous_source_is_neutral(spark):
+    from minimel_spark.operators.fusion import dempster_shafer_fusion
+
+    # a fully ignorant source (m=n=0) must not change the combination
+    pairs = spark.createDataFrame(
+        [(1, 0.6, 0.1, 0.0, 0.0)],
+        "a long, m1 double, n1 double, m2 double, n2 double",
+    )
+    one = dempster_shafer_fusion(
+        pairs.select("a", "m1", "n1"), [("m1", "n1")]
+    ).collect()[0]
+    two = dempster_shafer_fusion(pairs, [("m1", "n1"), ("m2", "n2")]).collect()[0]
+    for c in ("bel_match", "pl_match", "m_theta", "conflict"):
+        assert abs(one[c] - two[c]) < 1e-12
+
+
+def test_dempster_total_conflict_and_validation(spark):
+    import pytest
+
+    from minimel_spark.operators.fusion import dempster_shafer_fusion
+
+    # categorical disagreement: m1 all-match, m2 all-nonmatch -> the rule
+    # degenerates (Z -> 0); with a hair of ignorance it stays finite and
+    # conflict dominates
+    pairs = spark.createDataFrame(
+        [(1, 0.99, 0.0, 0.0, 0.99)],
+        "a long, m1 double, n1 double, m2 double, n2 double",
+    )
+    r = dempster_shafer_fusion(pairs, [("m1", "n1"), ("m2", "n2")]).collect()[0]
+    assert r["conflict"] > 0.9
+    assert 0.0 <= r["bel_match"] <= r["pl_match"] <= 1.0
+    with pytest.raises(ValueError):
+        dempster_shafer_fusion(pairs, [])
