@@ -7547,6 +7547,69 @@ SELECT na, nb, is_match,
 FROM c"""
 
 
+def q_web_url_frontier(spark, sf_dir):
+    """Politeness-aware crawl-frontier scheduling (operators/web.py
+    crawl_frontier — the Mercator wave design): synthetic frontier URLs
+    over the orders table (domain = customer mod 50, md5-derived
+    priority, per-domain robots delay 1-3), queue truncated to 5 waves
+    per domain. The oracle replays the per-domain priority rank, the
+    wave cap, and the wave × delay fetch-slot arithmetic natively in
+    SQL, so the whole schedule is value-checked row by row."""
+    from minimel_spark.operators.web import crawl_frontier
+
+    orders = _t(spark, sf_dir, "orders")
+    urls = orders.select(
+        F.concat(
+            F.lit("https://d"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example/o/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("d"), (F.col("o_custkey") % 50).cast("string")).alias(
+            "domain"
+        ),
+        (F.lit(1) + (F.col("o_custkey") % 50) % 3).alias("delay"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":fr"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(4294967296.0)
+        ).alias("score"),
+    )
+    out = crawl_frontier(urls, delay_col="delay", max_per_domain=5)
+    return out.select(
+        "url",
+        "domain",
+        F.round("score", 6).alias("score"),
+        "wave",
+        "fetch_at",
+    )
+
+
+SQL_WEB_URL_FRONTIER = """
+WITH urls AS MATERIALIZED (
+  SELECT 'https://d' || (o_custkey % 50)::VARCHAR || '.example/o/'
+           || o_orderkey::VARCHAR AS url,
+         'd' || (o_custkey % 50)::VARCHAR AS domain,
+         1 + (o_custkey % 50) % 3 AS delay,
+         ('0x' || substr(md5(o_orderkey::VARCHAR || ':fr'), 1, 8))::UBIGINT
+           / 4294967296.0 AS score
+  FROM orders),
+r AS (SELECT url, domain, score, delay,
+             row_number() OVER (PARTITION BY domain
+               ORDER BY score DESC, url ASC) - 1 AS wave
+      FROM urls)
+SELECT url, domain, round(score, 6) AS score, wave::BIGINT AS wave,
+       (wave * delay)::BIGINT AS fetch_at
+FROM r WHERE wave < 5"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -9376,6 +9439,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "web_url_frontier",
     "er_ds_fusion",
     "er_progressive",
     "er_canopy",
@@ -9514,7 +9578,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 175
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 176
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -9685,6 +9749,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "web_url_frontier": SQL_WEB_URL_FRONTIER,
     "er_ds_fusion": SQL_ER_DS_FUSION,
     "er_progressive": SQL_ER_PROGRESSIVE,
     "er_canopy": SQL_ER_CANOPY,

@@ -246,3 +246,52 @@ def strip_boilerplate_lines(
             ),
         )
     )
+
+
+def crawl_frontier(
+    urls: DataFrame,
+    score_col: str = "score",
+    url_col: str = "url",
+    domain_col: str = "domain",
+    delay_col: str | None = None,
+    max_per_domain: int | None = None,
+) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling (the Mercator frontier
+    design, Heydon & Najork 2001): a crawler may hit each host at most
+    once per politeness interval, so the frontier is consumed in per-
+    domain WAVES — wave 0 holds every domain's best URL, wave 1 the
+    second-best, and so on. This operator assigns each candidate URL its
+    ``wave`` (per-domain priority rank, 0-based, score descending with
+    URL tie-break) and its earliest ``fetch_at`` slot
+    (``wave × crawl_delay``), leaving the dequeue order to the sink —
+    consumers sort or range-partition on ``fetch_at``, so no global
+    ordering is ever computed here.
+
+    ``delay_col`` optionally carries a per-domain crawl delay (robots.txt
+    ``Crawl-delay`` / adaptive politeness) — slots then spread out more
+    for slow hosts; default is one slot per wave. ``max_per_domain``
+    truncates each domain's queue (the same budget idea as
+    :func:`domain_quota`, which caps a CORPUS by content rank; this caps
+    the SCHEDULE by priority).
+
+    Scale: one shuffle on the domain key; the rank window partitions by
+    domain so no single-partition sort exists. A mega-domain still ranks
+    inside one task — real frontiers shard such hosts by path prefix
+    before scheduling; apply the same split upstream if one host carries
+    a material fraction of the frontier. Deterministic at any
+    parallelism: (score, url) is a total order within a domain.
+
+    Output: the input columns plus ``wave`` and ``fetch_at`` (both long).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.desc(score_col), F.asc(url_col)
+    )
+    out = urls.withColumn("wave", (F.row_number().over(w) - 1).cast("long"))
+    if max_per_domain is not None:
+        if max_per_domain < 1:
+            raise ValueError(f"max_per_domain must be >= 1, got {max_per_domain}")
+        out = out.where(F.col("wave") < max_per_domain)
+    delay = F.col(delay_col) if delay_col is not None else F.lit(1)
+    return out.withColumn("fetch_at", (F.col("wave") * delay).cast("long"))

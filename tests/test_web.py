@@ -222,3 +222,49 @@ def test_lined_pages_shape(spark, documents):
         assert len(ls) >= 4  # at least one body line
         # body lines re-wrap the words 8 per line
         assert all(len(b.split(" ")) <= 8 for b in ls[2:-1])
+
+
+def test_crawl_frontier_waves_and_politeness(spark):
+    from minimel_spark.operators.web import crawl_frontier
+
+    urls = spark.createDataFrame(
+        [
+            ("u/a1", "a", 0.9, 2),
+            ("u/a2", "a", 0.5, 2),
+            ("u/a3", "a", 0.7, 2),
+            ("u/b1", "b", 0.1, 1),
+        ],
+        "url string, domain string, score double, delay int",
+    )
+    out = {
+        r["url"]: (r["wave"], r["fetch_at"])
+        for r in crawl_frontier(urls, delay_col="delay").collect()
+    }
+    # domain a ranked by score desc: a1 (wave 0), a3 (1), a2 (2); delay 2
+    assert out["u/a1"] == (0, 0)
+    assert out["u/a3"] == (1, 2)
+    assert out["u/a2"] == (2, 4)
+    # domain b independent: its best is wave 0 regardless of score
+    assert out["u/b1"] == (0, 0)
+    # at most one URL per (domain, wave) — the politeness invariant
+    waves = [(r["domain"], r["wave"]) for r in crawl_frontier(urls).collect()]
+    assert len(waves) == len(set(waves))
+
+
+def test_crawl_frontier_cap_and_ties(spark):
+    import pytest
+
+    from minimel_spark.operators.web import crawl_frontier
+
+    urls = spark.createDataFrame(
+        [("u/2", "a", 0.5), ("u/1", "a", 0.5), ("u/3", "a", 0.4)],
+        "url string, domain string, score double",
+    )
+    out = crawl_frontier(urls, max_per_domain=2).collect()
+    # cap truncates the queue; score ties break by url ascending
+    kept = {r["url"]: r["wave"] for r in out}
+    assert kept == {"u/1": 0, "u/2": 1}
+    # default delay = 1 slot per wave
+    assert {r["fetch_at"] for r in out} == {0, 1}
+    with pytest.raises(ValueError):
+        crawl_frontier(urls, max_per_domain=0)
