@@ -7610,6 +7610,60 @@ SELECT url, domain, round(score, 6) AS score, wave::BIGINT AS wave,
 FROM r WHERE wave < 5"""
 
 
+def q_er_incremental_assign(spark, sf_dir):
+    """Incremental ER registry upsert (operators/cluster.py
+    incremental_assign — assign-or-mint against existing cluster
+    representatives): the variant world's per-entity minimum name plays
+    the registry representative, every other variant arrives as the new
+    batch, first-letter blocking + Jaro-Winkler ≥ 0.8 decides attach vs
+    mint. The oracle replays blocking, DuckDB's jaro_winkler_similarity
+    (parity-tested against our pandas UDF), the (score, cluster) argmax,
+    the threshold, and the new:<id> minting natively in SQL."""
+    from minimel_spark.operators.cluster import incremental_assign
+
+    recs = _vw_records(spark).select("name", "entity_id").distinct()
+    registry = recs.groupBy("entity_id").agg(F.min("name").alias("rep_name"))
+    batch = recs.join(
+        registry.select(F.col("rep_name").alias("name")), "name", "left_anti"
+    ).select(F.col("name").alias("rec_id"), "name")
+    out = incremental_assign(
+        registry,
+        batch,
+        threshold=0.8,
+        cluster_col="entity_id",
+    )
+    return out.select(
+        "rec_id",
+        "cluster_id",
+        F.round("score", 6).alias("score"),
+        "matched",
+    )
+
+
+SQL_ER_INCREMENTAL_ASSIGN = f"""
+WITH {_VW_NAMES_SQL.strip()},
+recs AS MATERIALIZED (SELECT DISTINCT name, entity_id FROM vw_names),
+reg AS MATERIALIZED (SELECT entity_id, min(name) AS rep_name
+                     FROM recs GROUP BY entity_id),
+batch AS MATERIALIZED (SELECT name AS rec_id, name FROM recs
+  WHERE name NOT IN (SELECT rep_name FROM reg)),
+cand AS (SELECT b.rec_id, reg.entity_id::VARCHAR AS c,
+                jaro_winkler_similarity(b.name, reg.rep_name) AS s
+         FROM batch b JOIN reg
+           ON substr(b.name, 1, 1) = substr(reg.rep_name, 1, 1)),
+best AS (SELECT rec_id, c, s FROM (
+           SELECT rec_id, c, s,
+                  row_number() OVER (PARTITION BY rec_id
+                    ORDER BY s DESC, c ASC) AS rn
+           FROM cand) WHERE rn = 1 AND s >= 0.8)
+SELECT rec_id, c AS cluster_id, round(s, 6) AS score, TRUE AS matched
+FROM best
+UNION ALL
+SELECT b.rec_id, 'new:' || b.rec_id AS cluster_id,
+       NULL::DOUBLE AS score, FALSE AS matched
+FROM batch b WHERE b.rec_id NOT IN (SELECT rec_id FROM best)"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -9439,6 +9493,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_incremental_assign",
     "web_url_frontier",
     "er_ds_fusion",
     "er_progressive",
@@ -9578,7 +9633,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 176
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 177
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -9749,6 +9804,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_incremental_assign": SQL_ER_INCREMENTAL_ASSIGN,
     "web_url_frontier": SQL_WEB_URL_FRONTIER,
     "er_ds_fusion": SQL_ER_DS_FUSION,
     "er_progressive": SQL_ER_PROGRESSIVE,

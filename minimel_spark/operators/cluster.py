@@ -1064,3 +1064,79 @@ def constraint_violations(
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out
+
+
+def incremental_assign(
+    registry: DataFrame,
+    batch: DataFrame,
+    threshold: float,
+    rec_id_col: str = "rec_id",
+    name_col: str = "name",
+    cluster_col: str = "cluster_id",
+    rep_col: str = "rep_name",
+    block_prefix: int = 1,
+) -> DataFrame:
+    """Incremental ER registry upsert (Gruenheid, Dong & Srivastava,
+    "Incremental Record Linkage", VLDB 2014, in its assign-or-mint form):
+    match a NEW batch of records against the EXISTING cluster registry's
+    representatives and either attach each record to its best cluster or
+    mint a fresh singleton — the steady-state operation of a production
+    entity registry, where re-clustering the full corpus per batch
+    (what :func:`connected_components` does) is unaffordable.
+
+    Per batch record: candidate representatives share the first
+    ``block_prefix`` name characters (swap in any blocker upstream);
+    each candidate is scored with the vectorized Jaro-Winkler pandas UDF
+    (operators/pairs.py jw_udf over functions/similarity.py — DuckDB-
+    parity semantics); the best
+    candidate by (score desc, cluster asc) wins iff score ≥ threshold,
+    else the record mints cluster ``new:<rec_id>``. Records whose
+    entities are genuinely new thus stay singletons HERE; within-batch
+    resolution of those singletons is the normal pipeline's job on the
+    next full run (documented contract, not a silent gap).
+
+    Scale: registry representatives are one row per cluster — orders of
+    magnitude smaller than the corpus — so the block join usually
+    broadcasts; the only window is per-batch-record top-1 (bounded by
+    that record's candidate count). Deterministic at any parallelism.
+
+    Output: ``(rec_id, cluster_id [string], score, matched)`` — one row
+    per batch record; score is NULL for minted singletons.
+    """
+    from .pairs import jw_udf
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    reps = registry.select(
+        F.col(cluster_col).cast("string").alias("_c"),
+        F.col(rep_col).alias("_rep"),
+    )
+    b = batch.select(F.col(rec_id_col).alias("_id"), F.col(name_col).alias("_n"))
+    cand = b.join(
+        reps,
+        F.substring("_n", 1, block_prefix) == F.substring("_rep", 1, block_prefix),
+    ).withColumn("_s", jw_udf(F.col("_n"), F.col("_rep")))
+    w = Window.partitionBy("_id").orderBy(F.desc("_s"), F.asc("_c"))
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("_s") >= threshold))
+        .select("_id", "_c", "_s")
+    )
+    matched = best.select(
+        F.col("_id").alias(rec_id_col),
+        F.col("_c").alias("cluster_id"),
+        F.col("_s").alias("score"),
+        F.lit(True).alias("matched"),
+    )
+    minted = (
+        b.join(best.select("_id"), "_id", "left_anti")
+        .select(
+            F.col("_id").alias(rec_id_col),
+            F.concat(F.lit("new:"), F.col("_id").cast("string")).alias(
+                "cluster_id"
+            ),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(False).alias("matched"),
+        )
+    )
+    return matched.unionByName(minted)

@@ -996,3 +996,44 @@ def test_constraint_loop_end_to_end(spark):
 
     # 5. and audits clean against the labels that produced it
     assert constraint_violations(out, must_link=ml, cannot_link=clk).count() == 0
+
+
+def test_incremental_assign_attach_mint_and_tiebreak(spark):
+    from minimel_spark.operators.cluster import incremental_assign
+
+    registry = spark.createDataFrame(
+        [(10, "martha"), (20, "martin"), (30, "zoe")],
+        "cluster_id long, rep_name string",
+    )
+    batch = spark.createDataFrame(
+        [("r1", "marhta"),   # JW(marhta, martha) ~ 0.96 -> attach to 10
+         ("r2", "qqqqqq"),   # no same-letter rep -> mint
+         ("r3", "zye")],     # JW(zye, zoe) ~ 0.6 < 0.8 -> mint
+        "rec_id string, name string",
+    )
+    out = {r["rec_id"]: r for r in incremental_assign(registry, batch, 0.8).collect()}
+    assert out["r1"]["matched"] and out["r1"]["cluster_id"] == "10"
+    assert out["r1"]["score"] > 0.9
+    assert not out["r2"]["matched"] and out["r2"]["cluster_id"] == "new:r2"
+    assert out["r2"]["score"] is None
+    assert not out["r3"]["matched"] and out["r3"]["cluster_id"] == "new:r3"
+    # every batch record appears exactly once
+    assert len(out) == 3
+
+
+def test_incremental_assign_prefers_higher_score_then_smaller_cluster(spark):
+    import pytest
+
+    from minimel_spark.operators.cluster import incremental_assign
+
+    # two reps with IDENTICAL name -> identical score; tie breaks to the
+    # lexicographically smaller cluster id string
+    registry = spark.createDataFrame(
+        [(2, "anna"), (1, "anna"), (3, "annb")],
+        "cluster_id long, rep_name string",
+    )
+    batch = spark.createDataFrame([("x", "anna")], "rec_id string, name string")
+    r = incremental_assign(registry, batch, 0.8).collect()[0]
+    assert r["cluster_id"] == "1" and r["score"] == 1.0
+    with pytest.raises(ValueError):
+        incremental_assign(registry, batch, 0.0)
