@@ -7664,6 +7664,38 @@ SELECT b.rec_id, 'new:' || b.rec_id AS cluster_id,
 FROM batch b WHERE b.rec_id NOT IN (SELECT rec_id FROM best)"""
 
 
+def q_er_suffix_blocking(spark, sf_dir):
+    """Suffix-array blocking (operators/blocking.py suffix_blocks —
+    Aizawa & Oyama 2005): every suffix of length ≥ 6 of each variant-
+    world name is a block key, stop suffixes with df > 10 dropped — the
+    blocker that catches PREFIX-corrupted variants (catherine/katherine)
+    that first-letter and prefix blocking are structurally blind to. The
+    oracle replays the suffix expansion (range + substr list transform),
+    the distinct, and the df guard natively in SQL, value-checking every
+    (block_key, record) assignment."""
+    from minimel_spark.operators.blocking import suffix_blocks
+
+    recs = _vw_records(spark).select(
+        F.col("name").alias("rec_id"), "name"
+    ).distinct()
+    return suffix_blocks(recs, min_len=6, max_df=10)
+
+
+SQL_ER_SUFFIX_BLOCKING = f"""
+WITH {_VW_NAMES_SQL.strip()},
+recs AS MATERIALIZED (SELECT DISTINCT name FROM vw_names),
+sfx AS MATERIALIZED (
+  SELECT DISTINCT name AS rec_id,
+         unnest(list_transform(range(1, length(nm) - 6 + 2),
+                               i -> substr(nm, i::INT))) AS block_key
+  FROM (SELECT name,
+               lower(regexp_replace(name, '[^A-Za-z0-9]', '', 'g')) AS nm
+        FROM recs) t),
+kept AS (SELECT block_key FROM sfx GROUP BY block_key
+         HAVING count(*) <= 10)
+SELECT s.block_key, s.rec_id FROM sfx s JOIN kept USING (block_key)"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -9493,6 +9525,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_suffix_blocking",
     "er_incremental_assign",
     "web_url_frontier",
     "er_ds_fusion",
@@ -9633,7 +9666,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 177
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 178
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -9804,6 +9837,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_suffix_blocking": SQL_ER_SUFFIX_BLOCKING,
     "er_incremental_assign": SQL_ER_INCREMENTAL_ASSIGN,
     "web_url_frontier": SQL_WEB_URL_FRONTIER,
     "er_ds_fusion": SQL_ER_DS_FUSION,

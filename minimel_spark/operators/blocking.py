@@ -601,3 +601,57 @@ def rare_token_canopies(
         .where(F.col("_rn") == 1)
         .select(F.col(id_col), F.col("token").alias("canopy_token"), "token_df")
     )
+
+
+def suffix_blocks(
+    records: DataFrame,
+    name_col: str = "name",
+    id_col: str = "rec_id",
+    min_len: int = 4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Suffix-array blocking (Aizawa & Oyama 2005): one block per suffix
+    of the normalized name with length ≥ ``min_len`` — so "catherine",
+    "katherine", and "atherine" all co-occur in block "atherine" even
+    though their PREFIXES disagree, the error pattern prefix and
+    first-letter blocking are blind to (OCR noise, dropped honorifics,
+    truncated first tokens). Redundancy-positive like
+    :func:`token_blocks`: a length-L name lands in L − min_len + 1
+    blocks.
+
+    ``max_df`` drops suffix keys shared by more than ``max_df`` records
+    (the "e"/"son"/"ing" stop-suffix head that would otherwise quadratic
+    the pair count — the standard suffix-blocking guard; note a SHORT
+    min_len makes that head fat, so the two knobs are tuned together).
+
+    Scale: suffix expansion is a narrow JVM-side ``transform`` over
+    ``sequence`` (no UDF) multiplying rows by ≈ avg_len − min_len; the
+    df guard is one map-side-combinable groupBy; output feeds the same
+    capped pair generator as every other blocker (cap_blocks still
+    applies downstream for per-block budgets).
+
+    Output: distinct ``(block_key, id_col)``.
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    norm = F.lower(F.regexp_replace(F.col(name_col), r"[^A-Za-z0-9]", ""))
+    # NB: sequence(1, 0) DESCENDS in Spark, so names shorter than min_len
+    # need an explicit empty-array branch, not a greatest() clamp.
+    suffixes = F.expr(
+        f"CASE WHEN length(_norm) >= {min_len} THEN "
+        f"transform(sequence(1, length(_norm) - {min_len} + 1), "
+        f"i -> substring(_norm, i)) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    blocked = (
+        records.withColumn("_norm", norm)
+        .select(F.col(id_col), F.explode(suffixes).alias("block_key"))
+        .distinct()
+    )
+    if max_df is not None:
+        dfc = blocked.groupBy("block_key").agg(F.count(F.lit(1)).alias("_df"))
+        blocked = (
+            blocked.join(dfc.where(F.col("_df") <= max_df), "block_key")
+            .drop("_df")
+        )
+    return blocked.select("block_key", id_col)

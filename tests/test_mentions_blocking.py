@@ -691,3 +691,43 @@ def test_rare_token_canopies_partition_of_records(spark):
     # single assignment: exactly one canopy row per record, no max_df -> all kept
     assert out.count() == 200
     assert out.select("rec_id").distinct().count() == 200
+
+
+def test_suffix_blocks_prefix_corruption_recall(spark):
+    import pytest
+
+    from minimel_spark.operators.blocking import suffix_blocks
+
+    recs = spark.createDataFrame(
+        [(1, "catherine"), (2, "katherine"), (3, "xy")],
+        "rec_id long, name string",
+    )
+    out = suffix_blocks(recs, min_len=8)
+    rows = {(r["block_key"], r["rec_id"]) for r in out.collect()}
+    # the shared suffix 'atherine' co-blocks the prefix-corrupted pair
+    assert ("atherine", 1) in rows and ("atherine", 2) in rows
+    # full names are suffixes of themselves
+    assert ("catherine", 1) in rows and ("katherine", 2) in rows
+    # names shorter than min_len emit NOTHING (sequence(1,0) descent guard)
+    assert not any(r for (_, r) in rows if r == 3)
+    with pytest.raises(ValueError):
+        suffix_blocks(recs, min_len=0)
+
+
+def test_suffix_blocks_df_guard_and_normalization(spark):
+    from minimel_spark.operators.blocking import suffix_blocks
+
+    recs = spark.createDataFrame(
+        [(i, f"O'Brien-{i}") for i in range(5)] + [(99, "O'BRIEN-0")],
+        "rec_id long, name string",
+    )
+    # normalization strips punctuation and lowercases: obrien0 == obrien0
+    out = suffix_blocks(recs, min_len=7, max_df=2)
+    rows = {(r["block_key"], r["rec_id"]) for r in out.collect()}
+    assert ("obrien0", 0) in rows and ("obrien0", 99) in rows
+    # the 'obrien<i>' keys have df 1-2 and survive; any key shared by all
+    # six records would exceed max_df=2 — verify none remains
+    from collections import Counter
+
+    df = Counter(k for k, _ in rows)
+    assert max(df.values()) <= 2
