@@ -7696,6 +7696,56 @@ kept AS (SELECT block_key FROM sfx GROUP BY block_key
 SELECT s.block_key, s.rec_id FROM sfx s JOIN kept USING (block_key)"""
 
 
+def q_er_adaptive_blocking(spark, sf_dir):
+    """Dynamic hierarchical blocking (operators/blocking.py
+    adaptive_blocks — Bilenko et al. ICDM 2006 / LinkedIn dynamic
+    blocking): customers block on market segment; any segment block over
+    10 records re-keys by nation, and any (segment, nation) block still
+    over 10 re-keys by the last two customer-name digits, the last level
+    emitting unconditionally. The oracle replays every level — size count,
+    emit-or-refine split, level-prefixed keys — natively in SQL, so the
+    whole refinement tree is value-checked."""
+    from minimel_spark.operators.blocking import adaptive_blocks
+
+    cust = _t(spark, sf_dir, "customer")
+    recs = cust.select(
+        F.col("c_custkey").alias("rec_id"),
+        "c_mktsegment",
+        "c_nationkey",
+        F.expr("right(c_name, 2)").alias("name2"),
+    )
+    out = adaptive_blocks(
+        recs, ["c_mktsegment", "c_nationkey", "name2"], max_block=10
+    )
+    return out.select(
+        "block_key", "rec_id", F.col("level").cast("long").alias("level")
+    )
+
+
+SQL_ER_ADAPTIVE_BLOCKING = """
+WITH base AS MATERIALIZED (
+  SELECT c_custkey AS rec_id,
+         coalesce(c_mktsegment, '<null>') AS k0,
+         coalesce(c_nationkey::VARCHAR, '<null>') AS k1,
+         coalesce(right(c_name, 2), '<null>') AS k2
+  FROM customer),
+s0 AS (SELECT k0, count(*) AS n FROM base GROUP BY k0),
+t0 AS (SELECT b.rec_id, b.k0, b.k1, b.k2, s.n FROM base b JOIN s0 s USING (k0)),
+e0 AS (SELECT '0:' || k0 AS block_key, rec_id, 0::BIGINT AS level
+       FROM t0 WHERE n <= 10),
+r0 AS (SELECT rec_id, k0, k1, k2 FROM t0 WHERE n > 10),
+s1 AS (SELECT k0, k1, count(*) AS n FROM r0 GROUP BY k0, k1),
+t1 AS (SELECT r.rec_id, r.k0, r.k1, r.k2, s.n
+       FROM r0 r JOIN s1 s USING (k0, k1)),
+e1 AS (SELECT '1:' || k0 || '|' || k1 AS block_key, rec_id, 1::BIGINT AS level
+       FROM t1 WHERE n <= 10),
+r1 AS (SELECT rec_id, k0, k1, k2 FROM t1 WHERE n > 10),
+e2 AS (SELECT '2:' || k0 || '|' || k1 || '|' || k2 AS block_key, rec_id,
+              2::BIGINT AS level
+       FROM r1)
+SELECT * FROM e0 UNION ALL SELECT * FROM e1 UNION ALL SELECT * FROM e2"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -9525,6 +9575,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_adaptive_blocking",
     "er_suffix_blocking",
     "er_incremental_assign",
     "web_url_frontier",
@@ -9666,7 +9717,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 178
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 179
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -9837,6 +9888,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_adaptive_blocking": SQL_ER_ADAPTIVE_BLOCKING,
     "er_suffix_blocking": SQL_ER_SUFFIX_BLOCKING,
     "er_incremental_assign": SQL_ER_INCREMENTAL_ASSIGN,
     "web_url_frontier": SQL_WEB_URL_FRONTIER,

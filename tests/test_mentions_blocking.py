@@ -731,3 +731,44 @@ def test_suffix_blocks_df_guard_and_normalization(spark):
 
     df = Counter(k for k, _ in rows)
     assert max(df.values()) <= 2
+
+
+def test_adaptive_blocks_refines_only_oversized(spark):
+    import pytest
+
+    from minimel_spark.operators.blocking import adaptive_blocks
+
+    # segment A: 3 records (fits at level 0); segment B: 5 records, which
+    # refine by city — B/x has 3 (fits at level 1), B/y has 2
+    rows = [
+        (1, "A", "x"), (2, "A", "x"), (3, "A", "y"),
+        (4, "B", "x"), (5, "B", "x"), (6, "B", "x"),
+        (7, "B", "y"), (8, "B", "y"),
+    ]
+    recs = spark.createDataFrame(rows, "rec_id long, seg string, city string")
+    out = {
+        r["rec_id"]: (r["block_key"], r["level"])
+        for r in adaptive_blocks(recs, ["seg", "city"], max_block=4).collect()
+    }
+    assert len(out) == 8  # every record blocked exactly once
+    assert out[1] == ("0:A", 0)
+    assert out[4] == ("1:B|x", 1)
+    assert out[7] == ("1:B|y", 1)
+    with pytest.raises(ValueError):
+        adaptive_blocks(recs, [], max_block=4)
+    with pytest.raises(ValueError):
+        adaptive_blocks(recs, ["seg"], max_block=0)
+
+
+def test_adaptive_blocks_last_level_emits_unconditionally_and_nulls(spark):
+    from minimel_spark.operators.blocking import adaptive_blocks
+
+    # 5 identical keys with cap 2: the single-level key list cannot split
+    # them, so the last level emits the oversized block as-is
+    rows = [(i, "K", None) for i in range(5)]
+    recs = spark.createDataFrame(rows, "rec_id long, seg string, city string")
+    out = adaptive_blocks(recs, ["seg", "city"], max_block=2).collect()
+    assert len(out) == 5
+    # nulls key as the sentinel, never silently drop
+    assert {r["block_key"] for r in out} == {"1:K|<null>"}
+    assert {r["level"] for r in out} == {1}
