@@ -7746,6 +7746,84 @@ e2 AS (SELECT '2:' || k0 || '|' || k1 || '|' || k2 AS block_key, rec_id,
 SELECT * FROM e0 UNION ALL SELECT * FROM e1 UNION ALL SELECT * FROM e2"""
 
 
+def q_web_robots_filter(spark, sf_dir):
+    """Robots-exclusion compliance gate (operators/web.py robots_filter —
+    RFC 9309 longest-match precedence, Allow beats Disallow on ties):
+    the synthetic order frontier filtered against 150 pre-parsed crawl
+    rules (per domain: a digit-prefix Disallow, plus a longer Allow and
+    an equal-length Disallow that exercise both the longest-match and
+    the tie-break clause). The oracle replays prefix matching, the
+    per-URL precedence window, and the default-allow in SQL."""
+    from minimel_spark.operators.web import robots_filter
+
+    orders = _t(spark, sf_dir, "orders")
+    pages = orders.select(
+        F.concat(
+            F.lit("https://d"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example/o/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("d"), (F.col("o_custkey") % 50).cast("string")).alias(
+            "domain"
+        ),
+    )
+    base = spark.range(50).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("domain"),
+        (F.col("id") % 10).cast("string").alias("dig"),
+    )
+    rules = base.select(
+        "domain",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.lit("/o/"), F.col("dig")).alias("rule_path"),
+                    F.lit(False).alias("allow"),
+                ),
+                F.struct(
+                    F.concat(F.lit("/o/"), F.col("dig"), F.lit("2")).alias(
+                        "rule_path"
+                    ),
+                    F.lit(True).alias("allow"),
+                ),
+                F.struct(
+                    F.concat(F.lit("/o/"), F.col("dig"), F.lit("2")).alias(
+                        "rule_path"
+                    ),
+                    F.lit(False).alias("allow"),
+                ),
+            )
+        ).alias("r"),
+    ).select("domain", "r.rule_path", "r.allow")
+    return robots_filter(pages, rules)
+
+
+SQL_WEB_ROBOTS_FILTER = """
+WITH pages AS MATERIALIZED (
+  SELECT 'https://d' || (o_custkey % 50)::VARCHAR || '.example/o/'
+           || o_orderkey::VARCHAR AS url,
+         'd' || (o_custkey % 50)::VARCHAR AS domain,
+         '/o/' || o_orderkey::VARCHAR AS path
+  FROM orders),
+rules AS MATERIALIZED (
+  SELECT 'd' || i::VARCHAR AS domain,
+         '/o/' || (i % 10)::VARCHAR AS rule_path, FALSE AS allow
+  FROM range(50) a(i)
+  UNION ALL
+  SELECT 'd' || i::VARCHAR, '/o/' || (i % 10)::VARCHAR || '2', TRUE
+  FROM range(50) b(i)
+  UNION ALL
+  SELECT 'd' || i::VARCHAR, '/o/' || (i % 10)::VARCHAR || '2', FALSE
+  FROM range(50) c(i)),
+m AS (SELECT p.url, p.domain, r.rule_path, r.allow,
+             row_number() OVER (PARTITION BY p.url
+               ORDER BY length(r.rule_path) DESC, r.allow DESC) AS rn
+      FROM pages p LEFT JOIN rules r
+        ON p.domain = r.domain AND starts_with(p.path, r.rule_path))
+SELECT url, domain, coalesce(allow, TRUE) AS allowed, rule_path
+FROM m WHERE rn = 1"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -9575,6 +9653,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "web_robots_filter",
     "er_adaptive_blocking",
     "er_suffix_blocking",
     "er_incremental_assign",
@@ -9717,7 +9796,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 179
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 180
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -9888,6 +9967,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "web_robots_filter": SQL_WEB_ROBOTS_FILTER,
     "er_adaptive_blocking": SQL_ER_ADAPTIVE_BLOCKING,
     "er_suffix_blocking": SQL_ER_SUFFIX_BLOCKING,
     "er_incremental_assign": SQL_ER_INCREMENTAL_ASSIGN,

@@ -295,3 +295,60 @@ def crawl_frontier(
         out = out.where(F.col("wave") < max_per_domain)
     delay = F.col(delay_col) if delay_col is not None else F.lit(1)
     return out.withColumn("fetch_at", (F.col("wave") * delay).cast("long"))
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    rule_domain_col: str = "domain",
+    rule_path_col: str = "rule_path",
+    allow_col: str = "allow",
+) -> DataFrame:
+    """Robots-exclusion filtering with Google's documented precedence
+    (RFC 9309 §2.2.2): among the crawl rules whose path prefix matches
+    the URL's path, the LONGEST prefix wins, and on a length tie the
+    Allow rule beats the Disallow; a URL matching no rule is allowed.
+    This is the compliance gate between frontier scheduling
+    (:func:`crawl_frontier`) and the fetch stage — applied set-wise over
+    the whole frontier rather than per-request, which is what a batch
+    recrawl needs.
+
+    ``rules``: one row per (domain, path prefix, allow flag) — the
+    pre-parsed form of each host's robots.txt (parsing the raw file is a
+    per-host driver-side chore, not a data-plane operator). The rule
+    table is host-grain (small); the join broadcasts under AQE. The
+    only window is per-URL top-1 over that URL's matched rules — bounded
+    by the host's rule count.
+
+    Output: the input rows plus ``allowed`` (boolean), ``rule_path``
+    (the winning prefix, NULL when no rule matched).
+    """
+    from pyspark.sql import Window
+
+    path = F.regexp_replace(F.col(url_col), r"^[a-z]+://[^/]+", "")
+    p = pages.withColumn("_path", path)
+    r = rules.select(
+        F.col(rule_domain_col).alias("_rd"),
+        F.col(rule_path_col).alias("_rp"),
+        F.col(allow_col).cast("boolean").alias("_ra"),
+    )
+    joined = p.join(
+        r,
+        (F.col(domain_col) == F.col("_rd"))
+        & F.col("_path").startswith(F.col("_rp")),
+        "left",
+    )
+    w = Window.partitionBy(url_col).orderBy(
+        F.desc(F.length("_rp")), F.desc("_ra")
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            *[F.col(c) for c in pages.columns],
+            F.coalesce(F.col("_ra"), F.lit(True)).alias("allowed"),
+            F.col("_rp").alias("rule_path"),
+        )
+    )

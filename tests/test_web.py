@@ -268,3 +268,35 @@ def test_crawl_frontier_cap_and_ties(spark):
     assert {r["fetch_at"] for r in out} == {0, 1}
     with pytest.raises(ValueError):
         crawl_frontier(urls, max_per_domain=0)
+
+
+def test_robots_filter_longest_match_and_tie_break(spark):
+    from minimel_spark.operators.web import robots_filter
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/private/x", "a"),   # disallowed by /private
+            ("https://a.example/private/pub/x", "a"),  # longer Allow wins
+            ("https://a.example/open/x", "a"),      # no rule -> allowed
+            ("https://a.example/tie/x", "a"),       # equal-length rules -> Allow
+            ("https://b.example/private/x", "b"),   # other domain: no rules
+        ],
+        "url string, domain string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a", "/private", False),
+            ("a", "/private/pub", True),
+            ("a", "/tie/", True),
+            ("a", "/tie/", False),
+        ],
+        "domain string, rule_path string, allow boolean",
+    )
+    out = {r["url"]: (r["allowed"], r["rule_path"]) for r in robots_filter(pages, rules).collect()}
+    assert out["https://a.example/private/x"] == (False, "/private")
+    assert out["https://a.example/private/pub/x"] == (True, "/private/pub")
+    assert out["https://a.example/open/x"] == (True, None)
+    assert out["https://a.example/tie/x"] == (True, "/tie/")
+    assert out["https://b.example/private/x"] == (True, None)
+    # one verdict per URL
+    assert len(out) == 5
