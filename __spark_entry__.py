@@ -7824,6 +7824,80 @@ SELECT url, domain, coalesce(allow, TRUE) AS allowed, rule_path
 FROM m WHERE rn = 1"""
 
 
+def q_er_cluster_diameter(spark, sf_dir):
+    """Transitive-chain risk audit (operators/cluster.py
+    cluster_depth_audit): 30 synthetic clusters of 10 — even-indexed ones
+    10-hop CHAINS (the pathological transitive-merge shape), odd-indexed
+    ones STARS (the healthy post-repair shape) — BFS'd 6 rounds from each
+    cluster's minimum record. Chains must report root eccentricity 6 with
+    3 unreached records (budget exhausted: the reviewer flag), stars
+    eccentricity 1 fully reached. The oracle UNROLLS all six BFS rounds
+    in SQL — frontier expansion, cluster-border guard, visited-set
+    anti-join — value-checking every round's state."""
+    from minimel_spark.operators.cluster import cluster_depth_audit
+
+    asg = spark.range(300).select(
+        F.col("id").alias("rec_id"), F.expr("id DIV 10").alias("cluster_id")
+    )
+    chain = (
+        spark.range(300)
+        .where("(id DIV 10) % 2 = 0 AND id % 10 < 9")
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    star = (
+        spark.range(300)
+        .where("(id DIV 10) % 2 = 1 AND id % 10 > 0")
+        .select(F.expr("(id DIV 10) * 10").alias("src"), F.col("id").alias("dst"))
+    )
+    edges = chain.unionByName(star)
+    return cluster_depth_audit(asg, edges, max_rounds=6)
+
+
+def _depth_audit_sql(n_rounds: int) -> str:
+    parts = [
+        "asg AS MATERIALIZED (SELECT i AS rec, i // 10 AS c "
+        "FROM range(300) t(i))",
+        """e0 AS (SELECT i AS s, i + 1 AS d FROM range(300) t(i)
+  WHERE (i // 10) % 2 = 0 AND i % 10 < 9
+  UNION ALL
+  SELECT (i // 10) * 10, i FROM range(300) u(i)
+  WHERE (i // 10) % 2 = 1 AND i % 10 > 0)""",
+        "sym AS MATERIALIZED (SELECT DISTINCT s, d FROM "
+        "(SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0) z)",
+        "d0 AS (SELECT c, min(rec) AS rec, 0::BIGINT AS depth "
+        "FROM asg GROUP BY c)",
+        "f0 AS (SELECT c, rec FROM d0)",
+    ]
+    for t in range(1, n_rounds + 1):
+        parts.append(
+            f"""f{t} AS MATERIALIZED (
+  SELECT DISTINCT f.c, y.d AS rec
+  FROM f{t - 1} f JOIN sym y ON f.rec = y.s
+  JOIN asg a ON a.rec = y.d AND a.c = f.c
+  WHERE NOT EXISTS (SELECT 1 FROM d{t - 1} dd
+                    WHERE dd.rec = y.d AND dd.c = f.c)),
+d{t} AS MATERIALIZED (SELECT * FROM d{t - 1}
+  UNION ALL SELECT c, rec, {t}::BIGINT AS depth FROM f{t})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+per AS (SELECT c, count(*)::BIGINT AS n_reached,
+               max(depth)::BIGINT AS ecc_root
+        FROM d{n_rounds} GROUP BY c),
+sz AS (SELECT c, count(*)::BIGINT AS size FROM asg GROUP BY c)
+SELECT sz.c AS cluster_id, size,
+       coalesce(n_reached, 0)::BIGINT AS n_reached,
+       coalesce(ecc_root, 0)::BIGINT AS ecc_root,
+       (size - coalesce(n_reached, 0))::BIGINT AS n_unreached
+FROM sz LEFT JOIN per USING (c)"""
+    )
+
+
+SQL_ER_CLUSTER_DIAMETER = _depth_audit_sql(6)
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -9653,6 +9727,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_cluster_diameter",
     "web_robots_filter",
     "er_adaptive_blocking",
     "er_suffix_blocking",
@@ -9796,7 +9871,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 180
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 181
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -9967,6 +10042,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_cluster_diameter": SQL_ER_CLUSTER_DIAMETER,
     "web_robots_filter": SQL_WEB_ROBOTS_FILTER,
     "er_adaptive_blocking": SQL_ER_ADAPTIVE_BLOCKING,
     "er_suffix_blocking": SQL_ER_SUFFIX_BLOCKING,

@@ -1140,3 +1140,76 @@ def incremental_assign(
         )
     )
     return matched.unionByName(minted)
+
+
+def cluster_depth_audit(
+    assignments: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 6,
+    rec_id_col: str = "rec_id",
+    cluster_col: str = "cluster_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Transitive-chain risk audit: per cluster, run a bounded BFS over
+    the MATCH EDGES from a deterministic root (the cluster's minimum
+    record id) and report how deep the cluster runs. Connected
+    components happily glue a 40-hop chain of pairwise-plausible matches
+    into one entity — each hop defensible, the endpoints absurd (the
+    classic transitive-closure failure mode; Hassanzadeh & Miller,
+    VLDBJ 2009 measure exactly this chain risk). A cluster whose
+    root eccentricity approaches its size is a chain, not a clique —
+    the first thing a reviewer should see.
+
+    ``max_rounds`` bounds the BFS (shallow by design: a healthy cluster
+    has diameter ≤ 2-3 after star-repair); records not reached within
+    the budget are reported in ``n_unreached`` — nonzero either means a
+    deeper chain than the budget or an assignment that was never
+    edge-supported, both worth flags. Each round is one join of the
+    (shrinking) frontier against the symmetrized edge list, one
+    anti-join against the visited set, and a localCheckpoint so plans
+    stay flat — the connected-components loop's cost model.
+
+    Output: one row per cluster —
+    ``(cluster_id, size, n_reached, ecc_root, n_unreached)``.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    asg = assignments.select(
+        F.col(rec_id_col).alias("_rec"), F.col(cluster_col).alias("_c")
+    )
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    sym = e.unionByName(
+        e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    ).distinct()
+    roots = asg.groupBy("_c").agg(F.min("_rec").alias("_rec"))
+    depth = roots.select("_c", "_rec", F.lit(0).alias("_depth"))
+    frontier = depth
+    for r in range(1, max_rounds + 1):
+        nxt = (
+            frontier.join(sym, frontier["_rec"] == sym["_s"])
+            .select("_c", F.col("_d").alias("_rec"))
+            .join(asg, ["_rec", "_c"])  # never walk across cluster borders
+            .distinct()
+            .join(depth.select("_rec", "_c"), ["_rec", "_c"], "left_anti")
+            .withColumn("_depth", F.lit(r))
+        )
+        depth = depth.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    per_cluster = depth.groupBy("_c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.max("_depth").cast("long").alias("ecc_root"),
+    )
+    sizes = asg.groupBy("_c").agg(F.count(F.lit(1)).cast("long").alias("size"))
+    return (
+        sizes.join(per_cluster, "_c", "left")
+        .select(
+            F.col("_c").alias(cluster_col),
+            "size",
+            F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
+            F.coalesce("ecc_root", F.lit(0)).cast("long").alias("ecc_root"),
+            (F.col("size") - F.coalesce("n_reached", F.lit(0)))
+            .cast("long")
+            .alias("n_unreached"),
+        )
+    )

@@ -1037,3 +1037,45 @@ def test_incremental_assign_prefers_higher_score_then_smaller_cluster(spark):
     assert r["cluster_id"] == "1" and r["score"] == 1.0
     with pytest.raises(ValueError):
         incremental_assign(registry, batch, 0.0)
+
+
+def test_cluster_depth_audit_chain_vs_star(spark):
+    import pytest
+
+    from minimel_spark.operators.cluster import cluster_depth_audit
+
+    asg = spark.createDataFrame(
+        [(i, "chain") for i in range(5)] + [(10 + i, "star") for i in range(4)],
+        "rec_id long, cluster_id string",
+    )
+    edges = spark.createDataFrame(
+        # chain 0-1-2-3-4; star 10-{11,12,13}
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13)],
+        "src long, dst long",
+    )
+    rows = {r["cluster_id"]: r for r in cluster_depth_audit(asg, edges, max_rounds=6).collect()}
+    assert rows["chain"]["ecc_root"] == 4 and rows["chain"]["n_unreached"] == 0
+    assert rows["star"]["ecc_root"] == 1 and rows["star"]["n_reached"] == 4
+    with pytest.raises(ValueError):
+        cluster_depth_audit(asg, edges, max_rounds=0)
+
+
+def test_cluster_depth_audit_budget_and_border_guard(spark):
+    from minimel_spark.operators.cluster import cluster_depth_audit
+
+    asg = spark.createDataFrame(
+        [(i, "c") for i in range(5)] + [(100, "other")],
+        "rec_id long, cluster_id string",
+    )
+    edges = spark.createDataFrame(
+        # chain 0..4 plus a spurious cross-cluster edge 4-100 that the
+        # walk must never follow; round budget 2 leaves 3,4 unreached
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 100)],
+        "src long, dst long",
+    )
+    rows = {r["cluster_id"]: r for r in cluster_depth_audit(asg, edges, max_rounds=2).collect()}
+    assert rows["c"]["n_reached"] == 3 and rows["c"]["n_unreached"] == 2
+    assert rows["c"]["ecc_root"] == 2
+    # the other cluster's node is edge-connected only across the border:
+    # it is its own root (depth 0), nothing else reached
+    assert rows["other"]["n_reached"] == 1 and rows["other"]["ecc_root"] == 0
