@@ -7898,6 +7898,63 @@ FROM sz LEFT JOIN per USING (c)"""
 SQL_ER_CLUSTER_DIAMETER = _depth_audit_sql(6)
 
 
+def q_web_outlink_graph(spark, sf_dir):
+    """Host-level outlink graph extraction (operators/web.py
+    outlink_host_graph — the WAT step of a Common-Crawl pipeline): 2000
+    synthetic pages across 37 hosts, each (except every 11th, which has
+    no links) carrying two absolute hrefs plus a relative href that must
+    be ignored, reduced to (src_host, dst_host) edges with link and
+    distinct-page counts. The oracle replays the href regexp extraction,
+    the host reduction, the relative-link filter, and the rollup in
+    SQL."""
+    from minimel_spark.operators.web import outlink_host_graph
+
+    pages = spark.range(2000).select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("id") % 37).cast("string"),
+            F.lit(".example/p/"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+        F.when(F.col("id") % 11 == 0, F.lit("<p>no links</p>"))
+        .otherwise(
+            F.concat(
+                F.lit('<a href="https://h'),
+                ((F.col("id") * 7) % 37).cast("string"),
+                F.lit('.example/x">a</a> <a href="/rel">r</a> <a href="https://h'),
+                ((F.col("id") * 13 + 5) % 37).cast("string"),
+                F.lit('.example/y">b</a>'),
+            )
+        )
+        .alias("html_text"),
+    )
+    return outlink_host_graph(pages)
+
+
+SQL_WEB_OUTLINK_GRAPH = """
+WITH pages AS MATERIALIZED (
+  SELECT 'https://h' || (i % 37)::VARCHAR || '.example/p/' || i::VARCHAR
+           AS url,
+         CASE WHEN i % 11 = 0 THEN '<p>no links</p>'
+              ELSE '<a href="https://h' || ((i * 7) % 37)::VARCHAR
+                   || '.example/x">a</a> <a href="/rel">r</a> '
+                   || '<a href="https://h' || ((i * 13 + 5) % 37)::VARCHAR
+                   || '.example/y">b</a>' END AS html_text
+  FROM range(2000) t(i)),
+x AS (SELECT url,
+             lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS src_host,
+             unnest(regexp_extract_all(html_text,
+               'href="(https?://[^"]+)"', 1)) AS link
+      FROM pages),
+h AS (SELECT url, src_host,
+             lower(regexp_extract(link, '^https?://([^/]+)', 1)) AS dst_host
+      FROM x)
+SELECT src_host, dst_host, count(*)::BIGINT AS n_links,
+       count(DISTINCT url)::BIGINT AS n_pages
+FROM h WHERE dst_host <> ''
+GROUP BY src_host, dst_host"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -9727,6 +9784,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "web_outlink_graph",
     "er_cluster_diameter",
     "web_robots_filter",
     "er_adaptive_blocking",
@@ -9871,7 +9929,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 181
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 182
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10042,6 +10100,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "web_outlink_graph": SQL_WEB_OUTLINK_GRAPH,
     "er_cluster_diameter": SQL_ER_CLUSTER_DIAMETER,
     "web_robots_filter": SQL_WEB_ROBOTS_FILTER,
     "er_adaptive_blocking": SQL_ER_ADAPTIVE_BLOCKING,

@@ -352,3 +352,57 @@ def robots_filter(
             F.col("_rp").alias("rule_path"),
         )
     )
+
+
+def outlink_host_graph(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html_text",
+) -> DataFrame:
+    """Host-level outlink graph from raw page markup — the WAT-extraction
+    step of a Common-Crawl-style pipeline: pull every absolute
+    ``href="http(s)://..."`` target out of the HTML, reduce both endpoints
+    to lowercase hosts, and aggregate to one edge per (src_host,
+    dst_host) with link and page counts. This is the input
+    :func:`minimel_spark.operators.graph.pagerank` and the spam-farm /
+    mirror-ring analyses expect; self-loops (intra-host navigation) are
+    kept — callers drop them when the analysis wants them gone.
+
+    Extraction is a single JVM-side ``regexp_extract_all`` + explode (no
+    UDF, no reparse); hosts come from one anchored regexp. Relative links
+    are out of scope by design (resolving them needs the base URL's
+    directory semantics — run :func:`canonical_url` upstream if you need
+    that); the absolute-only contract is what host-graph studies use.
+
+    Scale: narrow extract, then one map-side-combinable groupBy on the
+    (src_host, dst_host) pair. Zipf-headed hubs are absorbed by partial
+    aggregation — no row ever carries more than one link.
+
+    Output: ``(src_host, dst_host, n_links, n_pages)``.
+    """
+    src_host = F.lower(
+        F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1)
+    )
+    links = F.expr(
+        f"""regexp_extract_all({html_col}, 'href="(https?://[^"]+)"', 1)"""
+    )
+    return (
+        pages.select(
+            F.col(url_col).alias("_u"),
+            src_host.alias("src_host"),
+            F.explode(links).alias("_link"),
+        )
+        .select(
+            "_u",
+            "src_host",
+            F.lower(F.regexp_extract("_link", r"^https?://([^/]+)", 1)).alias(
+                "dst_host"
+            ),
+        )
+        .where(F.col("dst_host") != "")
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.countDistinct("_u").cast("long").alias("n_pages"),
+        )
+    )

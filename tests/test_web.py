@@ -300,3 +300,29 @@ def test_robots_filter_longest_match_and_tie_break(spark):
     assert out["https://b.example/private/x"] == (True, None)
     # one verdict per URL
     assert len(out) == 5
+
+
+def test_outlink_host_graph_extraction(spark):
+    from minimel_spark.operators.web import outlink_host_graph
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/1",
+             '<a href="https://b.example/x">b</a> <a href="/relative">r</a> '
+             '<a href="https://b.example/y">b2</a>'),
+            ("https://a.example/2", '<a href="http://c.example/z">c</a>'),
+            ("https://a.example/3", "<p>nothing here</p>"),
+            ("https://b.example/1", '<a href="https://a.example/">back</a>'),
+        ],
+        "url string, html_text string",
+    )
+    out = {
+        (r["src_host"], r["dst_host"]): (r["n_links"], r["n_pages"])
+        for r in outlink_host_graph(pages).collect()
+    }
+    # two links from one page to b.example: n_links=2, n_pages=1
+    assert out[("a.example", "b.example")] == (2, 1)
+    # http (not just https) links count; relative links never appear
+    assert out[("a.example", "c.example")] == (1, 1)
+    assert out[("b.example", "a.example")] == (1, 1)
+    assert len(out) == 3
