@@ -7955,6 +7955,85 @@ FROM h WHERE dst_host <> ''
 GROUP BY src_host, dst_host"""
 
 
+def q_er_attr_outliers(spark, sf_dir):
+    """Within-cluster numeric outlier audit (operators/golden.py
+    attribute_outliers — Hampel's median/MAD rule, the merge-sanity
+    check before survivorship elects a golden value): line items grouped
+    by supplier, extended price in integer cents with a UNIT ERROR
+    (×100, the classic dollars-vs-cents merge bug) planted into an
+    md5-selected ~1% of rows, records beyond 3 MADs flagged — the
+    synthetic prices are uniform (max clean |dev|/MAD ≈ 2.4), so exactly
+    the planted corruption must surface. Integer cents keep median
+    interpolation and the MAD cut engine-exact. The oracle replays the
+    plant and both robust aggregates natively in SQL (DuckDB median ==
+    Spark exact percentile at 0.5)."""
+    from minimel_spark.operators.golden import attribute_outliers
+
+    li = _t(spark, sf_dir, "lineitem")
+    recs = li.select(
+        F.col("l_suppkey").alias("cluster_id"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rec_id"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("l_orderkey").cast("string"),
+                                F.lit(":"),
+                                F.col("l_linenumber").cast("string"),
+                                F.lit(":oute"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(4294967296.0)
+                < 0.01,
+                F.lit(100),
+            ).otherwise(F.lit(1))
+        ).alias("value"),
+    )
+    out = attribute_outliers(recs, k=3.0)
+    return out.select(
+        "cluster_id",
+        "rec_id",
+        F.col("value").cast("long").alias("value"),
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        F.round("dev", 4).alias("dev"),
+    )
+
+
+SQL_ER_ATTR_OUTLIERS = """
+WITH recs AS MATERIALIZED (
+  SELECT l_suppkey AS c,
+         l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR AS r,
+         (round(l_extendedprice * 100)::BIGINT
+          * CASE WHEN ('0x' || substr(md5(l_orderkey::VARCHAR || ':'
+                         || l_linenumber::VARCHAR || ':oute'), 1, 8))::UBIGINT
+                        / 4294967296.0 < 0.01
+                 THEN 100 ELSE 1 END)::DOUBLE AS v
+  FROM lineitem),
+med AS (SELECT c, median(v) AS med FROM recs GROUP BY c),
+dev AS (SELECT recs.c, recs.r, recs.v, med.med, recs.v - med.med AS dev
+        FROM recs JOIN med USING (c)),
+mad AS (SELECT c, median(abs(dev)) AS mad FROM dev GROUP BY c)
+SELECT dev.c AS cluster_id, dev.r AS rec_id, dev.v::BIGINT AS value,
+       round(dev.med, 4) AS med, round(mad.mad, 4) AS mad,
+       round(dev.dev, 4) AS dev
+FROM dev JOIN mad USING (c)
+WHERE abs(dev.dev) > 3.0 * mad.mad"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -9784,6 +9863,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_attr_outliers",
     "web_outlink_graph",
     "er_cluster_diameter",
     "web_robots_filter",
@@ -9929,7 +10009,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 182
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 183
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10100,6 +10180,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_attr_outliers": SQL_ER_ATTR_OUTLIERS,
     "web_outlink_graph": SQL_WEB_OUTLINK_GRAPH,
     "er_cluster_diameter": SQL_ER_CLUSTER_DIAMETER,
     "web_robots_filter": SQL_WEB_ROBOTS_FILTER,

@@ -295,3 +295,63 @@ def conflict_report(
         ).alias("majority_share"),
         (F.coalesce("n_distinct", F.lit(0)) >= 2).alias("is_conflict"),
     )
+
+
+def attribute_outliers(
+    records: DataFrame,
+    k: float = 3.0,
+    cluster_col: str = "cluster_id",
+    rec_id_col: str = "rec_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Within-cluster numeric-attribute outlier audit — the
+    merge-sanity check survivorship needs BEFORE electing a golden
+    value: a record whose amount sits k MADs from its cluster's median
+    is either a unit error, a stale snapshot, or evidence the cluster
+    glued two entities (Hampel's robust outlier rule; median/MAD rather
+    than mean/stddev because a bad merge corrupts the mean first).
+    Complements :func:`conflict_report` (which counts categorical
+    disagreement) with the numeric analogue.
+
+    Pass integer-scaled values (cents) for engine-exact arithmetic: the
+    median of integers interpolates at most one .5 step, deviations and
+    the MAD then stay exactly representable, so the ``|dev| > k·MAD``
+    cut is reproducible bit-for-bit across engines and parallelism.
+    A zero MAD (over half the cluster shares one value) flags every
+    deviating record — the strictest, and correct, reading of the rule.
+
+    Scale: two map-side-combinable aggregations (cluster median, then
+    MAD of deviations) and one broadcast-or-shuffle join back; no
+    windows, no global sort. Exact percentiles shuffle each cluster's
+    values to one reducer — bounded by cluster size, which survivorship
+    has already capped upstream.
+
+    Output: FLAGGED records only —
+    ``(cluster_id, rec_id, value, med, mad, dev)``.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    recs = records.select(
+        F.col(cluster_col).alias("_c"),
+        F.col(rec_id_col).alias("_r"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    med = recs.groupBy("_c").agg(
+        F.expr("percentile(_v, 0.5)").alias("med")
+    )
+    dev = recs.join(med, "_c").withColumn("dev", F.col("_v") - F.col("med"))
+    mad = dev.groupBy("_c").agg(
+        F.expr("percentile(abs(dev), 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, "_c")
+        .where(F.abs(F.col("dev")) > F.lit(k) * F.col("mad"))
+        .select(
+            F.col("_c").alias(cluster_col),
+            F.col("_r").alias(rec_id_col),
+            F.col("_v").alias(value_col),
+            "med",
+            "mad",
+            "dev",
+        )
+    )

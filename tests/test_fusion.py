@@ -288,3 +288,36 @@ def test_dempster_total_conflict_and_validation(spark):
     assert 0.0 <= r["bel_match"] <= r["pl_match"] <= 1.0
     with pytest.raises(ValueError):
         dempster_shafer_fusion(pairs, [])
+
+
+def test_attribute_outliers_hampel_rule(spark):
+    import pytest
+
+    from minimel_spark.operators.golden import attribute_outliers
+
+    # cluster A: values 100..104 (median 102, MAD 1) plus a 10000 unit
+    # error; cluster B: tight values, no outlier
+    rows = [("A", f"a{i}", 100 + i) for i in range(5)] + [
+        ("A", "bad", 10000),
+        ("B", "b1", 50), ("B", "b2", 51), ("B", "b3", 52),
+    ]
+    recs = spark.createDataFrame(rows, "cluster_id string, rec_id string, value long")
+    out = attribute_outliers(recs, k=3.0).collect()
+    assert {r["rec_id"] for r in out} == {"bad"}
+    r = out[0]
+    # 6 values: median interpolates between 102 and 103
+    assert r["med"] == 102.5 and r["dev"] == 10000 - 102.5
+    with pytest.raises(ValueError):
+        attribute_outliers(recs, k=0)
+
+
+def test_attribute_outliers_zero_mad_flags_any_deviation(spark):
+    from minimel_spark.operators.golden import attribute_outliers
+
+    # over half the cluster shares one value -> MAD 0 -> every deviating
+    # record is flagged, equal ones are not
+    rows = [("C", f"c{i}", 7) for i in range(4)] + [("C", "x", 8)]
+    recs = spark.createDataFrame(rows, "cluster_id string, rec_id string, value long")
+    out = attribute_outliers(recs, k=3.0).collect()
+    assert {r["rec_id"] for r in out} == {"x"}
+    assert out[0]["mad"] == 0.0
