@@ -8034,6 +8034,80 @@ FROM dev JOIN mad USING (c)
 WHERE abs(dev.dev) > 3.0 * mad.mad"""
 
 
+def q_er_rank_fusion(spark, sf_dir):
+    """Hybrid candidate ranking by Reciprocal Rank Fusion (operators/
+    retrieval.py rank_fusion — Cormack et al. SIGIR 2009): every variant-
+    world name queries its same-first-letter peers, ranked once by
+    Jaro-Winkler and once by distinct char-3gram overlap (an integer, so
+    the second ranker is engine-exact by construction), fused at k=60.
+    The oracle replays both per-query rank windows and the reciprocal
+    sum natively in SQL — ranks, not raw scales, is the point of RRF,
+    and both rankings are value-checked."""
+    from minimel_spark.operators.retrieval import rank_fusion
+
+    recs = _vw_records(spark).select("name").distinct()
+    a = recs.select(F.col("name").alias("query_id"))
+    b = recs.select(F.col("name").alias("cand_id"))
+    grams = (
+        "array_distinct(transform(sequence(1, length({c}) - 2), "
+        "i -> substring({c}, i, 3)))"
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("query_id") != F.col("cand_id"))
+            & (
+                F.substring("query_id", 1, 1) == F.substring("cand_id", 1, 1)
+            ),
+        )
+        .withColumn(
+            "s_ov",
+            F.expr(
+                f"CAST(size(array_intersect({grams.format(c='query_id')}, "
+                f"{grams.format(c='cand_id')})) AS BIGINT)"
+            ),
+        )
+    )
+    from minimel_spark.operators.pairs import jw_udf
+
+    pairs = pairs.withColumn("s_jw", jw_udf(F.col("query_id"), F.col("cand_id")))
+    out = rank_fusion(pairs, ["s_jw", "s_ov"], k=60)
+    return out.select(
+        "query_id",
+        "cand_id",
+        F.round("s_jw", 6).alias("s_jw"),
+        "s_ov",
+        "rank_s_jw",
+        "rank_s_ov",
+        F.round("rrf", 6).alias("rrf"),
+    )
+
+
+SQL_ER_RANK_FUSION = f"""
+WITH {_VW_NAMES_SQL.strip()},
+recs AS MATERIALIZED (SELECT DISTINCT name FROM vw_names),
+pr AS MATERIALIZED (
+  SELECT a.name AS query_id, b.name AS cand_id,
+         jaro_winkler_similarity(a.name, b.name) AS s_jw,
+         len(list_intersect(
+           list_distinct(list_transform(range(1, length(a.name) - 1),
+                                        i -> substr(a.name, i::INT, 3))),
+           list_distinct(list_transform(range(1, length(b.name) - 1),
+                                        i -> substr(b.name, i::INT, 3)))
+         ))::BIGINT AS s_ov
+  FROM recs a JOIN recs b
+    ON a.name <> b.name AND substr(a.name, 1, 1) = substr(b.name, 1, 1)),
+rk AS (SELECT *,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY s_jw DESC, cand_id ASC)::BIGINT AS rank_s_jw,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY s_ov DESC, cand_id ASC)::BIGINT AS rank_s_ov
+       FROM pr)
+SELECT query_id, cand_id, round(s_jw, 6) AS s_jw, s_ov, rank_s_jw, rank_s_ov,
+       round(1.0 / (60.0 + rank_s_jw) + 1.0 / (60.0 + rank_s_ov), 6) AS rrf
+FROM rk"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -9863,6 +9937,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_rank_fusion",
     "er_attr_outliers",
     "web_outlink_graph",
     "er_cluster_diameter",
@@ -10009,7 +10084,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 183
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 184
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10180,6 +10255,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_rank_fusion": SQL_ER_RANK_FUSION,
     "er_attr_outliers": SQL_ER_ATTR_OUTLIERS,
     "web_outlink_graph": SQL_WEB_OUTLINK_GRAPH,
     "er_cluster_diameter": SQL_ER_CLUSTER_DIAMETER,

@@ -99,3 +99,47 @@ def top_df_terms(docs: DataFrame, m: int = 8, min_len: int = 4,
         .limit(m)
         .select("term")
     )
+
+
+def rank_fusion(
+    scored: DataFrame,
+    score_cols: list[str],
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    over a multi-scored candidate table: each score column induces a
+    per-query ranking (score descending, candidate-id tie-break), and the
+    fused score is ``Σ_i 1 / (k + rank_i)`` — the standard way to combine
+    a lexical ranker with a similarity ranker in HYBRID candidate
+    generation, robust to incomparable score scales precisely because it
+    consumes only ranks. ``k`` damps the head (60 is the paper's
+    default).
+
+    Ranks are integers, so the fusion is engine-exact: the only floats
+    are the final reciprocals, summed in ``score_cols`` order. A
+    candidate missing from one ranker's view simply isn't in this table —
+    RRF over an outer union (with absent ranks contributing 0) is the
+    caller's composition: union the per-ranker candidate sets first.
+
+    Scale: one bounded window per ranker, each partitioned by query (a
+    query's candidate list, never global); the fused projection is
+    row-local. Output: input columns plus ``rank_<col>`` per ranker and
+    ``rrf`` (the fused score).
+    """
+    if not score_cols:
+        raise ValueError("score_cols must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    out = scored
+    for c in score_cols:
+        w = Window.partitionBy(query_col).orderBy(F.desc(c), F.asc(cand_col))
+        out = out.withColumn(f"rank_{c}", F.row_number().over(w).cast("long"))
+    fused = None
+    for c in score_cols:
+        term = F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{c}"))
+        fused = term if fused is None else fused + term
+    return out.withColumn("rrf", fused)

@@ -59,3 +59,43 @@ def test_top_df_terms_total_order(spark, documents):
         for r in top_df_terms(documents.repartition(13), m=8, min_len=4).collect()
     ]
     assert terms == t2  # deterministic under repartition
+
+
+def test_rank_fusion_hand_example(spark):
+    import pytest
+
+    from minimel_spark.operators.retrieval import rank_fusion
+
+    scored = spark.createDataFrame(
+        [
+            ("q", "a", 0.9, 1.0),
+            ("q", "b", 0.8, 3.0),
+            ("q", "c", 0.7, 2.0),
+        ],
+        "query_id string, cand_id string, s1 double, s2 double",
+    )
+    out = {r["cand_id"]: r for r in rank_fusion(scored, ["s1", "s2"], k=60).collect()}
+    assert out["a"]["rank_s1"] == 1 and out["a"]["rank_s2"] == 3
+    assert out["b"]["rank_s1"] == 2 and out["b"]["rank_s2"] == 1
+    assert abs(out["a"]["rrf"] - (1 / 61 + 1 / 63)) < 1e-12
+    assert abs(out["b"]["rrf"] - (1 / 62 + 1 / 61)) < 1e-12
+    # b's strong second ranking lifts it above a on the fused score
+    assert out["b"]["rrf"] > out["a"]["rrf"]
+    with pytest.raises(ValueError):
+        rank_fusion(scored, [])
+    with pytest.raises(ValueError):
+        rank_fusion(scored, ["s1"], k=0)
+
+
+def test_rank_fusion_tie_break_and_query_isolation(spark):
+    from minimel_spark.operators.retrieval import rank_fusion
+
+    scored = spark.createDataFrame(
+        [("q1", "z", 0.5, 0.5), ("q1", "y", 0.5, 0.5), ("q2", "z", 0.1, 0.1)],
+        "query_id string, cand_id string, s1 double, s2 double",
+    )
+    out = {(r["query_id"], r["cand_id"]): r for r in rank_fusion(scored, ["s1", "s2"]).collect()}
+    # score ties break by candidate id ascending
+    assert out[("q1", "y")]["rank_s1"] == 1 and out[("q1", "z")]["rank_s1"] == 2
+    # rankings are per query: q2's lone candidate ranks first
+    assert out[("q2", "z")]["rank_s1"] == 1
