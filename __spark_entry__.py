@@ -8108,6 +8108,70 @@ SELECT query_id, cand_id, round(s_jw, 6) AS s_jw, s_ov, rank_s_jw, rank_s_ov,
 FROM rk"""
 
 
+def q_er_confusables(spark, sf_dir):
+    """Mixed-script spoof audit (functions/normalize.py
+    confusable_skeleton_col — the UTS #39 skeleton idea over the
+    Cyrillic/Greek homoglyphs spoofing actually uses): an md5-selected
+    ~30% of variant-world names get Cyrillic а/е/о substituted in, the
+    corpus is originals ∪ spoofs, and the gate reports every skeleton
+    carrying more than one raw form with its spoofed-form count — the
+    collision report an identity-abuse reviewer reads. The oracle
+    mirrors the SAME from/to mapping strings into DuckDB's codepoint-
+    wise translate and replays the rollup."""
+    from minimel_spark.functions.normalize import confusable_skeleton_col
+
+    recs = _vw_records(spark).select("name").distinct()
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("name"), F.lit(":spoof"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    spoofs = recs.where(u < 0.3).select(
+        F.translate(F.col("name"), "aeo", "аео").alias("form")
+    )
+    corpus = recs.select(F.col("name").alias("form")).unionByName(spoofs)
+    sk = corpus.select(
+        "form", confusable_skeleton_col(F.col("form")).alias("skeleton")
+    )
+    return (
+        sk.groupBy("skeleton")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_forms"),
+            F.sum(
+                F.when(F.col("form") != F.col("skeleton"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_spoofed"),
+        )
+        .where(F.col("n_forms") > 1)
+    )
+
+
+from minimel_spark.functions.normalize import (  # noqa: E402
+    CONFUSABLE_FROM as _CONF_F,
+    CONFUSABLE_TO as _CONF_T,
+)
+
+SQL_ER_CONFUSABLES = f"""
+WITH {_VW_NAMES_SQL.strip()},
+recs AS MATERIALIZED (SELECT DISTINCT name FROM vw_names),
+corpus AS MATERIALIZED (
+  SELECT name AS form FROM recs
+  UNION ALL
+  SELECT translate(name, 'aeo', 'аео') FROM recs
+  WHERE ('0x' || substr(md5(name || ':spoof'), 1, 8))::UBIGINT
+          / 4294967296.0 < 0.3),
+sk AS (SELECT form,
+              translate(lower(form), '{_CONF_F}', '{_CONF_T}') AS skeleton
+       FROM corpus)
+SELECT skeleton, count(*)::BIGINT AS n_forms,
+       sum(CASE WHEN form <> skeleton THEN 1 ELSE 0 END)::BIGINT AS n_spoofed
+FROM sk GROUP BY skeleton HAVING count(*) > 1"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -9937,6 +10001,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_confusables",
     "er_rank_fusion",
     "er_attr_outliers",
     "web_outlink_graph",
@@ -10084,7 +10149,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 184
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 185
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10255,6 +10320,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_confusables": SQL_ER_CONFUSABLES,
     "er_rank_fusion": SQL_ER_RANK_FUSION,
     "er_attr_outliers": SQL_ER_ATTR_OUTLIERS,
     "web_outlink_graph": SQL_WEB_OUTLINK_GRAPH,

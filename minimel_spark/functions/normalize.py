@@ -248,3 +248,31 @@ class TransLiterator:
         for a, b in self.charmap.items():
             text = text.replace(a, b)
         return text
+
+
+# Unicode confusable homoglyphs -> Latin skeleton (a pragmatic subset of
+# UTS #39's confusables.txt: the Cyrillic and Greek codepoints that are
+# pixel-identical to Latin lowercase in common fonts — the characters
+# web-scale spoofing actually uses). Kept as two parallel strings so the
+# mapping compiles to a single JVM translate() and mirrors verbatim into
+# the DuckDB oracle's translate().
+CONFUSABLE_FROM = "аеорсхуіѕјο"
+CONFUSABLE_TO = "aeopcxyisjo"
+
+
+def confusable_skeleton_col(col):
+    """Column-level confusable SKELETON (UTS #39 skeleton idea, small
+    fixed table): lowercase, then fold known Cyrillic/Greek homoglyphs
+    onto their Latin lookalikes. Two names with equal skeletons but
+    unequal raw forms are a mixed-script spoof pair — the web-identity
+    attack (paypal with a Cyrillic 'а') that byte-level normalization
+    (functions/normalize.py normalize) deliberately preserves, because
+    the reference's anchor semantics are byte-exact. Run this as a
+    SEPARATE audit key, never as a replacement for normalize().
+
+    Pure JVM expression (lower + translate), shuffle-free, exact in any
+    engine with codepoint-wise translate semantics.
+    """
+    import pyspark.sql.functions as F
+
+    return F.translate(F.lower(col), CONFUSABLE_FROM, CONFUSABLE_TO)

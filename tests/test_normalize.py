@@ -153,3 +153,32 @@ def test_transliterator_fetch_gated():
         pass
     with pytest.raises(ImportError, match="requests"):
         TransLiterator(lang="spanish", fetch=True)
+
+
+def test_confusable_skeleton_folds_homoglyphs(spark):
+    import pyspark.sql.functions as F
+
+    from minimel_spark.functions.normalize import (
+        CONFUSABLE_FROM,
+        CONFUSABLE_TO,
+        confusable_skeleton_col,
+    )
+
+    assert len(CONFUSABLE_FROM) == len(CONFUSABLE_TO)
+    df = spark.createDataFrame(
+        [
+            ("pаypаl",),   # Cyrillic а (U+0430) twice
+            ("paypal",),   # pure Latin
+            ("СhАОs",),    # UPPER Cyrillic С/А/О lowercase into the mapping
+        ],
+        "form string",
+    )
+    out = [
+        r["sk"]
+        for r in df.select(confusable_skeleton_col(F.col("form")).alias("sk"))
+        .collect()
+    ]
+    assert out[0] == out[1] == "paypal"
+    assert out[2] == "chaos"
+    # skeleton equality exposes the spoof pair; raw forms differ
+    assert "pаypаl" != "paypal"
