@@ -8172,6 +8172,59 @@ SELECT skeleton, count(*)::BIGINT AS n_forms,
 FROM sk GROUP BY skeleton HAVING count(*) > 1"""
 
 
+def q_er_luhn_check(spark, sf_dir):
+    """Identifier checksum audit (operators/pii.py with_luhn_valid — ISO
+    7812 Luhn mod-10): 2000 synthetic 16-digit account numbers (md5-
+    derived, so ~10% pass by chance) flagged valid/invalid, plus three
+    fixed canaries — a known-valid card test number, its off-by-one
+    corruption, and a formatted variant whose separators must strip.
+    The oracle replays digit reversal, the double-and-subtract fold, and
+    the mod-10 gate with engine-exact integer arithmetic in SQL."""
+    from minimel_spark.operators.pii import with_luhn_valid
+
+    def h8(salt):
+        return (
+            "lpad(CAST(CAST(conv(substring(md5(concat(CAST(id AS STRING), "
+            f"'{salt}')), 1, 8), 16, 10) AS BIGINT) % 100000000 AS STRING), "
+            "8, '0')"
+        )
+
+    synth = spark.range(2000).select(
+        F.expr(f"concat({h8(':ln1')}, {h8(':ln2')})").alias("acct")
+    )
+    canaries = spark.createDataFrame(
+        [("4539148803436467",), ("4539148803436468",), ("4539-1488-0343-6467",)],
+        "acct string",
+    )
+    out = with_luhn_valid(synth.unionByName(canaries), "acct")
+    return out.select("acct", "luhn_valid")
+
+
+SQL_ER_LUHN_CHECK = """
+WITH ids AS MATERIALIZED (
+  SELECT lpad((('0x' || substr(md5(i::VARCHAR || ':ln1'), 1, 8))::UBIGINT
+               % 100000000)::VARCHAR, 8, '0')
+      || lpad((('0x' || substr(md5(i::VARCHAR || ':ln2'), 1, 8))::UBIGINT
+               % 100000000)::VARCHAR, 8, '0') AS acct
+  FROM range(2000) t(i)
+  UNION ALL SELECT '4539148803436467'
+  UNION ALL SELECT '4539148803436468'
+  UNION ALL SELECT '4539-1488-0343-6467'),
+r AS (SELECT acct,
+             reverse(regexp_replace(acct, '[^0-9]', '', 'g')) AS rev
+      FROM ids)
+SELECT acct,
+       length(rev) >= 2 AND
+       (list_sum(list_transform(range(1, length(rev) + 1),
+          i -> CASE WHEN i % 2 = 0 THEN
+                 CASE WHEN substr(rev, i::INT, 1)::INT * 2 > 9
+                      THEN substr(rev, i::INT, 1)::INT * 2 - 9
+                      ELSE substr(rev, i::INT, 1)::INT * 2 END
+               ELSE substr(rev, i::INT, 1)::INT END))) % 10 = 0
+         AS luhn_valid
+FROM r"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10001,6 +10054,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_luhn_check",
     "er_confusables",
     "er_rank_fusion",
     "er_attr_outliers",
@@ -10149,7 +10203,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 185
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 186
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10320,6 +10374,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_luhn_check": SQL_ER_LUHN_CHECK,
     "er_confusables": SQL_ER_CONFUSABLES,
     "er_rank_fusion": SQL_ER_RANK_FUSION,
     "er_attr_outliers": SQL_ER_ATTR_OUTLIERS,

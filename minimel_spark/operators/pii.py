@@ -69,3 +69,34 @@ def pii_scrub(
     for name, _, _ in rules:
         total = total + F.col(f"n_{name}")
     return out.withColumn("n_pii", total.cast("long"))
+
+
+def with_luhn_valid(
+    df: DataFrame, id_col: str, out_col: str = "luhn_valid"
+) -> DataFrame:
+    """Append a Luhn mod-10 validity flag (ISO/IEC 7812 check digit — the
+    checksum behind payment cards and many national identifiers) for the
+    digits of ``id_col``: non-digits are stripped first, fewer than two
+    digits is invalid by definition. In a linkage pipeline this is the
+    cheap STRUCTURAL gate on identifier-bearing columns: an "SSN-like"
+    field that fails its checksum must not become high-weight match
+    evidence (Fellegi-Sunter m-probabilities assume the identifier is
+    real), and a corpus whose valid-rate drops after a merge signals a
+    column mapping bug upstream.
+
+    Entirely JVM-side integer arithmetic (reverse + transform +
+    aggregate over a digit sequence — no UDF, engine-exact), so the flag
+    is reproducible bit-for-bit in the SQL oracle.
+    """
+    tmp = "_luhn_rev"
+    out = df.withColumn(
+        tmp, F.reverse(F.regexp_replace(F.col(id_col), "[^0-9]", ""))
+    )
+    d = f"CAST(substring({tmp}, i, 1) AS INT)"
+    expr = (
+        f"length({tmp}) >= 2 AND aggregate(transform(sequence(1, length({tmp})), "
+        f"i -> CASE WHEN i % 2 = 0 THEN "
+        f"CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END "
+        f"ELSE {d} END), 0, (acc, x) -> acc + x) % 10 = 0"
+    )
+    return out.withColumn(out_col, F.expr(expr)).drop(tmp)

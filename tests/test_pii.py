@@ -70,3 +70,45 @@ def test_pii_scrub_empty_rules_is_passthrough(spark):
     out = pii_scrub(docs, rules=[]).collect()
     assert out[0]["clean_text"] == "mail me at a@b.org"
     assert out[0]["n_pii"] == 0
+
+
+def test_luhn_valid_known_numbers(spark):
+    from minimel_spark.operators.pii import with_luhn_valid
+
+    df = spark.createDataFrame(
+        [
+            ("4539148803436467", True),    # valid Visa test number
+            ("4539148803436468", False),   # corrupted check digit
+            ("4539-1488-0343-6467", True),  # separators stripped
+            ("79927398713", True),         # the canonical Luhn example
+            ("79927398714", False),
+            ("7", False),                  # under two digits: invalid
+            ("no digits", False),
+        ],
+        "acct string, want boolean",
+    )
+    rows = with_luhn_valid(df, "acct").collect()
+    for r in rows:
+        assert r["luhn_valid"] == r["want"], r["acct"]
+
+
+def test_luhn_valid_matches_pure_python(spark):
+    from minimel_spark.operators.pii import with_luhn_valid
+
+    def luhn(s):
+        ds = [int(c) for c in s if c.isdigit()]
+        if len(ds) < 2:
+            return False
+        total = 0
+        for i, d in enumerate(reversed(ds)):
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    accts = [str(1234567890123456 + 7 * i) for i in range(50)]
+    df = spark.createDataFrame([(a,) for a in accts], "acct string")
+    got = {r["acct"]: r["luhn_valid"] for r in with_luhn_valid(df, "acct").collect()}
+    assert got == {a: luhn(a) for a in accts}
