@@ -8225,6 +8225,62 @@ SELECT acct,
 FROM r"""
 
 
+def q_web_redirects(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling (operators/web.py
+    resolve_redirects): 20 URL groups with chain lengths 1-7 hops plus a
+    planted 3-cycle, resolved in 4 doublings (chains to 16 hops). Every
+    chain must land on its true final with the exact hop count; the
+    cycle must report resolved=false at any budget. The oracle UNROLLS
+    all four doubling rounds in SQL — the mapping composed with itself,
+    hop accumulation, and the still-redirecting left-join — so every
+    intermediate mapping state is value-checked."""
+    from minimel_spark.operators.web import resolve_redirects
+
+    chain = (
+        spark.range(400)
+        .where("(id % 20) < ((id DIV 20) % 7) + 1")
+        .select(
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("src"),
+            F.concat(F.lit("u"), (F.col("id") + 1).cast("string")).alias("dst"),
+        )
+    )
+    loop = spark.createDataFrame(
+        [("u397", "u398"), ("u398", "u399"), ("u399", "u397")],
+        "src string, dst string",
+    )
+    return resolve_redirects(chain.unionByName(loop), max_doublings=4)
+
+
+def _redirects_sql(n_doublings: int) -> str:
+    parts = [
+        """e AS MATERIALIZED (
+  SELECT 'u' || i::VARCHAR AS s, 'u' || (i + 1)::VARCHAR AS d
+  FROM range(400) t(i) WHERE (i % 20) < ((i // 20) % 7) + 1
+  UNION ALL SELECT 'u397', 'u398'
+  UNION ALL SELECT 'u398', 'u399'
+  UNION ALL SELECT 'u399', 'u397')""",
+        "m0 AS (SELECT s, d AS f, 1::BIGINT AS h FROM e)",
+    ]
+    for t in range(1, n_doublings + 1):
+        parts.append(
+            f"""m{t} AS MATERIALIZED (
+  SELECT m.s, coalesce(n.f, m.f) AS f, m.h + coalesce(n.h, 0) AS h
+  FROM m{t - 1} m LEFT JOIN m{t - 1} n ON m.f = n.s)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT m.s AS src, m.f AS final, m.h::BIGINT AS hops_bounded,
+       (r.s IS NULL) AS resolved
+FROM m{n_doublings} m
+LEFT JOIN (SELECT DISTINCT s FROM e) r ON m.f = r.s"""
+    )
+
+
+SQL_WEB_REDIRECTS = _redirects_sql(4)
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10054,6 +10110,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "web_redirects",
     "er_luhn_check",
     "er_confusables",
     "er_rank_fusion",
@@ -10203,7 +10260,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 186
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 187
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10374,6 +10431,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "web_redirects": SQL_WEB_REDIRECTS,
     "er_luhn_check": SQL_ER_LUHN_CHECK,
     "er_confusables": SQL_ER_CONFUSABLES,
     "er_rank_fusion": SQL_ER_RANK_FUSION,

@@ -406,3 +406,67 @@ def outlink_host_graph(
             F.countDistinct("_u").cast("long").alias("n_pages"),
         )
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    max_doublings: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resolve HTTP redirect chains to their final targets by POINTER
+    DOUBLING: round t composes the current mapping with itself
+    (src → f(f(src))), so a chain of length L collapses in ⌈log₂ L⌉
+    rounds rather than L sequential joins — with 4 doublings, chains up
+    to 2⁴ = 16 hops resolve, which covers anything a real crawler
+    follows (browsers give up at ~20). This is the canonicalization step
+    between fetch and dedup: a cluster of urls 301-ing into one landing
+    page is ONE document.
+
+    Input: one row per redirect edge (each src redirects to exactly ONE
+    dst — HTTP semantics; duplicate srcs are an upstream extraction bug
+    and are rejected). A src whose chain ends at a non-redirecting URL
+    maps to that URL with ``resolved`` true; a src still pointing at a
+    redirecting URL after the budget (longer chain, or a redirect LOOP —
+    loops never resolve at any budget) reports ``resolved`` false.
+
+    Scale: each doubling is ONE self-join of the mapping (size = number
+    of redirecting urls, never the full corpus) plus a localCheckpoint;
+    log-round convergence is the same trick as the large-star/small-star
+    components loop.
+
+    Output: ``(src, final, hops_bounded, resolved)`` — one row per input
+    src; ``hops_bounded`` is the hop count actually taken, capped by the
+    doubling schedule (it equals the true chain length whenever
+    resolution succeeded).
+    """
+    if max_doublings < 0:
+        raise ValueError(f"max_doublings must be >= 0, got {max_doublings}")
+    e = redirects.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    dup = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_n")).where(F.col("_n") > 1)
+    # fail fast on a broken extraction rather than silently picking a branch
+    if dup.limit(1).count() > 0:
+        raise ValueError("duplicate src in redirects: each src must have one dst")
+    m = e.select("_s", F.col("_d").alias("_f"), F.lit(1).alias("_h"))
+    for _ in range(max_doublings):
+        nxt = m.select(F.col("_s").alias("_f"), F.col("_f").alias("_f2"),
+                       F.col("_h").alias("_h2"))
+        m = (
+            m.join(nxt, "_f", "left")
+            .select(
+                "_s",
+                F.coalesce("_f2", "_f").alias("_f"),
+                (F.col("_h") + F.coalesce("_h2", F.lit(0))).alias("_h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    still = e.select(F.col("_s").alias("_f"), F.lit(True).alias("_redirects"))
+    return (
+        m.join(still, "_f", "left")
+        .select(
+            F.col("_s").alias("src"),
+            F.col("_f").alias("final"),
+            F.col("_h").cast("long").alias("hops_bounded"),
+            F.coalesce(~F.col("_redirects"), F.lit(True)).alias("resolved"),
+        )
+    )

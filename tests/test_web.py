@@ -326,3 +326,39 @@ def test_outlink_host_graph_extraction(spark):
     assert out[("a.example", "c.example")] == (1, 1)
     assert out[("b.example", "a.example")] == (1, 1)
     assert len(out) == 3
+
+
+def test_resolve_redirects_chain_loop_and_budget(spark):
+    import pytest
+
+    from minimel_spark.operators.web import resolve_redirects
+
+    edges = spark.createDataFrame(
+        # a->b->c->d (3 hops), e->f (1 hop), loop g->h->g
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"), ("g", "h"), ("h", "g")],
+        "src string, dst string",
+    )
+    out = {r["src"]: r for r in resolve_redirects(edges, max_doublings=3).collect()}
+    assert out["a"]["final"] == "d" and out["a"]["hops_bounded"] == 3
+    assert out["a"]["resolved"]
+    assert out["b"]["final"] == "d" and out["b"]["hops_bounded"] == 2
+    assert out["e"]["final"] == "f" and out["e"]["hops_bounded"] == 1
+    # the loop never lands on a non-redirecting url
+    assert not out["g"]["resolved"] and not out["h"]["resolved"]
+    # 2^0 doublings resolve only 1-hop chains
+    z = {r["src"]: r for r in resolve_redirects(edges, max_doublings=0).collect()}
+    assert z["e"]["resolved"] and not z["a"]["resolved"]
+    with pytest.raises(ValueError):
+        resolve_redirects(edges, max_doublings=-1)
+
+
+def test_resolve_redirects_rejects_duplicate_src(spark):
+    import pytest
+
+    from minimel_spark.operators.web import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="duplicate src"):
+        resolve_redirects(edges)
