@@ -8281,6 +8281,68 @@ LEFT JOIN (SELECT DISTINCT s FROM e) r ON m.f = r.s"""
 SQL_WEB_REDIRECTS = _redirects_sql(4)
 
 
+def q_er_mutual_knn(spark, sf_dir):
+    """Mutual k-NN graph sparsification (operators/graph.py knn_sparsify
+    — the de-hubbing step between pair scoring and transitive
+    clustering): an md5-thinned similarity graph over 8 groups of 25
+    nodes, each node keeping its top-3 neighbors, pairs surviving only
+    when BOTH endpoints rank each other. The oracle replays the
+    symmetrize, both per-node top-k windows, and the mutuality join
+    natively in SQL, value-checking every surviving edge and score."""
+    from minimel_spark.operators.graph import knn_sparsify
+
+    def _u(expr, salt):
+        return (
+            F.conv(F.substring(F.md5(F.concat(expr, F.lit(salt))), 1, 8), 16, 10)
+            .cast("double")
+            / F.lit(4294967296.0)
+        )
+
+    a = spark.range(200).select(F.col("id").alias("x"))
+    b = spark.range(200).select(F.col("id").alias("y"))
+    pk = F.concat(
+        F.col("x").cast("string"), F.lit(":"), F.col("y").cast("string")
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("x") < F.col("y"))
+            & (F.expr("x DIV 25") == F.expr("y DIV 25")),
+        )
+        .where(_u(pk, ":ks_e") < 0.4)
+        .select(
+            F.col("x").alias("src"),
+            F.col("y").alias("dst"),
+            _u(pk, ":ks_s").alias("score"),
+        )
+    )
+    out = knn_sparsify(edges, k=3, mutual=True)
+    return out.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+SQL_ER_MUTUAL_KNN = """
+WITH e AS MATERIALIZED (
+  SELECT a.i AS src, b.i AS dst,
+         ('0x' || substr(md5(a.i::VARCHAR || ':' || b.i::VARCHAR || ':ks_s'),
+                         1, 8))::UBIGINT / 4294967296.0 AS s
+  FROM range(200) a(i) JOIN range(200) b(i)
+    ON a.i < b.i AND a.i // 25 = b.i // 25
+  WHERE ('0x' || substr(md5(a.i::VARCHAR || ':' || b.i::VARCHAR || ':ks_e'),
+                        1, 8))::UBIGINT / 4294967296.0 < 0.4),
+sym AS (SELECT src AS a, dst AS b, s FROM e
+        UNION ALL SELECT dst, src, s FROM e),
+kept AS (SELECT a, b, s FROM (
+           SELECT a, b, s, row_number() OVER (PARTITION BY a
+             ORDER BY s DESC, b ASC) AS rn FROM sym) WHERE rn <= 3)
+SELECT f.a::BIGINT AS src, f.b::BIGINT AS dst, round(f.s, 6) AS score
+FROM (SELECT * FROM kept WHERE a < b) f
+JOIN (SELECT b AS a, a AS b FROM kept WHERE a > b) r USING (a, b)"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10110,6 +10172,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_mutual_knn",
     "web_redirects",
     "er_luhn_check",
     "er_confusables",
@@ -10260,7 +10323,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 187
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 188
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10431,6 +10494,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_mutual_knn": SQL_ER_MUTUAL_KNN,
     "web_redirects": SQL_WEB_REDIRECTS,
     "er_luhn_check": SQL_ER_LUHN_CHECK,
     "er_confusables": SQL_ER_CONFUSABLES,

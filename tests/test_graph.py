@@ -317,3 +317,52 @@ def test_transitivity_audit_wedge_free(spark):
     edges = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
     r = transitivity_audit(edges).collect()[0]
     assert r["n_wedges"] == 0 and r["transitivity"] == 0.0
+
+
+def test_knn_sparsify_mutual_dehubs(spark):
+    import pytest
+
+    from minimel_spark.operators.graph import knn_sparsify
+
+    # hub 0 connects to 1..5 with high scores; 1..5 also form a weak ring.
+    # k=2 mutual: the hub keeps only its top-2 (1, 2), and only nodes that
+    # rank the hub back survive.
+    edges = [(0, i, 1.0 - 0.01 * i) for i in range(1, 6)]
+    edges += [(1, 2, 0.5), (2, 3, 0.5), (3, 4, 0.5), (4, 5, 0.5)]
+    df = spark.createDataFrame(edges, "src long, dst long, score double")
+    out = {(r["src"], r["dst"]) for r in knn_sparsify(df, k=2, mutual=True).collect()}
+    # hub's top-2 are 1 and 2; both rank the hub first (0.99/0.98 > 0.5)
+    assert (0, 1) in out and (0, 2) in out
+    # 3,4,5 were pruned from the hub's list -> no mutual edge with 0
+    assert not any(a == 0 and b > 2 for a, b in out)
+    # every node's degree is bounded by k
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in out:
+        deg[a] += 1
+        deg[b] += 1
+    assert max(deg.values()) <= 2
+    with pytest.raises(ValueError):
+        knn_sparsify(df, k=0)
+
+
+def test_knn_sparsify_union_mode_keeps_either_direction(spark):
+    from minimel_spark.operators.graph import knn_sparsify
+
+    # star: center 9 with 3 spokes; k=1. Center keeps only spoke 1, but
+    # each spoke keeps the center -> union mode keeps all 3, mutual only 1.
+    edges = [(9, 1, 0.9), (9, 2, 0.8), (9, 3, 0.7)]
+    df = spark.createDataFrame(edges, "src long, dst long, score double")
+    mutual = {(r["src"], r["dst"]) for r in knn_sparsify(df, k=1).collect()}
+    union = {
+        (r["src"], r["dst"]) for r in knn_sparsify(df, k=1, mutual=False).collect()
+    }
+    assert mutual == {(1, 9)}
+    assert union == {(1, 9), (2, 9), (3, 9)}
+    # scores survive the canonical src<dst ordering
+    scores = {
+        (r["src"], r["dst"]): r["score"]
+        for r in knn_sparsify(df, k=1, mutual=False).collect()
+    }
+    assert scores[(2, 9)] == 0.8
