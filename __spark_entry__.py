@@ -8343,6 +8343,42 @@ FROM (SELECT * FROM kept WHERE a < b) f
 JOIN (SELECT b AS a, a AS b FROM kept WHERE a > b) r USING (a, b)"""
 
 
+def q_corpus_hash_split(spark, sf_dir):
+    """Deterministic corpus splitting (operators/corpus.py hash_split —
+    the randomSplit replacement whose membership is a pure function of
+    (id, salt), so a document never migrates between train and test when
+    the corpus changes): documents split 80/10/10, audited as counts per
+    (split, text-length-centile bucket) so both the ratio and the
+    stratification balance are value-checked. The oracle replays the
+    md5 walk over the cumulative thresholds and the rollup in SQL; the
+    boundary literals are safe because u has 2^-32 granularity, far
+    coarser than any float-accumulation drift in the thresholds."""
+    from minimel_spark.operators.corpus import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id")
+    return (
+        out.groupBy(
+            "split", (F.floor(F.length("text") / 100)).alias("len_bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+SQL_CORPUS_HASH_SPLIT = """
+WITH s AS (
+  SELECT CASE
+           WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::UBIGINT
+                  / 4294967296.0 < 0.8 THEN 'train'
+           WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::UBIGINT
+                  / 4294967296.0 < 0.9 THEN 'valid'
+           ELSE 'test' END AS split,
+         length(text) // 100 AS len_bucket
+  FROM documents)
+SELECT split, len_bucket, count(*)::BIGINT AS n_docs
+FROM s GROUP BY split, len_bucket"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10172,6 +10208,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "corpus_hash_split",
     "er_mutual_knn",
     "web_redirects",
     "er_luhn_check",
@@ -10323,7 +10360,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 188
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 189
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10494,6 +10531,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "corpus_hash_split": SQL_CORPUS_HASH_SPLIT,
     "er_mutual_knn": SQL_ER_MUTUAL_KNN,
     "web_redirects": SQL_WEB_REDIRECTS,
     "er_luhn_check": SQL_ER_LUHN_CHECK,

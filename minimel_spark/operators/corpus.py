@@ -841,3 +841,52 @@ def dsir_importance(
             F.coalesce("logweight", F.lit(0.0)).alias("logweight"),
         )
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: list[tuple[str, float]] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by keyed hash — the
+    split a TRAINING pipeline must use instead of ``randomSplit``:
+    membership is a pure function of (id, salt), so a document keeps its
+    split when the corpus grows, shrinks, repartitions, or reruns —
+    the property that prevents silent train/test contamination across
+    corpus versions (decontamination's sibling gate: ``corpus_
+    decontaminate`` removes eval text, this keeps eval MEMBERSHIP
+    stable). ``weights`` is an ordered list of (name, fraction) summing
+    to 1; the md5-derived u ∈ [0,1) walks the cumulative thresholds.
+
+    Row-local (one md5 + one CASE), shuffle-free, whole-stage-codegen'd;
+    mirrors exactly into SQL for oracle checking.
+    """
+    weights = weights or [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
+    if not weights or abs(sum(w for _, w in weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {weights}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    expr = None
+    cum = 0.0
+    for name, w in weights[:-1]:
+        cum += w
+        cond = u < F.lit(cum)
+        branch = F.lit(name)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    last = F.lit(weights[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

@@ -553,3 +553,40 @@ def test_dsir_importance_validates_knobs(spark):
         dsir_importance(df, df, num_buckets=0)
     with pytest.raises(ValueError, match="alpha"):
         dsir_importance(df, df, alpha=0.0)
+
+
+def test_hash_split_stable_under_corpus_changes(spark):
+    import pytest
+
+    from minimel_spark.operators.corpus import hash_split
+
+    full = spark.range(1000).selectExpr("id AS doc_id")
+    half = full.where("doc_id % 2 = 0")
+    a = {r["doc_id"]: r["split"] for r in hash_split(full, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(half, "doc_id").collect()}
+    # membership is a pure function of the id: dropping rows never
+    # migrates the survivors (the anti-randomSplit property)
+    assert all(a[k] == v for k, v in b.items())
+    # ratios are roughly honored
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 700 < c["train"] < 900 and c["valid"] > 40 and c["test"] > 40
+    assert set(c) == {"train", "valid", "test"}
+    with pytest.raises(ValueError):
+        hash_split(full, "doc_id", weights=[("a", 0.5), ("b", 0.6)])
+
+
+def test_hash_split_salt_and_custom_weights(spark):
+    from minimel_spark.operators.corpus import hash_split
+
+    df = spark.range(500).selectExpr("id AS doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id", salt="v2").collect()
+    }
+    # a different salt reshuffles membership
+    assert any(a[k] != b[k] for k in a)
+    only = hash_split(df, "doc_id", weights=[("all", 1.0)]).collect()
+    assert {r["split"] for r in only} == {"all"}
