@@ -8379,6 +8379,95 @@ SELECT split, len_bucket, count(*)::BIGINT AS n_docs
 FROM s GROUP BY split, len_bucket"""
 
 
+def q_er_committee_queue(spark, sf_dir):
+    """Query-by-committee review sampling (operators/scoring.py
+    committee_disagreement — Seung et al. 1992): three scorers over the
+    variant world's same-first-letter pairs (Jaro-Winkler, 3-gram
+    Jaccard, length ratio) vote at 0.5; the 40 pairs with maximal
+    n_yes × n_no (integer, engine-exact), margin-sum tie-break, go to
+    review. The oracle replays the votes, the disagreement product, and
+    the top-k order natively in SQL."""
+    from minimel_spark.operators.scoring import committee_disagreement
+
+    recs = _vw_records(spark).select("name").distinct()
+    a = recs.select(F.col("name").alias("rec_id_a"))
+    b = recs.select(F.col("name").alias("rec_id_b"))
+    grams = (
+        "array_distinct(transform(sequence(1, length({c}) - 2), "
+        "i -> substring({c}, i, 3)))"
+    )
+    ga, gb = grams.format(c="rec_id_a"), grams.format(c="rec_id_b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("rec_id_a") < F.col("rec_id_b"))
+            & (
+                F.substring("rec_id_a", 1, 1)
+                == F.substring("rec_id_b", 1, 1)
+            ),
+        )
+        .withColumn(
+            "s_jac",
+            F.expr(
+                f"CAST(size(array_intersect({ga}, {gb})) AS DOUBLE) / "
+                f"size(array_union({ga}, {gb}))"
+            ),
+        )
+        .withColumn(
+            "s_len",
+            F.least(F.length("rec_id_a"), F.length("rec_id_b")).cast("double")
+            / F.greatest(F.length("rec_id_a"), F.length("rec_id_b")),
+        )
+    )
+    from minimel_spark.operators.pairs import jw_udf
+
+    pairs = pairs.withColumn(
+        "s_jw", jw_udf(F.col("rec_id_a"), F.col("rec_id_b"))
+    )
+    out = committee_disagreement(pairs, ["s_jw", "s_jac", "s_len"], k=40)
+    return out.select(
+        "rec_id_a",
+        "rec_id_b",
+        F.round("s_jw", 6).alias("s_jw"),
+        F.round("s_jac", 6).alias("s_jac"),
+        F.round("s_len", 6).alias("s_len"),
+        "n_yes",
+        "disagreement",
+        F.round("margin_sum", 6).alias("margin_sum"),
+    )
+
+
+SQL_ER_COMMITTEE_QUEUE = f"""
+WITH {_VW_NAMES_SQL.strip()},
+recs AS MATERIALIZED (SELECT DISTINCT name FROM vw_names),
+g AS (SELECT name,
+             list_distinct(list_transform(range(1, length(name) - 1),
+                                          i -> substr(name, i::INT, 3))) AS gr
+      FROM recs),
+pr AS MATERIALIZED (
+  SELECT a.name AS rec_id_a, b.name AS rec_id_b,
+         jaro_winkler_similarity(a.name, b.name) AS s_jw,
+         len(list_intersect(a.gr, b.gr))::DOUBLE
+           / len(list_distinct(list_concat(a.gr, b.gr))) AS s_jac,
+         least(length(a.name), length(b.name))::DOUBLE
+           / greatest(length(a.name), length(b.name)) AS s_len
+  FROM g a JOIN g b
+    ON a.name < b.name AND substr(a.name, 1, 1) = substr(b.name, 1, 1)),
+v AS (SELECT *,
+        ((CASE WHEN s_jw >= 0.5 THEN 1 ELSE 0 END)
+         + (CASE WHEN s_jac >= 0.5 THEN 1 ELSE 0 END)
+         + (CASE WHEN s_len >= 0.5 THEN 1 ELSE 0 END))::BIGINT AS n_yes,
+        abs(s_jw - 0.5) + abs(s_jac - 0.5) + abs(s_len - 0.5) AS margin_sum
+      FROM pr)
+SELECT rec_id_a, rec_id_b, round(s_jw, 6) AS s_jw, round(s_jac, 6) AS s_jac,
+       round(s_len, 6) AS s_len, n_yes,
+       (n_yes * (3 - n_yes))::BIGINT AS disagreement,
+       round(margin_sum, 6) AS margin_sum
+FROM v
+ORDER BY n_yes * (3 - n_yes) DESC, margin_sum ASC, rec_id_a ASC, rec_id_b ASC
+LIMIT 40"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10208,6 +10297,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_committee_queue",
     "corpus_hash_split",
     "er_mutual_knn",
     "web_redirects",
@@ -10360,7 +10450,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 189
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 190
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10531,6 +10621,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_committee_queue": SQL_ER_COMMITTEE_QUEUE,
     "corpus_hash_split": SQL_CORPUS_HASH_SPLIT,
     "er_mutual_knn": SQL_ER_MUTUAL_KNN,
     "web_redirects": SQL_WEB_REDIRECTS,

@@ -247,3 +247,53 @@ def review_queue(
         out = out.where((F.col(score_col) >= lo) & (F.col(score_col) <= hi))
     out = out.withColumn("uncertainty", F.abs(F.col(score_col) - F.lit(0.5)))
     return out.orderBy("uncertainty", *key_cols).limit(k)
+
+
+def committee_disagreement(
+    scored: DataFrame,
+    score_cols: list[str],
+    k: int,
+    threshold: float = 0.5,
+    key_cols: tuple = ("rec_id_a", "rec_id_b"),
+) -> DataFrame:
+    """Query-by-committee review sampling (Seung, Opper & Sompolinsky,
+    COLT 1992): where :func:`review_queue` asks ONE matcher what it is
+    unsure about (|score − 0.5|), QBC asks a COMMITTEE of matchers where
+    they DISAGREE — the pairs whose labels falsify the most hypotheses
+    per review. Each ``score_cols`` member votes match/nonmatch at
+    ``threshold``; the disagreement statistic is ``n_yes × n_no``
+    (maximal on an even split, zero on consensus) — an INTEGER, so the
+    ranking is engine-exact with no float-margin tie hazards, and the
+    margin sum breaks disagreement ties toward pairs the committee is
+    collectively least sure about.
+
+    Returns the top-k by (disagreement desc, margin_sum asc, *keys) —
+    compiled to TakeOrderedAndProject exactly like review_queue: per-
+    partition heaps, k rows of driver memory, no global sort. Pairs the
+    committee unanimously agrees on never reach a reviewer.
+
+    Output: the input plus ``n_yes``, ``disagreement``, ``margin_sum``.
+    """
+    if not score_cols or len(score_cols) < 2:
+        raise ValueError("committee needs at least two score columns")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    n_yes = None
+    margin = None
+    for c in score_cols:
+        v = F.when(F.col(c) >= threshold, 1).otherwise(0)
+        m = F.abs(F.col(c) - F.lit(threshold))
+        n_yes = v if n_yes is None else n_yes + v
+        margin = m if margin is None else margin + m
+    n = len(score_cols)
+    out = (
+        scored.withColumn("n_yes", n_yes.cast("long"))
+        .withColumn(
+            "disagreement",
+            (F.col("n_yes") * (F.lit(n) - F.col("n_yes"))).cast("long"),
+        )
+        .withColumn("margin_sum", margin)
+    )
+    return out.orderBy(
+        F.desc("disagreement"), F.asc("margin_sum"), *key_cols
+    ).limit(k)

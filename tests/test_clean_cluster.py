@@ -1079,3 +1079,30 @@ def test_cluster_depth_audit_budget_and_border_guard(spark):
     # the other cluster's node is edge-connected only across the border:
     # it is its own root (depth 0), nothing else reached
     assert rows["other"]["n_reached"] == 1 and rows["other"]["ecc_root"] == 0
+
+
+def test_committee_disagreement_ranks_splits_first(spark):
+    import pytest
+
+    from minimel_spark.operators.scoring import committee_disagreement
+
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b", 0.9, 0.8, 0.7),   # unanimous yes: disagreement 0
+            ("c", "d", 0.9, 0.1, 0.2),   # 1v2 split: disagreement 2
+            ("e", "f", 0.6, 0.4, 0.55),  # 2v1 split, tighter margins
+            ("g", "h", 0.1, 0.2, 0.1),   # unanimous no
+        ],
+        "rec_id_a string, rec_id_b string, s1 double, s2 double, s3 double",
+    )
+    out = committee_disagreement(pairs, ["s1", "s2", "s3"], k=2).collect()
+    picked = [(r["rec_id_a"], r["disagreement"]) for r in out]
+    # both splits outrank both consensus pairs; the tighter-margin split
+    # ("e") wins the tie on margin_sum
+    assert {p[0] for p in picked} == {"c", "e"}
+    assert all(d == 2 for _, d in picked)
+    assert picked[0][0] == "e"
+    with pytest.raises(ValueError):
+        committee_disagreement(pairs, ["s1"], k=2)
+    with pytest.raises(ValueError):
+        committee_disagreement(pairs, ["s1", "s2"], k=0)
