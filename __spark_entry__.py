@@ -8468,6 +8468,75 @@ ORDER BY n_yes * (3 - n_yes) DESC, margin_sum ASC, rec_id_a ASC, rec_id_b ASC
 LIMIT 40"""
 
 
+def q_mm_sniff_mime(spark, sf_dir):
+    """Magic-byte MIME routing (operators/multimodal.py sniff_mime — the
+    bytes-over-Content-Type gate of multimodal ingest): 550 synthetic
+    payloads across 11 families (PNG/JPEG/GIF/PDF/gzip/zip/PPM/HTML, a
+    WAVE RIFF, a non-WAVE RIFF, and an unknown blob), each built by
+    unhex(magic ‖ md5 filler) IDENTICALLY in both engines, classified by
+    the 16-byte hex-prefix CASE chain. The oracle re-synthesizes the
+    same blobs and replays the chain — including the RIFF fourcc split
+    and the octet-stream fallback — value-checking every verdict."""
+    from minimel_spark.operators.multimodal import sniff_mime
+
+    magics = [
+        "89504E470D0A1A0A",            # png
+        "FFD8FFE0",                     # jpeg
+        "474946383961",                 # gif
+        "255044462D",                   # pdf
+        "1F8B08",                       # gzip
+        "504B0304",                     # zip
+        "50360A",                       # ppm
+        "3C68746D6C3E",                 # html
+        "524946461122334457415645",     # riff + WAVE fourcc
+        "524946461122334441564920",     # riff + 'AVI ' fourcc (not WAVE)
+        "DEADBEEF",                     # unknown
+    ]
+    when = None
+    for i, m in enumerate(magics):
+        cond = F.col("id") % 11 == i
+        branch = F.lit(m)
+        when = F.when(cond, branch) if when is None else when.when(cond, branch)
+    filler = F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(":mm"))), 1, 16)
+    payloads = spark.range(550).select(
+        F.col("id").alias("sample_id"),
+        F.unhex(F.concat(when, filler)).alias("payload"),
+    )
+    out = sniff_mime(payloads)
+    return out.select("sample_id", "mime")
+
+
+SQL_MM_SNIFF_MIME = """
+WITH m AS (
+  SELECT i AS sample_id,
+         CASE i % 11
+           WHEN 0 THEN '89504E470D0A1A0A' WHEN 1 THEN 'FFD8FFE0'
+           WHEN 2 THEN '474946383961' WHEN 3 THEN '255044462D'
+           WHEN 4 THEN '1F8B08' WHEN 5 THEN '504B0304'
+           WHEN 6 THEN '50360A' WHEN 7 THEN '3C68746D6C3E'
+           WHEN 8 THEN '524946461122334457415645'
+           WHEN 9 THEN '524946461122334441564920'
+           ELSE 'DEADBEEF' END
+         || substr(md5(i::VARCHAR || ':mm'), 1, 16) AS hx
+  FROM range(550) t(i)),
+h AS (SELECT sample_id, substr(hex(unhex(hx)), 1, 32) AS p FROM m)
+SELECT sample_id,
+       CASE
+         WHEN starts_with(p, '52494646') AND substr(p, 17, 8) = '57415645'
+           THEN 'audio/wav'
+         WHEN starts_with(p, '52494646') THEN 'application/riff'
+         WHEN starts_with(p, '89504E47') THEN 'image/png'
+         WHEN starts_with(p, 'FFD8FF') THEN 'image/jpeg'
+         WHEN starts_with(p, '47494638') THEN 'image/gif'
+         WHEN starts_with(p, '25504446') THEN 'application/pdf'
+         WHEN starts_with(p, '1F8B') THEN 'application/gzip'
+         WHEN starts_with(p, '504B0304') THEN 'application/zip'
+         WHEN starts_with(p, '5036') THEN 'image/x-portable-pixmap'
+         WHEN starts_with(p, '3C') THEN 'text/html'
+         ELSE 'application/octet-stream' END AS mime
+FROM h"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10297,6 +10366,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "mm_sniff_mime",
     "er_committee_queue",
     "corpus_hash_split",
     "er_mutual_knn",
@@ -10450,7 +10520,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 190
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 191
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10621,6 +10691,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "mm_sniff_mime": SQL_MM_SNIFF_MIME,
     "er_committee_queue": SQL_ER_COMMITTEE_QUEUE,
     "corpus_hash_split": SQL_CORPUS_HASH_SPLIT,
     "er_mutual_knn": SQL_ER_MUTUAL_KNN,

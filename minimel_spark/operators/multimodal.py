@@ -473,3 +473,49 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                  "audio/wav", None, None, dur_ms)
             )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+MAGIC_MIME_TABLE = [
+    # (uppercase hex prefix, mime) — longest-prefix-sensitive order; RIFF
+    # needs the WAVE fourcc at bytes 9-12, handled before the generic case.
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("1F8B", "application/gzip"),
+    ("504B0304", "application/zip"),
+    ("5036", "image/x-portable-pixmap"),
+    ("3C", "text/html"),
+]
+
+
+def sniff_mime(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "mime"
+) -> DataFrame:
+    """Magic-byte MIME sniffing over an opaque binary column — the first
+    gate of any multimodal ingest: Common-Crawl-style archives label
+    content by server-claimed Content-Type, which lies constantly, so
+    the pipeline must route by what the BYTES say (the file(1) approach,
+    tiny table of the formats this engine actually handles). RIFF
+    containers check the fourcc at bytes 9-12 to split audio/wav from
+    other RIFF payloads (AVI, WebP-in-RIFF, ...); anything unmatched is
+    ``application/octet-stream`` — never a guess.
+
+    Scale: only the first 16 bytes are ever hexed (``substring`` on the
+    binary column is pushdown-friendly and avoids materializing payload
+    bodies into the codegen stage); the classification is one CASE chain
+    on that hex string — row-local, shuffle-free, UDF-free, and mirrored
+    verbatim into the SQL oracle.
+    """
+    h = F.hex(F.expr(f"substring({payload_col}, 1, 16)"))
+    tmp = "_mime_hex"
+    out = df.withColumn(tmp, h)
+    expr = F.when(
+        F.col(tmp).startswith("52494646")
+        & (F.substring(tmp, 17, 8) == "57415645"),
+        F.lit("audio/wav"),
+    ).when(F.col(tmp).startswith("52494646"), F.lit("application/riff"))
+    for prefix, mime in MAGIC_MIME_TABLE:
+        expr = expr.when(F.col(tmp).startswith(prefix), F.lit(mime))
+    expr = expr.otherwise(F.lit("application/octet-stream"))
+    return out.withColumn(out_col, expr).drop(tmp)

@@ -202,3 +202,35 @@ def test_byte_pack_buckets_no_single_partition_window(spark):
     )
     for r in per_bucket:
         assert r["bytes"] - r["max_nb"] < 4096, dict(r.asDict())
+
+
+def test_sniff_mime_routes_by_bytes_not_labels(spark):
+    import pyspark.sql.functions as F
+
+    from minimel_spark.operators.multimodal import sniff_mime, synth_media
+
+    # real synthesized payloads: PPM images and RIFF/WAVE audio
+    media = synth_media(spark, 12)
+    out = {
+        (r["kind"], r["mime"])
+        for r in sniff_mime(media).select("kind", "mime").distinct().collect()
+    }
+    assert ("image", "image/x-portable-pixmap") in out
+    assert ("audio", "audio/wav") in out
+    # planted families, including the RIFF-but-not-WAVE split and fallback
+    planted = spark.createDataFrame(
+        [
+            ("png", "89504E470D0A1A0A00"),
+            ("riff_avi", "52494646111122224156492000"),
+            ("html", "3C68746D6C3E"),
+            ("junk", "00FFEE"),
+        ],
+        "tag string, hx string",
+    ).select("tag", F.unhex("hx").alias("payload"))
+    got = {r["tag"]: r["mime"] for r in sniff_mime(planted).collect()}
+    assert got == {
+        "png": "image/png",
+        "riff_avi": "application/riff",
+        "html": "text/html",
+        "junk": "application/octet-stream",
+    }
