@@ -8537,6 +8537,27 @@ SELECT sample_id,
 FROM h"""
 
 
+def q_web_source_overlap(spark, sf_dir):
+    """Cross-source mirror audit (operators/profile.py source_overlap):
+    documents keyed by exact-text md5, counting keys shared by every
+    source pair (diagonal = within-source duplicate mass) — the
+    syndication-ring detector that tells dedup which feeds are copies
+    before pair budget is spent. The oracle replays the (key, source)
+    distinct, the key self-join, and the rollup in SQL."""
+    from minimel_spark.operators.profile import source_overlap
+
+    docs = _t(spark, sf_dir, "documents").withColumn("tkey", F.md5("text"))
+    return source_overlap(docs, "tkey")
+
+
+SQL_WEB_SOURCE_OVERLAP = """
+WITH ks AS MATERIALIZED (
+  SELECT DISTINCT md5(text) AS k, source AS s FROM documents)
+SELECT a.s AS source_a, b.s AS source_b, count(*)::BIGINT AS n_shared_keys
+FROM ks a JOIN ks b ON a.k = b.k AND a.s <= b.s
+GROUP BY a.s, b.s"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10366,6 +10387,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "web_source_overlap",
     "mm_sniff_mime",
     "er_committee_queue",
     "corpus_hash_split",
@@ -10520,7 +10542,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 191
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 192
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10691,6 +10713,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "web_source_overlap": SQL_WEB_SOURCE_OVERLAP,
     "mm_sniff_mime": SQL_MM_SNIFF_MIME,
     "er_committee_queue": SQL_ER_COMMITTEE_QUEUE,
     "corpus_hash_split": SQL_CORPUS_HASH_SPLIT,

@@ -157,3 +157,38 @@ def column_value_overlap(
         F.when(nl > 0, nc.cast("double") / nl).otherwise(0.0).alias("contain_left"),
         F.when(nr > 0, nc.cast("double") / nr).otherwise(0.0).alias("contain_right"),
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    key_col: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source MIRROR overlap: for every pair of sources, how many
+    content keys (exact-text hash, simhash bucket, canonical URL — the
+    caller picks the equivalence) appear in BOTH — the audit that finds
+    wholesale mirrors and syndication rings between crawl feeds before
+    dedup spends pair budget on them, and the evidence base for dropping
+    a source that is 95% another one. Diagonal rows (a source with
+    itself) report within-source duplicate mass.
+
+    Shape: one distinct on (key, source), one self-join ON THE KEY (cost
+    bounded by per-key source-list sizes — the number of sources, not
+    the corpus), one rollup. Keys present in s sources contribute
+    C(s,2)+s pairs; with dozens of sources this is trivially small.
+
+    Output: ``(source_a, source_b, n_shared_keys)`` with
+    source_a <= source_b.
+    """
+    ks = docs.select(
+        F.col(key_col).alias("_k"), F.col(source_col).alias("_s")
+    ).distinct()
+    a = ks.select("_k", F.col("_s").alias("source_a"))
+    b = ks.select("_k", F.col("_s").alias("source_b"))
+    return (
+        a.join(b, "_k")
+        .where(F.col("source_a") <= F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_keys"))
+    )

@@ -590,3 +590,27 @@ def test_hash_split_salt_and_custom_weights(spark):
     assert any(a[k] != b[k] for k in a)
     only = hash_split(df, "doc_id", weights=[("all", 1.0)]).collect()
     assert {r["split"] for r in only} == {"all"}
+
+
+def test_source_overlap_mirrors_and_diagonal(spark):
+    from minimel_spark.operators.profile import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "k1", "cc"),
+            (2, "k1", "mirror"),   # k1 shared cc<->mirror
+            (3, "k2", "cc"),
+            (4, "k2", "cc"),       # k2 duplicated WITHIN cc (diagonal)
+            (5, "k3", "blogs"),
+        ],
+        "doc_id long, tkey string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["n_shared_keys"]
+        for r in source_overlap(docs, "tkey").collect()
+    }
+    assert out[("cc", "mirror")] == 1
+    # diagonal counts distinct keys present in the source, not dup rows
+    assert out[("cc", "cc")] == 2
+    assert out[("blogs", "blogs")] == 1
+    assert ("blogs", "cc") not in out and ("cc", "blogs") not in out
