@@ -8558,6 +8558,55 @@ FROM ks a JOIN ks b ON a.k = b.k AND a.s <= b.s
 GROUP BY a.s, b.s"""
 
 
+def q_rel_benford_audit(spark, sf_dir):
+    """Benford first-digit forensic screen (operators/diagnostics.py
+    benford_audit — Nigrini's standard): extended prices in integer
+    cents, per leading digit the observed count, Benford-expected count,
+    and chi-square component. TPC-H-style uniform synthetics FAIL
+    Benford loudly — that generator fingerprint is exactly what the gate
+    pins. Expected probabilities are 12-decimal literals shared verbatim
+    with the oracle (no cross-engine log10 ulp hazard)."""
+    from minimel_spark.operators.diagnostics import benford_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    out = benford_audit(vals, "cents")
+    return out.select(
+        "digit",
+        "n",
+        "expected_p",
+        F.round("expected_n", 4).alias("expected_n"),
+        F.round("chi2_component", 4).alias("chi2_component"),
+    )
+
+
+def _benford_expected_sql() -> str:
+    from minimel_spark.operators.diagnostics import BENFORD_P
+
+    rows = " UNION ALL ".join(
+        f"SELECT {d} AS digit, {p!r} AS expected_p" for d, p in BENFORD_P.items()
+    )
+    return rows
+
+
+SQL_REL_BENFORD_AUDIT = f"""
+WITH vals AS (
+  SELECT round(l_extendedprice * 100)::BIGINT AS v FROM lineitem),
+digits AS (SELECT substr(v::VARCHAR, 1, 1)::INT AS digit FROM vals
+           WHERE v > 0),
+counts AS (SELECT digit, count(*)::BIGINT AS n FROM digits GROUP BY digit),
+tot AS (SELECT sum(n)::DOUBLE AS t FROM counts),
+exp_p AS ({_benford_expected_sql()})
+SELECT e.digit::BIGINT AS digit, coalesce(c.n, 0)::BIGINT AS n, e.expected_p,
+       round(e.expected_p * tot.t, 4) AS expected_n,
+       round((coalesce(c.n, 0) - e.expected_p * tot.t)
+             * (coalesce(c.n, 0) - e.expected_p * tot.t)
+             / (e.expected_p * tot.t), 4) AS chi2_component
+FROM exp_p e LEFT JOIN counts c USING (digit), tot"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10387,6 +10436,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "rel_benford_audit",
     "web_source_overlap",
     "mm_sniff_mime",
     "er_committee_queue",
@@ -10542,7 +10592,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 192
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 193
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10713,6 +10763,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "rel_benford_audit": SQL_REL_BENFORD_AUDIT,
     "web_source_overlap": SQL_WEB_SOURCE_OVERLAP,
     "mm_sniff_mime": SQL_MM_SNIFF_MIME,
     "er_committee_queue": SQL_ER_COMMITTEE_QUEUE,

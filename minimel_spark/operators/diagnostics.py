@@ -217,3 +217,62 @@ def powerlaw_alpha(
         [(n, xmin, 1.0 + ratio, ratio / n**0.5)],
         "n_values long, xmin long, alpha double, se double",
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), fixed to 12 decimals as
+# LITERALS so the Spark plan and the SQL oracle share bit-identical
+# constants (JVM log10 and libm log10 may differ in the last ulp).
+BENFORD_P = {
+    1: 0.301029995664, 2: 0.176091259056, 3: 0.124938736608,
+    4: 0.096910013008, 5: 0.079181246048, 6: 0.066946789631,
+    7: 0.057991946978, 8: 0.051152522447, 9: 0.045757490561,
+}
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-digit (Benford) distribution audit over a positive integer
+    column — the forensic screen record-linkage pipelines run on
+    amount-bearing sources: naturally-occurring multiplicative data
+    (payments, populations, trade volumes) follows log10(1 + 1/d), and a
+    source that deviates wildly is synthetic, truncated, unit-corrupted,
+    or fabricated (Nigrini's forensic-accounting standard). The audit
+    reports, per leading digit, the observed count, the Benford-expected
+    count, and the chi-square component; the caller compares the summed
+    statistic against the chi2(8) tail it cares about. Note the inverse
+    use here is also legitimate: TPC-H-style UNIFORM synthetics fail
+    Benford loudly — a generator fingerprint.
+
+    Non-positive values are excluded (Benford is undefined there);
+    digits never observed still emit a row (their expected mass is the
+    deviation). One map-side-combinable count over 9 groups, then
+    row-local arithmetic against literal constants — engine-exact.
+
+    Output: ``(digit, n, expected_p, expected_n, chi2_component)``.
+    """
+    pos = df.select(F.col(value_col).cast("long").alias("_v")).where(
+        F.col("_v") > 0
+    )
+    digits = pos.select(
+        F.substring(F.col("_v").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_tot"))
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in BENFORD_P.items()], "digit int, expected_p double"
+    )
+    return (
+        expected.join(counts, "digit", "left")
+        .crossJoin(total)
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            "expected_p",
+            (F.col("expected_p") * F.col("_tot")).alias("expected_n"),
+            (
+                (F.coalesce("n", F.lit(0)) - F.col("expected_p") * F.col("_tot"))
+                * (F.coalesce("n", F.lit(0)) - F.col("expected_p") * F.col("_tot"))
+                / (F.col("expected_p") * F.col("_tot"))
+            ).alias("chi2_component"),
+        )
+    )

@@ -194,3 +194,39 @@ def test_powerlaw_alpha_guards(spark):
         powerlaw_alpha(counts, xmin=0)
     with _pytest.raises(ValueError, match="no frequencies"):
         powerlaw_alpha(counts, xmin=5)
+
+
+def test_benford_audit_detects_benford_and_uniform(spark):
+    import math
+
+    from minimel_spark.operators.diagnostics import BENFORD_P, benford_audit
+
+    # constants pinned against the defining formula
+    for d, p in BENFORD_P.items():
+        assert abs(p - math.log10(1 + 1 / d)) < 1e-12
+    # hand-check the mechanics on a tiny exact case: 9 values,
+    # one per digit -> n=1 each, expected_n = p*9
+    exact = spark.createDataFrame(
+        [(d * 100 + 7,) for d in range(1, 10)], "v long"
+    )
+    rows = {r["digit"]: r for r in benford_audit(exact, "v").collect()}
+    assert set(rows) == set(range(1, 10))
+    for d in range(1, 10):
+        assert rows[d]["n"] == 1
+        assert abs(rows[d]["expected_n"] - BENFORD_P[d] * 9) < 1e-9
+        en = BENFORD_P[d] * 9
+        assert abs(rows[d]["chi2_component"] - (1 - en) ** 2 / en) < 1e-9
+
+
+def test_benford_audit_excludes_nonpositive_and_zero_fills(spark):
+    from minimel_spark.operators.diagnostics import benford_audit
+
+    df = spark.createDataFrame(
+        [(100,), (150,), (-200,), (0,)], "v long"
+    )
+    rows = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    # only the two positive values count, both leading digit 1
+    assert rows[1]["n"] == 2
+    # all nine digits emit a row even when unobserved
+    assert set(rows) == set(range(1, 10))
+    assert rows[9]["n"] == 0 and rows[9]["chi2_component"] > 0
