@@ -8607,6 +8607,32 @@ SELECT e.digit::BIGINT AS digit, coalesce(c.n, 0)::BIGINT AS n, e.expected_p,
 FROM exp_p e LEFT JOIN counts c USING (digit), tot"""
 
 
+def q_rel_lineage_digest(spark, sf_dir):
+    """Parallelism-invariant lineage digest (sources/checkpoint.py
+    logical_lineage): lineitem keyed by (orderkey, linenumber) digested
+    into 64 logical buckets with row counts and order-insensitive XOR
+    checksums — the cheap rerun-equality witness the north rule's
+    resume semantics need, a pure function of the data rather than the
+    physical layout. The oracle recomputes the md5-60 digests, the
+    bucket assignment, and the XOR fold in SQL; the gate passing at
+    local[8] AND local[32] with one hash is itself the invariance
+    proof."""
+    from minimel_spark.sources.checkpoint import logical_lineage
+
+    li = _t(spark, sf_dir, "lineitem")
+    return logical_lineage(li, ["l_orderkey", "l_linenumber"], n_buckets=64)
+
+
+SQL_REL_LINEAGE_DIGEST = """
+WITH d AS (
+  SELECT ('0x' || substr(md5(l_orderkey::VARCHAR || chr(31)
+            || l_linenumber::VARCHAR), 1, 15))::UBIGINT::BIGINT AS dg
+  FROM lineitem)
+SELECT (dg % 64)::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
+       bit_xor(dg)::BIGINT AS xor_digest
+FROM d GROUP BY dg % 64"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10436,6 +10462,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "rel_lineage_digest",
     "rel_benford_audit",
     "web_source_overlap",
     "mm_sniff_mime",
@@ -10592,7 +10619,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 193
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 194
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10763,6 +10790,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "rel_lineage_digest": SQL_REL_LINEAGE_DIGEST,
     "rel_benford_audit": SQL_REL_BENFORD_AUDIT,
     "web_source_overlap": SQL_WEB_SOURCE_OVERLAP,
     "mm_sniff_mime": SQL_MM_SNIFF_MIME,

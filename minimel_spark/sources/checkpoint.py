@@ -83,3 +83,49 @@ class Checkpointer:
         reference's params-in-dirname encoding (experiment.py:47-69)."""
         with open(os.path.join(self.base, "manifest.json"), "w") as f:
             json.dump(params, f, indent=2, sort_keys=True, default=str)
+
+
+def logical_lineage(
+    df: DataFrame,
+    key_cols: list[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Parallelism-INVARIANT lineage digest: rows are assigned to
+    ``n_buckets`` deterministic LOGICAL buckets by an md5-derived key
+    hash, and each bucket reports its row count and an order-insensitive
+    XOR checksum of per-row key digests. Where ``Checkpointer``'s
+    metrics describe the PHYSICAL committed layout (spark_partition_id —
+    true for one run, meaningless across cluster sizes), this digest is
+    a pure function of the DATA: two runs of the same stage — different
+    executor counts, different AQE decisions, resumed from different
+    checkpoints — must produce byte-identical digests, which is exactly
+    the cheap equality witness the north rule's resume semantics need
+    ("did the rerun produce the same stage output?") without comparing
+    full tables.
+
+    XOR is commutative/associative, so the checksum needs no ordering
+    and combines map-side; the whole digest is one groupBy over
+    ``n_buckets`` groups. The md5-60 digest (util.md5_long60's trick)
+    keeps every value non-negative in a signed long and bit-for-bit
+    reproducible in ANSI SQL.
+
+    Output: ``(bucket, n_rows, xor_digest)`` — n_buckets rows (empty
+    buckets absent; a missing bucket row IS part of the digest).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    digest = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return (
+        df.select(
+            F.pmod(digest, F.lit(n_buckets)).cast("long").alias("bucket"),
+            digest.alias("_d"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor("_d").cast("long").alias("xor_digest"),
+        )
+    )

@@ -691,3 +691,36 @@ def test_review_queue_plan_is_take_ordered(spark):
     )
     plan = review_queue(df, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_logical_lineage_invariant_to_layout(spark):
+    import pytest
+
+    from minimel_spark.sources.checkpoint import logical_lineage
+
+    df = spark.range(1000).selectExpr("id AS a", "id % 7 AS b")
+    base = {
+        r["bucket"]: (r["n_rows"], r["xor_digest"])
+        for r in logical_lineage(df, ["a", "b"], n_buckets=16).collect()
+    }
+    # repartitioned, coalesced, reordered inputs -> identical digest
+    for variant in (df.repartition(13, "b"), df.coalesce(1), df.orderBy("b")):
+        got = {
+            r["bucket"]: (r["n_rows"], r["xor_digest"])
+            for r in logical_lineage(variant, ["a", "b"], n_buckets=16).collect()
+        }
+        assert got == base
+    assert sum(n for n, _ in base.values()) == 1000
+    # a single-row change flips exactly that row's bucket digest
+    changed = spark.range(1000).selectExpr(
+        "CASE WHEN id = 5 THEN 99999 ELSE id END AS a", "id % 7 AS b"
+    )
+    got = {
+        r["bucket"]: (r["n_rows"], r["xor_digest"])
+        for r in logical_lineage(changed, ["a", "b"], n_buckets=16).collect()
+    }
+    assert got != base
+    with pytest.raises(ValueError):
+        logical_lineage(df, [], n_buckets=16)
+    with pytest.raises(ValueError):
+        logical_lineage(df, ["a"], n_buckets=0)
