@@ -8633,6 +8633,72 @@ SELECT (dg % 64)::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
 FROM d GROUP BY dg % 64"""
 
 
+def q_er_recall_at_k(spark, sf_dir):
+    """Candidate-generation recall@k curve (operators/evaluate.py
+    recall_at_k): the per-query Jaro-Winkler ranking over same-first-
+    letter variant pairs, scored against all same-entity pairs at
+    k ∈ {1,2,5,10} — gold pairs the blocker never proposed count as
+    missed at every k, charging blocker misses honestly. The oracle
+    re-derives the ranking, the left join, and both rollups (pair recall
+    and per-query coverage) natively in SQL."""
+    from minimel_spark.operators.evaluate import recall_at_k
+
+    recs = _vw_records(spark).select("name", "entity_id").distinct()
+    a = recs.select(F.col("name").alias("query_id"), F.col("entity_id").alias("ea"))
+    b = recs.select(F.col("name").alias("cand_id"), F.col("entity_id").alias("eb"))
+    pairs = a.join(
+        b,
+        (F.col("query_id") != F.col("cand_id"))
+        & (F.substring("query_id", 1, 1) == F.substring("cand_id", 1, 1)),
+    )
+    from minimel_spark.operators.pairs import jw_udf
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("s_jw"), F.asc("cand_id")
+    )
+    ranked = (
+        pairs.withColumn("s_jw", jw_udf(F.col("query_id"), F.col("cand_id")))
+        .withColumn("rank", F.row_number().over(w))
+        .select("query_id", "cand_id", "rank")
+    )
+    gold = a.join(
+        b,
+        (F.col("query_id") != F.col("cand_id"))
+        & (F.col("ea") == F.col("eb")),
+    ).select("query_id", "cand_id")
+    return recall_at_k(ranked, gold, [1, 2, 5, 10])
+
+
+SQL_ER_RECALL_AT_K = f"""
+WITH {_VW_NAMES_SQL.strip()},
+recs AS MATERIALIZED (SELECT DISTINCT name, entity_id FROM vw_names),
+ranked AS MATERIALIZED (
+  SELECT a.name AS q, b.name AS c,
+         row_number() OVER (PARTITION BY a.name
+           ORDER BY jaro_winkler_similarity(a.name, b.name) DESC,
+                    b.name ASC) AS r
+  FROM recs a JOIN recs b
+    ON a.name <> b.name AND substr(a.name, 1, 1) = substr(b.name, 1, 1)),
+gold AS MATERIALIZED (
+  SELECT a.name AS q, b.name AS c FROM recs a JOIN recs b
+    ON a.name <> b.name AND a.entity_id = b.entity_id),
+hits AS (SELECT g.q, r.r FROM gold g
+         LEFT JOIN ranked r ON g.q = r.q AND g.c = r.c),
+x AS (SELECT h.q, h.r, k FROM hits h
+      CROSS JOIN (SELECT unnest([1, 2, 5, 10]) AS k) ks)
+SELECT k::BIGINT AS k, count(*)::BIGINT AS n_gold,
+       sum(CASE WHEN r IS NOT NULL AND r <= k THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit,
+       round(sum(CASE WHEN r IS NOT NULL AND r <= k THEN 1 ELSE 0 END)
+             / count(*), 6) AS recall,
+       count(DISTINCT q)::BIGINT AS n_queries,
+       count(DISTINCT CASE WHEN r IS NOT NULL AND r <= k THEN q END)::BIGINT
+         AS n_queries_hit,
+       round(count(DISTINCT CASE WHEN r IS NOT NULL AND r <= k THEN q END)
+             / count(DISTINCT q), 6) AS coverage
+FROM x GROUP BY k"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10462,6 +10528,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_recall_at_k",
     "rel_lineage_digest",
     "rel_benford_audit",
     "web_source_overlap",
@@ -10619,7 +10686,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 194
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 195
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10790,6 +10857,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_recall_at_k": SQL_ER_RECALL_AT_K,
     "rel_lineage_digest": SQL_REL_LINEAGE_DIGEST,
     "rel_benford_audit": SQL_REL_BENFORD_AUDIT,
     "web_source_overlap": SQL_WEB_SOURCE_OVERLAP,

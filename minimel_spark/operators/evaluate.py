@@ -893,3 +893,79 @@ def progressive_size_curve(
             .alias("cum_recall"),
         )
     )
+
+
+def recall_at_k(
+    ranked: DataFrame,
+    gold: DataFrame,
+    ks: list[int],
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Candidate-generation quality curve: recall@k and query coverage@k
+    of a ranked candidate list against gold matches — THE acceptance
+    metric for a blocker+ranker stack (a matcher can never recover a
+    pair candidate generation dropped, so this curve upper-bounds
+    end-to-end recall exactly like ``upperbound_predict`` does for the
+    disambiguation side). A gold pair absent from ``ranked`` (blocked
+    away, or ranked below the list cutoff) counts as missed at every k —
+    blocker misses are charged honestly, not silently excluded.
+
+    Per k: ``n_hit`` gold pairs with rank ≤ k, ``recall`` their share of
+    ALL gold pairs, ``n_queries_hit``/``coverage`` the share of queries
+    (with ≥1 gold pair) that got at least one hit in the top k — the
+    user-facing "did anything useful surface" number.
+
+    Scale: one left join of gold onto the ranked list (gold-sized), one
+    explode over |ks| (a handful), two bounded rollups. The ranked input
+    usually comes pre-truncated per query; nothing here is ever
+    corpus-sized.
+
+    Output: ``(k, n_gold, n_hit, recall, n_queries, n_queries_hit,
+    coverage)`` — one row per k.
+    """
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"ks must be non-empty positive ints, got {ks}")
+    g = gold.select(F.col(query_col).alias("_q"), F.col(cand_col).alias("_c"))
+    r = ranked.select(
+        F.col(query_col).alias("_q"),
+        F.col(cand_col).alias("_c"),
+        F.col(rank_col).cast("long").alias("_r"),
+    )
+    hits = g.join(r, ["_q", "_c"], "left")
+    ks_lit = F.array(*[F.lit(int(k)) for k in sorted(set(ks))])
+    per = (
+        hits.select("_q", "_r", F.explode(ks_lit).alias("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gold"),
+            F.sum(
+                F.when(
+                    F.col("_r").isNotNull() & (F.col("_r") <= F.col("k")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hit"),
+            F.countDistinct("_q").cast("long").alias("n_queries"),
+            F.countDistinct(
+                F.when(
+                    F.col("_r").isNotNull() & (F.col("_r") <= F.col("k")),
+                    F.col("_q"),
+                )
+            )
+            .cast("long")
+            .alias("n_queries_hit"),
+        )
+    )
+    return per.select(
+        F.col("k").cast("long").alias("k"),
+        "n_gold",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_gold"), 6).alias("recall"),
+        "n_queries",
+        "n_queries_hit",
+        F.round(F.col("n_queries_hit") / F.col("n_queries"), 6).alias(
+            "coverage"
+        ),
+    )

@@ -1054,3 +1054,31 @@ def test_progressive_size_curve_unblocked_matches_cap_recall(spark):
     )
     out = progressive_size_curve(blocked, gold).orderBy("block_size").collect()
     assert out[-1]["cum_recall"] == 0.5
+
+
+def test_recall_at_k_hand_example(spark):
+    import pytest
+
+    from minimel_spark.operators.evaluate import recall_at_k
+
+    ranked = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3), ("q2", "x", 1)],
+        "query_id string, cand_id string, rank long",
+    )
+    gold = spark.createDataFrame(
+        # q1 has two gold (b at rank 2, c at rank 3); q2's gold 'y' was
+        # never proposed (blocker miss); q3 entirely unranked
+        [("q1", "b"), ("q1", "c"), ("q2", "y"), ("q3", "z")],
+        "query_id string, cand_id string",
+    )
+    rows = {r["k"]: r for r in recall_at_k(ranked, gold, [1, 2, 3]).collect()}
+    assert rows[1]["n_hit"] == 0 and rows[1]["recall"] == 0.0
+    assert rows[2]["n_hit"] == 1 and rows[2]["recall"] == 0.25
+    assert rows[3]["n_hit"] == 2 and rows[3]["recall"] == 0.5
+    # coverage: of 3 queries with gold, only q1 ever hits
+    assert rows[3]["n_queries"] == 3 and rows[3]["n_queries_hit"] == 1
+    assert abs(rows[3]["coverage"] - 1 / 3) < 1e-6  # operator rounds to 6dp
+    with pytest.raises(ValueError):
+        recall_at_k(ranked, gold, [])
+    with pytest.raises(ValueError):
+        recall_at_k(ranked, gold, [0])
