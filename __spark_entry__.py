@@ -8699,6 +8699,34 @@ SELECT k::BIGINT AS k, count(*)::BIGINT AS n_gold,
 FROM x GROUP BY k"""
 
 
+def q_rel_event_gaps(spark, sf_dir):
+    """Dense-spine missing-data audit (operators/events.py event_gaps):
+    every (event_type, hour) between the stream's first and last event
+    in which that type logged nothing — the dead-producer check count
+    rollups can't express because absent rows don't aggregate. The
+    oracle generates the same hour spine (generate_series), the same
+    distinct observed grain, and the same anti-join in SQL."""
+    from minimel_spark.operators.events import event_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    return event_gaps(ev)
+
+
+SQL_REL_EVENT_GAPS = """
+WITH e AS MATERIALIZED (
+  SELECT ts::TIMESTAMP AS ts, event_type AS g FROM events),
+b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi FROM e),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+            AS gap_hour FROM b),
+grp AS (SELECT DISTINCT g FROM e),
+obs AS (SELECT DISTINCT g, date_trunc('hour', ts) AS gap_hour FROM e)
+SELECT grp.g AS event_type, spine.gap_hour
+FROM spine CROSS JOIN grp
+LEFT JOIN obs ON obs.g = grp.g AND obs.gap_hour = spine.gap_hour
+WHERE obs.g IS NULL"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10528,6 +10556,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "rel_event_gaps",
     "er_recall_at_k",
     "rel_lineage_digest",
     "rel_benford_audit",
@@ -10686,7 +10715,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 195
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 196
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10857,6 +10886,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "rel_event_gaps": SQL_REL_EVENT_GAPS,
     "er_recall_at_k": SQL_ER_RECALL_AT_K,
     "rel_lineage_digest": SQL_REL_LINEAGE_DIGEST,
     "rel_benford_audit": SQL_REL_BENFORD_AUDIT,

@@ -117,3 +117,49 @@ def event_transitions(
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def event_gaps(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Missing-data audit over a dense time spine: for every group
+    (event type, source feed, sensor), every HOUR between the stream's
+    global first and last event in which that group logged NOTHING — the
+    ops check that catches a dead producer, a dropped kafka partition,
+    or a crawler that silently stopped, which per-hour COUNTS
+    (:func:`hourly rollups <funnel_steps>` and friends) never surface
+    because absent rows don't aggregate. The spine is generated, not
+    assumed: ``sequence(min_hour, max_hour)`` exploded once, cross-
+    joined with the (tiny) group dimension, anti-joined against observed
+    (group, hour) pairs.
+
+    Scale: the spine is hours × groups — thousands of rows for years of
+    data — so the cross join is trivial; the observed side reduces to
+    the same grain map-side before the anti-join. One shuffle.
+
+    Output: ``(group_col, gap_hour)`` — one row per silent group-hour.
+    """
+    e = events.select(
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.col(group_col).alias("_g"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("_ts")).alias("_lo"),
+        F.date_trunc("hour", F.max("_ts")).alias("_hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr("interval 1 hour"))
+        ).alias("gap_hour")
+    )
+    groups = e.select("_g").distinct()
+    observed = e.select(
+        "_g", F.date_trunc("hour", F.col("_ts")).alias("gap_hour")
+    ).distinct()
+    return (
+        spine.crossJoin(groups)
+        .join(observed, ["_g", "gap_hour"], "left_anti")
+        .select(F.col("_g").alias(group_col), "gap_hour")
+    )

@@ -96,3 +96,27 @@ def test_transitions_parallelism_invariant(spark):
     a = sorted(map(tuple, event_transitions(ev).collect()))
     b = sorted(map(tuple, event_transitions(ev.repartition(17)).collect()))
     assert a == b
+
+
+def test_event_gaps_finds_silent_hours(spark):
+    from datetime import datetime
+
+    from minimel_spark.operators.events import event_gaps
+
+    rows = [
+        # type A logs at 00, 02; silent at 01 and 03
+        (datetime(2024, 1, 1, 0, 10), "A"),
+        (datetime(2024, 1, 1, 2, 20), "A"),
+        # type B logs 00-03 (sets the global max at hour 03)
+        (datetime(2024, 1, 1, 0, 5), "B"),
+        (datetime(2024, 1, 1, 1, 5), "B"),
+        (datetime(2024, 1, 1, 2, 5), "B"),
+        (datetime(2024, 1, 1, 3, 5), "B"),
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    gaps = {
+        (r["event_type"], r["gap_hour"].hour)
+        for r in event_gaps(ev).collect()
+    }
+    # A's silent hours inside the GLOBAL spine, including the trailing one
+    assert gaps == {("A", 1), ("A", 3)}
