@@ -8727,6 +8727,98 @@ LEFT JOIN obs ON obs.g = grp.g AND obs.gap_hour = spine.gap_hour
 WHERE obs.g IS NULL"""
 
 
+def q_rel_allen_relations(spark, sf_dir):
+    """Allen interval-algebra classification (operators/temporal.py
+    allen_classify — the 13 relations temporal record linkage reasons
+    with): 390 integer interval pairs constructed so every family
+    realizes one specific relation by arithmetic (equals, meets,
+    contains, ... all guaranteed present, including degenerate
+    instants), classified by the CASE chain. The oracle mirrors both
+    the construction and the chain in SQL, so each branch is
+    value-checked against its intended relation."""
+    from minimel_spark.operators.temporal import allen_classify
+
+    base = spark.range(390).select(
+        F.col("id").alias("pair_id"),
+        (F.col("id") % 13).alias("fam"),
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(id AS STRING), ':al1')), "
+            "1, 8), 16, 10) AS BIGINT) % 50 + 10"
+        ).alias("s"),
+        F.expr(
+            "2 + CAST(conv(substring(md5(concat(CAST(id AS STRING), ':al2')), "
+            "1, 8), 16, 10) AS BIGINT) % 5"
+        ).alias("ln"),
+    )
+    pairs = base.select(
+        "pair_id",
+        "fam",
+        F.col("s").alias("a_start"),
+        (F.col("s") + F.col("ln")).alias("a_end"),
+        F.expr(
+            """CASE fam
+                 WHEN 0 THEN s + ln + 2 WHEN 1 THEN s + ln
+                 WHEN 2 THEN s + 1 WHEN 3 THEN s + 1 WHEN 4 THEN s + 1
+                 WHEN 5 THEN s WHEN 6 THEN s WHEN 7 THEN s
+                 WHEN 8 THEN s - 1 WHEN 9 THEN s - 1 WHEN 10 THEN s - 1
+                 WHEN 11 THEN s - 3 WHEN 12 THEN s - 5 END"""
+        ).alias("b_start"),
+        F.expr(
+            """CASE fam
+                 WHEN 0 THEN s + ln + 4 WHEN 1 THEN s + ln + 3
+                 WHEN 2 THEN s + ln + 2 WHEN 3 THEN s + ln
+                 WHEN 4 THEN s + ln - 1 WHEN 5 THEN s + ln + 2
+                 WHEN 6 THEN s + ln WHEN 7 THEN s + ln - 1
+                 WHEN 8 THEN s + ln + 1 WHEN 9 THEN s + ln
+                 WHEN 10 THEN s + 1 WHEN 11 THEN s WHEN 12 THEN s - 2 END"""
+        ).alias("b_end"),
+    )
+    return allen_classify(pairs)
+
+
+SQL_REL_ALLEN_RELATIONS = """
+WITH base AS (
+  SELECT i AS pair_id, i % 13 AS fam,
+         ('0x' || substr(md5(i::VARCHAR || ':al1'), 1, 8))::UBIGINT % 50 + 10
+           AS s,
+         2 + ('0x' || substr(md5(i::VARCHAR || ':al2'), 1, 8))::UBIGINT % 5
+           AS ln
+  FROM range(390) t(i)),
+pairs AS MATERIALIZED (
+  SELECT pair_id, fam, s::BIGINT AS a_start, (s + ln)::BIGINT AS a_end,
+         (CASE fam
+            WHEN 0 THEN s + ln + 2 WHEN 1 THEN s + ln
+            WHEN 2 THEN s + 1 WHEN 3 THEN s + 1 WHEN 4 THEN s + 1
+            WHEN 5 THEN s WHEN 6 THEN s WHEN 7 THEN s
+            WHEN 8 THEN s - 1 WHEN 9 THEN s - 1 WHEN 10 THEN s - 1
+            WHEN 11 THEN s - 3 WHEN 12 THEN s - 5 END)::BIGINT AS b_start,
+         (CASE fam
+            WHEN 0 THEN s + ln + 4 WHEN 1 THEN s + ln + 3
+            WHEN 2 THEN s + ln + 2 WHEN 3 THEN s + ln
+            WHEN 4 THEN s + ln - 1 WHEN 5 THEN s + ln + 2
+            WHEN 6 THEN s + ln WHEN 7 THEN s + ln - 1
+            WHEN 8 THEN s + ln + 1 WHEN 9 THEN s + ln
+            WHEN 10 THEN s + 1 WHEN 11 THEN s WHEN 12 THEN s - 2 END)::BIGINT
+           AS b_end
+  FROM base)
+SELECT pair_id, fam, a_start, a_end, b_start, b_end,
+       CASE
+         WHEN a_end < b_start THEN 'precedes'
+         WHEN b_end < a_start THEN 'preceded_by'
+         WHEN a_start = b_start AND a_end = b_end THEN 'equals'
+         WHEN a_end = b_start THEN 'meets'
+         WHEN b_end = a_start THEN 'met_by'
+         WHEN a_start = b_start AND a_end < b_end THEN 'starts'
+         WHEN a_start = b_start AND a_end > b_end THEN 'started_by'
+         WHEN a_end = b_end AND a_start > b_start THEN 'finishes'
+         WHEN a_end = b_end AND a_start < b_start THEN 'finished_by'
+         WHEN a_start > b_start AND a_end < b_end THEN 'during'
+         WHEN a_start < b_start AND a_end > b_end THEN 'contains'
+         WHEN a_start < b_start AND a_end < b_end THEN 'overlaps'
+         ELSE 'overlapped_by' END AS allen
+FROM pairs"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10556,6 +10648,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "rel_allen_relations",
     "rel_event_gaps",
     "er_recall_at_k",
     "rel_lineage_digest",
@@ -10715,7 +10808,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 196
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 197
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10886,6 +10979,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "rel_allen_relations": SQL_REL_ALLEN_RELATIONS,
     "rel_event_gaps": SQL_REL_EVENT_GAPS,
     "er_recall_at_k": SQL_ER_RECALL_AT_K,
     "rel_lineage_digest": SQL_REL_LINEAGE_DIGEST,

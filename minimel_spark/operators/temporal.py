@@ -231,3 +231,57 @@ def scd2_build(
             "valid_to",
         )
     )
+
+
+ALLEN_RELATIONS = [
+    "precedes", "meets", "overlaps", "finished_by", "contains", "starts",
+    "equals", "started_by", "during", "finishes", "overlapped_by", "met_by",
+    "preceded_by",
+]
+
+
+def allen_classify(
+    pairs: DataFrame,
+    a_start: str = "a_start",
+    a_end: str = "a_end",
+    b_start: str = "b_start",
+    b_end: str = "b_end",
+    out_col: str = "allen",
+) -> DataFrame:
+    """Classify each interval pair by its Allen relation (Allen, CACM
+    1983 — the 13 mutually-exclusive, jointly-exhaustive ways two
+    intervals can relate). Temporal record linkage needs more than
+    "do the validity windows overlap": CONTAINS is a snapshot inside a
+    master record (merge candidate), MEETS/MET_BY is a clean succession
+    (SCD2 handoff — see :func:`scd2_build`), OVERLAPS between two
+    supposedly-authoritative records is a data-quality conflict, EQUALS
+    is a duplicate. One CASE chain over boundary comparisons — row-local,
+    engine-exact for timestamps and integers alike (intervals are
+    treated as closed-start/closed-end with start ≤ end; degenerate
+    instants participate normally — two equal instants are EQUALS, and
+    where an instant makes several relations simultaneously true, which
+    only happens for degenerate intervals, the earlier branch in the
+    chain wins: equals, then meets/met_by, then the rest).
+
+    The operator classifies an ALREADY-JOINED pair table; producing the
+    pairs is the upstream join's job (equi-key + coarse time-bucket, the
+    :func:`range_join` discipline, so no quadratic blowup happens here).
+    """
+    s1, e1 = F.col(a_start), F.col(a_end)
+    s2, e2 = F.col(b_start), F.col(b_end)
+    expr = (
+        F.when(e1 < s2, F.lit("precedes"))
+        .when(e2 < s1, F.lit("preceded_by"))
+        .when((s1 == s2) & (e1 == e2), F.lit("equals"))
+        .when(e1 == s2, F.lit("meets"))
+        .when(e2 == s1, F.lit("met_by"))
+        .when((s1 == s2) & (e1 < e2), F.lit("starts"))
+        .when((s1 == s2) & (e1 > e2), F.lit("started_by"))
+        .when((e1 == e2) & (s1 > s2), F.lit("finishes"))
+        .when((e1 == e2) & (s1 < s2), F.lit("finished_by"))
+        .when((s1 > s2) & (e1 < e2), F.lit("during"))
+        .when((s1 < s2) & (e1 > e2), F.lit("contains"))
+        .when((s1 < s2) & (e1 < e2), F.lit("overlaps"))
+        .otherwise(F.lit("overlapped_by"))
+    )
+    return pairs.withColumn(out_col, expr)

@@ -239,3 +239,47 @@ def test_stream_asof_enrich_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 6
+
+
+def test_allen_classify_all_thirteen_relations(spark):
+    from minimel_spark.operators.temporal import ALLEN_RELATIONS, allen_classify
+
+    # canonical exemplars: a = [10, 20] against a crafted b per relation
+    cases = [
+        (10, 20, 25, 30, "precedes"),
+        (10, 20, 20, 30, "meets"),
+        (10, 20, 15, 30, "overlaps"),
+        (10, 20, 15, 20, "finished_by"),
+        (10, 20, 12, 18, "contains"),
+        (10, 20, 10, 30, "starts"),
+        (10, 20, 10, 20, "equals"),
+        (10, 20, 10, 15, "started_by"),
+        (10, 20, 5, 30, "during"),
+        (10, 20, 5, 20, "finishes"),
+        (10, 20, 5, 15, "overlapped_by"),
+        (10, 20, 5, 10, "met_by"),
+        (10, 20, 2, 5, "preceded_by"),
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b, c, d) for i, (a, b, c, d, _) in enumerate(cases)],
+        "i long, a_start long, a_end long, b_start long, b_end long",
+    )
+    got = {r["i"]: r["allen"] for r in allen_classify(df).collect()}
+    for i, (_, _, _, _, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+    assert sorted(set(got.values())) == sorted(ALLEN_RELATIONS)
+
+
+def test_allen_classify_degenerate_instants(spark):
+    from minimel_spark.operators.temporal import allen_classify
+
+    df = spark.createDataFrame(
+        [(0, 5, 5, 5, 5), (1, 5, 5, 3, 7), (2, 5, 5, 5, 9)],
+        "i long, a_start long, a_end long, b_start long, b_end long",
+    )
+    got = {r["i"]: r["allen"] for r in allen_classify(df).collect()}
+    assert got[0] == "equals"
+    assert got[1] == "during"
+    # an instant at b's start satisfies both 'meets' and 'starts';
+    # the chain's documented convention resolves to the earlier branch
+    assert got[2] == "meets"
