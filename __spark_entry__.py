@@ -8819,6 +8819,73 @@ SELECT pair_id, fam, a_start, a_end, b_start, b_end,
 FROM pairs"""
 
 
+def q_er_abbrev_expand(spark, sf_dir):
+    """Token-wise abbreviation expansion (functions/normalize.py
+    expand_abbreviations_col — the USPS-table standardization step run
+    before similarity scoring): 800 synthetic addresses, each carrying
+    one table abbreviation plus decoy tokens that must pass through
+    untouched (whole-token mapping only — 'stone' never becomes
+    'streetone'). The oracle builds the SAME table as a SQL MAP literal
+    from the same Python dict and replays split → map → rejoin."""
+    from minimel_spark.functions.normalize import (
+        ABBREV_TABLE,
+        expand_abbreviations_col,
+    )
+
+    keys = list(ABBREV_TABLE.keys())
+    when = None
+    for i, k in enumerate(keys):
+        cond = F.col("id") % len(keys) == i
+        when = F.when(cond, F.lit(k)) if when is None else when.when(cond, F.lit(k))
+    raw = F.concat(
+        F.lit("No"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(":ab"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).cast("string"),
+        F.lit(" W"),
+        (F.col("id") % 50).cast("string"),
+        F.lit("stone "),
+        when,
+    )
+    rows = spark.range(800).select(
+        F.col("id").alias("addr_id"), raw.alias("raw")
+    )
+    return rows.select(
+        "addr_id",
+        "raw",
+        expand_abbreviations_col(F.col("raw")).alias("expanded"),
+    )
+
+
+from minimel_spark.functions.normalize import ABBREV_TABLE as _ABBREV  # noqa: E402
+
+_ABBREV_KEYS_SQL = ", ".join(f"'{k}'" for k in _ABBREV)
+_ABBREV_MAP_SQL = (
+    f"map([{_ABBREV_KEYS_SQL}], "
+    f"[{', '.join(chr(39) + v + chr(39) for v in _ABBREV.values())}])"
+)
+
+SQL_ER_ABBREV_EXPAND = f"""
+WITH raws AS MATERIALIZED (
+  SELECT i AS addr_id,
+         'No' || (('0x' || substr(md5(i::VARCHAR || ':ab'), 1, 8))::UBIGINT
+                  % 100)::VARCHAR
+         || ' W' || (i % 50)::VARCHAR || 'stone '
+         || ([{_ABBREV_KEYS_SQL}])[(i % {len(_ABBREV)})::INT + 1] AS raw
+  FROM range(800) t(i))
+SELECT addr_id, raw,
+       list_aggregate(list_transform(
+         string_split(lower(raw), ' '),
+         tk -> coalesce(map_extract({_ABBREV_MAP_SQL}, tk)[1], tk)),
+         'string_agg', ' ') AS expanded
+FROM raws"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10648,6 +10715,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_abbrev_expand",
     "rel_allen_relations",
     "rel_event_gaps",
     "er_recall_at_k",
@@ -10808,7 +10876,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 197
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 198
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -10979,6 +11047,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_abbrev_expand": SQL_ER_ABBREV_EXPAND,
     "rel_allen_relations": SQL_REL_ALLEN_RELATIONS,
     "rel_event_gaps": SQL_REL_EVENT_GAPS,
     "er_recall_at_k": SQL_ER_RECALL_AT_K,

@@ -276,3 +276,44 @@ def confusable_skeleton_col(col):
     import pyspark.sql.functions as F
 
     return F.translate(F.lower(col), CONFUSABLE_FROM, CONFUSABLE_TO)
+
+
+# USPS-style street/name abbreviation table (curated subset — the point is
+# the operator shape; extend per locale). Shared with the SQL oracle.
+ABBREV_TABLE = {
+    "st": "street", "rd": "road", "ave": "avenue", "blvd": "boulevard",
+    "dr": "drive", "ln": "lane", "ct": "court", "hwy": "highway",
+    "apt": "apartment", "ste": "suite", "n": "north", "s": "south",
+    "e": "east", "w": "west", "mt": "mount", "ft": "fort",
+    "co": "company", "corp": "corporation", "inc": "incorporated",
+    "intl": "international", "mfg": "manufacturing", "dept": "department",
+}
+
+
+def expand_abbreviations_col(col, table: dict[str, str] | None = None):
+    """Token-wise abbreviation expansion for name/address standardization
+    (the USPS-table step every address-matching pipeline runs BEFORE
+    similarity scoring — 'main st' vs 'main street' is an exact match
+    after expansion, a 0.87 fuzzy match before it, and fuzzy thresholds
+    tuned on expanded data break on raw data). Lowercases, splits on
+    whitespace, maps each whole token through the table (never substring
+    rewriting — 'stone' must not become 'streetone'), rejoins.
+
+    The table compiles to a MAP literal inside one JVM transform — no
+    UDF, no join, no shuffle; suitable for curated tables (hundreds of
+    entries). A gazetteer-sized mapping belongs in a broadcast JOIN on
+    exploded tokens instead — at that size use the explode + join +
+    re-aggregate shape, not a literal.
+    """
+    import pyspark.sql.functions as F
+
+    table = ABBREV_TABLE if table is None else table
+    items: list = []
+    for k, v in table.items():
+        items.append(F.lit(k))
+        items.append(F.lit(v))
+    m = F.create_map(*items)
+    toks = F.split(F.lower(col), r"\s+")
+    return F.array_join(
+        F.transform(toks, lambda t: F.coalesce(m[t], t)), " "
+    )

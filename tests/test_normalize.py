@@ -182,3 +182,33 @@ def test_confusable_skeleton_folds_homoglyphs(spark):
     assert out[2] == "chaos"
     # skeleton equality exposes the spoof pair; raw forms differ
     assert "pаypаl" != "paypal"
+
+
+def test_expand_abbreviations_whole_tokens_only(spark):
+    import pyspark.sql.functions as F
+
+    from minimel_spark.functions.normalize import expand_abbreviations_col
+
+    df = spark.createDataFrame(
+        [
+            ("123 Main St Apt 4",),
+            ("Stone Rd",),         # 'stone' must NOT become 'streetone'
+            ("W 42nd st",),        # 'w' expands as a whole token
+            ("no abbreviations here",),
+        ],
+        "raw string",
+    )
+    out = [
+        r["x"]
+        for r in df.select(expand_abbreviations_col(F.col("raw")).alias("x"))
+        .collect()
+    ]
+    assert out[0] == "123 main street apartment 4"
+    assert out[1] == "stone road"
+    assert out[2] == "west 42nd street"
+    assert out[3] == "no abbreviations here"
+    # custom table override
+    custom = df.select(
+        expand_abbreviations_col(F.col("raw"), {"main": "principal"}).alias("x")
+    ).collect()
+    assert custom[0]["x"] == "123 principal st apt 4"
