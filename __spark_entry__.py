@@ -8886,6 +8886,57 @@ SELECT addr_id, raw,
 FROM raws"""
 
 
+def q_text_script_profile(spark, sf_dir):
+    """Character-class routing profile (operators/text.py script_profile
+    — the gate BEFORE language ID): the documents corpus plus three
+    canaries (Cyrillic prose, a digit dump, punctuation soup) profiled
+    into per-class codepoint counts and a fixed-precedence dominant
+    label. The oracle recomputes every count as a length delta under
+    the same class regexps and replays the argmax chain in SQL."""
+    from minimel_spark.operators.text import script_profile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    canaries = spark.createDataFrame(
+        [
+            (1000001, "привет мир тест"),
+            (1000002, "40404 12345 999"),
+            (1000003, "!!! ??? ..."),
+        ],
+        "doc_id long, text string",
+    )
+    return script_profile(docs.unionByName(canaries))
+
+
+SQL_TEXT_SCRIPT_PROFILE = """
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT 1000001, 'привет мир тест'
+  UNION ALL SELECT 1000002, '40404 12345 999'
+  UNION ALL SELECT 1000003, '!!! ??? ...'),
+p AS (
+  SELECT doc_id, length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+           AS n_latin,
+         length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g'))
+           AS n_cyrillic,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS n_digit,
+         length(text) - length(regexp_replace(text, '\\s', '', 'g'))
+           AS n_space
+  FROM corpus)
+SELECT doc_id, n_chars::BIGINT AS n_chars, n_latin::BIGINT AS n_latin,
+       n_cyrillic::BIGINT AS n_cyrillic, n_digit::BIGINT AS n_digit,
+       n_space::BIGINT AS n_space,
+       (n_chars - n_latin - n_cyrillic - n_digit - n_space)::BIGINT
+         AS n_other,
+       CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_digit = 0 THEN 'none'
+            WHEN n_cyrillic > n_latin AND n_cyrillic > n_digit
+              THEN 'cyrillic'
+            WHEN n_digit > n_latin AND n_digit > n_cyrillic THEN 'digit'
+            ELSE 'latin' END AS dominant
+FROM p"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10715,6 +10766,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "text_script_profile",
     "er_abbrev_expand",
     "rel_allen_relations",
     "rel_event_gaps",
@@ -10876,7 +10928,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 198
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 199
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -11047,6 +11099,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "text_script_profile": SQL_TEXT_SCRIPT_PROFILE,
     "er_abbrev_expand": SQL_ER_ABBREV_EXPAND,
     "rel_allen_relations": SQL_REL_ALLEN_RELATIONS,
     "rel_event_gaps": SQL_REL_EVENT_GAPS,

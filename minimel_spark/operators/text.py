@@ -90,3 +90,56 @@ def fingerprint_udf(texts: pd.Series) -> pd.Series:
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     docs = ensure_min_parallelism(docs, id_col)
     return docs.select(id_col, fingerprint_udf(F.col(text_col)).alias("fingerprint"))
+
+
+def script_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-class/script profile per document — the routing gate
+    BEFORE language ID: n-gram language models (functions/textstats.py
+    language_id) assume the text is mostly alphabetic in one script, so
+    a web pipeline first measures what the bytes actually are — a page
+    that is 60% digits is a table dump, 40% 'other' is binary spill or
+    emoji soup, Cyrillic-dominant text must not enter a Latin-trained
+    classifier. Counts per class (latin, cyrillic, digit, whitespace,
+    other) are computed as length deltas under class-targeted
+    ``regexp_replace`` — pure JVM, no UDF, exact, and byte-identical in
+    the SQL oracle (both engines count CODEPOINTS via unicode-aware
+    length()).
+
+    The dominant script is the argmax over (latin, cyrillic, digit):
+    cyrillic or digit win only when STRICTLY greater than both rivals,
+    every tie resolves to 'latin', and 'none' means all three are zero —
+    a fixed precedence, so the label is engine-exact.
+
+    Output: ``(id_col, n_chars, n_latin, n_cyrillic, n_digit, n_space,
+    n_other, dominant)``.
+    """
+    t = F.col(text_col)
+    total = F.length(t)
+
+    def n_of(pattern):
+        return total - F.length(F.regexp_replace(t, pattern, ""))
+
+    lat = n_of("[A-Za-z]")
+    cyr = n_of("[Ѐ-ӿ]")
+    dig = n_of("[0-9]")
+    spc = n_of(r"\s")
+    dominant = (
+        F.when((lat == 0) & (cyr == 0) & (dig == 0), F.lit("none"))
+        .when((cyr > lat) & (cyr > dig), F.lit("cyrillic"))
+        .when((dig > lat) & (dig > cyr), F.lit("digit"))
+        .otherwise(F.lit("latin"))
+    )
+    return docs.select(
+        F.col(id_col),
+        total.cast("long").alias("n_chars"),
+        lat.cast("long").alias("n_latin"),
+        cyr.cast("long").alias("n_cyrillic"),
+        dig.cast("long").alias("n_digit"),
+        spc.cast("long").alias("n_space"),
+        (total - lat - cyr - dig - spc).cast("long").alias("n_other"),
+        dominant.alias("dominant"),
+    )

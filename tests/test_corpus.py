@@ -614,3 +614,32 @@ def test_source_overlap_mirrors_and_diagonal(spark):
     assert out[("cc", "cc")] == 2
     assert out[("blogs", "blogs")] == 1
     assert ("blogs", "cc") not in out and ("cc", "blogs") not in out
+
+
+def test_script_profile_classes_and_dominance(spark):
+    from minimel_spark.operators.text import script_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello мир 42"),     # mixed: 5 latin, 3 cyrillic, 2 digit
+            (2, "привет тест"),      # cyrillic-dominant
+            (3, "12345 678"),        # digit-dominant
+            (4, "!!! ???"),          # nothing countable -> none
+            (5, "abc абв"),          # 3 vs 3 tie -> latin precedence
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in script_profile(docs).collect()}
+    assert rows[1]["n_latin"] == 5 and rows[1]["n_cyrillic"] == 3
+    assert rows[1]["n_digit"] == 2 and rows[1]["dominant"] == "latin"
+    assert rows[2]["dominant"] == "cyrillic"
+    assert rows[3]["dominant"] == "digit" and rows[3]["n_space"] == 1
+    assert rows[4]["dominant"] == "none" and rows[4]["n_other"] == 6
+    assert rows[5]["dominant"] == "latin"
+    # the classes partition the text exactly
+    for r in rows.values():
+        assert (
+            r["n_latin"] + r["n_cyrillic"] + r["n_digit"] + r["n_space"]
+            + r["n_other"]
+            == r["n_chars"]
+        )
