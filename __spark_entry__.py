@@ -8937,6 +8937,39 @@ SELECT doc_id, n_chars::BIGINT AS n_chars, n_latin::BIGINT AS n_latin,
 FROM p"""
 
 
+def q_er_smoothed_priors(spark, sf_dir):
+    """Dirichlet-smoothed mention→entity priors (operators/clean.py
+    smoothed_priors — the popularity-backoff feature the ranker wants
+    where weighted_candidates keeps the reference's raw ratios): runs
+    directly on the core E2E anchor-count table (the gate composes on
+    q_er_anchor_counts, so the two can never drift), α=10. The oracle
+    wraps the full anchor-counts SQL and replays entity totals, anchor
+    totals, and the shrinkage formula — smoothed and maximum-likelihood
+    priors value-checked side by side."""
+    from minimel_spark.operators.clean import smoothed_priors
+
+    counts = q_er_anchor_counts(spark, sf_dir)
+    out = smoothed_priors(counts, alpha=10.0)
+    return out.select(
+        "anchor",
+        F.col("qid").cast("long").alias("qid"),
+        "cnt",
+        F.round("prior", 6).alias("prior"),
+        F.round("ml_prior", 6).alias("ml_prior"),
+    )
+
+
+SQL_ER_SMOOTHED_PRIORS = f"""
+WITH base AS MATERIALIZED ({SQL_ER_ANCHOR_COUNTS}),
+ent AS (SELECT qid, sum(cnt) AS ce FROM base GROUP BY qid),
+tot AS (SELECT sum(ce) AS n FROM ent),
+anc AS (SELECT anchor, sum(cnt) AS cm FROM base GROUP BY anchor)
+SELECT b.anchor, b.qid, b.cnt,
+       round((b.cnt + 10.0 * ent.ce / tot.n) / (anc.cm + 10.0), 6) AS prior,
+       round(b.cnt / anc.cm, 6) AS ml_prior
+FROM base b JOIN ent USING (qid) JOIN anc USING (anchor), tot"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10766,6 +10799,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_smoothed_priors",
     "text_script_profile",
     "er_abbrev_expand",
     "rel_allen_relations",
@@ -10928,7 +10962,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 199
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 200
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -11099,6 +11133,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,
     "text_script_profile": SQL_TEXT_SCRIPT_PROFILE,
     "er_abbrev_expand": SQL_ER_ABBREV_EXPAND,
     "rel_allen_relations": SQL_REL_ALLEN_RELATIONS,

@@ -371,3 +371,61 @@ def clean(
     if quantile_top_shadowed_q:
         ranked = quantile_top_shadowed(ranked, quantile_top_shadowed_q)
     return ranked
+
+
+def smoothed_priors(
+    counts: DataFrame,
+    alpha: float = 10.0,
+    anchor_col: str = "anchor",
+    qid_col: str = "qid",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Dirichlet-smoothed mention→entity priors with popularity backoff —
+    the Bayesian upgrade of the reference's raw count ratios
+    (clean.py:196-211 semantics live in :func:`weighted_candidates`;
+    this is the variant a ranker actually wants as a FEATURE): an anchor
+    seen 3 times gives a brittle 3/3 = 1.0 maximum-likelihood prior,
+    while the smoothed estimate
+
+        p(e|m) = (c(m,e) + α·P(e)) / (c(m) + α),  P(e) = c(e)/N
+
+    shrinks low-evidence anchors toward each entity's GLOBAL popularity
+    (the Spitkovsky-Chang-style backoff), with α the pseudo-count budget.
+    Per anchor the seen-candidate mass sums to < 1 — the residue is the
+    honest probability reserved for entities never linked from this
+    anchor.
+
+    Scale: two map-side-combinable aggregations (per-entity totals and
+    per-anchor totals — the entity table broadcasts, the anchor total
+    joins back on the anchor key the counts already shuffle on) and a
+    row-local formula. Exact rationals of integers until the final
+    division, so the SQL oracle reproduces values bit-for-bit.
+
+    Output: ``(anchor, qid, cnt, prior, ml_prior)`` — smoothed next to
+    maximum-likelihood, so the shrinkage is inspectable per row.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    c = counts.select(
+        F.col(anchor_col).alias("anchor"),
+        F.col(qid_col).alias("qid"),
+        F.col(count_col).cast("long").alias("cnt"),
+    )
+    ent = c.groupBy("qid").agg(F.sum("cnt").alias("_ce"))
+    total = ent.agg(F.sum("_ce").alias("_n"))
+    anc = c.groupBy("anchor").agg(F.sum("cnt").alias("_cm"))
+    return (
+        c.join(F.broadcast(ent), "qid")
+        .join(anc, "anchor")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "anchor",
+            "qid",
+            "cnt",
+            (
+                (F.col("cnt") + F.lit(alpha) * F.col("_ce") / F.col("_n"))
+                / (F.col("_cm") + F.lit(alpha))
+            ).alias("prior"),
+            (F.col("cnt") / F.col("_cm")).alias("ml_prior"),
+        )
+    )

@@ -1106,3 +1106,38 @@ def test_committee_disagreement_ranks_splits_first(spark):
         committee_disagreement(pairs, ["s1"], k=2)
     with pytest.raises(ValueError):
         committee_disagreement(pairs, ["s1", "s2"], k=0)
+
+
+def test_smoothed_priors_shrinkage_and_mass(spark):
+    import pytest
+
+    from minimel_spark.operators.clean import smoothed_priors
+
+    counts = spark.createDataFrame(
+        # anchor 'a': 3 links all to entity 1 (brittle ML prior 1.0);
+        # anchor 'b': 80/20 with heavy evidence; entity 2 dominates globally
+        [("a", 1, 3), ("b", 1, 20), ("b", 2, 80), ("c", 2, 97)],
+        "anchor string, qid long, cnt long",
+    )
+    rows = {
+        (r["anchor"], r["qid"]): r
+        for r in smoothed_priors(counts, alpha=10.0).collect()
+    }
+    # N = 200, P(1) = 23/200, P(2) = 177/200
+    a1 = rows[("a", 1)]
+    assert a1["ml_prior"] == 1.0
+    want = (3 + 10 * 23 / 200) / (3 + 10)
+    assert abs(a1["prior"] - want) < 1e-12
+    # shrinkage pulled the brittle 1.0 down materially
+    assert a1["prior"] < 0.4
+    # heavy-evidence anchor barely moves
+    b2 = rows[("b", 2)]
+    assert abs(b2["ml_prior"] - 0.8) < 1e-12
+    assert abs(b2["prior"] - (80 + 10 * 177 / 200) / 110) < 1e-12
+    assert abs(b2["prior"] - 0.8) < 0.02
+    # per-anchor seen mass stays below 1 (reserved for unseen entities)
+    for anchor in ("a", "b", "c"):
+        mass = sum(r["prior"] for (m, _), r in rows.items() if m == anchor)
+        assert mass < 1.0
+    with pytest.raises(ValueError):
+        smoothed_priors(counts, alpha=0)
