@@ -8970,6 +8970,54 @@ SELECT b.anchor, b.qid, b.cnt,
 FROM base b JOIN ent USING (qid) JOIN anc USING (anchor), tot"""
 
 
+def q_er_block_purging(spark, sf_dir):
+    """Global-budget block purging (operators/metablocking.py
+    purge_blocks — Papadakis block cleaning): first-letter ∪ 4-prefix
+    blocks over the variant world, largest blocks dropped until the
+    surviving comparison total fits a 300-pair budget; small precise
+    blocks always survive. The oracle replays block sizing, the
+    (pairs, key)-ordered cumulative admission window, and the surviving
+    join in SQL."""
+    from minimel_spark.operators.metablocking import purge_blocks
+
+    recs = _vw_records(spark).select(F.col("name").alias("rec_id")).distinct()
+    blocked = (
+        recs.select(
+            F.concat(F.lit("l1:"), F.substring("rec_id", 1, 1)).alias(
+                "block_key"
+            ),
+            "rec_id",
+        )
+        .unionByName(
+            recs.select(
+                F.concat(F.lit("p4:"), F.substring("rec_id", 1, 4)).alias(
+                    "block_key"
+                ),
+                "rec_id",
+            )
+        )
+    )
+    return purge_blocks(blocked, max_total_pairs=300)
+
+
+SQL_ER_BLOCK_PURGING = f"""
+WITH {_VW_NAMES_SQL.strip()},
+recs AS MATERIALIZED (SELECT DISTINCT name FROM vw_names),
+blk AS MATERIALIZED (
+  SELECT 'l1:' || substr(name, 1, 1) AS block_key, name AS rec_id FROM recs
+  UNION
+  SELECT 'p4:' || substr(name, 1, 4), name FROM recs),
+sizes AS (SELECT block_key, count(*)::BIGINT AS n FROM blk GROUP BY block_key),
+sched AS (SELECT block_key, (n * (n - 1) // 2)::BIGINT AS p FROM sizes),
+adm AS (SELECT block_key,
+               sum(p) OVER (ORDER BY p ASC, block_key ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM sched)
+SELECT b.block_key, b.rec_id
+FROM blk b JOIN adm ON b.block_key = adm.block_key
+WHERE adm.cum <= 300"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10799,6 +10847,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_block_purging",
     "er_smoothed_priors",
     "text_script_profile",
     "er_abbrev_expand",
@@ -10962,7 +11011,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 200
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 201
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -11133,6 +11182,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,
     "text_script_profile": SQL_TEXT_SCRIPT_PROFILE,
     "er_abbrev_expand": SQL_ER_ABBREV_EXPAND,

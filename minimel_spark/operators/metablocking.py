@@ -41,7 +41,7 @@ the redundancy-positive key families it adds (token/phonetic/LSH).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def meta_blocking_pairs(
@@ -126,3 +126,49 @@ def meta_blocking_pairs(
         )
         .select("rec_id_a", "rec_id_b", "weight")
     )
+
+
+def purge_blocks(
+    blocked: DataFrame,
+    max_total_pairs: int,
+    key_col: str = "block_key",
+    id_col: str = "rec_id",
+) -> DataFrame:
+    """BLOCK PURGING (Papadakis et al., "Blocking and Filtering
+    Techniques for Entity Resolution", CSUR 2020 §4.1): enforce a GLOBAL
+    comparison budget by dropping whole blocks LARGEST-FIRST until the
+    surviving C(n,2) total fits — the coarse complement to
+    :func:`minimel_spark.operators.blocking.cap_blocks` (which SPLITS
+    oversized blocks, preserving some recall at bounded cost) and to
+    :func:`meta_blocking_pairs` (which prunes edge-wise). Purging is
+    what you run FIRST at web scale: the head of a Zipfian key
+    distribution ("john", an empty-string artifact, a boilerplate
+    token) carries millions of records and near-zero precision, and no
+    per-pair machinery should ever see it.
+
+    Deterministic schedule: blocks sorted by (pairs ASC, key ASC); the
+    cumulative pair sum admits blocks until the budget is exhausted —
+    so the SMALL, precise blocks always survive and a block is dropped
+    only if admitting it would cross the budget (every later, larger
+    block is then dropped too, ties by key). The cumulative window runs
+    over the block-size AGGREGATE (one row per block) — the
+    small-by-construction window exemption, same as pr_curve.
+
+    Output: the surviving ``(block_key, id_col)`` assignments.
+    """
+    if max_total_pairs < 0:
+        raise ValueError(
+            f"max_total_pairs must be >= 0, got {max_total_pairs}"
+        )
+    b = blocked.select(F.col(key_col), F.col(id_col)).distinct()
+    sizes = b.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    sizes = sizes.withColumn("_p", F.expr("_n * (_n - 1) DIV 2"))
+    w = Window.orderBy(F.asc("_p"), F.asc(key_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kept = (
+        sizes.withColumn("_cum", F.sum("_p").over(w))
+        .where(F.col("_cum") <= max_total_pairs)
+        .select(key_col)
+    )
+    return b.join(kept, key_col)

@@ -1082,3 +1082,41 @@ def test_recall_at_k_hand_example(spark):
         recall_at_k(ranked, gold, [])
     with pytest.raises(ValueError):
         recall_at_k(ranked, gold, [0])
+
+
+def test_purge_blocks_budget_and_schedule(spark):
+    import pytest
+
+    from minimel_spark.operators.metablocking import purge_blocks
+
+    # blocks: tiny (2 recs, 1 pair), small (3 recs, 3 pairs),
+    # mega (10 recs, 45 pairs)
+    rows = (
+        [("tiny", f"t{i}") for i in range(2)]
+        + [("small", f"s{i}") for i in range(3)]
+        + [("mega", f"m{i}") for i in range(10)]
+    )
+    blocked = spark.createDataFrame(rows, "block_key string, rec_id string")
+    # budget 10: admits tiny (cum 1) and small (cum 4); mega would hit 49
+    out = {r["block_key"] for r in purge_blocks(blocked, 10).collect()}
+    assert out == {"tiny", "small"}
+    # budget 0: singleton blocks (0 pairs) would survive; none here besides
+    # none -> only blocks with 0 pairs admitted
+    assert purge_blocks(blocked, 0).count() == 0
+    # generous budget keeps everything
+    n_all = purge_blocks(blocked, 10_000).count()
+    assert n_all == len(rows)
+    with pytest.raises(ValueError):
+        purge_blocks(blocked, -1)
+
+
+def test_purge_blocks_dedupes_assignments_first(spark):
+    from minimel_spark.operators.metablocking import purge_blocks
+
+    # duplicated (key, rec) rows must not inflate block sizes
+    blocked = spark.createDataFrame(
+        [("b", "x"), ("b", "x"), ("b", "y")],
+        "block_key string, rec_id string",
+    )
+    out = purge_blocks(blocked, 1).collect()
+    assert len(out) == 2  # block of TRUE size 2 = 1 pair, fits budget 1
