@@ -9018,6 +9018,50 @@ FROM blk b JOIN adm ON b.block_key = adm.block_key
 WHERE adm.cum <= 300"""
 
 
+def q_corpus_good_turing(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies (operators/corpus.py
+    good_turing): 5000 synthetic items with power-law counts (the same
+    integer skew map as er_canopy, exact in both engines), reduced to
+    the N_r table with the (r+1)·N_{r+1}/N_r adjusted counts and the
+    N_1/N unseen-mass estimate — the how-much-have-we-not-seen question
+    of vocabulary and entity-population estimation. The oracle replays
+    the skew map, both aggregations, and the r+1 self-join in SQL;
+    high-r gaps stay honestly NULL in both engines."""
+    from minimel_spark.operators.corpus import good_turing
+
+    items = spark.range(5000).select(
+        F.expr(
+            "CAST(1024 DIV (1 + CAST(conv(substring(md5(concat("
+            "CAST(id AS STRING), ':gt')), 1, 8), 16, 10) AS BIGINT) % 1024) "
+            "AS BIGINT)"
+        ).alias("cnt")
+    )
+    out = good_turing(items)
+    return out.select(
+        "r",
+        "n_r",
+        F.round("r_star", 6).alias("r_star"),
+        F.round("unseen_mass", 6).alias("unseen_mass"),
+    )
+
+
+SQL_CORPUS_GOOD_TURING = """
+WITH items AS MATERIALIZED (
+  SELECT (1024 // (1 + ('0x' || substr(md5(i::VARCHAR || ':gt'), 1, 8))::UBIGINT
+                   % 1024))::BIGINT AS cnt
+  FROM range(5000) t(i)),
+ff AS MATERIALIZED (
+  SELECT cnt AS r, count(*)::BIGINT AS n_r FROM items
+  WHERE cnt > 0 GROUP BY cnt),
+tot AS (SELECT sum(r * n_r) AS n_tot,
+               coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0) AS n1
+        FROM ff)
+SELECT f.r, f.n_r,
+       round((f.r + 1) * nx.n_r / f.n_r, 6) AS r_star,
+       round(tot.n1 / tot.n_tot, 6) AS unseen_mass
+FROM ff f LEFT JOIN ff nx ON nx.r = f.r + 1, tot"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10847,6 +10891,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "corpus_good_turing",
     "er_block_purging",
     "er_smoothed_priors",
     "text_script_profile",
@@ -11011,7 +11056,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 201
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 202
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -11182,6 +11227,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,
     "text_script_profile": SQL_TEXT_SCRIPT_PROFILE,

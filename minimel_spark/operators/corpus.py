@@ -890,3 +890,53 @@ def hash_split(
     last = F.lit(weights[-1][0])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def good_turing(
+    counts: DataFrame,
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table with the classic
+    re-estimates (Good 1953): from an (item, count) table, N_r = how
+    many items occurred exactly r times, the adjusted count
+    r* = (r+1)·N_{r+1}/N_r, and the unseen-mass estimate p0 = N_1/N —
+    the question a corpus pipeline keeps asking in different clothes:
+    how much vocabulary / how many entities / how many dup clusters have
+    we NOT seen yet, and how hard are the singleton counts lying. The
+    raw estimator is emitted un-smoothed (r* is NULL where N_{r+1} = 0,
+    the well-known high-r sparsity; smoothing the N_r curve first is the
+    caller's choice) — honest gaps beat silently interpolated ones.
+
+    Scale: one groupBy to the count grain, one groupBy to the
+    frequency-of-frequency grain (at most max-count rows), one
+    self-join on r+1 — everything after the first aggregate is
+    tiny-by-construction.
+
+    Output: ``(r, n_r, r_star, unseen_mass)`` — unseen_mass constant
+    across rows (N_1/N), exact rationals until the final division.
+    """
+    c = counts.select(F.col(count_col).cast("long").alias("_r")).where(
+        F.col("_r") > 0
+    )
+    ff = c.groupBy("_r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    nxt = ff.select((F.col("_r") - 1).alias("_r"), F.col("n_r").alias("_n_next"))
+    tot = ff.agg(
+        F.sum(F.col("_r") * F.col("n_r")).alias("_n_tot"),
+        # an aggregate (not a filter) so a corpus with NO singletons still
+        # yields its one row — unseen_mass is then exactly 0
+        F.coalesce(
+            F.sum(F.when(F.col("_r") == 1, F.col("n_r"))), F.lit(0)
+        ).alias("_n1"),
+    )
+    return (
+        ff.join(nxt, "_r", "left")
+        .crossJoin(tot)
+        .select(
+            F.col("_r").alias("r"),
+            "n_r",
+            ((F.col("_r") + 1) * F.col("_n_next") / F.col("n_r")).alias(
+                "r_star"
+            ),
+            (F.col("_n1") / F.col("_n_tot")).alias("unseen_mass"),
+        )
+    )

@@ -643,3 +643,31 @@ def test_script_profile_classes_and_dominance(spark):
             + r["n_other"]
             == r["n_chars"]
         )
+
+
+def test_good_turing_hand_example(spark):
+    from minimel_spark.operators.corpus import good_turing
+
+    # counts: three singletons, two doubletons, one 4-count
+    # N_1=3, N_2=2, N_4=1; N = 3+4+4 = 11
+    counts = spark.createDataFrame(
+        [(c,) for c in (1, 1, 1, 2, 2, 4)], "cnt long"
+    )
+    rows = {r["r"]: r for r in good_turing(counts).collect()}
+    assert rows[1]["n_r"] == 3 and rows[2]["n_r"] == 2 and rows[4]["n_r"] == 1
+    # r*=1: 2*N_2/N_1 = 4/3; r*=2: 3*N_3/N_2 -> N_3=0 -> NULL; r*=4 NULL
+    assert abs(rows[1]["r_star"] - 4 / 3) < 1e-12
+    assert rows[2]["r_star"] is None and rows[4]["r_star"] is None
+    for r in rows.values():
+        assert abs(r["unseen_mass"] - 3 / 11) < 1e-12
+
+
+def test_good_turing_no_singletons_zero_unseen(spark):
+    from minimel_spark.operators.corpus import good_turing
+
+    counts = spark.createDataFrame([(2,), (2,), (3,)], "cnt long")
+    rows = {r["r"]: r for r in good_turing(counts).collect()}
+    # no N_1: the table still materializes and unseen mass is exactly 0
+    assert set(rows) == {2, 3}
+    assert all(r["unseen_mass"] == 0.0 for r in rows.values())
+    assert abs(rows[2]["r_star"] - 3 * 1 / 2) < 1e-12
