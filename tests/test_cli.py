@@ -91,3 +91,44 @@ def test_cli_disambig(spark, tmp_path):
     rc = main(["--master", "local[4]", "disambig", "--pages", pp, "--index", ip, "--out", out])
     assert rc == 0
     assert {(r["title"], r["qid"]) for r in spark.read.parquet(out).collect()} == {("Dab", 100)}
+
+
+def test_make_pyfiles_archive_deterministic_and_importable(tmp_path):
+    import hashlib
+    import subprocess
+    import sys
+    import zipfile
+
+    sys.path.insert(0, "scripts")
+    try:
+        from make_pyfiles import build
+    finally:
+        sys.path.pop(0)
+
+    z1, z2 = str(tmp_path / "a.zip"), str(tmp_path / "b.zip")
+    files = build(z1)
+    build(z2)
+    # deterministic: two builds of the same tree are byte-identical
+    h = lambda p: hashlib.sha256(open(p, "rb").read()).hexdigest()  # noqa: E731
+    assert h(z1) == h(z2)
+    # the archive carries the package, no bytecode, posix paths
+    with zipfile.ZipFile(z1) as z:
+        names = z.namelist()
+    assert "minimel_spark/__init__.py" in names
+    assert not any(n.endswith(".pyc") or "__pycache__" in n for n in names)
+    assert all("\\" not in n for n in names)
+    assert len(files) == len(names)
+    # a fresh interpreter can import the package FROM the zip alone
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import minimel_spark.functions.similarity as s; "
+        "print(round(s.jaro_winkler('martha', 'marhta'), 4))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, z1],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # away from the repo so the zip must supply it
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "0.9611"
