@@ -9062,6 +9062,98 @@ SELECT f.r, f.n_r,
 FROM ff f LEFT JOIN ff nx ON nx.r = f.r + 1, tot"""
 
 
+def q_er_grid_dbscan(spark, sf_dir):
+    """Grid-cell density clustering (operators/geo.py grid_dbscan — the
+    ρ-approximate DBSCAN relaxation): 1500 points in ten 3×3-cell blobs
+    (dense: every blob cell is core at min_pts=5) plus 500 scattered
+    noise points whose cells never reach the threshold. Each blob must
+    come back as one cluster labeled by its minimum cell id, noise as
+    NULL. The oracle replays cell rollup, the core threshold, the
+    8-neighborhood adjacency, and SIX UNROLLED min-label propagation
+    rounds over the core-cell graph (blob diameter 2, so convergence is
+    guaranteed with margin), then the point join."""
+    from minimel_spark.operators.geo import grid_dbscan
+
+    def h(salt):
+        return (
+            "CAST(conv(substring(md5(concat(CAST(id AS STRING), "
+            f"'{salt}')), 1, 8), 16, 10) AS BIGINT)"
+        )
+
+    blob = spark.range(1500).select(
+        F.col("id").alias("point_id"),
+        F.expr(
+            f"CAST(10 * ((id % 10) % 5) + ({h(':gx')} % 3) AS DOUBLE) + 0.5"
+        ).alias("x"),
+        F.expr(
+            f"CAST(10 * ((id % 10) DIV 5) + ({h(':gy')} % 3) AS DOUBLE) + 0.5"
+        ).alias("y"),
+    )
+    noise = spark.range(1500, 2000).select(
+        F.col("id").alias("point_id"),
+        F.expr(f"CAST(50 + {h(':nx')} % 950 AS DOUBLE) + 0.5").alias("x"),
+        F.expr(f"CAST(50 + {h(':ny')} % 950 AS DOUBLE) + 0.5").alias("y"),
+    )
+    out = grid_dbscan(blob.unionByName(noise), eps=1.0, min_pts=5)
+    return out.select(
+        "point_id",
+        F.col("cell_id").cast("long").alias("cell_id"),
+        "is_core",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def _grid_dbscan_sql(n_rounds: int) -> str:
+    parts = [
+        """pts AS MATERIALIZED (
+  SELECT i AS point_id,
+         (10 * ((i % 10) % 5)
+          + ('0x' || substr(md5(i::VARCHAR || ':gx'), 1, 8))::UBIGINT % 3)
+           ::DOUBLE + 0.5 AS x,
+         (10 * ((i % 10) // 5)
+          + ('0x' || substr(md5(i::VARCHAR || ':gy'), 1, 8))::UBIGINT % 3)
+           ::DOUBLE + 0.5 AS y
+  FROM range(1500) t(i)
+  UNION ALL
+  SELECT i,
+         (50 + ('0x' || substr(md5(i::VARCHAR || ':nx'), 1, 8))::UBIGINT
+               % 950)::DOUBLE + 0.5,
+         (50 + ('0x' || substr(md5(i::VARCHAR || ':ny'), 1, 8))::UBIGINT
+               % 950)::DOUBLE + 0.5
+  FROM range(1500, 2000) u(i))""",
+        """cells AS MATERIALIZED (
+  SELECT point_id, floor(x / 1.0)::BIGINT AS cx, floor(y / 1.0)::BIGINT AS cy,
+         (floor(x / 1.0)::BIGINT * 100000 + floor(y / 1.0)::BIGINT) AS cell_id
+  FROM pts)""",
+        """core AS MATERIALIZED (
+  SELECT cell_id, cx, cy FROM cells GROUP BY cell_id, cx, cy
+  HAVING count(*) >= 5)""",
+        """adj AS MATERIALIZED (
+  SELECT a.cell_id AS s, b.cell_id AS d
+  FROM core a JOIN core b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1)""",
+        "m0 AS (SELECT cell_id, cell_id AS m FROM core)",
+    ]
+    for t in range(1, n_rounds + 1):
+        parts.append(
+            f"""m{t} AS MATERIALIZED (
+  SELECT a.s AS cell_id, min(p.m) AS m
+  FROM adj a JOIN m{t - 1} p ON p.cell_id = a.d
+  GROUP BY a.s)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT c.point_id, c.cell_id, m.m IS NOT NULL AS is_core,
+       m.m AS cluster_id
+FROM cells c LEFT JOIN m{n_rounds} m ON m.cell_id = c.cell_id"""
+    )
+
+
+SQL_ER_GRID_DBSCAN = _grid_dbscan_sql(6)
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10891,6 +10983,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_grid_dbscan",
     "corpus_good_turing",
     "er_block_purging",
     "er_smoothed_priors",
@@ -11056,7 +11149,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 202
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 203
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -11227,6 +11320,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_grid_dbscan": SQL_ER_GRID_DBSCAN,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

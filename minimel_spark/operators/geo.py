@@ -124,3 +124,100 @@ def grid_distance_join(
         .select("id_a", "id_b", dist.alias("distance_km"))
         .where(F.col("distance_km") <= radius_km)
     )
+
+
+def grid_dbscan(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str = "point_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cell-granular density clustering — the grid relaxation of DBSCAN
+    (the cell-based family: ρ-approximate DBSCAN, Gan & Tao SIGMOD 2015):
+    space is cut into eps-sized cells, a cell is CORE when it holds at
+    least ``min_pts`` points, core cells connect to their 8-neighborhood
+    core cells, clusters are the connected components of that core-cell
+    graph, and every point inherits its cell's cluster (points in
+    non-core cells are noise: ``cluster_id`` NULL). Cell granularity is
+    the documented approximation: two points in the same cell are always
+    co-clustered (distance ≤ eps·√2), adjacent-cell points may be up to
+    2·eps·√2 apart — the trade every distributed DBSCAN makes to avoid
+    point-level neighborhood queries.
+
+    Scale: one cell rollup (map-side combinable), adjacency via each
+    core cell EMITTING its 9 neighbor keys and equi-joining — never a
+    spatial self-join — and components over the core-CELL graph (orders
+    of magnitude smaller than the point set) through the same
+    large-star/small-star loop as every other clustering here. Points
+    then take one broadcast-or-shuffle join back.
+
+    Coordinates must be non-negative with cx, cy < 100000 after
+    eps-scaling (cell ids pack into one long); shift/scale upstream if
+    needed. Output: ``(point_id, cell_id, is_core, cluster_id)`` —
+    cluster_id = the component's minimum cell id, NULL for noise.
+    """
+    from .cluster import connected_components
+
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    p = points.select(
+        F.col(id_col),
+        F.floor(F.col(x_col) / eps).cast("long").alias("_cx"),
+        F.floor(F.col(y_col) / eps).cast("long").alias("_cy"),
+    )
+    cell = (F.col("_cx") * 100000 + F.col("_cy")).alias("cell_id")
+    p = p.select(F.col(id_col), "_cx", "_cy", cell)
+    counts = p.groupBy("cell_id", "_cx", "_cy").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    core = counts.where(F.col("_n") >= min_pts).select("cell_id", "_cx", "_cy")
+    nbr_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                (F.col("_cx") + dx).cast("string"),
+                (F.col("_cy") + dy).cast("string"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    emits = core.select(
+        F.col("cell_id").alias("_a"), F.explode(nbr_keys).alias("_k")
+    )
+    selves = core.select(
+        F.col("cell_id").alias("_b"),
+        F.concat_ws(
+            ":", F.col("_cx").cast("string"), F.col("_cy").cast("string")
+        ).alias("_k"),
+    )
+    edges = (
+        emits.join(selves, "_k")
+        .where(F.col("_a") != F.col("_b"))
+        .select(F.col("_a").alias("src"), F.col("_b").alias("dst"))
+    )
+    comp = connected_components(edges, max_iter=max_iter)
+    assigned = (
+        core.join(
+            comp.withColumnRenamed("node", "cell_id"), "cell_id", "left"
+        )
+        # a core cell with no core neighbor is its own singleton cluster
+        .select(
+            "cell_id",
+            F.coalesce("component", "cell_id").alias("cluster_id"),
+        )
+    )
+    return (
+        p.join(assigned, "cell_id", "left")
+        .select(
+            F.col(id_col),
+            "cell_id",
+            F.col("cluster_id").isNotNull().alias("is_core"),
+            "cluster_id",
+        )
+    )
