@@ -9154,6 +9154,57 @@ FROM cells c LEFT JOIN m{n_rounds} m ON m.cell_id = c.cell_id"""
 SQL_ER_GRID_DBSCAN = _grid_dbscan_sql(6)
 
 
+def q_rel_cdc_merge(spark, sf_dir):
+    """Changelog compaction (operators/temporal.py cdc_compact — the
+    batch MERGE INTO / Debezium snapshot reconstruction): a synthetic
+    CDC stream derived from orders (key = orderkey mod 3000, sequence =
+    orderkey, op I/U/D by md5 draw, payload = price cents) reduces to
+    final state — highest sequence wins per key, keys whose last op is a
+    delete vanish. The oracle replays the per-key top-1 window and the
+    delete filter in SQL."""
+    from minimel_spark.operators.temporal import cdc_compact
+
+    orders = _t(spark, sf_dir, "orders")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":cdc"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    changes = orders.select(
+        (F.col("o_orderkey") % 3000).alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(u < 0.10, F.lit("D"))
+        .when(u < 0.55, F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("value"),
+    )
+    return cdc_compact(changes, ["key"])
+
+
+SQL_REL_CDC_MERGE = """
+WITH ch AS MATERIALIZED (
+  SELECT o_orderkey % 3000 AS key, o_orderkey AS seq,
+         CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || ':cdc'), 1, 8))
+                     ::UBIGINT / 4294967296.0 < 0.10 THEN 'D'
+              WHEN ('0x' || substr(md5(o_orderkey::VARCHAR || ':cdc'), 1, 8))
+                     ::UBIGINT / 4294967296.0 < 0.55 THEN 'U'
+              ELSE 'I' END AS op,
+         round(o_totalprice * 100)::BIGINT AS value
+  FROM orders)
+SELECT key, seq, op, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY key
+              ORDER BY seq DESC, op DESC) AS rn
+  FROM ch) WHERE rn = 1 AND op <> 'D'"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -10983,6 +11034,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "rel_cdc_merge",
     "er_grid_dbscan",
     "corpus_good_turing",
     "er_block_purging",
@@ -11149,7 +11201,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 203
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 204
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -11320,6 +11372,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "rel_cdc_merge": SQL_REL_CDC_MERGE,
     "er_grid_dbscan": SQL_ER_GRID_DBSCAN,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,

@@ -285,3 +285,44 @@ def allen_classify(
         .otherwise(F.lit("overlapped_by"))
     )
     return pairs.withColumn(out_col, expr)
+
+
+def cdc_compact(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Changelog compaction — the CDC MERGE every lakehouse ingest runs:
+    a stream of keyed (I)nsert/(U)pdate/(D)elete operations reduces to
+    the final table state by taking each key's HIGHEST-sequence
+    operation and dropping the key entirely when that operation is a
+    delete. This is the batch equivalent of ``MERGE INTO`` /
+    Debezium-style snapshot reconstruction; treat an existing base table
+    as inserts at sequence 0 and union it in.
+
+    Contract: ``(key, seq)`` identifies one operation — CDC sources
+    (binlog positions, Kafka offsets, commit LSNs) guarantee that, so
+    the operator assumes rather than re-validates it; if duplicates
+    sneak in, the deterministic tie-break (op descending: U > I > D,
+    so a same-sequence delete LOSES to a same-sequence upsert — the
+    conservative choice for data retention) keeps the result stable and
+    parallelism-invariant anyway.
+
+    One per-key window (score = (seq, op), bounded by the key's change
+    count) and one filter — the same top-1 shape as
+    :func:`latest snapshots <minimel_spark.operators.web.latest_snapshots>`,
+    shuffling once on the key the table is usually already bucketed by.
+
+    Output: the surviving rows (all input columns), one per live key.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(seq_col), F.desc(op_col)
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col(op_col) != F.lit("D")))
+        .drop("_rn")
+    )

@@ -283,3 +283,45 @@ def test_allen_classify_degenerate_instants(spark):
     # an instant at b's start satisfies both 'meets' and 'starts';
     # the chain's documented convention resolves to the earlier branch
     assert got[2] == "meets"
+
+
+def test_cdc_compact_upsert_delete_semantics(spark):
+    import pytest
+
+    from minimel_spark.operators.temporal import cdc_compact
+
+    changes = spark.createDataFrame(
+        [
+            # key 1: insert then update -> survives with the update value
+            (1, 10, "I", 100),
+            (1, 20, "U", 150),
+            # key 2: insert then delete -> gone
+            (2, 11, "I", 200),
+            (2, 21, "D", None),
+            # key 3: delete then REINSERT at higher seq -> back alive
+            (3, 12, "D", None),
+            (3, 22, "I", 300),
+            # key 4: lone insert
+            (4, 13, "I", 400),
+        ],
+        "key long, seq long, op string, value long",
+    )
+    out = {r["key"]: r for r in cdc_compact(changes, ["key"]).collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[1]["value"] == 150 and out[1]["seq"] == 20
+    assert out[3]["value"] == 300
+    with pytest.raises(ValueError):
+        cdc_compact(changes, [])
+
+
+def test_cdc_compact_same_seq_tie_keeps_data(spark):
+    from minimel_spark.operators.temporal import cdc_compact
+
+    # a same-sequence U and D (a broken source): the documented
+    # conservative tie-break keeps the upsert
+    changes = spark.createDataFrame(
+        [(7, 5, "U", 70), (7, 5, "D", None)],
+        "key long, seq long, op string, value long",
+    )
+    out = cdc_compact(changes, ["key"]).collect()
+    assert len(out) == 1 and out[0]["value"] == 70
