@@ -9205,6 +9205,67 @@ SELECT key, seq, op, value FROM (
   FROM ch) WHERE rn = 1 AND op <> 'D'"""
 
 
+def q_er_pair_skyline(spark, sf_dir):
+    """Pareto frontier of scored pairs (operators/pairs.py skyline_2d —
+    the Skyline operator, ICDE 2001): the variant world's same-first-
+    letter pairs scored on Jaro-Winkler (rounded to 6, so the distinct-s1
+    pass is resolution-bounded) and 3-gram overlap; pairs dominated on
+    both axes never reach review. The oracle replays the per-s1
+    reduction, the strictly-previous running max over s1 descending, and
+    the tie-preserving join in SQL."""
+    from minimel_spark.operators.pairs import jw_udf, skyline_2d
+
+    recs = _vw_records(spark).select("name").distinct()
+    a = recs.select(F.col("name").alias("na"))
+    b = recs.select(F.col("name").alias("nb"))
+    grams = (
+        "array_distinct(transform(sequence(1, length({c}) - 2), "
+        "i -> substring({c}, i, 3)))"
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("na") < F.col("nb"))
+            & (F.substring("na", 1, 1) == F.substring("nb", 1, 1)),
+        )
+        .withColumn(
+            "s_ov",
+            F.expr(
+                f"CAST(size(array_intersect({grams.format(c='na')}, "
+                f"{grams.format(c='nb')})) AS BIGINT)"
+            ),
+        )
+        .withColumn("s_jw", F.round(jw_udf(F.col("na"), F.col("nb")), 6))
+    )
+    return skyline_2d(pairs, "s_jw", "s_ov").select(
+        "na", "nb", "s_jw", "s_ov"
+    )
+
+
+SQL_ER_PAIR_SKYLINE = f"""
+WITH {_VW_NAMES_SQL.strip()},
+recs AS MATERIALIZED (SELECT DISTINCT name FROM vw_names),
+g AS (SELECT name,
+             list_distinct(list_transform(range(1, length(name) - 1),
+                                          i -> substr(name, i::INT, 3))) AS gr
+      FROM recs),
+pr AS MATERIALIZED (
+  SELECT a.name AS na, b.name AS nb,
+         round(jaro_winkler_similarity(a.name, b.name), 6) AS s_jw,
+         len(list_intersect(a.gr, b.gr))::BIGINT AS s_ov
+  FROM g a JOIN g b
+    ON a.name < b.name AND substr(a.name, 1, 1) = substr(b.name, 1, 1)),
+per AS (SELECT s_jw AS s1, max(s_ov) AS m2 FROM pr GROUP BY s_jw),
+fr AS (SELECT s1, m2 FROM (
+         SELECT s1, m2,
+                max(m2) OVER (ORDER BY s1 DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev
+         FROM per) WHERE prev IS NULL OR m2 > prev)
+SELECT pr.na, pr.nb, pr.s_jw, pr.s_ov
+FROM pr JOIN fr ON pr.s_jw = fr.s1 AND pr.s_ov = fr.m2"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -11034,6 +11095,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_pair_skyline",
     "rel_cdc_merge",
     "er_grid_dbscan",
     "corpus_good_turing",
@@ -11201,7 +11263,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 204
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 205
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -11372,6 +11434,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_pair_skyline": SQL_ER_PAIR_SKYLINE,
     "rel_cdc_merge": SQL_REL_CDC_MERGE,
     "er_grid_dbscan": SQL_ER_GRID_DBSCAN,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,

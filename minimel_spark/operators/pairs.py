@@ -29,7 +29,7 @@ import zlib
 import pandas as pd
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..functions.normalize import vw_tok
 from ..functions.similarity import jaro_winkler
@@ -771,3 +771,44 @@ def monge_elkan(
         .withColumn("me_ba", F.coalesce("me_ba", F.lit(0.0)))
         .withColumn("me_sym", (F.col("me_ab") + F.col("me_ba")) / 2.0)
     )
+
+
+def skyline_2d(
+    scored: DataFrame,
+    s1_col: str,
+    s2_col: str,
+) -> DataFrame:
+    """2-D Pareto skyline (Börzsönyi et al., "The Skyline Operator",
+    ICDE 2001) over a doubly-scored pair table: the rows NOT dominated
+    on (s1, s2) — a dominates b when it is ≥ on both scores and > on at
+    least one; rows tied on BOTH scores all survive (neither dominates).
+    In the review loop this is the frontier worth human eyes: a pair
+    beaten on both the lexical and the semantic axis by some other pair
+    teaches the matcher strictly less than its dominator.
+
+    The 2-D case needs no pairwise dominance join: reduce to one row per
+    DISTINCT s1 (its max s2 — anything below is dominated within the
+    column), order those by s1 descending, and keep the s1 groups whose
+    max s2 strictly exceeds the running max of every greater-s1 group;
+    surviving rows are the ties at their group's max. The only ordered
+    pass runs over the DISTINCT-s1 frame — bounded by score resolution,
+    not row count (quantize scores upstream at web scale; similarity
+    scores round to fixed decimals anyway), the same
+    small-by-construction window contract as pr_curve.
+
+    Output: the surviving input rows, unchanged schema.
+    """
+    s1, s2 = F.col(s1_col), F.col(s2_col)
+    per = scored.groupBy(s1.alias("_s1")).agg(F.max(s2).alias("_m2"))
+    w = Window.orderBy(F.desc("_s1")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        per.withColumn("_prev", F.max("_m2").over(w))
+        .where(F.col("_prev").isNull() | (F.col("_m2") > F.col("_prev")))
+        .select("_s1", "_m2")
+    )
+    return scored.join(
+        frontier,
+        (s1 == F.col("_s1")) & (s2 == F.col("_m2")),
+    ).drop("_s1", "_m2")

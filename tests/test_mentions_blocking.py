@@ -772,3 +772,22 @@ def test_adaptive_blocks_last_level_emits_unconditionally_and_nulls(spark):
     # nulls key as the sentinel, never silently drop
     assert {r["block_key"] for r in out} == {"1:K|<null>"}
     assert {r["level"] for r in out} == {1}
+
+
+def test_skyline_2d_dominance_and_ties(spark):
+    from minimel_spark.operators.pairs import skyline_2d
+
+    rows = [
+        ("a", 0.9, 1),   # frontier (best s1)
+        ("b", 0.8, 5),   # frontier
+        ("c", 0.8, 3),   # dominated by b (same s1, lower s2)
+        ("d", 0.7, 5),   # dominated by b (lower s1, equal s2)
+        ("e", 0.6, 9),   # frontier
+        ("f", 0.5, 9),   # dominated by e
+        ("g", 0.6, 9),   # exact tie with e on BOTH -> both survive
+    ]
+    df = spark.createDataFrame(rows, "id string, s1 double, s2 long")
+    got = {r["id"] for r in skyline_2d(df, "s1", "s2").collect()}
+    assert got == {"a", "b", "e", "g"}
+    # schema passes through unchanged
+    assert set(skyline_2d(df, "s1", "s2").columns) == {"id", "s1", "s2"}
