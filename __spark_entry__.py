@@ -9266,6 +9266,64 @@ SELECT pr.na, pr.nb, pr.s_jw, pr.s_ov
 FROM pr JOIN fr ON pr.s_jw = fr.s1 AND pr.s_ov = fr.m2"""
 
 
+def q_er_blocker_venn(spark, sf_dir):
+    """Blocking-generator Venn audit (operators/evaluate.py blocker_venn
+    — the overlap structure per-generator marginals can't show): the
+    variant world blocked three ways (first letter, 4-prefix, 4-suffix),
+    every candidate pair labeled with the sorted combination of
+    generators that proposed it, pair and gold-match counts per
+    combination. The oracle replays all three pair sets, the
+    combination label (sorted distinct aggregate), and both rollups in
+    SQL."""
+    from minimel_spark.operators.evaluate import blocker_venn
+
+    recs = _vw_records(spark).select("name", "entity_id").distinct()
+    rid = recs.select(F.col("name").alias("rec_id"), "entity_id")
+
+    def blk(prefix, expr):
+        return rid.select(
+            F.concat(F.lit(prefix), expr).alias("block_key"),
+            "rec_id",
+        )
+
+    gens = [
+        ("l1", blk("l1:", F.substring("rec_id", 1, 1))),
+        ("p4", blk("p4:", F.substring("rec_id", 1, 4))),
+        ("s4", blk("s4:", F.expr("right(rec_id, 4)"))),
+    ]
+    return blocker_venn(gens, gold=rid)
+
+
+SQL_ER_BLOCKER_VENN = f"""
+WITH {_VW_NAMES_SQL.strip()},
+recs AS MATERIALIZED (SELECT DISTINCT name, entity_id FROM vw_names),
+p_l1 AS (SELECT DISTINCT a.name AS pa, b.name AS pb, 'l1' AS gen
+         FROM recs a JOIN recs b
+           ON a.name < b.name
+          AND substr(a.name, 1, 1) = substr(b.name, 1, 1)),
+p_p4 AS (SELECT DISTINCT a.name, b.name, 'p4'
+         FROM recs a JOIN recs b
+           ON a.name < b.name
+          AND substr(a.name, 1, 4) = substr(b.name, 1, 4)),
+p_s4 AS (SELECT DISTINCT a.name, b.name, 's4'
+         FROM recs a JOIN recs b
+           ON a.name < b.name AND right(a.name, 4) = right(b.name, 4)),
+allp AS (SELECT * FROM p_l1 UNION ALL SELECT * FROM p_p4
+         UNION ALL SELECT * FROM p_s4),
+combos AS MATERIALIZED (
+  SELECT pa, pb,
+         array_to_string(list_sort(list_distinct(list(gen))), '+') AS combo
+  FROM allp GROUP BY pa, pb),
+lab AS (SELECT c.combo,
+               coalesce(ga.entity_id = gb.entity_id, FALSE) AS is_match
+        FROM combos c
+        LEFT JOIN recs ga ON ga.name = c.pa
+        LEFT JOIN recs gb ON gb.name = c.pb)
+SELECT combo, count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN is_match THEN 1 ELSE 0 END)::BIGINT AS n_matches
+FROM lab GROUP BY combo"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -11095,6 +11153,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_blocker_venn",
     "er_pair_skyline",
     "rel_cdc_merge",
     "er_grid_dbscan",
@@ -11263,7 +11322,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 205
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 206
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -11434,6 +11493,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_blocker_venn": SQL_ER_BLOCKER_VENN,
     "er_pair_skyline": SQL_ER_PAIR_SKYLINE,
     "rel_cdc_merge": SQL_REL_CDC_MERGE,
     "er_grid_dbscan": SQL_ER_GRID_DBSCAN,

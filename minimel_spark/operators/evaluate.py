@@ -969,3 +969,70 @@ def recall_at_k(
             "coverage"
         ),
     )
+
+
+def blocker_venn(
+    blocked_by: list[tuple[str, DataFrame]],
+    id_col: str = "rec_id",
+    key_col: str = "block_key",
+    gold: DataFrame | None = None,
+    entity_col: str = "entity_id",
+) -> DataFrame:
+    """Venn / UpSet audit of candidate-pair sets across blocking
+    GENERATORS: each generator's blocks induce a pair set; every pair
+    observed by at least one generator gets the sorted combination of
+    generators that proposed it, and the audit reports pair counts per
+    combination — the overlap structure :func:`blocking_attribution`
+    (per-generator marginals) cannot show. The decision it feeds: a
+    generator whose pairs are ~all shared with a cheaper one is pure
+    cost; a small exclusive region dense in GOLD matches is the blocker
+    earning its keep. With ``gold`` provided, each combination also
+    reports its match count.
+
+    Scale: per-generator pair sets come from the usual capped block
+    self-joins; the combination label is one groupBy over the unioned
+    pair stream (collect_set over generator names — bounded by the
+    generator count, a handful); the rollup is tiny. Nothing driver-side.
+
+    Output: ``(combo, n_pairs[, n_matches])`` — combo like "lsh+token".
+    """
+    if not blocked_by:
+        raise ValueError("blocked_by must be non-empty")
+    streams = []
+    for name, blocked in blocked_by:
+        b = blocked.select(F.col(key_col).alias("_k"), F.col(id_col).alias("_r"))
+        a = b.select("_k", F.col("_r").alias("_a"))
+        c = b.select("_k", F.col("_r").alias("_b"))
+        pairs = (
+            a.join(c, "_k")
+            .where(F.col("_a") < F.col("_b"))
+            .select("_a", "_b")
+            .distinct()
+            .withColumn("_gen", F.lit(name))
+        )
+        streams.append(pairs)
+    allp = streams[0]
+    for s in streams[1:]:
+        allp = allp.unionByName(s)
+    combos = allp.groupBy("_a", "_b").agg(
+        F.array_join(F.array_sort(F.collect_set("_gen")), "+").alias("combo")
+    )
+    if gold is not None:
+        g = gold.select(F.col(id_col).alias("_r"), F.col(entity_col).alias("_e"))
+        combos = (
+            combos.join(g.select(F.col("_r").alias("_a"), F.col("_e").alias("_ea")), "_a", "left")
+            .join(g.select(F.col("_r").alias("_b"), F.col("_e").alias("_eb")), "_b", "left")
+            .withColumn(
+                "_is_match",
+                F.coalesce(F.col("_ea") == F.col("_eb"), F.lit(False)),
+            )
+        )
+        return combos.groupBy("combo").agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("_is_match"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_matches"),
+        )
+    return combos.groupBy("combo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

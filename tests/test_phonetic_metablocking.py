@@ -1120,3 +1120,36 @@ def test_purge_blocks_dedupes_assignments_first(spark):
     )
     out = purge_blocks(blocked, 1).collect()
     assert len(out) == 2  # block of TRUE size 2 = 1 pair, fits budget 1
+
+
+def test_blocker_venn_combinations_and_gold(spark):
+    import pytest
+
+    from minimel_spark.operators.evaluate import blocker_venn
+
+    # generator A blocks {1,2} and {3,4}; generator B blocks {1,2} and {2,3}
+    ga = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", 3), ("y", 4)],
+        "block_key string, rec_id long",
+    )
+    gb = spark.createDataFrame(
+        [("u", 1), ("u", 2), ("v", 2), ("v", 3)],
+        "block_key string, rec_id long",
+    )
+    gold = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 200), (4, 300)],
+        "rec_id long, entity_id long",
+    )
+    rows = {
+        r["combo"]: (r["n_pairs"], r["n_matches"])
+        for r in blocker_venn([("A", ga), ("B", gb)], gold=gold).collect()
+    }
+    # (1,2) proposed by both; (3,4) only A; (2,3) only B
+    assert rows["A+B"] == (1, 1)   # (1,2) is a gold match
+    assert rows["A"] == (1, 0)     # (3,4) not a match
+    assert rows["B"] == (1, 0)     # (2,3) not a match
+    with pytest.raises(ValueError):
+        blocker_venn([])
+    # without gold: counts only
+    plain = {r["combo"]: r["n_pairs"] for r in blocker_venn([("A", ga), ("B", gb)]).collect()}
+    assert plain == {"A+B": 1, "A": 1, "B": 1}
