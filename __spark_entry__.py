@@ -9324,6 +9324,57 @@ SELECT combo, count(*)::BIGINT AS n_pairs,
 FROM lab GROUP BY combo"""
 
 
+def q_rel_attribution(spark, sf_dir):
+    """Multi-touch attribution (operators/events.py touch_attribution):
+    purchases credited to the same user's view/click touches within a
+    2-day lookback, first/last/linear models side by side, simultaneous
+    touches tie-broken on event id. The oracle replays the user join,
+    the window predicate, both rank windows, and the per-conversion
+    count in SQL."""
+    from minimel_spark.operators.events import touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    out = touch_attribution(
+        ev, "purchase", ["view", "click"], lookback_seconds=172800
+    )
+    return out.select(
+        F.col("conv_id").cast("long").alias("conv_id"),
+        "conv_ts",
+        F.col("touch_id").cast("long").alias("touch_id"),
+        "touch_type",
+        "touch_ts",
+        "credit_first",
+        "credit_last",
+        F.round("credit_linear", 6).alias("credit_linear"),
+    )
+
+
+SQL_REL_ATTRIBUTION = """
+WITH conv AS (SELECT user_id AS u, event_id AS conv_id,
+                     ts::TIMESTAMP AS conv_ts
+              FROM events WHERE event_type = 'purchase'),
+touch AS (SELECT user_id AS u, event_id AS touch_id,
+                 event_type AS touch_type, ts::TIMESTAMP AS touch_ts
+          FROM events WHERE event_type IN ('view', 'click')),
+j AS MATERIALIZED (
+  SELECT c.conv_id, c.conv_ts, t.touch_id, t.touch_type, t.touch_ts
+  FROM conv c JOIN touch t ON c.u = t.u
+  WHERE t.touch_ts <= c.conv_ts
+    AND epoch(c.conv_ts) - epoch(t.touch_ts) <= 172800),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY conv_id
+          ORDER BY touch_ts ASC, touch_id ASC) AS rf,
+        row_number() OVER (PARTITION BY conv_id
+          ORDER BY touch_ts DESC, touch_id DESC) AS rl,
+        count(*) OVER (PARTITION BY conv_id) AS n
+      FROM j)
+SELECT conv_id, conv_ts, touch_id, touch_type, touch_ts,
+       CASE WHEN rf = 1 THEN 1.0 ELSE 0.0 END AS credit_first,
+       CASE WHEN rl = 1 THEN 1.0 ELSE 0.0 END AS credit_last,
+       round(1.0 / n, 6) AS credit_linear
+FROM r"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -11153,6 +11204,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "rel_attribution",
     "er_blocker_venn",
     "er_pair_skyline",
     "rel_cdc_merge",
@@ -11322,7 +11374,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 206
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 207
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -11493,6 +11545,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "rel_attribution": SQL_REL_ATTRIBUTION,
     "er_blocker_venn": SQL_ER_BLOCKER_VENN,
     "er_pair_skyline": SQL_ER_PAIR_SKYLINE,
     "rel_cdc_merge": SQL_REL_CDC_MERGE,

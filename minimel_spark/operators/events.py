@@ -163,3 +163,84 @@ def event_gaps(
         .join(observed, ["_g", "gap_hour"], "left_anti")
         .select(F.col("_g").alias(group_col), "gap_hour")
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_seconds: float,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Multi-touch conversion attribution — first-touch, last-touch, and
+    linear credit computed side by side (the three standard models; one
+    pass, so the analyst compares them instead of re-running the
+    pipeline per model): every conversion event is joined to the SAME
+    user's touch events inside the lookback window (touch at or before
+    the conversion, within ``lookback_seconds``), and each touch row
+    carries its credit under all three models. Conversions with no
+    in-window touch simply emit nothing — "organic" volume is the
+    count difference the caller already has.
+
+    Determinism: touch order is (ts, event_id) — simultaneous touches
+    tie-break on the id, so first/last credit never depends on
+    partitioning.
+
+    Scale: one equi-join on the user key with the window predicate
+    refined after (per-user cardinality is session-scale; a true
+    power-user skew is AQE's skew-join case), then two per-conversion
+    window ranks and one count — all bounded by that conversion's touch
+    count.
+
+    Output: ``(conv_id, conv_ts, touch_id, touch_type, touch_ts,
+    credit_first, credit_last, credit_linear)``.
+    """
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    if lookback_seconds <= 0:
+        raise ValueError(
+            f"lookback_seconds must be > 0, got {lookback_seconds}"
+        )
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("conv_id"),
+        F.col(ts_col).cast("timestamp").alias("conv_ts"),
+    )
+    touch = events.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("touch_id"),
+        F.col(type_col).alias("touch_type"),
+        F.col(ts_col).cast("timestamp").alias("touch_ts"),
+    )
+    joined = conv.join(touch, "_u").where(
+        (F.col("touch_ts") <= F.col("conv_ts"))
+        & (
+            F.col("conv_ts").cast("double") - F.col("touch_ts").cast("double")
+            <= F.lit(float(lookback_seconds))
+        )
+    )
+    w_first = Window.partitionBy("conv_id").orderBy(
+        F.asc("touch_ts"), F.asc("touch_id")
+    )
+    w_last = Window.partitionBy("conv_id").orderBy(
+        F.desc("touch_ts"), F.desc("touch_id")
+    )
+    w_all = Window.partitionBy("conv_id")
+    return (
+        joined.withColumn("_rf", F.row_number().over(w_first))
+        .withColumn("_rl", F.row_number().over(w_last))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .select(
+            "conv_id",
+            "conv_ts",
+            "touch_id",
+            "touch_type",
+            "touch_ts",
+            F.when(F.col("_rf") == 1, 1.0).otherwise(0.0).alias("credit_first"),
+            F.when(F.col("_rl") == 1, 1.0).otherwise(0.0).alias("credit_last"),
+            (F.lit(1.0) / F.col("_n")).alias("credit_linear"),
+        )
+    )

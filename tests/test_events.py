@@ -120,3 +120,43 @@ def test_event_gaps_finds_silent_hours(spark):
     }
     # A's silent hours inside the GLOBAL spine, including the trailing one
     assert gaps == {("A", 1), ("A", 3)}
+
+
+def test_touch_attribution_models(spark):
+    from datetime import datetime
+
+    import pytest
+
+    from minimel_spark.operators.events import touch_attribution
+
+    def at(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    ev = spark.createDataFrame(
+        [
+            (1, at(0), 7, "view", None),
+            (2, at(10), 7, "click", None),
+            (3, at(20), 7, "purchase", None),   # conv w/ 2 touches
+            (4, at(50), 7, "view", None),
+            (5, at(55), 7, "purchase", None),   # conv w/ 1 in-window touch
+            (6, at(0), 8, "purchase", None),    # conv w/ NO touch -> absent
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = touch_attribution(ev, "purchase", ["view", "click"], 60 * 30)
+    rows = {(r["conv_id"], r["touch_id"]): r for r in out.collect()}
+    # conversion 3: first credit to view(1), last to click(2), linear 0.5
+    assert rows[(3, 1)]["credit_first"] == 1.0
+    assert rows[(3, 1)]["credit_last"] == 0.0
+    assert rows[(3, 2)]["credit_last"] == 1.0
+    assert rows[(3, 2)]["credit_linear"] == 0.5
+    # conversion 5: only touch 4 is within the 30-min lookback (1,2 too old)
+    conv5 = [k for k in rows if k[0] == 5]
+    assert conv5 == [(5, 4)]
+    assert rows[(5, 4)]["credit_first"] == rows[(5, 4)]["credit_last"] == 1.0
+    # organic conversion 6 emits nothing
+    assert not [k for k in rows if k[0] == 6]
+    with pytest.raises(ValueError):
+        touch_attribution(ev, "purchase", [], 60)
+    with pytest.raises(ValueError):
+        touch_attribution(ev, "purchase", ["view"], 0)
