@@ -9375,6 +9375,105 @@ SELECT conv_id, conv_ts, touch_id, touch_type, touch_ts,
 FROM r"""
 
 
+def q_er_name_parse(spark, sf_dir):
+    """Structured person-name parsing (functions/normalize.py
+    parse_person_name_cols): 600 synthetic names across six forms —
+    titled, middled, suffixed, comma-rotated ("smithson, wjones"),
+    title+mononym, bare mononym — split into (title, given, middle,
+    family, suffix) so field-wise comparators see the high-precision
+    family evidence instead of whole-string noise. The oracle mirrors
+    the comma rotation, token cleanup, and every whole-token rule with
+    DuckDB list ops, value-checking all five fields per name."""
+    from minimel_spark.functions.normalize import parse_person_name_cols
+
+    def h(salt):
+        return (
+            "CAST(conv(substring(md5(concat(CAST(id AS STRING), "
+            f"'{salt}')), 1, 8), 16, 10) AS BIGINT)"
+        )
+
+    raw = F.expr(
+        f"""CASE id % 6
+          WHEN 0 THEN concat('Mr W', {h(':na')} % 40, ' B', {h(':nb')} % 40, 'son')
+          WHEN 1 THEN concat('W', {h(':na')} % 40, ' Q. B', {h(':nb')} % 40, 'son Jr')
+          WHEN 2 THEN concat('B', {h(':nb')} % 40, 'son, W', {h(':na')} % 40)
+          WHEN 3 THEN concat('Dr B', {h(':nb')} % 40, 'son')
+          WHEN 4 THEN concat('W', {h(':na')} % 40, ' B', {h(':nb')} % 40, 'son III')
+          ELSE concat('B', {h(':nb')} % 40, 'high') END"""
+    )
+    rows = spark.range(600).select(F.col("id").alias("name_id"), raw.alias("raw"))
+    parsed = rows.select(
+        "name_id", "raw", parse_person_name_cols(F.col("raw")).alias("p")
+    )
+    return parsed.select(
+        "name_id",
+        "raw",
+        "p.title",
+        "p.given",
+        "p.middle",
+        "p.family",
+        "p.suffix",
+    )
+
+
+def _name_parse_sql() -> str:
+    from minimel_spark.functions.normalize import NAME_SUFFIXES, NAME_TITLES
+
+    titles = ", ".join(f"'{t}'" for t in NAME_TITLES)
+    suffixes = ", ".join(f"'{s}'" for s in NAME_SUFFIXES)
+
+    def h(salt):
+        return f"('0x' || substr(md5(i::VARCHAR || '{salt}'), 1, 8))::UBIGINT"
+
+    return f"""
+WITH raws AS MATERIALIZED (
+  SELECT i AS name_id,
+         CASE i % 6
+           WHEN 0 THEN 'Mr W' || ({h(':na')} % 40) || ' B' || ({h(':nb')} % 40) || 'son'
+           WHEN 1 THEN 'W' || ({h(':na')} % 40) || ' Q. B' || ({h(':nb')} % 40) || 'son Jr'
+           WHEN 2 THEN 'B' || ({h(':nb')} % 40) || 'son, W' || ({h(':na')} % 40)
+           WHEN 3 THEN 'Dr B' || ({h(':nb')} % 40) || 'son'
+           WHEN 4 THEN 'W' || ({h(':na')} % 40) || ' B' || ({h(':nb')} % 40) || 'son III'
+           ELSE 'B' || ({h(':nb')} % 40) || 'high' END AS raw
+  FROM range(600) t(i)),
+rot AS (SELECT name_id, raw,
+               CASE WHEN contains(raw, ',')
+                    THEN trim(string_split(raw, ',')[2]) || ' '
+                         || trim(string_split(raw, ',')[1])
+                    ELSE raw END AS r
+        FROM raws),
+tk AS (SELECT name_id, raw,
+              list_filter(string_split(
+                lower(regexp_replace(r, '[^A-Za-z ]', '', 'g')), ' '),
+                x -> x <> '') AS toks
+       FROM rot),
+t1 AS (SELECT name_id, raw, toks,
+              len(toks) > 0 AND list_contains([{titles}], toks[1]) AS ht
+       FROM tk),
+t2 AS (SELECT name_id, raw,
+              CASE WHEN ht THEN toks[1] END AS title,
+              CASE WHEN ht THEN toks[2:] ELSE toks END AS rest1
+       FROM t1),
+t3 AS (SELECT name_id, raw, title, rest1,
+              len(rest1) > 0 AND list_contains([{suffixes}], rest1[-1]) AS hs
+       FROM t2),
+t4 AS (SELECT name_id, raw, title,
+              CASE WHEN hs THEN rest1[-1] END AS suffix,
+              CASE WHEN hs THEN rest1[:len(rest1) - 1] ELSE rest1 END AS core
+       FROM t3)
+SELECT name_id, raw, title,
+       CASE WHEN len(core) >= 2 THEN core[1] END AS given,
+       CASE WHEN len(core) >= 3
+            THEN array_to_string(core[2:len(core) - 1], ' ') END AS middle,
+       CASE WHEN len(core) >= 2 THEN core[-1]
+            WHEN len(core) = 1 THEN core[1] END AS family,
+       suffix
+FROM t4"""
+
+
+SQL_ER_NAME_PARSE = _name_parse_sql()
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -11204,6 +11303,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_name_parse",
     "rel_attribution",
     "er_blocker_venn",
     "er_pair_skyline",
@@ -11374,7 +11474,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 207
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 208
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -11545,6 +11645,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_name_parse": SQL_ER_NAME_PARSE,
     "rel_attribution": SQL_REL_ATTRIBUTION,
     "er_blocker_venn": SQL_ER_BLOCKER_VENN,
     "er_pair_skyline": SQL_ER_PAIR_SKYLINE,

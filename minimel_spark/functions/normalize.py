@@ -317,3 +317,71 @@ def expand_abbreviations_col(col, table: dict[str, str] | None = None):
     return F.array_join(
         F.transform(toks, lambda t: F.coalesce(m[t], t)), " "
     )
+
+
+# Shared with the SQL oracle — extend per locale.
+NAME_TITLES = ["mr", "mrs", "ms", "dr", "prof", "sir", "rev", "hon"]
+NAME_SUFFIXES = ["jr", "sr", "ii", "iii", "iv", "phd", "md", "esq"]
+
+
+def parse_person_name_cols(col):
+    """Rule-based person-name parsing into (title, given, middle, family,
+    suffix) — the structuring step BEFORE field-wise comparison: comparing
+    "Dr. John A. Smith Jr." against "Smith, John" as whole strings wastes
+    the high-precision evidence that the FAMILY tokens match exactly
+    while a fuzzy whole-string score drowns it in the title/suffix noise.
+    Rules (deterministic, whole-token, applied to the lowercased
+    punctuation-stripped token list): a leading token in NAME_TITLES is
+    the title; a trailing token in NAME_SUFFIXES is the suffix; of the
+    remainder the first token is the given name, the last is the family
+    name, everything between joins as the middle. Single-token remainders
+    are a family name only (the conservative read for "Smith"). The
+    "Family, Given" comma form is handled by rotating on the comma before
+    tokenizing.
+
+    Pure JVM array expressions (split / slice / array_join / CASE) — no
+    UDF — returning a struct column with the five fields; mirrored
+    list-op by list-op in the SQL oracle.
+    """
+    import pyspark.sql.functions as F
+
+    # rotate "family, rest" -> "rest family"
+    rotated = F.when(
+        col.contains(","),
+        F.concat_ws(
+            " ",
+            F.trim(F.substring_index(col, ",", -1)),
+            F.trim(F.substring_index(col, ",", 1)),
+        ),
+    ).otherwise(col)
+    cleaned = F.lower(F.regexp_replace(rotated, r"[^A-Za-z ]", ""))
+    toks = F.filter(F.split(cleaned, r"\s+"), lambda t: t != "")
+    titles = F.array(*[F.lit(t) for t in NAME_TITLES])
+    suffixes = F.array(*[F.lit(s) for s in NAME_SUFFIXES])
+    has_title = F.array_contains(titles, F.element_at(toks, 1))
+    title = F.when((F.size(toks) > 0) & has_title, F.element_at(toks, 1))
+    rest1 = F.when((F.size(toks) > 0) & has_title, F.slice(toks, 2, 1000)).otherwise(
+        toks
+    )
+    has_suffix = (F.size(rest1) > 0) & F.array_contains(
+        suffixes, F.element_at(rest1, -1)
+    )
+    suffix = F.when(has_suffix, F.element_at(rest1, -1))
+    core = F.when(
+        has_suffix, F.slice(rest1, 1, F.size(rest1) - F.lit(1))
+    ).otherwise(rest1)
+    n = F.size(core)
+    given = F.when(n >= 2, F.element_at(core, 1))
+    family = F.when(n >= 2, F.element_at(core, -1)).otherwise(
+        F.when(n == 1, F.element_at(core, 1))
+    )
+    middle = F.when(
+        n >= 3, F.array_join(F.slice(core, 2, n - F.lit(2)), " ")
+    )
+    return F.struct(
+        title.alias("title"),
+        given.alias("given"),
+        middle.alias("middle"),
+        family.alias("family"),
+        suffix.alias("suffix"),
+    )

@@ -212,3 +212,28 @@ def test_expand_abbreviations_whole_tokens_only(spark):
         expand_abbreviations_col(F.col("raw"), {"main": "principal"}).alias("x")
     ).collect()
     assert custom[0]["x"] == "123 principal st apt 4"
+
+
+def test_parse_person_name_forms(spark):
+    import pyspark.sql.functions as F
+
+    from minimel_spark.functions.normalize import parse_person_name_cols
+
+    cases = [
+        ("Dr. John A. Smith Jr.", ("dr", "john", "a", "smith", "jr")),
+        ("Smith, John", (None, "john", None, "smith", None)),
+        ("Mary Beth Ann Jones", (None, "mary", "beth ann", "jones", None)),
+        ("Smith", (None, None, None, "smith", None)),
+        ("Prof Plum", ("prof", None, None, "plum", None)),
+        ("Jane Doe III", (None, "jane", None, "doe", "iii")),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "raw string")
+    rows = [
+        (r["p"]["title"], r["p"]["given"], r["p"]["middle"],
+         r["p"]["family"], r["p"]["suffix"])
+        for r in df.select(
+            parse_person_name_cols(F.col("raw")).alias("p")
+        ).collect()
+    ]
+    for (raw, want), got in zip(cases, rows):
+        assert got == want, (raw, got, want)
