@@ -9474,6 +9474,93 @@ FROM t4"""
 SQL_ER_NAME_PARSE = _name_parse_sql()
 
 
+def q_er_rank_agreement(spark, sf_dir):
+    """Per-query Kendall tau between the Jaro-Winkler and 3-gram-overlap
+    rankings (operators/retrieval.py rank_agreement — the is-the-second-
+    ranker-worth-it diagnostic for rank_fusion): computed over the same
+    same-first-letter candidate universe as er_rank_fusion, single-
+    candidate queries emitting NULL tau by contract. The oracle
+    re-derives both rankings and replays the within-query concordance
+    self-join and the tau formula in SQL."""
+    from minimel_spark.operators.pairs import jw_udf
+    from minimel_spark.operators.retrieval import rank_agreement
+
+    recs = _vw_records(spark).select("name").distinct()
+    a = recs.select(F.col("name").alias("query_id"))
+    b = recs.select(F.col("name").alias("cand_id"))
+    grams = (
+        "array_distinct(transform(sequence(1, length({c}) - 2), "
+        "i -> substring({c}, i, 3)))"
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("query_id") != F.col("cand_id"))
+            & (F.substring("query_id", 1, 1) == F.substring("cand_id", 1, 1)),
+        )
+        .withColumn(
+            "s_ov",
+            F.expr(
+                f"CAST(size(array_intersect({grams.format(c='query_id')}, "
+                f"{grams.format(c='cand_id')})) AS BIGINT)"
+            ),
+        )
+        .withColumn("s_jw", jw_udf(F.col("query_id"), F.col("cand_id")))
+    )
+    w_a = Window.partitionBy("query_id").orderBy(F.desc("s_jw"), F.asc("cand_id"))
+    w_b = Window.partitionBy("query_id").orderBy(F.desc("s_ov"), F.asc("cand_id"))
+    ranked = pairs.select(
+        "query_id",
+        "cand_id",
+        F.row_number().over(w_a).alias("ra"),
+        F.row_number().over(w_b).alias("rb"),
+    )
+    out = rank_agreement(ranked, "ra", "rb")
+    return out.select(
+        "query_id",
+        "n_cands",
+        "concordant",
+        "discordant",
+        F.round("tau", 6).alias("tau"),
+    )
+
+
+SQL_ER_RANK_AGREEMENT = f"""
+WITH {_VW_NAMES_SQL.strip()},
+recs AS MATERIALIZED (SELECT DISTINCT name FROM vw_names),
+g AS (SELECT name,
+             list_distinct(list_transform(range(1, length(name) - 1),
+                                          i -> substr(name, i::INT, 3))) AS gr
+      FROM recs),
+rk AS MATERIALIZED (
+  SELECT a.name AS q, b.name AS c,
+         row_number() OVER (PARTITION BY a.name
+           ORDER BY jaro_winkler_similarity(a.name, b.name) DESC,
+                    b.name ASC) AS ra,
+         row_number() OVER (PARTITION BY a.name
+           ORDER BY len(list_intersect(a.gr, b.gr)) DESC, b.name ASC) AS rb
+  FROM g a JOIN g b
+    ON a.name <> b.name AND substr(a.name, 1, 1) = substr(b.name, 1, 1)),
+pp AS (SELECT x.q,
+              sum(CASE WHEN (x.ra < y.ra AND x.rb < y.rb)
+                         OR (x.ra > y.ra AND x.rb > y.rb)
+                       THEN 1 ELSE 0 END)::BIGINT AS concordant,
+              sum(CASE WHEN (x.ra < y.ra AND x.rb < y.rb)
+                         OR (x.ra > y.ra AND x.rb > y.rb)
+                       THEN 0 ELSE 1 END)::BIGINT AS discordant
+       FROM rk x JOIN rk y ON x.q = y.q AND x.c < y.c
+       GROUP BY x.q),
+sz AS (SELECT q, count(*)::BIGINT AS n_cands FROM rk GROUP BY q)
+SELECT sz.q AS query_id, sz.n_cands,
+       coalesce(pp.concordant, 0)::BIGINT AS concordant,
+       coalesce(pp.discordant, 0)::BIGINT AS discordant,
+       CASE WHEN sz.n_cands >= 2
+            THEN round((coalesce(pp.concordant, 0) - coalesce(pp.discordant, 0))
+                       / (sz.n_cands * (sz.n_cands - 1) / 2), 6)
+       END AS tau
+FROM sz LEFT JOIN pp USING (q)"""
+
+
 def q_dedup_transitive_keep(spark, sf_dir):
     """E2E fuzzy dedup with transitive clustering (operators/dedup.py
     transitive_dedup_keep): exact prefix-filtered Jaccard pairs (word
@@ -11303,6 +11390,7 @@ _WINDOW: list[str] = [
 ]
 
 _TAIL: list[str] = [
+    "er_rank_agreement",
     "er_name_parse",
     "rel_attribution",
     "er_blocker_venn",
@@ -11474,7 +11562,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 208
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 209
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -11645,6 +11733,7 @@ _ORACLES: dict[str, str] = {
     "er_conflict_report": SQL_ER_CONFLICT_REPORT,
     "er_weak_labels": SQL_ER_WEAK_LABELS,
     "er_weak_lf_stats": SQL_ER_WEAK_LF_STATS,
+    "er_rank_agreement": SQL_ER_RANK_AGREEMENT,
     "er_name_parse": SQL_ER_NAME_PARSE,
     "rel_attribution": SQL_REL_ATTRIBUTION,
     "er_blocker_venn": SQL_ER_BLOCKER_VENN,

@@ -143,3 +143,63 @@ def rank_fusion(
         term = F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{c}"))
         fused = term if fused is None else fused + term
     return out.withColumn("rrf", fused)
+
+
+def rank_agreement(
+    ranked: DataFrame,
+    rank_a_col: str,
+    rank_b_col: str,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+) -> DataFrame:
+    """Per-query Kendall tau between two candidate rankings — the
+    diagnostic that decides whether :func:`rank_fusion` is worth its
+    second ranker: tau ≈ 1 means the rankers are redundant (fusion buys
+    nothing), tau ≈ 0 means they see DIFFERENT evidence (fusion's sweet
+    spot), tau < 0 on some query slice means one ranker is actively
+    wrong there and the slice deserves a look. Computed as tau-a over
+    permutation ranks (row_number ranks are tie-free by construction;
+    feed dense ranks at your own risk — tied pairs count as discordant
+    under the strict inequality, the conservative read):
+
+        tau = (concordant − discordant) / C(n, 2)
+
+    Scale: one within-query candidate self-join (C(n,2) per query —
+    candidate lists are top-k-truncated upstream, so this is k², not
+    corpus-shaped) and one rollup. Queries with a single candidate emit
+    NULL tau (undefined, not 0 — "no evidence" must not read as "no
+    correlation").
+
+    Output: ``(query_id, n_cands, concordant, discordant, tau)``.
+    """
+    r = ranked.select(
+        F.col(query_col).alias("_q"),
+        F.col(cand_col).alias("_c"),
+        F.col(rank_a_col).cast("long").alias("_ra"),
+        F.col(rank_b_col).cast("long").alias("_rb"),
+    )
+    a = r.select("_q", F.col("_c").alias("_c1"), F.col("_ra").alias("_ra1"), F.col("_rb").alias("_rb1"))
+    b = r.select("_q", F.col("_c").alias("_c2"), F.col("_ra").alias("_ra2"), F.col("_rb").alias("_rb2"))
+    pairs = a.join(b, "_q").where(F.col("_c1") < F.col("_c2"))
+    conc = (
+        (F.col("_ra1") < F.col("_ra2")) & (F.col("_rb1") < F.col("_rb2"))
+    ) | ((F.col("_ra1") > F.col("_ra2")) & (F.col("_rb1") > F.col("_rb2")))
+    per_pair = pairs.groupBy("_q").agg(
+        F.sum(F.when(conc, 1).otherwise(0)).cast("long").alias("concordant"),
+        F.sum(F.when(conc, 0).otherwise(1)).cast("long").alias("discordant"),
+    )
+    sizes = r.groupBy("_q").agg(F.count(F.lit(1)).cast("long").alias("n_cands"))
+    return (
+        sizes.join(per_pair, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            "n_cands",
+            F.coalesce("concordant", F.lit(0)).cast("long").alias("concordant"),
+            F.coalesce("discordant", F.lit(0)).cast("long").alias("discordant"),
+            F.when(
+                F.col("n_cands") >= 2,
+                (F.coalesce("concordant", F.lit(0)) - F.coalesce("discordant", F.lit(0)))
+                / (F.col("n_cands") * (F.col("n_cands") - 1) / 2),
+            ).alias("tau"),
+        )
+    )

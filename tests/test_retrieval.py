@@ -99,3 +99,32 @@ def test_rank_fusion_tie_break_and_query_isolation(spark):
     assert out[("q1", "y")]["rank_s1"] == 1 and out[("q1", "z")]["rank_s1"] == 2
     # rankings are per query: q2's lone candidate ranks first
     assert out[("q2", "z")]["rank_s1"] == 1
+
+
+def test_rank_agreement_tau_extremes(spark):
+    from minimel_spark.operators.retrieval import rank_agreement
+
+    rows = [
+        # q1: identical rankings -> tau 1
+        ("q1", "a", 1, 1), ("q1", "b", 2, 2), ("q1", "c", 3, 3),
+        # q2: fully reversed -> tau -1
+        ("q2", "a", 1, 3), ("q2", "b", 2, 2), ("q2", "c", 3, 1),
+        # q3: single candidate -> tau NULL
+        ("q3", "a", 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "query_id string, cand_id string, ra long, rb long")
+    out = {r["query_id"]: r for r in rank_agreement(df, "ra", "rb").collect()}
+    assert out["q1"]["tau"] == 1.0 and out["q1"]["concordant"] == 3
+    assert out["q2"]["tau"] == -1.0 and out["q2"]["discordant"] == 3
+    assert out["q3"]["tau"] is None and out["q3"]["n_cands"] == 1
+
+
+def test_rank_agreement_partial(spark):
+    from minimel_spark.operators.retrieval import rank_agreement
+
+    # one inversion among three candidates: tau = (2-1)/3
+    rows = [("q", "a", 1, 1), ("q", "b", 2, 3), ("q", "c", 3, 2)]
+    df = spark.createDataFrame(rows, "query_id string, cand_id string, ra long, rb long")
+    r = rank_agreement(df, "ra", "rb").collect()[0]
+    assert abs(r["tau"] - 1 / 3) < 1e-12
+    assert r["concordant"] == 2 and r["discordant"] == 1
