@@ -11322,6 +11322,301 @@ SQL_ER_WEAK_TRUTH = _weak_truth_sql(_WEAK_N_ITER)
 
 
 
+def q_web_kmv_distinct(spark, sf_dir):
+    """K-Minimum-Values distinct-URL sketch (operators/sketch.py
+    kmv_distinct — Bar-Yossef et al. 2002 / Beyer et al. 2007) over the
+    same crawl fixture and grouping levels as web_hll_distinct, so the two
+    sketch families are directly comparable in one corpus: per-domain
+    groups stay under k=64 (the sketch IS the exact count — that branch
+    must fire) while the corpus-wide group saturates (the (k−1)/U_(k)
+    estimator fires). kth_hash and n_kept are exact integers; the estimate
+    is one float divide over them, so the oracle rebuilds every column
+    bit-for-bit via the same md5-60 order statistics."""
+    from minimel_spark.operators.sketch import kmv_distinct
+    from minimel_spark.operators.web import canonical_url, url_domain
+    from minimel_spark.sources.synth import snapshot_pages
+
+    pages = snapshot_pages(_t(spark, sf_dir, "documents"))
+    canon = canonical_url(F.col("url"))
+    vals = pages.select(canon.alias("v"), url_domain(canon).alias("grp"))
+    both = vals.withColumn("level", F.lit("domain")).unionByName(
+        vals.select("v", F.lit("all").alias("grp"), F.lit("all").alias("level"))
+    )
+    out = kmv_distinct(both, ["level", "grp"], "v", k=64)
+    return out.select(
+        "level",
+        "grp",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("kth_hash").cast("long").alias("kth_hash"),
+        F.round("kmv_estimate", 6).alias("kmv_estimate"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round("rel_err", 6).alias("rel_err"),
+    )
+
+
+SQL_WEB_KMV = f"""
+WITH {_SQL_SNAPSHOT_CANON},
+vals AS (
+  SELECT 'domain' AS level, regexp_extract(canonical_url, '^([^/?]*)', 1) AS grp,
+         canonical_url AS v
+  FROM canon
+  UNION ALL
+  SELECT 'all', 'all', canonical_url FROM canon),
+hh AS (
+  SELECT DISTINCT level, grp,
+         ('0x' || substr(md5(v), 1, 15))::UBIGINT AS h
+  FROM vals),
+kept AS (
+  SELECT level, grp, h,
+         row_number() OVER (PARTITION BY level, grp ORDER BY h) AS rn
+  FROM hh),
+agg AS (
+  SELECT level, grp, count(*)::BIGINT AS n_kept, max(h)::BIGINT AS kth_hash
+  FROM kept WHERE rn <= 64 GROUP BY level, grp),
+est AS (
+  SELECT level, grp, n_kept, kth_hash,
+         CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+              ELSE 72634054790231359488.0::DOUBLE / kth_hash::DOUBLE
+         END AS e
+  FROM agg),
+ex AS (SELECT level, grp, count(DISTINCT v)::BIGINT AS n_exact
+       FROM vals GROUP BY level, grp)
+SELECT est.level, est.grp, est.n_kept, est.kth_hash,
+       round(est.e, 6) AS kmv_estimate, ex.n_exact,
+       round((est.e - ex.n_exact) / ex.n_exact, 6) AS rel_err
+FROM est JOIN ex ON est.level = ex.level AND est.grp = ex.grp"""
+
+
+def q_rel_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift test (operators/diagnostics.py
+    ks_two_sample): the empirical price CDF of returned lineitems (flag R)
+    against accepted ones (flag A) — max CDF gap, its location, and the
+    asymptotic two-sided tail. The statistic and its argmax run entirely on
+    exact integer cross-products (|cum_cur·n_ref − cum_ref·n_cur|), so the
+    oracle reproduces d_stat AND d_location deterministically via the same
+    integer max; only the final divide and the 5-term Kolmogorov series are
+    float, with identical expression shape on both engines."""
+    from minimel_spark.operators.diagnostics import ks_two_sample
+
+    li = _t(spark, sf_dir, "lineitem")
+    cur = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_extendedprice").alias("price")
+    )
+    ref = li.where(F.col("l_returnflag") == "A").select(
+        F.col("l_extendedprice").alias("price")
+    )
+    out = ks_two_sample(cur, ref, "price")
+    return out.select(
+        "n_cur",
+        "n_ref",
+        F.round("d_stat", 6).alias("d_stat"),
+        F.col("d_location").cast("double").alias("d_location"),
+        F.round("p_approx", 6).alias("p_approx"),
+    )
+
+
+SQL_REL_KS_DRIFT = """
+WITH cur AS (SELECT l_extendedprice::DOUBLE AS v FROM lineitem
+             WHERE l_returnflag = 'R'),
+refs AS (SELECT l_extendedprice::DOUBLE AS v FROM lineitem
+         WHERE l_returnflag = 'A'),
+per AS (SELECT v, sum(c)::BIGINT AS na, sum(1 - c)::BIGINT AS nb
+        FROM (SELECT v, 1 AS c FROM cur UNION ALL SELECT v, 0 FROM refs)
+        GROUP BY v),
+tot AS MATERIALIZED (SELECT sum(na)::BIGINT AS nat, sum(nb)::BIGINT AS nbt
+                     FROM per),
+cum AS (SELECT v,
+               (sum(na) OVER (ORDER BY v))::BIGINT AS ca,
+               (sum(nb) OVER (ORDER BY v))::BIGINT AS cb
+        FROM per),
+gaps AS (SELECT v,
+                abs(ca * (SELECT nbt FROM tot)
+                    - cb * (SELECT nat FROM tot))::BIGINT AS num
+         FROM cum),
+top AS (SELECT num, v FROM gaps ORDER BY num DESC, v ASC LIMIT 1),
+fin AS (SELECT (SELECT nat FROM tot) AS n_cur,
+               (SELECT nbt FROM tot) AS n_ref,
+               num::DOUBLE / ((SELECT nat FROM tot)::DOUBLE
+                              * (SELECT nbt FROM tot)::DOUBLE) AS d,
+               v AS d_location
+        FROM top),
+lam AS (SELECT *,
+               (sqrt((n_cur::DOUBLE * n_ref::DOUBLE) / (n_cur + n_ref)::DOUBLE)
+                + 0.12
+                + 0.11 / sqrt((n_cur::DOUBLE * n_ref::DOUBLE)
+                              / (n_cur + n_ref)::DOUBLE)) * d AS l
+        FROM fin)
+SELECT n_cur, n_ref, round(d, 6) AS d_stat, d_location,
+       round(least(greatest(
+           2.0 * exp((-2.0 * l) * l)
+           + (-2.0) * exp((-8.0 * l) * l)
+           + 2.0 * exp((-18.0 * l) * l)
+           + (-2.0) * exp((-32.0 * l) * l)
+           + 2.0 * exp((-50.0 * l) * l), 0.0), 1.0), 6) AS p_approx
+FROM lam"""
+
+
+def q_er_kappa_agreement(spark, sf_dir):
+    """Cohen's kappa (operators/evaluate.py cohen_kappa) between two rule
+    matchers labeling the same candidate pairs: the variant world's
+    same-first-letter pairs judged by (A) Jaro-Winkler ≥ 0.85 and (B)
+    3-gram overlap ≥ 3 — chance-corrected committee agreement, computed as
+    one float divide over exact integer contingency sums. The oracle
+    replays the pair set, both rule labels, and the integer kappa form
+    (N·Σ n_cc − Σ a_c·b_c) / (N² − Σ a_c·b_c)."""
+    from minimel_spark.operators.evaluate import cohen_kappa
+    from minimel_spark.operators.pairs import jw_udf
+
+    recs = _vw_records(spark).select("name").distinct()
+    a = recs.select(F.col("name").alias("na"))
+    b = recs.select(F.col("name").alias("nb"))
+    grams = (
+        "array_distinct(transform(sequence(1, length({c}) - 2), "
+        "i -> substring({c}, i, 3)))"
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("na") < F.col("nb"))
+            & (F.substring("na", 1, 1) == F.substring("nb", 1, 1)),
+        )
+        .withColumn("_id", F.concat("na", F.lit("|"), "nb"))
+        .withColumn("la", jw_udf(F.col("na"), F.col("nb")) >= 0.85)
+        .withColumn(
+            "lb",
+            F.expr(
+                f"size(array_intersect({grams.format(c='na')}, "
+                f"{grams.format(c='nb')})) >= 3"
+            ),
+        )
+        .persist()  # two labeler projections read one materialization
+    )
+    out = cohen_kappa(
+        pairs.select("_id", "la"),
+        pairs.select("_id", "lb"),
+        id_col="_id",
+        label_col_a="la",
+        label_col_b="lb",
+    ).select(
+        "n_items",
+        F.round("po", 6).alias("po"),
+        F.round("pe", 6).alias("pe"),
+        F.round("kappa", 6).alias("kappa"),
+    )
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    return out
+
+
+SQL_ER_KAPPA_AGREEMENT = f"""
+WITH {_VW_NAMES_SQL.strip()},
+recs AS MATERIALIZED (SELECT DISTINCT name FROM vw_names),
+g AS (SELECT name,
+             list_distinct(list_transform(range(1, length(name) - 1),
+                                          i -> substr(name, i::INT, 3))) AS gr
+      FROM recs),
+pr AS MATERIALIZED (
+  SELECT a.name AS na, b.name AS nb,
+         (jaro_winkler_similarity(a.name, b.name) >= 0.85) AS la,
+         (len(list_intersect(a.gr, b.gr)) >= 3) AS lb
+  FROM g a JOIN g b
+    ON a.name < b.name AND substr(a.name, 1, 1) = substr(b.name, 1, 1)),
+cell AS (SELECT la, lb, count(*)::BIGINT AS n FROM pr GROUP BY la, lb),
+core AS (SELECT sum(n)::BIGINT AS n_items,
+                sum(CASE WHEN la = lb THEN n ELSE 0 END)::BIGINT AS agree
+         FROM cell),
+ma AS (SELECT la, sum(n)::BIGINT AS ca FROM cell GROUP BY la),
+mb AS (SELECT lb, sum(n)::BIGINT AS cb FROM cell GROUP BY lb),
+pe AS (SELECT coalesce(sum(ca * cb), 0)::BIGINT AS pe_num
+       FROM ma JOIN mb ON ma.la = mb.lb)
+SELECT n_items,
+       round(agree / n_items::DOUBLE, 6) AS po,
+       round(pe_num / (n_items::DOUBLE * n_items::DOUBLE), 6) AS pe,
+       round(CASE WHEN n_items * n_items - pe_num <> 0
+                  THEN (n_items * agree - pe_num)::DOUBLE
+                       / (n_items * n_items - pe_num)::DOUBLE
+                  WHEN agree = n_items THEN 1.0 ELSE 0.0 END, 6) AS kappa
+FROM core CROSS JOIN pe"""
+
+
+def q_graph_hits(spark, sf_dir):
+    """HITS hubs & authorities (operators/graph.py hits, Kleinberg 1999)
+    over the SAME md5-derived document link graph as graph_pagerank /
+    graph_triangles (_doc_link_edges — one definition, three gates): 10
+    synchronous rounds, L1 normalization each half-step, isolated-direction
+    scores pinned to 0. The oracle unrolls all 20 half-steps as chained
+    CTEs with the identical ::DOUBLE recurrence; 6-decimal rounding sits
+    far above the summation-order noise (the pagerank contract)."""
+    from minimel_spark.operators.graph import hits
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = (
+        _doc_link_edges(docs, n)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()  # scanned twice per iteration
+    )
+    out = hits(edges, nodes, n_iter=10)
+    out = out.localCheckpoint(eager=True)  # materialize before unpersist
+    edges.unpersist()
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _sql_hits(n_iter: int = 10) -> str:
+    """Unrolled HITS oracle: a/h half-steps as chained CTEs, each the same
+    guarded L1-normalized recurrence as operators/graph.hits."""
+    steps = []
+    for i in range(n_iter):
+        steps.append(f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.h) AS a_raw
+  FROM h{i} h JOIN edges e ON e.src = h.node GROUP BY e.dst),
+a{i + 1} AS MATERIALIZED (
+  SELECT d.doc_id AS node,
+         CASE WHEN (SELECT coalesce(sum(a_raw), 0.0::DOUBLE) FROM ar{i}) > 0
+              THEN coalesce(ar.a_raw, 0.0::DOUBLE)
+                   / (SELECT sum(a_raw) FROM ar{i})
+              ELSE 0.0::DOUBLE END AS a
+  FROM documents d LEFT JOIN ar{i} ar ON ar.node = d.doc_id),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.a) AS h_raw
+  FROM a{i + 1} a JOIN edges e ON e.dst = a.node GROUP BY e.src),
+h{i + 1} AS MATERIALIZED (
+  SELECT d.doc_id AS node,
+         CASE WHEN (SELECT coalesce(sum(h_raw), 0.0::DOUBLE) FROM hr{i}) > 0
+              THEN coalesce(hr.h_raw, 0.0::DOUBLE)
+                   / (SELECT sum(h_raw) FROM hr{i})
+              ELSE 0.0::DOUBLE END AS h
+  FROM documents d LEFT JOIN hr{i} hr ON hr.node = d.doc_id)""")
+    chained = ",\n".join(steps)
+    return f"""
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, nn),
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+h0 AS MATERIALIZED (
+  SELECT doc_id AS node, 1.0::DOUBLE / (SELECT n FROM nn) AS h
+  FROM documents),
+{chained}
+SELECT h{n_iter}.node::BIGINT AS node,
+       round(h{n_iter}.h, 6) AS hub,
+       round(a{n_iter}.a, 6) AS authority
+FROM h{n_iter} JOIN a{n_iter} ON h{n_iter}.node = a{n_iter}.node"""
+
+
+SQL_GRAPH_HITS = _sql_hits(10)
+
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -11549,6 +11844,12 @@ _TAIL: list[str] = [
     "rel_full_outer_align",
     "dedup_jaccard_words",
     "dedup_jaccard_3gram",
+    # round-5 continuation batch (never driver-sampled; green in the
+    # local sweep + pytest, the tail contract documented above)
+    "web_kmv_distinct",
+    "rel_ks_drift",
+    "er_kappa_agreement",
+    "graph_hits",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -11562,7 +11863,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 209
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 213
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -11740,6 +12041,10 @@ _ORACLES: dict[str, str] = {
     "er_pair_skyline": SQL_ER_PAIR_SKYLINE,
     "rel_cdc_merge": SQL_REL_CDC_MERGE,
     "er_grid_dbscan": SQL_ER_GRID_DBSCAN,
+    "web_kmv_distinct": SQL_WEB_KMV,
+    "rel_ks_drift": SQL_REL_KS_DRIFT,
+    "er_kappa_agreement": SQL_ER_KAPPA_AGREEMENT,
+    "graph_hits": SQL_GRAPH_HITS,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

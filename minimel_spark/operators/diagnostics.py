@@ -21,6 +21,8 @@ feeds both consumers; pass ``persisted_out`` to aggregate once.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -275,4 +277,135 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
                 / (F.col("expected_p") * F.col("_tot"))
             ).alias("chi2_component"),
         )
+    )
+
+
+def ks_two_sample(
+    current: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    order_partitions: int = 256,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between a CURRENT and a
+    REFERENCE numeric column — the binning-free companion to
+    :func:`distribution_drift`: PSI answers "how much mass moved between
+    fixed bins", KS answers "what is the largest gap between the two
+    empirical CDFs, and where" — sensitive to shifts PSI's bin edges can
+    straddle, with a distribution-free significance scale.
+
+        D = max over observed values v of |F_cur(v) − F_ref(v)|
+
+    Output, ONE row: ``(n_cur, n_ref, d_stat, d_location, p_approx)`` —
+    ``d_location`` is the SMALLEST value attaining the max (deterministic
+    argmax: the comparison runs on exact integers, see below), ``p_approx``
+    the standard two-sided asymptotic tail 2·Σ_{j≥1}(−1)^{j−1}e^{−2j²λ²}
+    (λ = (√nₑ + 0.12 + 0.11/√nₑ)·D, nₑ = n·m/(n+m); series truncated at
+    j = 5, which is < 1e-16 off for any λ where the tail matters). NULL
+    d_stat/d_location/p_approx when either side is empty.
+
+    Exactness: both CDFs reduce to integer cumulative counts over the
+    distinct-value frame, and the max runs on the INTEGER cross-multiplied
+    gap |cum_cur·n_ref − cum_ref·n_cur| — no float comparison decides the
+    argmax, so the location is bit-deterministic on both engines (requires
+    n_cur·n_ref < 2⁶³; at larger scale pre-aggregate or sample sides).
+    The final divide and the p series are single float expressions over
+    those exact integers.
+
+    Distributed exactly like ``roc_auc``'s midrank pass: one groupBy to one
+    row per distinct value, fixed equal-width hash ranges over the observed
+    [min, max] (one 2-scalar eager aggregate), per-range count subtotals
+    (one ≤ ``order_partitions``-row collect), broadcast prefix offsets,
+    per-range windows — no global sort, no single-partition window.
+    DETERMINISM REQUIREMENT: the per-value aggregate is evaluated by both
+    the subtotal job and the final plan — persist upstream plans that are
+    not re-execution-deterministic. NULL values are excluded.
+    """
+    k = max(1, (order_partitions - 1).bit_length())
+    nranges = 1 << k
+    cur = current.select(F.col(value_col).cast("double").alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    ref = reference.select(F.col(value_col).cast("double").alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    per = (
+        cur.withColumn("_c", F.lit(1))
+        .unionByName(ref.withColumn("_c", F.lit(0)))
+        .groupBy("_v")
+        .agg(
+            F.sum("_c").alias("_na"),
+            F.sum(F.lit(1) - F.col("_c")).alias("_nb"),
+        )
+    )
+    rng = per.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi")).first()
+    spark = current.sparkSession
+    if rng["_lo"] is None:
+        # both sides empty: the documented all-NULL row
+        return spark.createDataFrame(
+            [(0, 0, None, None, None)],
+            "n_cur long, n_ref long, d_stat double, d_location double, "
+            "p_approx double",
+        )
+    lo, hi = float(rng["_lo"]), float(rng["_hi"])
+    width = (hi - lo) / nranges if hi > lo else 1.0
+    per = per.withColumn(
+        "_rg",
+        F.least(
+            F.greatest(F.floor((F.col("_v") - F.lit(lo)) / F.lit(width)), F.lit(0)),
+            F.lit(nranges - 1),
+        ).cast("long"),
+    )
+    sub = {
+        r["_rg"]: (r["_sa"], r["_sb"])
+        for r in per.groupBy("_rg")
+        .agg(F.sum("_na").alias("_sa"), F.sum("_nb").alias("_sb"))
+        .collect()
+    }
+    runa = runb = 0
+    offsets = []
+    for rg in range(nranges):
+        if rg in sub:
+            offsets.append((rg, runa, runb))
+            runa += int(sub[rg][0])
+            runb += int(sub[rg][1])
+    n_a, n_b = runa, runb
+    if n_a == 0 or n_b == 0:
+        return spark.createDataFrame(
+            [(n_a, n_b, None, None, None)],
+            "n_cur long, n_ref long, d_stat double, d_location double, "
+            "p_approx double",
+        )
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "_rg long, _offa long, _offb long")
+    )
+    w = Window.partitionBy("_rg").orderBy("_v")
+    gaps = (
+        per.join(off, "_rg")
+        .withColumn("_ca", F.col("_offa") + F.sum("_na").over(w))
+        .withColumn("_cb", F.col("_offb") + F.sum("_nb").over(w))
+        .select(
+            "_v",
+            F.abs(
+                F.col("_ca") * F.lit(n_b) - F.col("_cb") * F.lit(n_a)
+            ).alias("_num"),
+        )
+    )
+    top = gaps.agg(
+        F.min(F.struct((-F.col("_num")).alias("_neg"), F.col("_v"))).alias("_m")
+    )
+    d = (-F.col("_m._neg")).cast("double") / F.lit(float(n_a) * float(n_b))
+    n_e = float(n_a) * float(n_b) / float(n_a + n_b)
+    lam = (math.sqrt(n_e) + 0.12 + 0.11 / math.sqrt(n_e)) * d
+    series = None
+    for j in range(1, 6):
+        term = F.lit(2.0 * (1 if j % 2 == 1 else -1)) * F.exp(
+            F.lit(-2.0 * j * j) * lam * lam
+        )
+        series = term if series is None else series + term
+    return top.select(
+        F.lit(n_a).cast("long").alias("n_cur"),
+        F.lit(n_b).cast("long").alias("n_ref"),
+        d.alias("d_stat"),
+        F.col("_m._v").alias("d_location"),
+        F.least(F.greatest(series, F.lit(0.0)), F.lit(1.0)).alias("p_approx"),
     )

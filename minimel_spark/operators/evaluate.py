@@ -1036,3 +1036,76 @@ def blocker_venn(
     return combos.groupBy("combo").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+def cohen_kappa(
+    rater_a: DataFrame,
+    rater_b: DataFrame,
+    id_col: str = "rec_id",
+    label_col_a: str = "label",
+    label_col_b: str = "label",
+) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between two labelings of the same items —
+    chance-corrected agreement, the number that separates "the two matchers
+    agree on 95% of pairs" from "they agree 95% of the time *because 95% of
+    pairs are trivial non-matches*". In the review loop this is the
+    committee-health metric next to :func:`blocker_venn` (which audits the
+    PAIR sets): run it between two matcher variants, between a matcher and
+    the reviewer labels, or between two reviewers to calibrate the label
+    stream itself. Multi-class (labels are any equatable type); items
+    present in only one labeling are dropped by the alignment join.
+
+    One row out: ``(n_items, po, pe, kappa)`` — observed agreement,
+    expected-by-chance agreement (product of marginals), and
+
+        kappa = (po − pe) / (1 − pe)
+              = (N·Σ_c n_cc − Σ_c a_c·b_c) / (N² − Σ_c a_c·b_c)
+
+    where the second form is how it is computed: every sum is an exact
+    integer (diagonal counts, marginal products), so both engines reach the
+    final value through ONE identical float divide — bit-deterministic, the
+    cluster_quality/ARI exactness contract. Degenerate guard: when pe == 1
+    (both raters constant with the same label), kappa is 1.0 if po == 1
+    else 0.0 (structural integer comparison, no float equality).
+
+    Distributed: one alignment join, one groupBy to the (label_a, label_b)
+    contingency cells, marginal rollups over the CELLS — never the item
+    stream twice, no windows, no iteration.
+    """
+    a = rater_a.select(
+        F.col(id_col).alias("_id"), F.col(label_col_a).alias("_la")
+    )
+    b = rater_b.select(
+        F.col(id_col).alias("_id"), F.col(label_col_b).alias("_lb")
+    )
+    cell = a.join(b, "_id").groupBy("_la", "_lb").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    core = cell.agg(
+        F.sum("_n").alias("n_items"),
+        F.sum(F.when(F.col("_la") == F.col("_lb"), F.col("_n")).otherwise(0)).alias(
+            "_agree"
+        ),
+    )
+    ma = cell.groupBy("_la").agg(F.sum("_n").alias("_ca"))
+    mb = cell.groupBy("_lb").agg(F.sum("_n").alias("_cb"))
+    prod = (
+        ma.join(mb, ma["_la"] == mb["_lb"])
+        .agg(F.coalesce(F.sum(F.col("_ca") * F.col("_cb")), F.lit(0)).alias("_pe_num"))
+    )
+    n = F.col("n_items")
+    po = F.col("_agree") / n
+    pe = F.col("_pe_num") / (n * n)
+    denom = n * n - F.col("_pe_num")
+    kappa = F.when(
+        denom != 0,
+        (n * F.col("_agree") - F.col("_pe_num")) / denom,
+    ).otherwise(
+        F.when(F.col("_agree") == n, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return core.crossJoin(prod).select(
+        n.cast("long").alias("n_items"),
+        po.alias("po"),
+        pe.alias("pe"),
+        kappa.alias("kappa"),
+    )

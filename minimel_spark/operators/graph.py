@@ -521,3 +521,87 @@ def knn_sparsify(
         F.col("_b").alias(dst_col),
         F.col("_s").alias(score_col),
     )
+
+
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 10,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over a directed simple
+    edge table — the query-independent counterpart signal to
+    :func:`pagerank`: a page is a good AUTHORITY when good hubs point at it,
+    a good HUB when it points at good authorities; crawl curation mixes both
+    (directory/index pages score as hubs, canonical content as authorities —
+    PageRank alone cannot tell them apart, it has one score).
+
+    Exactly ``n_iter`` synchronous rounds from the uniform L1 vector 1/N:
+
+        a'_{i+1}(v) = Σ_{u→v} h_i(u)     then a_{i+1} = a' / Σ a'
+        h'_{i+1}(u) = Σ_{u→v} a_{i+1}(v) then h_{i+1} = h' / Σ h'
+
+    L1 normalization (sum, not the textbook L2) is deliberate: the scores
+    stay a probability-like distribution, the fixed point is the same up to
+    scale (normalization choice never changes the ORDER or the ratio
+    structure of either eigenvector), and the oracle replays it with plain
+    sums — no sqrt of a sum whose accumulation order differs between
+    engines. Fixed iteration count, not a convergence test: the result is a
+    pure function of (edges, nodes, n_iter), the pagerank determinism
+    contract. Nodes with no in-edges get authority 0, no out-edges hub 0;
+    if the graph has NO edges at all every score is 0 (both normalizers
+    vanish — guarded division, not NaN).
+
+    Scale: per round two grouped-sum shuffles (one per direction) + two
+    1-row normalizer aggregates joined back via broadcast crossJoin;
+    ``localCheckpoint(eager=True)`` per round truncates lineage like the CC
+    and pagerank loops. Callers should persist ``edges`` — scanned twice
+    per iteration.
+    """
+    edges = edges.select("src", "dst")
+    n = nodes.count()
+    hubs = nodes.select("node", F.lit(1.0 / n).alias("h"))
+    auths = None
+    for _ in range(n_iter):
+        a_raw = (
+            hubs.join(edges, hubs["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        a_norm = a_raw.agg(F.coalesce(F.sum("a_raw"), F.lit(0.0)).alias("_za"))
+        auths = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_norm))
+            .select(
+                "node",
+                F.when(
+                    F.col("_za") > 0,
+                    F.coalesce("a_raw", F.lit(0.0)) / F.col("_za"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            auths.join(edges, auths["node"] == edges["dst"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h_norm = h_raw.agg(F.coalesce(F.sum("h_raw"), F.lit(0.0)).alias("_zh"))
+        hubs = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_norm))
+            .select(
+                "node",
+                F.when(
+                    F.col("_zh") > 0,
+                    F.coalesce("h_raw", F.lit(0.0)) / F.col("_zh"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return hubs.join(auths, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("authority")
+    )

@@ -292,3 +292,112 @@ def hll_reference(values, p: int = 8) -> float:
     if raw <= 2.5 * m and v0 > 0:
         return m * math.log(m / v0)
     return raw
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group K-Minimum-Values distinct-count sketch (Bar-Yossef et al.,
+    RANDOM 2002; unbiased estimator per Beyer et al., SIGMOD 2007) — the
+    ORDER-STATISTIC companion to :func:`hll_distinct`: instead of register
+    maxima it keeps the k smallest distinct 60-bit md5 hashes per group, and
+    estimates D ≈ (k−1) / U_(k) where U_(k) is the k-th minimum normalized
+    to (0,1]. Two properties HLL lacks make it worth carrying both: the
+    kept-hash set composes under ANY set algebra (union = merge + re-top-k,
+    and the Jaccard of two groups is estimable from the overlap of their
+    k-min sets), and below k distinct values the sketch IS the exact answer
+    (n_kept < k ⇒ every distinct hash was kept).
+
+    Returns (group_cols..., n_kept, kth_hash, kmv_estimate[, n_exact,
+    rel_err]): ``kth_hash`` is the largest kept hash (NULL only for an
+    all-NULL group, which produces no row); ``kmv_estimate`` is
+    (k−1)·2⁶⁰/h_k when the sketch saturated (n_kept == k), else exactly
+    n_kept. The estimate derives from one float divide over EXACT integers
+    — both engines agree bit-for-bit, no summation order anywhere
+    (standard error ~1/√(k−2), ~13% at k=64).
+
+    Scale: one (group, hash) distinct-style aggregate (map-side combinable),
+    then a per-group top-k window — partitioned by group, never a global
+    sort; the per-group sort input is the group's distinct-hash stream, the
+    same bound as any per-group top-k in this repo. ``exact`` adds the true
+    countDistinct (verification only — production callers take the sketch).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    df = ensure_min_parallelism(df, *group_cols, value_col)
+    hashed = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, md5_long60(F.col(value_col)).alias("_h"))
+        .groupBy(*group_cols, "_h")
+        .agg(F.lit(1).alias("_one"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    kept = hashed.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    agg = kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("_h").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * (1 << 60))) / F.col("kth_hash").cast("double")
+    )
+    out = agg.select(*group_cols, "n_kept", "kth_hash", est.alias("kmv_estimate"))
+    if not exact:
+        return out
+    truth = df.groupBy(*group_cols).agg(
+        F.countDistinct(value_col).alias("n_exact")
+    )
+    return out.join(truth, group_cols).select(
+        *group_cols,
+        "n_kept",
+        "kth_hash",
+        "kmv_estimate",
+        "n_exact",
+        ((F.col("kmv_estimate") - F.col("n_exact")) / F.col("n_exact")).alias(
+            "rel_err"
+        ),
+    )
+
+
+def kmv_union(
+    sketches: DataFrame,
+    group_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Merge per-source KMV sketches into per-group union sketches — the
+    composition property that makes KMV a DISTRIBUTIVE sketch: the k minima
+    of a union are a subset of the union of the parts' k minima, so merging
+    kept-hash sets and re-taking the k smallest yields EXACTLY the sketch a
+    single pass over the union would have built (no approximation is added
+    by merging). Input is the long form of kept hashes — (group_cols...,
+    _h) rows from any number of sources (e.g. one sketch per day/partition,
+    rolled up to per-host) — output matches :func:`kmv_distinct` without
+    the ``exact`` columns. Shuffle cost is the kept-hash rows only (≤ k per
+    source-group), never the raw values.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    dedup = sketches.groupBy(*group_cols, "_h").agg(F.lit(1).alias("_one"))
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    kept = dedup.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    agg = kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("_h").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * (1 << 60))) / F.col("kth_hash").cast("double")
+    )
+    return agg.select(*group_cols, "n_kept", "kth_hash", est.alias("kmv_estimate"))

@@ -1,0 +1,294 @@
+"""Round-5 continuation batch: KMV sketch, two-sample KS, Cohen's kappa,
+HITS hubs/authorities."""
+
+import hashlib
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _md5_60(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def test_kmv_exact_branch_below_k(spark):
+    from minimel_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g", f"u{i % 7}") for i in range(40)], "grp string, v string"
+    )
+    row = kmv_distinct(df, ["grp"], "v", k=64).first()
+    assert row["n_kept"] == 7
+    assert row["kmv_estimate"] == 7.0  # sketch IS the exact count below k
+    assert row["n_exact"] == 7
+    assert row["rel_err"] == 0.0
+
+
+def test_kmv_saturated_matches_python_reference(spark):
+    from minimel_spark.operators.sketch import kmv_distinct
+
+    k = 16
+    values = [f"url://{i}" for i in range(500)]
+    df = spark.createDataFrame([("g", v) for v in values], "grp string, v string")
+    row = kmv_distinct(df, ["grp"], "v", k=k).first()
+    hs = sorted({_md5_60(v) for v in values})[:k]
+    assert row["n_kept"] == k
+    assert row["kth_hash"] == hs[-1]
+    expect = float((k - 1) * (1 << 60)) / float(hs[-1])
+    assert row["kmv_estimate"] == expect
+    # ~1/sqrt(k-2) std err; be generous but assert sanity
+    assert abs(row["rel_err"]) < 0.8
+
+
+def test_kmv_union_equals_direct_sketch(spark):
+    from minimel_spark.operators.sketch import kmv_distinct, kmv_union
+
+    k = 8
+    a = [("g", f"a{i}") for i in range(100)]
+    b = [("g", f"b{i}") for i in range(100)] + a[:50]
+    da = spark.createDataFrame(a, "grp string, v string")
+    db = spark.createDataFrame(b, "grp string, v string")
+    direct = kmv_distinct(da.union(db), ["grp"], "v", k=k, exact=False).first()
+
+    def kept(df):
+        h = df.select(
+            "grp",
+            F.conv(F.substring(F.md5(F.col("v")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h"),
+        )
+        return h
+    merged = kmv_union(kept(da).union(kept(db)), ["grp"], k=k).first()
+    assert merged["n_kept"] == direct["n_kept"]
+    assert merged["kth_hash"] == direct["kth_hash"]
+    assert merged["kmv_estimate"] == direct["kmv_estimate"]
+
+
+def test_kmv_rejects_bad_k(spark):
+    from minimel_spark.operators.sketch import kmv_distinct, kmv_union
+
+    df = spark.createDataFrame([("g", "v")], "grp string, v string")
+    with pytest.raises(ValueError):
+        kmv_distinct(df, ["grp"], "v", k=1)
+    with pytest.raises(ValueError):
+        kmv_union(df, ["grp"], k=0)
+
+
+# ---------------------------------------------------------------- KS
+
+
+def _ks_python(xs, ys):
+    vals = sorted(set(xs) | set(ys))
+    na, nb = len(xs), len(ys)
+    best, loc = -1, None
+    ca = cb = 0
+    for v in vals:
+        ca += sum(1 for x in xs if x == v)
+        cb += sum(1 for y in ys if y == v)
+        num = abs(ca * nb - cb * na)
+        if num > best:
+            best, loc = num, v
+    return best / (na * nb), loc
+
+
+def test_ks_matches_python_reference(spark):
+    from minimel_spark.operators.diagnostics import ks_two_sample
+
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 9.0]
+    ys = [2.0, 4.0, 4.0, 6.0, 7.0]
+    cur = spark.createDataFrame([(x,) for x in xs], "v double")
+    ref = spark.createDataFrame([(y,) for y in ys], "v double")
+    row = ks_two_sample(cur, ref, "v").first()
+    d, loc = _ks_python(xs, ys)
+    assert row["n_cur"] == 7 and row["n_ref"] == 5
+    assert row["d_stat"] == pytest.approx(d, abs=1e-12)
+    assert row["d_location"] == loc
+    assert 0.0 <= row["p_approx"] <= 1.0
+
+
+def test_ks_identical_and_disjoint(spark):
+    from minimel_spark.operators.diagnostics import ks_two_sample
+
+    xs = [float(i) for i in range(50)]
+    same = spark.createDataFrame([(x,) for x in xs], "v double")
+    row = ks_two_sample(same, same, "v").first()
+    assert row["d_stat"] == 0.0
+    assert row["p_approx"] == 1.0
+    lo = spark.createDataFrame([(float(i),) for i in range(20)], "v double")
+    hi = spark.createDataFrame([(float(i + 100),) for i in range(20)], "v double")
+    row = ks_two_sample(lo, hi, "v").first()
+    assert row["d_stat"] == 1.0  # fully separated CDFs
+    assert row["d_location"] == 19.0  # smallest value attaining the max
+    assert row["p_approx"] < 1e-6
+
+
+def test_ks_empty_sides_yield_nulls(spark):
+    from minimel_spark.operators.diagnostics import ks_two_sample
+
+    empty = spark.createDataFrame([], "v double")
+    some = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    row = ks_two_sample(empty, some, "v").first()
+    assert row["n_cur"] == 0 and row["n_ref"] == 2
+    assert row["d_stat"] is None and row["p_approx"] is None
+    row = ks_two_sample(empty, empty, "v").first()
+    assert row["n_cur"] == 0 and row["n_ref"] == 0 and row["d_stat"] is None
+
+
+def test_ks_parallelism_invariant(spark):
+    from minimel_spark.operators.diagnostics import ks_two_sample
+
+    xs = [(float(i % 17),) for i in range(200)]
+    ys = [(float(i % 13),) for i in range(150)]
+    a1 = spark.createDataFrame(xs, "v double").repartition(1)
+    a8 = spark.createDataFrame(xs, "v double").repartition(8)
+    b1 = spark.createDataFrame(ys, "v double").repartition(1)
+    b8 = spark.createDataFrame(ys, "v double").repartition(8)
+    r1 = ks_two_sample(a1, b1, "v").first()
+    r8 = ks_two_sample(a8, b8, "v").first()
+    assert r1 == r8
+
+
+# ---------------------------------------------------------------- kappa
+
+
+def test_kappa_hand_example(spark):
+    from minimel_spark.operators.evaluate import cohen_kappa
+
+    # classic 2x2: a=20 yes/yes, b=5 yes/no, c=10 no/yes, d=15 no/no
+    rows = (
+        [("i%d" % i, True, True) for i in range(20)]
+        + [("j%d" % i, True, False) for i in range(5)]
+        + [("k%d" % i, False, True) for i in range(10)]
+        + [("l%d" % i, False, False) for i in range(15)]
+    )
+    df = spark.createDataFrame(rows, "rec_id string, la boolean, lb boolean")
+    row = cohen_kappa(
+        df.select("rec_id", "la"),
+        df.select("rec_id", "lb"),
+        label_col_a="la",
+        label_col_b="lb",
+    ).first()
+    n = 50
+    po = 35 / n
+    pe = (25 * 30 + 25 * 20) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert row["n_items"] == n
+    assert row["po"] == pytest.approx(po, abs=1e-12)
+    assert row["pe"] == pytest.approx(pe, abs=1e-12)
+    assert row["kappa"] == pytest.approx(kappa, abs=1e-12)
+
+
+def test_kappa_perfect_and_constant(spark):
+    from minimel_spark.operators.evaluate import cohen_kappa
+
+    perfect = spark.createDataFrame(
+        [(f"i{i}", i % 3) for i in range(30)], "rec_id string, label int"
+    )
+    row = cohen_kappa(perfect, perfect).first()
+    assert row["po"] == 1.0 and row["kappa"] == 1.0
+    # both constant, same label: pe == 1 -> structural guard -> 1.0
+    const = spark.createDataFrame(
+        [(f"i{i}", 1) for i in range(10)], "rec_id string, label int"
+    )
+    row = cohen_kappa(const, const).first()
+    assert row["kappa"] == 1.0
+    # both constant, different labels: agreement 0, pe == 0 via disjoint
+    # label sets -> kappa == 0 (no denominator blow-up)
+    other = spark.createDataFrame(
+        [(f"i{i}", 2) for i in range(10)], "rec_id string, label int"
+    )
+    row = cohen_kappa(const, other).first()
+    assert row["po"] == 0.0 and row["kappa"] == 0.0
+
+
+def test_kappa_multiclass_matches_python(spark):
+    from minimel_spark.operators.evaluate import cohen_kappa
+
+    import random
+
+    rng = random.Random(7)
+    labels = ["x", "y", "z"]
+    rows = [
+        (f"i{i}", rng.choice(labels), rng.choice(labels)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "rec_id string, la string, lb string")
+    row = cohen_kappa(
+        df.select("rec_id", "la"),
+        df.select("rec_id", "lb"),
+        label_col_a="la",
+        label_col_b="lb",
+    ).first()
+    n = len(rows)
+    po = sum(1 for _, a, b in rows if a == b) / n
+    pe = sum(
+        sum(1 for r in rows if r[1] == c) * sum(1 for r in rows if r[2] == c)
+        for c in labels
+    ) / (n * n)
+    assert row["kappa"] == pytest.approx((po - pe) / (1 - pe), abs=1e-12)
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def test_hits_star_structure(spark):
+    from minimel_spark.operators.graph import hits
+
+    # h0 points at a1, a2, a3; h1 points at a1 only.
+    edges = spark.createDataFrame(
+        [(0, 10), (0, 11), (0, 12), (1, 10)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [0, 1, 10, 11, 12]], "node long"
+    )
+    out = {r["node"]: (r["hub"], r["authority"]) for r in hits(edges, nodes, 5).collect()}
+    # node 0 is the stronger hub; node 10 the stronger authority
+    assert out[0][0] > out[1][0] > 0.0
+    assert out[10][1] > out[11][1] > 0.0
+    assert out[11][1] == out[12][1]
+    # pure hubs have zero authority; pure authorities zero hub
+    assert out[0][1] == 0.0 and out[10][0] == 0.0
+    # L1 normalization: each score family sums to 1
+    assert sum(v[0] for v in out.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(v[1] for v in out.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hits_matches_python_reference(spark):
+    from minimel_spark.operators.graph import hits
+
+    edges_py = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 2)]
+    nodes_py = [0, 1, 2, 3, 4]
+    n_iter = 4
+    h = {u: 1.0 / len(nodes_py) for u in nodes_py}
+    a = {u: 0.0 for u in nodes_py}
+    for _ in range(n_iter):
+        a_raw = {u: 0.0 for u in nodes_py}
+        for s, d in edges_py:
+            a_raw[d] += h[s]
+        za = sum(a_raw.values())
+        a = {u: (a_raw[u] / za if za > 0 else 0.0) for u in nodes_py}
+        h_raw = {u: 0.0 for u in nodes_py}
+        for s, d in edges_py:
+            h_raw[s] += a[d]
+        zh = sum(h_raw.values())
+        h = {u: (h_raw[u] / zh if zh > 0 else 0.0) for u in nodes_py}
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    nodes = spark.createDataFrame([(u,) for u in nodes_py], "node long")
+    out = {r["node"]: r for r in hits(edges, nodes, n_iter).collect()}
+    for u in nodes_py:
+        assert out[u]["hub"] == pytest.approx(h[u], abs=1e-12)
+        assert out[u]["authority"] == pytest.approx(a[u], abs=1e-12)
+    # isolated node scores 0 on both axes
+    assert out[4]["hub"] == 0.0 and out[4]["authority"] == 0.0
+
+
+def test_hits_empty_edges_all_zero(spark):
+    from minimel_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,)], "node long")
+    rows = hits(edges, nodes, 3).collect()
+    assert {(r["hub"], r["authority"]) for r in rows} == {(0.0, 0.0)}
