@@ -292,3 +292,85 @@ def test_hits_empty_edges_all_zero(spark):
     nodes = spark.createDataFrame([(0,), (1,)], "node long")
     rows = hits(edges, nodes, 3).collect()
     assert {(r["hub"], r["authority"]) for r in rows} == {(0.0, 0.0)}
+
+
+# ---------------------------------------------------------------- PQ
+
+
+def _pq_fixture(spark, n=120, dim=8, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), rows
+
+
+def test_pq_refine_recovers_exact_topk(spark):
+    """With refine == corpus size the shortlist is the whole corpus, so the
+    exact re-rank must equal the exact L2 top-k regardless of codebooks."""
+    from minimel_spark.operators.ann import pq_topk
+
+    df, rows = _pq_fixture(spark)
+    queries = df.where(F.col("vec_id") < 3)
+    out = pq_topk(
+        df, queries, dim=8, k=5, m=4, ks=8, refine=120, sample_size=120
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    vecs = {i: [float(x) for x in v] for i, v in rows}
+    for qid in range(3):
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(vecs[qid], vecs[i])), i)
+            for i in vecs
+        )[:5]
+        expect = [i for _, i in d]
+        got = [v for _, v in sorted(by_q[qid])]
+        assert got == expect
+
+
+def test_pq_md5_and_np_families_agree_on_shape(spark):
+    from minimel_spark.operators.ann import pq_topk
+
+    df, _ = _pq_fixture(spark)
+    queries = df.where(F.col("vec_id") < 2)
+    for fam in ("np", "md5"):
+        out = pq_topk(
+            df, queries, dim=8, k=4, m=2, ks=4, sample_size=120, hash_family=fam
+        ).collect()
+        assert len(out) == 8  # 2 queries x k
+        for r in out:
+            assert r["dist"] >= 0.0
+        ranks = sorted(
+            (r["query_id"], r["rank"]) for r in out
+        )
+        assert ranks == [(q, k) for q in (0, 1) for k in (1, 2, 3, 4)]
+
+
+def test_pq_md5_parallelism_invariant(spark):
+    from minimel_spark.operators.ann import pq_topk
+
+    df, _ = _pq_fixture(spark, n=80)
+    queries = df.where(F.col("vec_id") < 2)
+    a = pq_topk(
+        df.repartition(1), queries, dim=8, k=5, m=4, ks=8, hash_family="md5"
+    ).collect()
+    b = pq_topk(
+        df.repartition(8), queries, dim=8, k=5, m=4, ks=8, hash_family="md5"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pq_validation(spark):
+    from minimel_spark.operators.ann import pq_topk
+
+    df, _ = _pq_fixture(spark, n=20)
+    q = df.where(F.col("vec_id") < 1)
+    with pytest.raises(ValueError):
+        pq_topk(df, q, dim=8, m=3)  # m must divide dim
+    with pytest.raises(ValueError):
+        pq_topk(df, q, dim=8, k=10, m=4, refine=5)  # refine < k
+    with pytest.raises(ValueError):
+        pq_topk(df, q, dim=8, m=4, hash_family="bogus")
