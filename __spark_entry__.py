@@ -11736,6 +11736,206 @@ def q_ann_pq_recall(spark, sf_dir):
 
 
 
+def q_web_kmv_jaccard(spark, sf_dir):
+    """KMV Jaccard between the two crawl snapshots' canonical-URL sets
+    (operators/sketch.py kmv_jaccard — Theta-sketch overlap semantics over
+    the kmv_distinct order statistics): k=64 so both sides SATURATE and the
+    estimator genuinely estimates (n_both/k_union over the union's k
+    minima), with the exact Jaccard + absolute error alongside. Every count
+    is an exact integer over md5-60 order statistics, so the oracle
+    rebuilds the kept sets, the union k-min, both membership flags, and
+    the exact side bit-for-bit."""
+    from minimel_spark.operators.sketch import kmv_jaccard
+    from minimel_spark.operators.web import canonical_url
+    from minimel_spark.sources.synth import snapshot_pages
+
+    pages = snapshot_pages(_t(spark, sf_dir, "documents"))
+    canon = pages.select(
+        "snapshot", canonical_url(F.col("url")).alias("v")
+    )
+    out = kmv_jaccard(
+        canon.where(F.col("snapshot") == 0),
+        canon.where(F.col("snapshot") == 1),
+        "v",
+        k=64,
+    )
+    return out.select(
+        "n_kept_left",
+        "n_kept_right",
+        "k_union",
+        "n_both",
+        F.round("jaccard_kmv", 6).alias("jaccard_kmv"),
+        F.round("jaccard_exact", 6).alias("jaccard_exact"),
+        F.round("abs_err", 6).alias("abs_err"),
+    )
+
+
+SQL_WEB_KMV_JACCARD = f"""
+WITH {_SQL_SNAPSHOT_CANON},
+ha AS (SELECT DISTINCT ('0x' || substr(md5(canonical_url), 1, 15))::UBIGINT AS h
+       FROM canon WHERE snapshot = 0),
+hb AS (SELECT DISTINCT ('0x' || substr(md5(canonical_url), 1, 15))::UBIGINT AS h
+       FROM canon WHERE snapshot = 1),
+ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha)
+       WHERE rn <= 64),
+kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb)
+       WHERE rn <= 64),
+ku AS (SELECT h FROM (
+         SELECT h, row_number() OVER (ORDER BY h) AS rn
+         FROM (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)))
+       WHERE rn <= 64),
+core AS (SELECT count(*)::BIGINT AS k_union,
+                sum(CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL
+                         THEN 1 ELSE 0 END)::BIGINT AS n_both
+         FROM ku LEFT JOIN ka ON ka.h = ku.h LEFT JOIN kb ON kb.h = ku.h),
+na AS (SELECT count(*)::BIGINT AS n_kept_left FROM ka),
+nb AS (SELECT count(*)::BIGINT AS n_kept_right FROM kb),
+va AS (SELECT DISTINCT canonical_url AS v FROM canon WHERE snapshot = 0),
+vb AS (SELECT DISTINCT canonical_url AS v FROM canon WHERE snapshot = 1),
+ex AS (SELECT CASE WHEN count(*) > 0
+                   THEN sum(CASE WHEN va.v IS NOT NULL AND vb.v IS NOT NULL
+                                 THEN 1 ELSE 0 END) / count(*)
+                   ELSE 0.0 END AS jaccard_exact
+       FROM va FULL OUTER JOIN vb ON va.v = vb.v)
+SELECT n_kept_left, n_kept_right, k_union, n_both,
+       round(CASE WHEN k_union > 0 THEN n_both / k_union ELSE 0.0 END, 6)
+         AS jaccard_kmv,
+       round(jaccard_exact, 6) AS jaccard_exact,
+       round(abs(CASE WHEN k_union > 0 THEN n_both / k_union ELSE 0.0 END
+                 - jaccard_exact), 6) AS abs_err
+FROM core CROSS JOIN na CROSS JOIN nb CROSS JOIN ex"""
+
+
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank (operators/graph.py personalized_pagerank,
+    Haveliwala WWW 2002) over the SAME md5 link graph as
+    graph_pagerank/graph_hits, seeded on doc_id < 8: teleport AND dangling
+    mass return to the uniform seed distribution, so rank is proximity to
+    the seed set (seed-expansion order for a focused crawl). The oracle
+    unrolls the same 10 ::DOUBLE steps with the seed-indicator vector; the
+    (1−d) literal is emitted via repr so both engines multiply by the
+    identical IEEE double."""
+    from minimel_spark.operators.graph import personalized_pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    seeds = nodes.where(F.col("node") < 8)
+    edges = (
+        _doc_link_edges(docs, n)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    out = personalized_pagerank(edges, nodes, seeds, n_iter=10, damping=0.85)
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("rank", 6).alias("rank"),
+    )
+
+
+def _sql_ppr(n_iter: int = 10) -> str:
+    """Unrolled personalized-pagerank oracle (pagerank's generator with the
+    seed vector replacing both uniform terms)."""
+    one_minus_d = repr(1.0 - 0.85)
+    steps = []
+    for i in range(n_iter):
+        steps.append(f"""r{i + 1} AS MATERIALIZED (
+  SELECT sv.node,
+         {one_minus_d}::DOUBLE * sv.s
+         + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
+             + (SELECT coalesce(sum(r.rank), 0.0::DOUBLE)
+                FROM r{i} r LEFT JOIN deg ON r.node = deg.node
+                WHERE deg.node IS NULL) * sv.s) AS rank
+  FROM sv
+  LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.deg) AS contrib
+             FROM r{i} r JOIN deg ON r.node = deg.node
+             JOIN edges e ON e.src = r.node
+             GROUP BY e.dst) c ON sv.node = c.node)""")
+    chained = ",\n".join(steps)
+    return f"""
+WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, nn),
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+sv AS MATERIALIZED (
+  SELECT doc_id AS node,
+         CASE WHEN doc_id < 8 THEN 0.125::DOUBLE ELSE 0.0::DOUBLE END AS s
+  FROM documents),
+r0 AS MATERIALIZED (SELECT node, s AS rank FROM sv),
+{chained}
+SELECT node::BIGINT AS node, round(rank, 6) AS rank FROM r{n_iter}"""
+
+
+SQL_GRAPH_PPR = _sql_ppr(10)
+
+
+def q_rel_fd_audit(spark, sf_dir):
+    """Approximate functional-dependency audit (operators/profile.py
+    fd_audit — the Kivinen-Mannila g₃ error FD-discovery systems rank by)
+    over orders: the unique-key dependency o_orderkey→o_custkey (must
+    hold), the deliberately-violated o_custkey→o_orderstatus, and a
+    composite-LHS candidate (o_custkey, o_orderdate)→o_orderkey. n_kept is
+    the exact integer Σ_x max_y count; the oracle replays all three cell
+    rollups and the single g3 divide."""
+    from minimel_spark.operators.profile import fd_audit
+
+    orders = _t(spark, sf_dir, "orders")
+    out = fd_audit(
+        orders,
+        [
+            ("o_orderkey", "o_custkey"),
+            ("o_custkey", "o_orderstatus"),
+            (["o_custkey", "o_orderdate"], "o_orderkey"),
+        ],
+    )
+    return out.select(
+        "lhs",
+        "rhs",
+        "n_rows",
+        "n_groups",
+        "n_kept",
+        F.round("g3", 6).alias("g3"),
+        "holds",
+    )
+
+
+def _sql_fd_one(lhs_cols: list[str], rhs: str) -> str:
+    lhs_label = "+".join(lhs_cols)
+    lhs_sel = ", ".join(lhs_cols)
+    return f"""
+SELECT '{lhs_label}' AS lhs, '{rhs}' AS rhs,
+       n_rows, n_groups, n_kept,
+       round(CASE WHEN n_rows > 0 THEN (n_rows - n_kept) / n_rows
+                  ELSE 0.0 END, 6) AS g3,
+       (n_kept = n_rows) AS holds
+FROM (
+  SELECT count(*)::BIGINT AS n_groups, sum(tot)::BIGINT AS n_rows,
+         sum(mx)::BIGINT AS n_kept
+  FROM (
+    SELECT max(n) AS mx, sum(n) AS tot
+    FROM (SELECT {lhs_sel}, {rhs}, count(*) AS n
+          FROM orders GROUP BY {lhs_sel}, {rhs})
+    GROUP BY {lhs_sel}))"""
+
+
+SQL_REL_FD_AUDIT = (
+    _sql_fd_one(["o_orderkey"], "o_custkey")
+    + "\nUNION ALL"
+    + _sql_fd_one(["o_custkey"], "o_orderstatus")
+    + "\nUNION ALL"
+    + _sql_fd_one(["o_custkey", "o_orderdate"], "o_orderkey")
+)
+
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -11971,6 +12171,9 @@ _TAIL: list[str] = [
     "graph_hits",
     "ann_pq_topk",
     "ann_pq_recall",
+    "web_kmv_jaccard",
+    "graph_ppr",
+    "rel_fd_audit",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -11984,7 +12187,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 215
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 218
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -12168,6 +12371,9 @@ _ORACLES: dict[str, str] = {
     "graph_hits": SQL_GRAPH_HITS,
     "ann_pq_topk": SQL_ANN_PQ_TOPK,
     "ann_pq_recall": SQL_ANN_QUERYCOUNT,
+    "web_kmv_jaccard": SQL_WEB_KMV_JACCARD,
+    "graph_ppr": SQL_GRAPH_PPR,
+    "rel_fd_audit": SQL_REL_FD_AUDIT,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -605,3 +605,77 @@ def hits(
     return hubs.join(auths, "node").select(
         "node", F.col("h").alias("hub"), F.col("a").alias("authority")
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank (the topic-sensitive variant, Haveliwala WWW
+    2002): identical power iteration to :func:`pagerank` except BOTH the
+    teleport mass and the dangling mass return to the SEED distribution
+    (uniform over ``seeds``) instead of uniform-over-all — so rank measures
+    proximity to the seed set. This is the crawl-frontier / seed-expansion
+    scorer: given a vetted seed list (quality domains, known-entity pages),
+    PPR ranks every page by how reachable it is from the seeds, which is
+    exactly the expansion order a focused crawl wants (and, in the ER
+    graph, ranks records by linkage proximity to a labeled cluster).
+
+        r_{i+1}(v) = (1−d)·s(v) + d·(Σ_{u→v} r_i(u)/outdeg(u)
+                                      + dangling_i·s(v))
+
+    with s(v) = 1/|S| on seeds, 0 elsewhere; r_0 = s. Fixed iteration
+    count, pure function of the inputs (the pagerank determinism
+    contract); non-seed nodes unreachable from any seed stay exactly 0.
+    ``seeds`` is one ``node`` column and must be a subset of ``nodes``.
+
+    Scale: same per-round cost as pagerank — one contribution shuffle, one
+    1-row dangling aggregate broadcast back, lineage truncated per round;
+    the seed indicator joins once (left join, null -> 0 mass) and is
+    nodes-sized at most. Callers should persist ``edges``.
+    """
+    edges = edges.select("src", "dst")
+    ns = seeds.count()
+    if ns == 0:
+        raise ValueError("seeds must be non-empty")
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    svec = nodes.join(
+        seeds.select("node").withColumn("_s0", F.lit(1.0 / ns)), "node", "left"
+    ).select("node", F.coalesce("_s0", F.lit(0.0)).alias("_s"))
+    svec = svec.localCheckpoint(eager=True)  # read every round
+    ranks = svec.select("node", F.col("_s").alias("rank"))
+    for _ in range(n_iter):
+        with_deg = ranks.join(deg, "node", "left")
+        contrib = (
+            with_deg.where(F.col("deg").isNotNull())
+            .join(edges, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        dangling = with_deg.where(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+        )
+        ranks = (
+            svec.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("_s")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("_dang") * F.col("_s")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -192,3 +192,73 @@ def source_overlap(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_keys"))
     )
+
+
+def fd_audit(
+    df: DataFrame,
+    deps: list[tuple[list[str] | str, str]],
+) -> DataFrame:
+    """Approximate functional-dependency audit (the g₃ error of
+    Kivinen & Mannila 1995, the measure TANE/Metanome-style FD discovery
+    ranks by): for each candidate dependency LHS → RHS, the minimum
+    fraction of rows that must be removed for the dependency to hold
+    exactly:
+
+        g3 = 1 − (Σ_x max_y |{rows: LHS=x, RHS=y}|) / N
+
+    The schema-profiling companion to ``profile_columns`` /
+    ``schema_match``: crosswalk curation asks "does source_id determine
+    canonical_id", survivorship asks "does cluster_id determine the golden
+    attribute", and at ingest "does URL determine content hash" is the
+    re-crawl drift number. NULLs are values (a NULL RHS group counts like
+    any other — deletions, not exemptions).
+
+    One row per dependency: ``(lhs, rhs, n_rows, n_groups, n_kept, g3,
+    holds)`` — lhs is the '+'-joined column list; n_kept the exact integer
+    Σ max; g3 one float divide; ``holds`` = (n_kept == n_rows), an integer
+    comparison. Rows with every LHS column NULL still form a group.
+
+    Scale: per dependency one map-side-combinable groupBy on (LHS, RHS),
+    one grouped max over the cells, one 3-scalar aggregate — cell-space
+    cost, never a self-join, no windows. Dependencies are independent
+    subplans unioned; callers auditing many deps over one expensive input
+    should persist it first.
+    """
+    if not deps:
+        raise ValueError("deps must be non-empty")
+    parts = []
+    for lhs, rhs in deps:
+        lhs_cols = [lhs] if isinstance(lhs, str) else list(lhs)
+        if rhs in lhs_cols:
+            raise ValueError(f"rhs {rhs!r} may not appear in lhs {lhs_cols}")
+        cell = df.groupBy(
+            *[F.col(c).alias(f"_l{i}") for i, c in enumerate(lhs_cols)],
+            F.col(rhs).alias("_r"),
+        ).agg(F.count(F.lit(1)).alias("_n"))
+        per = cell.groupBy(*[f"_l{i}" for i in range(len(lhs_cols))]).agg(
+            F.max("_n").alias("_mx"), F.sum("_n").alias("_tot")
+        )
+        parts.append(
+            per.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.coalesce(F.sum("_tot"), F.lit(0)).alias("n_rows"),
+                F.coalesce(F.sum("_mx"), F.lit(0)).alias("n_kept"),
+            ).select(
+                F.lit("+".join(lhs_cols)).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_groups").cast("long").alias("n_groups"),
+                F.col("n_kept").cast("long").alias("n_kept"),
+                F.when(
+                    F.col("n_rows") > 0,
+                    (F.col("n_rows") - F.col("n_kept")) / F.col("n_rows"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("g3"),
+                (F.col("n_kept") == F.col("n_rows")).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out

@@ -294,6 +294,23 @@ def hll_reference(values, p: int = 8) -> float:
     return raw
 
 
+def _kmin(hashed: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """k smallest ``_h`` per group, losslessly pre-cut through 64 salt
+    buckets so no window partition ever holds more than one bucket's
+    distinct-hash stream (see kmv_distinct's scale note)."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(*group_cols, "_sb").orderBy("_h")
+    pre = (
+        hashed.withColumn("_sb", F.pmod(F.col("_h"), F.lit(64)))
+        .withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_sb", "_rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("_h")
+    return pre.withColumn("_rn", F.row_number().over(w2)).where(F.col("_rn") <= k)
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: list[str],
@@ -321,10 +338,14 @@ def kmv_distinct(
     (standard error ~1/√(k−2), ~13% at k=64).
 
     Scale: one (group, hash) distinct-style aggregate (map-side combinable),
-    then a per-group top-k window — partitioned by group, never a global
-    sort; the per-group sort input is the group's distinct-hash stream, the
-    same bound as any per-group top-k in this repo. ``exact`` adds the true
-    countDistinct (verification only — production callers take the sketch).
+    then a TWO-LEVEL top-k: a salt-bucketed pre-cut window (group × 64 hash
+    buckets, each keeps its k smallest — the k global minima are each within
+    their bucket's k minima, so the pre-cut is lossless) followed by the
+    per-group top-k over the ≤ 64·k survivors. A low-cardinality group (the
+    corpus-wide sketch) therefore never funnels its full distinct-hash
+    stream through one window partition — the byte_pack_buckets lesson
+    applied to order statistics. ``exact`` adds the true countDistinct
+    (verification only — production callers take the sketch).
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
@@ -335,12 +356,7 @@ def kmv_distinct(
         .groupBy(*group_cols, "_h")
         .agg(F.lit(1).alias("_one"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*group_cols).orderBy("_h")
-    kept = hashed.withColumn("_rn", F.row_number().over(w)).where(
-        F.col("_rn") <= k
-    )
+    kept = _kmin(hashed, list(group_cols), k)
     agg = kept.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.max("_h").alias("kth_hash"),
@@ -386,11 +402,8 @@ def kmv_union(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    from pyspark.sql import Window
-
     dedup = sketches.groupBy(*group_cols, "_h").agg(F.lit(1).alias("_one"))
-    w = Window.partitionBy(*group_cols).orderBy("_h")
-    kept = dedup.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    kept = _kmin(dedup, list(group_cols), k)
     agg = kept.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.max("_h").alias("kth_hash"),
@@ -401,3 +414,100 @@ def kmv_union(
         F.lit(float((k - 1) * (1 << 60))) / F.col("kth_hash").cast("double")
     )
     return agg.select(*group_cols, "n_kept", "kth_hash", est.alias("kmv_estimate"))
+
+
+def kmv_jaccard(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    k: int = 256,
+    exact: bool = True,
+) -> DataFrame:
+    """KMV set-overlap estimate between two value sets — the sketch-algebra
+    payoff :func:`kmv_distinct`'s docstring promises: because a KMV sketch
+    is the k minima of a uniform hash, the k minima of A ∪ B are a uniform
+    sample of the union, and the fraction of them present in BOTH sides'
+    kept sets is an unbiased Jaccard estimator (Beyer et al., SIGMOD 2007;
+    the Theta-sketch intersection semantics):
+
+        Ĵ = |kmin_k(A ∪ B) ∩ kept(A) ∩ kept(B)| / |kmin_k(A ∪ B)|
+
+    At 100 TB this is how URL-set / shingle-set similarity between two
+    crawls is computed WITHOUT joining the raw sets: each side ships k
+    hashes. Exact when both sides saturate below k (the kept sets ARE the
+    sets). One row out: ``(n_kept_left, n_kept_right, k_union, n_both,
+    jaccard_kmv[, jaccard_exact, abs_err])`` — n_both/k_union are exact
+    integers, the estimate one float divide (the kmv_distinct exactness
+    contract). Std err ~ sqrt(J(1−J)/k).
+
+    Scale: two sketch builds (the salt-pre-cut top-k shape), a ≤ 2k-row
+    merge re-top-k, two broadcast membership semi-join flags over ≤ k rows.
+    ``exact`` adds the true distinct-value join (verification only).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def side(df):
+        return (
+            ensure_min_parallelism(df, value_col)
+            .where(F.col(value_col).isNotNull())
+            .select(md5_long60(F.col(value_col)).alias("_h"))
+            .groupBy("_h")
+            .agg(F.lit(1).alias("_one"))
+        )
+
+    ka = _kmin(side(left).withColumn("_g", F.lit(1)), ["_g"], k).select("_h")
+    kb = _kmin(side(right).withColumn("_g", F.lit(1)), ["_g"], k).select("_h")
+    merged = ka.unionByName(kb).groupBy("_h").agg(F.lit(1).alias("_one"))
+    ku = _kmin(merged.withColumn("_g", F.lit(1)), ["_g"], k).select("_h")
+    flagged = (
+        ku.join(ka.withColumn("_ina", F.lit(1)), "_h", "left")
+        .join(kb.withColumn("_inb", F.lit(1)), "_h", "left")
+    )
+    core = flagged.agg(
+        F.count(F.lit(1)).alias("k_union"),
+        F.sum(
+            F.when(F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1).otherwise(0)
+        ).alias("n_both"),
+    )
+    na = ka.agg(F.count(F.lit(1)).alias("n_kept_left"))
+    nb = kb.agg(F.count(F.lit(1)).alias("n_kept_right"))
+    out = (
+        core.crossJoin(na)
+        .crossJoin(nb)
+        .select(
+            F.col("n_kept_left").cast("long").alias("n_kept_left"),
+            F.col("n_kept_right").cast("long").alias("n_kept_right"),
+            F.col("k_union").cast("long").alias("k_union"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.when(F.col("k_union") > 0, F.col("n_both") / F.col("k_union"))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard_kmv"),
+        )
+    )
+    if not exact:
+        return out
+    av = left.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("_v")
+    ).distinct()
+    bv = right.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("_v")
+    ).distinct()
+    ex = (
+        av.withColumn("_a", F.lit(1))
+        .join(bv.withColumn("_b", F.lit(1)), "_v", "full_outer")
+        .agg(
+            F.count(F.lit(1)).alias("_nu"),
+            F.sum(
+                F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1).otherwise(0)
+            ).alias("_ni"),
+        )
+        .select(
+            F.when(F.col("_nu") > 0, F.col("_ni") / F.col("_nu"))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard_exact")
+        )
+    )
+    return out.crossJoin(ex).withColumn(
+        "abs_err", F.abs(F.col("jaccard_kmv") - F.col("jaccard_exact"))
+    )

@@ -374,3 +374,139 @@ def test_pq_validation(spark):
         pq_topk(df, q, dim=8, k=10, m=4, refine=5)  # refine < k
     with pytest.raises(ValueError):
         pq_topk(df, q, dim=8, m=4, hash_family="bogus")
+
+
+# ---------------------------------------------------------------- KMV Jaccard
+
+
+def test_kmv_jaccard_exact_when_unsaturated(spark):
+    from minimel_spark.operators.sketch import kmv_jaccard
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(20)], "v string")
+    b = spark.createDataFrame([(f"u{i}",) for i in range(10, 30)], "v string")
+    row = kmv_jaccard(a, b, "v", k=64).first()
+    # 10 shared of 30 union; both sides below k so the sketch is exact
+    assert row["n_kept_left"] == 20 and row["n_kept_right"] == 20
+    assert row["k_union"] == 30 and row["n_both"] == 10
+    assert row["jaccard_kmv"] == pytest.approx(10 / 30, abs=1e-12)
+    assert row["jaccard_exact"] == pytest.approx(10 / 30, abs=1e-12)
+    assert row["abs_err"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_kmv_jaccard_saturated_close_to_truth(spark):
+    from minimel_spark.operators.sketch import kmv_jaccard
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(400)], "v string")
+    b = spark.createDataFrame([(f"u{i}",) for i in range(200, 600)], "v string")
+    row = kmv_jaccard(a, b, "v", k=128).first()
+    truth = 200 / 600
+    assert row["jaccard_exact"] == pytest.approx(truth, abs=1e-12)
+    # std err ~ sqrt(J(1-J)/k) ~ 0.042; allow 4 sigma
+    assert abs(row["jaccard_kmv"] - truth) < 0.17
+    assert row["k_union"] == 128
+
+
+def test_kmv_jaccard_disjoint_and_empty(spark):
+    from minimel_spark.operators.sketch import kmv_jaccard
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(10)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(10)], "v string")
+    row = kmv_jaccard(a, b, "v", k=32).first()
+    assert row["n_both"] == 0 and row["jaccard_kmv"] == 0.0
+    empty = spark.createDataFrame([], "v string")
+    row = kmv_jaccard(empty, empty, "v", k=32).first()
+    assert row["k_union"] == 0 and row["jaccard_kmv"] == 0.0
+
+
+# ---------------------------------------------------------------- PPR
+
+
+def test_ppr_matches_python_reference(spark):
+    from minimel_spark.operators.graph import personalized_pagerank
+
+    edges_py = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 2), (2, 3)]
+    nodes_py = [0, 1, 2, 3, 4]
+    seeds_py = [0]
+    n_iter, d = 5, 0.85
+    s = {u: (1.0 / len(seeds_py) if u in seeds_py else 0.0) for u in nodes_py}
+    out_deg = {}
+    for u, _ in edges_py:
+        out_deg[u] = out_deg.get(u, 0) + 1
+    r = dict(s)
+    for _ in range(n_iter):
+        contrib = {u: 0.0 for u in nodes_py}
+        for u, v in edges_py:
+            contrib[v] += r[u] / out_deg[u]
+        dang = sum(r[u] for u in nodes_py if u not in out_deg)
+        r = {
+            u: (1.0 - d) * s[u] + d * (contrib[u] + dang * s[u])
+            for u in nodes_py
+        }
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    nodes = spark.createDataFrame([(u,) for u in nodes_py], "node long")
+    seeds = spark.createDataFrame([(u,) for u in seeds_py], "node long")
+    got = {
+        row["node"]: row["rank"]
+        for row in personalized_pagerank(edges, nodes, seeds, n_iter).collect()
+    }
+    for u in nodes_py:
+        assert got[u] == pytest.approx(r[u], abs=1e-12)
+    # node 4 is isolated and non-seed: exactly zero
+    assert got[4] == 0.0
+
+
+def test_ppr_requires_seeds(spark):
+    from minimel_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,)], "node long")
+    with pytest.raises(ValueError):
+        personalized_pagerank(edges, nodes, nodes.where("node < 0"))
+
+
+# ---------------------------------------------------------------- FD audit
+
+
+def test_fd_audit_hand_example(spark):
+    from minimel_spark.operators.profile import fd_audit
+
+    rows = [
+        (1, "a", "x"),
+        (2, "a", "x"),
+        (3, "a", "y"),  # a -> {x,x,y}: keep 2 of 3
+        (4, "b", "z"),
+        (5, "b", "z"),
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, v string")
+    out = {r["lhs"]: r for r in fd_audit(
+        df, [("k", "v"), ("id", "v"), (["k", "v"], "id")]
+    ).collect()}
+    r = out["k"]
+    assert r["n_rows"] == 5 and r["n_groups"] == 2 and r["n_kept"] == 4
+    assert r["g3"] == pytest.approx(1 / 5, abs=1e-12) and not r["holds"]
+    assert out["id"]["holds"] and out["id"]["g3"] == 0.0
+    kv = out["k+v"]
+    assert kv["n_groups"] == 3 and not kv["holds"]  # (a,x) has ids {1,2}
+
+
+def test_fd_audit_nulls_are_values(spark):
+    from minimel_spark.operators.profile import fd_audit
+
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "x"), (None, "y"), ("a", None), ("a", None)],
+        "k string, v string",
+    )
+    r = fd_audit(df, [("k", "v")]).first()
+    # NULL lhs is one group keeping max(2,1)=2; 'a' keeps both NULL rhs rows
+    assert r["n_rows"] == 5 and r["n_groups"] == 2 and r["n_kept"] == 4
+    assert not r["holds"]
+
+
+def test_fd_audit_validation(spark):
+    from minimel_spark.operators.profile import fd_audit
+
+    df = spark.createDataFrame([("a", "b")], "k string, v string")
+    with pytest.raises(ValueError):
+        fd_audit(df, [])
+    with pytest.raises(ValueError):
+        fd_audit(df, [(["k", "v"], "v")])
