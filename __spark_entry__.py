@@ -11936,6 +11936,65 @@ SQL_REL_FD_AUDIT = (
 
 
 
+def q_corpus_bpe_merges(spark, sf_dir):
+    """BPE tokenizer-merge learning (operators/corpus.py bpe_merges,
+    Sennrich et al. ACL 2016) over the documents corpus: 10 greedy rounds
+    on the distinct word-frequency table, argmax pair by (count desc, pair
+    asc), leftmost non-overlapping replace — the exact training recurrence
+    of the reference BPE implementation, distributed. The oracle unrolls
+    all 10 rounds as chained CTEs (pair counts, 1-row argmax, literal
+    replace) — every merge, its operands, and its count are integers or
+    strings, so the match is bit-for-bit."""
+    from minimel_spark.operators.corpus import bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_merges(docs, n_merges=10)
+
+
+def _sql_bpe(n_merges: int = 10) -> str:
+    """Unrolled BPE oracle: w0 = char-split word-frequency table, then per
+    round pair counts -> argmax -> guarded literal replace (chr(1) sentinel
+    when a round runs dry, so later rounds pass through unchanged)."""
+    steps = []
+    for r in range(1, n_merges + 1):
+        steps.append(f"""p{r} AS (
+  SELECT pr, sum(freq) AS c FROM (
+    SELECT freq, unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i::INT] || ' ' || toks[(i + 1)::INT])) AS pr
+    FROM (SELECT freq, string_split(trim(repr), ' ') AS toks FROM w{r - 1})
+    WHERE len(toks) >= 2)
+  GROUP BY pr),
+b{r} AS MATERIALIZED (SELECT pr, c FROM p{r} ORDER BY c DESC, pr ASC LIMIT 1),
+w{r} AS MATERIALIZED (
+  SELECT freq,
+         replace(repr,
+                 ' ' || coalesce((SELECT pr FROM b{r}), chr(1)) || ' ',
+                 ' ' || replace(coalesce((SELECT pr FROM b{r}), chr(1)), ' ', '')
+                     || ' ') AS repr
+  FROM w{r - 1})""")
+    chained = ",\n".join(steps)
+    rounds = "\nUNION ALL\n".join(
+        f"""SELECT {r}::BIGINT AS round, split_part(pr, ' ', 1) AS "left",
+       split_part(pr, ' ', 2) AS "right", replace(pr, ' ', '') AS merged,
+       c::BIGINT AS pair_count FROM b{r}"""
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+WITH w0 AS MATERIALIZED (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS repr,
+         freq
+  FROM (SELECT word, count(*)::BIGINT AS freq
+        FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\W+')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word)),
+{chained}
+{rounds}"""
+
+
+SQL_CORPUS_BPE_MERGES = _sql_bpe(10)
+
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -12174,6 +12233,7 @@ _TAIL: list[str] = [
     "web_kmv_jaccard",
     "graph_ppr",
     "rel_fd_audit",
+    "corpus_bpe_merges",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -12187,7 +12247,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 218
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 219
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -12374,6 +12434,7 @@ _ORACLES: dict[str, str] = {
     "web_kmv_jaccard": SQL_WEB_KMV_JACCARD,
     "graph_ppr": SQL_GRAPH_PPR,
     "rel_fd_audit": SQL_REL_FD_AUDIT,
+    "corpus_bpe_merges": SQL_CORPUS_BPE_MERGES,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -940,3 +940,88 @@ def good_turing(
             (F.col("_n1") / F.col("_n_tot")).alias("unseen_mass"),
         )
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 12,
+) -> DataFrame:
+    """Byte-pair-encoding merge learning (Sennrich, Haddow & Birch, ACL
+    2016) — the tokenizer-training loop itself, run distributed: the single
+    most load-bearing preprocessing artifact of an LLM pipeline is learned
+    with exactly this greedy recurrence, and at 100 TB the word-frequency
+    table it runs on is itself a distributed frame.
+
+    Standard BPE training shape: the corpus reduces ONCE to the distinct
+    (word, freq) table (training never rescans documents); every word is
+    initialized as its space-joined character sequence; then ``n_merges``
+    rounds of: count adjacent symbol pairs weighted by word freq -> take
+    the argmax (ties: lexicographically smallest pair, so the result is a
+    pure function of the corpus) -> replace every non-overlapping
+    occurrence left-to-right (both engines' literal ``replace`` semantics,
+    which IS the greedy leftmost merge order of the reference
+    implementation).
+
+    Output: one row per learned merge, ``(round, left, right, merged,
+    pair_count)`` — rounds are 1-based and stop early if no pair remains.
+
+    Scale: per round one map-side-combinable pair count over the VOCAB
+    (not the corpus), one 1-row argmax collect (TakeOrderedAndProject),
+    one narrow string rewrite, lineage truncated per round via eager
+    localCheckpoint (each round's vocab is materialized once and freed
+    with the session, the connected-components loop cost model) with a
+    driver scalar per round instead of a convergence signature.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = (
+        docs.select(F.explode(_words(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
+            ).alias("repr"),
+        )
+    )
+    cur = words.localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        # filter BEFORE the transform: sequence(0, -1) DESCENDS in Spark
+        # (module docstring note), so 1-symbol words must never reach it
+        pairs = (
+            cur.where(F.size(F.split(F.trim(F.col("repr")), " ")) >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(split(trim(repr), ' ')) - 2), "
+                        "i -> concat(split(trim(repr), ' ')[i], ' ', "
+                        "split(trim(repr), ' ')[i + 1]))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), F.asc("pair")).limit(1).collect()
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["c"])
+        left, right = pair.split(" ", 1)
+        merges.append((rnd, left, right, left + right, cnt))
+        cur = cur.select(
+            "freq",
+            F.expr(
+                "replace(repr, ' ' || '{p}' || ' ', ' ' || '{m}' || ' ')".format(
+                    p=pair.replace("'", "\\'"), m=(left + right).replace("'", "\\'")
+                )
+            ).alias("repr"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round long, left string, right string, merged string, pair_count long"
+    )

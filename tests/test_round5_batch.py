@@ -510,3 +510,73 @@ def test_fd_audit_validation(spark):
         fd_audit(df, [])
     with pytest.raises(ValueError):
         fd_audit(df, [(["k", "v"], "v")])
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _bpe_python(texts, n_merges):
+    import collections
+    import re
+
+    words = collections.Counter()
+    for t in texts:
+        for w in re.split(r"\W+", t.lower()):
+            if w:
+                words[w] += 1
+    reprs = {w: " " + " ".join(w) + " " for w in words}
+    out = []
+    for rnd in range(1, n_merges + 1):
+        pc = collections.Counter()
+        for w, f in words.items():
+            toks = reprs[w].split()
+            for i in range(len(toks) - 1):
+                pc[toks[i] + " " + toks[i + 1]] += f
+        if not pc:
+            break
+        mx = max(pc.values())
+        pair = sorted(p for p, c in pc.items() if c == mx)[0]
+        l, r = pair.split(" ", 1)
+        out.append((rnd, l, r, l + r, mx))
+        for w in reprs:
+            reprs[w] = reprs[w].replace(" " + pair + " ", " " + l + r + " ")
+    return out
+
+
+def test_bpe_matches_python_reference(spark):
+    from minimel_spark.operators.corpus import bpe_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats eat the fish",
+        "that hat is the best hat",
+        "fishing is the best thing",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_merges(docs, n_merges=8).collect()]
+    assert got == _bpe_python(texts, 8)
+
+
+def test_bpe_stops_when_dry_and_validates(spark):
+    from minimel_spark.operators.corpus import bpe_merges
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_merges(docs, n_merges=5).collect()]
+    # one word 'ab': single merge (a,b) then no pairs remain
+    assert got == [(1, "a", "b", "ab", 2)]
+    with pytest.raises(ValueError):
+        bpe_merges(docs, n_merges=0)
+
+
+def test_bpe_parallelism_invariant(spark):
+    from minimel_spark.operators.corpus import bpe_merges
+
+    texts = [f"token{i % 7} shared prefix word{i % 5}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = [tuple(r) for r in bpe_merges(docs.repartition(1), n_merges=6).collect()]
+    b = [tuple(r) for r in bpe_merges(docs.repartition(8), n_merges=6).collect()]
+    assert a == b == _bpe_python(texts, 6)
