@@ -11995,6 +11995,68 @@ SQL_CORPUS_BPE_MERGES = _sql_bpe(10)
 
 
 
+def q_text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (operators/text.py rake_keywords, Rose et
+    al. 2010) over the documents corpus: stopword-delimited candidate
+    phrases, corpus-level word score deg/freq (two exact integers), phrase
+    score = position-ordered left fold of its word scores, top-3 phrases
+    per document by (score desc, phrase asc). The stopword list is a shared
+    literal in both engines; the fold makes every double bit-identical, so
+    the oracle match is value-exact including the ranking."""
+    from minimel_spark.operators.text import rake_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return rake_keywords(docs, top_n=3)
+
+
+from minimel_spark.operators.text import RAKE_STOPWORDS as _RAKE_SW
+
+_SQL_RAKE_SW = ", ".join(f"'{w}'" for w in _RAKE_SW)
+
+SQL_TEXT_RAKE_KEYWORDS = f"""
+WITH marked AS (
+  SELECT doc_id,
+         list_transform(
+           string_split_regex(
+             regexp_replace(lower(text), '[^a-z0-9\\s]+', ' | ', 'g'),
+             '\\s+'),
+           t -> CASE WHEN t = '' OR t IN ({_SQL_RAKE_SW})
+                THEN '|' ELSE t END) AS ms
+  FROM documents),
+occ AS (
+  SELECT doc_id, phrase
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(array_to_string(ms, ' '),
+                                            '(\\s*\\|\\s*)+')) AS phrase
+        FROM marked)
+  WHERE phrase <> ''),
+pw AS (
+  SELECT len(string_split(phrase, ' ')) AS plen,
+         unnest(string_split(phrase, ' ')) AS word
+  FROM occ),
+stats AS (
+  SELECT word, count(*)::BIGINT AS freq, sum(plen)::BIGINT AS deg
+  FROM pw GROUP BY word),
+dp AS (SELECT DISTINCT doc_id, phrase FROM occ),
+wp AS (
+  SELECT doc_id, phrase,
+         unnest(range(1, len(string_split(phrase, ' ')) + 1)) AS wpos,
+         unnest(string_split(phrase, ' ')) AS word
+  FROM dp),
+ps AS (
+  SELECT doc_id, phrase,
+         list_reduce(list_prepend(0.0::DOUBLE, list(deg / freq ORDER BY wpos)),
+                     (a, b) -> a + b) AS score
+  FROM wp JOIN stats USING (word)
+  GROUP BY doc_id, phrase)
+SELECT doc_id, rank, phrase, score
+FROM (SELECT doc_id, phrase, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, phrase ASC) AS rank
+      FROM ps)
+WHERE rank <= 3"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -12234,6 +12296,7 @@ _TAIL: list[str] = [
     "graph_ppr",
     "rel_fd_audit",
     "corpus_bpe_merges",
+    "text_rake_keywords",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -12247,7 +12310,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 219
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 220
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -12435,6 +12498,7 @@ _ORACLES: dict[str, str] = {
     "graph_ppr": SQL_GRAPH_PPR,
     "rel_fd_audit": SQL_REL_FD_AUDIT,
     "corpus_bpe_merges": SQL_CORPUS_BPE_MERGES,
+    "text_rake_keywords": SQL_TEXT_RAKE_KEYWORDS,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

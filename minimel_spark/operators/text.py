@@ -143,3 +143,120 @@ def script_profile(
         (total - lat - cyr - dig - spc).cast("long").alias("n_other"),
         dominant.alias("dominant"),
     )
+
+
+# RAKE stopword list — deliberately SMALL and embedded verbatim in the DuckDB
+# oracle (the abbreviation-table convention): phrase boundaries must be a
+# shared literal, not a library lookup.
+RAKE_STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "been", "but", "by", "for",
+    "from", "he", "i", "in", "is", "it", "not", "of", "on", "or", "she",
+    "so", "that", "the", "they", "this", "to", "was", "we", "were", "with",
+    "you",
+]
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010): candidate
+    phrases are the maximal token runs containing neither a stopword nor a
+    phrase delimiter (any non-alphanumeric, non-whitespace character run —
+    punctuation ends a phrase in RAKE, whitespace only separates words); each
+    word scores deg/freq over the whole corpus (deg = Σ length of the
+    phrases it appears in, freq = its occurrence count — both exact
+    integers); a phrase scores the sum of its words' scores; the top
+    ``top_n`` distinct phrases per document come back. The zero-model
+    keyphrase baseline a curation pipeline runs before anything learned —
+    and the per-document summary strings ER blocking can key on.
+
+    Determinism across engines (the ranking hazard is FLOAT SUM ORDER):
+    word scores are single integer/integer divides (bit-identical), and the
+    phrase sum is a LEFT FOLD over the phrase's scores in word-position
+    order — collect_list(struct(pos, score)) → array_sort → F.aggregate,
+    the fold_cosine contract — so DuckDB's list_reduce over the same sorted
+    list reproduces every phrase score bit-for-bit and the (score desc,
+    phrase asc) rank cannot flip on an ulp.
+
+    Scale: phrase segmentation is narrow JVM array work (mark stopwords →
+    join → split on the marker run); word stats are one map-side-combinable
+    groupBy over phrase-word occurrences; the scored join is words-sized;
+    the only windows are per-document top-n. No Python anywhere.
+
+    Output: ``(id_col, rank, phrase, score)``, rank 1-based per document.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    sw = RAKE_STOPWORDS if stopwords is None else stopwords
+    sw_arr = F.array(*[F.lit(w) for w in sw])
+    # punctuation runs become explicit "|" boundary tokens BEFORE the
+    # whitespace split (splitting on [^a-z0-9]+ directly would silently eat
+    # the phrase boundary: "red car! red car" must be two phrases)
+    cleaned = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]+", " | ")
+    toks = F.split(cleaned, r"\s+")
+    marked = F.transform(
+        toks,
+        lambda t: F.when(
+            (t == "") | F.array_contains(sw_arr, t), F.lit("|")
+        ).otherwise(t),
+    )
+    phrases = F.split(F.concat_ws(" ", marked), r"(\s*\|\s*)+")
+    ph = (
+        docs.select(F.col(id_col).alias("_id"), phrases.alias("_phs"))
+        .select("_id", F.posexplode("_phs").alias("_pidx", "phrase"))
+        .where(F.col("phrase") != "")
+    )
+    pw = ph.select(
+        "_id",
+        "_pidx",
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).alias("_plen"),
+        F.posexplode(F.split(F.col("phrase"), " ")).alias("_wpos", "word"),
+    )
+    stats = pw.groupBy("word").agg(
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum("_plen").alias("_deg"),
+    )
+    scored_words = pw.join(stats, "word").select(
+        "_id",
+        "_pidx",
+        "phrase",
+        "_wpos",
+        (F.col("_deg") / F.col("_freq")).alias("_ws"),
+    )
+    phrase_scores = (
+        scored_words.groupBy("_id", "_pidx", "phrase")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_wpos").alias("p"), F.col("_ws").alias("s")))
+            ).alias("_arr")
+        )
+        .select(
+            "_id",
+            "phrase",
+            F.aggregate(
+                F.transform("_arr", lambda x: x["s"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+        .groupBy("_id", "phrase")
+        .agg(F.max("score").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        phrase_scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            "phrase",
+            "score",
+        )
+    )

@@ -671,3 +671,102 @@ def test_good_turing_no_singletons_zero_unseen(spark):
     assert set(rows) == {2, 3}
     assert all(r["unseen_mass"] == 0.0 for r in rows.values())
     assert abs(rows[2]["r_star"] - 3 * 1 / 2) < 1e-12
+
+
+def _py_rake(texts, stopwords, top_n):
+    """Independent pure-Python RAKE (same semantics, different code path)."""
+    import re
+    from collections import defaultdict
+
+    sw = set(stopwords)
+    doc_phrases = {}
+    freq = defaultdict(int)
+    deg = defaultdict(int)
+    for did, text in texts:
+        toks = re.split(
+            r"\s+", re.sub(r"[^a-z0-9\s]+", " | ", text.lower())
+        )
+        phrases, cur = [], []
+        for t in toks:
+            if t == "" or t == "|" or t in sw:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            phrases.append(cur)
+        doc_phrases[did] = phrases
+        for p in phrases:
+            for w in p:
+                freq[w] += 1
+                deg[w] += len(p)
+    out = {}
+    for did, phrases in doc_phrases.items():
+        scores = {}
+        for p in phrases:
+            s = 0.0
+            for w in p:
+                s += deg[w] / freq[w]
+            scores[" ".join(p)] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        out[did] = [
+            (i + 1, ph, sc) for i, (ph, sc) in enumerate(ranked[:top_n])
+        ]
+    return out
+
+
+def test_rake_keywords_matches_pure_python(spark):
+    from minimel_spark.operators.text import RAKE_STOPWORDS, rake_keywords
+
+    texts = [
+        (1, "Keyword extraction is not that hard; the rapid automatic "
+            "keyword extraction method scores candidate keywords by "
+            "word degree and word frequency."),
+        (2, "The quick brown fox and the quick brown dog were in the "
+            "quick brown field, so the fox was quick."),
+        (3, "a the and of"),                       # all stopwords -> no rows
+        (4, "singleton"),                          # one 1-word phrase
+        (5, "??? !!!"),                            # no tokens at all
+        (6, "red car! red car? red car."),         # repeated phrase dedups
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in rake_keywords(docs, top_n=3).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["phrase"], r["score"])
+        )
+    for did in got:
+        got[did].sort()
+    want = _py_rake(texts, RAKE_STOPWORDS, 3)
+    assert 3 not in got and 5 not in got
+    for did in (1, 2, 4, 6):
+        assert [(r, p) for r, p, _ in got[did]] == [
+            (r, p) for r, p, _ in want[did]
+        ]
+        for (_, _, gs), (_, _, ws) in zip(got[did], want[did]):
+            assert abs(gs - ws) < 1e-12
+    # the thrice-repeated phrase collapses to ONE ranked row
+    assert got[6] == [(1, "red car", got[6][0][2])] and len(got[6]) == 1
+
+
+def test_rake_keywords_partition_invariant(spark):
+    from minimel_spark.operators.text import rake_keywords
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta{i % 3} gamma delta of epsilon beta{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, rake_keywords(docs.coalesce(1), top_n=2).collect()))
+    b = sorted(map(tuple, rake_keywords(docs.repartition(16), top_n=2).collect()))
+    assert a == b and len(a) == 80
+
+
+def test_rake_keywords_rejects_bad_topn(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.text import rake_keywords
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        rake_keywords(docs, top_n=0)
