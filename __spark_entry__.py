@@ -12057,6 +12057,57 @@ FROM (SELECT doc_id, phrase, score,
 WHERE rank <= 3"""
 
 
+def q_dedup_winnowing(spark, sf_dir):
+    """Winnowing fingerprint near-dup pairs (operators/text.py
+    winnow_fingerprints/winnow_pairs — Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003, the MOSS algorithm): char-8-gram md5-60 hashes over the
+    [a-z0-9] skeleton, window-of-4 minimum selection with ties to the
+    rightmost position, stop-fingerprint guard at df <= 50, pairs scored
+    by shared distinct hashes + Jaccard of the pruned fingerprint sets.
+    Everything (hashes, window argmin, df guard, counts, the similarity
+    divide) is exact in both engines, so the oracle match is value-exact."""
+    from minimel_spark.operators.text import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_pairs(docs, k=8, w=4, max_df=50)
+
+
+SQL_DEDUP_WINNOWING = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+  FROM documents),
+kg0 AS (
+  SELECT doc_id, len(s) - 7 AS nk, s,
+         unnest(range(1, len(s) - 6)) AS pos
+  FROM norm WHERE len(s) >= 8),
+kg AS (
+  SELECT doc_id, nk, pos,
+         ('0x' || substr(md5(substr(s, pos::INT, 8)), 1, 15))::UBIGINT::BIGINT AS h
+  FROM kg0),
+sel AS (
+  SELECT doc_id, nk, pos,
+         min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+  FROM kg),
+fp AS (
+  SELECT DISTINCT doc_id, struct_extract(m, 'h') AS fp
+  FROM sel WHERE pos >= least(4, nk)),
+kept AS (
+  SELECT doc_id, fp FROM fp
+  QUALIFY count(*) OVER (PARTITION BY fp) <= 50),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*)::BIGINT AS n_shared
+  FROM kept a JOIN kept b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       n_shared / (sa.n + sb.n - n_shared) AS similarity
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -12297,6 +12348,7 @@ _TAIL: list[str] = [
     "rel_fd_audit",
     "corpus_bpe_merges",
     "text_rake_keywords",
+    "dedup_winnowing",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -12310,7 +12362,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 220
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 221
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -12499,6 +12551,7 @@ _ORACLES: dict[str, str] = {
     "rel_fd_audit": SQL_REL_FD_AUDIT,
     "corpus_bpe_merges": SQL_CORPUS_BPE_MERGES,
     "text_rake_keywords": SQL_TEXT_RAKE_KEYWORDS,
+    "dedup_winnowing": SQL_DEDUP_WINNOWING,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

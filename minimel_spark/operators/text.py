@@ -260,3 +260,141 @@ def rake_keywords(
             "score",
         )
     )
+
+
+def _md5_60(col) -> "F.Column":
+    """60-bit md5-derived hash (first 15 hex chars) — non-negative in a
+    signed long and bit-for-bit reproducible in ANSI SQL as
+    ('0x' || substr(md5(x), 1, 15))::UBIGINT (the simhash/minhash oracle
+    convention). JVM-side: md5 + conv are codegen expressions."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm): normalize the
+    text to its [a-z0-9] skeleton, hash every char k-gram, slide a window
+    of ``w`` consecutive k-gram hashes, and in each window select the
+    minimum hash (ties to the RIGHTMOST occurrence, the paper's rule).
+    The selected (position, hash) pairs, deduplicated, are the document's
+    fingerprints — with the paper's guarantee that any shared substring of
+    at least w + k - 1 normalized characters yields a shared fingerprint,
+    while storing only ~2/(w+1) of all k-gram hashes. Documents with fewer
+    than ``w`` k-grams contribute their single global minimum (the one
+    partial window ending at the last k-gram).
+
+    Determinism across engines: the hash is the md5-derived 60-bit value
+    (exact in DuckDB), and the window argmin compares (hash, -pos) structs
+    — a total order, so selection is identical at any parallelism.
+
+    Scale: k-gram expansion is a narrow JVM transform+posexplode (~len
+    rows per doc); the only shuffle is the per-document window, which
+    parallelizes across documents and is bounded by the longest document
+    — the per-doc-bounded cost model of every text gate here.
+
+    Output: distinct ``(id_col, pos, fp)`` — pos is the 1-based k-gram
+    position of the selected hash in the normalized text.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    base = (
+        docs.select(F.col(id_col).alias("_id"), norm.alias("_s"))
+        .withColumn("_nk", (F.length("_s") - k + 1).cast("long"))
+        .where(F.col("_nk") >= 1)
+    )
+    kg = base.select(
+        "_id",
+        "_nk",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, _nk), i -> substring(_s, i, {int(k)}))")
+        ).alias("_i0", "_kg"),
+    ).select(
+        "_id",
+        "_nk",
+        (F.col("_i0") + 1).alias("_pos"),
+        _md5_60(F.col("_kg")).alias("_h"),
+    )
+    from pyspark.sql import Window
+
+    wspec = Window.partitionBy("_id").orderBy("_pos").rowsBetween(-(w - 1), 0)
+    return (
+        kg.withColumn(
+            "_m",
+            F.min(F.struct(F.col("_h"), (-F.col("_pos")).alias("_np"))).over(wspec),
+        )
+        .where(F.col("_pos") >= F.least(F.lit(w), F.col("_nk")))
+        .select(
+            F.col("_id").alias(id_col),
+            (-F.col("_m._np")).cast("long").alias("pos"),
+            F.col("_m._h").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate / plagiarism candidate pairs from shared winnowing
+    fingerprints — the MOSS pairing step: two documents pair iff they
+    share at least one selected fingerprint HASH, scored by how many
+    distinct hashes they share and the Jaccard of their fingerprint sets.
+
+    ``max_df`` drops fingerprints selected by more than ``max_df``
+    documents BEFORE any pair forms (the stop-shingle guard every
+    shared-key pair generator here uses — boilerplate k-grams sit in
+    thousands of web documents and would otherwise quadratic the join);
+    per-document fingerprint counts are taken over the SURVIVING space, so
+    ``similarity`` stays a true Jaccard of the pruned sets and the whole
+    operator remains deterministic and oracle-recomputable.
+
+    Output: ``(doc_id_a, doc_id_b, n_shared, n_a, n_b, similarity)`` with
+    doc_id_a < doc_id_b.
+    """
+    fp = winnow_fingerprints(docs, text_col=text_col, id_col=id_col, k=k, w=w)
+    dfp = fp.select(F.col(id_col).alias("_d"), "fp").distinct()
+    if max_df is not None:
+        dfc = dfp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        dfp = dfp.join(dfc.where(F.col("_df") <= max_df), "fp").drop("_df")
+    sizes = dfp.groupBy("_d").agg(F.count(F.lit(1)).alias("_n"))
+    a = dfp.select(F.col("_d").alias("doc_id_a"), "fp")
+    b = dfp.select(F.col("_d").alias("doc_id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("_d").alias("doc_id_a"), F.col("_n").alias("n_a")),
+            "doc_id_a",
+        )
+        .join(
+            sizes.select(F.col("_d").alias("doc_id_b"), F.col("_n").alias("n_b")),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("similarity"),
+        )
+    )

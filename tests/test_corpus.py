@@ -770,3 +770,90 @@ def test_rake_keywords_rejects_bad_topn(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         rake_keywords(docs, top_n=0)
+
+
+def _py_winnow(text, k, w):
+    """Independent pure-Python winnowing (md5-60 hashes, rightmost-min)."""
+    import hashlib
+    import re
+
+    s = re.sub(r"[^a-z0-9]", "", text.lower())
+    n = len(s) - k + 1
+    if n < 1:
+        return set()
+    hs = [
+        int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(n)
+    ]
+    out = set()
+    for end in range(min(w, n) - 1, n):
+        lo = max(0, end - w + 1)
+        best = min(range(lo, end + 1), key=lambda i: (hs[i], -i))
+        out.add((best + 1, hs[best]))
+    return out
+
+
+def test_winnow_fingerprints_match_pure_python(spark):
+    from minimel_spark.operators.text import winnow_fingerprints
+
+    texts = [
+        (1, "The winnowing algorithm selects local document fingerprints."),
+        (2, "selects local document fingerprints; then MOSS compares them."),
+        (3, "zz"),                                   # shorter than k -> none
+        (4, "abcdefgh"),                             # exactly one k-gram
+        (5, "aaaaaaaaaaaaaaaa"),                     # all-equal hashes (ties)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(docs, k=8, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for did, text in texts:
+        want = _py_winnow(text, 8, 4)
+        assert got.get(did, set()) == want, did
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    from minimel_spark.operators.text import winnow_pairs
+
+    # docs 1 and 2 share a normalized substring far longer than w+k-1=11
+    shared = "entity resolution at web scale needs winnowing"
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one. " + shared + " suffix alpha."),
+            (2, "other start: " + shared + " different end!"),
+            (3, "completely unrelated text about citrus fruit markets."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_pairs(docs, k=8, w=4).collect()
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)]["n_shared"] >= 1
+    sim = pairs[(1, 2)]["similarity"]
+    assert 0 < sim <= 1
+
+
+def test_winnow_pairs_partition_invariant_and_maxdf(spark):
+    from minimel_spark.operators.text import winnow_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"common boilerplate header block. unique tail {i} {i*7}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, winnow_pairs(docs.coalesce(1), k=8, w=4).collect()))
+    b = sorted(map(tuple, winnow_pairs(docs.repartition(8), k=8, w=4).collect()))
+    assert a == b and len(a) == 66  # all 12 docs share the header
+    # the boilerplate guard kills every all-doc fingerprint -> fewer pairs
+    g = winnow_pairs(docs, k=8, w=4, max_df=6).collect()
+    assert len(g) < 66
+
+
+def test_winnow_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.text import winnow_fingerprints
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(docs, k=0)
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(docs, w=0)
