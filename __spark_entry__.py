@@ -12108,6 +12108,72 @@ JOIN sizes sa ON sa.doc_id = doc_id_a
 JOIN sizes sb ON sb.doc_id = doc_id_b"""
 
 
+def q_text_textrank(spark, sf_dir):
+    """TextRank keyword extraction (operators/text.py textrank_keywords,
+    Mihalcea & Tarau EMNLP 2004): per-document PageRank over the window-3
+    co-occurrence graph of non-stopword tokens, 10 fixed rounds of
+    s' = (1-d) + d*Σ s(u)/deg(u), top-5 words per document by (rounded
+    score desc, word asc). The oracle unrolls the same 10 ::DOUBLE rounds
+    over the identical graph (lead-window edge generation, shared RAKE
+    stopword literal); scores are rounded to 6 decimals at the boundary —
+    the graph_pagerank float-sum convention."""
+    from minimel_spark.operators.text import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return textrank_keywords(docs, window=3, top_n=5, n_iter=10, damping=0.85)
+
+
+def _sql_textrank(n_iter: int = 10, window: int = 3, top_n: int = 5) -> str:
+    one_minus_d = repr(1.0 - 0.85)
+    leads = ", ".join(
+        f"lead(w, {i}) OVER win AS _l{i}" for i in range(1, window)
+    )
+    lead_list = ", ".join(f"_l{i}" for i in range(1, window))
+    steps = []
+    for i in range(n_iter):
+        steps.append(f"""r{i + 1} AS MATERIALIZED (
+  SELECT n.doc_id, n.w,
+         {one_minus_d}::DOUBLE + 0.85::DOUBLE * coalesce(c.c, 0.0::DOUBLE) AS r
+  FROM nodes n
+  LEFT JOIN (SELECT s.doc_id, s.dst AS w, sum(p.r / d2.deg) AS c
+             FROM sym s
+             JOIN r{i} p ON p.doc_id = s.doc_id AND p.w = s.src
+             JOIN deg d2 ON d2.doc_id = s.doc_id AND d2.src = s.src
+             GROUP BY 1, 2) c
+  ON c.doc_id = n.doc_id AND c.w = n.w)""")
+    chained = ",\n".join(steps)
+    return f"""
+WITH seq AS MATERIALIZED (
+  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS fpos
+  FROM (SELECT doc_id, unnest(ts) AS w, unnest(range(1, len(ts) + 1)) AS pos
+        FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ts
+              FROM documents))
+  WHERE w <> '' AND w NOT IN ({_SQL_RAKE_SW})),
+ld AS (
+  SELECT doc_id, w, {leads}
+  FROM seq WINDOW win AS (PARTITION BY doc_id ORDER BY fpos)),
+edges AS MATERIALIZED (
+  SELECT DISTINCT doc_id, least(w, nb) AS wa, greatest(w, nb) AS wb
+  FROM (SELECT doc_id, w, unnest([{lead_list}]) AS nb FROM ld)
+  WHERE nb IS NOT NULL AND nb <> w),
+sym AS MATERIALIZED (
+  SELECT doc_id, wa AS src, wb AS dst FROM edges
+  UNION ALL SELECT doc_id, wb, wa FROM edges),
+deg AS MATERIALIZED (SELECT doc_id, src, count(*)::BIGINT AS deg FROM sym GROUP BY 1, 2),
+nodes AS MATERIALIZED (SELECT DISTINCT doc_id, w FROM seq),
+r0 AS MATERIALIZED (SELECT doc_id, w, 1.0::DOUBLE AS r FROM nodes),
+{chained}
+SELECT doc_id, rnk AS "rank", word, score FROM (
+  SELECT doc_id, w AS word, round(r, 6) AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(r, 6) DESC, w ASC) AS rnk
+  FROM r{n_iter})
+WHERE rnk <= {top_n}"""
+
+
+SQL_TEXT_TEXTRANK = _sql_textrank(10, 3, 5)
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -12349,6 +12415,7 @@ _TAIL: list[str] = [
     "corpus_bpe_merges",
     "text_rake_keywords",
     "dedup_winnowing",
+    "text_textrank",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -12362,7 +12429,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 221
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 222
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -12552,6 +12619,7 @@ _ORACLES: dict[str, str] = {
     "corpus_bpe_merges": SQL_CORPUS_BPE_MERGES,
     "text_rake_keywords": SQL_TEXT_RAKE_KEYWORDS,
     "dedup_winnowing": SQL_DEDUP_WINNOWING,
+    "text_textrank": SQL_TEXT_TEXTRANK,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

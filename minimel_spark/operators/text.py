@@ -398,3 +398,121 @@ def winnow_pairs(
             ).alias("similarity"),
         )
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+    top_n: int = 5,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): per
+    document, vertices are the distinct non-stopword tokens, an undirected
+    unweighted edge links two words that co-occur within ``window``
+    positions of the FILTERED token sequence, and words are scored by
+    ``n_iter`` fixed rounds of PageRank on that graph:
+
+        s'(v) = (1 - d) + d * Σ_{u ∈ N(v)} s(u) / deg(u),   s_0 = 1
+
+    (the paper's formulation — note (1-d), not (1-d)/N). The graph-based
+    counterpart to :func:`rake_keywords`: RAKE scores phrases by degree
+    statistics in one pass, TextRank lets support propagate, surfacing
+    words central to the document's co-occurrence structure.
+
+    Determinism: every quantity except the contribution sums is exact;
+    the sums are IEEE doubles whose partition order can vary, so the
+    returned ``score`` is rounded to 6 decimals and the per-document
+    ranking orders by (rounded score desc, word asc) — the
+    graph_pagerank/PPR gate convention (10 rounds on a bounded-degree
+    graph keep float spread orders of magnitude under the rounding
+    grain). Isolated words (a document with one filtered token) settle at
+    exactly 1 - d.
+
+    Scale: ALL documents iterate simultaneously — state is one
+    (doc, word, score) table, each round is one edge join + grouped sum,
+    lineage truncated per round; edge generation is lead()-based over the
+    per-document sequence (narrow window functions, no self-join).
+
+    Output: ``(id_col, rank, word, score)``, rank 1-based per document,
+    at most ``top_n`` rows per document.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if top_n < 1 or n_iter < 1:
+        raise ValueError(f"top_n and n_iter must be >= 1, got {top_n}, {n_iter}")
+    sw = RAKE_STOPWORDS if stopwords is None else stopwords
+    sw_arr = F.array(*[F.lit(w) for w in sw])
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias(
+            "_pos", "_w"
+        ),
+    ).where((F.col("_w") != "") & ~F.array_contains(sw_arr, F.col("_w")))
+    order = Window.partitionBy("_id").orderBy("_pos")
+    with_leads = toks.select(
+        "_id",
+        "_w",
+        *[F.lead("_w", i).over(order).alias(f"_l{i}") for i in range(1, window)],
+    )
+    edges = (
+        with_leads.withColumn(
+            "_nb", F.explode(F.array(*[F.col(f"_l{i}") for i in range(1, window)]))
+        )
+        .where(F.col("_nb").isNotNull() & (F.col("_nb") != F.col("_w")))
+        .select(
+            "_id",
+            F.least("_w", "_nb").alias("_wa"),
+            F.greatest("_w", "_nb").alias("_wb"),
+        )
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select("_id", F.col("_wb").alias("_wa"), F.col("_wa").alias("_wb"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("_id", F.col("_wa").alias("_w")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    ).localCheckpoint(eager=True)
+    nodes = toks.select("_id", "_w").distinct().localCheckpoint(eager=True)
+    ranks = nodes.withColumn("_r", F.lit(1.0))
+    for _ in range(n_iter):
+        rd = ranks.join(deg, ["_id", "_w"]).select(
+            "_id",
+            F.col("_w").alias("_wa"),
+            (F.col("_r") / F.col("_deg")).alias("_rc"),
+        )
+        contrib = (
+            sym.join(rd, ["_id", "_wa"])
+            .groupBy("_id", F.col("_wb").alias("_w"))
+            .agg(F.sum("_rc").alias("_c"))
+        )
+        ranks = (
+            nodes.join(contrib, ["_id", "_w"], "left")
+            .select(
+                "_id",
+                "_w",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("_c", F.lit(0.0))
+                ).alias("_r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    rw = Window.partitionBy("_id").orderBy(
+        F.desc(F.round("_r", 6)), F.asc("_w")
+    )
+    return (
+        ranks.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= top_n)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("_w").alias("word"),
+            F.round("_r", 6).alias("score"),
+        )
+    )

@@ -857,3 +857,79 @@ def test_winnow_rejects_bad_params(spark):
         winnow_fingerprints(docs, k=0)
     with _pytest.raises(ValueError):
         winnow_fingerprints(docs, w=0)
+
+
+def _py_textrank(text, stopwords, window, n_iter, d):
+    import re
+
+    sw = set(stopwords)
+    ws = [
+        w
+        for w in re.split(r"[^a-z0-9]+", text.lower())
+        if w and w not in sw
+    ]
+    nbrs = {}
+    for i, w in enumerate(ws):
+        for j in range(i + 1, min(i + window, len(ws))):
+            if ws[j] != w:
+                nbrs.setdefault(w, set()).add(ws[j])
+                nbrs.setdefault(ws[j], set()).add(w)
+    nodes = set(ws)
+    s = {w: 1.0 for w in nodes}
+    for _ in range(n_iter):
+        s = {
+            w: (1 - d)
+            + d * sum(s[u] / len(nbrs[u]) for u in nbrs.get(w, ()))
+            for w in nodes
+        }
+    return s
+
+
+def test_textrank_matches_pure_python(spark):
+    from minimel_spark.operators.text import RAKE_STOPWORDS, textrank_keywords
+
+    texts = [
+        (1, "compatibility of systems of linear constraints over sets of "
+            "natural numbers; criteria of compatibility of a system of "
+            "linear diophantine equations are considered"),
+        (2, "graph based ranking brings graph structure into ranking of "
+            "graph vertices"),
+        (3, "single"),
+        (4, "the of and"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in textrank_keywords(docs, window=3, top_n=100).collect():
+        got.setdefault(r["doc_id"], {})[r["word"]] = r["score"]
+    assert 4 not in got
+    for did, text in texts[:3]:
+        want = _py_textrank(text, RAKE_STOPWORDS, 3, 10, 0.85)
+        assert set(got[did]) == set(want)
+        for w, sc in want.items():
+            assert abs(got[did][w] - round(sc, 6)) < 2e-6, (did, w)
+    assert got[3]["single"] == 0.15
+
+
+def test_textrank_topn_and_partition_invariance(spark):
+    from minimel_spark.operators.text import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i % 4} beta gamma") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, textrank_keywords(docs.coalesce(1), top_n=3).collect()))
+    b = sorted(map(tuple, textrank_keywords(docs.repartition(16), top_n=3).collect()))
+    assert a == b and len(a) == 90
+    ranks = [t[1] for t in a]
+    assert set(ranks) == {1, 2, 3}
+
+
+def test_textrank_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.text import textrank_keywords
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    for kwargs in ({"window": 1}, {"top_n": 0}, {"n_iter": 0}):
+        with _pytest.raises(ValueError):
+            textrank_keywords(docs, **kwargs)
