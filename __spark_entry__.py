@@ -12059,17 +12059,17 @@ WHERE rank <= 3"""
 
 def q_dedup_winnowing(spark, sf_dir):
     """Winnowing fingerprint near-dup pairs (operators/text.py
-    winnow_fingerprints/winnow_pairs — Schleimer, Wilkerson & Aiken,
+    char_winnow_fingerprints/char_winnow_pairs — Schleimer, Wilkerson & Aiken,
     SIGMOD 2003, the MOSS algorithm): char-8-gram md5-60 hashes over the
     [a-z0-9] skeleton, window-of-4 minimum selection with ties to the
     rightmost position, stop-fingerprint guard at df <= 50, pairs scored
     by shared distinct hashes + Jaccard of the pruned fingerprint sets.
     Everything (hashes, window argmin, df guard, counts, the similarity
     divide) is exact in both engines, so the oracle match is value-exact."""
-    from minimel_spark.operators.text import winnow_pairs
+    from minimel_spark.operators.text import char_winnow_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return winnow_pairs(docs, k=8, w=4, max_df=50)
+    return char_winnow_pairs(docs, k=8, w=4, max_df=50)
 
 
 SQL_DEDUP_WINNOWING = """

@@ -270,15 +270,20 @@ def _md5_60(col) -> "F.Column":
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def winnow_fingerprints(
+def char_winnow_fingerprints(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
     w: int = 4,
 ) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
-    SIGMOD 2003 — the MOSS local fingerprinting algorithm): normalize the
+    """CHARACTER-level winnowing fingerprints (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS local fingerprinting algorithm), the
+    paper-exact variant with positions and the rightmost-min tie rule;
+    the WORD-level, position-free sibling used for passage overlap lives
+    in operators/dedup.py (``winnow_fingerprints``) — char granularity
+    survives word-boundary edits (despacing, hyphenation, OCR noise)
+    that break word k-grams. Normalize the
     text to its [a-z0-9] skeleton, hash every char k-gram, slide a window
     of ``w`` consecutive k-gram hashes, and in each window select the
     minimum hash (ties to the RIGHTMOST occurrence, the paper's rule).
@@ -339,7 +344,7 @@ def winnow_fingerprints(
     )
 
 
-def winnow_pairs(
+def char_winnow_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -363,7 +368,7 @@ def winnow_pairs(
     Output: ``(doc_id_a, doc_id_b, n_shared, n_a, n_b, similarity)`` with
     doc_id_a < doc_id_b.
     """
-    fp = winnow_fingerprints(docs, text_col=text_col, id_col=id_col, k=k, w=w)
+    fp = char_winnow_fingerprints(docs, text_col=text_col, id_col=id_col, k=k, w=w)
     dfp = fp.select(F.col(id_col).alias("_d"), "fp").distinct()
     if max_df is not None:
         dfc = dfp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))

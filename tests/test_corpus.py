@@ -794,7 +794,7 @@ def _py_winnow(text, k, w):
 
 
 def test_winnow_fingerprints_match_pure_python(spark):
-    from minimel_spark.operators.text import winnow_fingerprints
+    from minimel_spark.operators.text import char_winnow_fingerprints
 
     texts = [
         (1, "The winnowing algorithm selects local document fingerprints."),
@@ -805,7 +805,7 @@ def test_winnow_fingerprints_match_pure_python(spark):
     ]
     docs = spark.createDataFrame(texts, "doc_id long, text string")
     got = {}
-    for r in winnow_fingerprints(docs, k=8, w=4).collect():
+    for r in char_winnow_fingerprints(docs, k=8, w=4).collect():
         got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
     for did, text in texts:
         want = _py_winnow(text, 8, 4)
@@ -813,7 +813,7 @@ def test_winnow_fingerprints_match_pure_python(spark):
 
 
 def test_winnow_guarantee_shared_substring(spark):
-    from minimel_spark.operators.text import winnow_pairs
+    from minimel_spark.operators.text import char_winnow_pairs
 
     # docs 1 and 2 share a normalized substring far longer than w+k-1=11
     shared = "entity resolution at web scale needs winnowing"
@@ -825,7 +825,7 @@ def test_winnow_guarantee_shared_substring(spark):
         ],
         "doc_id long, text string",
     )
-    rows = winnow_pairs(docs, k=8, w=4).collect()
+    rows = char_winnow_pairs(docs, k=8, w=4).collect()
     pairs = {(r["doc_id_a"], r["doc_id_b"]): r for r in rows}
     assert (1, 2) in pairs and pairs[(1, 2)]["n_shared"] >= 1
     sim = pairs[(1, 2)]["similarity"]
@@ -833,30 +833,30 @@ def test_winnow_guarantee_shared_substring(spark):
 
 
 def test_winnow_pairs_partition_invariant_and_maxdf(spark):
-    from minimel_spark.operators.text import winnow_pairs
+    from minimel_spark.operators.text import char_winnow_pairs
 
     docs = spark.createDataFrame(
         [(i, f"common boilerplate header block. unique tail {i} {i*7}") for i in range(12)],
         "doc_id long, text string",
     )
-    a = sorted(map(tuple, winnow_pairs(docs.coalesce(1), k=8, w=4).collect()))
-    b = sorted(map(tuple, winnow_pairs(docs.repartition(8), k=8, w=4).collect()))
+    a = sorted(map(tuple, char_winnow_pairs(docs.coalesce(1), k=8, w=4).collect()))
+    b = sorted(map(tuple, char_winnow_pairs(docs.repartition(8), k=8, w=4).collect()))
     assert a == b and len(a) == 66  # all 12 docs share the header
     # the boilerplate guard kills every all-doc fingerprint -> fewer pairs
-    g = winnow_pairs(docs, k=8, w=4, max_df=6).collect()
+    g = char_winnow_pairs(docs, k=8, w=4, max_df=6).collect()
     assert len(g) < 66
 
 
 def test_winnow_rejects_bad_params(spark):
     import pytest as _pytest
 
-    from minimel_spark.operators.text import winnow_fingerprints
+    from minimel_spark.operators.text import char_winnow_fingerprints
 
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
-        winnow_fingerprints(docs, k=0)
+        char_winnow_fingerprints(docs, k=0)
     with _pytest.raises(ValueError):
-        winnow_fingerprints(docs, w=0)
+        char_winnow_fingerprints(docs, w=0)
 
 
 def _py_textrank(text, stopwords, window, n_iter, d):
