@@ -12174,6 +12174,59 @@ WHERE rnk <= {top_n}"""
 SQL_TEXT_TEXTRANK = _sql_textrank(10, 3, 5)
 
 
+def q_dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup accounting (operators/dedup.py
+    cdc_chunks/cdc_dedup_stats — the rsync/LBFS cut-point scheme,
+    Muthitacharoen et al. SOSP 2001): md5-60 k-gram boundary predicate
+    (k=16, divisor=64, expected chunk ~64 chars), chunks tile each
+    document exactly, and per-doc stats count the content mass made of
+    chunks occurring >= 2x corpus-wide. Every quantity is an exact integer
+    or one exact integer division, so the oracle match is value-exact."""
+    from minimel_spark.operators.dedup import cdc_dedup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_dedup_stats(docs, k=16, divisor=64)
+
+
+SQL_DEDUP_CDC_CHUNKS = """
+WITH base AS (SELECT doc_id, text, len(text)::BIGINT AS n
+              FROM documents WHERE len(text) >= 1),
+bnd AS (
+  SELECT doc_id, text, n,
+         CASE WHEN n >= 16 THEN
+           list_filter(range(16, n + 1), i ->
+             ('0x' || substr(md5(substr(text, (i - 15)::INT, 16)), 1, 15))::UBIGINT
+             % 64 = 0)
+         ELSE CAST([] AS BIGINT[]) END AS bs
+  FROM base),
+ech AS (
+  SELECT doc_id, text, ends, unnest(range(1, len(ends) + 1)) AS i
+  FROM (SELECT doc_id, text,
+               list_sort(list_distinct(list_append(bs, n))) AS ends
+        FROM bnd)),
+ch AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN 1::BIGINT ELSE ends[(i - 1)::INT] + 1 END AS cstart,
+         ends[i::INT] AS cend, text
+  FROM ech),
+ch2 AS (
+  SELECT doc_id, (cend - cstart + 1)::BIGINT AS clen,
+         ('0x' || substr(md5(substr(text, cstart::INT,
+                                    (cend - cstart + 1)::INT)), 1, 15))
+           ::UBIGINT::BIGINT AS h
+  FROM ch),
+freq AS (SELECT h, clen, count(*) AS cnt FROM ch2 GROUP BY 1, 2)
+SELECT doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(clen)::BIGINT AS n_chars,
+       sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       sum(CASE WHEN cnt >= 2 THEN clen ELSE 0 END)::BIGINT AS dup_chars,
+       sum(CASE WHEN cnt >= 2 THEN clen ELSE 0 END)::BIGINT
+         / sum(clen)::BIGINT AS dup_frac
+FROM ch2 JOIN freq USING (h, clen)
+GROUP BY doc_id"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -12416,6 +12469,7 @@ _TAIL: list[str] = [
     "text_rake_keywords",
     "dedup_winnowing",
     "text_textrank",
+    "dedup_cdc_chunks",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -12429,7 +12483,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 222
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 223
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -12620,6 +12674,7 @@ _ORACLES: dict[str, str] = {
     "text_rake_keywords": SQL_TEXT_RAKE_KEYWORDS,
     "dedup_winnowing": SQL_DEDUP_WINNOWING,
     "text_textrank": SQL_TEXT_TEXTRANK,
+    "dedup_cdc_chunks": SQL_DEDUP_CDC_CHUNKS,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

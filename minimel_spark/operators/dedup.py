@@ -1043,3 +1043,125 @@ def tfidf_cosine_dups(
         .agg(F.sum(F.col("_nwa") * F.col("_nwb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS rolling-hash cut-point
+    scheme, Muthitacharoen et al. SOSP 2001): a chunk boundary falls AFTER
+    character position i whenever the hash of the k-gram ENDING at i is
+    ≡ 0 (mod ``divisor``) — so boundaries are anchored to content, not
+    offsets, and an insertion near the start of a document shifts only the
+    chunk it lands in while every later cut point re-aligns (the property
+    fixed-size blocking fundamentally lacks, and the reason storage dedup
+    uses CDC). Expected chunk length ≈ ``divisor`` chars.
+
+    This is the no-min/max-size variant: the boundary SET is a pure
+    per-position predicate (stateless, exactly SQL-expressible), where the
+    production min/max guards add a sequential scan. The hash is md5-60
+    (DuckDB-recomputable); everything is JVM array expressions per
+    document — no shuffle at all until the caller aggregates.
+
+    Scale: per-doc cost is O(len) hash evaluations; documents are the unit
+    of parallelism and the longest document bounds a task (the same
+    per-doc-bounded cost model as every text operator here).
+
+    Output: ``(id_col, chunk_idx, cstart, clen, chunk_hash)`` — chunk_idx
+    1-based, cstart the 1-based char offset, chunks tile the document
+    exactly. Documents shorter than ``k`` chars form a single chunk.
+    """
+    if k < 1 or divisor < 1:
+        raise ValueError(f"k and divisor must be >= 1, got k={k}, divisor={divisor}")
+    t = F.col(text_col)
+    n = F.length(t)
+    bounds = F.when(
+        n >= k,
+        F.filter(
+            F.sequence(F.lit(k), n),
+            lambda i: F.pmod(
+                md5_long60(F.substring(t, (i - k + 1).cast("int"), k)),
+                F.lit(divisor),
+            )
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    base = (
+        docs.where(n >= 1)
+        .select(
+            F.col(id_col).alias("_id"),
+            t.alias("_t"),
+            F.array_sort(
+                F.array_distinct(F.concat(bounds.cast("array<long>"), F.array(n.cast("long"))))
+            ).alias("_ends"),
+        )
+    )
+    chunks = base.select(
+        "_id",
+        "_t",
+        "_ends",
+        F.posexplode("_ends").alias("_i0", "_cend"),
+    ).select(
+        "_id",
+        (F.col("_i0") + 1).cast("long").alias("chunk_idx"),
+        F.when(F.col("_i0") == 0, F.lit(1).cast("long"))
+        .otherwise(
+            F.element_at(F.col("_ends"), F.greatest(F.col("_i0"), F.lit(1)).cast("int")) + 1
+        )
+        .alias("cstart"),
+        F.col("_cend"),
+        F.col("_t"),
+    )
+    return chunks.select(
+        F.col("_id").alias(id_col),
+        "chunk_idx",
+        "cstart",
+        (F.col("_cend") - F.col("cstart") + 1).cast("long").alias("clen"),
+        md5_long60(
+            F.substring(
+                F.col("_t"),
+                F.col("cstart").cast("int"),
+                (F.col("_cend") - F.col("cstart") + 1).cast("int"),
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+def cdc_dedup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    divisor: int = 64,
+) -> DataFrame:
+    """Storage-style dedup accounting over :func:`cdc_chunks`: per
+    document, how much of its content is made of chunks that occur at
+    least twice in the corpus (keyed by (chunk_hash, clen) — identical
+    content anywhere, including within the same document). This is the
+    dedup-ratio estimate a chunk store would realize, and — unlike
+    shingle/winnowing similarity — it measures REUSABLE SPANS, so it
+    catches boilerplate blocks pasted across otherwise-unrelated pages.
+
+    One groupBy over chunk identities + one join back: never a pair
+    space. Output: ``(id_col, n_chunks, n_chars, n_dup_chunks, dup_chars,
+    dup_frac)`` — all exact integers plus one exact integer division.
+    """
+    ch = cdc_chunks(docs, text_col=text_col, id_col=id_col, k=k, divisor=divisor)
+    freq = ch.groupBy("chunk_hash", "clen").agg(F.count(F.lit(1)).alias("_cnt"))
+    return (
+        ch.join(freq, ["chunk_hash", "clen"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("clen").cast("long").alias("n_chars"),
+            F.sum((F.col("_cnt") >= 2).cast("long")).cast("long").alias("n_dup_chunks"),
+            F.sum(F.when(F.col("_cnt") >= 2, F.col("clen")).otherwise(0))
+            .cast("long")
+            .alias("dup_chars"),
+        )
+        .withColumn("dup_frac", F.col("dup_chars") / F.col("n_chars"))
+    )

@@ -834,3 +834,77 @@ def test_tfidf_cosine_matches_bruteforce_and_partitioning(spark, documents):
     assert got == got2
     for c in caches:
         c.unpersist()
+
+
+def _py_cdc(text, k, divisor):
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    n = len(text)
+    ends = sorted(
+        {i for i in range(k, n + 1) if h60(text[i - k : i]) % divisor == 0}
+        | {n}
+    )
+    out, start = [], 1
+    for idx, e in enumerate(ends, 1):
+        chunk = text[start - 1 : e]
+        out.append((idx, start, len(chunk), h60(chunk)))
+        start = e + 1
+    return out
+
+
+def test_cdc_chunks_match_pure_python_and_tile(spark):
+    from minimel_spark.operators.dedup import cdc_chunks
+
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog." * 6),
+        (2, "short"),
+        (3, "abcdefghij" * 20),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(docs, k=8, divisor=16).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["cstart"], r["clen"], r["chunk_hash"])
+        )
+    for did, text in texts:
+        want = _py_cdc(text, 8, 16)
+        assert sorted(got[did]) == want, did
+        # chunks tile the document exactly
+        assert sum(c[2] for c in want) == len(text)
+
+
+def test_cdc_realignment_after_edit(spark):
+    """The CDC property: an insertion shifts only the chunk it lands in;
+    all later cut points re-align, so most chunks stay shared."""
+    from minimel_spark.operators.dedup import cdc_dedup_stats
+
+    body = "Entity resolution pipelines chunk content for dedup. " * 10
+    docs = spark.createDataFrame(
+        [(1, body), (2, "INSERTED PREFIX >> " + body)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in cdc_dedup_stats(docs, k=8, divisor=16).collect()
+    }
+    # the bulk of both docs' mass is in shared chunks despite the prefix edit
+    assert rows[1]["dup_frac"] > 0.7 and rows[2]["dup_frac"] > 0.7
+
+
+def test_cdc_stats_partition_invariant(spark):
+    from minimel_spark.operators.dedup import cdc_chunks, cdc_dedup_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"block {i % 3} " * 30) for i in range(24)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, cdc_dedup_stats(docs.coalesce(1)).collect()))
+    b = sorted(map(tuple, cdc_dedup_stats(docs.repartition(16)).collect()))
+    assert a == b and len(a) == 24
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cdc_chunks(docs, k=0)
