@@ -12227,6 +12227,81 @@ FROM ch2 JOIN freq USING (h, clen)
 GROUP BY doc_id"""
 
 
+def q_text_summary(spark, sf_dir):
+    """Extractive summarization via sentence TextRank (operators/text.py
+    textrank_sentences, Mihalcea & Tarau EMNLP 2004 §4): sentences split
+    on [.!?]+ runs, edges weighted by shared-distinct-words / (|a|+|b|)
+    (the exact-rational variant of the paper's log normalization), 10
+    rounds of weighted PageRank, top-2 sentences per document by (rounded
+    score desc, position asc). The oracle unrolls the same 10 ::DOUBLE
+    rounds over the identical sentence graph; scores rounded to 6
+    decimals at the boundary (the graph-gate float-sum convention)."""
+    from minimel_spark.operators.text import textrank_sentences
+
+    docs = _t(spark, sf_dir, "documents")
+    return textrank_sentences(docs, top_n=2, n_iter=10, damping=0.85)
+
+
+def _sql_textrank_sentences(n_iter: int = 10, top_n: int = 2) -> str:
+    one_minus_d = repr(1.0 - 0.85)
+    steps = []
+    for i in range(n_iter):
+        steps.append(f"""r{i + 1} AS MATERIALIZED (
+  SELECT n.doc_id, n.sidx,
+         {one_minus_d}::DOUBLE + 0.85::DOUBLE * coalesce(c.c, 0.0::DOUBLE) AS r
+  FROM nodes n
+  LEFT JOIN (SELECT e.doc_id, e.dst AS sidx, sum(e.frac * p.r) AS c
+             FROM ew e
+             JOIN r{i} p ON p.doc_id = e.doc_id AND p.sidx = e.src
+             GROUP BY 1, 2) c
+  ON c.doc_id = n.doc_id AND c.sidx = n.sidx)""")
+    chained = ",\n".join(steps)
+    return f"""
+WITH sents AS MATERIALIZED (
+  SELECT doc_id, sidx::BIGINT AS sidx,
+         regexp_replace(raw, '^\\s+|\\s+$', '', 'g') AS sent
+  FROM (SELECT doc_id, unnest(parts) AS raw,
+               unnest(range(1, len(parts) + 1)) AS sidx
+        FROM (SELECT doc_id, string_split_regex(text, '[.!?]+') AS parts
+              FROM documents))
+  WHERE regexp_matches(raw, '[A-Za-z0-9]')),
+sw AS MATERIALIZED (
+  SELECT doc_id, sidx, sent,
+         list_distinct(list_filter(
+           string_split_regex(lower(sent), '[^a-z0-9]+'), w -> w <> '')) AS words
+  FROM sents),
+nodes AS MATERIALIZED (
+  SELECT doc_id, sidx, sent, len(words)::BIGINT AS nw FROM sw),
+wt AS MATERIALIZED (SELECT doc_id, sidx, unnest(words) AS w FROM sw),
+shared AS (
+  SELECT a.doc_id, a.sidx AS src, b.sidx AS dst, count(*)::BIGINT AS sh
+  FROM wt a JOIN wt b
+    ON a.doc_id = b.doc_id AND a.w = b.w AND a.sidx <> b.sidx
+  GROUP BY 1, 2, 3),
+edges AS MATERIALIZED (
+  SELECT s.doc_id, s.src, s.dst, s.sh / (na.nw + nb.nw) AS wgt
+  FROM shared s
+  JOIN nodes na ON na.doc_id = s.doc_id AND na.sidx = s.src
+  JOIN nodes nb ON nb.doc_id = s.doc_id AND nb.sidx = s.dst),
+ew AS MATERIALIZED (
+  SELECT e.doc_id, e.src, e.dst, e.wgt / o.ow AS frac
+  FROM edges e
+  JOIN (SELECT doc_id, src, sum(wgt) AS ow FROM edges GROUP BY 1, 2) o
+    ON o.doc_id = e.doc_id AND o.src = e.src),
+r0 AS MATERIALIZED (SELECT doc_id, sidx, 1.0::DOUBLE AS r FROM nodes),
+{chained}
+SELECT doc_id, rnk AS "rank", sidx AS sent_idx, sent AS sentence, score
+FROM (SELECT f.doc_id, f.sidx, n.sent, round(f.r, 6) AS score,
+             row_number() OVER (PARTITION BY f.doc_id
+                                ORDER BY round(f.r, 6) DESC, f.sidx ASC) AS rnk
+      FROM r{n_iter} f
+      JOIN nodes n ON n.doc_id = f.doc_id AND n.sidx = f.sidx)
+WHERE rnk <= {top_n}"""
+
+
+SQL_TEXT_SUMMARY = _sql_textrank_sentences(10, 2)
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -12470,6 +12545,7 @@ _TAIL: list[str] = [
     "dedup_winnowing",
     "text_textrank",
     "dedup_cdc_chunks",
+    "text_summary",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -12483,7 +12559,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 223
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 224
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -12675,6 +12751,7 @@ _ORACLES: dict[str, str] = {
     "dedup_winnowing": SQL_DEDUP_WINNOWING,
     "text_textrank": SQL_TEXT_TEXTRANK,
     "dedup_cdc_chunks": SQL_DEDUP_CDC_CHUNKS,
+    "text_summary": SQL_TEXT_SUMMARY,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

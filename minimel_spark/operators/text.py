@@ -521,3 +521,135 @@ def textrank_keywords(
             F.round("_r", 6).alias("score"),
         )
     )
+
+
+def textrank_sentences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Extractive summarization via sentence-level TextRank (Mihalcea &
+    Tarau, EMNLP 2004 §4): per document, vertices are the sentences
+    (split on ``[.!?]+`` runs, whitespace-trimmed, kept iff they contain
+    an alphanumeric), an edge links two sentences sharing >= 1 distinct
+    word, weighted by
+
+        w(a, b) = |words(a) ∩ words(b)| / (|words(a)| + |words(b)|)
+
+    (distinct lowercased [a-z0-9]+ tokens; the paper's log-length
+    normalization is replaced by the linear one — a documented common
+    variant — because ln() is not correctly-rounded identically across
+    engines while this ratio is an exact rational), and sentences are
+    scored by ``n_iter`` rounds of weighted PageRank:
+
+        WS(v) = (1 - d) + d * Σ_{u ∈ N(v)} w(u, v) / outw(u) * WS(u)
+
+    with outw(u) = Σ_{x ∈ N(u)} w(u, x) and WS_0 = 1. The top ``top_n``
+    sentences per document come back — the zero-model summary a curation
+    pipeline extracts before anything learned, and the text ER blocking
+    and dedup gates can key on.
+
+    Determinism: scores are rounded to 6 decimals at the boundary and the
+    ranking orders by (rounded score desc, sentence position asc) — the
+    graph-gate float-sum convention (bounded graphs, 10 rounds, spread
+    orders of magnitude under the grain). Isolated sentences settle at
+    exactly 1 - d.
+
+    Scale: ALL documents iterate together in one (doc, sentence) state
+    table; edge generation is a word-exploded equi-join (never sentence
+    pairs across documents); per-round cost is one edge join + grouped
+    sum. Sentence count per doc bounds the per-doc work.
+
+    Output: ``(id_col, rank, sent_idx, sentence, score)`` — sent_idx is
+    the 1-based position in the original split, so callers can restore
+    document order for the final summary.
+    """
+    if top_n < 1 or n_iter < 1:
+        raise ValueError(f"top_n and n_iter must be >= 1, got {top_n}, {n_iter}")
+    from pyspark.sql import Window
+
+    sents = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), r"[.!?]+")).alias("_i0", "_raw"),
+        )
+        .select(
+            "_id",
+            (F.col("_i0") + 1).cast("long").alias("_sidx"),
+            F.regexp_replace("_raw", r"^\s+|\s+$", "").alias("_sent"),
+        )
+        .where(F.col("_sent").rlike("[A-Za-z0-9]"))
+        .withColumn(
+            "_words",
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("_sent")), r"[^a-z0-9]+"),
+                    lambda w: w != "",
+                )
+            ),
+        )
+        .withColumn("_nw", F.size("_words").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    wt = sents.select("_id", "_sidx", F.explode("_words").alias("_w"))
+    shared = (
+        wt.alias("a")
+        .join(wt.alias("b"), ["_id", "_w"])
+        .where(F.col("a._sidx") != F.col("b._sidx"))
+        .groupBy("_id", F.col("a._sidx").alias("_src"), F.col("b._sidx").alias("_dst"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    na = sents.select("_id", F.col("_sidx").alias("_src"), F.col("_nw").alias("_na"))
+    nb = sents.select("_id", F.col("_sidx").alias("_dst"), F.col("_nw").alias("_nb"))
+    edges = (
+        shared.join(na, ["_id", "_src"])
+        .join(nb, ["_id", "_dst"])
+        .select(
+            "_id",
+            "_src",
+            "_dst",
+            (F.col("_shared") / (F.col("_na") + F.col("_nb"))).alias("_wt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    outw = edges.groupBy("_id", "_src").agg(F.sum("_wt").alias("_ow"))
+    ew = edges.join(outw, ["_id", "_src"]).select(
+        "_id", "_src", "_dst", (F.col("_wt") / F.col("_ow")).alias("_frac")
+    ).localCheckpoint(eager=True)
+    nodes = sents.select("_id", "_sidx").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("_r", F.lit(1.0))
+    for _ in range(n_iter):
+        rsrc = ranks.select("_id", F.col("_sidx").alias("_src"), "_r")
+        contrib = (
+            ew.join(rsrc, ["_id", "_src"])
+            .groupBy("_id", F.col("_dst").alias("_sidx"))
+            .agg(F.sum(F.col("_frac") * F.col("_r")).alias("_c"))
+        )
+        ranks = (
+            nodes.join(contrib, ["_id", "_sidx"], "left")
+            .select(
+                "_id",
+                "_sidx",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("_c", F.lit(0.0))
+                ).alias("_r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    rw = Window.partitionBy("_id").orderBy(F.desc(F.round("_r", 6)), F.asc("_sidx"))
+    return (
+        ranks.join(sents.select("_id", "_sidx", "_sent"), ["_id", "_sidx"])
+        .withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= top_n)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("_sidx").alias("sent_idx"),
+            F.col("_sent").alias("sentence"),
+            F.round("_r", 6).alias("score"),
+        )
+    )

@@ -933,3 +933,82 @@ def test_textrank_rejects_bad_params(spark):
     for kwargs in ({"window": 1}, {"top_n": 0}, {"n_iter": 0}):
         with _pytest.raises(ValueError):
             textrank_keywords(docs, **kwargs)
+
+
+def _py_textrank_sentences(text, n_iter, d):
+    import re
+
+    parts = re.split(r"[.!?]+", text)
+    sents = []
+    for i, raw in enumerate(parts, 1):
+        if re.search(r"[A-Za-z0-9]", raw):
+            s = re.sub(r"^\s+|\s+$", "", raw)
+            words = set(
+                w for w in re.split(r"[^a-z0-9]+", s.lower()) if w
+            )
+            sents.append((i, s, words))
+    wgt = {}
+    for i, (ia, _, wa) in enumerate(sents):
+        for ib, _, wb in sents:
+            if ia != ib:
+                sh = len(wa & wb)
+                if sh:
+                    wgt[(ia, ib)] = sh / (len(wa) + len(wb))
+    outw = {}
+    for (a, b), w in wgt.items():
+        outw[a] = outw.get(a, 0.0) + w
+    r = {i: 1.0 for i, _, _ in sents}
+    for _ in range(n_iter):
+        r = {
+            v: (1 - d)
+            + d
+            * sum(
+                wgt[(u, v)] / outw[u] * r[u]
+                for (u, vv) in wgt
+                if vv == v
+            )
+            for v, _, _ in sents
+        }
+    return {i: (s, r[i]) for i, s, _ in sents}
+
+
+def test_textrank_sentences_match_pure_python(spark):
+    from minimel_spark.operators.text import textrank_sentences
+
+    texts = [
+        (1, "Spark processes data in parallel. DuckDB checks results "
+            "exactly. Spark and DuckDB both process data! Totally "
+            "unrelated filler here?"),
+        (2, "One lonely sentence only."),
+        (3, "... !!!"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in textrank_sentences(docs, top_n=100).collect():
+        got.setdefault(r["doc_id"], {})[r["sent_idx"]] = (
+            r["sentence"],
+            r["score"],
+        )
+    assert 3 not in got
+    for did, text in texts[:2]:
+        want = _py_textrank_sentences(text, 10, 0.85)
+        assert set(got[did]) == set(want)
+        for i, (s, sc) in want.items():
+            assert got[did][i][0] == s
+            assert abs(got[did][i][1] - round(sc, 6)) < 2e-6
+    assert got[2][1][1] == 0.15
+
+
+def test_textrank_sentences_partition_invariant(spark):
+    from minimel_spark.operators.text import textrank_sentences
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta {i % 3}. beta gamma {i % 3}. gamma alpha delta. solo{i} here.")
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, textrank_sentences(docs.coalesce(1), top_n=2).collect()))
+    b = sorted(map(tuple, textrank_sentences(docs.repartition(16), top_n=2).collect()))
+    assert a == b and len(a) == 40
