@@ -12302,6 +12302,36 @@ WHERE rnk <= {top_n}"""
 SQL_TEXT_SUMMARY = _sql_textrank_sentences(10, 2)
 
 
+def q_corpus_shard_balance(spark, sf_dir):
+    """Balanced training-shard assignment (operators/corpus.py
+    shard_assign/shard_balance): global (token count desc, doc_id asc)
+    rank via per-distinct-value windows + a triangle-join offset table (no
+    single-partition sort), dealt round-robin over 8 shards, then per-shard
+    doc/token accounting. All exact integers — value-exact oracle."""
+    from minimel_spark.operators.corpus import shard_balance
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_balance(docs, n_shards=8)
+
+
+SQL_CORPUS_SHARD_BALANCE = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rnk
+  FROM t)
+SELECT ((rnk - 1) % 8)::BIGINT AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       min(n_tokens)::BIGINT AS min_tokens,
+       max(n_tokens)::BIGINT AS max_tokens
+FROM r GROUP BY 1"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -12546,6 +12576,7 @@ _TAIL: list[str] = [
     "text_textrank",
     "dedup_cdc_chunks",
     "text_summary",
+    "corpus_shard_balance",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -12559,7 +12590,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 224
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 225
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -12752,6 +12783,7 @@ _ORACLES: dict[str, str] = {
     "text_textrank": SQL_TEXT_TEXTRANK,
     "dedup_cdc_chunks": SQL_DEDUP_CDC_CHUNKS,
     "text_summary": SQL_TEXT_SUMMARY,
+    "corpus_shard_balance": SQL_CORPUS_SHARD_BALANCE,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

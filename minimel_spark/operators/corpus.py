@@ -1025,3 +1025,78 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "round long, left string, right string, merged string, pair_count long"
     )
+
+
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Balanced training-shard assignment — the deterministic LPT
+    relaxation: documents are globally ranked by (token count desc, id
+    asc) and dealt round-robin, shard = (rank − 1) mod ``n_shards``, so
+    every shard receives one document from each consecutive size band
+    (longest-processing-time-first's sortedness without its sequential
+    argmin loop). For Zipf-ish document lengths this bounds the shard
+    token spread by roughly one max-document per shard, which is what a
+    trainer's data loader needs from its shards (hash_split gives UNBIASED
+    shards; this gives SIZE-BALANCED ones — different contract).
+
+    The global rank never materializes a single-partition sort: per
+    distinct token count, a partitioned window ranks ids locally, and the
+    cross-value offsets come from a triangle join over the (tiny) distinct
+    token-count table — the quantile_top_shadowed / byte_pack_buckets
+    two-level shape. Skew caveat: a corpus where a large fraction of
+    documents share ONE exact token count funnels that value's tie-break
+    window into few partitions; shard semantics are value-based, so such a
+    spike can be pre-split by any deterministic id-hash sub-rank if it
+    ever dominates (same remedy as byte_pack_buckets, documented not
+    implemented — exact-equal-length spikes are rare in real text).
+
+    Output: ``(id_col, n_tokens, rank, shard)`` — rank 1-based global,
+    shard in [0, n_shards).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    t = docs.select(
+        F.col(id_col),
+        F.size(_words(text_col)).cast("long").alias("n_tokens"),
+    )
+    vc = t.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("_cnt"))
+    offs = (
+        vc.alias("a")
+        .join(vc.alias("b"), F.col("b.n_tokens") > F.col("a.n_tokens"), "left")
+        .groupBy(F.col("a.n_tokens").alias("n_tokens"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+    w = Window.partitionBy("n_tokens").orderBy(id_col)
+    return (
+        t.join(F.broadcast(offs), "n_tokens")
+        .withColumn("rank", (F.col("_off") + F.row_number().over(w)).cast("long"))
+        .select(
+            id_col,
+            "n_tokens",
+            "rank",
+            F.pmod(F.col("rank") - 1, F.lit(n_shards)).cast("long").alias("shard"),
+        )
+    )
+
+
+def shard_balance(
+    docs: DataFrame,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard accounting over :func:`shard_assign`: one row per shard
+    with document count, token mass, and the min/max document sizes it
+    received — the table a capacity planner reads before launching a
+    training job. All exact integers."""
+    a = shard_assign(docs, n_shards=n_shards, text_col=text_col, id_col=id_col)
+    return a.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )

@@ -1012,3 +1012,43 @@ def test_textrank_sentences_partition_invariant(spark):
     a = sorted(map(tuple, textrank_sentences(docs.coalesce(1), top_n=2).collect()))
     b = sorted(map(tuple, textrank_sentences(docs.repartition(16), top_n=2).collect()))
     assert a == b and len(a) == 40
+
+
+def test_shard_assign_matches_python_and_balances(spark):
+    import re
+
+    from minimel_spark.operators.corpus import shard_assign, shard_balance
+
+    texts = [(i, "w " * (5 + (i * 37) % 90)) for i in range(1, 41)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["rank"], r["shard"])
+        for r in shard_assign(docs, n_shards=4).collect()
+    }
+    toks = {
+        i: len([w for w in re.split(r"\W+", t.lower()) if w])
+        for i, t in texts
+    }
+    order = sorted(toks, key=lambda i: (-toks[i], i))
+    for rnk, did in enumerate(order, 1):
+        assert got[did] == (toks[did], rnk, (rnk - 1) % 4), did
+    # round-robin of the sorted order keeps shards within one band
+    bal = shard_balance(docs, n_shards=4).collect()
+    masses = [r["total_tokens"] for r in bal]
+    assert max(masses) - min(masses) <= max(toks.values())
+    assert sum(r["n_docs"] for r in bal) == 40
+
+
+def test_shard_assign_partition_invariant(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.corpus import shard_assign
+
+    docs = spark.createDataFrame(
+        [(i, "x " * (1 + i % 7)) for i in range(30)], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, shard_assign(docs.coalesce(1), 5).collect()))
+    b = sorted(map(tuple, shard_assign(docs.repartition(16), 5).collect()))
+    assert a == b and len(a) == 30
+    with _pytest.raises(ValueError):
+        shard_assign(docs, n_shards=0)
