@@ -12332,6 +12332,52 @@ SELECT ((rnk - 1) % 8)::BIGINT AS shard,
 FROM r GROUP BY 1"""
 
 
+_PHRASE_QUERIES = ["table hash", "customer join", "scan query big", "no such phrase"]
+
+
+def q_text_phrase_search(spark, sf_dir):
+    """Positional-index phrase query (operators/text.py phrase_search):
+    one postings pass, one broadcast join matches all phrases at once,
+    anchor grouping with count-distinct-slot == phrase length (correct
+    under repeated words and overlapping occurrences). Fixed query set of
+    three present phrases + one guaranteed miss; exact integer output."""
+    from minimel_spark.operators.text import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, _PHRASE_QUERIES)
+
+
+def _sql_phrase_search(phrases: list[str]) -> str:
+    import re as _re
+
+    vals = []
+    for ph in phrases:
+        toks = [w for w in _re.split(r"\W+", ph.lower()) if w]
+        for j, w in enumerate(toks, 1):
+            vals.append(f"('{ph}', {j}, '{w}', {len(toks)})")
+    values = ",\n         ".join(vals)
+    return f"""
+WITH ptoks(phrase, j, w, plen) AS (
+  VALUES {values}),
+idx AS (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS p
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                           x -> x <> '') AS ws
+        FROM documents)),
+occ AS (
+  SELECT i.doc_id, t.phrase, t.plen, i.p - t.j AS anchor,
+         count(DISTINCT t.j) AS found
+  FROM idx i JOIN ptoks t ON t.w = i.w
+  GROUP BY 1, 2, 3, 4)
+SELECT phrase, doc_id, count(*)::BIGINT AS n_hits
+FROM occ WHERE found = plen
+GROUP BY 1, 2"""
+
+
+SQL_TEXT_PHRASE_SEARCH = _sql_phrase_search(_PHRASE_QUERIES)
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -12577,6 +12623,7 @@ _TAIL: list[str] = [
     "dedup_cdc_chunks",
     "text_summary",
     "corpus_shard_balance",
+    "text_phrase_search",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -12590,7 +12637,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 225
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 226
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -12784,6 +12831,7 @@ _ORACLES: dict[str, str] = {
     "dedup_cdc_chunks": SQL_DEDUP_CDC_CHUNKS,
     "text_summary": SQL_TEXT_SUMMARY,
     "corpus_shard_balance": SQL_CORPUS_SHARD_BALANCE,
+    "text_phrase_search": SQL_TEXT_PHRASE_SEARCH,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -653,3 +653,60 @@ def textrank_sentences(
             F.round("_r", 6).alias("score"),
         )
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact multi-word PHRASE query over a positional inverted index —
+    the distributed form of the classic IR phrase-match: tokenize every
+    document once into ``(doc, position, word)`` postings (positions over
+    the filtered lowercased [^\\W]+ sequence), join the (tiny, broadcast)
+    phrase-token table on the word, and a position anchor = pos − j
+    groups the postings so that an occurrence exists iff ALL m of a
+    phrase's token slots are present at one anchor (count-distinct-j ==
+    m, which stays correct when a phrase repeats a word: each posting can
+    fill several slots but at different anchors). No scan ever runs per
+    phrase — one pass builds the postings, one broadcast join matches
+    every phrase simultaneously.
+
+    Output: ``(phrase, id_col, n_hits)`` — one row per (phrase, document)
+    with at least one occurrence; n_hits counts occurrences (overlapping
+    ones included, per the positional-index semantics).
+    """
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    import re as _re
+
+    rows = []
+    for ph in phrases:
+        toks = [w for w in _re.split(r"\W+", ph.lower()) if w]
+        if not toks:
+            raise ValueError(f"phrase has no tokens: {ph!r}")
+        rows.extend((ph, j, w, len(toks)) for j, w in enumerate(toks, 1))
+    spark = docs.sparkSession
+    ptoks = spark.createDataFrame(
+        rows, "phrase string, j int, _w string, plen int"
+    )
+    idx = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\W+"), lambda w: w != ""
+            )
+        ).alias("_p0", "_w"),
+    ).select("_id", (F.col("_p0") + 1).alias("_p"), "_w")
+    anchored = idx.join(F.broadcast(ptoks), "_w").select(
+        "_id", "phrase", "plen", (F.col("_p") - F.col("j")).alias("_anchor"), "j"
+    )
+    occ = (
+        anchored.groupBy("_id", "phrase", "plen", "_anchor")
+        .agg(F.countDistinct("j").alias("_found"))
+        .where(F.col("_found") == F.col("plen"))
+    )
+    return occ.groupBy("phrase", F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )

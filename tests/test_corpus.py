@@ -1052,3 +1052,48 @@ def test_shard_assign_partition_invariant(spark):
     assert a == b and len(a) == 30
     with _pytest.raises(ValueError):
         shard_assign(docs, n_shards=0)
+
+
+def test_phrase_search_overlaps_repeats_and_misses(spark):
+    from minimel_spark.operators.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data, big data! big big data."),
+            (2, "data big"),
+            (3, "Big DATA everywhere; big-data too."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["phrase"], r["doc_id"]): r["n_hits"]
+        for r in phrase_search(
+            docs, ["big data", "big big data", "nope never"]
+        ).collect()
+    }
+    # overlapping occurrences all count; repeated-word phrase matches once
+    assert got[("big data", 1)] == 3
+    assert got[("big big data", 1)] == 1
+    # reversed order is NOT a phrase match
+    assert ("big data", 2) not in got
+    # case-insensitive, punctuation splits like \W+ ("big-data" matches)
+    assert got[("big data", 3)] == 2
+    assert all(p != "nope never" for p, _ in got)
+
+
+def test_phrase_search_partition_invariant_and_validation(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i % 2}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, phrase_search(docs.coalesce(1), ["alpha beta"]).collect()))
+    b = sorted(map(tuple, phrase_search(docs.repartition(8), ["alpha beta"]).collect()))
+    assert a == b and len(a) == 20
+    with _pytest.raises(ValueError):
+        phrase_search(docs, [])
+    with _pytest.raises(ValueError):
+        phrase_search(docs, ["!!!"])
