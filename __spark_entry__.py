@@ -12378,6 +12378,44 @@ GROUP BY 1, 2"""
 SQL_TEXT_PHRASE_SEARCH = _sql_phrase_search(_PHRASE_QUERIES)
 
 
+def q_graph_cocitation(spark, sf_dir):
+    """Co-citation + bibliographic coupling (operators/graph.py
+    cocitation_coupling, Small 1973 / Kessler 1963) over the SAME md5
+    link graph as graph_pagerank/graph_hits/graph_ppr: distinct shared
+    out-neighbors (coupling) and in-neighbors (cocitation) per node pair,
+    n_shared >= 2 to keep the gate on the interesting tail. Exact integer
+    counts — value-exact oracle replaying the same self-joins."""
+    from minimel_spark.operators.graph import cocitation_coupling
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = _doc_link_edges(docs, n).where(F.col("src") != F.col("dst"))
+    return cocitation_coupling(edges, min_shared=2)
+
+
+SQL_GRAPH_COCITATION = """
+WITH e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, (SELECT count(*) AS n FROM documents) nn),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+coup AS (
+  SELECT 'coupling' AS kind, a.src AS node_a, b.src AS node_b,
+         count(*)::BIGINT AS n_shared
+  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 2, 3),
+coci AS (
+  SELECT 'cocitation' AS kind, a.dst AS node_a, b.dst AS node_b,
+         count(*)::BIGINT AS n_shared
+  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 2, 3)
+SELECT * FROM coup WHERE n_shared >= 2
+UNION ALL
+SELECT * FROM coci WHERE n_shared >= 2"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -12624,6 +12662,7 @@ _TAIL: list[str] = [
     "text_summary",
     "corpus_shard_balance",
     "text_phrase_search",
+    "graph_cocitation",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -12637,7 +12676,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 226
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 227
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -12832,6 +12871,7 @@ _ORACLES: dict[str, str] = {
     "text_summary": SQL_TEXT_SUMMARY,
     "corpus_shard_balance": SQL_CORPUS_SHARD_BALANCE,
     "text_phrase_search": SQL_TEXT_PHRASE_SEARCH,
+    "graph_cocitation": SQL_GRAPH_COCITATION,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

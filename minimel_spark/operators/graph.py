@@ -679,3 +679,47 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def cocitation_coupling(
+    edges: DataFrame, min_shared: int = 1
+) -> DataFrame:
+    """Second-order link similarity on a directed graph (Small 1973 /
+    Kessler 1963, the bibliometric pair): two nodes are related when the
+    GRAPH agrees even though no direct edge exists —
+
+    - ``coupling``:   |out(a) ∩ out(b)| — pages citing the same targets
+      (bibliographic coupling; near-mirror detection in a crawl graph);
+    - ``cocitation``: |in(a) ∩ in(b)| — pages the web cites together
+      (topical siblinghood; the hub evidence HITS aggregates, kept
+      pairwise here).
+
+    Both are one self-join on the shared endpoint + a grouped count —
+    per shared endpoint of degree d the join emits C(d, 2) pairs, so the
+    cost is Σ C(deg, 2), the same skew profile as every shared-key pair
+    generator here (cap upstream via degree filters when a supernode
+    appears; the operator itself stays exact). Parallel duplicate edges
+    are collapsed first so counts are DISTINCT shared neighbors.
+
+    Output: ``(kind, node_a, node_b, n_shared)`` with node_a < node_b,
+    kind ∈ {'coupling', 'cocitation'}, n_shared >= ``min_shared``.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    e = edges.select("src", "dst").distinct()
+
+    def _pairs(key: str, other: str, kind: str) -> DataFrame:
+        a = e.select(F.col(key).alias("_k"), F.col(other).alias("node_a"))
+        b = e.select(F.col(key).alias("_k"), F.col(other).alias("node_b"))
+        return (
+            a.join(b, "_k")
+            .where(F.col("node_a") < F.col("node_b"))
+            .groupBy("node_a", "node_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared)
+            .select(F.lit(kind).alias("kind"), "node_a", "node_b", "n_shared")
+        )
+
+    return _pairs("dst", "src", "coupling").unionByName(
+        _pairs("src", "dst", "cocitation")
+    )

@@ -366,3 +366,46 @@ def test_knn_sparsify_union_mode_keeps_either_direction(spark):
         for r in knn_sparsify(df, k=1, mutual=False).collect()
     }
     assert scores[(2, 9)] == 0.8
+
+
+def test_cocitation_coupling_hand_graph(spark):
+    from minimel_spark.operators.graph import cocitation_coupling
+
+    # 1->{10,11}, 2->{10,11}, 3->{10}, 4->{20}; 10 cited by 1,2,3
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10), (4, 20), (1, 10)],
+        "src long, dst long",
+    )
+    got = {
+        (r["kind"], r["node_a"], r["node_b"]): r["n_shared"]
+        for r in cocitation_coupling(edges).collect()
+    }
+    # coupling: shared out-neighbors (parallel edge 1->10 counted once)
+    assert got[("coupling", 1, 2)] == 2
+    assert got[("coupling", 1, 3)] == 1 and got[("coupling", 2, 3)] == 1
+    assert ("coupling", 1, 4) not in got
+    # cocitation: shared in-neighbors
+    assert got[("cocitation", 10, 11)] == 2
+    assert ("cocitation", 10, 20) not in got
+    # min_shared filter
+    only2 = {
+        (r["kind"], r["node_a"], r["node_b"])
+        for r in cocitation_coupling(edges, min_shared=2).collect()
+    }
+    assert only2 == {("coupling", 1, 2), ("cocitation", 10, 11)}
+
+
+def test_cocitation_coupling_partition_invariant(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.graph import cocitation_coupling
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 13) for i in range(60)] + [(i, (i * 5) % 13) for i in range(60)],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, cocitation_coupling(edges.coalesce(1)).collect()))
+    b = sorted(map(tuple, cocitation_coupling(edges.repartition(16)).collect()))
+    assert a == b and len(a) > 0
+    with _pytest.raises(ValueError):
+        cocitation_coupling(edges, min_shared=0)
