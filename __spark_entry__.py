@@ -12416,6 +12416,166 @@ UNION ALL
 SELECT * FROM coci WHERE n_shared >= 2"""
 
 
+_MONTH_NAMES = [
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+]
+
+
+def q_er_date_standardize(spark, sf_dir):
+    """Multi-format date standardization (functions/normalize.py
+    standardize_date_cols): o_orderdate is RENDERED into one of six
+    formats chosen by md5(o_orderkey) % 6 (iso, M/D/YYYY, M/D/YY,
+    D.M.YYYY, 'Monthname D, YYYY', YYYYMMDD), parsed back by the
+    standardizer, and the gate reports per-detected-format row counts,
+    calendar-valid counts, and exact ISO roundtrips — a self-validating
+    parser audit (every rendered row must roundtrip; TPC-H years 92-98
+    exercise the 2-digit pivot on the 19xx side). The oracle re-renders
+    and re-parses with an independent SQL regexp/CASE chain."""
+    from minimel_spark.functions.normalize import standardize_date_cols
+    from minimel_spark.operators.util import md5_long60
+
+    o = _t(spark, sf_dir, "orders")
+    y = F.year("o_orderdate").cast("long")
+    m = F.month("o_orderdate").cast("long")
+    d = F.dayofmonth("o_orderdate").cast("long")
+    iso0 = F.concat_ws(
+        "-",
+        F.lpad(y.cast("string"), 4, "0"),
+        F.lpad(m.cast("string"), 2, "0"),
+        F.lpad(d.cast("string"), 2, "0"),
+    )
+    mname = F.lit(None).cast("string")
+    for i, nm in enumerate(_MONTH_NAMES, 1):
+        mname = F.when(m == i, F.lit(nm)).otherwise(mname)
+    f = md5_long60(F.col("o_orderkey").cast("string")) % 6
+    ys, ms, ds = y.cast("string"), m.cast("string"), d.cast("string")
+    rendered = (
+        F.when(f == 0, iso0)
+        .when(f == 1, F.concat(ms, F.lit("/"), ds, F.lit("/"), ys))
+        .when(
+            f == 2,
+            F.concat(ms, F.lit("/"), ds, F.lit("/"), F.lpad((y % 100).cast("string"), 2, "0")),
+        )
+        .when(f == 3, F.concat(ds, F.lit("."), ms, F.lit("."), ys))
+        .when(f == 4, F.concat(mname, F.lit(" "), ds, F.lit(", "), ys))
+        .otherwise(
+            F.concat(
+                F.lpad(ys, 4, "0"), F.lpad(ms, 2, "0"), F.lpad(ds, 2, "0")
+            )
+        )
+    )
+    base = o.select(rendered.alias("_s"), iso0.alias("_iso0")).withColumn(
+        "_p", standardize_date_cols(F.col("_s"))
+    )
+    return base.groupBy(F.col("_p.date_fmt").alias("date_fmt")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_p.date_valid").cast("long")).cast("long").alias("n_valid"),
+        F.sum(
+            F.when(F.col("_p.iso_date").eqNullSafe(F.col("_iso0")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_roundtrip"),
+    )
+
+
+def _sql_date_standardize(pivot: int = 70) -> str:
+    mname_case = " ".join(
+        f"WHEN {i} THEN '{nm}'" for i, nm in enumerate(_MONTH_NAMES, 1)
+    )
+    mnum_case = " ".join(
+        f"WHEN '{k}' THEN {v}"
+        for k, v in (
+            ("jan", 1), ("feb", 2), ("mar", 3), ("apr", 4), ("may", 5),
+            ("jun", 6), ("jul", 7), ("aug", 8), ("sep", 9), ("oct", 10),
+            ("nov", 11), ("dec", 12),
+        )
+    )
+    return f"""
+WITH r AS (
+  SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::UBIGINT % 6 AS f,
+         year(o_orderdate)::BIGINT AS y, month(o_orderdate)::BIGINT AS m,
+         day(o_orderdate)::BIGINT AS d
+  FROM orders),
+rend AS (
+  SELECT lpad(y::VARCHAR, 4, '0') || '-' || lpad(m::VARCHAR, 2, '0')
+           || '-' || lpad(d::VARCHAR, 2, '0') AS iso0,
+         CASE f
+           WHEN 0 THEN lpad(y::VARCHAR, 4, '0') || '-' || lpad(m::VARCHAR, 2, '0')
+                       || '-' || lpad(d::VARCHAR, 2, '0')
+           WHEN 1 THEN m::VARCHAR || '/' || d::VARCHAR || '/' || y::VARCHAR
+           WHEN 2 THEN m::VARCHAR || '/' || d::VARCHAR || '/'
+                       || lpad((y % 100)::VARCHAR, 2, '0')
+           WHEN 3 THEN d::VARCHAR || '.' || m::VARCHAR || '.' || y::VARCHAR
+           WHEN 4 THEN (CASE m {mname_case} END) || ' ' || d::VARCHAR
+                       || ', ' || y::VARCHAR
+           ELSE lpad(y::VARCHAR, 4, '0') || lpad(m::VARCHAR, 2, '0')
+                || lpad(d::VARCHAR, 2, '0')
+         END AS s
+  FROM r),
+det AS (
+  SELECT s, iso0,
+         CASE lower(substr(regexp_extract(s, '^([A-Za-z]{{3,9}}) (\\d{{1,2}}), (\\d{{4}})$', 1), 1, 3))
+           {mnum_case} ELSE NULL END AS mnum,
+         CASE
+           WHEN regexp_matches(s, '^(\\d{{4}})-(\\d{{2}})-(\\d{{2}})$') THEN 'iso'
+           WHEN regexp_matches(s, '^(\\d{{1,2}})/(\\d{{1,2}})/(\\d{{4}})$') THEN 'us'
+           WHEN regexp_matches(s, '^(\\d{{1,2}})/(\\d{{1,2}})/(\\d{{2}})$') THEN 'us2'
+           WHEN regexp_matches(s, '^(\\d{{1,2}})\\.(\\d{{1,2}})\\.(\\d{{4}})$') THEN 'eu'
+           WHEN regexp_matches(s, '^([A-Za-z]{{3,9}}) (\\d{{1,2}}), (\\d{{4}})$')
+                AND (CASE lower(substr(regexp_extract(s, '^([A-Za-z]{{3,9}}) (\\d{{1,2}}), (\\d{{4}})$', 1), 1, 3))
+                     {mnum_case} ELSE NULL END) IS NOT NULL THEN 'name'
+           WHEN regexp_matches(s, '^(\\d{{4}})(\\d{{2}})(\\d{{2}})$') THEN 'compact'
+           ELSE 'unknown' END AS fmt
+  FROM rend),
+ymd AS (
+  SELECT fmt, iso0,
+    CASE fmt
+      WHEN 'iso' THEN regexp_extract(s, '^(\\d{{4}})-(\\d{{2}})-(\\d{{2}})$', 1)::BIGINT
+      WHEN 'us' THEN regexp_extract(s, '^(\\d{{1,2}})/(\\d{{1,2}})/(\\d{{4}})$', 3)::BIGINT
+      WHEN 'us2' THEN (CASE WHEN regexp_extract(s, '^(\\d{{1,2}})/(\\d{{1,2}})/(\\d{{2}})$', 3)::BIGINT < {pivot}
+                       THEN regexp_extract(s, '^(\\d{{1,2}})/(\\d{{1,2}})/(\\d{{2}})$', 3)::BIGINT + 2000
+                       ELSE regexp_extract(s, '^(\\d{{1,2}})/(\\d{{1,2}})/(\\d{{2}})$', 3)::BIGINT + 1900 END)
+      WHEN 'eu' THEN regexp_extract(s, '^(\\d{{1,2}})\\.(\\d{{1,2}})\\.(\\d{{4}})$', 3)::BIGINT
+      WHEN 'name' THEN regexp_extract(s, '^([A-Za-z]{{3,9}}) (\\d{{1,2}}), (\\d{{4}})$', 3)::BIGINT
+      WHEN 'compact' THEN regexp_extract(s, '^(\\d{{4}})(\\d{{2}})(\\d{{2}})$', 1)::BIGINT
+      ELSE NULL END AS y,
+    CASE fmt
+      WHEN 'iso' THEN regexp_extract(s, '^(\\d{{4}})-(\\d{{2}})-(\\d{{2}})$', 2)::BIGINT
+      WHEN 'us' THEN regexp_extract(s, '^(\\d{{1,2}})/(\\d{{1,2}})/(\\d{{4}})$', 1)::BIGINT
+      WHEN 'us2' THEN regexp_extract(s, '^(\\d{{1,2}})/(\\d{{1,2}})/(\\d{{2}})$', 1)::BIGINT
+      WHEN 'eu' THEN regexp_extract(s, '^(\\d{{1,2}})\\.(\\d{{1,2}})\\.(\\d{{4}})$', 2)::BIGINT
+      WHEN 'name' THEN mnum
+      WHEN 'compact' THEN regexp_extract(s, '^(\\d{{4}})(\\d{{2}})(\\d{{2}})$', 2)::BIGINT
+      ELSE NULL END AS m,
+    CASE fmt
+      WHEN 'iso' THEN regexp_extract(s, '^(\\d{{4}})-(\\d{{2}})-(\\d{{2}})$', 3)::BIGINT
+      WHEN 'us' THEN regexp_extract(s, '^(\\d{{1,2}})/(\\d{{1,2}})/(\\d{{4}})$', 2)::BIGINT
+      WHEN 'us2' THEN regexp_extract(s, '^(\\d{{1,2}})/(\\d{{1,2}})/(\\d{{2}})$', 2)::BIGINT
+      WHEN 'eu' THEN regexp_extract(s, '^(\\d{{1,2}})\\.(\\d{{1,2}})\\.(\\d{{4}})$', 1)::BIGINT
+      WHEN 'name' THEN regexp_extract(s, '^([A-Za-z]{{3,9}}) (\\d{{1,2}}), (\\d{{4}})$', 2)::BIGINT
+      WHEN 'compact' THEN regexp_extract(s, '^(\\d{{4}})(\\d{{2}})(\\d{{2}})$', 3)::BIGINT
+      ELSE NULL END AS d
+  FROM det),
+val AS (
+  SELECT fmt, iso0, y, m, d,
+         (fmt <> 'unknown' AND y >= 1 AND m BETWEEN 1 AND 12 AND d >= 1
+          AND d <= (CASE WHEN m = 2 THEN
+                      (CASE WHEN (y % 4 = 0 AND y % 100 <> 0) OR y % 400 = 0
+                            THEN 29 ELSE 28 END)
+                    WHEN m IN (4, 6, 9, 11) THEN 30 ELSE 31 END)) AS ok
+  FROM ymd)
+SELECT fmt AS date_fmt, count(*)::BIGINT AS n,
+       sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       sum(CASE WHEN ok AND lpad(y::VARCHAR, 4, '0') || '-' || lpad(m::VARCHAR, 2, '0')
+                        || '-' || lpad(d::VARCHAR, 2, '0') = iso0
+                THEN 1 ELSE 0 END)::BIGINT AS n_roundtrip
+FROM val GROUP BY 1"""
+
+
+SQL_ER_DATE_STANDARDIZE = _sql_date_standardize(70)
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -12663,6 +12823,7 @@ _TAIL: list[str] = [
     "corpus_shard_balance",
     "text_phrase_search",
     "graph_cocitation",
+    "er_date_standardize",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -12676,7 +12837,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 227
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 228
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -12872,6 +13033,7 @@ _ORACLES: dict[str, str] = {
     "corpus_shard_balance": SQL_CORPUS_SHARD_BALANCE,
     "text_phrase_search": SQL_TEXT_PHRASE_SEARCH,
     "graph_cocitation": SQL_GRAPH_COCITATION,
+    "er_date_standardize": SQL_ER_DATE_STANDARDIZE,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -385,3 +385,113 @@ def parse_person_name_cols(col):
         family.alias("family"),
         suffix.alias("suffix"),
     )
+
+
+# Month-name table for date standardization — a shared literal (the
+# abbreviation-table convention): both engines map the first three
+# lowercased letters, so "Jan", "january", "JANUARY" all resolve.
+DATE_MONTHS = {
+    "jan": 1, "feb": 2, "mar": 3, "apr": 4, "may": 5, "jun": 6,
+    "jul": 7, "aug": 8, "sep": 9, "oct": 10, "nov": 11, "dec": 12,
+}
+
+
+def standardize_date_cols(col, pivot: int = 70):
+    """Multi-format date standardization into ISO — the field-level
+    counterpart of name parsing for ER: records carrying the same date as
+    "07/04/1995", "4.7.1995", "Jul 4, 1995", "19950704", and "1995-07-04"
+    must block and compare as equals. Detects, FIRST MATCH WINS:
+
+      iso      YYYY-MM-DD            us     M/D/YYYY
+      us2      M/D/YY (2-digit year; YY < ``pivot`` -> 20YY, else 19YY)
+      eu       D.M.YYYY              name   Monthname D, YYYY
+      compact  YYYYMMDD              unknown (anything else)
+
+    and validates the calendar exactly (month lengths, Gregorian leap
+    rule: y%4==0 and y%100!=0, or y%400==0). Returns a struct column
+    ``(date_fmt, iso_date, date_valid)`` — iso_date NULL unless the
+    format parsed AND the calendar accepts the day. Pure JVM
+    regexp_extract/CASE chain (no UDF), mirrored branch-for-branch in
+    the SQL oracle; patterns avoid lookarounds and pattern-backrefs so
+    Java regex and RE2 agree.
+    """
+    import pyspark.sql.functions as F
+
+    s = F.regexp_replace(col, r"^\s+|\s+$", "")
+    re_iso = r"^(\d{4})-(\d{2})-(\d{2})$"
+    re_us = r"^(\d{1,2})/(\d{1,2})/(\d{4})$"
+    re_us2 = r"^(\d{1,2})/(\d{1,2})/(\d{2})$"
+    re_eu = r"^(\d{1,2})\.(\d{1,2})\.(\d{4})$"
+    re_name = r"^([A-Za-z]{3,9}) (\d{1,2}), (\d{4})$"
+    re_compact = r"^(\d{4})(\d{2})(\d{2})$"
+
+    def g(pat, i):
+        return F.regexp_extract(s, pat, i).cast("long")
+
+    mname = F.lower(F.substring(F.regexp_extract(s, re_name, 1), 1, 3))
+    mnum = F.lit(None).cast("long")
+    for name, num in DATE_MONTHS.items():
+        mnum = F.when(mname == name, F.lit(num)).otherwise(mnum)
+
+    fmt = (
+        F.when(s.rlike(re_iso), F.lit("iso"))
+        .when(s.rlike(re_us), F.lit("us"))
+        .when(s.rlike(re_us2), F.lit("us2"))
+        .when(s.rlike(re_eu), F.lit("eu"))
+        .when(s.rlike(re_name) & mnum.isNotNull(), F.lit("name"))
+        .when(s.rlike(re_compact), F.lit("compact"))
+        .otherwise(F.lit("unknown"))
+    )
+    y2 = g(re_us2, 3)
+    y = (
+        F.when(fmt == "iso", g(re_iso, 1))
+        .when(fmt == "us", g(re_us, 3))
+        .when(fmt == "us2", F.when(y2 < pivot, y2 + 2000).otherwise(y2 + 1900))
+        .when(fmt == "eu", g(re_eu, 3))
+        .when(fmt == "name", g(re_name, 3))
+        .when(fmt == "compact", g(re_compact, 1))
+    )
+    m = (
+        F.when(fmt == "iso", g(re_iso, 2))
+        .when(fmt == "us", g(re_us, 1))
+        .when(fmt == "us2", g(re_us2, 1))
+        .when(fmt == "eu", g(re_eu, 2))
+        .when(fmt == "name", mnum)
+        .when(fmt == "compact", g(re_compact, 2))
+    )
+    d = (
+        F.when(fmt == "iso", g(re_iso, 3))
+        .when(fmt == "us", g(re_us, 2))
+        .when(fmt == "us2", g(re_us2, 2))
+        .when(fmt == "eu", g(re_eu, 1))
+        .when(fmt == "name", g(re_name, 2))
+        .when(fmt == "compact", g(re_compact, 3))
+    )
+    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    mlen = (
+        F.when(m == 2, F.when(leap, 29).otherwise(28))
+        .when(m.isin(4, 6, 9, 11), F.lit(30))
+        .otherwise(F.lit(31))
+    )
+    valid = (
+        (fmt != "unknown")
+        & (y >= 1)
+        & (m >= 1)
+        & (m <= 12)
+        & (d >= 1)
+        & (d <= mlen)
+    )
+    iso_date = F.when(
+        valid,
+        F.concat_ws(
+            "-",
+            F.lpad(y.cast("string"), 4, "0"),
+            F.lpad(m.cast("string"), 2, "0"),
+            F.lpad(d.cast("string"), 2, "0"),
+        ),
+    )
+    return F.struct(
+        fmt.alias("date_fmt"),
+        iso_date.alias("iso_date"),
+        F.coalesce(valid, F.lit(False)).alias("date_valid"),
+    )

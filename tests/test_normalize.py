@@ -237,3 +237,37 @@ def test_parse_person_name_forms(spark):
     ]
     for (raw, want), got in zip(cases, rows):
         assert got == want, (raw, got, want)
+
+
+def test_standardize_date_cols_formats_and_calendar(spark):
+    import pyspark.sql.functions as F
+
+    from minimel_spark.functions.normalize import standardize_date_cols
+
+    cases = [
+        ("1995-07-04", "iso", "1995-07-04", True),
+        ("7/4/1995", "us", "1995-07-04", True),
+        ("7/4/95", "us2", "1995-07-04", True),      # 95 >= pivot -> 19xx
+        ("7/4/69", "us2", "2069-07-04", True),      # 69 < pivot -> 20xx
+        ("4.7.1995", "eu", "1995-07-04", True),
+        ("Jul 4, 1995", "name", "1995-07-04", True),
+        ("july 4, 1995", "name", "1995-07-04", True),
+        ("19950704", "compact", "1995-07-04", True),
+        ("  1995-07-04  ", "iso", "1995-07-04", True),   # trimmed
+        ("2000-02-29", "iso", "2000-02-29", True),       # 400-rule leap
+        ("1900-02-29", "iso", None, False),              # 100-rule non-leap
+        ("2024-02-29", "iso", "2024-02-29", True),       # 4-rule leap
+        ("2023-02-29", "iso", None, False),
+        ("1995-13-01", "iso", None, False),              # month 13
+        ("31.4.1995", "eu", None, False),                # April 31
+        ("Foo 4, 1995", "unknown", None, False),         # bad month name
+        ("4 July 1995", "unknown", None, False),
+        ("", "unknown", None, False),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, *_i) in enumerate(cases)], "i long, s string")
+    got = {
+        r["i"]: (r["p"]["date_fmt"], r["p"]["iso_date"], r["p"]["date_valid"])
+        for r in df.select("i", standardize_date_cols(F.col("s")).alias("p")).collect()
+    }
+    for i, (s, fmt, iso, valid) in enumerate(cases):
+        assert got[i] == (fmt, iso, valid), (s, got[i])
