@@ -12576,6 +12576,32 @@ FROM val GROUP BY 1"""
 SQL_ER_DATE_STANDARDIZE = _sql_date_standardize(70)
 
 
+def q_er_nysiis_blocking(spark, sf_dir):
+    """NYSIIS-R blocking keys (functions/phonetic.py nysiis_col — the
+    regular-language relaxation of Taft's 1970 NYSIIS; deviations
+    documented at the rule table) over the SAME variant world as
+    er_phonetic_blocking: one (nysiis_key, name) row per distinct surface
+    form, so the gate pins the full rewrite chain — prefix/suffix tables,
+    vowel fold, H/W neighbor rules, the fold-based run collapse, and the
+    final-key guards — bit-for-bit against the DuckDB chain generated
+    from the same rule tables. Three-way parity (Spark/DuckDB/pure
+    Python) also lives in pytest, including a hypothesis fuzz."""
+    from minimel_spark.functions.phonetic import nysiis_col
+
+    recs = _vw_records(spark).select("name").distinct()
+    return recs.select(
+        nysiis_col(F.col("name")).alias("nysiis_key"), "name"
+    )
+
+
+from minimel_spark.functions.phonetic import nysiis_sql as _nysiis_sql  # noqa: E402
+
+SQL_ER_NYSIIS_BLOCKING = f"""
+WITH {_VW_NAMES_SQL},
+u AS (SELECT DISTINCT name FROM vw_names)
+SELECT {_nysiis_sql('name')} AS nysiis_key, name FROM u"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -12824,6 +12850,7 @@ _TAIL: list[str] = [
     "text_phrase_search",
     "graph_cocitation",
     "er_date_standardize",
+    "er_nysiis_blocking",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -12837,7 +12864,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 228
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 229
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13034,6 +13061,7 @@ _ORACLES: dict[str, str] = {
     "text_phrase_search": SQL_TEXT_PHRASE_SEARCH,
     "graph_cocitation": SQL_GRAPH_COCITATION,
     "er_date_standardize": SQL_ER_DATE_STANDARDIZE,
+    "er_nysiis_blocking": SQL_ER_NYSIIS_BLOCKING,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

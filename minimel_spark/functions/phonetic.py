@@ -91,3 +91,139 @@ def soundex_py(s: str) -> str:
     collapsed = re.sub(r"([1-6])\1+", r"\1", mapped.replace("9", ""))
     tail = collapsed if u[0] in "HW" else collapsed[1:]
     return (u[0] + tail.replace("0", "") + "000")[:4]
+
+
+# --------------------------------------------------------------------------
+# NYSIIS-R: regular-language relaxation of Taft's NYSIIS (1970).
+#
+# Taft's original scans the name left-to-right mutating it in place (each
+# rule sees the PREVIOUS rule's output at earlier positions), which no
+# regex engine reproduces directly. NYSIIS-R keeps the same prefix/suffix
+# tables and character-class collapses but applies them as ONE FIXED,
+# ordered list of global leftmost non-overlapping rewrites — semantics
+# every engine here shares (Java replaceAll, RE2 regexp_replace(…,'g'),
+# Python re.sub), so the Spark chain, the DuckDB oracle, and the pytest
+# mirror are generated from the SAME rule table and cannot diverge.
+# Documented deviations from Taft: the H/W neighbor rules fire in rewrite
+# order rather than scan order, the preserved first letter is opaque to
+# the tail rules (a boundary H drops instead of consulting it), and the
+# final-key single-letter guards keep one-char keys instead of emptying
+# them. Patterns use capture groups in REPLACEMENTS only — no lookarounds,
+# no pattern backreferences (RE2-compatible).
+# --------------------------------------------------------------------------
+
+# applied to the whole uppercased alpha-only string
+NYSIIS_PRE: list[tuple[str, str]] = [
+    ("^MAC", "MCC"),
+    ("^KN", "NN"),
+    ("^K", "C"),
+    ("^(PH|PF)", "FF"),
+    ("^SCH", "SSS"),
+    ("(EE|IE)$", "Y"),
+    ("(DT|RT|RD|NT|ND)$", "D"),
+]
+
+# applied to the tail (everything after the preserved first letter)
+NYSIIS_TAIL: list[tuple[str, str]] = [
+    ("EV", "AF"),
+    ("[AEIOU]", "A"),
+    ("Q", "G"),
+    ("Z", "S"),
+    ("M", "N"),
+    ("KN", "N"),
+    ("K", "C"),
+    ("SCH", "SSS"),
+    ("PH", "FF"),
+    ("([^A])H", r"\1\1"),      # H after consonant -> that consonant
+    ("(.)H([^A])", r"\1\1\2"),  # H before consonant -> previous char
+    ("(.)H$", r"\1\1"),         # trailing H -> previous char
+    ("^H", ""),                 # boundary H (first-letter context opaque)
+    ("AW", "AA"),               # W after vowel -> vowel
+]
+
+# applied to first letter + rewritten tail, AFTER run collapsing
+NYSIIS_POST: list[tuple[str, str]] = [
+    ("(.)S$", r"\1"),
+    ("^AY$", "Y"),
+    ("(.)AY$", r"\1Y"),
+    ("(.)A$", r"\1"),
+]
+
+
+def nysiis_col(col: Column, max_len: int = 6) -> Column:
+    """NYSIIS-R key as a pure JVM expression chain (see module comment).
+    Complements :func:`soundex_col` for blocking: NYSIIS retains more
+    positional structure (it keeps real letters, not digit classes), so
+    its blocks are finer — union both generators for recall, the
+    meta-blocker prunes."""
+    # Java replacement syntax is $1 where RE2/Python use \1 — the shared
+    # tables store \1 and the Spark path translates
+    def _jrep(rep: str) -> str:
+        return re.sub(r"\\(\d)", r"$\1", rep)
+
+    u = F.upper(F.regexp_replace(col, "[^A-Za-z]", ""))
+    for pat, rep in NYSIIS_PRE:
+        u = F.regexp_replace(u, pat, _jrep(rep))
+    first = F.substring(u, 1, 1)
+    tail = F.substring(u, 2, 1_000_000)
+    for pat, rep in NYSIIS_TAIL:
+        tail = F.regexp_replace(tail, pat, _jrep(rep))
+    key = F.concat(first, tail)
+    # collapse consecutive duplicate letters with a left fold (no pattern
+    # backreferences): acc || c unless c repeats acc's last char
+    key = F.aggregate(
+        F.split(key, ""),
+        F.lit(""),
+        lambda acc, c: F.when(F.substring(acc, -1, 1) == c, acc).otherwise(
+            F.concat(acc, c)
+        ),
+    )
+    for pat, rep in NYSIIS_POST:
+        key = F.regexp_replace(key, pat, _jrep(rep))
+    return F.substring(key, 1, max_len)
+
+
+def nysiis_sql(u: str, max_len: int = 6) -> str:
+    """The identical NYSIIS-R chain as a DuckDB SQL expression over the
+    expression ``u`` (generated from the same rule tables)."""
+
+    def rr(expr: str, pat: str, rep: str) -> str:
+        # DuckDB standard string literals keep backslashes verbatim, so the
+        # table's \1 backrefs pass straight through; only quotes need escaping
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        return f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+
+    e = f"upper(regexp_replace({u}, '[^A-Za-z]', '', 'g'))"
+    for pat, rep in NYSIIS_PRE:
+        e = rr(e, pat, rep)
+    first = f"substr({e}, 1, 1)"
+    tail = f"substr({e}, 2)"
+    for pat, rep in NYSIIS_TAIL:
+        tail = rr(tail, pat, rep)
+    key = f"({first} || {tail})"
+    key = (
+        "list_reduce(list_prepend('', string_split("
+        + key
+        + ", '')), (a, c) -> CASE WHEN right(a, 1) = c THEN a ELSE a || c END)"
+    )
+    for pat, rep in NYSIIS_POST:
+        key = rr(key, pat, rep)
+    return f"substr({key}, 1, {max_len})"
+
+
+def nysiis_py(s: str, max_len: int = 6) -> str:
+    """Pure-Python mirror of the same chain (pytest parity reference)."""
+    u = re.sub("[^A-Za-z]", "", s).upper()
+    for pat, rep in NYSIIS_PRE:
+        u = re.sub(pat, rep, u)
+    first, tail = u[:1], u[1:]
+    for pat, rep in NYSIIS_TAIL:
+        tail = re.sub(pat, rep, tail)
+    key = ""
+    for c in first + tail:
+        if not key or key[-1] != c:
+            key += c
+    for pat, rep in NYSIIS_POST:
+        key = re.sub(pat, rep, key)
+    return key[:max_len]

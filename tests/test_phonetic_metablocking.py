@@ -1153,3 +1153,65 @@ def test_blocker_venn_combinations_and_gold(spark):
     # without gold: counts only
     plain = {r["combo"]: r["n_pairs"] for r in blocker_venn([("A", ga), ("B", gb)]).collect()}
     assert plain == {"A+B": 1, "A": 1, "B": 1}
+
+
+def test_nysiis_known_pairs_and_edges(spark):
+    import pyspark.sql.functions as F
+
+    from minimel_spark.functions.phonetic import nysiis_col, nysiis_py
+
+    pairs = [
+        ("Ashcraft", "Ashcroft"),
+        ("Knight", "Night"),
+        ("Pfister", "Phister"),
+        ("MacDonald", "McDonald"),
+        ("Johnson", "Jonson"),
+        ("Catherine", "Katherine"),
+        ("Brown", "Braun"),
+    ]
+    for a, b in pairs:
+        assert nysiis_py(a) == nysiis_py(b), (a, b)
+    # distinct names keep distinct keys (NYSIIS keeps Y unfolded)
+    assert nysiis_py("Smith") != nysiis_py("Smyth")
+    # single-letter guards never empty a non-empty name
+    for s in ("A", "Ay", "H", "S"):
+        assert nysiis_py(s) != "" or s == ""
+    assert nysiis_py("") == ""
+    # spark chain == python mirror on all of the above
+    names = sorted({n for p in pairs for n in p} | {"Smith", "Smyth", "A", "Ay", "H", "S", ""})
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(names)], "i long, n string")
+    got = {
+        r["i"]: r["k"]
+        for r in df.select("i", nysiis_col(F.col("n")).alias("k")).collect()
+    }
+    for i, n in enumerate(names):
+        assert got[i] == nysiis_py(n), n
+
+
+def test_nysiis_three_way_fuzz_parity(spark):
+    import random
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from minimel_spark.functions.phonetic import nysiis_col, nysiis_py, nysiis_sql
+
+    rng = random.Random(20260820)
+    alphabet = "abcdefghijklmnopqrstuvwxyzAEIOUY '-"
+    names = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(names)], "i long, n string")
+    got = {
+        r["i"]: r["k"]
+        for r in df.select("i", nysiis_col(F.col("n")).alias("k")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, n VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(names)))
+    duck = dict(con.execute(f"SELECT i, {nysiis_sql('n')} FROM t").fetchall())
+    for i, n in enumerate(names):
+        want = nysiis_py(n)
+        assert got[i] == want, (n, got[i], want)
+        assert duck[i] == want, (n, duck[i], want)
