@@ -12602,6 +12602,53 @@ u AS (SELECT DISTINCT name FROM vw_names)
 SELECT {_nysiis_sql('name')} AS nysiis_key, name FROM u"""
 
 
+def q_er_accent_fold(spark, sf_dir):
+    """Accent folding (functions/normalize.py fold_accents_col — table-
+    driven NFKD-strip approximation, 1:1 folds via translate + ligature/
+    eszett expansions, all generated from shared literal tables): the
+    variant-world names get diacritics INJECTED by md5 choice (none /
+    vowel accents / mixed consonant accents), then folded back — every
+    row must roundtrip to its ASCII original, and the oracle re-runs the
+    identical inject+fold chain in DuckDB."""
+    from minimel_spark.functions.normalize import fold_accents_col
+    from minimel_spark.operators.util import md5_long60
+
+    recs = _vw_records(spark).select("name").distinct()
+    k = (md5_long60(F.col("name")) % 3).cast("long")
+    accented = (
+        F.when(k == 0, F.col("name"))
+        .when(k == 1, F.translate(F.col("name"), "aeiou", "àéîõü"))
+        .otherwise(F.translate(F.col("name"), "acdeg", "áçďèğ"))
+    )
+    folded = fold_accents_col(accented)
+    return recs.select(
+        k.alias("variant_kind"),
+        accented.alias("accented"),
+        folded.alias("folded"),
+        folded.eqNullSafe(F.col("name")).alias("roundtrip"),
+    )
+
+
+from minimel_spark.functions.normalize import fold_accents_sql as _fold_sql  # noqa: E402
+
+SQL_ER_ACCENT_FOLD = f"""
+WITH {_VW_NAMES_SQL},
+u AS (SELECT DISTINCT name FROM vw_names),
+a AS (
+  SELECT name,
+         (('0x' || substr(md5(name), 1, 15))::UBIGINT % 3)::BIGINT AS variant_kind,
+         CASE (('0x' || substr(md5(name), 1, 15))::UBIGINT % 3)::BIGINT
+           WHEN 0 THEN name
+           WHEN 1 THEN translate(name, 'aeiou', 'àéîõü')
+           ELSE translate(name, 'acdeg', 'áçďèğ')
+         END AS accented
+  FROM u)
+SELECT variant_kind, accented,
+       {_fold_sql('accented')} AS folded,
+       ({_fold_sql('accented')} = name) AS roundtrip
+FROM a"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -12851,6 +12898,7 @@ _TAIL: list[str] = [
     "graph_cocitation",
     "er_date_standardize",
     "er_nysiis_blocking",
+    "er_accent_fold",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -12864,7 +12912,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 229
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 230
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13062,6 +13110,7 @@ _ORACLES: dict[str, str] = {
     "graph_cocitation": SQL_GRAPH_COCITATION,
     "er_date_standardize": SQL_ER_DATE_STANDARDIZE,
     "er_nysiis_blocking": SQL_ER_NYSIIS_BLOCKING,
+    "er_accent_fold": SQL_ER_ACCENT_FOLD,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -495,3 +495,59 @@ def standardize_date_cols(col, pivot: int = 70):
         iso_date.alias("iso_date"),
         F.coalesce(valid, F.lit(False)).alias("date_valid"),
     )
+
+
+# Accent-fold tables — shared literals (the NYSIIS-R convention: every
+# engine's implementation is GENERATED from these, so they cannot diverge).
+# 1:1 codepoint folds go through translate(); multi-char expansions (ae, ss)
+# through an ordered replace list.
+_ACCENT_PAIRS = [
+    ("àáâãäåāăą", "a"), ("çćĉčċ", "c"), ("èéêëēĕėęě", "e"),
+    ("ìíîïĩīĭį", "i"), ("ñńņň", "n"), ("òóôõöøōŏő", "o"),
+    ("ùúûüũūŭůű", "u"), ("ýÿŷ", "y"), ("žźż", "z"), ("šśŝş", "s"),
+    ("ğĝġ", "g"), ("ťţ", "t"), ("ďđ", "d"), ("ľĺł", "l"), ("ŕř", "r"),
+    ("ÀÁÂÃÄÅĀĂĄ", "A"), ("ÇĆĈČĊ", "C"), ("ÈÉÊËĒĔĖĘĚ", "E"),
+    ("ÌÍÎÏĨĪĬĮ", "I"), ("ÑŃŅŇ", "N"), ("ÒÓÔÕÖØŌŎŐ", "O"),
+    ("ÙÚÛÜŨŪŬŮŰ", "U"), ("ÝŸŶ", "Y"), ("ŽŹŻ", "Z"), ("ŠŚŜŞ", "S"),
+    ("ĞĜĠ", "G"), ("ŤŢ", "T"), ("ĎĐ", "D"), ("ĽĹŁ", "L"), ("ŔŘ", "R"),
+]
+ACCENT_FROM = "".join(src for src, _ in _ACCENT_PAIRS)
+ACCENT_TO = "".join(dst * len(src) for src, dst in _ACCENT_PAIRS)
+assert len(ACCENT_FROM) == len(ACCENT_TO)
+ACCENT_EXPAND = [
+    ("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"), ("ß", "ss"),
+    ("þ", "th"), ("Þ", "Th"),
+]
+
+
+def fold_accents_col(col):
+    """Accent folding to the ASCII skeleton — the normalization step
+    BEFORE phonetic keys and byte-level blocking when sources disagree on
+    diacritics ("Müller" vs "Muller" vs "MÜLLER" after casefold): 1:1
+    diacritic folds via one ``translate`` call, ligature/eszett
+    expansions via an ordered replace chain, both generated from the
+    shared literal tables above (an approximation of Unicode NFKD + strip
+    marks, deliberately table-driven instead of library-driven so the
+    DuckDB oracle reproduces it verbatim — characters outside the table
+    pass through unchanged, by design)."""
+    import pyspark.sql.functions as F
+
+    out = col
+    for src, dst in ACCENT_EXPAND:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return F.translate(out, ACCENT_FROM, ACCENT_TO)
+
+
+def fold_accents_sql(expr: str) -> str:
+    """The identical fold as a DuckDB SQL expression."""
+    out = expr
+    for src, dst in ACCENT_EXPAND:
+        out = f"replace({out}, '{src}', '{dst}')"
+    return f"translate({out}, '{ACCENT_FROM}', '{ACCENT_TO}')"
+
+
+def fold_accents_py(s: str) -> str:
+    """Pure-Python mirror (pytest parity reference)."""
+    for src, dst in ACCENT_EXPAND:
+        s = s.replace(src, dst)
+    return s.translate(str.maketrans(ACCENT_FROM, ACCENT_TO))

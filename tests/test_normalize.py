@@ -271,3 +271,41 @@ def test_standardize_date_cols_formats_and_calendar(spark):
     }
     for i, (s, fmt, iso, valid) in enumerate(cases):
         assert got[i] == (fmt, iso, valid), (s, got[i])
+
+
+def test_fold_accents_three_way_parity(spark):
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from minimel_spark.functions.normalize import (
+        ACCENT_EXPAND,
+        ACCENT_FROM,
+        fold_accents_col,
+        fold_accents_py,
+        fold_accents_sql,
+    )
+
+    names = [
+        "Müller", "crème brûlée", "Ñandú", "Æsir", "Großstraße", "Þór",
+        "FRANÇOIS", "Škoda", "Łódź... almost", "plain ascii", "",
+        ACCENT_FROM,                      # every 1:1 fold at once
+        "".join(s for s, _ in ACCENT_EXPAND),
+        "mixed: Besançon-Øresund œuvre",
+    ]
+    df = spark.createDataFrame([(i, n) for i, n in enumerate(names)], "i long, n string")
+    got = {
+        r["i"]: r["k"]
+        for r in df.select("i", fold_accents_col(F.col("n")).alias("k")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, n VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(names)))
+    duck = dict(con.execute(f"SELECT i, {fold_accents_sql('n')} FROM t").fetchall())
+    for i, n in enumerate(names):
+        want = fold_accents_py(n)
+        assert got[i] == want, (n, got[i], want)
+        assert duck[i] == want, (n, duck[i], want)
+    # folded output of table characters is pure ASCII
+    assert fold_accents_py(ACCENT_FROM).isascii()
+    # ł is in the 1:1 table; ź/ż fold; the ellipsis passes through untouched
+    assert fold_accents_py("Łódź…") == "Lodz…"
