@@ -12649,6 +12649,70 @@ SELECT variant_kind, accented,
 FROM a"""
 
 
+def q_web_url_templates(spark, sf_dir):
+    """URL template mining (operators/web.py url_templates — the
+    crawl-trap detector): 3000 synthetic URLs across 11 hosts in three
+    shapes (article ids, calendar query dates, hex session paths)
+    collapse onto their (host, template) classes via hex-run -> H then
+    digit-run -> N abstraction; counts + min-url examples are exact, and
+    the oracle replays the same synthesis and both rewrites."""
+    from minimel_spark.operators.web import url_templates
+
+    base = spark.range(3000)
+    host = F.concat(F.lit("https://h"), (F.col("id") % 11).cast("string"), F.lit(".example"))
+    md5hex = F.substring(F.md5(F.concat(F.lit("s:"), F.col("id").cast("string"))), 1, 16)
+    url = (
+        F.when(
+            F.col("id") % 3 == 0,
+            F.concat(host, F.lit("/article/"), F.col("id").cast("string")),
+        )
+        .when(
+            F.col("id") % 3 == 1,
+            F.concat(
+                host,
+                F.lit("/cal?d=2026"),
+                F.lpad(((F.col("id") % 12) + 1).cast("string"), 2, "0"),
+                F.lpad(((F.col("id") % 28) + 1).cast("string"), 2, "0"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                host, F.lit("/s/"), md5hex, F.lit("/p/"),
+                (F.col("id") % 7).cast("string"),
+            )
+        )
+    )
+    return url_templates(base.select(url.alias("url")))
+
+
+SQL_WEB_URL_TEMPLATES = """
+WITH base AS (
+  SELECT i AS id, 'https://h' || (i % 11)::VARCHAR || '.example' AS host,
+         substr(md5('s:' || i::VARCHAR), 1, 16) AS hx
+  FROM range(3000) r(i)),
+urls AS (
+  SELECT CASE
+           WHEN id % 3 = 0 THEN host || '/article/' || id::VARCHAR
+           WHEN id % 3 = 1 THEN host || '/cal?d=2026'
+                || lpad(((id % 12) + 1)::VARCHAR, 2, '0')
+                || lpad(((id % 28) + 1)::VARCHAR, 2, '0')
+           ELSE host || '/s/' || hx || '/p/' || (id % 7)::VARCHAR
+         END AS url
+  FROM base),
+t AS (
+  SELECT lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         regexp_replace(
+           regexp_replace(
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$', 1),
+             '[0-9a-fA-F]{8,}', 'H', 'g'),
+           '[0-9]+', 'N', 'g') AS template,
+         url
+  FROM urls)
+SELECT host, template, count(*)::BIGINT AS n_urls, min(url) AS example_url
+FROM t WHERE host <> ''
+GROUP BY 1, 2"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -12899,6 +12963,7 @@ _TAIL: list[str] = [
     "er_date_standardize",
     "er_nysiis_blocking",
     "er_accent_fold",
+    "web_url_templates",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -12912,7 +12977,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 230
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 231
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13111,6 +13176,7 @@ _ORACLES: dict[str, str] = {
     "er_date_standardize": SQL_ER_DATE_STANDARDIZE,
     "er_nysiis_blocking": SQL_ER_NYSIIS_BLOCKING,
     "er_accent_fold": SQL_ER_ACCENT_FOLD,
+    "web_url_templates": SQL_WEB_URL_TEMPLATES,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -470,3 +470,43 @@ def resolve_redirects(
             F.coalesce(~F.col("_redirects"), F.lit(True)).alias("resolved"),
         )
     )
+
+
+def url_templates(
+    pages: DataFrame, url_col: str = "url", min_urls: int = 1
+) -> DataFrame:
+    """URL template mining — the crawl-trap / infinite-space detector: a
+    host serving millions of URLs that collapse onto ONE template
+    (``/cal?d=N``, ``/s/H/p/N``) is generating pages, not publishing
+    them, and a frontier should quota the TEMPLATE, not the URL
+    (complements :func:`domain_quota`, which only sees host totals).
+    Templates abstract the variable parts of the path+query:
+
+    1. hex runs of >= 8 chars -> ``H`` (session ids, content hashes) —
+       applied FIRST so long digit runs prefer ``H`` over ``N``;
+    2. remaining digit runs  -> ``N`` (ids, dates, page numbers).
+
+    Output, per (host, template) with at least ``min_urls`` members:
+    ``(host, template, n_urls, example_url)`` — example_url = min(url),
+    deterministic. One narrow projection + one groupBy; never a pair
+    space, and the template table is hosts×templates-sized (tiny next to
+    the frontier) so downstream joins against it broadcast.
+    """
+    if min_urls < 1:
+        raise ValueError(f"min_urls must be >= 1, got {min_urls}")
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(.*)$", 1)
+    tmpl = F.regexp_replace(
+        F.regexp_replace(rest, "[0-9a-fA-F]{8,}", "H"), "[0-9]+", "N"
+    )
+    return (
+        pages.select(host.alias("host"), tmpl.alias("template"), u.alias("_u"))
+        .where(F.col("host") != "")
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min("_u").alias("example_url"),
+        )
+        .where(F.col("n_urls") >= min_urls)
+    )

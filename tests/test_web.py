@@ -362,3 +362,48 @@ def test_resolve_redirects_rejects_duplicate_src(spark):
     )
     with pytest.raises(ValueError, match="duplicate src"):
         resolve_redirects(edges)
+
+
+def test_url_templates_abstraction_rules(spark):
+    from minimel_spark.operators.web import url_templates
+
+    urls = [
+        "https://a.example/article/123",
+        "https://a.example/article/99999",
+        "https://a.example/s/deadbeefcafe1234/p/3",   # hex run -> H
+        "https://a.example/d/12345678/x",             # 8+ digits: hex too -> H
+        "https://a.example/d/1234567/x",              # 7 digits -> N
+        "HTTPS://A.EXAMPLE/article/7",                # host lowercased
+        "not a url",                                   # no host -> dropped
+        "https://b.example/cal?d=20260101",
+    ]
+    docs = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        (r["host"], r["template"]): (r["n_urls"], r["example_url"])
+        for r in url_templates(docs).collect()
+    }
+    assert got[("a.example", "/article/N")] == (3, "HTTPS://A.EXAMPLE/article/7")
+    assert got[("a.example", "/s/H/p/N")][0] == 1
+    assert got[("a.example", "/d/H/x")][0] == 1
+    assert got[("a.example", "/d/N/x")][0] == 1
+    assert got[("b.example", "/cal?d=H")][0] == 1   # 8-digit date is hex-run
+    assert sum(n for n, _ in got.values()) == 7      # "not a url" dropped
+
+
+def test_url_templates_min_urls_and_invariance(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.web import url_templates
+
+    docs = spark.createDataFrame(
+        [(f"https://h.example/p/{i}",) for i in range(20)]
+        + [("https://h.example/about",)],
+        "url string",
+    )
+    a = sorted(map(tuple, url_templates(docs.coalesce(1)).collect()))
+    b = sorted(map(tuple, url_templates(docs.repartition(8)).collect()))
+    assert a == b and len(a) == 2
+    big = url_templates(docs, min_urls=2).collect()
+    assert len(big) == 1 and big[0]["template"] == "/p/N"
+    with _pytest.raises(ValueError):
+        url_templates(docs, min_urls=0)
