@@ -12713,6 +12713,51 @@ FROM t WHERE host <> ''
 GROUP BY 1, 2"""
 
 
+def q_stream_hourly_topk(spark, sf_dir):
+    """Windowed heavy hitters through a REAL streaming query
+    (streaming/ingest.py stream_hourly_user_counts + topk_per_hour): a
+    readStream over events.parquet maintains complete-mode per-(hour,
+    user) counters across micro-batches, drains with availableNow into a
+    memory sink, and the top-3 users per hour are ranked on the snapshot
+    (count desc, user_id asc — a total order). The oracle computes the
+    same report from the batch table, so the gate pins stream==batch for
+    the counter state AND the deterministic ranking."""
+    import shutil
+    import tempfile
+
+    from minimel_spark.streaming.ingest import (
+        run_to_sink,
+        stream_events,
+        stream_hourly_user_counts,
+        topk_per_hour,
+    )
+
+    events = stream_events(spark, sf_dir, glob="events.parquet")
+    agg = stream_hourly_user_counts(events)
+    ckpt = tempfile.mkdtemp(prefix="minimel_stream_topk_")
+    q = run_to_sink(
+        agg, ckpt, output_mode="complete", query_name="stream_hourly_topk_gate"
+    )
+    try:
+        assert q.awaitTermination(300), "streaming drain did not finish"
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return topk_per_hour(spark.table("stream_hourly_topk_gate"), k=3)
+
+
+SQL_STREAM_HOURLY_TOPK = """
+WITH c AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         user_id, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT hour, user_id, n,
+         row_number() OVER (PARTITION BY hour ORDER BY n DESC, user_id ASC) AS rnk
+  FROM c)
+SELECT hour, rnk::BIGINT AS "rank", user_id, n FROM r WHERE rnk <= 3"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -12964,6 +13009,7 @@ _TAIL: list[str] = [
     "er_nysiis_blocking",
     "er_accent_fold",
     "web_url_templates",
+    "stream_hourly_topk",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -12977,7 +13023,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 231
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 232
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13177,6 +13223,7 @@ _ORACLES: dict[str, str] = {
     "er_nysiis_blocking": SQL_ER_NYSIIS_BLOCKING,
     "er_accent_fold": SQL_ER_ACCENT_FOLD,
     "web_url_templates": SQL_WEB_URL_TEMPLATES,
+    "stream_hourly_topk": SQL_STREAM_HOURLY_TOPK,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -591,3 +591,36 @@ def stream_interval_join(
         )
         .select(F.col("_lk").alias(key), lt, rt, "lag_seconds", *carried)
     )
+
+
+def stream_hourly_user_counts(events: DataFrame) -> DataFrame:
+    """Streaming per-(hour, user) event counters — the state a windowed
+    heavy-hitter report reads: complete-mode counts per hour bucket and
+    user, maintained incrementally across micro-batches. Pure streaming
+    aggregation (no window functions, which Structured Streaming forbids
+    mid-stream); the top-k SELECTION runs on the drained snapshot via
+    :func:`topk_per_hour` — maintain cheap additive state in the stream,
+    rank at read time."""
+    return events.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "user_id",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def topk_per_hour(snapshot: DataFrame, k: int = 3) -> DataFrame:
+    """Heavy hitters per hour over a drained counter snapshot: rank by
+    (count desc, user_id asc) — a total order, so the report is
+    deterministic — and keep the top ``k``. Output: (hour, rank,
+    user_id, n)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("hour").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        snapshot.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("hour", F.col("rank").cast("long").alias("rank"), "user_id", "n")
+    )

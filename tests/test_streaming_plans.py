@@ -516,3 +516,84 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {(1, 101, 1800.0), (2, 102, 3540.0)}
+
+
+def test_topk_per_hour_ranking_and_validation(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from minimel_spark.streaming.ingest import topk_per_hour
+
+    snap = spark.createDataFrame(
+        [
+            ("h1", 1, 5), ("h1", 2, 9), ("h1", 3, 9), ("h1", 4, 1),
+            ("h2", 7, 2),
+        ],
+        "hour string, user_id long, n long",
+    )
+    got = [
+        (r["hour"], r["rank"], r["user_id"], r["n"])
+        for r in topk_per_hour(snap, k=2).orderBy("hour", "rank").collect()
+    ]
+    # tie on n=9 -> smaller user_id first; k truncates
+    assert got == [("h1", 1, 2, 9), ("h1", 2, 3, 9), ("h2", 1, 7, 2)]
+    with _pytest.raises(ValueError):
+        topk_per_hour(snap, k=0)
+
+
+def test_stream_hourly_user_counts_equals_batch(spark):
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from minimel_spark.streaming.ingest import (
+        run_to_sink,
+        stream_events,
+        stream_hourly_user_counts,
+    )
+
+    events_small = spark.createDataFrame(
+        [
+            (i, f"2024-01-01 {(i * 7) % 24:02d}:{(i * 13) % 60:02d}:00",
+             i % 5, "click", float(i), "{}")
+            for i in range(120)
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    src = tempfile.mkdtemp(prefix="minimel_topk_src_")
+    events_small.write.mode("overwrite").parquet(src + "/events.parquet")
+    stream = stream_events(spark, src + "/events.parquet")
+    ckpt = tempfile.mkdtemp(prefix="minimel_topk_ckpt_")
+    q = run_to_sink(
+        stream_hourly_user_counts(stream),
+        ckpt,
+        output_mode="complete",
+        query_name="topk_test_sink",
+    )
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("topk_test_sink").collect()))
+    want = sorted(
+        map(
+            tuple,
+            events_small.groupBy(
+                F.date_format(
+                    F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+                ).alias("hour"),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
