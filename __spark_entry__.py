@@ -12758,6 +12758,55 @@ r AS (
 SELECT hour, rnk::BIGINT AS "rank", user_id, n FROM r WHERE rnk <= 3"""
 
 
+def q_corpus_source_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (operators/corpus.py source_divergence) — the
+    mixture-drift audit over the documents corpus' 20 sources (190
+    pairs): ½KL(p‖m)+½KL(q‖m) over each pair's union vocabulary,
+    natural log, rounded 6 (the entropy-gate convention); word and
+    shared-word counts exact."""
+    from minimel_spark.operators.corpus import source_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_divergence(docs)
+
+
+SQL_CORPUS_SOURCE_DIVERGENCE = """
+WITH wc AS (
+  SELECT source AS src, w, count(*)::BIGINT AS c
+  FROM (SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY 1, 2),
+tot AS (SELECT src, sum(c) AS t FROM wc GROUP BY 1),
+p AS (SELECT wc.src, wc.w, wc.c / tot.t AS p FROM wc JOIN tot USING (src)),
+pairs AS (
+  SELECT a.src AS source_a, b.src AS source_b
+  FROM tot a, tot b WHERE a.src < b.src),
+a AS (
+  SELECT pr.source_a, pr.source_b, p.w, p.p AS pa
+  FROM pairs pr JOIN p ON p.src = pr.source_a),
+b AS (
+  SELECT pr.source_a, pr.source_b, p.w, p.p AS pb
+  FROM pairs pr JOIN p ON p.src = pr.source_b),
+m AS (
+  SELECT coalesce(a.source_a, b.source_a) AS source_a,
+         coalesce(a.source_b, b.source_b) AS source_b,
+         coalesce(a.pa, 0.0) AS pa, coalesce(b.pb, 0.0) AS pb
+  FROM a FULL OUTER JOIN b
+    ON a.source_a = b.source_a AND a.source_b = b.source_b AND a.w = b.w)
+SELECT source_a, source_b,
+       sum(CASE WHEN pa > 0 THEN 1 ELSE 0 END)::BIGINT AS n_words_a,
+       sum(CASE WHEN pb > 0 THEN 1 ELSE 0 END)::BIGINT AS n_words_b,
+       sum(CASE WHEN pa > 0 AND pb > 0 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+       round(sum(
+         (CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0.0 END)
+         + (CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0.0 END)
+       ), 6) AS jsd
+FROM m GROUP BY 1, 2"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13010,6 +13059,7 @@ _TAIL: list[str] = [
     "er_accent_fold",
     "web_url_templates",
     "stream_hourly_topk",
+    "corpus_source_divergence",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13023,7 +13073,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 232
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 233
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13224,6 +13274,7 @@ _ORACLES: dict[str, str] = {
     "er_accent_fold": SQL_ER_ACCENT_FOLD,
     "web_url_templates": SQL_WEB_URL_TEMPLATES,
     "stream_hourly_topk": SQL_STREAM_HOURLY_TOPK,
+    "corpus_source_divergence": SQL_CORPUS_SOURCE_DIVERGENCE,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

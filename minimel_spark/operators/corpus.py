@@ -1100,3 +1100,77 @@ def shard_balance(
         F.min("n_tokens").cast("long").alias("min_tokens"),
         F.max("n_tokens").cast("long").alias("max_tokens"),
     )
+
+
+def source_divergence(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of every source pair — the mixture-drift audit a
+    multi-source corpus runs before training: two crawls feeding the
+    same pipeline should show near-zero JSD; a source whose JSD against
+    every sibling spikes changed its content mix (or its boilerplate).
+    JSD(p, q) = ½·KL(p‖m) + ½·KL(q‖m) with m = (p+q)/2 and natural log —
+    symmetric, bounded by ln 2, zero iff identical.
+
+    Distributed shape: one token count per (source, word), one tiny
+    source-pair self-join (S² pairs, S = #sources), two word-level joins
+    fanning each pair over the UNION of its two vocabularies (absent
+    words contribute their half-KL term with the other side's mass —
+    never a full corpus-vocab cross product), one grouped sum. The float
+    sum is rounded to 6 decimals at the boundary (the entropy-gate ln
+    convention). Zero-mass terms contribute exactly 0 by construction.
+
+    Output: ``(source_a, source_b, n_words_a, n_words_b, n_shared,
+    jsd)``, source_a < source_b.
+    """
+    toks = docs.select(
+        F.col(source_col).alias("_src"),
+        F.explode(_words(text_col)).alias("_w"),
+    )
+    wc = toks.groupBy("_src", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    tot = wc.groupBy("_src").agg(F.sum("_c").alias("_t"))
+    p = wc.join(tot, "_src").select(
+        "_src", "_w", (F.col("_c") / F.col("_t")).alias("_p")
+    )
+    srcs = tot.select("_src")
+    # S x S source pairs — S is the source COUNT (tens), so this cross
+    # join is a deliberate tiny-dimension product, not a pair-space blowup
+    pairs = (
+        srcs.select(F.col("_src").alias("source_a"))
+        .crossJoin(srcs.select(F.col("_src").alias("source_b")))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    a = pairs.join(
+        p.select(F.col("_src").alias("source_a"), "_w", F.col("_p").alias("_pa")),
+        "source_a",
+    )
+    b = pairs.join(
+        p.select(F.col("_src").alias("source_b"), "_w", F.col("_p").alias("_pb")),
+        "source_b",
+    )
+    merged = a.join(b, ["source_a", "source_b", "_w"], "full_outer").select(
+        "source_a",
+        "source_b",
+        "_w",
+        F.coalesce("_pa", F.lit(0.0)).alias("_pa"),
+        F.coalesce("_pb", F.lit(0.0)).alias("_pb"),
+    )
+    m = (F.col("_pa") + F.col("_pb")) / 2
+    term = (
+        F.when(F.col("_pa") > 0, 0.5 * F.col("_pa") * F.log(F.col("_pa") / m)).otherwise(0.0)
+        + F.when(F.col("_pb") > 0, 0.5 * F.col("_pb") * F.log(F.col("_pb") / m)).otherwise(0.0)
+    )
+    return (
+        merged.groupBy("source_a", "source_b")
+        .agg(
+            F.sum((F.col("_pa") > 0).cast("long")).cast("long").alias("n_words_a"),
+            F.sum((F.col("_pb") > 0).cast("long")).cast("long").alias("n_words_b"),
+            F.sum(((F.col("_pa") > 0) & (F.col("_pb") > 0)).cast("long"))
+            .cast("long")
+            .alias("n_shared"),
+            F.round(F.sum(term), 6).alias("jsd"),
+        )
+    )

@@ -1097,3 +1097,63 @@ def test_phrase_search_partition_invariant_and_validation(spark):
         phrase_search(docs, [])
     with _pytest.raises(ValueError):
         phrase_search(docs, ["!!!"])
+
+
+def test_source_divergence_matches_python(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from minimel_spark.operators.corpus import source_divergence
+
+    rows = [
+        (1, "alpha beta gamma alpha", "s1"),
+        (2, "alpha beta beta delta", "s1"),
+        (3, "alpha beta gamma alpha", "s2"),   # s2 == doc 1's dist exactly
+        (4, "omega psi chi omega omega", "s3"),  # disjoint vocabulary
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_divergence(docs).collect()
+    }
+
+    def dist(srcs):
+        c = Counter()
+        for _, t, s in rows:
+            if s in srcs:
+                c.update(w for w in re.split(r"\W+", t.lower()) if w)
+        tot = sum(c.values())
+        return {w: n / tot for w, n in c.items()}
+
+    def jsd(p, q):
+        out = 0.0
+        for w in set(p) | set(q):
+            pa, pb = p.get(w, 0.0), q.get(w, 0.0)
+            m = (pa + pb) / 2
+            if pa > 0:
+                out += 0.5 * pa * math.log(pa / m)
+            if pb > 0:
+                out += 0.5 * pb * math.log(pb / m)
+        return out
+
+    for a, b in (("s1", "s2"), ("s1", "s3"), ("s2", "s3")):
+        want = jsd(dist({a}), dist({b}))
+        assert abs(got[(a, b)]["jsd"] - round(want, 6)) < 2e-6, (a, b)
+    # disjoint vocabularies -> JSD = ln 2; shared-word counts exact
+    assert abs(got[("s1", "s3")]["jsd"] - round(math.log(2), 6)) < 2e-6
+    assert got[("s1", "s3")]["n_shared"] == 0
+    assert got[("s1", "s2")]["n_shared"] == 3
+    assert got[("s2", "s3")]["n_words_a"] == 3 and got[("s2", "s3")]["n_words_b"] == 3
+
+
+def test_source_divergence_partition_invariant(spark):
+    from minimel_spark.operators.corpus import source_divergence
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 5} common", f"s{i % 4}") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    a = sorted(map(tuple, source_divergence(docs.coalesce(1)).collect()))
+    b = sorted(map(tuple, source_divergence(docs.repartition(16)).collect()))
+    assert a == b and len(a) == 6
