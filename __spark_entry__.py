@@ -12807,6 +12807,42 @@ SELECT source_a, source_b,
 FROM m GROUP BY 1, 2"""
 
 
+def q_corpus_source_terms(spark, sf_dir):
+    """Distinctive vocabulary per source (operators/corpus.py
+    source_terms): top-5 words per source by in-source rate over
+    add-one-smoothed rest-of-corpus rate, min in-source count 5. The
+    score is a fixed three-divide IEEE sequence over exact integers, so
+    the RANKING itself is oracle-exact without rounding."""
+    from minimel_spark.operators.corpus import source_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_terms(docs, top_n=5, min_count=5)
+
+
+SQL_CORPUS_SOURCE_TERMS = """
+WITH wc AS (
+  SELECT source AS src, w, count(*)::BIGINT AS c
+  FROM (SELECT source,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY 1, 2),
+ns AS (SELECT src, sum(c)::BIGINT AS ns FROM wc GROUP BY 1),
+ct AS (SELECT w, sum(c)::BIGINT AS ct FROM wc GROUP BY 1),
+nt AS (SELECT sum(ns)::BIGINT AS nt FROM ns),
+scored AS (
+  SELECT wc.src, wc.w, wc.c,
+         (wc.c / ns.ns) / ((ct.ct - wc.c + 1) / (nt.nt - ns.ns)) AS score
+  FROM wc JOIN ns USING (src) JOIN ct USING (w), nt
+  WHERE wc.c >= 5)
+SELECT src AS source, rnk AS "rank", w AS word, c AS n_in_source, score
+FROM (SELECT src, w, c, score,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY score DESC, w ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 5"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13060,6 +13096,7 @@ _TAIL: list[str] = [
     "web_url_templates",
     "stream_hourly_topk",
     "corpus_source_divergence",
+    "corpus_source_terms",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13073,7 +13110,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 233
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 234
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13275,6 +13312,7 @@ _ORACLES: dict[str, str] = {
     "web_url_templates": SQL_WEB_URL_TEMPLATES,
     "stream_hourly_topk": SQL_STREAM_HOURLY_TOPK,
     "corpus_source_divergence": SQL_CORPUS_SOURCE_DIVERGENCE,
+    "corpus_source_terms": SQL_CORPUS_SOURCE_TERMS,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

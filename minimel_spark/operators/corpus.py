@@ -1174,3 +1174,64 @@ def source_divergence(
             F.round(F.sum(term), 6).alias("jsd"),
         )
     )
+
+
+def source_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    top_n: int = 5,
+    min_count: int = 5,
+) -> DataFrame:
+    """Distinctive vocabulary per source — the labeling companion to
+    :func:`source_divergence`: for every source, the ``top_n`` words
+    whose in-source rate most exceeds their rest-of-corpus rate,
+
+        score(w, s) = (c_s / n_s) / ((c_rest + 1) / n_rest)
+
+    (add-one on the rest count so source-exclusive words score finite and
+    rank by how often the source actually uses them). ``min_count``
+    drops noise words. The score is a FIXED three-operation IEEE sequence
+    over exact integers — both engines execute the same divides on the
+    same inputs, so ranking needs no rounding; ties break (word asc).
+
+    One token count, one per-source total, one corpus total join, one
+    bounded per-source top-n window. Output: ``(source, rank, word,
+    n_in_source, score)``.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    toks = docs.select(
+        F.col(source_col).alias("_src"), F.explode(_words(text_col)).alias("_w")
+    )
+    wc = toks.groupBy("_src", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    ns = wc.groupBy("_src").agg(F.sum("_c").alias("_ns"))
+    ct = wc.groupBy("_w").agg(F.sum("_c").alias("_ct"))
+    nt = ns.agg(F.sum("_ns").alias("_nt"))
+    scored = (
+        wc.join(ns, "_src")
+        .join(ct, "_w")
+        .crossJoin(F.broadcast(nt))
+        .where(F.col("_c") >= min_count)
+        .select(
+            "_src",
+            "_w",
+            "_c",
+            (
+                (F.col("_c") / F.col("_ns"))
+                / ((F.col("_ct") - F.col("_c") + 1) / (F.col("_nt") - F.col("_ns")))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("_src").orderBy(F.desc("score"), F.asc("_w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            F.col("_src").alias("source"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("_w").alias("word"),
+            F.col("_c").cast("long").alias("n_in_source"),
+            "score",
+        )
+    )

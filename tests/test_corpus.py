@@ -1157,3 +1157,61 @@ def test_source_divergence_partition_invariant(spark):
     a = sorted(map(tuple, source_divergence(docs.coalesce(1)).collect()))
     b = sorted(map(tuple, source_divergence(docs.repartition(16)).collect()))
     assert a == b and len(a) == 6
+
+
+def test_source_terms_matches_python(spark):
+    import re
+    from collections import Counter
+
+    from minimel_spark.operators.corpus import source_terms
+
+    rows = [
+        (1, "spark spark spark shared shared", "s1"),
+        (2, "duck duck shared shared shared", "s2"),
+        (3, "spark shared duck shared", "s3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {}
+    for r in source_terms(docs, top_n=2, min_count=1).collect():
+        got.setdefault(r["source"], []).append(
+            (r["rank"], r["word"], r["n_in_source"], r["score"])
+        )
+    per_src = {}
+    tot = Counter()
+    for _, t, s in rows:
+        ws = [w for w in re.split(r"\W+", t.lower()) if w]
+        per_src.setdefault(s, Counter()).update(ws)
+        tot.update(ws)
+    nt = sum(tot.values())
+    for s, cnt in per_src.items():
+        ns = sum(cnt.values())
+        scored = sorted(
+            (
+                (-((c / ns) / ((tot[w] - c + 1) / (nt - ns))), w, c)
+                for w, c in cnt.items()
+            ),
+        )[:2]
+        want = [
+            (i + 1, w, c, -neg) for i, (neg, w, c) in enumerate(scored)
+        ]
+        assert sorted(got[s]) == [
+            (r, w, c, pytest.approx(sc, abs=0)) for r, w, c, sc in want
+        ], s
+    # the source-exclusive heavy word tops its source
+    assert got["s1"][0][1] == "spark" and got["s2"][0][1] == "duck"
+
+
+def test_source_terms_partition_invariant(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.corpus import source_terms
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 9} shared common w{i % 4}", f"s{i % 3}") for i in range(36)],
+        "doc_id long, text string, source string",
+    )
+    a = sorted(map(tuple, source_terms(docs.coalesce(1), top_n=3, min_count=1).collect()))
+    b = sorted(map(tuple, source_terms(docs.repartition(16), top_n=3, min_count=1).collect()))
+    assert a == b and len(a) == 9
+    with _pytest.raises(ValueError):
+        source_terms(docs, top_n=0)
