@@ -12843,6 +12843,84 @@ FROM (SELECT src, w, c, score,
 WHERE rnk <= 5"""
 
 
+def q_web_recrawl_priority(spark, sf_dir):
+    """Change-rate recrawl scheduling (operators/web.py recrawl_priority,
+    Cho & Garcia-Molina freshness): 800 synthetic URLs × 6 crawl
+    snapshots with per-URL md5-driven change propensities (period
+    2 + url%4 — some churn every cycle, some never); the version counter
+    is a cumulative sum of change indicators, fingerprint = md5 of
+    (url, version), and the operator recovers n_changes / change_rate /
+    hot exactly. Oracle replays the synthesis with the same windows."""
+    from minimel_spark.operators.web import recrawl_priority
+
+    base = spark.range(800).select(F.col("id").alias("u"))
+    snaps = base.select(
+        "u", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("snapshot")
+    )
+    chg = (
+        (F.col("snapshot") > 0)
+        & (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("u").cast("string"),
+                            F.lit(":"),
+                            F.col("snapshot").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % (F.col("u") % 4 + 2)
+            == 0
+        )
+    ).cast("long")
+    from pyspark.sql import Window as _W
+
+    version = F.sum(chg).over(
+        _W.partitionBy("u").orderBy("snapshot").rowsBetween(_W.unboundedPreceding, 0)
+    )
+    hist = snaps.select(
+        F.concat(F.lit("https://site.example/p/"), F.col("u").cast("string")).alias("url"),
+        "snapshot",
+        F.md5(
+            F.concat(F.col("u").cast("string"), F.lit("#v"), version.cast("string"))
+        ).alias("fingerprint"),
+    )
+    return recrawl_priority(hist, hot_threshold=0.5)
+
+
+SQL_WEB_RECRAWL_PRIORITY = """
+WITH snaps AS (
+  SELECT u, s AS snapshot,
+         CASE WHEN s > 0 AND
+                   ('0x' || substr(md5(u::VARCHAR || ':' || s::VARCHAR), 1, 15))::UBIGINT
+                   % (u % 4 + 2) = 0
+              THEN 1 ELSE 0 END AS chg
+  FROM range(800) r(u), range(0, 6) t(s)),
+hist AS (
+  SELECT 'https://site.example/p/' || u::VARCHAR AS url, snapshot,
+         md5(u::VARCHAR || '#v' ||
+             (sum(chg) OVER (PARTITION BY u ORDER BY snapshot
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::VARCHAR)
+           AS fp
+  FROM snaps),
+lagged AS (
+  SELECT url,
+         CASE WHEN lag(fp) OVER (PARTITION BY url ORDER BY snapshot) IS NOT NULL
+                   AND lag(fp) OVER (PARTITION BY url ORDER BY snapshot) <> fp
+              THEN 1 ELSE 0 END AS chg
+  FROM hist)
+SELECT url, count(*)::BIGINT AS n_snaps, sum(chg)::BIGINT AS n_changes,
+       sum(chg)::BIGINT / greatest(count(*)::BIGINT - 1, 1) AS change_rate,
+       (sum(chg)::BIGINT / greatest(count(*)::BIGINT - 1, 1)) >= 0.5 AS hot
+FROM lagged GROUP BY url"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13097,6 +13175,7 @@ _TAIL: list[str] = [
     "stream_hourly_topk",
     "corpus_source_divergence",
     "corpus_source_terms",
+    "web_recrawl_priority",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13110,7 +13189,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 234
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 235
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13313,6 +13392,7 @@ _ORACLES: dict[str, str] = {
     "stream_hourly_topk": SQL_STREAM_HOURLY_TOPK,
     "corpus_source_divergence": SQL_CORPUS_SOURCE_DIVERGENCE,
     "corpus_source_terms": SQL_CORPUS_SOURCE_TERMS,
+    "web_recrawl_priority": SQL_WEB_RECRAWL_PRIORITY,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

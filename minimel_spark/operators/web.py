@@ -32,7 +32,7 @@ SQL), so the URL normalization semantics are pinned, not just exercised.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from .util import md5_long60
 
@@ -509,4 +509,55 @@ def url_templates(
             F.min("_u").alias("example_url"),
         )
         .where(F.col("n_urls") >= min_urls)
+    )
+
+
+def recrawl_priority(
+    snaps: DataFrame,
+    url_col: str = "url",
+    snapshot_col: str = "snapshot",
+    fp_col: str = "fingerprint",
+    hot_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-URL change-rate estimation from crawl history — the freshness
+    scheduler's input (Cho & Garcia-Molina's recrawl-frequency problem):
+    given (url, snapshot, content fingerprint) observations, count the
+    consecutive-snapshot fingerprint changes and estimate
+
+        change_rate = n_changes / (n_snapshots - 1)
+
+    the MLE of the per-interval Bernoulli change probability. URLs with
+    ``change_rate >= hot_threshold`` flag ``hot`` — recrawl every cycle;
+    near-zero URLs can be demoted to slow cycles, which at crawl scale is
+    most of the frontier and most of the savings.
+
+    One per-URL lag window (bounded by history length) + one groupBy —
+    all exact integers and one exact division; single-snapshot URLs get
+    rate 0 (no interval observed), not NULL.
+
+    Output: ``(url, n_snaps, n_changes, change_rate, hot)``.
+    """
+    rows = snaps.select(
+        F.col(url_col).alias("url"),
+        F.col(snapshot_col).alias("_s"),
+        F.col(fp_col).alias("_fp"),
+    ).withColumn(
+        "_chg",
+        (F.lag("_fp").over(
+            Window.partitionBy("url").orderBy("_s")
+        ).isNotNull()
+         & (F.lag("_fp").over(Window.partitionBy("url").orderBy("_s")) != F.col("_fp"))
+        ).cast("long"),
+    )
+    return (
+        rows.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_snaps"),
+            F.sum("_chg").cast("long").alias("n_changes"),
+        )
+        .withColumn(
+            "change_rate",
+            F.col("n_changes") / F.greatest(F.col("n_snaps") - 1, F.lit(1)),
+        )
+        .withColumn("hot", F.col("change_rate") >= hot_threshold)
     )

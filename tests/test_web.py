@@ -407,3 +407,40 @@ def test_url_templates_min_urls_and_invariance(spark):
     assert len(big) == 1 and big[0]["template"] == "/p/N"
     with _pytest.raises(ValueError):
         url_templates(docs, min_urls=0)
+
+
+def test_recrawl_priority_hand_history(spark):
+    from minimel_spark.operators.web import recrawl_priority
+
+    hist = [
+        # url A: changes every interval (5 snaps, 4 changes) -> hot
+        *[("A", s, f"vA{s}") for s in range(5)],
+        # url B: one change across 5 snaps -> rate 0.25
+        ("B", 0, "b0"), ("B", 1, "b0"), ("B", 2, "b1"), ("B", 3, "b1"), ("B", 4, "b1"),
+        # url C: never changes
+        *[("C", s, "same") for s in range(4)],
+        # url D: single observation -> rate 0, not hot
+        ("D", 0, "d0"),
+    ]
+    snaps = spark.createDataFrame(hist, "url string, snapshot long, fingerprint string")
+    got = {r["url"]: r for r in recrawl_priority(snaps).collect()}
+    assert got["A"]["n_changes"] == 4 and got["A"]["change_rate"] == 1.0 and got["A"]["hot"]
+    assert got["B"]["n_changes"] == 1 and got["B"]["change_rate"] == 0.25 and not got["B"]["hot"]
+    assert got["C"]["n_changes"] == 0 and got["C"]["change_rate"] == 0.0
+    assert got["D"]["n_snaps"] == 1 and got["D"]["change_rate"] == 0.0 and not got["D"]["hot"]
+
+
+def test_recrawl_priority_partition_invariant(spark):
+    from minimel_spark.operators.web import recrawl_priority
+
+    snaps = spark.createDataFrame(
+        [(f"u{i % 10}", s, f"f{(i * s) % 3}") for i in range(40) for s in range(4)],
+        "url string, snapshot long, fingerprint string",
+    )
+    # collapse duplicate (url, snapshot) rows to one deterministic fp first
+    import pyspark.sql.functions as F
+
+    one = snaps.groupBy("url", "snapshot").agg(F.min("fingerprint").alias("fingerprint"))
+    a = sorted(map(tuple, recrawl_priority(one.coalesce(1)).collect()))
+    b = sorted(map(tuple, recrawl_priority(one.repartition(16)).collect()))
+    assert a == b and len(a) == 10
