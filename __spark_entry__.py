@@ -12921,6 +12921,69 @@ SELECT url, count(*)::BIGINT AS n_snaps, sum(chg)::BIGINT AS n_changes,
 FROM lagged GROUP BY url"""
 
 
+def q_corpus_bpe_encode(spark, sf_dir):
+    """BPE encode-apply (operators/corpus.py bpe_merges + bpe_encode):
+    learn 10 merges on the documents corpus, replay them in round order
+    over the distinct-word vocabulary, and account per-document words /
+    BPE tokens / chars / compression. The oracle re-learns the same 10
+    rounds (the corpus_bpe_merges chain, with the word key carried
+    through) and re-encodes — every count is an exact integer, the
+    compression an exact division."""
+    from minimel_spark.operators.corpus import bpe_encode, bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_merges(docs, n_merges=10)
+    return bpe_encode(docs, merges)
+
+
+def _sql_bpe_encode(n_merges: int = 10) -> str:
+    """The corpus_bpe_merges learning chain with the word key carried
+    through each round, plus the per-document encode aggregation."""
+    steps = []
+    for r in range(1, n_merges + 1):
+        steps.append(f"""p{r} AS (
+  SELECT pr, sum(freq) AS c FROM (
+    SELECT freq, unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i::INT] || ' ' || toks[(i + 1)::INT])) AS pr
+    FROM (SELECT freq, string_split(trim(repr), ' ') AS toks FROM w{r - 1})
+    WHERE len(toks) >= 2)
+  GROUP BY pr),
+b{r} AS MATERIALIZED (SELECT pr, c FROM p{r} ORDER BY c DESC, pr ASC LIMIT 1),
+w{r} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(repr,
+                 ' ' || coalesce((SELECT pr FROM b{r}), chr(1)) || ' ',
+                 ' ' || replace(coalesce((SELECT pr FROM b{r}), chr(1)), ' ', '')
+                     || ' ') AS repr
+  FROM w{r - 1})""")
+    chained = ",\n".join(steps)
+    return f"""
+WITH w0 AS MATERIALIZED (
+  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS repr,
+         freq
+  FROM (SELECT word, count(*)::BIGINT AS freq
+        FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\W+')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word)),
+{chained},
+tok AS (
+  SELECT word, len(string_split(trim(repr), ' '))::BIGINT AS nsym,
+         len(word)::BIGINT AS nch
+  FROM w{n_merges}),
+dw AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                    x -> x <> '')) AS word
+  FROM documents)
+SELECT doc_id, count(*)::BIGINT AS n_words, sum(nsym)::BIGINT AS n_tokens,
+       sum(nch)::BIGINT AS n_chars,
+       sum(nch)::BIGINT / sum(nsym)::BIGINT AS compression
+FROM dw JOIN tok USING (word)
+GROUP BY doc_id"""
+
+
+SQL_CORPUS_BPE_ENCODE = _sql_bpe_encode(10)
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13176,6 +13239,7 @@ _TAIL: list[str] = [
     "corpus_source_divergence",
     "corpus_source_terms",
     "web_recrawl_priority",
+    "corpus_bpe_encode",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13189,7 +13253,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 235
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 236
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13393,6 +13457,7 @@ _ORACLES: dict[str, str] = {
     "corpus_source_divergence": SQL_CORPUS_SOURCE_DIVERGENCE,
     "corpus_source_terms": SQL_CORPUS_SOURCE_TERMS,
     "web_recrawl_priority": SQL_WEB_RECRAWL_PRIORITY,
+    "corpus_bpe_encode": SQL_CORPUS_BPE_ENCODE,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

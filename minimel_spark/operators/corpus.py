@@ -1235,3 +1235,72 @@ def source_terms(
             "score",
         )
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merges (the output of :func:`bpe_merges`) to the
+    corpus and account tokens per document — the other half of the
+    tokenizer story: training learns the merge list, the pipeline then
+    needs tokens-per-doc for budgeting, packing, and the compression
+    ratio the tokenizer actually achieves on ITS OWN corpus.
+
+    Encoding replays the merges IN ROUND ORDER over the distinct-word
+    vocabulary (never per occurrence: each word is encoded once, then
+    documents join the word->symbol-count table), using the same literal
+    space-delimited ``replace`` that training used — so a word's final
+    symbol count is exactly what the learned tokenizer produces. The
+    merge list is a driver-side collect of n_merges rows (tiny by
+    construction — it IS the model).
+
+    Output, one row per document with >= 1 word: ``(id_col, n_words,
+    n_tokens, n_chars, compression)`` — compression = n_chars/n_tokens,
+    an exact integer division.
+    """
+    mlist = [
+        (r["left"], r["right"], r["merged"])
+        for r in merges.orderBy("round").collect()
+    ]
+    vocab = (
+        docs.select(F.explode(_words(text_col)).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+        .select(
+            "word",
+            F.concat(
+                F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
+            ).alias("repr"),
+        )
+    )
+    for left, right, merged in mlist:
+        pair = f"{left} {right}"
+        vocab = vocab.select(
+            "word",
+            F.expr(
+                "replace(repr, ' ' || '{p}' || ' ', ' ' || '{m}' || ' ')".format(
+                    p=pair.replace("'", "\\'"), m=merged.replace("'", "\\'")
+                )
+            ).alias("repr"),
+        )
+    tok = vocab.select(
+        "word",
+        F.size(F.split(F.trim(F.col("repr")), " ")).cast("long").alias("_nsym"),
+        F.length("word").cast("long").alias("_nch"),
+    )
+    dw = docs.select(F.col(id_col), F.explode(_words(text_col)).alias("word")).where(
+        F.col("word") != ""
+    )
+    return (
+        dw.join(tok, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("_nsym").cast("long").alias("n_tokens"),
+            F.sum("_nch").cast("long").alias("n_chars"),
+        )
+        .withColumn("compression", F.col("n_chars") / F.col("n_tokens"))
+    )

@@ -580,3 +580,68 @@ def test_bpe_parallelism_invariant(spark):
     a = [tuple(r) for r in bpe_merges(docs.repartition(1), n_merges=6).collect()]
     b = [tuple(r) for r in bpe_merges(docs.repartition(8), n_merges=6).collect()]
     assert a == b == _bpe_python(texts, 6)
+
+
+def _bpe_encode_python(texts, n_merges):
+    import collections
+    import re
+
+    merges = _bpe_python(texts, n_merges)
+    vocab = set()
+    docs_words = []
+    for t in texts:
+        ws = [w for w in re.split(r"\W+", t.lower()) if w]
+        docs_words.append(ws)
+        vocab.update(ws)
+    reprs = {w: " " + " ".join(w) + " " for w in vocab}
+    for _, l, r, m, _c in merges:
+        for w in reprs:
+            reprs[w] = reprs[w].replace(f" {l} {r} ", f" {m} ")
+    nsym = {w: len(reprs[w].split()) for w in vocab}
+    out = {}
+    for i, ws in enumerate(docs_words):
+        if not ws:
+            continue
+        n_tokens = sum(nsym[w] for w in ws)
+        n_chars = sum(len(w) for w in ws)
+        out[i] = (len(ws), n_tokens, n_chars, n_chars / n_tokens)
+    return out
+
+
+def test_bpe_encode_matches_python(spark):
+    from minimel_spark.operators.corpus import bpe_encode, bpe_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats eat the fish",
+        "that hat is the best hat",
+        "fishing is the best thing",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_merges(docs, n_merges=8)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"], r["compression"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    want = _bpe_encode_python(texts, 8)
+    assert got == want
+    assert 4 not in got          # empty doc has no row
+    # compression strictly improves over char-split for every doc
+    for _, n_tokens, n_chars, _c in got.values():
+        assert n_tokens < n_chars
+
+
+def test_bpe_encode_partition_invariant(spark):
+    from minimel_spark.operators.corpus import bpe_encode, bpe_merges
+
+    docs = spark.createDataFrame(
+        [(i, "repeat repeat token stream alpha beta " * 2) for i in range(12)],
+        "doc_id long, text string",
+    )
+    merges = bpe_merges(docs, n_merges=5)
+    a = sorted(map(tuple, bpe_encode(docs.coalesce(1), merges).collect()))
+    b = sorted(map(tuple, bpe_encode(docs.repartition(8), merges).collect()))
+    assert a == b and len(a) == 12
