@@ -12984,6 +12984,45 @@ GROUP BY doc_id"""
 SQL_CORPUS_BPE_ENCODE = _sql_bpe_encode(10)
 
 
+def q_corpus_kn_bigrams(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities (operators/corpus.py
+    kn_bigram_probs, d=0.75): absolute discounting plus the
+    novel-continuation unigram, top-50 corpus bigrams by (count desc,
+    bigram asc). All ingredients exact integers; probability rounded 6 at
+    the boundary; the oracle recomputes every count class and the same
+    formula in SQL."""
+    from minimel_spark.operators.corpus import kn_bigram_probs
+
+    docs = _t(spark, sf_dir, "documents")
+    return kn_bigram_probs(docs, top_n=50, discount=0.75)
+
+
+SQL_CORPUS_KN_BIGRAMS = """
+WITH seq AS (
+  SELECT doc_id, w, p
+  FROM (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS p
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                 x -> x <> '') AS ws
+              FROM documents))),
+bg AS (
+  SELECT v, w, count(*)::BIGINT AS c_vw
+  FROM (SELECT doc_id, w AS v,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w
+        FROM seq)
+  WHERE w IS NOT NULL
+  GROUP BY 1, 2),
+hist AS (SELECT v, sum(c_vw) AS cv, count(*) AS n1v FROM bg GROUP BY 1),
+cont AS (SELECT w, count(*) AS n1w FROM bg GROUP BY 1),
+nbt AS (SELECT count(*) AS nbt FROM bg)
+SELECT v, w, c_vw,
+       round(greatest(c_vw - 0.75, 0.0) / cv
+             + 0.75 * n1v / cv * n1w / nbt, 6) AS p_kn
+FROM bg JOIN hist USING (v) JOIN cont USING (w), nbt
+ORDER BY c_vw DESC, v ASC, w ASC
+LIMIT 50"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13240,6 +13279,7 @@ _TAIL: list[str] = [
     "corpus_source_terms",
     "web_recrawl_priority",
     "corpus_bpe_encode",
+    "corpus_kn_bigrams",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13253,7 +13293,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 236
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 237
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13458,6 +13498,7 @@ _ORACLES: dict[str, str] = {
     "corpus_source_terms": SQL_CORPUS_SOURCE_TERMS,
     "web_recrawl_priority": SQL_WEB_RECRAWL_PRIORITY,
     "corpus_bpe_encode": SQL_CORPUS_BPE_ENCODE,
+    "corpus_kn_bigrams": SQL_CORPUS_KN_BIGRAMS,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

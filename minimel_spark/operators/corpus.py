@@ -1304,3 +1304,72 @@ def bpe_encode(
         )
         .withColumn("compression", F.col("n_chars") / F.col("n_tokens"))
     )
+
+
+def kn_bigram_probs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 50,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman 1998's benchmark winner) — the smoothing a count-based
+    corpus LM actually ships with, and the quantity behind KN-perplexity
+    quality filters:
+
+        P(w|v) = max(c(v,w) − d, 0) / c(v·)
+                 + d · N1+(v·) / c(v·) · N1+(·w) / N1+(··)
+
+    where c(v·) is v's total bigram count, N1+(v·) the distinct
+    continuations of v, N1+(·w) the distinct histories of w (the
+    "novel-continuation" unigram that makes KN famous), and N1+(··) the
+    total bigram-type count. Every ingredient is an exact integer; the
+    probability is a short fixed IEEE sequence rounded to 6 at the
+    boundary.
+
+    Returns the ``top_n`` corpus bigrams by (count desc, v asc, w asc)
+    with their KN probability — deterministic selection, oracle-exact.
+    Distributed shape: one lead-window bigram extraction, three
+    map-side-combinable aggregations, two joins; the top-n is a bounded
+    TakeOrdered, never a global sort.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0,1), got {discount}")
+    seq = docs.select(
+        F.col(id_col).alias("_r"),
+        F.posexplode(_words(text_col)).alias("_pos", "_w"),
+    )
+    nxt = Window.partitionBy("_r").orderBy("_pos")
+    bg = (
+        seq.withColumn("_nx", F.lead("_w").over(nxt))
+        .where(F.col("_nx").isNotNull())
+        .groupBy(F.col("_w").alias("v"), F.col("_nx").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c_vw"))
+    )
+    hist = bg.groupBy("v").agg(
+        F.sum("c_vw").alias("_cv"), F.count(F.lit(1)).alias("_n1v")
+    )
+    cont = bg.groupBy("w").agg(F.count(F.lit(1)).alias("_n1w"))
+    nbt = bg.agg(F.count(F.lit(1)).alias("_nbt"))
+    d = float(discount)
+    return (
+        bg.join(hist, "v")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "v",
+            "w",
+            F.col("c_vw").cast("long").alias("c_vw"),
+            F.round(
+                F.greatest(F.col("c_vw") - F.lit(d), F.lit(0.0)) / F.col("_cv")
+                + F.lit(d) * F.col("_n1v") / F.col("_cv")
+                * F.col("_n1w") / F.col("_nbt"),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.desc("c_vw"), F.asc("v"), F.asc("w"))
+        .limit(top_n)
+    )

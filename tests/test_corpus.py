@@ -1215,3 +1215,59 @@ def test_source_terms_partition_invariant(spark):
     assert a == b and len(a) == 9
     with _pytest.raises(ValueError):
         source_terms(docs, top_n=0)
+
+
+def test_kn_bigram_probs_matches_python(spark):
+    import re
+    from collections import Counter
+
+    from minimel_spark.operators.corpus import kn_bigram_probs
+
+    texts = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the fish"),
+        (3, "a dog sat on a log"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["v"], r["w"]): (r["c_vw"], r["p_kn"])
+        for r in kn_bigram_probs(docs, top_n=100, discount=0.75).collect()
+    }
+    bg = Counter()
+    for _, t in texts:
+        ws = [w for w in re.split(r"\W+", t.lower()) if w]
+        for a, b in zip(ws, ws[1:]):
+            bg[(a, b)] += 1
+    cv, n1v, n1w = Counter(), Counter(), Counter()
+    for (v, w), c in bg.items():
+        cv[v] += c
+        n1v[v] += 1
+        n1w[w] += 1
+    nbt = len(bg)
+    d = 0.75
+    for (v, w), c in bg.items():
+        want = max(c - d, 0.0) / cv[v] + d * n1v[v] / cv[v] * n1w[w] / nbt
+        assert got[(v, w)] == (c, round(want, 6)), (v, w)
+    # probabilities per history sum <= 1 and the mass is properly smoothed
+    import math
+
+    s = sum(p for (v, _), (_, p) in got.items() if v == "the")
+    assert 0 < s <= 1 + 1e-9
+
+
+def test_kn_bigram_partition_invariance_and_validation(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.corpus import kn_bigram_probs
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha beta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, kn_bigram_probs(docs.coalesce(1), top_n=10).collect()))
+    b = sorted(map(tuple, kn_bigram_probs(docs.repartition(8), top_n=10).collect()))
+    assert a == b and len(a) == 3
+    with _pytest.raises(ValueError):
+        kn_bigram_probs(docs, top_n=0)
+    with _pytest.raises(ValueError):
+        kn_bigram_probs(docs, discount=1.5)
