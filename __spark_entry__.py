@@ -13023,6 +13023,66 @@ ORDER BY c_vw DESC, v ASC, w ASC
 LIMIT 50"""
 
 
+def q_graph_bowtie(spark, sf_dir):
+    """Bowtie census of the md5 link graph (operators/graph.py
+    bowtie_regions, Broder et al. WWW 2000): deterministic max-degree
+    seed, bounded forward/backward BFS, core/in/out/tendril/disconnected
+    per node, reported as region counts. The oracle recomputes all three
+    reachability closures with recursive CTEs and the same total-order
+    seed argmax."""
+    from minimel_spark.operators.graph import bowtie_regions
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = _doc_link_edges(docs, n)
+    return (
+        bowtie_regions(edges, nodes=docs.select(F.col("doc_id").alias("node")))
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+
+
+SQL_GRAPH_BOWTIE = """
+WITH RECURSIVE e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, (SELECT count(*) AS n FROM documents) nn),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+ends AS (SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+         UNION ALL SELECT doc_id FROM documents),
+alln AS MATERIALIZED (SELECT DISTINCT node FROM ends),
+seed AS MATERIALIZED (
+  SELECT node FROM (SELECT node, count(*) AS d FROM ends GROUP BY 1)
+  ORDER BY d DESC, node ASC LIMIT 1),
+fw AS (SELECT node FROM seed
+       UNION
+       SELECT e.dst FROM fw JOIN e ON e.src = fw.node),
+bw AS (SELECT node FROM seed
+       UNION
+       SELECT e.src FROM bw JOIN e ON e.dst = bw.node),
+und AS MATERIALIZED (
+  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+bowtie AS MATERIALIZED (
+  SELECT node FROM fw UNION SELECT node FROM bw),
+attached AS (SELECT node FROM bowtie
+             UNION
+             SELECT u.dst FROM attached JOIN und u ON u.src = attached.node)
+SELECT region, count(*)::BIGINT AS n_nodes FROM (
+  SELECT a.node,
+         CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'core'
+              WHEN b.node IS NOT NULL THEN 'in'
+              WHEN f.node IS NOT NULL THEN 'out'
+              WHEN t.node IS NOT NULL THEN 'tendril'
+              ELSE 'disconnected' END AS region
+  FROM alln a
+  LEFT JOIN fw f ON f.node = a.node
+  LEFT JOIN bw b ON b.node = a.node
+  LEFT JOIN attached t ON t.node = a.node)
+GROUP BY 1"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13280,6 +13340,7 @@ _TAIL: list[str] = [
     "web_recrawl_priority",
     "corpus_bpe_encode",
     "corpus_kn_bigrams",
+    "graph_bowtie",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13293,7 +13354,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 237
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 238
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13499,6 +13560,7 @@ _ORACLES: dict[str, str] = {
     "web_recrawl_priority": SQL_WEB_RECRAWL_PRIORITY,
     "corpus_bpe_encode": SQL_CORPUS_BPE_ENCODE,
     "corpus_kn_bigrams": SQL_CORPUS_KN_BIGRAMS,
+    "graph_bowtie": SQL_GRAPH_BOWTIE,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -723,3 +723,103 @@ def cocitation_coupling(
     return _pairs("dst", "src", "coupling").unionByName(
         _pairs("src", "dst", "cocitation")
     )
+
+
+def bowtie_regions(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Bowtie decomposition of a directed graph (Broder et al., WWW 2000
+    — THE structural census of the web graph): pick a deterministic seed
+    (max total degree, ties to the smallest node id — a heuristic member
+    of the giant SCC on web-like graphs), compute its forward and
+    backward reachable sets by bounded BFS, and classify every node:
+
+      core          — reachable both ways (the seed's SCC);
+      in            — reaches the core but is not reached by it;
+      out           — reached by the core but cannot reach it;
+      tendril       — connected to the bowtie only when directions are
+                      ignored (hangs off IN/OUT);
+      disconnected  — in another weak component entirely.
+
+    Each BFS round is one frontier join + one anti-join on a
+    locally-checkpointed frontier (the connected-components loop cost
+    model); rounds are bounded by the graph's diameter and hard-capped
+    at ``max_rounds``. Deterministic: the seed is a total-order argmax
+    and BFS reachability is order-free.
+
+    Output: ``(node, region)``, one row per node of ``edges``' endpoint
+    set union the optional ``nodes`` frame.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    ends = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    )
+    if nodes is not None:
+        ends = ends.union(nodes.select("node"))
+    allnodes = ends.distinct().localCheckpoint(eager=True)
+    deg = (
+        ends.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .agg(F.min(F.struct((-F.col("_d")).alias("_nd"), F.col("node").alias("_n"))).alias("_m"))
+        .select(F.col("_m._n").alias("node"))
+    )
+    seed = deg.localCheckpoint(eager=True)
+
+    def _reach(edgeset: DataFrame) -> DataFrame:
+        seen = seed
+        frontier = seed
+        for _ in range(max_rounds):
+            nxt = (
+                frontier.join(edgeset, frontier["node"] == edgeset["src"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(seen, "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            seen = seen.union(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return seen
+
+    fw = _reach(e)
+    bw = _reach(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    core = fw.join(bw, "node", "left_semi").localCheckpoint(eager=True)
+    # undirected reachability from the bowtie (core ∪ in ∪ out = fw ∪ bw)
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    und = und.localCheckpoint(eager=True)
+    bowtie = fw.union(bw).distinct().localCheckpoint(eager=True)
+    attached = bowtie
+    frontier = bowtie
+    for _ in range(max_rounds):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(attached, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        attached = attached.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        allnodes.join(core.withColumn("_core", F.lit(1)), "node", "left")
+        .join(fw.withColumn("_fw", F.lit(1)), "node", "left")
+        .join(bw.withColumn("_bw", F.lit(1)), "node", "left")
+        .join(attached.withColumn("_att", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("_core").isNotNull(), F.lit("core"))
+            .when(F.col("_bw").isNotNull(), F.lit("in"))
+            .when(F.col("_fw").isNotNull(), F.lit("out"))
+            .when(F.col("_att").isNotNull(), F.lit("tendril"))
+            .otherwise(F.lit("disconnected"))
+            .alias("region"),
+        )
+    )

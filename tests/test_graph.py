@@ -409,3 +409,44 @@ def test_cocitation_coupling_partition_invariant(spark):
     assert a == b and len(a) > 0
     with _pytest.raises(ValueError):
         cocitation_coupling(edges, min_shared=0)
+
+
+def test_bowtie_regions_hand_graph(spark):
+    from minimel_spark.operators.graph import bowtie_regions
+
+    # seed = max total degree -> node 1 (deg 3, cycle + in-link). core =
+    # {1,2,3} cycle; 10 reaches core (in); 20 reached from core (out);
+    # 50 hangs off OUT against the arrows (tendril); 60-61 separate.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 1), (3, 20), (50, 20), (60, 61)],
+        "src long, dst long",
+    )
+    got = dict(map(tuple, bowtie_regions(edges).collect()))
+    assert got == {
+        1: "core", 2: "core", 3: "core", 10: "in", 20: "out",
+        50: "tendril", 60: "disconnected", 61: "disconnected",
+    }
+    # isolated node from the nodes frame joins as disconnected
+    nodes = spark.createDataFrame([(99,)], "node long")
+    got2 = dict(map(tuple, bowtie_regions(edges, nodes=nodes).collect()))
+    assert got2[99] == "disconnected" and got2[1] == "core"
+
+
+def test_bowtie_partition_invariant(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.graph import bowtie_regions
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)]         # one big cycle (core)
+        + [(100 + i, i % 20) for i in range(10)]        # in-fringe
+        + [(i % 20, 200 + i) for i in range(10)],       # out-fringe
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, bowtie_regions(edges.coalesce(1)).collect()))
+    b = sorted(map(tuple, bowtie_regions(edges.repartition(16)).collect()))
+    assert a == b
+    regions = {r for _, r in a}
+    assert regions == {"core", "in", "out"}
+    with _pytest.raises(ValueError):
+        bowtie_regions(edges, max_rounds=0)
