@@ -13083,6 +13083,108 @@ SELECT region, count(*)::BIGINT AS n_nodes FROM (
 GROUP BY 1"""
 
 
+def q_corpus_c4_filter(spark, sf_dir):
+    """C4-style rule cleaning (operators/corpus.py c4_line_filter,
+    Raffel et al. 2020 §2.2): documents are re-lined into 12-word lines
+    with md5-chosen terminal punctuation (2/3 of lines end with '.'),
+    every 7th-hash doc gets a 'lorem ipsum' line and every 11th a curly
+    brace, then the filter audits lines (terminal punct + >= 5 words)
+    and documents (>= 3 kept lines, >= 50 kept words, no brace, no
+    lorem) with one exact-integer row per doc. The oracle rebuilds the
+    same lines and replays every rule."""
+    from minimel_spark.operators.corpus import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != "")
+    base = docs.select("doc_id", ws.alias("_ws")).where(F.size("_ws") >= 1)
+    nl = F.ceil(F.size("_ws") / 12).cast("int")
+
+    def h(i, mod):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit(":"), i.cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(F.col("_ws"), i * 12 + 1, 12)),
+            F.when(h(i, 3) != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    hd = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    text2 = F.concat(
+        F.concat_ws("\n", lines),
+        F.when(
+            hd % 7 == 0, F.lit("\nlorem ipsum dolor sit amet here today.")
+        ).otherwise(F.lit("")),
+        F.when(hd % 11 == 0, F.lit(" {")).otherwise(F.lit("")),
+    )
+    built = base.select("doc_id", text2.alias("text"))
+    return c4_line_filter(built)
+
+
+SQL_CORPUS_C4_FILTER = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+ln AS (SELECT doc_id, ws, cast(ceil(len(ws) / 12.0) AS INT) AS nl
+       FROM base WHERE len(ws) >= 1),
+built AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(0, nl), i ->
+           array_to_string(ws[(i * 12 + 1)::INT : (i * 12 + 12)::INT], ' ')
+           || CASE WHEN ('0x' || substr(md5(doc_id || ':' || i), 1, 15))::UBIGINT
+                        % 3 <> 0
+                   THEN '.' ELSE '' END), chr(10))
+         || CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 7 = 0
+                 THEN chr(10) || 'lorem ipsum dolor sit amet here today.'
+                 ELSE '' END
+         || CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 11 = 0
+                 THEN ' {' ELSE '' END AS text
+  FROM ln),
+per_line AS (
+  SELECT doc_id, text,
+         unnest(string_split(text, chr(10))) AS line
+  FROM built),
+audited AS (
+  SELECT doc_id, text,
+         regexp_matches(line, '[.!?"'']\\s*$')
+           AND len(list_filter(regexp_split_to_array(line, '\\s+'),
+                               x -> x <> '')) >= 5 AS keep_line,
+         len(list_filter(regexp_split_to_array(line, '\\s+'),
+                         x -> x <> ''))::BIGINT AS lw
+  FROM per_line)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN keep_line THEN 1 ELSE 0 END)::BIGINT AS n_kept_lines,
+       sum(CASE WHEN keep_line THEN lw ELSE 0 END)::BIGINT AS n_kept_words,
+       bool_or(text LIKE '%{%' OR text LIKE '%}%') AS has_brace,
+       bool_or(lower(text) LIKE '%lorem ipsum%') AS has_lorem,
+       (sum(CASE WHEN keep_line THEN 1 ELSE 0 END) >= 3
+        AND sum(CASE WHEN keep_line THEN lw ELSE 0 END) >= 50
+        AND NOT bool_or(text LIKE '%{%' OR text LIKE '%}%')
+        AND NOT bool_or(lower(text) LIKE '%lorem ipsum%')) AS kept
+FROM audited GROUP BY doc_id"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13341,6 +13443,7 @@ _TAIL: list[str] = [
     "corpus_bpe_encode",
     "corpus_kn_bigrams",
     "graph_bowtie",
+    "corpus_c4_filter",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13354,7 +13457,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 238
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 239
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13561,6 +13664,7 @@ _ORACLES: dict[str, str] = {
     "corpus_bpe_encode": SQL_CORPUS_BPE_ENCODE,
     "corpus_kn_bigrams": SQL_CORPUS_KN_BIGRAMS,
     "graph_bowtie": SQL_GRAPH_BOWTIE,
+    "corpus_c4_filter": SQL_CORPUS_C4_FILTER,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -1373,3 +1373,57 @@ def kn_bigram_probs(
         .orderBy(F.desc("c_vw"), F.asc("v"), F.asc("w"))
         .limit(top_n)
     )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    min_kept_words: int = 50,
+) -> DataFrame:
+    """C4-style rule cleaning (Raffel et al., JMLR 2020 §2.2 — the
+    published heuristics behind the C4 corpus, parameterized): per line
+    (split on newlines), keep iff it ends with terminal punctuation
+    (``.!?"'``) and carries at least ``min_words_per_line`` words; per
+    document, keep iff at least ``min_kept_lines`` lines survive, the
+    surviving mass is at least ``min_kept_words`` words, the text has no
+    curly brace (code spill), and no "lorem ipsum" (placeholder spill) —
+    each rule surfaced as its own column so the audit table shows WHY a
+    document fell, which is what a curation dashboard needs.
+
+    Pure JVM array expressions (split / filter / aggregate), one row in,
+    one row out, no shuffle at all; every count is exact.
+
+    Output: ``(id_col, n_lines, n_kept_lines, n_kept_words, has_brace,
+    has_lorem, kept)``.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+    line_words = lambda ln: F.size(  # noqa: E731
+        F.filter(F.split(ln, r"\s+"), lambda w: w != "")
+    )
+    is_kept = lambda ln: ln.rlike("[.!?\"']\\s*$") & (  # noqa: E731
+        line_words(ln) >= min_words_per_line
+    )
+    kept_lines = F.filter(lines, is_kept)
+    n_kept_words = F.aggregate(
+        kept_lines, F.lit(0), lambda acc, ln: acc + line_words(ln)
+    )
+    has_brace = t.contains("{") | t.contains("}")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept_lines).cast("long").alias("n_kept_lines"),
+        n_kept_words.cast("long").alias("n_kept_words"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        (
+            (F.size(kept_lines) >= min_kept_lines)
+            & (n_kept_words >= min_kept_words)
+            & ~has_brace
+            & ~has_lorem
+        ).alias("kept"),
+    )

@@ -1271,3 +1271,37 @@ def test_kn_bigram_partition_invariance_and_validation(spark):
         kn_bigram_probs(docs, top_n=0)
     with _pytest.raises(ValueError):
         kn_bigram_probs(docs, discount=1.5)
+
+
+def test_c4_line_filter_rules(spark):
+    from minimel_spark.operators.corpus import c4_line_filter
+
+    good_line = "this line has plenty of words and ends properly."
+    docs = spark.createDataFrame(
+        [
+            # 4 good lines * 9 words = 36... need >= 50 kept words: use 6 lines
+            (1, "\n".join([good_line] * 6)),
+            (2, "\n".join([good_line] * 6) + "\nlorem IPSUM inside."),
+            (3, "\n".join([good_line] * 6) + "\nvar x = { a: 1 }"),
+            (4, "no terminal punctuation here at all\n" + good_line),
+            (5, "short line.\n" + "\n".join([good_line] * 2)),
+            (6, "one. two. three."),   # lines too short -> nothing kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    assert got[1]["kept"] and got[1]["n_kept_lines"] == 6
+    assert got[1]["n_kept_words"] == 54
+    assert not got[2]["kept"] and got[2]["has_lorem"]
+    assert not got[3]["kept"] and got[3]["has_brace"]
+    # doc 4: only 1 kept line -> fails min_kept_lines
+    assert got[4]["n_kept_lines"] == 1 and not got[4]["kept"]
+    # doc 5: "short line." fails the 5-word floor; 2 good lines < 3
+    assert got[5]["n_kept_lines"] == 2 and not got[5]["kept"]
+    assert got[6]["n_kept_lines"] == 0 and got[6]["n_lines"] == 1
+    # thresholds are parameters
+    relaxed = {
+        r["doc_id"]: r["kept"]
+        for r in c4_line_filter(docs, min_kept_lines=1, min_kept_words=5).collect()
+    }
+    assert relaxed[4] and relaxed[5] and not relaxed[2]
