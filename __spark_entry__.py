@@ -13185,6 +13185,45 @@ SELECT doc_id,
 FROM audited GROUP BY doc_id"""
 
 
+def q_corpus_heaps_curve(spark, sf_dir):
+    """Heaps'-law vocabulary growth (operators/corpus.py heaps_curve):
+    vocab size + token mass after the first k docs of the md5 corpus
+    order, k on the power-of-two ladder up to 512 — the β-slope health
+    curve. Global ranks via the hash-range two-level pattern (no
+    single-partition sort); all exact integers."""
+    from minimel_spark.operators.corpus import heaps_curve
+
+    docs = _t(spark, sf_dir, "documents")
+    return heaps_curve(docs, ladder=[1, 2, 4, 8, 16, 32, 64, 128, 256, 512])
+
+
+SQL_CORPUS_HEAPS_CURVE = """
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT,
+                    doc_id) AS rnk,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+lad(k_docs) AS (VALUES (1), (2), (4), (8), (16), (32), (64), (128), (256), (512)),
+tok AS (
+  SELECT k_docs, count(*)::BIGINT AS n_docs, sum(len(ws))::BIGINT AS n_tokens
+  FROM lad JOIN ranked ON ranked.rnk <= lad.k_docs
+  GROUP BY 1),
+first AS (
+  SELECT w, min(rnk) AS fr
+  FROM (SELECT rnk, unnest(list_distinct(ws)) AS w FROM ranked)
+  GROUP BY 1),
+voc AS (
+  SELECT k_docs, count(*)::BIGINT AS vocab_size
+  FROM lad JOIN first ON first.fr <= lad.k_docs
+  GROUP BY 1)
+SELECT t.k_docs::BIGINT AS k_docs, t.n_docs, t.n_tokens,
+       coalesce(v.vocab_size, 0)::BIGINT AS vocab_size
+FROM tok t LEFT JOIN voc v ON v.k_docs = t.k_docs"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13444,6 +13483,7 @@ _TAIL: list[str] = [
     "corpus_kn_bigrams",
     "graph_bowtie",
     "corpus_c4_filter",
+    "corpus_heaps_curve",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13457,7 +13497,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 239
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 240
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13665,6 +13705,7 @@ _ORACLES: dict[str, str] = {
     "corpus_kn_bigrams": SQL_CORPUS_KN_BIGRAMS,
     "graph_bowtie": SQL_GRAPH_BOWTIE,
     "corpus_c4_filter": SQL_CORPUS_C4_FILTER,
+    "corpus_heaps_curve": SQL_CORPUS_HEAPS_CURVE,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -1427,3 +1427,91 @@ def c4_line_filter(
             & ~has_lorem
         ).alias("kept"),
     )
+
+
+def heaps_curve(
+    docs: DataFrame,
+    ladder: list[int] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_ranges: int = 256,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (Heaps 1978): vocabulary size
+    and token mass after the first k documents of a DETERMINISTIC
+    content-independent corpus order (md5(doc id), doc id — the
+    pack_sequences order), for k on a power-of-two ladder. The curve's
+    log-log slope is the β of V ≈ K·nᵝ — the corpus-health indicator
+    that flags both boilerplate floods (β collapses) and OCR/garbage
+    floods (β → 1).
+
+    Distributed shape: the global doc rank uses the fixed bit-shift
+    hash-range two-level pattern (per-range counts + broadcast offsets +
+    partitioned windows — no single-partition sort, the
+    byte_pack_buckets shape); each word's FIRST rank is one grouped min;
+    ladder evaluation joins the tiny ladder table (broadcast) so every
+    prefix point is one aggregation, never a rescan per k. All exact
+    integers.
+
+    Output: ``(k_docs, n_docs, n_tokens, vocab_size)`` — one row per
+    ladder point k (n_docs = min(k, corpus size) actually included).
+    """
+    if ladder is not None and any(k < 1 for k in ladder):
+        raise ValueError("ladder entries must be >= 1")
+    k_bits = max(1, (n_ranges - 1).bit_length())
+    t = docs.select(
+        F.col(id_col).alias("_id"),
+        _words(text_col).alias("_ws"),
+        md5_long60(F.col(id_col).cast("string")).alias("_h"),
+    ).withColumn("_rg", F.shiftright("_h", 60 - k_bits))
+    rsub = t.groupBy("_rg").agg(F.count(F.lit(1)).alias("_rn"))
+    offs = (
+        rsub.alias("a")
+        .join(rsub.alias("b"), F.col("b._rg") < F.col("a._rg"), "left")
+        .groupBy(F.col("a._rg").alias("_rg"))
+        .agg(F.coalesce(F.sum("b._rn"), F.lit(0)).alias("_off"))
+    )
+    w = Window.partitionBy("_rg").orderBy("_h", "_id")
+    ranked = (
+        t.join(F.broadcast(offs), "_rg")
+        .withColumn("_rank", (F.col("_off") + F.row_number().over(w)).cast("long"))
+        .select("_id", "_rank", "_ws")
+        .localCheckpoint(eager=True)
+    )
+    if ladder is None:
+        n = ranked.count()
+        ladder, kk = [], 1
+        while kk < n:
+            ladder.append(kk)
+            kk *= 2
+        ladder.append(n)
+    lad = F.broadcast(
+        docs.sparkSession.createDataFrame([(int(k),) for k in sorted(set(ladder))], "k_docs long")
+    )
+    toks = ranked.select("_rank", F.size("_ws").cast("long").alias("_nt"))
+    per_k_tokens = (
+        lad.join(toks, toks["_rank"] <= lad["k_docs"])
+        .groupBy("k_docs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+    )
+    first = (
+        ranked.select("_rank", F.explode(F.array_distinct("_ws")).alias("_w"))
+        .groupBy("_w")
+        .agg(F.min("_rank").alias("_fr"))
+    )
+    per_k_vocab = (
+        lad.join(first, first["_fr"] <= lad["k_docs"])
+        .groupBy("k_docs")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+    )
+    return (
+        per_k_tokens.join(per_k_vocab, "k_docs", "left")
+        .select(
+            "k_docs",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("vocab_size", F.lit(0)).cast("long").alias("vocab_size"),
+        )
+    )

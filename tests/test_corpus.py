@@ -1305,3 +1305,49 @@ def test_c4_line_filter_rules(spark):
         for r in c4_line_filter(docs, min_kept_lines=1, min_kept_words=5).collect()
     }
     assert relaxed[4] and relaxed[5] and not relaxed[2]
+
+
+def test_heaps_curve_matches_python(spark):
+    import hashlib
+    import re
+
+    from minimel_spark.operators.corpus import heaps_curve
+
+    texts = [(i, f"common w{i % 3} unique{i} filler text") for i in range(10)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["k_docs"]: (r["n_docs"], r["n_tokens"], r["vocab_size"])
+        for r in heaps_curve(docs, ladder=[1, 2, 4, 8, 10, 16]).collect()
+    }
+    order = sorted(
+        texts, key=lambda it: (int(hashlib.md5(str(it[0]).encode()).hexdigest()[:15], 16), it[0])
+    )
+    seen, toks = set(), 0
+    curve = {}
+    for k, (did, t) in enumerate(order, 1):
+        ws = [w for w in re.split(r"\W+", t.lower()) if w]
+        toks += len(ws)
+        seen.update(ws)
+        curve[k] = (k, toks, len(seen))
+    for k in (1, 2, 4, 8, 10):
+        assert got[k] == curve[k], k
+    # ladder point past the corpus clamps to the full corpus
+    assert got[16] == curve[10]
+    # vocabulary growth is monotone and sublinear at the tail
+    assert got[10][2] > got[1][2]
+
+
+def test_heaps_curve_partition_invariant(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.corpus import heaps_curve
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5} x{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, heaps_curve(docs.coalesce(1), ladder=[1, 4, 30]).collect()))
+    b = sorted(map(tuple, heaps_curve(docs.repartition(16), ladder=[1, 4, 30]).collect()))
+    assert a == b and len(a) == 3
+    with _pytest.raises(ValueError):
+        heaps_curve(docs, ladder=[0])
