@@ -13224,6 +13224,54 @@ SELECT t.k_docs::BIGINT AS k_docs, t.n_docs, t.n_tokens,
 FROM tok t LEFT JOIN voc v ON v.k_docs = t.k_docs"""
 
 
+def q_graph_distance_census(spark, sf_dir):
+    """Seed-panel BFS distance census (operators/graph.py
+    distance_census): first-visit distance histogram from the 4 smallest
+    node ids of the md5 link graph, 12-hop bound, unreached mass at
+    dist −1 — the sampled distribution behind effective-diameter
+    estimates. The oracle recomputes min-distance per (seed, node) with
+    one bounded recursive CTE."""
+    from minimel_spark.operators.graph import distance_census
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = _doc_link_edges(docs, n)
+    return distance_census(
+        edges, n_seeds=4, max_dist=12,
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+
+
+SQL_GRAPH_DISTANCE_CENSUS = """
+WITH RECURSIVE e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, (SELECT count(*) AS n FROM documents) nn),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+alln AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+    UNION ALL SELECT doc_id FROM documents)),
+seeds AS MATERIALIZED (SELECT node AS seed FROM alln ORDER BY node LIMIT 4),
+walk AS (
+  SELECT seed, seed AS node, 0 AS dist FROM seeds
+  UNION
+  SELECT w.seed, e.dst, w.dist + 1
+  FROM walk w JOIN e ON e.src = w.node WHERE w.dist < 12),
+best AS (SELECT seed, node, min(dist) AS dist FROM walk GROUP BY 1, 2),
+reached AS (
+  SELECT seed, dist::BIGINT AS dist, count(*)::BIGINT AS n_nodes
+  FROM best GROUP BY 1, 2),
+unreached AS (
+  SELECT seed, -1::BIGINT AS dist,
+         ((SELECT count(*) FROM alln) - count(*))::BIGINT AS n_nodes
+  FROM best GROUP BY seed
+  HAVING (SELECT count(*) FROM alln) - count(*) > 0)
+SELECT * FROM reached UNION ALL SELECT * FROM unreached"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13484,6 +13532,7 @@ _TAIL: list[str] = [
     "graph_bowtie",
     "corpus_c4_filter",
     "corpus_heaps_curve",
+    "graph_distance_census",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13497,7 +13546,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 240
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 241
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13706,6 +13755,7 @@ _ORACLES: dict[str, str] = {
     "graph_bowtie": SQL_GRAPH_BOWTIE,
     "corpus_c4_filter": SQL_CORPUS_C4_FILTER,
     "corpus_heaps_curve": SQL_CORPUS_HEAPS_CURVE,
+    "graph_distance_census": SQL_GRAPH_DISTANCE_CENSUS,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -823,3 +823,69 @@ def bowtie_regions(
             .alias("region"),
         )
     )
+
+
+def distance_census(
+    edges: DataFrame,
+    n_seeds: int = 4,
+    max_dist: int = 12,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Shortest-path distance census from deterministic seeds — the
+    sampled distance distribution behind effective-diameter estimates
+    (the ANF/HyperANF question asked exactly, for a seed panel): from
+    the ``n_seeds`` smallest node ids, BFS out to ``max_dist`` hops and
+    histogram the first-visit distances; nodes a seed cannot reach
+    within the bound report as distance −1 (the bound is part of the
+    semantics, so the result is a pure function of the graph).
+
+    Each BFS round is one frontier join + one anti-join per the
+    connected-components cost model, all seeds advancing TOGETHER in one
+    (seed, node) state table — k seeds cost one scan per round, not k.
+
+    Output: ``(seed, dist, n_nodes)`` — dist in [0, max_dist] ∪ {−1}.
+    """
+    if n_seeds < 1 or max_dist < 1:
+        raise ValueError(
+            f"n_seeds and max_dist must be >= 1, got {n_seeds}, {max_dist}"
+        )
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    ends = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    )
+    if nodes is not None:
+        ends = ends.union(nodes.select("node"))
+    allnodes = ends.distinct().localCheckpoint(eager=True)
+    seeds = (
+        allnodes.orderBy("node").limit(n_seeds).select(F.col("node").alias("seed"))
+    ).localCheckpoint(eager=True)
+    state = seeds.select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
+    state = state.localCheckpoint(eager=True)
+    frontier = state
+    for d in range(1, max_dist + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(state.select("seed", "node"), ["seed", "node"], "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        state = state.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    reached = state.groupBy("seed", "dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    n_all = allnodes.count()
+    unreached = (
+        state.groupBy("seed")
+        .agg((F.lit(n_all) - F.count(F.lit(1))).cast("long").alias("n_nodes"))
+        .where(F.col("n_nodes") > 0)
+        .select("seed", F.lit(-1).alias("dist"), "n_nodes")
+    )
+    return reached.unionByName(unreached).select(
+        "seed", F.col("dist").cast("long").alias("dist"), "n_nodes"
+    )

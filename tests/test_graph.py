@@ -450,3 +450,43 @@ def test_bowtie_partition_invariant(spark):
     assert regions == {"core", "in", "out"}
     with _pytest.raises(ValueError):
         bowtie_regions(edges, max_rounds=0)
+
+
+def test_distance_census_hand_graph(spark):
+    from minimel_spark.operators.graph import distance_census
+
+    # chain 1 -> 2 -> 3 -> 4, plus isolated 9 (via nodes frame)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(9,)], "node long")
+    got = {
+        (r["seed"], r["dist"]): r["n_nodes"]
+        for r in distance_census(edges, n_seeds=2, max_dist=12, nodes=nodes).collect()
+    }
+    # seeds = two smallest ids: 1 and 2
+    assert got[(1, 0)] == 1 and got[(1, 1)] == 1 and got[(1, 3)] == 1
+    assert got[(1, -1)] == 1            # node 9 unreachable from 1
+    assert got[(2, 2)] == 1             # 2 -> 3 -> 4
+    assert got[(2, -1)] == 2            # 1 and 9 unreachable from 2
+    # distance bound is part of the semantics
+    short = {
+        (r["seed"], r["dist"]): r["n_nodes"]
+        for r in distance_census(edges, n_seeds=1, max_dist=1).collect()
+    }
+    assert short[(1, -1)] == 2          # 3 and 4 beyond the 1-hop bound
+
+
+def test_distance_census_partition_invariant(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.graph import distance_census
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    a = sorted(map(tuple, distance_census(edges.coalesce(1), n_seeds=3).collect()))
+    b = sorted(map(tuple, distance_census(edges.repartition(16), n_seeds=3).collect()))
+    assert a == b and len(a) > 0
+    with _pytest.raises(ValueError):
+        distance_census(edges, n_seeds=0)
