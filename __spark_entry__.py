@@ -13272,6 +13272,102 @@ unreached AS (
 SELECT * FROM reached UNION ALL SELECT * FROM unreached"""
 
 
+def q_mm_image_ahash(spark, sf_dir):
+    """Perceptual average-hash over GENUINE PPM payloads (operators/
+    multimodal.py image_ahash — exact-integer grid pooling + cross-
+    multiplied mean threshold, no float resize): the numpy-decoder hash
+    is re-derived INDEPENDENTLY by a pure JVM byte-parse (header regexp,
+    per-pixel hex/conv byte reads, grid cell sums, the same integer
+    comparison, bit-string assembly over the full 8×8 grid including
+    empty cells) and the gate pins equality per image — the mm_features
+    verification pattern, extended from header facts to the full
+    perceptual hash."""
+    from minimel_spark.operators.multimodal import image_ahash, synth_media
+
+    media = synth_media(spark, n=64)
+    nh = image_ahash(media)
+    imgs = media.where(F.col("kind") == "image")
+    ppm = F.substring(F.col("payload"), 1, 32).cast("string")
+    wE = F.regexp_extract(ppm, r"^P6\s+(\d+)\s+(\d+)\s+(\d+)", 1).cast("long")
+    hE = F.regexp_extract(ppm, r"^P6\s+(\d+)\s+(\d+)\s+(\d+)", 2).cast("long")
+    hdr_len = F.length(
+        F.concat(
+            F.lit("P6\n"), wE.cast("string"), F.lit(" "), hE.cast("string"),
+            F.lit("\n255\n"),
+        )
+    )
+    base = imgs.select(
+        "media_id", "payload", wE.alias("_w"), hE.alias("_h"), hdr_len.alias("_hl")
+    )
+    px = base.select(
+        "media_id", "_w", "_h", "_hl", "payload",
+        F.explode(F.sequence(F.lit(0), F.col("_w") * F.col("_h") - 1)).alias("_pi"),
+    )
+
+    def _byte(off):
+        return F.conv(
+            F.hex(
+                F.expr(f"substring(payload, CAST(_hl + 3 * _pi + {off} AS INT), 1)")
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    g = (_byte(1) + _byte(2) + _byte(3)).alias("_g")
+    k = (
+        F.floor(F.floor(F.col("_pi") / F.col("_w")) * 8 / F.col("_h")) * 8
+        + F.floor((F.col("_pi") % F.col("_w")) * 8 / F.col("_w"))
+    ).cast("long").alias("_k")
+    cells = px.select("media_id", k, g)
+    csum = cells.groupBy("media_id", "_k").agg(
+        F.sum("_g").alias("_cs"), F.count(F.lit(1)).alias("_cn")
+    )
+    tot = cells.groupBy("media_id").agg(
+        F.sum("_g").alias("_ts"), F.count(F.lit(1)).alias("_tn")
+    )
+    grid = imgs.select(
+        "media_id", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("_k")
+    )
+    full = (
+        grid.join(csum, ["media_id", "_k"], "left")
+        .join(tot, "media_id")
+        .select(
+            "media_id",
+            "_k",
+            F.when(
+                (F.coalesce("_cn", F.lit(0)) > 0)
+                & (F.col("_cs") * F.col("_tn") >= F.col("_ts") * F.col("_cn")),
+                F.lit("1"),
+            )
+            .otherwise(F.lit("0"))
+            .alias("_b"),
+        )
+    )
+    jvm = full.groupBy("media_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_k", "_b"))),
+                lambda x: x["_b"],
+            ),
+        ).alias("_jvm_bits")
+    )
+    return (
+        nh.join(jvm, "media_id")
+        .select(
+            "media_id",
+            F.col("ahash_bits").eqNullSafe(F.col("_jvm_bits")).alias("ahash_ok"),
+            (F.length("ahash_bits") == 64).alias("len_ok"),
+        )
+    )
+
+
+SQL_MM_IMAGE_AHASH = """
+SELECT 'm' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id,
+       true AS ahash_ok, true AS len_ok
+FROM range(64) r(i) WHERE i % 2 = 0"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13533,6 +13629,7 @@ _TAIL: list[str] = [
     "corpus_c4_filter",
     "corpus_heaps_curve",
     "graph_distance_census",
+    "mm_image_ahash",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13546,7 +13643,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 241
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 242
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13756,6 +13853,7 @@ _ORACLES: dict[str, str] = {
     "corpus_c4_filter": SQL_CORPUS_C4_FILTER,
     "corpus_heaps_curve": SQL_CORPUS_HEAPS_CURVE,
     "graph_distance_census": SQL_GRAPH_DISTANCE_CENSUS,
+    "mm_image_ahash": SQL_MM_IMAGE_AHASH,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -519,3 +519,67 @@ def sniff_mime(
         expr = expr.when(F.col(tmp).startswith(prefix), F.lit(mime))
     expr = expr.otherwise(F.lit("application/octet-stream"))
     return out.withColumn(out_col, expr).drop(tmp)
+
+
+_AHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("ahash_bits", T.StringType()),
+])
+
+
+def ahash_py(img: np.ndarray, grid: int = 8) -> str:
+    """Average-hash of a decoded image as a grid²-char bit string — the
+    EXACT-integer formulation: per grid cell, sum the (r+g+b) pixel
+    values over the cell {y: floor(y·g/h) = i, x: floor(x·g/w) = j}; the
+    cell's bit is 1 iff cell_sum · total_n ≥ total_sum · cell_n (the
+    cross-multiplied mean comparison — no float resize, no rounding, so
+    any independent byte-level reimplementation must agree bit-for-bit).
+    Row-major bit order."""
+    h, w = img.shape[:2]
+    g = img.astype(np.int64).sum(axis=2)  # per-pixel r+g+b, 0..765
+    total_sum = int(g.sum())
+    total_n = h * w
+    bits = []
+    for i in range(grid):
+        for j in range(grid):
+            ys = [y for y in range(h) if y * grid // h == i]
+            xs = [x for x in range(w) if x * grid // w == j]
+            cell = g[np.ix_(ys, xs)] if ys and xs else np.zeros((0, 0))
+            cs, cn = int(cell.sum()), cell.size
+            bits.append("1" if cn > 0 and cs * total_n >= total_sum * cn else "0")
+    return "".join(bits)
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash per image row (aHash — the cheapest of the
+    classic perceptual-hash family): decode, grid-pool by exact integer
+    sums, threshold each cell against the global mean via integer
+    cross-multiplication (see :func:`ahash_py`). Near-duplicate images
+    then pair by Hamming distance over these bit strings — the visual
+    counterpart of simhash banding, and robust to re-encoding/resizing
+    in a way byte hashes are not.
+
+    Arrow-batched mapInPandas over image rows only (uncompressed P6 PPM
+    decode — compressed codecs carry the same NotImplementedError contract
+    as decode_image); output ``(media_id, ahash_bits)`` with a grid²
+    '0'/'1' string.
+    """
+    if grid < 2:
+        raise ValueError(f"grid must be >= 2, got {grid}")
+
+    def gen(batches):
+        for pdf in batches:
+            out_id, out_bits = [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                img = parse_ppm(payload)
+                out_id.append(mid)
+                out_bits.append(ahash_py(img, grid=grid))
+            yield pd.DataFrame({"media_id": out_id, "ahash_bits": out_bits})
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        gen, _AHASH_SCHEMA
+    )

@@ -234,3 +234,44 @@ def test_sniff_mime_routes_by_bytes_not_labels(spark):
         "html": "text/html",
         "junk": "application/octet-stream",
     }
+
+
+def test_ahash_py_known_pattern():
+    import numpy as np
+
+    from minimel_spark.operators.multimodal import ahash_py
+
+    # left half black, right half white, 16x16 -> left 32 bits 0, right 1
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, 8:, :] = 255
+    bits = ahash_py(img, grid=8)
+    assert len(bits) == 64
+    for i in range(8):
+        row = bits[i * 8 : (i + 1) * 8]
+        assert row == "00001111", row
+    # uniform image: every cell equals the mean -> all ones (>= comparison)
+    uni = np.full((10, 10, 3), 77, dtype=np.uint8)
+    assert ahash_py(uni) == "1" * 64
+
+
+def test_image_ahash_matches_driver_side(spark):
+    from minimel_spark.operators.multimodal import (
+        ahash_py,
+        image_ahash,
+        parse_ppm,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=16)
+    got = {
+        r["media_id"]: r["ahash_bits"] for r in image_ahash(media).collect()
+    }
+    rows = media.where("kind = 'image'").collect()
+    assert len(got) == len(rows) > 0
+    for r in rows:
+        assert got[r["media_id"]] == ahash_py(parse_ppm(bytes(r["payload"])))
+    # robustness: identical pixels re-encoded -> identical hash
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        image_ahash(media, grid=1)
