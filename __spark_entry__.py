@@ -13368,6 +13368,92 @@ SELECT 'm' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id,
 FROM range(64) r(i) WHERE i % 2 = 0"""
 
 
+def q_mm_audio_envelope(spark, sf_dir):
+    """Energy-envelope hash over GENUINE RIFF/WAV payloads (operators/
+    multimodal.py audio_envelope_hash — exact-integer |int16| window
+    sums, cross-multiplied mean threshold): the numpy/stdlib-wave hash
+    is re-derived INDEPENDENTLY by a pure JVM byte parse (RIFF data-size
+    field, little-endian int16 reads via hex/conv, the same window math
+    and bit assembly) and equality is pinned per clip — the
+    mm_image_ahash pattern for the audio modality."""
+    from minimel_spark.operators.multimodal import audio_envelope_hash, synth_media
+
+    media = synth_media(spark, n=64)
+    nh = audio_envelope_hash(media, windows=64)
+    aud = media.where(F.col("kind") == "audio")
+    hx = F.hex(F.substring("payload", 41, 4))
+    data_sz = F.conv(
+        F.concat(
+            F.substring(hx, 7, 2), F.substring(hx, 5, 2),
+            F.substring(hx, 3, 2), F.substring(hx, 1, 2),
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = aud.select(
+        "media_id", "payload", (data_sz / 2).cast("long").alias("_n")
+    )
+    smp = base.select(
+        "media_id", "_n", "payload",
+        F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_k"),
+    )
+    b0 = F.conv(
+        F.hex(F.expr("substring(payload, CAST(45 + 2 * _k AS INT), 1)")), 16, 10
+    ).cast("long")
+    b1 = F.conv(
+        F.hex(F.expr("substring(payload, CAST(46 + 2 * _k AS INT), 1)")), 16, 10
+    ).cast("long")
+    v = b0 + 256 * b1
+    signed = F.when(v >= 32768, v - 65536).otherwise(v)
+    smp = smp.select(
+        "media_id", "_n",
+        F.floor(F.col("_k") * 64 / F.col("_n")).cast("long").alias("_w"),
+        F.abs(signed).alias("_a"),
+    )
+    wsum = smp.groupBy("media_id", "_w").agg(
+        F.sum("_a").alias("_es"), F.count(F.lit(1)).alias("_wn"),
+        F.first("_n").alias("_n"),
+    )
+    tot = smp.groupBy("media_id").agg(F.sum("_a").alias("_ts"))
+    grid = aud.select(
+        "media_id", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("_w")
+    )
+    full = (
+        grid.join(wsum, ["media_id", "_w"], "left")
+        .join(tot, "media_id")
+        .select(
+            "media_id", "_w",
+            F.when(
+                (F.coalesce("_wn", F.lit(0)) > 0)
+                & (F.col("_es") * F.col("_n") >= F.col("_ts") * F.col("_wn")),
+                F.lit("1"),
+            )
+            .otherwise(F.lit("0"))
+            .alias("_b"),
+        )
+    )
+    jvm = full.groupBy("media_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_w", "_b"))),
+                lambda x: x["_b"],
+            ),
+        ).alias("_jvm_bits")
+    )
+    return nh.join(jvm, "media_id").select(
+        "media_id",
+        F.col("env_bits").eqNullSafe(F.col("_jvm_bits")).alias("env_ok"),
+        (F.length("env_bits") == 64).alias("len_ok"),
+    )
+
+
+SQL_MM_AUDIO_ENVELOPE = """
+SELECT 'm' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id,
+       true AS env_ok, true AS len_ok
+FROM range(64) r(i) WHERE i % 2 = 1"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13630,6 +13716,7 @@ _TAIL: list[str] = [
     "corpus_heaps_curve",
     "graph_distance_census",
     "mm_image_ahash",
+    "mm_audio_envelope",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13643,7 +13730,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 242
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 243
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13854,6 +13941,7 @@ _ORACLES: dict[str, str] = {
     "corpus_heaps_curve": SQL_CORPUS_HEAPS_CURVE,
     "graph_distance_census": SQL_GRAPH_DISTANCE_CENSUS,
     "mm_image_ahash": SQL_MM_IMAGE_AHASH,
+    "mm_audio_envelope": SQL_MM_AUDIO_ENVELOPE,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -583,3 +583,68 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         gen, _AHASH_SCHEMA
     )
+
+
+def parse_wav_pcm(payload: bytes) -> np.ndarray:
+    """Raw int16 mono PCM from a canonical RIFF/WAV payload (the integer
+    twin of :func:`parse_wav` — envelope hashing needs exact sample
+    integers, not normalized floats)."""
+    with wave.open(io.BytesIO(payload)) as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            raise ValueError("parse_wav_pcm expects 16-bit mono PCM")
+        raw = wf.readframes(wf.getnframes())
+    return np.frombuffer(raw, dtype="<i2")
+
+
+def envelope_py(pcm: np.ndarray, windows: int = 64) -> str:
+    """Energy-envelope hash of an int16 sample stream as a ``windows``-char
+    bit string — the audio twin of :func:`ahash_py`: window w collects the
+    samples {k: floor(k·W/n) = w}, its energy is the exact Σ|sample|, and
+    its bit is 1 iff energy·total_n ≥ total_energy·window_n (integer
+    cross-multiplied mean comparison; |int16| fits 2^15, n fits 2^32, so
+    the products stay well inside int64... int128 via Python ints here,
+    and the JVM path bounds them the same way). Empty windows emit 0."""
+    n = len(pcm)
+    a = np.abs(pcm.astype(np.int64))
+    total = int(a.sum())
+    if n:
+        w_of = (np.arange(n) * windows) // n
+        esum = np.bincount(w_of, weights=a, minlength=windows).astype(np.int64)
+        wn = np.bincount(w_of, minlength=windows)
+    else:
+        esum = np.zeros(windows, dtype=np.int64)
+        wn = np.zeros(windows, dtype=np.int64)
+    return "".join(
+        "1" if int(wn[w]) > 0 and int(esum[w]) * n >= total * int(wn[w]) else "0"
+        for w in range(windows)
+    )
+
+
+def audio_envelope_hash(media: DataFrame, windows: int = 64) -> DataFrame:
+    """Per-clip energy-envelope hash over audio rows (see
+    :func:`envelope_py`) — the cheap temporal-shape fingerprint for
+    near-duplicate audio blocking: robust to gain changes that scale all
+    samples equally (the comparison is mean-relative), and pairable by
+    Hamming distance exactly like simhash/aHash. Arrow-batched
+    mapInPandas; output ``(media_id, env_bits)``.
+    """
+    if windows < 2:
+        raise ValueError(f"windows must be >= 2, got {windows}")
+
+    def gen(batches):
+        for pdf in batches:
+            out_id, out_bits = [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "audio":
+                    continue
+                out_id.append(mid)
+                out_bits.append(envelope_py(parse_wav_pcm(payload), windows))
+            yield pd.DataFrame({"media_id": out_id, "env_bits": out_bits})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("env_bits", T.StringType()),
+    ])
+    return media.select("media_id", "kind", "payload").mapInPandas(gen, schema)

@@ -275,3 +275,44 @@ def test_image_ahash_matches_driver_side(spark):
 
     with _pytest.raises(ValueError):
         image_ahash(media, grid=1)
+
+
+def test_envelope_py_known_pattern():
+    import numpy as np
+
+    from minimel_spark.operators.multimodal import envelope_py
+
+    # first half silent, second half loud, 128 samples over 64 windows
+    pcm = np.concatenate(
+        [np.zeros(64, dtype=np.int16), np.full(64, 1000, dtype=np.int16)]
+    )
+    bits = envelope_py(pcm, windows=64)
+    assert bits == "0" * 32 + "1" * 32
+    # gain invariance: scaling all samples leaves the hash unchanged
+    assert envelope_py((pcm * 20).astype(np.int16), 64) == bits
+    # constant signal: every window equals the mean -> all ones
+    assert envelope_py(np.full(200, 5, dtype=np.int16), 64) == "1" * 64
+    assert envelope_py(np.zeros(0, dtype=np.int16), 8) == "0" * 8
+
+
+def test_audio_envelope_hash_matches_driver_side(spark):
+    from minimel_spark.operators.multimodal import (
+        audio_envelope_hash,
+        envelope_py,
+        parse_wav_pcm,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=16)
+    got = {
+        r["media_id"]: r["env_bits"]
+        for r in audio_envelope_hash(media).collect()
+    }
+    rows = media.where("kind = 'audio'").collect()
+    assert len(got) == len(rows) > 0
+    for r in rows:
+        assert got[r["media_id"]] == envelope_py(parse_wav_pcm(bytes(r["payload"])))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        audio_envelope_hash(media, windows=1)
