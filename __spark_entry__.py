@@ -13454,6 +13454,56 @@ SELECT 'm' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id,
 FROM range(64) r(i) WHERE i % 2 = 1"""
 
 
+def q_corpus_coverage_select(spark, sf_dir):
+    """Greedy max-coverage selection (operators/corpus.py
+    coverage_select): 8 rounds of the (1−1/e) submodular baseline over
+    BIGRAM coverage (the shared synthetic vocabulary makes unigram
+    coverage saturate in one pick; phrase coverage is the real diversity
+    signal) — argmax new-distinct-bigrams with (gain desc, id asc) ties,
+    covered set accumulated. The oracle unrolls all 8 rounds
+    as chained CTEs; every number is an exact integer."""
+    from minimel_spark.operators.corpus import coverage_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return coverage_select(docs, k=8, ngram=2)
+
+
+def _sql_coverage_select(k: int = 8) -> str:
+    steps = []
+    for r in range(1, k + 1):
+        prev_filter = (
+            f"WHERE _w NOT IN (SELECT _w FROM c{r - 1})" if r > 1 else ""
+        )
+        prev_cov = f"SELECT _w FROM c{r - 1} UNION " if r > 1 else ""
+        steps.append(f"""g{r} AS (
+  SELECT _d, count(*)::BIGINT AS _c FROM dw {prev_filter} GROUP BY _d),
+b{r} AS MATERIALIZED (SELECT _d, _c FROM g{r} ORDER BY _c DESC, _d ASC LIMIT 1),
+c{r} AS MATERIALIZED (
+  {prev_cov}SELECT _w FROM dw WHERE _d = (SELECT _d FROM b{r}))""")
+    chained = ",\n".join(steps)
+    rounds = "\nUNION ALL\n".join(
+        f"""SELECT {r}::BIGINT AS round, _d AS doc_id, _c AS new_words,
+       (SELECT count(*)::BIGINT FROM c{r}) AS covered_total FROM b{r}"""
+        for r in range(1, k + 1)
+    )
+    return f"""
+WITH dw AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS _d, _w FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws)),
+                  i -> ws[i::INT] || ' ' || ws[(i + 1)::INT])) AS _w
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                             x -> x <> '') AS ws
+          FROM documents)
+    WHERE len(ws) >= 2)),
+{chained}
+{rounds}"""
+
+
+SQL_CORPUS_COVERAGE_SELECT = _sql_coverage_select(8)
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13717,6 +13767,7 @@ _TAIL: list[str] = [
     "graph_distance_census",
     "mm_image_ahash",
     "mm_audio_envelope",
+    "corpus_coverage_select",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13730,7 +13781,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 243
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 244
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13942,6 +13993,7 @@ _ORACLES: dict[str, str] = {
     "graph_distance_census": SQL_GRAPH_DISTANCE_CENSUS,
     "mm_image_ahash": SQL_MM_IMAGE_AHASH,
     "mm_audio_envelope": SQL_MM_AUDIO_ENVELOPE,
+    "corpus_coverage_select": SQL_CORPUS_COVERAGE_SELECT,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -1515,3 +1515,63 @@ def heaps_curve(
             F.coalesce("vocab_size", F.lit(0)).cast("long").alias("vocab_size"),
         )
     )
+
+
+def coverage_select(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 1,
+) -> DataFrame:
+    """Greedy maximum-coverage document selection (the classic (1−1/e)
+    submodular baseline — Nemhauser/Wolsey/Fisher 1978 — applied to
+    vocabulary coverage, the simplest instance of coverage-driven
+    training-data selection): ``k`` rounds of picking the document that
+    adds the most NOT-YET-COVERED distinct words (ties to the smallest
+    id), accumulating the covered set. Deterministic: (gain desc, id
+    asc) is a total order and the covered set is a pure function of the
+    prefix.
+
+    Per round: one anti-join of the (doc, word) postings against the
+    covered vocabulary, one map-side-combinable gain count, one 1-row
+    TakeOrdered argmax, one covered-set union — the BPE-loop cost model
+    (driver holds one row per round, never data). Stops early when no
+    document adds anything.
+
+    Output: ``(round, doc_id, new_words, covered_total)``, 1-based
+    rounds.
+    """
+    if k < 1 or ngram < 1:
+        raise ValueError(f"k and ngram must be >= 1, got {k}, {ngram}")
+    spark = docs.sparkSession
+    units = _word_ngrams(_words(text_col), ngram)
+    dw = (
+        docs.select(F.col(id_col).alias("_d"), F.explode(units).alias("_w"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = None
+    rows = []
+    total = 0
+    for rnd in range(1, k + 1):
+        remaining = dw if covered is None else dw.join(covered, "_w", "left_anti")
+        best = (
+            remaining.groupBy("_d")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .orderBy(F.desc("_c"), F.asc("_d"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        did, gain = best[0]["_d"], int(best[0]["_c"])
+        total += gain
+        rows.append((rnd, did, gain, total))
+        picked = dw.where(F.col("_d") == did).select("_w")
+        covered = (
+            picked if covered is None else covered.union(picked).distinct()
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rows, f"round long, {id_col} long, new_words long, covered_total long"
+    )

@@ -1351,3 +1351,54 @@ def test_heaps_curve_partition_invariant(spark):
     assert a == b and len(a) == 3
     with _pytest.raises(ValueError):
         heaps_curve(docs, ladder=[0])
+
+
+def test_coverage_select_matches_python(spark):
+    import re
+
+    from minimel_spark.operators.corpus import coverage_select
+
+    texts = [
+        (1, "a b c d"),
+        (2, "a b"),
+        (3, "e f g"),
+        (4, "c d e"),
+        (5, "h"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = [tuple(r) for r in coverage_select(docs, k=10).collect()]
+
+    sets = {
+        i: set(w for w in re.split(r"\W+", t.lower()) if w) for i, t in texts
+    }
+    covered, want, total = set(), [], 0
+    for rnd in range(1, 11):
+        gains = {i: len(s - covered) for i, s in sets.items()}
+        best = max(gains.items(), key=lambda kv: (kv[1], -kv[0]))
+        did = min(i for i, g in gains.items() if g == best[1])
+        if gains[did] == 0:
+            break
+        total += gains[did]
+        want.append((rnd, did, gains[did], total))
+        covered |= sets[did]
+    assert got == want
+    # greedy order here: doc1 (4), doc3 (+3), doc5 (+1), stop
+    assert [r[1] for r in got] == [1, 3, 5]
+
+
+def test_coverage_select_partition_invariant(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.corpus import coverage_select
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 11} w{(i * 3) % 11} w{(i * 5) % 11} u{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = [tuple(r) for r in coverage_select(docs.coalesce(1), k=4).collect()]
+    b = [tuple(r) for r in coverage_select(docs.repartition(16), k=4).collect()]
+    assert a == b and len(a) == 4
+    with _pytest.raises(ValueError):
+        coverage_select(docs, k=0)
+    with _pytest.raises(ValueError):
+        coverage_select(docs, ngram=0)
