@@ -13504,6 +13504,34 @@ WITH dw AS MATERIALIZED (
 SQL_CORPUS_COVERAGE_SELECT = _sql_coverage_select(8)
 
 
+def q_er_k_anonymity(spark, sf_dir):
+    """k-anonymity + distinct-l-diversity audit (operators/profile.py
+    k_anonymity_audit, Sweeney 2002 / Machanavajjhala et al. 2007) over
+    customer quasi-identifiers (nation, market segment) with the account
+    balance SIGN+magnitude bucket as the sensitive attribute: one row
+    per equivalence class with class size, distinct sensitive values,
+    and both pass flags — exact integers and boolean comparisons."""
+    from minimel_spark.operators.profile import k_anonymity_audit
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 2000)).cast("long").alias("bal_bucket"),
+    )
+    return k_anonymity_audit(
+        c, ["c_nationkey", "c_mktsegment"], "bal_bucket", k=5, l_div=3
+    )
+
+
+SQL_ER_K_ANONYMITY = """
+SELECT c_nationkey, c_mktsegment,
+       count(*)::BIGINT AS class_size,
+       count(DISTINCT floor(c_acctbal / 2000)::BIGINT)::BIGINT AS n_sensitive,
+       (count(*) >= 5) AS k_ok,
+       (count(DISTINCT floor(c_acctbal / 2000)::BIGINT) >= 3) AS l_ok
+FROM customer GROUP BY 1, 2"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13768,6 +13796,7 @@ _TAIL: list[str] = [
     "mm_image_ahash",
     "mm_audio_envelope",
     "corpus_coverage_select",
+    "er_k_anonymity",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13781,7 +13810,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 244
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 245
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -13994,6 +14023,7 @@ _ORACLES: dict[str, str] = {
     "mm_image_ahash": SQL_MM_IMAGE_AHASH,
     "mm_audio_envelope": SQL_MM_AUDIO_ENVELOPE,
     "corpus_coverage_select": SQL_CORPUS_COVERAGE_SELECT,
+    "er_k_anonymity": SQL_ER_K_ANONYMITY,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

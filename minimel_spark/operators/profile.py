@@ -262,3 +262,43 @@ def fd_audit(
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l_div: int = 2,
+) -> DataFrame:
+    """k-anonymity + distinct-ℓ-diversity audit (Sweeney 2002; Machanavajjhala
+    et al. 2007) — the privacy gate a record corpus passes before linkage
+    output ships: every quasi-identifier equivalence class must hold at
+    least ``k`` records (else its members are re-identifiable by the
+    quasi-ids alone) and at least ``l_div`` distinct sensitive values
+    (else membership leaks the sensitive attribute even at k-anonymity).
+
+    One row per equivalence class: the quasi columns, ``class_size``,
+    ``n_sensitive`` (distinct sensitive values), ``k_ok``, ``l_ok`` —
+    NULL quasi values are classes of their own (NULL-safe grouping, the
+    linkage convention). One map-side-combinable groupBy over the quasi
+    key; the count-distinct is per-class bounded.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 1 or l_div < 1:
+        raise ValueError(f"k and l_div must be >= 1, got {k}, {l_div}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("class_size"),
+            F.countDistinct(sensitive_col).cast("long").alias("n_sensitive"),
+        )
+        .select(
+            *quasi_cols,
+            "class_size",
+            "n_sensitive",
+            (F.col("class_size") >= k).alias("k_ok"),
+            (F.col("n_sensitive") >= l_div).alias("l_ok"),
+        )
+    )

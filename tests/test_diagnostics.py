@@ -230,3 +230,30 @@ def test_benford_audit_excludes_nonpositive_and_zero_fills(spark):
     # all nine digits emit a row even when unobserved
     assert set(rows) == set(range(1, 10))
     assert rows[9]["n"] == 0 and rows[9]["chi2_component"] > 0
+
+
+def test_k_anonymity_audit_hand_case(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.profile import k_anonymity_audit
+
+    rows = [
+        # class (a, x): 3 rows, 2 distinct sensitive
+        ("a", "x", 1), ("a", "x", 1), ("a", "x", 2),
+        # class (a, y): 1 row -> k fails
+        ("a", "y", 9),
+        # class (None, x): NULL quasi is its own class, 2 rows 1 sensitive
+        (None, "x", 5), (None, "x", 5),
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 string, s long")
+    got = {
+        (r["q1"], r["q2"]): (r["class_size"], r["n_sensitive"], r["k_ok"], r["l_ok"])
+        for r in k_anonymity_audit(df, ["q1", "q2"], "s", k=2, l_div=2).collect()
+    }
+    assert got[("a", "x")] == (3, 2, True, True)
+    assert got[("a", "y")] == (1, 1, False, False)
+    assert got[(None, "x")] == (2, 1, True, False)
+    with _pytest.raises(ValueError):
+        k_anonymity_audit(df, [], "s")
+    with _pytest.raises(ValueError):
+        k_anonymity_audit(df, ["q1"], "s", k=0)
