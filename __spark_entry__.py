@@ -13532,6 +13532,66 @@ SELECT c_nationkey, c_mktsegment,
 FROM customer GROUP BY 1, 2"""
 
 
+def q_text_char_entropy(spark, sf_dir):
+    """Per-document character-distribution entropy (operators/text.py
+    char_entropy): exact codepoint counts, entropy assembled as
+    ln t − (Σ n·ln n)/t, rounded 6 — the gibberish/repetition
+    two-tail filter signal. Oracle recomputes the identical formula."""
+    from minimel_spark.operators.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs)
+
+
+SQL_TEXT_CHAR_ENTROPY = """
+WITH per AS (
+  SELECT doc_id, c, count(*)::BIGINT AS n
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+  WHERE c <> ''
+  GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(n)::BIGINT AS t, count(*)::BIGINT AS n_distinct,
+         sum(n * ln(n)) AS snln
+  FROM per GROUP BY 1)
+SELECT doc_id, t AS n_chars, n_distinct,
+       round(ln(t) - snln / t, 6) AS entropy_nats,
+       round((ln(t) - snln / t) / ln(2.0), 6) AS bits_per_char
+FROM agg
+UNION ALL
+SELECT doc_id, 0::BIGINT, 0::BIGINT, 0.0, 0.0
+FROM documents WHERE len(text) = 0"""
+
+
+def q_rel_burst_hours(spark, sf_dir):
+    """Hourly volume-burst sweep (operators/events.py burst_hours): per
+    event type, hours whose count exceeds mean + 3σ over the type's
+    hourly series (population σ from exact integer moments; sqrt is
+    IEEE-correctly-rounded, so even the flag is engine-exact)."""
+    from minimel_spark.operators.events import burst_hours
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return burst_hours(ev, z=3.0)
+
+
+SQL_REL_BURST_HOURS = """
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+mom AS (
+  SELECT event_type, count(*)::BIGINT AS k, sum(n)::BIGINT AS s,
+         sum(n * n)::BIGINT AS s2
+  FROM hourly GROUP BY 1)
+SELECT h.event_type, h.hour, h.n,
+       round(s / k, 6) AS mu,
+       round(sqrt(s2 / k - (s / k) * (s / k)), 6) AS sigma,
+       (h.n > s / k + 3.0 * sqrt(s2 / k - (s / k) * (s / k))) AS is_burst
+FROM hourly h JOIN mom USING (event_type)"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13797,6 +13857,8 @@ _TAIL: list[str] = [
     "mm_audio_envelope",
     "corpus_coverage_select",
     "er_k_anonymity",
+    "text_char_entropy",
+    "rel_burst_hours",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13810,7 +13872,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 245
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 247
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -14024,6 +14086,8 @@ _ORACLES: dict[str, str] = {
     "mm_audio_envelope": SQL_MM_AUDIO_ENVELOPE,
     "corpus_coverage_select": SQL_CORPUS_COVERAGE_SELECT,
     "er_k_anonymity": SQL_ER_K_ANONYMITY,
+    "text_char_entropy": SQL_TEXT_CHAR_ENTROPY,
+    "rel_burst_hours": SQL_REL_BURST_HOURS,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

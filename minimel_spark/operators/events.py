@@ -244,3 +244,51 @@ def touch_attribution(
             (F.lit(1.0) / F.col("_n")).alias("credit_linear"),
         )
     )
+
+
+def burst_hours(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    z: float = 3.0,
+) -> DataFrame:
+    """Volume-burst detection per event type — the 3σ hourly anomaly
+    sweep a pipeline runs over its ingest stream (the thresholded
+    population-z relaxation of Kleinberg's burst automaton): per
+    (event type, hour) count, flag hours whose count exceeds the type's
+    mean + z·σ over ALL its hours (population σ via the exact-moment
+    identity σ² = Σx²/n − μ²). Counts are exact integers; μ and σ are
+    single fixed IEEE sequences over them (sqrt is correctly rounded by
+    IEEE 754), so even the boolean flag is engine-exact.
+
+    One hourly count, one per-type moment aggregate, one broadcast-sized
+    join back. Output: ``(event_type, hour, n, mu, sigma, is_burst)``
+    with mu/sigma rounded 6 for display (the flag uses the unrounded
+    values).
+    """
+    if z <= 0:
+        raise ValueError(f"z must be > 0, got {z}")
+    hourly = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_format(F.date_trunc("hour", ts_col), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mom = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("n").alias("_s"),
+        F.sum(F.col("n") * F.col("n")).alias("_s2"),
+    )
+    mu = F.col("_s") / F.col("_k")
+    sigma = F.sqrt(F.col("_s2") / F.col("_k") - mu * mu)
+    return (
+        hourly.join(F.broadcast(mom), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round(mu, 6).alias("mu"),
+            F.round(sigma, 6).alias("sigma"),
+            (F.col("n") > mu + F.lit(float(z)) * sigma).alias("is_burst"),
+        )
+    )

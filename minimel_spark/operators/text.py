@@ -710,3 +710,52 @@ def phrase_search(
     return occ.groupBy("phrase", F.col("_id").alias(id_col)).agg(
         F.count(F.lit(1)).cast("long").alias("n_hits")
     )
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    gibberish/byte-spill detector that complements :func:`script_profile`
+    (which classes characters) and :func:`quality_scores` (which counts
+    words): natural text sits in a narrow bits-per-char band (~3.5-4.5
+    for English); random bytes push toward log2 of the alphabet, and
+    boilerplate/repetition collapses toward 0 — both tails are filter
+    candidates. Exact codepoint counts, entropy = −Σ p·ln p rounded to 6
+    (the entropy-gate ln convention), bits = entropy/ln 2.
+
+    One explode + one (doc, char) groupBy (bounded by alphabet size per
+    doc). Output: ``(id_col, n_chars, n_distinct, entropy_nats,
+    bits_per_char)``; empty documents report zeros.
+    """
+    chars = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), "")).alias("_c"),
+    ).where(F.col("_c") != "")
+    per = chars.groupBy("_id", "_c").agg(F.count(F.lit(1)).alias("_n"))
+    agg = per.groupBy("_id").agg(
+        F.sum("_n").alias("_t"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("_n") * F.log("_n")).alias("_snln"),
+    )
+    # -Σ (n/t) ln(n/t) = ln t − (Σ n ln n)/t  — one log per distinct char,
+    # assembled from exact counts
+    ent = F.log("_t") - F.col("_snln") / F.col("_t")
+    out = agg.select(
+        F.col("_id").alias(id_col),
+        F.col("_t").cast("long").alias("n_chars"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(ent, 6).alias("entropy_nats"),
+        F.round(ent / F.log(F.lit(2.0)), 6).alias("bits_per_char"),
+    )
+    empties = (
+        docs.where(F.length(text_col) == 0)
+        .select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_chars"),
+            F.lit(0).cast("long").alias("n_distinct"),
+            F.lit(0.0).alias("entropy_nats"),
+            F.lit(0.0).alias("bits_per_char"),
+        )
+    )
+    return out.unionByName(empties)

@@ -160,3 +160,45 @@ def test_touch_attribution_models(spark):
         touch_attribution(ev, "purchase", [], 60)
     with pytest.raises(ValueError):
         touch_attribution(ev, "purchase", ["view"], 0)
+
+
+def test_burst_hours_flags_spike(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from minimel_spark.operators.events import burst_hours
+
+    # type A: 20 quiet hours of 10 events + one spike hour (a single
+    # outlier among n points caps at z = sqrt(n-1), so n must exceed 10
+    # for a 3-sigma flag to be reachable at all)
+    rows = []
+    eid = 0
+    for h in range(20):
+        for _ in range(10):
+            rows.append((eid, f"2024-01-01 {h:02d}:15:00", "A")); eid += 1
+    for _ in range(200):
+        rows.append((eid, "2024-01-01 21:30:00", "A")); eid += 1
+    # type B: flat -> sigma 0, nothing flagged
+    for h in range(5):
+        for _ in range(7):
+            rows.append((eid, f"2024-01-02 {h:02d}:00:00", "B")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    got = {
+        (r["event_type"], r["hour"]): r for r in burst_hours(ev).collect()
+    }
+    bursts = {k for k, r in got.items() if r["is_burst"]}
+    assert bursts == {("A", "2024-01-01 21:00:00")}
+    assert got[("A", "2024-01-01 21:00:00")]["n"] == 200
+    assert all(r["sigma"] == 0.0 for k, r in got.items() if k[0] == "B")
+    # python cross-check of mu/sigma for A
+    import math
+
+    xs = [10] * 20 + [200]
+    mu = sum(xs) / len(xs)
+    sig = math.sqrt(sum(x * x for x in xs) / len(xs) - mu * mu)
+    a = got[("A", "2024-01-01 21:00:00")]
+    assert a["mu"] == round(mu, 6) and a["sigma"] == round(sig, 6)
+    with _pytest.raises(ValueError):
+        burst_hours(ev, z=0)
