@@ -13592,6 +13592,73 @@ SELECT h.event_type, h.hour, h.n,
 FROM hourly h JOIN mom USING (event_type)"""
 
 
+def q_er_name_order(spark, sf_dir):
+    """Name-order swap audit (operators/linkage.py name_order_audit):
+    1200 synthetic two-token person names drawn from disjoint given/
+    family pools, every 13th md5-hash record stored FLIPPED, plus a few
+    mononyms — slot-count cross-multiplied likelihood comparison flags
+    the flips from corpus statistics alone. All exact integers."""
+    from minimel_spark.operators.linkage import name_order_audit
+
+    base = spark.range(1200).select(
+        F.col("id"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("no:"), F.col("id").cast("string"))), 1, 15
+            ),
+            16, 10,
+        )
+        .cast("long")
+        .alias("_h"),
+    )
+    given = F.concat(F.lit("giv"), (F.col("_h") % 17).cast("string"))
+    # integer DIV, not double /: _h approaches 2^60 and double division
+    # would diverge from DuckDB's exact //
+    family = F.concat(
+        F.lit("fam"), (F.expr("_h DIV 17") % 23).cast("string")
+    )
+    name = (
+        F.when(F.col("id") % 29 == 0, F.lit("mononym"))
+        .when(F.col("_h") % 13 == 0, F.concat(family, F.lit(" "), given))
+        .otherwise(F.concat(given, F.lit(" "), family))
+    )
+    recs = base.select(F.col("id").alias("rec_id"), name.alias("name"))
+    return name_order_audit(recs)
+
+
+SQL_ER_NAME_ORDER = """
+WITH base AS (
+  SELECT i AS rec_id,
+         ('0x' || substr(md5('no:' || i::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+  FROM range(1200) r(i)),
+named AS (
+  SELECT rec_id,
+         CASE WHEN rec_id % 29 = 0 THEN 'mononym'
+              WHEN h % 13 = 0 THEN
+                'fam' || ((h // 17) % 23)::VARCHAR || ' ' || 'giv' || (h % 17)::VARCHAR
+              ELSE 'giv' || (h % 17)::VARCHAR || ' ' || 'fam' || ((h // 17) % 23)::VARCHAR
+         END AS name
+  FROM base),
+two AS (
+  SELECT rec_id, name,
+         string_split(name, ' ')[1] AS a, string_split(name, ' ')[2] AS b
+  FROM named WHERE len(string_split(name, ' ')) = 2),
+slot AS (
+  SELECT a AS t, 1 AS s FROM two UNION ALL SELECT b, 2 FROM two),
+counts AS (
+  SELECT t, sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+         sum(CASE WHEN s = 2 THEN 1 ELSE 0 END)::BIGINT AS c2
+  FROM slot GROUP BY 1)
+SELECT two.rec_id, two.name, 2::BIGINT AS n_tokens,
+       (ca.c1 * cb.c2)::BIGINT AS first_support,
+       (cb.c1 * ca.c2)::BIGINT AS swap_support,
+       (cb.c1 * ca.c2 > ca.c1 * cb.c2) AS swap_likely
+FROM two JOIN counts ca ON ca.t = two.a JOIN counts cb ON cb.t = two.b
+UNION ALL
+SELECT rec_id, name, 1::BIGINT, 0::BIGINT, 0::BIGINT, false
+FROM named WHERE len(string_split(name, ' ')) <> 2"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13859,6 +13926,7 @@ _TAIL: list[str] = [
     "er_k_anonymity",
     "text_char_entropy",
     "rel_burst_hours",
+    "er_name_order",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13872,7 +13940,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 247
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 248
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -14088,6 +14156,7 @@ _ORACLES: dict[str, str] = {
     "er_k_anonymity": SQL_ER_K_ANONYMITY,
     "text_char_entropy": SQL_TEXT_CHAR_ENTROPY,
     "rel_burst_hours": SQL_REL_BURST_HOURS,
+    "er_name_order": SQL_ER_NAME_ORDER,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

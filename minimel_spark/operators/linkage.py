@@ -618,3 +618,71 @@ def fs_fit_audit(
         "pattern long, n_pairs long, expected double, "
         "pearson_resid double, chi2 double",
     )
+
+
+def name_order_audit(
+    records: DataFrame,
+    name_col: str = "name",
+    id_col: str = "rec_id",
+) -> DataFrame:
+    """Name-order (given/family swap) audit — the classic silent killer of
+    exact-name blocking (Christen, *Data Matching* §3: "John Smith" and
+    "Smith John" block apart forever): over the corpus of TWO-token
+    names, learn each token's slot statistics — how often it appears in
+    the first vs second position — and flag records whose observed order
+    is strictly less supported than the swapped order:
+
+        swap_likely  ⇔  first2(b) · second1(a)  >  first1(a) · second2(b)
+
+    for name "a b", where first(x)/second(x) are exact corpus counts
+    (cross-multiplied likelihood-ratio comparison — no division, no
+    smoothing needed for the >, and a token never seen in a slot simply
+    contributes 0). Names with ≠ 2 tokens pass through unflagged with
+    ``n_tokens`` reported, so the audit covers the whole table.
+
+    Two slot-count aggregates over the token stream + two broadcast-ish
+    joins back. Output: ``(id_col, name, n_tokens, first_support,
+    swap_support, swap_likely)`` — supports are the two products above
+    (0 for non-2-token names).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(name_col)), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    base = records.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("name"),
+        toks.alias("_ts"),
+    ).withColumn("_n", F.size("_ts"))
+    two = base.where(F.col("_n") == 2).select(
+        "_id", "name",
+        F.element_at("_ts", 1).alias("_a"),
+        F.element_at("_ts", 2).alias("_b"),
+    )
+    slot = two.select(F.col("_a").alias("_t"), F.lit(1).alias("_s")).unionAll(
+        two.select(F.col("_b").alias("_t"), F.lit(2).alias("_s"))
+    )
+    counts = slot.groupBy("_t").agg(
+        F.sum((F.col("_s") == 1).cast("long")).alias("_c1"),
+        F.sum((F.col("_s") == 2).cast("long")).alias("_c2"),
+    )
+    scored = (
+        two.join(counts.select(F.col("_t").alias("_a"), F.col("_c1").alias("_a1"), F.col("_c2").alias("_a2")), "_a")
+        .join(counts.select(F.col("_t").alias("_b"), F.col("_c1").alias("_b1"), F.col("_c2").alias("_b2")), "_b")
+        .select(
+            "_id", "name",
+            F.lit(2).cast("long").alias("n_tokens"),
+            (F.col("_a1") * F.col("_b2")).cast("long").alias("first_support"),
+            (F.col("_b1") * F.col("_a2")).cast("long").alias("swap_support"),
+            (F.col("_b1") * F.col("_a2") > F.col("_a1") * F.col("_b2")).alias(
+                "swap_likely"
+            ),
+        )
+    )
+    rest = base.where(F.col("_n") != 2).select(
+        "_id", "name",
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("first_support"),
+        F.lit(0).cast("long").alias("swap_support"),
+        F.lit(False).alias("swap_likely"),
+    )
+    return scored.unionByName(rest).withColumnRenamed("_id", id_col)

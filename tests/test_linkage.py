@@ -459,3 +459,39 @@ def test_fs_fit_audit_invariants(spark):
     unobs = [r for r in out if r["pattern"] == -1]
     for r in unobs:
         assert r["n_pairs"] == 0 and r["pearson_resid"] <= 0
+
+
+def test_name_order_audit_flags_flips(spark):
+    from minimel_spark.operators.linkage import name_order_audit
+
+    rows = (
+        [(i, "john smith") for i in range(10)]
+        + [(100 + i, "mary smith") for i in range(8)]
+        + [(200, "smith john")]          # the flip
+        + [(300, "prince")]              # mononym passes through
+        + [(400, "anne marie clark")]    # 3 tokens pass through
+    )
+    recs = spark.createDataFrame(rows, "rec_id long, name string")
+    got = {r["rec_id"]: r for r in name_order_audit(recs).collect()}
+    # corpus stats: john first1=10 second1=1; smith first=1 second=18;
+    # flip support for "smith john" = first(john)*second(smith)=10*18=180
+    # vs observed first(smith)*second(john)=1*1=1 -> flagged
+    assert got[200]["swap_likely"] and got[200]["swap_support"] == 180
+    assert got[200]["first_support"] == 1
+    # consistent records are not flagged
+    assert not got[0]["swap_likely"] and got[0]["first_support"] == 180
+    assert got[300]["n_tokens"] == 1 and not got[300]["swap_likely"]
+    assert got[400]["n_tokens"] == 3 and not got[400]["swap_likely"]
+    assert len(got) == len(rows)
+
+
+def test_name_order_audit_partition_invariant(spark):
+    from minimel_spark.operators.linkage import name_order_audit
+
+    recs = spark.createDataFrame(
+        [(i, f"g{i % 5} f{i % 7}") for i in range(60)],
+        "rec_id long, name string",
+    )
+    a = sorted(map(tuple, name_order_audit(recs.coalesce(1)).collect()))
+    b = sorted(map(tuple, name_order_audit(recs.repartition(16)).collect()))
+    assert a == b and len(a) == 60
