@@ -13659,6 +13659,53 @@ SELECT rec_id, name, 1::BIGINT, 0::BIGINT, 0::BIGINT, false
 FROM named WHERE len(string_split(name, ' ')) <> 2"""
 
 
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity (operators/graph.py degree_assortativity,
+    Newman PRL 2002) over the SAME md5 link graph as graph_pagerank /
+    graph_cocitation / graph_bowtie: Pearson correlation of endpoint
+    total degrees on the symmetrized undirected simple edge set. All
+    moment sums are exact integers; the single division/sqrt at the end
+    is the identical IEEE expression tree in both engines, and the
+    6-decimal rounding sits ~10 orders above double noise. One row:
+    (n_nodes, n_edges, assortativity)."""
+    from minimel_spark.operators.graph import degree_assortativity
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return degree_assortativity(_doc_link_edges(docs, n))
+
+
+SQL_GRAPH_ASSORTATIVITY = """
+WITH e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, (SELECT count(*) AS n FROM documents) nn),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+joined AS (
+  SELECT dx.deg AS x, dy.deg AS y
+  FROM sym JOIN deg dx ON dx.node = sym.u JOIN deg dy ON dy.node = sym.v),
+mom AS (
+  SELECT count(*)::BIGINT AS m, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sx2,
+         sum(y * y)::BIGINT AS sy2
+  FROM joined)
+SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM und)::BIGINT AS n_edges,
+       round(CASE WHEN (sx2 / m - (sx / m) * (sx / m)) > 0
+                   AND (sy2 / m - (sy / m) * (sy / m)) > 0
+             THEN (sxy / m - (sx / m) * (sy / m))
+                  / sqrt((sx2 / m - (sx / m) * (sx / m))
+                         * (sy2 / m - (sy / m) * (sy / m)))
+             END, 6) AS assortativity
+FROM mom"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13927,6 +13974,7 @@ _TAIL: list[str] = [
     "text_char_entropy",
     "rel_burst_hours",
     "er_name_order",
+    "graph_assortativity",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13940,7 +13988,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 248
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 249
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -14157,6 +14205,7 @@ _ORACLES: dict[str, str] = {
     "text_char_entropy": SQL_TEXT_CHAR_ENTROPY,
     "rel_burst_hours": SQL_REL_BURST_HOURS,
     "er_name_order": SQL_ER_NAME_ORDER,
+    "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -889,3 +889,69 @@ def distance_census(
     return reached.unionByName(unreached).select(
         "seed", F.col("dist").cast("long").alias("dist"), "n_nodes"
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002): the Pearson
+    correlation of endpoint TOTAL degrees over the undirected edge list —
+    positive on social graphs (hubs befriend hubs), negative on the web
+    and most crawl graphs (hubs link to leaves), so a sign flip between
+    crawls is a structural drift alarm no volume metric catches.
+
+    Computed on the symmetrized edge multiset (each undirected edge
+    contributes both orientations — the standard estimator): with
+    x = deg(src), y = deg(dst) over that multiset,
+
+        r = (Σxy/m − (Σx/m)·(Σy/m)) / sqrt((Σx²/m − (Σx/m)²) ·
+                                           (Σy²/m − (Σy/m)²))
+
+    All Σ are exact integers; r is one fixed IEEE sequence, rounded 6.
+    Degenerate graphs (all degrees equal — zero variance) report NULL.
+
+    One degree aggregate + two joins + one moment aggregate. Output one
+    row: ``(n_nodes, n_edges, assortativity)``.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    j = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("_x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("_y")), "v")
+    )
+    m = j.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sx2"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_sy2"),
+    )
+    cov = F.col("_sxy") / F.col("_m") - (F.col("_sx") / F.col("_m")) * (
+        F.col("_sy") / F.col("_m")
+    )
+    vx = F.col("_sx2") / F.col("_m") - (F.col("_sx") / F.col("_m")) * (
+        F.col("_sx") / F.col("_m")
+    )
+    vy = F.col("_sy2") / F.col("_m") - (F.col("_sy") / F.col("_m")) * (
+        F.col("_sy") / F.col("_m")
+    )
+    n_nodes = deg.count()
+    n_edges_row = und.count()
+    return m.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges_row).cast("long").alias("n_edges"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
+        ).alias("assortativity"),
+    )

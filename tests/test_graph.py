@@ -490,3 +490,68 @@ def test_distance_census_partition_invariant(spark):
     assert a == b and len(a) > 0
     with _pytest.raises(ValueError):
         distance_census(edges, n_seeds=0)
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    from minimel_spark.operators.graph import degree_assortativity
+
+    # star K1,3: hub degree 3, leaves degree 1 -> perfectly disassortative
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src long, dst long"
+    )
+    row = degree_assortativity(edges).collect()[0]
+    assert row["n_nodes"] == 4 and row["n_edges"] == 3
+    assert row["assortativity"] == -1.0
+
+
+def test_degree_assortativity_regular_graph_is_null(spark):
+    from minimel_spark.operators.graph import degree_assortativity
+
+    # 4-cycle: every degree 2 -> zero variance -> undefined (NULL)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    row = degree_assortativity(edges).collect()[0]
+    assert row["n_nodes"] == 4 and row["n_edges"] == 4
+    assert row["assortativity"] is None
+
+
+def test_degree_assortativity_dedups_and_drops_self_loops(spark):
+    from minimel_spark.operators.graph import degree_assortativity
+
+    # same star, buried in duplicates / reversals / self-loops
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (1, 3), (3, 3), (1, 4), (4, 4)],
+        "src long, dst long",
+    )
+    row = degree_assortativity(edges).collect()[0]
+    assert row["n_nodes"] == 4 and row["n_edges"] == 3
+    assert row["assortativity"] == -1.0
+
+
+def test_degree_assortativity_matches_numpy_and_partitioning(spark):
+    import numpy as np
+
+    from minimel_spark.operators.graph import degree_assortativity
+
+    pairs = sorted(
+        {
+            (min(i, (i * 7 + 3) % 40), max(i, (i * 7 + 3) % 40))
+            for i in range(40)
+            if i != (i * 7 + 3) % 40
+        }
+    )
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    row = degree_assortativity(edges.repartition(16)).collect()[0]
+    row1 = degree_assortativity(edges.coalesce(1)).collect()[0]
+    assert tuple(row) == tuple(row1)
+
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = np.array([deg[a] for a, b in pairs] + [deg[b] for a, b in pairs], float)
+    ys = np.array([deg[b] for a, b in pairs] + [deg[a] for a, b in pairs], float)
+    expected = np.corrcoef(xs, ys)[0, 1]
+    assert row["n_nodes"] == len(deg) and row["n_edges"] == len(pairs)
+    assert abs(row["assortativity"] - expected) < 1e-6
