@@ -13706,6 +13706,67 @@ SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
 FROM mom"""
 
 
+def q_graph_ktruss(spark, sf_dir):
+    """Fixed-round k-truss peeling audit (operators/graph.py ktruss_peel,
+    Cohen 2008) over the SAME md5 link graph as graph_pagerank /
+    graph_triangles: 4 peel rounds at k=3 (drop every edge in no triangle
+    of the CURRENT edge set — k=4 peels this sparse random graph to empty
+    in one round; k=3 retains a ~100-edge cohesion core and exercises the
+    convergence flag), one exact-integer audit row per round. The round count is fixed rather than run-to-convergence so the
+    oracle can unroll the identical peel as chained CTEs — DuckDB
+    re-enumerates each round's triangles with id-ordered 3-way self-joins
+    (order-free counts, so the degree-ordered Spark enumeration must agree
+    exactly), and the `converged` flag records whether the truss fixpoint
+    was reached inside the budget."""
+    from minimel_spark.operators.graph import ktruss_peel
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return ktruss_peel(_doc_link_edges(docs, n), k=3, rounds=4)
+
+
+def _sql_ktruss(k: int, rounds: int) -> str:
+    min_sup = k - 2
+    parts = [
+        """
+WITH e1 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM (SELECT d.doc_id AS src,
+               unnest(list_transform(range(0, 3), j ->
+                  (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+                   % nn.n)::BIGINT)) AS dst
+        FROM documents d, (SELECT count(*) AS n FROM documents) nn)
+  WHERE src <> dst)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+tri{i} AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e{i} e1 JOIN e{i} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e{i} e3 ON e3.a = e1.b AND e3.b = e2.b),
+sup{i} AS (
+  SELECT a, b, count(*)::BIGINT AS sup FROM (
+    SELECT x AS a, y AS b FROM tri{i}
+    UNION ALL SELECT x, z FROM tri{i}
+    UNION ALL SELECT y, z FROM tri{i}) GROUP BY 1, 2),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i} e
+  JOIN sup{i} s ON s.a = e.a AND s.b = e.b AND s.sup >= {min_sup})""")
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {i}::BIGINT AS round,
+       (SELECT count(*) FROM e{i})::BIGINT AS n_edges,
+       ((SELECT count(*) FROM e{i}) - (SELECT count(*) FROM e{i + 1}))::BIGINT
+         AS n_dropped,
+       (SELECT count(*) FROM e{i + 1})::BIGINT AS n_remaining,
+       (SELECT count(*) FROM e{i}) = (SELECT count(*) FROM e{i + 1}) AS converged"""
+        for i in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + rows
+
+
+SQL_GRAPH_KTRUSS = _sql_ktruss(3, 4)
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -13975,6 +14036,7 @@ _TAIL: list[str] = [
     "rel_burst_hours",
     "er_name_order",
     "graph_assortativity",
+    "graph_ktruss",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13988,7 +14050,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 249
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 250
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -14206,6 +14268,7 @@ _ORACLES: dict[str, str] = {
     "rel_burst_hours": SQL_REL_BURST_HOURS,
     "er_name_order": SQL_ER_NAME_ORDER,
     "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
+    "graph_ktruss": SQL_GRAPH_KTRUSS,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

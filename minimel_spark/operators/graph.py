@@ -955,3 +955,116 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 6
         ).alias("assortativity"),
     )
+
+
+def ktruss_peel(edges: DataFrame, k: int = 4, rounds: int = 4) -> DataFrame:
+    """Fixed-round k-truss peeling audit (Cohen 2008): each round computes
+    per-edge triangle SUPPORT on the current undirected simple edge set and
+    drops every edge whose support is below ``k - 2``; the fixpoint of this
+    peel is the (unique, maximal) k-truss — the densest cohesion core
+    standard community pipelines extract above k-core. The round count is
+    FIXED, not run-to-convergence, so the output is a pure function of
+    (edges, k, rounds) that an unrolled SQL replay can recompute exactly;
+    the ``converged`` flag on the last row says whether the fixpoint was
+    reached within the budget.
+
+    Returns one audit row per round:
+    ``(round, n_edges, n_dropped, n_remaining, converged)`` where
+    ``n_edges`` is the edge count entering the round and
+    ``converged = (n_dropped == 0)``.
+
+    Scale design: support comes from degree-ordered triangle enumeration
+    (Suri & Vassilvitskii WWW'11) — every triangle is found ONLY at its
+    lowest-(degree, node) apex by orienting edges small→large, so a hub
+    with 10^7 neighbors never enumerates its neighbor pairs and wedge work
+    is m^1.5-bounded. Each round is three shuffles (degree agg, apex
+    self-join, closing-edge join) + one explode/agg + one anti-peel join;
+    ``localCheckpoint(eager=True)`` per round truncates lineage exactly
+    like the CC loop. Per-round edge counts ride along as side outputs of
+    the checkpoint action — no extra jobs beyond one count per round.
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = edges.sparkSession
+    min_sup = k - 2
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    audit = []
+    n_before = und.count()
+    for rnd in range(1, rounds + 1):
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionAll(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        # orient each edge from the (deg, node)-smaller endpoint to the
+        # larger; wedges enumerate only at the oriented apex
+        oriented = (
+            und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+            .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+            .select(
+                F.when(
+                    (F.col("da") < F.col("db"))
+                    | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                )
+                .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+                .alias("e")
+            )
+            .select("e.u", "e.v")
+        )
+        w1 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("x"))
+        w2 = oriented.select(F.col("u").alias("apex"), F.col("v").alias("y"))
+        tri = (
+            w1.join(w2, "apex")
+            .where(F.col("x") < F.col("y"))
+            .join(
+                und.select(
+                    F.col("a").alias("x"), F.col("b").alias("y")
+                ),
+                ["x", "y"],
+                "leftsemi",
+            )
+        )
+        # attribute each triangle to its 3 canonical edges
+        tri_edges = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("apex", "x").alias("a"),
+                        F.greatest("apex", "x").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("apex", "y").alias("a"),
+                        F.greatest("apex", "y").alias("b"),
+                    ),
+                    F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                )
+            ).alias("e")
+        ).select("e.a", "e.b")
+        sup = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("sup"))
+        survivors = (
+            und.join(sup, ["a", "b"], "left")
+            .where(F.coalesce(F.col("sup"), F.lit(0)) >= min_sup)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_after = survivors.count()
+        audit.append((rnd, n_before, n_before - n_after, n_after))
+        und, n_before = survivors, n_after
+    return spark.createDataFrame(
+        [
+            (rnd, ne, nd, nr, nd == 0)
+            for rnd, ne, nd, nr in audit
+        ],
+        "round long, n_edges long, n_dropped long, n_remaining long, converged boolean",
+    ).repartition(1)

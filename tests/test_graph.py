@@ -555,3 +555,59 @@ def test_degree_assortativity_matches_numpy_and_partitioning(spark):
     expected = np.corrcoef(xs, ys)[0, 1]
     assert row["n_nodes"] == len(deg) and row["n_edges"] == len(pairs)
     assert abs(row["assortativity"] - expected) < 1e-6
+
+
+def test_ktruss_peel_k4_core_survives(spark):
+    from minimel_spark.operators.graph import ktruss_peel
+
+    # K4 on {1..4} + pendant triangle {4,5,6} + bridge (6,7):
+    # round 1 peels the triangle (support 1) and the bridge (support 0),
+    # round 2 finds the K4 fixpoint (every edge support 2).
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6), (4, 6), (6, 7)], "src long, dst long"
+    )
+    rows = [tuple(r) for r in ktruss_peel(edges, k=4, rounds=3).collect()]
+    assert rows == [
+        (1, 10, 4, 6, False),
+        (2, 6, 0, 6, True),
+        (3, 6, 0, 6, True),
+    ]
+
+
+def test_ktruss_peel_cascade_multiround(spark):
+    from minimel_spark.operators.graph import ktruss_peel
+
+    # triangle strip 1..6: peeling cascades — end edges fall first, the
+    # survivors lose their triangles, everything is gone by round 2.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)] + [(i, i + 2) for i in range(1, 5)],
+        "src long, dst long",
+    )
+    rows = [tuple(r) for r in ktruss_peel(edges, k=4, rounds=3).collect()]
+    assert rows == [
+        (1, 9, 6, 3, False),
+        (2, 3, 3, 0, False),
+        (3, 0, 0, 0, True),
+    ]
+
+
+def test_ktruss_peel_partition_invariant_and_validation(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.graph import ktruss_peel
+
+    edges = spark.createDataFrame(
+        [(i % 23, (i * 7 + 3) % 23) for i in range(80)], "src long, dst long"
+    )
+    a = [tuple(r) for r in ktruss_peel(edges.coalesce(1), k=4, rounds=3).collect()]
+    b = [tuple(r) for r in ktruss_peel(edges.repartition(16), k=4, rounds=3).collect()]
+    assert a == b and len(a) == 3
+    # duplicates / reversals / self-loops collapse before round 1
+    noisy = edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    c = [tuple(r) for r in ktruss_peel(noisy, k=4, rounds=3).collect()]
+    assert c == a
+    with _pytest.raises(ValueError):
+        ktruss_peel(edges, k=2)
+    with _pytest.raises(ValueError):
+        ktruss_peel(edges, rounds=0)
