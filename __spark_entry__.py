@@ -13767,6 +13767,53 @@ e{i + 1} AS MATERIALIZED (
 SQL_GRAPH_KTRUSS = _sql_ktruss(3, 4)
 
 
+def q_graph_rich_club(spark, sf_dir):
+    """Rich-club coefficient curve (operators/graph.py rich_club, Zhou &
+    Mondragón 2004) over the SAME md5 link graph as graph_assortativity:
+    for k = 1..10, density of the subgraph induced by nodes of degree > k.
+    The whole curve comes from two tiny histograms (node degree, per-edge
+    min endpoint degree) joined to the threshold panel — no per-k graph
+    scan. Counts are exact integers; φ's single division is the identical
+    IEEE expression in both engines, rounded 6."""
+    from minimel_spark.operators.graph import rich_club
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return rich_club(_doc_link_edges(docs, n), max_k=10)
+
+
+SQL_GRAPH_RICH_CLUB = """
+WITH e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, (SELECT count(*) AS n FROM documents) nn),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+deg_hist AS (SELECT deg, count(*)::BIGINT AS n_nodes FROM deg GROUP BY 1),
+edge_min AS (
+  SELECT least(da.deg, db.deg) AS mdeg, count(*)::BIGINT AS n_edges
+  FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b
+  GROUP BY 1),
+ks AS (SELECT i AS k FROM range(1, 11) r(i)),
+nk AS (
+  SELECT k, coalesce(sum(n_nodes), 0)::BIGINT AS n_rich_nodes
+  FROM ks LEFT JOIN deg_hist ON deg_hist.deg > ks.k GROUP BY 1),
+ek AS (
+  SELECT k, coalesce(sum(n_edges), 0)::BIGINT AS n_rich_edges
+  FROM ks LEFT JOIN edge_min ON edge_min.mdeg > ks.k GROUP BY 1)
+SELECT nk.k::BIGINT AS k, n_rich_nodes, n_rich_edges,
+       round(CASE WHEN n_rich_nodes >= 2
+             THEN 2.0 * n_rich_edges / (n_rich_nodes * (n_rich_nodes - 1))
+             END, 6) AS phi
+FROM nk JOIN ek ON ek.k = nk.k"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -14037,6 +14084,7 @@ _TAIL: list[str] = [
     "er_name_order",
     "graph_assortativity",
     "graph_ktruss",
+    "graph_rich_club",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -14050,7 +14098,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 250
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 251
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -14269,6 +14317,7 @@ _ORACLES: dict[str, str] = {
     "er_name_order": SQL_ER_NAME_ORDER,
     "graph_assortativity": SQL_GRAPH_ASSORTATIVITY,
     "graph_ktruss": SQL_GRAPH_KTRUSS,
+    "graph_rich_club": SQL_GRAPH_RICH_CLUB,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

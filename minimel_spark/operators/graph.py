@@ -1068,3 +1068,77 @@ def ktruss_peel(edges: DataFrame, k: int = 4, rounds: int = 4) -> DataFrame:
         ],
         "round long, n_edges long, n_dropped long, n_remaining long, converged boolean",
     ).repartition(1)
+
+
+def rich_club(edges: DataFrame, max_k: int = 10) -> DataFrame:
+    """Rich-club coefficient curve (Zhou & Mondragón 2004) over the
+    undirected simple graph: for each degree threshold k in 1..max_k,
+    φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k counts nodes of degree > k and
+    E_k counts edges with BOTH endpoints of degree > k — the density of
+    the subgraph induced by the hubs. Rising φ(k) means hubs
+    preferentially interconnect (a "rich club", typical of citation and
+    social graphs); flat-or-falling is typical of the web. Together with
+    assortativity this is the standard two-number structural fingerprint
+    a crawl-drift monitor tracks.
+
+    Scale design: the whole curve derives from TWO tiny histograms — the
+    node-degree histogram and the per-edge min-endpoint-degree histogram
+    (both ≤ max-degree rows after one aggregate each) — joined to the
+    max_k-row threshold panel with range predicates. No per-k scan of the
+    graph, no collect; the only full-data work is one degree aggregate and
+    one edge-degree join, shared by every k. Output rows
+    ``(k, n_rich_nodes, n_rich_edges, phi)``; φ is NULL when N_k < 2.
+    """
+    if max_k < 1:
+        raise ValueError(f"max_k must be >= 1, got {max_k}")
+    spark = edges.sparkSession
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the degree agg AND the edge join
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    deg_hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+    edge_min = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+        .select(F.least("da", "db").alias("mdeg"))
+        .groupBy("mdeg")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    ks = spark.range(1, max_k + 1).select(F.col("id").alias("k"))
+    nk = (
+        ks.join(deg_hist, deg_hist["deg"] > ks["k"], "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("n_nodes"), F.lit(0)).alias("n_rich_nodes"))
+    )
+    ek = (
+        ks.join(edge_min, edge_min["mdeg"] > ks["k"], "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("n_edges"), F.lit(0)).alias("n_rich_edges"))
+    )
+    return (
+        nk.join(ek, "k")
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_rich_nodes").cast("long").alias("n_rich_nodes"),
+            F.col("n_rich_edges").cast("long").alias("n_rich_edges"),
+            F.round(
+                F.when(
+                    F.col("n_rich_nodes") >= 2,
+                    2.0
+                    * F.col("n_rich_edges")
+                    / (F.col("n_rich_nodes") * (F.col("n_rich_nodes") - 1)),
+                ),
+                6,
+            ).alias("phi"),
+        )
+    )

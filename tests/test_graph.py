@@ -611,3 +611,45 @@ def test_ktruss_peel_partition_invariant_and_validation(spark):
         ktruss_peel(edges, k=2)
     with _pytest.raises(ValueError):
         ktruss_peel(edges, rounds=0)
+
+
+def test_rich_club_hand_graph(spark):
+    from minimel_spark.operators.graph import rich_club
+
+    # K4 core {1..4} plus a pendant leaf on each core node: core degrees 4,
+    # leaves degree 1. k=1..3 rich set = core (+nothing else), phi = density
+    # of K4 = 1.0; k>=4 empty.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    leaves = [(i, i + 10) for i in range(1, 5)]
+    edges = spark.createDataFrame(k4 + leaves, "src long, dst long")
+    rows = {r["k"]: tuple(r) for r in rich_club(edges, max_k=5).collect()}
+    assert rows[1] == (1, 4, 6, 1.0)
+    assert rows[3] == (3, 4, 6, 1.0)
+    assert rows[4] == (4, 0, 0, None)
+    assert rows[5] == (5, 0, 0, None)
+
+
+def test_rich_club_star_no_club(spark):
+    from minimel_spark.operators.graph import rich_club
+
+    # star: hub degree 5, leaves 1 -> for k in 1..4 the rich set is {hub}
+    # alone (N_k = 1 -> phi NULL, no self-edges)
+    edges = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    rows = {r["k"]: tuple(r) for r in rich_club(edges, max_k=4).collect()}
+    assert rows[1] == (1, 1, 0, None)
+    assert rows[4] == (4, 1, 0, None)
+
+
+def test_rich_club_partition_invariant_and_validation(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.graph import rich_club
+
+    edges = spark.createDataFrame(
+        [(i % 31, (i * 11 + 5) % 31) for i in range(120)], "src long, dst long"
+    )
+    a = sorted(map(tuple, rich_club(edges.coalesce(1), max_k=6).collect()))
+    b = sorted(map(tuple, rich_club(edges.repartition(16), max_k=6).collect()))
+    assert a == b and len(a) == 6
+    with _pytest.raises(ValueError):
+        rich_club(edges, max_k=0)
