@@ -87,3 +87,50 @@ def sparse_cosine(a: dict[int, float], b: dict[int, float]) -> float:
     na = np.sqrt(sum(w * w for w in a.values()))
     nb = np.sqrt(sum(w * w for w in b.values()))
     return float(dot / (na * nb))
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """TRUE (unrestricted) Damerau-Levenshtein distance — the
+    Lowrance-Wagner 1975 recurrence with the last-seen-character table, so
+    transposed characters may drift apart via intermediate edits
+    (dl('CA','ABC') == 2, where the restricted OSA variant says 3). This is
+    the variant DuckDB's native ``damerau_levenshtein`` implements, which
+    is what lets the join gate use it as an independent oracle.
+    Transpositions are the dominant human typo class in names, so this is
+    the edit metric ER matchers actually want; plain Levenshtein charges
+    every swap 2 and under-scores exactly those pairs."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if not la:
+        return lb
+    if not lb:
+        return la
+    inf = la + lb
+    # H is (la+2) x (lb+2); row/col 0 hold the INF sentinel rim
+    h = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        h[i + 1][1] = i
+    for j in range(lb + 1):
+        h[1][j + 1] = j
+    da: dict[str, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cb = b[j - 1]
+            i1 = da.get(cb, 0)
+            j1 = db
+            if ca == cb:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            h[i + 1][j + 1] = min(
+                h[i][j] + cost,            # substitute / match
+                h[i + 1][j] + 1,           # insert
+                h[i][j + 1] + 1,           # delete
+                h[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),  # transpose
+            )
+        da[ca] = i
+    return h[la + 1][lb + 1]

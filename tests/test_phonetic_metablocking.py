@@ -1215,3 +1215,92 @@ def test_nysiis_three_way_fuzz_parity(spark):
         want = nysiis_py(n)
         assert got[i] == want, (n, got[i], want)
         assert duck[i] == want, (n, duck[i], want)
+
+
+def test_damerau_levenshtein_known_vectors_and_fuzz():
+    import random
+
+    import duckdb
+
+    from minimel_spark.functions.similarity import damerau_levenshtein as dl
+
+    # unrestricted (Lowrance-Wagner) semantics, NOT the restricted OSA:
+    assert dl("CA", "ABC") == 2
+    assert dl("ab", "ba") == 1
+    assert dl("kitten", "sitting") == 3
+    assert dl("", "") == 0 and dl("abc", "") == 3 and dl("", "xy") == 2
+    assert dl("smtih", "smith") == 1          # one transposition (lev 2)
+    con = duckdb.connect()
+    rng = random.Random(123)
+    for _ in range(500):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 8)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 8)))
+        ref = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert dl(a, b) == ref, (a, b)
+
+
+def test_damerau_join_catches_transpositions_lev_misses(spark):
+    from minimel_spark.operators.pairs import damerau_distance_join
+
+    df = spark.createDataFrame(
+        [(1, "smith"), (2, "smtih"), (3, "johnson"), (4, "johsnon"), (5, "zzz")],
+        "rec_id long, name string",
+    )
+    got = {
+        (r["rec_id_a"], r["rec_id_b"]): (r["distance"], r["lev_distance"])
+        for r in damerau_distance_join(df, k=1, q=2).collect()
+    }
+    # at k=1 a lev-join finds NEITHER pair (lev=2 for both swaps); dl=1
+    assert got == {(1, 2): (1, 2), (3, 4): (1, 2)}
+
+
+def test_damerau_join_lossless_vs_bruteforce(spark):
+    """Dense fuzz over a 2-letter alphabet spanning the wider DL short
+    stratum q + k*(q+1) = 8: gram join + short stratum + cross-stratum all
+    fire; must equal brute-force true-DL."""
+    import itertools
+    import random
+
+    from minimel_spark.functions.similarity import damerau_levenshtein as dl
+    from minimel_spark.operators.pairs import damerau_distance_join
+
+    rng = random.Random(99)
+    names = list({
+        "".join(rng.choice("ab") for _ in range(rng.randint(0, 10)))
+        for _ in range(70)
+    })
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "rec_id long, name string"
+    )
+    got = {
+        (r["rec_id_a"], r["rec_id_b"]): r["distance"]
+        for r in damerau_distance_join(df, k=2, q=2).collect()
+    }
+    want = {
+        (i, j): dl(names[i], names[j])
+        for i, j in itertools.combinations(range(len(names)), 2)
+        if dl(names[i], names[j]) <= 2
+    }
+    assert got == want
+    assert any(v >= 1 for v in got.values())
+
+
+def test_damerau_join_duplicate_names_and_knobs(spark):
+    import pytest as _pt
+
+    from minimel_spark.operators.pairs import damerau_distance_join
+
+    df = spark.createDataFrame(
+        [(1, "anna"), (2, "anna"), (3, "nana")], "rec_id long, name string"
+    )
+    got = {
+        (r["rec_id_a"], r["rec_id_b"]): (r["distance"], r["lev_distance"])
+        for r in damerau_distance_join(df, k=1, q=2).collect()
+    }
+    assert got == {(1, 2): (0, 0), (1, 3): (1, 2), (2, 3): (1, 2)}
+    with _pt.raises(ValueError, match="k must"):
+        damerau_distance_join(df, k=-1)
+    with _pt.raises(ValueError, match="q must"):
+        damerau_distance_join(df, q=0)
