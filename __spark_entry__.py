@@ -13843,6 +13843,62 @@ FROM n a JOIN n b ON a.name < b.name
 WHERE damerau_levenshtein(a.name, b.name) <= 2"""
 
 
+def q_er_t_closeness(spark, sf_dir):
+    """t-closeness audit (operators/profile.py t_closeness_audit, Li, Li &
+    Venkatasubramanian ICDE 2007) — the third leg of the privacy trio after
+    er_k_anonymity's k-anonymity + l-diversity: per (nation, segment)
+    equivalence class, the ordered-domain Earth Mover's Distance between
+    the class's account-balance-bucket distribution and the corpus-wide
+    one, with the t=0.2 pass flag. Counts are exact; the EMD assembles
+    from count ratios via per-class cumulative sums (the value domain is
+    the tiny broadcast side), rounded 6. The oracle replays the identical
+    window-cumsum formula."""
+    from minimel_spark.operators.profile import t_closeness_audit
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 2000)).cast("long").alias("bal_bucket"),
+    )
+    return t_closeness_audit(
+        c, ["c_nationkey", "c_mktsegment"], "bal_bucket", t=0.2
+    )
+
+
+SQL_ER_T_CLOSENESS = """
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 2000)::BIGINT AS v
+  FROM customer),
+tot AS (SELECT count(*)::BIGINT AS n FROM base),
+vals AS (
+  SELECT v, count(*)::BIGINT AS gcnt, row_number() OVER (ORDER BY v) AS rnk
+  FROM base GROUP BY 1),
+mm AS (SELECT count(*)::BIGINT AS m FROM vals),
+cls AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS class_size
+  FROM base GROUP BY 1, 2),
+cv AS (
+  SELECT c_nationkey, c_mktsegment, v, count(*)::BIGINT AS ccnt
+  FROM base GROUP BY 1, 2, 3),
+expd AS (
+  SELECT cls.c_nationkey, cls.c_mktsegment, cls.class_size, vals.rnk,
+         coalesce(cv.ccnt, 0) / cls.class_size - vals.gcnt / tot.n AS d
+  FROM cls CROSS JOIN vals CROSS JOIN tot
+  LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+              AND cv.c_mktsegment = cls.c_mktsegment AND cv.v = vals.v),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, class_size, rnk,
+         sum(d) OVER (PARTITION BY c_nationkey, c_mktsegment
+                      ORDER BY rnk) AS cum
+  FROM expd)
+SELECT c_nationkey, c_mktsegment, class_size,
+       round(sum(abs(cum)) / (mm.m - 1), 6) AS emd,
+       (round(sum(abs(cum)) / (mm.m - 1), 6) <= 0.2) AS t_ok
+FROM cum CROSS JOIN mm
+WHERE rnk < mm.m
+GROUP BY 1, 2, 3, mm.m"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -14115,6 +14171,7 @@ _TAIL: list[str] = [
     "graph_ktruss",
     "graph_rich_club",
     "er_damerau_join",
+    "er_t_closeness",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -14128,7 +14185,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 252
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 253
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -14349,6 +14406,7 @@ _ORACLES: dict[str, str] = {
     "graph_ktruss": SQL_GRAPH_KTRUSS,
     "graph_rich_club": SQL_GRAPH_RICH_CLUB,
     "er_damerau_join": SQL_ER_DAMERAU_JOIN,
+    "er_t_closeness": SQL_ER_T_CLOSENESS,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

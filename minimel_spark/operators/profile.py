@@ -302,3 +302,88 @@ def k_anonymity_audit(
             (F.col("n_sensitive") >= l_div).alias("l_ok"),
         )
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third leg of the privacy trio next to :func:`k_anonymity_audit`'s
+    k-anonymity and ℓ-diversity: even a k-anonymous, ℓ-diverse class leaks
+    if its sensitive-value DISTRIBUTION diverges from the corpus-wide one
+    (the attacker's prior). For an ORDERED sensitive attribute the distance
+    is the 1-D Earth Mover's Distance with unit ground metric,
+
+        EMD(p, q) = (1/(m−1)) · Σ_{i<m} | Σ_{j≤i} (p_j − q_j) |
+
+    over the m globally-observed sensitive values in order — exact
+    class/global count ratios, one fixed IEEE sequence, rounded 6.
+    A single-valued domain (m = 1) has EMD 0 by convention.
+
+    One row per equivalence class: the quasi columns, ``class_size``,
+    ``emd``, ``t_ok = emd <= t``.
+
+    Scale design: the value domain table (m rows: value, ordinal rank,
+    global count) is a tiny aggregate that BROADCASTS to a classes × m
+    expansion (m is small by construction for a bucketed sensitive column
+    — it is the attacker-visible alphabet, not the raw data), so the
+    per-class cumulative sum windows partition on the class key — never a
+    global window. The only full-data work is two map-side-combinable
+    groupBys (class-value counts, class sizes).
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if not (0.0 <= t <= 1.0):
+        raise ValueError(f"t must be in [0, 1], got {t}")
+    from pyspark.sql import Window
+
+    n_total = df.count()
+    values = (
+        df.groupBy(F.col(sensitive_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_gcnt"))
+        .withColumn(
+            "_rank", F.row_number().over(Window.orderBy("_v"))
+        )  # m-row frame: the single-partition window is over the tiny
+        #    value-domain aggregate, not the data
+    )
+    m_vals = values.count()
+    cls = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("class_size"))
+    cv = df.groupBy(*quasi_cols, F.col(sensitive_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_ccnt")
+    )
+    expanded = (
+        cls.crossJoin(F.broadcast(values))
+        .join(cv, [*quasi_cols, "_v"], "left")
+        .select(
+            *quasi_cols,
+            "class_size",
+            "_rank",
+            (
+                F.coalesce(F.col("_ccnt"), F.lit(0)) / F.col("class_size")
+                - F.col("_gcnt") / F.lit(n_total)
+            ).alias("_d"),
+        )
+    )
+    w = Window.partitionBy(*quasi_cols).orderBy("_rank")
+    per_class = (
+        expanded.withColumn("_cum", F.sum("_d").over(w))
+        .where(F.col("_rank") < m_vals)  # the m-th cumulative term is 0
+        .groupBy(*quasi_cols, "class_size")
+        .agg(F.sum(F.abs(F.col("_cum"))).alias("_emd_sum"))
+    )
+    if m_vals <= 1:
+        return cls.select(
+            *quasi_cols,
+            F.col("class_size").cast("long").alias("class_size"),
+            F.lit(0.0).alias("emd"),
+            F.lit(True).alias("t_ok"),
+        )
+    return per_class.select(
+        *quasi_cols,
+        F.col("class_size").cast("long").alias("class_size"),
+        F.round(F.col("_emd_sum") / F.lit(m_vals - 1), 6).alias("emd"),
+        (F.round(F.col("_emd_sum") / F.lit(m_vals - 1), 6) <= t).alias("t_ok"),
+    )

@@ -257,3 +257,63 @@ def test_k_anonymity_audit_hand_case(spark):
         k_anonymity_audit(df, [], "s")
     with _pytest.raises(ValueError):
         k_anonymity_audit(df, ["q1"], "s", k=0)
+
+
+def test_t_closeness_hand_distributions(spark):
+    from minimel_spark.operators.profile import t_closeness_audit
+
+    # global: 6 zeros + 6 ones -> q = (.5, .5); class A all-zero -> cum
+    # diff at rank1 = |1.0-0.5| = 0.5, m-1 = 1 -> EMD 0.5; class B mirrors
+    # the global distribution -> EMD 0; class C all-one -> 0.5.
+    rows = (
+        [("A", 0)] * 4
+        + [("B", 0), ("B", 0), ("B", 1), ("B", 1)]
+        + [("C", 1)] * 4
+    )
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {r["grp"]: (r["class_size"], r["emd"], r["t_ok"])
+           for r in t_closeness_audit(df, ["grp"], "v", t=0.2).collect()}
+    assert got["A"] == (4, 0.5, False)
+    assert got["B"] == (4, 0.0, True)
+    assert got["C"] == (4, 0.5, False)
+
+
+def test_t_closeness_ordered_emd_three_values(spark):
+    from minimel_spark.operators.profile import t_closeness_audit
+
+    # global over {0,1,2}: counts (2,2,2) -> q=(1/3,1/3,1/3).
+    # class A = {0,0}: p=(1,0,0); cum diffs: 2/3, 1/3 -> EMD = (2/3+1/3)/2 = 1/2
+    # class B = {1,1}: p=(0,1,0); cum diffs: -1/3, 1/3 -> EMD = (1/3+1/3)/2 = 1/3
+    # class C = {2,2}: symmetric to A -> 1/2 (ordered distance matters: B is
+    # closer to uniform than the extremes, which plain TV distance misses)
+    rows = [("A", 0), ("A", 0), ("B", 1), ("B", 1), ("C", 2), ("C", 2)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {r["grp"]: r["emd"] for r in t_closeness_audit(df, ["grp"], "v").collect()}
+    assert got["A"] == 0.5
+    assert got["B"] == round(1 / 3, 6)
+    assert got["C"] == 0.5
+
+
+def test_t_closeness_single_value_domain_and_validation(spark):
+    import pytest as _pt
+
+    from minimel_spark.operators.profile import t_closeness_audit
+
+    df = spark.createDataFrame([("A", 7), ("B", 7)], "grp string, v long")
+    got = {r["grp"]: (r["emd"], r["t_ok"])
+           for r in t_closeness_audit(df, ["grp"], "v").collect()}
+    assert got == {"A": (0.0, True), "B": (0.0, True)}
+    with _pt.raises(ValueError, match="quasi_cols"):
+        t_closeness_audit(df, [], "v")
+    with _pt.raises(ValueError, match="t must"):
+        t_closeness_audit(df, ["grp"], "v", t=1.5)
+
+
+def test_t_closeness_partition_invariant(spark):
+    from minimel_spark.operators.profile import t_closeness_audit
+
+    rows = [(f"g{i % 5}", (i * 7 + 3) % 4) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    a = sorted(map(tuple, t_closeness_audit(df.coalesce(1), ["grp"], "v").collect()))
+    b = sorted(map(tuple, t_closeness_audit(df.repartition(16), ["grp"], "v").collect()))
+    assert a == b and len(a) == 5
