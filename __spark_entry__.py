@@ -13899,6 +13899,82 @@ WHERE rnk < mm.m
 GROUP BY 1, 2, 3, mm.m"""
 
 
+def q_rel_qdigest_quantiles(spark, sf_dir):
+    """Q-digest mergeable quantile sketch (operators/sketch.py
+    qdigest_build/qdigest_quantiles, Shrivastava et al. SenSys 2004) over
+    orders.o_totalprice bucketed at scale 140 into a 2^12 dyadic domain,
+    k=128 (ε = 3/32): the canonical bottom-up compression is a pure
+    function of the value multiset, so the oracle unrolls the identical
+    12 per-level merge rounds as chained CTEs and replays the
+    (ub, lb)-ordered rank query. The output is self-auditing — each of the
+    4 quantile rows carries the digest size, the estimate, the EXACT
+    bracketing ranks from the raw data, and the ε-guarantee pass flag."""
+    from minimel_spark.operators.sketch import qdigest_quantiles
+
+    o = _t(spark, sf_dir, "orders")
+    return qdigest_quantiles(
+        o, "o_totalprice", scale=140.0, qs=[0.25, 0.5, 0.9, 0.99],
+        bits=12, k=128,
+    )
+
+
+def _sql_qdigest(bits: int, k: int, scale: float, qs: list[float]) -> str:
+    parts = [f"""
+WITH idxed AS (
+  SELECT floor(o_totalprice / {scale})::BIGINT AS i FROM orders),
+tot AS (SELECT count(*)::BIGINT AS n FROM idxed),
+d{bits} AS MATERIALIZED (
+  SELECT {bits} AS lv, greatest(0, least({(1 << bits) - 1}, i))::BIGINT AS idx,
+         count(*)::BIGINT AS cnt
+  FROM idxed GROUP BY 2)"""]
+    for l in range(bits, 0, -1):
+        parts.append(f""",
+s{l} AS (
+  SELECT lv, idx, cnt, idx // 2 AS p,
+         sum(cnt) OVER (PARTITION BY idx // 2) AS s
+  FROM d{l} WHERE lv = {l}),
+d{l - 1} AS MATERIALIZED (
+  SELECT lv, idx, cnt FROM d{l} WHERE lv <> {l}
+  UNION ALL
+  SELECT lv, idx, cnt FROM s{l} WHERE s >= (SELECT n // {k} FROM tot)
+  UNION ALL
+  SELECT {l - 1} AS lv, p AS idx, sum(cnt)::BIGINT AS cnt
+  FROM s{l} WHERE s < (SELECT n // {k} FROM tot) GROUP BY 2)""")
+    qlist = ", ".join(str(q) for q in qs)
+    parts.append(f""",
+geo AS (
+  SELECT cnt,
+         ((idx + 1) * (2 ** ({bits} - lv))::BIGINT - 1)::BIGINT AS ub,
+         (idx * (2 ** ({bits} - lv))::BIGINT)::BIGINT AS lb
+  FROM d0),
+ranked AS (SELECT ub, lb, cnt, sum(cnt) OVER (ORDER BY ub, lb) AS cum FROM geo),
+nn AS (SELECT count(*)::BIGINT AS n_nodes FROM d0),
+qt AS (
+  SELECT q, ceil(q * tot.n)::BIGINT AS rank_target
+  FROM (SELECT unnest([{qlist}]) AS q) CROSS JOIN tot),
+est AS (
+  SELECT q, rank_target,
+         first(ub ORDER BY ub, lb)::BIGINT AS est_idx,
+         first(lb ORDER BY ub, lb)::BIGINT AS est_lb
+  FROM qt JOIN ranked ON ranked.cum >= qt.rank_target
+  GROUP BY 1, 2),
+ranks AS (
+  SELECT q, rank_target, est_idx, est_lb,
+         sum(CASE WHEN c.i <= est_idx THEN 1 ELSE 0 END)::BIGINT AS rank_at_est,
+         sum(CASE WHEN c.i < est_lb THEN 1 ELSE 0 END)::BIGINT AS rank_lo_est
+  FROM est CROSS JOIN idxed c GROUP BY 1, 2, 3, 4)
+SELECT q, nn.n_nodes, est_idx,
+       round((est_idx + 1) * {scale}, 6) AS est_value,
+       rank_target, rank_at_est, rank_lo_est,
+       (rank_at_est >= rank_target
+        AND rank_lo_est - rank_target <= ({bits} / {k}) * tot.n) AS within_bound
+FROM ranks CROSS JOIN nn CROSS JOIN tot""")
+    return "".join(parts)
+
+
+SQL_REL_QDIGEST = _sql_qdigest(12, 128, 140.0, [0.25, 0.5, 0.9, 0.99])
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -14172,6 +14248,7 @@ _TAIL: list[str] = [
     "graph_rich_club",
     "er_damerau_join",
     "er_t_closeness",
+    "rel_qdigest_quantiles",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -14185,7 +14262,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 253
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 254
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -14407,6 +14484,7 @@ _ORACLES: dict[str, str] = {
     "graph_rich_club": SQL_GRAPH_RICH_CLUB,
     "er_damerau_join": SQL_ER_DAMERAU_JOIN,
     "er_t_closeness": SQL_ER_T_CLOSENESS,
+    "rel_qdigest_quantiles": SQL_REL_QDIGEST,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

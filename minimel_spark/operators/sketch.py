@@ -511,3 +511,197 @@ def kmv_jaccard(
     return out.crossJoin(ex).withColumn(
         "abs_err", F.abs(F.col("jaccard_kmv") - F.col("jaccard_exact"))
     )
+
+
+def qdigest_build(
+    df: DataFrame,
+    idx_col: str,
+    bits: int = 12,
+    k: int = 128,
+) -> DataFrame:
+    """Q-digest mergeable quantile sketch (Shrivastava, Buragohain,
+    Agrawal & Suri, SenSys 2004) over a bounded integer domain
+    [0, 2^bits) — the quantile-summary companion to this module's
+    HLL/CMS/Bloom/KMV: a set of dyadic-range nodes of the implicit binary
+    tree whose counts answer any rank query within ε·n for ε = bits/k,
+    in O(k) space, and which MERGES by count addition + one recompress
+    (the property plain sorted samples lack).
+
+    Build is the canonical bottom-up single pass, made fully deterministic
+    by operating on the exact leaf histogram: at each level, sibling pairs
+    whose combined count is below the compression threshold ⌊n/k⌋ move
+    their weight to the parent node; pairs at or above it stay put (every
+    internal node therefore carries < ⌊n/k⌋, which is what caps the rank
+    error of any query at bits·⌊n/k⌋ ≤ ε·n). The result is a pure
+    function of the value MULTISET — partitioning-invariant by
+    construction, which is what lets a DuckDB replay of the identical
+    per-level recurrence hash-match it exactly.
+
+    Scale design: the only full-data work is the one map-side-combinable
+    leaf groupBy; the ``bits`` compression rounds run over a frame bounded
+    by min(distinct values, 2^bits) rows that only shrinks — the driver
+    never sees data rows, and per-group digests (one groupBy key
+    prepended to every stage) fall out of the same shape. Returns
+    ``(lv, idx, cnt)`` node rows (level 0 = root, level ``bits`` =
+    leaves); values outside the domain clamp to its edges.
+    """
+    from pyspark.sql import Window
+
+    if not (1 <= bits <= 20):
+        raise ValueError(f"bits must be in [1, 20], got {bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    lo, hi = 0, (1 << bits) - 1
+    leaves = (
+        df.select(
+            F.greatest(
+                F.lit(lo), F.least(F.lit(hi), F.col(idx_col).cast("long"))
+            ).alias("idx")
+        )
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("lv", F.lit(bits))
+        .select("lv", "idx", "cnt")
+    )
+    n = df.count()
+    return _qdigest_compress(leaves.localCheckpoint(eager=True), bits, n // k)
+
+
+def _qdigest_compress(nodes: DataFrame, bits: int, thr: int) -> DataFrame:
+    """One full bottom-up compression pass over ``(lv, idx, cnt)`` node
+    rows: per level, sibling groups whose combined count is below ``thr``
+    move their weight to the parent. Shared by build and merge — the
+    q-digest merge IS count-addition followed by exactly this pass."""
+    from pyspark.sql import Window
+
+    for l in range(bits, 0, -1):
+        cur = nodes.where(F.col("lv") == l)
+        rest = nodes.where(F.col("lv") != l)
+        sib = cur.withColumn("p", (F.col("idx") / 2).cast("long")).withColumn(
+            "s", F.sum("cnt").over(Window.partitionBy("p"))
+        )
+        kept = sib.where(F.col("s") >= thr).select("lv", "idx", "cnt")
+        merged = (
+            sib.where(F.col("s") < thr)
+            .groupBy("p")
+            .agg(F.sum("cnt").alias("cnt"))
+            .select(F.lit(l - 1).alias("lv"), F.col("p").alias("idx"), "cnt")
+        )
+        nodes = rest.unionByName(kept).unionByName(merged)
+        if l % 4 == 1:  # bound plan depth over the tiny shrinking frame
+            nodes = nodes.localCheckpoint(eager=True)
+    return nodes
+
+
+def qdigest_merge(
+    a: DataFrame, b: DataFrame, bits: int, n_total: int, k: int = 128
+) -> DataFrame:
+    """Merge two q-digests built over the same domain (the SenSys 2004
+    merge): add the two node multisets' counts per (lv, idx), then run one
+    compression pass at the COMBINED threshold ⌊n_total/k⌋. The result is
+    a valid ε-digest of the union multiset (ε = bits/k) — not necessarily
+    node-identical to a direct build, which is why the pytest property
+    check asserts the rank guarantee of the merged digest rather than
+    structural equality."""
+    summed = (
+        a.unionByName(b)
+        .groupBy("lv", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("lv", "idx", "cnt")
+    )
+    return _qdigest_compress(
+        summed.localCheckpoint(eager=True), bits, n_total // k
+    )
+
+
+def qdigest_quantiles(
+    df: DataFrame,
+    value_col: str,
+    scale: float,
+    qs: list[float],
+    bits: int = 12,
+    k: int = 128,
+) -> DataFrame:
+    """Build a q-digest over ``floor(value / scale)`` and answer the given
+    quantiles from it, with the paper's rank-error guarantee CHECKED
+    against the exact data in the same plan: for each q the estimate is
+    the dyadic upper bound of the first node — nodes ordered by
+    (upper bound, lower bound) — whose cumulative count reaches
+    ⌈q·n⌉. The guarantee, duplicate-safe (the paper assumes distinct
+    values; a heavy repeated value legitimately spans many ranks): the
+    reported NODE's true rank interval brackets the target within ε·n,
+    i.e. count(values ≤ node ub) ≥ target (every value the prefix counted
+    is ≤ the bound) and count(values < node lb) ≤ target + ε·n (mass
+    below the node's range is either prefix mass < target or sits in the
+    ≤ ``bits`` strict ancestors, each carrying < ⌊n/k⌋), with
+    ε = bits/k — ``within_bound`` verifies both sides against the exact
+    data in the same plan. A self-auditing sketch gate.
+
+    One row per q: ``(q, n_nodes, est_idx, est_value, rank_target,
+    rank_at_est, rank_lo_est, within_bound)`` — exact integers except
+    q/est_value.
+    The rank audit is a conditional aggregation over a broadcast of the
+    |qs|-row estimate table — no driver collect, no non-broadcast theta
+    join.
+    """
+    from pyspark.sql import Window
+
+    idxed = df.select(
+        F.floor(F.col(value_col) / F.lit(scale)).cast("long").alias("_i")
+    ).localCheckpoint(eager=True)  # feeds the digest build AND the rank audit
+    nodes = qdigest_build(idxed, "_i", bits=bits, k=k)
+    n = idxed.count()
+    eps_n = (bits / k) * n
+    spark = df.sparkSession
+    n_nodes = nodes.count()
+    # dyadic range width 2^(bits - lv): exact in double up to 2^20
+    width = F.pow(F.lit(2.0), F.lit(bits) - F.col("lv")).cast("long")
+    ranked = (
+        nodes.select(
+            "cnt",
+            ((F.col("idx") + 1) * width - 1).alias("ub"),
+            (F.col("idx") * width).alias("lb"),
+        )
+        .withColumn("cum", F.sum("cnt").over(Window.orderBy("ub", "lb")))
+        # digest frame: <= 3k rows by the q-digest size bound — the global
+        # window is over the sketch, never the data
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double").withColumn(
+        "rank_target", F.ceil(F.col("q") * F.lit(n)).cast("long")
+    )
+    est = (
+        qdf.join(F.broadcast(ranked), ranked["cum"] >= qdf["rank_target"], "left")
+        .groupBy("q", "rank_target")
+        .agg(F.min(F.struct("ub", "lb")).alias("_st"))
+        .select(
+            "q",
+            "rank_target",
+            F.col("_st.ub").alias("est_idx"),
+            F.col("_st.lb").alias("est_lb"),
+        )
+    )
+    rank_at = (
+        idxed.crossJoin(F.broadcast(est))
+        .groupBy("q", "rank_target", "est_idx", "est_lb")
+        .agg(
+            F.sum(
+                F.when(F.col("_i") <= F.col("est_idx"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("rank_at_est"),
+            F.sum(
+                F.when(F.col("_i") < F.col("est_lb"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("rank_lo_est"),
+        )
+    )
+    return rank_at.select(
+        "q",
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.col("est_idx").cast("long").alias("est_idx"),
+        F.round((F.col("est_idx") + 1) * F.lit(scale), 6).alias("est_value"),
+        "rank_target",
+        F.col("rank_at_est").cast("long").alias("rank_at_est"),
+        F.col("rank_lo_est").cast("long").alias("rank_lo_est"),
+        (
+            (F.col("rank_at_est") >= F.col("rank_target"))
+            & ((F.col("rank_lo_est") - F.col("rank_target")) <= F.lit(eps_n))
+        ).alias("within_bound"),
+    )

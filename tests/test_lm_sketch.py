@@ -349,3 +349,96 @@ def test_cms_excludes_nulls_on_both_sides(spark):
     got = {r["v"]: r["cnt_est"] for r in cms_query(qdf, "v", cells, d=2, w=32).collect()}
     assert None not in got
     assert got["x"] >= 2 and got["z"] >= 0
+
+
+def test_qdigest_no_compression_is_exact_histogram(spark):
+    from minimel_spark.operators.sketch import qdigest_build
+
+    # thr = n // k = 0 -> nothing compresses: digest == leaf histogram
+    df = spark.createDataFrame([(i % 5,) for i in range(20)], "v long")
+    nodes = {(r["lv"], r["idx"]): r["cnt"]
+             for r in qdigest_build(df, "v", bits=4, k=1000).collect()}
+    assert nodes == {(4, i): 4 for i in range(5)}
+
+
+def test_qdigest_uniform_compression_levels(spark):
+    from minimel_spark.operators.sketch import qdigest_build
+
+    # 16 uniform values, k=4 -> thr=4: leaf sibling pairs (1+1=2 < 4) merge
+    # to level 3; level-3 pairs (2+2=4 >= 4) stay. 8 nodes at level 3.
+    df = spark.createDataFrame([(i,) for i in range(16)], "v long")
+    nodes = {(r["lv"], r["idx"]): r["cnt"]
+             for r in qdigest_build(df, "v", bits=4, k=4).collect()}
+    assert nodes == {(3, i): 2 for i in range(8)}
+
+
+def test_qdigest_quantiles_rank_guarantee_skewed(spark):
+    from minimel_spark.operators.sketch import qdigest_quantiles
+
+    # zipf-ish skew: heavy mass at 0, long tail; coarse sketch (k=16,
+    # eps=0.5) must still satisfy its own bound; fine sketch (k=256,
+    # eps=1/32) too
+    rows = [(0.0,)] * 300 + [(float(i % 97) + 1.0,) for i in range(400)]
+    df = spark.createDataFrame(rows, "v double")
+    for k in (16, 256):
+        out = qdigest_quantiles(
+            df, "v", scale=1.0, qs=[0.1, 0.5, 0.9, 0.99], bits=8, k=k
+        ).collect()
+        assert len(out) == 4
+        assert all(r["within_bound"] for r in out), [tuple(r) for r in out]
+    # the fine sketch must place the median inside the heavy zero bucket
+    fine = {r["q"]: r for r in out}
+    assert fine[0.1]["est_idx"] == 0 and fine[0.5]["est_idx"] <= 10
+
+
+def test_qdigest_partition_invariant_and_validation(spark):
+    import pytest as _pt
+
+    from minimel_spark.operators.sketch import qdigest_build
+
+    df = spark.createDataFrame([((i * 7) % 50,) for i in range(500)], "v long")
+    a = sorted(map(tuple, qdigest_build(df.coalesce(1), "v", bits=6, k=8).collect()))
+    b = sorted(map(tuple, qdigest_build(df.repartition(16), "v", bits=6, k=8).collect()))
+    assert a == b and len(a) > 0
+    with _pt.raises(ValueError, match="bits"):
+        qdigest_build(df, "v", bits=0)
+    with _pt.raises(ValueError, match="k must"):
+        qdigest_build(df, "v", k=0)
+
+
+def test_qdigest_merge_keeps_rank_guarantee(spark):
+    from pyspark.sql import Window
+
+    import pyspark.sql.functions as F
+
+    from minimel_spark.operators.sketch import qdigest_build, qdigest_merge
+
+    bits, k = 6, 8
+    h1 = spark.createDataFrame([((i * 3) % 64,) for i in range(300)], "v long")
+    h2 = spark.createDataFrame([((i * 5 + 1) % 64,) for i in range(200)], "v long")
+    m = qdigest_merge(
+        qdigest_build(h1, "v", bits=bits, k=k),
+        qdigest_build(h2, "v", bits=bits, k=k),
+        bits=bits, n_total=500, k=k,
+    )
+    # total mass preserved
+    assert m.agg(F.sum("cnt")).first()[0] == 500
+    # every internal node respects the combined threshold
+    bad = m.where((F.col("lv") < bits) & (F.col("cnt") >= 500 // k)).count()
+    assert bad == 0
+    # rank guarantee of the merged digest at q=0.5: walk by (ub, lb)
+    width = lambda lv: 1 << (bits - lv)
+    rows = sorted(
+        ((r["idx"] + 1) * width(r["lv"]) - 1, r["idx"] * width(r["lv"]), r["cnt"])
+        for r in m.collect()
+    )
+    target, cum, est = 250, 0, None
+    for ub, lb, cnt in rows:
+        cum += cnt
+        if cum >= target:
+            est = ub
+            break
+    exact = sorted([(i * 3) % 64 for i in range(300)] + [(i * 5 + 1) % 64 for i in range(200)])
+    true_rank = sum(1 for v in exact if v <= est)
+    eps_n = (bits / k) * 500
+    assert target <= true_rank <= target + eps_n
