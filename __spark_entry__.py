@@ -13975,6 +13975,104 @@ FROM ranks CROSS JOIN nn CROSS JOIN tot""")
 SQL_REL_QDIGEST = _sql_qdigest(12, 128, 140.0, [0.25, 0.5, 0.9, 0.99])
 
 
+def q_web_host_rank(spark, sf_dir):
+    """Host-level weighted PageRank (operators/graph.py pagerank_weighted
+    over operators/web.py outlink_host_graph): the SAME 2000-page / 37-host
+    fixture as web_outlink_graph is coarsened to host->host edges weighted
+    by link count (self-loops dropped — intra-host navigation is not an
+    endorsement), then each host splits rank proportionally to edge weight
+    for 10 synchronous damped iterations — the page->host coarsening +
+    weighted ranking step of a crawl-quality pipeline. The oracle replays
+    the href extraction, the host rollup, AND the unrolled weighted power
+    iteration (identical IEEE recurrence), rounded 6."""
+    from minimel_spark.operators.graph import pagerank_weighted
+    from minimel_spark.operators.web import outlink_host_graph
+
+    pages = spark.range(2000).select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("id") % 37).cast("string"),
+            F.lit(".example/p/"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+        F.when(F.col("id") % 11 == 0, F.lit("<p>no links</p>"))
+        .otherwise(
+            F.concat(
+                F.lit('<a href="https://h'),
+                ((F.col("id") * 7) % 37).cast("string"),
+                F.lit('.example/x">a</a> <a href="/rel">r</a> <a href="https://h'),
+                ((F.col("id") * 13 + 5) % 37).cast("string"),
+                F.lit('.example/y">b</a>'),
+            )
+        )
+        .alias("html_text"),
+    )
+    hg = outlink_host_graph(pages)
+    edges = hg.where(F.col("src_host") != F.col("dst_host")).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").alias("w"),
+    ).localCheckpoint(eager=True)  # scanned once per iteration
+    nodes = pages.select(
+        F.lower(F.regexp_extract("url", r"^https?://([^/]+)", 1)).alias("node")
+    ).distinct()
+    out = pagerank_weighted(edges, nodes, n_iter=10)
+    return out.select(F.col("node").alias("host"), F.round("rank", 6).alias("rank"))
+
+
+def _sql_host_rank(n_iter: int = 10) -> str:
+    steps = []
+    for i in range(n_iter):
+        steps.append(f"""r{i + 1} AS MATERIALIZED (
+  SELECT h.node,
+         (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+         + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
+             + (SELECT coalesce(sum(r.rank), 0.0::DOUBLE)
+                FROM r{i} r LEFT JOIN wsum ON r.node = wsum.node
+                WHERE wsum.node IS NULL) / (SELECT n FROM nn)) AS rank
+  FROM hosts h
+  LEFT JOIN (SELECT e.dst AS node, sum(r.rank * e.w / wsum.wsum) AS contrib
+             FROM r{i} r JOIN wsum ON r.node = wsum.node
+             JOIN hedges e ON e.src = r.node
+             GROUP BY e.dst) c ON h.node = c.node)""")
+    chained = ",\n".join(steps)
+    return f"""
+WITH pages AS MATERIALIZED (
+  SELECT 'https://h' || (i % 37)::VARCHAR || '.example/p/' || i::VARCHAR
+           AS url,
+         CASE WHEN i % 11 = 0 THEN '<p>no links</p>'
+              ELSE '<a href="https://h' || ((i * 7) % 37)::VARCHAR
+                   || '.example/x">a</a> <a href="/rel">r</a> '
+                   || '<a href="https://h' || ((i * 13 + 5) % 37)::VARCHAR
+                   || '.example/y">b</a>' END AS html_text
+  FROM range(2000) t(i)),
+x AS (SELECT url,
+             lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS src_host,
+             unnest(regexp_extract_all(html_text,
+               'href="(https?://[^"]+)"', 1)) AS link
+      FROM pages),
+h2 AS (SELECT url, src_host,
+             lower(regexp_extract(link, '^https?://([^/]+)', 1)) AS dst_host
+      FROM x),
+hedges AS MATERIALIZED (
+  SELECT src_host AS src, dst_host AS dst, count(*)::BIGINT AS w
+  FROM h2 WHERE dst_host <> '' AND dst_host <> src_host
+  GROUP BY 1, 2),
+hosts AS MATERIALIZED (
+  SELECT DISTINCT lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS node
+  FROM pages),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM hosts),
+wsum AS MATERIALIZED (SELECT src AS node, sum(w)::BIGINT AS wsum
+                      FROM hedges GROUP BY 1),
+r0 AS MATERIALIZED (
+  SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM hosts),
+{chained}
+SELECT node AS host, round(rank, 6) AS rank FROM r{n_iter}"""
+
+
+SQL_WEB_HOST_RANK = _sql_host_rank(10)
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -14249,6 +14347,7 @@ _TAIL: list[str] = [
     "er_damerau_join",
     "er_t_closeness",
     "rel_qdigest_quantiles",
+    "web_host_rank",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -14262,7 +14361,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 254
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 255
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -14485,6 +14584,7 @@ _ORACLES: dict[str, str] = {
     "er_damerau_join": SQL_ER_DAMERAU_JOIN,
     "er_t_closeness": SQL_ER_T_CLOSENESS,
     "rel_qdigest_quantiles": SQL_REL_QDIGEST,
+    "web_host_rank": SQL_WEB_HOST_RANK,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

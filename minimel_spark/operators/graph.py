@@ -1142,3 +1142,60 @@ def rich_club(edges: DataFrame, max_k: int = 10) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted PageRank over ``(src, dst, w)`` edges — the host-graph
+    ranking step of a web pipeline, where page-level links are first
+    COARSENED to host->host edges carrying link counts (a 100-1000x graph
+    reduction that is the difference between ranking 10^12 pages and
+    ranking 10^8 hosts) and each node then splits its rank proportionally
+    to edge weight instead of uniformly:
+
+        r_{i+1}(v) = (1-d)/N + d·(Σ_{u→v} r_i(u)·w(u,v)/W(u) + dang_i/N)
+
+    with ``W(u) = Σ w`` out of u and ``dang_i`` the rank mass on
+    zero-out-weight nodes. Same synchronous fixed-iteration contract and
+    shuffle shape as :func:`pagerank` (one grouped contribution shuffle +
+    one broadcast dangling scalar per round, lineage cut per round);
+    weights must be positive. Returns ``(node, rank)``.
+    """
+    edges = edges.select("src", "dst", F.col(weight_col).alias("_w"))
+    n = nodes.count()
+    wsum = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.sum("_w").alias("wsum"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iter):
+        with_w = ranks.join(wsum, "node", "left")
+        contrib = (
+            with_w.where(F.col("wsum").isNotNull())
+            .join(edges, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("_w") / F.col("wsum")).alias("contrib"))
+        )
+        dangling = with_w.where(F.col("wsum").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("_dang") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

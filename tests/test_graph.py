@@ -653,3 +653,55 @@ def test_rich_club_partition_invariant_and_validation(spark):
     assert a == b and len(a) == 6
     with _pytest.raises(ValueError):
         rich_club(edges, max_k=0)
+
+
+def test_pagerank_weighted_reduces_to_uniform_on_equal_weights(spark):
+    from minimel_spark.operators.graph import pagerank, pagerank_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "node long")
+    wedges = edges.withColumn("w", F.lit(7))
+    a = {r["node"]: round(r["rank"], 12)
+         for r in pagerank(edges, nodes, n_iter=8).collect()}
+    b = {r["node"]: round(r["rank"], 12)
+         for r in pagerank_weighted(wedges, nodes, n_iter=8).collect()}
+    assert a == b
+
+
+def test_pagerank_weighted_mass_conserved_and_weight_skew(spark):
+    from minimel_spark.operators.graph import pagerank_weighted
+
+    # node 1 sends 9/10 of its rank to 2 and 1/10 to 3
+    edges = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1), (2, 1, 1), (3, 1, 1)],
+        "src long, dst long, w long",
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank_weighted(edges, nodes, n_iter=12).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[2] > got[3] * 2
+
+
+def test_pagerank_weighted_dangling_and_partition_invariance(spark):
+    from minimel_spark.operators.graph import pagerank_weighted
+
+    # node 3 has no out-edges: its mass redistributes uniformly
+    edges = spark.createDataFrame(
+        [(1, 3, 2), (2, 3, 5)], "src long, dst long, w long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    a = sorted(
+        (r["node"], round(r["rank"], 12))
+        for r in pagerank_weighted(edges.coalesce(1), nodes, n_iter=6).collect()
+    )
+    b = sorted(
+        (r["node"], round(r["rank"], 12))
+        for r in pagerank_weighted(edges.repartition(8), nodes, n_iter=6).collect()
+    )
+    assert a == b
+    got = dict(a)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[3] > got[1]
