@@ -324,7 +324,10 @@ def t_closeness_audit(
     A single-valued domain (m = 1) has EMD 0 by convention.
 
     One row per equivalence class: the quasi columns, ``class_size``,
-    ``emd``, ``t_ok = emd <= t``.
+    ``emd``, ``t_ok = emd <= t``. Note: the call runs two small eager jobs
+    at plan-construction time (total row count, value-domain cardinality)
+    — both are scalars the EMD formula needs as literals; cache ``df`` if
+    you call this repeatedly on the same input.
 
     Scale design: the value domain table (m rows: value, ordinal rank,
     global count) is a tiny aggregate that BROADCASTS to a classes × m

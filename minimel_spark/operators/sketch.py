@@ -543,7 +543,10 @@ def qdigest_build(
     never sees data rows, and per-group digests (one groupBy key
     prepended to every stage) fall out of the same shape. Returns
     ``(lv, idx, cnt)`` node rows (level 0 = root, level ``bits`` =
-    leaves); values outside the domain clamp to its edges.
+    leaves); values outside the domain clamp to its edges. Note: the call
+    runs one eager count at plan-construction time (the compression
+    threshold ⌊n/k⌋ must be a literal before the per-level rule can be
+    planned) plus the leaf-histogram checkpoint.
     """
     from pyspark.sql import Window
 
