@@ -14073,6 +14073,70 @@ SELECT node AS host, round(rank, 6) AS rank FROM r{n_iter}"""
 SQL_WEB_HOST_RANK = _sql_host_rank(10)
 
 
+def q_corpus_spectral_embed(spark, sf_dir):
+    """1-D spectral word embedding (operators/embed.py
+    spectral_word_embedding, Levy & Goldberg 2014's PPMI factorization
+    view of word2vec): dominant eigenvector of the symmetrized bigram
+    PPMI matrix over documents by 8 synchronous power-iteration rounds —
+    embedding training as Spark-first iterative linear algebra (one
+    sparse mat-vec shuffle + one 1-row norm per round, PageRank's shuffle
+    shape). Exact integer co-occurrence counts feed one fixed ln; the
+    oracle replays bigram extraction on RAW split positions (empty tokens
+    break adjacency, mirroring the operator), the PPMI weights, and the
+    unrolled normalize-iterate recurrence, rounded 6."""
+    from minimel_spark.operators.embed import spectral_word_embedding
+
+    docs = _t(spark, sf_dir, "documents")
+    out = spectral_word_embedding(docs, n_iter=8)
+    return out.select("w", F.round("x", 6).alias("x"))
+
+
+def _sql_spectral(n_iter: int = 8) -> str:
+    steps = []
+    for i in range(n_iter):
+        steps.append(f"""mx{i} AS (
+  SELECT p.wa AS w, sum(p.m * x.x) AS mx
+  FROM ppmi p JOIN x{i} x ON x.w = p.wb GROUP BY 1),
+y{i} AS (
+  SELECT v.w, coalesce(mx{i}.mx, 0.0::DOUBLE) AS y
+  FROM vocab v LEFT JOIN mx{i} ON mx{i}.w = v.w),
+nrm{i} AS (SELECT sqrt(sum(y * y)) AS n FROM y{i}),
+x{i + 1} AS MATERIALIZED (
+  SELECT w, CASE WHEN nrm{i}.n > 0 THEN y / nrm{i}.n ELSE 0.0::DOUBLE END AS x
+  FROM y{i} CROSS JOIN nrm{i})""")
+    chained = ",\n".join(steps)
+    return f"""
+WITH w0 AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws
+  FROM documents),
+bi0 AS (
+  SELECT ws[i] AS wa, ws[i + 1] AS wb
+  FROM w0, LATERAL unnest(range(1, greatest(len(ws) - 1, 0) + 1)) t(i)
+  WHERE len(ws) >= 2 AND ws[i] <> '' AND ws[i + 1] <> ''),
+sym AS (SELECT wa, wb FROM bi0 UNION ALL SELECT wb, wa FROM bi0),
+cooc AS MATERIALIZED (
+  SELECT wa, wb, count(*)::BIGINT AS n_ab FROM sym GROUP BY 1, 2),
+marg AS MATERIALIZED (
+  SELECT wa AS w, sum(n_ab)::BIGINT AS r FROM cooc GROUP BY 1),
+tot AS (SELECT sum(n_ab)::BIGINT AS t FROM cooc),
+ppmi AS MATERIALIZED (
+  SELECT c.wa, c.wb,
+         greatest(0.0::DOUBLE,
+                  ln(c.n_ab * (SELECT t FROM tot)::DOUBLE
+                     / (ra.r * rb.r))) AS m
+  FROM cooc c JOIN marg ra ON ra.w = c.wa JOIN marg rb ON rb.w = c.wb
+  WHERE ln(c.n_ab * (SELECT t FROM tot)::DOUBLE / (ra.r * rb.r)) > 0),
+vocab AS MATERIALIZED (SELECT w FROM marg),
+nv AS (SELECT count(*)::BIGINT AS n FROM vocab),
+x0 AS MATERIALIZED (
+  SELECT w, 1.0::DOUBLE / sqrt((SELECT n FROM nv)) AS x FROM vocab),
+{chained}
+SELECT w, round(x, 6) AS x FROM x{n_iter}"""
+
+
+SQL_CORPUS_SPECTRAL = _sql_spectral(8)
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -14348,6 +14412,7 @@ _TAIL: list[str] = [
     "er_t_closeness",
     "rel_qdigest_quantiles",
     "web_host_rank",
+    "corpus_spectral_embed",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -14361,7 +14426,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 255
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 256
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -14585,6 +14650,7 @@ _ORACLES: dict[str, str] = {
     "er_t_closeness": SQL_ER_T_CLOSENESS,
     "rel_qdigest_quantiles": SQL_REL_QDIGEST,
     "web_host_rank": SQL_WEB_HOST_RANK,
+    "corpus_spectral_embed": SQL_CORPUS_SPECTRAL,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -168,3 +168,98 @@ def embed_with_vectorizer(
             )
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def spectral_word_embedding(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_iter: int = 8,
+) -> DataFrame:
+    """1-D spectral word embedding: the dominant eigenvector of the PPMI
+    bigram co-occurrence matrix by synchronous power iteration — the
+    count-based ancestor of word2vec (Levy & Goldberg, NeurIPS 2014 showed
+    SGNS factorizes exactly this matrix), expressed as Spark-first
+    iterative linear algebra: the "training loop" is n_iter rounds of one
+    sparse matrix-vector shuffle + one 1-row norm aggregate, so it scales
+    like PageRank (the matrix never materializes beyond the co-occurrence
+    edge list) and, being a pure function of the corpus, replays exactly
+    in an unrolled SQL oracle.
+
+    Construction: adjacent lowercase word pairs (w_i, w_{i+1}) per
+    document, symmetrized; PPMI(a,b) = max(0, ln(n_ab·T / (r_a·r_b)))
+    with T the total symmetrized pair count and r the row marginals —
+    exact integer counts into one fixed IEEE ln. Power iteration starts
+    from the uniform unit vector and L2-normalizes each round (norms are
+    1-row aggregates broadcast back). The dominant eigenvector of a PPMI
+    matrix is nonnegative (Perron-Frobenius), so the sign convention is
+    fixed by construction and the result is partitioning-stable to
+    ~1e-14 — rounded 6 in the gate.
+
+    Returns ``(word, x)`` — the embedding coordinate per vocabulary word
+    (words with no PPMI-positive neighbor converge to 0).
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    words = docs.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("pos", "w"),
+    ).where(F.col("w") != "")
+    # adjacency via self-join on (doc, pos+1): deterministic, JVM-only
+    a = words.select("_d", "pos", F.col("w").alias("wa"))
+    b = words.select(
+        "_d", (F.col("pos") - 1).alias("pos"), F.col("w").alias("wb")
+    )
+    bi = a.join(b, ["_d", "pos"]).select("wa", "wb")
+    sym = bi.unionAll(
+        bi.select(F.col("wb").alias("wa"), F.col("wa").alias("wb"))
+    )
+    cooc = (
+        sym.groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=True)  # scanned every iteration
+    )
+    marg = cooc.groupBy(F.col("wa").alias("w")).agg(F.sum("n_ab").alias("r"))
+    total = cooc.agg(F.sum("n_ab")).first()[0]
+    ppmi = (
+        cooc.join(marg.select(F.col("w").alias("wa"), F.col("r").alias("ra")), "wa")
+        .join(marg.select(F.col("w").alias("wb"), F.col("r").alias("rb")), "wb")
+        .select(
+            "wa",
+            "wb",
+            F.greatest(
+                F.lit(0.0),
+                F.log(
+                    F.col("n_ab") * F.lit(float(total)) / (F.col("ra") * F.col("rb"))
+                ),
+            ).alias("m"),
+        )
+        .where(F.col("m") > 0)
+        .localCheckpoint(eager=True)
+    )
+    vocab = marg.select("w").localCheckpoint(eager=True)
+    n_vocab = vocab.count()
+    x = vocab.select("w", F.lit(1.0 / float(n_vocab) ** 0.5).alias("x"))
+    for _ in range(n_iter):
+        mx = (
+            ppmi.join(x.select(F.col("w").alias("wb"), "x"), "wb")
+            .groupBy(F.col("wa").alias("w"))
+            .agg(F.sum(F.col("m") * F.col("x")).alias("mx"))
+        )
+        y = vocab.join(mx, "w", "left").select(
+            "w", F.coalesce("mx", F.lit(0.0)).alias("y")
+        )
+        norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("_n"))
+        x = (
+            y.crossJoin(F.broadcast(norm))
+            .select(
+                "w",
+                F.when(F.col("_n") > 0, F.col("y") / F.col("_n"))
+                .otherwise(F.lit(0.0))
+                .alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return x

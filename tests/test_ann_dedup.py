@@ -908,3 +908,62 @@ def test_cdc_stats_partition_invariant(spark):
 
     with _pytest.raises(ValueError):
         cdc_chunks(docs, k=0)
+
+
+def test_spectral_word_embedding_two_cliques(spark):
+    import numpy as np
+
+    from minimel_spark.operators.embed import spectral_word_embedding
+
+    # two disjoint word communities; the dominant eigenvector concentrates
+    # on the more strongly connected one, coordinates nonnegative
+    docs = spark.createDataFrame(
+        [(i, "aa bb aa bb aa bb aa bb") for i in range(6)]
+        + [(100 + i, "xx yy xx yy") for i in range(2)],
+        "doc_id long, text string",
+    )
+    got = {r["w"]: r["x"] for r in spectral_word_embedding(docs, n_iter=12).collect()}
+    assert set(got) == {"aa", "bb", "xx", "yy"}
+    assert all(v >= 0 for v in got.values())
+    # unit norm
+    assert abs(sum(v * v for v in got.values()) - 1.0) < 1e-9
+    # PPMI emphasizes the RARE association (ppmi = ln(T/n) for a closed
+    # 2-word clique): the xx-yy pair carries the higher weight
+    assert got["xx"] > got["aa"]
+    # power iteration agrees with numpy on the same PPMI matrix
+    words = ["aa", "bb", "xx", "yy"]
+    n_ab = {("aa", "bb"): 42, ("bb", "aa"): 42, ("xx", "yy"): 6, ("yy", "xx"): 6}
+    T = sum(n_ab.values())
+    r = {w: sum(v for (a, _), v in n_ab.items() if a == w) for w in words}
+    M = np.zeros((4, 4))
+    for (a, b), v in n_ab.items():
+        M[words.index(a), words.index(b)] = max(0.0, np.log(v * T / (r[a] * r[b])))
+    x = np.full(4, 0.5)
+    for _ in range(12):
+        y = M @ x
+        n = np.linalg.norm(y)
+        x = y / n if n > 0 else y
+    for i, w in enumerate(words):
+        assert abs(got[w] - x[i]) < 1e-9, (w, got[w], x[i])
+
+
+def test_spectral_word_embedding_partition_invariant_and_validation(spark):
+    import pytest as _pt
+
+    from minimel_spark.operators.embed import spectral_word_embedding
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i * 3) % 7} w{(i * 5 + 1) % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        (r["w"], round(r["x"], 12))
+        for r in spectral_word_embedding(docs.coalesce(1), n_iter=6).collect()
+    )
+    b = sorted(
+        (r["w"], round(r["x"], 12))
+        for r in spectral_word_embedding(docs.repartition(16), n_iter=6).collect()
+    )
+    assert a == b and len(a) == 7
+    with _pt.raises(ValueError, match="n_iter"):
+        spectral_word_embedding(docs, n_iter=0)
