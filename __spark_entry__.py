@@ -14137,6 +14137,60 @@ SELECT w, round(x, 6) AS x FROM x{n_iter}"""
 SQL_CORPUS_SPECTRAL = _sql_spectral(8)
 
 
+def q_rel_bom_rollup(spark, sf_dir):
+    """Hierarchy rollup by pointer doubling (operators/graph.py
+    pointer_doubling_roots, Wyllie 1979): a deterministic md5 parent
+    forest over part (parent = h mod p_partkey, strictly decreasing ⇒
+    acyclic; every 7th hash a root, plus part 0) resolved to
+    (root, depth) in 5 doubling rounds — the distributed answer to the
+    sequential `WITH RECURSIVE` walk, which is EXACTLY what the DuckDB
+    oracle runs (native recursion as the independent algorithm). The
+    resolved column is the round-budget audit: the oracle emits literal
+    true, so any unresolved node is a hash mismatch, not a silent
+    truncation."""
+    from minimel_spark.operators.graph import pointer_doubling_roots
+    from minimel_spark.operators.util import md5_long60
+
+    p = _t(spark, sf_dir, "part")
+    h = md5_long60(F.concat(F.lit("bom:"), F.col("p_partkey").cast("string")))
+    parents = p.select(
+        F.col("p_partkey").alias("node"),
+        F.when(
+            (F.col("p_partkey") == 0) | (h % 7 == 0), F.lit(None).cast("long")
+        )
+        .otherwise(h % F.greatest(F.col("p_partkey"), F.lit(1)))
+        .alias("parent"),
+    )
+    out = pointer_doubling_roots(parents, rounds=5)
+    return out.select(
+        F.col("node").alias("p_partkey"),
+        F.col("root").cast("long").alias("root"),
+        F.col("depth").cast("long").alias("depth"),
+        "resolved",
+    )
+
+
+SQL_REL_BOM_ROLLUP = """
+WITH RECURSIVE par AS (
+  SELECT p_partkey AS node,
+         CASE WHEN p_partkey = 0 OR h % 7 = 0 THEN NULL
+              ELSE (h % greatest(p_partkey, 1))::BIGINT END AS parent
+  FROM (SELECT p_partkey,
+               ('0x' || substr(md5('bom:' || p_partkey), 1, 15))::UBIGINT AS h
+        FROM part)),
+walk AS (
+  SELECT node AS p, node AS cur, 0::BIGINT AS depth FROM par
+  UNION ALL
+  SELECT w.p, par.parent, w.depth + 1
+  FROM walk w JOIN par ON par.node = w.cur
+  WHERE par.parent IS NOT NULL)
+SELECT p AS p_partkey,
+       first(cur ORDER BY depth DESC)::BIGINT AS root,
+       max(depth)::BIGINT AS depth,
+       true AS resolved
+FROM walk GROUP BY 1"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -14413,6 +14467,7 @@ _TAIL: list[str] = [
     "rel_qdigest_quantiles",
     "web_host_rank",
     "corpus_spectral_embed",
+    "rel_bom_rollup",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -14426,7 +14481,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 256
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 257
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -14651,6 +14706,7 @@ _ORACLES: dict[str, str] = {
     "rel_qdigest_quantiles": SQL_REL_QDIGEST,
     "web_host_rank": SQL_WEB_HOST_RANK,
     "corpus_spectral_embed": SQL_CORPUS_SPECTRAL,
+    "rel_bom_rollup": SQL_REL_BOM_ROLLUP,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

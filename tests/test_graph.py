@@ -705,3 +705,53 @@ def test_pagerank_weighted_dangling_and_partition_invariance(spark):
     got = dict(a)
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[3] > got[1]
+
+
+def test_pointer_doubling_chain_depths(spark):
+    from minimel_spark.operators.graph import pointer_doubling_roots
+
+    # chain 5->4->3->2->1->root(0), plus isolated root 9
+    parents = spark.createDataFrame(
+        [(0, None), (1, 0), (2, 1), (3, 2), (4, 3), (5, 4), (9, None)],
+        "node long, parent long",
+    )
+    got = {r["node"]: (r["root"], r["depth"], r["resolved"])
+           for r in pointer_doubling_roots(parents, rounds=3).collect()}
+    assert got == {
+        0: (0, 0, True), 1: (0, 1, True), 2: (0, 2, True), 3: (0, 3, True),
+        4: (0, 4, True), 5: (0, 5, True), 9: (9, 0, True),
+    }
+
+
+def test_pointer_doubling_forest_and_budget_audit(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.graph import pointer_doubling_roots
+
+    # two trees; rounds=1 reaches ancestors at distance <= 2 only:
+    # node 3 (depth 3) must come back resolved=False, not silently wrong
+    parents = spark.createDataFrame(
+        [(0, None), (1, 0), (2, 1), (3, 2), (10, None), (11, 10)],
+        "node long, parent long",
+    )
+    got = {r["node"]: (r["root"], r["depth"], r["resolved"])
+           for r in pointer_doubling_roots(parents, rounds=1).collect()}
+    # rounds=1 certifies depth <= 2^1 - 1 = 1; node 2 already POINTS at the
+    # root with the right depth but its certificate arrives a round later
+    assert got[1] == (0, 1, True) and got[2] == (0, 2, False)
+    assert got[11] == (10, 1, True)
+    assert got[3][2] is False
+    full = {r["node"]: r for r in pointer_doubling_roots(parents, rounds=2).collect()}
+    assert full[3]["root"] == 0 and full[3]["depth"] == 3 and full[3]["resolved"]
+    with _pytest.raises(ValueError):
+        pointer_doubling_roots(parents, rounds=-1)
+
+
+def test_pointer_doubling_partition_invariant(spark):
+    from minimel_spark.operators.graph import pointer_doubling_roots
+
+    rows = [(0, None)] + [(i, (i * 7 + 3) % i if i > 1 else 0) for i in range(1, 60)]
+    parents = spark.createDataFrame(rows, "node long, parent long")
+    a = sorted(map(tuple, pointer_doubling_roots(parents.coalesce(1), rounds=6).collect()))
+    b = sorted(map(tuple, pointer_doubling_roots(parents.repartition(16), rounds=6).collect()))
+    assert a == b and all(t[3] for t in a)
