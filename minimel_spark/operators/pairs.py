@@ -925,6 +925,12 @@ def damerau_distance_join(
         .withColumn("distance", _dl_udf("_na", "_nb"))
         .where(F.col("distance") <= k)
         .withColumn("lev_distance", F.levenshtein("_na", "_nb").cast("long"))
+        # lazy checkpoint: the verified pair table feeds the two-sided record
+        # expansion, and without the plan cut Catalyst re-evaluates the DP
+        # UDF subtree once per consumer branch (observed 3x in the physical
+        # plan) — the checkpoint materializes the (output-sized) name pairs
+        # once on first action instead
+        .localCheckpoint(eager=False)
     )
     ra = names.select(F.col("rid").alias("_ra"), F.col("nm").alias("_na"))
     rb = names.select(F.col("rid").alias("_rb"), F.col("nm").alias("_nb"))

@@ -597,3 +597,51 @@ def test_stream_hourly_user_counts_equals_batch(spark):
     assert got == want and len(got) > 0
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_rich_club_threshold_panel_joins_are_broadcast(spark):
+    """The per-k range joins run against the two tiny histograms — they
+    must plan as broadcast nested-loop joins, never a shuffled cartesian."""
+    from minimel_spark.operators.graph import rich_club
+
+    edges = spark.createDataFrame(
+        [(i % 13, (i * 5 + 2) % 13) for i in range(60)], "src long, dst long"
+    )
+    out = rich_club(edges, max_k=6)
+    assert count_plan_nodes(out, "CartesianProduct") == 0
+    assert count_plan_nodes(out, "BroadcastNestedLoopJoin") >= 1
+
+
+def test_damerau_join_single_udf_eval_no_cartesian(spark):
+    """The Lowrance-Wagner DP must be evaluated ONCE: the verified name
+    pairs are checkpointed before the two-sided record expansion (without
+    the cut, Catalyst re-evaluates the UDF subtree per consumer branch —
+    observed 3x), so the outer plan carries NO ArrowEvalPython at all;
+    the candidate machinery must stay hash/broadcast joins."""
+    from minimel_spark.operators.pairs import damerau_distance_join
+
+    df = spark.createDataFrame(
+        [(i, f"name{i % 9}x") for i in range(30)], "rec_id long, name string"
+    )
+    out = damerau_distance_join(df, k=1, q=2)
+    assert count_plan_nodes(out, "ArrowEvalPython") == 0
+    assert count_plan_nodes(out, "CartesianProduct") == 0
+
+
+def test_t_closeness_value_domain_broadcasts(spark):
+    from minimel_spark.operators.profile import t_closeness_audit
+
+    df = spark.createDataFrame(
+        [(f"g{i % 4}", (i * 3) % 5) for i in range(100)], "grp string, v long"
+    )
+    out = t_closeness_audit(df, ["grp"], "v")
+    assert count_plan_nodes(out, "CartesianProduct") == 0
+    assert count_plan_nodes(out, "BroadcastNestedLoopJoin") >= 1
+
+
+def test_qdigest_rank_audit_broadcasts_estimates(spark):
+    from minimel_spark.operators.sketch import qdigest_quantiles
+
+    df = spark.createDataFrame([(float(i % 40),) for i in range(300)], "v double")
+    out = qdigest_quantiles(df, "v", scale=1.0, qs=[0.5, 0.9], bits=6, k=8)
+    assert count_plan_nodes(out, "CartesianProduct") == 0
