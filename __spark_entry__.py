@@ -14191,6 +14191,98 @@ SELECT p AS p_partkey,
 FROM walk GROUP BY 1"""
 
 
+def q_graph_boruvka_mst(spark, sf_dir):
+    """Minimum spanning forest by distributed Borůvka (operators/graph.py
+    boruvka_mst) over the SAME md5 link graph as the other graph gates,
+    undirected, with md5-derived edge weights (distinct whp, ties broken
+    by (w, a, b)) — in ER terms the scale path to single-link clustering:
+    cutting this forest at θ is single-link at θ. Each round every
+    component picks its minimum outgoing edge and contracts by EXACT
+    connected components of the selection graph; the oracle unrolls the
+    identical rounds with a recursive-CTE closure per contraction (native
+    recursion as the independent CC algorithm). Pytest separately pins
+    equality with a sequential union-find Kruskal."""
+    from minimel_spark.operators.graph import boruvka_mst
+    from minimel_spark.operators.util import md5_long60
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    und = (
+        _doc_link_edges(docs, n)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+    )
+    weighted = und.select(
+        "src",
+        "dst",
+        md5_long60(
+            F.concat(
+                F.lit("mstw:"),
+                F.col("src").cast("string"),
+                F.lit(":"),
+                F.col("dst").cast("string"),
+            )
+        ).alias("w"),
+    )
+    return boruvka_mst(weighted, rounds=10)
+
+
+def _sql_boruvka(rounds: int = 10) -> str:
+    parts = ["""
+WITH RECURSIVE e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, (SELECT count(*) AS n FROM documents) nn),
+und AS MATERIALIZED (
+  SELECT a, b,
+         ('0x' || substr(md5('mstw:' || a || ':' || b), 1, 15))::UBIGINT::BIGINT
+           AS w
+  FROM (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst)),
+comp0 AS MATERIALIZED (
+  SELECT n AS node, n AS label FROM (
+    SELECT DISTINCT a AS n FROM und UNION SELECT DISTINCT b FROM und))"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+crs{r} AS (
+  SELECT u.a, u.b, u.w, pa.label AS eca, pb.label AS ecb
+  FROM und u JOIN comp{r - 1} pa ON pa.node = u.a
+             JOIN comp{r - 1} pb ON pb.node = u.b
+  WHERE pa.label <> pb.label),
+ori{r} AS (
+  SELECT eca AS c, w, a, b, eca, ecb FROM crs{r}
+  UNION ALL SELECT ecb, w, a, b, eca, ecb FROM crs{r}),
+s{r} AS MATERIALIZED (
+  SELECT DISTINCT w, a, b, eca, ecb FROM (
+    SELECT first(w ORDER BY w, a, b) AS w, first(a ORDER BY w, a, b) AS a,
+           first(b ORDER BY w, a, b) AS b,
+           first(eca ORDER BY w, a, b) AS eca,
+           first(ecb ORDER BY w, a, b) AS ecb
+    FROM ori{r} GROUP BY c)),
+se{r} AS (SELECT eca AS src, ecb AS dst FROM s{r}
+          UNION ALL SELECT ecb, eca FROM s{r}),
+reach{r} AS (
+  SELECT DISTINCT src AS n, src AS m FROM se{r}
+  UNION
+  SELECT e.dst, rr.m FROM reach{r} rr JOIN se{r} e ON e.src = rr.n),
+lbl{r} AS MATERIALIZED (SELECT n, min(m) AS m FROM reach{r} GROUP BY n),
+comp{r} AS MATERIALIZED (
+  SELECT c.node, coalesce(l.m, c.label) AS label
+  FROM comp{r - 1} c LEFT JOIN lbl{r} l ON l.n = c.label)""")
+    sel_union = "\nUNION ALL\n".join(
+        f"SELECT a, b, w FROM s{r}" for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + f"\n{sel_union}"
+
+
+SQL_GRAPH_BORUVKA = _sql_boruvka(10)
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -14468,6 +14560,7 @@ _TAIL: list[str] = [
     "web_host_rank",
     "corpus_spectral_embed",
     "rel_bom_rollup",
+    "graph_boruvka_mst",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -14481,7 +14574,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 257
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 258
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -14707,6 +14800,7 @@ _ORACLES: dict[str, str] = {
     "web_host_rank": SQL_WEB_HOST_RANK,
     "corpus_spectral_embed": SQL_CORPUS_SPECTRAL,
     "rel_bom_rollup": SQL_REL_BOM_ROLLUP,
+    "graph_boruvka_mst": SQL_GRAPH_BORUVKA,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

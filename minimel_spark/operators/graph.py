@@ -1256,3 +1256,93 @@ def pointer_doubling_roots(parents: DataFrame, rounds: int = 5) -> DataFrame:
         "depth",
         F.col("done").alias("resolved"),
     )
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    rounds: int = 10,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Minimum spanning forest by Borůvka's algorithm (1926; the textbook
+    DISTRIBUTED MST — Kruskal/Prim are sequential union-find walks) — in
+    ER terms, the scale path to single-link hierarchical clustering:
+    cutting the MST at threshold θ IS single-link clustering at θ, so one
+    forest materializes every flat clustering at once.
+
+    Each round, every component selects its minimum outgoing edge
+    (ties broken lexicographically by ``(w, a, b)`` so the forest is a
+    pure function of the input even with duplicate weights), the selected
+    edges join the forest, and components contract by EXACT connected
+    components over the selection graph (``cluster.connected_components``
+    — the selection graph is #components-sized, tiny next to the data).
+    Components at least halve per round, so ``rounds`` = ⌈log₂ N⌉
+    suffices; the loop exits early the first round no crossing edge
+    remains. Per round: two label joins + one grouped min + CC on the
+    contracted graph — no global sort, no driver state beyond the
+    early-exit count.
+
+    Input ``(src, dst, w)``; parallel edges collapse to their minimum
+    weight, self-loops drop. Output: the forest edge set ``(a, b, w)``
+    with ``a < b`` — exactly ``N − #components`` rows.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col(weight_col).alias("w"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)  # scanned every round
+    )
+    from .cluster import connected_components
+
+    comp = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    parts = []
+    for _ in range(rounds):
+        cross = (
+            und.join(
+                comp.select(F.col("node").alias("a"), F.col("label").alias("ca")), "a"
+            )
+            .join(
+                comp.select(F.col("node").alias("b"), F.col("label").alias("cb")), "b"
+            )
+            .where(F.col("ca") != F.col("cb"))
+            .localCheckpoint(eager=True)  # feeds both orientations + count
+        )
+        if cross.count() == 0:
+            break
+        ori = cross.select(
+            F.col("ca").alias("c"), "w", "a", "b", "ca", "cb"
+        ).unionByName(cross.select(F.col("cb").alias("c"), "w", "a", "b", "ca", "cb"))
+        sel = (
+            ori.groupBy("c")
+            .agg(F.min(F.struct("w", "a", "b", "ca", "cb")).alias("_s"))
+            .select("_s.w", "_s.a", "_s.b", "_s.ca", "_s.cb")
+            .distinct()
+            .localCheckpoint(eager=True)  # forest part + contraction input
+        )
+        parts.append(sel.select("a", "b", "w"))
+        mapping = connected_components(
+            sel.select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        ).select(F.col("node").alias("label"), F.col("component").alias("_new"))
+        comp = (
+            comp.join(mapping, "label", "left")
+            .select("node", F.coalesce("_new", F.col("label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    if not parts:
+        return und.where(F.lit(False)).select("a", "b", "w")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

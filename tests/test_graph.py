@@ -755,3 +755,72 @@ def test_pointer_doubling_partition_invariant(spark):
     a = sorted(map(tuple, pointer_doubling_roots(parents.coalesce(1), rounds=6).collect()))
     b = sorted(map(tuple, pointer_doubling_roots(parents.repartition(16), rounds=6).collect()))
     assert a == b and all(t[3] for t in a)
+
+
+def _kruskal(n_edges):
+    """Pure-python Kruskal with (w, a, b) tie-break — the sequential
+    reference the distributed Borůvka must equal (unique forest under the
+    lexicographic total order even with duplicate weights)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    mst = []
+    for w, a, b in sorted((w, a, b) for a, b, w in n_edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            mst.append((a, b, w))
+    return sorted(mst)
+
+
+def test_boruvka_mst_equals_kruskal_random(spark):
+    from minimel_spark.operators.graph import boruvka_mst
+
+    edges = []
+    for i in range(150):
+        a, b = i % 60, (i * 7 + 3) % 60
+        if a != b:
+            w = (a * 131071 + b * 524287 + i * 7919) % 100003
+            edges.append((min(a, b), max(a, b), w))
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = sorted((r["a"], r["b"], r["w"]) for r in boruvka_mst(df, rounds=8).collect())
+    # dedupe parallel edges to min weight, as the operator does
+    best = {}
+    for a, b, w in edges:
+        best[(a, b)] = min(best.get((a, b), w), w)
+    want = _kruskal([(a, b, w) for (a, b), w in best.items()])
+    assert got == want and len(got) > 0
+
+
+def test_boruvka_mst_forest_and_chain(spark):
+    from minimel_spark.operators.graph import boruvka_mst
+
+    # two components: a triangle (drop the heaviest edge) + a chain
+    edges = [(1, 2, 5), (2, 3, 3), (1, 3, 9), (10, 11, 1), (11, 12, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = sorted(map(tuple, boruvka_mst(df, rounds=6).collect()))
+    assert got == [(1, 2, 5), (2, 3, 3), (10, 11, 1), (11, 12, 2)]
+    assert len(got) == 6 - 2  # N - #components
+
+
+def test_boruvka_mst_duplicates_selfloops_partition_invariance(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.graph import boruvka_mst
+
+    edges = [(1, 2, 7), (2, 1, 4), (1, 1, 0), (2, 3, 4), (3, 2, 8), (1, 3, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = sorted(map(tuple, boruvka_mst(df, rounds=4).collect()))
+    # parallel (1,2) collapses to 4; self-loop dropped; (2,3)->4, (1,3)->6
+    assert got == [(1, 2, 4), (2, 3, 4)]
+    a = sorted(map(tuple, boruvka_mst(df.coalesce(1), rounds=4).collect()))
+    b = sorted(map(tuple, boruvka_mst(df.repartition(8), rounds=4).collect()))
+    assert a == b == got
+    with _pytest.raises(ValueError):
+        boruvka_mst(df, rounds=0)
