@@ -14283,6 +14283,89 @@ comp{r} AS MATERIALIZED (
 SQL_GRAPH_BORUVKA = _sql_boruvka(10)
 
 
+_SL_THETA = 1 << 59  # cut threshold: half the 60-bit weight space
+
+
+def q_er_single_link_cut(spark, sf_dir):
+    """Single-link clustering from the MST (the point of carrying a
+    spanning forest in an ER engine): cut graph_boruvka_mst's forest at
+    θ = 2^59 and take connected components of the SURVIVING FOREST EDGES
+    (plus singletons). The oracle never looks at the MST — it runs a
+    recursive-CTE closure over the θ-filtered ORIGINAL edge set, so
+    hash-equality is the single-link theorem itself (MST-cut components
+    == threshold-graph components) verified by two independent algorithms
+    on two different edge sets. At scale this is the payoff: one O(m)
+    forest materializes every flat clustering, and each θ-cut touches
+    N−1 edges instead of m."""
+    from minimel_spark.operators.cluster import connected_components
+    from minimel_spark.operators.graph import boruvka_mst
+    from minimel_spark.operators.util import md5_long60
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    und = (
+        _doc_link_edges(docs, n)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .distinct()
+    )
+    weighted = und.select(
+        "src",
+        "dst",
+        md5_long60(
+            F.concat(
+                F.lit("mstw:"),
+                F.col("src").cast("string"),
+                F.lit(":"),
+                F.col("dst").cast("string"),
+            )
+        ).alias("w"),
+    ).localCheckpoint(eager=True)  # feeds the MST AND the node universe
+    mst = boruvka_mst(weighted, rounds=10)
+    kept = mst.where(F.col("w") <= F.lit(_SL_THETA)).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    cc = connected_components(kept)
+    nodes = (
+        weighted.select(F.col("src").alias("node"))
+        .unionAll(weighted.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return nodes.join(cc, "node", "left").select(
+        F.col("node").cast("long").alias("node"),
+        F.coalesce("component", F.col("node")).cast("long").alias("cluster"),
+    )
+
+
+SQL_ER_SINGLE_LINK = f"""
+WITH RECURSIVE e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, (SELECT count(*) AS n FROM documents) nn),
+und AS MATERIALIZED (
+  SELECT a, b,
+         ('0x' || substr(md5('mstw:' || a || ':' || b), 1, 15))::UBIGINT::BIGINT
+           AS w
+  FROM (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst)),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT a AS node FROM und UNION SELECT DISTINCT b FROM und),
+-- the θ-filtered ORIGINAL graph, not the MST: agreement with the Spark
+-- side IS the single-link theorem
+keep AS MATERIALIZED (SELECT a, b FROM und WHERE w <= {_SL_THETA}),
+sym AS (SELECT a AS src, b AS dst FROM keep UNION ALL SELECT b, a FROM keep),
+reach AS (
+  SELECT node AS n, node AS m FROM nodes
+  UNION
+  SELECT e.dst, r.m FROM reach r JOIN sym e ON e.src = r.n)
+SELECT n::BIGINT AS node, min(m)::BIGINT AS cluster
+FROM reach GROUP BY 1"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -14561,6 +14644,7 @@ _TAIL: list[str] = [
     "corpus_spectral_embed",
     "rel_bom_rollup",
     "graph_boruvka_mst",
+    "er_single_link_cut",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -14574,7 +14658,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 258
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 259
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -14801,6 +14885,7 @@ _ORACLES: dict[str, str] = {
     "corpus_spectral_embed": SQL_CORPUS_SPECTRAL,
     "rel_bom_rollup": SQL_REL_BOM_ROLLUP,
     "graph_boruvka_mst": SQL_GRAPH_BORUVKA,
+    "er_single_link_cut": SQL_ER_SINGLE_LINK,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,
