@@ -14366,6 +14366,76 @@ SELECT n::BIGINT AS node, min(m)::BIGINT AS cluster
 FROM reach GROUP BY 1"""
 
 
+def q_graph_hyperball_nf(spark, sf_dir):
+    """HyperBall approximate neighborhood function (operators/graph.py
+    hyperball_anf, Boldi & Vigna 2013) over the SAME md5 link graph,
+    undirected: every node carries a p=4 HLL of its radius-r ball (same
+    md5 register layout as web_hll_distinct), ball union = register max,
+    F(r) = Σ estimates for r = 0..5 — the effective-diameter curve at
+    rounds·O(m) cost where exact all-pairs BFS is O(n·m). Registers,
+    maxima, and the integer register sums are exact in both engines; the
+    oracle unrolls the identical 5 register-max rounds and the
+    hll_distinct estimator, rounded 6."""
+    from minimel_spark.operators.graph import hyperball_anf
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return hyperball_anf(_doc_link_edges(docs, n), rounds=5)
+
+
+def _sql_hyperball(rounds: int = 5) -> str:
+    m, rem_bits = 16, 56
+    rho_max = rem_bits + 1
+    scale = 0.673 * m * m * float(1 << rho_max)
+    est = f"""
+  SELECT sum(CASE WHEN {scale!r} / ((s + (16 - nr) * (1::BIGINT << {rho_max}))::DOUBLE)
+                       <= 40.0 AND nr < 16
+             THEN 16.0 * ln(16.0 / (16 - nr)::DOUBLE)
+             ELSE {scale!r} / ((s + (16 - nr) * (1::BIGINT << {rho_max}))::DOUBLE)
+             END) AS nf
+  FROM (SELECT node, count(*)::BIGINT AS nr,
+               sum(1::BIGINT << ({rho_max} - rho))::BIGINT AS s
+        FROM st%d GROUP BY node)"""
+    parts = [f"""
+WITH e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, (SELECT count(*) AS n FROM documents) nn),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+st0 AS MATERIALIZED (
+  SELECT node, (h >> {rem_bits})::BIGINT AS idx,
+         CASE WHEN (h % (1::UBIGINT << {rem_bits})) = 0 THEN {rho_max}
+              ELSE {rho_max}
+                   - length(bin((h % (1::UBIGINT << {rem_bits}))::BIGINT))
+         END AS rho
+  FROM (SELECT node,
+               ('0x' || substr(md5('anf:' || node), 1, 15))::UBIGINT AS h
+        FROM (SELECT DISTINCT src AS node FROM sym)))"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+st{r} AS MATERIALIZED (
+  SELECT node, idx, max(rho) AS rho FROM (
+    SELECT node, idx, rho FROM st{r - 1}
+    UNION ALL
+    SELECT e.dst, s.idx, s.rho
+    FROM st{r - 1} s JOIN sym e ON e.src = s.node)
+  GROUP BY 1, 2)""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {r}::BIGINT AS r, round(nf, 6) AS nf FROM ({est % r})"
+        for r in range(0, rounds + 1)
+    )
+    return "".join(parts) + "\n" + rows
+
+
+SQL_GRAPH_HYPERBALL = _sql_hyperball(5)
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -14645,6 +14715,7 @@ _TAIL: list[str] = [
     "rel_bom_rollup",
     "graph_boruvka_mst",
     "er_single_link_cut",
+    "graph_hyperball_nf",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -14658,7 +14729,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 259
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 260
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -14886,6 +14957,7 @@ _ORACLES: dict[str, str] = {
     "rel_bom_rollup": SQL_REL_BOM_ROLLUP,
     "graph_boruvka_mst": SQL_GRAPH_BORUVKA,
     "er_single_link_cut": SQL_ER_SINGLE_LINK,
+    "graph_hyperball_nf": SQL_GRAPH_HYPERBALL,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

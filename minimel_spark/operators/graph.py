@@ -1346,3 +1346,80 @@ def boruvka_mst(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def hyperball_anf(edges: DataFrame, rounds: int = 5) -> DataFrame:
+    """Approximate neighborhood function by HyperBall (Boldi & Vigna,
+    2013; ANF: Palmer, Gibbons & Faloutsos, KDD 2002) — the sketch×graph
+    hybrid that measures how fast balls grow: every node carries a tiny
+    HyperLogLog (p=4, 16 registers, the same md5 bit layout as
+    ``sketch.hll_distinct``) of its radius-r ball, and each round every
+    node's registers take the element-wise max with its neighbors' — HLL
+    union IS register max, which is the entire trick: a ball union costs
+    one grouped max instead of a set union. F(r) = Σ_v |ball_r(v)| is the
+    neighborhood function whose knee is the graph's effective diameter —
+    on a 10^11-edge crawl this runs in rounds·O(m) register shuffles
+    where exact BFS from every node is O(n·m) and flatly impossible.
+
+    Deterministic end to end: registers come from md5, union is max, and
+    the estimator (linear-counting small-range correction included, the
+    ``hll_distinct`` formula with exact integer register sums) is one
+    fixed IEEE expression — so an unrolled SQL replay hash-matches.
+    Returns one row per radius: ``(r, nf)`` for r = 0..rounds, nf
+    rounded 6.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from .util import md5_long60
+
+    p = 4
+    m = 1 << p
+    rem_bits = 60 - p
+    rho_max = rem_bits + 1
+    alpha_m = 0.673
+    scale = alpha_m * m * m * float(1 << rho_max)
+    spark = edges.sparkSession
+
+    sym = _symmetrized(edges).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    h = md5_long60(F.concat(F.lit("anf:"), F.col("node").cast("string")))
+    rem = F.expr(f"_h & {(1 << rem_bits) - 1}")
+    state = (
+        nodes.select("node", h.alias("_h"))
+        .select(
+            "node",
+            F.shiftright(F.col("_h"), rem_bits).alias("idx"),
+            F.when(rem == 0, F.lit(rho_max))
+            .otherwise(F.lit(rho_max) - F.length(F.bin(rem)))
+            .alias("rho"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _nf(st):
+        agg = st.groupBy("node").agg(
+            F.count(F.lit(1)).alias("nr"),
+            F.sum(F.expr(f"CAST(1 AS BIGINT) << ({rho_max} - rho)")).alias("s"),
+        )
+        v0 = F.lit(m) - F.col("nr")
+        s_total = F.col("s") + v0 * F.lit(1 << rho_max)
+        raw = F.lit(scale) / s_total.cast("double")
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (v0 > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v0.cast("double")),
+        ).otherwise(raw)
+        return agg.agg(F.sum(est)).first()[0]
+
+    out = [(0, round(_nf(state), 6))]
+    for r in range(1, rounds + 1):
+        nbr = sym.join(state, state["node"] == sym["src"]).select(
+            F.col("dst").alias("node"), "idx", "rho"
+        )
+        state = (
+            state.unionByName(nbr)
+            .groupBy("node", "idx")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=True)
+        )
+        out.append((r, round(_nf(state), 6)))
+    return spark.createDataFrame(out, "r long, nf double").repartition(1)

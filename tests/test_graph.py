@@ -824,3 +824,53 @@ def test_boruvka_mst_duplicates_selfloops_partition_invariance(spark):
     assert a == b == got
     with _pytest.raises(ValueError):
         boruvka_mst(df, rounds=0)
+
+
+def test_hyperball_nf_monotone_and_saturates(spark):
+    from minimel_spark.operators.graph import hyperball_anf
+
+    # path graph 0-1-2-3-4: balls grow then saturate at the component
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long"
+    )
+    rows = {r["r"]: r["nf"] for r in hyperball_anf(edges, rounds=5).collect()}
+    assert len(rows) == 6
+    # monotone non-decreasing, saturated once r >= diameter
+    vals = [rows[i] for i in range(6)]
+    assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+    assert abs(vals[4] - vals[5]) < 1e-9
+    # r=0: every ball has exactly 1 element -> 5 * (16 ln(16/15))
+    import math
+
+    assert abs(vals[0] - 5 * 16 * math.log(16 / 15)) < 1e-6
+
+
+def test_hyperball_estimates_near_truth_small_balls(spark):
+    from minimel_spark.operators.graph import hyperball_anf
+
+    # two cliques of 6 and 4 (disjoint): at r>=1 every ball = its clique.
+    # m=16 linear counting is ~20% SE per ball, and errors are FULLY
+    # correlated within a clique (every member holds the same ball), so
+    # the honest tolerance on the sum is ~30%
+    k6 = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    k4 = [(10 + a, 10 + b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(k6 + k4, "src long, dst long")
+    rows = {r["r"]: r["nf"] for r in hyperball_anf(edges, rounds=2).collect()}
+    truth = 6 * 6 + 4 * 4  # sum over nodes of |ball| = 36 + 16 = 52
+    assert abs(rows[1] - truth) / truth < 0.3
+    assert abs(rows[2] - rows[1]) < 1e-9  # saturated
+
+
+def test_hyperball_partition_invariant_and_validation(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.graph import hyperball_anf
+
+    edges = spark.createDataFrame(
+        [(i % 17, (i * 5 + 1) % 17) for i in range(50)], "src long, dst long"
+    )
+    a = [tuple(r) for r in hyperball_anf(edges.coalesce(1), rounds=3).collect()]
+    b = [tuple(r) for r in hyperball_anf(edges.repartition(16), rounds=3).collect()]
+    assert a == b and len(a) == 4
+    with _pytest.raises(ValueError):
+        hyperball_anf(edges, rounds=0)
