@@ -874,3 +874,57 @@ def test_hyperball_partition_invariant_and_validation(spark):
     assert a == b and len(a) == 4
     with _pytest.raises(ValueError):
         hyperball_anf(edges, rounds=0)
+
+
+def test_link_prediction_square_scores(spark):
+    import math
+
+    from minimel_spark.operators.graph import link_prediction_scores
+
+    # 4-cycle 1-2-3-4-1: diagonals (1,3) and (2,4) share exactly {2,4} /
+    # {1,3}; all degrees 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    got = {(r["node_a"], r["node_b"]): r
+           for r in link_prediction_scores(edges).collect()}
+    assert set(got) == {(1, 3), (2, 4)}
+    r = got[(1, 3)]
+    assert r["cn"] == 2 and r["jaccard"] == 1.0 and r["pref_attach"] == 4
+    assert r["adamic_adar"] == round(2 / math.log(2), 6)
+    assert r["resource_alloc"] == 1.0
+
+
+def test_link_prediction_excludes_existing_edges_and_filters(spark):
+    from minimel_spark.operators.graph import link_prediction_scores
+
+    # close one diagonal: (1,3) is now an EDGE -> must disappear even
+    # though it still has 2 shared neighbors
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src long, dst long"
+    )
+    got = {(r["node_a"], r["node_b"]) for r in link_prediction_scores(edges).collect()}
+    assert (1, 3) not in got and (2, 4) in got
+    # min_common raises the floor
+    import pytest as _pt
+
+    assert link_prediction_scores(edges, min_common=3).count() == 0
+    with _pt.raises(ValueError):
+        link_prediction_scores(edges, min_common=0)
+
+
+def test_link_prediction_partition_invariant(spark):
+    from minimel_spark.operators.graph import link_prediction_scores
+
+    edges = spark.createDataFrame(
+        [(i % 19, (i * 3 + 1) % 19) for i in range(60)]
+        + [(i % 19, (i * 7 + 2) % 19) for i in range(60)],
+        "src long, dst long",
+    )
+    a = sorted(
+        map(tuple, link_prediction_scores(edges.coalesce(1), min_common=1).collect())
+    )
+    b = sorted(
+        map(tuple, link_prediction_scores(edges.repartition(16), min_common=1).collect())
+    )
+    assert a == b and len(a) > 0
