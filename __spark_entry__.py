@@ -14496,10 +14496,13 @@ FROM cand JOIN deg da ON da.node = cand.node_a
 # - window positions 11-50: forty of the sixty-five round-5 gates that have
 #   never had a driver row, picked so every NEW operator family has at least
 #   one driver-checked representative;
-# - tail (51+): first the twenty-five round-5 gates whose family sibling is
-#   in-window (each green in the full local sweep, scripts/check_entry.py,
-#   and in pytest — sweep logs cover what the 50-row driver cap cannot),
-#   then every gate with a green historical driver row from r1-r4.
+# - tail (51+): first the round-5 gates whose family sibling is in-window
+#   (each green in the full local sweep, scripts/check_entry.py, and in
+#   pytest — sweep logs cover what the 50-row driver cap cannot), then
+#   every gate with a green historical driver row from r1-r4, then the
+#   round-5 continuation batches appended in commit order (never
+#   driver-sampled; each oracle-checked individually at add time and in
+#   the closing full sweeps).
 _WINDOW: list[str] = [
     "er_anchor_counts_joined",
     "er_mentions_chunked",
