@@ -14486,6 +14486,40 @@ FROM cand JOIN deg da ON da.node = cand.node_a
           JOIN deg db ON db.node = cand.node_b"""
 
 
+_DECAY_BOUNDS_US = [
+    1704931200 * 1_000_000,  # 2024-01-11 00:00 UTC
+    1705795200 * 1_000_000,  # 2024-01-21
+    1706659200 * 1_000_000,  # 2024-01-31 (past the last event)
+]
+_DECAY_HALFLIFE_S = 172800.0  # 48 h
+
+
+def q_stream_decayed_counts(spark, sf_dir):
+    """Exponentially-decayed event counters (operators/events.py
+    decayed_counts): the per-type decayed mass at the final checkpoint,
+    computed by the INCREMENTAL chronological fold a restarting streaming
+    job performs (carry × one scale factor per checkpoint + window
+    contributions; state is |keys|-sized, never |events|), with a 48 h
+    halflife over three 10-day checkpoints. The oracle computes the
+    DIRECT whole-corpus formula — agreement at 6 decimals is the decay
+    identity 0.5^(a+b) = 0.5^a·0.5^b holding across the fold, the state
+    law every time-decayed top-k relies on."""
+    from minimel_spark.operators.events import decayed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return decayed_counts(ev, _DECAY_BOUNDS_US, _DECAY_HALFLIFE_S)
+
+
+SQL_STREAM_DECAYED = f"""
+SELECT event_type,
+       round(sum(pow(0.5, ({_DECAY_BOUNDS_US[-1]} - epoch_us(ts))::DOUBLE
+                          / {_DECAY_HALFLIFE_S * 1e6!r})), 6) AS decayed,
+       count(*)::BIGINT AS n_events
+FROM events
+WHERE epoch_us(ts) < {_DECAY_BOUNDS_US[-1]}
+GROUP BY 1"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -14770,6 +14804,7 @@ _TAIL: list[str] = [
     "er_single_link_cut",
     "graph_hyperball_nf",
     "graph_link_predict",
+    "stream_decayed_counts",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -14783,7 +14818,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 261
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 262
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -15013,6 +15048,7 @@ _ORACLES: dict[str, str] = {
     "er_single_link_cut": SQL_ER_SINGLE_LINK,
     "graph_hyperball_nf": SQL_GRAPH_HYPERBALL,
     "graph_link_predict": SQL_GRAPH_LINK_PREDICT,
+    "stream_decayed_counts": SQL_STREAM_DECAYED,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -292,3 +292,78 @@ def burst_hours(
             (F.col("n") > mu + F.lit(float(z)) * sigma).alias("is_burst"),
         )
     )
+
+
+def decayed_counts(
+    events: DataFrame,
+    boundaries_us: list[int],
+    halflife_s: float,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Exponentially-decayed event counters folded INCREMENTALLY across
+    chronological checkpoints — the state law behind every streaming
+    decayed top-k (e.g. Cormode et al.'s time-decayed sketches): at each
+    boundary b_i the carried state scales by one factor
+    0.5^((b_i − b_{i−1})/h) while the window's events contribute
+    0.5^((b_i − ts)/h), so the final state is reachable from EITHER the
+    incremental fold (what a restarting streaming job does) or the direct
+    whole-corpus formula. The gate's oracle computes the direct form;
+    agreement at 6 decimals is the decay identity
+    0.5^(a+b) = 0.5^a · 0.5^b holding across the fold (exact up to
+    ~1e-13 relative IEEE drift, far below the rounding).
+
+    ``boundaries_us`` are epoch-microsecond cutoffs, ascending; events at
+    or past the last boundary are ignored (they haven't happened yet from
+    the final checkpoint's perspective). Each fold step is one windowed
+    aggregation + one full-outer merge on the key — state size is
+    |keys|, never |events|, which is the whole point of decayed counters
+    at stream scale. Returns ``(key, decayed, n_events)``.
+    """
+    if not boundaries_us or sorted(boundaries_us) != list(boundaries_us):
+        raise ValueError("boundaries_us must be a non-empty ascending list")
+    if halflife_s <= 0:
+        raise ValueError(f"halflife_s must be > 0, got {halflife_s}")
+    h_us = float(halflife_s) * 1e6
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    key = F.col(key_col).alias("key")
+    state = None
+    prev_b = None
+    for b in boundaries_us:
+        w = events.where(
+            ts_us < F.lit(b) if prev_b is None
+            else (ts_us >= F.lit(prev_b)) & (ts_us < F.lit(b))
+        )
+        part = w.groupBy(key).agg(
+            F.sum(
+                F.pow(F.lit(0.5), (F.lit(b) - ts_us).cast("double") / F.lit(h_us))
+            ).alias("_add"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        if state is None:
+            state = part.select("key", F.col("_add").alias("decayed"),
+                                F.col("_n").alias("n_events"))
+        else:
+            carry = 0.5 ** ((b - prev_b) / h_us)
+            scaled = state.select(
+                "key",
+                (F.col("decayed") * F.lit(carry)).alias("_prev"),
+                F.col("n_events").alias("_pn"),
+            )
+            state = scaled.join(part, "key", "full_outer").select(
+                "key",
+                (
+                    F.coalesce("_prev", F.lit(0.0))
+                    + F.coalesce("_add", F.lit(0.0))
+                ).alias("decayed"),
+                (
+                    F.coalesce("_pn", F.lit(0))
+                    + F.coalesce("_n", F.lit(0))
+                ).cast("long").alias("n_events"),
+            )
+        prev_b = b
+    return state.select(
+        F.col("key").alias(key_col),
+        F.round("decayed", 6).alias("decayed"),
+        "n_events",
+    )

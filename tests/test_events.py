@@ -202,3 +202,62 @@ def test_burst_hours_flags_spike(spark):
     assert a["mu"] == round(mu, 6) and a["sigma"] == round(sig, 6)
     with _pytest.raises(ValueError):
         burst_hours(ev, z=0)
+
+
+def test_decayed_counts_fold_equals_direct(spark):
+    import math
+
+    from minimel_spark.operators.events import decayed_counts
+
+    # events for two keys over 4 hours; halflife 1h; boundaries at h2, h4
+    rows = [
+        ("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:30:00"),
+        ("a", "2024-01-01 01:30:00"), ("b", "2024-01-01 01:00:00"),
+        ("a", "2024-01-01 02:30:00"), ("b", "2024-01-01 03:00:00"),
+        ("b", "2024-01-01 03:59:00"),
+        ("b", "2024-01-01 04:30:00"),  # past final boundary: ignored
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts string")
+    base = 1704067200 * 1_000_000  # 2024-01-01 00:00:00 UTC epoch us
+    b2 = base + 2 * 3600 * 1_000_000
+    b4 = base + 4 * 3600 * 1_000_000
+    got = {r["event_type"]: (r["decayed"], r["n_events"])
+           for r in decayed_counts(df, [b2, b4], 3600.0).collect()}
+    import datetime
+
+    def direct(key):
+        tot = 0.0
+        n = 0
+        for k, t in rows:
+            if k != key:
+                continue
+            ts = datetime.datetime.fromisoformat(t).replace(
+                tzinfo=datetime.timezone.utc).timestamp() * 1e6
+            if ts >= b4:
+                continue
+            tot += 0.5 ** ((b4 - ts) / (3600 * 1e6))
+            n += 1
+        return round(tot, 6), n
+
+    for k in ("a", "b"):
+        want = direct(k)
+        assert got[k][1] == want[1]
+        assert abs(got[k][0] - want[0]) < 1e-6, (k, got[k], want)
+
+
+def test_decayed_counts_validation_and_partition_invariance(spark):
+    import pytest as _pt
+
+    from minimel_spark.operators.events import decayed_counts
+
+    rows = [(f"k{i % 3}", f"2024-01-01 {i % 24:02d}:00:00") for i in range(200)]
+    df = spark.createDataFrame(rows, "event_type string, ts string")
+    base = 1704067200 * 1_000_000
+    bs = [base + h * 3600 * 1_000_000 for h in (8, 16, 24)]
+    a = sorted(map(tuple, decayed_counts(df.coalesce(1), bs, 7200.0).collect()))
+    b = sorted(map(tuple, decayed_counts(df.repartition(16), bs, 7200.0).collect()))
+    assert a == b and len(a) == 3
+    with _pt.raises(ValueError, match="ascending"):
+        decayed_counts(df, [2, 1], 60.0)
+    with _pt.raises(ValueError, match="halflife"):
+        decayed_counts(df, [1], 0.0)
