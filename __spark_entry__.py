@@ -14520,6 +14520,51 @@ WHERE epoch_us(ts) < {_DECAY_BOUNDS_US[-1]}
 GROUP BY 1"""
 
 
+def q_graph_reciprocity(spark, sf_dir):
+    """Directed reciprocity (operators/graph.py reciprocity, Garlaschelli
+    & Loffredo 2004) of the md5 link graph kept DIRECTED: r = L↔/L plus
+    the density-corrected ρ — the third structural-fingerprint number
+    next to graph_assortativity and graph_rich_club (a ρ jump between
+    crawls flags mirror rings / link farms). Exact integer counts into
+    two fixed divisions, rounded 6; the oracle replays the reversed-edge
+    semi-join natively."""
+    from minimel_spark.operators.graph import reciprocity
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return reciprocity(_doc_link_edges(docs, n))
+
+
+SQL_GRAPH_RECIPROCITY = """
+WITH e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, (SELECT count(*) AS n FROM documents) nn),
+simple AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+stats AS (
+  SELECT (SELECT count(*) FROM (
+            SELECT DISTINCT n FROM (
+              SELECT src AS n FROM simple UNION ALL SELECT dst FROM simple)))
+           ::BIGINT AS n_nodes,
+         (SELECT count(*) FROM simple)::BIGINT AS n_edges,
+         (SELECT count(*) FROM simple s
+          SEMI JOIN simple r ON r.src = s.dst AND r.dst = s.src)::BIGINT
+           AS n_mutual)
+SELECT n_nodes, n_edges, n_mutual,
+       round(CASE WHEN n_edges > 0 THEN n_mutual / n_edges END, 6) AS r,
+       round(CASE WHEN n_nodes > 1
+                   AND n_edges * 1.0 / (n_nodes * (n_nodes - 1)) <> 1.0
+                   AND n_edges > 0
+             THEN (n_mutual / n_edges
+                   - n_edges / (n_nodes * (n_nodes - 1)))
+                  / (1.0 - n_edges / (n_nodes * (n_nodes - 1)))
+             END, 6) AS rho
+FROM stats"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -14805,6 +14850,7 @@ _TAIL: list[str] = [
     "graph_hyperball_nf",
     "graph_link_predict",
     "stream_decayed_counts",
+    "graph_reciprocity",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -14818,7 +14864,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 262
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 263
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -15049,6 +15095,7 @@ _ORACLES: dict[str, str] = {
     "graph_hyperball_nf": SQL_GRAPH_HYPERBALL,
     "graph_link_predict": SQL_GRAPH_LINK_PREDICT,
     "stream_decayed_counts": SQL_STREAM_DECAYED,
+    "graph_reciprocity": SQL_GRAPH_RECIPROCITY,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -1506,3 +1506,57 @@ def link_prediction_scores(
             (F.col("da") * F.col("db")).cast("long").alias("pref_attach"),
         )
     )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed reciprocity (Garlaschelli & Loffredo, PRL 2004): the
+    fraction r = L↔/L of directed simple edges whose reverse also exists,
+    plus the density-corrected ρ = (r − ā)/(1 − ā) with
+    ā = L/(N(N−1)) — the correction that makes reciprocity comparable
+    across graphs of different density (raw r is inflated on dense
+    graphs by chance alone). The web's link graph is weakly reciprocal
+    (ρ small and positive); a jump in ρ between crawls flags mirror
+    rings and link farms — the third leg of the structural fingerprint
+    next to assortativity and the rich club.
+
+    One self-semi-join on the reversed edge + two counts; all exact
+    integers into two fixed divisions, rounded 6. One row:
+    ``(n_nodes, n_edges, n_mutual, r, rho)``; ρ is NULL when ā = 1
+    (complete graph) and r is NULL when L = 0.
+    """
+    simple = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)  # 3 consumers: count, semi-join, nodes
+    )
+    mutual = simple.join(
+        simple.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "leftsemi",
+    )
+    n_nodes = (
+        simple.select(F.col("src").alias("n"))
+        .unionAll(simple.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    l_total = simple.count()
+    l_mutual = mutual.count()
+    spark = edges.sparkSession
+    r = (l_mutual / l_total) if l_total else None
+    a_bar = l_total / (n_nodes * (n_nodes - 1)) if n_nodes > 1 else None
+    rho = (
+        (r - a_bar) / (1.0 - a_bar)
+        if r is not None and a_bar is not None and a_bar != 1.0
+        else None
+    )
+    raw = spark.createDataFrame(
+        [(n_nodes, l_total, l_mutual, r, rho)],
+        "n_nodes long, n_edges long, n_mutual long, r double, rho double",
+    )
+    # F.round (half-up, matching SQL ROUND) — python round() is banker's
+    return raw.select(
+        "n_nodes", "n_edges", "n_mutual",
+        F.round("r", 6).alias("r"), F.round("rho", 6).alias("rho"),
+    )

@@ -928,3 +928,36 @@ def test_link_prediction_partition_invariant(spark):
         map(tuple, link_prediction_scores(edges.repartition(16), min_common=1).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_reciprocity_hand_graphs(spark):
+    from minimel_spark.operators.graph import reciprocity
+
+    # 1<->2 mutual, 1->3 and 3->2 one-way: L=4, mutual=2, N=3, abar=4/6
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 2)], "src long, dst long"
+    )
+    row = reciprocity(edges).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_mutual"]) == (3, 4, 2)
+    assert row["r"] == 0.5
+    abar = 4 / 6
+    assert row["rho"] == round((0.5 - abar) / (1 - abar), 6)
+    # fully mutual pair: r = 1, rho = 1 (abar = 1 -> NULL guard is for
+    # the COMPLETE graph; here N=2, abar=1 -> rho NULL)
+    pair = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    row2 = reciprocity(pair).collect()[0]
+    assert row2["r"] == 1.0 and row2["rho"] is None
+
+
+def test_reciprocity_ignores_loops_duplicates_and_is_invariant(spark):
+    from minimel_spark.operators.graph import reciprocity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 1), (2, 3), (3, 2), (4, 4)], "src long, dst long"
+    )
+    row = reciprocity(edges).collect()[0]
+    # simple edges: (1,2), (2,3), (3,2); mutual: (2,3),(3,2)
+    assert (row["n_nodes"], row["n_edges"], row["n_mutual"]) == (3, 3, 2)
+    a = tuple(reciprocity(edges.coalesce(1)).collect()[0])
+    b = tuple(reciprocity(edges.repartition(8)).collect()[0])
+    assert a == b
