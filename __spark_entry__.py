@@ -14565,6 +14565,64 @@ SELECT n_nodes, n_edges, n_mutual,
 FROM stats"""
 
 
+def q_rel_cms_join_size(spark, sf_dir):
+    """CMS inner-product join-cardinality estimation (operators/sketch.py
+    cms_join_size, Cormode & Muthukrishnan 2005 / AGMS): pre-flight the
+    lineitem ⋈ lineitem self-join on l_partkey — the quadratic-blowup
+    check a planner wants before a hot-key join — from one d=4, w=2048
+    sketch, against the EXACT Σ cnt(k)² computed alongside. The estimate
+    is exact integer arithmetic (min over rows of Σ cnt·cnt), provably
+    never below the truth (collisions only add nonnegative cross terms)
+    — `never_undercounts` pins the guarantee, `rel_overestimate` the
+    measured slack. The oracle replays sketch, inner product, and truth
+    natively."""
+    from minimel_spark.operators.sketch import cms_build, cms_join_size
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    cms = cms_build(li, "l_partkey", d=4, w=2048).localCheckpoint(
+        eager=True
+    )  # both sides of the estimator read the same sketch
+    est = cms_join_size(cms, cms, d=4)
+    truth = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("true_join_size"))
+    )
+    return truth.crossJoin(est).select(
+        "true_join_size",
+        "est_join_size",
+        (F.col("est_join_size") >= F.col("true_join_size")).alias(
+            "never_undercounts"
+        ),
+        F.round(
+            (F.col("est_join_size") - F.col("true_join_size"))
+            / F.col("true_join_size"),
+            6,
+        ).alias("rel_overestimate"),
+    )
+
+
+SQL_REL_CMS_JOIN_SIZE = """
+WITH keys AS (SELECT l_partkey AS k FROM lineitem WHERE l_partkey IS NOT NULL),
+cells AS (
+  SELECT j, ('0x' || substr(md5('c' || j || ':' || k), 1, 15))::UBIGINT % 2048
+           AS bucket
+  FROM keys, (SELECT unnest([1, 2, 3, 4]) AS j)),
+cms AS MATERIALIZED (
+  SELECT j, bucket, count(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
+est AS (
+  SELECT min(ip)::BIGINT AS est_join_size FROM (
+    SELECT j, sum(cnt * cnt)::BIGINT AS ip FROM cms GROUP BY j)),
+truth AS (
+  SELECT sum(c * c)::BIGINT AS true_join_size FROM (
+    SELECT count(*)::BIGINT AS c FROM keys GROUP BY k))
+SELECT true_join_size, est_join_size,
+       (est_join_size >= true_join_size) AS never_undercounts,
+       round((est_join_size - true_join_size) / true_join_size, 6)
+         AS rel_overestimate
+FROM truth CROSS JOIN est"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -14851,6 +14909,7 @@ _TAIL: list[str] = [
     "graph_link_predict",
     "stream_decayed_counts",
     "graph_reciprocity",
+    "rel_cms_join_size",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -14864,7 +14923,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 263
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 264
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -15096,6 +15155,7 @@ _ORACLES: dict[str, str] = {
     "graph_link_predict": SQL_GRAPH_LINK_PREDICT,
     "stream_decayed_counts": SQL_STREAM_DECAYED,
     "graph_reciprocity": SQL_GRAPH_RECIPROCITY,
+    "rel_cms_join_size": SQL_REL_CMS_JOIN_SIZE,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

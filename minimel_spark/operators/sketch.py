@@ -708,3 +708,33 @@ def qdigest_quantiles(
             & ((F.col("rank_lo_est") - F.col("rank_target")) <= F.lit(eps_n))
         ).alias("within_bound"),
     )
+
+
+def cms_join_size(cms_a: DataFrame, cms_b: DataFrame, d: int = 4) -> DataFrame:
+    """Equi-join cardinality estimation from two count-min sketches
+    (Cormode & Muthukrishnan 2005 §4.2, the CM form of the AGMS
+    inner-product estimator): |A ⋈ B on k| = Σ_k cnt_A(k)·cnt_B(k) is
+    estimated by min over hash rows j of Σ_buckets CMS_A[j]·CMS_B[j] —
+    colliding keys only ADD nonnegative cross terms, so every row
+    over-estimates and the min is the tightest; the estimate never
+    undercounts. This is the pre-flight a planner runs before a
+    quadratic-risk join (the self-join-on-hot-key blowup check) from two
+    d·w-row summaries, never touching the data again — THE reason to
+    keep CMS sketches of join keys at 100 TB.
+
+    Exact integer arithmetic end to end (counts × counts summed), so the
+    gate's oracle replays it value-exactly. Input: two ``cms_build``
+    outputs built with the same (d, w). One row: ``(est_join_size)``.
+    """
+    if d < 1:
+        raise ValueError(f"d must be >= 1, got {d}")
+    prod = (
+        cms_a.select("row_j", "bucket", F.col("cnt").alias("_ca"))
+        .join(
+            cms_b.select("row_j", "bucket", F.col("cnt").alias("_cb")),
+            ["row_j", "bucket"],
+        )
+        .groupBy("row_j")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
+    )
+    return prod.agg(F.min("_ip").cast("long").alias("est_join_size"))

@@ -442,3 +442,38 @@ def test_qdigest_merge_keeps_rank_guarantee(spark):
     true_rank = sum(1 for v in exact if v <= est)
     eps_n = (bits / k) * 500
     assert target <= true_rank <= target + eps_n
+
+
+def test_cms_join_size_exact_when_no_collisions(spark):
+    from minimel_spark.operators.sketch import cms_build, cms_join_size
+
+    # tiny key domains in a wide sketch: no collisions -> estimate exact
+    a = spark.createDataFrame([(i % 3,) for i in range(30)], "k long")
+    b = spark.createDataFrame([(i % 3,) for i in range(12)], "k long")
+    ca, cb = cms_build(a, "k", d=3, w=4096), cms_build(b, "k", d=3, w=4096)
+    est = cms_join_size(ca, cb, d=3).collect()[0]["est_join_size"]
+    assert est == 3 * (10 * 4)  # each of 3 keys: 10 x 4 pairings
+
+
+def test_cms_join_size_never_undercounts(spark):
+    import pytest as _pt
+
+    from minimel_spark.operators.sketch import cms_build, cms_join_size
+
+    # narrow sketch forces collisions: estimate must stay >= truth
+    a = spark.createDataFrame([((i * 7) % 50,) for i in range(400)], "k long")
+    b = spark.createDataFrame([((i * 11) % 50,) for i in range(300)], "k long")
+    truth_df = (
+        a.groupBy("k").count().withColumnRenamed("count", "ca")
+        .join(b.groupBy("k").count().withColumnRenamed("count", "cb"), "k")
+    )
+    truth = truth_df.selectExpr("sum(ca * cb) s").collect()[0]["s"]
+    for w in (8, 64, 4096):
+        est = cms_join_size(
+            cms_build(a, "k", d=4, w=w), cms_build(b, "k", d=4, w=w), d=4
+        ).collect()[0]["est_join_size"]
+        assert est >= truth, (w, est, truth)
+    # wide sketch: exact
+    assert est == truth
+    with _pt.raises(ValueError):
+        cms_join_size(cms_build(a, "k"), cms_build(b, "k"), d=0)
