@@ -14623,6 +14623,61 @@ SELECT true_join_size, est_join_size,
 FROM truth CROSS JOIN est"""
 
 
+def q_graph_walk_corpus(spark, sf_dir):
+    """Deterministic random-walk corpus (operators/graph.py
+    deterministic_walks — the DeepWalk/node2vec sampling layer with
+    md5-seeded pre-drawn step choices) over the SAME md5 link graph,
+    undirected: 2 walks × 4 steps from every node, each step joining the
+    ranked adjacency at rank md5('walk:start:w:t') mod deg + 1. Pure
+    function of the graph — the oracle replays every step with identical
+    window-ranked adjacency joins, and pytest replays it a third way in
+    pure python. The output rows ARE the skip-gram training corpus."""
+    from minimel_spark.operators.graph import deterministic_walks
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return deterministic_walks(_doc_link_edges(docs, n), n_walks=2, walk_len=4)
+
+
+def _sql_walks(n_walks: int = 2, walk_len: int = 4) -> str:
+    parts = [f"""
+WITH e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, (SELECT count(*) AS n FROM documents) nn),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+adj AS MATERIALIZED (
+  SELECT u, v,
+         row_number() OVER (PARTITION BY u ORDER BY v) AS rnk,
+         count(*) OVER (PARTITION BY u) AS deg
+  FROM sym),
+f0 AS MATERIALIZED (
+  SELECT s.u AS start, w.w AS walk_id, s.u AS node
+  FROM (SELECT DISTINCT u FROM adj) s,
+       (SELECT unnest(range(0, {n_walks})) AS w) w)"""]
+    for t in range(1, walk_len + 1):
+        parts.append(f""",
+f{t} AS MATERIALIZED (
+  SELECT f.start, f.walk_id, adj.v AS node
+  FROM f{t - 1} f JOIN adj ON adj.u = f.node
+  AND (('0x' || substr(md5('walk:' || f.start || ':' || f.walk_id
+                           || ':' || {t}), 1, 15))::UBIGINT
+       % adj.deg) + 1 = adj.rnk)""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT start, walk_id::BIGINT AS walk_id, {t}::BIGINT AS step, node FROM f{t}"
+        for t in range(0, walk_len + 1)
+    )
+    return "".join(parts) + "\n" + rows
+
+
+SQL_GRAPH_WALK_CORPUS = _sql_walks(2, 4)
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -14910,6 +14965,7 @@ _TAIL: list[str] = [
     "stream_decayed_counts",
     "graph_reciprocity",
     "rel_cms_join_size",
+    "graph_walk_corpus",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -14923,7 +14979,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 264
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 265
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -15156,6 +15212,7 @@ _ORACLES: dict[str, str] = {
     "stream_decayed_counts": SQL_STREAM_DECAYED,
     "graph_reciprocity": SQL_GRAPH_RECIPROCITY,
     "rel_cms_join_size": SQL_REL_CMS_JOIN_SIZE,
+    "graph_walk_corpus": SQL_GRAPH_WALK_CORPUS,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

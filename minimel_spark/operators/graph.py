@@ -1560,3 +1560,80 @@ def reciprocity(edges: DataFrame) -> DataFrame:
         "n_nodes", "n_edges", "n_mutual",
         F.round("r", 6).alias("r"), F.round("rho", 6).alias("rho"),
     )
+
+
+def deterministic_walks(
+    edges: DataFrame, n_walks: int = 2, walk_len: int = 4
+) -> DataFrame:
+    """Random-walk corpus generation (the sampling layer of DeepWalk,
+    KDD 2014 / node2vec) with md5-seeded step choices: from every node,
+    ``n_walks`` walks of ``walk_len`` steps over the undirected simple
+    graph, step t of walk (start, w) moving to the neighbor of the
+    current node ranked ``md5('walk:start:w:t') mod deg(cur)`` in the
+    sorted adjacency — pre-drawn per-step randomness, so the whole corpus
+    is a pure function of the graph and replays exactly in SQL (what a
+    seeded PRNG cannot promise across engines). The output rows ARE the
+    training corpus a skip-gram embedding consumes.
+
+    Scale design: adjacency is ranked ONCE (row_number per source over
+    the sorted neighbor list — partitioned by node, never global) and
+    each step is one equi-join of the |starts|·n_walks frontier against
+    it on (node, rank): walk extension is embarrassingly parallel and
+    the frontier never grows. Output ``(start, walk_id, step, node)``
+    with step 0 = start; walk_len·O(frontier) join work total.
+    """
+    if n_walks < 1:
+        raise ValueError(f"n_walks must be >= 1, got {n_walks}")
+    if walk_len < 1:
+        raise ValueError(f"walk_len must be >= 1, got {walk_len}")
+    from pyspark.sql import Window
+
+    from .util import md5_long60
+
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    adj = (
+        sym.withColumn(
+            "rank", F.row_number().over(Window.partitionBy("u").orderBy("v"))
+        )
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("u")))
+        .localCheckpoint(eager=True)  # joined once per step
+    )
+    starts = adj.select(F.col("u").alias("start")).distinct()
+    frontier = starts.select(
+        "start",
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk_id"),
+    ).select("start", "walk_id", F.col("start").alias("node"))
+    out = frontier.select(
+        "start", "walk_id", F.lit(0).cast("long").alias("step"), "node"
+    )
+    for t in range(1, walk_len + 1):
+        h = md5_long60(
+            F.concat(
+                F.lit("walk:"),
+                F.col("start").cast("string"),
+                F.lit(":"),
+                F.col("walk_id").cast("string"),
+                F.lit(":"),
+                F.lit(str(t)),
+            )
+        )
+        frontier = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .where((h % F.col("deg")) + 1 == F.col("rank"))
+            .select("start", "walk_id", F.col("v").alias("node"))
+        )
+        out = out.unionByName(
+            frontier.select(
+                "start", "walk_id", F.lit(t).cast("long").alias("step"), "node"
+            )
+        )
+    return out

@@ -961,3 +961,67 @@ def test_reciprocity_ignores_loops_duplicates_and_is_invariant(spark):
     a = tuple(reciprocity(edges.coalesce(1)).collect()[0])
     b = tuple(reciprocity(edges.repartition(8)).collect()[0])
     assert a == b
+
+
+def test_deterministic_walks_structure_and_adjacency(spark):
+    from minimel_spark.operators.graph import deterministic_walks
+
+    # triangle: every step must land on a neighbor of the previous node
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    rows = deterministic_walks(edges, n_walks=2, walk_len=3).collect()
+    # 3 starts x 2 walks x 4 steps (incl. step 0)
+    assert len(rows) == 3 * 2 * 4
+    adj = {1: {2, 3}, 2: {1, 3}, 3: {1, 2}}
+    traj = {}
+    for r in rows:
+        traj[(r["start"], r["walk_id"], r["step"])] = r["node"]
+    for (s, w, t), node in traj.items():
+        if t == 0:
+            assert node == s
+        else:
+            assert node in adj[traj[(s, w, t - 1)]], (s, w, t)
+
+
+def test_deterministic_walks_python_replay(spark):
+    import hashlib
+
+    from minimel_spark.operators.graph import deterministic_walks
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 11) for i in range(11) if i != (i * 3 + 1) % 11],
+        "src long, dst long",
+    )
+    got = {
+        (r["start"], r["walk_id"], r["step"]): r["node"]
+        for r in deterministic_walks(edges, n_walks=1, walk_len=4).collect()
+    }
+    adj = {}
+    for r in edges.collect():
+        a, b = min(r["src"], r["dst"]), max(r["src"], r["dst"])
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for s in adj:
+        cur = s
+        assert got[(s, 0, 0)] == s
+        for t in range(1, 5):
+            nbrs = sorted(adj[cur])
+            h = int(hashlib.md5(f"walk:{s}:0:{t}".encode()).hexdigest()[:15], 16)
+            cur = nbrs[h % len(nbrs)]
+            assert got[(s, 0, t)] == cur, (s, t)
+
+
+def test_deterministic_walks_partition_invariant_and_validation(spark):
+    import pytest as _pt
+
+    from minimel_spark.operators.graph import deterministic_walks
+
+    edges = spark.createDataFrame(
+        [(i % 13, (i * 5 + 2) % 13) for i in range(40)], "src long, dst long"
+    )
+    a = sorted(map(tuple, deterministic_walks(edges.coalesce(1)).collect()))
+    b = sorted(map(tuple, deterministic_walks(edges.repartition(16)).collect()))
+    assert a == b and len(a) > 0
+    with _pt.raises(ValueError):
+        deterministic_walks(edges, n_walks=0)
+    with _pt.raises(ValueError):
+        deterministic_walks(edges, walk_len=0)
