@@ -13023,6 +13023,70 @@ ORDER BY c_vw DESC, v ASC, w ASC
 LIMIT 50"""
 
 
+def q_corpus_kn_decode(spark, sf_dir):
+    """Greedy argmax decoding over the interpolated-KN bigram model
+    (operators/corpus.py kn_greedy_decode): seeds = the 5 most frequent
+    corpus words (count desc, word asc), then 6 steps of
+    argmax_w P(w|cur) with ties to the lexically smallest w — both total
+    orders, so the generated sequences are a pure function of the corpus.
+    The oracle replays every step with a row_number argmax over the same
+    SQL KN surface; hash-equality means the two engines walked the SAME
+    probability landscape step for step (the decoding twin of
+    graph_walk_corpus, with argmax in place of md5 draws)."""
+    from minimel_spark.operators.corpus import kn_greedy_decode
+
+    docs = _t(spark, sf_dir, "documents")
+    return kn_greedy_decode(docs, n_seeds=5, steps=6, discount=0.75)
+
+
+def _sql_kn_decode(n_seeds: int = 5, steps: int = 6) -> str:
+    parts = [f"""
+WITH seq AS (
+  SELECT doc_id, w, p
+  FROM (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS p
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                 x -> x <> '') AS ws
+              FROM documents))),
+bg AS (
+  SELECT v, w, count(*)::BIGINT AS c_vw
+  FROM (SELECT doc_id, w AS v,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w
+        FROM seq)
+  WHERE w IS NOT NULL
+  GROUP BY 1, 2),
+hist AS (SELECT v, sum(c_vw) AS cv, count(*) AS n1v FROM bg GROUP BY 1),
+cont AS (SELECT w, count(*) AS n1w FROM bg GROUP BY 1),
+nbt AS (SELECT count(*) AS nbt FROM bg),
+probs AS MATERIALIZED (
+  SELECT v, w,
+         greatest(c_vw - 0.75, 0.0) / cv
+           + 0.75 * n1v / cv * n1w / nbt AS p_raw
+  FROM bg JOIN hist USING (v) JOIN cont USING (w), nbt),
+s0 AS MATERIALIZED (
+  SELECT w AS seed, w AS word
+  FROM (SELECT w, count(*) AS c FROM seq GROUP BY 1)
+  ORDER BY c DESC, w ASC LIMIT {n_seeds})"""]
+    for t in range(1, steps + 1):
+        parts.append(f""",
+s{t} AS MATERIALIZED (
+  SELECT seed, w AS word, p_raw
+  FROM (SELECT f.seed, p.w, p.p_raw,
+               row_number() OVER (PARTITION BY f.seed
+                                  ORDER BY p.p_raw DESC, p.w ASC) AS rn
+        FROM s{t - 1} f JOIN probs p ON p.v = f.word)
+  WHERE rn = 1)""")
+    rows = ["SELECT seed, 0::BIGINT AS step, word, 0.0::DOUBLE AS p_kn FROM s0"]
+    rows += [
+        f"SELECT seed, {t}::BIGINT, word, round(p_raw, 6) FROM s{t}"
+        for t in range(1, steps + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+SQL_CORPUS_KN_DECODE = _sql_kn_decode(5, 6)
+
+
 def q_graph_bowtie(spark, sf_dir):
     """Bowtie census of the md5 link graph (operators/graph.py
     bowtie_regions, Broder et al. WWW 2000): deterministic max-degree
@@ -14966,6 +15030,7 @@ _TAIL: list[str] = [
     "graph_reciprocity",
     "rel_cms_join_size",
     "graph_walk_corpus",
+    "corpus_kn_decode",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -14979,7 +15044,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 265
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 266
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -15185,6 +15250,7 @@ _ORACLES: dict[str, str] = {
     "web_recrawl_priority": SQL_WEB_RECRAWL_PRIORITY,
     "corpus_bpe_encode": SQL_CORPUS_BPE_ENCODE,
     "corpus_kn_bigrams": SQL_CORPUS_KN_BIGRAMS,
+    "corpus_kn_decode": SQL_CORPUS_KN_DECODE,
     "graph_bowtie": SQL_GRAPH_BOWTIE,
     "corpus_c4_filter": SQL_CORPUS_C4_FILTER,
     "corpus_heaps_curve": SQL_CORPUS_HEAPS_CURVE,

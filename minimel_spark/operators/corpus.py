@@ -1338,6 +1338,23 @@ def kn_bigram_probs(
         raise ValueError(f"top_n must be >= 1, got {top_n}")
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0,1), got {discount}")
+    d = float(discount)
+    return (
+        _kn_prob_full(docs, text_col, id_col, d)
+        .select(
+            "v",
+            "w",
+            F.col("c_vw").cast("long").alias("c_vw"),
+            F.round("p_raw", 6).alias("p_kn"),
+        )
+        .orderBy(F.desc("c_vw"), F.asc("v"), F.asc("w"))
+        .limit(top_n)
+    )
+
+
+def _kn_prob_full(docs, text_col, id_col, d):
+    """Full (v, w, c_vw, p_raw) interpolated-KN table — the unrounded
+    probability surface shared by the top-n report and greedy decoding."""
     seq = docs.select(
         F.col(id_col).alias("_r"),
         F.posexplode(_words(text_col)).alias("_pos", "_w"),
@@ -1354,7 +1371,6 @@ def kn_bigram_probs(
     )
     cont = bg.groupBy("w").agg(F.count(F.lit(1)).alias("_n1w"))
     nbt = bg.agg(F.count(F.lit(1)).alias("_nbt"))
-    d = float(discount)
     return (
         bg.join(hist, "v")
         .join(cont, "w")
@@ -1362,17 +1378,83 @@ def kn_bigram_probs(
         .select(
             "v",
             "w",
-            F.col("c_vw").cast("long").alias("c_vw"),
-            F.round(
+            "c_vw",
+            (
                 F.greatest(F.col("c_vw") - F.lit(d), F.lit(0.0)) / F.col("_cv")
                 + F.lit(d) * F.col("_n1v") / F.col("_cv")
-                * F.col("_n1w") / F.col("_nbt"),
-                6,
-            ).alias("p_kn"),
+                * F.col("_n1w") / F.col("_nbt")
+            ).alias("p_raw"),
         )
-        .orderBy(F.desc("c_vw"), F.asc("v"), F.asc("w"))
-        .limit(top_n)
     )
+
+
+def kn_greedy_decode(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_seeds: int = 5,
+    steps: int = 6,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Greedy (argmax) decoding over the interpolated-KN bigram model —
+    the deterministic decoding loop of count-based LM generation: seeds
+    are the ``n_seeds`` most frequent corpus words (count desc, word asc)
+    and each step moves to argmax_w P(w|cur), ties to the LEXICALLY
+    SMALLEST w — both choices total orders, so the generated sequences
+    are a pure function of the corpus that a SQL replay reproduces
+    word-for-word (the decoding twin of the md5-seeded walk corpus; here
+    the "sampler" is argmax, so no seeds are needed at all). A sequence
+    ends early only if the current word was never a bigram history.
+
+    Each step is one join of the |seeds|-row frontier against the KN
+    surface + one grouped struct-argmax — frontier never grows. Output
+    ``(seed, step, word, p_kn)`` with step 0 = the seed (p_kn 0.0 — a
+    value no real transition can take, every KN probability is > 0).
+    """
+    if n_seeds < 1:
+        raise ValueError(f"n_seeds must be >= 1, got {n_seeds}")
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    probs = _kn_prob_full(docs, text_col, id_col, float(discount)).localCheckpoint(
+        eager=True
+    )  # joined once per step
+    wc = (
+        docs.select(F.explode(_words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    seeds = (
+        wc.orderBy(F.desc("c"), F.asc("w"))
+        .limit(n_seeds)
+        .select(F.col("w").alias("seed"))
+    )
+    frontier = seeds.select("seed", F.col("seed").alias("word"))
+    out = frontier.select(
+        "seed",
+        F.lit(0).cast("long").alias("step"),
+        "word",
+        F.lit(0.0).alias("p_kn"),
+    )
+    for t in range(1, steps + 1):
+        # single-pass argmax: min over struct(-p, w) = highest p, ties to the
+        # lexically SMALLEST w (IEEE negation is exact, so the -p order is the
+        # exact reverse of the p order — no epsilon, no second aggregation)
+        best = (
+            frontier.join(probs, frontier["word"] == probs["v"])
+            .groupBy("seed")
+            .agg(F.min(F.struct((-F.col("p_raw")).alias("np"), F.col("w"))).alias("_m"))
+            .select("seed", F.col("_m.w").alias("word"), (-F.col("_m.np")).alias("_p"))
+        )
+        frontier = best.select("seed", "word")
+        out = out.unionByName(
+            best.select(
+                "seed",
+                F.lit(t).cast("long").alias("step"),
+                "word",
+                F.round("_p", 6).alias("p_kn"),
+            )
+        )
+    return out
 
 
 def c4_line_filter(

@@ -1273,6 +1273,89 @@ def test_kn_bigram_partition_invariance_and_validation(spark):
         kn_bigram_probs(docs, discount=1.5)
 
 
+def _py_kn_decode(texts, n_seeds, steps, d):
+    """Independent greedy-decode replay: Counter-based KN surface + argmax."""
+    import re
+    from collections import Counter
+
+    bg, wc = Counter(), Counter()
+    for _, t in texts:
+        ws = [w for w in re.split(r"\W+", t.lower()) if w]
+        wc.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bg[(a, b)] += 1
+    cv, n1v, n1w = Counter(), Counter(), Counter()
+    for (v, w), c in bg.items():
+        cv[v] += c
+        n1v[v] += 1
+        n1w[w] += 1
+    nbt = len(bg)
+
+    def p(v, w):
+        return max(bg[(v, w)] - d, 0.0) / cv[v] + d * n1v[v] / cv[v] * n1w[w] / nbt
+
+    seeds = [w for w, _ in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))][:n_seeds]
+    rows = []
+    for s in seeds:
+        cur = s
+        rows.append((s, 0, s, 0.0))
+        for t in range(1, steps + 1):
+            nxt = [(w2, p(cur, w2)) for (v, w2) in bg if v == cur]
+            if not nxt:
+                break
+            word, pk = min(nxt, key=lambda x: (-x[1], x[0]))
+            rows.append((s, t, word, round(pk, 6)))
+            cur = word
+    return sorted(rows)
+
+
+def test_kn_greedy_decode_matches_python(spark):
+    from minimel_spark.operators.corpus import kn_greedy_decode
+
+    texts = [
+        (1, "the cat sat on the mat and the cat ran"),
+        (2, "the dog sat on a log and a dog barked"),
+        (3, "a cat and a dog met on the mat"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        (r["seed"], r["step"], r["word"], r["p_kn"])
+        for r in kn_greedy_decode(docs, n_seeds=4, steps=5).collect()
+    )
+    assert got == _py_kn_decode(texts, n_seeds=4, steps=5, d=0.75)
+    # every seed emits its step-0 row and steps are consecutive per seed
+    by_seed = {}
+    for s, t, _, _ in got:
+        by_seed.setdefault(s, []).append(t)
+    assert len(by_seed) == 4
+    for ts in by_seed.values():
+        assert ts == list(range(len(ts)))
+
+
+def test_kn_greedy_decode_early_stop_and_invariance(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.corpus import kn_greedy_decode
+
+    # "end" is never a bigram history -> the walk stops the step after it
+    texts = [(i, "start mid end") for i in range(6)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        (r["seed"], r["step"], r["word"])
+        for r in kn_greedy_decode(docs, n_seeds=1, steps=9).collect()
+    )
+    # seeds tie on count -> lexically smallest ("end") wins; it has no
+    # continuation, so only the step-0 row survives
+    assert got == [("end", 0, "end")]
+    a = sorted(map(tuple, kn_greedy_decode(docs.coalesce(1), n_seeds=3, steps=4).collect()))
+    b = sorted(map(tuple, kn_greedy_decode(docs.repartition(8), n_seeds=3, steps=4).collect()))
+    assert a == b
+    with _pytest.raises(ValueError):
+        kn_greedy_decode(docs, n_seeds=0)
+    with _pytest.raises(ValueError):
+        kn_greedy_decode(docs, steps=0)
+
+
 def test_c4_line_filter_rules(spark):
     from minimel_spark.operators.corpus import c4_line_filter
 
