@@ -13432,6 +13432,141 @@ SELECT 'm' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id,
 FROM range(64) r(i) WHERE i % 2 = 0"""
 
 
+def q_mm_image_whash(spark, sf_dir):
+    """Walsh-Hadamard perceptual hash over GENUINE PPM payloads
+    (operators/multimodal.py image_whash — the exact-integer pHash: ±1
+    spectral basis over lcm-scaled integer cell means, bits vs the lower
+    median of the 63 AC coefficients, provably brightness-invariant).
+    The numpy-decoder hash is re-derived INDEPENDENTLY by a pure JVM
+    byte parse — header regexp, per-pixel byte reads, closed-form cell
+    counts ceil((i+1)h/8)−ceil(ih/8), lcm weights, the full 64×64
+    (u,v)×(i,j) sign expansion via bit_count, median via array_sort —
+    and equality is pinned per image (the mm_image_ahash pattern, lifted
+    from the mean to the full transform)."""
+    from minimel_spark.operators.multimodal import image_whash, synth_media
+
+    media = synth_media(spark, n=64)
+    nh = image_whash(media)
+    imgs = media.where(F.col("kind") == "image")
+    ppm = F.substring(F.col("payload"), 1, 32).cast("string")
+    wE = F.regexp_extract(ppm, r"^P6\s+(\d+)\s+(\d+)\s+(\d+)", 1).cast("long")
+    hE = F.regexp_extract(ppm, r"^P6\s+(\d+)\s+(\d+)\s+(\d+)", 2).cast("long")
+    hdr_len = F.length(
+        F.concat(
+            F.lit("P6\n"), wE.cast("string"), F.lit(" "), hE.cast("string"),
+            F.lit("\n255\n"),
+        )
+    )
+    base = imgs.select(
+        "media_id", "payload", wE.alias("_w"), hE.alias("_h"), hdr_len.alias("_hl")
+    )
+    px = base.select(
+        "media_id", "_w", "_h", "_hl", "payload",
+        F.explode(F.sequence(F.lit(0), F.col("_w") * F.col("_h") - 1)).alias("_pi"),
+    )
+
+    def _byte(off):
+        return F.conv(
+            F.hex(
+                F.expr(f"substring(payload, CAST(_hl + 3 * _pi + {off} AS INT), 1)")
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    g = (_byte(1) + _byte(2) + _byte(3)).alias("_g")
+    ci = F.floor(F.floor(F.col("_pi") / F.col("_w")) * 8 / F.col("_h")).cast("long")
+    cj = F.floor((F.col("_pi") % F.col("_w")) * 8 / F.col("_w")).cast("long")
+    csum = (
+        px.select("media_id", ci.alias("_i"), cj.alias("_j"), g)
+        .groupBy("media_id", "_i", "_j")
+        .agg(F.sum("_g").alias("_s"))
+    )
+    dims = imgs.select("media_id", wE.alias("_w"), hE.alias("_h"))
+    grid = dims.select(
+        "media_id", "_w", "_h",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("_k"),
+    ).select(
+        "media_id", "_w", "_h", "_k",
+        F.floor(F.col("_k") / 8).cast("long").alias("_i"),
+        (F.col("_k") % 8).cast("long").alias("_j"),
+    )
+
+    def _ceil8(x):
+        return F.floor((x + F.lit(7)) / F.lit(8)).cast("long")
+
+    def _cnt(idx, dim):
+        return _ceil8((idx + F.lit(1)) * dim) - _ceil8(idx * dim)
+
+    def _lcm(dim):
+        a = F.floor(dim / 8).cast("long")
+        return (
+            F.when(dim % 8 == 0, a).when(dim < 8, F.lit(1)).otherwise(a * (a + 1))
+        )
+
+    cnt_r, cnt_c = _cnt(F.col("_i"), F.col("_h")), _cnt(F.col("_j"), F.col("_w"))
+    wr = F.when(cnt_r > 0, F.floor(_lcm(F.col("_h")) / cnt_r)).otherwise(F.lit(0))
+    wc = F.when(cnt_c > 0, F.floor(_lcm(F.col("_w")) / cnt_c)).otherwise(F.lit(0))
+    m = (
+        grid.join(csum, ["media_id", "_i", "_j"], "left")
+        .select(
+            "media_id", "_i", "_j",
+            (F.coalesce("_s", F.lit(0)) * wr * wc).cast("long").alias("_m"),
+        )
+    )
+    uv = spark.range(64).select(
+        F.col("id").alias("_uvk"),
+        F.floor(F.col("id") / 8).cast("long").alias("_u"),
+        (F.col("id") % 8).cast("long").alias("_v"),
+    )
+    sign = F.lit(1) - F.lit(2) * (
+        (
+            F.bit_count(F.col("_u").bitwiseAND(F.col("_i")))
+            + F.bit_count(F.col("_v").bitwiseAND(F.col("_j")))
+        )
+        % 2
+    )
+    coef = (
+        m.join(F.broadcast(uv))
+        .groupBy("media_id", "_uvk")
+        .agg(F.sum(sign.cast("long") * F.col("_m")).alias("_c"))
+    )
+    perimg = coef.groupBy("media_id").agg(
+        F.collect_list(F.struct("_uvk", "_c")).alias("_arr")
+    )
+    ac = F.array_sort(
+        F.transform(
+            F.filter(F.col("_arr"), lambda x: x["_uvk"] != 0), lambda x: x["_c"]
+        )
+    )
+    jvm = perimg.select(
+        "media_id",
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.col("_arr")),
+                lambda x: F.when(x["_c"] > F.element_at(ac, 32), F.lit("1")).otherwise(
+                    F.lit("0")
+                ),
+            ),
+        ).alias("_jvm_bits"),
+    )
+    return (
+        nh.join(jvm, "media_id")
+        .select(
+            "media_id",
+            F.col("whash_bits").eqNullSafe(F.col("_jvm_bits")).alias("whash_ok"),
+            (F.length("whash_bits") == 64).alias("len_ok"),
+        )
+    )
+
+
+SQL_MM_IMAGE_WHASH = """
+SELECT 'm' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id,
+       true AS whash_ok, true AS len_ok
+FROM range(64) r(i) WHERE i % 2 = 0"""
+
+
 def q_mm_audio_envelope(spark, sf_dir):
     """Energy-envelope hash over GENUINE RIFF/WAV payloads (operators/
     multimodal.py audio_envelope_hash — exact-integer |int16| window
@@ -15031,6 +15166,7 @@ _TAIL: list[str] = [
     "rel_cms_join_size",
     "graph_walk_corpus",
     "corpus_kn_decode",
+    "mm_image_whash",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -15044,7 +15180,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 266
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 267
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -15256,6 +15392,7 @@ _ORACLES: dict[str, str] = {
     "corpus_heaps_curve": SQL_CORPUS_HEAPS_CURVE,
     "graph_distance_census": SQL_GRAPH_DISTANCE_CENSUS,
     "mm_image_ahash": SQL_MM_IMAGE_AHASH,
+    "mm_image_whash": SQL_MM_IMAGE_WHASH,
     "mm_audio_envelope": SQL_MM_AUDIO_ENVELOPE,
     "corpus_coverage_select": SQL_CORPUS_COVERAGE_SELECT,
     "er_k_anonymity": SQL_ER_K_ANONYMITY,

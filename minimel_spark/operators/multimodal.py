@@ -648,3 +648,92 @@ def audio_envelope_hash(media: DataFrame, windows: int = 64) -> DataFrame:
         T.StructField("env_bits", T.StringType()),
     ])
     return media.select("media_id", "kind", "payload").mapInPandas(gen, schema)
+
+
+def whash_py(img: np.ndarray, grid: int = 8) -> str:
+    """Walsh-Hadamard perceptual hash of a decoded image as a grid²-char
+    bit string — the EXACT-INTEGER member of the pHash family: where
+    classic pHash takes a float DCT, the Walsh-Hadamard transform's basis
+    is ±1, so every coefficient is a signed integer combination of pixel
+    sums and any independent byte-level reimplementation must agree
+    bit-for-bit (the :func:`ahash_py` exactness contract, lifted from the
+    mean to the full 2-D spectrum).
+
+    Construction (``grid`` must be a power of two):
+    - cell (i, j) collects pixels {y: floor(y·g/h) = i} × {x: …}, with the
+      closed-form count cnt[i] = ceil((i+1)·h/g) − ceil(i·h/g) (cells can
+      be EMPTY when h < g or w < g — their scaled mean is 0 by definition);
+    - exact scaled means M[i][j] = S[i][j] · (Lr/cnt_r[i]) · (Lc/cnt_c[j])
+      where S is the cell's Σ(r+g+b) and Lr/Lc are the lcm of the nonzero
+      row/col counts (counts only ever take two consecutive values, so the
+      lcm is their product — all integer, no float resize);
+    - C = H·M·Hᵀ with H[u,i] = (−1)^popcount(u AND i) (the natural-ordered
+      Walsh-Hadamard matrix);
+    - bit(u,v) = 1 iff C[u,v] > lower-median of the grid²−1 AC
+      coefficients (C[0,0] excluded from the median, included in the
+      bits). Row-major (u,v) order.
+
+    Brightness invariance is EXACT: adding a constant to every pixel
+    shifts only C[0,0], so all AC bits and the median are unchanged —
+    the provable form of pHash's "robust to global brightness" claim.
+    """
+    g = grid
+    if g < 2 or g & (g - 1):
+        raise ValueError(f"grid must be a power of two >= 2, got {g}")
+    h, w = img.shape[:2]
+    px = img.astype(np.int64).sum(axis=2)  # r+g+b per pixel, 0..765
+    ys = (np.arange(h) * g) // h
+    xs = (np.arange(w) * g) // w
+    s = np.zeros((g, g), dtype=np.int64)
+    np.add.at(s, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), px)
+    cnt_r = np.array(
+        [-((-(i + 1) * h) // g) - (-((-i * h) // g)) for i in range(g)], dtype=np.int64
+    )
+    cnt_c = np.array(
+        [-((-(j + 1) * w) // g) - (-((-j * w) // g)) for j in range(g)], dtype=np.int64
+    )
+    lr = int(np.lcm.reduce(cnt_r[cnt_r > 0]))
+    lc = int(np.lcm.reduce(cnt_c[cnt_c > 0]))
+    wr = np.where(cnt_r > 0, lr // np.where(cnt_r > 0, cnt_r, 1), 0)
+    wc = np.where(cnt_c > 0, lc // np.where(cnt_c > 0, cnt_c, 1), 0)
+    m = s * wr[:, None] * wc[None, :]
+    idx = np.arange(g)
+    had = 1 - 2 * (
+        np.array(
+            [[bin(u & i).count("1") for i in idx] for u in idx], dtype=np.int64
+        )
+        % 2
+    )
+    c = had @ m @ had.T
+    ac = np.delete(c.ravel(), 0)
+    med = int(np.sort(ac)[(len(ac) - 1) // 2])
+    return "".join("1" if int(v) > med else "0" for v in c.ravel())
+
+
+def image_whash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Per-image Walsh-Hadamard hash over image rows (see
+    :func:`whash_py`) — the spectral perceptual fingerprint: captures
+    low/high-frequency structure the per-cell aHash cannot, is exactly
+    invariant to global brightness shifts, and pairs by Hamming distance
+    like aHash/simhash. Arrow-batched mapInPandas; output
+    ``(media_id, whash_bits)`` with a grid² '0'/'1' string."""
+    if grid < 2 or grid & (grid - 1):
+        raise ValueError(f"grid must be a power of two >= 2, got {grid}")
+
+    def gen(batches):
+        for pdf in batches:
+            out_id, out_bits = [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                out_id.append(mid)
+                out_bits.append(whash_py(parse_ppm(payload), grid=grid))
+            yield pd.DataFrame({"media_id": out_id, "whash_bits": out_bits})
+
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("whash_bits", T.StringType()),
+    ])
+    return media.select("media_id", "kind", "payload").mapInPandas(gen, schema)

@@ -316,3 +316,91 @@ def test_audio_envelope_hash_matches_driver_side(spark):
 
     with _pytest.raises(ValueError):
         audio_envelope_hash(media, windows=1)
+
+
+def test_whash_py_matches_rational_reference():
+    from fractions import Fraction
+
+    import numpy as np
+
+    from minimel_spark.operators.multimodal import whash_py
+
+    def naive(im, g=8):
+        h, w = im.shape[:2]
+        px = im.astype(np.int64).sum(axis=2)
+        cells = [[[] for _ in range(g)] for _ in range(g)]
+        for y in range(h):
+            for x in range(w):
+                cells[y * g // h][x * g // w].append(int(px[y, x]))
+        mean = [
+            [Fraction(sum(c), len(c)) if c else Fraction(0) for c in row]
+            for row in cells
+        ]
+
+        def sgn(u, i):
+            return -1 if bin(u & i).count("1") % 2 else 1
+
+        C = [
+            [
+                sum(
+                    sgn(u, i) * sgn(v, j) * mean[i][j]
+                    for i in range(g)
+                    for j in range(g)
+                )
+                for v in range(g)
+            ]
+            for u in range(g)
+        ]
+        flat = [C[u][v] for u in range(g) for v in range(g)]
+        ac = sorted(flat[1:])
+        med = ac[(len(ac) - 1) // 2]
+        return "".join("1" if v > med else "0" for v in flat)
+
+    rng = np.random.RandomState(11)
+    for h, w in [(12, 16), (6, 9), (8, 8), (30, 41), (7, 7), (9, 6)]:
+        im = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert whash_py(im) == naive(im), (h, w)
+
+
+def test_whash_py_brightness_invariance_exact():
+    import numpy as np
+    import pytest as _pytest
+
+    from minimel_spark.operators.multimodal import whash_py
+
+    rng = np.random.RandomState(13)
+    # no saturation: pixels stay in range after the +40 shift, and no empty
+    # cells (h, w >= grid) so the constant shifts only the DC coefficient
+    img = rng.randint(0, 200, size=(12, 16, 3), dtype=np.uint8)
+    a, b = whash_py(img), whash_py((img.astype(int) + 40).astype(np.uint8))
+    assert a[1:] == b[1:]
+    # uniform image: every AC coefficient is 0 = the median -> strict '>'
+    # makes all AC bits 0, DC is positive -> leading 1
+    uni = np.full((16, 16, 3), 77, dtype=np.uint8)
+    assert whash_py(uni) == "1" + "0" * 63
+    with _pytest.raises(ValueError):
+        whash_py(img, grid=6)
+
+
+def test_image_whash_matches_driver_side(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from minimel_spark.operators.multimodal import (
+        image_whash,
+        parse_ppm,
+        synth_media,
+        whash_py,
+    )
+
+    media = synth_media(spark, n=16)
+    got = {r["media_id"]: r["whash_bits"] for r in image_whash(media).collect()}
+    rows = media.where("kind = 'image'").collect()
+    assert len(got) == len(rows) > 0
+    for r in rows:
+        assert got[r["media_id"]] == whash_py(parse_ppm(bytes(r["payload"])))
+    a = sorted(map(tuple, image_whash(media.coalesce(1)).collect()))
+    b = sorted(map(tuple, image_whash(media.repartition(8)).collect()))
+    assert a == b
+    with _pytest.raises(ValueError):
+        image_whash(media, grid=5)
