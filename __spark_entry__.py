@@ -14877,6 +14877,73 @@ f{t} AS MATERIALIZED (
 SQL_GRAPH_WALK_CORPUS = _sql_walks(2, 4)
 
 
+def q_graph_luby_mis(spark, sf_dir):
+    """Luby maximal independent set (operators/graph.py luby_mis) over
+    the undirected md5 link graph, 6 rounds, isolated nodes included via
+    the full document node table: per-round md5-priority symmetry
+    breaking — a node wins when (md5_long60('mis:r:'||node), node) is
+    strictly below every active neighbor's — winners + neighbors retire.
+    The oracle unrolls the identical 6 rounds (NOT EXISTS smaller-
+    priority-neighbor per round); 'unresolved' rows are the round-budget
+    certificate (none at 6 rounds: the sf0.01 graph converges in 4)."""
+    from minimel_spark.operators.graph import luby_mis
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return luby_mis(
+        _doc_link_edges(docs, n),
+        nodes=docs.select(F.col("doc_id").alias("node")),
+        rounds=6,
+    )
+
+
+def _sql_luby(rounds: int = 6) -> str:
+    parts = ["""
+WITH e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, (SELECT count(*) AS n FROM documents) nn),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+                     UNION ALL SELECT b, a FROM und),
+a1 AS MATERIALIZED (SELECT doc_id AS node FROM documents)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+p{r} AS MATERIALIZED (
+  SELECT node,
+         ('0x' || substr(md5('mis:{r}:' || node), 1, 15))::UBIGINT::BIGINT AS p
+  FROM a{r}),
+e{r} AS MATERIALIZED (
+  SELECT s.src, s.dst, pd.p AS dp
+  FROM sym s JOIN p{r} ps ON ps.node = s.src
+             JOIN p{r} pd ON pd.node = s.dst),
+w{r} AS MATERIALIZED (
+  SELECT p.node FROM p{r} p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e{r} e WHERE e.src = p.node
+      AND (e.dp < p.p OR (e.dp = p.p AND e.dst < p.node)))),
+d{r} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node
+  FROM e{r} e JOIN w{r} w ON e.src = w.node),
+a{r + 1} AS MATERIALIZED (
+  SELECT node FROM a{r}
+  EXCEPT SELECT node FROM w{r}
+  EXCEPT SELECT node FROM d{r})""")
+    rows = []
+    for r in range(1, rounds + 1):
+        rows.append(f"SELECT node, 'mis' AS status, {r}::BIGINT AS round FROM w{r}")
+        rows.append(f"SELECT node, 'dominated', {r}::BIGINT FROM d{r}")
+    rows.append(f"SELECT node, 'unresolved', (-1)::BIGINT FROM a{rounds + 1}")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+SQL_GRAPH_LUBY_MIS = _sql_luby(6)
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -15167,6 +15234,7 @@ _TAIL: list[str] = [
     "graph_walk_corpus",
     "corpus_kn_decode",
     "mm_image_whash",
+    "graph_luby_mis",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -15180,7 +15248,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 267
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 268
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -15416,6 +15484,7 @@ _ORACLES: dict[str, str] = {
     "graph_reciprocity": SQL_GRAPH_RECIPROCITY,
     "rel_cms_join_size": SQL_REL_CMS_JOIN_SIZE,
     "graph_walk_corpus": SQL_GRAPH_WALK_CORPUS,
+    "graph_luby_mis": SQL_GRAPH_LUBY_MIS,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

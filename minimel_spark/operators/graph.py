@@ -1637,3 +1637,89 @@ def deterministic_walks(
             )
         )
     return out
+
+
+def luby_mis(
+    edges: DataFrame, nodes: DataFrame | None = None, rounds: int = 12
+) -> DataFrame:
+    """Luby's distributed Maximal Independent Set (Luby, SIAM J. Comput.
+    1986) with md5-derived per-round priorities — the classic symmetry
+    breaker behind conflict-free parallel scheduling: in ER, an MIS over
+    a "cannot-merge-together" conflict graph is a maximal set of merges
+    that can commit in one wave.
+
+    Round r draws every ACTIVE node the priority
+    ``(md5_long60('mis:r:' || node), node)`` — a fresh, collision-proof
+    total order per round, exactly replayable in SQL (what Luby's coin
+    flips cannot promise across engines). A node wins if its priority is
+    strictly below every active neighbor's; winners enter the MIS, their
+    neighbors become dominated, both leave the active set. Two adjacent
+    winners are impossible (one of them beats the other), so
+    independence is structural; when the active set empties, every node
+    is mis-or-dominated and every dominated node has an MIS neighbor —
+    maximality. Luby's theorem kills half the active edges per round in
+    expectation, so ``rounds`` ~ 2·log(m) suffices; leftovers surface as
+    ``status='unresolved', round=-1`` rows — a visible certificate, never
+    silent truncation.
+
+    Scale design: one localCheckpointed symmetric edge table joined per
+    round, per-round work O(active edges), priorities never materialized
+    beyond the round. Output ``(node, status, round)`` with status in
+    {'mis', 'dominated', 'unresolved'} and round = the deciding round.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from .util import md5_long60
+
+    sym = _symmetrized(edges).localCheckpoint(eager=True)  # joined every round
+    if nodes is None:
+        nodes = sym.select(F.col("src").alias("node")).distinct()
+    active = nodes.select("node").distinct().localCheckpoint(eager=True)
+    spark = active.sparkSession
+    schema = "node long, status string, round long"
+    decided = spark.createDataFrame([], schema)
+    for r in range(1, rounds + 1):
+        pri = md5_long60(F.concat(F.lit(f"mis:{r}:"), F.col("node").cast("string")))
+        ap = active.select("node", pri.alias("p"))
+        ed = (
+            sym.join(
+                ap.select(F.col("node").alias("src"), F.col("p").alias("sp")), "src"
+            ).join(
+                ap.select(F.col("node").alias("dst"), F.col("p").alias("dp")), "dst"
+            )
+        )
+        nbrmin = ed.groupBy(F.col("src").alias("node")).agg(
+            F.min(F.struct("dp", "dst")).alias("_nm")
+        )
+        win = (
+            ap.join(nbrmin, "node", "left")
+            .where(
+                F.col("_nm").isNull()
+                | (F.col("p") < F.col("_nm.dp"))
+                | ((F.col("p") == F.col("_nm.dp")) & (F.col("node") < F.col("_nm.dst")))
+            )
+            .select("node")
+            .localCheckpoint(eager=True)  # consumed by mis rows, dom, and active
+        )
+        dom = (
+            ed.join(win.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        decided = decided.unionByName(
+            win.select("node", F.lit("mis").alias("status"), F.lit(r).cast("long").alias("round"))
+        ).unionByName(
+            dom.select("node", F.lit("dominated").alias("status"), F.lit(r).cast("long").alias("round"))
+        )
+        active = (
+            active.join(win, "node", "left_anti")
+            .join(dom, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if active.count() == 0:
+            break
+    leftover = active.select(
+        "node", F.lit("unresolved").alias("status"), F.lit(-1).cast("long").alias("round")
+    )
+    return decided.unionByName(leftover)

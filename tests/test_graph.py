@@ -1025,3 +1025,97 @@ def test_deterministic_walks_partition_invariant_and_validation(spark):
         deterministic_walks(edges, n_walks=0)
     with _pt.raises(ValueError):
         deterministic_walks(edges, walk_len=0)
+
+
+def _py_luby(edge_list, node_list, rounds):
+    """Pure-python replay of luby_mis: same md5 priorities, same rule."""
+    import hashlib
+
+    def pri(r, v):
+        return int(hashlib.md5(f"mis:{r}:{v}".encode()).hexdigest()[:15], 16)
+
+    und = {tuple(sorted((a, b))) for a, b in edge_list if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    active = set(node_list)
+    out = []
+    for r in range(1, rounds + 1):
+        p = {v: (pri(r, v), v) for v in active}
+        win = {
+            v
+            for v in active
+            if all(p[v] < p[u] for u in adj.get(v, ()) if u in active)
+        }
+        dom = {
+            u for v in win for u in adj.get(v, ()) if u in active
+        }
+        out += [(v, "mis", r) for v in win]
+        out += [(u, "dominated", r) for u in dom]
+        active -= win | dom
+        if not active:
+            break
+    out += [(v, "unresolved", -1) for v in active]
+    return sorted(out)
+
+
+def test_luby_mis_matches_python_and_is_maximal_independent(spark):
+    import random
+
+    from minimel_spark.operators.graph import luby_mis
+
+    rng = random.Random(5)
+    for trial in range(3):
+        n = 30
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(60)
+        ]
+        nodes = list(range(n))
+        edges = spark.createDataFrame(edge_list or [(0, 0)], "src long, dst long")
+        ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+        got = sorted(
+            (r["node"], r["status"], r["round"])
+            for r in luby_mis(edges, nodes=ndf, rounds=12).collect()
+        )
+        assert got == _py_luby(edge_list, nodes, 12), trial
+        # structural checks: independence + maximality + full cover
+        status = {v: s for v, s, _ in got}
+        assert set(status) == set(nodes)
+        und = {tuple(sorted((a, b))) for a, b in edge_list if a != b}
+        mis = {v for v, s in status.items() if s == "mis"}
+        assert not any(a in mis and b in mis for a, b in und)
+        for v, s in status.items():
+            if s == "dominated":
+                assert any(
+                    (min(v, u), max(v, u)) in und for u in mis
+                ), v
+        assert "unresolved" not in status.values()
+
+
+def test_luby_mis_unresolved_certificate_and_invariance(spark):
+    import pytest as _pt
+
+    from minimel_spark.operators.graph import luby_mis
+
+    # a path graph with rounds=1: exactly the round-1 winners + their
+    # neighbors decide; interior leftovers surface as unresolved
+    edge_list = [(i, i + 1) for i in range(40)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    one = luby_mis(edges, rounds=1).collect()
+    assert {r["status"] for r in one} >= {"mis"}
+    py = _py_luby(edge_list, sorted({v for e in edge_list for v in e}), 1)
+    assert sorted((r["node"], r["status"], r["round"]) for r in one) == py
+    a = sorted(map(tuple, luby_mis(edges.coalesce(1), rounds=6).collect()))
+    b = sorted(map(tuple, luby_mis(edges.repartition(8), rounds=6).collect()))
+    assert a == b
+    # isolated nodes join the MIS in round 1
+    ndf = spark.createDataFrame([(v,) for v in range(50)], "node long")
+    iso = {
+        r["node"]: (r["status"], r["round"])
+        for r in luby_mis(edges, nodes=ndf, rounds=6).collect()
+    }
+    for v in range(41, 50):
+        assert iso[v] == ("mis", 1), v
+    with _pt.raises(ValueError):
+        luby_mis(edges, rounds=0)
