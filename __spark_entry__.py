@@ -2737,6 +2737,72 @@ FROM cand c JOIN s a ON a.doc_id = c.id_a JOIN s b ON b.doc_id = c.id_b
 WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.9"""
 
 
+def q_corpus_fuzzy_decontaminate(spark, sf_dir):
+    """Fuzzy benchmark decontamination (operators/corpus.py
+    minhash_decontaminate — the MinHash-LSH companion of the exact n-gram
+    filter): benchmark = the doc_id % 17 == 3 slice of documents, word
+    shingles (n=1), 16 md5 min-hashes, 8 md5 band keys, threshold 0.8 —
+    the md5 family makes the ENTIRE cross-corpus candidate set
+    reproducible in DuckDB (the dedup_minhash oracle contract, applied
+    train × benchmark). Per contaminated train doc: match count + the
+    (jaccard, bench-id)-max best match."""
+    from minimel_spark.operators.corpus import minhash_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 3)
+    out = minhash_decontaminate(
+        docs, bench, threshold=0.8, n=1, num_hashes=16, bands=8,
+        hash_family="md5",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+        F.col("best_bench").cast("long").alias("best_bench"),
+        F.round("best_jaccard", 6).alias("best_jaccard"),
+    )
+
+
+SQL_CORPUS_FUZZY_DECON = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                   x -> x <> '')) AS sh
+  FROM documents),
+s AS (SELECT doc_id, sh, len(sh) AS n_sh FROM w WHERE len(sh) > 0),
+sg AS (
+  SELECT doc_id, n_sh,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(sh,
+                  x -> ('0x' || substr(md5(i::VARCHAR || ':' || x), 1, 15))::UBIGINT))) AS sig
+  FROM s),
+bk AS (
+  SELECT doc_id, n_sh,
+         unnest(list_transform(range(0, 8),
+           b -> b::VARCHAR || ':' || md5(array_to_string(sig[b*2+1:b*2+2], ',')))) AS bk
+  FROM sg),
+bkb AS (SELECT * FROM bk WHERE doc_id % 17 = 3),
+cand AS (
+  SELECT a.doc_id AS t_id, b.doc_id AS b_id
+  FROM bk a JOIN bkb b ON a.bk = b.bk
+  WHERE least(a.n_sh, b.n_sh) >= 0.8 * greatest(a.n_sh, b.n_sh)
+  GROUP BY 1, 2),
+ver AS (
+  SELECT c.t_id, c.b_id,
+         len(list_intersect(a.sh, b.sh))::DOUBLE
+           / len(list_distinct(a.sh || b.sh)) AS jac
+  FROM cand c JOIN s a ON a.doc_id = c.t_id JOIN s b ON b.doc_id = c.b_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(a.sh || b.sh)) >= 0.8),
+ranked AS (
+  SELECT t_id, b_id, jac,
+         row_number() OVER (PARTITION BY t_id ORDER BY jac DESC, b_id DESC) AS rn,
+         count(*) OVER (PARTITION BY t_id) AS cnt
+  FROM ver)
+SELECT t_id::BIGINT AS doc_id, cnt::BIGINT AS n_matches,
+       b_id::BIGINT AS best_bench, round(jac, 6) AS best_jaccard
+FROM ranked WHERE rn = 1"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs. Hash-checked: the md5-based fingerprint is
     recomputed bit-for-bit in DuckDB and the oracle takes the BRUTE-FORCE
@@ -15235,6 +15301,7 @@ _TAIL: list[str] = [
     "corpus_kn_decode",
     "mm_image_whash",
     "graph_luby_mis",
+    "corpus_fuzzy_decontaminate",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -15248,7 +15315,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 268
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 269
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -15285,6 +15352,7 @@ _ORACLES: dict[str, str] = {
     "dedup_jaccard_words": SQL_DEDUP_JACCARD_WORDS,
     "dedup_jaccard_3gram": SQL_DEDUP_JACCARD_3GRAM,
     "dedup_minhash": SQL_DEDUP_MINHASH,
+    "corpus_fuzzy_decontaminate": SQL_CORPUS_FUZZY_DECON,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,

@@ -1657,3 +1657,85 @@ def coverage_select(
     return spark.createDataFrame(
         rows, f"round long, {id_col} long, new_words long, covered_total long"
     )
+
+
+def minhash_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xx64",
+) -> DataFrame:
+    """Fuzzy benchmark decontamination — the MinHash-LSH companion of
+    :func:`ngram_decontaminate`: flag training documents whose shingle-set
+    Jaccard with ANY benchmark document reaches ``threshold``. Exact n-gram
+    matching misses paraphrased/reformatted benchmark leakage; document-
+    level near-duplicate matching (the Llama-2 / GPT-4-report style fuzzy
+    pass) catches it.
+
+    Cross-corpus LSH: both sides shingle once, MinHash-sign once, and meet
+    ONLY inside shared band buckets — never train × benchmark all-pairs.
+    The lossless size-ratio prefilter (J ≥ t ⇒ t ≤ |A|/|B| ≤ 1/t) runs on
+    two longs per candidate before the exact shingle-array verify. With
+    ``hash_family="md5"`` the entire candidate set is reproducible in ANSI
+    SQL (the dedup_minhash oracle contract).
+
+    Returns one row per CONTAMINATED train document:
+    ``(id_col, n_matches, best_bench, best_jaccard)`` where best is the
+    (jaccard, bench-id)-max match — highest Jaccard, ties to the larger
+    benchmark id (a total order, so the row is parallelism-invariant).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from .blocking import minhash_signature
+    from .dedup import _band_keys, _shingled
+
+    sht = _shingled(train, text_col, id_col, n)
+    shb = _shingled(benchmark, text_col, id_col, n)
+
+    def blocked(sh, out_id, out_n):
+        sig = sh.withColumn(
+            "sig", minhash_signature(F.col("shingles"), num_hashes, hash_family)
+        )
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.col("n_sh").alias(out_n),
+            F.explode(_band_keys(num_hashes, bands, hash_family)).alias("bk"),
+        )
+
+    cand = (
+        blocked(sht, "t_id", "n_t")
+        .join(blocked(shb, "b_id", "n_b"), "bk")
+        .where(F.least("n_t", "n_b") >= threshold * F.greatest("n_t", "n_b"))
+        .select("t_id", "b_id")
+        .distinct()
+    )
+    sa = sht.select(F.col(id_col).alias("t_id"), F.col("shingles").alias("sh_t"))
+    sb = shb.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("sh_b"))
+    ver = (
+        cand.join(sa, "t_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_t", "sh_b"))
+            / F.size(F.array_union("sh_t", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return (
+        ver.groupBy(F.col("t_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max(F.struct(F.col("jaccard").alias("j"), F.col("b_id").alias("b"))).alias("_m"),
+        )
+        .select(
+            id_col,
+            "n_matches",
+            F.col("_m.b").alias("best_bench"),
+            F.col("_m.j").alias("best_jaccard"),
+        )
+    )

@@ -1485,3 +1485,97 @@ def test_coverage_select_partition_invariant(spark):
         coverage_select(docs, k=0)
     with _pytest.raises(ValueError):
         coverage_select(docs, ngram=0)
+
+
+def _py_minhash_decon(train, bench, threshold=0.8, num_hashes=16, bands=8):
+    """Pure-python replay of minhash_decontaminate(n=1, md5 family)."""
+    import hashlib
+    import re
+
+    def sh(t):
+        return {w for w in re.split(r"\W+", t.lower()) if w}
+
+    def h(i, x):
+        return int(hashlib.md5(f"{i}:{x}".encode()).hexdigest()[:15], 16)
+
+    def sig(ss):
+        return [min(h(i, x) for x in ss) for i in range(num_hashes)]
+
+    def bks(sg):
+        r = num_hashes // bands
+        return {
+            f"{b}:" + hashlib.md5(",".join(map(str, sg[b * r:(b + 1) * r])).encode()).hexdigest()
+            for b in range(bands)
+        }
+
+    tsh = {i: sh(t) for i, t in train if sh(t)}
+    bsh = {i: sh(t) for i, t in bench if sh(t)}
+    tbk = {i: bks(sig(s)) for i, s in tsh.items()}
+    bbk = {i: bks(sig(s)) for i, s in bsh.items()}
+    out = {}
+    for ti, tb in tbk.items():
+        for bi, bb in bbk.items():
+            if not (tb & bb):
+                continue
+            a, b = len(tsh[ti]), len(bsh[bi])
+            if min(a, b) < threshold * max(a, b):
+                continue
+            j = len(tsh[ti] & bsh[bi]) / len(tsh[ti] | bsh[bi])
+            if j >= threshold:
+                out.setdefault(ti, []).append((j, bi))
+    return sorted(
+        (ti, len(ms), max(ms)[1], round(max(ms)[0], 6))
+        for ti, ms in out.items()
+    )
+
+
+def test_minhash_decontaminate_matches_python_replay(spark):
+    from minimel_spark.operators.corpus import minhash_decontaminate
+
+    bench = [
+        (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (101, "completely different benchmark text about astronomy and star maps"),
+        (102, "completely different benchmark text about astronomy and star maps"),
+    ]
+    train = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "quick brown fox jumps over the lazy dog near the river bank today"),
+        (3, "unrelated training document about cooking pasta with fresh basil"),
+        (4, "completely different benchmark text about astronomy and star maps"),
+    ]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["n_matches"], r["best_bench"], round(r["best_jaccard"], 6))
+        for r in minhash_decontaminate(
+            tdf, bdf, threshold=0.8, n=1, hash_family="md5"
+        ).collect()
+    )
+    want = _py_minhash_decon(train, bench)
+    assert got == want
+    ids = {g[0] for g in got}
+    assert 1 in ids and 3 not in ids
+    # doc 4 matches BOTH identical benchmark docs: tie -> larger bench id
+    row4 = [g for g in got if g[0] == 4][0]
+    assert row4[1] == 2 and row4[2] == 102 and row4[3] == 1.0
+
+
+def test_minhash_decontaminate_invariance_and_validation(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.corpus import minhash_decontaminate
+
+    rows = [(i, f"shared core words alpha beta gamma delta doc {i % 5}") for i in range(30)]
+    tdf = spark.createDataFrame(rows, "doc_id long, text string")
+    bdf = spark.createDataFrame(rows[:6], "doc_id long, text string")
+    a = sorted(
+        map(tuple, minhash_decontaminate(tdf.coalesce(1), bdf, n=1, hash_family="md5").collect())
+    )
+    b = sorted(
+        map(tuple, minhash_decontaminate(tdf.repartition(8), bdf.repartition(4), n=1, hash_family="md5").collect())
+    )
+    assert a == b and len(a) > 0
+    with _pytest.raises(ValueError):
+        minhash_decontaminate(tdf, bdf, threshold=0.0)
+    with _pytest.raises(ValueError):
+        minhash_decontaminate(tdf, bdf, hash_family="nope")
