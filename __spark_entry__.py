@@ -5918,6 +5918,75 @@ SELECT term, doc_id::BIGINT AS doc_id, round(score, 6) AS score,
 FROM rk WHERE rnk <= 5"""
 
 
+def q_text_rm3_expand(spark, sf_dir):
+    """RM3 pseudo-relevance feedback expansion (operators/retrieval.py
+    rm3_expansion, Lavrenko & Croft 2001): query = the same 8-term
+    high-df fixture as text_bm25_topk, feedback = top-10 docs by summed
+    BM25 (cut on (round(score,6) desc, id) — a total order), RM1 from
+    MLE term models weighted by doc score, RM3 at α=0.6, top-10 terms
+    by (round(weight,6) desc, term). Both engines evaluate the identical
+    IEEE expression tree; rounding happens BEFORE every cut, so the
+    boundary is exact."""
+    from minimel_spark.operators.retrieval import rm3_expansion, top_df_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = top_df_terms(docs, m=8, min_len=4)
+    return rm3_expansion(docs, terms, fb_docs=10, fb_terms=10, alpha=0.6)
+
+
+SQL_TEXT_RM3 = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS ws
+  FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+qterms AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS df FROM dt WHERE len(term) >= 4 GROUP BY 1)
+  ORDER BY df DESC, term ASC LIMIT 8),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM tok JOIN qterms USING (term) GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+doc_s AS (
+  SELECT t.doc_id,
+         sum(ln(1.0::DOUBLE + (s.n_docs - d.df + 0.5::DOUBLE)
+                              / (d.df + 0.5::DOUBLE))
+             * (t.tf * (1.2::DOUBLE + 1.0::DOUBLE)
+                / (t.tf + 1.2::DOUBLE
+                          * ((1.0::DOUBLE - 0.75::DOUBLE)
+                             + 0.75::DOUBLE * dl.dl / s.avgdl)))) AS s
+  FROM tf t JOIN dfq d USING (term) JOIN dl ON dl.doc_id = t.doc_id, stats s
+  GROUP BY 1),
+fb AS MATERIALIZED (
+  SELECT doc_id, s FROM doc_s ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 10),
+den AS (SELECT sum(s) AS den FROM fb),
+ftf AS (
+  SELECT t.term, t.doc_id, count(*) AS tfw
+  FROM tok t JOIN fb USING (doc_id) GROUP BY 1, 2),
+rm1 AS (
+  SELECT f.term, sum(f.tfw::DOUBLE / dl.dl * fb.s) AS num
+  FROM ftf f JOIN dl USING (doc_id) JOIN fb USING (doc_id) GROUP BY 1),
+nq AS (SELECT count(*)::DOUBLE AS nq FROM qterms),
+cand AS (
+  SELECT coalesce(r.term, q.term) AS term,
+         coalesce(r.num, 0.0::DOUBLE) AS num,
+         CASE WHEN q.term IS NOT NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS inq
+  FROM rm1 r FULL OUTER JOIN qterms q ON r.term = q.term),
+wgt AS (
+  SELECT term,
+         round((1.0::DOUBLE - 0.6::DOUBLE) * inq / nq.nq
+               + 0.6::DOUBLE * (num / den.den), 6) AS weight
+  FROM cand, nq, den),
+top AS (SELECT term, weight FROM wgt ORDER BY weight DESC, term ASC LIMIT 10)
+SELECT term, weight,
+       row_number() OVER (ORDER BY weight DESC, term ASC)::BIGINT AS rnk
+FROM top"""
+
+
 def q_stream_incremental_minhash(spark, sf_dir):
     """Streaming incremental near-dup dedup for a growing corpus
     (streaming/ingest.py stream_incremental_minhash): documents arrive as
@@ -15302,6 +15371,7 @@ _TAIL: list[str] = [
     "mm_image_whash",
     "graph_luby_mis",
     "corpus_fuzzy_decontaminate",
+    "text_rm3_expand",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -15315,7 +15385,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 269
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 270
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -15413,6 +15483,7 @@ _ORACLES: dict[str, str] = {
     "graph_pagerank": SQL_GRAPH_PAGERANK,
     "dedup_passage_overlap": SQL_DEDUP_PASSAGE,
     "text_bm25_topk": SQL_TEXT_BM25,
+    "text_rm3_expand": SQL_TEXT_RM3,
     # batch-split invariance: union of per-batch outputs == whole-corpus run
     "stream_incremental_minhash": SQL_DEDUP_MINHASH,
     # stream==batch: the drained newest-wins state must equal the batch

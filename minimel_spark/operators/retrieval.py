@@ -203,3 +203,110 @@ def rank_agreement(
             ).alias("tau"),
         )
     )
+
+
+def rm3_expansion(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.6,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RM3 pseudo-relevance feedback query expansion (Lavrenko & Croft,
+    SIGIR 2001; the Anserini/Pyserini default expansion model) — in a
+    training-data pipeline this is how a small seed query grows into a
+    domain vocabulary for corpus selection: retrieve, assume the top
+    ``fb_docs`` are relevant, and re-estimate the query language model
+    from them.
+
+    - document relevance weight s(d) = Σ_q BM25(q, d) over the query terms
+      (the BM25-weighted relevance-model variant); the feedback cut is by
+      (round(s, 6) desc, id asc) — rounding first makes the cut a total
+      order both engines reproduce even at float-noise boundaries;
+    - RM1(w) = Σ_d P(w|d)·s(d) / Σ_d s(d) with MLE P(w|d) = tf(w,d)/|d|
+      (Σ_w RM1 = 1 by construction);
+    - RM3(w) = (1-α)·[w ∈ Q]/|Q| + α·RM1(w) — query terms keep mass even
+      when absent from the feedback docs (full outer join, not left);
+    - output: top ``fb_terms`` rows (term, weight, rnk) by
+      (round(weight, 6) desc, term asc).
+
+    Scale: the posting scan touches only query-term postings (broadcast
+    semi-join), feedback statistics touch only the fb_docs documents, and
+    the final rank window runs AFTER the top-m cut, over ≤ fb_terms rows.
+    """
+    if fb_docs < 1:
+        raise ValueError(f"fb_docs must be >= 1, got {fb_docs}")
+    if fb_terms < 1:
+        raise ValueError(f"fb_terms must be >= 1, got {fb_terms}")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    qt = query_terms.select("term").distinct()
+    base = docs.select(id_col, F.explode(_words(text_col)).alias("term")).join(
+        F.broadcast(qt), "term"
+    )
+    tf = base.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = docs.select(id_col, F.size(_words(text_col)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    score = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    doc_s = (
+        tf.join(df_, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, score.alias("score"))
+        .groupBy(id_col)
+        .agg(F.sum("score").alias("s"))
+    )
+    fb = (
+        doc_s.orderBy(F.desc(F.round("s", 6)), F.asc(id_col))
+        .limit(fb_docs)
+        .localCheckpoint(eager=True)  # 3 consumers: denom, tf join, dl join
+    )
+    den = fb.agg(F.sum("s").alias("den"))
+    ftf = (
+        docs.join(fb.select(id_col), id_col)
+        .select(id_col, F.explode(_words(text_col)).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tfw"))
+    )
+    rm1 = (
+        ftf.join(dl, id_col)
+        .join(fb, id_col)
+        .groupBy("term")
+        .agg(F.sum(F.col("tfw") / F.col("dl") * F.col("s")).alias("num"))
+    )
+    cand = rm1.join(qt.withColumn("inq", F.lit(1.0)), "term", "full_outer")
+    nq = qt.agg(F.count(F.lit(1)).cast("double").alias("nq"))
+    wgt = (
+        cand.crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "term",
+            F.round(
+                F.lit(1.0 - alpha) * F.coalesce("inq", F.lit(0.0)) / F.col("nq")
+                + F.lit(alpha) * (F.coalesce("num", F.lit(0.0)) / F.col("den")),
+                6,
+            ).alias("weight"),
+        )
+    )
+    top = wgt.orderBy(F.desc("weight"), F.asc("term")).limit(fb_terms)
+    w = Window.orderBy(F.desc("weight"), F.asc("term"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -128,3 +128,91 @@ def test_rank_agreement_partial(spark):
     r = rank_agreement(df, "ra", "rb").collect()[0]
     assert abs(r["tau"] - 1 / 3) < 1e-12
     assert r["concordant"] == 2 and r["discordant"] == 1
+
+
+def _py_rm3(docs, terms, fb_docs=3, fb_terms=8, alpha=0.6):
+    import re
+
+    scores = _py_bm25(docs, terms)
+    doc_s = {}
+    for (t, d), s in scores.items():
+        doc_s[d] = doc_s.get(d, 0.0) + s
+    fb = sorted(doc_s.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:fb_docs]
+    den = sum(s for _, s in fb)
+    toks = {d: [w for w in re.split(r"\W+", t.lower()) if w] for d, t in docs}
+    num = {}
+    for d, s in fb:
+        dl = len(toks[d])
+        for w in toks[d]:
+            num[w] = num.get(w, 0.0) + s / dl
+    qset = set(terms)
+    cand = set(num) | qset
+    wgt = {
+        w: round(
+            (1.0 - alpha) * (1.0 if w in qset else 0.0) / len(qset)
+            + alpha * (num.get(w, 0.0) / den),
+            6,
+        )
+        for w in cand
+    }
+    top = sorted(wgt.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+    return [(w, v, i + 1) for i, (w, v) in enumerate(top)]
+
+
+def test_rm3_expansion_matches_python_reference(spark):
+    from minimel_spark.operators.retrieval import rm3_expansion
+
+    docs = [
+        (1, "apple banana cherry apple fruit salad recipe"),
+        (2, "apple pie recipe with cinnamon and sugar crust"),
+        (3, "banana bread recipe using ripe banana and flour"),
+        (4, "astronomy telescope star chart observation guide"),
+        (5, "apple orchard harvest season fruit picking"),
+    ]
+    terms = ["apple", "banana", "quasar"]
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["term"], r["weight"], r["rnk"])
+        for r in rm3_expansion(ddf, tdf, fb_docs=3, fb_terms=8, alpha=0.6)
+        .orderBy("rnk")
+        .collect()
+    ]
+    want = _py_rm3(docs, terms, fb_docs=3, fb_terms=8, alpha=0.6)
+    assert got == want
+    # "quasar" matches no document: it still keeps its (1-a)/|Q| prior mass
+    wq = dict((t, w) for t, w, _ in got)
+    assert abs(wq["quasar"] - round(0.4 / 3, 6)) < 1e-9
+
+
+def test_rm3_expansion_invariance_and_validation(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.retrieval import rm3_expansion
+
+    rows = [(i, f"common words here plus w{i % 7} and w{i % 3}") for i in range(40)]
+    ddf = spark.createDataFrame(rows, "doc_id long, text string")
+    tdf = spark.createDataFrame([("common",), ("words",)], "term string")
+    a = [
+        tuple(r)
+        for r in rm3_expansion(ddf.coalesce(1), tdf, fb_docs=5, fb_terms=6)
+        .orderBy("rnk")
+        .collect()
+    ]
+    b = [
+        tuple(r)
+        for r in rm3_expansion(ddf.repartition(8), tdf, fb_docs=5, fb_terms=6)
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert a == b and len(a) == 6
+    # alpha=0 degenerates to the uniform query prior
+    q0 = {
+        r["term"]: r["weight"]
+        for r in rm3_expansion(ddf, tdf, fb_docs=5, fb_terms=2, alpha=0.0).collect()
+    }
+    assert q0 == {"common": 0.5, "words": 0.5}
+    with _pytest.raises(ValueError):
+        rm3_expansion(ddf, tdf, fb_docs=0)
+    with _pytest.raises(ValueError):
+        rm3_expansion(ddf, tdf, alpha=1.5)
