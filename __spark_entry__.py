@@ -2803,6 +2803,47 @@ SELECT t_id::BIGINT AS doc_id, cnt::BIGINT AS n_matches,
 FROM ranked WHERE rn = 1"""
 
 
+def q_dedup_weighted_jaccard(spark, sf_dir):
+    """Weighted (multiset) Jaccard near-dup pairs (operators/dedup.py
+    weighted_jaccard_dups): tf-aware J_w = Σmin/Σmax over word-unigram
+    multisets at threshold 0.7 — the repetition-aware verify set Jaccard
+    over-scores (J_w == J_set iff every tf is 1). Shared-shingle
+    blocking (lossless), Σmax via the identity tot_a + tot_b − Σmin so
+    full arrays never ship to pairs. The oracle recomputes tf tables,
+    the stop-cap, Σmin, and the identity in SQL — exact integers into
+    one rounded division."""
+    from minimel_spark.operators.dedup import weighted_jaccard_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_jaccard_dups(docs, threshold=0.7, n=1).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("wjaccard", 6).alias("wjaccard"),
+    )
+
+
+SQL_DEDUP_WEIGHTED_JACCARD = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS ws
+  FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS sh FROM w),
+tf AS (SELECT doc_id, sh, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+freq AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM tf GROUP BY 1)
+         WHERE df > 1000),
+blocked AS (SELECT tf.* FROM tf ANTI JOIN freq USING (sh)),
+tot AS (SELECT doc_id, sum(tf)::BIGINT AS tot FROM tf GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         sum(least(a.tf, b.tf))::BIGINT AS smin
+  FROM blocked a JOIN blocked b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       round(smin::DOUBLE / (ta.tot + tb.tot - smin), 6) AS wjaccard
+FROM shared JOIN tot ta ON ta.doc_id = id_a JOIN tot tb ON tb.doc_id = id_b
+WHERE smin::DOUBLE / (ta.tot + tb.tot - smin) >= 0.7"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs. Hash-checked: the md5-based fingerprint is
     recomputed bit-for-bit in DuckDB and the oracle takes the BRUTE-FORCE
@@ -15372,6 +15413,7 @@ _TAIL: list[str] = [
     "graph_luby_mis",
     "corpus_fuzzy_decontaminate",
     "text_rm3_expand",
+    "dedup_weighted_jaccard",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -15385,7 +15427,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 270
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 271
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -15423,6 +15465,7 @@ _ORACLES: dict[str, str] = {
     "dedup_jaccard_3gram": SQL_DEDUP_JACCARD_3GRAM,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "corpus_fuzzy_decontaminate": SQL_CORPUS_FUZZY_DECON,
+    "dedup_weighted_jaccard": SQL_DEDUP_WEIGHTED_JACCARD,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,

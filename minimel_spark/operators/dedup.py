@@ -1165,3 +1165,81 @@ def cdc_dedup_stats(
         )
         .withColumn("dup_frac", F.col("dup_chars") / F.col("n_chars"))
     )
+
+
+def weighted_jaccard_dups(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs_per_shingle: int | None = 1000,
+) -> DataFrame:
+    """Weighted (multiset) Jaccard ≥ threshold near-dup pairs:
+
+        J_w(A, B) = Σ_x min(tf_A(x), tf_B(x)) / Σ_x max(tf_A(x), tf_B(x))
+
+    with tf counting each word n-gram's OCCURRENCES. Set Jaccard scores
+    'spam spam spam spam' vs 'spam' as identical; the weighted form (the
+    quantity Ioffe 2010's consistent weighted sampling estimates) is the
+    repetition-aware verify for boilerplate/template-heavy web text —
+    J_w == J_set when every tf is 1, penalizes repetition MISMATCH
+    (A = 4×spam vs B = 1×spam drops from J_set 1.0 to 1/4), and rewards
+    shared repetition (matching spam runs count once per occurrence) —
+    i.e. it scores the multisets people actually wrote, in both
+    directions.
+
+    Blocking: shared-shingle equi-join on DISTINCT shingles (lossless —
+    J_w > 0 requires a common shingle; ``max_docs_per_shingle`` is the one
+    recall/cost knob, same contract as ngram_jaccard_dups). The verify is
+    pure aggregation: Σ min runs over the pair's SHARED shingles via a
+    (shingle)-keyed equi-join of the two tf tables, and Σ max falls out of
+    the identity Σ max = tot_A + tot_B − Σ min — full shingle arrays are
+    never shipped to candidate pairs, so verify cost is O(shared shingles),
+    not O(|A| + |B|) per pair.
+
+    Returns (id_a, id_b, wjaccard) with id_a < id_b.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    words = words_lower(F.col(text_col))
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    tf = (
+        ensure_min_parallelism(docs, id_col)
+        .select(id_col, F.explode(grams).alias("sh"))
+        .groupBy(id_col, "sh")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if max_docs_per_shingle:
+        freq = tf.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        blocked = tf.join(
+            F.broadcast(freq.where(F.col("df") > max_docs_per_shingle)),
+            "sh",
+            "left_anti",
+        )
+    else:
+        blocked = tf
+    tot = tf.groupBy(id_col).agg(F.sum("tf").alias("tot"))
+    a = blocked.select(F.col(id_col).alias("id_a"), "sh", F.col("tf").alias("tf_a"))
+    b = blocked.select(F.col(id_col).alias("id_b"), "sh", F.col("tf").alias("tf_b"))
+    shared = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("tf_a", "tf_b")).alias("smin"))
+    )
+    ta = tot.select(F.col(id_col).alias("id_a"), F.col("tot").alias("tot_a"))
+    tb = tot.select(F.col(id_col).alias("id_b"), F.col("tot").alias("tot_b"))
+    return (
+        shared.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "wjaccard",
+            F.col("smin") / (F.col("tot_a") + F.col("tot_b") - F.col("smin")),
+        )
+        .where(F.col("wjaccard") >= threshold)
+        .select("id_a", "id_b", "wjaccard")
+    )

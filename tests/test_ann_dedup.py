@@ -967,3 +967,58 @@ def test_spectral_word_embedding_partition_invariant_and_validation(spark):
     assert a == b and len(a) == 7
     with _pt.raises(ValueError, match="n_iter"):
         spectral_word_embedding(docs, n_iter=0)
+
+
+def _py_wjac(a, b):
+    import re
+    from collections import Counter
+
+    ca = Counter(w for w in re.split(r"\W+", a.lower()) if w)
+    cb = Counter(w for w in re.split(r"\W+", b.lower()) if w)
+    smin = sum((ca & cb).values())
+    smax = sum((ca | cb).values())
+    return smin / smax if smax else 0.0
+
+
+def test_weighted_jaccard_matches_python_and_bounds(spark):
+    import itertools
+
+    import pytest as _pytest
+
+    from minimel_spark.operators.dedup import ngram_jaccard_dups, weighted_jaccard_dups
+
+    rows = [
+        (1, "spam spam spam spam eggs"),
+        (2, "spam eggs"),
+        (3, "spam spam spam spam eggs ham"),
+        (4, "totally different content here"),
+        (5, "totally different content here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["wjaccard"]
+        for r in weighted_jaccard_dups(docs, threshold=0.01, n=1).collect()
+    }
+    texts = dict(rows)
+    for ia, ib in itertools.combinations(sorted(texts), 2):
+        want = _py_wjac(texts[ia], texts[ib])
+        if want >= 0.01:
+            assert abs(got[(ia, ib)] - want) < 1e-12, (ia, ib)
+        else:
+            assert (ia, ib) not in got
+    # repetition-awareness: set Jaccard calls (1,2) identical, weighted doesn't
+    sj = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_dups(docs, threshold=0.01, n=1).collect()
+    }
+    assert sj[(1, 2)] == 1.0 and got[(1, 2)] == 2 / 5
+    # ...and rewards SHARED repetition: (1,3) share the spam run, so the
+    # weighted score RISES above the set score there
+    assert got[(1, 3)] == 5 / 6 > sj[(1, 3)]
+    # exact copies score 1.0 in both
+    assert got[(4, 5)] == 1.0 and sj[(4, 5)] == 1.0
+    a = sorted(map(tuple, weighted_jaccard_dups(docs.coalesce(1), threshold=0.3).collect()))
+    b = sorted(map(tuple, weighted_jaccard_dups(docs.repartition(8), threshold=0.3).collect()))
+    assert a == b
+    with _pytest.raises(ValueError):
+        weighted_jaccard_dups(docs, threshold=0.0)
