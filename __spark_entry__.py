@@ -2844,6 +2844,57 @@ FROM shared JOIN tot ta ON ta.doc_id = id_a JOIN tot tb ON tb.doc_id = id_b
 WHERE smin::DOUBLE / (ta.tot + tb.tot - smin) >= 0.7"""
 
 
+def q_corpus_suffix_lrs(spark, sf_dir):
+    """Longest repeated substrings via a DISTRIBUTED SUFFIX ARRAY
+    (operators/suffix.py — prefix doubling à la Flick & Aluru SC'15, the
+    exact-substring layer of Lee et al. 2022 dedup): 7 doubling rounds
+    (2^7 = 128 ≥ the longest document), suffix order = (final rank, doc,
+    pos), adjacency by a global dense rank, LCP by binary lifting over
+    the rank tables — no suffix text ever materializes in the operator.
+    Top-20 adjacent pairs by (lcp desc, da, pa) with the repeated text
+    reconstructed for those rows only. The oracle sorts the TRUE token
+    suffixes (DuckDB list comparison has the same shorter-prefix-first
+    semantics as the shared −1 sentinel) and takes first-mismatch LCPs —
+    a completely independent algorithm; an under-budget round count
+    would surface as a hash mismatch."""
+    from minimel_spark.operators.suffix import longest_repeated_substrings
+
+    docs = _t(spark, sf_dir, "documents")
+    return longest_repeated_substrings(docs, top_n=20, rounds=7)
+
+
+SQL_CORPUS_SUFFIX_LRS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS ws
+  FROM documents),
+sfx AS (
+  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws
+  FROM w WHERE len(ws) > 0),
+sufl AS (SELECT doc_id, pos, ws[pos:] AS suf FROM sfx),
+ord AS (
+  SELECT doc_id, pos, suf,
+         row_number() OVER (ORDER BY suf, doc_id, pos) AS idx
+  FROM sufl),
+pairs AS (
+  SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb,
+         a.suf AS sa, b.suf AS sb
+  FROM ord a JOIN ord b ON b.idx = a.idx + 1),
+lcps AS (
+  SELECT da, pa, db, pb, sa,
+         (CASE WHEN mm = 0 THEN least(len(sa), len(sb)) ELSE mm - 1 END)::BIGINT AS lcp
+  FROM (SELECT *,
+               list_position(list_transform(range(1, least(len(sa), len(sb)) + 1),
+                                            i -> sa[i] = sb[i]), false) AS mm
+        FROM pairs)),
+top AS (
+  SELECT da, pa, db, pb, lcp, sa FROM lcps
+  ORDER BY lcp DESC, da ASC, pa ASC LIMIT 20)
+SELECT da::BIGINT AS da, pa::BIGINT AS pa, db::BIGINT AS db, pb::BIGINT AS pb,
+       lcp, array_to_string(sa[1:lcp], ' ') AS repeat
+FROM top"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs. Hash-checked: the md5-based fingerprint is
     recomputed bit-for-bit in DuckDB and the oracle takes the BRUTE-FORCE
@@ -15414,6 +15465,7 @@ _TAIL: list[str] = [
     "corpus_fuzzy_decontaminate",
     "text_rm3_expand",
     "dedup_weighted_jaccard",
+    "corpus_suffix_lrs",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -15427,7 +15479,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 271
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 272
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -15466,6 +15518,7 @@ _ORACLES: dict[str, str] = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "corpus_fuzzy_decontaminate": SQL_CORPUS_FUZZY_DECON,
     "dedup_weighted_jaccard": SQL_DEDUP_WEIGHTED_JACCARD,
+    "corpus_suffix_lrs": SQL_CORPUS_SUFFIX_LRS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
