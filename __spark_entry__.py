@@ -15171,6 +15171,55 @@ a{r + 1} AS MATERIALIZED (
 SQL_GRAPH_LUBY_MIS = _sql_luby(6)
 
 
+def q_graph_katz(spark, sf_dir):
+    """Katz centrality (operators/graph.py katz_centrality, Katz 1953)
+    over the directed md5 link graph: 8 synchronous rounds of
+    x ← α·Aᵀ(x+1) at α=0.1 from x=0 — the attenuated path-count
+    complement of PageRank in the rank-fingerprint family. The oracle
+    unrolls the identical 8 rounds as chained CTEs with ::DOUBLE
+    arithmetic (the pagerank contract: same IEEE recurrence, 6-decimal
+    boundary rounding)."""
+    from minimel_spark.operators.graph import katz_centrality
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = (
+        _doc_link_edges(docs, n).where(F.col("src") != F.col("dst")).distinct()
+    )
+    return katz_centrality(edges, nodes, n_iter=8, alpha=0.1).select(
+        F.col("node").cast("long").alias("node"), F.round("katz", 6).alias("katz")
+    )
+
+
+def _sql_katz(n_iter: int = 8) -> str:
+    parts = ["""
+WITH e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, (SELECT count(*) AS n FROM documents) nn),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+x0 AS (SELECT doc_id AS node, 0.0::DOUBLE AS x FROM documents)"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+x{t} AS MATERIALIZED (
+  SELECT n.node,
+         0.1::DOUBLE * coalesce(a.s, 0.0::DOUBLE) AS x
+  FROM (SELECT doc_id AS node FROM documents) n
+  LEFT JOIN (SELECT e.dst AS node, sum(p.x + 1.0::DOUBLE) AS s
+             FROM x{t - 1} p JOIN e ON e.src = p.node
+             GROUP BY 1) a USING (node))""")
+    return (
+        "".join(parts)
+        + f"\nSELECT node::BIGINT AS node, round(x, 6) AS katz FROM x{n_iter}"
+    )
+
+
+SQL_GRAPH_KATZ = _sql_katz(8)
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -15466,6 +15515,7 @@ _TAIL: list[str] = [
     "text_rm3_expand",
     "dedup_weighted_jaccard",
     "corpus_suffix_lrs",
+    "graph_katz",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -15479,7 +15529,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 272
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 273
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -15720,6 +15770,7 @@ _ORACLES: dict[str, str] = {
     "rel_cms_join_size": SQL_REL_CMS_JOIN_SIZE,
     "graph_walk_corpus": SQL_GRAPH_WALK_CORPUS,
     "graph_luby_mis": SQL_GRAPH_LUBY_MIS,
+    "graph_katz": SQL_GRAPH_KATZ,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -1723,3 +1723,51 @@ def luby_mis(
         "node", F.lit("unresolved").alias("status"), F.lit(-1).cast("long").alias("round")
     )
     return decided.unionByName(leftover)
+
+
+def katz_centrality(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 8,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Katz centrality after exactly ``n_iter`` synchronous rounds:
+
+        x_{t+1}(v) = α · Σ_{u→v} (x_t(u) + 1),   x_0 = 0
+
+    so x_T(v) = Σ_{k=1..T} α^k · (#directed paths of length k ending at v)
+    — the attenuated path-count centrality (Katz 1953), the classic
+    complement of PageRank: it rewards being reachable by MANY short
+    paths rather than by rank-concentrated ones, and it needs no degree
+    normalization, so link farms that split mass fool it differently
+    than they fool PageRank (which is why rank-fingerprint audits read
+    both). Truncation at T is part of the definition here (pure function
+    of (edges, nodes, n_iter, alpha) — the pagerank determinism
+    contract), not a convergence test; α must simply be positive, though
+    values above 1/λ_max make the untruncated series diverge.
+
+    One edges join + one aggregation per round; edges should be simple
+    (parallel edges count multiple paths otherwise). Isolated/unreached
+    nodes report 0.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not alpha > 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    edges = edges.select("src", "dst")
+    x = nodes.select("node", F.lit(0.0).alias("x"))
+    for _ in range(n_iter):
+        agg = (
+            x.join(edges, x["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("x") + F.lit(1.0)).alias("_s"))
+        )
+        x = (
+            nodes.join(agg, "node", "left")
+            .select(
+                "node",
+                (F.lit(alpha) * F.coalesce("_s", F.lit(0.0))).alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return x.select("node", F.col("x").alias("katz"))

@@ -1119,3 +1119,55 @@ def test_luby_mis_unresolved_certificate_and_invariance(spark):
         assert iso[v] == ("mis", 1), v
     with _pt.raises(ValueError):
         luby_mis(edges, rounds=0)
+
+
+def test_katz_matches_python_and_truncation_series(spark):
+    import pytest as _pt
+
+    from minimel_spark.operators.graph import katz_centrality
+
+    edge_list = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 2)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    nodes = spark.createDataFrame([(v,) for v in range(5)], "node long")
+    alpha, T = 0.1, 6
+    got = {
+        r["node"]: r["katz"]
+        for r in katz_centrality(edges, nodes, n_iter=T, alpha=alpha).collect()
+    }
+    # python replay of the same recurrence
+    x = {v: 0.0 for v in range(5)}
+    for _ in range(T):
+        nxt = {v: 0.0 for v in range(5)}
+        for s, d in edge_list:
+            nxt[d] += x[s] + 1.0
+        x = {v: alpha * nxt[v] for v in x}
+    for v in range(5):
+        assert abs(got[v] - x[v]) < 1e-12, v
+    # truncated-series identity: x_T(v) == sum_k alpha^k #paths of length k
+    import itertools
+
+    adj = {}
+    for s, d in edge_list:
+        adj.setdefault(s, []).append(d)
+    paths_ending = {v: 0.0 for v in range(5)}
+    for k in range(1, T + 1):
+        for start in range(5):
+            stack = [(start, 0)]
+            while stack:
+                cur, depth = stack.pop()
+                if depth == k:
+                    paths_ending[cur] += alpha**k
+                    continue
+                for nx in adj.get(cur, ()):
+                    stack.append((nx, depth + 1))
+    for v in range(5):
+        assert abs(got[v] - paths_ending[v]) < 1e-12, v
+    # isolated node 4 scores 0; partition invariance
+    assert got[4] == 0.0
+    a = sorted(map(tuple, katz_centrality(edges.coalesce(1), nodes, n_iter=4).collect()))
+    b = sorted(map(tuple, katz_centrality(edges.repartition(8), nodes.repartition(4), n_iter=4).collect()))
+    assert a == b
+    with _pt.raises(ValueError):
+        katz_centrality(edges, nodes, n_iter=0)
+    with _pt.raises(ValueError):
+        katz_centrality(edges, nodes, alpha=0.0)
