@@ -15220,6 +15220,131 @@ x{t} AS MATERIALIZED (
 SQL_GRAPH_KATZ = _sql_katz(8)
 
 
+def q_er_feature_iv(spark, sf_dir):
+    """Weight-of-Evidence / Information-Value feature audit
+    (operators/evaluate.py feature_iv — the credit-scoring screening
+    classic applied to matcher features): labeled pairs = documents
+    sharing ≥1 token (label: word-set jaccard ≥ 0.8 — a deliberate
+    positive control: the jacc feature must report near-max IV, the
+    others their honest discriminations), three features (set jaccard,
+    length ratio, overlap coefficient), 5 rank-based quantile
+    bins via the window-free global_dense_rank (bin boundaries are exact
+    integer arithmetic, ties resolved by pair ids). The oracle replays
+    the melt, the per-feature row_number binning, and the smoothed
+    WoE / unsmoothed-share IV formulas in SQL."""
+    from minimel_spark.operators.evaluate import feature_iv
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("h"),
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), r"\W+"), lambda x: x != "")
+        ).alias("ws"),
+    ).select("doc_id", "h", "ws", F.size("ws").alias("ln"))
+    tok = w.select("doc_id", F.explode("ws").alias("t"))
+    inter = (
+        tok.alias("x")
+        .join(tok.alias("y"), "t")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    side = w.select("doc_id", "h", "ln")
+    pairs = (
+        inter.join(
+            side.select(
+                F.col("doc_id").alias("id_a"), F.col("h").alias("ha"),
+                F.col("ln").alias("la"),
+            ),
+            "id_a",
+        )
+        .join(
+            side.select(
+                F.col("doc_id").alias("id_b"), F.col("h").alias("hb"),
+                F.col("ln").alias("lb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("la") + F.col("lb") - F.col("inter"))).alias("jacc"),
+            (F.least("la", "lb") / F.greatest("la", "lb")).alias("len_ratio"),
+            (F.col("inter") / F.least("la", "lb")).alias("ovl"),
+            F.when(
+                F.col("inter") / (F.col("la") + F.col("lb") - F.col("inter"))
+                >= 0.8,
+                1,
+            )
+            .otherwise(0)
+            .alias("label"),
+        )
+    )
+    out = feature_iv(pairs, ["jacc", "len_ratio", "ovl"], n_bins=5)
+    return out.select(
+        "feature",
+        "bin",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round("woe", 6).alias("woe"),
+        F.round("iv", 6).alias("iv"),
+    )
+
+
+SQL_ER_FEATURE_IV = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                   x -> x <> '')) AS ws
+  FROM documents),
+s AS (SELECT doc_id, text, ws, len(ws) AS ln FROM w),
+tok AS (SELECT doc_id, unnest(ws) AS t FROM s),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*)::BIGINT AS i
+  FROM tok x JOIN tok y ON x.t = y.t AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+p AS (
+  SELECT id_a, id_b,
+         i::DOUBLE / (a.ln + b.ln - i) AS jacc,
+         least(a.ln, b.ln)::DOUBLE / greatest(a.ln, b.ln) AS len_ratio,
+         i::DOUBLE / least(a.ln, b.ln) AS ovl,
+         CASE WHEN i::DOUBLE / (a.ln + b.ln - i) >= 0.8 THEN 1 ELSE 0 END AS label
+  FROM inter JOIN s a ON a.doc_id = id_a JOIN s b ON b.doc_id = id_b),
+melted AS (
+  SELECT id_a, id_b, label, 'jacc' AS feature, jacc AS value FROM p
+  UNION ALL
+  SELECT id_a, id_b, label, 'len_ratio', len_ratio FROM p
+  UNION ALL
+  SELECT id_a, id_b, label, 'ovl', ovl FROM p),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY feature
+                            ORDER BY value, id_a, id_b) AS r,
+         count(*) OVER (PARTITION BY feature) AS nf
+  FROM melted),
+binned AS (
+  SELECT feature, label, floor((r - 1) * 5 / nf)::BIGINT AS bin FROM ranked),
+cell AS (
+  SELECT feature, bin,
+         sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         sum(CASE WHEN label = 1 THEN 0 ELSE 1 END)::BIGINT AS n_neg
+  FROM binned GROUP BY 1, 2),
+tots AS (SELECT feature, sum(n_pos) AS pt, sum(n_neg) AS nt FROM cell GROUP BY 1),
+scored AS (
+  SELECT feature, bin, n_pos, n_neg,
+         ln(((n_pos + 0.5::DOUBLE) / pt) / ((n_neg + 0.5::DOUBLE) / nt)) AS woe,
+         (n_pos / pt - n_neg / nt)
+           * ln(((n_pos + 0.5::DOUBLE) / pt) / ((n_neg + 0.5::DOUBLE) / nt)) AS c
+  FROM cell JOIN tots USING (feature)),
+iv AS (SELECT feature, sum(c) AS iv FROM scored GROUP BY 1)
+SELECT s.feature, s.bin, s.n_pos, s.n_neg,
+       round(s.woe, 6) AS woe, round(i.iv, 6) AS iv
+FROM scored s JOIN iv i USING (feature)"""
+
+
 # Registry ORDER is part of the driver contract: the driver samples the FIRST
 # 50 entries for CORRECTNESS_r{N}.json. FINAL round-5 window (continuing the
 # r4 rotation scheme, VERDICT r4 item 7):
@@ -15516,6 +15641,7 @@ _TAIL: list[str] = [
     "dedup_weighted_jaccard",
     "corpus_suffix_lrs",
     "graph_katz",
+    "er_feature_iv",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -15529,7 +15655,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 273
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 274
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -15771,6 +15897,7 @@ _ORACLES: dict[str, str] = {
     "graph_walk_corpus": SQL_GRAPH_WALK_CORPUS,
     "graph_luby_mis": SQL_GRAPH_LUBY_MIS,
     "graph_katz": SQL_GRAPH_KATZ,
+    "er_feature_iv": SQL_ER_FEATURE_IV,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -1109,3 +1109,88 @@ def cohen_kappa(
         pe.alias("pe"),
         kappa.alias("kappa"),
     )
+
+
+def feature_iv(
+    pairs: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+    n_bins: int = 5,
+) -> DataFrame:
+    """Weight-of-Evidence / Information-Value scorecard audit of matcher
+    features (the credit-scoring feature-screening classic, standard in
+    record-linkage model QA): per feature, rows are quantile-binned and
+
+        WoE_b = ln(((pos_b + 0.5)/pos_tot) / ((neg_b + 0.5)/neg_tot))
+        IV    = Σ_b (pos_b/pos_tot − neg_b/neg_tot) · WoE_b
+
+    (half-count smoothing inside the log keeps empty cells finite; the IV
+    shares stay unsmoothed). Rule-of-thumb reading: IV < 0.02 useless,
+    0.1–0.3 medium, > 0.3 strong — a feature whose IV collapses between
+    rounds is the early-warning signal for feature drift in a deployed
+    matcher.
+
+    Binning is rank-based and WINDOW-FREE: one `suffix.global_dense_rank`
+    over (feature, value, id...) — rows are unique by the id columns, the
+    leading feature key keeps features contiguous, and per-feature rank =
+    global rank − (feature's min rank − 1). bin = floor((rank−1)·B / N_f):
+    exact integer arithmetic, ties resolved by id order, deterministic at
+    any parallelism. Output one row per (feature, bin):
+    (feature, bin, n_pos, n_neg, woe, iv) with the feature's total IV
+    repeated on each of its rows.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    from .suffix import global_dense_rank
+
+    ia, ib = id_cols
+    stack = F.expr(
+        "stack({}, {})".format(
+            len(feature_cols),
+            ", ".join(f"'{c}', {c}" for c in feature_cols),
+        )
+    ).alias("feature", "value")
+    melted = pairs.select(ia, ib, label_col, stack)
+    ranked = melted.join(
+        global_dense_rank(melted, ["feature", "value", ia, ib], "_r"),
+        ["feature", "value", ia, ib],
+    )
+    base = ranked.groupBy("feature").agg(
+        F.min("_r").alias("_r0"), F.count(F.lit(1)).alias("_nf")
+    )
+    binned = ranked.join(base, "feature").select(
+        "feature",
+        label_col,
+        F.floor(
+            (F.col("_r") - F.col("_r0")) * n_bins / F.col("_nf")
+        ).cast("long").alias("bin"),
+    )
+    cell = binned.groupBy("feature", "bin").agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col(label_col) == 1, 0).otherwise(1)).alias("n_neg"),
+    )
+    tots = cell.groupBy("feature").agg(
+        F.sum("n_pos").alias("_pt"), F.sum("n_neg").alias("_nt")
+    )
+    ok = (F.col("_pt") > 0) & (F.col("_nt") > 0)
+    woe = F.when(
+        ok,
+        F.log(
+            ((F.col("n_pos") + F.lit(0.5)) / F.col("_pt"))
+            / ((F.col("n_neg") + F.lit(0.5)) / F.col("_nt"))
+        ),
+    ).otherwise(F.lit(0.0))  # single-class labels: IV is undefined, report 0
+    contrib = F.when(
+        ok,
+        (F.col("n_pos") / F.col("_pt") - F.col("n_neg") / F.col("_nt")) * woe,
+    ).otherwise(F.lit(0.0))
+    scored = cell.join(tots, "feature").select(
+        "feature", "bin", "n_pos", "n_neg", woe.alias("woe"), contrib.alias("_c")
+    )
+    iv = scored.groupBy("feature").agg(F.sum("_c").alias("iv"))
+    return scored.join(iv, "feature").select(
+        "feature", "bin", "n_pos", "n_neg", "woe", "iv"
+    )

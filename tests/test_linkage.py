@@ -495,3 +495,77 @@ def test_name_order_audit_partition_invariant(spark):
     a = sorted(map(tuple, name_order_audit(recs.coalesce(1)).collect()))
     b = sorted(map(tuple, name_order_audit(recs.repartition(16)).collect()))
     assert a == b and len(a) == 60
+
+
+def _py_iv(rows, features, n_bins=4):
+    """rows: (id_a, id_b, label, {feature: value}) replay of feature_iv."""
+    import math
+
+    out = []
+    for f in features:
+        ordered = sorted(rows, key=lambda r: (r[3][f], r[0], r[1]))
+        n = len(ordered)
+        cells = {}
+        for i, r in enumerate(ordered):
+            b = (i * n_bins) // n
+            p, g = cells.get(b, (0, 0))
+            cells[b] = (p + (1 if r[2] == 1 else 0), g + (0 if r[2] == 1 else 1))
+        pt = sum(p for p, _ in cells.values())
+        nt = sum(g for _, g in cells.values())
+        iv = 0.0
+        woes = {}
+        for b, (p, g) in cells.items():
+            w = math.log(((p + 0.5) / pt) / ((g + 0.5) / nt))
+            woes[b] = w
+            iv += (p / pt - g / nt) * w
+        for b in cells:
+            p, g = cells[b]
+            out.append((f, b, p, g, round(woes[b], 9), round(iv, 9)))
+    return sorted(out)
+
+
+def test_feature_iv_matches_python_replay(spark):
+    import random
+
+    from minimel_spark.operators.evaluate import feature_iv
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(80):
+        label = 1 if i % 4 == 0 else 0
+        # informative feature f1 (shifted by label), noise feature f2
+        f1 = label * 2.0 + rng.random()
+        f2 = rng.random()
+        rows.append((i, i + 1000, label, {"f1": f1, "f2": f2}))
+    df = spark.createDataFrame(
+        [(a, b, l, d["f1"], d["f2"]) for a, b, l, d in rows],
+        "id_a long, id_b long, label int, f1 double, f2 double",
+    )
+    got = sorted(
+        (r["feature"], r["bin"], r["n_pos"], r["n_neg"], round(r["woe"], 9), round(r["iv"], 9))
+        for r in feature_iv(df, ["f1", "f2"], n_bins=4).collect()
+    )
+    assert got == _py_iv(rows, ["f1", "f2"], n_bins=4)
+    iv_by_f = {f: iv for f, _, _, _, _, iv in got}
+    # the informative feature dominates the noise feature
+    assert iv_by_f["f1"] > 1.0 > iv_by_f["f2"]
+
+
+def test_feature_iv_single_class_and_validation(spark):
+    import pytest as _pt
+
+    from minimel_spark.operators.evaluate import feature_iv
+
+    df = spark.createDataFrame(
+        [(i, i + 100, 0, float(i)) for i in range(10)],
+        "id_a long, id_b long, label int, f double",
+    )
+    rows = feature_iv(df, ["f"], n_bins=2).collect()
+    assert all(r["woe"] == 0.0 and r["iv"] == 0.0 for r in rows)
+    a = sorted(map(tuple, feature_iv(df.coalesce(1), ["f"], n_bins=3).collect()))
+    b = sorted(map(tuple, feature_iv(df.repartition(8), ["f"], n_bins=3).collect()))
+    assert a == b
+    with _pt.raises(ValueError):
+        feature_iv(df, ["f"], n_bins=1)
+    with _pt.raises(ValueError):
+        feature_iv(df, [])
