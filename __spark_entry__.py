@@ -15220,6 +15220,97 @@ x{t} AS MATERIALIZED (
 SQL_GRAPH_KATZ = _sql_katz(8)
 
 
+def q_graph_betweenness(spark, sf_dir):
+    """Source-sampled Brandes betweenness (operators/graph.py
+    betweenness_panel): the 4 smallest node ids as the seed panel over
+    the UNDIRECTED md5 link graph, 6-hop bound — level-synchronous BFS
+    with integer σ path counts folded into the frontier aggregation,
+    then the δ dependency recurrence levels-descending over a
+    once-materialized predecessor DAG. The oracle unrolls the identical
+    6 forward + 6 backward levels in SQL (σ exact integers; δ the same
+    IEEE expression tree, 6-decimal boundary rounding)."""
+    from minimel_spark.operators.graph import betweenness_panel
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return betweenness_panel(
+        _doc_link_edges(docs, n),
+        n_seeds=4,
+        max_dist=6,
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    ).select(
+        F.col("node").cast("long").alias("node"), F.round("btw", 6).alias("btw")
+    )
+
+
+def _sql_betweenness(n_seeds: int = 4, levels: int = 6) -> str:
+    parts = [f"""
+WITH e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, (SELECT count(*) AS n FROM documents) nn),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+                     UNION ALL SELECT b, a FROM und),
+alln AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+seeds AS MATERIALIZED (
+  SELECT node AS seed FROM alln ORDER BY node LIMIT {n_seeds}),
+f0 AS MATERIALIZED (SELECT seed, seed AS node, 1::BIGINT AS sig FROM seeds),
+v0 AS MATERIALIZED (SELECT seed, node FROM f0)"""]
+    for d in range(1, levels + 1):
+        parts.append(f""",
+f{d} AS MATERIALIZED (
+  SELECT f.seed, s.dst AS node, sum(f.sig)::BIGINT AS sig
+  FROM f{d - 1} f JOIN sym s ON s.src = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM v{d - 1} v
+                    WHERE v.seed = f.seed AND v.node = s.dst)
+  GROUP BY 1, 2),
+v{d} AS MATERIALIZED (SELECT seed, node FROM v{d - 1}
+                      UNION ALL SELECT seed, node FROM f{d})""")
+    st_rows = "\nUNION ALL\n".join(
+        f"SELECT seed, node, {d} AS dist, sig FROM f{d}" for d in range(0, levels + 1)
+    )
+    parts.append(f""",
+st AS MATERIALIZED (\n{st_rows}),
+pe AS MATERIALIZED (
+  SELECT u.seed, u.node AS un, u.dist AS du, u.sig AS su,
+         v.node AS vn, v.dist AS dv, v.sig AS sv
+  FROM st u JOIN sym s ON s.src = u.node
+            JOIN st v ON v.seed = u.seed AND v.node = s.dst
+                     AND v.dist = u.dist + 1)""")
+    parts.append(f""",
+dl{levels} AS MATERIALIZED (
+  SELECT seed, un AS node,
+         sum(su::DOUBLE / sv * (1.0::DOUBLE + 0.0::DOUBLE)) AS delta
+  FROM pe WHERE dv = {levels} GROUP BY 1, 2),
+dall{levels} AS MATERIALIZED (SELECT * FROM dl{levels})""")
+    for l in range(levels - 1, 0, -1):
+        parts.append(f""",
+dl{l} AS MATERIALIZED (
+  SELECT pe.seed, pe.un AS node,
+         sum(pe.su::DOUBLE / pe.sv
+             * (1.0::DOUBLE + coalesce(dd.delta, 0.0::DOUBLE))) AS delta
+  FROM pe LEFT JOIN dall{l + 1} dd
+         ON dd.seed = pe.seed AND dd.node = pe.vn
+  WHERE pe.dv = {l}
+  GROUP BY 1, 2),
+dall{l} AS MATERIALIZED (SELECT * FROM dall{l + 1}
+                         UNION ALL SELECT * FROM dl{l})""")
+    parts.append("""
+SELECT a.node::BIGINT AS node, round(coalesce(b.btw, 0.0::DOUBLE), 6) AS btw
+FROM alln a LEFT JOIN (
+  SELECT node, sum(delta) AS btw FROM dall1 WHERE node <> seed GROUP BY 1
+) b ON b.node = a.node""")
+    return "".join(parts)
+
+
+SQL_GRAPH_BETWEENNESS = _sql_betweenness(4, 6)
+
+
 def q_er_feature_iv(spark, sf_dir):
     """Weight-of-Evidence / Information-Value feature audit
     (operators/evaluate.py feature_iv — the credit-scoring screening
@@ -15642,6 +15733,7 @@ _TAIL: list[str] = [
     "corpus_suffix_lrs",
     "graph_katz",
     "er_feature_iv",
+    "graph_betweenness",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -15655,7 +15747,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 274
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 275
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -15898,6 +15990,7 @@ _ORACLES: dict[str, str] = {
     "graph_luby_mis": SQL_GRAPH_LUBY_MIS,
     "graph_katz": SQL_GRAPH_KATZ,
     "er_feature_iv": SQL_ER_FEATURE_IV,
+    "graph_betweenness": SQL_GRAPH_BETWEENNESS,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

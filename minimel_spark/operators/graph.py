@@ -1771,3 +1771,113 @@ def katz_centrality(
             .localCheckpoint(eager=True)
         )
     return x.select("node", F.col("x").alias("katz"))
+
+
+def betweenness_panel(
+    edges: DataFrame,
+    n_seeds: int = 4,
+    max_dist: int = 6,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Source-sampled betweenness centrality (Brandes 2001, restricted to
+    a deterministic seed panel — the standard estimator at scale, where
+    all-sources Brandes is O(n·m)): for each of the ``n_seeds`` smallest
+    node ids, a level-synchronous BFS over the UNDIRECTED simple graph
+    accumulates shortest-path counts σ, then the dependency recurrence
+
+        δ(u) = Σ_{v: u ∈ pred(v)} (σ(u)/σ(v)) · (1 + δ(v))
+
+    runs levels-descending; btw(v) = Σ_seeds δ_seed(v), v excluded when
+    it is the seed. No halving is applied (the panel sums over its
+    sources only); ``max_dist`` bounds the BFS and is part of the
+    semantics (pure function of the graph — paths longer than the bound
+    do not contribute).
+
+    All seeds advance TOGETHER in one (seed, node) state table: k seeds
+    cost one frontier join per level, not k (the distance_census cost
+    model); σ is the integer path-count sum folded into the frontier
+    aggregation; the predecessor-DAG table is materialized once and the
+    backward pass re-joins it per level. δ is IEEE double; σ stays exact
+    integer throughout.
+
+    Output: (node, btw) for every node (0.0 when untouched).
+    """
+    if n_seeds < 1 or max_dist < 1:
+        raise ValueError(
+            f"n_seeds and max_dist must be >= 1, got {n_seeds}, {max_dist}"
+        )
+    sym = _symmetrized(edges).localCheckpoint(eager=True)
+    ends = sym.select(F.col("src").alias("node"))
+    if nodes is not None:
+        ends = ends.union(nodes.select("node"))
+    allnodes = ends.distinct().localCheckpoint(eager=True)
+    seeds = (
+        allnodes.orderBy("node").limit(n_seeds).select(F.col("node").alias("seed"))
+    )
+    state = seeds.select(
+        "seed",
+        F.col("seed").alias("node"),
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("long").alias("sig"),
+    ).localCheckpoint(eager=True)
+    frontier = state
+    for d in range(1, max_dist + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select("seed", F.col("dst").alias("node"), "sig")
+            .join(state.select("seed", "node"), ["seed", "node"], "left_anti")
+            .groupBy("seed", "node")
+            .agg(F.sum("sig").alias("sig"))
+            .withColumn("dist", F.lit(d))
+            .select("seed", "node", "dist", "sig")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        state = state.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    su = state.select(
+        F.col("seed"), F.col("node").alias("_u"), F.col("dist").alias("_du"),
+        F.col("sig").alias("_su"),
+    )
+    sv = state.select(
+        F.col("seed"), F.col("node").alias("_v"), F.col("dist").alias("_dv"),
+        F.col("sig").alias("_sv"),
+    )
+    pe = (
+        su.join(sym, F.col("_u") == sym["src"])
+        .select("seed", "_u", "_du", "_su", F.col("dst").alias("_v"))
+        .join(sv, ["seed", "_v"])
+        .where(F.col("_dv") == F.col("_du") + 1)
+        .select("seed", "_u", "_du", "_su", "_v", "_dv", "_sv")
+        .localCheckpoint(eager=True)  # re-joined once per backward level
+    )
+    spark = state.sparkSession
+    deltas = spark.createDataFrame([], "seed long, node long, delta double")
+    top = max_dist
+    for l in range(top, 0, -1):
+        dv = deltas.select(
+            "seed", F.col("node").alias("_v"), F.col("delta").alias("_dd")
+        )
+        lvl = (
+            pe.where(F.col("_dv") == l)
+            .join(dv, ["seed", "_v"], "left")
+            .groupBy("seed", F.col("_u").alias("node"))
+            .agg(
+                F.sum(
+                    F.col("_su")
+                    / F.col("_sv")
+                    * (F.lit(1.0) + F.coalesce("_dd", F.lit(0.0)))
+                ).alias("delta")
+            )
+            .localCheckpoint(eager=True)
+        )
+        deltas = deltas.unionByName(lvl).localCheckpoint(eager=True)
+    btw = (
+        deltas.where(F.col("node") != F.col("seed"))
+        .groupBy("node")
+        .agg(F.sum("delta").alias("btw"))
+    )
+    return allnodes.join(btw, "node", "left").select(
+        "node", F.coalesce("btw", F.lit(0.0)).alias("btw")
+    )

@@ -1171,3 +1171,92 @@ def test_katz_matches_python_and_truncation_series(spark):
         katz_centrality(edges, nodes, n_iter=0)
     with _pt.raises(ValueError):
         katz_centrality(edges, nodes, alpha=0.0)
+
+
+def _py_brandes(edge_list, sources, max_dist=None):
+    import collections
+
+    adj = {}
+    nodes = set()
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        nodes |= {a, b}
+    btw = {v: 0.0 for v in nodes}
+    for s in sources:
+        dist = {s: 0}
+        sig = {s: 1}
+        order = [s]
+        dq = collections.deque([s])
+        while dq:
+            u = dq.popleft()
+            if max_dist is not None and dist[u] >= max_dist:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    sig[v] = 0
+                    dq.append(v)
+                    order.append(v)
+                if dist[v] == dist[u] + 1:
+                    sig[v] += sig[u]
+        delta = {v: 0.0 for v in dist}
+        for v in reversed(order):
+            for u in adj.get(v, ()):
+                if u in dist and dist[u] == dist[v] - 1:
+                    delta[u] += sig[u] / sig[v] * (1 + delta[v])
+            if v != s:
+                btw[v] += delta[v]
+    return btw
+
+
+def test_betweenness_matches_python_brandes(spark):
+    import random
+
+    from minimel_spark.operators.graph import betweenness_panel
+
+    rng = random.Random(23)
+    for trial in range(2):
+        n = 25
+        edge_list = list({(rng.randrange(n), rng.randrange(n)) for _ in range(50)})
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        ndf = spark.createDataFrame([(v,) for v in range(n)], "node long")
+        got = {
+            r["node"]: r["btw"]
+            for r in betweenness_panel(edges, n_seeds=4, max_dist=12, nodes=ndf).collect()
+        }
+        seen = {v for e in edge_list for v in e if e[0] != e[1]}
+        seeds = sorted(range(n))[:4]
+        want = _py_brandes(edge_list, [s for s in seeds])
+        for v in range(n):
+            w = want.get(v, 0.0) if v in seen or v in want else 0.0
+            assert abs(got[v] - w) < 1e-9, (trial, v, got[v], w)
+
+
+def test_betweenness_star_and_validation(spark):
+    import pytest as _pt
+
+    from minimel_spark.operators.graph import betweenness_panel
+
+    # star: center 0, leaves 1..5; seeds = {0,1,2,3}; from each leaf seed,
+    # center carries (n_leaves-1) pair paths; from the center seed, no
+    # intermediate exists
+    edge_list = [(0, i) for i in range(1, 6)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["node"]: r["btw"]
+        for r in betweenness_panel(edges, n_seeds=4, max_dist=4).collect()
+    }
+    want = _py_brandes(edge_list, [0, 1, 2, 3])
+    for v in got:
+        assert abs(got[v] - want[v]) < 1e-12, v
+    assert got[0] == 12.0  # 3 leaf seeds x 4 other leaves
+    a = sorted(map(tuple, betweenness_panel(edges.coalesce(1), n_seeds=3, max_dist=3).collect()))
+    b = sorted(map(tuple, betweenness_panel(edges.repartition(8), n_seeds=3, max_dist=3).collect()))
+    assert a == b
+    with _pt.raises(ValueError):
+        betweenness_panel(edges, n_seeds=0)
+    with _pt.raises(ValueError):
+        betweenness_panel(edges, max_dist=0)
