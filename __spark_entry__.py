@@ -10955,11 +10955,10 @@ def q_graph_lpa(spark, sf_dir):
     )
 
 
-def _sql_lpa(n_iter: int = 5) -> str:
-    """Unrolled synchronous-LPA oracle: l0 .. l{n_iter} as chained CTEs,
-    each round the same count/argmax/coalesce as operators/graph
-    lpa_communities (struct_pack(-count, label) min = most-frequent label,
-    smallest on ties; nodes without neighbors keep their label)."""
+def _sql_lpa_chain(n_iter: int) -> str:
+    """The l1 .. l{n_iter} LPA round CTEs (shared by the lpa gate and the
+    modularity audit, so the partition both oracles replay is one
+    definition)."""
     steps = []
     for i in range(n_iter):
         steps.append(f"""l{i + 1} AS MATERIALIZED (
@@ -10971,15 +10970,80 @@ def _sql_lpa(n_iter: int = 5) -> str:
           FROM sym s JOIN l{i} q ON q.node = s.src
           GROUP BY s.dst, q.lbl)
     GROUP BY node) b ON b.node = p.node)""")
-    chained = ",\n".join(steps)
+    return ",\n".join(steps)
+
+
+def _sql_lpa(n_iter: int = 5) -> str:
+    """Unrolled synchronous-LPA oracle: l0 .. l{n_iter} as chained CTEs,
+    each round the same count/argmax/coalesce as operators/graph
+    lpa_communities (struct_pack(-count, label) min = most-frequent label,
+    smallest on ties; nodes without neighbors keep their label)."""
     return f"""
 WITH {_SQL_GRAPH_SYM},
 l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents),
-{chained}
+{_sql_lpa_chain(n_iter)}
 SELECT node::BIGINT AS node, lbl::BIGINT AS community FROM l{n_iter}"""
 
 
 SQL_GRAPH_LPA = _sql_lpa(5)
+
+
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity audit (operators/graph.py modularity) of the
+    5-round LPA partition over the md5 link graph — the objective the
+    community detector climbs, recomputed as an audit: per community
+    (n_nodes, e_in, deg_sum, q_contrib) + the overall Q. Exact integers
+    into two divisions per community; the oracle replays the LPA rounds
+    (the graph_lpa chain) AND the modularity arithmetic."""
+    from minimel_spark.operators.graph import lpa_communities, modularity
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = _doc_link_edges(docs, n)
+    part = lpa_communities(edges, nodes, n_iter=5)
+    out = modularity(edges, part)
+    return out.select(
+        F.col("community").cast("long").alias("community"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        "e_in",
+        "deg_sum",
+        F.round("q_contrib", 6).alias("q_contrib"),
+        F.round("q", 6).alias("q"),
+    )
+
+
+SQL_GRAPH_MODULARITY = f"""
+WITH {_SQL_GRAPH_SYM},
+l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+{_sql_lpa_chain(5)},
+part AS MATERIALIZED (SELECT node, lbl AS community FROM l5),
+mrow AS (SELECT count(*)::BIGINT AS m FROM und),
+deg AS (SELECT node, count(*)::BIGINT AS deg
+        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY 1),
+degc AS (
+  SELECT p.community, count(*)::BIGINT AS n_nodes,
+         sum(coalesce(d.deg, 0))::BIGINT AS deg_sum
+  FROM part p LEFT JOIN deg d USING (node)
+  GROUP BY 1),
+ein AS (
+  SELECT pa.community, count(*)::BIGINT AS e_in
+  FROM und u JOIN part pa ON pa.node = u.a
+             JOIN part pb ON pb.node = u.b
+  WHERE pa.community = pb.community
+  GROUP BY 1),
+rows_ AS (
+  SELECT d.community, d.n_nodes, coalesce(e.e_in, 0)::BIGINT AS e_in,
+         d.deg_sum,
+         coalesce(e.e_in, 0) / m.m
+           - (d.deg_sum / (2.0::DOUBLE * m.m))
+             * (d.deg_sum / (2.0::DOUBLE * m.m)) AS q_contrib
+  FROM degc d LEFT JOIN ein e USING (community), mrow m),
+qrow AS (SELECT sum(q_contrib) AS q FROM rows_)
+SELECT community::BIGINT AS community, n_nodes, e_in, deg_sum,
+       round(q_contrib, 6) AS q_contrib, round(q.q, 6) AS q
+FROM rows_, qrow q"""
 
 
 def q_graph_kcore(spark, sf_dir):
@@ -15734,6 +15798,7 @@ _TAIL: list[str] = [
     "graph_katz",
     "er_feature_iv",
     "graph_betweenness",
+    "graph_modularity",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -15747,7 +15812,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 275
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 276
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -15991,6 +16056,7 @@ _ORACLES: dict[str, str] = {
     "graph_katz": SQL_GRAPH_KATZ,
     "er_feature_iv": SQL_ER_FEATURE_IV,
     "graph_betweenness": SQL_GRAPH_BETWEENNESS,
+    "graph_modularity": SQL_GRAPH_MODULARITY,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

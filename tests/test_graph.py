@@ -1260,3 +1260,44 @@ def test_betweenness_star_and_validation(spark):
         betweenness_panel(edges, n_seeds=0)
     with _pt.raises(ValueError):
         betweenness_panel(edges, max_dist=0)
+
+
+def test_modularity_matches_python_and_known_cases(spark):
+    from minimel_spark.operators.graph import modularity
+
+    # two triangles joined by one bridge edge; perfect 2-community split
+    edge_list = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    part_list = [(v, 0 if v < 3 else 1) for v in range(6)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    part = spark.createDataFrame(part_list, "node long, community long")
+    rows = modularity(edges, part).collect()
+    m = 7
+    # python replay
+    import collections
+
+    deg = collections.Counter()
+    for a, b in edge_list:
+        deg[a] += 1
+        deg[b] += 1
+    comm = dict(part_list)
+    ein = collections.Counter()
+    for a, b in edge_list:
+        if comm[a] == comm[b]:
+            ein[comm[a]] += 1
+    want_q = 0.0
+    for c in (0, 1):
+        dc = sum(d for v, d in deg.items() if comm[v] == c)
+        want_q += ein[c] / m - (dc / (2 * m)) ** 2
+    got = {r["community"]: r for r in rows}
+    for c in (0, 1):
+        dc = sum(d for v, d in deg.items() if comm[v] == c)
+        assert got[c]["e_in"] == ein[c] and got[c]["deg_sum"] == dc
+        assert abs(got[c]["q"] - want_q) < 1e-12
+    # everything in ONE community: Q = 1 - 1 = 0 exactly
+    one = spark.createDataFrame([(v, 9) for v in range(6)], "node long, community long")
+    q1 = modularity(edges, one).collect()[0]["q"]
+    assert abs(q1) < 1e-12
+    # partition invariance
+    a = sorted(map(tuple, modularity(edges.coalesce(1), part).collect()))
+    b = sorted(map(tuple, modularity(edges.repartition(8), part.repartition(4)).collect()))
+    assert a == b
