@@ -14082,6 +14082,53 @@ SELECT h.event_type, h.hour, h.n,
 FROM hourly h JOIN mom USING (event_type)"""
 
 
+def q_stream_ewma_chart(spark, sf_dir):
+    """EWMA control chart over hourly event counts (operators/events.py
+    ewma_forecast, Roberts 1959): one-step-ahead forecast f_t = s_{t−1}
+    with s_t = α·y_t + (1−α)·s_{t−1}, folded per type inside one JVM
+    F.aggregate over the hours-sized series; anomaly = |resid| > z·σ on
+    ROUNDED-6 values so both engines decide identically. The oracle
+    replays the identical recurrence with a recursive CTE over the
+    row-numbered hourly series ((1.0 − 0.3) written as a subtraction in
+    SQL so the IEEE constant matches Python's 1−α exactly)."""
+    from minimel_spark.operators.events import ewma_forecast
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return ewma_forecast(ev, alpha=0.3, z=3.0)
+
+
+SQL_STREAM_EWMA_CHART = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2),
+hr AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+  FROM hourly),
+ew AS (
+  SELECT event_type, rn, hour, y, y::DOUBLE AS s, y::DOUBLE AS f
+  FROM hr WHERE rn = 1
+  UNION ALL
+  SELECT h.event_type, h.rn, h.hour, h.y,
+         0.3::DOUBLE * h.y + (1.0::DOUBLE - 0.3::DOUBLE) * e.s,
+         e.s
+  FROM ew e JOIN hr h ON h.event_type = e.event_type AND h.rn = e.rn + 1),
+res AS (SELECT event_type, hour, y, f, y - f AS resid FROM ew),
+mom AS (
+  SELECT event_type, count(*)::BIGINT AS k, sum(resid) AS sr,
+         sum(resid * resid) AS sr2
+  FROM res GROUP BY 1),
+fin AS (
+  SELECT r.event_type, r.hour, r.y, r.f, r.resid,
+         sqrt(greatest(sr2 / k - (sr / k) * (sr / k), 0.0::DOUBLE)) AS sigma
+  FROM res r JOIN mom USING (event_type))
+SELECT event_type, hour, y, round(f, 6) AS fcast, round(resid, 6) AS resid,
+       round(sigma, 6) AS sigma,
+       (round(abs(resid), 6) > round(3.0::DOUBLE * sigma, 6)) AS is_anomaly
+FROM fin"""
+
+
 def q_er_name_order(spark, sf_dir):
     """Name-order swap audit (operators/linkage.py name_order_audit):
     1200 synthetic two-token person names drawn from disjoint given/
@@ -15799,6 +15846,7 @@ _TAIL: list[str] = [
     "er_feature_iv",
     "graph_betweenness",
     "graph_modularity",
+    "stream_ewma_chart",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -15812,7 +15860,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 276
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 277
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -16057,6 +16105,7 @@ _ORACLES: dict[str, str] = {
     "er_feature_iv": SQL_ER_FEATURE_IV,
     "graph_betweenness": SQL_GRAPH_BETWEENNESS,
     "graph_modularity": SQL_GRAPH_MODULARITY,
+    "stream_ewma_chart": SQL_STREAM_EWMA_CHART,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

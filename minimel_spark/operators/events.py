@@ -367,3 +367,104 @@ def decayed_counts(
         F.round("decayed", 6).alias("decayed"),
         "n_events",
     )
+
+
+def ewma_forecast(
+    events: DataFrame,
+    alpha: float = 0.3,
+    z: float = 3.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One-step-ahead EWMA control chart per event type (Roberts 1959 —
+    Holt's level-only smoothing): over the type's hourly counts,
+
+        f_t = s_{t-1},   s_t = α·y_t + (1−α)·s_{t-1},   s_1 = f_1 = y_1
+
+    and hour t is anomalous when |y_t − f_t| exceeds z·σ of the type's
+    residuals. vs :func:`burst_hours` (mean + 3σ): the static sweep asks
+    "is this hour extreme for the type overall"; the EWMA chart asks "is
+    it extreme given the level the series had just reached" —
+    trend-following, so it catches level shifts and local spikes the
+    global mean hides (and forgives hours that are merely on a new
+    plateau).
+
+    Scale: the sequential fold runs over the HOURLY aggregate, never the
+    event stream — per-type state is hours-sized, folded inside one JVM
+    ``F.aggregate`` (no UDF, no window over the corpus), and types fan
+    out in parallel. σ comes from the exact-moment identity over the
+    residuals (clamped at 0 against float underflow); the anomaly flag
+    compares ROUNDED-6 values so both engines decide identically even at
+    knife-edge residuals. Output:
+    ``(event_type, hour, y, fcast, resid, sigma, is_anomaly)``.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if z <= 0:
+        raise ValueError(f"z must be > 0, got {z}")
+    hourly = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_format(F.date_trunc("hour", ts_col), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    series = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour", "y"))).alias("_hs")
+    )
+    out_t = "array<struct<hour:string,y:bigint,f:double>>"
+    init = F.struct(
+        F.lit(0.0).alias("s"), F.array().cast(out_t).alias("out")
+    )
+
+    def step(acc, x):
+        first = F.size(acc["out"]) == 0
+        fcast = F.when(first, x["y"].cast("double")).otherwise(acc["s"])
+        new_s = F.when(first, x["y"].cast("double")).otherwise(
+            F.lit(alpha) * x["y"] + F.lit(1.0 - alpha) * acc["s"]
+        )
+        row = F.struct(
+            x["hour"].alias("hour"), x["y"].alias("y"), fcast.alias("f")
+        )
+        return F.struct(
+            new_s.alias("s"), F.concat(acc["out"], F.array(row)).alias("out")
+        )
+
+    rows = (
+        series.select(
+            "event_type", F.explode(F.aggregate("_hs", init, step)["out"]).alias("_r")
+        )
+        .select(
+            "event_type",
+            F.col("_r.hour").alias("hour"),
+            F.col("_r.y").alias("y"),
+            F.col("_r.f").alias("_f"),
+        )
+        .withColumn("_resid", F.col("y") - F.col("_f"))
+    )
+    mom = rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_resid").alias("_sr"),
+        F.sum(F.col("_resid") * F.col("_resid")).alias("_sr2"),
+    )
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("_sr2") / F.col("_k")
+            - (F.col("_sr") / F.col("_k")) * (F.col("_sr") / F.col("_k")),
+            F.lit(0.0),
+        )
+    )
+    return (
+        rows.join(mom, "event_type")
+        .withColumn("_sigma", sigma)
+        .select(
+            "event_type",
+            "hour",
+            "y",
+            F.round("_f", 6).alias("fcast"),
+            F.round("_resid", 6).alias("resid"),
+            F.round("_sigma", 6).alias("sigma"),
+            (
+                F.round(F.abs("_resid"), 6) > F.round(F.lit(z) * F.col("_sigma"), 6)
+            ).alias("is_anomaly"),
+        )
+    )

@@ -261,3 +261,54 @@ def test_decayed_counts_validation_and_partition_invariance(spark):
         decayed_counts(df, [2, 1], 60.0)
     with _pt.raises(ValueError, match="halflife"):
         decayed_counts(df, [1], 0.0)
+
+
+def test_ewma_forecast_matches_python_and_flags_spike(spark):
+    import datetime
+
+    import pytest as _pt
+
+    from minimel_spark.operators.events import ewma_forecast
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    counts = [10, 10, 10, 10, 60, 10, 10, 10, 10, 10, 10, 10]
+    eid = 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + datetime.timedelta(hours=h), "click"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = {
+        r["hour"]: (r["y"], r["fcast"], r["resid"], r["is_anomaly"])
+        for r in ewma_forecast(ev, alpha=0.3, z=3.0).collect()
+    }
+    # python replay
+    a = 0.3
+    s = None
+    want = []
+    for h, y in enumerate(counts):
+        f = y if s is None else s
+        s = float(y) if s is None else a * y + (1.0 - a) * s
+        want.append((h, y, f))
+    resids = [y - f for _, y, f in want]
+    k = len(resids)
+    mu2 = sum(r * r for r in resids) / k - (sum(resids) / k) ** 2
+    sig = max(mu2, 0.0) ** 0.5
+    for h, y, f in want:
+        hour = (base + datetime.timedelta(hours=h)).strftime("%Y-%m-%d %H:%M:%S")
+        gy, gf, gr, ga = got[hour]
+        assert gy == y and abs(gf - f) < 1e-6
+        assert ga == (round(abs(y - f), 6) > round(3.0 * sig, 6)), hour
+    # exactly the spike hour (and possibly its recovery) flags; hour 0 never
+    spike_hour = (base + datetime.timedelta(hours=4)).strftime("%Y-%m-%d %H:%M:%S")
+    assert got[spike_hour][3] is True
+    first_hour = base.strftime("%Y-%m-%d %H:%M:%S")
+    assert got[first_hour][3] is False and got[first_hour][2] == 0.0
+    a2 = sorted(map(tuple, ewma_forecast(ev.coalesce(1)).collect()))
+    b2 = sorted(map(tuple, ewma_forecast(ev.repartition(8)).collect()))
+    assert a2 == b2
+    with _pt.raises(ValueError):
+        ewma_forecast(ev, alpha=0.0)
+    with _pt.raises(ValueError):
+        ewma_forecast(ev, z=0.0)
