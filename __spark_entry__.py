@@ -2844,6 +2844,46 @@ FROM shared JOIN tot ta ON ta.doc_id = id_a JOIN tot tb ON tb.doc_id = id_b
 WHERE smin::DOUBLE / (ta.tot + tb.tot - smin) >= 0.7"""
 
 
+def q_corpus_frequent_pairs(spark, sf_dir):
+    """A-priori level-2 frequent pairs (operators/corpus.py
+    frequent_pairs, Agrawal & Srikant 1994): word pairs co-occurring in
+    ≥ 300 of the documents, candidates pruned to L1 × L1 by support
+    monotonicity — the reliable-co-occurrence complement of the PMI
+    collocation gate. Exact integers into one lift division; the oracle
+    replays L1, the in-doc pair join, and the lift arithmetic."""
+    from minimel_spark.operators.corpus import frequent_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = frequent_pairs(docs, min_support=300)
+    return out.select(
+        "item_a", "item_b",
+        F.col("support").cast("long").alias("support"),
+        F.col("supp_a").cast("long").alias("supp_a"),
+        F.col("supp_b").cast("long").alias("supp_b"),
+        F.round("lift", 6).alias("lift"),
+    )
+
+
+SQL_CORPUS_FREQUENT_PAIRS = r"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                          x -> x <> ''))) AS w
+  FROM documents),
+s1 AS (SELECT w, count(*)::BIGINT AS supp FROM dt GROUP BY 1),
+l1 AS (SELECT * FROM s1 WHERE supp >= 300),
+pruned AS (SELECT dt.doc_id, dt.w FROM dt SEMI JOIN l1 USING (w)),
+pairs AS (
+  SELECT a.w AS item_a, b.w AS item_b, count(*)::BIGINT AS support
+  FROM pruned a JOIN pruned b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+  HAVING count(*) >= 300),
+n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents)
+SELECT p.item_a, p.item_b, p.support, sa.supp AS supp_a, sb.supp AS supp_b,
+       round(n.n * p.support / (sa.supp * sb.supp), 6) AS lift
+FROM pairs p JOIN l1 sa ON sa.w = p.item_a JOIN l1 sb ON sb.w = p.item_b, n"""
+
+
 def q_corpus_suffix_lrs(spark, sf_dir):
     """Longest repeated substrings via a DISTRIBUTED SUFFIX ARRAY
     (operators/suffix.py — prefix doubling à la Flick & Aluru SC'15, the
@@ -15847,6 +15887,7 @@ _TAIL: list[str] = [
     "graph_betweenness",
     "graph_modularity",
     "stream_ewma_chart",
+    "corpus_frequent_pairs",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -15860,7 +15901,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 277
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 278
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -16106,6 +16147,7 @@ _ORACLES: dict[str, str] = {
     "graph_betweenness": SQL_GRAPH_BETWEENNESS,
     "graph_modularity": SQL_GRAPH_MODULARITY,
     "stream_ewma_chart": SQL_STREAM_EWMA_CHART,
+    "corpus_frequent_pairs": SQL_CORPUS_FREQUENT_PAIRS,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -1739,3 +1739,65 @@ def minhash_decontaminate(
             F.col("_m.j").alias("best_jaccard"),
         )
     )
+
+
+def frequent_pairs(
+    docs: DataFrame,
+    min_support: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """A-priori level-2 frequent-pair mining over per-document word SETS
+    (Agrawal & Srikant, VLDB 1994 — market-basket co-occurrence, the
+    support-thresholded complement of PMI collocations: PMI surfaces
+    surprising pairs, support mining surfaces RELIABLE ones):
+
+        L1 = {w : docfreq(w) ≥ s};  pairs only within L1 (the A-priori
+        monotonicity prune — support(a,b) ≤ min(support(a), support(b)),
+        so no pair outside L1 × L1 can qualify)
+
+    and support(a,b) = #docs containing both. The prune IS the scale
+    story: the pair join runs over frequent-item postings only, so a
+    long-tail vocabulary contributes nothing to the quadratic step, and
+    within each doc the fan-out is C(|L1 ∩ doc|, 2), not C(|doc|, 2).
+
+    Output: (item_a, item_b, support, supp_a, supp_b, lift) with
+    item_a < item_b and lift = n·supp_ab/(supp_a·supp_b) — exact
+    integers into one division.
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    dt = (
+        ensure_min_parallelism(docs, id_col)
+        .select(id_col, F.explode(F.array_distinct(_words(text_col))).alias("w"))
+    )
+    s1 = dt.groupBy("w").agg(F.count(F.lit(1)).alias("supp"))
+    l1 = s1.where(F.col("supp") >= min_support)
+    pruned = dt.join(F.broadcast(l1.select("w")), "w")
+    a = pruned.select(id_col, F.col("w").alias("item_a"))
+    b = pruned.select(id_col, F.col("w").alias("item_b"))
+    pairs = (
+        a.join(b, id_col)
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    nrow = docs.select(id_col).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    return (
+        pairs.join(l1.select(F.col("w").alias("item_a"), F.col("supp").alias("supp_a")), "item_a")
+        .join(l1.select(F.col("w").alias("item_b"), F.col("supp").alias("supp_b")), "item_b")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            "supp_a",
+            "supp_b",
+            (
+                F.col("_n") * F.col("support") / (F.col("supp_a") * F.col("supp_b"))
+            ).alias("lift"),
+        )
+    )

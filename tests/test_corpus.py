@@ -1579,3 +1579,52 @@ def test_minhash_decontaminate_invariance_and_validation(spark):
         minhash_decontaminate(tdf, bdf, threshold=0.0)
     with _pytest.raises(ValueError):
         minhash_decontaminate(tdf, bdf, hash_family="nope")
+
+
+def test_frequent_pairs_matches_python_and_prunes(spark):
+    import itertools
+    import re
+
+    import pytest as _pytest
+
+    from minimel_spark.operators.corpus import frequent_pairs
+
+    rows = [
+        (i, "bread butter " + ("milk " if i % 2 == 0 else "jam ") + f"rare{i}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["item_a"], r["item_b"], r["support"], r["supp_a"], r["supp_b"],
+         round(r["lift"], 9))
+        for r in frequent_pairs(docs, min_support=10).collect()
+    )
+    # python replay
+    sets = {
+        i: {w for w in re.split(r"\W+", t.lower()) if w} for i, t in rows
+    }
+    supp = {}
+    for s in sets.values():
+        for w in s:
+            supp[w] = supp.get(w, 0) + 1
+    l1 = {w for w, c in supp.items() if c >= 10}
+    want = []
+    n = len(rows)
+    for a, b in itertools.combinations(sorted(l1), 2):
+        c = sum(1 for s in sets.values() if a in s and b in s)
+        if c >= 10:
+            want.append((a, b, c, supp[a], supp[b], round(n * c / (supp[a] * supp[b]), 9)))
+    assert got == sorted(want)
+    items = {g[0] for g in got} | {g[1] for g in got}
+    # the per-doc rare words never reach the pair stage
+    assert not any(w.startswith("rare") for w in items)
+    # bread+butter co-occur everywhere: support 20, lift 1.0 (independent at
+    # p=1 each); bread+milk has support 10 and lift 1.0 too (20*10/(20*10))
+    d = {(a, b): (s, l) for a, b, s, _, _, l in got}
+    assert d[("bread", "butter")] == (20, 1.0)
+    assert d[("bread", "milk")] == (10, 1.0)
+    a1 = sorted(map(tuple, frequent_pairs(docs.coalesce(1), min_support=10).collect()))
+    b1 = sorted(map(tuple, frequent_pairs(docs.repartition(8), min_support=10).collect()))
+    assert a1 == b1
+    with _pytest.raises(ValueError):
+        frequent_pairs(docs, min_support=0)
