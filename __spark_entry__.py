@@ -15371,6 +15371,69 @@ x{t} AS MATERIALIZED (
 SQL_GRAPH_KATZ = _sql_katz(8)
 
 
+def q_ann_jl_distortion(spark, sf_dir):
+    """Johnson-Lindenstrauss projection + distortion audit
+    (operators/embed.py jl_project/jl_distortion, Achlioptas 2003 ±1
+    matrix): 64 → 16 dims with md5-derived cell signs, every output
+    coordinate and squared distance a STRICT LEFT FOLD of JVM doubles
+    (the ann.py md5 contract), scale 1/√16 applied after the fold —
+    bit-for-bit reproducible in DuckDB via list_reduce. Consecutive-id
+    pairs form the deterministic audit panel; the JL lemma pins the
+    ratio near 1 (the gate output carries the measured ratios)."""
+    from minimel_spark.operators.embed import jl_distortion, jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = jl_project(emb, in_dim=64, out_dim=16, seed=42, hash_family="md5")
+    out = jl_distortion(emb, proj)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("d2_orig", 6).alias("d2_orig"),
+        F.round("d2_proj", 6).alias("d2_proj"),
+        F.round("ratio", 6).alias("ratio"),
+    )
+
+
+SQL_ANN_JL_DISTORTION = """
+WITH sgn AS MATERIALIZED (
+  SELECT j, i,
+         CASE WHEN ('0x' || substr(md5('jl:42:' || j || ':' || i), 1, 15))::UBIGINT
+                   % 2 = 1
+              THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS s
+  FROM range(0, 16) a(j), range(0, 64) b(i)),
+sgnarr AS MATERIALIZED (
+  SELECT j, list(s ORDER BY i) AS s_arr FROM sgn GROUP BY j),
+pj AS MATERIALIZED (
+  SELECT e.vec_id, g.j,
+         list_reduce(
+           list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * g.s_arr[i]),
+           (a, b) -> a + b)
+         * (1.0::DOUBLE / sqrt(16.0::DOUBLE)) AS y
+  FROM embeddings e, sgnarr g),
+proj AS MATERIALIZED (
+  SELECT vec_id, list(y ORDER BY j) AS proj FROM pj GROUP BY vec_id),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS xa, b.embedding AS xb, pa.proj AS ya, pb.proj AS yb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       JOIN proj pa ON pa.vec_id = a.vec_id
+       JOIN proj pb ON pb.vec_id = b.vec_id),
+dd AS (
+  SELECT id_a, id_b,
+         list_reduce(list_transform(range(1, 65),
+           i -> (xa[i]::DOUBLE - xb[i]::DOUBLE) * (xa[i]::DOUBLE - xb[i]::DOUBLE)),
+           (a, b) -> a + b) AS d2_orig,
+         list_reduce(list_transform(range(1, 17),
+           i -> (ya[i] - yb[i]) * (ya[i] - yb[i])),
+           (a, b) -> a + b) AS d2_proj
+  FROM pairs)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       round(d2_orig, 6) AS d2_orig, round(d2_proj, 6) AS d2_proj,
+       round(d2_proj / d2_orig, 6) AS ratio
+FROM dd"""
+
+
 def q_graph_betweenness(spark, sf_dir):
     """Source-sampled Brandes betweenness (operators/graph.py
     betweenness_panel): the 4 smallest node ids as the seed panel over
@@ -15888,6 +15951,7 @@ _TAIL: list[str] = [
     "graph_modularity",
     "stream_ewma_chart",
     "corpus_frequent_pairs",
+    "ann_jl_distortion",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -15901,7 +15965,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 278
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 279
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -16148,6 +16212,7 @@ _ORACLES: dict[str, str] = {
     "graph_modularity": SQL_GRAPH_MODULARITY,
     "stream_ewma_chart": SQL_STREAM_EWMA_CHART,
     "corpus_frequent_pairs": SQL_CORPUS_FREQUENT_PAIRS,
+    "ann_jl_distortion": SQL_ANN_JL_DISTORTION,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

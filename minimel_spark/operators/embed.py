@@ -263,3 +263,127 @@ def spectral_word_embedding(
             .localCheckpoint(eager=True)
         )
     return x
+
+
+def _jl_sign(seed: int, j: int, i: int) -> float:
+    """±1 sign of JL matrix cell (j, i), md5-derived: +1 when the 60-bit
+    md5 of 'jl:seed:j:i' is odd — recomputable in SQL as
+    ('0x' || substr(md5('jl:seed:j:i'), 1, 15))::UBIGINT % 2."""
+    import hashlib
+
+    h = int(hashlib.md5(f"jl:{seed}:{j}:{i}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 1 else -1.0
+
+
+def jl_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hash_family: str = "np",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with the ±1
+    database-friendly matrix (Achlioptas, JCSS 2003): y = (1/√k)·R·x with
+    R_{ji} ∈ {±1} — pairwise squared distances are preserved within 1±ε
+    for k = O(ε⁻²·log n), which is what makes 64-dim embeddings joinable
+    at 16 dims before the exact re-rank (the ANN pre-filter trade).
+
+    ``hash_family="np"``: seeded-numpy R, one BLAS matmul per Arrow batch
+    (the perf path). ``hash_family="md5"``: R from md5 cell signs (see
+    :func:`_jl_sign`) and every output coordinate a STRICT LEFT FOLD of
+    JVM doubles — the ann.py md5 contract, so the entire projection is
+    bit-for-bit reproducible in DuckDB. Scale factor applied AFTER the
+    fold. Output: (id_col, proj array<double>).
+    """
+    if out_dim < 1 or in_dim < 1:
+        raise ValueError(f"dims must be >= 1, got in={in_dim}, out={out_dim}")
+    import math
+
+    scale = 1.0 / math.sqrt(out_dim)
+    if hash_family == "md5":
+        vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        cols = []
+        for j in range(out_dim):
+            plane = F.array(
+                *[F.lit(_jl_sign(seed, j, i)) for i in range(in_dim)]
+            )
+            fold = F.aggregate(
+                F.zip_with(vec, plane, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cols.append(fold * F.lit(scale))
+        return df.select(id_col, F.array(*cols).alias("proj"))
+    if hash_family != "np":
+        raise ValueError(f"hash_family must be 'np' or 'md5', got {hash_family!r}")
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    rng = np.random.RandomState(seed)
+    R = (rng.randint(0, 2, size=(out_dim, in_dim)) * 2 - 1).astype(np.float64)
+
+    def gen(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Y = X @ R.T * scale
+            yield pd.DataFrame({id_col: pdf[id_col], "proj": list(Y)})
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("proj", T.ArrayType(T.DoubleType())),
+    ])
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def jl_distortion(
+    orig: DataFrame,
+    proj: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-pair JL distortion audit over CONSECUTIVE-id pairs (a
+    deterministic pair panel — no sampling machinery):
+
+        ratio = ‖y_a − y_b‖² / ‖x_a − x_b‖²
+
+    which the JL lemma pins near 1. Squared distances are strict
+    left-fold JVM doubles on BOTH sides (original floats cast to double
+    first), so the whole audit replays bit-for-bit in SQL. Output:
+    (id_a, id_b, d2_orig, d2_proj, ratio).
+    """
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    ov = orig.select(
+        F.col(id_col).alias("id_a"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_xa"),
+    )
+    ow = orig.select(
+        (F.col(id_col) - 1).alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_xb"),
+    )
+    pv = proj.select(F.col(id_col).alias("id_a"), F.col("proj").alias("_ya"))
+    pw = proj.select((F.col(id_col) - 1).alias("id_a"), F.col("proj").alias("_yb"))
+    return (
+        ov.join(ow, "id_a")
+        .join(pv, "id_a")
+        .join(pw, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            d2(F.col("_xa"), F.col("_xb")).alias("d2_orig"),
+            d2(F.col("_ya"), F.col("_yb")).alias("d2_proj"),
+            (d2(F.col("_ya"), F.col("_yb")) / d2(F.col("_xa"), F.col("_xb"))).alias(
+                "ratio"
+            ),
+        )
+    )

@@ -1022,3 +1022,67 @@ def test_weighted_jaccard_matches_python_and_bounds(spark):
     assert a == b
     with _pytest.raises(ValueError):
         weighted_jaccard_dups(docs, threshold=0.0)
+
+
+def test_jl_project_md5_matches_python_and_distortion(spark):
+    import hashlib
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from minimel_spark.operators.embed import jl_distortion, jl_project
+
+    rng = random.Random(31)
+    in_dim, out_dim = 12, 4
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(in_dim)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: list(r["proj"])
+        for r in jl_project(df, in_dim, out_dim, seed=7, hash_family="md5").collect()
+    }
+
+    def sign(j, i):
+        h = int(hashlib.md5(f"jl:7:{j}:{i}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 1 else -1.0
+
+    import numpy as np
+
+    scale = 1.0 / math.sqrt(out_dim)
+    for i, v in rows:
+        v32 = [float(np.float32(x)) for x in v]
+        for j in range(out_dim):
+            acc = 0.0
+            for k in range(in_dim):
+                acc = acc + v32[k] * sign(j, k)
+            assert abs(got[i][j] - acc * scale) < 1e-12, (i, j)
+    # distortion panel: ratios concentrate near 1 (JL lemma, loose bound for
+    # tiny k — just pin positivity and a wide sane band + exact ratio algebra)
+    proj = jl_project(df, in_dim, out_dim, seed=7, hash_family="md5")
+    aud = jl_distortion(df, proj)
+    rowsd = aud.collect()
+    assert len(rowsd) == 19
+    for r in rowsd:
+        assert r["d2_orig"] > 0 and r["d2_proj"] >= 0
+        assert abs(r["ratio"] - r["d2_proj"] / r["d2_orig"]) < 1e-12
+    # np family: correct shape + invariance across partitioning
+    a = {
+        r["vec_id"]: list(r["proj"])
+        for r in jl_project(df.coalesce(1), in_dim, out_dim, hash_family="np").collect()
+    }
+    b = {
+        r["vec_id"]: list(r["proj"])
+        for r in jl_project(df.repartition(8), in_dim, out_dim, hash_family="np").collect()
+    }
+    assert set(a) == set(b) and all(len(v) == out_dim for v in a.values())
+    for k in a:
+        assert all(abs(x - y) < 1e-12 for x, y in zip(a[k], b[k]))
+    with _pytest.raises(ValueError):
+        jl_project(df, in_dim, 0)
+    with _pytest.raises(ValueError):
+        jl_project(df, in_dim, out_dim, hash_family="nope")
