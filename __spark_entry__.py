@@ -2844,6 +2844,95 @@ FROM shared JOIN tot ta ON ta.doc_id = id_a JOIN tot tb ON tb.doc_id = id_b
 WHERE smin::DOUBLE / (ta.tot + tb.tot - smin) >= 0.7"""
 
 
+def q_corpus_sinkhorn_drift(spark, sf_dir):
+    """Entropic OT drift between consecutive sources (operators/corpus.py
+    sinkhorn_drift, Cuturi 2013) under the levenshtein ground metric: 10
+    synchronous Sinkhorn updates over the (pair, w1, w2) kernel frame,
+    all 19 consecutive pairs + 20 self-pairs advancing together; output
+    = raw transport cost, the DEBIASED Sinkhorn divergence
+    OT(a,b) − ½OT(a,a) − ½OT(b,b) (Genevay et al. 2018 — entropic OT is
+    biased, self-cost > 0), and the row-marginal L1 convergence
+    certificate. The oracle unrolls the identical 10 u/v updates
+    (exp/levenshtein agree to the ulp; the pagerank contract)."""
+    from minimel_spark.operators.corpus import sinkhorn_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sinkhorn_drift(docs, n_iter=10, reg=0.5)
+    return out.select(
+        "src_a", "src_b",
+        F.round("ot_cost", 6).alias("ot_cost"),
+        F.round("sink_div", 6).alias("sink_div"),
+        F.round("marg_err", 6).alias("marg_err"),
+    )
+
+
+def _sql_sinkhorn(n_iter: int = 10) -> str:
+    parts = [r"""
+WITH wc AS (
+  SELECT src, w, count(*)::BIGINT AS c
+  FROM (SELECT source AS src,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY 1, 2),
+tot AS (SELECT src, sum(c)::BIGINT AS t FROM wc GROUP BY 1),
+dist AS (SELECT src, w, c::DOUBLE / t AS p FROM wc JOIN tot USING (src)),
+rk AS (SELECT src, row_number() OVER (ORDER BY src) AS rk
+       FROM (SELECT DISTINCT source AS src FROM documents)),
+pairs AS (SELECT a.src AS src_a, b.src AS src_b
+          FROM rk a JOIN rk b ON b.rk = a.rk + 1
+          UNION ALL
+          SELECT src, src FROM rk),
+aa AS MATERIALIZED (
+  SELECT src_a, src_b, d.w AS w1, d.p AS a
+  FROM pairs JOIN dist d ON d.src = pairs.src_a),
+bb AS MATERIALIZED (
+  SELECT src_a, src_b, d.w AS w2, d.p AS b
+  FROM pairs JOIN dist d ON d.src = pairs.src_b),
+kk AS MATERIALIZED (
+  SELECT aa.src_a, aa.src_b, w1, w2, a, b,
+         levenshtein(w1, w2)::DOUBLE / greatest(length(w1), length(w2)) AS c,
+         exp(-(levenshtein(w1, w2)::DOUBLE
+               / greatest(length(w1), length(w2))) / 0.5::DOUBLE) AS k
+  FROM aa JOIN bb USING (src_a, src_b)),
+v0 AS MATERIALIZED (SELECT src_a, src_b, w2, 1.0::DOUBLE AS v FROM bb)"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+kv{t} AS (SELECT src_a, src_b, w1, sum(k * v) AS kv
+          FROM kk JOIN v{t - 1} USING (src_a, src_b, w2) GROUP BY 1, 2, 3),
+u{t} AS MATERIALIZED (
+  SELECT aa.src_a, aa.src_b, aa.w1, aa.a / q.kv AS u
+  FROM aa JOIN kv{t} q USING (src_a, src_b, w1)),
+ku{t} AS (SELECT src_a, src_b, w2, sum(k * u) AS ku
+          FROM kk JOIN u{t} USING (src_a, src_b, w1) GROUP BY 1, 2, 3),
+v{t} AS MATERIALIZED (
+  SELECT bb.src_a, bb.src_b, bb.w2, bb.b / q.ku AS v
+  FROM bb JOIN ku{t} q USING (src_a, src_b, w2))""")
+    parts.append(f""",
+full_ AS MATERIALIZED (
+  SELECT kk.*, u.u, v.v
+  FROM kk JOIN u{n_iter} u USING (src_a, src_b, w1)
+          JOIN v{n_iter} v USING (src_a, src_b, w2)),
+costs AS (SELECT src_a, src_b, sum(u * k * v * c) AS ot_cost
+          FROM full_ GROUP BY 1, 2),
+rowm AS (SELECT src_a, src_b, w1, a, sum(u * k * v) AS r
+         FROM full_ GROUP BY 1, 2, 3, 4),
+marg AS (SELECT src_a, src_b, sum(abs(r - a)) AS marg_err
+         FROM rowm GROUP BY 1, 2),
+selfc AS (SELECT src_a AS s, ot_cost AS sc FROM costs WHERE src_a = src_b)
+SELECT c.src_a, c.src_b, round(c.ot_cost, 6) AS ot_cost,
+       round(c.ot_cost - 0.5::DOUBLE * ca.sc - 0.5::DOUBLE * cb.sc, 6) AS sink_div,
+       round(m.marg_err, 6) AS marg_err
+FROM costs c JOIN selfc ca ON ca.s = c.src_a
+             JOIN selfc cb ON cb.s = c.src_b
+             JOIN marg m USING (src_a, src_b)
+WHERE c.src_a <> c.src_b""")
+    return "".join(parts)
+
+
+SQL_CORPUS_SINKHORN = _sql_sinkhorn(10)
+
+
 def q_corpus_frequent_pairs(spark, sf_dir):
     """A-priori level-2 frequent pairs (operators/corpus.py
     frequent_pairs, Agrawal & Srikant 1994): word pairs co-occurring in
@@ -15952,6 +16041,7 @@ _TAIL: list[str] = [
     "stream_ewma_chart",
     "corpus_frequent_pairs",
     "ann_jl_distortion",
+    "corpus_sinkhorn_drift",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -15965,7 +16055,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 279
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 280
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -16213,6 +16303,7 @@ _ORACLES: dict[str, str] = {
     "stream_ewma_chart": SQL_STREAM_EWMA_CHART,
     "corpus_frequent_pairs": SQL_CORPUS_FREQUENT_PAIRS,
     "ann_jl_distortion": SQL_ANN_JL_DISTORTION,
+    "corpus_sinkhorn_drift": SQL_CORPUS_SINKHORN,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -1801,3 +1801,143 @@ def frequent_pairs(
             ).alias("lift"),
         )
     )
+
+
+def sinkhorn_drift(
+    docs: DataFrame,
+    n_iter: int = 10,
+    reg: float = 0.5,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Entropic optimal-transport drift between CONSECUTIVE sources
+    (Cuturi, NeurIPS 2013 "Sinkhorn Distances") under a levenshtein
+    ground metric — the principled companion of the JS/PSI/KS drift
+    audits: those compare probabilities token-by-token and read a
+    renamed vocabulary as maximal drift; OT charges mass-movement by
+    WORD distance (cost = levenshtein/maxlen), so typo- or
+    inflection-level shifts cost little and true topic shifts cost a
+    lot.
+
+    Per source pair (consecutive in sorted source order — a
+    deterministic panel, ranks via the window-free global_dense_rank):
+    unigram distributions a, b over each side's support, Gibbs kernel
+    K = exp(−C/reg), and ``n_iter`` synchronous Sinkhorn updates
+
+        u ← a ⊘ (K v),   v ← b ⊘ (Kᵀ u),   v₀ = 1
+
+    — every update one equi-join + one grouped sum over the (pair, w1,
+    w2) kernel frame, ALL pairs advancing together (k pairs cost one
+    scan per update, not k). Entropic OT is biased — OT_ε(a, a) > 0
+    because the regularizer blurs the identity plan — so the output
+    carries BOTH the raw transport cost Σ uᵢKᵢⱼvⱼCᵢⱼ and the debiased
+    Sinkhorn divergence S = OT(a,b) − ½OT(a,a) − ½OT(b,b) (Genevay et
+    al. 2018; ~0 for identical distributions, restoring metric sense;
+    the self-pairs ride the same kernel frame and iterations). Also
+    reported: the row-marginal L1 error Σ|u(Kv) − a| — the convergence
+    certificate, not hidden. Fixed iteration count, identical IEEE
+    expression trees in both engines (the pagerank contract;
+    exp/levenshtein agree to the ulp).
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if reg <= 0:
+        raise ValueError(f"reg must be > 0, got {reg}")
+    from .suffix import global_dense_rank
+
+    wc = (
+        docs.select(F.col(source_col).alias("src"), F.explode(_words(text_col)).alias("w"))
+        .groupBy("src", "w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    tot = wc.groupBy("src").agg(F.sum("_c").alias("_t"))
+    dist = wc.join(tot, "src").select(
+        "src", "w", (F.col("_c") / F.col("_t")).alias("p")
+    )
+    rk = global_dense_rank(docs.select(F.col(source_col).alias("src")), ["src"], "_rk")
+    consec = (
+        rk.select(F.col("src").alias("src_a"), "_rk")
+        .join(
+            rk.select(F.col("src").alias("src_b"), (F.col("_rk") - 1).alias("_rk")),
+            "_rk",
+        )
+        .select("src_a", "src_b")
+    )
+    selfp = rk.select(
+        F.col("src").alias("src_a"), F.col("src").alias("src_b")
+    )
+    pairs = consec.unionByName(selfp)
+    A = pairs.join(
+        dist.select(F.col("src").alias("src_a"), F.col("w").alias("w1"), F.col("p").alias("a")),
+        "src_a",
+    )
+    B = pairs.join(
+        dist.select(F.col("src").alias("src_b"), F.col("w").alias("w2"), F.col("p").alias("b")),
+        "src_b",
+    )
+    cost = F.levenshtein("w1", "w2") / F.greatest(F.length("w1"), F.length("w2"))
+    K = (
+        A.join(B, ["src_a", "src_b"])
+        .select(
+            "src_a", "src_b", "w1", "w2", "a", "b",
+            cost.alias("c"),
+            F.exp(-cost / F.lit(reg)).alias("k"),
+        )
+        .localCheckpoint(eager=True)  # joined twice per update + twice at the end
+    )
+    akey = ["src_a", "src_b", "w1"]
+    bkey = ["src_a", "src_b", "w2"]
+    adist = K.select(*akey, "a").distinct().localCheckpoint(eager=True)
+    bdist = K.select(*bkey, "b").distinct().localCheckpoint(eager=True)
+    v = bdist.select(*bkey, F.lit(1.0).alias("v")).localCheckpoint(eager=True)
+    u = None
+    for _ in range(n_iter):
+        kv = (
+            K.join(v, bkey)
+            .groupBy(*akey)
+            .agg(F.sum(F.col("k") * F.col("v")).alias("_kv"))
+        )
+        u = (
+            adist.join(kv, akey)
+            .select(*akey, (F.col("a") / F.col("_kv")).alias("u"))
+            .localCheckpoint(eager=True)
+        )
+        ku = (
+            K.join(u, akey)
+            .groupBy(*bkey)
+            .agg(F.sum(F.col("k") * F.col("u")).alias("_ku"))
+        )
+        v = (
+            bdist.join(ku, bkey)
+            .select(*bkey, (F.col("b") / F.col("_ku")).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    full = K.join(u, akey).join(v, bkey)
+    costs = full.groupBy("src_a", "src_b").agg(
+        F.sum(F.col("u") * F.col("k") * F.col("v") * F.col("c")).alias("ot_cost")
+    )
+    marg = (
+        full.groupBy(*akey)
+        .agg(F.sum(F.col("u") * F.col("k") * F.col("v")).alias("_row"))
+        .join(adist, akey)
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.abs(F.col("_row") - F.col("a"))).alias("marg_err"))
+    )
+    self_c = costs.where(F.col("src_a") == F.col("src_b")).select(
+        F.col("src_a").alias("_s"), F.col("ot_cost").alias("_sc")
+    )
+    return (
+        costs.where(F.col("src_a") != F.col("src_b"))
+        .join(self_c.select(F.col("_s").alias("src_a"), F.col("_sc").alias("_ca")), "src_a")
+        .join(self_c.select(F.col("_s").alias("src_b"), F.col("_sc").alias("_cb")), "src_b")
+        .join(marg, ["src_a", "src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            "ot_cost",
+            (
+                F.col("ot_cost") - F.lit(0.5) * F.col("_ca") - F.lit(0.5) * F.col("_cb")
+            ).alias("sink_div"),
+            "marg_err",
+        )
+    )

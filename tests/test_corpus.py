@@ -1628,3 +1628,98 @@ def test_frequent_pairs_matches_python_and_prunes(spark):
     assert a1 == b1
     with _pytest.raises(ValueError):
         frequent_pairs(docs, min_support=0)
+
+
+def test_sinkhorn_drift_matches_python_and_metric_sense(spark):
+    import math
+    import re
+
+    import pytest as _pytest
+
+    from minimel_spark.operators.corpus import sinkhorn_drift
+
+    rows = []
+    # srcA == srcB (identical distributions), srcC = typo'd variant of A,
+    # srcD = disjoint topic
+    texts = {
+        "sa": "apple banana cherry apple banana",
+        "sb": "apple banana cherry apple banana",
+        "sc": "aple banana cherry aple banana",
+        "sd": "quasar nebula galaxy quasar nebula",
+    }
+    i = 0
+    for s, t in texts.items():
+        for _ in range(3):
+            rows.append((i, t, s))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["src_a"], r["src_b"]): (r["ot_cost"], r["sink_div"], r["marg_err"])
+        for r in sinkhorn_drift(docs, n_iter=20, reg=0.5).collect()
+    }
+    # python replay for one pair
+    def dist(t):
+        ws = [w for w in re.split(r"\W+", t.lower()) if w]
+        d = {}
+        for w in ws:
+            d[w] = d.get(w, 0) + 1
+        n = sum(d.values())
+        return {w: c / n for w, c in d.items()}
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for ii in range(1, m + 1):
+            prev, dp[0] = dp[0], ii
+            for jj in range(1, n + 1):
+                cur = min(
+                    dp[jj] + 1, dp[jj - 1] + 1, prev + (a[ii - 1] != b[jj - 1])
+                )
+                prev, dp[jj] = dp[jj], cur
+        return dp[n]
+
+    def sinkhorn(pa, pb, n_iter=20, reg=0.5):
+        wa, wb = sorted(pa), sorted(pb)
+        a = [pa[w] for w in wa]
+        b = [pb[w] for w in wb]
+        C = [
+            [lev(x, y) / max(len(x), len(y)) for y in wb] for x in wa
+        ]
+        K = [[math.exp(-c / reg) for c in row] for row in C]
+        v = [1.0] * len(wb)
+        for _ in range(n_iter):
+            u = [a[i2] / sum(K[i2][j] * v[j] for j in range(len(wb))) for i2 in range(len(wa))]
+            v = [b[j] / sum(K[i2][j] * u[i2] for i2 in range(len(wa))) for j in range(len(wb))]
+        cost = sum(
+            u[i2] * K[i2][j] * v[j] * C[i2][j]
+            for i2 in range(len(wa))
+            for j in range(len(wb))
+        )
+        return cost
+
+    pairs = {("sa", "sb"), ("sb", "sc"), ("sc", "sd")}
+    assert set(got) == pairs
+    for sa, sb in pairs:
+        want = sinkhorn(dist(texts[sa]), dist(texts[sb]))
+        want_div = (
+            want
+            - 0.5 * sinkhorn(dist(texts[sa]), dist(texts[sa]))
+            - 0.5 * sinkhorn(dist(texts[sb]), dist(texts[sb]))
+        )
+        assert abs(got[(sa, sb)][0] - want) < 1e-6, (sa, sb)
+        assert abs(got[(sa, sb)][1] - want_div) < 1e-6, (sa, sb)
+        assert got[(sa, sb)][2] < 1e-3  # converged marginals
+    # metric sense on the DEBIASED divergence: identical ~0 < typo'd < disjoint
+    # (the raw entropic cost is biased — OT(a,a) > 0 — which is exactly why
+    # the operator reports the divergence)
+    assert abs(got[("sa", "sb")][1]) < 1e-6
+    assert got[("sa", "sb")][1] < got[("sb", "sc")][1] < got[("sc", "sd")][1]
+    a1 = sorted(map(tuple, sinkhorn_drift(docs.coalesce(1), n_iter=5).collect()))
+    b1 = sorted(map(tuple, sinkhorn_drift(docs.repartition(8), n_iter=5).collect()))
+    assert len(a1) == len(b1) == 3
+    for x, y in zip(a1, b1):
+        assert x[:2] == y[:2] and all(abs(p - q) < 1e-9 for p, q in zip(x[2:], y[2:]))
+    with _pytest.raises(ValueError):
+        sinkhorn_drift(docs, n_iter=0)
+    with _pytest.raises(ValueError):
+        sinkhorn_drift(docs, reg=0.0)
