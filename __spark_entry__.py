@@ -15460,6 +15460,88 @@ x{t} AS MATERIALIZED (
 SQL_GRAPH_KATZ = _sql_katz(8)
 
 
+def q_graph_mis_coloring(spark, sf_dir):
+    """Distributed greedy coloring by iterated Luby MIS (operators/
+    graph.py mis_coloring): 6 color waves × 6 md5-priority MIS rounds
+    over the undirected md5 link graph — each color class an MIS of the
+    residual graph, so the coloring is proper by construction (the ER
+    merge-wave schedule). The sf0.01 graph colors completely in 6 waves
+    (160/138/104/59/32/7); uncolored leftovers would surface as
+    color = -1 certificate rows. The oracle unrolls all 36 rounds."""
+    from minimel_spark.operators.graph import mis_coloring
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return mis_coloring(
+        _doc_link_edges(docs, n),
+        nodes=docs.select(F.col("doc_id").alias("node")),
+        max_colors=6,
+        mis_rounds=6,
+    )
+
+
+def _sql_mis_coloring(max_colors: int = 6, mis_rounds: int = 6) -> str:
+    parts = ["""
+WITH e0 AS (
+  SELECT d.doc_id AS src,
+         unnest(list_transform(range(0, 3), j ->
+            (('0x' || substr(md5(d.doc_id || ':e' || j), 1, 15))::UBIGINT
+             % nn.n)::BIGINT)) AS dst
+  FROM documents d, (SELECT count(*) AS n FROM documents) nn),
+und0 AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+rem1 AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+re1 AS MATERIALIZED (SELECT a, b FROM und0)"""]
+    for c in range(1, max_colors + 1):
+        parts.append(f""",
+sy{c} AS MATERIALIZED (SELECT a AS src, b AS dst FROM re{c}
+                       UNION ALL SELECT b, a FROM re{c}),
+ax{c}_1 AS MATERIALIZED (SELECT node FROM rem{c})""")
+        for r in range(1, mis_rounds + 1):
+            parts.append(f""",
+p{c}_{r} AS MATERIALIZED (
+  SELECT node,
+         ('0x' || substr(md5('mis:{r}:' || node), 1, 15))::UBIGINT::BIGINT AS p
+  FROM ax{c}_{r}),
+eg{c}_{r} AS MATERIALIZED (
+  SELECT s.src, s.dst, pd.p AS dp
+  FROM sy{c} s JOIN p{c}_{r} ps ON ps.node = s.src
+               JOIN p{c}_{r} pd ON pd.node = s.dst),
+w{c}_{r} AS MATERIALIZED (
+  SELECT p.node FROM p{c}_{r} p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM eg{c}_{r} e WHERE e.src = p.node
+      AND (e.dp < p.p OR (e.dp = p.p AND e.dst < p.node)))),
+d{c}_{r} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node
+  FROM eg{c}_{r} e JOIN w{c}_{r} w ON e.src = w.node),
+ax{c}_{r + 1} AS MATERIALIZED (
+  SELECT node FROM ax{c}_{r}
+  EXCEPT SELECT node FROM w{c}_{r}
+  EXCEPT SELECT node FROM d{c}_{r})""")
+        wunion = "\nUNION ALL\n".join(
+            f"SELECT node FROM w{c}_{r}" for r in range(1, mis_rounds + 1)
+        )
+        parts.append(f""",
+mis{c} AS MATERIALIZED (\n{wunion}),
+rem{c + 1} AS MATERIALIZED (
+  SELECT node FROM rem{c} EXCEPT SELECT node FROM mis{c}),
+re{c + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM re{c} e
+  SEMI JOIN rem{c + 1} ra ON ra.node = e.a
+  SEMI JOIN rem{c + 1} rb ON rb.node = e.b)""")
+    rows = [
+        f"SELECT node, {c}::BIGINT AS color FROM mis{c}"
+        for c in range(1, max_colors + 1)
+    ]
+    rows.append(f"SELECT node, (-1)::BIGINT FROM rem{max_colors + 1}")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+SQL_GRAPH_MIS_COLORING = _sql_mis_coloring(6, 6)
+
+
 def q_ann_jl_distortion(spark, sf_dir):
     """Johnson-Lindenstrauss projection + distortion audit
     (operators/embed.py jl_project/jl_distortion, Achlioptas 2003 ±1
@@ -16042,6 +16124,7 @@ _TAIL: list[str] = [
     "corpus_frequent_pairs",
     "ann_jl_distortion",
     "corpus_sinkhorn_drift",
+    "graph_mis_coloring",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -16055,7 +16138,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 280
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 281
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -16304,6 +16387,7 @@ _ORACLES: dict[str, str] = {
     "corpus_frequent_pairs": SQL_CORPUS_FREQUENT_PAIRS,
     "ann_jl_distortion": SQL_ANN_JL_DISTORTION,
     "corpus_sinkhorn_drift": SQL_CORPUS_SINKHORN,
+    "graph_mis_coloring": SQL_GRAPH_MIS_COLORING,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

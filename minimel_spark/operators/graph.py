@@ -1950,3 +1950,57 @@ def modularity(edges: DataFrame, partition: DataFrame) -> DataFrame:
     )
     q = rows.agg(F.sum("q_contrib").alias("q"))
     return rows.crossJoin(F.broadcast(q))
+
+
+def mis_coloring(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_colors: int = 6,
+    mis_rounds: int = 6,
+) -> DataFrame:
+    """Distributed greedy graph coloring by ITERATED Luby MIS (the
+    classic reduction — each color class is a maximal independent set of
+    the residual graph, so the coloring is proper by construction and
+    uses ≤ Δ+1 colors when run to completion). In ER this schedules
+    merge waves over a cannot-merge conflict graph: all nodes of one
+    color commit concurrently, colors run in sequence.
+
+    Color wave c runs :func:`luby_mis` (same md5 priorities — the
+    residual graph changes, the priority stream need not) on the
+    remaining nodes and the edges induced on them; MIS members take
+    color c and leave. Nodes still uncolored after ``max_colors`` waves
+    report ``color = -1`` — the budget certificate, never silent. Output
+    ``(node, color)``.
+    """
+    if max_colors < 1:
+        raise ValueError(f"max_colors must be >= 1, got {max_colors}")
+    sym = _symmetrized(edges).localCheckpoint(eager=True)
+    if nodes is None:
+        nodes = sym.select(F.col("src").alias("node")).distinct()
+    remaining = nodes.select("node").distinct().localCheckpoint(eager=True)
+    spark = remaining.sparkSession
+    colored = spark.createDataFrame([], "node long, color long")
+    residual = sym
+    for c in range(1, max_colors + 1):
+        mis = (
+            luby_mis(residual, nodes=remaining, rounds=mis_rounds)
+            .where(F.col("status") == "mis")
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        colored = colored.unionByName(
+            mis.select("node", F.lit(c).cast("long").alias("color"))
+        )
+        remaining = remaining.join(mis, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if remaining.count() == 0:
+            break
+        residual = (
+            residual.join(remaining.withColumnRenamed("node", "src"), "src")
+            .join(remaining.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    leftover = remaining.select("node", F.lit(-1).cast("long").alias("color"))
+    return colored.unionByName(leftover)

@@ -1301,3 +1301,57 @@ def test_modularity_matches_python_and_known_cases(spark):
     a = sorted(map(tuple, modularity(edges.coalesce(1), part).collect()))
     b = sorted(map(tuple, modularity(edges.repartition(8), part.repartition(4)).collect()))
     assert a == b
+
+
+def test_mis_coloring_proper_and_matches_python(spark):
+    import random
+
+    import pytest as _pt
+
+    from minimel_spark.operators.graph import mis_coloring
+
+    rng = random.Random(41)
+    n = 30
+    edge_list = list({(rng.randrange(n), rng.randrange(n)) for _ in range(70)})
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    ndf = spark.createDataFrame([(v,) for v in range(n)], "node long")
+    got = {
+        r["node"]: r["color"]
+        for r in mis_coloring(edges, nodes=ndf, max_colors=10, mis_rounds=10).collect()
+    }
+    assert set(got) == set(range(n))
+    und = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    # proper: no same-colored edge (among colored nodes)
+    for a, b in und:
+        if got[a] != -1 and got[b] != -1:
+            assert got[a] != got[b], (a, b)
+    assert -1 not in got.values()  # 10 waves suffice at this density
+    # python replay: iterated luby using the same priorities
+    remaining = set(range(n))
+    res = set(und)
+    want = {}
+    for c in range(1, 11):
+        if not remaining:
+            break
+        mis_nodes = {
+            v for v, s, _ in _py_luby(
+                [(a, b) for a, b in res], sorted(remaining), 10
+            )
+            if s == "mis"
+        }
+        for v in mis_nodes:
+            want[v] = c
+        remaining -= mis_nodes
+        res = {e for e in res if e[0] in remaining and e[1] in remaining}
+    for v in remaining:
+        want[v] = -1
+    assert got == want
+    # budget certificate: 1 color on a triangle leaves -1 rows
+    tri = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    one = {r["node"]: r["color"] for r in mis_coloring(tri, max_colors=1).collect()}
+    assert sorted(one.values()).count(-1) == 2
+    a1 = sorted(map(tuple, mis_coloring(edges.coalesce(1), max_colors=4, mis_rounds=6).collect()))
+    b1 = sorted(map(tuple, mis_coloring(edges.repartition(8), max_colors=4, mis_rounds=6).collect()))
+    assert a1 == b1
+    with _pt.raises(ValueError):
+        mis_coloring(edges, max_colors=0)
