@@ -2844,6 +2844,74 @@ FROM shared JOIN tot ta ON ta.doc_id = id_a JOIN tot tb ON tb.doc_id = id_b
 WHERE smin::DOUBLE / (ta.tot + tb.tot - smin) >= 0.7"""
 
 
+def q_er_dup_completeness(spark, sf_dir):
+    """Chao1 / Good-Turing deduplication-completeness estimate
+    (operators/evaluate.py dup_completeness, Chao 1984 — the
+    mark-recapture stop signal of progressive ER): clusters = connected
+    components of the word-set Jaccard ≥ 0.5 near-dup graph over
+    documents, singletons included; the cluster-size
+    frequency-of-frequencies feeds the bias-corrected Chao1 entity
+    projection and sample coverage. Exact integers into two divisions;
+    the oracle recomputes the pairs, the recursive-CTE closure, the
+    singleton union, and the formulas."""
+    from minimel_spark.operators.cluster import connected_components
+    from minimel_spark.operators.dedup import ngram_jaccard_dups
+    from minimel_spark.operators.evaluate import dup_completeness
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_dups(docs, threshold=0.5, n=1).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges)
+    clustered = cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    singles = docs.select("doc_id").join(
+        clustered.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("cluster_id"))
+    out = dup_completeness(clustered.unionByName(singles))
+    return out.select(
+        "n_records", "s_obs", "f1", "f2",
+        F.round("chao1", 6).alias("chao1"),
+        F.round("coverage", 6).alias("coverage"),
+    )
+
+
+SQL_ER_DUP_COMPLETENESS = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                   x -> x <> '')) AS sh
+  FROM documents),
+s AS (SELECT doc_id, sh, len(sh) AS n_sh FROM w WHERE len(sh) > 0),
+e AS MATERIALIZED (
+  SELECT a.doc_id AS s, b.doc_id AS d
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(a.sh || b.sh)) >= 0.5),
+sym AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+walk(n, c) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.d, walk.c FROM walk JOIN sym ON sym.s = walk.n),
+cc AS (SELECT n AS doc_id, min(c) AS cluster_id FROM walk GROUP BY n),
+allc AS (
+  SELECT doc_id, cluster_id FROM cc
+  UNION ALL
+  SELECT d.doc_id, d.doc_id FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM cc WHERE cc.doc_id = d.doc_id)),
+sizes AS (SELECT cluster_id, count(*)::BIGINT AS sz FROM allc GROUP BY 1),
+agg AS (
+  SELECT sum(sz)::BIGINT AS n_records, count(*)::BIGINT AS s_obs,
+         sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+         sum(CASE WHEN sz = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+  FROM sizes)
+SELECT n_records, s_obs, f1, f2,
+       round(s_obs + f1 * (f1 - 1) / (2.0::DOUBLE * (f2 + 1)), 6) AS chao1,
+       round(1.0::DOUBLE - f1 / n_records, 6) AS coverage
+FROM agg"""
+
+
 def q_corpus_sinkhorn_drift(spark, sf_dir):
     """Entropic OT drift between consecutive sources (operators/corpus.py
     sinkhorn_drift, Cuturi 2013) under the levenshtein ground metric: 10
@@ -16125,6 +16193,7 @@ _TAIL: list[str] = [
     "ann_jl_distortion",
     "corpus_sinkhorn_drift",
     "graph_mis_coloring",
+    "er_dup_completeness",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -16138,7 +16207,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 281
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 282
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -16388,6 +16457,7 @@ _ORACLES: dict[str, str] = {
     "ann_jl_distortion": SQL_ANN_JL_DISTORTION,
     "corpus_sinkhorn_drift": SQL_CORPUS_SINKHORN,
     "graph_mis_coloring": SQL_GRAPH_MIS_COLORING,
+    "er_dup_completeness": SQL_ER_DUP_COMPLETENESS,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -1194,3 +1194,44 @@ def feature_iv(
     return scored.join(iv, "feature").select(
         "feature", "bin", "n_pos", "n_neg", "woe", "iv"
     )
+
+
+def dup_completeness(
+    clusters: DataFrame, cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """Species-richness estimate of deduplication completeness (Chao,
+    Scand. J. Stat. 1984; the mark-recapture view progressive-ER uses to
+    decide when to STOP looking for duplicates): each record is a capture
+    of its entity, and the cluster-size frequency-of-frequencies f_k
+    projects what the sample has not yet captured:
+
+        Chao1    = S_obs + f1·(f1−1) / (2·(f2+1))   (bias-corrected,
+                                                     defined when f2 = 0)
+        coverage = 1 − f1/n                          (Good–Turing)
+
+    — when the clustered table is a sample of a larger stream, Chao1
+    estimates the true entity count and ``coverage`` is the probability
+    the NEXT record belongs to an already-seen entity. A dedup run whose
+    Chao1 ≫ S_obs is telling you its blocking is still missing mass.
+
+    Two tiny aggregations (cluster sizes → one conditional-sum row);
+    exact integers into two divisions. Output one row:
+    (n_records, s_obs, f1, f2, chao1, coverage).
+    """
+    sizes = clusters.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("_sz"))
+    return sizes.agg(
+        F.sum("_sz").cast("long").alias("n_records"),
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        F.sum(F.when(F.col("_sz") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("_sz") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    ).select(
+        "n_records",
+        "s_obs",
+        "f1",
+        "f2",
+        (
+            F.col("s_obs")
+            + F.col("f1") * (F.col("f1") - 1) / (F.lit(2.0) * (F.col("f2") + 1))
+        ).alias("chao1"),
+        (F.lit(1.0) - F.col("f1") / F.col("n_records")).alias("coverage"),
+    )

@@ -569,3 +569,36 @@ def test_feature_iv_single_class_and_validation(spark):
         feature_iv(df, ["f"], n_bins=1)
     with _pt.raises(ValueError):
         feature_iv(df, [])
+
+
+def test_dup_completeness_matches_closed_forms(spark):
+    from minimel_spark.operators.evaluate import dup_completeness
+
+    # 10 singletons, 3 pairs, 1 triple: n=19, S=14, f1=10, f2=3
+    rows = []
+    cid = 0
+    for _ in range(10):
+        rows.append((len(rows), cid)); cid += 1
+    for _ in range(3):
+        rows += [(len(rows), cid), (len(rows) + 1, cid)]; cid += 1
+    rows += [(len(rows), cid), (len(rows) + 1, cid), (len(rows) + 2, cid)]
+    df = spark.createDataFrame(rows, "rec_id long, cluster_id long")
+    r = dup_completeness(df).collect()[0]
+    assert (r["n_records"], r["s_obs"], r["f1"], r["f2"]) == (19, 14, 10, 3)
+    assert abs(r["chao1"] - (14 + 10 * 9 / (2.0 * 4))) < 1e-12
+    assert abs(r["coverage"] - (1.0 - 10 / 19)) < 1e-12
+    # no singletons: chao1 == s_obs (nothing projected), coverage 1
+    df2 = spark.createDataFrame(
+        [(i, i // 2) for i in range(8)], "rec_id long, cluster_id long"
+    )
+    r2 = dup_completeness(df2).collect()[0]
+    assert r2["chao1"] == float(r2["s_obs"]) == 4.0 and r2["coverage"] == 1.0
+    # f2 = 0 stays finite (bias-corrected form)
+    df3 = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2)], "rec_id long, cluster_id long"
+    )
+    r3 = dup_completeness(df3).collect()[0]
+    assert abs(r3["chao1"] - (3 + 3 * 2 / 2.0)) < 1e-12
+    a = sorted(map(tuple, dup_completeness(df.coalesce(1)).collect()))
+    b = sorted(map(tuple, dup_completeness(df.repartition(8)).collect()))
+    assert a == b
