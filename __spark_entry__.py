@@ -2844,6 +2844,63 @@ FROM shared JOIN tot ta ON ta.doc_id = id_a JOIN tot tb ON tb.doc_id = id_b
 WHERE smin::DOUBLE / (ta.tot + tb.tot - smin) >= 0.7"""
 
 
+def q_corpus_mink_prob(spark, sf_dir):
+    """Min-K% prob membership signal (operators/corpus.py mink_prob,
+    Shi et al. 2024): per document, the mean of its bottom 1/5 of
+    bigram log-probs under the corpus KN surface — the outlier-focused
+    contamination detector beside the all-averaging perplexity. The
+    k-cut is exact integer ceil(m/5) (a float 0.2·m would knife-edge);
+    per-doc arrays sort and strict-left-fold identically in both
+    engines; the oracle replays the surface and the cut."""
+    from minimel_spark.operators.corpus import mink_prob
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mink_prob(docs, k_num=1, k_den=5, discount=0.75)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bigrams",
+        F.round("mink_logp", 6).alias("mink_logp"),
+    )
+
+
+SQL_CORPUS_MINK_PROB = r"""
+WITH seq AS (
+  SELECT doc_id, w, p
+  FROM (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS p
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                 x -> x <> '') AS ws
+              FROM documents))),
+dbg AS (
+  SELECT doc_id, v, w
+  FROM (SELECT doc_id, w AS v,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w
+        FROM seq)
+  WHERE w IS NOT NULL),
+bg AS (SELECT v, w, count(*)::BIGINT AS c_vw FROM dbg GROUP BY 1, 2),
+hist AS (SELECT v, sum(c_vw) AS cv, count(*) AS n1v FROM bg GROUP BY 1),
+cont AS (SELECT w, count(*) AS n1w FROM bg GROUP BY 1),
+nbt AS (SELECT count(*) AS nbt FROM bg),
+probs AS MATERIALIZED (
+  SELECT v, w,
+         greatest(c_vw - 0.75, 0.0) / cv
+           + 0.75 * n1v / cv * n1w / nbt AS p_raw
+  FROM bg JOIN hist USING (v) JOIN cont USING (w), nbt),
+sc AS (
+  SELECT d.doc_id, ln(p.p_raw) AS lp
+  FROM dbg d JOIN probs p USING (v, w)),
+arr AS (
+  SELECT doc_id, list(lp ORDER BY lp) AS a, count(*)::BIGINT AS m
+  FROM sc GROUP BY 1),
+fin AS (
+  SELECT doc_id, m, (m * 1 + 4) // 5 AS b,
+         a[1:((m * 1 + 4) // 5)] AS bot
+  FROM arr)
+SELECT doc_id, m AS n_bigrams,
+       round(list_reduce(bot, (x, y) -> x + y) / b, 6) AS mink_logp
+FROM fin"""
+
+
 def q_er_dup_completeness(spark, sf_dir):
     """Chao1 / Good-Turing deduplication-completeness estimate
     (operators/evaluate.py dup_completeness, Chao 1984 — the
@@ -16194,6 +16251,7 @@ _TAIL: list[str] = [
     "corpus_sinkhorn_drift",
     "graph_mis_coloring",
     "er_dup_completeness",
+    "corpus_mink_prob",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -16207,7 +16265,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 282
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 283
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -16458,6 +16516,7 @@ _ORACLES: dict[str, str] = {
     "corpus_sinkhorn_drift": SQL_CORPUS_SINKHORN,
     "graph_mis_coloring": SQL_GRAPH_MIS_COLORING,
     "er_dup_completeness": SQL_ER_DUP_COMPLETENESS,
+    "corpus_mink_prob": SQL_CORPUS_MINK_PROB,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

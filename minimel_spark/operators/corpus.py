@@ -1941,3 +1941,66 @@ def sinkhorn_drift(
             "marg_err",
         )
     )
+
+
+def mink_prob(
+    docs: DataFrame,
+    k_num: int = 1,
+    k_den: int = 5,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Min-K% prob membership signal (Shi et al., ICLR 2024 — the
+    membership-inference detector behind benchmark-contamination audits):
+    score a document by the MEAN of its bottom k fraction of bigram
+    log-probabilities under the corpus-trained interpolated-KN model. A
+    memorized/duplicated document has no surprising transitions, so even
+    its WORST bigrams score high; fresh text always contains a low tail.
+    Beside lm_perplexity (which averages everything and lets one rare
+    word drown the signal), min-k% is the outlier-focused variant the
+    contamination literature standardized on.
+
+    The k fraction is a RATIONAL (k_num/k_den) and the cut
+    b = ceil(m·k_num/k_den) is exact integer arithmetic — a float 0.2·m
+    would round 7.000…01 up to 8 (the kind of knife-edge both engines
+    must agree on). Per doc: sort the bigram log-probs (multiplicity
+    kept — the token-stream convention), strict-left-fold the bottom b,
+    divide. Docs with no bigrams are excluded. Output:
+    (id_col, n_bigrams, mink_logp).
+
+    Scale: one join of the exploded bigram stream against the KN surface
+    (both corpus-sized), one per-doc sort of a doc-length array — never a
+    corpus-wide window.
+    """
+    if k_num < 1 or k_den < k_num:
+        raise ValueError(f"need 1 <= k_num <= k_den, got {k_num}/{k_den}")
+    probs = _kn_prob_full(docs, text_col, id_col, float(discount))
+    seq = docs.select(
+        F.col(id_col).alias("_r"),
+        F.posexplode(_words(text_col)).alias("_pos", "_w"),
+    )
+    nxt = Window.partitionBy("_r").orderBy("_pos")
+    dbg = (
+        seq.withColumn("_nx", F.lead("_w").over(nxt))
+        .where(F.col("_nx").isNotNull())
+        .select("_r", F.col("_w").alias("v"), F.col("_nx").alias("w"))
+    )
+    sc = dbg.join(probs.select("v", "w", "p_raw"), ["v", "w"]).select(
+        "_r", F.log("p_raw").alias("_lp")
+    )
+    arr = sc.groupBy("_r").agg(
+        F.array_sort(F.collect_list("_lp")).alias("_a"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+    b = F.floor(
+        (F.col("n_bigrams") * k_num + (k_den - 1)) / k_den
+    ).cast("int")
+    bot = F.slice("_a", F.lit(1), b)
+    return arr.select(
+        F.col("_r").alias(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        (
+            F.aggregate(bot, F.lit(0.0), lambda acc, x: acc + x) / b
+        ).alias("mink_logp"),
+    )
