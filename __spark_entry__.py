@@ -14383,6 +14383,41 @@ SELECT event_type, hour, y, round(f, 6) AS fcast, round(resid, 6) AS resid,
 FROM fin"""
 
 
+def q_stream_lateness_audit(spark, sf_dir):
+    """Watermark-sizing lateness audit (operators/events.py
+    lateness_audit): replay events in arrival order (event_id) and
+    measure each event's lag behind the running event-time high-water
+    mark — the bucketed histogram IS the loss curve of any candidate
+    ``withWatermark`` W. Exact integer microseconds; per-type cumulative
+    window (never global). The oracle replays the identical running
+    max."""
+    from minimel_spark.operators.events import lateness_audit
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = lateness_audit(ev)
+    return out.select(
+        "event_type", "n_events", "n_inorder", "n_1s", "n_10s", "n_60s",
+        "n_gt60s", F.round("max_late_s", 6).alias("max_late_s"),
+    )
+
+
+SQL_STREAM_LATENESS = """
+WITH l AS (
+  SELECT event_type,
+         max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING)
+           - epoch_us(ts) AS late
+  FROM events)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN late = 0 THEN 1 ELSE 0 END)::BIGINT AS n_inorder,
+       sum(CASE WHEN late > 0 AND late <= 1000000 THEN 1 ELSE 0 END)::BIGINT AS n_1s,
+       sum(CASE WHEN late > 1000000 AND late <= 10000000 THEN 1 ELSE 0 END)::BIGINT AS n_10s,
+       sum(CASE WHEN late > 10000000 AND late <= 60000000 THEN 1 ELSE 0 END)::BIGINT AS n_60s,
+       sum(CASE WHEN late > 60000000 THEN 1 ELSE 0 END)::BIGINT AS n_gt60s,
+       round(max(late) / 1000000.0, 6) AS max_late_s
+FROM l GROUP BY 1"""
+
+
 def q_er_name_order(spark, sf_dir):
     """Name-order swap audit (operators/linkage.py name_order_audit):
     1200 synthetic two-token person names drawn from disjoint given/
@@ -16252,6 +16287,7 @@ _TAIL: list[str] = [
     "graph_mis_coloring",
     "er_dup_completeness",
     "corpus_mink_prob",
+    "stream_lateness_audit",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -16265,7 +16301,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 283
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 284
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -16517,6 +16553,7 @@ _ORACLES: dict[str, str] = {
     "graph_mis_coloring": SQL_GRAPH_MIS_COLORING,
     "er_dup_completeness": SQL_ER_DUP_COMPLETENESS,
     "corpus_mink_prob": SQL_CORPUS_MINK_PROB,
+    "stream_lateness_audit": SQL_STREAM_LATENESS,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

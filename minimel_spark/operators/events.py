@@ -468,3 +468,56 @@ def ewma_forecast(
             ).alias("is_anomaly"),
         )
     )
+
+
+def lateness_audit(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Out-of-orderness audit for watermark sizing — THE question a
+    Structured Streaming job must answer before picking
+    ``withWatermark``: when events are replayed in arrival order
+    (``order_col``), how far behind the running event-time high-water
+    mark do they arrive?
+
+        lateness(e) = max(event_time of all earlier arrivals) − event_time(e)
+
+    A watermark of W seconds drops exactly the events with lateness > W,
+    so the bucketed histogram below IS the loss curve: per type,
+    ``n_events``, ``n_inorder`` (lateness 0), the (0,1s] / (1s,10s] /
+    (10s,60s] / >60s bucket counts, and the max lateness. All exact
+    integer microsecond arithmetic.
+
+    The running max is a cumulative window PARTITIONED BY type ordered
+    by arrival — per-type state, never a global sort; at scale this is
+    the same shape as sessionization.
+    """
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.unix_micros(F.col(ts_col))
+    late = (
+        events.select(type_col, order_col, us.alias("_us"))
+        .withColumn("_hwm", F.max("_us").over(w))
+        .withColumn("_late", F.col("_hwm") - F.col("_us"))
+    )
+    s = 1_000_000
+    return late.groupBy(F.col(type_col).alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("_late") == 0, 1).otherwise(0)).cast("long").alias("n_inorder"),
+        F.sum(
+            F.when((F.col("_late") > 0) & (F.col("_late") <= 1 * s), 1).otherwise(0)
+        ).cast("long").alias("n_1s"),
+        F.sum(
+            F.when((F.col("_late") > 1 * s) & (F.col("_late") <= 10 * s), 1).otherwise(0)
+        ).cast("long").alias("n_10s"),
+        F.sum(
+            F.when((F.col("_late") > 10 * s) & (F.col("_late") <= 60 * s), 1).otherwise(0)
+        ).cast("long").alias("n_60s"),
+        F.sum(F.when(F.col("_late") > 60 * s, 1).otherwise(0)).cast("long").alias("n_gt60s"),
+        (F.max("_late") / F.lit(1_000_000.0)).alias("max_late_s"),
+    )

@@ -312,3 +312,36 @@ def test_ewma_forecast_matches_python_and_flags_spike(spark):
         ewma_forecast(ev, alpha=0.0)
     with _pt.raises(ValueError):
         ewma_forecast(ev, z=0.0)
+
+
+def test_lateness_audit_matches_python(spark):
+    import datetime
+
+    from minimel_spark.operators.events import lateness_audit
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return base + datetime.timedelta(seconds=sec)
+
+    # arrival order = event_id; event-times arrive shuffled
+    rows = [
+        (1, ts(0), "a"),      # hwm 0, late 0
+        (2, ts(100), "a"),    # hwm 100, late 0
+        (3, ts(99.5), "a"),   # late 0.5s  -> n_1s
+        (4, ts(95), "a"),     # late 5s    -> n_10s
+        (5, ts(30), "a"),     # late 70s   -> n_gt60s
+        (6, ts(100), "a"),    # late 0     -> in order (ties count as 0)
+        (7, ts(0), "b"),      # independent per-type hwm
+        (8, ts(50), "b"),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = {r["event_type"]: r.asDict() for r in lateness_audit(ev).collect()}
+    a = got["a"]
+    assert (a["n_events"], a["n_inorder"], a["n_1s"], a["n_10s"], a["n_60s"], a["n_gt60s"]) == (6, 3, 1, 1, 0, 1)
+    assert abs(a["max_late_s"] - 70.0) < 1e-9
+    b = got["b"]
+    assert b["n_inorder"] == 2 and b["max_late_s"] == 0.0
+    x = sorted(map(tuple, lateness_audit(ev.coalesce(1)).collect()))
+    y = sorted(map(tuple, lateness_audit(ev.repartition(8)).collect()))
+    assert x == y
