@@ -2367,6 +2367,62 @@ SELECT a.name AS rec_id_a, b.name AS rec_id_b,
 FROM e a JOIN e b ON a.bk = b.bk AND a.name < b.name"""
 
 
+def q_er_clk_bit_audit(spark, sf_dir):
+    """Bit-frequency attack audit on the CLK dataset (operators/pprl.py
+    clk_bit_audit): per bit position of the part-name CLKs (m=128, the
+    er_pprl_clk encoding), set counts, frequency, uniform-expectation
+    lift, and the dataset χ² — the frequency structure the classic PPRL
+    attack (Christen/Ranbaduge/Schnell) exploits, quantified. The oracle
+    re-derives every bit position with the same md5 family and replays
+    the grid, counts, and χ²."""
+    from minimel_spark.operators.pprl import clk_bit_audit, clk_encode
+
+    part = _t(spark, sf_dir, "part")
+    recs = part.select(F.col("p_name").alias("name")).distinct()
+    clks = clk_encode(recs, "name", id_col="name", m=128, k=4, q=2)
+    out = clk_bit_audit(clks, m=128)
+    return out.select(
+        F.col("bit").cast("long").alias("bit"),
+        "n_set",
+        F.round("freq", 6).alias("freq"),
+        F.round("lift", 6).alias("lift"),
+        F.round("chi2", 6).alias("chi2"),
+    )
+
+
+SQL_ER_CLK_BIT_AUDIT = """
+WITH r AS (SELECT DISTINCT p_name AS name FROM part),
+s AS (SELECT name, '_' || lower(name) || '_' AS s2 FROM r),
+e AS (
+  SELECT name,
+         list_sort(list_distinct(flatten(list_transform(
+           list_transform(range(1, greatest(length(s2) - 1, 0) + 1),
+                          i -> s2[i:i+1]),
+           g -> list_transform(range(1, 5),
+                j -> (('0x' || substr(md5(j::VARCHAR || ':' || g || ':clk'),
+                       1, 8))::UBIGINT % 128)::BIGINT)
+         )))) AS clk
+  FROM s),
+nrec AS (SELECT count(*)::BIGINT AS n FROM e),
+setc AS (SELECT unnest(clk) AS bit, 1 AS one FROM e),
+cnt AS (SELECT bit, count(*)::BIGINT AS n_set FROM setc GROUP BY 1),
+grid AS (SELECT unnest(range(0, 128))::BIGINT AS bit),
+fullg AS (
+  SELECT g.bit, coalesce(c.n_set, 0)::BIGINT AS n_set
+  FROM grid g LEFT JOIN cnt c USING (bit)),
+tot AS (SELECT sum(n_set)::BIGINT AS tot FROM fullg),
+base AS (
+  SELECT bit, n_set,
+         n_set / nrec.n AS freq,
+         n_set * 128 / tot.tot AS lift,
+         (n_set - tot.tot / 128) * (n_set - tot.tot / 128) / (tot.tot / 128) AS chi
+  FROM fullg, nrec, tot),
+c2 AS (SELECT sum(chi) AS chi2 FROM base)
+SELECT bit, n_set, round(freq, 6) AS freq, round(lift, 6) AS lift,
+       round(c2.chi2, 6) AS chi2
+FROM base, c2"""
+
+
 def q_er_geo_join(spark, sf_dir):
     """Grid-blocked geospatial distance self-join (operators/geo.py
     grid_distance_join): customers placed at md5-derived lat/lon
@@ -16288,6 +16344,7 @@ _TAIL: list[str] = [
     "er_dup_completeness",
     "corpus_mink_prob",
     "stream_lateness_audit",
+    "er_clk_bit_audit",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -16301,7 +16358,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 284
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 285
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -16554,6 +16611,7 @@ _ORACLES: dict[str, str] = {
     "er_dup_completeness": SQL_ER_DUP_COMPLETENESS,
     "corpus_mink_prob": SQL_CORPUS_MINK_PROB,
     "stream_lateness_audit": SQL_STREAM_LATENESS,
+    "er_clk_bit_audit": SQL_ER_CLK_BIT_AUDIT,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

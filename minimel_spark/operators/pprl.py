@@ -117,3 +117,54 @@ def clk_dice_pairs(
         )
         .where(F.col("dice") >= threshold)
     )
+
+
+def clk_bit_audit(clks: DataFrame, m: int = 128) -> DataFrame:
+    """Bit-frequency cryptanalysis audit of a CLK dataset — the
+    precondition check of the classic frequency attack on PPRL Bloom
+    filters (Christen, Ranbaduge & Schnell's attack family starts by
+    mapping the most frequent BIT PATTERNS to the most frequent names):
+    per bit position, how often is it set across all records?
+
+    A hardened encoding wants near-uniform bit frequencies; sharp peaks
+    are bits driven by frequent q-grams — exactly the attacker's
+    foothold — and the χ² statistic against the uniform expectation
+    summarizes how much frequency structure the dataset leaks. Never-set
+    bits appear with n_set = 0 (the full 0..m−1 grid is emitted, not
+    just observed bits).
+
+    Output: one row per bit — (bit, n_set, freq = n_set/n_records,
+    lift = n_set/expected) — with the dataset-level χ² repeated on each
+    row (the 1-row-stat shape). Exact integers into the three divisions.
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    n_rec = clks.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    setc = (
+        clks.select(F.explode("clk").alias("bit"))
+        .groupBy("bit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_set"))
+    )
+    grid = clks.sparkSession.range(m).select(F.col("id").alias("bit"))
+    full = (
+        grid.join(setc, "bit", "left")
+        .select("bit", F.coalesce("n_set", F.lit(0)).alias("n_set"))
+    )
+    tot = full.agg(F.sum("n_set").cast("long").alias("_tot"))
+    base = (
+        full.crossJoin(F.broadcast(n_rec))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bit",
+            "n_set",
+            (F.col("n_set") / F.col("_n")).alias("freq"),
+            (F.col("n_set") * m / F.col("_tot")).alias("lift"),
+            (
+                (F.col("n_set") - F.col("_tot") / m)
+                * (F.col("n_set") - F.col("_tot") / m)
+                / (F.col("_tot") / m)
+            ).alias("_chi"),
+        )
+    )
+    chi = base.agg(F.sum("_chi").alias("chi2"))
+    return base.drop("_chi").crossJoin(F.broadcast(chi))

@@ -67,3 +67,51 @@ def test_clk_threshold_and_guards(spark):
     assert cut == []
     with pytest.raises(ValueError):
         clk_encode(recs, "name", m=0)
+
+
+def test_clk_bit_audit_matches_python(spark):
+    import hashlib
+
+    import pytest as _pt
+
+    from minimel_spark.operators.pprl import clk_bit_audit, clk_encode
+
+    names = ["smith john", "smith jane", "jones amy", "li wei"]
+    recs = spark.createDataFrame([(n,) for n in names], "name string")
+    m, k = 32, 3
+    clks = clk_encode(recs, "name", id_col="name", m=m, k=k, q=2)
+    got = {
+        r["bit"]: (r["n_set"], r["freq"], r["lift"], r["chi2"])
+        for r in clk_bit_audit(clks, m=m).collect()
+    }
+    assert set(got) == set(range(m))
+
+    def bits(name):
+        s = f"_{name.lower()}_"
+        grams = [s[i:i + 2] for i in range(len(s) - 1)]
+        out = set()
+        for g in grams:
+            for j in range(1, k + 1):
+                out.add(int(hashlib.md5(f"{j}:{g}:clk".encode()).hexdigest()[:8], 16) % m)
+        return out
+
+    cnt = {b: 0 for b in range(m)}
+    for n in names:
+        for b in bits(n):
+            cnt[b] += 1
+    tot = sum(cnt.values())
+    chi = sum((c - tot / m) ** 2 / (tot / m) for c in cnt.values())
+    for b in range(m):
+        assert got[b][0] == cnt[b], b
+        assert abs(got[b][1] - cnt[b] / len(names)) < 1e-9
+        assert abs(got[b][2] - (cnt[b] * m / tot)) < 1e-9
+        assert abs(got[b][3] - chi) < 1e-6
+    # the shared 'smith' grams drive repeated bits: some bit is set by >= 2
+    # records while never-hit bits report 0 (leakage the audit exists to show)
+    assert max(c for c, *_ in got.values()) >= 2
+    assert min(c for c, *_ in got.values()) == 0
+    a = sorted(map(tuple, clk_bit_audit(clks.coalesce(1), m=m).collect()))
+    b2 = sorted(map(tuple, clk_bit_audit(clks.repartition(8), m=m).collect()))
+    assert a == b2
+    with _pt.raises(ValueError):
+        clk_bit_audit(clks, m=0)
