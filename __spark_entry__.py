@@ -2900,6 +2900,91 @@ FROM shared JOIN tot ta ON ta.doc_id = id_a JOIN tot tb ON tb.doc_id = id_b
 WHERE smin::DOUBLE / (ta.tot + tb.tot - smin) >= 0.7"""
 
 
+def q_corpus_curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel (operators/corpus.py curation_funnel):
+    exact dedup → md5-MinHash benchmark decontamination (benchmark =
+    doc_id % 17 == 3) → ≥25-token length floor → lang = 'en', reported
+    as the per-stage attrition table (stage, n_in, n_out, n_dropped) —
+    the composition capstone: four session operators chained in one
+    plan, and the whole funnel (including the LSH candidate set)
+    replayed stage for stage in SQL."""
+    from minimel_spark.operators.corpus import curation_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 3)
+    return curation_funnel(
+        docs, bench, min_tokens=25, keep_lang="en", threshold=0.8,
+        hash_family="md5",
+    )
+
+
+SQL_CORPUS_CURATION_FUNNEL = r"""
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+s1 AS (SELECT d.* FROM documents d SEMI JOIN canon USING (doc_id)),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                   x -> x <> '')) AS sh
+  FROM s1),
+s AS (SELECT doc_id, sh, len(sh) AS n_sh FROM w WHERE len(sh) > 0),
+wb AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                   x -> x <> '')) AS sh
+  FROM documents WHERE doc_id % 17 = 3),
+sb AS (SELECT doc_id, sh, len(sh) AS n_sh FROM wb WHERE len(sh) > 0),
+sg AS (
+  SELECT doc_id, n_sh,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(sh,
+                  x -> ('0x' || substr(md5(i::VARCHAR || ':' || x), 1, 15))::UBIGINT))) AS sig
+  FROM s),
+sgb AS (
+  SELECT doc_id, n_sh,
+         list_transform(range(0, 16),
+           i -> list_min(list_transform(sh,
+                  x -> ('0x' || substr(md5(i::VARCHAR || ':' || x), 1, 15))::UBIGINT))) AS sig
+  FROM sb),
+bk AS (
+  SELECT doc_id, n_sh,
+         unnest(list_transform(range(0, 8),
+           b -> b::VARCHAR || ':' || md5(array_to_string(sig[b*2+1:b*2+2], ',')))) AS bk
+  FROM sg),
+bkb AS (
+  SELECT doc_id, n_sh,
+         unnest(list_transform(range(0, 8),
+           b -> b::VARCHAR || ':' || md5(array_to_string(sig[b*2+1:b*2+2], ',')))) AS bk
+  FROM sgb),
+cand AS (
+  SELECT a.doc_id AS t_id, b.doc_id AS b_id
+  FROM bk a JOIN bkb b ON a.bk = b.bk
+  WHERE least(a.n_sh, b.n_sh) >= 0.8 * greatest(a.n_sh, b.n_sh)
+  GROUP BY 1, 2),
+flagged AS (
+  SELECT DISTINCT c.t_id AS doc_id
+  FROM cand c JOIN s a ON a.doc_id = c.t_id JOIN sb b ON b.doc_id = c.b_id
+  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(a.sh || b.sh)) >= 0.8),
+s2 AS (SELECT s1.* FROM s1 ANTI JOIN flagged USING (doc_id)),
+s3 AS (SELECT * FROM s2
+       WHERE len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> x <> '')) >= 25),
+s4 AS (SELECT * FROM s3 WHERE lang = 'en'),
+counts AS (
+  SELECT 0 AS stage_idx, 'input' AS stage, count(*)::BIGINT AS n_out FROM documents
+  UNION ALL SELECT 1, 'exact_dedup', count(*) FROM s1
+  UNION ALL SELECT 2, 'decontaminate', count(*) FROM s2
+  UNION ALL SELECT 3, 'length_floor', count(*) FROM s3
+  UNION ALL SELECT 4, 'language', count(*) FROM s4),
+lagged AS (
+  SELECT stage_idx, stage, lag(n_out) OVER (ORDER BY stage_idx) AS n_in, n_out
+  FROM counts)
+SELECT stage_idx::BIGINT AS stage_idx, stage, n_in::BIGINT AS n_in,
+       n_out::BIGINT AS n_out, (n_in - n_out)::BIGINT AS n_dropped
+FROM lagged WHERE stage_idx > 0"""
+
+
 def q_corpus_mink_prob(spark, sf_dir):
     """Min-K% prob membership signal (operators/corpus.py mink_prob,
     Shi et al. 2024): per document, the mean of its bottom 1/5 of
@@ -16345,6 +16430,7 @@ _TAIL: list[str] = [
     "corpus_mink_prob",
     "stream_lateness_audit",
     "er_clk_bit_audit",
+    "corpus_curation_funnel",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -16358,7 +16444,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 285
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 286
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -16612,6 +16698,7 @@ _ORACLES: dict[str, str] = {
     "corpus_mink_prob": SQL_CORPUS_MINK_PROB,
     "stream_lateness_audit": SQL_STREAM_LATENESS,
     "er_clk_bit_audit": SQL_ER_CLK_BIT_AUDIT,
+    "corpus_curation_funnel": SQL_CORPUS_CURATION_FUNNEL,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

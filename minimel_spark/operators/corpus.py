@@ -2004,3 +2004,75 @@ def mink_prob(
             F.aggregate(bot, F.lit(0.0), lambda acc, x: acc + x) / b
         ).alias("mink_logp"),
     )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_tokens: int = 25,
+    keep_lang: str = "en",
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    hash_family: str = "xx64",
+) -> DataFrame:
+    """The end-to-end curation funnel a pretraining corpus actually runs,
+    as ONE composed plan with per-stage attrition accounting:
+
+        input → exact dedup (keep min-id per byte-identical text)
+              → benchmark decontamination (drop MinHash-LSH matches vs
+                ``benchmark``, :func:`minhash_decontaminate` —
+                post-dedup, the order that avoids re-flagging copies)
+              → length floor (≥ ``min_tokens`` words)
+              → language keep (``keep_lang``)
+
+    Returns the FUNNEL, not the documents: one row per stage
+    ``(stage_idx, stage, n_in, n_out, n_dropped)`` — the attrition table
+    every curation report leads with, and the contract a pipeline can
+    regress against (a silent dedup regression shows up as a changed
+    row, not a vibe). Each stage is a pure DataFrame transform; the
+    four 1-row counts assemble via union + a 5-row lag window.
+    """
+    if min_tokens < 0:
+        raise ValueError(f"min_tokens must be >= 0, got {min_tokens}")
+    canon = (
+        docs.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    s1 = docs.join(canon, id_col)
+    flagged = minhash_decontaminate(
+        s1, benchmark, threshold=threshold, n=1,
+        text_col=text_col, id_col=id_col, hash_family=hash_family,
+    ).select(id_col)
+    s2 = s1.join(flagged, id_col, "left_anti")
+    s3 = s2.where(F.size(_words(text_col)) >= min_tokens)
+    s4 = s3.where(F.col(lang_col) == keep_lang)
+
+    def cnt(df, idx, name):
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+        )
+
+    counts = (
+        cnt(docs, 0, "input")
+        .unionByName(cnt(s1, 1, "exact_dedup"))
+        .unionByName(cnt(s2, 2, "decontaminate"))
+        .unionByName(cnt(s3, 3, "length_floor"))
+        .unionByName(cnt(s4, 4, "language"))
+    )
+    w = Window.orderBy("stage_idx")  # 5 rows — trivially single-partition
+    return (
+        counts.withColumn("n_in", F.lag("n_out").over(w))
+        .where(F.col("stage_idx") > 0)
+        .select(
+            "stage_idx",
+            "stage",
+            F.col("n_in").cast("long").alias("n_in"),
+            "n_out",
+            (F.col("n_in") - F.col("n_out")).cast("long").alias("n_dropped"),
+        )
+    )

@@ -1781,3 +1781,38 @@ def test_mink_prob_matches_python_and_detects_duplicate(spark):
         mink_prob(docs, k_num=0)
     with _pytest.raises(ValueError):
         mink_prob(docs, k_num=6, k_den=5)
+
+
+def test_curation_funnel_stage_accounting(spark):
+    import pytest as _pytest
+
+    from minimel_spark.operators.corpus import curation_funnel
+
+    long_txt = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, long_txt, "en"),
+        (2, long_txt, "en"),           # exact dup of 1 -> dropped at stage 1
+        (3, "benchmark secret answer key text " + long_txt[:100], "en"),
+        (4, "short text", "en"),       # dropped at length floor
+        (5, long_txt + " extra tail words here now", "de"),  # dropped at lang
+        (6, "completely different clean long document " + " ".join(f"w{i}" for i in range(25)), "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    bench = docs.where(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text", "lang"
+    )
+    got = {
+        r["stage"]: (r["n_in"], r["n_out"], r["n_dropped"])
+        for r in curation_funnel(
+            docs, bench, min_tokens=25, keep_lang="en", hash_family="md5"
+        ).collect()
+    }
+    assert got["exact_dedup"] == (6, 5, 1)      # doc 2 gone
+    assert got["decontaminate"] == (5, 4, 1)    # doc 3 flagged vs benchmark
+    assert got["length_floor"] == (4, 3, 1)     # doc 4 gone
+    assert got["language"] == (3, 2, 1)         # doc 5 gone -> docs 1, 6 remain
+    a = sorted(map(tuple, curation_funnel(docs.coalesce(1), bench, hash_family="md5").collect()))
+    b = sorted(map(tuple, curation_funnel(docs.repartition(8), bench, hash_family="md5").collect()))
+    assert a == b
+    with _pytest.raises(ValueError):
+        curation_funnel(docs, bench, min_tokens=-1)
