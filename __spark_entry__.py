@@ -14022,6 +14022,24 @@ unreached AS (
 SELECT * FROM reached UNION ALL SELECT * FROM unreached"""
 
 
+SQL_GRAPH_HARMONIC = f"""
+WITH census AS ({SQL_GRAPH_DISTANCE_CENSUS}),
+r AS (SELECT * FROM census WHERE dist > 0),
+agg AS (
+  SELECT seed, sum(n_nodes)::BIGINT AS nr,
+         sum(n_nodes * dist)::BIGINT AS sum_dist,
+         sum(n_nodes / dist) AS harmonic
+  FROM r GROUP BY 1),
+anchors AS (SELECT seed FROM census WHERE dist = 0)
+SELECT a.seed::BIGINT AS seed,
+       (coalesce(g.nr, 0) + 1)::BIGINT AS n_reached,
+       coalesce(g.sum_dist, 0)::BIGINT AS sum_dist,
+       round(coalesce(g.harmonic, 0.0), 6) AS harmonic,
+       round(CASE WHEN coalesce(g.sum_dist, 0) > 0
+                  THEN g.nr / g.sum_dist ELSE 0.0 END, 6) AS closeness
+FROM anchors a LEFT JOIN agg g ON g.seed = a.seed"""
+
+
 def q_mm_image_ahash(spark, sf_dir):
     """Perceptual average-hash over GENUINE PPM payloads (operators/
     multimodal.py image_ahash — exact-integer grid pooling + cross-
@@ -15645,6 +15663,29 @@ f{t} AS MATERIALIZED (
 SQL_GRAPH_WALK_CORPUS = _sql_walks(2, 4)
 
 
+def q_graph_harmonic(spark, sf_dir):
+    """Harmonic + closeness centrality for the 4-seed panel
+    (operators/graph.py harmonic_panel, Boldi & Vigna 2014 — harmonic
+    stays meaningful on disconnected graphs where closeness
+    degenerates): a thin exact aggregation over the distance_census BFS
+    (12-hop bound part of the semantics). The oracle wraps the census
+    recursive CTE and replays the two divisions."""
+    from minimel_spark.operators.graph import harmonic_panel
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    return harmonic_panel(
+        _doc_link_edges(docs, n), n_seeds=4, max_dist=12,
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    ).select(
+        F.col("seed").cast("long").alias("seed"),
+        F.col("n_reached").cast("long").alias("n_reached"),
+        "sum_dist",
+        F.round("harmonic", 6).alias("harmonic"),
+        F.round("closeness", 6).alias("closeness"),
+    )
+
+
 def q_graph_luby_mis(spark, sf_dir):
     """Luby maximal independent set (operators/graph.py luby_mis) over
     the undirected md5 link graph, 6 rounds, isolated nodes included via
@@ -16431,6 +16472,7 @@ _TAIL: list[str] = [
     "stream_lateness_audit",
     "er_clk_bit_audit",
     "corpus_curation_funnel",
+    "graph_harmonic",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -16444,7 +16486,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 286
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 287
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -16699,6 +16741,7 @@ _ORACLES: dict[str, str] = {
     "stream_lateness_audit": SQL_STREAM_LATENESS,
     "er_clk_bit_audit": SQL_ER_CLK_BIT_AUDIT,
     "corpus_curation_funnel": SQL_CORPUS_CURATION_FUNNEL,
+    "graph_harmonic": SQL_GRAPH_HARMONIC,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -2004,3 +2004,51 @@ def mis_coloring(
         )
     leftover = remaining.select("node", F.lit(-1).cast("long").alias("color"))
     return colored.unionByName(leftover)
+
+
+def harmonic_panel(
+    edges: DataFrame,
+    n_seeds: int = 4,
+    max_dist: int = 12,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Harmonic + closeness centrality for the deterministic seed panel
+    (Boldi & Vigna, "Axioms for Centrality" 2014 — harmonic is the
+    closeness variant that stays meaningful on DISCONNECTED graphs,
+    where classic closeness degenerates): a thin aggregation over the
+    :func:`distance_census` BFS state,
+
+        harmonic(s)  = Σ_{v ≠ s reached} 1/d(s, v)
+        closeness(s) = (n_reached − 1) / Σ d(s, v)
+
+    with unreached nodes contributing 0 to harmonic (their 1/∞) and
+    excluded from closeness — exactly why the two numbers diverge on
+    fragmented graphs and why audits read both. ``max_dist`` bounds the
+    census and is part of the semantics. Output one row per seed:
+    (seed, n_reached, sum_dist, harmonic, closeness).
+    """
+    census = distance_census(edges, n_seeds=n_seeds, max_dist=max_dist, nodes=nodes)
+    reached = census.where(F.col("dist") > 0)
+    agg = reached.groupBy("seed").agg(
+        F.sum("n_nodes").cast("long").alias("_nr"),
+        F.sum(F.col("n_nodes") * F.col("dist")).cast("long").alias("sum_dist"),
+        F.sum(F.col("n_nodes") / F.col("dist")).alias("harmonic"),
+    )
+    # every seed has a dist-0 census row — the anchor that keeps SINK seeds
+    # (which reach nothing and have no dist>0 rows) in the output with zeros
+    anchors = census.where(F.col("dist") == 0).select("seed")
+    return (
+        anchors.join(agg, "seed", "left")
+        .select(
+            "seed",
+            (F.coalesce("_nr", F.lit(0)) + 1).alias("n_reached"),
+            F.coalesce("sum_dist", F.lit(0)).alias("sum_dist"),
+            F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
+            F.when(
+                F.coalesce("sum_dist", F.lit(0)) > 0,
+                F.col("_nr") / F.col("sum_dist"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closeness"),
+        )
+    )

@@ -1355,3 +1355,46 @@ def test_mis_coloring_proper_and_matches_python(spark):
     assert a1 == b1
     with _pt.raises(ValueError):
         mis_coloring(edges, max_colors=0)
+
+
+def test_harmonic_panel_matches_python(spark):
+    import collections
+
+    from minimel_spark.operators.graph import harmonic_panel
+
+    # DIRECTED semantics (the distance_census contract): a path 0→1→2→3
+    # and a detached edge 10→11; seeds {0,1,2,3} — harmonic stays finite
+    # across the disconnect, closeness only counts the reached side
+    edge_list = [(0, 1), (1, 2), (2, 3), (10, 11)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["seed"]: (r["n_reached"], r["sum_dist"], r["harmonic"], r["closeness"])
+        for r in harmonic_panel(edges, n_seeds=4, max_dist=6).collect()
+    }
+    adj = collections.defaultdict(set)
+    for a, b in edge_list:
+        adj[a].add(b)
+    for s in (0, 1, 2, 3):
+        dist = {s: 0}
+        dq = collections.deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        reach = [d for v, d in dist.items() if d > 0]
+        want = (
+            len(reach) + 1,
+            sum(reach),
+            sum(1 / d for d in reach),
+            len(reach) / sum(reach) if reach else 0.0,
+        )
+        g = got[s]
+        assert g[0] == want[0] and g[1] == want[1]
+        assert abs(g[2] - want[2]) < 1e-9 and abs(g[3] - want[3]) < 1e-9
+    # the unreached component never contributes (harmonic's 1/inf = 0)
+    assert got[0][0] == 4
+    a = sorted(map(tuple, harmonic_panel(edges.coalesce(1), n_seeds=2).collect()))
+    b = sorted(map(tuple, harmonic_panel(edges.repartition(8), n_seeds=2).collect()))
+    assert a == b
