@@ -3735,6 +3735,38 @@ SELECT doc_id::BIGINT AS doc_id, length(text)::BIGINT AS n_chars,
 FROM documents"""
 
 
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease (operators/text.py readability_scores) under
+    the stated deterministic counting convention — '[.!?]+' sentence
+    runs floored at 1, the shared word tokenization, '[aeiouy]+' vowel
+    groups as syllables. The counting rules ARE the definition; the
+    oracle recomputes all three integers and the identical formula."""
+    from minimel_spark.operators.text import readability_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = readability_scores(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_sentences", "n_words", "n_syllables",
+        F.round("flesch", 6).alias("flesch"),
+    )
+
+
+SQL_TEXT_READABILITY = r"""
+WITH base AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
+         len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> x <> ''))::BIGINT AS n_words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syllables
+  FROM documents)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+       round(206.835::DOUBLE
+             - 1.015::DOUBLE * (n_words / n_sentences)
+             - 84.6::DOUBLE * (n_syllables / n_words), 6) AS flesch
+FROM base WHERE n_words > 0"""
+
+
 def q_text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     q = quality_scores(docs)
@@ -16473,6 +16505,7 @@ _TAIL: list[str] = [
     "er_clk_bit_audit",
     "corpus_curation_funnel",
     "graph_harmonic",
+    "text_readability",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -16486,7 +16519,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 287
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 288
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -16742,6 +16775,7 @@ _ORACLES: dict[str, str] = {
     "er_clk_bit_audit": SQL_ER_CLK_BIT_AUDIT,
     "corpus_curation_funnel": SQL_CORPUS_CURATION_FUNNEL,
     "graph_harmonic": SQL_GRAPH_HARMONIC,
+    "text_readability": SQL_TEXT_READABILITY,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -759,3 +759,45 @@ def char_entropy(
         )
     )
     return out.unionByName(empties)
+
+
+def readability_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948; the
+    Kincaid-family quality signal corpus pipelines bucket web text by —
+    very low scores flag legalese/boilerplate, impossibly high ones flag
+    word-salad):
+
+        flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    with the DETERMINISTIC counting convention both engines reproduce
+    exactly: sentences = regexp count of '[.!?]+' runs (floored at 1),
+    words = the shared tokenization contract, syllables = count of
+    '[aeiouy]+' vowel-group runs over the lowercased text (a vowel group
+    never spans whitespace, so whole-text counting equals per-word
+    summation). Heuristic by nature — the counting rules ARE the
+    definition here, stated so an independent reimplementation agrees
+    integer-for-integer. Documents with no words are excluded.
+
+    Output: (id_col, n_sentences, n_words, n_syllables, flesch).
+    """
+    from .util import words_lower
+
+    low = F.lower(F.col(text_col))
+    n_sent = F.greatest(F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1))
+    n_words = F.size(words_lower(F.col(text_col)))
+    n_syll = F.regexp_count(low, F.lit(r"[aeiouy]+"))
+    return (
+        docs.select(
+            id_col,
+            n_sent.cast("long").alias("n_sentences"),
+            n_words.cast("long").alias("n_words"),
+            n_syll.cast("long").alias("n_syllables"),
+        )
+        .where(F.col("n_words") > 0)
+        .withColumn(
+            "flesch",
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+            - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words")),
+        )
+    )

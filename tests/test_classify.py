@@ -66,3 +66,36 @@ def test_nb_validates_alpha(spark):
     df = spark.createDataFrame([("a", "x")], "lang string, text string")
     with pytest.raises(ValueError, match="alpha"):
         nb_classify(df, df, alpha=0.0)
+
+
+def test_readability_scores_matches_python(spark):
+    import re
+
+    from minimel_spark.operators.text import readability_scores
+
+    rows = [
+        (1, "The cat sat. The dog ran! Did they meet?"),
+        (2, "no terminal punctuation here at all"),
+        (3, "Rhythm myths fly by.  Tricky: zero classic vowels in some words!"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_sentences"], r["n_words"], r["n_syllables"],
+                      round(r["flesch"], 9))
+        for r in readability_scores(docs).collect()
+    }
+    for d, t in rows:
+        nw = len([w for w in re.split(r"\W+", t.lower()) if w])
+        if nw == 0:
+            assert d not in got  # empty doc excluded
+            continue
+        ns = max(len(re.findall(r"[.!?]+", t)), 1)
+        sy = len(re.findall(r"[aeiouy]+", t.lower()))
+        fl = 206.835 - 1.015 * (nw / ns) - 84.6 * (sy / nw)
+        assert got[d] == (ns, nw, sy, round(fl, 9)), d
+    # doc 2: no punctuation -> sentence floor of 1 engaged
+    assert got[2][0] == 1
+    a = sorted(map(tuple, readability_scores(docs.coalesce(1)).collect()))
+    b = sorted(map(tuple, readability_scores(docs.repartition(8)).collect()))
+    assert a == b
