@@ -3767,6 +3767,60 @@ SELECT doc_id, n_sentences, n_words, n_syllables,
 FROM base WHERE n_words > 0"""
 
 
+def q_rel_bootstrap_ci(spark, sf_dir):
+    """md5-seeded percentile-bootstrap CI (operators/diagnostics.py
+    bootstrap_mean_ci, Efron 1979) for the mean words-per-document:
+    resample b draws row i as rank md5('bs:b:i') mod n + 1 in (value,
+    id) order — pre-drawn randomness, a pure function of the data (the
+    graph_walk_corpus trick) — and the percentile cut is exact integer
+    selection on the sorted resample means (values are longs, so every
+    resample mean is an exact integer ratio: no accumulation-order term
+    at all). The oracle replays draws, means, and the cut."""
+    from minimel_spark.operators.diagnostics import bootstrap_mean_ci
+
+    docs = _t(spark, sf_dir, "documents")
+    vals = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), r"\W+"), lambda x: x != "")
+        ).cast("long").alias("nw"),
+    )
+    out = bootstrap_mean_ci(vals, "nw", "doc_id", n_boot=200)
+    return out.select(
+        "n", "n_boot",
+        F.round("mean", 6).alias("mean"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+    )
+
+
+SQL_REL_BOOTSTRAP_CI = r"""
+WITH v AS (
+  SELECT doc_id AS id,
+         len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                         x -> x <> ''))::BIGINT AS val
+  FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM v),
+ranked AS (
+  SELECT val, row_number() OVER (ORDER BY val, id) AS idx FROM v),
+draws AS (
+  SELECT b,
+         (('0x' || substr(md5('bs:' || b || ':' || i), 1, 15))::UBIGINT
+          % (SELECT n FROM nn) + 1)::BIGINT AS idx
+  FROM (SELECT unnest(range(0, 200)) AS b),
+       (SELECT unnest(range(0, (SELECT n FROM nn))) AS i)),
+means AS (
+  SELECT d.b, sum(r.val)::DOUBLE / (SELECT n FROM nn) AS m
+  FROM draws d JOIN ranked r USING (idx) GROUP BY 1),
+srt AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM means)
+SELECT nn.n, 200::BIGINT AS n_boot,
+       round((SELECT sum(val)::DOUBLE / count(*) FROM v), 6) AS mean,
+       round((SELECT m FROM srt WHERE rn = 200 * 25 // 1000 + 1), 6) AS ci_lo,
+       round((SELECT m FROM srt WHERE rn = 200 - 200 * 25 // 1000), 6) AS ci_hi
+FROM nn"""
+
+
 def q_text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     q = quality_scores(docs)
@@ -16506,6 +16560,7 @@ _TAIL: list[str] = [
     "corpus_curation_funnel",
     "graph_harmonic",
     "text_readability",
+    "rel_bootstrap_ci",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -16519,7 +16574,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 288
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 289
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -16776,6 +16831,7 @@ _ORACLES: dict[str, str] = {
     "corpus_curation_funnel": SQL_CORPUS_CURATION_FUNNEL,
     "graph_harmonic": SQL_GRAPH_HARMONIC,
     "text_readability": SQL_TEXT_READABILITY,
+    "rel_bootstrap_ci": SQL_REL_BOOTSTRAP_CI,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

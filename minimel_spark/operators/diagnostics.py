@@ -409,3 +409,92 @@ def ks_two_sample(
         F.col("_m._v").alias("d_location"),
         F.least(F.greatest(series, F.lit(0.0)), F.lit(1.0)).alias("p_approx"),
     )
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 200,
+    alpha_num: int = 25,
+    alpha_den: int = 1000,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean of
+    ``value_col`` (Efron 1979) with md5-PRE-DRAWN resampling — the error
+    bar every corpus statistic should ship with, made deterministic and
+    engine-replayable: resample b draws its i-th row as the value ranked
+    ``md5('bs:b:i') mod n + 1`` in (value, id) order (the
+    graph_walk_corpus trick: pre-drawn randomness is a pure function of
+    the data, which a seeded PRNG cannot promise across engines).
+
+    The percentile cut is EXACT integer arithmetic on the sorted
+    resample means: lo = the (floor(B·α)+1)-th smallest, hi = the
+    (B−floor(B·α))-th (ties broken by resample id — a total order). One
+    B×n draw table, one join against the ranked values, one grouped
+    mean per resample; selection by orderBy+limit over the B-row means,
+    never a corpus window.
+
+    Output one row: (n, n_boot, mean, ci_lo, ci_hi).
+    """
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    if not 0 < alpha_num * 2 < alpha_den:
+        raise ValueError("need 0 < 2*alpha < 1")
+    from .suffix import global_dense_rank
+    from .util import md5_long60
+
+    vals = df.select(F.col(value_col).alias("_v"), F.col(id_col).alias("_id"))
+    ranked = vals.join(
+        global_dense_rank(vals, ["_v", "_id"], "_idx"), ["_v", "_id"]
+    ).localCheckpoint(eager=True)
+    n = ranked.count()
+    spark = df.sparkSession
+    draws = (
+        spark.range(n_boot)
+        .select(F.col("id").alias("_b"))
+        .select(
+            "_b",
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_i"),
+        )
+        .select(
+            "_b",
+            (
+                md5_long60(
+                    F.concat(
+                        F.lit("bs:"),
+                        F.col("_b").cast("string"),
+                        F.lit(":"),
+                        F.col("_i").cast("string"),
+                    )
+                )
+                % n
+                + 1
+            ).alias("_idx"),
+        )
+    )
+    means = (
+        draws.join(ranked.select("_idx", "_v"), "_idx")
+        .groupBy("_b")
+        .agg((F.sum("_v") / n).alias("_m"))
+    )
+    k = (n_boot * alpha_num) // alpha_den
+    lo = (
+        means.orderBy(F.asc("_m"), F.asc("_b"))
+        .limit(k + 1)
+        .orderBy(F.desc("_m"), F.desc("_b"))
+        .limit(1)
+        .select(F.col("_m").alias("ci_lo"))
+    )
+    hi = (
+        means.orderBy(F.asc("_m"), F.asc("_b"))
+        .limit(n_boot - k)
+        .orderBy(F.desc("_m"), F.desc("_b"))
+        .limit(1)
+        .select(F.col("_m").alias("ci_hi"))
+    )
+    point = vals.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.lit(n_boot).cast("long").alias("n_boot"),
+        (F.sum("_v") / F.count(F.lit(1))).alias("mean"),
+    )
+    return point.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))

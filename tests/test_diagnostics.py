@@ -317,3 +317,40 @@ def test_t_closeness_partition_invariant(spark):
     a = sorted(map(tuple, t_closeness_audit(df.coalesce(1), ["grp"], "v").collect()))
     b = sorted(map(tuple, t_closeness_audit(df.repartition(16), ["grp"], "v").collect()))
     assert a == b and len(a) == 5
+
+
+def test_bootstrap_mean_ci_matches_python(spark):
+    import hashlib
+
+    import pytest as _pt
+
+    from minimel_spark.operators.diagnostics import bootstrap_mean_ci
+
+    vals = [(i, (i * 7) % 23 + 1) for i in range(40)]
+    df = spark.createDataFrame(vals, "rid long, v long")
+    B = 50
+    r = bootstrap_mean_ci(df, "v", "rid", n_boot=B).collect()[0]
+    # python replay
+    ordered = [v for _, v in sorted(vals, key=lambda t: (t[1], t[0]))]
+    n = len(ordered)
+
+    def draw(b, i):
+        return int(hashlib.md5(f"bs:{b}:{i}".encode()).hexdigest()[:15], 16) % n
+
+    means = sorted(
+        (sum(ordered[draw(b, i)] for i in range(n)) / n, b) for b in range(B)
+    )
+    k = B * 25 // 1000
+    want_lo, want_hi = means[k][0], means[B - k - 1][0]
+    assert r["n"] == n and r["n_boot"] == B
+    assert abs(r["mean"] - sum(v for _, v in vals) / n) < 1e-12
+    assert abs(r["ci_lo"] - want_lo) < 1e-12
+    assert abs(r["ci_hi"] - want_hi) < 1e-12
+    assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+    a = sorted(map(tuple, bootstrap_mean_ci(df.coalesce(1), "v", "rid", n_boot=20).collect()))
+    b2 = sorted(map(tuple, bootstrap_mean_ci(df.repartition(8), "v", "rid", n_boot=20).collect()))
+    assert a == b2
+    with _pt.raises(ValueError):
+        bootstrap_mean_ci(df, "v", "rid", n_boot=1)
+    with _pt.raises(ValueError):
+        bootstrap_mean_ci(df, "v", "rid", alpha_num=500)
