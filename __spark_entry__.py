@@ -3821,6 +3821,50 @@ SELECT nn.n, 200::BIGINT AS n_boot,
 FROM nn"""
 
 
+def q_rel_rank_sum_drift(spark, sf_dir):
+    """Mann-Whitney U drift test (operators/diagnostics.py
+    rank_sum_drift) on document character lengths, lang 'en' vs 'de' —
+    the nonparametric member of the drift family (KS = shape, PSI =
+    binned mass, U = stochastic dominance, outlier-immune). 2U is exact
+    integer arithmetic over the |V_A|×|V_B| distinct-value cross (never
+    rows); z uses the tie-corrected variance. The oracle replays counts,
+    the cross, and the identical expression tree."""
+    from minimel_spark.operators.diagnostics import rank_sum_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("lang") == "en").select("n_chars")
+    b = docs.where(F.col("lang") == "de").select("n_chars")
+    out = rank_sum_drift(a, b, "n_chars")
+    return out.select("n_a", "n_b", "u2", F.round("z", 6).alias("z"))
+
+
+SQL_REL_RANK_SUM = """
+WITH a AS (SELECT n_chars AS v FROM documents WHERE lang = 'en'),
+b AS (SELECT n_chars AS v FROM documents WHERE lang = 'de'),
+ca AS (SELECT v, count(*)::BIGINT AS na FROM a GROUP BY 1),
+cb AS (SELECT v, count(*)::BIGINT AS nb FROM b GROUP BY 1),
+u2r AS (
+  SELECT (2 * sum(CASE WHEN ca.v > cb.v THEN ca.na * cb.nb ELSE 0 END)
+          + sum(CASE WHEN ca.v = cb.v THEN ca.na * cb.nb ELSE 0 END))::BIGINT AS u2
+  FROM ca, cb),
+nn AS (SELECT (SELECT count(*)::BIGINT FROM a) AS n_a,
+              (SELECT count(*)::BIGINT FROM b) AS n_b),
+tie AS (
+  SELECT sum(t * t * t - t)::BIGINT AS tcorr
+  FROM (SELECT v, sum(c)::BIGINT AS t
+        FROM (SELECT v, na AS c FROM ca UNION ALL SELECT v, nb FROM cb)
+        GROUP BY 1)),
+fin AS (
+  SELECT nn.n_a, nn.n_b, u2r.u2, tie.tcorr,
+         nn.n_a + nn.n_b AS n
+  FROM nn, u2r, tie)
+SELECT n_a, n_b, u2,
+       round((u2 / 2.0::DOUBLE - n_a * n_b / 2.0::DOUBLE)
+             / sqrt(n_a * n_b / 12.0::DOUBLE
+                    * ((n + 1) - tcorr / (n * (n - 1)))), 6) AS z
+FROM fin"""
+
+
 def q_text_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     q = quality_scores(docs)
@@ -16561,6 +16605,7 @@ _TAIL: list[str] = [
     "graph_harmonic",
     "text_readability",
     "rel_bootstrap_ci",
+    "rel_rank_sum_drift",
 ]
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -16574,7 +16619,7 @@ FROM (SELECT *, CASE WHEN precision + recall > 0
       FROM ({SQL_ER_PR_CURVE}) c)
 ORDER BY f1 DESC, threshold DESC LIMIT 1"""
 
-assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 289
+assert len(_QUERIES) == len(_WINDOW) + len(_TAIL) == 290
 
 _ORACLES: dict[str, str] = {
     "er_anchor_counts": SQL_ER_ANCHOR_COUNTS,
@@ -16832,6 +16877,7 @@ _ORACLES: dict[str, str] = {
     "graph_harmonic": SQL_GRAPH_HARMONIC,
     "text_readability": SQL_TEXT_READABILITY,
     "rel_bootstrap_ci": SQL_REL_BOOTSTRAP_CI,
+    "rel_rank_sum_drift": SQL_REL_RANK_SUM,
     "corpus_good_turing": SQL_CORPUS_GOOD_TURING,
     "er_block_purging": SQL_ER_BLOCK_PURGING,
     "er_smoothed_priors": SQL_ER_SMOOTHED_PRIORS,

@@ -354,3 +354,36 @@ def test_bootstrap_mean_ci_matches_python(spark):
         bootstrap_mean_ci(df, "v", "rid", n_boot=1)
     with _pt.raises(ValueError):
         bootstrap_mean_ci(df, "v", "rid", alpha_num=500)
+
+
+def test_rank_sum_drift_matches_scipy_formula(spark):
+    from minimel_spark.operators.diagnostics import rank_sum_drift
+
+    # hand-checkable: A = [1,2,2,5], B = [2,3,3]
+    a = spark.createDataFrame([(v,) for v in [1, 2, 2, 5]], "x long")
+    b = spark.createDataFrame([(v,) for v in [2, 3, 3]], "x long")
+    r = rank_sum_drift(a, b, "x").collect()[0]
+    # U = #(a>b) + 0.5 #(a==b): pairs a>b: 5>2,5>3,5>3 = 3; ties: 2==2 x2 -> 1
+    assert (r["n_a"], r["n_b"], r["u2"]) == (4, 3, 2 * 3 + 2)
+    # python z replay
+    n_a, n_b, u = 4, 3, (2 * 3 + 2) / 2.0
+    n = n_a + n_b
+    pooled = [1, 2, 2, 5, 2, 3, 3]
+    from collections import Counter
+
+    tcorr = sum(t**3 - t for t in Counter(pooled).values())
+    var = n_a * n_b / 12.0 * ((n + 1) - tcorr / (n * (n - 1)))
+    z = (u - n_a * n_b / 2.0) / var**0.5
+    assert abs(r["z"] - z) < 1e-9
+    # symmetric shift: identical samples -> u2 = n_a*n_b (all ties at 0.5), z = 0
+    s = spark.createDataFrame([(v,) for v in [7, 7, 9]], "x long")
+    r2 = rank_sum_drift(s, s, "x").collect()[0]
+    assert r2["u2"] == 3 * 3  # identical samples: U = nA·nB/2 exactly
+    assert abs(r2["z"]) < 1e-12
+    # stochastically larger side -> positive z
+    hi = spark.createDataFrame([(v,) for v in [10, 11, 12]], "x long")
+    lo = spark.createDataFrame([(v,) for v in [1, 2, 3]], "x long")
+    assert rank_sum_drift(hi, lo, "x").collect()[0]["z"] > 2.0
+    x = sorted(map(tuple, rank_sum_drift(a.coalesce(1), b.coalesce(1), "x").collect()))
+    y = sorted(map(tuple, rank_sum_drift(a.repartition(8), b.repartition(4), "x").collect()))
+    assert x == y
