@@ -383,7 +383,8 @@ def test_rank_sum_drift_matches_scipy_formula(spark):
     # stochastically larger side -> positive z
     hi = spark.createDataFrame([(v,) for v in [10, 11, 12]], "x long")
     lo = spark.createDataFrame([(v,) for v in [1, 2, 3]], "x long")
-    assert rank_sum_drift(hi, lo, "x").collect()[0]["z"] > 2.0
+    # max possible z at n=3 vs 3 (complete separation): U = 9, z ≈ 1.964
+    assert rank_sum_drift(hi, lo, "x").collect()[0]["z"] > 1.9
     x = sorted(map(tuple, rank_sum_drift(a.coalesce(1), b.coalesce(1), "x").collect()))
     y = sorted(map(tuple, rank_sum_drift(a.repartition(8), b.repartition(4), "x").collect()))
     assert x == y
