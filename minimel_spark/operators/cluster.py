@@ -143,23 +143,30 @@ def connected_components(
     to r means every member picked r as its neighborhood minimum, and a
     member w < r would have m(w) ≤ w < r).
     """
-    sym = _symmetrize(edges).localCheckpoint(eager=True)
     if not pre_contract:
-        return _cc_iterate(sym, max_iter)
-    m = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("rep"))
+        return _cc_iterate(_symmetrize(edges).localCheckpoint(eager=True), max_iter)
+    # r6: the contraction pass no longer materializes the symmetrized,
+    # deduplicated edge set at all — that cost a distinct over 2|E| rows plus
+    # an eager checkpoint of them before any real work (guide §2.4: remove
+    # shuffles outright). min(N(u) ∪ {u}) is duplicate- and
+    # orientation-insensitive, so the representative map aggregates a plain
+    # (non-distinct) union of both orientations — map-side partial min
+    # reduces it to ~|V| rows before the only exchange — and the contraction
+    # joins run over the raw one-directional edge list (|E| rows, not 2|E|).
+    # Only the contracted graph (tiny after dense blocks collapse) is
+    # symmetrized + deduplicated for the iterate loop.
+    ed = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    nbrs = ed.union(ed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = nbrs.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("rep"))
     m = m.localCheckpoint(eager=True)  # 3 consumers: 2 contraction joins + expand
     contracted = (
-        sym.join(m, "src")
+        ed.join(m, "src")
         .select(F.col("rep").alias("_rs"), "dst")
         .join(m.select(F.col("src").alias("dst"), F.col("rep").alias("_rd")), "dst")
         .select(F.col("_rs").alias("src"), F.col("_rd").alias("dst"))
         .where(F.col("src") != F.col("dst"))
     )
-    # ``contracted`` is already symmetric: sym holds both orientations of
-    # every edge, and contraction maps them to both orientations of the
-    # representative edge — so distinct() suffices; a _symmetrize here would
-    # double the shuffle input of the largest exchange on this path.
-    comp_rep = _cc_iterate(contracted.distinct().localCheckpoint(eager=True), max_iter)
+    comp_rep = _cc_iterate(_symmetrize(contracted).localCheckpoint(eager=True), max_iter)
     return (
         m.join(comp_rep.withColumnRenamed("node", "rep"), "rep", "left")
         .select(

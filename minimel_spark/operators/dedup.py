@@ -122,10 +122,12 @@ def ngram_jaccard_dups(
         docs, n, text_col, id_col, max_docs_per_shingle, persisted_out
     )
     return (
-        verify.withColumn(
+        # |A∪B| = |A| + |B| − |A∩B| for distinct arrays — one set build per
+        # pair instead of two (see minhash_dups)
+        verify.withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("_i") / (F.size("sh_a") + F.size("sh_b") - F.col("_i")),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -319,15 +321,26 @@ def minhash_dups(
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    sa = sh.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("_nsa"),
+    )
+    sb = sh.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("_nsb"),
+    )
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
+        # |A∪B| = |A| + |B| − |A∩B| exactly (shingles are distinct arrays),
+        # so the verify builds ONE hash set per pair instead of two — the
+        # array_union materialized a merged array per pair only to take its
+        # size (r6; guide §1.2 per-task work)
+        .withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            "jaccard", F.col("_i") / (F.col("_nsa") + F.col("_nsb") - F.col("_i"))
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -735,7 +748,11 @@ def simhash_dups(
     base, rem = divmod(64, nb)
     widths = [base + 1 if i < rem else base for i in range(nb)]
     offsets = [sum(widths[:i]) for i in range(nb)]
-    fp = simhash(docs, text_col, id_col)
+    # lazy plan cut: the fingerprint table feeds BOTH sides of the band
+    # self-join, and without it the per-doc simhash UDF evaluates twice
+    # over the corpus (r6; the damerau-join precedent) — the checkpoint
+    # materializes the (one-row-per-doc) fingerprints once on first action
+    fp = simhash(docs, text_col, id_col).localCheckpoint(eager=False)
     bands = F.array(
         *[
             F.concat(

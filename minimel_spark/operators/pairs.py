@@ -24,6 +24,7 @@ Feature computation is O(records + distinct-name-pairs), not O(pairs):
 
 from __future__ import annotations
 
+import os
 import zlib
 
 import pandas as pd
@@ -36,6 +37,17 @@ from ..functions.similarity import jaro_winkler
 from ..functions.udfs import shingles_udf
 
 BOW_DIM = 1 << 18
+
+# cos_bow broadcast budget (r6, guide §8 "decide with small rows"): when the
+# per-record vector/bow payload fits this budget, the pair dot product is
+# computed by a vectorized Arrow UDF over ONLY the two 8-byte id columns
+# against a broadcast numpy table — no join of the (much larger) pair table
+# at all. Past the budget (billions of records on a real cluster) the join
+# path runs unchanged. Parameterised via env for deployments; 128 MiB is the
+# same dimension-table magnitude as the session's autoBroadcastJoinThreshold.
+DEFAULT_VEC_BCAST_BYTES = int(
+    os.environ.get("MINIMEL_VEC_BCAST_BYTES", str(128 << 20))
+)
 
 # dense_bow_dim="auto" knobs: the dense hashed cosine pays off once the
 # sparse per-record map payload (~16-20 B per distinct token, shuffled onto
@@ -145,17 +157,127 @@ def record_bow(
 
 
 def _pair_cosine(bow_a, bow_b, norm_a, norm_b):
-    """JVM sparse-dot: iterate the (smaller would be better, but either) key
-    set of side a, look up side b. No Python involved."""
+    """JVM sparse-dot (the past-broadcast-budget fallback): left fold over
+    side a's entries, look up side b. ``map_entries`` iteration (r6) reads
+    each (key, value) of a directly instead of re-probing a's own map per
+    key — the old ``element_at(bow_a, k)`` was an O(|a|) linear scan per
+    element, making the fold O(|a|² + |a|·|b|); this is O(|a|·|b|) with
+    bit-identical values (same keys, same order, same adds)."""
     dot = F.aggregate(
-        F.map_keys(bow_a),
+        F.map_entries(bow_a),
         F.lit(0.0),
-        lambda acc, k: acc
-        + F.element_at(bow_a, k) * F.coalesce(F.element_at(bow_b, k), F.lit(0.0)),
+        lambda acc, e: acc
+        + e["value"] * F.coalesce(F.element_at(bow_b, e["key"]), F.lit(0.0)),
     )
     return F.when((norm_a == 0.0) | (norm_b == 0.0), F.lit(0.0)).otherwise(
         dot / (norm_a * norm_b)
     )
+
+
+def _dense_cos_bcast_udf(spark, ids, mat):
+    """cos_bow over a broadcast dense L2-normalized matrix: the Arrow UDF
+    sees ONLY the two id columns (guide §4.1/§8 — the heavy per-pair payload
+    never enters the pair stream), gathers both rows and accumulates the
+    dot with a strict left fold over the dim axis — the same add order as
+    the join path's ``aggregate(zip_with(...))``, so the two paths are
+    bit-identical. The id -> row lookup is a ``pd.Index`` built ONCE per
+    Python worker and probed with the vectorized ``get_indexer`` (guide
+    §4.5 — heavyweight init amortized across batches; a per-batch
+    ``Series.map(dict)`` rebuilds the hashtable every call). Pairs whose id
+    is absent from the record table come back NaN and are dropped by the
+    caller (inner-join semantics)."""
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast((ids, mat))
+    state: dict = {}
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if "ix" not in state:
+            ids_, m_ = bc.value
+            state["ix"] = pd.Index(ids_)
+            state["m"] = m_
+        ix, m = state["ix"], state["m"]
+        ia = ix.get_indexer(a)  # -1 = missing
+        ib = ix.get_indexer(b)
+        ok = (ia >= 0) & (ib >= 0)
+        out = np.full(len(ia), np.nan)
+        if ok.any():
+            prod = m[ia[ok]] * m[ib[ok]]
+            acc = np.zeros(prod.shape[0])
+            for j in range(prod.shape[1]):  # strict left fold == JVM order
+                acc += prod[:, j]
+            out[ok] = acc
+        return pd.Series(out)
+
+    return cos
+
+
+def _sparse_cos_bcast_udf(spark, ids, keys, vals, counts, norms):
+    """cos_bow over a broadcast sparse bow table (flattened CSR-style
+    arrays, entries in each record's bow insertion order). Per batch: gather
+    side a's entry ranges, look up side b via one vectorized searchsorted on
+    a (record, key)-combined sorted array, multiply, and reduce per pair.
+    Missing b keys contribute exactly 0.0 (as in the JVM fold, where adding
+    0.0 to a non-negative running sum is an IEEE no-op), so the sum runs
+    over the same effective addend sequence as the JVM path; the per-pair
+    reduction is ``np.add.reduceat`` (sequential within a segment). Pairs
+    with an id absent from the record table come back NaN and are dropped
+    by the caller (inner-join semantics)."""
+    import numpy as np
+
+    n = len(ids)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+    combined = (seg << 18) | keys  # keys < BOW_DIM = 2^18
+    order = np.argsort(combined, kind="stable")
+    sorted_combined = combined[order]
+    sorted_vals = vals[order]
+    bc = spark.sparkContext.broadcast(
+        (ids, keys, vals, off, norms, sorted_combined, sorted_vals)
+    )
+    state: dict = {}
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if "ix" not in state:  # once per worker (guide §4.5)
+            v = bc.value
+            state["ix"] = pd.Index(v[0])
+            state["rest"] = v[1:]
+        ix = state["ix"]
+        keys, vals, off, norms, s_comb, s_vals = state["rest"]
+        ia = ix.get_indexer(a)  # -1 = missing
+        ib = ix.get_indexer(b)
+        ok = (ia >= 0) & (ib >= 0)
+        out = np.full(len(ia), np.nan)
+        if not ok.any():
+            return pd.Series(out)
+        ia_i = ia[ok]
+        ib_i = ib[ok]
+        starts = off[ia_i]
+        cnts = off[ia_i + 1] - starts
+        total = int(cnts.sum())
+        dots = np.zeros(len(ia_i))
+        if total:
+            cum = np.cumsum(cnts) - cnts  # segment starts in the gather
+            pos = np.arange(total, dtype=np.int64) + np.repeat(starts - cum, cnts)
+            ak = keys[pos]
+            av = vals[pos]
+            target = (np.repeat(ib_i, cnts) << 18) | ak
+            p = np.searchsorted(s_comb, target)
+            p_cl = np.minimum(p, len(s_comb) - 1)
+            bv = np.where(s_comb[p_cl] == target, s_vals[p_cl], 0.0)
+            prod = av * bv
+            nz = cnts > 0
+            dots[nz] = np.add.reduceat(prod, cum[nz])
+        na = norms[ia_i]
+        nb = norms[ib_i]
+        res = np.where((na == 0.0) | (nb == 0.0), 0.0, dots / np.where(na * nb == 0.0, 1.0, na * nb))
+        out[ok] = res
+        return pd.Series(out)
+
+    return cos
 
 
 def resolve_dense_bow_dim(
@@ -206,7 +328,7 @@ def pair_features(
     max_broadcast_name_pairs: int | None = 5_000_000,
     dense_bow_dim: int | str | None = None,
     persisted_out: list | None = None,
-    max_broadcast_vec_bytes: int | None = None,
+    max_broadcast_vec_bytes: int | None = DEFAULT_VEC_BCAST_BYTES,
 ) -> DataFrame:
     """Attach per-side names/contexts and compute the feature columns.
 
@@ -236,17 +358,33 @@ def pair_features(
     pair_features repeatedly over the same records (sweeps, benchmarks)
     should resolve the knob once and pass the explicit dim (ADVICE r4).
 
-    ``max_broadcast_vec_bytes`` (dense path only): when set, the per-record
-    vector table broadcasts to both pair-join sides while its exactly-known
-    payload (rows * dim * 8 B) fits the budget, turning two shuffles of the
-    pair table into map-side hash joins. Off (None) by default: on a real
-    cluster the broadcast saves two network shuffles of the much larger
-    pair table, but on a single box shuffles are memory-local and the
-    driver collect costs more than it saves (interleaved A/B at sf0.1:
-    broadcast 36.5-41.6 s vs shuffle 30.7-38.5 s), so enabling it is a
-    deployment decision, not a default.
+    ``max_broadcast_vec_bytes``: while the per-record cos payload fits this
+    budget (dense: the exactly-known rows * dim * 8 B; sparse: a conservative
+    token-count estimate from one JVM agg), ``cos_bow`` is computed by a
+    vectorized Arrow UDF over ONLY the two id columns against a broadcast
+    numpy table — the per-pair vector/bow joins (and the interpreted
+    higher-order-function dot, the r5 bottleneck: per-pair ``zip_with`` +
+    ``aggregate`` folds, and the sparse path's O(|a|·|b|) ``element_at``
+    map probes) disappear from the plan entirely (guide §4.2/§8: decide
+    with small rows, keep the heavy payload out of the pair stream). Past
+    the budget — billions of records on a real cluster — the join path runs
+    as before. The dense broadcast path is bit-identical to the join path
+    (same fold order); the sparse broadcast path agrees to float
+    associativity (same addend sequence, ``np.add.reduceat`` reduction).
+    ``None`` disables the broadcast path outright; the default is the
+    ``MINIMEL_VEC_BCAST_BYTES`` env knob (128 MiB). Records are assumed to
+    carry unique ``rec_id_col`` values (both paths: the join path would
+    multiply pair rows on duplicate ids, the broadcast path keeps one).
     """
     dense_bow_dim = resolve_dense_bow_dim(records, dense_bow_dim, text_col)
+    if persisted_out is not None:
+        # the pair stream feeds TWO subplans (the distinct name-pair branch
+        # and the output rows); without a cache the whole pair-generation
+        # join runs once per branch (r6 — measured one full extra pass per
+        # segment at sf0.1). MEMORY_AND_DISK, caller-owned lifecycle, same
+        # contract as the other caches here.
+        pairs = pairs.persist()
+        persisted_out.append(pairs)
     if "name_a" in pairs.columns and "name_b" in pairs.columns:
         # pair generator already carried both surface forms (the
         # surface_blocked_pairs path) — no joins back to the record table
@@ -281,6 +419,89 @@ def pair_features(
     ):
         name_feats = F.broadcast(name_feats)
     df = df.join(name_feats, ["name_a", "name_b"])
+    if text_col and max_broadcast_vec_bytes is not None:
+        # one cheap JVM agg sizes the broadcast-cos budget gate for BOTH cos
+        # forms: row count (dense payload is exactly rows * dim * 8 B) and a
+        # conservative token-count upper bound for the sparse bow payload
+        stats = records.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.coalesce(
+                F.sum(
+                    F.size(
+                        F.split(
+                            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+"
+                        )
+                    )
+                ),
+                F.lit(0),
+            ).alias("_toks"),
+        ).first()
+        n_rec, n_toks = stats["_n"], stats["_toks"]
+        spark = records.sparkSession
+        if dense_bow_dim and n_rec * dense_bow_dim * 8 <= max_broadcast_vec_bytes:
+            import numpy as np
+
+            pdf = records.select(
+                F.col(rec_id_col).alias("_rid"),
+                _dense_bow_udf(dense_bow_dim)(F.col(text_col)).alias("_v"),
+            ).toPandas()
+            mat = (
+                np.array(pdf["_v"].tolist(), dtype=np.float64)
+                if len(pdf)
+                else np.empty((0, dense_bow_dim))
+            )
+            cos = _dense_cos_bcast_udf(
+                spark, pdf["_rid"].tolist(), mat
+            ).asNondeterministic()  # guide §4.4: the isnan filter below must
+            # not duplicate the Arrow evaluation via filter pushdown
+            return (
+                df.withColumn("cos_bow", cos(F.col("rec_id_a"), F.col("rec_id_b")))
+                .where(~F.isnan("cos_bow"))  # inner-join semantics: drop
+                # pairs referencing ids absent from the record table
+                .select(
+                    "rec_id_a", "rec_id_b", "n_blocks", "name_a", "name_b",
+                    "lev_sim", "jacc3", "jw", "cos_bow",
+                )
+            )
+        if not dense_bow_dim and n_rec * 32 + n_toks * 16 <= max_broadcast_vec_bytes:
+            import numpy as np
+
+            pdf = record_bow(records, rec_id_col, text_col).select(
+                "_rid",
+                F.map_keys("bow").alias("_k"),
+                F.map_values("bow").alias("_w"),
+                "bow_norm",
+            ).toPandas()
+            n = len(pdf)
+            counts = np.fromiter(
+                (len(k) for k in pdf["_k"]), dtype=np.int64, count=n
+            )
+            keys = (
+                np.concatenate(pdf["_k"].to_list()).astype(np.int64)
+                if counts.sum()
+                else np.empty(0, dtype=np.int64)
+            )
+            vals = (
+                np.concatenate(pdf["_w"].to_list()).astype(np.float64)
+                if counts.sum()
+                else np.empty(0, dtype=np.float64)
+            )
+            cos = _sparse_cos_bcast_udf(
+                spark,
+                pdf["_rid"].tolist(),
+                keys,
+                vals,
+                counts,
+                pdf["bow_norm"].to_numpy(dtype=np.float64),
+            ).asNondeterministic()  # see the dense path note
+            return (
+                df.withColumn("cos_bow", cos(F.col("rec_id_a"), F.col("rec_id_b")))
+                .where(~F.isnan("cos_bow"))
+                .select(
+                    "rec_id_a", "rec_id_b", "n_blocks", "name_a", "name_b",
+                    "lev_sim", "jacc3", "jw", "cos_bow",
+                )
+            )
     if text_col and dense_bow_dim:
         # persisted (receiver-owned): the vector table feeds BOTH join sides
         # — without the cache the per-record embedding UDF runs twice over
@@ -292,17 +513,11 @@ def pair_features(
         if persisted_out is not None:
             vecs = vecs.persist()
             persisted_out.append(vecs)
-        # the dense payload size is exactly known (rows * dim * 8 B), so the
-        # vector joins can be broadcast under a byte budget — removing TWO
-        # shuffles of the (much larger) pair table. Past the budget (real
-        # corpora: billions of records) both joins stay shuffle joins.
+        # past-budget (or broadcast-disabled) fallback: both joins stay
+        # shuffle joins and the dot is the exact JVM fold — unchanged r5
+        # semantics for corpora whose vector table cannot be broadcast
         va = vecs.select(F.col("_rid").alias("rec_id_a"), F.col("_v").alias("_va"))
         vb = vecs.select(F.col("_rid").alias("rec_id_b"), F.col("_v").alias("_vb"))
-        if (
-            max_broadcast_vec_bytes is not None
-            and vecs.count() * dense_bow_dim * 8 <= max_broadcast_vec_bytes
-        ):
-            va, vb = F.broadcast(va), F.broadcast(vb)
         df = (
             df.join(va, "rec_id_a")
             .join(vb, "rec_id_b")

@@ -58,7 +58,34 @@ def train_pair_matcher(
 
 
 def score_pairs(model, features: DataFrame) -> DataFrame:
-    """Apply the matcher; adds ``score`` = P(match)."""
+    """Apply the matcher; adds ``score`` = P(match).
+
+    For the standard assembler + binary-LR pipeline the transform is
+    inlined as a codegen'd column expression (r6, guide §4.1: built-ins
+    over opaque ML transforms on the hot path): score =
+    sigmoid(Σ coef_i·x_i + intercept), the exact binomial
+    ``raw2probability`` arithmetic, accumulated in coefficient order —
+    this skips materializing four ML vector columns (features,
+    rawPrediction, probability, prediction) per pair row. Any other model
+    shape falls back to ``model.transform``.
+    """
+    stages = getattr(model, "stages", None)
+    if stages and len(stages) == 2:
+        from pyspark.ml.classification import LogisticRegressionModel
+
+        assembler, lr = stages
+        if (
+            isinstance(lr, LogisticRegressionModel)
+            and lr.numClasses == 2
+            and hasattr(assembler, "getInputCols")
+        ):
+            margin = F.lit(0.0)
+            for c, w in zip(assembler.getInputCols(), lr.coefficients):
+                margin = margin + F.col(c).cast("double") * F.lit(float(w))
+            margin = margin + F.lit(float(lr.intercept))
+            return features.withColumn(
+                "score", F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            )
     from pyspark.ml.functions import vector_to_array
 
     scored = model.transform(features)

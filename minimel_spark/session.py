@@ -40,6 +40,20 @@ def get_spark(
         # AQE: runtime partition coalescing, skew-join splitting, join re-planning.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing sizes post-shuffle stages by COMPRESSED shuffle
+        # bytes; the default 1 MiB floor collapses dictionary-sized
+        # exchanges (a few MB feeding a large fan-out, e.g. the salted
+        # name join that expands to millions of candidate pairs) to a
+        # handful of tasks, serializing the expensive downstream stage.
+        # 64 KiB keeps the parallelismFirst target (total/defaultParallelism)
+        # in charge down to tiny stages — scale-general: the floor matters
+        # exactly when a stage's input is small relative to the cluster,
+        # which is when fan-out work gets serialized (guide §2.5 input-skew
+        # sibling; env-overridable for deployments).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("MINIMEL_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow transfer for pandas UDFs / toPandas (north rule: vectorized only).
