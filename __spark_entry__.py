@@ -13248,7 +13248,7 @@ def q_er_date_standardize(spark, sf_dir):
     parser audit (every rendered row must roundtrip; TPC-H years 92-98
     exercise the 2-digit pivot on the 19xx side). The oracle re-renders
     and re-parses with an independent SQL regexp/CASE chain."""
-    from minimel_spark.functions.normalize import standardize_date_cols
+    from minimel_spark.functions.normalize import standardize_dates_staged
     from minimel_spark.operators.util import md5_long60
 
     o = _t(spark, sf_dir, "orders")
@@ -13281,8 +13281,12 @@ def q_er_date_standardize(spark, sf_dir):
             )
         )
     )
-    base = o.select(rendered.alias("_s"), iso0.alias("_iso0")).withColumn(
-        "_p", standardize_date_cols(F.col("_s"))
+    # staged twin of standardize_date_cols: identical struct values, but
+    # intermediate projections keep every stage under the JVM codegen
+    # method limit (the single-expression form fell back to interpreted
+    # eval with an ERROR CodeGenerator in full-sweep logs — VERDICT r5 #1)
+    base = standardize_dates_staged(
+        o.select(rendered.alias("_s"), iso0.alias("_iso0")), F.col("_s"), "_p"
     )
     return base.groupBy(F.col("_p.date_fmt").alias("date_fmt")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -497,6 +497,113 @@ def standardize_date_cols(col, pivot: int = 70):
     )
 
 
+def standardize_dates_staged(df, col, out_col="_p", pivot: int = 70):
+    """DataFrame-staged twin of :func:`standardize_date_cols`: identical
+    output struct (same expressions, same values, gate-hash identical),
+    but the trimmed string / format tag / y / m / d land in INTERMEDIATE
+    projections instead of one monolithic expression tree. The
+    single-expression form inlines the whole format-detection chain into
+    every y/m/d/valid branch; the generated Java for that tree exceeds the
+    JVM method limit, whole-stage codegen fails to compile, and Spark
+    silently falls back to interpreted evaluation for the entire stage
+    (VERDICT r5 #1 — `ERROR CodeGenerator` in sweep logs). Staged columns
+    are non-cheap and multiply-referenced, so CollapseProject keeps the
+    projections separate and each stage codegen-compiles. Drops its
+    temporaries; appends ``out_col``.
+    """
+    import pyspark.sql.functions as F
+
+    s = F.col("_sdc_s")
+    re_iso = r"^(\d{4})-(\d{2})-(\d{2})$"
+    re_us = r"^(\d{1,2})/(\d{1,2})/(\d{4})$"
+    re_us2 = r"^(\d{1,2})/(\d{1,2})/(\d{2})$"
+    re_eu = r"^(\d{1,2})\.(\d{1,2})\.(\d{4})$"
+    re_name = r"^([A-Za-z]{3,9}) (\d{1,2}), (\d{4})$"
+    re_compact = r"^(\d{4})(\d{2})(\d{2})$"
+
+    def g(pat, i):
+        return F.regexp_extract(s, pat, i).cast("long")
+
+    mname = F.lower(F.substring(F.regexp_extract(s, re_name, 1), 1, 3))
+    mnum = F.lit(None).cast("long")
+    for name, num in DATE_MONTHS.items():
+        mnum = F.when(mname == name, F.lit(num)).otherwise(mnum)
+
+    df = df.withColumn("_sdc_s", F.regexp_replace(col, r"^\s+|\s+$", ""))
+    df = df.withColumn("_sdc_mnum", mnum)
+    df = df.withColumn(
+        "_sdc_fmt",
+        F.when(s.rlike(re_iso), F.lit("iso"))
+        .when(s.rlike(re_us), F.lit("us"))
+        .when(s.rlike(re_us2), F.lit("us2"))
+        .when(s.rlike(re_eu), F.lit("eu"))
+        .when(s.rlike(re_name) & F.col("_sdc_mnum").isNotNull(), F.lit("name"))
+        .when(s.rlike(re_compact), F.lit("compact"))
+        .otherwise(F.lit("unknown")),
+    )
+    fmt = F.col("_sdc_fmt")
+    y2 = g(re_us2, 3)
+    df = df.withColumn(
+        "_sdc_y",
+        F.when(fmt == "iso", g(re_iso, 1))
+        .when(fmt == "us", g(re_us, 3))
+        .when(fmt == "us2", F.when(y2 < pivot, y2 + 2000).otherwise(y2 + 1900))
+        .when(fmt == "eu", g(re_eu, 3))
+        .when(fmt == "name", g(re_name, 3))
+        .when(fmt == "compact", g(re_compact, 1)),
+    ).withColumn(
+        "_sdc_m",
+        F.when(fmt == "iso", g(re_iso, 2))
+        .when(fmt == "us", g(re_us, 1))
+        .when(fmt == "us2", g(re_us2, 1))
+        .when(fmt == "eu", g(re_eu, 2))
+        .when(fmt == "name", F.col("_sdc_mnum"))
+        .when(fmt == "compact", g(re_compact, 2)),
+    ).withColumn(
+        "_sdc_d",
+        F.when(fmt == "iso", g(re_iso, 3))
+        .when(fmt == "us", g(re_us, 2))
+        .when(fmt == "us2", g(re_us2, 2))
+        .when(fmt == "eu", g(re_eu, 1))
+        .when(fmt == "name", g(re_name, 2))
+        .when(fmt == "compact", g(re_compact, 3)),
+    )
+    y, m, d = F.col("_sdc_y"), F.col("_sdc_m"), F.col("_sdc_d")
+    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    mlen = (
+        F.when(m == 2, F.when(leap, 29).otherwise(28))
+        .when(m.isin(4, 6, 9, 11), F.lit(30))
+        .otherwise(F.lit(31))
+    )
+    df = df.withColumn(
+        "_sdc_valid",
+        (fmt != "unknown")
+        & (y >= 1)
+        & (m >= 1)
+        & (m <= 12)
+        & (d >= 1)
+        & (d <= mlen),
+    )
+    valid = F.col("_sdc_valid")
+    iso_date = F.when(
+        valid,
+        F.concat_ws(
+            "-",
+            F.lpad(y.cast("string"), 4, "0"),
+            F.lpad(m.cast("string"), 2, "0"),
+            F.lpad(d.cast("string"), 2, "0"),
+        ),
+    )
+    return df.withColumn(
+        out_col,
+        F.struct(
+            fmt.alias("date_fmt"),
+            iso_date.alias("iso_date"),
+            F.coalesce(valid, F.lit(False)).alias("date_valid"),
+        ),
+    ).drop("_sdc_s", "_sdc_mnum", "_sdc_fmt", "_sdc_y", "_sdc_m", "_sdc_d", "_sdc_valid")
+
+
 # Accent-fold tables — shared literals (the NYSIIS-R convention: every
 # engine's implementation is GENERATED from these, so they cannot diverge).
 # 1:1 codepoint folds go through translate(); multi-char expansions (ae, ss)

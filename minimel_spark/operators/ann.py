@@ -433,8 +433,12 @@ def embedding_dups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH candidates + exact verify).
     ``hash_family="md5"``: DuckDB-reproducible buckets (hyperplane_buckets)."""
+    # lazy plan cut: the bucket table feeds BOTH sides of the self-join —
+    # without it the per-row bucket UDF / fold evaluates twice over the
+    # corpus (r6; the simhash_dups precedent)
     b = hyperplane_buckets(corpus, dim, num_planes, num_tables, id_col=id_col,
-                           vec_col=vec_col, hash_family=hash_family)
+                           vec_col=vec_col, hash_family=hash_family
+                           ).localCheckpoint(eager=False)
     a = b.select(F.col("id").alias("id_a"), "bucket")
     c = b.select(F.col("id").alias("id_b"), "bucket")
     cand = a.join(c, "bucket").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()

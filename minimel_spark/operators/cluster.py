@@ -155,7 +155,16 @@ def connected_components(
     # joins run over the raw one-directional edge list (|E| rows, not 2|E|).
     # Only the contracted graph (tiny after dense blocks collapse) is
     # symmetrized + deduplicated for the iterate loop.
-    ed = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    # eager checkpoint of the NARROW one-directional edge list: three
+    # consumers below (both union arms of the min-reps agg + the contraction
+    # join) would otherwise re-evaluate the caller's edge plan three times —
+    # and unlike the r5 shape this materializes |E| 16-byte rows with no
+    # distinct shuffle first.
+    ed = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
     nbrs = ed.union(ed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     m = nbrs.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("rep"))
     m = m.localCheckpoint(eager=True)  # 3 consumers: 2 contraction joins + expand

@@ -1276,7 +1276,7 @@ def bpe_encode(
             ).alias("repr"),
         )
     )
-    for left, right, merged in mlist:
+    for i, (left, right, merged) in enumerate(mlist, 1):
         pair = f"{left} {right}"
         vocab = vocab.select(
             "word",
@@ -1286,6 +1286,15 @@ def bpe_encode(
                 )
             ).alias("repr"),
         )
+        if i % 64 == 0:
+            # bound the replay plan (VERDICT r5 #2): the chained replace
+            # projections nest n_merges deep — fine at gate-sized merge
+            # lists, an analysis/codegen blowup at a real tokenizer's 10k+
+            # merges (the doc_vocab task-binary failure mode). A lazy local
+            # checkpoint every 64 merges truncates lineage to a bounded
+            # depth; the vocab is distinct-words-sized, so the extra
+            # materializations are cheap relative to any corpus join.
+            vocab = vocab.localCheckpoint(eager=False)
     tok = vocab.select(
         "word",
         F.size(F.split(F.trim(F.col("repr")), " ")).cast("long").alias("_nsym"),

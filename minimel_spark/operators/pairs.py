@@ -420,23 +420,28 @@ def pair_features(
         name_feats = F.broadcast(name_feats)
     df = df.join(name_feats, ["name_a", "name_b"])
     if text_col and max_broadcast_vec_bytes is not None:
-        # one cheap JVM agg sizes the broadcast-cos budget gate for BOTH cos
-        # forms: row count (dense payload is exactly rows * dim * 8 B) and a
-        # conservative token-count upper bound for the sparse bow payload
-        stats = records.agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.coalesce(
-                F.sum(
-                    F.size(
-                        F.split(
-                            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\W+"
+        # budget gate sizing: the dense payload is exactly rows * dim * 8 B
+        # (one count); the sparse bow payload is bounded by a conservative
+        # token-count estimate (one JVM agg that tokenizes the corpus — only
+        # run on the sparse path, where the bow UDF pass dwarfs it anyway)
+        if dense_bow_dim:
+            n_rec, n_toks = records.count(), 0
+        else:
+            stats = records.agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.coalesce(
+                    F.sum(
+                        F.size(
+                            F.split(
+                                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                                r"\W+",
+                            )
                         )
-                    )
-                ),
-                F.lit(0),
-            ).alias("_toks"),
-        ).first()
-        n_rec, n_toks = stats["_n"], stats["_toks"]
+                    ),
+                    F.lit(0),
+                ).alias("_toks"),
+            ).first()
+            n_rec, n_toks = stats["_n"], stats["_toks"]
         spark = records.sparkSession
         if dense_bow_dim and n_rec * dense_bow_dim * 8 <= max_broadcast_vec_bytes:
             import numpy as np

@@ -58,7 +58,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow transfer for pandas UDFs / toPandas (north rule: vectorized only).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 50k records/batch (guide §4.2: raise for narrow data): the r6
+        # broadcast-cos and other id-keyed UDFs move 16-24 B/row, where the
+        # old 10k batches left most of the cost in per-batch overheads
+        # (measured: dense scoring segment 24.7-25.2 s -> 20.3-20.4 s).
+        # Wide rows stay bounded by Spark 4's arrow.maxBytesPerBatch cap
+        # (64 MiB default), so text-heavy UDF batches split by bytes, not
+        # by this knob.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("MINIMEL_ARROW_BATCH", "50000"),
+        )
         # Broadcast threshold: dimension tables (title index, candidate dict
         # exports) should broadcast; 64m is safe with 128 GiB driver/executors.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

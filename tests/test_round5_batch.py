@@ -634,6 +634,32 @@ def test_bpe_encode_matches_python(spark):
         assert n_tokens < n_chars
 
 
+def test_bpe_encode_bounded_plan_500_merges(spark):
+    """The merge-replay loop must not nest an unbounded projection chain:
+    a real tokenizer's merge list is 10k+ entries, and the pre-r6 replay
+    built one replace() per merge with no plan cut (the doc_vocab
+    task-binary failure mode). 500 synthetic merges must complete — the
+    periodic localCheckpoint bounds lineage depth — and the counts must
+    match the same replay done in Python."""
+    from minimel_spark.operators.corpus import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab cd"), (1, "ab xyz")], "doc_id long, text string"
+    )
+    rows = [(1, "a", "b", "ab", 2)] + [
+        (i, f"s{i}", f"t{i}", f"s{i}t{i}", 1) for i in range(2, 501)
+    ]
+    merges = spark.createDataFrame(
+        rows, "round long, left string, right string, merged string, count long"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    # 'ab' -> 1 symbol after merge 1; 'cd' -> 2 chars; 'xyz' -> 3 chars
+    assert got == {0: (3, 1 + 1 + 2, 6), 1: (2, 1 + 3, 5)}
+
+
 def test_bpe_encode_partition_invariant(spark):
     from minimel_spark.operators.corpus import bpe_encode, bpe_merges
 
