@@ -30,25 +30,12 @@ from pyspark.sql import DataFrame, Window
 from .util import words_lower
 
 
-def global_dense_rank(
+def _global_dense_rank_with_total(
     df: DataFrame, key_cols: list[str], out_col: str = "rank"
-) -> DataFrame:
-    """1-based, order-preserving dense rank of the DISTINCT ``key_cols``
-    tuples of ``df`` — without an unpartitioned window.
-
-    Range-repartition the distinct keys (equal keys colocate; partition i
-    holds a contiguous key range below partition i+1), rank locally per
-    partition (window partitioned by spark_partition_id), then shift each
-    partition by the total distinct count of the partitions before it — a
-    P-row collect + broadcast, the distributed prefix sum. The sampled
-    range boundaries are pinned by an eager localCheckpoint so the count
-    pass and the final plan see the SAME placement; the resulting rank
-    (offset + local position) is the key's position in the sorted distinct
-    order — deterministic regardless of where the sampled boundaries fell.
-
-    Returns the distinct keys + ``out_col``. NULL keys are not supported
-    (range partitioning and the local order would disagree on placement).
-    """
+) -> tuple[DataFrame, int]:
+    """``global_dense_rank`` plus the total distinct-key count (already
+    computed for the prefix-sum offsets — returning it is free, and the
+    doubling loop uses it to stop as soon as ranks stabilize)."""
     cols = [F.col(c) for c in key_cols]
     spark = df.sparkSession
     p = spark.sparkContext.defaultParallelism
@@ -70,9 +57,32 @@ def global_dense_rank(
         off.append((pid, acc))
         acc += cnts[pid]
     offdf = spark.createDataFrame(off or [(0, 0)], "_pid int, _off long")
-    return ranked.join(F.broadcast(offdf), "_pid").select(
+    out = ranked.join(F.broadcast(offdf), "_pid").select(
         *key_cols, (F.col("_off") + F.col("_lr")).alias(out_col)
     )
+    return out, acc
+
+
+def global_dense_rank(
+    df: DataFrame, key_cols: list[str], out_col: str = "rank"
+) -> DataFrame:
+    """1-based, order-preserving dense rank of the DISTINCT ``key_cols``
+    tuples of ``df`` — without an unpartitioned window.
+
+    Range-repartition the distinct keys (equal keys colocate; partition i
+    holds a contiguous key range below partition i+1), rank locally per
+    partition (window partitioned by spark_partition_id), then shift each
+    partition by the total distinct count of the partitions before it — a
+    P-row collect + broadcast, the distributed prefix sum. The sampled
+    range boundaries are pinned by an eager localCheckpoint so the count
+    pass and the final plan see the SAME placement; the resulting rank
+    (offset + local position) is the key's position in the sorted distinct
+    order — deterministic regardless of where the sampled boundaries fell.
+
+    Returns the distinct keys + ``out_col``. NULL keys are not supported
+    (range partitioning and the local order would disagree on placement).
+    """
+    return _global_dense_rank_with_total(df, key_cols, out_col)[0]
 
 
 def token_suffix_ranks(
@@ -111,7 +121,9 @@ def token_suffix_ranks(
         .select("_d", "pos", "rank")
         .localCheckpoint(eager=True)
     )
+    n_suffixes = r0.count()  # cheap count on the checkpointed table
     tables = [r0]
+    prev_total: int | None = None
     for k in range(rounds):
         step = 2**k
         cur = tables[-1]
@@ -127,12 +139,28 @@ def token_suffix_ranks(
                 F.coalesce("_r2", F.lit(-1)).alias("_r2"),
             )
         )
-        ranks = global_dense_rank(pairkeys, ["_r1", "_r2"], "rank")
+        ranks, total = _global_dense_rank_with_total(pairkeys, ["_r1", "_r2"], "rank")
         tables.append(
             pairkeys.join(ranks, ["_r1", "_r2"])
             .select("_d", "pos", "rank")
             .localCheckpoint(eager=True)
         )
+        # early termination (r6, bit-exact): each round REFINES the previous
+        # partition (its key embeds the previous rank), so an unchanged
+        # class count means an identical partition — and a stable partition
+        # is a fixed point of doubling, making every further table row-for-
+        # row identical to this one. Likewise once every suffix is alone in
+        # its class (total == n_suffixes) no round can split further. The
+        # LCP lifting consumes whatever prefix of the table list exists:
+        # with all ranks distinct at level k, no adjacent pair agrees on
+        # 2^k tokens, so the dropped higher levels could never advance the
+        # lifted LCP (their equality test would always fail) — downstream
+        # output is unchanged, the corpus just stops paying for doubling
+        # rounds past its repeat structure (guide §1.2: don't compute what
+        # you throw away).
+        if total == n_suffixes or (prev_total is not None and total == prev_total):
+            break
+        prev_total = total
     return tables
 
 
