@@ -174,13 +174,18 @@ def _pair_cosine(bow_a, bow_b, norm_a, norm_b):
     )
 
 
-def _dense_cos_bcast_udf(spark, ids, mat):
+def _dense_cos_bcast_udf(spark, ids, rows, mat):
     """cos_bow over a broadcast dense L2-normalized matrix: the Arrow UDF
     sees ONLY the two id columns (guide §4.1/§8 — the heavy per-pair payload
     never enters the pair stream), gathers both rows and accumulates the
     dot with a strict left fold over the dim axis — the same add order as
     the join path's ``aggregate(zip_with(...))``, so the two paths are
-    bit-identical. The id -> row lookup is a ``pd.Index`` built ONCE per
+    bit-identical. ``rows[i]`` maps ``ids[i]`` to its row of ``mat`` — an
+    identity when vectors were built per record, an indirection into the
+    (much smaller) distinct-text matrix when texts repeat across records
+    (r6: mention-style corpora share one paragraph text across dozens of
+    records, so the vector table needs one row per TEXT, not per record).
+    The id -> row lookup is a ``pd.Index`` built ONCE per
     Python worker and probed with the vectorized ``get_indexer`` (guide
     §4.5 — heavyweight init amortized across batches; a per-batch
     ``Series.map(dict)`` rebuilds the hashtable every call). Pairs whose id
@@ -188,22 +193,23 @@ def _dense_cos_bcast_udf(spark, ids, mat):
     caller (inner-join semantics)."""
     import numpy as np
 
-    bc = spark.sparkContext.broadcast((ids, mat))
+    bc = spark.sparkContext.broadcast((ids, rows, mat))
     state: dict = {}
 
     @F.pandas_udf(T.DoubleType())
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:
         if "ix" not in state:
-            ids_, m_ = bc.value
+            ids_, rows_, m_ = bc.value
             state["ix"] = pd.Index(ids_)
+            state["rows"] = rows_
             state["m"] = m_
-        ix, m = state["ix"], state["m"]
+        ix, rows_, m = state["ix"], state["rows"], state["m"]
         ia = ix.get_indexer(a)  # -1 = missing
         ib = ix.get_indexer(b)
         ok = (ia >= 0) & (ib >= 0)
         out = np.full(len(ia), np.nan)
         if ok.any():
-            prod = m[ia[ok]] * m[ib[ok]]
+            prod = m[rows_[ia[ok]]] * m[rows_[ib[ok]]]
             acc = np.zeros(prod.shape[0])
             for j in range(prod.shape[1]):  # strict left fold == JVM order
                 acc += prod[:, j]
@@ -213,7 +219,7 @@ def _dense_cos_bcast_udf(spark, ids, mat):
     return cos
 
 
-def _sparse_cos_bcast_udf(spark, ids, keys, vals, counts, norms):
+def _sparse_cos_bcast_udf(spark, ids, rows, keys, vals, counts, norms):
     """cos_bow over a broadcast sparse bow table (flattened CSR-style
     arrays, entries in each record's bow insertion order). Per batch: gather
     side a's entry ranges, look up side b via one vectorized searchsorted on
@@ -223,10 +229,12 @@ def _sparse_cos_bcast_udf(spark, ids, keys, vals, counts, norms):
     over the same effective addend sequence as the JVM path; the per-pair
     reduction is ``np.add.reduceat`` (sequential within a segment). Pairs
     with an id absent from the record table come back NaN and are dropped
-    by the caller (inner-join semantics)."""
+    by the caller (inner-join semantics). ``rows[i]`` maps ``ids[i]`` to its
+    CSR row — identity for per-record bows, an indirection into the
+    distinct-text CSR when texts repeat across records (r6)."""
     import numpy as np
 
-    n = len(ids)
+    n = len(counts)
     off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=off[1:])
     seg = np.repeat(np.arange(n, dtype=np.int64), counts)
@@ -235,7 +243,7 @@ def _sparse_cos_bcast_udf(spark, ids, keys, vals, counts, norms):
     sorted_combined = combined[order]
     sorted_vals = vals[order]
     bc = spark.sparkContext.broadcast(
-        (ids, keys, vals, off, norms, sorted_combined, sorted_vals)
+        (ids, rows, keys, vals, off, norms, sorted_combined, sorted_vals)
     )
     state: dict = {}
 
@@ -244,8 +252,10 @@ def _sparse_cos_bcast_udf(spark, ids, keys, vals, counts, norms):
         if "ix" not in state:  # once per worker (guide §4.5)
             v = bc.value
             state["ix"] = pd.Index(v[0])
-            state["rest"] = v[1:]
+            state["rows"] = v[1]
+            state["rest"] = v[2:]
         ix = state["ix"]
+        rows_ = state["rows"]
         keys, vals, off, norms, s_comb, s_vals = state["rest"]
         ia = ix.get_indexer(a)  # -1 = missing
         ib = ix.get_indexer(b)
@@ -253,8 +263,8 @@ def _sparse_cos_bcast_udf(spark, ids, keys, vals, counts, norms):
         out = np.full(len(ia), np.nan)
         if not ok.any():
             return pd.Series(out)
-        ia_i = ia[ok]
-        ib_i = ib[ok]
+        ia_i = rows_[ia[ok]]
+        ib_i = rows_[ib[ok]]
         starts = off[ia_i]
         cnts = off[ia_i + 1] - starts
         total = int(cnts.sum())
@@ -420,15 +430,25 @@ def pair_features(
         name_feats = F.broadcast(name_feats)
     df = df.join(name_feats, ["name_a", "name_b"])
     if text_col and max_broadcast_vec_bytes is not None:
-        # budget gate sizing: the dense payload is exactly rows * dim * 8 B
-        # (one count); the sparse bow payload is bounded by a conservative
-        # token-count estimate (one JVM agg that tokenizes the corpus — only
-        # run on the sparse path, where the bow UDF pass dwarfs it anyway)
-        if dense_bow_dim:
-            n_rec, n_toks = records.count(), 0
-        else:
-            stats = records.agg(
-                F.count(F.lit(1)).alias("_n"),
+        # budget gate sizing (one shuffle-free agg): the dense payload is
+        # rows * dim * 8 B; the sparse bow payload is bounded by a
+        # conservative token-count estimate (the tokenizing sum only runs on
+        # the sparse path, where the bow UDF pass dwarfs it anyway). r6 also
+        # estimates the DISTINCT-text count (HLL ±2%): mention-style corpora
+        # attach one paragraph text to dozens of records, so the vector/bow
+        # table only needs one row per distinct text plus an 16 B/record
+        # id -> row map — 10-100x less Python tokenize work, driver pull and
+        # broadcast than the per-record build, and corpora whose per-record
+        # payload overflows the budget (the bench's sparse segment) come
+        # BACK under it. All three builds (per-record, distinct-text,
+        # join fallback) produce bit-identical cos_bow, so the choice is
+        # purely a cost decision.
+        aggs = [
+            F.count(F.lit(1)).alias("_n"),
+            F.approx_count_distinct(text_col, 0.02).alias("_nd"),
+        ]
+        if not dense_bow_dim:
+            aggs.append(
                 F.coalesce(
                     F.sum(
                         F.size(
@@ -439,69 +459,112 @@ def pair_features(
                         )
                     ),
                     F.lit(0),
-                ).alias("_toks"),
-            ).first()
-            n_rec, n_toks = stats["_n"], stats["_toks"]
+                ).alias("_toks")
+            )
+        stats = records.agg(*aggs).first()
+        n_rec = stats["_n"]
+        # +1: approx_count_distinct ignores nulls; null text is its own group
+        n_text = min(n_rec, int(stats["_nd"] * 1.05) + 1)  # HLL slack
+        n_toks = 0 if dense_bow_dim else stats["_toks"]
+        # distinct-text payload: the map costs 16 B/record; tokens scale by
+        # the distinct ratio (texts are dup-heavy or they are not — a 1.1
+        # slack absorbs skewed duplication toward short texts)
+        ratio = n_text / max(1, n_rec)
+        if dense_bow_dim:
+            per_rec_bytes = n_rec * dense_bow_dim * 8
+            dedup_bytes = n_text * dense_bow_dim * 8 + n_rec * 16
+        else:
+            per_rec_bytes = n_rec * 32 + n_toks * 16
+            dedup_bytes = (
+                n_text * 32 + int(n_toks * ratio * 1.1) * 16 + n_rec * 16
+            )
+        # dedupe when texts repeat enough to pay for the groupBy (partial
+        # aggregation shrinks its shuffle to ~distinct texts/partition), or
+        # when only the deduped table fits the broadcast budget at all
+        dedup_texts = dedup_bytes <= max_broadcast_vec_bytes and (
+            n_text <= 0.7 * n_rec or per_rec_bytes > max_broadcast_vec_bytes
+        )
+        use_bcast = dedup_texts or per_rec_bytes <= max_broadcast_vec_bytes
         spark = records.sparkSession
-        if dense_bow_dim and n_rec * dense_bow_dim * 8 <= max_broadcast_vec_bytes:
+        if use_bcast:
             import numpy as np
 
-            pdf = records.select(
-                F.col(rec_id_col).alias("_rid"),
-                _dense_bow_udf(dense_bow_dim)(F.col(text_col)).alias("_v"),
-            ).toPandas()
-            mat = (
-                np.array(pdf["_v"].tolist(), dtype=np.float64)
-                if len(pdf)
-                else np.empty((0, dense_bow_dim))
-            )
-            cos = _dense_cos_bcast_udf(
-                spark, pdf["_rid"].tolist(), mat
-            ).asNondeterministic()  # guide §4.4: the isnan filter below must
-            # not duplicate the Arrow evaluation via filter pushdown
+            if dedup_texts:
+                # exact id -> distinct-text mapping: group on the coalesced
+                # text (the bow/vec UDFs treat null as "", so folding null
+                # into "" is value-preserving), one representative id per
+                # text, and a broadcast join back for the (record, text) map
+                rt = records.select(
+                    F.col(rec_id_col).alias("_rid"),
+                    F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+                )
+                g = rt.groupBy("_t").agg(F.min("_rid").alias("_tid")).persist()
+                map_pdf = (
+                    rt.join(F.broadcast(g), "_t").select("_rid", "_tid").toPandas()
+                )
+                vec_src = g.select(F.col("_tid").alias("_rid"), F.col("_t"))
+            else:
+                map_pdf = None
+                vec_src = records.select(
+                    F.col(rec_id_col).alias("_rid"), F.col(text_col).alias("_t")
+                )
+            if dense_bow_dim:
+                pdf = vec_src.select(
+                    "_rid", _dense_bow_udf(dense_bow_dim)(F.col("_t")).alias("_v")
+                ).toPandas()
+                mat = (
+                    np.array(pdf["_v"].tolist(), dtype=np.float64)
+                    if len(pdf)
+                    else np.empty((0, dense_bow_dim))
+                )
+            else:
+                pdf = record_bow(vec_src, "_rid", "_t").select(
+                    "_rid",
+                    F.map_keys("bow").alias("_k"),
+                    F.map_values("bow").alias("_w"),
+                    "bow_norm",
+                ).toPandas()
+            if dedup_texts:
+                g.unpersist()  # both consumers materialized eagerly above
+                row_of = pd.Index(pdf["_rid"]).get_indexer(map_pdf["_tid"])
+                ids = map_pdf["_rid"].tolist()
+                rows = row_of.astype(np.int64)
+            else:
+                ids = pdf["_rid"].tolist()
+                rows = np.arange(len(pdf), dtype=np.int64)
+            if dense_bow_dim:
+                cos = _dense_cos_bcast_udf(
+                    spark, ids, rows, mat
+                ).asNondeterministic()  # guide §4.4: the isnan filter below
+                # must not duplicate the Arrow evaluation via filter pushdown
+            else:
+                n = len(pdf)
+                counts = np.fromiter(
+                    (len(k) for k in pdf["_k"]), dtype=np.int64, count=n
+                )
+                keys = (
+                    np.concatenate(pdf["_k"].to_list()).astype(np.int64)
+                    if counts.sum()
+                    else np.empty(0, dtype=np.int64)
+                )
+                vals = (
+                    np.concatenate(pdf["_w"].to_list()).astype(np.float64)
+                    if counts.sum()
+                    else np.empty(0, dtype=np.float64)
+                )
+                cos = _sparse_cos_bcast_udf(
+                    spark,
+                    ids,
+                    rows,
+                    keys,
+                    vals,
+                    counts,
+                    pdf["bow_norm"].to_numpy(dtype=np.float64),
+                ).asNondeterministic()  # see the dense path note
             return (
                 df.withColumn("cos_bow", cos(F.col("rec_id_a"), F.col("rec_id_b")))
                 .where(~F.isnan("cos_bow"))  # inner-join semantics: drop
                 # pairs referencing ids absent from the record table
-                .select(
-                    "rec_id_a", "rec_id_b", "n_blocks", "name_a", "name_b",
-                    "lev_sim", "jacc3", "jw", "cos_bow",
-                )
-            )
-        if not dense_bow_dim and n_rec * 32 + n_toks * 16 <= max_broadcast_vec_bytes:
-            import numpy as np
-
-            pdf = record_bow(records, rec_id_col, text_col).select(
-                "_rid",
-                F.map_keys("bow").alias("_k"),
-                F.map_values("bow").alias("_w"),
-                "bow_norm",
-            ).toPandas()
-            n = len(pdf)
-            counts = np.fromiter(
-                (len(k) for k in pdf["_k"]), dtype=np.int64, count=n
-            )
-            keys = (
-                np.concatenate(pdf["_k"].to_list()).astype(np.int64)
-                if counts.sum()
-                else np.empty(0, dtype=np.int64)
-            )
-            vals = (
-                np.concatenate(pdf["_w"].to_list()).astype(np.float64)
-                if counts.sum()
-                else np.empty(0, dtype=np.float64)
-            )
-            cos = _sparse_cos_bcast_udf(
-                spark,
-                pdf["_rid"].tolist(),
-                keys,
-                vals,
-                counts,
-                pdf["bow_norm"].to_numpy(dtype=np.float64),
-            ).asNondeterministic()  # see the dense path note
-            return (
-                df.withColumn("cos_bow", cos(F.col("rec_id_a"), F.col("rec_id_b")))
-                .where(~F.isnan("cos_bow"))
                 .select(
                     "rec_id_a", "rec_id_b", "n_blocks", "name_a", "name_b",
                     "lev_sim", "jacc3", "jw", "cos_bow",

@@ -791,3 +791,36 @@ def test_skyline_2d_dominance_and_ties(spark):
     assert got == {"a", "b", "e", "g"}
     # schema passes through unchanged
     assert set(skyline_2d(df, "s1", "s2").columns) == {"id", "s1", "s2"}
+
+
+def test_pair_features_distinct_text_build_matches_join_fallback(spark):
+    """r6: when records share texts (mention-style corpora), the broadcast
+    cos_bow table is built once per DISTINCT text with an id->row
+    indirection. Values must be bit-identical to the join fallback on both
+    the sparse and the dense path, missing-id pairs must still drop, and
+    null text must fold into the empty-text group losslessly."""
+    texts = ["alpha beta gamma", "beta gamma delta epsilon", None, ""]
+    rec_rows = [(i, f"name{i % 4}", texts[i % 4]) for i in range(40)]
+    records = spark.createDataFrame(
+        rec_rows, "rec_id long, name string, text string"
+    )
+    pair_rows = [
+        (a, b, 1) for a in range(40) for b in (a + 1, a + 7, a + 13) if b < 40
+    ] + [(0, 999, 1)]  # 999 absent from records -> dropped on every path
+    pairs = spark.createDataFrame(
+        pair_rows, "rec_id_a long, rec_id_b long, n_blocks long"
+    )
+
+    def run(**kw):
+        return {
+            (r["rec_id_a"], r["rec_id_b"]): r["cos_bow"]
+            for r in pair_features(pairs, records, name_col="name", **kw).collect()
+        }
+
+    for dim in (None, 8):
+        # 4 distinct texts / 40 records -> the dedupe build fires under the
+        # default budget; the join fallback is the ground truth
+        bcast = run(dense_bow_dim=dim)
+        fallback = run(dense_bow_dim=dim, max_broadcast_vec_bytes=None)
+        assert bcast and bcast == fallback
+        assert (0, 999) not in bcast
