@@ -22,6 +22,8 @@ dropping them is the standard stop-gram heuristic and keeps block sizes bounded.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
@@ -321,12 +323,36 @@ def minhash_dups(
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sh.select(
+    # r6: run the per-pair intersection on an injective LONG image of the
+    # shingles when one exists. |A∩B| only needs element identity, and a
+    # primitive-long hash set is several times cheaper per element than
+    # variable-length UTF8 hashing/equality in the candidate-pair hot loop
+    # (candidates grow superlinearly with duplication; this pre-check is one
+    # linear partial-agg pass over the shingled corpus). Exactness is
+    # PROVED, not assumed: xxhash64 is used only if it is collision-free on
+    # this corpus's distinct shingle set (distinct counts equal), else the
+    # verify falls back to the string arrays unchanged — so the operator's
+    # exact-Jaccard contract is unconditional either way.
+    # MINIMEL_MINHASH_LONG_VERIFY=0 opts out (skips the pre-check pass too)
+    # for corpora where the verify is NOT the dominant cost.
+    use_long = os.environ.get("MINIMEL_MINHASH_LONG_VERIFY", "1") != "0"
+    if use_long:
+        chk = sh.select(F.explode("shingles").alias("_s")).agg(
+            F.countDistinct("_s").alias("_ns"),
+            F.countDistinct(F.xxhash64("_s")).alias("_nh"),
+        ).first()
+        use_long = chk["_ns"] == chk["_nh"]
+    vsh = (
+        sh.withColumn("shingles", F.transform("shingles", lambda s: F.xxhash64(s)))
+        if use_long
+        else sh
+    )
+    sa = vsh.select(
         F.col(id_col).alias("id_a"),
         F.col("shingles").alias("sh_a"),
         F.col("n_sh").alias("_nsa"),
     )
-    sb = sh.select(
+    sb = vsh.select(
         F.col(id_col).alias("id_b"),
         F.col("shingles").alias("sh_b"),
         F.col("n_sh").alias("_nsb"),
@@ -334,10 +360,11 @@ def minhash_dups(
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        # |A∪B| = |A| + |B| − |A∩B| exactly (shingles are distinct arrays),
-        # so the verify builds ONE hash set per pair instead of two — the
-        # array_union materialized a merged array per pair only to take its
-        # size (r6; guide §1.2 per-task work)
+        # |A∪B| = |A| + |B| − |A∩B| exactly (shingles are distinct arrays,
+        # and the long image above is injective when used), so the verify
+        # builds ONE hash set per pair instead of two — the array_union
+        # materialized a merged array per pair only to take its size (r6;
+        # guide §1.2 per-task work)
         .withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard", F.col("_i") / (F.col("_nsa") + F.col("_nsb") - F.col("_i"))
