@@ -121,7 +121,10 @@ def _cc_iterate(sym: DataFrame, max_iter: int) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, pre_contract: bool = True
+    edges: DataFrame,
+    max_iter: int = 50,
+    pre_contract: bool = True,
+    max_broadcast_nodes: int | None = 5_000_000,
 ) -> DataFrame:
     """(src, dst) undirected edges -> (node, component) where component is the
     minimum node id (any orderable type) in the node's component.
@@ -142,6 +145,17 @@ def connected_components(
     representative id directly, which IS the component minimum: full collapse
     to r means every member picked r as its neighborhood minimum, and a
     member w < r would have m(w) ≤ w < r).
+
+    ``max_broadcast_nodes`` (r6): the representative map is |V|-sized and
+    eagerly checkpointed, which erases size statistics — without a hint the
+    two contraction joins plan as sort-merge and SHUFFLE the full |E|-row
+    edge list twice (AQE's late broadcast conversion still pays the map-side
+    shuffle writes). While |V| (one cheap count on the checkpointed map)
+    stays within the budget, the map and the final component table are
+    broadcast-HINTED so the edge list is never exchanged after its one
+    materialization; past the budget (billion-node graphs) the sort-merge
+    plan stands. ``None`` always hints. Join semantics (and therefore
+    labels) are identical either way.
     """
     if not pre_contract:
         return _cc_iterate(_symmetrize(edges).localCheckpoint(eager=True), max_iter)
@@ -168,16 +182,18 @@ def connected_components(
     nbrs = ed.union(ed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     m = nbrs.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("rep"))
     m = m.localCheckpoint(eager=True)  # 3 consumers: 2 contraction joins + expand
+    use_bcast = max_broadcast_nodes is None or m.count() <= max_broadcast_nodes
+    _b = F.broadcast if use_bcast else (lambda df: df)
     contracted = (
-        ed.join(m, "src")
+        ed.join(_b(m), "src")
         .select(F.col("rep").alias("_rs"), "dst")
-        .join(m.select(F.col("src").alias("dst"), F.col("rep").alias("_rd")), "dst")
+        .join(_b(m.select(F.col("src").alias("dst"), F.col("rep").alias("_rd"))), "dst")
         .select(F.col("_rs").alias("src"), F.col("_rd").alias("dst"))
         .where(F.col("src") != F.col("dst"))
     )
     comp_rep = _cc_iterate(_symmetrize(contracted).localCheckpoint(eager=True), max_iter)
     return (
-        m.join(comp_rep.withColumnRenamed("node", "rep"), "rep", "left")
+        m.join(_b(comp_rep.withColumnRenamed("node", "rep")), "rep", "left")
         .select(
             F.col("src").alias("node"),
             F.coalesce("component", "rep").alias("component"),
