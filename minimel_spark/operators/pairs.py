@@ -480,9 +480,12 @@ def pair_features(
             )
         # dedupe when texts repeat enough to pay for the groupBy (partial
         # aggregation shrinks its shuffle to ~distinct texts/partition), or
-        # when only the deduped table fits the broadcast budget at all
-        dedup_texts = dedup_bytes <= max_broadcast_vec_bytes and (
-            n_text <= 0.7 * n_rec or per_rec_bytes > max_broadcast_vec_bytes
+        # when only the deduped table fits the broadcast budget at all;
+        # MINIMEL_VEC_DEDUP_TEXTS=0 pins the r5-shaped per-record build
+        dedup_texts = (
+            os.environ.get("MINIMEL_VEC_DEDUP_TEXTS", "1") != "0"
+            and dedup_bytes <= max_broadcast_vec_bytes
+            and (n_text <= 0.7 * n_rec or per_rec_bytes > max_broadcast_vec_bytes)
         )
         use_bcast = dedup_texts or per_rec_bytes <= max_broadcast_vec_bytes
         spark = records.sparkSession
