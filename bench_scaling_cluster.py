@@ -40,7 +40,15 @@ def main():
             "bench-scale-cluster",
             master=master,
             shuffle_partitions=max(2 * n_exec * cores, 8),
-            extra_conf={"spark.executor.memory": "3g"},
+            extra_conf={
+                "spark.executor.memory": "3g",
+                # local-cluster executors are separate JVMs: their Python
+                # workers do not inherit the driver's sys.path, so the repo
+                # must be importable via the executor environment
+                "spark.executorEnv.PYTHONPATH": os.path.dirname(
+                    os.path.abspath(__file__)
+                ),
+            },
         )
         spark.sparkContext.setLogLevel("ERROR")
         records, counts, pars, n_pars, n_rec, _ = B.build_records(spark, sf_dir)
